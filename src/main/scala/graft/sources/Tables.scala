@@ -1,0 +1,26 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Test-table access for the harness star schema (TESTDATA.md).
+  *
+  * Mirrors the reference's catalogued-table access (SURVEY §2.1 S3:
+  * `spark.read.parquet(path)` / `spark.table(name)` — reference site
+  * scripts/normalize_bronze_columns.py:82). All reads go through
+  * `spark.read.parquet` so Catalyst gets parquet pushdown/pruning.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view named exactly like the parquet
+    * file, so `spark.sql` queries can reference them the way dbt models
+    * reference sources (SURVEY §3 E2). Idempotent.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+}
