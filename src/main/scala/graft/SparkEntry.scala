@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{RegistryCore, RegistryGold, RegistryIngest, RegistryLlm}
+import graft.sources.Tables
+import graft.models.RealEstate
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator family from SURVEY §2 (plus the LLM-pipeline
+  * extensions) is a named entry in [[queries]]; every entry with
+  * engine-portable semantics has a DuckDB oracle in [[oracleSql]]
+  * with IDENTICAL column names (the driver hash-compares after
+  * sorting columns by name). Entries without an oracle (engine-
+  * specific hashes: f5_hash_mod_key, llm_simhash_pairs) get the
+  * driver's weaker rows-only check, by design.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The SURVEY §7.3 end-to-end slice: raw synthesis → silver
+    * cleaning → outlier filters → dedup → star joins → fact. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val silver = RealEstate.silver(RealEstate.rawListings(
+      Tables.load(spark, dir, "orders"), Tables.load(spark, dir, "customer"),
+      Tables.load(spark, dir, "nation"), Tables.load(spark, dir, "region")))
+    RealEstate.fctProperties(silver,
+      RealEstate.dimLocations(silver), RealEstate.dimLegalStatus(silver))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RegistryCore.defs ++ RegistryIngest.defs ++ RegistryGold.defs ++ RegistryLlm.defs
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    RegistryCore.oracles ++ RegistryIngest.oracles ++ RegistryGold.oracles ++
+      RegistryLlm.oracles
 }

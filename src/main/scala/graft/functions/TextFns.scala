@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-normalization and tokenization building blocks (reference
+  * scalar-function families F1–F3 — dbt/models/staging/
+  * stg_properties.sql:88-95, scripts/normalize_csv.py:81-83 — plus the
+  * builder-prompt text-analysis extensions).
+  *
+  * All expressions here are Spark built-ins (codegen'd, no UDFs) and
+  * deliberately restricted to constructs with exact ANSI-SQL / DuckDB
+  * equivalents, so every derived query can be oracle-checked.
+  */
+object TextFns {
+
+  /** Collapse runs of whitespace and trim — the reference's
+    * `regexp_replace(s,'\\s+',' ')` + `trim` normalization
+    * (stg_properties.sql:88-91). */
+  def normWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+
+  /** Whitespace tokens of a normalized string. */
+  def tokens(c: Column): Column = split(normWs(c), " ")
+
+  /** Distinct word n-gram shingles ("a b c", n=2 -> ["a b","b c"]).
+    * Empty array when the document has fewer than n tokens (guarded —
+    * Spark's `sequence` would otherwise descend). */
+  def shingles(c: Column, n: Int): Column = {
+    val ts = tokens(c)
+    val count = size(ts) - (n - 1)
+    array_distinct(
+      when(count <= 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), greatest(count, lit(1))),
+          i => concat_ws(" ", slice(ts, i, lit(n))))))
+  }
+
+  /** BPE-ish subword segmentation count: runs of letters, runs of
+    * digits, or single punctuation — the classic pre-tokenizer regex. */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Punctuation+digit character count (anything outside [a-z ] after
+    * lowercasing) — building block for quality scoring. */
+  def nonAlphaCount(c: Column): Column =
+    length(lower(c)) - length(regexp_replace(lower(c), "[^a-z ]", ""))
+
+  /** Polynomial rolling-hash fingerprint of the character stream:
+    * fold(a[0], (acc, ch) => (acc*131 + ascii(ch)) mod 1e9+7).
+    * Deterministic, order-sensitive (unlike a token-set hash), and
+    * portable (DuckDB: list_reduce over ascii codes). */
+  def rollingFingerprint(c: Column): Column = {
+    val codes = transform(split(c, ""), ch => ascii(ch).cast("long"))
+    when(size(codes) === 0, lit(0L)).otherwise(
+      aggregate(slice(codes, lit(2), greatest(size(codes) - 1, lit(0))),
+        element_at(codes, 1),
+        (acc, x) => pmod(acc * 131L + x, lit(1000000007L))))
+  }
+}

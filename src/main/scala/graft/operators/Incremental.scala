@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Incremental-processing primitives (SURVEY §2.2 P9/P10, §2.1 S5).
@@ -16,48 +16,64 @@ import org.apache.spark.sql.functions._
   *      dim_properties.sql:49-55);
   *   3. processed-file list diffed against the bucket listing
   *      (scripts/load_bronze_to_table.py:37-73,136-137).
-  *
-  * Scale notes: the watermark predicate is a plain comparison on a
-  * (typically partition/sort) column, so at 100 TB it becomes partition
-  * pruning / parquet min-max skipping — the scan never touches old
-  * files. NOT-IN compiles to a null-aware anti join; when the existing
-  * key set is the small side, broadcast it.
   */
 object Incremental {
 
   /** Rows of `src` strictly newer than the max watermark seen in
-    * `existing` — expressed as a scalar-subquery-free two-step (the
-    * aggregate is a 1-row DataFrame cross-joined in, which Catalyst
-    * plans as a broadcast nested loop over a single row; no collect()
-    * on the driver, no shuffle of `src`).
+    * `existing`.
+    *
+    * Scale shape: the watermark itself is a tiny one-row aggregate job
+    * (a single scalar collected on the driver — exactly what dbt's
+    * compiled scalar subquery amounts to). The resulting predicate is a
+    * LITERAL comparison, so at 100 TB it pushes into the parquet scan:
+    * partition pruning and min-max row-group skipping mean old files
+    * are never read. (A join-shaped watermark — the previous design —
+    * defeats pushdown and forces a full scan of the source.)
     */
   def newerThanWatermark(src: DataFrame, existing: DataFrame,
                          srcTs: String, existingTs: String): DataFrame = {
-    val wm = existing.agg(
-      coalesce(max(col(existingTs)), to_timestamp(lit("1970-01-01"))).as("__wm"))
-    src.join(broadcast(wm)).where(col(srcTs) > col("__wm")).drop("__wm")
+    // String round-trip keeps this agnostic to TIMESTAMP vs TIMESTAMP_NTZ.
+    val wmStr = Option(
+      existing.agg(max(col(existingTs)).cast("string").as("wm")).head.getString(0)
+    ).getOrElse("1970-01-01 00:00:00")
+    val tsType = src.schema(src.schema.fieldIndex(srcTs)).dataType
+    src.where(col(srcTs) > lit(wmStr).cast(tsType))
   }
 
-  /** SQL NOT IN (subquery) semantics, including the null-aware corner:
-    * if `existingKey` contains any NULL, NO rows qualify (SURVEY §7.4).
-    * Expressed exactly as NOT IN so Catalyst plans its null-aware anti
-    * join — reference site dbt/models/marts/dim_locations.sql:23-26.
+  /** SQL `NOT IN (subquery)` semantics, exactly (SURVEY §7.4,
+    * reference site dbt/models/marts/dim_locations.sql:23-26):
+    *   - existing key set empty        -> every src row kept (even NULL keys)
+    *   - existing key set has a NULL   -> NO rows qualify (UNKNOWN)
+    *   - otherwise                     -> src rows with a non-NULL key
+    *                                      not present in the set
+    *
+    * Scale shape: the emptiness/has-null probe is a tiny aggregate
+    * (O(1) result); the main path is a plain equi anti-join that AQE
+    * is free to plan as broadcast or shuffled hash depending on the
+    * actual size of the key set — no unconditional driver broadcast
+    * of a possibly-100TB-table key set.
     */
   def notInExisting(src: DataFrame, existing: DataFrame,
                     srcKey: String, existingKey: String): DataFrame = {
-    val s = src
-    val keys = existing.select(col(existingKey).as("__k"))
-    // Null-aware anti join: drop src rows with a matching key; if the
-    // key set has a NULL, SQL NOT IN returns nothing.
-    val hasNull = keys.where(col("__k").isNull).limit(1)
-    s.join(broadcast(keys), s(srcKey) === col("__k"), "left_anti")
-      .join(broadcast(hasNull), lit(true), "left_anti")
+    val k = col(existingKey)
+    val probe = existing.agg(
+      count(lit(1)).as("n"), count(when(k.isNull, 1)).as("nulls")).head
+    val (n, nulls) = (probe.getLong(0), probe.getLong(1))
+    if (n == 0L) src
+    else if (nulls > 0L) src.limit(0)
+    else {
+      val keys = existing.select(k.as("__k")).distinct()
+      src.where(col(srcKey).isNotNull)
+        .join(keys, src(srcKey) === col("__k"), "left_anti")
+    }
   }
 
   /** Processed-file-set incremental scan (S5): read a multi-file
     * source, keep rows from files not yet processed, using the
     * Spark 4 `_metadata` hidden column (input_file_name() is the 3.x
-    * spelling, scripts/load_bronze_to_table.py:134).
+    * spelling, scripts/load_bronze_to_table.py:134). The filter is on
+    * file-constant metadata, so Spark prunes whole files — unprocessed
+    * files are the only ones read.
     */
   def unprocessedFiles(df: DataFrame, processed: Seq[String]): DataFrame =
     df.withColumn("__file", col("_metadata.file_path"))

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Near-duplicate detection over a document corpus — the
+  * builder-prompt dedup family (exact dedup lives in [[Dedup]]).
+  *
+  * Three detectors, all shuffle-bounded (never an all-pairs cross
+  * join over the corpus):
+  *
+  *  - [[jaccardPairs]]: exact n-gram-shingle Jaccard via an inverted
+  *    index (explode shingles, self-join postings, count
+  *    intersections). Any pair with Jaccard > 0 shares a shingle, so
+  *    the candidate set is complete — the result is EXACT. Shuffle
+  *    volume is Σ df(shingle)², so use shingle n large enough to be
+  *    selective; `maxDf` optionally drops ultra-common shingles (the
+  *    standard stop-shingle prefix filter) at a documented recall cost.
+  *  - [[minhashLshPairs]]: MinHash signatures + banded LSH buckets for
+  *    candidate generation, then exact Jaccard verification of the
+  *    candidates only. Recall for a pair with true Jaccard J is
+  *    1-(1-J^r)^b (b bands × r rows); with the default 16×4 a J=0.9
+  *    pair is missed with probability ~4e-8. This is the 100 TB path:
+  *    signature build is one groupBy with 64 min() partial aggregates,
+  *    banding is a hash-bucket shuffle, and verification touches only
+  *    candidate pairs.
+  *  - [[simhashPairs]]: 64-bit SimHash with 4×16-bit band blocking —
+  *    pairs at Hamming distance ≤3 necessarily agree on ≥1 band
+  *    (pigeonhole), so blocking is lossless for the ≤3 threshold.
+  */
+object NearDup {
+
+  /** (id, shingle) postings list, distinct per doc. */
+  private def postings(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        explode(TextFns.shingles(col(textCol), n)).as("__sh"))
+
+  /** Exact shingle-Jaccard pairs with jaccard >= tau, via inverted
+    * index. Output: (id_a, id_b, jaccard) with id_a < id_b.
+    * `maxDf` <= 0 disables the stop-shingle filter. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, tau: Double, maxDf: Int = 0): DataFrame = {
+    val post0 = postings(df, idCol, textCol, n)
+    val post =
+      if (maxDf <= 0) post0
+      else {
+        val rare = post0.groupBy("__sh").count().where(col("count") <= maxDf).select("__sh")
+        post0.join(rare, "__sh")
+      }
+    val sizes = post.groupBy("__id").agg(count(lit(1)).as("__sz"))
+    val inter = post.as("a").join(post.as("b"), "__sh")
+      .where(col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
+      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
+      .withColumn("jaccard",
+        round(col("__inter").cast("double") /
+          (col("__sza") + col("__szb") - col("__inter")), 6))
+      .where(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash + banded-LSH candidates, exact-Jaccard verified.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= tau. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, tau: Double,
+                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val post = postings(df, idCol, textCol, n)
+
+    // One pass, numHashes min() partial aggregates — no explosion.
+    val minAggs = (0 until numHashes).map(h =>
+      min(xxhash64(lit(h), col("__sh"))).as(s"__h$h"))
+    val sigs = post.groupBy("__id").agg(minAggs.head, minAggs.tail: _*)
+
+    // Band key = hash of the band's rows; bucket join within (band, key).
+    val banded = sigs.select(col("__id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * rows until (b + 1) * rows).map(h => col(s"__h$h")): _*).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("__id"), col("bb.band"), col("bb.bkey"))
+
+    val cands = banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
+      .where(col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+
+    // Exact verification restricted to candidates.
+    val sizes = post.groupBy("__id").agg(count(lit(1)).as("__sz"))
+    val inter = cands
+      .join(post.withColumnRenamed("__id", "id_a"), "id_a")
+      .join(post.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
+      .where(col("__sh") === col("__shb"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
+      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
+      .withColumn("jaccard",
+        round(col("__inter").cast("double") /
+          (col("__sza") + col("__szb") - col("__inter")), 6))
+      .where(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per document from token frequencies. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+        explode(TextFns.tokens(col(textCol))).as("__t"))
+      .groupBy("__id", "__t").agg(count(lit(1)).as("__w"))
+      .withColumn("__th", xxhash64(col("__t")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("__th"), b).bitwiseAND(1L) === 1L, col("__w"))
+        .otherwise(-col("__w"))).as(s"__s$b")
+    }
+    val sigExpr = (0 until 64).map { b =>
+      when(col(s"__s$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    toks.groupBy("__id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("__id").as(idCol), sigExpr.as("simhash"))
+  }
+
+  /** Pairs at SimHash Hamming distance <= maxHd (must be <= 3 for the
+    * 4-band blocking to be lossless). Output: (id_a, id_b, hamming). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHd: Int = 3): DataFrame = {
+    require(maxHd <= 3, "4x16-bit blocking is only lossless for hamming <= 3")
+    val sigs = simhash(df, idCol, textCol)
+    val banded = sigs.select(col(idCol).as("__id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("__id"), col("simhash"), col("bb.band"), col("bb.bkey"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
+      .where(col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHd)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`) — the
+  * builder-prompt ANN family.
+  *
+  *  - [[cosine]]: cosine similarity of two vectors via higher-order
+  *    functions (`zip_with` + `aggregate`), computed in double
+  *    precision after an explicit float→double cast so results are
+  *    bit-reproducible across engines (modulo final rounding).
+  *  - [[bruteForceTopK]]: baseline exact top-k — broadcast the (small)
+  *    query set against the corpus; one pass over the corpus per
+  *    batch of queries, ranked with a per-query window. The corpus is
+  *    never self-joined.
+  *  - [[signLshPairs]]: the scale path for all-pairs similarity:
+  *    deterministic sign-pattern LSH. Each of `bands` projections
+  *    takes `bitsPerBand` consecutive dimensions and buckets vectors
+  *    by the sign pattern; only pairs sharing a bucket in >=1 band are
+  *    scored. Bucketing is a pure function of the data (no RNG), so an
+  *    oracle can reproduce the identical candidate set. Recall for a
+  *    pair at angle θ is 1-(1-(1-θ/π)^bitsPerBand)^bands — raise
+  *    `bands` for higher recall. Candidate volume is
+  *    Σ_buckets |bucket|² instead of N².
+  */
+object Similarity {
+
+  /** Cosine similarity in double precision, rounded to `digits` so the
+    * last-ulp differences of engine-specific summation order vanish. */
+  def cosine(a: Column, b: Column, digits: Int = 4): Column = {
+    def d(x: Column) = transform(x, v => v.cast("double"))
+    val da = d(a); val db = d(b)
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+    round(dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db))), digits)
+  }
+
+  /** Exact cosine top-k: for every row of `queries`, the k most
+    * similar rows of `corpus` (self-matches excluded). Output:
+    * (query_id, neighbor_id, cos_sim, rank). Ties broken by neighbor
+    * id for determinism. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** Deterministic sign-LSH near-duplicate pairs: candidates =
+    * vectors sharing the sign pattern of >=1 band of dimensions;
+    * verified with exact cosine >= tau. Output (id_a, id_b, cos_sim),
+    * id_a < id_b. */
+  def signLshPairs(df: DataFrame, idCol: String, vecCol: String,
+                   tau: Double, bands: Int = 3, bitsPerBand: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val banded = base.select(col("__id"), col("__v"),
+      explode(array((0 until bands).map { b =>
+        val bits = (0 until bitsPerBand).map { i =>
+          when(element_at(col("__v"), b * bitsPerBand + i + 1) >= 0f,
+            lit(1L << i)).otherwise(0L)
+        }.reduce(_ + _)
+        struct(lit(b).as("band"), bits.as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("__id"), col("__v"), col("bb.band"), col("bb.bkey"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
+      .where(col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
+        col("x.__v").as("__va"), col("y.__v").as("__vb"))
+      .distinct()
+      .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
+      .where(col("cos_sim") >= tau)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

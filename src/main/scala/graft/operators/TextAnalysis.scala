@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Text-analysis operators for a training-data pipeline
+  * (builder-prompt family): language ID, quality scoring, token
+  * counting, document fingerprinting. All pure built-in expressions —
+  * codegen-friendly, no UDFs — and all portable to an ANSI/DuckDB
+  * oracle.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. (Real pipelines use character-n-gram
+    * models; the mechanism — profile intersection scoring — is the
+    * same and the operator shape identical.) */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "en", "es", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "en", "est", "un"),
+    "de" -> Seq("der", "die", "das", "und", "in", "ist", "ein"))
+
+  /** Predicted language: the profile with the largest distinct-token
+    * intersection; ties and zero-score docs fall back to "und"
+    * (undetermined), then first-profile order. */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(TextFns.tokens(lower(text)))
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]: rewards moderate length,
+    * penalizes non-alphabetic density, rewards stopword presence —
+    * the standard cheap quality gate shape (length/punct/stopword
+    * ratios). */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val lenScore = least(n / 500.0, lit(1.0))
+    val punctRatio = TextFns.nonAlphaCount(text).cast("double") / greatest(n, lit(1.0))
+    val stops = array(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*)
+    val stopRatio =
+      size(array_intersect(array_distinct(TextFns.tokens(lower(text))), stops))
+        .cast("double") / 7.0
+    round(greatest(least(
+      lenScore * 0.4 + (lit(1.0) - least(punctRatio * 4.0, lit(1.0))) * 0.3 +
+        stopRatio * 0.3, lit(1.0)), lit(0.0)), 6)
+  }
+
+  /** Per-document token statistics: whitespace tokens, distinct
+    * tokens, BPE-ish subword count, character count, mean token
+    * length. */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = TextFns.tokens(t)
+    df.select(
+        col(idCol),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"),
+        TextFns.bpeishTokenCount(t).as("n_subwords"),
+        length(t).as("n_chars"),
+        length(TextFns.normWs(t)).cast("long").as("__norm_len"))
+      // exact integer half-up mean at 6 decimals (engine-portable)
+      .withColumn("mean_token_len",
+        expr("""cast((2 * 1000000 * __norm_len + greatest(n_tokens, 1))
+                     div (2 * greatest(n_tokens, 1)) as double) / 1000000.0"""))
+      .drop("__norm_len")
+  }
+
+  /** Document fingerprints: rolling content hash (order-sensitive) +
+    * md5 of the normalized text (exact-dup key). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      TextFns.rollingFingerprint(col(textCol)).as("rolling_fp"),
+      md5(TextFns.normWs(col(textCol))).as("md5_fp"))
+}

@@ -1,0 +1,365 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, Incremental, Upsert}
+
+/** Core relational operator registry (SURVEY §2.1 S3/S9/S12, §2.2
+  * P1–P10, §2.3 J1–J5, §2.4 A1–A8, §2.5 W1/W2, §2.6 O1/O2, §2.7
+  * U1/U2). Every entry returns a deterministic, ORDER BY'd result and
+  * has a DuckDB oracle in [[oracles]] with IDENTICAL column names.
+  *
+  * Float discipline (engine-portable exactness): sums of doubles go
+  * through exact decimal arithmetic with ONE final cast to double;
+  * averages are computed as exact-sum/count then rounded — so
+  * partial-aggregation order can never flip a bit vs the oracle.
+  */
+object RegistryCore {
+  private type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Literal-of-timestamp-kind helper: keeps comparisons valid whether
+    * the column decoded as TIMESTAMP or TIMESTAMP_NTZ. */
+  private def tsLit(df: DataFrame, c: String, v: String): Column =
+    lit(v).cast(df.schema(df.schema.fieldIndex(c)).dataType)
+
+  private def decSum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
+
+  val defs: Map[String, Q] = Map(
+    "s3_scan_pushdown" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.where(col("l_shipdate") >= tsLit(li, "l_shipdate", "1999-01-01 00:00:00") &&
+          col("l_quantity") < 5)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "s9_s12_sql_entry" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""SELECT n_name, count(*) AS n_customers
+               FROM customer JOIN nation ON c_nationkey = n_nationkey
+               GROUP BY n_name ORDER BY n_name""")
+    }),
+
+    "p1_rename_projection" -> ((s, dir) => {
+      val renames = Seq(
+        "l_orderkey" -> "order_key", "l_partkey" -> "part_key",
+        "l_suppkey" -> "supplier_key", "l_linenumber" -> "line_number",
+        "l_quantity" -> "quantity", "l_extendedprice" -> "extended_price",
+        "l_returnflag" -> "return_flag", "l_linestatus" -> "line_status")
+      t(s, dir, "lineitem")
+        .select(renames.map { case (o, n) => col(o).as(n) }: _*)
+        .orderBy("order_key", "line_number")
+    }),
+
+    "p3_synthesized_columns" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        md5(concat_ws("|", col("c_name"), col("c_custkey").cast("string")))
+          .as("surrogate_id"),
+        lit("bronze").as("layer_tag"),
+        col("c_custkey").cast("int").as("custkey_int"),
+        col("c_acctbal").cast("string").as("acctbal_str"))
+      .orderBy("c_custkey")),
+
+    "p4_not_in_set" -> ((s, dir) =>
+      t(s, dir, "events")
+        .where(!col("event_type").isin("error", "view"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    "p6_p7_range_null_filters" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("prio",
+          when(col("o_orderpriority") === "5-LOW", lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")))
+        .where(col("o_totalprice") > 1000 && col("o_totalprice") < 100000 &&
+          col("prio").isNotNull)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    "p8_like_filter" -> ((s, dir) =>
+      t(s, dir, "part")
+        .where(lower(col("p_name")).like("%red%") || col("p_type").like("SMALL%"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")),
+
+    "p9_watermark" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val existing = ev.where(col("ts") < tsLit(ev, "ts", "2024-01-15 00:00:00"))
+      Incremental.newerThanWatermark(ev, existing, "ts", "ts")
+        .agg(count(lit(1)).as("n_new"), countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    "p10_not_in_subquery" -> ((s, dir) => {
+      val existing = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+      Incremental.notInExisting(t(s, dir, "customer"), existing, "c_custkey", "o_custkey")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    "j3_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
+    }),
+
+    "j1_star_join_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")),
+
+    "j4_scalar_subquery" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""SELECT o_orderstatus, count(*) AS n FROM orders
+               WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+               GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
+    "s8_merge_upsert" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = tsLit(ev, "ts", "2024-01-20 00:00:00")
+      val latest = (df: DataFrame) => Dedup.latestByKey(df, Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+      val target = latest(ev.where(col("ts") < cut))
+      val source = latest(ev.where(col("ts") >= cut))
+      Upsert.merge(target, source, Seq("user_id"))
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    }),
+
+    "w1_dedup_latest" -> ((s, dir) =>
+      Dedup.latestByKey(t(s, dir, "events"), Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")),
+
+    "w1_dedup_skew_safe" -> ((s, dir) =>
+      Dedup.latestByKeySkewSafe(t(s, dir, "events"), Seq("user_id"),
+          struct(col("ts"), col("event_id")))
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")),
+
+    "a1_groupby_multi" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "a2_distinct" -> ((s, dir) =>
+      t(s, dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+        .orderBy("c_mktsegment", "c_nationkey")),
+
+    "a3_a5_counts" -> ((s, dir) =>
+      t(s, dir, "events").agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("value") >= 1, col("value"))).as("n_value_ge1"),
+        countDistinct(col("user_id")).as("n_users"))),
+
+    "a6_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          decSum(col("l_quantity")).as("sum_qty"),
+          (sum(col("l_quantity").cast("decimal(18,6)")) * 1000000).cast("long")
+            .as("__q_units"),
+          count(col("l_quantity")).as("__n_q"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          decSum(col("l_extendedprice")).as("sum_price"))
+        // exact integer half-up avg (see RealEstate.fctDailySummary note)
+        .withColumn("avg_qty",
+          expr("cast((2 * __q_units + __n_q) div (2 * __n_q) as double) / 1000000.0"))
+        .drop("__q_units", "__n_q")
+        .orderBy("l_returnflag")),
+
+    "a7_groupby_expr" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("day")),
+
+    "w2_pct_of_total" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("day")
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("__total", sum(col("n")).over(w))
+        // pct at 6 decimals via exact integer half-up arithmetic
+        .withColumn("pct",
+          expr("cast((2 * 100000000 * n + __total) div (2 * __total) as double) / 1000000.0"))
+        .drop("__total")
+        .orderBy("day", "event_type")
+    }),
+
+    "o1_order_by" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(decSum(col("value")).as("total_value"))
+        .orderBy(col("total_value").desc, col("day"))),
+
+    "u1_union_default_row" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderpriority").as("priority"))
+        .union(s.range(1).select(lit("0-UNKNOWN").as("priority")))
+        .distinct()
+        .orderBy("priority")),
+
+    "u2_union_by_name" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = ev.where(col("ts") < tsLit(ev, "ts", "2024-01-10 00:00:00"))
+        .select("event_id", "user_id", "value")
+      val b = ev.where(col("ts") >= tsLit(ev, "ts", "2024-01-25 00:00:00"))
+        .select("event_id", "user_id", "value", "event_type")
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy(coalesce(col("event_type"), lit("__missing")).as("etype"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("etype")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "s3_scan_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_quantity < 5
+         ORDER BY l_orderkey, l_linenumber""",
+    "s9_s12_sql_entry" ->
+      """SELECT n_name, count(*) AS n_customers
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "p1_rename_projection" ->
+      """SELECT l_orderkey AS order_key, l_partkey AS part_key, l_suppkey AS supplier_key,
+                l_linenumber AS line_number, l_quantity AS quantity,
+                l_extendedprice AS extended_price, l_returnflag AS return_flag,
+                l_linestatus AS line_status
+         FROM lineitem ORDER BY order_key, line_number""",
+    "p3_synthesized_columns" ->
+      """SELECT c_custkey,
+                md5(concat_ws('|', c_name, cast(c_custkey AS VARCHAR))) AS surrogate_id,
+                'bronze' AS layer_tag,
+                cast(c_custkey AS INTEGER) AS custkey_int,
+                cast(c_acctbal AS VARCHAR) AS acctbal_str
+         FROM customer ORDER BY c_custkey""",
+    "p4_not_in_set" ->
+      """SELECT event_type, count(*) AS n FROM events
+         WHERE event_type NOT IN ('error','view')
+         GROUP BY event_type ORDER BY event_type""",
+    "p6_p7_range_null_filters" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+         WHERE o_totalprice > 1000 AND o_totalprice < 100000
+           AND (CASE WHEN o_orderpriority = '5-LOW' THEN NULL ELSE o_orderpriority END) IS NOT NULL
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "p8_like_filter" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+         WHERE lower(p_name) LIKE '%red%' OR p_type LIKE 'SMALL%'
+         ORDER BY p_partkey""",
+    "p9_watermark" ->
+      """SELECT count(*) AS n_new, count(DISTINCT user_id) AS n_users FROM events
+         WHERE ts > (SELECT coalesce(max(ts), TIMESTAMP '1970-01-01') FROM events
+                     WHERE ts < TIMESTAMP '2024-01-15')""",
+    "p10_not_in_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    "j3_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_orderstatus = 'F' AND o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "j1_star_join_agg" ->
+      """SELECT r_name, n_name,
+                cast(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "j4_scalar_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s8_merge_upsert" ->
+      """WITH tgt AS (
+           SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+                          FROM events WHERE ts < TIMESTAMP '2024-01-20') WHERE rn = 1),
+         src AS (
+           SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+                          FROM events WHERE ts >= TIMESTAMP '2024-01-20') WHERE rn = 1)
+         SELECT user_id, event_id, event_type, value FROM (
+           SELECT user_id, event_id, event_type, value FROM tgt
+           WHERE user_id NOT IN (SELECT user_id FROM src)
+           UNION ALL
+           SELECT user_id, event_id, event_type, value FROM src)
+         ORDER BY user_id""",
+    "w1_dedup_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "w1_dedup_skew_safe" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "a1_groupby_multi" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "a2_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+         ORDER BY c_mktsegment, c_nationkey""",
+    "a3_a5_counts" ->
+      """SELECT count(*) AS n_rows,
+                count(CASE WHEN value >= 1 THEN value END) AS n_value_ge1,
+                count(DISTINCT user_id) AS n_users
+         FROM events""",
+    "a6_stats" ->
+      """SELECT l_returnflag, sum_qty,
+                cast((2 * __q_units + __n_q) // (2 * __n_q) AS DOUBLE) / 1000000.0 AS avg_qty,
+                min_qty, max_qty, sum_price
+         FROM (SELECT l_returnflag,
+                cast(sum(cast(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+                cast(sum(cast(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS __q_units,
+                count(l_quantity) AS __n_q,
+                min(l_quantity) AS min_qty,
+                max(l_quantity) AS max_qty,
+                cast(sum(cast(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+               FROM lineitem GROUP BY l_returnflag)
+         ORDER BY l_returnflag""",
+    "a7_groupby_expr" ->
+      """SELECT cast(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY day""",
+    "w2_pct_of_total" ->
+      """SELECT day, event_type, n,
+                cast((2 * 100000000 * n + __total) // (2 * __total) AS DOUBLE)
+                  / 1000000.0 AS pct
+         FROM (SELECT day, event_type, n,
+                      cast(sum(n) OVER (PARTITION BY day) AS BIGINT) AS __total
+               FROM (SELECT cast(date_trunc('day', ts) AS DATE) AS day, event_type,
+                            count(*) AS n
+                     FROM events GROUP BY 1, 2))
+         ORDER BY day, event_type""",
+    "o1_order_by" ->
+      """SELECT cast(date_trunc('day', ts) AS DATE) AS day,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1 ORDER BY total_value DESC, day""",
+    "u1_union_default_row" ->
+      """SELECT o_orderpriority AS priority FROM orders
+         UNION SELECT '0-UNKNOWN' AS priority
+         ORDER BY priority""",
+    "u2_union_by_name" ->
+      """WITH u AS (
+           SELECT event_id, user_id, value, NULL AS event_type FROM events
+           WHERE ts < TIMESTAMP '2024-01-10'
+           UNION ALL
+           SELECT event_id, user_id, value, event_type FROM events
+           WHERE ts >= TIMESTAMP '2024-01-25')
+         SELECT coalesce(event_type, '__missing') AS etype, count(*) AS n
+         FROM u GROUP BY 1 ORDER BY etype""")
+}

@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.models.RealEstate
+import graft.operators.Quality
+
+/** Silver/gold model registry — the reference's dbt model suite
+  * (stg_properties, dim_locations, dim_legal_status, fct_properties,
+  * fct_daily_summary, fct_data_quality_report) re-expressed
+  * Spark-first over the harness star schema, plus the scalar-function
+  * family queries (F1–F8) and the dbt-test-equivalent quality report.
+  *
+  * The DuckDB oracles share one CTE prefix ([[chainSql]]) that mirrors
+  * [[RealEstate.rawListings]] + [[RealEstate.silver]] expression for
+  * expression.
+  */
+object RegistryGold {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def silver(s: SparkSession, dir: String): DataFrame =
+    RealEstate.silver(RealEstate.rawListings(
+      Tables.load(s, dir, "orders"), Tables.load(s, dir, "customer"),
+      Tables.load(s, dir, "nation"), Tables.load(s, dir, "region")))
+
+  /** Shared oracle CTE: raw listing synthesis + silver cleaning,
+    * column-for-column the SQL twin of the Scala transforms. */
+  val chainSql: String =
+    """WITH raw AS (
+         SELECT cast(o_orderkey AS VARCHAR) AS listing_id,
+                '  ' || c_mktsegment || ' HOUSE ' || cast(o_orderkey % 50 AS VARCHAR) || '  ' AS title_raw,
+                CASE
+                  WHEN o_orderkey % 4 = 0 THEN
+                    cast(cast(floor(o_totalprice) AS BIGINT) % 900 + 1 AS VARCHAR)
+                    || ',' || cast(o_orderkey % 10 AS VARCHAR) || ' ty'
+                  WHEN o_orderkey % 4 = 1 THEN
+                    cast((cast(floor(o_totalprice) AS BIGINT) % 900 + 1) * 1000
+                         + (o_orderkey % 10) * 100 AS VARCHAR) || ' trieu'
+                  WHEN o_orderkey % 4 = 2 THEN 'thoa thuan'
+                  ELSE cast(cast(floor(o_totalprice) AS BIGINT) % 900 + 1 AS VARCHAR)
+                       || '.' || cast(o_orderkey % 10 AS VARCHAR) || ' ty'
+                END AS price_raw,
+                CASE WHEN o_custkey % 5 = 4 THEN 'unknown'
+                     ELSE cast(o_custkey % 300 + 10 AS VARCHAR) || ' m2' END AS area_raw,
+                cast(o_orderkey % 5 + 1 AS VARCHAR) || ' floors' AS floors_raw,
+                c_name || ', ' || n_name || ', ' || r_name AS address_raw,
+                CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderpriority END AS legal_raw,
+                o_orderdate AS updated_at_ts
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey),
+       silver AS (
+         SELECT md5(listing_id) AS property_id,
+                lower(trim(regexp_replace(title_raw, '\s+', ' ', 'g'))) AS title,
+                CASE
+                  WHEN lower(price_raw) LIKE '%trieu%' THEN
+                    try_cast(regexp_replace(regexp_extract(price_raw, '([0-9][0-9,\.]*)', 1),
+                             ',', '.', 'g') AS DOUBLE) / 1000.0
+                  WHEN lower(price_raw) LIKE '%thoa thuan%'
+                       OR lower(price_raw) LIKE '%lien he%' THEN NULL
+                  WHEN lower(price_raw) LIKE '%ty%' THEN
+                    try_cast(regexp_replace(regexp_extract(price_raw, '([0-9][0-9,\.]*)', 1),
+                             ',', '.', 'g') AS DOUBLE)
+                  ELSE NULL
+                END AS price_in_billions,
+                try_cast(regexp_extract(area_raw, '([0-9]+)', 1) AS DOUBLE) AS area,
+                cast(try_cast(regexp_extract(floors_raw, '([0-9]+)', 1) AS DOUBLE) AS INTEGER) AS floors,
+                trim(regexp_replace(address_raw, '\s+', ' ', 'g')) AS address,
+                trim(string_split(trim(regexp_replace(address_raw, '\s+', ' ', 'g')), ',')[-3]) AS ward,
+                trim(string_split(trim(regexp_replace(address_raw, '\s+', ' ', 'g')), ',')[-2]) AS district,
+                trim(string_split(trim(regexp_replace(address_raw, '\s+', ' ', 'g')), ',')[-1]) AS province,
+                legal_raw AS legal_status,
+                updated_at_ts,
+                cast(date_trunc('day', updated_at_ts) AS DATE) AS date_key,
+                CASE
+                  WHEN address_raw IS NULL OR trim(address_raw) = '' THEN 'MISSING_ADDRESS'
+                  WHEN (CASE
+                          WHEN lower(price_raw) LIKE '%trieu%' THEN
+                            try_cast(regexp_replace(regexp_extract(price_raw, '([0-9][0-9,\.]*)', 1),
+                                     ',', '.', 'g') AS DOUBLE) / 1000.0
+                          WHEN lower(price_raw) LIKE '%thoa thuan%'
+                               OR lower(price_raw) LIKE '%lien he%' THEN NULL
+                          WHEN lower(price_raw) LIKE '%ty%' THEN
+                            try_cast(regexp_replace(regexp_extract(price_raw, '([0-9][0-9,\.]*)', 1),
+                                     ',', '.', 'g') AS DOUBLE)
+                          ELSE NULL
+                        END) IS NULL THEN 'MISSING_PRICE'
+                  WHEN try_cast(regexp_extract(area_raw, '([0-9]+)', 1) AS DOUBLE) IS NULL
+                       OR try_cast(regexp_extract(area_raw, '([0-9]+)', 1) AS DOUBLE) <= 0
+                    THEN 'INVALID_AREA'
+                  ELSE 'VALID'
+                END AS data_quality_flag
+         FROM raw),
+       dim_loc AS (
+         SELECT md5(address) AS location_id, address AS full_address, ward, district,
+                province,
+                CASE WHEN province = 'ASIA' THEN 'Region East'
+                     WHEN province = 'EUROPE' THEN 'Region West'
+                     WHEN province = 'AMERICA' THEN 'Region North'
+                     WHEN province = 'AFRICA' THEN 'Region South'
+                     ELSE 'Region Unknown' END AS region
+         FROM (SELECT DISTINCT address, ward, district, province FROM silver
+               WHERE address IS NOT NULL)),
+       dim_legal AS (
+         SELECT md5(legal_status) AS legal_status_id, legal_status,
+                CASE WHEN legal_status LIKE '%URGENT%' OR legal_status LIKE '%HIGH%'
+                       THEN 'expedited'
+                     WHEN legal_status LIKE '%MEDIUM%' THEN 'standard'
+                     ELSE 'basic' END AS legal_status_category,
+                'status: ' || legal_status AS description
+         FROM (SELECT DISTINCT legal_status FROM silver WHERE legal_status IS NOT NULL
+               UNION SELECT 'UNKNOWN')),
+       fct AS (
+         SELECT f.property_id, l.location_id, dl.legal_status_id, f.date_key,
+                f.price_in_billions, f.area,
+                round(f.price_in_billions * 1000 / f.area, 6) AS price_per_m2_millions,
+                f.floors, f.title, l.region, dl.legal_status_category, f.updated_at_ts
+         FROM (SELECT * FROM (
+                 SELECT *, row_number() OVER (PARTITION BY property_id
+                   ORDER BY updated_at_ts DESC, address DESC) AS rn
+                 FROM silver
+                 WHERE data_quality_flag = 'VALID'
+                   AND price_in_billions > 0 AND price_in_billions < 1000
+                   AND (area IS NULL OR (area > 0 AND area < 10000))) WHERE rn = 1) f
+         JOIN dim_loc l ON f.address = l.full_address
+         JOIN dim_legal dl ON coalesce(f.legal_status, 'UNKNOWN') = dl.legal_status)
+    """
+
+  val defs: Map[String, Q] = Map(
+    "silver_stg_properties" -> ((s, dir) =>
+      silver(s, dir).select("property_id", "title", "price_in_billions", "area",
+          "floors", "ward", "district", "province", "legal_status",
+          "data_quality_flag", "date_key")
+        .orderBy("property_id")),
+
+    "gold_dim_locations" -> ((s, dir) =>
+      RealEstate.dimLocations(silver(s, dir)).orderBy("location_id")),
+
+    "gold_dim_legal_status" -> ((s, dir) =>
+      RealEstate.dimLegalStatus(silver(s, dir)).orderBy("legal_status_id")),
+
+    "gold_fct_properties" -> ((s, dir) => {
+      val sv = silver(s, dir)
+      RealEstate.fctProperties(sv,
+          RealEstate.dimLocations(sv), RealEstate.dimLegalStatus(sv))
+        .orderBy("property_id")
+    }),
+
+    "gold_fct_daily_summary" -> ((s, dir) => {
+      val sv = silver(s, dir)
+      RealEstate.fctDailySummary(RealEstate.fctProperties(sv,
+        RealEstate.dimLocations(sv), RealEstate.dimLegalStatus(sv)))
+    }),
+
+    "gold_dq_report" -> ((s, dir) =>
+      RealEstate.dataQualityReport(silver(s, dir))),
+
+    // F2: trim / initcap / lower normalization (stg_properties.sql:88-95).
+    "f2_normalize_text" -> ((s, dir) =>
+      Tables.load(s, dir, "customer").select(
+        col("c_custkey"),
+        initcap(lower(col("c_name"))).as("name_initcap"),
+        trim(regexp_replace(concat(lit("  "), col("c_name"), lit("   x  ")),
+          "\\s+", " ")).as("name_normws"),
+        lower(col("c_mktsegment")).as("segment_lower"))
+      .orderBy("c_custkey")),
+
+    // F3: split + element_at address-tail parsing (normalize_csv.py:81-83).
+    "f3_split_address" -> ((s, dir) => {
+      val addr = concat(col("c_name"), lit(", "), col("n_name"), lit(", "), col("r_name"))
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), addr.as("address"),
+          trim(element_at(split(addr, ","), -1)).as("province"),
+          trim(element_at(split(addr, ","), -2)).as("district"))
+        .orderBy("c_custkey")
+    }),
+
+    // F5: hash+abs+mod surrogate keys (dim_locations.sql:45) — faithful
+    // Murmur3 shape; engine-specific hash => rows-only check (no oracle).
+    "f5_hash_mod_key" -> ((s, dir) =>
+      Tables.load(s, dir, "nation").select(
+        col("n_name"),
+        (abs(hash(col("n_name"))) % 2147483647).as("location_id_hash"),
+        (abs(xxhash64(col("n_name"))) % 2147483647).as("location_id_xxhash"))
+      .orderBy("n_name")),
+
+    // F7: date_trunc family (fct_properties.sql:64).
+    "f7_date_trunc" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("month")),
+
+    // dbt-test equivalents over silver (SURVEY §5) — single-pass report.
+    "quality_report_checks" -> ((s, dir) =>
+      Quality.report(silver(s, dir),
+          uniqueKeys = Seq("property_id"),
+          notNullCols = Seq("property_id", "price_in_billions"),
+          accepted = Map("data_quality_flag" ->
+            Seq("VALID", "INVALID_AREA", "MISSING_PRICE", "MISSING_ADDRESS")))
+        .orderBy("check_name")))
+
+  val oracles: Map[String, String] = Map(
+    "silver_stg_properties" -> (chainSql +
+      """SELECT property_id, title, price_in_billions, area, floors, ward, district,
+                province, legal_status, data_quality_flag, date_key
+         FROM silver ORDER BY property_id"""),
+    "gold_dim_locations" -> (chainSql +
+      """SELECT * FROM dim_loc ORDER BY location_id"""),
+    "gold_dim_legal_status" -> (chainSql +
+      """SELECT * FROM dim_legal ORDER BY legal_status_id"""),
+    "gold_fct_properties" -> (chainSql +
+      """SELECT * FROM fct ORDER BY property_id"""),
+    "gold_fct_daily_summary" -> (chainSql +
+      """SELECT date_key, total_new_listings, n_rows, total_value_listed_billions,
+                CASE WHEN __n_ppm > 0 THEN
+                  cast((2 * __ppm_units + __n_ppm) // (2 * __n_ppm) AS DOUBLE) / 1000000.0
+                END AS avg_price_per_m2_millions,
+                min_price_per_m2_millions, max_price_per_m2_millions,
+                CASE WHEN __n_area > 0 THEN
+                  cast((2 * __area_units + __n_area) // (2 * __n_area) AS DOUBLE) / 1000000.0
+                END AS avg_area,
+                properties_with_floor_info
+         FROM (SELECT date_key,
+                count(DISTINCT property_id) AS total_new_listings,
+                count(*) AS n_rows,
+                cast(sum(cast(price_in_billions AS DECIMAL(18,6))) AS DOUBLE)
+                  AS total_value_listed_billions,
+                cast(sum(cast(price_per_m2_millions AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                  AS __ppm_units,
+                count(price_per_m2_millions) AS __n_ppm,
+                min(price_per_m2_millions) AS min_price_per_m2_millions,
+                max(price_per_m2_millions) AS max_price_per_m2_millions,
+                cast(sum(cast(area AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS __area_units,
+                count(area) AS __n_area,
+                count(floors) AS properties_with_floor_info
+               FROM fct GROUP BY date_key)
+         ORDER BY date_key DESC"""),
+    "gold_dq_report" -> (chainSql +
+      """SELECT report_date, data_quality_flag, record_count,
+                cast((2 * 100000000 * record_count + __total) // (2 * __total) AS DOUBLE)
+                  / 1000000.0 AS percentage
+         FROM (SELECT report_date, data_quality_flag, record_count,
+                      cast(sum(record_count) OVER (PARTITION BY report_date) AS BIGINT)
+                        AS __total
+               FROM (SELECT date_key AS report_date, data_quality_flag,
+                            count(*) AS record_count
+                     FROM silver GROUP BY 1, 2))
+         ORDER BY report_date DESC, data_quality_flag"""),
+    "f2_normalize_text" ->
+      """SELECT c_custkey,
+                upper(substr(lower(c_name), 1, 1)) || substr(lower(c_name), 2) AS name_initcap,
+                trim(regexp_replace('  ' || c_name || '   x  ', '\s+', ' ', 'g')) AS name_normws,
+                lower(c_mktsegment) AS segment_lower
+         FROM customer ORDER BY c_custkey""",
+    "f3_split_address" ->
+      """SELECT c_custkey,
+                c_name || ', ' || n_name || ', ' || r_name AS address,
+                trim(string_split(c_name || ', ' || n_name || ', ' || r_name, ',')[-1]) AS province,
+                trim(string_split(c_name || ', ' || n_name || ', ' || r_name, ',')[-2]) AS district
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         ORDER BY c_custkey""",
+    "f7_date_trunc" ->
+      """SELECT cast(date_trunc('month', o_orderdate) AS DATE) AS month,
+                count(*) AS n, count(DISTINCT o_custkey) AS n_customers
+         FROM orders GROUP BY 1 ORDER BY month""",
+    "quality_report_checks" -> (chainSql +
+      """SELECT check_name, n_violations FROM (
+           SELECT 'not_null_property_id' AS check_name,
+                  count(CASE WHEN property_id IS NULL THEN 1 END) AS n_violations FROM silver
+           UNION ALL
+           SELECT 'not_null_price_in_billions',
+                  count(CASE WHEN price_in_billions IS NULL THEN 1 END) FROM silver
+           UNION ALL
+           SELECT 'accepted_values_data_quality_flag',
+                  count(CASE WHEN data_quality_flag IS NOT NULL AND data_quality_flag
+                    NOT IN ('VALID','INVALID_AREA','MISSING_PRICE','MISSING_ADDRESS')
+                    THEN 1 END) FROM silver
+           UNION ALL
+           SELECT 'unique_property_id', count(*)
+           FROM (SELECT property_id FROM silver GROUP BY property_id HAVING count(*) > 1))
+         ORDER BY check_name"""))
+}

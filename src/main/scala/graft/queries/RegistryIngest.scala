@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{Ingest, Tables}
+import graft.operators.Incremental
+
+/** Bronze-ingestion registry (SURVEY §2.1 S1/S2/S4–S7, §2.2 P1/P3 —
+  * the reference's scripts/load_bronze_to_table.py and
+  * normalize_csv.py shapes).
+  *
+  * Fixture files are derived deterministically from the harness
+  * parquet tables inside each query, so the DuckDB oracle recomputes
+  * the expected result from the ORIGINAL tables — the round-trip
+  * through JSONL/CSV/parquet-append is exactly what's under test.
+  */
+object RegistryIngest {
+  private type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+  private def tsLit(df: DataFrame, c: String, v: String) =
+    lit(v).cast(df.schema(df.schema.fieldIndex(c)).dataType)
+
+  val defs: Map[String, Q] = Map(
+    // S1: JSONL sink + 2-pass inferred-schema scan (load_bronze_to_table.py:130-133).
+    "s1_json_roundtrip" -> ((s, dir) => {
+      val path = Ingest.fixtureDir(dir) + "/events_jsonl"
+      Ingest.writeJsonl(
+        t(s, dir, "events").select("event_id", "user_id", "event_type", "value"), path)
+      Ingest.readJsonInferred(s, path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // S2: headered CSV scan with schema inference (normalize_csv.py:45-48).
+    "s2_csv_roundtrip" -> ((s, dir) => {
+      val path = Ingest.fixtureDir(dir) + "/customer_csv"
+      Ingest.writeCsv(
+        t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
+        path)
+      Ingest.readCsvInferred(s, path)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,6)")).cast("double").as("sum_acctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // S4: file-metadata column (basename only — mtimes/abs paths are
+    // environment noise the oracle can't see).
+    "s4_file_metadata" -> ((s, dir) =>
+      Ingest.withFileName(t(s, dir, "events"))
+        .groupBy("file_name").agg(count(lit(1)).as("n"))
+        .orderBy("file_name")),
+
+    // S5+S11: processed-file-set incremental scan over a two-file dir,
+    // with the processed list persisted via the line-file state store.
+    "s5_incremental_files" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = tsLit(ev, "ts", "2024-01-15 00:00:00")
+      val base = Ingest.fixtureDir(dir)
+      ev.where(col("ts") < cut).write.mode("overwrite").parquet(s"$base/ev_a")
+      ev.where(col("ts") >= cut).write.mode("overwrite").parquet(s"$base/ev_b")
+      val processed = s.read.parquet(s"$base/ev_a")
+        .select(col("_metadata.file_path")).distinct()
+        .collect().map(_.getString(0))
+      Ingest.StateStore.append(s"$base/processed_files.txt", processed)
+      val union = s.read.parquet(s"$base/ev_a", s"$base/ev_b")
+      Incremental.unprocessedFiles(union,
+          Ingest.StateStore.read(s"$base/processed_files.txt").toSeq)
+        .agg(count(lit(1)).as("n_new"), countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // S6: append + mergeSchema round-trip (schema-evolving bronze append).
+    "s6_append_merge_schema" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.where(col("ts") < tsLit(ev, "ts", "2024-01-10 00:00:00"))
+        .select("event_id", "user_id", "value")
+      val extra = ev.where(col("ts") >= tsLit(ev, "ts", "2024-01-25 00:00:00"))
+        .select("event_id", "user_id", "value", "event_type")
+      Ingest.appendMergeRoundtrip(s, base, extra,
+          Ingest.fixtureDir(dir) + "/ev_append")
+        .groupBy(coalesce(col("event_type"), lit("__missing")).as("etype"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("etype")
+    }),
+
+    // S7: overwrite round-trip of a joined snapshot.
+    "s7_overwrite_roundtrip" -> ((s, dir) => {
+      val snap = t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+      Ingest.overwriteRoundtrip(s, snap, Ingest.fixtureDir(dir) + "/nation_snap")
+        .orderBy("n_nationkey")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "s1_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "s2_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                cast(sum(cast(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "s4_file_metadata" ->
+      """SELECT 'events.parquet' AS file_name, count(*) AS n FROM events
+         ORDER BY file_name""",
+    "s5_incremental_files" ->
+      """SELECT count(*) AS n_new, count(DISTINCT user_id) AS n_users
+         FROM events WHERE ts >= TIMESTAMP '2024-01-15'""",
+    "s6_append_merge_schema" ->
+      """WITH u AS (
+           SELECT event_id, user_id, value, NULL AS event_type FROM events
+           WHERE ts < TIMESTAMP '2024-01-10'
+           UNION ALL
+           SELECT event_id, user_id, value, event_type FROM events
+           WHERE ts >= TIMESTAMP '2024-01-25')
+         SELECT coalesce(event_type, '__missing') AS etype, count(*) AS n
+         FROM u GROUP BY 1 ORDER BY etype""",
+    "s7_overwrite_roundtrip" ->
+      """SELECT n_nationkey, n_name, r_name FROM nation
+         JOIN region ON n_regionkey = r_regionkey
+         ORDER BY n_nationkey""")
+}

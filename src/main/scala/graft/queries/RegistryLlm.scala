@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, Multimodal, NearDup, Similarity, TextAnalysis}
+import graft.streaming.StreamingOps
+
+/** LLM-training-data pipeline registry (builder-prompt first-class
+  * families): exact + near-duplicate dedup, similarity search,
+  * text analysis, multimodal plumbing, and the Structured-Streaming
+  * expression of the daily batch.
+  *
+  * Oracle notes: near-dup detectors are verified against EXACT
+  * all-pairs shingle-Jaccard oracles (feasible at the sf0.01
+  * correctness scale); LSH candidate generation is tuned so recall at
+  * the threshold is indistinguishable from 1 (planted near-dup pairs
+  * in the corpus sit at J >= 0.96; miss probability < 1e-12).
+  * SimHash and Murmur3-keyed outputs are engine-specific and recorded
+  * as rows-only checks.
+  */
+object RegistryLlm {
+  private type Q = (SparkSession, String) => DataFrame
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  val defs: Map[String, Q] = Map(
+    // Exact dedup on a corpus with planted exact duplicates (the corpus
+    // unioned with an id-shifted copy of itself): keep min doc_id per
+    // content fingerprint.
+    "llm_exact_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text", "lang")
+      val dup = d.withColumn("doc_id", col("doc_id") + 10000)
+      val u = d.unionByName(dup)
+      Dedup.exactByContent(u, "doc_id", Seq("text", "lang"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // Exact 4-gram-shingle Jaccard near-dup pairs via inverted index.
+    "llm_jaccard_pairs" -> ((s, dir) =>
+      NearDup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 4, tau = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // MinHash(64) + LSH(16 bands x 4 rows) candidates on bigram
+    // shingles, exact-Jaccard verified at tau=0.8.
+    "llm_minhash_pairs" -> ((s, dir) =>
+      NearDup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 2, tau = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash Hamming<=3 pairs — engine-specific 64-bit hash: rows-only.
+    "llm_simhash_pairs" -> ((s, dir) =>
+      NearDup.simhashPairs(docs(s, dir), "doc_id", "text", maxHd = 3)
+        .orderBy("id_a", "id_b")),
+
+    // Language ID via stopword-profile intersection scoring.
+    "llm_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // Heuristic quality score (length/punct/stopword ratios).
+    "llm_quality_score" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality_score"))
+        .orderBy("doc_id")),
+
+    // Token statistics (whitespace + BPE-ish regex counting).
+    "llm_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Rolling-hash + md5 document fingerprints.
+    "llm_fingerprints" -> ((s, dir) =>
+      TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Brute-force exact cosine top-5 for a deterministic query subset.
+    "llm_knn_bruteforce" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Deterministic sign-LSH bucketed near-dup pairs, exact-cosine
+    // verified — the scale path (no N² self-join).
+    "llm_embedding_neardup" -> ((s, dir) =>
+      Similarity.signLshPairs(embs(s, dir), "vec_id", "embedding",
+          tau = 0.4, bands = 3, bitsPerBand = 8)
+        .orderBy("id_a", "id_b")),
+
+    // Multimodal plumbing: binary payload + typed metadata, batched
+    // per-partition stub decode (the mapInPandas analog).
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.attachMedia(docs(s, dir), "doc_id", "text"))
+        .orderBy("media_id")),
+
+    // Structured Streaming (AvailableNow) daily tumbling-window counts.
+    "stream_daily_counts" -> ((s, dir) =>
+      StreamingOps.dailyEventCounts(s, dir)
+        .orderBy("report_date", "event_type")))
+
+  /** DuckDB shingle-set CTE builders. */
+  private def shingleCte(n: Int): String = {
+    val concatExpr = (0 until n).map(i => s"ws[i+$i]").mkString(" || ' ' || ")
+    s"""sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(ws) - ${n - 1}, 0) + 1),
+                   i -> $concatExpr)) AS ts
+          FROM (SELECT doc_id,
+                       string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+                FROM documents))"""
+  }
+
+  private def jaccardOracle(n: Int, tau: Double): String =
+    s"""WITH ${shingleCte(n)},
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(cast(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+                       (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6)
+                   AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $tau
+        ORDER BY id_a, id_b"""
+
+  val oracles: Map[String, String] = Map(
+    "llm_exact_dedup" ->
+      """WITH u AS (
+           SELECT doc_id, text, lang FROM documents
+           UNION ALL SELECT doc_id + 10000, text, lang FROM documents),
+         fp AS (
+           SELECT doc_id, lang,
+                  md5(concat_ws(chr(1),
+                    coalesce(cast(text AS VARCHAR), chr(1) || 'N'),
+                    coalesce(cast(lang AS VARCHAR), chr(1) || 'N'))) AS f
+           FROM u),
+         keep AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY f ORDER BY doc_id ASC) AS rn
+           FROM fp)
+         SELECT doc_id, lang FROM keep WHERE rn = 1 ORDER BY doc_id""",
+    "llm_jaccard_pairs" -> jaccardOracle(4, 0.5),
+    "llm_minhash_pairs" -> jaccardOracle(2, 0.8),
+    "llm_lang_id" -> {
+      val profiles = TextAnalysis.langProfiles
+      def score(words: Seq[String]) =
+        s"len(list_intersect(toks, [${words.map(w => s"'$w'").mkString(",")}]))"
+      val scores = profiles.map { case (l, ws) => s"${score(ws)} AS s_$l" }.mkString(", ")
+      val best = "greatest(" + profiles.map(p => s"s_${p._1}").mkString(", ") + ")"
+      val cases = profiles.map { case (l, _) =>
+        s"WHEN s_$l = __best AND __best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH toks AS (
+            SELECT doc_id, lang,
+                   list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+            FROM documents),
+          scored AS (SELECT doc_id, lang, $scores FROM toks),
+          best AS (SELECT *, $best AS __best FROM scored)
+          SELECT doc_id, lang,
+                 CASE $cases ELSE 'und' END AS pred_lang
+          FROM best ORDER BY doc_id"""
+    },
+    "llm_quality_score" ->
+      """SELECT doc_id,
+                round(greatest(least(
+                  least(cast(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+                  (1.0 - least(
+                    cast(length(lower(text)) -
+                         length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+                    / greatest(cast(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3 +
+                  cast(len(list_intersect(
+                    list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')),
+                    ['the','a','of','and','to','in','is'])) AS DOUBLE) / 7.0 * 0.3,
+                  1.0), 0.0), 6) AS quality_score
+         FROM documents ORDER BY doc_id""",
+    "llm_token_stats" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
+                  string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents)
+         SELECT doc_id,
+                cast(len(toks) AS INTEGER) AS n_tokens,
+                cast(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+                cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER)
+                  AS n_subwords,
+                cast(length(text) AS INTEGER) AS n_chars,
+                cast((2 * 1000000 * length(norm) + greatest(len(toks), 1))
+                     // (2 * greatest(len(toks), 1)) AS DOUBLE) / 1000000.0
+                  AS mean_token_len
+         FROM t ORDER BY doc_id""",
+    "llm_fingerprints" ->
+      """SELECT doc_id,
+                coalesce(list_reduce(
+                  list_transform(range(1, length(text) + 1),
+                    i -> cast(ascii(substr(text, cast(i AS INTEGER), 1)) AS BIGINT)),
+                  (acc, x) -> (acc * 131 + x) % 1000000007), 0) AS rolling_fp,
+                md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS md5_fp
+         FROM documents ORDER BY doc_id""",
+    "llm_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, cast(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id % 50 = 0),
+         scored AS (
+           SELECT qid, e.vec_id AS nid,
+                  round(list_cosine_similarity(qv, cast(e.embedding AS DOUBLE[])), 4) AS cs
+           FROM q JOIN embeddings e ON e.vec_id <> qid),
+         ranked AS (
+           SELECT qid AS query_id, nid AS neighbor_id, cs AS cos_sim,
+                  cast(row_number() OVER (PARTITION BY qid
+                    ORDER BY cs DESC, nid ASC) AS INTEGER) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "llm_embedding_neardup" ->
+      """WITH bands AS (
+           SELECT vec_id, br.b AS band,
+                  list_sum(list_transform(range(0, 8),
+                    i -> CASE WHEN embedding[br.b * 8 + i + 1] >= 0
+                              THEN cast(2 AS BIGINT) ** i ELSE 0 END)) AS bkey
+           FROM embeddings, (SELECT unnest(range(3)) AS b) br),
+         cand AS (
+           SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+         scored AS (
+           SELECT id_a, id_b,
+                  round(list_cosine_similarity(
+                    cast(a.embedding AS DOUBLE[]), cast(b.embedding AS DOUBLE[])), 4)
+                    AS cos_sim
+           FROM cand JOIN embeddings a ON id_a = a.vec_id
+                     JOIN embeddings b ON id_b = b.vec_id)
+         SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.4
+         ORDER BY id_a, id_b""",
+    "multimodal_features" ->
+      """SELECT cast(doc_id AS BIGINT) AS media_id,
+                cast(length(text) AS BIGINT) AS n_bytes,
+                cast(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+                coalesce(list_reduce(
+                  list_transform(range(1, length(text) + 1),
+                    i -> cast(ascii(substr(text, cast(i AS INTEGER), 1)) AS BIGINT)),
+                  (acc, x) -> (acc * 131 + x) % 1000000007), 0) AS checksum
+         FROM documents ORDER BY media_id""",
+    "stream_daily_counts" ->
+      """SELECT cast(date_trunc('day', ts) AS DATE) AS report_date, event_type,
+                count(*) AS n_events
+         FROM events GROUP BY 1, 2 ORDER BY report_date, event_type""")
+}

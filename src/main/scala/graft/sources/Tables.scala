@@ -14,8 +14,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // The harness `events` table carries parquet TIMESTAMP(NANOS), which
+    // Spark's parquet reader rejects by default. Read nanos as long and
+    // rebuild a (micro-truncated) timestamp — truncation toward zero,
+    // identical to an engine-side ns→us cast.
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      import org.apache.spark.sql.types.LongType
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      else raw
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** Register every table as a temp view named exactly like the parquet
     * file, so `spark.sql` queries can reference them the way dbt models
