@@ -43,7 +43,8 @@ object Dedup {
     val tagged = df.withColumn("__ord", orderCol)
     val maxPerKey = tagged.groupBy(keys.map(col): _*)
       .agg(max(col("__ord")).as("__ord"))
-    tagged.join(maxPerKey, keys :+ "__ord", "left_semi").drop("__ord")
+    tagged.join(maxPerKey, keys :+ "__ord", "left_semi")
+      .select(df.columns.map(col): _*) // using-join reorders; restore input order
   }
 
   /** Position-preserving, NULL-safe content fingerprint over a set of

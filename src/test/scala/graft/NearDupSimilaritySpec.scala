@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{NearDup, Similarity}
+import graft.sources.Tables
+
+class NearDupSimilaritySpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  test("minhash-LSH pairs == exact inverted-index jaccard pairs on real corpus") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val exact = NearDup.jaccardPairs(docs, "doc_id", "text", n = 2, tau = 0.8)
+    val lsh = NearDup.minhashLshPairs(docs, "doc_id", "text", n = 2, tau = 0.8)
+    assert(exact.exceptAll(lsh).isEmpty && lsh.exceptAll(exact).isEmpty)
+    assert(exact.count() > 0) // corpus has planted near-dups
+  }
+
+  test("shingles of a doc shorter than n tokens are empty, not an error") {
+    val docs = Seq((1L, "one two"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val pairs = NearDup.jaccardPairs(docs, "doc_id", "text", n = 4, tau = 0.1)
+    assert(pairs.count() == 0)
+  }
+
+  test("simhash pairs respect the hamming bound and i<j ordering") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pairs = NearDup.simhashPairs(docs, "doc_id", "text", maxHd = 3).collect()
+    assert(pairs.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(pairs.forall(r => r.getAs[Int]("hamming") <= 3))
+  }
+
+  test("brute-force top-k: k rows per query, no self-match, cosine sane") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val out = Similarity.bruteForceTopK(e, e.where(col("vec_id") < 3),
+      "vec_id", "embedding", k = 4)
+    val grouped = out.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(grouped.size == 3 && grouped.values.forall(_.length == 4))
+    assert(out.where(col("query_id") === col("neighbor_id")).count() == 0)
+    assert(out.agg(max(abs(col("cos_sim")))).head.getDouble(0) <= 1.0001)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .head.getDouble(0)
+    assert(c == 1.0)
+  }
+
+  test("sign-LSH near-dup pairs are a verified subset of all-pairs cosine") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val lsh = Similarity.signLshPairs(e, "vec_id", "embedding", tau = 0.3)
+    // every reported pair really has cos >= tau (exact verification ran)
+    assert(lsh.where(col("cos_sim") < 0.3).count() == 0)
+    // and candidates obey id_a < id_b
+    assert(lsh.where(col("id_a") >= col("id_b")).count() == 0)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.operators.Multimodal
+import graft.sources.{Ingest, Tables}
+
+class TextMultimodalSpec extends AnyFunSuite {
+  import SparkTestBase._
+  import spark.implicits._
+
+  test("rolling fingerprint matches a direct Scala fold") {
+    val samples = Seq("hello world", "a", "", "spark graft engine 42")
+    def expected(s: String): Long =
+      s.foldLeft(0L)((acc, ch) => (acc * 131 + ch.toLong) % 1000000007L)
+    val df = samples.toDF("text")
+      .select(TextFns.rollingFingerprint(col("text")).as("fp"))
+    assert(df.as[Long].collect().toSeq == samples.map(expected))
+  }
+
+  test("shingles produce ordered distinct n-grams") {
+    val out = Seq("a b c b c").toDF("t")
+      .select(TextFns.shingles(col("t"), 2).as("sh"))
+      .as[Seq[String]].head
+    assert(out == Seq("a b", "b c", "c b")) // distinct keeps first occurrence
+  }
+
+  test("mapPartitions feature extraction == native expression twin") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val viaPartitions = Multimodal.extractFeatures(spark,
+      Multimodal.attachMedia(docs, "doc_id", "text"))
+    val viaExprs = docs.select(
+      col("doc_id").cast("long").as("media_id"),
+      length(col("text")).cast("long").as("n_bytes"),
+      ascii(substring(col("text"), 1, 1)).as("first_byte"),
+      TextFns.rollingFingerprint(col("text")).as("checksum"))
+    assert(viaPartitions.exceptAll(viaExprs).isEmpty &&
+      viaExprs.exceptAll(viaPartitions).isEmpty)
+  }
+
+  test("state store merges idempotently") {
+    val path = java.nio.file.Files.createTempDirectory("graft_state")
+      .resolve("seen.txt").toString
+    Ingest.StateStore.append(path, Seq("a", "b"))
+    Ingest.StateStore.append(path, Seq("b", "c"))
+    assert(Ingest.StateStore.read(path) == Set("a", "b", "c"))
+    Ingest.StateStore.append(path, Nil)
+    assert(Ingest.StateStore.read(path) == Set("a", "b", "c"))
+  }
+}
