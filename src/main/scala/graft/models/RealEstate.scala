@@ -33,10 +33,10 @@ object RealEstate {
     val pd = (col("o_orderkey") % 10).cast("string")
     val piTrieu = ((floor(col("o_totalprice")).cast("long") % 900 + 1) * 1000 +
       (col("o_orderkey") % 10) * 100).cast("string")
-    orders
-      .join(customer, col("o_custkey") === col("c_custkey"))
-      .join(nation, col("c_nationkey") === col("n_nationkey"))
-      .join(region, col("n_regionkey") === col("r_regionkey"))
+    graft.sources.Tables.scaled(orders)
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .select(
         col("o_orderkey").cast("string").as("listing_id"),
         concat(lit("  "), col("c_mktsegment"), lit(" HOUSE "),

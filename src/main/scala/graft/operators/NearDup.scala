@@ -31,10 +31,16 @@ import graft.functions.TextFns
   */
 object NearDup {
 
-  /** (id, shingle) postings list, distinct per doc. */
+  /** (id, shingle) postings list, distinct per doc. Cached: every
+    * detector reads it 3+ times (sizes, both sides of the candidate
+    * join, verification); shingle generation is the expression-dense
+    * part and should run once. Scan parallelism is widened first
+    * (Tables.scaled) so the n-gram work spreads across cores. */
   private def postings(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("__id"),
+    graft.sources.Tables.scaled(df)
+      .select(col(idCol).as("__id"),
         explode(TextFns.shingles(col(textCol), n)).as("__sh"))
+      .cache()
 
   /** Exact shingle-Jaccard pairs with jaccard >= tau, via inverted
     * index. Output: (id_a, id_b, jaccard) with id_a < id_b.
@@ -84,6 +90,7 @@ object NearDup {
           xxhash64((b * rows until (b + 1) * rows).map(h => col(s"__h$h")): _*).as("bkey"))
       }: _*)).as("bb"))
       .select(col("__id"), col("bb.band"), col("bb.bkey"))
+      .cache() // self-joined below: one materialization, two readers
 
     val cands = banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
       .where(col("x.__id") < col("y.__id"))
@@ -109,7 +116,8 @@ object NearDup {
 
   /** 64-bit SimHash per document from token frequencies. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("__id"),
+    val toks = graft.sources.Tables.scaled(df)
+      .select(col(idCol).as("__id"),
         explode(TextFns.tokens(col(textCol))).as("__t"))
       .groupBy("__id", "__t").agg(count(lit(1)).as("__w"))
       .withColumn("__th", xxhash64(col("__t")))
@@ -135,6 +143,7 @@ object NearDup {
           shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("bkey"))
       }: _*)).as("bb"))
       .select(col("__id"), col("simhash"), col("bb.band"), col("bb.bkey"))
+      .cache() // self-joined: one materialization, two readers
     banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
       .where(col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),

@@ -44,7 +44,8 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = graft.sources.Tables.scaled(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")))
       .join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy("query_id")
@@ -60,7 +61,8 @@ object Similarity {
     * id_a < id_b. */
   def signLshPairs(df: DataFrame, idCol: String, vecCol: String,
                    tau: Double, bands: Int = 3, bitsPerBand: Int = 8): DataFrame = {
-    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val base = graft.sources.Tables.scaled(
+      df.select(col(idCol).as("__id"), col(vecCol).as("__v")))
     val banded = base.select(col("__id"), col("__v"),
       explode(array((0 until bands).map { b =>
         val bits = (0 until bitsPerBand).map { i =>
@@ -70,6 +72,7 @@ object Similarity {
         struct(lit(b).as("band"), bits.as("bkey"))
       }: _*)).as("bb"))
       .select(col("__id"), col("__v"), col("bb.band"), col("bb.bkey"))
+      .cache() // self-joined: one materialization, two readers
     banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
       .where(col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),

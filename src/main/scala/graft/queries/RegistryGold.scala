@@ -19,10 +19,15 @@ import graft.operators.Quality
 object RegistryGold {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Silver layer, CACHED: the reference materializes each medallion
+    * layer as a table; the Spark-native analog is caching the silver
+    * frame so the dims, facts, summaries and quality checks that read
+    * it (within and across queries in one session) share one
+    * materialization instead of re-running the regex-dense cleaning. */
   private def silver(s: SparkSession, dir: String): DataFrame =
     RealEstate.silver(RealEstate.rawListings(
       Tables.load(s, dir, "orders"), Tables.load(s, dir, "customer"),
-      Tables.load(s, dir, "nation"), Tables.load(s, dir, "region")))
+      Tables.load(s, dir, "nation"), Tables.load(s, dir, "region"))).cache()
 
   /** Shared oracle CTE: raw listing synthesis + silver cleaning,
     * column-for-column the SQL twin of the Scala transforms. */

@@ -37,4 +37,16 @@ object Tables {
     */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+
+  /** Spread a narrow-parallelism scan across the cluster before
+    * expression-dense work. The harness parquet files are single
+    * row-group (1 scan split), which would pin all downstream narrow
+    * work to ONE core; a real lake layout has thousands of splits and
+    * this is a no-op there (p >= cores). The small shuffle buys full
+    * parallelism for the regex/hash-heavy projections that follow.
+    */
+  def scaled(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }
