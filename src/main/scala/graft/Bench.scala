@@ -17,6 +17,9 @@ object Bench {
       case '\r' => "\\r"; case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
+    // Warm up JIT/codegen so the alphabetically-first query doesn't
+    // absorb session startup cost in its timing.
+    spark.range(1000000).selectExpr("sum(id * 2)").collect()
     // Per-query wall time; failures are RECORDED (name -> error), never
     // silently folded into the timings (round-1 verdict "what's wrong" #1).
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()

@@ -28,14 +28,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity in double precision, rounded to `digits` so the
-    * last-ulp differences of engine-specific summation order vanish. */
-  def cosine(a: Column, b: Column, digits: Int = 4): Column = {
-    def d(x: Column) = transform(x, v => v.cast("double"))
-    val da = d(a); val db = d(b)
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
-    round(dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db))), digits)
-  }
+    * last-ulp differences of engine-specific summation order vanish.
+    * Dot products run on the codegen'd [[graft.functions.DotProduct]]
+    * expression (same left-to-right summation as the higher-order
+    * `aggregate(zip_with(...))` formulation, so results are identical
+    * — just without per-element lambda dispatch). */
+  def cosine(a: Column, b: Column, digits: Int = 4): Column =
+    graft.functions.VectorFns.cosine(a, b, digits)
 
   /** Exact cosine top-k: for every row of `queries`, the k most
     * similar rows of `corpus` (self-matches excluded). Output:

@@ -92,6 +92,23 @@ object RegistryIngest {
         .select("n_nationkey", "n_name", "r_name")
       Ingest.overwriteRoundtrip(s, snap, Ingest.fixtureDir(dir) + "/nation_snap")
         .orderBy("n_nationkey")
+    }),
+
+    // Date-partitioned gold layout + partition pruning — the 100 TB
+    // write shape (SURVEY §4.3: partition facts by date_key). The read
+    // back filters on the partition column, so Spark prunes to ONE
+    // day's directory without touching the rest.
+    "s7_partitioned_write_prune" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val path = Ingest.fixtureDir(dir) + "/events_by_day"
+      ev.withColumn("day", date_trunc("day", col("ts")).cast("date"))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      s.read.parquet(path)
+        .where(col("day") === lit("2024-01-05").cast("date"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -121,5 +138,11 @@ object RegistryIngest {
     "s7_overwrite_roundtrip" ->
       """SELECT n_nationkey, n_name, r_name FROM nation
          JOIN region ON n_regionkey = r_regionkey
-         ORDER BY n_nationkey""")
+         ORDER BY n_nationkey""",
+    "s7_partitioned_write_prune" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE cast(date_trunc('day', ts) AS DATE) = DATE '2024-01-05'
+         GROUP BY event_type ORDER BY event_type""")
 }
