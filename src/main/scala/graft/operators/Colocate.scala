@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed co-located joins (SURVEY §4.3: "bucketing for co-located
+  * joins"). Writing both sides bucketed (and sorted) on the join key
+  * lets a sort-merge join read bucket-aligned files with NO shuffle of
+  * either side — at 100 TB this converts the dominant fact⋈fact
+  * shuffle into a local merge per bucket. The `merge` hint pins SMJ so
+  * the demonstration holds even when one side would broadcast at test
+  * scale.
+  */
+object Colocate {
+
+  /** Write `df` as a bucketed+sorted managed parquet table. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Bucket-align two frames on their join keys and return the
+    * shuffle-free joined frame. */
+  def bucketedJoin(spark: SparkSession,
+                   left: DataFrame, leftKey: String,
+                   right: DataFrame, rightKey: String,
+                   buckets: Int, tablePrefix: String): DataFrame = {
+    writeBucketed(left, s"${tablePrefix}_l", leftKey, buckets)
+    writeBucketed(right, s"${tablePrefix}_r", rightKey, buckets)
+    val l = spark.table(s"${tablePrefix}_l")
+    val r = spark.table(s"${tablePrefix}_r")
+    l.hint("merge").join(r, l(leftKey) === r(rightKey))
+  }
+}

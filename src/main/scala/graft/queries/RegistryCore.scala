@@ -219,6 +219,34 @@ object RegistryCore {
         .groupBy(coalesce(col("event_type"), lit("__missing")).as("etype"))
         .agg(count(lit(1)).as("n"))
         .orderBy("etype")
+    }),
+
+    // P2: column pruning reaching the scan (ReadSchema shows 3 of 11 cols).
+    "p2_column_prune" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // A5 sketch variant: HyperLogLog++ approximate distinct — sketch
+    // internals are engine-specific, so rows-only check by design.
+    "a5_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")),
+
+    // Bucketed co-located fact⋈fact join: both sides pre-bucketed on
+    // the join key -> sort-merge join with NO shuffle of either side.
+    "j1_bucketed_colocated_join" -> ((s, dir) => {
+      val joined = graft.operators.Colocate.bucketedJoin(s,
+        t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey",
+        buckets = 8, tablePrefix = "graft_bkt")
+      joined.groupBy("o_orderstatus")
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderstatus")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -361,5 +389,15 @@ object RegistryCore {
            SELECT event_id, user_id, value, event_type FROM events
            WHERE ts >= TIMESTAMP '2024-01-25')
          SELECT coalesce(event_type, '__missing') AS etype, count(*) AS n
-         FROM u GROUP BY 1 ORDER BY etype""")
+         FROM u GROUP BY 1 ORDER BY etype""",
+    "p2_column_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         ORDER BY l_orderkey, l_linenumber""",
+    "j1_bucketed_colocated_join" ->
+      """SELECT o_orderstatus,
+                cast(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                  AS revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
 }

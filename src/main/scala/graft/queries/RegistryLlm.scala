@@ -100,7 +100,27 @@ object RegistryLlm {
     // Structured Streaming (AvailableNow) daily tumbling-window counts.
     "stream_daily_counts" -> ((s, dir) =>
       StreamingOps.dailyEventCounts(s, dir)
-        .orderBy("report_date", "event_type")))
+        .orderBy("report_date", "event_type")),
+
+    // Stateful streaming dedup via mapGroupsWithState — O(1) state per
+    // key; same W1 semantics as the batch window dedup, same oracle.
+    "stream_stateful_dedup" -> ((s, dir) =>
+      graft.streaming.StatefulDedup.latestPerUser(s, dir)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")),
+
+    // SQL surface of the custom codegen expression: graft_dot
+    // registered on the session function registry (the
+    // SparkSessionExtensions path for driver-owned sessions).
+    "sql_graft_dot" -> ((s, dir) => {
+      org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+        s, graft.GraftExtensions.dotFunction)
+      Tables.registerViews(s, dir)
+      s.sql("""SELECT vec_id,
+                      round(graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
+                                      CAST(embedding AS ARRAY<DOUBLE>)), 4) AS norm_sq
+               FROM embeddings ORDER BY vec_id""")
+    }))
 
   /** DuckDB shingle-set CTE builders. */
   private def shingleCte(n: Int): String = {
@@ -245,5 +265,16 @@ object RegistryLlm {
     "stream_daily_counts" ->
       """SELECT cast(date_trunc('day', ts) AS DATE) AS report_date, event_type,
                 count(*) AS n_events
-         FROM events GROUP BY 1, 2 ORDER BY report_date, event_type""")
+         FROM events GROUP BY 1, 2 ORDER BY report_date, event_type""",
+    "stream_stateful_dedup" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "sql_graft_dot" ->
+      """SELECT vec_id,
+                round(list_reduce(
+                  list_transform(cast(embedding AS DOUBLE[]), x -> x * x),
+                  (a, b) -> a + b), 4) AS norm_sq
+         FROM embeddings ORDER BY vec_id""")
 }

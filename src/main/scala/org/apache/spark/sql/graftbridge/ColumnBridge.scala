@@ -13,4 +13,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an ALREADY-BUILT session — the runtime
+    * fallback for sessions not constructed with
+    * `.withExtensions(new graft.GraftExtensions)` (e.g. the driver's
+    * own session handed to SparkEntry.queries). Same registration the
+    * extension performs at build time. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+                       fn: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+                            org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                            Seq[Expression] => Expression)): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .registerFunction(fn._1, fn._2, fn._3)
 }
