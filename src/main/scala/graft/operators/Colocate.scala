@@ -12,11 +12,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Colocate {
 
-  /** Write `df` as a bucketed+sorted managed parquet table. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  /** Write `df` as a bucketed+sorted managed parquet table. Drops any
+    * previous incarnation AND its on-disk location first — a fresh
+    * session's catalog doesn't know about a prior session's managed
+    * table, but the warehouse directory survives and would block
+    * saveAsTable (LOCATION_ALREADY_EXISTS). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Bucket-align two frames on their join keys and return the
     * shuffle-free joined frame. */
