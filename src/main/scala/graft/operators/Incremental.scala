@@ -34,7 +34,7 @@ object Incremental {
                          srcTs: String, existingTs: String): DataFrame = {
     // String round-trip keeps this agnostic to TIMESTAMP vs TIMESTAMP_NTZ.
     val wmStr = Option(
-      existing.agg(max(col(existingTs)).cast("string").as("wm")).head.getString(0)
+      existing.agg(max(col(existingTs)).cast("string").as("wm")).head().getString(0)
     ).getOrElse("1970-01-01 00:00:00")
     val tsType = src.schema(src.schema.fieldIndex(srcTs)).dataType
     src.where(col(srcTs) > lit(wmStr).cast(tsType))
@@ -57,7 +57,7 @@ object Incremental {
                     srcKey: String, existingKey: String): DataFrame = {
     val k = col(existingKey)
     val probe = existing.agg(
-      count(lit(1)).as("n"), count(when(k.isNull, 1)).as("nulls")).head
+      count(lit(1)).as("n"), count(when(k.isNull, 1)).as("nulls")).head()
     val (n, nulls) = (probe.getLong(0), probe.getLong(1))
     if (n == 0L) src
     else if (nulls > 0L) src.limit(0)

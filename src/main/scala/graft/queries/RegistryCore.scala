@@ -232,8 +232,16 @@ object RegistryCore {
     "a5_approx_distinct" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")),
+
+    // Salted two-stage aggregation for skewed keys: identical result
+    // to the plain groupBy (the oracle is the plain formulation).
+    "skew_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedCountSum(
+          t(s, dir, "events"), Seq("event_type"), "value",
+          saltOn = col("event_id"), saltBuckets = 16)
         .orderBy("event_type")),
 
     // Bucketed co-located fact⋈fact join: both sides pre-bucketed on
@@ -393,6 +401,10 @@ object RegistryCore {
     "p2_column_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          ORDER BY l_orderkey, l_linenumber""",
+    "skew_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "j1_bucketed_colocated_join" ->
       """SELECT o_orderstatus,
                 cast(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
