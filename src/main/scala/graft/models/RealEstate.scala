@@ -138,6 +138,21 @@ object RealEstate {
           .otherwise("basic").as("legal_status_category"),
         concat(lit("status: "), col("legal_status")).as("description"))
 
+  /** dim_properties (dim_properties.sql:13-75): latest-record dedup
+    * per property, carrying the SCD-2-shaped columns the reference
+    * keeps on an SCD-1 dim (valid_from, always-NULL valid_to,
+    * is_current=true). */
+  def dimProperties(silver: DataFrame): DataFrame =
+    Dedup.latestByKey(silver, Seq("property_id"),
+        Seq(col("updated_at_ts").desc, col("address").desc))
+      .select(
+        col("property_id"), col("title"), col("area"), col("floors"),
+        col("legal_status"),
+        col("updated_at_ts"),
+        col("updated_at_ts").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"),
+        lit(true).as("is_current"))
+
   /** fct_properties (fct_properties.sql:27-94): quality + outlier
     * filters, latest-record dedup, the two dim joins (incl. the
     * coalesce-keyed legal-status join, J2), derived price_per_m2. */

@@ -146,6 +146,9 @@ object RegistryGold {
     "gold_dim_legal_status" -> ((s, dir) =>
       RealEstate.dimLegalStatus(silver(s, dir)).orderBy("legal_status_id")),
 
+    "gold_dim_properties" -> ((s, dir) =>
+      RealEstate.dimProperties(silver(s, dir)).orderBy("property_id")),
+
     "gold_fct_properties" -> ((s, dir) => {
       val sv = silver(s, dir)
       RealEstate.fctProperties(sv,
@@ -219,6 +222,14 @@ object RegistryGold {
       """SELECT * FROM dim_loc ORDER BY location_id"""),
     "gold_dim_legal_status" -> (chainSql +
       """SELECT * FROM dim_legal ORDER BY legal_status_id"""),
+    "gold_dim_properties" -> (chainSql +
+      """SELECT property_id, title, area, floors, legal_status, updated_at_ts,
+                updated_at_ts AS valid_from,
+                CAST(NULL AS TIMESTAMP) AS valid_to,
+                TRUE AS is_current
+         FROM (SELECT *, row_number() OVER (PARTITION BY property_id
+                 ORDER BY updated_at_ts DESC, address DESC) AS rn FROM silver)
+         WHERE rn = 1 ORDER BY property_id"""),
     "gold_fct_properties" -> (chainSql +
       """SELECT * FROM fct ORDER BY property_id"""),
     "gold_fct_daily_summary" -> (chainSql +

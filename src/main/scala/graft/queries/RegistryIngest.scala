@@ -94,6 +94,75 @@ object RegistryIngest {
         .orderBy("n_nationkey")
     }),
 
+    // The CSV→bronze adapter (scripts/normalize_csv.py:56-94): md5
+    // surrogate id from address‖price‖area, address tail-split, typed
+    // casts, NULL array column — over a CSV round-trip with inference.
+    "bronze_csv_adapter" -> ((s, dir) => {
+      val src = t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(
+          concat(col("c_name"), lit(", "), col("n_name"), lit(", "), col("r_name"))
+            .as("address"),
+          col("c_acctbal").as("price"),
+          (col("c_custkey") % 300 + 10).cast("double").as("area"))
+      val path = Ingest.fixtureDir(dir) + "/housing_csv"
+      Ingest.writeCsv(src, path)
+      val csv = Ingest.readCsvInferred(s, path)
+      csv.select(
+          md5(concat(coalesce(col("address"), lit("")),
+            col("price").cast("string"), col("area").cast("string"))).as("list_id"),
+          col("address"), col("price"), col("area"),
+          trim(element_at(split(col("address"), ","), -1)).as("province"),
+          trim(element_at(split(col("address"), ","), -2)).as("district"),
+          // the reference's lit(None).cast(array<string>) column
+          // (normalize_csv.py:94); compared as a null-witness boolean
+          // because NULL-array columns hash ambiguously across engines
+          lit(null).cast("array<string>").isNull.as("images_is_null"))
+        .orderBy("list_id")
+    }),
+
+    // P1 companion: messy source column names auto-sanitized
+    // (normalize_bronze_columns.py:97-124 shape).
+    "p1_sanitize_columns" -> ((s, dir) => {
+      val messy = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("L OrderKey"),
+        col("l_linenumber").as("Line.Number"),
+        col("l_quantity").as("Quantity (units)"))
+      Ingest.sanitizeColumns(messy)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("quantity_units").cast("decimal(18,6)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_orderkey")
+    }),
+
+    // The reference's daily incremental loop end-to-end (E1+E2 shape):
+    // day-1 state materialized, day-2 increment selected by watermark
+    // against the materialized state, MERGE'd, re-materialized, read
+    // back. Result == latest-per-user over everything before day 3.
+    "pipeline_incremental_run" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val d2 = tsLit(ev, "ts", "2024-01-10 00:00:00")
+      val d3 = tsLit(ev, "ts", "2024-01-20 00:00:00")
+      val latest = (df: DataFrame) => graft.operators.Dedup.latestByKey(
+        df, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+      val base = Ingest.fixtureDir(dir)
+
+      // run 1: initial materialization
+      latest(ev.where(col("ts") < d2))
+        .write.mode("overwrite").parquet(s"$base/pipe_state")
+      val state1 = s.read.parquet(s"$base/pipe_state")
+      // run 2: watermark-incremental read, dedup, MERGE, re-materialize
+      val incr = latest(
+        Incremental.newerThanWatermark(ev.where(col("ts") < d3), state1, "ts", "ts"))
+      graft.operators.Upsert.merge(state1, incr, Seq("user_id"))
+        .write.mode("overwrite").parquet(s"$base/pipe_state2")
+      s.read.parquet(s"$base/pipe_state2")
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    }),
+
     // Date-partitioned gold layout + partition pruning — the 100 TB
     // write shape (SURVEY §4.3: partition facts by date_key). The read
     // back filters on the partition column, so Spark prunes to ONE
@@ -144,5 +213,30 @@ object RegistryIngest {
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events
          WHERE cast(date_trunc('day', ts) AS DATE) = DATE '2024-01-05'
-         GROUP BY event_type ORDER BY event_type""")
+         GROUP BY event_type ORDER BY event_type""",
+    "bronze_csv_adapter" ->
+      """WITH src AS (
+           SELECT c_name || ', ' || n_name || ', ' || r_name AS address,
+                  c_acctbal AS price,
+                  cast(c_custkey % 300 + 10 AS DOUBLE) AS area
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey)
+         SELECT md5(coalesce(address, '') || cast(price AS VARCHAR)
+                    || cast(area AS VARCHAR)) AS list_id,
+                address, price, area,
+                trim(string_split(address, ',')[-1]) AS province,
+                trim(string_split(address, ',')[-2]) AS district,
+                CAST(NULL AS VARCHAR[]) IS NULL AS images_is_null
+         FROM src ORDER BY list_id""",
+    "p1_sanitize_columns" ->
+      """SELECT l_orderkey, count(*) AS n,
+                cast(sum(cast(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "pipeline_incremental_run" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE ts < TIMESTAMP '2024-01-20')
+         WHERE rn = 1 ORDER BY user_id""")
 }

@@ -80,6 +80,16 @@ object Ingest {
     }
   }
 
+  /** Auto-sanitize messy column names (P1's companion — the
+    * reference's lowercase+strip normalizer,
+    * scripts/normalize_bronze_columns.py:97-124): lowercase, spaces
+    * and separator punctuation collapsed to underscores. */
+  def sanitizeColumns(df: DataFrame): DataFrame =
+    df.select(df.columns.map { c =>
+      col(s"`$c`").as(
+        c.toLowerCase.replaceAll("[ ,;.{}()=/]+", "_").replaceAll("^_|_$", ""))
+    }: _*)
+
   /** File-name metadata column (S4) — Spark 4's `_metadata.file_path`
     * replaces 3.x `input_file_name()`
     * (scripts/load_bronze_to_table.py:134). Only the basename is
