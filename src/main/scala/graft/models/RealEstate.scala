@@ -163,9 +163,12 @@ object RealEstate {
       .where(col("area").isNull || (col("area") > 0 && col("area") < 10000))
     val deduped = Dedup.latestByKey(filtered, Seq("property_id"),
       Seq(col("updated_at_ts").desc, col("address").desc))
+    // Dims are small by construction (distinct addresses / statuses);
+    // hint broadcast explicitly — planning happens before the cached
+    // silver is materialized, so size estimates would pick SMJ.
     deduped.as("f")
-      .join(dimLoc.as("l"), col("f.address") === col("l.full_address"))
-      .join(dimLegal.as("dl"),
+      .join(broadcast(dimLoc.as("l")), col("f.address") === col("l.full_address"))
+      .join(broadcast(dimLegal.as("dl")),
         coalesce(col("f.legal_status"), lit("UNKNOWN")) === col("dl.legal_status"))
       .select(
         col("f.property_id"), col("l.location_id"), col("dl.legal_status_id"),

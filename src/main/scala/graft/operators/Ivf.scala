@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-style approximate nearest neighbor (builder brief: "an IVF or
+  * LSH-bucketed variant as the scale path").
+  *
+  * Coarse quantizer: a deterministic SEEDED inverted file — cluster
+  * centers are actual corpus vectors (every `seedEvery`-th id), each
+  * vector is assigned to its nearest seed, and a query probes only
+  * the `nProbe` nearest cells. Skipping Lloyd iterations keeps the
+  * quantizer bit-deterministic across engines (no floating-point
+  * averaging whose summation order differs), which is what makes the
+  * operator oracle-checkable; swapping in k-means centroids changes
+  * only the `seeds` frame.
+  *
+  * Scale shape: assignment is corpus × K seeds (K ≪ N, broadcast);
+  * search is queries × K for cell selection, then exact scoring only
+  * inside the probed cells — candidate volume ≈ nProbe·N/K per query
+  * instead of N.
+  */
+object Ivf {
+
+  private def seeds(df: DataFrame, idCol: String, vecCol: String, seedEvery: Int) =
+    df.where(col(idCol) % seedEvery === 1)
+      .select(col(idCol).as("seed_id"), col(vecCol).as("__sv"))
+
+  /** (id, cell) assignment: nearest seed by cosine (rounded, seed-id
+    * tiebreak). */
+  def assign(df: DataFrame, idCol: String, vecCol: String, seedEvery: Int): DataFrame = {
+    val s = broadcast(seeds(df, idCol, vecCol, seedEvery))
+    val scored = graft.sources.Tables.scaled(
+        df.select(col(idCol).as("__id"), col(vecCol).as("__v")))
+      .join(s)
+      .withColumn("__cs", Similarity.cosine(col("__v"), col("__sv")))
+    val w = Window.partitionBy("__id").orderBy(col("__cs").desc, col("seed_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("seed_id").as("cell"))
+  }
+
+  /** IVF search: probe the `nProbe` nearest cells per query, exact
+    * cosine top-k within them. Output:
+    * (query_id, neighbor_id, cos_sim, rank). */
+  def search(df: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             seedEvery: Int, nProbe: Int, k: Int): DataFrame = {
+    val s = broadcast(seeds(df, idCol, vecCol, seedEvery))
+    val assigned = assign(df, idCol, vecCol, seedEvery)
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("__qs").desc, col("seed_id").asc)
+    val probed = broadcast(q.join(s)
+      .withColumn("__qs", Similarity.cosine(col("__qv"), col("__sv")))
+      .withColumn("__pr", row_number().over(probeW))
+      .where(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("seed_id").as("cell")))
+
+    val cands = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(assigned.withColumnRenamed(idCol, "neighbor_id"), "neighbor_id")
+      .join(probed, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", Similarity.cosine(col("__qv"), col("__cv")))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+}

@@ -83,6 +83,15 @@ object RegistryLlm {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-style ANN: seeded coarse quantizer, probe 2 cells, exact
+    // top-3 within them — candidate volume ~ nProbe·N/K per query.
+    "llm_knn_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      graft.operators.Ivf.search(e, e.where(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", seedEvery = 50, nProbe = 2, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // Deterministic sign-LSH bucketed near-dup pairs, exact-cosine
     // verified — the scale path (no N² self-join).
     "llm_embedding_neardup" -> ((s, dir) =>
@@ -233,6 +242,42 @@ object RegistryLlm {
            FROM scored)
          SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "llm_knn_ivf" ->
+      """WITH seeds AS (
+           SELECT vec_id AS seed_id, cast(embedding AS DOUBLE[]) AS sv
+           FROM embeddings WHERE vec_id % 50 = 1),
+         corpus AS (
+           SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+         assigned AS (
+           SELECT vec_id, seed_id AS cell FROM (
+             SELECT c.vec_id, s.seed_id,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY round(list_cosine_similarity(c.v, s.sv), 4) DESC,
+                               s.seed_id ASC) AS rn
+             FROM corpus c CROSS JOIN seeds s)
+           WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+         probed AS (
+           SELECT query_id, qv, seed_id AS cell FROM (
+             SELECT q.query_id, q.qv, s.seed_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(q.qv, s.sv), 4) DESC,
+                               s.seed_id ASC) AS pr
+             FROM q CROSS JOIN seeds s)
+           WHERE pr <= 2),
+         cands AS (
+           SELECT p.query_id, c.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(p.qv, c.v), 4) AS cos_sim
+           FROM probed p
+           JOIN assigned a ON a.cell = p.cell
+           JOIN corpus c ON c.vec_id = a.vec_id
+           WHERE c.vec_id <> p.query_id)
+         SELECT query_id, neighbor_id, cos_sim,
+                cast(rank AS INTEGER) AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM cands)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
     "llm_embedding_neardup" ->
       """WITH bands AS (
            SELECT vec_id, br.b AS band,
