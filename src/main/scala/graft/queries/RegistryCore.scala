@@ -236,6 +236,31 @@ object RegistryCore {
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy("event_type")),
 
+    // As-of join (union+window composition — one shuffle, no nested
+    // loop): each purchase matched to the user's latest preceding view.
+    "j6_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.AsOf.lastBefore(
+          ev.where(col("event_type") === "purchase"),
+          ev.where(col("event_type") === "view"),
+          key = "user_id", leftTs = "ts", leftId = "event_id",
+          rightTs = "ts", rightId = "event_id")
+        .select(col("user_id"), col("event_id"), col("asof_event_id"))
+        .orderBy("event_id")
+    }),
+
+    // Banded range join (bucketed candidates, no nested loop): purchase
+    // and error events of the same user within 10 minutes.
+    "j7_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.RangeJoin.withinTolerance(
+          ev.where(col("event_type") === "purchase"),
+          ev.where(col("event_type") === "error"),
+          key = "user_id", leftTs = "ts", leftId = "event_id",
+          rightTs = "ts", rightId = "event_id", tolSeconds = 600L)
+        .orderBy("left_id", "right_id")
+    }),
+
     // Salted two-stage aggregation for skewed keys: identical result
     // to the plain groupBy (the oracle is the plain formulation).
     "skew_salted_agg" -> ((s, dir) =>
@@ -401,6 +426,26 @@ object RegistryCore {
     "p2_column_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          ORDER BY l_orderkey, l_linenumber""",
+    "j6_asof_join" ->
+      """SELECT p.user_id, p.event_id,
+                (SELECT v.event_id FROM events v
+                 WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                   AND v.ts <= p.ts
+                 ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_event_id
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
+    "j7_range_join" ->
+      """WITH p AS (SELECT user_id, event_id,
+                           cast(floor(epoch(ts)) AS BIGINT) AS lts
+                    FROM events WHERE event_type = 'purchase'),
+            e AS (SELECT user_id, event_id,
+                           cast(floor(epoch(ts)) AS BIGINT) AS rts
+                    FROM events WHERE event_type = 'error')
+         SELECT p.user_id, p.event_id AS left_id, e.event_id AS right_id,
+                (e.rts - p.lts) AS gap_seconds
+         FROM p JOIN e ON p.user_id = e.user_id
+         WHERE abs(p.lts - e.rts) <= 600
+         ORDER BY left_id, right_id""",
     "skew_salted_agg" ->
       """SELECT event_type, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

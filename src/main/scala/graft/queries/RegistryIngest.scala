@@ -33,6 +33,28 @@ object RegistryIngest {
         .orderBy("event_type")
     }),
 
+    // S1 ragged variant — the reference's ACTUAL bronze shape: each
+    // JSONL record carries a varying key set (crawl parameters differ
+    // per listing), and inference must union them
+    // (load_bronze_to_table.py:130-133 two-pass + mergeSchema).
+    "s1_ragged_json_inference" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val doc = when(col("event_id") % 3 === 0,
+          to_json(struct(col("event_id"), col("user_id"))))
+        .when(col("event_id") % 3 === 1,
+          to_json(struct(col("event_id"), col("user_id"), col("value"))))
+        .otherwise(
+          to_json(struct(col("event_id"), col("user_id"), col("value"),
+            col("event_type"))))
+      val path = Ingest.fixtureDir(dir) + "/ragged_jsonl"
+      ev.select(doc.as("value")).write.mode("overwrite").text(path)
+      Ingest.readJsonInferred(s, path)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("value")).as("n_with_value"),
+          count(col("event_type")).as("n_with_type"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // S2: headered CSV scan with schema inference (normalize_csv.py:45-48).
     "s2_csv_roundtrip" -> ((s, dir) => {
       val path = Ingest.fixtureDir(dir) + "/customer_csv"
@@ -185,6 +207,12 @@ object RegistryIngest {
       """SELECT event_type, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "s1_ragged_json_inference" ->
+      """SELECT count(*) AS n_rows,
+                count(CASE WHEN event_id % 3 <> 0 THEN 1 END) AS n_with_value,
+                count(CASE WHEN event_id % 3 = 2 THEN 1 END) AS n_with_type,
+                count(DISTINCT user_id) AS n_users
+         FROM events""",
     "s2_csv_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n,
                 cast(sum(cast(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal

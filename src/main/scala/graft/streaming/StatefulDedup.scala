@@ -22,9 +22,9 @@ object StatefulDedup {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val sinkName = "graft_stateful_dedup_" +
-      java.lang.Integer.toHexString(sfDir.hashCode).replace('-', '_')
-    val ckpt = "/tmp/graft_stream_ckpt/" + sinkName + "_" + System.nanoTime()
+    // Nonce keeps repeated invocations in one session from colliding.
+    val sinkName = "graft_stateful_dedup_" + System.nanoTime()
+    val ckpt = "/tmp/graft_stream_ckpt/" + sinkName
 
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)

@@ -28,9 +28,10 @@ object StreamingOps {
     // and rebuild the timestamp (see Tables.load).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
-    val sinkName = "graft_stream_daily_" +
-      java.lang.Integer.toHexString(sfDir.hashCode).replace('-', '_')
-    val ckpt = "/tmp/graft_stream_ckpt/" + sinkName + "_" + System.nanoTime()
+    // Nonce keeps repeated invocations in one session from colliding
+    // on the memory-sink name or checkpoint dir.
+    val sinkName = "graft_stream_daily_" + System.nanoTime()
+    val ckpt = "/tmp/graft_stream_ckpt/" + sinkName
     // File stream sources take a directory; glob-filter to the one table.
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
