@@ -31,14 +31,22 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  override def nullable: Boolean = true
+
+  // Length mismatch -> NULL, matching the aggregate(zip_with(...))
+  // twin exactly (zip_with pads the shorter side with NULLs, which
+  // nulls the product and therefore the whole sum).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    s
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -47,12 +55,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -71,9 +83,15 @@ object VectorFns {
       ColumnBridge.expression(toDouble(b))))
 
   /** Cosine similarity on the codegen'd dot path, rounded so
-    * last-ulp summation differences across engines vanish. */
+    * last-ulp summation differences across engines vanish.
+    * Zero-norm vectors yield NULL (not NaN — Spark sorts NaN ABOVE
+    * every number, so a NaN would rank #1 in top-k and pass `>= tau`
+    * filters; NULL sorts last and fails predicates, the safe
+    * degenerate behavior). */
   def cosine(a: Column, b: Column, digits: Int = 4): Column = {
     val da = toDouble(a); val db = toDouble(b)
-    round(dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db))), digits)
+    val denom = sqrt(dot(da, da)) * sqrt(dot(db, db))
+    round(when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(dot(da, db) / denom), digits)
   }
 }

@@ -25,12 +25,16 @@ object AsOf {
   def lastBefore(left: DataFrame, right: DataFrame, key: String,
                  leftTs: String, leftId: String,
                  rightTs: String, rightId: String): DataFrame = {
+    // Preserve the callers' id types — a fixed cast would silently
+    // NULL non-numeric ids and corrupt the match output.
+    val lidType = left.schema(left.schema.fieldIndex(leftId)).dataType
+    val ridType = right.schema(right.schema.fieldIndex(rightId)).dataType
     val l = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
-      lit(1).as("__side"), col(leftId).cast("long").as("__lid"),
-      lit(null).cast("long").as("__rid"))
+      lit(1).as("__side"), col(leftId).as("__lid"),
+      lit(null).cast(ridType).as("__rid"))
     val r = right.select(col(key).as("__k"), col(rightTs).as("__ts"),
-      lit(0).as("__side"), lit(null).cast("long").as("__lid"),
-      col(rightId).cast("long").as("__rid"))
+      lit(0).as("__side"), lit(null).cast(lidType).as("__lid"),
+      col(rightId).as("__rid"))
     // Right rows sort BEFORE left rows at equal ts (inclusive match);
     // among right rows, ascending id so last_value picks the max.
     val w = Window.partitionBy("__k")

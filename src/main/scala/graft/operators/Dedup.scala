@@ -42,9 +42,15 @@ object Dedup {
   def latestByKeySkewSafe(df: DataFrame, keys: Seq[String], orderCol: Column): DataFrame = {
     val tagged = df.withColumn("__ord", orderCol)
     val maxPerKey = tagged.groupBy(keys.map(col): _*)
-      .agg(max(col("__ord")).as("__ord"))
-    tagged.join(maxPerKey, keys :+ "__ord", "left_semi")
-      .select(df.columns.map(col): _*) // using-join reorders; restore input order
+      .agg(max(col("__ord")).as("__mx"))
+      .select(keys.map(c => col(c).as(s"__k_$c")) :+ col("__mx"): _*)
+    // Null-safe equality on every join column: a NULL key forms its own
+    // group in latestByKey (and in SQL GROUP BY), so the semi-join must
+    // match it too — plain equality would silently drop NULL-key rows.
+    val cond = keys.map(c => tagged(c) <=> col(s"__k_$c"))
+      .reduce(_ && _) && (col("__ord") <=> col("__mx"))
+    tagged.join(maxPerKey, cond, "left_semi")
+      .select(df.columns.map(col): _*)
   }
 
   /** Position-preserving, NULL-safe content fingerprint over a set of

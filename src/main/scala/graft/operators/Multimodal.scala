@@ -44,7 +44,11 @@ object Multimodal {
         length(col(textCol).cast("binary")).cast("long").as("n_bytes"),
         lit(16000).as("sample_rate")).as("meta"))
 
-  /** The stub "decode": deterministic features of the raw bytes.
+  /** The stub "decode": deterministic features of the raw BYTES
+    * (UTF-8). Note for oracle authors: byte semantics equal character
+    * semantics only for ASCII payloads (true of the harness corpus);
+    * a non-ASCII corpus needs a byte-based oracle (octet_length over
+    * the encoded blob), not length()/ascii().
     * Swap this body for a real codec (image decode, resample, frame
     * sample) — the contract (bytes in, fixed-width features out) and
     * everything downstream stay unchanged. */

@@ -35,7 +35,10 @@ object NearDup {
     * detector reads it 3+ times (sizes, both sides of the candidate
     * join, verification); shingle generation is the expression-dense
     * part and should run once. Scan parallelism is widened first
-    * (Tables.scaled) so the n-gram work spreads across cores. */
+    * (Tables.scaled) so the n-gram work spreads across cores.
+    * Cache lifetime is the session's (lazy results can't unpersist
+    * behind the caller); long-lived sessions mixing many corpora
+    * should spark.catalog.clearCache() between workloads. */
   private def postings(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     graft.sources.Tables.scaled(df)
       .select(col(idCol).as("__id"),
@@ -54,7 +57,11 @@ object NearDup {
         val rare = post0.groupBy("__sh").count().where(col("count") <= maxDf).select("__sh")
         post0.join(rare, "__sh")
       }
-    val sizes = post.groupBy("__id").agg(count(lit(1)).as("__sz"))
+    // Set sizes come from the UNFILTERED postings: the stop-shingle
+    // filter may only shrink the candidate/intersection side (recall
+    // cost), never the denominators — sizing from the filtered set
+    // would inflate Jaccard above its true value (precision bug).
+    val sizes = post0.groupBy("__id").agg(count(lit(1)).as("__sz"))
     val inter = post.as("a").join(post.as("b"), "__sh")
       .where(col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))

@@ -23,6 +23,8 @@ object RangeJoin {
                       leftTs: String, leftId: String,
                       rightTs: String, rightId: String,
                       tolSeconds: Long): DataFrame = {
+    require(tolSeconds > 0,
+      "tolSeconds must be positive (bucket width; div-by-zero otherwise)")
     val lEpoch = unix_timestamp(col(leftTs))
     val rEpoch = unix_timestamp(col(rightTs))
     val l = left.select(col(key).as("__k"), col(leftId).as("left_id"),

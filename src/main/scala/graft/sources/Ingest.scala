@@ -84,11 +84,15 @@ object Ingest {
     * reference's lowercase+strip normalizer,
     * scripts/normalize_bronze_columns.py:97-124): lowercase, spaces
     * and separator punctuation collapsed to underscores. */
-  def sanitizeColumns(df: DataFrame): DataFrame =
-    df.select(df.columns.map { c =>
-      col(s"`$c`").as(
-        c.toLowerCase.replaceAll("[ ,;.{}()=/]+", "_").replaceAll("^_|_$", ""))
-    }: _*)
+  def sanitizeColumns(df: DataFrame): DataFrame = {
+    val renamed = df.columns.map { c =>
+      c -> c.toLowerCase.replaceAll("[ ,;.{}()=/]+", "_").replaceAll("^_+|_+$", "")
+    }
+    val dupes = renamed.groupBy(_._2).filter(_._2.length > 1).keys
+    require(dupes.isEmpty,
+      s"sanitized column names collide: ${dupes.mkString(", ")}")
+    df.select(renamed.map { case (o, n) => col(s"`$o`").as(n) }: _*)
+  }
 
   /** File-name metadata column (S4) — Spark 4's `_metadata.file_path`
     * replaces 3.x `input_file_name()`

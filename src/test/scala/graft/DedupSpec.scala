@@ -32,6 +32,21 @@ class DedupSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("skew-safe dedup keeps NULL-key groups like the window variant") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", Some(5L)),
+      (2L, "2024-01-02 00:00:00", None: Option[Long]),
+      (3L, "2024-01-03 00:00:00", None: Option[Long])
+    ).toDF("event_id", "ts_s", "user_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val a = Dedup.latestByKey(df, Seq("user_id"),
+      Seq(col("ts").desc, col("event_id").desc))
+    val b = Dedup.latestByKeySkewSafe(df, Seq("user_id"),
+      struct(col("ts"), col("event_id")))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(b.count() == 2) // one for user 5, one for the NULL-key group
+  }
+
   test("content fingerprint is NULL-position-preserving (no concat_ws collapse)") {
     val df = Seq(
       (1L, Some("a"), None: Option[String]),

@@ -23,6 +23,16 @@ class VectorFnsSpec extends AnyFunSuite {
     assert(rows.head._1 == 32.0)
   }
 
+  test("length-mismatched arrays yield NULL (zip_with twin semantics)") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f))).toDF("a", "b")
+    assert(df.select(VectorFns.dot(col("a"), col("b"))).head.isNullAt(0))
+  }
+
+  test("zero-norm vectors give NULL cosine, never NaN") {
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(VectorFns.cosine(col("a"), col("b"))).head.isNullAt(0))
+  }
+
   test("dot product is null-safe") {
     val df = Seq(
       (Some(Seq(1.0f)), None: Option[Seq[Float]])
