@@ -236,6 +236,45 @@ object RegistryCore {
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy("event_type")),
 
+    // Beyond-reference: ROLLUP hierarchy totals (region -> nation ->
+    // grand total) with grouping-null markers coalesced for oracle
+    // portability.
+    "a9_rollup" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+          col("n_customers"))
+        .orderBy("region_name", "nation_name")),
+
+    // Beyond-reference: PIVOT event types into columns (explicit value
+    // list keeps the output schema deterministic).
+    "a10_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        // empty combinations: pivot yields NULL, a COUNT(CASE) oracle
+        // yields 0 — normalize to 0
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("day")),
+
+    // Beyond-reference: INTERSECT / EXCEPT set operators.
+    "u3_intersect_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cut = tsLit(o, "o_orderdate", "1998-01-01 00:00:00")
+      val early = o.where(col("o_orderdate") < cut).select("o_custkey")
+      val late = o.where(col("o_orderdate") >= cut).select("o_custkey")
+      val both = early.intersect(late)
+        .select(col("o_custkey"), lit("both_periods").as("cohort"))
+      val earlyOnly = early.except(late)
+        .select(col("o_custkey"), lit("early_only").as("cohort"))
+      both.unionByName(earlyOnly).orderBy("cohort", "o_custkey")
+    }),
+
     // As-of join (union+window composition — one shuffle, no nested
     // loop): each purchase matched to the user's latest preceding view.
     "j6_asof_join" -> ((s, dir) => {
@@ -426,6 +465,35 @@ object RegistryCore {
     "p2_column_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          ORDER BY l_orderkey, l_linenumber""",
+    "a9_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+                coalesce(n_name, 'ALL') AS nation_name,
+                count(*) AS n_customers
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY region_name, nation_name""",
+    "a10_pivot" ->
+      """SELECT cast(date_trunc('day', ts) AS DATE) AS day,
+                count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                count(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
+         FROM events GROUP BY 1 ORDER BY day""",
+    "u3_intersect_except" ->
+      """WITH early AS (SELECT o_custkey FROM orders
+                        WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+            late AS (SELECT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+         SELECT o_custkey, cohort FROM (
+           SELECT o_custkey, 'both_periods' AS cohort
+           FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+           UNION ALL
+           SELECT o_custkey, 'early_only'
+           FROM (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late))
+         ORDER BY cohort, o_custkey""",
     "j6_asof_join" ->
       """SELECT p.user_id, p.event_id,
                 (SELECT v.event_id FROM events v

@@ -70,6 +70,14 @@ object RegistryLlm {
       TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Corpus token frequencies: explode (lateral view) + top-k LIMIT.
+    "llm_token_frequencies" -> ((s, dir) =>
+      Tables.scaled(docs(s, dir))
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)),
+
     // Rolling-hash + md5 document fingerprints.
     "llm_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
@@ -220,6 +228,13 @@ object RegistryLlm {
                      // (2 * greatest(len(toks), 1)) AS DOUBLE) / 1000000.0
                   AS mean_token_len
          FROM t ORDER BY doc_id""",
+    "llm_token_frequencies" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+             AS token
+           FROM documents)
+         SELECT token, count(*) AS n FROM toks
+         GROUP BY token ORDER BY n DESC, token LIMIT 20""",
     "llm_fingerprints" ->
       """SELECT doc_id,
                 coalesce(list_reduce(
