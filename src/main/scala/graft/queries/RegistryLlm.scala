@@ -70,6 +70,46 @@ object RegistryLlm {
       TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Custom typed Aggregator: bounded-heap top-3 events by value per
+    // user — O(k) state, map-side combinable; oracle is the window
+    // formulation it replaces at scale.
+    "w3_topk_aggregator" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAggregator(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(topk(col("value"), col("event_id")).as("top"))
+        .select(col("user_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+        .select(col("user_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("entry._2").as("event_id"), col("entry._1").as("value"))
+        .orderBy("user_id", "rank")
+    }),
+
+    // Exact quality-score percentile thresholds per language — the
+    // quality-cutoff selection step of a filtering pipeline. Computed
+    // over integer micro-units so type-7 interpolation is exact dyadic
+    // arithmetic in both engines (bit-identical without rounding).
+    "llm_quality_percentiles" -> ((s, dir) => {
+      val units = (TextAnalysis.qualityScore(col("text")).cast("decimal(18,6)") *
+        1000000).cast("long")
+      docs(s, dir)
+        .select(col("lang"), units.as("__u"))
+        .groupBy("lang")
+        .agg(
+          expr("percentile(__u, 0.25)").as("__p25"),
+          expr("percentile(__u, 0.5)").as("__p50"),
+          expr("percentile(__u, 0.75)").as("__p75"),
+          count(lit(1)).as("n_docs"))
+        .select(col("lang"),
+          (col("__p25") / 1000000.0).as("p25"),
+          (col("__p50") / 1000000.0).as("p50"),
+          (col("__p75") / 1000000.0).as("p75"),
+          col("n_docs"))
+        .orderBy("lang")
+    }),
+
     // Corpus token frequencies: explode (lateral view) + top-k LIMIT.
     "llm_token_frequencies" -> ((s, dir) =>
       Tables.scaled(docs(s, dir))
@@ -228,6 +268,34 @@ object RegistryLlm {
                      // (2 * greatest(len(toks), 1)) AS DOUBLE) / 1000000.0
                   AS mean_token_len
          FROM t ORDER BY doc_id""",
+    "w3_topk_aggregator" ->
+      """SELECT user_id, cast(rank AS INTEGER) AS rank, event_id, value FROM (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY value DESC, event_id ASC) AS rank
+           FROM events)
+         WHERE rank <= 3 ORDER BY user_id, rank""",
+    "llm_quality_percentiles" -> {
+      // same score formula as llm_quality_score, in micro-units
+      val unitsSql =
+        """cast(cast(round(greatest(least(
+             least(cast(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+             (1.0 - least(
+               cast(length(lower(text)) -
+                    length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+               / greatest(cast(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3 +
+             cast(len(list_intersect(
+               list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')),
+               ['the','a','of','and','to','in','is'])) AS DOUBLE) / 7.0 * 0.3,
+             1.0), 0.0), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"""
+      s"""WITH u AS (SELECT lang, $unitsSql AS units FROM documents)
+          SELECT lang,
+                 quantile_cont(units, 0.25) / 1000000.0 AS p25,
+                 quantile_cont(units, 0.5) / 1000000.0 AS p50,
+                 quantile_cont(units, 0.75) / 1000000.0 AS p75,
+                 count(*) AS n_docs
+          FROM u GROUP BY lang ORDER BY lang"""
+    },
     "llm_token_frequencies" ->
       """WITH toks AS (
            SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
