@@ -14,9 +14,15 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class TopKAggregator(k: Int)
   extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  require(k > 0, s"k must be positive, got $k")
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // java.lang.Double.compare ranks NaN above every double — the same
+  // NaN-greatest ordering Spark's DESC sort uses, keeping the
+  // equivalence to the window formulation even for NaN scores.
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val cmp = java.lang.Double.compare(a._1, b._1)
+    cmp > 0 || (cmp == 0 && a._2 < b._2)
+  }
 
   private def insert(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
     if (buf.length >= k && better(buf.last, in)) buf

@@ -36,8 +36,14 @@ object Dedup {
   /** Skew-safe variant: compute max(orderKey) per key with a
     * map-side-combinable aggregate, then inner-join back. Two shuffles
     * instead of one, but the reduce-side state per key is O(1) instead
-    * of O(rows-per-key). `orderCol` must totally order rows within a
-    * key (e.g. a struct of (ts, unique_id)).
+    * of O(rows-per-key).
+    *
+    * CONTRACT: `orderCol` must be NON-NULL and a total order within a
+    * key. Use a struct with a non-null unique tiebreaker —
+    * `struct(ts, unique_id)` satisfies both even when ts itself is
+    * NULL (a struct with a NULL field is not a NULL struct). A bare
+    * nullable column would match every row of an all-NULL group via
+    * the null-safe join and return duplicates.
     */
   def latestByKeySkewSafe(df: DataFrame, keys: Seq[String], orderCol: Column): DataFrame = {
     val tagged = df.withColumn("__ord", orderCol)

@@ -56,13 +56,13 @@ object Incremental {
   def notInExisting(src: DataFrame, existing: DataFrame,
                     srcKey: String, existingKey: String): DataFrame = {
     val k = col(existingKey)
-    // limit(1) probes short-circuit: emptiness stops at the first row
-    // of the first file; the null probe pushes IsNull into the scan,
-    // so parquet null-count statistics skip whole row groups — neither
-    // probe pays a full pass over a 100 TB `existing`.
-    val isEmpty = existing.select(k).limit(1).count() == 0L
-    if (isEmpty) src
-    else if (existing.where(k.isNull).limit(1).count() > 0L) src.limit(0)
+    // isEmpty probes short-circuit via take(1)'s incremental partition
+    // scan: emptiness stops at the first row found; the null probe
+    // pushes IsNull into the scan, so parquet null-count statistics
+    // skip whole row groups — neither probe pays a full pass over a
+    // 100 TB `existing`.
+    if (existing.select(k).isEmpty) src
+    else if (!existing.where(k.isNull).isEmpty) src.limit(0)
     else {
       val keys = existing.select(k.as("__k")).distinct()
       src.where(col(srcKey).isNotNull)

@@ -79,6 +79,9 @@ object RegistryLlm {
           org.apache.spark.sql.Encoders.scalaDouble,
           org.apache.spark.sql.Encoders.scalaLong))
       Tables.load(s, dir, "events")
+        // the non-nullable tuple encoder cannot decode NULL scores;
+        // oracle filters identically
+        .where(col("value").isNotNull)
         .groupBy("user_id")
         .agg(topk(col("value"), col("event_id")).as("top"))
         .select(col("user_id"), posexplode(col("top")).as(Seq("pos", "entry")))
@@ -273,7 +276,7 @@ object RegistryLlm {
            SELECT user_id, event_id, value,
                   row_number() OVER (PARTITION BY user_id
                     ORDER BY value DESC, event_id ASC) AS rank
-           FROM events)
+           FROM events WHERE value IS NOT NULL)
          WHERE rank <= 3 ORDER BY user_id, rank""",
     "llm_quality_percentiles" -> {
       // same score formula as llm_quality_score, in micro-units

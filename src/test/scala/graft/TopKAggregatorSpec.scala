@@ -24,6 +24,19 @@ class TopKAggregatorSpec extends AnyFunSuite {
     assert(out(2L) == Seq((3.0, 20L)))
   }
 
+  test("NaN ranks first, matching Spark's NaN-greatest DESC ordering") {
+    val df = Seq((1L, Double.NaN, 1L), (1L, 5.0, 2L), (1L, 7.0, 3L))
+      .toDF("k", "score", "id")
+    val out = df.groupBy("k").agg(topk(col("score"), col("id")).as("top"))
+      .select("top").as[Seq[(Double, Long)]].head()
+    assert(out.map(_._2) == Seq(1L, 3L)) // NaN first, then 7.0
+    assert(out.head._1.isNaN)
+  }
+
+  test("k = 0 is rejected at construction") {
+    intercept[IllegalArgumentException] { new TopKAggregator(0) }
+  }
+
   test("empty groups never appear; k larger than group size returns all") {
     val df = Seq((1L, 2.0, 1L)).toDF("k", "score", "id")
     val out = df.groupBy("k").agg(topk(col("score"), col("id")).as("top"))
