@@ -236,6 +236,25 @@ object RegistryCore {
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy("event_type")),
 
+    // Beyond-reference: gap-based sessionization (lag + running sum of
+    // session-break flags — two window passes over ONE key shuffle).
+    "w4_sessionization" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = t(s, dir, "events")
+        .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("__brk",
+          when(col("__prev").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("__prev")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("__brk")).over(byUser))
+      ev.groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+            .as("duration_seconds"))
+        .orderBy("user_id", "session_seq")
+    }),
+
     // Beyond-reference: ROLLUP hierarchy totals (region -> nation ->
     // grand total) with grouping-null markers coalesced for oracle
     // portability.
@@ -465,6 +484,26 @@ object RegistryCore {
     "p2_column_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          ORDER BY l_orderkey, l_linenumber""",
+    "w4_sessionization" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR cast(floor(epoch(ts)) AS BIGINT)
+                            - cast(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM flagged)
+         SELECT user_id, cast(session_seq AS BIGINT) AS session_seq,
+                count(*) AS n_events,
+                cast(floor(epoch(max(ts))) AS BIGINT)
+                  - cast(floor(epoch(min(ts))) AS BIGINT) AS duration_seconds
+         FROM sessions GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
     "a9_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region_name,
                 coalesce(n_name, 'ALL') AS nation_name,

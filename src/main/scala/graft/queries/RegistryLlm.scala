@@ -121,6 +121,32 @@ object RegistryLlm {
         .orderBy(col("n").desc, col("token"))
         .limit(20)),
 
+    // TF-IDF top terms per document — one token shuffle feeds tf,
+    // doc-length and document-frequency; corpus size is a collected
+    // scalar (tiny aggregate, same shape as the watermark).
+    "llm_tfidf_top_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.scaled(docs(s, dir))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+        .cache()
+      val nDocs = docs(s, dir).count()
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      val len = toks.groupBy("doc_id").agg(count(lit(1)).as("__len"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(len, "doc_id").join(broadcast(dfq), "term")
+        .withColumn("tfidf",
+          round((col("cnt").cast("double") / col("__len")) *
+            log(lit(nDocs.toDouble) / col("__df")), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("int").as("rank"),
+          col("term"), col("tfidf"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // Rolling-hash + md5 document fingerprints.
     "llm_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
@@ -299,6 +325,27 @@ object RegistryLlm {
                  count(*) AS n_docs
           FROM u GROUP BY lang ORDER BY lang"""
     },
+    "llm_tfidf_top_terms" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+                    AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         len AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS nd FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+                  round((cast(tf.cnt AS DOUBLE) / len.len) *
+                        ln(cast(n.nd AS DOUBLE) / dfq.df), 6) AS tfidf
+           FROM tf JOIN len ON tf.doc_id = len.doc_id
+                   JOIN dfq ON tf.term = dfq.term
+                   CROSS JOIN n)
+         SELECT doc_id, cast(rank AS INTEGER) AS rank, term, tfidf FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term ASC) AS rank FROM scored)
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
     "llm_token_frequencies" ->
       """WITH toks AS (
            SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
