@@ -236,6 +236,36 @@ object RegistryCore {
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy("event_type")),
 
+    // Beyond-reference: explicit window frame (ROWS BETWEEN 6 PRECEDING)
+    // rolling 7-day average, exact via integer micro-units.
+    "w5_rolling_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg((sum(col("value").cast("decimal(18,6)")) * 1000000).cast("long")
+          .as("__units"))
+      val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("__wsum", sum(col("__units")).over(w))
+        .withColumn("__wn", count(lit(1)).over(w))
+        .select(col("day"),
+          (col("__units").cast("double") / 1000000.0).as("day_total"),
+          expr("cast((2 * __wsum + __wn) div (2 * __wn) as double) / 1000000.0")
+            .as("rolling_avg_7d"))
+        .orderBy("day")
+    }),
+
+    // Beyond-reference: rank / dense_rank over genuine ties.
+    "w6_rank_dense" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_nationkey").asc)
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("dense_rnk"))
+        .orderBy("c_custkey")
+    }),
+
     // Beyond-reference: gap-based sessionization (lag + running sum of
     // session-break flags — two window passes over ONE key shuffle).
     "w4_sessionization" -> ((s, dir) => {
@@ -484,6 +514,29 @@ object RegistryCore {
     "p2_column_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          ORDER BY l_orderkey, l_linenumber""",
+    "w5_rolling_avg" ->
+      """WITH daily AS (
+           SELECT cast(date_trunc('day', ts) AS DATE) AS day,
+                  cast(sum(cast(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS units
+           FROM events GROUP BY 1),
+         framed AS (
+           SELECT day, units,
+                  cast(sum(units) OVER (ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS wsum,
+                  count(*) OVER (ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS wn
+           FROM daily)
+         SELECT day, cast(units AS DOUBLE) / 1000000.0 AS day_total,
+                cast((2 * wsum + wn) // (2 * wn) AS DOUBLE) / 1000000.0
+                  AS rolling_avg_7d
+         FROM framed ORDER BY day""",
+    "w6_rank_dense" ->
+      """SELECT c_custkey, c_mktsegment, c_nationkey,
+                cast(rank() OVER w AS INTEGER) AS rnk,
+                cast(dense_rank() OVER w AS INTEGER) AS dense_rnk
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_nationkey ASC)
+         ORDER BY c_custkey""",
     "w4_sessionization" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id,
