@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Side-effecting registry queries (table writes, state files,
+  * streaming sinks) must be idempotent under repeated invocation in
+  * ONE session — the driver is free to call a query more than once. */
+class IdempotenceSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def runTwice(name: String): Unit = {
+    val fn = SparkEntry.queries(name)
+    val first = fn(spark, sfDir).collect()
+    val second = fn(spark, sfDir).collect()
+    assert(first.sameElements(second), s"$name diverged across invocations")
+    assert(first.nonEmpty, s"$name returned no rows")
+  }
+
+  test("bucketed-join query is re-runnable (managed tables recreated)") {
+    runTwice("j1_bucketed_colocated_join")
+  }
+
+  test("incremental-file query is re-runnable (state store merge is idempotent)") {
+    runTwice("s5_incremental_files")
+  }
+
+  test("streaming query is re-runnable (nonced sink + checkpoint)") {
+    runTwice("stream_daily_counts")
+  }
+
+  test("two-run pipeline query is re-runnable (materializations overwritten)") {
+    runTwice("pipeline_incremental_run")
+  }
+}
