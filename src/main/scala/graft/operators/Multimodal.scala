@@ -65,6 +65,42 @@ object Multimodal {
     }
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_len", LongType, nullable = false),
+    StructField("frame_md5", StringType, nullable = false),
+    StructField("resized_md5", StringType, nullable = false)))
+
+  /** Frame sampling + "resize" over the binary payload — the video/
+    * audio verbs of the multimodal family with the codec stubbed: the
+    * payload is sliced into fixed-width frames, every `sampleEvery`-th
+    * frame kept, and each frame "resized" (padded to the fixed width
+    * with 0x20 — the stand-in for a real resample/resize kernel).
+    * Slicing/sampling/batching are the real executor-side plumbing;
+    * only the kernel is fake. */
+  def frameSample(spark: SparkSession, media: DataFrame,
+                  frameBytes: Int = 64, sampleEvery: Int = 3): DataFrame = {
+    require(frameBytes > 0 && sampleEvery > 0)
+    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+    media.select("media_id", "media").mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        (0 until (bytes.length + frameBytes - 1) / frameBytes)
+          .filter(_ % sampleEvery == 0)
+          .map { i =>
+            val frame = bytes.slice(i * frameBytes, (i + 1) * frameBytes)
+            val resized = frame.padTo(frameBytes, ' '.toByte)
+            Row(id, i, frame.length.toLong,
+              hex(md.digest(frame)), hex(md.digest(resized)))
+          }
+      }
+    }(enc)
+  }
+
   /** Batched per-partition feature extraction — the `mapInPandas`
     * analog. Executors stream partition rows through the decoder in
     * fixed-size batches (bounded memory regardless of partition

@@ -183,6 +183,15 @@ object RegistryLlm {
           Multimodal.attachMedia(docs(s, dir), "doc_id", "text"))
         .orderBy("media_id")),
 
+    // Multimodal frame-sample + resize (video/audio verb shape with a
+    // stubbed kernel): slice payload into 64-byte frames, keep every
+    // 3rd, pad-to-width "resize".
+    "multimodal_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(s,
+          Multimodal.attachMedia(docs(s, dir), "doc_id", "text"),
+          frameBytes = 64, sampleEvery = 3)
+        .orderBy("media_id", "frame_idx")),
+
     // Structured Streaming (AvailableNow) daily tumbling-window counts.
     "stream_daily_counts" -> ((s, dir) =>
       StreamingOps.dailyEventCounts(s, dir)
@@ -440,6 +449,18 @@ object RegistryLlm {
                     i -> cast(ascii(substr(text, cast(i AS INTEGER), 1)) AS BIGINT)),
                   (acc, x) -> (acc * 131 + x) % 1000000007), 0) AS checksum
          FROM documents ORDER BY media_id""",
+    "multimodal_frame_sample" ->
+      """WITH idx AS (SELECT unnest(range(0, 16)) AS frame_idx),
+         frames AS (
+           SELECT doc_id, cast(frame_idx AS INTEGER) AS frame_idx,
+                  substr(text, cast(frame_idx * 64 + 1 AS INTEGER), 64) AS frame
+           FROM documents CROSS JOIN idx
+           WHERE frame_idx * 64 < length(text) AND frame_idx % 3 = 0)
+         SELECT cast(doc_id AS BIGINT) AS media_id, frame_idx,
+                cast(length(frame) AS BIGINT) AS frame_len,
+                md5(frame) AS frame_md5,
+                md5(rpad(frame, 64, ' ')) AS resized_md5
+         FROM frames ORDER BY media_id, frame_idx""",
     "stream_daily_counts" ->
       """SELECT cast(date_trunc('day', ts) AS DATE) AS report_date, event_type,
                 count(*) AS n_events
