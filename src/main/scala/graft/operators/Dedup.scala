@@ -63,14 +63,14 @@ object Dedup {
     * columns. Each column is cast to string and NULLs are replaced by a
     * sentinel that also encodes "was null", so ("a", null) and
     * (null, "a") hash differently, and ("a b","c") vs ("a","b c")
-    * cannot collide (the separator  never occurs in the data).
+    * cannot collide (the separator U+0001 never occurs in the data).
     * Portable: the same expression is expressible in ANSI SQL
     * (concat_ws(chr(1), coalesce(...))), so a DuckDB oracle can
     * recompute it exactly.
     */
   def contentFingerprint(contentCols: Seq[String]): Column =
-    md5(concat_ws("",
-      contentCols.map(c => coalesce(col(c).cast("string"), lit("N"))): _*))
+    md5(concat_ws("\u0001",
+      contentCols.map(c => coalesce(col(c).cast("string"), lit("\u0001N"))): _*))
 
   /** Exact duplicate removal by content hash (extension operator —
     * builder-prompt dedup family). Keeps the row with the minimum
