@@ -19,6 +19,21 @@ object RegistryCore {
   private type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Bucketed-table name prefix carries the SF dir: ensureBucketed
+    * skips existing tables, so the name must pin WHICH data they hold. */
+  private def bucketPrefix(dir: String): String =
+    "graft_bkt_" + dir.replaceAll("[^A-Za-z0-9]+", "_")
+
+  /** One-time bucketing ETL for the co-located join demo — callable
+    * from benchmark warm-up so the join query measures the join
+    * (VERDICT r2 #8), while the query itself stays self-sufficient. */
+  def prepareBucketed(s: SparkSession, dir: String): Unit = {
+    graft.operators.Colocate.ensureBucketed(
+      t(s, dir, "lineitem"), bucketPrefix(dir) + "_l", "l_orderkey", 8)
+    graft.operators.Colocate.ensureBucketed(
+      t(s, dir, "orders"), bucketPrefix(dir) + "_r", "o_orderkey", 8)
+  }
+
   /** Literal-of-timestamp-kind helper: keeps comparisons valid whether
     * the column decoded as TIMESTAMP or TIMESTAMP_NTZ. */
   private def tsLit(df: DataFrame, c: String, v: String): Column =
@@ -363,7 +378,7 @@ object RegistryCore {
       val joined = graft.operators.Colocate.bucketedJoin(s,
         t(s, dir, "lineitem"), "l_orderkey",
         t(s, dir, "orders"), "o_orderkey",
-        buckets = 8, tablePrefix = "graft_bkt")
+        buckets = 8, tablePrefix = bucketPrefix(dir))
       joined.groupBy("o_orderstatus")
         .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{Medallion, Tables}
 import graft.models.RealEstate
 import graft.operators.Quality
 
@@ -12,6 +12,13 @@ import graft.operators.Quality
   * Spark-first over the harness star schema, plus the scalar-function
   * family queries (F1–F8) and the dbt-test-equivalent quality report.
   *
+  * Every model query routes through the DURABLE catalog
+  * ([[Medallion]]): the chain is materialized once per session as
+  * bronze/silver/gold external parquet tables and each query reads
+  * `spark.table("<db>.<model>")` — the reference's
+  * `SELECT * FROM gold.fct_properties` surface
+  * (dbt/dbt_project.yml:20-23).
+  *
   * The DuckDB oracles share one CTE prefix ([[chainSql]]) that mirrors
   * [[RealEstate.rawListings]] + [[RealEstate.silver]] expression for
   * expression.
@@ -19,15 +26,18 @@ import graft.operators.Quality
 object RegistryGold {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** Silver layer, CACHED: the reference materializes each medallion
-    * layer as a table; the Spark-native analog is caching the silver
-    * frame so the dims, facts, summaries and quality checks that read
-    * it (within and across queries in one session) share one
-    * materialization instead of re-running the regex-dense cleaning. */
-  private def silver(s: SparkSession, dir: String): DataFrame =
-    RealEstate.silver(RealEstate.rawListings(
-      Tables.load(s, dir, "orders"), Tables.load(s, dir, "customer"),
-      Tables.load(s, dir, "nation"), Tables.load(s, dir, "region"))).cache()
+  /** Silver layer via the durable catalog: materialized once per
+    * session as silver.stg_properties (the reference materializes each
+    * medallion layer as a table), read back for every consumer. */
+  private def silver(s: SparkSession, dir: String): DataFrame = {
+    Medallion.ensureMaterialized(s, dir)
+    s.table("silver.stg_properties")
+  }
+
+  private def gold(s: SparkSession, dir: String, table: String): DataFrame = {
+    Medallion.ensureMaterialized(s, dir)
+    s.table(s"gold.$table")
+  }
 
   /** Shared oracle CTE: raw listing synthesis + silver cleaning,
     * column-for-column the SQL twin of the Scala transforms. */
@@ -141,29 +151,35 @@ object RegistryGold {
         .orderBy("property_id")),
 
     "gold_dim_locations" -> ((s, dir) =>
-      RealEstate.dimLocations(silver(s, dir)).orderBy("location_id")),
+      gold(s, dir, "dim_locations").orderBy("location_id")),
 
     "gold_dim_legal_status" -> ((s, dir) =>
-      RealEstate.dimLegalStatus(silver(s, dir)).orderBy("legal_status_id")),
+      gold(s, dir, "dim_legal_status").orderBy("legal_status_id")),
 
     "gold_dim_properties" -> ((s, dir) =>
-      RealEstate.dimProperties(silver(s, dir)).orderBy("property_id")),
+      gold(s, dir, "dim_properties").orderBy("property_id")),
 
-    "gold_fct_properties" -> ((s, dir) => {
-      val sv = silver(s, dir)
-      RealEstate.fctProperties(sv,
-          RealEstate.dimLocations(sv), RealEstate.dimLegalStatus(sv))
-        .orderBy("property_id")
-    }),
+    "gold_fct_properties" -> ((s, dir) =>
+      gold(s, dir, "fct_properties").orderBy("property_id")),
 
-    "gold_fct_daily_summary" -> ((s, dir) => {
-      val sv = silver(s, dir)
-      RealEstate.fctDailySummary(RealEstate.fctProperties(sv,
-        RealEstate.dimLocations(sv), RealEstate.dimLegalStatus(sv)))
-    }),
+    "gold_fct_daily_summary" -> ((s, dir) =>
+      gold(s, dir, "fct_daily_summary").orderBy(col("date_key").desc)),
 
     "gold_dq_report" -> ((s, dir) =>
-      RealEstate.dataQualityReport(silver(s, dir))),
+      gold(s, dir, "fct_data_quality_report")
+        .orderBy(col("report_date").desc, col("data_quality_flag"))),
+
+    // The catalog surface itself as a witness: the three databases
+    // exist and every model is a named, queryable table with the row
+    // count the chain predicts (dbt_project.yml:20-23 routing).
+    "catalog_tables" -> ((s, dir) => {
+      Medallion.ensureMaterialized(s, dir)
+      import s.implicits._
+      Medallion.tables
+        .map { case (db, t, _) => (db, t, s.table(s"$db.$t").count()) }
+        .toDF("database", "table_name", "n_rows")
+        .orderBy("database", "table_name")
+    }),
 
     // F2: trim / initcap / lower normalization (stg_properties.sql:88-95).
     "f2_normalize_text" -> ((s, dir) =>
@@ -257,6 +273,26 @@ object RegistryGold {
                 count(floors) AS properties_with_floor_info
                FROM fct GROUP BY date_key)
          ORDER BY date_key DESC"""),
+    "catalog_tables" -> (chainSql +
+      """SELECT database, table_name, n_rows FROM (
+           SELECT 'bronze' AS database, 'raw_listings' AS table_name,
+                  count(*) AS n_rows FROM raw
+           UNION ALL
+           SELECT 'silver', 'stg_properties', count(*) FROM silver
+           UNION ALL
+           SELECT 'gold', 'dim_locations', count(*) FROM dim_loc
+           UNION ALL
+           SELECT 'gold', 'dim_legal_status', count(*) FROM dim_legal
+           UNION ALL
+           SELECT 'gold', 'dim_properties', count(DISTINCT property_id) FROM silver
+           UNION ALL
+           SELECT 'gold', 'fct_properties', count(*) FROM fct
+           UNION ALL
+           SELECT 'gold', 'fct_daily_summary', count(DISTINCT date_key) FROM fct
+           UNION ALL
+           SELECT 'gold', 'fct_data_quality_report', count(*)
+           FROM (SELECT DISTINCT date_key, data_quality_flag FROM silver))
+         ORDER BY database, table_name"""),
     "gold_dq_report" -> (chainSql +
       """SELECT report_date, data_quality_flag, record_count,
                 cast((2 * 100000000 * record_count + __total) // (2 * __total) AS DOUBLE)
