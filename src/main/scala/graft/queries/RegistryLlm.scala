@@ -37,9 +37,14 @@ object RegistryLlm {
         .orderBy("doc_id")
     }),
 
-    // Exact 4-gram-shingle Jaccard near-dup pairs via inverted index.
+    // Exact 4-gram-shingle Jaccard near-dup pairs via inverted index,
+    // with the corpus-derived stop-shingle cap ARMED (maxDf auto):
+    // bounds the Σ df² candidate join against a hot shingle while
+    // leaving results at these SFs bit-identical (max observed df ≪
+    // the cap's 64 floor).
     "llm_jaccard_pairs" -> ((s, dir) =>
-      NearDup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 4, tau = 0.5)
+      NearDup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 4, tau = 0.5,
+          maxDf = -1)
         .orderBy("id_a", "id_b")),
 
     // MinHash(64) + LSH(16 bands x 4 rows) candidates on bigram

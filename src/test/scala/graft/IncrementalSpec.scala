@@ -36,6 +36,22 @@ class IncrementalSpec extends AnyFunSuite {
     assert(Incremental.newerThanWatermark(s, empty, "ts", "ts").count() == 2)
   }
 
+  test("file-set join variant matches the In-list variant and plans no literal list") {
+    val base = "/tmp/graft_test_incr"
+    src.where(col("k") === 1).write.mode("overwrite").parquet(s"$base/f_a")
+    src.where(col("k") =!= 1 || col("k").isNull).write.mode("overwrite")
+      .parquet(s"$base/f_b")
+    val union = spark.read.parquet(s"$base/f_a", s"$base/f_b")
+    val processedPaths = spark.read.parquet(s"$base/f_a")
+      .select(col("_metadata.file_path")).distinct().as[String].collect().toSeq
+    val viaList = Incremental.unprocessedFiles(union, processedPaths)
+    val processedDf = processedPaths.toDF("path")
+    val viaJoin = Incremental.unprocessedFilesJoin(union, processedDf, "path")
+    assert(viaJoin.collect().toSet == viaList.collect().toSet)
+    val plan = viaJoin.queryExecution.executedPlan.toString()
+    assert(!plan.contains("file_path IN"), s"join variant leaked an In-list:\n$plan")
+  }
+
   test("watermark is strictly greater: the max row itself is excluded") {
     val s = Seq(("2024-01-01 00:00:00", 1), ("2024-01-02 00:00:00", 2),
       ("2024-01-03 00:00:00", 3))
