@@ -31,7 +31,9 @@ object Bench {
     // SPARK_GRAFT_BENCH_REPS > 1 reports the per-query MEDIAN of that
     // many runs — tames the documented ±40% host noise
     // (BENCH_NOTES.md) without hiding structure.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    // Malformed env value falls back to 1 instead of killing the bench.
+    val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").trim.toInt)
+      .getOrElse(1).max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -49,7 +51,9 @@ object Bench {
           }
         }
       }
-      if (runs.nonEmpty) {
+      // A query that succeeded on early reps but failed later is an
+      // ERROR, not a timing — never count the same query in both maps.
+      if (runs.nonEmpty && !errors.contains(name)) {
         val sorted = runs.sorted
         timings(name) = sorted(sorted.size / 2)
       }

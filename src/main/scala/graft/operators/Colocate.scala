@@ -34,9 +34,17 @@ object Colocate {
     * re-bucketing on every query invocation would charge the write to
     * every join. Callers must encode the data identity (e.g. the SF
     * dir) in `table` so a stale incarnation can't be reused. */
-  def ensureBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    if (!df.sparkSession.catalog.tableExists(table))
-      writeBucketed(df, table, key, buckets)
+  def ensureBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // A catalog entry alone is not proof of a usable table: a crash
+    // between DROP and saveAsTable, or warehouse files deleted out from
+    // under the catalog (/tmp cleanup), leaves an entry that fails
+    // every read. Validate with a cheap limit(1) scan and rebuild on
+    // any failure (ADVICE r3).
+    val usable = spark.catalog.tableExists(table) &&
+      scala.util.Try(spark.table(table).limit(1).collect()).isSuccess
+    if (!usable) writeBucketed(df, table, key, buckets)
+  }
 
   /** Bucket-align two frames on their join keys (idempotent setup) and
     * return the shuffle-free joined frame. */

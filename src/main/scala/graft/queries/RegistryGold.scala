@@ -159,8 +159,16 @@ object RegistryGold {
     "gold_dim_properties" -> ((s, dir) =>
       gold(s, dir, "dim_properties").orderBy("property_id")),
 
+    // partitionBy("date_key") physically moves the partition column to
+    // the END of the stored schema; re-select in the canonical
+    // RealEstate.fctProperties order so SELECT-*-shaped consumers (and
+    // any positional compare) see the reference shape (ADVICE r3).
     "gold_fct_properties" -> ((s, dir) =>
-      gold(s, dir, "fct_properties").orderBy("property_id")),
+      gold(s, dir, "fct_properties")
+        .select("property_id", "location_id", "legal_status_id", "date_key",
+          "price_in_billions", "area", "price_per_m2_millions", "floors",
+          "title", "region", "legal_status_category", "updated_at_ts")
+        .orderBy("property_id")),
 
     "gold_fct_daily_summary" -> ((s, dir) =>
       gold(s, dir, "fct_daily_summary").orderBy(col("date_key").desc)),

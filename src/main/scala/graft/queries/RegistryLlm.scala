@@ -245,6 +245,37 @@ object RegistryLlm {
         SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $tau
         ORDER BY id_a, id_b"""
 
+  /** Jaccard oracle that MIRRORS [[NearDup.jaccardPairs]]' armed
+    * stop-shingle cap (maxDf = -1 → cap = max(64, 2·⌈√N⌉)): shingles
+    * with df > cap are dropped from the INTERSECTION side while the
+    * denominators stay unfiltered — exactly the Spark semantics. The
+    * unfiltered [[jaccardOracle]] would silently diverge the moment a
+    * shingle's df exceeds the cap at a larger SF (ADVICE r3 medium).
+    * `capSqlOverride` exists for tests that force a tiny cap. */
+  private[queries] def jaccardOracleCapped(
+      n: Int, tau: Double,
+      capSqlOverride: String = ""): String = {
+    val capSql =
+      if (capSqlOverride.nonEmpty) capSqlOverride
+      else "greatest(64, 2 * cast(ceil(sqrt(count(*))) AS BIGINT))"
+    s"""WITH ${shingleCte(n)},
+        posts AS (SELECT doc_id, unnest(ts) AS s FROM sh),
+        hot AS (SELECT coalesce(list(s), []) AS hs
+                FROM (SELECT s FROM posts GROUP BY s
+                      HAVING count(*) > (SELECT $capSql FROM documents))),
+        shf AS (SELECT doc_id, ts,
+                       list_filter(ts, x -> NOT list_contains(hot.hs, x)) AS tsf
+                FROM sh, hot),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(cast(len(list_intersect(a.tsf, b.tsf)) AS DOUBLE) /
+                       (len(a.ts) + len(b.ts) - len(list_intersect(a.tsf, b.tsf))), 6)
+                   AS jaccard
+          FROM shf a JOIN shf b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $tau
+        ORDER BY id_a, id_b"""
+  }
+
   val oracles: Map[String, String] = Map(
     "llm_exact_dedup" ->
       """WITH u AS (
@@ -261,7 +292,7 @@ object RegistryLlm {
                   row_number() OVER (PARTITION BY f ORDER BY doc_id ASC) AS rn
            FROM fp)
          SELECT doc_id, lang FROM keep WHERE rn = 1 ORDER BY doc_id""",
-    "llm_jaccard_pairs" -> jaccardOracle(4, 0.5),
+    "llm_jaccard_pairs" -> jaccardOracleCapped(4, 0.5),
     "llm_minhash_pairs" -> jaccardOracle(2, 0.8),
     "llm_lang_id" -> {
       val profiles = TextAnalysis.langProfiles

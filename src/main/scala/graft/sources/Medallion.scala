@@ -117,8 +117,26 @@ object Medallion {
   def register(spark: SparkSession, sfDir: String): Unit = {
     databases.foreach(db => spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
     tables.foreach { case (db, table, partitioned) =>
+      val expected = loc(sfDir, db, table)
+      // CREATE TABLE IF NOT EXISTS silently keeps a pre-existing
+      // entry's location — if the session's catalog already points at
+      // ANOTHER SF's warehouse, it would serve wrong-SF data with no
+      // error. Compare locations and drop/recreate on mismatch
+      // (external DROP never touches data files). (ADVICE r3)
+      if (spark.catalog.tableExists(s"$db.$table")) {
+        val current = scala.util.Try {
+          spark.sessionState.catalog
+            .getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
+            .location.getPath
+        }.getOrElse("")
+        val same = current.nonEmpty &&
+          new org.apache.hadoop.fs.Path(current).toString ==
+            new org.apache.hadoop.fs.Path(expected).toString
+        if (!same) spark.sql(s"DROP TABLE IF EXISTS $db.$table")
+      }
       spark.sql(s"""CREATE TABLE IF NOT EXISTS $db.$table
-                    USING PARQUET LOCATION '${loc(sfDir, db, table)}'""")
+                    USING PARQUET LOCATION '$expected'""")
       if (partitioned) spark.sql(s"MSCK REPAIR TABLE $db.$table")
       spark.sql(s"REFRESH TABLE $db.$table")
     }
