@@ -162,6 +162,16 @@ object RegistryIngest {
         .orderBy("l_orderkey")
     }),
 
+    // P1, the reference's literal production policy: full 38-entry
+    // Vietnamese→English map + drop-list + auto-name fallback +
+    // first-occurrence duplicate collapse + latest-wins list_id dedup
+    // (normalize_bronze_columns.py:11-50,88-129) over a synthesized
+    // messy bronze frame carrying every mapped column.
+    "p1_full_rename_map" -> ((s, dir) =>
+      graft.operators.RenameMap
+        .normalizeDedup(graft.operators.RenameMap.syntheticBronze(t(s, dir, "orders")))
+        .orderBy("list_id")),
+
     // The reference's daily incremental loop end-to-end (E1+E2 shape):
     // day-1 state materialized, day-2 increment selected by watermark
     // against the materialized state, MERGE'd, re-materialized, read
@@ -264,6 +274,7 @@ object RegistryIngest {
       """SELECT l_orderkey, count(*) AS n,
                 cast(sum(cast(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "p1_full_rename_map" -> graft.operators.RenameMap.syntheticOracleSql,
     "pipeline_incremental_run" ->
       """SELECT user_id, event_id, event_type, value FROM (
            SELECT *, row_number() OVER (PARTITION BY user_id
