@@ -10,9 +10,11 @@ import graft.models.RealEstate
   * extensions) is a named entry in [[queries]]; every entry with
   * engine-portable semantics has a DuckDB oracle in [[oracleSql]]
   * with IDENTICAL column names (the driver hash-compares after
-  * sorting columns by name). Entries without an oracle (engine-
-  * specific hashes: f5_hash_mod_key, llm_simhash_pairs) get the
-  * driver's weaker rows-only check, by design.
+  * sorting columns by name). Entries without an oracle get the
+  * driver's weaker rows-only check, by design — only where the output
+  * is an engine-private hash DuckDB cannot recompute:
+  * f5_hash_mod_key (Murmur3/xxhash64 keys are the point of the query)
+  * and a5_approx_distinct (HLL++ sketch estimates).
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -137,16 +137,28 @@ object NearDup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash per document from token frequencies. */
+  /** 64-bit SimHash per document from token frequencies.
+    *
+    * The per-token 64-bit hash is the first 16 hex chars of md5,
+    * split into two 32-bit halves (hi = chars 1-8, lo = chars 9-16) —
+    * md5 is recomputable by any engine, which upgrades the SimHash
+    * pair query from a rows-only check to a full hash-compared oracle
+    * (VERDICT r2 #7). xxhash64 would be marginally cheaper but is
+    * Spark-private. Bit extraction stays on the nonnegative 32-bit
+    * halves so no sign-extension semantics are ever in play. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = graft.sources.Tables.scaled(df)
       .select(col(idCol).as("__id"),
         explode(TextFns.tokens(col(textCol))).as("__t"))
       .groupBy("__id", "__t").agg(count(lit(1)).as("__w"))
-      .withColumn("__th", xxhash64(col("__t")))
+      .withColumn("__md5", md5(col("__t")))
+      .withColumn("__hi", conv(substring(col("__md5"), 1, 8), 16, 10).cast("long"))
+      .withColumn("__lo", conv(substring(col("__md5"), 9, 8), 16, 10).cast("long"))
     val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("__th"), b).bitwiseAND(1L) === 1L, col("__w"))
-        .otherwise(-col("__w"))).as(s"__s$b")
+      val bit =
+        if (b < 32) shiftright(col("__lo"), b).bitwiseAND(1L)
+        else shiftright(col("__hi"), b - 32).bitwiseAND(1L)
+      sum(when(bit === 1L, col("__w")).otherwise(-col("__w"))).as(s"__s$b")
     }
     val sigExpr = (0 until 64).map { b =>
       when(col(s"__s$b") > 0, lit(1L << b)).otherwise(0L)

@@ -16,8 +16,8 @@ import graft.streaming.StreamingOps
   * correctness scale); LSH candidate generation is tuned so recall at
   * the threshold is indistinguishable from 1 (planted near-dup pairs
   * in the corpus sit at J >= 0.96; miss probability < 1e-12).
-  * SimHash and Murmur3-keyed outputs are engine-specific and recorded
-  * as rows-only checks.
+  * SimHash signatures are md5-derived so DuckDB recomputes them
+  * bit-for-bit; only Murmur3/HLL-keyed outputs remain rows-only.
   */
 object RegistryLlm {
   private type Q = (SparkSession, String) => DataFrame
@@ -53,7 +53,9 @@ object RegistryLlm {
       NearDup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 2, tau = 0.8)
         .orderBy("id_a", "id_b")),
 
-    // SimHash Hamming<=3 pairs — engine-specific 64-bit hash: rows-only.
+    // SimHash Hamming<=3 pairs. The signature hash is md5-derived, so
+    // the DuckDB oracle recomputes it exactly (hash-checked, not
+    // rows-only).
     "llm_simhash_pairs" -> ((s, dir) =>
       NearDup.simhashPairs(docs(s, dir), "doc_id", "text", maxHd = 3)
         .orderBy("id_a", "id_b")),
@@ -276,7 +278,41 @@ object RegistryLlm {
         ORDER BY id_a, id_b"""
   }
 
+  /** DuckDB twin of [[NearDup.simhashPairs]]: same md5-derived
+    * per-token 64-bit hash (hi/lo 32-bit halves), same weighted bit
+    * sums, same signed 64-bit signature, hamming via bit_count(xor).
+    * All-pairs here (no band blocking) — blocking is LOSSLESS for
+    * hamming <= 3, so the exact answer is identical. */
+  private def simhashOracle(maxHd: Int): String = {
+    val bitSums = (0 until 64).map { b =>
+      val bit = if (b < 32) s"((lo >> $b) & 1)" else s"((hi >> ${b - 32}) & 1)"
+      s"sum(w * (2 * $bit - 1)) AS s$b"
+    }.mkString(", ")
+    val sigTerms = (0 until 64).map { b =>
+      val v = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+      s"CASE WHEN s$b > 0 THEN $v ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+          SELECT doc_id, t, count(*) AS w
+          FROM (SELECT doc_id,
+                       unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS t
+                FROM documents)
+          GROUP BY doc_id, t),
+        h AS (SELECT doc_id, w,
+                     ('0x' || substring(md5(t), 1, 8))::BIGINT AS hi,
+                     ('0x' || substring(md5(t), 9, 8))::BIGINT AS lo
+              FROM toks),
+        bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, $sigTerms AS simhash FROM bits),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         cast(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+                  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= $maxHd
+        ORDER BY id_a, id_b"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "llm_simhash_pairs" -> simhashOracle(3),
     "llm_exact_dedup" ->
       """WITH u AS (
            SELECT doc_id, text, lang FROM documents

@@ -25,7 +25,7 @@ class RegistrySpec extends AnyFunSuite {
 
   test("rows-only queries are the documented engine-hash exceptions only") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("f5_hash_mod_key", "llm_simhash_pairs",
-      "a5_approx_distinct"), s"unexpected rows-only set: $rowsOnly")
+    assert(rowsOnly == Set("f5_hash_mod_key", "a5_approx_distinct"),
+      s"unexpected rows-only set: $rowsOnly")
   }
 }
