@@ -199,9 +199,12 @@ object RegistryLlm {
           frameBytes = 64, sampleEvery = 3)
         .orderBy("media_id", "frame_idx")),
 
-    // Structured Streaming (AvailableNow) daily tumbling-window counts.
+    // Structured Streaming (AvailableNow) daily tumbling-window
+    // counts, through the PRODUCTION sink: executors write the
+    // aggregate to parquet via foreachBatch, the result is a batch
+    // read-back (memory sink demoted to tests).
     "stream_daily_counts" -> ((s, dir) =>
-      StreamingOps.dailyEventCounts(s, dir)
+      StreamingOps.dailyEventCountsToFiles(s, dir)
         .orderBy("report_date", "event_type")),
 
     // Stateful streaming dedup via mapGroupsWithState — O(1) state per

@@ -19,19 +19,17 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingOps {
 
-  /** Run the daily tumbling-window count over the events file source
-    * to completion (AvailableNow) and return the result as a batch
-    * DataFrame. Deterministic: same files in, same table out. */
-  def dailyEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared stream: events file source → watermark → 1-day
+    * tumbling window counts. Returns the streaming frame plus a
+    * per-invocation nonce for sink/checkpoint naming (repeated
+    * invocations in one session must not collide). */
+  private def dailyStream(spark: SparkSession, sfDir: String): (DataFrame, String) = {
     val path = s"$sfDir/events.parquet"
     // Harness events carry TIMESTAMP(NANOS) — stream them as long nanos
     // and rebuild the timestamp (see Tables.load).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
-    // Nonce keeps repeated invocations in one session from colliding
-    // on the memory-sink name or checkpoint dir.
-    val sinkName = "graft_stream_daily_" + System.nanoTime()
-    val ckpt = "/tmp/graft_stream_ckpt/" + sinkName
+    val nonce = "graft_stream_daily_" + System.nanoTime()
     // File stream sources take a directory; glob-filter to the one table.
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
@@ -43,15 +41,53 @@ object StreamingOps {
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
+    (stream, nonce)
+  }
+
+  private def finalShape(df: DataFrame): DataFrame =
+    df.select(col("w.start").cast("date").as("report_date"),
+      col("event_type"), col("n_events"))
+
+  /** Memory-sink variant (tests / interactive): run to completion and
+    * read the result table back on the driver. */
+  def dailyEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val (stream, nonce) = dailyStream(spark, sfDir)
     val q = stream.writeStream
-      .format("memory").queryName(sinkName)
+      .format("memory").queryName(nonce)
       .outputMode("complete")
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName)
-      .select(col("w.start").cast("date").as("report_date"),
-        col("event_type"), col("n_events"))
+    finalShape(spark.table(nonce))
+  }
+
+  /** File-sink variant (the production path, VERDICT r2 #6): results
+    * land as parquet written BY EXECUTORS — nothing is materialized on
+    * the driver — and the returned frame is a plain batch read of that
+    * directory.
+    *
+    * Why foreachBatch+complete and not the builtin append-mode file
+    * sink: append emits a window only once the watermark passes its
+    * END, and on a bounded AvailableNow run the watermark stops at
+    * max(event_time) − delay, which is always inside the last window —
+    * the final day would be silently dropped from the sink. For a
+    * windowed AGGREGATE whose state is small (days × event_types, a
+    * few thousand rows even at 100 TB of raw events), the correct file
+    * shape is the complete aggregate overwritten per micro-batch; the
+    * raw-event firehose is what append-mode file sinks are for. */
+  def dailyEventCountsToFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val (stream, nonce) = dailyStream(spark, sfDir)
+    val outDir = "/tmp/graft_stream_out/" + nonce
+    val q = stream.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        finalShape(batch).write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
   }
 }

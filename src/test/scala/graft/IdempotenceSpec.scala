@@ -31,4 +31,15 @@ class IdempotenceSpec extends AnyFunSuite {
   test("two-run pipeline query is re-runnable (materializations overwritten)") {
     runTwice("pipeline_incremental_run")
   }
+
+  test("memory-sink and file-sink streaming variants agree") {
+    import org.apache.spark.sql.functions.col
+    val order = Seq(col("report_date"), col("event_type"))
+    val mem = graft.streaming.StreamingOps.dailyEventCounts(spark, sfDir)
+      .orderBy(order: _*).collect()
+    val file = graft.streaming.StreamingOps.dailyEventCountsToFiles(spark, sfDir)
+      .orderBy(order: _*).collect()
+    assert(mem.nonEmpty && mem.sameElements(file),
+      "file-sink stream result diverged from memory-sink result")
+  }
 }
