@@ -53,6 +53,17 @@ object RegistryLlm {
       NearDup.minhashLshPairs(docs(s, dir), "doc_id", "text", n = 2, tau = 0.8)
         .orderBy("id_a", "id_b")),
 
+    // Near-dup CLUSTERS: pair detections closed under transitivity
+    // (connected components, min-id canonical per cluster) — the step
+    // that turns pairwise output into an actionable keep/drop set.
+    // Pair source is the scalable MinHash+LSH detector.
+    "llm_dup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = NearDup.minhashLshPairs(d, "doc_id", "text", n = 2, tau = 0.8)
+      graft.operators.Cluster.dupClusters(d, "doc_id", pairs, "id_a", "id_b")
+        .orderBy("doc_id")
+    }),
+
     // SimHash Hamming<=3 pairs. The signature hash is md5-derived, so
     // the DuckDB oracle recomputes it exactly (hash-checked, not
     // rows-only).
@@ -314,7 +325,31 @@ object RegistryLlm {
         ORDER BY id_a, id_b"""
   }
 
+  /** Cluster oracle: exact Jaccard pairs (same as the minhash
+    * oracle's pair set) closed into components by a recursive CTE
+    * (min reachable id per node), singletons = own cluster. */
+  private def dupClusterOracle(n: Int, tau: Double): String =
+    s"""WITH RECURSIVE ${shingleCte(n)},
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE round(cast(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+                      (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) >= $tau),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+        reach(node, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node),
+        label AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+        SELECT d.doc_id,
+               coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+               coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+        FROM documents d LEFT JOIN label l ON d.doc_id = l.node
+        ORDER BY d.doc_id"""
+
   val oracles: Map[String, String] = Map(
+    "llm_dup_clusters" -> dupClusterOracle(2, 0.8),
     "llm_simhash_pairs" -> simhashOracle(3),
     "llm_exact_dedup" ->
       """WITH u AS (
