@@ -80,4 +80,26 @@ object TextAnalysis {
       col(idCol),
       TextFns.rollingFingerprint(col(textCol)).as("rolling_fp"),
       md5(TextFns.normWs(col(textCol))).as("md5_fp"))
+
+  /** PII redaction patterns, restricted to the syntax subset Java
+    * regex and RE2 agree on (no lookaround, literal '-' last in
+    * classes) so the oracle replays them verbatim. Application order
+    * matters and is encoded in [[redactPii]]: URL before EMAIL
+    * (URLs may embed '@'), IPV4 before PHONE (an IP is digits and
+    * dots, which the phone pattern would otherwise swallow). */
+  val urlRe = "https?://[^ ]+"
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val phoneRe = "\\+?[0-9][0-9().-]{5,}[0-9]"
+
+  /** Sequential in-place masking: URL → EMAIL → IPV4 → PHONE. Pure
+    * codegen'd regexp_replace chain — one projection, no UDF. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, urlRe, "<URL>"),
+          emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
 }

@@ -71,6 +71,32 @@ object RegistryLlm {
       NearDup.simhashPairs(docs(s, dir), "doc_id", "text", maxHd = 3)
         .orderBy("id_a", "id_b")),
 
+    // PII redaction over a corpus with deterministically planted PII
+    // (the synthetic docs carry none): emails/phones/URLs/IPs masked
+    // by the engine-portable regex chain, with per-kind counts
+    // recovered from the redaction tokens. Varying plant conditions
+    // (mod 3/2/5) keep every count column non-constant.
+    "llm_pii_redact" -> ((s, dir) => {
+      val k = col("doc_id")
+      val enriched = concat(
+        expr("substring(text, 1, 40)"), lit(" contact "),
+        when(k % 3 =!= 0,
+          concat(lit("u"), k.cast("string"), lit("@mail.example.com "))).otherwise(lit("")),
+        when(k % 2 === 0,
+          concat(lit("call +1-555-0"), (k % 100).cast("string"), lit(" "))).otherwise(lit("")),
+        when(k % 5 =!= 1,
+          concat(lit("visit https://ex.example/p/"), k.cast("string"), lit(" "))).otherwise(lit("")),
+        lit("from 10.0."), (k % 256).cast("string"), lit(".7"))
+      def cnt(tok: String, as: String) =
+        expr(s"cast((length(redacted) - length(replace(redacted, '$tok', ''))) div ${tok.length} as int)").as(as)
+      docs(s, dir)
+        .select(k, TextAnalysis.redactPii(enriched).as("redacted"))
+        .select(k, col("redacted"),
+          cnt("<EMAIL>", "n_emails"), cnt("<URL>", "n_urls"),
+          cnt("<PHONE>", "n_phones"), cnt("<IP>", "n_ips"))
+        .orderBy("doc_id")
+    }),
+
     // Language ID via stopword-profile intersection scoring.
     "llm_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), col("lang"),
@@ -348,7 +374,40 @@ object RegistryLlm {
         FROM documents d LEFT JOIN label l ON d.doc_id = l.node
         ORDER BY d.doc_id"""
 
+  /** PII-redaction oracle: identical planted text, identical regex
+    * chain (RE2 ∩ Java syntax), identical token-count arithmetic. */
+  private val piiRedactOracle: String = {
+    def cnt(tok: String, as: String) =
+      s"cast((length(redacted) - length(replace(redacted, '$tok', ''))) // ${tok.length} AS INTEGER) AS $as"
+    s"""WITH e AS (
+          SELECT doc_id,
+                 substring(text, 1, 40) || ' contact ' ||
+                 CASE WHEN doc_id % 3 <> 0
+                      THEN 'u' || cast(doc_id AS VARCHAR) || '@mail.example.com '
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 2 = 0
+                      THEN 'call +1-555-0' || cast(doc_id % 100 AS VARCHAR) || ' '
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 5 <> 1
+                      THEN 'visit https://ex.example/p/' || cast(doc_id AS VARCHAR) || ' '
+                      ELSE '' END ||
+                 'from 10.0.' || cast(doc_id % 256 AS VARCHAR) || '.7' AS t
+          FROM documents),
+        r AS (SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                  'https?://[^ ]+', '<URL>', 'g'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                  '\\+?[0-9][0-9().-]{5,}[0-9]', '<PHONE>', 'g') AS redacted
+              FROM e)
+        SELECT doc_id, redacted,
+               ${cnt("<EMAIL>", "n_emails")}, ${cnt("<URL>", "n_urls")},
+               ${cnt("<PHONE>", "n_phones")}, ${cnt("<IP>", "n_ips")}
+        FROM r ORDER BY doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "llm_pii_redact" -> piiRedactOracle,
     "llm_dup_clusters" -> dupClusterOracle(2, 0.8),
     "llm_simhash_pairs" -> simhashOracle(3),
     "llm_exact_dedup" ->

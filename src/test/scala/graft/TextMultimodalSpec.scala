@@ -48,4 +48,20 @@ class TextMultimodalSpec extends AnyFunSuite {
     Ingest.StateStore.append(path, Nil)
     assert(Ingest.StateStore.read(path) == Set("a", "b", "c"))
   }
+
+  test("PII redaction masks in the order that protects embedded forms") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // URL first: the embedded '@' and digits never reach email/phone passes.
+      "see https://u:p@host.example/x?id=123 now" -> "see <URL> now",
+      "mail a.b+c@sub.example.org please" -> "mail <EMAIL> please",
+      // IP before phone: dotted digits are an IP, not a phone.
+      "host 192.168.10.7 up" -> "host <IP> up",
+      "call +1-555-0147 now" -> "call <PHONE> now",
+      "plain text stays" -> "plain text stays")
+    val out = cases.map(_._1).toDF("t")
+      .select(graft.operators.TextAnalysis.redactPii(col("t")).as("r"))
+      .as[String].collect().toSeq
+    assert(out == cases.map(_._2))
+  }
 }
