@@ -92,6 +92,31 @@ object TextAnalysis {
   val ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
   val phoneRe = "\\+?[0-9][0-9().-]{5,}[0-9]"
 
+  /** Benchmark decontamination: flag corpus documents sharing at
+    * least `minOverlap` distinct word n-grams with an eval-set n-gram
+    * frame (column `s`) — the GPT-3/Pile recipe (one global eval
+    * n-gram set, n-gram-overlap threshold per training doc).
+    *
+    * Scale shape: benchmark suites are MBs while the corpus is TBs,
+    * so the eval n-gram set is BROADCAST — the corpus-side postings
+    * never shuffle; the only wide op is the per-doc overlap count,
+    * whose input is already filtered to matching postings (a tiny
+    * fraction of the corpus). */
+  def contaminationFlags(df: DataFrame, idCol: String, textCol: String,
+                         evalNgrams: DataFrame, n: Int,
+                         minOverlap: Int): DataFrame = {
+    val post = graft.sources.Tables.scaled(df)
+      .select(col(idCol), explode(TextFns.shingles(col(textCol), n)).as("s"))
+    val overlap = post
+      .join(broadcast(evalNgrams.select(col("s")).distinct()), "s")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    df.select(col(idCol))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
   /** Sequential in-place masking: URL → EMAIL → IPV4 → PHONE. Pure
     * codegen'd regexp_replace chain — one projection, no UDF. */
   def redactPii(c: Column): Column =

@@ -97,6 +97,21 @@ object RegistryLlm {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: the eval set is verbatim spans
+    // lifted from selected corpus docs (how contamination actually
+    // happens); docs sharing >= 3 distinct 5-grams with the eval
+    // n-gram set are flagged. Eval n-grams broadcast — the corpus
+    // side never shuffles for the probe.
+    "llm_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val evalNgrams = d.where(col("doc_id") % 83 === 7)
+        .select(explode(graft.functions.TextFns.shingles(
+          expr("substring(text, 21, 400)"), 5)).as("s"))
+      TextAnalysis.contaminationFlags(d, "doc_id", "text", evalNgrams,
+          n = 5, minOverlap = 3)
+        .orderBy("doc_id")
+    }),
+
     // Language ID via stopword-profile intersection scoring.
     "llm_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), col("lang"),
@@ -406,7 +421,30 @@ object RegistryLlm {
         FROM r ORDER BY doc_id"""
   }
 
+  /** Decontamination oracle: same span-derived eval n-gram set, same
+    * distinct-overlap count and threshold. */
+  private def decontaminateOracle(n: Int, minOverlap: Int): String = {
+    val concatExpr = (0 until n).map(i => s"ws[i+$i]").mkString(" || ' ' || ")
+    def shingles = s"""list_distinct(list_transform(range(1, greatest(len(ws) - ${n - 1}, 0) + 1),
+                   i -> $concatExpr))"""
+    s"""WITH tr AS (
+          SELECT doc_id, unnest($shingles) AS s FROM (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+            FROM documents)),
+        ev AS (
+          SELECT DISTINCT unnest($shingles) AS s FROM (
+            SELECT string_split(trim(regexp_replace(substring(text, 21, 400), '\\s+', ' ', 'g')), ' ') AS ws
+            FROM documents WHERE doc_id % 83 = 7)),
+        ov AS (SELECT doc_id, count(*) AS n_overlap FROM tr JOIN ev USING (s) GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(o.n_overlap, 0) AS n_overlap,
+               coalesce(o.n_overlap, 0) >= $minOverlap AS contaminated
+        FROM documents d LEFT JOIN ov o ON d.doc_id = o.doc_id
+        ORDER BY d.doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "llm_decontaminate" -> decontaminateOracle(5, 3),
     "llm_pii_redact" -> piiRedactOracle,
     "llm_dup_clusters" -> dupClusterOracle(2, 0.8),
     "llm_simhash_pairs" -> simhashOracle(3),

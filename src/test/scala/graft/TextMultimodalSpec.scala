@@ -49,6 +49,21 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(Ingest.StateStore.read(path) == Set("a", "b", "c"))
   }
 
+  test("decontamination probe joins the corpus against a BROADCAST eval n-gram set") {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables.load(spark, sfDir, "documents")
+    val ev = d.where(col("doc_id") % 83 === 7)
+      .select(explode(graft.functions.TextFns.shingles(
+        expr("substring(text, 21, 400)"), 5)).as("s"))
+    val out = graft.operators.TextAnalysis.contaminationFlags(
+      d, "doc_id", "text", ev, n = 5, minOverlap = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval probe should broadcast, plan was:\n$plan")
+    assert(out.where(col("contaminated")).count() > 0,
+      "planted span sources must be flagged")
+  }
+
   test("PII redaction masks in the order that protects embedded forms") {
     import org.apache.spark.sql.functions.col
     val cases = Seq(
