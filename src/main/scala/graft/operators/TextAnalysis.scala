@@ -92,6 +92,21 @@ object TextAnalysis {
   val ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
   val phoneRe = "\\+?[0-9][0-9().-]{5,}[0-9]"
 
+  /** Deterministic, growth-stable train/val/test assignment: the id
+    * hashes (md5, engine-recomputable) into one of 1000 buckets and
+    * cumulative percentage ranges pick the split. Properties that
+    * matter at pipeline scale: adding documents NEVER reassigns
+    * existing ones (row_number or sample() would), reruns are
+    * bit-identical with no seed plumbing, and any engine arrives at
+    * the same assignment for audit. */
+  def stableSplit(id: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    val bucket = conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000
+    when(bucket < trainPct * 10, "train")
+      .when(bucket < (trainPct + valPct) * 10, "val")
+      .otherwise("test")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing at
     * least `minOverlap` distinct word n-grams with an eval-set n-gram
     * frame (column `s`) — the GPT-3/Pile recipe (one global eval

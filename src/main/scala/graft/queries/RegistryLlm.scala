@@ -112,6 +112,13 @@ object RegistryLlm {
         .orderBy("doc_id")
     }),
 
+    // Growth-stable train/val/test split: md5-bucket assignment that
+    // never reassigns existing docs when the corpus grows.
+    "llm_train_val_split" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.stableSplit(col("doc_id")).as("split"))
+        .orderBy("doc_id")),
+
     // Language ID via stopword-profile intersection scoring.
     "llm_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), col("lang"),
@@ -444,6 +451,15 @@ object RegistryLlm {
   }
 
   val oracles: Map[String, String] = Map(
+    "llm_train_val_split" ->
+      """SELECT doc_id,
+                CASE WHEN b < 900 THEN 'train'
+                     WHEN b < 950 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                      ('0x' || substring(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
+               FROM documents)
+         ORDER BY doc_id""",
     "llm_decontaminate" -> decontaminateOracle(5, 3),
     "llm_pii_redact" -> piiRedactOracle,
     "llm_dup_clusters" -> dupClusterOracle(2, 0.8),

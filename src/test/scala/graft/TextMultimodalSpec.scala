@@ -49,6 +49,22 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(Ingest.StateStore.read(path) == Set("a", "b", "c"))
   }
 
+  test("stable split: ~90/5/5 distribution, unchanged by corpus growth") {
+    import org.apache.spark.sql.functions._
+    def assign(nDocs: Int) = spark.range(nDocs)
+      .select(col("id"), graft.operators.TextAnalysis.stableSplit(col("id")).as("split"))
+    val full = assign(10000).groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(full("train") - 9000L) < 300, s"train skewed: $full")
+    assert(math.abs(full("val") - 500L) < 150 && math.abs(full("test") - 500L) < 150,
+      s"val/test skewed: $full")
+    // Growing the corpus must not reassign earlier docs.
+    val small = assign(5000).as[(Long, String)].collect().toMap
+    val bigFirstHalf = assign(10000).where(col("id") < 5000)
+      .as[(Long, String)].collect().toMap
+    assert(small == bigFirstHalf)
+  }
+
   test("decontamination probe joins the corpus against a BROADCAST eval n-gram set") {
     import org.apache.spark.sql.functions._
     val d = graft.sources.Tables.load(spark, sfDir, "documents")
