@@ -107,6 +107,48 @@ object TextAnalysis {
       .otherwise("test")
   }
 
+  /** Fixed-size document chunking: split each document into
+    * consecutive `chunkSize`-token windows (the context-window
+    * preparation step before packing/tokenization). All array work
+    * happens inside ONE projection (sequence → transform → explode) —
+    * no shuffle, chunk count per row is ⌈n/chunkSize⌉, and order
+    * within a doc is carried by an explicit chunk_idx rather than
+    * implicit row order (which a shuffle would destroy). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int): DataFrame = {
+    val c = chunkSize
+    df.select(col(idCol), TextFns.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .select(col(idCol), col("__n"),
+        explode(expr(
+          s"""transform(sequence(0, cast((__n + ${c - 1}) div $c as int) - 1),
+              i -> struct(cast(i as bigint) as chunk_idx,
+                          concat_ws(' ', slice(__toks, i * $c + 1, $c)) as chunk_text))"""))
+          .as("__c"))
+      .select(col(idCol),
+        col("__c.chunk_idx"),
+        col("__c.chunk_text"),
+        least(lit(c.toLong), col("__n") - col("__c.chunk_idx") * c)
+          .cast("long").as("n_chunk_tokens"))
+  }
+
+  /** Deterministic mixture sampling: down-sample each group (e.g.
+    * language or source domain) to a target rate so the kept corpus
+    * matches a prescribed mixture. Keep decision = the document's
+    * stable md5 bucket (see [[stableSplit]]) falling under the
+    * group's rate×1000 threshold — a pure per-row projection: no
+    * shuffle, no sample() nondeterminism, reproducible and
+    * engine-auditable at any corpus size; unlisted groups drop. */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+                    rates: Map[String, Double]): DataFrame = {
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000
+    val threshold = rates.foldLeft(lit(0.0)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r * 1000)).otherwise(acc)
+    }
+    df.where(bucket < threshold)
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing at
     * least `minOverlap` distinct word n-grams with an eval-set n-gram
     * frame (column `s`) — the GPT-3/Pile recipe (one global eval

@@ -112,6 +112,25 @@ object RegistryLlm {
         .orderBy("doc_id")
     }),
 
+    // Context-window chunking: every doc split into consecutive
+    // 60-token chunks, order carried by explicit chunk_idx.
+    "llm_chunk_documents" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text", chunkSize = 60)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Deterministic mixture sampling: per-language keep rates applied
+    // via the stable md5 bucket — pure projection, no shuffle, no
+    // sample() nondeterminism. Output is the kept docs plus the
+    // post-sampling language mix for audit.
+    "llm_mixture_sample" -> ((s, dir) => {
+      val kept = TextAnalysis.mixtureSample(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 1.0, "zh" -> 0.5, "es" -> 0.5, "de" -> 0.25, "fr" -> 0.1))
+      kept.groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_doc_id"),
+          max("doc_id").as("max_doc_id"))
+        .orderBy("lang")
+    }),
+
     // Growth-stable train/val/test split: md5-bucket assignment that
     // never reassigns existing docs when the corpus grows.
     "llm_train_val_split" -> ((s, dir) =>
@@ -451,6 +470,31 @@ object RegistryLlm {
   }
 
   val oracles: Map[String, String] = Map(
+    "llm_chunk_documents" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, len(toks) AS n, toks,
+                      unnest(range(0, (len(toks) + 59) // 60)) AS chunk_idx
+               FROM t)
+         SELECT doc_id, chunk_idx,
+                array_to_string(toks[chunk_idx * 60 + 1 : chunk_idx * 60 + 60], ' ') AS chunk_text,
+                least(60, n - chunk_idx * 60) AS n_chunk_tokens
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "llm_mixture_sample" ->
+      """WITH b AS (
+           SELECT doc_id, lang,
+                  ('0x' || substring(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS bucket
+           FROM documents),
+         kept AS (
+           SELECT doc_id, lang FROM b
+           WHERE bucket < CASE lang WHEN 'en' THEN 1000.0 WHEN 'zh' THEN 500.0
+                                    WHEN 'es' THEN 500.0 WHEN 'de' THEN 250.0
+                                    WHEN 'fr' THEN 100.0 ELSE 0.0 END)
+         SELECT lang, count(*) AS n_kept,
+                min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         FROM kept GROUP BY lang ORDER BY lang""",
     "llm_train_val_split" ->
       """SELECT doc_id,
                 CASE WHEN b < 900 THEN 'train'

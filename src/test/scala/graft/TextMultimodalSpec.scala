@@ -49,6 +49,33 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(Ingest.StateStore.read(path) == Set("a", "b", "c"))
   }
 
+  test("chunking covers every token exactly once with explicit order") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, (1 to 7).map(i => s"w$i").mkString(" ")), // 7 tokens, C=3 -> 3,3,1
+      (2L, "only two"),                              // < C -> one short chunk
+      (3L, (1 to 6).map(i => s"x$i").mkString(" "))  // exact multiple -> 3,3
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .chunkDocuments(docs, "doc_id", "text", chunkSize = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, "w1 w2 w3", 3L), (1L, 1L, "w4 w5 w6", 3L), (1L, 2L, "w7", 1L),
+      (2L, 0L, "only two", 2L),
+      (3L, 0L, "x1 x2 x3", 3L), (3L, 1L, "x4 x5 x6", 3L)))
+  }
+
+  test("mixture sampling: rate 1.0 keeps all, 0.0 drops all, unlisted drops") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 200L).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("xx"))
+    val kept = graft.operators.TextAnalysis
+      .mixtureSample(docs, "doc_id", "lang", Map("en" -> 1.0, "fr" -> 0.0))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept == Map("en" -> 100L)) // all en kept, xx (unlisted) dropped
+  }
+
   test("stable split: ~90/5/5 distribution, unchanged by corpus growth") {
     import org.apache.spark.sql.functions._
     def assign(nDocs: Int) = spark.range(nDocs)
