@@ -107,6 +107,30 @@ object TextAnalysis {
       .otherwise("test")
   }
 
+  /** Within-document repetition signals (the Gopher/C4 crawl-quality
+    * rules): fraction of duplicate trigrams and the most-frequent
+    * token's share of the document. Trigram stats are expression-only
+    * (distinct-shingle array vs. multiset count); the token share
+    * needs one key shuffle (per-doc token counts). Ratios use the
+    * exact integer half-up division so both engines agree to the
+    * bit. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.sources.Tables.scaled(df)
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("__t"))
+    val tokAgg = toks.groupBy(idCol, "__t").agg(count(lit(1)).as("__c"))
+      .groupBy(idCol).agg(max("__c").as("__maxc"), sum("__c").as("__n"))
+    val tri = df.select(col(idCol),
+      size(TextFns.shingles(col(textCol), 3)).cast("long").as("__td"),
+      greatest(size(TextFns.tokens(col(textCol))) - 2, lit(0)).cast("long").as("__tt"))
+    tri.join(tokAgg, Seq(idCol))
+      .select(col(idCol),
+        when(col("__tt") === 0, lit(0.0)).otherwise(
+          expr("cast((2 * 1000000 * (__tt - __td) + __tt) div (2 * __tt) as double) / 1000000.0"))
+          .as("dup_trigram_ratio"),
+        expr("cast((2 * 1000000 * __maxc + __n) div (2 * __n) as double) / 1000000.0")
+          .as("top_token_ratio"))
+  }
+
   /** Fixed-size document chunking: split each document into
     * consecutive `chunkSize`-token windows (the context-window
     * preparation step before packing/tokenization). All array work

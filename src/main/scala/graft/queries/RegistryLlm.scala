@@ -112,6 +112,12 @@ object RegistryLlm {
         .orderBy("doc_id")
     }),
 
+    // Within-doc repetition quality signals (Gopher/C4 rules):
+    // duplicate-trigram fraction + top-token share.
+    "llm_repetition_stats" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Context-window chunking: every doc split into consecutive
     // 60-token chunks, order carried by explicit chunk_idx.
     "llm_chunk_documents" -> ((s, dir) =>
@@ -469,7 +475,33 @@ object RegistryLlm {
         ORDER BY d.doc_id"""
   }
 
+  private val repetitionOracle: String = {
+    val concat3 = (0 until 3).map(i => s"ws[i+$i]").mkString(" || ' ' || ")
+    s"""WITH w AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+          FROM documents),
+        tri AS (
+          SELECT doc_id,
+                 len(list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                   i -> $concat3))) AS td,
+                 greatest(len(ws) - 2, 0) AS tt
+          FROM w),
+        toks AS (SELECT doc_id, unnest(ws) AS t FROM w),
+        cnt AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+        ta AS (SELECT doc_id, max(c) AS maxc, sum(c) AS n FROM cnt GROUP BY 1)
+        SELECT ta.doc_id,
+               CASE WHEN tt = 0 THEN 0.0
+                    ELSE cast((2 * 1000000 * (tt - td) + tt) // (2 * tt) AS DOUBLE) / 1000000.0 END
+                 AS dup_trigram_ratio,
+               cast((2 * 1000000 * maxc + n) // (2 * n) AS DOUBLE) / 1000000.0
+                 AS top_token_ratio
+        FROM ta JOIN tri ON ta.doc_id = tri.doc_id
+        ORDER BY ta.doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "llm_repetition_stats" -> repetitionOracle,
     "llm_chunk_documents" ->
       """WITH t AS (
            SELECT doc_id,

@@ -42,6 +42,22 @@ class MedallionSpec extends AnyFunSuite {
     assert(spark.table("silver.stg_properties").count() > 0)
   }
 
+  test("register re-points a catalog entry left at another location (wrong-SF guard)") {
+    Medallion.ensureMaterialized(spark, dir)
+    val expected = spark.table("gold.dim_locations").count()
+    // Leave the entry pointing at a DIFFERENT model's location — the
+    // shape of a session whose catalog outlived a SF switch.
+    spark.sql("DROP TABLE IF EXISTS gold.dim_locations")
+    val wrongLoc = Medallion.warehouseRoot(dir) + "/gold.db/dim_legal_status"
+    spark.sql(s"CREATE TABLE gold.dim_locations USING PARQUET LOCATION '$wrongLoc'")
+    assert(spark.table("gold.dim_locations").schema.fieldNames
+      .contains("legal_status_id"), "precondition: entry serves wrong data")
+    Medallion.register(spark, dir)
+    assert(spark.table("gold.dim_locations").schema.fieldNames
+      .contains("location_id"), "register must re-point the mismatched entry")
+    assert(spark.table("gold.dim_locations").count() == expected)
+  }
+
   test("re-materialization is idempotent under a second explicit build") {
     Medallion.ensureMaterialized(spark, dir)
     val before = spark.table("gold.dim_locations").count()
