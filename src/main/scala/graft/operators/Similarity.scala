@@ -27,6 +27,29 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Per-group vector centroids — the k-means/IVF training step (a
+    * cluster assignment's mean vector) and the per-domain embedding
+    * profile. One posexplode (64× row fan-out, still narrow) feeding
+    * a map-side-combinable groupBy(group, dim) aggregate; components
+    * are fixed to integer micro-units BEFORE summation so partial-agg
+    * order cannot perturb the result, and the mean is exact integer
+    * half-up division (engine-portable to the bit). */
+  def groupCentroids(df: org.apache.spark.sql.DataFrame,
+                     groupCol: String, vecCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.scaled(df)
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .withColumn("dim", col("dim").cast("long"))
+      .withColumn("__u",
+        round(col("__v").cast("double") * 1000000).cast("long"))
+      .groupBy(groupCol, "dim")
+      .agg(sum("__u").as("__su"), count(lit(1)).as("n_vecs"))
+      .withColumn("centroid",
+        expr("""cast((2 * __su + cast(sign(__su) as bigint) * n_vecs)
+                     div (2 * n_vecs) as double) / 1000000.0"""))
+      .select(col(groupCol), col("dim"), col("centroid"), col("n_vecs"))
+  }
+
   /** Cosine similarity in double precision, rounded to `digits` so the
     * last-ulp differences of engine-specific summation order vanish.
     * Dot products run on the codegen'd [[graft.functions.DotProduct]]

@@ -112,6 +112,12 @@ object RegistryLlm {
         .orderBy("doc_id")
     }),
 
+    // Per-label embedding centroids — the k-means/IVF training step,
+    // map-side-combinable integer-unit sums, exact half-away mean.
+    "llm_label_centroids" -> ((s, dir) =>
+      Similarity.groupCentroids(embs(s, dir), "label", "embedding")
+        .orderBy("label", "dim")),
+
     // Within-doc repetition quality signals (Gopher/C4 rules):
     // duplicate-trigram fraction + top-token share.
     "llm_repetition_stats" -> ((s, dir) =>
@@ -501,6 +507,21 @@ object RegistryLlm {
   }
 
   val oracles: Map[String, String] = Map(
+    "llm_label_centroids" ->
+      """WITH x AS (
+           SELECT label, embedding AS e,
+                  unnest(range(0, len(embedding))) AS dim
+           FROM embeddings),
+         u AS (SELECT label, dim,
+                      cast(round(cast(e[dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS uu
+               FROM x),
+         a AS (SELECT label, dim, sum(uu) AS su, count(*) AS n_vecs
+               FROM u GROUP BY 1, 2)
+         SELECT label, dim,
+                cast((2 * su + sign(su) * n_vecs) // (2 * n_vecs) AS DOUBLE) / 1000000.0
+                  AS centroid,
+                n_vecs
+         FROM a ORDER BY label, dim""",
     "llm_repetition_stats" -> repetitionOracle,
     "llm_chunk_documents" ->
       """WITH t AS (
