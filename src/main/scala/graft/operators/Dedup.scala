@@ -81,4 +81,26 @@ object Dedup {
     latestByKey(df.withColumn("__fp", contentFingerprint(contentCols)),
       Seq("__fp"), Seq(col(idCol).asc))
       .drop("__fp")
+
+  /** The daily-crawl dedup step: from a NEW batch, keep only rows
+    * whose content fingerprint is absent from the accumulated
+    * fingerprint store AND that aren't duplicated within the batch
+    * itself (min-id wins intra-batch, matching [[exactByContent]]).
+    *
+    * Scale shape: the store is the corpus's fingerprint history
+    * (huge) but the anti-join shuffles only 16-byte keys, and the
+    * batch side is a day's crawl — both sides hash-partition on the
+    * fingerprint; nothing is broadcast or collected. The caller
+    * appends the survivors' fingerprints to the store afterwards
+    * (idempotent: re-running a batch finds its fingerprints present
+    * and yields zero new rows).
+    */
+  def newAgainstStore(batch: DataFrame, idCol: String,
+                      contentCols: Seq[String], storeFps: DataFrame): DataFrame = {
+    val fp = batch.withColumn("__fp", contentFingerprint(contentCols))
+    val intraNew = latestByKey(fp, Seq("__fp"), Seq(col(idCol).asc))
+    intraNew
+      .join(storeFps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
 }

@@ -37,6 +37,28 @@ object RegistryLlm {
         .orderBy("doc_id")
     }),
 
+    // The daily-crawl incremental dedup loop: history fingerprints
+    // persisted as a parquet store; a new batch (fresh docs + reposts
+    // of history + intra-batch dups) keeps only rows absent from the
+    // store after intra-batch min-id dedup. Anti-join on 16-byte
+    // fingerprints — the batch-vs-corpus shape that scales.
+    "llm_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text", "lang")
+      val hist = d.where(col("doc_id") < 250)
+      val storePath = graft.sources.Ingest.fixtureDir(dir) + "/llm_fp_store"
+      hist.select(Dedup.contentFingerprint(Seq("text", "lang")).as("fp"))
+        .distinct().write.mode("overwrite").parquet(storePath)
+      val newDocs = d.where(col("doc_id") >= 250)
+      val reposts = hist.where(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      val intra = newDocs.where(col("doc_id") % 11 === 3)
+        .withColumn("doc_id", col("doc_id") + 20000)
+      val batch = newDocs.unionByName(reposts).unionByName(intra)
+      Dedup.newAgainstStore(batch, "doc_id", Seq("text", "lang"),
+          s.read.parquet(storePath))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // Exact 4-gram-shingle Jaccard near-dup pairs via inverted index,
     // with the corpus-derived stop-shingle cap ARMED (maxDf auto):
     // bounds the Σ df² candidate join against a hot shingle while
@@ -506,7 +528,30 @@ object RegistryLlm {
         ORDER BY ta.doc_id"""
   }
 
+  private val fpSql =
+    """md5(concat_ws(chr(1),
+         coalesce(cast(text AS VARCHAR), chr(1) || 'N'),
+         coalesce(cast(lang AS VARCHAR), chr(1) || 'N')))"""
+
   val oracles: Map[String, String] = Map(
+    "llm_incremental_dedup" ->
+      s"""WITH d AS (SELECT doc_id, text, lang FROM documents),
+          hist AS (SELECT * FROM d WHERE doc_id < 250),
+          store AS (SELECT DISTINCT $fpSql AS fp FROM hist),
+          batch AS (
+            SELECT doc_id, text, lang FROM d WHERE doc_id >= 250
+            UNION ALL
+            SELECT doc_id + 10000, text, lang FROM hist WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT doc_id + 20000, text, lang FROM d
+            WHERE doc_id >= 250 AND doc_id % 11 = 3),
+          f AS (SELECT doc_id, lang, $fpSql AS fp FROM batch),
+          intra AS (SELECT doc_id, lang, fp,
+                           row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+                    FROM f)
+          SELECT doc_id, lang FROM intra
+          WHERE rn = 1 AND fp NOT IN (SELECT fp FROM store)
+          ORDER BY doc_id""",
     "llm_label_centroids" ->
       """WITH x AS (
            SELECT label, embedding AS e,

@@ -32,6 +32,10 @@ class IdempotenceSpec extends AnyFunSuite {
     runTwice("pipeline_incremental_run")
   }
 
+  test("incremental-dedup query is re-runnable (fingerprint store overwritten)") {
+    runTwice("llm_incremental_dedup")
+  }
+
   test("memory-sink and file-sink streaming variants agree") {
     import org.apache.spark.sql.functions.col
     val order = Seq(col("report_date"), col("event_type"))
