@@ -288,6 +288,22 @@ object RegistryLlm {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF with a TRAINED coarse quantizer: the per-label centroids
+    // (exact integer-unit means, bit-deterministic) reassembled into
+    // vectors and fed to the same broadcast-assign/probe machinery —
+    // the full train→index→search ANN story, still oracle-checkable.
+    "llm_knn_ivf_trained" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val centers = Similarity.groupCentroids(e, "label", "embedding")
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), x -> x.centroid)")
+          .as("__sv"))
+        .select(col("label").cast("long").as("seed_id"), col("__sv"))
+      graft.operators.Ivf.searchWith(e, e.where(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", centers, nProbe = 2, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // Deterministic sign-LSH bucketed near-dup pairs, exact-cosine
     // verified — the scale path (no N² self-join).
     "llm_embedding_neardup" -> ((s, dir) =>
@@ -753,6 +769,53 @@ object RegistryLlm {
       """WITH seeds AS (
            SELECT vec_id AS seed_id, cast(embedding AS DOUBLE[]) AS sv
            FROM embeddings WHERE vec_id % 50 = 1),
+         corpus AS (
+           SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
+         assigned AS (
+           SELECT vec_id, seed_id AS cell FROM (
+             SELECT c.vec_id, s.seed_id,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY round(list_cosine_similarity(c.v, s.sv), 4) DESC,
+                               s.seed_id ASC) AS rn
+             FROM corpus c CROSS JOIN seeds s)
+           WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+         probed AS (
+           SELECT query_id, qv, seed_id AS cell FROM (
+             SELECT q.query_id, q.qv, s.seed_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(q.qv, s.sv), 4) DESC,
+                               s.seed_id ASC) AS pr
+             FROM q CROSS JOIN seeds s)
+           WHERE pr <= 2),
+         cands AS (
+           SELECT p.query_id, c.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(p.qv, c.v), 4) AS cos_sim
+           FROM probed p
+           JOIN assigned a ON a.cell = p.cell
+           JOIN corpus c ON c.vec_id = a.vec_id
+           WHERE c.vec_id <> p.query_id)
+         SELECT query_id, neighbor_id, cos_sim,
+                cast(rank AS INTEGER) AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM cands)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "llm_knn_ivf_trained" ->
+      """WITH x AS (
+           SELECT label, embedding AS e,
+                  unnest(range(0, len(embedding))) AS dim
+           FROM embeddings),
+         uu AS (SELECT label, dim,
+                       cast(round(cast(e[dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS u
+                FROM x),
+         a0 AS (SELECT label, dim, sum(u) AS su, count(*) AS n
+                FROM uu GROUP BY 1, 2),
+         cent AS (SELECT label, dim,
+                         cast((2 * su + sign(su) * n) // (2 * n) AS DOUBLE) / 1000000.0 AS c
+                  FROM a0),
+         seeds AS (SELECT label AS seed_id, list(c ORDER BY dim) AS sv
+                   FROM cent GROUP BY label),
          corpus AS (
            SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings),
          assigned AS (
