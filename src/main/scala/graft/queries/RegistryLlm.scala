@@ -140,6 +140,26 @@ object RegistryLlm {
       Similarity.groupCentroids(embs(s, dir), "label", "embedding")
         .orderBy("label", "dim")),
 
+    // Composite C4-style quality filter: length, heuristic quality
+    // score, and repetition signals composed into a keep/drop verdict
+    // with the FIRST failing rule as the reason — the filter pipeline
+    // a corpus actually runs, exercising operator composition.
+    "llm_quality_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("__nt"),
+        TextAnalysis.qualityScore(col("text")).as("__q"))
+      base.join(TextAnalysis.repetitionStats(d, "doc_id", "text"), "doc_id")
+        .select(col("doc_id"),
+          expr("""CASE WHEN __nt < 30 THEN 'too_short'
+                       WHEN __q < 0.5 THEN 'low_quality'
+                       WHEN dup_trigram_ratio > 0.02 THEN 'repetitive'
+                       WHEN top_token_ratio > 0.15 THEN 'top_token_dominant'
+                       ELSE 'keep' END""").as("reason"))
+        .withColumn("keep", col("reason") === "keep")
+        .orderBy("doc_id")
+    }),
+
     // Within-doc repetition quality signals (Gopher/C4 rules):
     // duplicate-trigram fraction + top-token share.
     "llm_repetition_stats" -> ((s, dir) =>
@@ -519,9 +539,12 @@ object RegistryLlm {
         ORDER BY d.doc_id"""
   }
 
-  private val repetitionOracle: String = {
+  /** Shared CTE chain ending in `rep(doc_id, dup_trigram_ratio,
+    * top_token_ratio)` — used by the repetition oracle and the
+    * composite quality filter. */
+  private val repetitionCtes: String = {
     val concat3 = (0 until 3).map(i => s"ws[i+$i]").mkString(" || ' ' || ")
-    s"""WITH w AS (
+    s"""w AS (
           SELECT doc_id,
                  string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
           FROM documents),
@@ -533,23 +556,61 @@ object RegistryLlm {
           FROM w),
         toks AS (SELECT doc_id, unnest(ws) AS t FROM w),
         cnt AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
-        ta AS (SELECT doc_id, max(c) AS maxc, sum(c) AS n FROM cnt GROUP BY 1)
-        SELECT ta.doc_id,
-               CASE WHEN tt = 0 THEN 0.0
-                    ELSE cast((2 * 1000000 * (tt - td) + tt) // (2 * tt) AS DOUBLE) / 1000000.0 END
-                 AS dup_trigram_ratio,
-               cast((2 * 1000000 * maxc + n) // (2 * n) AS DOUBLE) / 1000000.0
-                 AS top_token_ratio
-        FROM ta JOIN tri ON ta.doc_id = tri.doc_id
-        ORDER BY ta.doc_id"""
+        ta AS (SELECT doc_id, max(c) AS maxc, sum(c) AS n FROM cnt GROUP BY 1),
+        rep AS (
+          SELECT ta.doc_id,
+                 CASE WHEN tt = 0 THEN 0.0
+                      ELSE cast((2 * 1000000 * (tt - td) + tt) // (2 * tt) AS DOUBLE) / 1000000.0 END
+                   AS dup_trigram_ratio,
+                 cast((2 * 1000000 * maxc + n) // (2 * n) AS DOUBLE) / 1000000.0
+                   AS top_token_ratio
+          FROM ta JOIN tri ON ta.doc_id = tri.doc_id)"""
   }
+
+  private val repetitionOracle: String =
+    s"""WITH $repetitionCtes
+        SELECT doc_id, dup_trigram_ratio, top_token_ratio
+        FROM rep ORDER BY doc_id"""
 
   private val fpSql =
     """md5(concat_ws(chr(1),
          coalesce(cast(text AS VARCHAR), chr(1) || 'N'),
          coalesce(cast(lang AS VARCHAR), chr(1) || 'N')))"""
 
+  /** The quality-score scalar expression (same formula as the
+    * llm_quality_score oracle). */
+  private val scoreSql: String =
+    """round(greatest(least(
+         least(cast(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+         (1.0 - least(
+           cast(length(lower(text)) -
+                length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+           / greatest(cast(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3 +
+         cast(len(list_intersect(
+           list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')),
+           ['the','a','of','and','to','in','is'])) AS DOUBLE) / 7.0 * 0.3,
+         1.0), 0.0), 6)"""
+
+  private val qualityFilterOracle: String =
+    s"""WITH $repetitionCtes,
+        base AS (
+          SELECT doc_id,
+                 len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS nt,
+                 $scoreSql AS qs
+          FROM documents),
+        v AS (
+          SELECT base.doc_id,
+                 CASE WHEN nt < 30 THEN 'too_short'
+                      WHEN qs < 0.5 THEN 'low_quality'
+                      WHEN dup_trigram_ratio > 0.02 THEN 'repetitive'
+                      WHEN top_token_ratio > 0.15 THEN 'top_token_dominant'
+                      ELSE 'keep' END AS reason
+          FROM base JOIN rep ON base.doc_id = rep.doc_id)
+        SELECT doc_id, reason, reason = 'keep' AS keep
+        FROM v ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
+    "llm_quality_filter" -> qualityFilterOracle,
     "llm_incremental_dedup" ->
       s"""WITH d AS (SELECT doc_id, text, lang FROM documents),
           hist AS (SELECT * FROM d WHERE doc_id < 250),
