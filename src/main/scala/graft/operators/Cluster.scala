@@ -61,6 +61,13 @@ object Cluster {
       labels = stepped.select(col("node"), col("next_label").as("label"))
       i += 1
     }
+    // Fail LOUDLY on non-convergence: returning partially-propagated
+    // labels would silently split components (wrong dedup decisions).
+    // Dup graphs converge in 2-4 rounds; hitting this means a
+    // pathological chain — raise maxIter, don't weaken the check.
+    require(changed == 0,
+      s"connectedComponents did not converge within $maxIter rounds " +
+        s"($changed labels still changing); raise maxIter")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

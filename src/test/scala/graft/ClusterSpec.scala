@@ -27,6 +27,15 @@ class ClusterSpec extends AnyFunSuite {
       (5L, 5L, true), (6L, 5L, false), (7L, 7L, true), (8L, 7L, false)))
   }
 
+  test("non-convergence within maxIter fails loudly instead of returning split components") {
+    // A 6-node chain needs ~5 propagation rounds; maxIter=2 must throw.
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Cluster.connectedComponents(chain, "id_a", "id_b", maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("edge order does not matter (labels flow against edge direction too)") {
     val pairs = Seq((9L, 1L), (9L, 5L)).toDF("id_a", "id_b") // star centered high
     val cc = Cluster.connectedComponents(pairs, "id_a", "id_b")
