@@ -253,6 +253,11 @@ object RegistryCore {
 
     // Beyond-reference: explicit window frame (ROWS BETWEEN 6 PRECEDING)
     // rolling 7-day average, exact via integer micro-units.
+    // The unpartitioned window (WindowExec warns) is deliberate and
+    // scale-safe: its input is the per-DAY aggregate, whose row count
+    // is bounded by the calendar (365/year) regardless of corpus
+    // volume — the single partition holds days, not events. Windows
+    // over data-proportional inputs always partition (see W1/W2/W6).
     "w5_rolling_avg" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val daily = t(s, dir, "events")
