@@ -355,6 +355,17 @@ object RegistryLlm {
       StreamingOps.dailyEventCountsToFiles(s, dir)
         .orderBy("report_date", "event_type")),
 
+    // Stateless streaming archival through the builtin APPEND-mode
+    // parquet sink (correct for row streams — no aggregate state for
+    // a watermark to hold back), verified by aggregating the
+    // archived files.
+    "stream_events_archive" -> ((s, dir) =>
+      StreamingOps.archiveEvents(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .orderBy("event_type")),
+
     // Stateful streaming dedup via mapGroupsWithState — O(1) state per
     // key; same W1 semantics as the batch window dedup, same oracle.
     "stream_stateful_dedup" -> ((s, dir) =>
@@ -610,6 +621,10 @@ object RegistryLlm {
         FROM v ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "stream_events_archive" ->
+      """SELECT event_type, count(*) AS n_events,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "llm_quality_filter" -> qualityFilterOracle,
     "llm_incremental_dedup" ->
       s"""WITH d AS (SELECT doc_id, text, lang FROM documents),

@@ -76,6 +76,36 @@ object StreamingOps {
     * few thousand rows even at 100 TB of raw events), the correct file
     * shape is the complete aggregate overwritten per micro-batch; the
     * raw-event firehose is what append-mode file sinks are for. */
+  /** Stateless firehose archival — where the builtin APPEND-mode file
+    * sink IS the right tool (no aggregation, so no window is ever
+    * held back by the watermark): every event lands in parquet
+    * exactly once, tracked by the checkpoint. Together with
+    * [[dailyEventCountsToFiles]] this is the complete streaming
+    * file-sink story: append for row streams, complete-overwrite via
+    * foreachBatch for small aggregates. */
+  def archiveEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    val nonce = "graft_stream_archive_" + System.nanoTime()
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val tsFixed =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val outDir = "/tmp/graft_stream_archive/" + nonce
+    val q = tsFixed
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   def dailyEventCountsToFiles(spark: SparkSession, sfDir: String): DataFrame = {
     val (stream, nonce) = dailyStream(spark, sfDir)
     val outDir = "/tmp/graft_stream_out/" + nonce
