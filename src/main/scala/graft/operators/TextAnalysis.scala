@@ -131,6 +131,32 @@ object TextAnalysis {
           .as("top_token_ratio"))
   }
 
+  /** GPT-style sequence packing: concatenate documents in a
+    * deterministic order and assign each to the `budget`-token pack
+    * where its first token falls (pack_id = start_offset div budget).
+    * Whole documents are assigned, not split — the streaming-pack
+    * variant every data loader implements.
+    *
+    * Scale shape: packing is per SHARD (contiguous id ranges), so the
+    * running-sum window partitions by shard — no global sort, shards
+    * pack in parallel, and shard boundaries are stable under corpus
+    * growth within earlier shards. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Int, shardSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol),
+      expr(s"cast($idCol as bigint) div $shardSize").as("shard"),
+      size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("__start", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col(idCol), col("shard"),
+        expr(s"__start div $budget").as("pack_id"),
+        (col("__start") % budget).as("pack_offset"),
+        col("n_tokens"))
+  }
+
   /** Fixed-size document chunking: split each document into
     * consecutive `chunkSize`-token windows (the context-window
     * preparation step before packing/tokenization). All array work

@@ -140,6 +140,13 @@ object RegistryLlm {
       Similarity.groupCentroids(embs(s, dir), "label", "embedding")
         .orderBy("label", "dim")),
 
+    // GPT-style sequence packing: docs assigned to 256-token packs by
+    // start offset under concatenation, packed per 100-id shard.
+    "llm_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), "doc_id", "text",
+          budget = 256, shardSize = 100)
+        .orderBy("doc_id")),
+
     // Composite C4-style quality filter: length, heuristic quality
     // score, and repetition signals composed into a keep/drop verdict
     // with the FIRST failing rule as the reason — the filter pipeline
@@ -621,6 +628,20 @@ object RegistryLlm {
         FROM v ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "llm_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id // 100 AS shard,
+                  len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens
+           FROM documents),
+         r AS (SELECT *,
+                      sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS s
+               FROM t)
+         SELECT doc_id, shard,
+                cast(s // 256 AS BIGINT) AS pack_id,
+                cast(s % 256 AS BIGINT) AS pack_offset,
+                n_tokens
+         FROM r ORDER BY doc_id""",
     "stream_events_archive" ->
       """SELECT event_type, count(*) AS n_events,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value

@@ -49,6 +49,23 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(Ingest.StateStore.read(path) == Set("a", "b", "c"))
   }
 
+  test("sequence packing assigns docs by start offset under concatenation") {
+    import org.apache.spark.sql.functions._
+    // tokens: 3, 4, 2, 5 → starts 0,3,7,9; budget 5 → packs 0,0,1,1
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b c d"), (2L, "a b"), (3L, "a b c d e"),
+      (100L, "x y z")) // new shard restarts at offset 0
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .packSequences(docs, "doc_id", "text", budget = 5, shardSize = 100)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 0L, 0L, 3L), (1L, 0L, 0L, 3L, 4L),
+      (2L, 0L, 1L, 2L, 2L), (3L, 0L, 1L, 4L, 5L),
+      (100L, 1L, 0L, 0L, 3L)))
+  }
+
   test("chunking covers every token exactly once with explicit order") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
