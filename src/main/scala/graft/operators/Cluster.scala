@@ -68,7 +68,16 @@ object Cluster {
     require(changed == 0,
       s"connectedComponents did not converge within $maxIter rounds " +
         s"($changed labels still changing); raise maxIter")
-    labels.withColumnRenamed("label", "cluster_id")
+    // Materialize the final labels (cached via the last round's
+    // `stepped`), then release the loop-only inputs: fwd (the
+    // detector's pair output) and edges are no longer needed unless
+    // the final cache is evicted, in which case recompute is slower
+    // but still correct.
+    val out = labels.withColumnRenamed("label", "cluster_id")
+    out.count()
+    fwd.unpersist()
+    edges.unpersist()
+    out
   }
 
   /** Cluster assignment for a whole corpus: docs absent from the pair

@@ -37,12 +37,15 @@ object Colocate {
   def ensureBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     // A catalog entry alone is not proof of a usable table: a crash
-    // between DROP and saveAsTable, or warehouse files deleted out from
-    // under the catalog (/tmp cleanup), leaves an entry that fails
-    // every read. Validate with a cheap limit(1) scan and rebuild on
-    // any failure (ADVICE r3).
+    // between DROP and saveAsTable, or warehouse files deleted out
+    // from under the catalog (/tmp cleanup), leaves an entry that is
+    // broken — or worse, PARTIALLY populated, where a limit(1) read
+    // still succeeds but joins silently lose rows. Require one data
+    // file per bucket (a bucketed save writes exactly that per task
+    // set) before trusting the table; anything less rebuilds.
     val usable = spark.catalog.tableExists(table) &&
-      scala.util.Try(spark.table(table).limit(1).collect()).isSuccess
+      scala.util.Try(spark.table(table).inputFiles.length >= buckets)
+        .getOrElse(false)
     if (!usable) writeBucketed(df, table, key, buckets)
   }
 

@@ -99,9 +99,14 @@ object TextAnalysis {
     * existing ones (row_number or sample() would), reruns are
     * bit-identical with no seed plumbing, and any engine arrives at
     * the same assignment for audit. */
+  /** The shared md5 bucket in [0, 1000): the single expression both
+    * [[stableSplit]] and [[mixtureSample]] derive from, so the two
+    * can never drift from each other or their oracle twins. */
+  private def stableBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 1000
+
   def stableSplit(id: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
-    val bucket = conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
-      .cast("long") % 1000
+    val bucket = stableBucket(id)
     when(bucket < trainPct * 10, "train")
       .when(bucket < (trainPct + valPct) * 10, "val")
       .otherwise("test")
@@ -144,9 +149,13 @@ object TextAnalysis {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     budget: Int, shardSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NULL text must stay NULL (not size()'s non-ANSI -1 sentinel):
+    // SQL running sums skip NULL in both engines, so a null doc gets
+    // null pack columns without corrupting later docs' offsets.
     val base = df.select(col(idCol),
       expr(s"cast($idCol as bigint) div $shardSize").as("shard"),
-      size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens"))
+      when(col(textCol).isNull, lit(null).cast("long"))
+        .otherwise(size(TextFns.tokens(col(textCol))).cast("long")).as("n_tokens"))
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
@@ -167,13 +176,20 @@ object TextAnalysis {
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
                      chunkSize: Int): DataFrame = {
     val c = chunkSize
+    // NULL text drops the row (explode of an empty array), matching
+    // the oracle's unnest-over-NULL-range. Without the guard, size()
+    // returns the non-ANSI -1 sentinel and sequence(0, -1) would
+    // DESCEND, emitting garbage chunk_idx -1 rows.
     df.select(col(idCol), TextFns.tokens(col(textCol)).as("__toks"))
       .withColumn("__n", size(col("__toks")))
       .select(col(idCol), col("__n"),
         explode(expr(
-          s"""transform(sequence(0, cast((__n + ${c - 1}) div $c as int) - 1),
-              i -> struct(cast(i as bigint) as chunk_idx,
-                          concat_ws(' ', slice(__toks, i * $c + 1, $c)) as chunk_text))"""))
+          s"""CASE WHEN __toks IS NULL
+               THEN array()
+               ELSE transform(sequence(0, cast((__n + ${c - 1}) div $c as int) - 1),
+                 i -> struct(cast(i as bigint) as chunk_idx,
+                             concat_ws(' ', slice(__toks, i * $c + 1, $c)) as chunk_text))
+               END"""))
           .as("__c"))
       .select(col(idCol),
         col("__c.chunk_idx"),
@@ -191,10 +207,13 @@ object TextAnalysis {
     * engine-auditable at any corpus size; unlisted groups drop. */
   def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
                     rates: Map[String, Double]): DataFrame = {
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") % 1000
-    val threshold = rates.foldLeft(lit(0.0)) { case (acc, (g, r)) =>
-      when(col(groupCol) === g, lit(r * 1000)).otherwise(acc)
+    val bucket = stableBucket(col(idCol))
+    // Integer thresholds: r * 1000 in doubles is off-by-one-ulp for
+    // rates like 0.115 (114.99999...), silently shifting the cutoff
+    // bucket; rounding to an integer keeps the documented
+    // "rate x 1000 buckets" semantics exact for every rate.
+    val threshold = rates.foldLeft(lit(0L)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(math.round(r * 1000))).otherwise(acc)
     }
     df.where(bucket < threshold)
   }

@@ -595,6 +595,25 @@ object RegistryLlm {
          coalesce(cast(text AS VARCHAR), chr(1) || 'N'),
          coalesce(cast(lang AS VARCHAR), chr(1) || 'N')))"""
 
+  /** Shared centroid CTE chain ending in `cent(label, dim, c,
+    * n_vecs)` — the single SQL twin of [[Similarity.groupCentroids]],
+    * used by both the centroid oracle and the trained-IVF oracle so
+    * the arithmetic cannot drift between them. */
+  private val centroidCtes: String =
+    """x AS (
+         SELECT label, embedding AS e,
+                unnest(range(0, len(embedding))) AS dim
+         FROM embeddings),
+       cu AS (SELECT label, dim,
+                     cast(round(cast(e[dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS uu
+              FROM x),
+       ca AS (SELECT label, dim, sum(uu) AS su, count(*) AS n_vecs
+              FROM cu GROUP BY 1, 2),
+       cent AS (SELECT label, dim,
+                       cast((2 * su + sign(su) * n_vecs) // (2 * n_vecs) AS DOUBLE) / 1000000.0 AS c,
+                       n_vecs
+                FROM ca)"""
+
   /** The quality-score scalar expression (same formula as the
     * llm_quality_score oracle). */
   private val scoreSql: String =
@@ -666,20 +685,9 @@ object RegistryLlm {
           WHERE rn = 1 AND fp NOT IN (SELECT fp FROM store)
           ORDER BY doc_id""",
     "llm_label_centroids" ->
-      """WITH x AS (
-           SELECT label, embedding AS e,
-                  unnest(range(0, len(embedding))) AS dim
-           FROM embeddings),
-         u AS (SELECT label, dim,
-                      cast(round(cast(e[dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS uu
-               FROM x),
-         a AS (SELECT label, dim, sum(uu) AS su, count(*) AS n_vecs
-               FROM u GROUP BY 1, 2)
-         SELECT label, dim,
-                cast((2 * su + sign(su) * n_vecs) // (2 * n_vecs) AS DOUBLE) / 1000000.0
-                  AS centroid,
-                n_vecs
-         FROM a ORDER BY label, dim""",
+      s"""WITH $centroidCtes
+          SELECT label, dim, c AS centroid, n_vecs
+          FROM cent ORDER BY label, dim""",
     "llm_repetition_stats" -> repetitionOracle,
     "llm_chunk_documents" ->
       """WITH t AS (
@@ -899,18 +907,7 @@ object RegistryLlm {
                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM cands)
          WHERE rank <= 3 ORDER BY query_id, rank""",
     "llm_knn_ivf_trained" ->
-      """WITH x AS (
-           SELECT label, embedding AS e,
-                  unnest(range(0, len(embedding))) AS dim
-           FROM embeddings),
-         uu AS (SELECT label, dim,
-                       cast(round(cast(e[dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS u
-                FROM x),
-         a0 AS (SELECT label, dim, sum(u) AS su, count(*) AS n
-                FROM uu GROUP BY 1, 2),
-         cent AS (SELECT label, dim,
-                         cast((2 * su + sign(su) * n) // (2 * n) AS DOUBLE) / 1000000.0 AS c
-                  FROM a0),
+      s"""WITH $centroidCtes,
          seeds AS (SELECT label AS seed_id, list(c ORDER BY dim) AS sv
                    FROM cent GROUP BY label),
          corpus AS (

@@ -19,24 +19,30 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingOps {
 
-  /** The shared stream: events file source → watermark → 1-day
-    * tumbling window counts. Returns the streaming frame plus a
-    * per-invocation nonce for sink/checkpoint naming (repeated
-    * invocations in one session must not collide). */
-  private def dailyStream(spark: SparkSession, sfDir: String): (DataFrame, String) = {
+  /** The raw events file-source stream (shared by every variant):
+    * TIMESTAMP(NANOS) read as long nanos and rebuilt to micros (see
+    * Tables.load), directory source glob-filtered to the one table.
+    * Returns the stream plus a per-invocation nonce for
+    * sink/checkpoint naming (repeated invocations in one session must
+    * not collide). */
+  private def rawEvents(spark: SparkSession, sfDir: String,
+                        kind: String): (DataFrame, String) = {
     val path = s"$sfDir/events.parquet"
-    // Harness events carry TIMESTAMP(NANOS) — stream them as long nanos
-    // and rebuild the timestamp (see Tables.load).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
-    val nonce = "graft_stream_daily_" + System.nanoTime()
-    // File stream sources take a directory; glob-filter to the one table.
+    val nonce = s"graft_stream_${kind}_" + System.nanoTime()
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
     val tsFixed =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
+    (tsFixed, nonce)
+  }
+
+  /** Watermarked 1-day tumbling-window counts over the events stream. */
+  private def dailyStream(spark: SparkSession, sfDir: String): (DataFrame, String) = {
+    val (tsFixed, nonce) = rawEvents(spark, sfDir, "daily")
     val stream = tsFixed
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
@@ -62,20 +68,6 @@ object StreamingOps {
     finalShape(spark.table(nonce))
   }
 
-  /** File-sink variant (the production path, VERDICT r2 #6): results
-    * land as parquet written BY EXECUTORS — nothing is materialized on
-    * the driver — and the returned frame is a plain batch read of that
-    * directory.
-    *
-    * Why foreachBatch+complete and not the builtin append-mode file
-    * sink: append emits a window only once the watermark passes its
-    * END, and on a bounded AvailableNow run the watermark stops at
-    * max(event_time) − delay, which is always inside the last window —
-    * the final day would be silently dropped from the sink. For a
-    * windowed AGGREGATE whose state is small (days × event_types, a
-    * few thousand rows even at 100 TB of raw events), the correct file
-    * shape is the complete aggregate overwritten per micro-batch; the
-    * raw-event firehose is what append-mode file sinks are for. */
   /** Stateless firehose archival — where the builtin APPEND-mode file
     * sink IS the right tool (no aggregation, so no window is ever
     * held back by the watermark): every event lands in parquet
@@ -84,16 +76,7 @@ object StreamingOps {
     * file-sink story: append for row streams, complete-overwrite via
     * foreachBatch for small aggregates. */
   def archiveEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema
-    val nonce = "graft_stream_archive_" + System.nanoTime()
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    val tsFixed =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val (tsFixed, nonce) = rawEvents(spark, sfDir, "archive")
     val outDir = "/tmp/graft_stream_archive/" + nonce
     val q = tsFixed
       .select("event_id", "user_id", "event_type", "value", "ts")
@@ -106,6 +89,21 @@ object StreamingOps {
     spark.read.parquet(outDir)
   }
 
+  /** File-sink variant of the daily aggregate (the production path,
+    * VERDICT r2 #6): results land as parquet written BY EXECUTORS —
+    * nothing is materialized on the driver — and the returned frame
+    * is a plain batch read of that directory.
+    *
+    * Why foreachBatch+complete and not the builtin append-mode file
+    * sink: append emits a window only once the watermark passes its
+    * END, and on a bounded AvailableNow run the watermark stops at
+    * max(event_time) − delay, which is always inside the last window —
+    * the final day would be silently dropped from the sink. For a
+    * windowed AGGREGATE whose state is small (days × event_types, a
+    * few thousand rows even at 100 TB of raw events), the correct file
+    * shape is the complete aggregate overwritten per micro-batch; the
+    * raw-event firehose ([[archiveEvents]]) is what append-mode file
+    * sinks are for. */
   def dailyEventCountsToFiles(spark: SparkSession, sfDir: String): DataFrame = {
     val (stream, nonce) = dailyStream(spark, sfDir)
     val outDir = "/tmp/graft_stream_out/" + nonce

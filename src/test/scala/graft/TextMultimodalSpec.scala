@@ -53,25 +53,29 @@ class TextMultimodalSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     // tokens: 3, 4, 2, 5 → starts 0,3,7,9; budget 5 → packs 0,0,1,1
     val docs = Seq(
-      (0L, "a b c"), (1L, "a b c d"), (2L, "a b"), (3L, "a b c d e"),
-      (100L, "x y z")) // new shard restarts at offset 0
+      (0L, Some("a b c")), (1L, Some("a b c d")), (2L, Some("a b")),
+      (3L, Some("a b c d e")),
+      (50L, None), // NULL text: null pack columns, later docs unaffected
+      (100L, Some("x y z"))) // new shard restarts at offset 0
       .toDF("doc_id", "text")
     val out = graft.operators.TextAnalysis
       .packSequences(docs, "doc_id", "text", budget = 5, shardSize = 100)
       .orderBy("doc_id")
-      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])].collect().toSeq
     assert(out == Seq(
-      (0L, 0L, 0L, 0L, 3L), (1L, 0L, 0L, 3L, 4L),
-      (2L, 0L, 1L, 2L, 2L), (3L, 0L, 1L, 4L, 5L),
-      (100L, 1L, 0L, 0L, 3L)))
+      (0L, 0L, Some(0L), Some(0L), Some(3L)), (1L, 0L, Some(0L), Some(3L), Some(4L)),
+      (2L, 0L, Some(1L), Some(2L), Some(2L)), (3L, 0L, Some(1L), Some(4L), Some(5L)),
+      (50L, 0L, None, None, None),
+      (100L, 1L, Some(0L), Some(0L), Some(3L))))
   }
 
   test("chunking covers every token exactly once with explicit order") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
-      (1L, (1 to 7).map(i => s"w$i").mkString(" ")), // 7 tokens, C=3 -> 3,3,1
-      (2L, "only two"),                              // < C -> one short chunk
-      (3L, (1 to 6).map(i => s"x$i").mkString(" "))  // exact multiple -> 3,3
+      (1L, Some((1 to 7).map(i => s"w$i").mkString(" "))), // 7 tokens, C=3 -> 3,3,1
+      (2L, Some("only two")),                              // < C -> one short chunk
+      (3L, Some((1 to 6).map(i => s"x$i").mkString(" "))), // exact multiple -> 3,3
+      (4L, None)                                           // NULL text -> no rows
     ).toDF("doc_id", "text")
     val out = graft.operators.TextAnalysis
       .chunkDocuments(docs, "doc_id", "text", chunkSize = 3)

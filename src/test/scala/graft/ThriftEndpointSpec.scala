@@ -13,7 +13,12 @@ class ThriftEndpointSpec extends AnyFunSuite {
 
   test("HiveThriftServer2 serves registered views over a real JDBC round-trip") {
     val spark = SparkTestBase.spark
-    val port = 10000 + new scala.util.Random(System.nanoTime()).nextInt(20000)
+    // Pick a port the OS confirms free right now (bind-and-release) —
+    // a blind random port could collide and burn the whole connect
+    // window before failing.
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
     spark.sqlContext.setConf("hive.server2.thrift.port", port.toString)
     spark.sqlContext.setConf("hive.server2.thrift.bind.host", "localhost")
     // Temp views are session-local and every JDBC connection gets its
