@@ -92,6 +92,12 @@ object TextAnalysis {
   val ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
   val phoneRe = "\\+?[0-9][0-9().-]{5,}[0-9]"
 
+  /** The shared md5 bucket in [0, 1000): the single expression both
+    * [[stableSplit]] and [[mixtureSample]] derive from, so the two
+    * can never drift from each other or their oracle twins. */
+  private def stableBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 1000
+
   /** Deterministic, growth-stable train/val/test assignment: the id
     * hashes (md5, engine-recomputable) into one of 1000 buckets and
     * cumulative percentage ranges pick the split. Properties that
@@ -99,12 +105,6 @@ object TextAnalysis {
     * existing ones (row_number or sample() would), reruns are
     * bit-identical with no seed plumbing, and any engine arrives at
     * the same assignment for audit. */
-  /** The shared md5 bucket in [0, 1000): the single expression both
-    * [[stableSplit]] and [[mixtureSample]] derive from, so the two
-    * can never drift from each other or their oracle twins. */
-  private def stableBucket(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 1000
-
   def stableSplit(id: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
     val bucket = stableBucket(id)
     when(bucket < trainPct * 10, "train")
@@ -120,11 +120,16 @@ object TextAnalysis {
     * exact integer half-up division so both engines agree to the
     * bit. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = graft.sources.Tables.scaled(df)
+    // ONE widened scan feeds both branches. The trigram branch is
+    // expression-dense (full trigram array + array_distinct per row);
+    // on a single-row-group input it would otherwise evaluate on ONE
+    // core (observed 3.6s vs 0.2s at sf0.1).
+    val sdf = graft.sources.Tables.scaled(df)
+    val toks = sdf
       .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("__t"))
     val tokAgg = toks.groupBy(idCol, "__t").agg(count(lit(1)).as("__c"))
       .groupBy(idCol).agg(max("__c").as("__maxc"), sum("__c").as("__n"))
-    val tri = df.select(col(idCol),
+    val tri = sdf.select(col(idCol),
       size(TextFns.shingles(col(textCol), 3)).cast("long").as("__td"),
       greatest(size(TextFns.tokens(col(textCol))) - 2, lit(0)).cast("long").as("__tt"))
     tri.join(tokAgg, Seq(idCol))
@@ -152,7 +157,7 @@ object TextAnalysis {
     // NULL text must stay NULL (not size()'s non-ANSI -1 sentinel):
     // SQL running sums skip NULL in both engines, so a null doc gets
     // null pack columns without corrupting later docs' offsets.
-    val base = df.select(col(idCol),
+    val base = graft.sources.Tables.scaled(df).select(col(idCol),
       expr(s"cast($idCol as bigint) div $shardSize").as("shard"),
       when(col(textCol).isNull, lit(null).cast("long"))
         .otherwise(size(TextFns.tokens(col(textCol))).cast("long")).as("n_tokens"))
@@ -180,7 +185,8 @@ object TextAnalysis {
     // the oracle's unnest-over-NULL-range. Without the guard, size()
     // returns the non-ANSI -1 sentinel and sequence(0, -1) would
     // DESCEND, emitting garbage chunk_idx -1 rows.
-    df.select(col(idCol), TextFns.tokens(col(textCol)).as("__toks"))
+    graft.sources.Tables.scaled(df)
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("__toks"))
       .withColumn("__n", size(col("__toks")))
       .select(col(idCol), col("__n"),
         explode(expr(

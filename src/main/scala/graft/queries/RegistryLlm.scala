@@ -140,6 +140,18 @@ object RegistryLlm {
       Similarity.groupCentroids(embs(s, dir), "label", "embedding")
         .orderBy("label", "dim")),
 
+    // Corpus datasheet: docs and token totals per (split, language) —
+    // the dataset-card aggregate every released corpus ships with,
+    // composing the stable split with token counting in one pass.
+    "llm_corpus_datasheet" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"),
+          TextAnalysis.stableSplit(col("doc_id")).as("split"),
+          size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("__nt"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
+        .orderBy("split", "lang")),
+
     // GPT-style sequence packing: docs assigned to 256-token packs by
     // start offset under concatenation, packed per 100-id shard.
     "llm_pack_sequences" -> ((s, dir) =>
@@ -153,7 +165,7 @@ object RegistryLlm {
     // a corpus actually runs, exercising operator composition.
     "llm_quality_filter" -> ((s, dir) => {
       val d = docs(s, dir)
-      val base = d.select(col("doc_id"),
+      val base = Tables.scaled(d).select(col("doc_id"),
         size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("__nt"),
         TextAnalysis.qualityScore(col("text")).as("__q"))
       base.join(TextAnalysis.repetitionStats(d, "doc_id", "text"), "doc_id")
@@ -647,6 +659,19 @@ object RegistryLlm {
         FROM v ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "llm_corpus_datasheet" ->
+      """WITH t AS (
+           SELECT lang,
+                  CASE WHEN b < 900 THEN 'train'
+                       WHEN b < 950 THEN 'val'
+                       ELSE 'test' END AS split,
+                  len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS nt
+           FROM (SELECT lang, text,
+                        ('0x' || substring(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
+                 FROM documents))
+         SELECT split, lang, count(*) AS n_docs,
+                cast(sum(nt) AS BIGINT) AS n_tokens
+         FROM t GROUP BY split, lang ORDER BY split, lang""",
     "llm_pack_sequences" ->
       """WITH t AS (
            SELECT doc_id, doc_id // 100 AS shard,

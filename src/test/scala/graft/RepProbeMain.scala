@@ -26,7 +26,16 @@ object RepProbeMain {
       size(graft.functions.TextFns.shingles(col("text"), 3)).as("__td"),
       greatest(size(graft.functions.TextFns.tokens(col("text"))) - 2, lit(0)).as("__tt"))
     time("tri-expr")(tri.count())
-    time("full")(graft.operators.TextAnalysis.repetitionStats(d, "doc_id", "text").count())
+    time("full-count")(graft.operators.TextAnalysis.repetitionStats(d, "doc_id", "text").count())
+    time("full-noop") {
+      val df = graft.operators.TextAnalysis.repetitionStats(d, "doc_id", "text").orderBy("doc_id")
+      df.write.format("noop").mode("overwrite").save(); df.count()
+    }
+    time("tri-noop") {
+      val df = d.select(col("doc_id"),
+        size(graft.functions.TextFns.shingles(col("text"), 3)).cast("long").as("td"))
+      df.write.format("noop").mode("overwrite").save(); df.count()
+    }
     spark.stop()
   }
 }
