@@ -40,8 +40,14 @@ object Cluster {
     fwd.count()
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Seed each node with min(self, direct neighbors) — one aggregate
+    // over the edge list instead of an identity init. Costs nothing
+    // extra (the identity init also scanned edges) and saves a full
+    // propagation round; near-clique dup graphs then converge in one
+    // confirming round.
+    var labels = edges
+      .select(col("src").as("node"), least(col("src"), col("dst")).as("label"))
+      .groupBy("node").agg(min("label").as("label"))
     var prevCache: Option[DataFrame] = None
     var changed = 1L
     var i = 0
