@@ -36,6 +36,10 @@ class IdempotenceSpec extends AnyFunSuite {
     runTwice("llm_incremental_dedup")
   }
 
+  test("append-sink archive query is re-runnable (nonced output + checkpoint)") {
+    runTwice("stream_events_archive")
+  }
+
   test("memory-sink and file-sink streaming variants agree") {
     import org.apache.spark.sql.functions.col
     val order = Seq(col("report_date"), col("event_type"))
