@@ -286,6 +286,24 @@ object RegistryCore {
         .orderBy("c_custkey")
     }),
 
+    // Beyond-reference: the distribution-rank window family — ntile
+    // buckets, percent_rank, cume_dist, lead — over a UNIQUE order
+    // key (acctbal ties broken by custkey: ntile assignment is
+    // nondeterministic under order ties). percent_rank/cume_dist are
+    // small-integer IEEE divisions, bit-identical across engines.
+    "w7_rank_distributions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          lead(col("c_custkey"), 1).over(w).as("next_custkey"))
+        .orderBy("c_custkey")
+    }),
+
     // Beyond-reference: gap-based sessionization (lag + running sum of
     // session-break flags — two window passes over ONE key shuffle).
     "w4_sessionization" -> ((s, dir) => {
@@ -534,6 +552,16 @@ object RegistryCore {
     "p2_column_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          ORDER BY l_orderkey, l_linenumber""",
+    "w7_rank_distributions" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+                cast(ntile(4) OVER w AS INTEGER) AS quartile,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume,
+                lead(c_custkey, 1) OVER w AS next_custkey
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal ASC, c_custkey ASC)
+         ORDER BY c_custkey""",
     "w5_rolling_avg" ->
       """WITH daily AS (
            SELECT cast(date_trunc('day', ts) AS DATE) AS day,
