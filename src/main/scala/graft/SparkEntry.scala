@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{RegistryCore, RegistryGold, RegistryIngest, RegistryLlm}
+import graft.queries.{RegistryCore, RegistryExtra, RegistryGold, RegistryIngest, RegistryLlm}
 import graft.sources.Tables
 import graft.models.RealEstate
 
@@ -40,11 +40,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RegistryCore.defs ++ RegistryIngest.defs ++ RegistryGold.defs ++ RegistryLlm.defs
+    RegistryCore.defs ++ RegistryIngest.defs ++ RegistryGold.defs ++
+      RegistryLlm.defs ++ RegistryExtra.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RegistryCore.oracles ++ RegistryIngest.oracles ++ RegistryGold.oracles ++
-      RegistryLlm.oracles
+      RegistryLlm.oracles ++ RegistryExtra.oracles
 }

@@ -77,6 +77,31 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): pairwise cosine comparison is confined WITHIN
+    * pre-assigned clusters (a k-means cell id, here the `clusterCol`),
+    * and of any pair with similarity >= tau the higher-id row is
+    * dropped. Greedy-by-id, single pass — deterministic, and the
+    * within-cluster confinement is exactly what makes the method
+    * tractable at corpus scale: pair work is Σ|cluster|², never N²,
+    * and the self-join shuffles once on the cluster key.
+    *
+    * Returns the SURVIVORS (df rows minus dropped ids). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    clusterCol: String, tau: Double): DataFrame = {
+    val base = graft.sources.Tables.scaled(
+        df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+          col(clusterCol).as("__c")))
+      .cache() // self-joined: one materialization, two readers
+    val dropped = base.as("a")
+      .join(base.as("b"),
+        col("a.__c") === col("b.__c") && col("a.__id") < col("b.__id"))
+      .withColumn("__cs", cosine(col("a.__v"), col("b.__v")))
+      .where(col("__cs") >= tau)
+      .select(col("b.__id")).distinct()
+    df.join(dropped, df(idCol) === dropped("__id"), "left_anti")
+  }
+
   /** Deterministic sign-LSH near-duplicate pairs: candidates =
     * vectors sharing the sign pattern of >=1 band of dimensions;
     * verified with exact cosine >= tau. Output (id_a, id_b, cos_sim),

@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+
+/** Round-6 operator families completing the relational SQL surface
+  * beyond SURVEY §2's literal inventory: outer/semi join shapes,
+  * GROUPING SETS, UNPIVOT, ordered string aggregation, higher-order
+  * array functions, JSON extraction, SCD2 dimension builds,
+  * calendar gap-fill, and two further Structured-Streaming shapes
+  * (stream-static enrichment join, sliding windows).
+  *
+  * Same float/timestamp discipline as [[RegistryCore]]: exact decimal
+  * sums with one final double cast, epoch seconds instead of raw
+  * event timestamps, every query totally ordered with the oracle
+  * mirroring column names exactly.
+  */
+object RegistryExtra {
+  private type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+  private def decSum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
+
+  val defs: Map[String, Q] = Map(
+    // LEFT OUTER join with the filter in the join CONDITION (not a
+    // pre-filter of the probe side): unmatched customers survive with
+    // null order columns — count(o_orderkey) vs count(*) witnesses
+    // the outer semantics.
+    "j8_left_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey") &&
+          o("o_orderstatus") === "O", "left")
+        .groupBy("c_mktsegment")
+        .agg(count(col("o_orderkey")).as("n_open_orders"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // LEFT SEMI join — existence probe that never duplicates the left
+    // side (a customer with 5 urgent orders appears once).
+    "j9_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // FULL OUTER join of two asymmetric aggregates (12 vs 9 nations
+    // at sf0.01): both sides contribute unmatched rows, keys
+    // coalesced, counts zero-filled.
+    "j10_full_outer_join" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").where(col("s_acctbal") > 8000)
+        .groupBy("s_nationkey").agg(count(lit(1)).as("__ns"))
+      val cus = t(s, dir, "customer").where(col("c_acctbal") < -900)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("__nc"))
+      sup.join(cus, col("s_nationkey") === col("c_nationkey"), "full")
+        .select(
+          coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+          coalesce(col("__ns"), lit(0L)).as("n_rich_suppliers"),
+          coalesce(col("__nc"), lit(0L)).as("n_debtor_customers"))
+        .orderBy("nationkey")
+    }),
+
+    // Correlated EXISTS subquery through the SQL entry point —
+    // Catalyst decorrelates to a semi-join; DuckDB runs the identical
+    // text.
+    "j11_exists_subquery" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""SELECT p_partkey, p_name FROM part
+               WHERE EXISTS (SELECT 1 FROM lineitem
+                             WHERE l_partkey = p_partkey AND l_quantity >= 49)
+               ORDER BY p_partkey""")
+    }),
+
+    // GROUPING SETS with a grouping-id disambiguator: detail,
+    // per-region subtotal, and grand total in one pass (Spark expands
+    // to a single shuffle with an internal grouping-id column —
+    // map-side combinable, unlike a UNION of three aggregates which
+    // would scan three times).
+    "a11_grouping_sets" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""SELECT coalesce(r_name, 'ALL') AS region_name,
+                      coalesce(n_name, 'ALL') AS nation_name,
+                      cast(grouping(r_name) * 2 + grouping(n_name) AS INTEGER) AS gid,
+                      count(*) AS n_customers,
+                      cast(sum(cast(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+               FROM customer
+               JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+               ORDER BY gid, region_name, nation_name""")
+    }),
+
+    // UNPIVOT (wide -> long): the inverse of a10_pivot, via the typed
+    // Dataset.unpivot API — a metadata-only projection expansion, no
+    // shuffle beyond the feeding aggregate.
+    "a12_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "orders").groupBy("o_orderpriority").agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
+      wide.unpivot(Array(col("o_orderpriority")),
+          Array(col("n_f"), col("n_o"), col("n_p")), "status_metric", "n")
+        .orderBy("o_orderpriority", "status_metric")
+    }),
+
+    // Ordered string aggregation (LISTAGG): collect_list is
+    // order-nondeterministic under parallel merge, so the sort happens
+    // INSIDE the aggregate value (array_sort before join) — the only
+    // engine-portable formulation.
+    "a13_string_agg" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",")
+            .as("suppliers"),
+          count(lit(1)).as("n_suppliers"))
+        .orderBy("s_nationkey")),
+
+    // Higher-order array functions over tokenized text: filter,
+    // aggregate (fold), transform+slice, exists — all codegen-friendly
+    // lambda expressions, no UDFs.
+    "f9_higher_order_fns" -> ((s, dir) => {
+      val toks = split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(filter(toks, x => length(x) > 5)).as("n_long"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x).cast("long"))
+          .as("chars_sum"),
+        array_join(transform(slice(toks, 1, 3), x => upper(x)), " ")
+          .as("head_upper"),
+        exists(toks, x => x === "the").as("has_the"))
+        .orderBy("doc_id")
+    }),
+
+    // JSON extraction from a string payload column (events.props):
+    // path extraction + cast + aggregate. At scale the parse is a
+    // per-row projection (no shuffle added to the aggregate's).
+    "f10_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("__k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("__k")).as("k_sum"),
+          count(col("__k")).as("n_k"),
+          min(col("__k")).as("k_min"),
+          max(col("__k")).as("k_max"))
+        .orderBy("event_type")),
+
+    // SCD2 dimension build: per-user event_type change history with
+    // [valid_from, valid_to) epochs and a current flag. Consecutive
+    // duplicate attribute values are collapsed first (lag), then
+    // validity chains via lead — two window passes over ONE user-key
+    // shuffle (same partitioning, Catalyst reuses the exchange).
+    "w8_scd2_dimension" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changes = t(s, dir, "events")
+        .withColumn("__prev", lag(col("event_type"), 1).over(byUser))
+        .where(col("__prev").isNull || col("__prev") =!= col("event_type"))
+      val chained = changes
+        .withColumn("__next_ts", lead(col("ts"), 1).over(byUser))
+      chained.select(
+          col("user_id"),
+          col("event_type").as("attr_value"),
+          unix_timestamp(col("ts")).as("valid_from_sec"),
+          coalesce(unix_timestamp(col("__next_ts")), lit(253402300800L))
+            .as("valid_to_sec"),
+          col("__next_ts").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from_sec")
+    }),
+
+    // Calendar gap-fill: dense (event_type × day) grid from
+    // sequence+explode, left join of sparse daily counts, zeros
+    // filled — 127 of 150 grid rows are genuine gaps at sf0.01. The
+    // grid is generated, never scanned; the counts aggregate is the
+    // only shuffle over data.
+    "o3_gap_fill_calendar" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sparse = ev.where(col("value") > 300)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("__n"))
+      val cal = ev.agg(min(to_date(col("ts"))).as("__d0"),
+          max(to_date(col("ts"))).as("__d1"))
+        .select(explode(sequence(col("__d0"), col("__d1"),
+          expr("interval 1 day"))).as("day"))
+      val types = ev.select("event_type").distinct()
+      cal.crossJoin(types)
+        .join(sparse, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("__n"), lit(0L)).as("n_events"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Stream-static enrichment join (events stream ⋈ broadcast nation
+    // dim) feeding a watermarked daily window — the streaming star
+    // join.
+    "stream_enriched_join" -> ((s, dir) =>
+      StreamingOps.enrichedDailyCounts(s, dir)
+        .orderBy("report_date", "n_name")),
+
+    // Sliding-window aggregate (2-day windows, 1-day slide): each
+    // event feeds exactly two overlapping windows.
+    "stream_sliding_window" -> ((s, dir) =>
+      StreamingOps.slidingWindowCounts(s, dir)
+        .orderBy("window_start", "event_type")))
+
+  val oracles: Map[String, String] = Map(
+    "j8_left_outer_join" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS n_open_orders, count(*) AS n_rows
+         FROM customer LEFT JOIN orders
+           ON o_custkey = c_custkey AND o_orderstatus = 'O'
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "j9_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "j10_full_outer_join" ->
+      """WITH sup AS (SELECT s_nationkey, count(*) AS ns FROM supplier
+                      WHERE s_acctbal > 8000 GROUP BY s_nationkey),
+         cus AS (SELECT c_nationkey, count(*) AS nc FROM customer
+                 WHERE c_acctbal < -900 GROUP BY c_nationkey)
+         SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+                coalesce(ns, 0) AS n_rich_suppliers,
+                coalesce(nc, 0) AS n_debtor_customers
+         FROM sup FULL JOIN cus ON s_nationkey = c_nationkey
+         ORDER BY nationkey""",
+    "j11_exists_subquery" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_partkey = p_partkey AND l_quantity >= 49)
+         ORDER BY p_partkey""",
+    "a11_grouping_sets" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+                coalesce(n_name, 'ALL') AS nation_name,
+                cast(grouping(r_name) * 2 + grouping(n_name) AS INTEGER) AS gid,
+                count(*) AS n_customers,
+                cast(sum(cast(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+         ORDER BY gid, region_name, nation_name""",
+    "a12_unpivot" ->
+      """WITH wide AS (
+           SELECT o_orderpriority,
+                  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+                  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+                  count(*) FILTER (o_orderstatus = 'P') AS n_p
+           FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, status_metric, n FROM (
+           SELECT o_orderpriority, 'n_f' AS status_metric, n_f AS n FROM wide
+           UNION ALL
+           SELECT o_orderpriority, 'n_o', n_o FROM wide
+           UNION ALL
+           SELECT o_orderpriority, 'n_p', n_p FROM wide)
+         ORDER BY o_orderpriority, status_metric""",
+    "a13_string_agg" ->
+      """SELECT s_nationkey,
+                string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+                count(*) AS n_suppliers
+         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "f9_higher_order_fns" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents)
+         SELECT doc_id,
+                cast(len(list_filter(ws, x -> length(x) > 5)) AS INTEGER) AS n_long,
+                cast(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS chars_sum,
+                array_to_string(list_transform(ws[1:3], x -> upper(x)), ' ') AS head_upper,
+                list_contains(ws, 'the') AS has_the
+         FROM tk ORDER BY doc_id""",
+    "f10_json_extract" ->
+      """SELECT event_type,
+                cast(sum(k) AS BIGINT) AS k_sum,
+                count(k) AS n_k,
+                cast(min(k) AS BIGINT) AS k_min,
+                cast(max(k) AS BIGINT) AS k_max
+         FROM (SELECT event_type,
+                      cast(json_extract(props, '$.k') AS BIGINT) AS k
+               FROM events)
+         GROUP BY event_type ORDER BY event_type""",
+    "w8_scd2_dimension" ->
+      """WITH changes AS (
+           SELECT user_id, event_type, ts, event_id
+           FROM (SELECT user_id, event_type, ts, event_id,
+                        lag(event_type) OVER w AS prev
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+           WHERE prev IS NULL OR prev <> event_type),
+         chained AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+           FROM changes)
+         SELECT user_id, event_type AS attr_value,
+                cast(floor(epoch(ts)) AS BIGINT) AS valid_from_sec,
+                coalesce(cast(floor(epoch(next_ts)) AS BIGINT), 253402300800) AS valid_to_sec,
+                next_ts IS NULL AS is_current
+         FROM chained ORDER BY user_id, valid_from_sec""",
+    "o3_gap_fill_calendar" ->
+      """WITH sparse AS (
+           SELECT event_type, cast(ts AS DATE) AS day, count(*) AS n
+           FROM events WHERE value > 300 GROUP BY 1, 2),
+         cal AS (
+           SELECT cast(unnest(generate_series(
+                    (SELECT min(cast(ts AS DATE)) FROM events),
+                    (SELECT max(cast(ts AS DATE)) FROM events),
+                    INTERVAL 1 DAY)) AS DATE) AS day),
+         grid AS (SELECT e.event_type, cal.day
+                  FROM (SELECT DISTINCT event_type FROM events) e CROSS JOIN cal)
+         SELECT g.event_type, g.day, coalesce(s.n, 0) AS n_events
+         FROM grid g LEFT JOIN sparse s
+           ON g.event_type = s.event_type AND g.day = s.day
+         ORDER BY g.event_type, g.day""",
+    "stream_enriched_join" ->
+      """SELECT cast(date_trunc('day', ts) AS DATE) AS report_date, n_name,
+                count(*) AS n_events
+         FROM events JOIN nation ON n_nationkey = user_id % 25
+         GROUP BY 1, 2 ORDER BY report_date, n_name""",
+    "stream_sliding_window" ->
+      """WITH x AS (SELECT cast(date_trunc('day', ts) AS DATE) AS d, event_type
+                    FROM events),
+         win AS (SELECT d AS window_start, event_type FROM x
+                 UNION ALL
+                 SELECT cast(d - INTERVAL 1 DAY AS DATE), event_type FROM x)
+         SELECT window_start, event_type, count(*) AS n_events
+         FROM win GROUP BY 1, 2 ORDER BY window_start, event_type""")
+}

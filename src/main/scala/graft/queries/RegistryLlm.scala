@@ -86,6 +86,31 @@ object RegistryLlm {
         .orderBy("doc_id")
     }),
 
+    // Cluster-aware KEEP-BEST dedup: the near-dup clusters (MinHash
+    // LSH pairs closed under transitivity) each retain their
+    // HIGHEST-QUALITY member instead of the min-id one — the policy
+    // production corpora actually want (dedup should not keep the
+    // worst copy). One row per cluster: representative, its quality,
+    // member count. Ranking happens inside each (small) cluster.
+    "llm_dedup_keep_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val pairs = NearDup.minhashLshPairs(d, "doc_id", "text", n = 2, tau = 0.8)
+      val clusters = graft.operators.Cluster.dupClusters(d, "doc_id", pairs,
+        "id_a", "id_b")
+      val scored = d.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("qs"))
+      val byCluster = Window.partitionBy("cluster_id")
+      val rankW = byCluster.orderBy(col("qs").desc, col("doc_id").asc)
+      clusters.join(scored, "doc_id")
+        .withColumn("rn", row_number().over(rankW))
+        .withColumn("n_members", count(lit(1)).over(byCluster))
+        .where(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+          col("qs").as("kept_quality"), col("n_members"))
+        .orderBy("cluster_id")
+    }),
+
     // SimHash Hamming<=3 pairs. The signature hash is md5-derived, so
     // the DuckDB oracle recomputes it exactly (hash-checked, not
     // rows-only).
@@ -350,6 +375,16 @@ object RegistryLlm {
           tau = 0.4, bands = 3, bitsPerBand = 8)
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup (arXiv:2303.09540): semantic dedup confined to
+    // pre-assigned embedding clusters — pairwise cosine only WITHIN a
+    // cluster (Σ|cluster|² work, one shuffle on the cluster key),
+    // higher id of any pair >= tau dropped, survivors returned.
+    "llm_semdedup" -> ((s, dir) =>
+      Similarity.semanticDedup(embs(s, dir), "vec_id", "embedding",
+          "label", tau = 0.4)
+        .select("vec_id", "label")
+        .orderBy("vec_id")),
+
     // Multimodal plumbing: binary payload + typed metadata, batched
     // per-partition stub decode (the mapInPandas analog).
     "multimodal_features" -> ((s, dir) =>
@@ -492,11 +527,13 @@ object RegistryLlm {
         ORDER BY id_a, id_b"""
   }
 
-  /** Cluster oracle: exact Jaccard pairs (same as the minhash
-    * oracle's pair set) closed into components by a recursive CTE
-    * (min reachable id per node), singletons = own cluster. */
-  private def dupClusterOracle(n: Int, tau: Double): String =
-    s"""WITH RECURSIVE ${shingleCte(n)},
+  /** Shared component-closure CTE chain: exact Jaccard pairs (same
+    * pair set as the minhash oracle) closed into connected components
+    * by a recursive CTE (min reachable id per node). Yields CTE `cl`
+    * = (doc_id, cluster_id) with singletons labeled by their own id.
+    * Callers must prefix `WITH RECURSIVE`. */
+  private def componentCtes(n: Int, tau: Double): String =
+    s"""${shingleCte(n)},
         p AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -508,12 +545,28 @@ object RegistryLlm {
           SELECT src, src FROM edges
           UNION
           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node),
-        label AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
-        SELECT d.doc_id,
-               coalesce(l.cluster_id, d.doc_id) AS cluster_id,
-               coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_canonical
-        FROM documents d LEFT JOIN label l ON d.doc_id = l.node
-        ORDER BY d.doc_id"""
+        label AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+        cl AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+               FROM documents d LEFT JOIN label l ON d.doc_id = l.node)"""
+
+  private def dupClusterOracle(n: Int, tau: Double): String =
+    s"""WITH RECURSIVE ${componentCtes(n, tau)}
+        SELECT doc_id, cluster_id, cluster_id = doc_id AS is_canonical
+        FROM cl ORDER BY doc_id"""
+
+  /** Keep-best oracle: same components, joined to the quality score,
+    * window-ranked (qs DESC, doc_id ASC) inside each cluster. */
+  private def keepBestOracle(n: Int, tau: Double): String =
+    s"""WITH RECURSIVE ${componentCtes(n, tau)},
+        q AS (SELECT doc_id, $scoreSql AS qs FROM documents),
+        m AS (SELECT cl.cluster_id, cl.doc_id, q.qs,
+                     row_number() OVER (PARTITION BY cl.cluster_id
+                       ORDER BY q.qs DESC, cl.doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY cl.cluster_id) AS nm
+              FROM cl JOIN q ON cl.doc_id = q.doc_id)
+        SELECT cluster_id, doc_id AS kept_doc_id, qs AS kept_quality,
+               cast(nm AS BIGINT) AS n_members
+        FROM m WHERE rn = 1 ORDER BY cluster_id"""
 
   /** PII-redaction oracle: identical planted text, identical regex
     * chain (RE2 ∩ Java syntax), identical token-count arithmetic. */
@@ -751,6 +804,17 @@ object RegistryLlm {
     "llm_decontaminate" -> decontaminateOracle(5, 3),
     "llm_pii_redact" -> piiRedactOracle,
     "llm_dup_clusters" -> dupClusterOracle(2, 0.8),
+    "llm_dedup_keep_best" -> keepBestOracle(2, 0.8),
+    "llm_semdedup" ->
+      """WITH e AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         dropped AS (
+           SELECT DISTINCT b.vec_id AS vid
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4)
+         SELECT vec_id, label FROM embeddings
+         WHERE vec_id NOT IN (SELECT vid FROM dropped)
+         ORDER BY vec_id""",
     "llm_simhash_pairs" -> simhashOracle(3),
     "llm_exact_dedup" ->
       """WITH u AS (

@@ -89,6 +89,63 @@ object StreamingOps {
     spark.read.parquet(outDir)
   }
 
+  /** Stream-static enrichment join + windowed aggregate: the events
+    * stream is joined to a BATCH dimension (nation, broadcast — the
+    * static side is planned once per micro-batch and never shuffles
+    * the stream) before the daily window aggregate. This is the
+    * streaming face of the star join: at 100 TB/day the fact stream
+    * flows through unbuffered while the dim sits in executor memory. */
+  def enrichedDailyCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val (tsFixed, nonce) = rawEvents(spark, sfDir, "enriched")
+    val dim = broadcast(graft.sources.Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name")))
+    val stream = tsFixed
+      .withColumn("__nk", col("user_id") % 25)
+      .join(dim, col("__nk") === col("n_nationkey"))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("n_name"))
+      .agg(count(lit(1)).as("n_events"))
+    val outDir = "/tmp/graft_stream_out/" + nonce
+    val q = stream.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("w.start").cast("date").as("report_date"),
+            col("n_name"), col("n_events"))
+          .write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /** SLIDING-window counts (2-day windows advancing by 1 day): every
+    * event lands in exactly two overlapping windows — the
+    * trailing-aggregate shape (e.g. "48h rolling volume refreshed
+    * daily") a tumbling window cannot express. State is
+    * days × event_types × 2, still tiny at any corpus scale. */
+  def slidingWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val (tsFixed, nonce) = rawEvents(spark, sfDir, "sliding")
+    val stream = tsFixed
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val outDir = "/tmp/graft_stream_out/" + nonce
+    val q = stream.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("w.start").cast("date").as("window_start"),
+            col("event_type"), col("n_events"))
+          .write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** File-sink variant of the daily aggregate (the production path,
     * VERDICT r2 #6): results land as parquet written BY EXECUTORS —
     * nothing is materialized on the driver — and the returned frame

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.{RegistryExtra, RegistryLlm}
+
+/** Semantic laws for the round-6 operator batch — properties the
+  * DuckDB hash-compare alone would not articulate (tiling of SCD2
+  * validity ranges, grid completeness of the gap-fill, the semantic-
+  * dedup survivor invariant, sliding-window double counting). */
+class ExtraQueriesSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("w8_scd2_dimension: per-user validity ranges tile, one current row") {
+    val out = run("w8_scd2_dimension").cache()
+    // every range is non-empty and well-formed
+    assert(out.where(col("valid_from_sec") >= col("valid_to_sec")).count() == 0)
+    // exactly one open (current) row per user
+    val perUser = out.groupBy("user_id")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_cur"))
+    assert(perUser.where(col("n_cur") =!= 1).count() == 0)
+    // ranges chain: each next valid_from equals the previous valid_to
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("valid_from_sec")
+    val chained = out.withColumn("__next_from", lead("valid_from_sec", 1).over(w))
+      .where(col("__next_from").isNotNull)
+    assert(chained.where(col("valid_to_sec") =!= col("__next_from")).count() == 0)
+    // consecutive rows always change the attribute value
+    val attrChain = out.withColumn("__next_attr", lead("attr_value", 1).over(w))
+      .where(col("__next_attr").isNotNull)
+    assert(attrChain.where(col("attr_value") === col("__next_attr")).count() == 0)
+    out.unpersist()
+  }
+
+  test("o3_gap_fill_calendar: complete grid with genuine zero-filled gaps") {
+    val out = run("o3_gap_fill_calendar").cache()
+    val nTypes = out.select("event_type").distinct().count()
+    val nDays = out.select("day").distinct().count()
+    assert(out.count() == nTypes * nDays, "grid must be dense")
+    assert(out.where(col("n_events") === 0).count() > 0, "gaps must exist")
+    out.unpersist()
+  }
+
+  test("llm_semdedup: survivors have no within-cluster pair above tau") {
+    val out = run("llm_semdedup").cache()
+    val n = out.count()
+    assert(n > 0 && n < 500 + 1) // some survivors; at most the corpus
+    // no surviving pair within the same label with cosine >= tau where
+    // the higher id should have been dropped
+    val joined = out.as("a").join(out.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .join(graft.sources.Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id").as("ida"), col("embedding").as("va")),
+        col("a.vec_id") === col("ida"))
+      .join(graft.sources.Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id").as("idb"), col("embedding").as("vb")),
+        col("b.vec_id") === col("idb"))
+      .withColumn("cs", graft.operators.Similarity.cosine(col("va"), col("vb")))
+    assert(joined.where(col("cs") >= 0.4).count() == 0)
+    out.unpersist()
+  }
+
+  test("llm_dedup_keep_best: representative maximizes quality in its cluster") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val scored = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.qualityScore(col("text")).as("qs"))
+    val out = run("llm_dedup_keep_best").cache()
+    // exactly one row per cluster, members sum to the corpus size
+    assert(out.select("cluster_id").distinct().count() == out.count())
+    val total = out.agg(sum("n_members")).head().getLong(0)
+    assert(total == docs.count())
+    // kept quality equals its own doc's score (join-back sanity)
+    val mismatch = out.join(scored, out("kept_doc_id") === scored("doc_id"))
+      .where(col("kept_quality") =!= col("qs")).count()
+    assert(mismatch == 0)
+    out.unpersist()
+  }
+
+  test("stream_sliding_window: every event lands in exactly two windows") {
+    val out = run("stream_sliding_window")
+    val counted = out.agg(sum("n_events")).head().getLong(0)
+    val raw = graft.sources.Tables.load(spark, sfDir, "events").count()
+    assert(counted == 2 * raw)
+  }
+
+  test("a12_unpivot inverts a10-style widening: value totals preserved") {
+    val out = run("a12_unpivot")
+    val total = out.agg(sum("n")).head().getLong(0)
+    val raw = graft.sources.Tables.load(spark, sfDir, "orders").count()
+    assert(total == raw)
+  }
+
+  test("j10_full_outer_join keeps unmatched rows from both sides") {
+    // sf0.001's supplier/customer tables are too small to populate
+    // either filter; the asymmetry the test asserts exists at sf0.01.
+    val out = SparkEntry.queries("j10_full_outer_join")(
+      spark, "/root/testdata/sf0.01").cache()
+    assert(out.where(col("n_rich_suppliers") === 0).count() > 0)
+    assert(out.where(col("n_debtor_customers") === 0).count() > 0)
+    assert(out.count() > 0)
+    out.unpersist()
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.queries.{RegistryCore, RegistryGold, RegistryIngest, RegistryLlm}
+import graft.queries.{RegistryCore, RegistryExtra, RegistryGold, RegistryIngest, RegistryLlm}
 
 class RegistrySpec extends AnyFunSuite {
 
@@ -9,7 +9,8 @@ class RegistrySpec extends AnyFunSuite {
     "core" -> RegistryCore.defs.keySet,
     "ingest" -> RegistryIngest.defs.keySet,
     "gold" -> RegistryGold.defs.keySet,
-    "llm" -> RegistryLlm.defs.keySet)
+    "llm" -> RegistryLlm.defs.keySet,
+    "extra" -> RegistryExtra.defs.keySet)
 
   test("query names are unique across registries (no Map ++ shadowing)") {
     val all = groups.flatMap(_._2.toSeq)
