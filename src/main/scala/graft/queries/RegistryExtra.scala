@@ -192,6 +192,37 @@ object RegistryExtra {
         .orderBy("event_type", "day")
     }),
 
+    // Frame-explicit value window functions: first/last/nth over the
+    // full-partition ROWS frame (the default RANGE..CURRENT ROW frame
+    // makes last_value a no-op — the explicit frame is the portable,
+    // meaningful formulation).
+    "w9_value_windows" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        first(col("c_custkey")).over(w).as("poorest_custkey"),
+        last(col("c_custkey")).over(w).as("richest_custkey"),
+        nth_value(col("c_custkey"), 2).over(w).as("second_custkey"))
+        .orderBy("c_custkey")
+    }),
+
+    // Calendar arithmetic family: offsets, month boundaries, ISO
+    // weekday, quarters, day spans — all per-row projections
+    // (shuffle-free except the output sort).
+    "f11_date_arithmetic" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("__od", to_date(col("o_orderdate")))
+        .select(col("o_orderkey"), col("__od").as("order_date"),
+          date_add(col("__od"), 30).as("due_date"),
+          last_day(col("__od")).as("month_end"),
+          (weekday(col("__od")) + 1).as("iso_dow"),
+          quarter(col("__od")).as("qtr"),
+          datediff(col("__od"), to_date(lit("1992-01-01")))
+            .as("days_since_92"))
+        .orderBy("o_orderkey")),
+
     // Stream-static enrichment join (events stream ⋈ broadcast nation
     // dim) feeding a watermarked daily window — the streaming star
     // join.
@@ -314,6 +345,26 @@ object RegistryExtra {
          FROM grid g LEFT JOIN sparse s
            ON g.event_type = s.event_type AND g.day = s.day
          ORDER BY g.event_type, g.day""",
+    "w9_value_windows" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+                first_value(c_custkey) OVER w AS poorest_custkey,
+                last_value(c_custkey) OVER w AS richest_custkey,
+                nth_value(c_custkey, 2) OVER w AS second_custkey
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal ASC, c_custkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY c_custkey""",
+    "f11_date_arithmetic" ->
+      """SELECT o_orderkey,
+                cast(o_orderdate AS DATE) AS order_date,
+                cast(o_orderdate AS DATE) + 30 AS due_date,
+                last_day(cast(o_orderdate AS DATE)) AS month_end,
+                cast(isodow(cast(o_orderdate AS DATE)) AS INTEGER) AS iso_dow,
+                cast(quarter(cast(o_orderdate AS DATE)) AS INTEGER) AS qtr,
+                cast(date_diff('day', DATE '1992-01-01', cast(o_orderdate AS DATE))
+                     AS INTEGER) AS days_since_92
+         FROM orders ORDER BY o_orderkey""",
     "stream_enriched_join" ->
       """SELECT cast(date_trunc('day', ts) AS DATE) AS report_date, n_name,
                 count(*) AS n_events
