@@ -234,7 +234,17 @@ object RegistryExtra {
     // event feeds exactly two overlapping windows.
     "stream_sliding_window" -> ((s, dir) =>
       StreamingOps.slidingWindowCounts(s, dir)
-        .orderBy("window_start", "event_type")))
+        .orderBy("window_start", "event_type")),
+
+    // Stream-STREAM time-range join: per-user click→purchase
+    // attribution pairs within a 1-day horizon, aggregated per user
+    // from the append-sink read-back.
+    "stream_stream_join" -> ((s, dir) =>
+      StreamingOps.streamStreamAttribution(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("purchase_id")).as("n_purchases"))
+        .orderBy("user_id")))
 
   val oracles: Map[String, String] = Map(
     "j8_left_outer_join" ->
@@ -370,6 +380,14 @@ object RegistryExtra {
                 count(*) AS n_events
          FROM events JOIN nation ON n_nationkey = user_id % 25
          GROUP BY 1, 2 ORDER BY report_date, n_name""",
+    "stream_stream_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs,
+                count(DISTINCT p.event_id) AS n_purchases
+         FROM events c JOIN events p
+           ON p.user_id = c.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 DAY
+         GROUP BY c.user_id ORDER BY c.user_id""",
     "stream_sliding_window" ->
       """WITH x AS (SELECT cast(date_trunc('day', ts) AS DATE) AS d, event_type
                     FROM events),

@@ -91,23 +91,24 @@ object RegistryLlm {
     // HIGHEST-QUALITY member instead of the min-id one — the policy
     // production corpora actually want (dedup should not keep the
     // worst copy). One row per cluster: representative, its quality,
-    // member count. Ranking happens inside each (small) cluster.
+    // member count. The per-cluster argmax is a struct-max AGGREGATE
+    // (lexicographic (qs, -doc_id) — max quality, min id on ties),
+    // not a window: map-side combinable, O(1) reduce state per
+    // cluster, immune to the giant boilerplate cluster a per-cluster
+    // sort would choke on at corpus scale.
     "llm_dedup_keep_best" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
       val pairs = NearDup.minhashLshPairs(d, "doc_id", "text", n = 2, tau = 0.8)
       val clusters = graft.operators.Cluster.dupClusters(d, "doc_id", pairs,
         "id_a", "id_b")
       val scored = d.select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("qs"))
-      val byCluster = Window.partitionBy("cluster_id")
-      val rankW = byCluster.orderBy(col("qs").desc, col("doc_id").asc)
       clusters.join(scored, "doc_id")
-        .withColumn("rn", row_number().over(rankW))
-        .withColumn("n_members", count(lit(1)).over(byCluster))
-        .where(col("rn") === 1)
-        .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
-          col("qs").as("kept_quality"), col("n_members"))
+        .groupBy("cluster_id")
+        .agg(max(struct(col("qs"), (-col("doc_id")).as("neg_id"))).as("__best"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster_id"), (-col("__best.neg_id")).as("kept_doc_id"),
+          col("__best.qs").as("kept_quality"), col("n_members"))
         .orderBy("cluster_id")
     }),
 

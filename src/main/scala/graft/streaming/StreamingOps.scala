@@ -146,6 +146,40 @@ object StreamingOps {
     spark.read.parquet(outDir)
   }
 
+  /** Stream-STREAM time-range join (click→purchase attribution):
+    * both sides are watermarked streams of the same source; a
+    * purchase joins every click by the same user in the preceding
+    * day. Inner stream-stream joins emit eagerly on match; the
+    * watermark + time-range condition bound the buffered state to one
+    * day per side — without the range condition the join state would
+    * grow unboundedly. Results land in an append-mode parquet sink
+    * (matches are immutable facts — exactly what append is for). */
+  def streamStreamAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val (tsFixed, nonce) = rawEvents(spark, sfDir, "ssjoin")
+    val clicks = tsFixed.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 day")
+    val purchases = tsFixed.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 day")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 1 day"))
+    val outDir = "/tmp/graft_stream_out/" + nonce
+    val q = joined
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** File-sink variant of the daily aggregate (the production path,
     * VERDICT r2 #6): results land as parquet written BY EXECUTORS —
     * nothing is materialized on the driver — and the returned frame

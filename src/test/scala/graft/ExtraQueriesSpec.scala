@@ -86,6 +86,20 @@ class ExtraQueriesSpec extends AnyFunSuite {
     assert(counted == 2 * raw)
   }
 
+  test("stream_stream_join equals the batch time-range join") {
+    val out = run("stream_stream_join")
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("interval 1 day"))
+      .count()
+    assert(out.agg(sum("n_pairs")).head().getLong(0) == batch)
+  }
+
   test("a12_unpivot inverts a10-style widening: value totals preserved") {
     val out = run("a12_unpivot")
     val total = out.agg(sum("n")).head().getLong(0)
