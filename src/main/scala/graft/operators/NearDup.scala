@@ -137,6 +137,65 @@ object NearDup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Banded MinHash signatures as a FLAT (id, band, bkey) frame — the
+    * persistable signature-store format for incremental near-dup: a
+    * day's crawl is signed once, the banded rows land in the store,
+    * and tomorrow's batch probes the store by (band, bkey) without
+    * ever touching yesterday's text. */
+  def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val post = postings(df, idCol, textCol, n)
+    val minAggs = (0 until numHashes).map(h =>
+      min(xxhash64(lit(h), col("__sh"))).as(s"__h$h"))
+    post.groupBy("__id").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("__id").as(idCol),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((b * rows until (b + 1) * rows).map(h => col(s"__h$h")): _*).as("bkey"))
+        }: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bkey"))
+  }
+
+  /** Incremental near-dup: a new BATCH against a persisted HISTORY
+    * signature store. Candidates = batch banded signatures joined to
+    * the store on (band, bkey) — work is proportional to bucket
+    * collisions, never |batch|×|history| — then exact-Jaccard
+    * verified against only the candidate history docs. `histBanded`
+    * is the store frame ([[bandedSignatures]] of the history, read
+    * back from parquet); history text is touched only for candidate
+    * verification. Output: (batch_id, hist_id, jaccard >= tau). */
+  def incrementalMinhashPairs(history: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int, tau: Double,
+                              histBanded: DataFrame,
+                              numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val postH = postings(history, idCol, textCol, n)
+    val postB = postings(batch, idCol, textCol, n)
+    val cands = bandedSignatures(batch, idCol, textCol, n, numHashes, bands)
+      .select(col(idCol).as("batch_id"), col("band"), col("bkey"))
+      .join(histBanded.select(col(idCol).as("hist_id"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select("batch_id", "hist_id")
+      .distinct()
+    val sizesH = postH.groupBy("__id").agg(count(lit(1)).as("__szh"))
+    val sizesB = postB.groupBy("__id").agg(count(lit(1)).as("__szb"))
+    val inter = cands
+      .join(postB.select(col("__id").as("batch_id"), col("__sh")), "batch_id")
+      .join(postH.select(col("__id").as("hist_id"), col("__sh").as("__shh")), "hist_id")
+      .where(col("__sh") === col("__shh"))
+      .groupBy("batch_id", "hist_id").agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizesB.select(col("__id").as("batch_id"), col("__szb")), "batch_id")
+      .join(sizesH.select(col("__id").as("hist_id"), col("__szh")), "hist_id")
+      .withColumn("jaccard",
+        round(col("__inter").cast("double") /
+          (col("__szb") + col("__szh") - col("__inter")), 6))
+      .where(col("jaccard") >= tau)
+      .select("batch_id", "hist_id", "jaccard")
+  }
+
   /** 64-bit SimHash per document from token frequencies.
     *
     * The per-token 64-bit hash is the first 16 hex chars of md5,

@@ -59,6 +59,26 @@ object RegistryLlm {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // Incremental NEAR-dup (the daily-crawl loop for fuzzy dups):
+    // history MinHash signatures persisted as a flat banded store;
+    // today's batch (fresh docs + perturbed reposts of history) probes
+    // the store by (band, bkey) and exact-verifies candidates only.
+    // Work is bucket collisions, never |batch|×|history|.
+    "llm_incremental_neardup" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val hist = d.where(col("doc_id") < 250)
+      val storePath = graft.sources.Ingest.fixtureDir(dir) + "/llm_sig_store"
+      NearDup.bandedSignatures(hist, "doc_id", "text", n = 2)
+        .write.mode("overwrite").parquet(storePath)
+      val reposts = hist.where(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"), lit(" repost marker")).as("text"))
+      val batch = d.where(col("doc_id") >= 250).unionByName(reposts)
+      NearDup.incrementalMinhashPairs(hist, batch, "doc_id", "text",
+          n = 2, tau = 0.8, histBanded = s.read.parquet(storePath))
+        .orderBy("batch_id", "hist_id")
+    }),
+
     // Exact 4-gram-shingle Jaccard near-dup pairs via inverted index,
     // with the corpus-derived stop-shingle cap ARMED (maxDf auto):
     // bounds the Σ df² candidate join against a hot shingle while
@@ -453,6 +473,35 @@ object RegistryLlm {
                 FROM documents))"""
   }
 
+  /** Incremental near-dup oracle: exact ALL-PAIRS batch×history
+    * Jaccard with the identical repost perturbation — the LSH store
+    * probe's recall at tau=0.8 is indistinguishable from 1 (same
+    * argument as the minhash oracle). */
+  private def incNearDupOracle(n: Int, tau: Double): String = {
+    val concatExpr = (0 until n).map(i => s"ws[i+$i]").mkString(" || ' ' || ")
+    def shingled(src: String) =
+      s"""SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(ws) - ${n - 1}, 0) + 1),
+                   i -> $concatExpr)) AS ts
+          FROM (SELECT doc_id,
+                       string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+                FROM $src)"""
+    s"""WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+                  UNION ALL
+                  SELECT doc_id + 30000, text || ' repost marker'
+                  FROM documents WHERE doc_id < 250 AND doc_id % 10 = 1),
+        sh_h AS (${shingled("hist")}),
+        sh_b AS (${shingled("batch")}),
+        p AS (SELECT b.doc_id AS batch_id, h.doc_id AS hist_id,
+                     round(cast(len(list_intersect(b.ts, h.ts)) AS DOUBLE) /
+                           (len(b.ts) + len(h.ts) - len(list_intersect(b.ts, h.ts))), 6)
+                       AS jaccard
+              FROM sh_b b CROSS JOIN sh_h h)
+        SELECT batch_id, hist_id, jaccard FROM p WHERE jaccard >= $tau
+        ORDER BY batch_id, hist_id"""
+  }
+
   private def jaccardOracle(n: Int, tau: Double): String =
     s"""WITH ${shingleCte(n)},
         pairs AS (
@@ -806,6 +855,7 @@ object RegistryLlm {
     "llm_pii_redact" -> piiRedactOracle,
     "llm_dup_clusters" -> dupClusterOracle(2, 0.8),
     "llm_dedup_keep_best" -> keepBestOracle(2, 0.8),
+    "llm_incremental_neardup" -> incNearDupOracle(2, 0.8),
     "llm_semdedup" ->
       """WITH e AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v
                     FROM embeddings),

@@ -86,6 +86,22 @@ class ExtraQueriesSpec extends AnyFunSuite {
     assert(counted == 2 * raw)
   }
 
+  test("llm_incremental_neardup: every sufficiently-long repost is caught") {
+    val out = run("llm_incremental_neardup").cache()
+    // every planted repost pairs with its own original…
+    val selfPairs = out.where(col("batch_id") - 30000 === col("hist_id"))
+    // …whenever the original has >= 8 distinct bigrams: appending two
+    // tokens adds 2 shingles, so J = S/(S+2) >= 0.8 ⇔ S >= 8.
+    val expected = graft.sources.Tables.load(spark, sfDir, "documents")
+      .where(col("doc_id") < 250 && col("doc_id") % 10 === 1)
+      .select(size(array_distinct(
+        graft.functions.TextFns.shingles(col("text"), 2))).as("s"))
+      .where(col("s") >= 8).count()
+    assert(selfPairs.count() == expected)
+    assert(expected > 0, "fixture must plant catchable reposts")
+    out.unpersist()
+  }
+
   test("stream_stream_join equals the batch time-range join") {
     val out = run("stream_stream_join")
     val ev = graft.sources.Tables.load(spark, sfDir, "events")
