@@ -213,6 +213,31 @@ object RegistryIngest {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
         .orderBy("event_type")
+    }),
+
+    // Small-file COMPACTION (the OPTIMIZE/rewrite maintenance verb): a
+    // 64-file directory (the streaming-ingest small-files problem) is
+    // rewritten as 4 range-partitioned, key-sorted files —
+    // repartitionByRange + sortWithinPartitions preserves clustering
+    // so min-max stats keep row-group skipping effective after the
+    // rewrite. The query proves content identity through the rewrite;
+    // IngestLayoutSpec asserts the file counts.
+    "s13_compact_small_files" -> ((s, dir) => {
+      val src = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val smallDir = Ingest.fixtureDir(dir) + "/compact_src"
+      val outDir = Ingest.fixtureDir(dir) + "/compact_out"
+      src.repartition(64).write.mode("overwrite").parquet(smallDir)
+      s.read.parquet(smallDir)
+        .repartitionByRange(4, col("user_id"))
+        .sortWithinPartitions("user_id", "event_id")
+        .write.mode("overwrite").parquet(outDir)
+      s.read.parquet(outDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+          count(when(col("user_id").isNotNull, 1)).as("n_users_set"))
+        .orderBy("event_type")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -249,6 +274,11 @@ object RegistryIngest {
       """SELECT n_nationkey, n_name, r_name FROM nation
          JOIN region ON n_regionkey = r_regionkey
          ORDER BY n_nationkey""",
+    "s13_compact_small_files" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                count(CASE WHEN user_id IS NOT NULL THEN 1 END) AS n_users_set
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "s7_partitioned_write_prune" ->
       """SELECT event_type, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
