@@ -192,6 +192,23 @@ object RegistryExtra {
         .orderBy("event_type", "day")
     }),
 
+    // Deterministic statistical MODE per group via the struct-max
+    // aggregate trick (max count, min value on ties): two map-side-
+    // combinable aggregates, no window sort — the built-in mode() is
+    // tie-nondeterministic and a per-group sort would not scale to a
+    // heavy group.
+    "a14_mode" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy("l_returnflag")
+        .agg(max(struct(col("__cnt"), (-col("l_quantity")).as("__negq")))
+          .as("__m"))
+        .select(col("l_returnflag"),
+          (-col("__m.__negq")).as("mode_quantity"),
+          col("__m.__cnt").as("mode_count"))
+        .orderBy("l_returnflag")),
+
     // Frame-explicit value window functions: first/last/nth over the
     // full-partition ROWS frame (the default RANGE..CURRENT ROW frame
     // makes last_value a no-op — the explicit frame is the portable,
@@ -355,6 +372,15 @@ object RegistryExtra {
          FROM grid g LEFT JOIN sparse s
            ON g.event_type = s.event_type AND g.day = s.day
          ORDER BY g.event_type, g.day""",
+    "a14_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+                    FROM lineitem GROUP BY 1, 2),
+         r AS (SELECT l_returnflag, l_quantity, cnt,
+                      row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY cnt DESC, l_quantity ASC) AS rn
+               FROM c)
+         SELECT l_returnflag, l_quantity AS mode_quantity, cnt AS mode_count
+         FROM r WHERE rn = 1 ORDER BY l_returnflag""",
     "w9_value_windows" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
                 first_value(c_custkey) OVER w AS poorest_custkey,

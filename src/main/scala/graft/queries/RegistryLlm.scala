@@ -258,6 +258,29 @@ object RegistryLlm {
         .orderBy("doc_id")),
 
     // Language ID via stopword-profile intersection scoring.
+    // Corpus bigram LM counts — the n-gram language-model build:
+    // every bigram OCCURRENCE (not distinct-per-doc) counted, plus
+    // the prefix total so P(w2|w1) = n_bigram/n_prefix is exact
+    // integer arithmetic downstream. Two map-side-combinable
+    // aggregates over one token-pair shuffle; the prefix table joins
+    // back (broadcast-sized: |vocab|).
+    "llm_bigram_lm" -> ((s, dir) => {
+      val ts = graft.functions.TextFns.tokens(col("text"))
+      val n = size(ts) - 1
+      val bigrams = when(n <= 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), greatest(n, lit(1))),
+          i => concat_ws(" ", slice(ts, i, lit(2)))))
+      val c = Tables.scaled(docs(s, dir))
+        .select(explode(bigrams).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n_bigram"))
+        .withColumn("prefix", element_at(split(col("bigram"), " "), 1))
+      val p = c.groupBy("prefix").agg(sum("n_bigram").as("n_prefix"))
+      c.join(p, "prefix")
+        .where(col("n_bigram") >= 3)
+        .select("bigram", "n_bigram", "n_prefix")
+        .orderBy("bigram")
+    }),
+
     "llm_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), col("lang"),
           TextAnalysis.langId(col("text")).as("pred_lang"))
@@ -856,6 +879,19 @@ object RegistryLlm {
     "llm_dup_clusters" -> dupClusterOracle(2, 0.8),
     "llm_dedup_keep_best" -> keepBestOracle(2, 0.8),
     "llm_incremental_neardup" -> incNearDupOracle(2, 0.8),
+    "llm_bigram_lm" ->
+      """WITH bg AS (
+           SELECT unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+           FROM (SELECT string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+                 FROM documents)),
+         c AS (SELECT bigram, count(*) AS n_bigram FROM bg GROUP BY bigram),
+         c2 AS (SELECT bigram, n_bigram, string_split(bigram, ' ')[1] AS prefix FROM c),
+         p AS (SELECT prefix, sum(n_bigram) AS np FROM c2 GROUP BY prefix)
+         SELECT c2.bigram, c2.n_bigram, cast(p.np AS BIGINT) AS n_prefix
+         FROM c2 JOIN p USING (prefix)
+         WHERE n_bigram >= 3
+         ORDER BY bigram""",
     "llm_semdedup" ->
       """WITH e AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v
                     FROM embeddings),
