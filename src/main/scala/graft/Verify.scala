@@ -9,7 +9,11 @@ object Verify {
     val outDir = args(1)
     // Optional extra args: restrict the dump to the named queries
     // (local iteration aid; the driver always passes exactly two).
+    // Unknown names fail loudly — a typo would otherwise produce an
+    // empty dump that reads as a phantom failure.
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -22,17 +22,21 @@ object TextFns {
   /** Whitespace tokens of a normalized string. */
   def tokens(c: Column): Column = split(normWs(c), " ")
 
-  /** Distinct word n-gram shingles ("a b c", n=2 -> ["a b","b c"]).
-    * Empty array when the document has fewer than n tokens (guarded —
-    * Spark's `sequence` would otherwise descend). */
-  def shingles(c: Column, n: Int): Column = {
+  /** ALL word n-gram occurrences in order ("a b a b", n=2 ->
+    * ["a b","b a","a b"]). Empty array when the document has fewer
+    * than n tokens (guarded — Spark's `sequence` would otherwise
+    * descend). */
+  def ngrams(c: Column, n: Int): Column = {
     val ts = tokens(c)
     val count = size(ts) - (n - 1)
-    array_distinct(
-      when(count <= 0, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), greatest(count, lit(1))),
-          i => concat_ws(" ", slice(ts, i, lit(n))))))
+    when(count <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), greatest(count, lit(1))),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
   }
+
+  /** Distinct word n-gram shingles — the set view of [[ngrams]] (the
+    * Jaccard/MinHash currency). */
+  def shingles(c: Column, n: Int): Column = array_distinct(ngrams(c, n))
 
   /** BPE-ish subword segmentation count: runs of letters, runs of
     * digits, or single punctuation — the classic pre-tokenizer regex. */

@@ -97,22 +97,11 @@ object NearDup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, tau: Double,
                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val post = postings(df, idCol, textCol, n)
 
-    // One pass, numHashes min() partial aggregates — no explosion.
-    val minAggs = (0 until numHashes).map(h =>
-      min(xxhash64(lit(h), col("__sh"))).as(s"__h$h"))
-    val sigs = post.groupBy("__id").agg(minAggs.head, minAggs.tail: _*)
-
     // Band key = hash of the band's rows; bucket join within (band, key).
-    val banded = sigs.select(col("__id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((b * rows until (b + 1) * rows).map(h => col(s"__h$h")): _*).as("bkey"))
-      }: _*)).as("bb"))
-      .select(col("__id"), col("bb.band"), col("bb.bkey"))
+    val banded = bandedSignatures(df, idCol, textCol, n, numHashes, bands)
+      .select(col(idCol).as("__id"), col("band"), col("bkey"))
       .cache() // self-joined below: one materialization, two readers
 
     val cands = banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
@@ -137,11 +126,15 @@ object NearDup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Banded MinHash signatures as a FLAT (id, band, bkey) frame — the
-    * persistable signature-store format for incremental near-dup: a
-    * day's crawl is signed once, the banded rows land in the store,
-    * and tomorrow's batch probes the store by (band, bkey) without
-    * ever touching yesterday's text. */
+  /** Banded MinHash signatures as a FLAT (id, band, bkey) frame —
+    * the ONE band-construction site ([[minhashLshPairs]] derives its
+    * self-join input from this, so live detection and any persisted
+    * signature store can never drift apart) and the persistable
+    * store format for incremental near-dup: a day's crawl is signed
+    * once, the banded rows land in the store, and tomorrow's batch
+    * probes the store by (band, bkey) without touching yesterday's
+    * text. One groupBy pass with numHashes min() partial aggregates —
+    * no row explosion. */
   def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
                        n: Int, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -171,7 +164,6 @@ object NearDup {
                               n: Int, tau: Double,
                               histBanded: DataFrame,
                               numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val postH = postings(history, idCol, textCol, n)
     val postB = postings(batch, idCol, textCol, n)
     val cands = bandedSignatures(batch, idCol, textCol, n, numHashes, bands)
       .select(col(idCol).as("batch_id"), col("band"), col("bkey"))
@@ -179,6 +171,13 @@ object NearDup {
         Seq("band", "bkey"))
       .select("batch_id", "hist_id")
       .distinct()
+      .cache() // read 2x: history semi-join + the verification join
+    // History text is shingled ONLY for candidate docs: the semi-join
+    // prunes the corpus before the (expensive) n-gram explode, keeping
+    // daily work proportional to bucket collisions, not |history|.
+    val candHist = history.join(cands.select(col("hist_id")).distinct(),
+      history(idCol) === col("hist_id"), "left_semi")
+    val postH = postings(candHist, idCol, textCol, n)
     val sizesH = postH.groupBy("__id").agg(count(lit(1)).as("__szh"))
     val sizesB = postB.groupBy("__id").agg(count(lit(1)).as("__szb"))
     val inter = cands

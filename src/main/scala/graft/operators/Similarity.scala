@@ -80,11 +80,16 @@ object Similarity {
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): pairwise cosine comparison is confined WITHIN
     * pre-assigned clusters (a k-means cell id, here the `clusterCol`),
-    * and of any pair with similarity >= tau the higher-id row is
-    * dropped. Greedy-by-id, single pass — deterministic, and the
-    * within-cluster confinement is exactly what makes the method
-    * tractable at corpus scale: pair work is Σ|cluster|², never N²,
-    * and the self-join shuffles once on the cluster key.
+    * and ANY row with a lower-id >=tau partner is dropped — whether or
+    * not that partner itself survived. This transitive-drop policy is
+    * deliberately NOT the sequential keep-greedy (which would need an
+    * iterative driver loop): on a similarity CHAIN a~b~c with a!~c it
+    * drops both b and c where sequential greedy would keep c — a
+    * conservative over-delete, chosen because it is expressible as
+    * ONE join + anti-join and therefore deterministic and
+    * oracle-checkable. The within-cluster confinement is what makes
+    * the method tractable at corpus scale: pair work is Σ|cluster|²,
+    * never N², and the self-join shuffles once on the cluster key.
     *
     * Returns the SURVIVORS (df rows minus dropped ids). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,

@@ -153,6 +153,11 @@ object RegistryExtra {
     // duplicate attribute values are collapsed first (lag), then
     // validity chains via lead — two window passes over ONE user-key
     // shuffle (same partitioning, Catalyst reuses the exchange).
+    // Validity epochs are MICROseconds: events carry exact-micro
+    // timestamps, so micros keep the output ordering total and the
+    // ranges non-empty — second truncation produced tied sort keys
+    // (a real same-second change pair exists at sf0.1) and the tie
+    // order would differ between engines.
     "w8_scd2_dimension" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val changes = t(s, dir, "events")
@@ -163,11 +168,11 @@ object RegistryExtra {
       chained.select(
           col("user_id"),
           col("event_type").as("attr_value"),
-          unix_timestamp(col("ts")).as("valid_from_sec"),
-          coalesce(unix_timestamp(col("__next_ts")), lit(253402300800L))
-            .as("valid_to_sec"),
+          unix_micros(col("ts")).as("valid_from_us"),
+          coalesce(unix_micros(col("__next_ts")), lit(253402300800000000L))
+            .as("valid_to_us"),
           col("__next_ts").isNull.as("is_current"))
-        .orderBy("user_id", "valid_from_sec")
+        .orderBy("user_id", "valid_from_us")
     }),
 
     // Calendar gap-fill: dense (event_type × day) grid from
@@ -176,17 +181,21 @@ object RegistryExtra {
     // grid is generated, never scanned; the counts aggregate is the
     // only shuffle over data.
     "o3_gap_fill_calendar" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val sparse = ev.where(col("value") > 300)
+      // ONE scan of events: the per-(type, day) aggregate carries both
+      // the sparse conditional counts AND the material for the
+      // calendar bounds + type list (the grid itself is generated,
+      // never scanned). The tiny daily frame is cached for its three
+      // readers.
+      val daily = t(s, dir, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("__n"))
-      val cal = ev.agg(min(to_date(col("ts"))).as("__d0"),
-          max(to_date(col("ts"))).as("__d1"))
+        .agg(count(when(col("value") > 300, 1)).as("__n"))
+        .cache()
+      val cal = daily.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
         .select(explode(sequence(col("__d0"), col("__d1"),
           expr("interval 1 day"))).as("day"))
-      val types = ev.select("event_type").distinct()
+      val types = daily.select("event_type").distinct()
       cal.crossJoin(types)
-        .join(sparse, Seq("event_type", "day"), "left")
+        .join(daily, Seq("event_type", "day"), "left")
         .select(col("event_type"), col("day"),
           coalesce(col("__n"), lit(0L)).as("n_events"))
         .orderBy("event_type", "day")
@@ -353,10 +362,10 @@ object RegistryExtra {
                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
            FROM changes)
          SELECT user_id, event_type AS attr_value,
-                cast(floor(epoch(ts)) AS BIGINT) AS valid_from_sec,
-                coalesce(cast(floor(epoch(next_ts)) AS BIGINT), 253402300800) AS valid_to_sec,
+                epoch_us(ts) AS valid_from_us,
+                coalesce(epoch_us(next_ts), 253402300800000000) AS valid_to_us,
                 next_ts IS NULL AS is_current
-         FROM chained ORDER BY user_id, valid_from_sec""",
+         FROM chained ORDER BY user_id, valid_from_us""",
     "o3_gap_fill_calendar" ->
       """WITH sparse AS (
            SELECT event_type, cast(ts AS DATE) AS day, count(*) AS n

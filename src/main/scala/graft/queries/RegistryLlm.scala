@@ -257,7 +257,6 @@ object RegistryLlm {
           TextAnalysis.stableSplit(col("doc_id")).as("split"))
         .orderBy("doc_id")),
 
-    // Language ID via stopword-profile intersection scoring.
     // Corpus bigram LM counts — the n-gram language-model build:
     // every bigram OCCURRENCE (not distinct-per-doc) counted, plus
     // the prefix total so P(w2|w1) = n_bigram/n_prefix is exact
@@ -265,13 +264,8 @@ object RegistryLlm {
     // aggregates over one token-pair shuffle; the prefix table joins
     // back (broadcast-sized: |vocab|).
     "llm_bigram_lm" -> ((s, dir) => {
-      val ts = graft.functions.TextFns.tokens(col("text"))
-      val n = size(ts) - 1
-      val bigrams = when(n <= 0, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), greatest(n, lit(1))),
-          i => concat_ws(" ", slice(ts, i, lit(2)))))
       val c = Tables.scaled(docs(s, dir))
-        .select(explode(bigrams).as("bigram"))
+        .select(explode(graft.functions.TextFns.ngrams(col("text"), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n_bigram"))
         .withColumn("prefix", element_at(split(col("bigram"), " "), 1))
       val p = c.groupBy("prefix").agg(sum("n_bigram").as("n_prefix"))
@@ -281,6 +275,7 @@ object RegistryLlm {
         .orderBy("bigram")
     }),
 
+    // Language ID via stopword-profile intersection scoring.
     "llm_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), col("lang"),
           TextAnalysis.langId(col("text")).as("pred_lang"))
@@ -338,6 +333,27 @@ object RegistryLlm {
           (col("__p75") / 1000000.0).as("p75"),
           col("n_docs"))
         .orderBy("lang")
+    }),
+
+    // Quantile-BUCKET assignment (quality quartiles): cutoffs are ONE
+    // tiny aggregate row broadcast back over the corpus — never a
+    // global ntile() sort, which would funnel 100 TB through one
+    // partition. Scores compare in integer micro-units so the bucket
+    // boundaries are engine-exact.
+    "llm_quality_buckets" -> ((s, dir) => {
+      val units = (TextAnalysis.qualityScore(col("text")).cast("decimal(18,6)") *
+        1000000).cast("long")
+      val scored = docs(s, dir).select(col("doc_id"), units.as("__u"))
+      val cuts = scored.agg(
+        expr("percentile(__u, 0.25)").as("__c1"),
+        expr("percentile(__u, 0.5)").as("__c2"),
+        expr("percentile(__u, 0.75)").as("__c3"))
+      scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"),
+          (when(col("__u") > col("__c1"), 1).otherwise(0) +
+            when(col("__u") > col("__c2"), 1).otherwise(0) +
+            when(col("__u") > col("__c3"), 1).otherwise(0)).as("bucket"))
+        .orderBy("doc_id")
     }),
 
     // Corpus token frequencies: explode (lateral view) + top-k LIMIT.
@@ -752,6 +768,21 @@ object RegistryLlm {
                        n_vecs
                 FROM ca)"""
 
+  /** The quality score in integer micro-units (same formula as
+    * [[scoreSql]] × 1e6 as BIGINT) — the engine-portable currency for
+    * percentile/bucket arithmetic. */
+  private val unitsSql: String =
+    """cast(cast(round(greatest(least(
+         least(cast(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+         (1.0 - least(
+           cast(length(lower(text)) -
+                length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+           / greatest(cast(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3 +
+         cast(len(list_intersect(
+           list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')),
+           ['the','a','of','and','to','in','is'])) AS DOUBLE) / 7.0 * 0.3,
+         1.0), 0.0), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"""
+
   /** The quality-score scalar expression (same formula as the
     * llm_quality_score oracle). */
   private val scoreSql: String =
@@ -975,27 +1006,24 @@ object RegistryLlm {
                     ORDER BY value DESC, event_id ASC) AS rank
            FROM events WHERE value IS NOT NULL)
          WHERE rank <= 3 ORDER BY user_id, rank""",
-    "llm_quality_percentiles" -> {
-      // same score formula as llm_quality_score, in micro-units
-      val unitsSql =
-        """cast(cast(round(greatest(least(
-             least(cast(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
-             (1.0 - least(
-               cast(length(lower(text)) -
-                    length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
-               / greatest(cast(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3 +
-             cast(len(list_intersect(
-               list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')),
-               ['the','a','of','and','to','in','is'])) AS DOUBLE) / 7.0 * 0.3,
-             1.0), 0.0), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"""
+    "llm_quality_percentiles" ->
       s"""WITH u AS (SELECT lang, $unitsSql AS units FROM documents)
           SELECT lang,
                  quantile_cont(units, 0.25) / 1000000.0 AS p25,
                  quantile_cont(units, 0.5) / 1000000.0 AS p50,
                  quantile_cont(units, 0.75) / 1000000.0 AS p75,
                  count(*) AS n_docs
-          FROM u GROUP BY lang ORDER BY lang"""
-    },
+          FROM u GROUP BY lang ORDER BY lang""",
+    "llm_quality_buckets" ->
+      s"""WITH u AS (SELECT doc_id, $unitsSql AS units FROM documents),
+          c AS (SELECT quantile_cont(units, 0.25) AS c1,
+                       quantile_cont(units, 0.5) AS c2,
+                       quantile_cont(units, 0.75) AS c3 FROM u)
+          SELECT doc_id,
+                 cast((CASE WHEN units > c1 THEN 1 ELSE 0 END) +
+                      (CASE WHEN units > c2 THEN 1 ELSE 0 END) +
+                      (CASE WHEN units > c3 THEN 1 ELSE 0 END) AS INTEGER) AS bucket
+          FROM u, c ORDER BY doc_id""",
     "llm_tfidf_top_terms" ->
       """WITH toks AS (
            SELECT doc_id,

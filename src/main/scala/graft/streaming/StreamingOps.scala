@@ -54,6 +54,27 @@ object StreamingOps {
     df.select(col("w.start").cast("date").as("report_date"),
       col("event_type"), col("n_events"))
 
+  /** The complete-mode executor-side parquet sink shared by every
+    * windowed-aggregate variant: each micro-batch overwrites the
+    * (small) complete aggregate via foreachBatch, and the result is a
+    * plain batch read-back of the sink directory. `shape` is the
+    * variant's final projection. */
+  private def completeSinkRun(spark: SparkSession, stream: DataFrame,
+                              nonce: String)
+                             (shape: DataFrame => DataFrame): DataFrame = {
+    val outDir = "/tmp/graft_stream_out/" + nonce
+    val q = stream.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        shape(batch).write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Memory-sink variant (tests / interactive): run to completion and
     * read the result table back on the driver. */
   def dailyEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
@@ -105,19 +126,9 @@ object StreamingOps {
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("w"), col("n_name"))
       .agg(count(lit(1)).as("n_events"))
-    val outDir = "/tmp/graft_stream_out/" + nonce
-    val q = stream.writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.select(col("w.start").cast("date").as("report_date"),
-            col("n_name"), col("n_events"))
-          .write.mode("overwrite").parquet(outDir)
-      }
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(outDir)
+    completeSinkRun(spark, stream, nonce)(
+      _.select(col("w.start").cast("date").as("report_date"),
+        col("n_name"), col("n_events")))
   }
 
   /** SLIDING-window counts (2-day windows advancing by 1 day): every
@@ -131,19 +142,9 @@ object StreamingOps {
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    val outDir = "/tmp/graft_stream_out/" + nonce
-    val q = stream.writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.select(col("w.start").cast("date").as("window_start"),
-            col("event_type"), col("n_events"))
-          .write.mode("overwrite").parquet(outDir)
-      }
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(outDir)
+    completeSinkRun(spark, stream, nonce)(
+      _.select(col("w.start").cast("date").as("window_start"),
+        col("event_type"), col("n_events")))
   }
 
   /** Stream-STREAM time-range join (click→purchase attribution):
@@ -197,16 +198,6 @@ object StreamingOps {
     * sinks are for. */
   def dailyEventCountsToFiles(spark: SparkSession, sfDir: String): DataFrame = {
     val (stream, nonce) = dailyStream(spark, sfDir)
-    val outDir = "/tmp/graft_stream_out/" + nonce
-    val q = stream.writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        finalShape(batch).write.mode("overwrite").parquet(outDir)
-      }
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(outDir)
+    completeSinkRun(spark, stream, nonce)(finalShape)
   }
 }

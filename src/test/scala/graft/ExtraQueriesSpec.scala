@@ -17,17 +17,17 @@ class ExtraQueriesSpec extends AnyFunSuite {
   test("w8_scd2_dimension: per-user validity ranges tile, one current row") {
     val out = run("w8_scd2_dimension").cache()
     // every range is non-empty and well-formed
-    assert(out.where(col("valid_from_sec") >= col("valid_to_sec")).count() == 0)
+    assert(out.where(col("valid_from_us") >= col("valid_to_us")).count() == 0)
     // exactly one open (current) row per user
     val perUser = out.groupBy("user_id")
       .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_cur"))
     assert(perUser.where(col("n_cur") =!= 1).count() == 0)
     // ranges chain: each next valid_from equals the previous valid_to
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy("valid_from_sec")
-    val chained = out.withColumn("__next_from", lead("valid_from_sec", 1).over(w))
+    val w = Window.partitionBy("user_id").orderBy("valid_from_us")
+    val chained = out.withColumn("__next_from", lead("valid_from_us", 1).over(w))
       .where(col("__next_from").isNotNull)
-    assert(chained.where(col("valid_to_sec") =!= col("__next_from")).count() == 0)
+    assert(chained.where(col("valid_to_us") =!= col("__next_from")).count() == 0)
     // consecutive rows always change the attribute value
     val attrChain = out.withColumn("__next_attr", lead("attr_value", 1).over(w))
       .where(col("__next_attr").isNotNull)
@@ -99,6 +99,17 @@ class ExtraQueriesSpec extends AnyFunSuite {
       .where(col("s") >= 8).count()
     assert(selfPairs.count() == expected)
     assert(expected > 0, "fixture must plant catchable reposts")
+    out.unpersist()
+  }
+
+  test("llm_quality_buckets: four nonempty quartile buckets partition the corpus") {
+    val out = run("llm_quality_buckets").cache()
+    val n = graft.sources.Tables.load(spark, sfDir, "documents").count()
+    assert(out.count() == n)
+    val sizes = out.groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3), s"buckets: $sizes")
+    assert(sizes.values.sum == n)
     out.unpersist()
   }
 
