@@ -64,6 +64,20 @@ object RegistryExtra {
         .orderBy("nationkey")
     }),
 
+    // CORRELATED scalar subquery (j4 is the uncorrelated one):
+    // per-customer max order price inline in the projection — Catalyst
+    // decorrelates to an aggregate + left outer join, never a
+    // per-row re-execution.
+    "j12_correlated_scalar" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""SELECT c_custkey, c_mktsegment,
+                      (SELECT max(o_totalprice) FROM orders
+                       WHERE o_custkey = c_custkey) AS max_order_price
+               FROM customer
+               WHERE c_custkey <= 300
+               ORDER BY c_custkey""")
+    }),
+
     // Correlated EXISTS subquery through the SQL entry point —
     // Catalyst decorrelates to a semi-join; DuckDB runs the identical
     // text.
@@ -293,6 +307,13 @@ object RegistryExtra {
                 coalesce(nc, 0) AS n_debtor_customers
          FROM sup FULL JOIN cus ON s_nationkey = c_nationkey
          ORDER BY nationkey""",
+    "j12_correlated_scalar" ->
+      """SELECT c_custkey, c_mktsegment,
+                (SELECT max(o_totalprice) FROM orders
+                 WHERE o_custkey = c_custkey) AS max_order_price
+         FROM customer
+         WHERE c_custkey <= 300
+         ORDER BY c_custkey""",
     "j11_exists_subquery" ->
       """SELECT p_partkey, p_name FROM part
          WHERE EXISTS (SELECT 1 FROM lineitem

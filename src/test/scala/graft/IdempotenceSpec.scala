@@ -40,6 +40,18 @@ class IdempotenceSpec extends AnyFunSuite {
     runTwice("stream_events_archive")
   }
 
+  test("compaction query is re-runnable (fixture dirs overwritten)") {
+    runTwice("s13_compact_small_files")
+  }
+
+  test("incremental near-dup query is re-runnable (signature store overwritten)") {
+    runTwice("llm_incremental_neardup")
+  }
+
+  test("stream-stream join query is re-runnable (nonced sink + checkpoint)") {
+    runTwice("stream_stream_join")
+  }
+
   test("memory-sink and file-sink streaming variants agree") {
     import org.apache.spark.sql.functions.col
     val order = Seq(col("report_date"), col("event_type"))
