@@ -134,6 +134,37 @@ class ExtraQueriesSpec extends AnyFunSuite {
     assert(total == raw)
   }
 
+  test("shingles are exactly the distinct view of ngrams (random corpora)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val words = Vector("a", "b", "ab", "cd", "the", "x")
+    val texts = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size))).mkString(" "))
+    val bad = texts.toDF("text").where(
+      !(graft.functions.TextFns.shingles(col("text"), 2) ===
+        array_distinct(graft.functions.TextFns.ngrams(col("text"), 2))))
+    assert(bad.count() == 0)
+  }
+
+  test("struct-max argmax equals sort-based mode on random groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(500)((rnd.nextInt(5), rnd.nextInt(8).toDouble))
+    val expected = data.groupBy(_._1).map { case (g, xs) =>
+      val counts = xs.groupBy(_._2).map { case (v, o) => (v, o.size) }
+      // max count, min value on ties — the a14 contract
+      val best = counts.toSeq.maxBy { case (v, c) => (c, -v) }
+      (g, best._1, best._2.toLong)
+    }.toSet
+    val got = data.toDF("g", "v")
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .groupBy("g")
+      .agg(max(struct(col("c"), (-col("v")).as("nv"))).as("m"))
+      .select(col("g"), (-col("m.nv")).as("v"), col("m.c"))
+      .as[(Int, Double, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("j10_full_outer_join keeps unmatched rows from both sides") {
     // sf0.001's supplier/customer tables are too small to populate
     // either filter; the asymmetry the test asserts exists at sf0.01.

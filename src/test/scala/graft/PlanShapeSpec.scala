@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression pins for the round-6 operators — the
+  * BENCH_NOTES audits as assertions, so a refactor that silently
+  * reintroduces a window sort / extra exchange / cartesian product
+  * fails the suite instead of the 100 TB deployment. */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("llm_dedup_keep_best plans with aggregates only — zero Window operators") {
+    val p = planOf("llm_dedup_keep_best")
+    assert(!p.contains("Window"), s"window crept back into keep_best:\n$p")
+  }
+
+  test("w8_scd2_dimension: both window passes share ONE user-key exchange") {
+    val p = planOf("w8_scd2_dimension")
+    val windows = "(?m)^\\s*[+:*\\-\\s]*Window ".r.findAllIn(p).size
+    assert(windows == 2, s"expected 2 Window ops, found $windows:\n$p")
+    val keyExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(keyExchanges == 1,
+      s"expected exactly 1 user_id exchange (reused by both windows), found $keyExchanges:\n$p")
+  }
+
+  test("a11_grouping_sets is one Expand pass, not a union of aggregates") {
+    val p = planOf("a11_grouping_sets")
+    assert("Expand".r.findAllIn(p).size == 1, s"expected a single Expand:\n$p")
+    assert(!p.contains("Union"), s"grouping sets must not plan as a UNION:\n$p")
+  }
+
+  test("llm_semdedup never degenerates to a cartesian/nested-loop join") {
+    val p = planOf("llm_semdedup")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in semdedup:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in semdedup:\n$p")
+  }
+}
