@@ -263,6 +263,71 @@ object RegistryExtra {
             .as("days_since_92"))
         .orderBy("o_orderkey")),
 
+    // CUBE: all four grouping combinations (detail, each single-dim
+    // subtotal, grand total) in ONE Expand pass over one shuffle —
+    // same single-scan argument as a11_grouping_sets; gid
+    // disambiguates subtotal rows from (hypothetical) real NULL keys.
+    "a15_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice")).as("total_price"),
+          (grouping(col("o_orderstatus")) * 2 +
+            grouping(col("o_orderpriority"))).cast("int").as("gid"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("n_orders"), col("total_price"))
+        .orderBy("gid", "status", "priority")),
+
+    // Explode with position (posexplode / UNNEST WITH ORDINALITY):
+    // token stream with 1-based offsets — the row-generating operator
+    // (one input row → many output rows). Generation is pipelined
+    // inside the scan stage (no shuffle before the output sort); the
+    // length predicate lands on the generated rows.
+    "f12_explode_tokens" -> ((s, dir) => {
+      val toks = split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(toks).as(Seq("__p", "token")))
+        .where(length(col("token")) > 7)
+        .select(col("doc_id"), (col("__p") + 1).as("pos"), col("token"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // Exact interpolated percentiles (PERCENTILE_CONT): single-pass
+    // aggregate whose partial state is a value→count map — bounded by
+    // the 50 distinct quantities here, so it map-side combines; for
+    // unbounded continuous domains the 100 TB path is
+    // approx_percentile (sketch, engine-specific → rows-only domain).
+    // Fractions are binary-exact (.25/.5/.75) so type-7 interpolation
+    // is bit-identical across engines.
+    "a16_percentile_cont" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // Multiset set operations (INTERSECT ALL / EXCEPT ALL — u3 covers
+    // the DISTINCT forms): duplicate-preserving semantics matter when
+    // rows are occurrences, not facts. Spark plans both as a single
+    // aggregate of per-side counts (min/difference of multiplicities),
+    // not a join explosion.
+    "u4_set_ops_all" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val a = orders.where(col("o_totalprice") < 150000)
+        .select("o_orderstatus", "o_orderpriority")
+      val b = orders.where(to_date(col("o_orderdate")) >= lit("1995-01-01"))
+        .select("o_orderstatus", "o_orderpriority")
+      def counted(df: DataFrame, tag: String) =
+        df.groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit(tag))
+      counted(a.intersectAll(b), "intersect_all")
+        .unionByName(counted(a.exceptAll(b), "except_all"))
+        .orderBy("op", "o_orderstatus", "o_orderpriority")
+    }),
+
     // Stream-static enrichment join (events stream ⋈ broadcast nation
     // dim) feeding a watermarked daily window — the streaming star
     // join.
@@ -431,6 +496,47 @@ object RegistryExtra {
                 cast(date_diff('day', DATE '1992-01-01', cast(o_orderdate AS DATE))
                      AS INTEGER) AS days_since_92
          FROM orders ORDER BY o_orderkey""",
+    "a15_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                     AS INTEGER) AS gid,
+                count(*) AS n_orders,
+                cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  AS total_price
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY gid, status, priority""",
+    "f12_explode_tokens" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         ex AS (SELECT doc_id,
+                       unnest(list_transform(ws, (x, i) -> {'pos': i, 'tok': x})) AS u
+                FROM tk)
+         SELECT doc_id, cast(u.pos AS INTEGER) AS pos, u.tok AS token
+         FROM ex WHERE length(u.tok) > 7 ORDER BY doc_id, pos""",
+    "a16_percentile_cont" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.25) AS p25,
+                quantile_cont(l_quantity, 0.5) AS p50,
+                quantile_cont(l_quantity, 0.75) AS p75,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "u4_set_ops_all" ->
+      """WITH a AS (SELECT o_orderstatus, o_orderpriority FROM orders
+                    WHERE o_totalprice < 150000),
+         b AS (SELECT o_orderstatus, o_orderpriority FROM orders
+               WHERE cast(o_orderdate AS DATE) >= DATE '1995-01-01'),
+         ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+         ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                'intersect_all' AS op
+         FROM ia GROUP BY 1, 2
+         UNION ALL
+         SELECT o_orderstatus, o_orderpriority, count(*), 'except_all'
+         FROM ea GROUP BY 1, 2
+         ORDER BY op, o_orderstatus, o_orderpriority""",
     "stream_enriched_join" ->
       """SELECT cast(date_trunc('day', ts) AS DATE) AS report_date, n_name,
                 count(*) AS n_events

@@ -165,6 +165,60 @@ class ExtraQueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("a15_cube: subtotal tiers are mutually consistent") {
+    val out = run("a15_cube").cache()
+    val detailSum = out.where(col("gid") === 0)
+      .agg(sum("n_orders")).head.getLong(0)
+    val grand = out.where(col("gid") === 3)
+      .agg(sum("n_orders")).head.getLong(0)
+    val statusTier = out.where(col("gid") === 1)
+      .agg(sum("n_orders")).head.getLong(0)
+    val prioTier = out.where(col("gid") === 2)
+      .agg(sum("n_orders")).head.getLong(0)
+    assert(detailSum == grand && statusTier == grand && prioTier == grand)
+    out.unpersist()
+  }
+
+  test("f12_explode_tokens positions are 1-based and strictly increasing per doc") {
+    val out = run("f12_explode_tokens").cache()
+    assert(out.where(col("pos") < 1).count() == 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val nonInc = out.withColumn("__prev", lag("pos", 1).over(w))
+      .where(col("__prev").isNotNull && col("pos") <= col("__prev"))
+    assert(nonInc.count() == 0)
+    // every surviving token respects the generator-side predicate
+    assert(out.where(length(col("token")) <= 7).count() == 0)
+    out.unpersist()
+  }
+
+  test("u4_set_ops_all: multiplicity law n_a = intersect_all + except_all per key") {
+    val orders = graft.sources.Tables.load(spark, sfDir, "orders")
+    val aCounts = orders.where(col("o_totalprice") < 150000)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_a"))
+    val out = run("u4_set_ops_all")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(sum("n").as("n_sum"))
+    // A row of `a` lands in exactly one of INTERSECT ALL / EXCEPT ALL.
+    val joined = aCounts.join(out, Seq("o_orderstatus", "o_orderpriority"), "full")
+    assert(joined.where(coalesce(col("n_a"), lit(0L)) =!=
+      coalesce(col("n_sum"), lit(0L))).count() == 0)
+  }
+
+  test("a16_percentile_cont percentiles are ordered and bracketed by min/max") {
+    val out = run("a16_percentile_cont").cache()
+    assert(out.where(col("p25") > col("p50") || col("p50") > col("p75"))
+      .count() == 0)
+    val bounds = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(min("l_quantity").as("qmin"), max("l_quantity").as("qmax"))
+    val j = out.join(bounds, "l_returnflag")
+    assert(j.where(col("p25") < col("qmin") || col("p75") > col("qmax"))
+      .count() == 0)
+    out.unpersist()
+  }
+
   test("j10_full_outer_join keeps unmatched rows from both sides") {
     // sf0.001's supplier/customer tables are too small to populate
     // either filter; the asymmetry the test asserts exists at sf0.01.

@@ -32,6 +32,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Union"), s"grouping sets must not plan as a UNION:\n$p")
   }
 
+  test("a15_cube is one Expand pass over a single aggregate") {
+    val p = planOf("a15_cube")
+    assert("Expand".r.findAllIn(p).size == 1, s"expected a single Expand:\n$p")
+    assert(!p.contains("Union"), s"cube must not plan as a UNION:\n$p")
+  }
+
+  test("u4_set_ops_all plans multiset ops without cartesian/nested-loop joins") {
+    val p = planOf("u4_set_ops_all")
+    assert(!p.contains("CartesianProduct"), s"cartesian in set ops:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in set ops:\n$p")
+  }
+
+  test("f12_explode_tokens generates inside the scan stage — no pre-sort shuffle") {
+    val p = planOf("f12_explode_tokens")
+    assert(p.contains("Generate"), s"expected a Generate operator:\n$p")
+    // exactly one exchange: the rangepartitioning for the output sort
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the output-sort exchange:\n$p")
+  }
+
   test("llm_semdedup never degenerates to a cartesian/nested-loop join") {
     val p = planOf("llm_semdedup")
     assert(!p.contains("CartesianProduct"), s"cartesian product in semdedup:\n$p")
