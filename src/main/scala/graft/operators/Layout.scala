@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout maintenance verbs: multi-dimensional (Z-order)
+  * clustering and partition-pruned targeted deletes — the Delta
+  * `OPTIMIZE ZORDER BY` / GDPR-delete analogs a lakehouse needs once
+  * tables live for years (the reference's Delta storage advertises
+  * both; its pipeline never rewrites layout, so these are the
+  * maintenance half of SURVEY §2.11 re-expressed on plain parquet).
+  *
+  * Scale shape: both verbs are bounded rewrites. Z-ordering is one
+  * range shuffle + local sort (exactly what any sorted write costs);
+  * the targeted delete never touches a partition that holds no
+  * matching key — at 100 TB with thousands of partitions a delete of
+  * a handful of users rewrites only the few partitions they hash to.
+  */
+object Layout {
+
+  /** Bit-interleaved Z-value of two keys, each min-max normalized to
+    * 16 bits. Pure built-in expressions (shift/and/or folds), so the
+    * whole computation stays inside whole-stage codegen — no UDF.
+    * Normalization bounds are passed in (computed once from stats);
+    * a degenerate dimension (lo == hi) maps to 0 rather than dividing
+    * by zero. */
+  def zvalue(a: Column, aLo: Long, aHi: Long,
+             b: Column, bLo: Long, bHi: Long): Column = {
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else ((c - lit(lo)).cast("double") * (65535.0 / (hi - lo).toDouble))
+        .cast("long")
+    val an = norm(a, aLo, aHi)
+    val bn = norm(b, bLo, bHi)
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(an, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(bn, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Rewrite `df` into `nFiles` parquet files clustered by the
+    * Z-value of (`aCol`, `bCol`): range-partition on the Z-value
+    * (balanced files), sort within each partition, drop the helper
+    * column. After the rewrite every file covers a small square-ish
+    * tile of the (a, b) key plane, so a predicate box on EITHER or
+    * BOTH dimensions skips most files via parquet min-max stats —
+    * single-column sorting can only serve one of the two.
+    *
+    * The two stat scalars are a driver round-trip by design (they are
+    * table-level min/max — one row); at 100 TB the same two numbers
+    * come from table metadata. */
+  def zorderWrite(df: DataFrame, aCol: String, bCol: String,
+                  outDir: String, nFiles: Int): Unit = {
+    val s = df.agg(
+      min(col(aCol)).cast("long"), max(col(aCol)).cast("long"),
+      min(col(bCol)).cast("long"), max(col(bCol)).cast("long")).head()
+    val z = zvalue(col(aCol), s.getLong(0), s.getLong(1),
+      col(bCol), s.getLong(2), s.getLong(3))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Copy-on-write targeted delete on a hash-partitioned parquet
+    * table: remove every row whose `keyCol` appears in `keys`,
+    * rewriting ONLY the partitions those keys hash to.
+    *
+    * Steps: (1) affected partition values are derived from the key
+    * list itself — no table scan; (2) the affected partitions are
+    * read (partition-pruned scan), survivors selected by broadcast
+    * anti-join against the key frame (a driver `isin` list would cap
+    * the key count; the join path scales to millions of deletion
+    * keys); (3) survivors stage to a scratch dir (a parquet path
+    * cannot be its own overwrite source), then land via DYNAMIC
+    * partition overwrite so untouched partitions' files are never
+    * rewritten.
+    */
+  def targetedDelete(spark: SparkSession, tableDir: String,
+                     partCol: String, keyCol: String, keys: DataFrame,
+                     nBuckets: Int, stagingDir: String): Unit = {
+    val affected = keys
+      .select(pmod(col(keyCol), lit(nBuckets)).cast("int").as(partCol))
+      .distinct().collect().map(_.getInt(0))
+    spark.read.parquet(tableDir)
+      .where(col(partCol).isin(affected.toIndexedSeq: _*))
+      .join(broadcast(keys), Seq(keyCol), "left_anti")
+      .write.mode("overwrite").parquet(stagingDir)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      spark.read.parquet(stagingDir)
+        .write.mode("overwrite").partitionBy(partCol).parquet(tableDir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+}

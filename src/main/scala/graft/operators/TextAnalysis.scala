@@ -92,10 +92,11 @@ object TextAnalysis {
   val ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
   val phoneRe = "\\+?[0-9][0-9().-]{5,}[0-9]"
 
-  /** The shared md5 bucket in [0, 1000): the single expression both
-    * [[stableSplit]] and [[mixtureSample]] derive from, so the two
-    * can never drift from each other or their oracle twins. */
-  private def stableBucket(id: Column): Column =
+  /** The shared md5 bucket in [0, 1000): the single expression
+    * [[stableSplit]], [[mixtureSample]], and the stratified sampler
+    * all derive from, so they can never drift from each other or
+    * their oracle twins. */
+  def stableBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 1000
 
   /** Deterministic, growth-stable train/val/test assignment: the id

@@ -52,6 +52,14 @@ class IdempotenceSpec extends AnyFunSuite {
     runTwice("stream_stream_join")
   }
 
+  test("zorder layout query is re-runnable (clustered dir overwritten)") {
+    runTwice("s15_zorder_layout")
+  }
+
+  test("targeted-delete query is re-runnable (base table rebuilt each run)") {
+    runTwice("s14_targeted_delete")
+  }
+
   test("memory-sink and file-sink streaming variants agree") {
     import org.apache.spark.sql.functions.col
     val order = Seq(col("report_date"), col("event_type"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.queries.{RegistryCore, RegistryExtra, RegistryGold, RegistryIngest, RegistryLlm}
+import graft.queries.{RegistryCore, RegistryExtra, RegistryGold, RegistryIngest, RegistryLlm, RegistryMaint}
 
 class RegistrySpec extends AnyFunSuite {
 
@@ -10,7 +10,8 @@ class RegistrySpec extends AnyFunSuite {
     "ingest" -> RegistryIngest.defs.keySet,
     "gold" -> RegistryGold.defs.keySet,
     "llm" -> RegistryLlm.defs.keySet,
-    "extra" -> RegistryExtra.defs.keySet)
+    "extra" -> RegistryExtra.defs.keySet,
+    "maint" -> RegistryMaint.defs.keySet)
 
   test("query names are unique across registries (no Map ++ shadowing)") {
     val all = groups.flatMap(_._2.toSeq)
