@@ -92,6 +92,42 @@ object NearDup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs with length-band
+    * blocking — the fuzzy-match family: catches small in-place edits
+    * (typo fixes, token swaps) that shingle Jaccard scores leniently
+    * and embedding cosine may miss entirely.
+    *
+    * Scale shape: the O(L²)-per-pair distance only ever runs on
+    * BLOCKED candidates. Blocking key = (strata column, ⌊n_chars/W⌋);
+    * one side explodes to its three adjacent buckets so every pair
+    * within `maxLenDiff` (≤ W/2) meets on exactly one key — a plain
+    * equi-join, never a cross join. The distance runs on a
+    * normalized `prefixLen`-char prefix: bounded per-pair cost, and
+    * engine-portable (classic DP, identical in DuckDB).
+    *
+    * Output: (id_a, id_b, dist) with id_a < id_b, dist <= maxDist. */
+  def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+                 strataCol: String, lenCol: String,
+                 maxDist: Int, maxLenDiff: Int = 50, bucketW: Int = 100,
+                 prefixLen: Int = 200): DataFrame = {
+    require(maxLenDiff <= bucketW / 2,
+      s"maxLenDiff=$maxLenDiff must be <= bucketW/2 so ±1 buckets suffice")
+    val norm = substring(
+      trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), 1, prefixLen)
+    val side = df.select(col(idCol).as("__id"), col(strataCol).as("__st"),
+      col(lenCol).as("__len"), norm.as("__t"))
+    val bk = floor(col("__len") / bucketW).cast("long")
+    val probes = side.withColumn("__bk",
+      explode(array(bk - 1, bk, bk + 1)))
+    val build = side.withColumn("__bk", bk)
+    probes.as("a").join(build.as("b"), Seq("__st", "__bk"))
+      .where(col("a.__id") < col("b.__id") &&
+        abs(col("a.__len") - col("b.__len")) <= maxLenDiff)
+      .withColumn("dist", levenshtein(col("a.__t"), col("b.__t")))
+      .where(col("dist") <= maxDist)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("dist"))
+  }
+
   /** MinHash + banded-LSH candidates, exact-Jaccard verified.
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= tau. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,

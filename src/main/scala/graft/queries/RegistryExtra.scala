@@ -328,6 +328,44 @@ object RegistryExtra {
         .orderBy("op", "o_orderstatus", "o_orderpriority")
     }),
 
+    // Global ORDER BY + LIMIT: the top-k pattern that must NEVER plan
+    // as a full sort — Spark's TakeOrderedAndProject keeps a bounded
+    // k-element heap per partition and merges heaps on the driver
+    // (O(n log k) work, no shuffle of the full table). The unique
+    // tiebreak makes the k-row set engine-deterministic.
+    "o4_topk_limit" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)),
+
+    // Value-based (RANGE) window frame: per-customer order totals
+    // summed over a ±3-DAY value window around each order — peers are
+    // defined by the order-date VALUE, not row offsets, so the frame
+    // widens and narrows with the data (w5's ROWS frame cannot express
+    // this). The day number is an integer column, making the frame
+    // bounds engine-portable.
+    "w10_range_frame_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("day_nr"))
+        .rangeBetween(-3, 3)
+      t(s, dir, "orders")
+        .withColumn("day_nr",
+          datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01"))))
+        .select(col("o_orderkey"), col("o_custkey"), col("day_nr"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
+            .cast("double").as("nearby_total"),
+          count(lit(1)).over(w).as("n_nearby"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Streaming SESSION windows (gap-driven, data-defined extent):
+    // one open session per active user in state, merged in place —
+    // the windowing shape tumbling/sliding cannot express.
+    "stream_session_window" -> ((s, dir) =>
+      StreamingOps.sessionWindowCounts(s, dir)
+        .orderBy("user_id", "session_start_us")),
+
     // Stream-static enrichment join (events stream ⋈ broadcast nation
     // dim) feeding a watermarked daily window — the streaming star
     // join.
@@ -537,6 +575,41 @@ object RegistryExtra {
          SELECT o_orderstatus, o_orderpriority, count(*), 'except_all'
          FROM ea GROUP BY 1, 2
          ORDER BY op, o_orderstatus, o_orderpriority""",
+    "o4_topk_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
+    "w10_range_frame_window" ->
+      """SELECT o_orderkey, o_custkey,
+                cast(date_diff('day', DATE '1992-01-01',
+                     cast(o_orderdate AS DATE)) AS INTEGER) AS day_nr,
+                cast(sum(cast(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                  AS nearby_total,
+                count(*) OVER w AS n_nearby
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY cast(date_diff('day', DATE '1992-01-01',
+                                    cast(o_orderdate AS DATE)) AS INTEGER)
+                      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         ORDER BY o_orderkey""",
+    "stream_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM flagged)
+         SELECT user_id,
+                epoch_us(min(ts)) AS session_start_us,
+                epoch_us(max(ts)) + 1800000000 AS session_end_us,
+                count(*) AS n_events
+         FROM sessions GROUP BY user_id, session_seq
+         ORDER BY user_id, session_start_us""",
     "stream_enriched_join" ->
       """SELECT cast(date_trunc('day', ts) AS DATE) AS report_date, n_name,
                 count(*) AS n_events

@@ -147,6 +147,28 @@ object StreamingOps {
         col("event_type"), col("n_events")))
   }
 
+  /** SESSION-window counts per user (30-minute inactivity gap — the
+    * same gap as the batch `w4_sessionization`): session_window opens
+    * a window per event and MERGES windows that overlap within the
+    * gap, so session extent is data-driven rather than calendar-
+    * aligned — the one windowing shape tumbling/sliding cannot
+    * express. State is one open session per active user, merged
+    * in-place; with a watermark, closed sessions age out of state at
+    * 100 TB/day. Window end = last event + gap (Spark's session
+    * semantics; the oracle mirrors it as max(ts) + gap). */
+  def sessionWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val (tsFixed, nonce) = rawEvents(spark, sfDir, "session")
+    val stream = tsFixed
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    completeSinkRun(spark, stream, nonce)(
+      _.select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events")))
+  }
+
   /** Stream-STREAM time-range join (click→purchase attribution):
     * both sides are watermarked streams of the same source; a
     * purchase joins every click by the same user in the preceding

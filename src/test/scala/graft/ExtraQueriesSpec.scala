@@ -219,6 +219,45 @@ class ExtraQueriesSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("stream_session_window agrees with batch sessionization") {
+    // same 30-minute gap: the streaming session count and per-user
+    // event totals must equal the batch gaps-and-islands formulation
+    val sf01 = "/root/testdata/sf0.01"
+    val stream = SparkEntry.queries("stream_session_window")(spark, sf01)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    val batch = SparkEntry.queries("w4_sessionization")(spark, sf01)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
+  test("w10_range_frame_window frame always contains the row itself") {
+    val out = run("w10_range_frame_window").cache()
+    assert(out.where(col("n_nearby") < 1).count() == 0)
+    val orders = graft.sources.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val j = out.join(orders, "o_orderkey")
+    assert(j.where(col("nearby_total") < col("o_totalprice") - 1e-6).count() == 0)
+    out.unpersist()
+  }
+
+  test("llm_fuzzy_pairs respects ordering, distance cap, and length band") {
+    val sf01 = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("llm_fuzzy_pairs")(spark, sf01).cache()
+    assert(out.where(col("id_a") >= col("id_b")).count() == 0)
+    assert(out.where(col("dist") > 30).count() == 0)
+    val d = graft.sources.Tables.load(spark, sf01, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val j = out.join(d.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n_chars", "len_a"), "id_a")
+      .join(d.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n_chars", "len_b"), "id_b")
+    assert(j.where(abs(col("len_a") - col("len_b")) > 50).count() == 0)
+    assert(out.count() > 0, "planted near-dups should surface fuzzy pairs")
+    out.unpersist()
+  }
+
   test("j10_full_outer_join keeps unmatched rows from both sides") {
     // sf0.001's supplier/customer tables are too small to populate
     // either filter; the asymmetry the test asserts exists at sf0.01.

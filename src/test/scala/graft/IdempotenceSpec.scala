@@ -52,6 +52,10 @@ class IdempotenceSpec extends AnyFunSuite {
     runTwice("stream_stream_join")
   }
 
+  test("session-window streaming query is re-runnable (nonced sink + checkpoint)") {
+    runTwice("stream_session_window")
+  }
+
   test("zorder layout query is re-runnable (clustered dir overwritten)") {
     runTwice("s15_zorder_layout")
   }

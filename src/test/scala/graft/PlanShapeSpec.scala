@@ -52,6 +52,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected only the output-sort exchange:\n$p")
   }
 
+  test("o4_topk_limit plans as TakeOrderedAndProject, never a full sort") {
+    val p = planOf("o4_topk_limit")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected bounded-heap top-k operator:\n$p")
+    assert(!"(?m)^\\s*[+:*\\-\\s]*Sort ".r.findAllIn(p).hasNext,
+      s"global Sort crept into the top-k plan:\n$p")
+  }
+
+  test("llm_fuzzy_pairs blocks via equi-join — no cartesian/nested-loop") {
+    val p = planOf("llm_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct"), s"cartesian in fuzzy pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in fuzzy pairs:\n$p")
+  }
+
   test("llm_semdedup never degenerates to a cartesian/nested-loop join") {
     val p = planOf("llm_semdedup")
     assert(!p.contains("CartesianProduct"), s"cartesian product in semdedup:\n$p")
