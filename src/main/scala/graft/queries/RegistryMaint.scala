@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Layout, TextAnalysis}
+import graft.operators.{Layout, TextAnalysis, Versioned}
 import graft.sources.{Ingest, Tables}
 
 /** Lakehouse maintenance & data-management verbs: Z-order layout
@@ -92,6 +92,104 @@ object RegistryMaint {
       df
     }),
 
+    // Versioned snapshot store (the Delta time-travel analog on plain
+    // parquet): version IS a partition (v=<n> dirs), so reading
+    // version n is a partition-pruned scan, writing n+1 never touches
+    // n's files (VersionedSpec pins their mtimes), and the history
+    // query below is an ordinary aggregate over the version column.
+    "s16_versioned_snapshot" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/versioned_events"
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          to_date(col("ts")).as("day"))
+      Versioned.writeSnapshot(
+        ev.where(col("day") < lit("2024-01-11").cast("date")), base, 1)
+      Versioned.writeSnapshot(
+        ev.where(col("day") < lit("2024-01-21").cast("date")), base, 2)
+      Versioned.history(s, base)
+        .groupBy(col("v").cast("int").as("version"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("version")
+    }),
+
+    // Retention vacuum over the snapshot store (Delta VACUUM analog):
+    // rebuild a 3-version history, keep only the newest, and answer
+    // from what survives. Deletion uses the Hadoop FileSystem API so
+    // the identical code runs against HDFS/object stores.
+    "s17_vacuum_retention" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/vacuum_events"
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          to_date(col("ts")).as("day"))
+      Seq(1 -> "2024-01-11", 2 -> "2024-01-21", 3 -> "2024-01-31")
+        .foreach { case (n, cut) =>
+          Versioned.writeSnapshot(
+            ev.where(col("day") < lit(cut).cast("date")), base, n)
+        }
+      val survivors = Versioned.vacuum(s, base, keepLast = 1)
+      require(survivors == Seq(3), s"unexpected survivors: $survivors")
+      Versioned.history(s, base)
+        .groupBy(col("v").cast("int").as("version"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("version")
+    }),
+
+    // Dynamic partition pruning: the fact table is partitioned by day;
+    // the dim-side filter (5 peak days of 30) becomes a RUNTIME
+    // partition filter on the fact scan — at 100 TB the scan opens 5
+    // partitions, not 30, without the query author naming them.
+    // VersionedSpec asserts the dynamicpruning expression in the plan.
+    "j14_dpp_star_join" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/dpp_events"
+      t(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .select("event_id", "user_id", "event_type", "value", "day")
+        .write.mode("overwrite").partitionBy("day").parquet(base)
+      val dim = s.range(0, 30)
+        .select(date_add(lit("2024-01-01").cast("date"),
+          col("id").cast("int")).as("day"))
+        .withColumn("is_peak",
+          col("day").cast("string").isin(peakDays: _*))
+      s.read.parquet(base)
+        .join(dim.where(col("is_peak")).select("day"), Seq("day"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Cost-based broadcast: the dim (customer) is durably catalogued
+    // and ANALYZEd with column stats; under CBO the 1%-selective
+    // filter's estimated output shrinks below the (lowered) broadcast
+    // threshold, so Catalyst picks a broadcast join from STATISTICS —
+    // no hint anywhere. VersionedSpec asserts broadcast-with-stats vs
+    // shuffle-without-CBO under the identical threshold.
+    "j15_cbo_stats_join" -> ((s, dir) => {
+      ensureAnalyzedDim(s, dir)
+      // 4 KB threshold: far below the column-pruned SCAN estimate
+      // (~10 KB here), but above the CBO post-filter estimate
+      // (~63 rows) — so the broadcast decision can only come from
+      // column statistics, never from file size.
+      val df = planned(s, Seq(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "4096")) {
+        s.table("stats_demo.customer_dim")
+          .where(col("c_acctbal") < -500)
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+              .as("total_price"))
+          .orderBy("c_mktsegment")
+      }
+      df
+    }),
+
     // Deterministic stratified downsampling: cap the dominant stratum
     // (en → 10%) while keeping the rest at 50% — corpus rebalancing
     // before LLM training. Membership is the shared md5 bucket, so the
@@ -105,34 +203,57 @@ object RegistryMaint {
         .select("doc_id", "lang")
         .orderBy("doc_id")))
 
-  /** Run `build` with runtime bloom-filter injection armed and force
-    * the plan while the confs hold; restore afterwards so no other
-    * registry query plans under fixture-tuned thresholds.
-    *
-    * Auto-broadcast is disabled during planning because Spark only
-    * injects the bloom filter into SHUFFLE joins — which is the honest
-    * 100 TB framing: when the dim side exceeds the broadcast
-    * threshold, the bloom probe is what still prunes the fact scan.
-    * AQE is free to re-convert to broadcast at runtime under the
-    * restored confs; the injected might_contain probe survives. */
-  private def bloomPlanned(s: SparkSession)(build: => DataFrame): DataFrame = {
-    val keys = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-      "spark.sql.autoBroadcastJoinThreshold")
-    val prev = keys.map(k => k -> s.conf.getOption(k)).toMap
-    s.conf.set(keys(0), "true")
-    s.conf.set(keys(1), "0")
-    s.conf.set(keys(2), "-1")
+  /** The DPP dim filter — shared between query and oracle. */
+  private val peakDays = Seq(
+    "2024-01-03", "2024-01-07", "2024-01-12", "2024-01-18", "2024-01-25")
+
+  /** Durable ANALYZEd dim for the CBO witness: catalogued customer
+    * table with column statistics. Recreated per invocation so stats
+    * always match the current scale factor's data. */
+  private def ensureAnalyzedDim(s: SparkSession, dir: String): Unit = {
+    s.sql("CREATE DATABASE IF NOT EXISTS stats_demo")
+    // External table + drop-first, same as Medallion.write: a catalog
+    // entry (or leftover managed location) from another session/SF
+    // must never pin stale data or block the save.
+    s.sql("DROP TABLE IF EXISTS stats_demo.customer_dim")
+    t(s, dir, "customer")
+      .write.mode("overwrite").format("parquet")
+      .option("path", Ingest.fixtureDir(dir) + "/stats_customer_dim")
+      .saveAsTable("stats_demo.customer_dim")
+    s.sql("ANALYZE TABLE stats_demo.customer_dim " +
+      "COMPUTE STATISTICS FOR ALL COLUMNS")
+  }
+
+  /** Run `build` under temporary planning confs and force the plan
+    * while they hold (plans are otherwise lazy); restore afterwards so
+    * no other registry query plans under fixture-tuned settings. The
+    * pinned QueryExecution keeps the armed plan for later actions. */
+  private def planned(s: SparkSession, confs: Seq[(String, String)])
+                     (build: => DataFrame): DataFrame = {
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
     try {
       val df = build
-      df.queryExecution.executedPlan // pin the bloom-armed plan
+      df.queryExecution.executedPlan // pin the conf-armed plan
       df
     } finally prev.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None) => s.conf.unset(k)
     }
   }
+
+  /** Bloom-filter planning confs: auto-broadcast is disabled during
+    * planning because Spark only injects the bloom filter into
+    * SHUFFLE joins — the honest 100 TB framing: when the dim side
+    * outgrows broadcast, the bloom probe is what still prunes the
+    * fact scan. AQE is free to re-convert to broadcast at runtime
+    * under the restored confs; the injected might_contain probe
+    * survives. */
+  private def bloomPlanned(s: SparkSession)(build: => DataFrame): DataFrame =
+    planned(s, Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"))(build)
 
   val oracles: Map[String, String] = Map(
     "s15_zorder_layout" ->
@@ -154,6 +275,33 @@ object RegistryMaint {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_size = 1
          GROUP BY p_brand ORDER BY p_brand""",
+    "s16_versioned_snapshot" ->
+      """SELECT cast(1 AS INTEGER) AS version, count(*) AS n_rows,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events WHERE cast(ts AS DATE) < DATE '2024-01-11'
+         UNION ALL
+         SELECT cast(2 AS INTEGER), count(*),
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
+         FROM events WHERE cast(ts AS DATE) < DATE '2024-01-21'
+         ORDER BY version""",
+    "s17_vacuum_retention" ->
+      """SELECT cast(3 AS INTEGER) AS version, count(*) AS n_rows,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events WHERE cast(ts AS DATE) < DATE '2024-01-31'""",
+    "j14_dpp_star_join" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM (SELECT event_type, value, cast(ts AS DATE) AS d FROM events)
+         WHERE d IN (DATE '2024-01-03', DATE '2024-01-07',
+               DATE '2024-01-12', DATE '2024-01-18', DATE '2024-01-25')
+         GROUP BY event_type ORDER BY event_type""",
+    "j15_cbo_stats_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  AS total_price
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         WHERE c_acctbal < -500
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "p11_stratified_sample" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,

@@ -64,6 +64,22 @@ class IdempotenceSpec extends AnyFunSuite {
     runTwice("s14_targeted_delete")
   }
 
+  test("versioned-snapshot query is re-runnable (version dirs overwritten)") {
+    runTwice("s16_versioned_snapshot")
+  }
+
+  test("vacuum query is re-runnable (history rebuilt before each vacuum)") {
+    runTwice("s17_vacuum_retention")
+  }
+
+  test("dpp query is re-runnable (partitioned fixture overwritten)") {
+    runTwice("j14_dpp_star_join")
+  }
+
+  test("cbo query is re-runnable (dim table + stats recreated)") {
+    runTwice("j15_cbo_stats_join")
+  }
+
   test("memory-sink and file-sink streaming variants agree") {
     import org.apache.spark.sql.functions.col
     val order = Seq(col("report_date"), col("event_type"))
