@@ -328,6 +328,43 @@ object RegistryExtra {
         .orderBy("op", "o_orderstatus", "o_orderpriority")
     }),
 
+    // Second-moment statistics (variance/stddev/correlation) with the
+    // float discipline applied to POWER SUMS: the builtin stddev/corr
+    // aggregates merge incremental moments in partition order, so
+    // their low bits are nondeterministic across runs AND engines.
+    // Here Σx, Σx², Σxy accumulate as EXACT decimals (quantity is
+    // integral, price has 2 decimals — no rounding ever), and the
+    // textbook formulas run once in double at the end: bit-identical
+    // everywhere, still one map-side-combinable aggregate pass.
+    "a17_moments" -> ((s, dir) => {
+      // narrow enough that every product stays inside decimal(38,_)
+      // with NO scale adjustment in either engine: (12,2)×(18,2) →
+      // (31,4), exact for integral quantities and 2-decimal prices
+      def dq(c: Column) = c.cast("decimal(12,2)")
+      def dp(c: Column) = c.cast("decimal(18,2)")
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dq(col("l_quantity"))).as("__sq"),
+          sum(dq(col("l_quantity")) * dq(col("l_quantity"))).as("__sq2"),
+          sum(dp(col("l_extendedprice"))).as("__sp"),
+          sum(dp(col("l_extendedprice")) * dp(col("l_extendedprice"))).as("__sp2"),
+          sum(dq(col("l_quantity")) * dp(col("l_extendedprice"))).as("__sqp"))
+        .select(col("l_returnflag"), col("n"),
+          (col("__sq").cast("double") / col("n")).as("mean_qty"),
+          sqrt((col("n") * col("__sq2").cast("double") -
+            col("__sq").cast("double") * col("__sq").cast("double")) /
+            (col("n") * (col("n") - 1))).as("stddev_qty"),
+          ((col("n") * col("__sqp").cast("double") -
+            col("__sq").cast("double") * col("__sp").cast("double")) /
+            sqrt((col("n") * col("__sq2").cast("double") -
+              col("__sq").cast("double") * col("__sq").cast("double")) *
+              (col("n") * col("__sp2").cast("double") -
+                col("__sp").cast("double") * col("__sp").cast("double"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Global ORDER BY + LIMIT: the top-k pattern that must NEVER plan
     // as a full sort — Spark's TakeOrderedAndProject keeps a bounded
     // k-element heap per partition and merges heaps on the driver
@@ -575,6 +612,31 @@ object RegistryExtra {
          SELECT o_orderstatus, o_orderpriority, count(*), 'except_all'
          FROM ea GROUP BY 1, 2
          ORDER BY op, o_orderstatus, o_orderpriority""",
+    "a17_moments" ->
+      """WITH s AS (
+           SELECT l_returnflag, count(*) AS n,
+                  sum(cast(l_quantity AS DECIMAL(12,2))) AS sq,
+                  sum(cast(l_quantity AS DECIMAL(12,2)) *
+                      cast(l_quantity AS DECIMAL(12,2))) AS sq2,
+                  sum(cast(l_extendedprice AS DECIMAL(18,2))) AS sp,
+                  sum(cast(l_extendedprice AS DECIMAL(18,2)) *
+                      cast(l_extendedprice AS DECIMAL(18,2))) AS sp2,
+                  sum(cast(l_quantity AS DECIMAL(12,2)) *
+                      cast(l_extendedprice AS DECIMAL(18,2))) AS sqp
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+                cast(sq AS DOUBLE) / n AS mean_qty,
+                sqrt((n * cast(sq2 AS DOUBLE) -
+                      cast(sq AS DOUBLE) * cast(sq AS DOUBLE)) /
+                     (n * (n - 1))) AS stddev_qty,
+                (n * cast(sqp AS DOUBLE) -
+                 cast(sq AS DOUBLE) * cast(sp AS DOUBLE)) /
+                sqrt((n * cast(sq2 AS DOUBLE) -
+                      cast(sq AS DOUBLE) * cast(sq AS DOUBLE)) *
+                     (n * cast(sp2 AS DOUBLE) -
+                      cast(sp AS DOUBLE) * cast(sp AS DOUBLE)))
+                  AS corr_qty_price
+         FROM s ORDER BY l_returnflag""",
     "o4_topk_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",

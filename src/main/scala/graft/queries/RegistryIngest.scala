@@ -222,6 +222,49 @@ object RegistryIngest {
     // so min-max stats keep row-group skipping effective after the
     // rewrite. The query proves content identity through the rewrite;
     // IngestLayoutSpec asserts the file counts.
+    // CDC apply (the MERGE shape s8 does not cover: DELETES plus
+    // multiple changes per key): a deterministic change batch carries
+    // inserts, two CONFLICTING sequenced updates per updated key
+    // (latest-wins by change_seq), and deletes. Apply = one argmax
+    // aggregate over the change batch (struct-max on change_seq — no
+    // window sort) + one anti-join to drop superseded base rows +
+    // union of surviving inserts/updates. Two shuffles total on the
+    // key, each map-side combinable — the scale shape of streaming
+    // CDC compaction at 100 TB/day.
+    "s18_cdc_apply" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val m = col("c_custkey") % 100
+      // latest change per key via struct-max: (seq, op, acctbal)
+      val changes =
+        base.where(m === 0)
+          .select(col("c_custkey"), lit(1L).as("change_seq"),
+            lit("D").as("op"), col("c_mktsegment"), col("c_acctbal"))
+        .unionByName(base.where(m === 1)
+          .select(col("c_custkey"), lit(1L).as("change_seq"),
+            lit("U").as("op"), col("c_mktsegment"),
+            (col("c_acctbal") + 1000).as("c_acctbal")))
+        .unionByName(base.where(m === 1)
+          .select(col("c_custkey"), lit(2L).as("change_seq"),
+            lit("U").as("op"), col("c_mktsegment"),
+            (col("c_acctbal") + 2000).as("c_acctbal")))
+        .unionByName(base.where(m === 2)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            lit(1L).as("change_seq"), lit("I").as("op"),
+            col("c_mktsegment"), col("c_acctbal")))
+      val latest = changes
+        .groupBy("c_custkey")
+        .agg(max(struct(col("change_seq"), col("op"),
+          col("c_mktsegment"), col("c_acctbal"))).as("__c"))
+        .select(col("c_custkey"), col("__c.op").as("op"),
+          col("__c.c_mktsegment").as("c_mktsegment"),
+          col("__c.c_acctbal").as("c_acctbal"))
+      base.join(latest.select("c_custkey"), Seq("c_custkey"), "left_anti")
+        .unionByName(latest.where(col("op") =!= "D")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
     "s13_compact_small_files" -> ((s, dir) => {
       val src = t(s, dir, "events")
         .select("event_id", "user_id", "event_type", "value")
@@ -274,6 +317,31 @@ object RegistryIngest {
       """SELECT n_nationkey, n_name, r_name FROM nation
          JOIN region ON n_regionkey = r_regionkey
          ORDER BY n_nationkey""",
+    "s18_cdc_apply" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+         changes AS (
+           SELECT c_custkey, 1 AS change_seq, 'D' AS op, c_mktsegment, c_acctbal
+           FROM base WHERE c_custkey % 100 = 0
+           UNION ALL
+           SELECT c_custkey, 1, 'U', c_mktsegment, c_acctbal + 1000
+           FROM base WHERE c_custkey % 100 = 1
+           UNION ALL
+           SELECT c_custkey, 2, 'U', c_mktsegment, c_acctbal + 2000
+           FROM base WHERE c_custkey % 100 = 1
+           UNION ALL
+           SELECT c_custkey + 1000000, 1, 'I', c_mktsegment, c_acctbal
+           FROM base WHERE c_custkey % 100 = 2),
+         latest AS (
+           SELECT c_custkey, op, c_mktsegment, c_acctbal FROM (
+             SELECT *, row_number() OVER (PARTITION BY c_custkey
+                       ORDER BY change_seq DESC, op DESC,
+                                c_mktsegment DESC, c_acctbal DESC) AS rn
+             FROM changes) WHERE rn = 1)
+         SELECT c_custkey, c_mktsegment, c_acctbal FROM base
+         WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+         UNION ALL
+         SELECT c_custkey, c_mktsegment, c_acctbal FROM latest WHERE op <> 'D'
+         ORDER BY c_custkey""",
     "s13_compact_small_files" ->
       """SELECT event_type, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,

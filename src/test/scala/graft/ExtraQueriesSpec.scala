@@ -258,6 +258,48 @@ class ExtraQueriesSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("s18_cdc_apply: deletes gone, inserts present, latest update wins") {
+    val sf01 = "/root/testdata/sf0.01"
+    val base = graft.sources.Tables.load(spark, sf01, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val out = SparkEntry.queries("s18_cdc_apply")(spark, sf01).cache()
+    // deleted keys (k % 100 == 0) absent
+    assert(out.where(col("c_custkey") % 100 === 0 &&
+      col("c_custkey") < 1000000).count() == 0)
+    // inserted keys present, one per source key with k % 100 == 2
+    val nIns = base.where(col("c_custkey") % 100 === 2).count()
+    assert(out.where(col("c_custkey") >= 1000000).count() == nIns)
+    // updated keys carry the SECOND update (+2000), not the first
+    val upd = out.where(col("c_custkey") % 100 === 1 &&
+        col("c_custkey") < 1000000)
+      .join(base.withColumnRenamed("c_acctbal", "orig"), "c_custkey")
+    assert(upd.where(col("c_acctbal") =!= col("orig") + 2000).count() == 0)
+    // row-count ledger: base - deletes + inserts
+    val nBase = base.count()
+    val nDel = base.where(col("c_custkey") % 100 === 0).count()
+    assert(out.count() == nBase - nDel + nIns)
+    out.unpersist()
+  }
+
+  test("a17_moments agrees with the builtin moment aggregates to 1e-9") {
+    val got = run("a17_moments").collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val ref = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(avg("l_quantity").as("m"), stddev_samp("l_quantity").as("sd"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    ref.foreach { case (k, (m, sd, c)) =>
+      val (gm, gsd, gc) = got(k)
+      assert(math.abs(gm - m) <= 1e-9 * math.abs(m))
+      assert(math.abs(gsd - sd) <= 1e-9 * math.abs(sd))
+      assert(math.abs(gc - c) <= 1e-6 * math.abs(c).max(1e-3))
+    }
+  }
+
   test("j10_full_outer_join keeps unmatched rows from both sides") {
     // sf0.001's supplier/customer tables are too small to populate
     // either filter; the asymmetry the test asserts exists at sf0.01.
