@@ -55,6 +55,8 @@ object Layout {
     val s = df.agg(
       min(col(aCol)).cast("long"), max(col(aCol)).cast("long"),
       min(col(bCol)).cast("long"), max(col(bCol)).cast("long")).head()
+    require(!s.isNullAt(0) && !s.isNullAt(2),
+      s"zorderWrite: no non-null ($aCol, $bCol) rows to cluster")
     val z = zvalue(col(aCol), s.getLong(0), s.getLong(1),
       col(bCol), s.getLong(2), s.getLong(3))
     df.withColumn("__z", z)
@@ -76,7 +78,9 @@ object Layout {
     * keys); (3) survivors stage to a scratch dir (a parquet path
     * cannot be its own overwrite source), then land via DYNAMIC
     * partition overwrite so untouched partitions' files are never
-    * rewritten.
+    * rewritten; (4) a partition whose every row was deleted gets NO
+    * file from the dynamic overwrite — its stale directory is removed
+    * explicitly, or the deleted rows would resurface.
     */
   def targetedDelete(spark: SparkSession, tableDir: String,
                      partCol: String, keyCol: String, keys: DataFrame,
@@ -88,14 +92,24 @@ object Layout {
       .where(col(partCol).isin(affected.toIndexedSeq: _*))
       .join(broadcast(keys), Seq(keyCol), "left_anti")
       .write.mode("overwrite").parquet(stagingDir)
+    val staged = spark.read.parquet(stagingDir)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
-      spark.read.parquet(stagingDir)
-        .write.mode("overwrite").partitionBy(partCol).parquet(tableDir)
+      staged.write.mode("overwrite").partitionBy(partCol).parquet(tableDir)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // dynamic overwrite only rewrites partitions present in `staged`;
+    // an affected partition with zero survivors keeps its old files —
+    // delete those directories (bounded by |affected|, tiny)
+    val survivors = staged.select(col(partCol).cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (affected.toSet -- survivors).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$partCol=$b"), true)
     }
   }
 }

@@ -90,6 +90,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(after.count() == before - removed)
   }
 
+  test("deleting every row of a partition removes its stale directory") {
+    import spark.implicits._
+    val base = graft.sources.Ingest.fixtureDir(sf01) + "/gdpr_empty_spec"
+    val staging = graft.sources.Ingest.fixtureDir(sf01) + "/gdpr_empty_staging"
+    val ev = graft.sources.Tables.load(spark, sf01, "events")
+      .select(col("event_id"), col("user_id"),
+        pmod(col("user_id"), lit(8)).cast("int").as("u_bucket"))
+    ev.write.mode("overwrite").partitionBy("u_bucket").parquet(base)
+    // delete EVERY user hashing to bucket 5: the dynamic overwrite
+    // writes nothing for that partition, so only the explicit cleanup
+    // prevents the deleted rows from resurfacing
+    val doomed = ev.where(col("u_bucket") === 5)
+      .select("user_id").distinct()
+    Layout.targetedDelete(spark, base, "u_bucket", "user_id", doomed, 8, staging)
+    assert(!new java.io.File(s"$base/u_bucket=5").exists(),
+      "emptied partition directory survived the delete")
+    val after = spark.read.parquet(base)
+    assert(after.where(col("u_bucket") === 5).count() == 0)
+    assert(after.count() == ev.where(col("u_bucket") =!= 5).count())
+  }
+
   test("j13 plan carries the bloom might_contain probe on the fact side") {
     val df = SparkEntry.queries("j13_bloom_pruned_join")(spark, sf01)
     // the registry helper forces planning while the bloom confs hold
