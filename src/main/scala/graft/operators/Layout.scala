@@ -81,6 +81,14 @@ object Layout {
     * rewritten; (4) a partition whose every row was deleted gets NO
     * file from the dynamic overwrite — its stale directory is removed
     * explicitly, or the deleted rows would resurface.
+    *
+    * NOT crash-atomic: plain parquet has no commit log, so a failure
+    * between the overwrite and the emptied-partition cleanup can leave
+    * a fully-deleted partition's old files behind (rerun the delete to
+    * converge — the operation is idempotent). True atomicity requires
+    * a table format with a transaction log; this operator documents
+    * the trade rather than hiding it. The staging dir is removed on
+    * success.
     */
   def targetedDelete(spark: SparkSession, tableDir: String,
                      partCol: String, keyCol: String, keys: DataFrame,
@@ -111,5 +119,6 @@ object Layout {
     (affected.toSet -- survivors).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$partCol=$b"), true)
     }
+    fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
   }
 }

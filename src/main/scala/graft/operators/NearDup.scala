@@ -93,27 +93,35 @@ object NearDup {
   }
 
   /** Edit-distance (Levenshtein) near-dup pairs with length-band
-    * blocking — the fuzzy-match family: catches small in-place edits
-    * (typo fixes, token swaps) that shingle Jaccard scores leniently
-    * and embedding cosine may miss entirely.
+    * blocking — the fuzzy-match family (entity-resolution shape):
+    * catches small in-place edits that shingle Jaccard scores
+    * leniently and embedding cosine may miss entirely.
     *
-    * Scale shape: the O(L²)-per-pair distance only ever runs on
-    * BLOCKED candidates. Blocking key = (strata column, ⌊n_chars/W⌋);
-    * one side explodes to its three adjacent buckets so every pair
-    * within `maxLenDiff` (≤ W/2) meets on exactly one key — a plain
-    * equi-join, never a cross join. The distance runs on a
-    * normalized `prefixLen`-char prefix: bounded per-pair cost, and
-    * engine-portable (classic DP, identical in DuckDB).
+    * Scale shape, two levers:
+    * (1) blocking: key = (strata column, ⌊n_chars/W⌋); one side
+    *     explodes to its three adjacent buckets so every pair within
+    *     `maxLenDiff` (≤ W/2) meets on exactly one key — a plain
+    *     equi-join, never a cross join. Content-based candidate
+    *     filters (q-gram counting) are NOT used: they presuppose a
+    *     diverse gram vocabulary, and a repetitive corpus (exactly
+    *     what a dedup corpus is) defeats them — measured here: 985
+    *     distinct 4-grams across 5 000 docs, Σdf² ≈ 1.3e9.
+    * (2) per-pair cost: the distance runs BANDED (Spark's threshold
+    *     levenshtein — O(len·maxDist) with early exit, not O(len²))
+    *     on a short normalized prefix. Fuzzy matching at scale is a
+    *     short-key discipline: keep prefixLen·maxDist small and the
+    *     blocked join is compute-bound on nothing. With the defaults
+    *     (64·8) the full sf0.1 pair set verifies in ~2 s; the earlier
+    *     200·30 shape took 380 s — the knob IS the scale story.
     *
     * Output: (id_a, id_b, dist) with id_a < id_b, dist <= maxDist. */
   def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
                  strataCol: String, lenCol: String,
-                 maxDist: Int, maxLenDiff: Int = 50, bucketW: Int = 100,
-                 prefixLen: Int = 200): DataFrame = {
+                 maxDist: Int = 8, maxLenDiff: Int = 50, bucketW: Int = 100,
+                 prefixLen: Int = 64): DataFrame = {
     require(maxLenDiff <= bucketW / 2,
       s"maxLenDiff=$maxLenDiff must be <= bucketW/2 so ±1 buckets suffice")
-    val norm = substring(
-      trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), 1, prefixLen)
+    val norm = substring(TextFns.normWs(lower(col(textCol))), 1, prefixLen)
     val side = df.select(col(idCol).as("__id"), col(strataCol).as("__st"),
       col(lenCol).as("__len"), norm.as("__t"))
     val bk = floor(col("__len") / bucketW).cast("long")
@@ -123,8 +131,9 @@ object NearDup {
     probes.as("a").join(build.as("b"), Seq("__st", "__bk"))
       .where(col("a.__id") < col("b.__id") &&
         abs(col("a.__len") - col("b.__len")) <= maxLenDiff)
-      .withColumn("dist", levenshtein(col("a.__t"), col("b.__t")))
-      .where(col("dist") <= maxDist)
+      // banded DP with early termination: returns -1 above the cap
+      .withColumn("dist", levenshtein(col("a.__t"), col("b.__t"), maxDist))
+      .where(col("dist") >= 0)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("dist"))
   }
 

@@ -137,7 +137,7 @@ object RegistryExtra {
     // aggregate (fold), transform+slice, exists — all codegen-friendly
     // lambda expressions, no UDFs.
     "f9_higher_order_fns" -> ((s, dir) => {
-      val toks = split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")
+      val toks = graft.functions.TextFns.tokens(col("text"))
       t(s, dir, "documents").select(
         col("doc_id"),
         size(filter(toks, x => length(x) > 5)).as("n_long"),
@@ -285,7 +285,7 @@ object RegistryExtra {
     // inside the scan stage (no shuffle before the output sort); the
     // length predicate lands on the generated rows.
     "f12_explode_tokens" -> ((s, dir) => {
-      val toks = split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")
+      val toks = graft.functions.TextFns.tokens(col("text"))
       t(s, dir, "documents")
         .select(col("doc_id"), posexplode(toks).as(Seq("__p", "token")))
         .where(length(col("token")) > 7)

@@ -133,14 +133,16 @@ object RegistryLlm {
     }),
 
     // Edit-distance near-dup pairs (the fuzzy-match family): length-
-    // band blocked Levenshtein over normalized 200-char prefixes —
-    // catches small in-place edits that Jaccard scores leniently. The
-    // blocking is lossless for the |Δlen| <= 50 filter (bucket width
-    // 100), so the oracle's direct abs-filter formulation finds the
-    // identical pair set without replicating the bucket join.
+    // band blocked, BANDED Levenshtein over normalized 64-char
+    // prefixes — catches small in-place edits that Jaccard scores
+    // leniently. The blocking is lossless for the |Δlen| <= 50 filter
+    // (bucket width 100), so the oracle's direct abs-filter
+    // formulation finds the identical pair set without replicating
+    // the bucket join. Short prefix + small cap is the scale
+    // discipline: per-pair cost is O(64·8) with early exit.
     "llm_fuzzy_pairs" -> ((s, dir) =>
       graft.operators.NearDup.fuzzyPairs(docs(s, dir), "doc_id", "text",
-          "lang", "n_chars", maxDist = 30)
+          "lang", "n_chars", maxDist = 8)
         .orderBy("id_a", "id_b")),
 
     // SimHash Hamming<=3 pairs. The signature hash is md5-derived, so
@@ -949,14 +951,14 @@ object RegistryLlm {
       """WITH d AS (
            SELECT doc_id, lang, n_chars,
                   substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-                            1, 200) AS t
+                            1, 64) AS t
            FROM documents)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 cast(levenshtein(a.t, b.t) AS INTEGER) AS dist
          FROM d a JOIN d b
            ON a.lang = b.lang AND a.doc_id < b.doc_id
           AND abs(a.n_chars - b.n_chars) <= 50
-         WHERE levenshtein(a.t, b.t) <= 30
+         WHERE levenshtein(a.t, b.t) <= 8
          ORDER BY id_a, id_b""",
     "llm_exact_dedup" ->
       """WITH u AS (

@@ -227,7 +227,11 @@ object RegistryMaint {
   /** Run `build` under temporary planning confs and force the plan
     * while they hold (plans are otherwise lazy); restore afterwards so
     * no other registry query plans under fixture-tuned settings. The
-    * pinned QueryExecution keeps the armed plan for later actions. */
+    * pinned QueryExecution keeps the armed plan for DIRECT consumers
+    * (the plan-shape specs, `df.collect()`); a derived Dataset (e.g.
+    * Verify's `.coalesce(1).write`) re-plans under the restored confs
+    * — results are identical either way, only the plan shape differs,
+    * which is why the evidence assertions read the pinned plan. */
   private def planned(s: SparkSession, confs: Seq[(String, String)])
                      (build: => DataFrame): DataFrame = {
     val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }

@@ -246,7 +246,7 @@ class ExtraQueriesSpec extends AnyFunSuite {
     val sf01 = "/root/testdata/sf0.01"
     val out = SparkEntry.queries("llm_fuzzy_pairs")(spark, sf01).cache()
     assert(out.where(col("id_a") >= col("id_b")).count() == 0)
-    assert(out.where(col("dist") > 30).count() == 0)
+    assert(out.where(col("dist") > 8 || col("dist") < 0).count() == 0)
     val d = graft.sources.Tables.load(spark, sf01, "documents")
       .select(col("doc_id"), col("n_chars"))
     val j = out.join(d.withColumnRenamed("doc_id", "id_a")

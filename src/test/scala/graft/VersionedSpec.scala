@@ -68,7 +68,7 @@ class VersionedSpec extends AnyFunSuite {
   }
 
   test("CBO column stats flip the join to broadcast; without CBO it shuffles") {
-    // the registry query pins its plan under cbo=true + 16 KB threshold
+    // the registry query pins its plan under cbo=true + 4 KB threshold
     val withStats = SparkEntry.queries("j15_cbo_stats_join")(spark, sf01)
     val statsPlan = withStats.queryExecution.executedPlan.toString
     assert(statsPlan.contains("BroadcastHashJoin"),
