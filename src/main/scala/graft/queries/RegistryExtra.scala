@@ -365,6 +365,24 @@ object RegistryExtra {
         .orderBy("l_returnflag")
     }),
 
+    // NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // match each other — the semantics plain = can never give (its
+    // NULL rows silently vanish). Spark still plans this as a HASH
+    // join (null-safe keys are hashable via the internal coalesce
+    // trick), not a nested loop — plan-asserted.
+    "j16_null_safe_join" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .groupBy(nullif(col("o_custkey") % 50, lit(49)).as("k"))
+        .agg(count(lit(1)).as("n_orders"))
+      val b = t(s, dir, "customer")
+        .groupBy(nullif(col("c_custkey") % 50, lit(49)).as("k"))
+        .agg(count(lit(1)).as("n_customers"))
+      a.join(b, a("k") <=> b("k"))
+        .select(coalesce(a("k"), lit(-1L)).as("k"),
+          col("n_orders"), col("n_customers"))
+        .orderBy("k")
+    }),
+
     // Global ORDER BY + LIMIT: the top-k pattern that must NEVER plan
     // as a full sort — Spark's TakeOrderedAndProject keeps a bounded
     // k-element heap per partition and merges heaps on the driver
@@ -637,6 +655,14 @@ object RegistryExtra {
                       cast(sp AS DOUBLE) * cast(sp AS DOUBLE)))
                   AS corr_qty_price
          FROM s ORDER BY l_returnflag""",
+    "j16_null_safe_join" ->
+      """WITH a AS (SELECT nullif(o_custkey % 50, 49) AS k, count(*) AS n_orders
+                    FROM orders GROUP BY 1),
+         b AS (SELECT nullif(c_custkey % 50, 49) AS k, count(*) AS n_customers
+               FROM customer GROUP BY 1)
+         SELECT coalesce(a.k, -1) AS k, n_orders, n_customers
+         FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+         ORDER BY k""",
     "o4_topk_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",

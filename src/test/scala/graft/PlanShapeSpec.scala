@@ -66,6 +66,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in fuzzy pairs:\n$p")
   }
 
+  test("j16_null_safe_join still plans as a hash join, and the NULL row matches") {
+    val p = planOf("j16_null_safe_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"null-safe equality fell off the hash-join path:\n$p")
+    val out = SparkEntry.queries("j16_null_safe_join")(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    assert(out.where(col("k") === -1).count() == 1,
+      "the NULL<=>NULL row must survive the join")
+  }
+
   test("llm_semdedup never degenerates to a cartesian/nested-loop join") {
     val p = planOf("llm_semdedup")
     assert(!p.contains("CartesianProduct"), s"cartesian product in semdedup:\n$p")
