@@ -414,6 +414,119 @@ object RegistryExtra {
         .orderBy("o_orderkey")
     }),
 
+    // Conditional / boolean aggregate family: count_if, bool_and,
+    // bool_or. All three keep flat fixed-width buffers, so the whole
+    // group-by stays ONE HashAggregate pair (partial + final, map-side
+    // combinable) — deliberately no struct-valued aggregate here,
+    // which would silently demote the pass to SortAggregate (struct
+    // buffers aren't hash-mutable; the struct-max pattern lives in
+    // a14_mode where that trade is the point). Plan-pinned.
+    "a18_filtered_aggs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count_if(col("o_orderstatus") === "F").as("n_finished"),
+          bool_and(col("o_totalprice") > 0).as("all_positive"),
+          bool_or(col("o_totalprice") > 400000d).as("any_jumbo"))
+        .orderBy("o_orderpriority")),
+
+    // Forward fill (last observation carried forward): open orders
+    // carry no observed price; each row inherits the latest non-null
+    // value in its customer's history. `last(..., ignoreNulls)` over a
+    // running ROWS frame is the distributed LOCF — one shuffle on the
+    // partition key, a single ordered pass per partition, no
+    // self-join and no driver loop however long the gap runs.
+    "w11_forward_fill" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .where(col("o_custkey") <= 150)
+        .withColumn("observed",
+          when(col("o_orderstatus") === "O", lit(null).cast("double"))
+            .otherwise(col("o_totalprice")))
+        .select(col("o_custkey"), col("o_orderkey"), col("observed"),
+          last(col("observed"), ignoreNulls = true).over(w).as("filled_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // LATERAL correlated subquery (top-2 customers per nation): the
+    // per-row subquery carries its own ORDER BY + LIMIT. Catalyst
+    // decorrelates to a window rank over ONE shuffled pass of
+    // customer — never a per-nation re-execution — so the plan is
+    // identical in shape to the hand-written w1 dedup, but the user
+    // writes the natural per-group query. DuckDB runs the same text.
+    "j17_lateral_topk" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""SELECT n_name, c_custkey, c_acctbal
+               FROM nation, LATERAL (
+                 SELECT c_custkey, c_acctbal FROM customer
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+               ORDER BY n_name, c_custkey""")
+    }),
+
+    // Recursive CTE (WITH RECURSIVE, Spark 4 / SPARK-24497): binary-
+    // tree descent over the customer key space — each iteration is one
+    // distributed join of the frontier against the table, the engine
+    // unions the per-level results; depth is O(log n) iterations, not
+    // a driver loop. Identical SQL text runs on DuckDB.
+    "o5_recursive_cte" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""WITH RECURSIVE tree AS (
+                 SELECT cast(1 AS BIGINT) AS k, 0 AS depth
+                 UNION ALL
+                 SELECT c.c_custkey AS k, t.depth + 1 AS depth
+                 FROM tree t JOIN customer c
+                   ON c.c_custkey = t.k * 2 OR c.c_custkey = t.k * 2 + 1)
+               SELECT depth, count(*) AS n_nodes,
+                      min(k) AS min_key, max(k) AS max_key
+               FROM tree GROUP BY depth ORDER BY depth""")
+    }),
+
+    // Bitwise aggregates as a bitmap rollup: each event type owns one
+    // bit; bit_or collapses a user bucket's whole history into a
+    // single long (the bitmap-index pattern — 100 TB of events reduce
+    // to one word per key), bit_count reads the distinct-type
+    // cardinality back off the mask. Flat buffers: stays HashAggregate.
+    "a19_bitwise_aggs" -> ((s, dir) => {
+      val mask = when(col("event_type") === "click", 1L)
+        .when(col("event_type") === "error", 2L)
+        .when(col("event_type") === "purchase", 4L)
+        .when(col("event_type") === "signup", 8L)
+        .otherwise(16L)
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 100).as("user_bucket"))
+        .agg(bit_or(mask).as("type_mask"),
+          bit_and(mask).as("common_mask"))
+        .select(col("user_bucket"), col("type_mask"), col("common_mask"),
+          bit_count(col("type_mask")).cast("int").as("n_types"))
+        .orderBy("user_bucket")
+    }),
+
+    // Map-typed column pipeline: per-user type→count map built with
+    // map_from_entries over a sorted entry list, thinned with
+    // map_filter, rescored with transform_values (both higher-order
+    // map lambdas, codegen'd — no UDF), then exploded back to rows.
+    // The map stays a value inside one aggregate row — never a
+    // per-entry shuffle beyond the one feeding groupBy.
+    "f14_map_ops" -> ((s, dir) => {
+      val perType = t(s, dir, "events")
+        .where(col("user_id") < 200)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+      perType.groupBy("user_id")
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("cnt"))))).as("m"))
+        .select(col("user_id"),
+          explode(transform_values(
+            map_filter(col("m"), (_, v) => v >= 3),
+            (k, v) => v * 10 + length(k))))
+        .select(col("user_id"), col("key").as("event_type"),
+          col("value").as("score"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // Streaming SESSION windows (gap-driven, data-defined extent):
     // one open session per active user in state, merged in place —
     // the windowing shape tumbling/sliding cannot express.
@@ -434,6 +547,15 @@ object RegistryExtra {
       StreamingOps.slidingWindowCounts(s, dir)
         .orderBy("window_start", "event_type")),
 
+    // Streaming MERGE upsert (foreachBatch + batch-local reduce +
+    // versioned-by-batchId target): the streaming-CDC-into-a-keyed-
+    // table production pattern; latest-wins on (ts, event_id) so the
+    // result is independent of micro-batch assignment.
+    "stream_upsert_merge" -> ((s, dir) =>
+      StreamingOps.upsertMergeRun(s, dir)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")),
+
     // Stream-STREAM time-range join: per-user click→purchase
     // attribution pairs within a 1-day horizon, aggregated per user
     // from the append-sink read-back.
@@ -445,6 +567,61 @@ object RegistryExtra {
         .orderBy("user_id")))
 
   val oracles: Map[String, String] = Map(
+    "a18_filtered_aggs" ->
+      """SELECT o_orderpriority,
+                count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+                bool_and(o_totalprice > 0) AS all_positive,
+                bool_or(o_totalprice > 400000) AS any_jumbo
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "w11_forward_fill" ->
+      """SELECT o_custkey, o_orderkey,
+                CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS observed,
+                last_value(CASE WHEN o_orderstatus = 'O' THEN NULL
+                                ELSE o_totalprice END IGNORE NULLS)
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_price
+         FROM orders WHERE o_custkey <= 150
+         ORDER BY o_custkey, o_orderkey""",
+    "j17_lateral_topk" ->
+      """SELECT n_name, c_custkey, c_acctbal
+         FROM nation, LATERAL (
+           SELECT c_custkey, c_acctbal FROM customer
+           WHERE c_nationkey = n_nationkey
+           ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+         ORDER BY n_name, c_custkey""",
+    "stream_upsert_merge" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "o5_recursive_cte" ->
+      """WITH RECURSIVE tree AS (
+           SELECT cast(1 AS BIGINT) AS k, 0 AS depth
+           UNION ALL
+           SELECT c.c_custkey AS k, t.depth + 1 AS depth
+           FROM tree t JOIN customer c
+             ON c.c_custkey = t.k * 2 OR c.c_custkey = t.k * 2 + 1)
+         SELECT depth, count(*) AS n_nodes,
+                min(k) AS min_key, max(k) AS max_key
+         FROM tree GROUP BY depth ORDER BY depth""",
+    "a19_bitwise_aggs" ->
+      """WITH m AS (
+           SELECT user_id % 100 AS user_bucket,
+                  cast(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                       WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                       ELSE 16 END AS BIGINT) AS mask
+           FROM events)
+         SELECT user_bucket, bit_or(mask) AS type_mask,
+                bit_and(mask) AS common_mask,
+                cast(bit_count(bit_or(mask)) AS INTEGER) AS n_types
+         FROM m GROUP BY user_bucket ORDER BY user_bucket""",
+    "f14_map_ops" ->
+      """WITH pt AS (
+           SELECT user_id, event_type, count(*) AS cnt
+           FROM events WHERE user_id < 200 GROUP BY 1, 2)
+         SELECT user_id, event_type, cnt * 10 + length(event_type) AS score
+         FROM pt WHERE cnt >= 3
+         ORDER BY user_id, event_type""",
     "j8_left_outer_join" ->
       """SELECT c_mktsegment, count(o_orderkey) AS n_open_orders, count(*) AS n_rows
          FROM customer LEFT JOIN orders

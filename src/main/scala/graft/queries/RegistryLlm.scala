@@ -369,6 +369,34 @@ object RegistryLlm {
         .orderBy("doc_id")
     }),
 
+    // URL-canonicalization dedup (the C4/CommonCrawl recipe): strip
+    // tracking query params, lowercase the host, keep the minimum
+    // doc_id per canonical URL. URLs are synthesized deterministically
+    // from the corpus (mixed-case hosts, utm params, path collisions
+    // via mod) so the parse is exercised end-to-end; parsing uses the
+    // codegen'd `parse_url` builtin — no UDF — and the dedup is one
+    // hash shuffle on the canonical string, scale-linear like
+    // llm_exact_dedup.
+    "llm_url_normalize_dedup" -> ((s, dir) => {
+      val url = concat(
+        lit("https://"),
+        when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".example.com/docs/"),
+        (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=feed")).otherwise(lit("")))
+      docs(s, dir)
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("canonical_url",
+          concat(lit("https://"),
+            lower(expr("parse_url(url, 'HOST')")),
+            expr("parse_url(url, 'PATH')")))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("n_raw_variants"),
+          min(col("doc_id")).as("kept_doc_id"))
+        .orderBy("canonical_url")
+    }),
+
     // Corpus token frequencies: explode (lateral view) + top-k LIMIT.
     "llm_token_frequencies" -> ((s, dir) =>
       Tables.scaled(docs(s, dir))
@@ -1078,6 +1106,24 @@ object RegistryLlm {
            FROM documents)
          SELECT token, count(*) AS n FROM toks
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "llm_url_normalize_dedup" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  'https://' ||
+                  CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END ||
+                  '.example.com/docs/' || cast(doc_id % 50 AS VARCHAR) ||
+                  CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed' ELSE '' END AS url
+           FROM documents),
+         c AS (
+           SELECT doc_id, url,
+                  'https://' ||
+                  lower(regexp_extract(url, '^https://([^/]+)(/[^?]*)', 1)) ||
+                  regexp_extract(url, '^https://([^/]+)(/[^?]*)', 2) AS canonical_url
+           FROM u)
+         SELECT canonical_url, count(*) AS n_urls,
+                count(DISTINCT url) AS n_raw_variants,
+                min(doc_id) AS kept_doc_id
+         FROM c GROUP BY canonical_url ORDER BY canonical_url""",
     "llm_fingerprints" ->
       """SELECT doc_id,
                 coalesce(list_reduce(

@@ -222,4 +222,62 @@ object StreamingOps {
     val (stream, nonce) = dailyStream(spark, sfDir)
     completeSinkRun(spark, stream, nonce)(finalShape)
   }
+
+  /** Streaming MERGE: the foreachBatch + upsert production pattern
+    * (streaming CDC into a keyed table — the Delta
+    * `forEachBatch { merge }` recipe without Delta). The source is
+    * split into three files streamed one per micro-batch
+    * (maxFilesPerTrigger=1), so the upsert genuinely iterates; each
+    * batch reduces to latest-per-user FIRST (struct-max on
+    * (ts, event_id) — map-side combinable, batch-local) and only then
+    * merges with the running target, so per-batch shuffle volume is
+    * O(distinct keys in batch), never O(target).
+    *
+    * The target is written as one versioned dir per micro-batch
+    * (`v<batchId>`) — the idempotent-by-batchId foreachBatch recipe: a
+    * retried batch overwrites its own version instead of double-
+    * applying. Latest-wins is decided by the (ts, event_id) struct
+    * order, not batch arrival order, so the result is independent of
+    * file→batch assignment.
+    */
+  def upsertMergeRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val nonce = "graft_stream_upsert_" + System.nanoTime()
+    val srcDir = s"/tmp/graft_stream_upsert/src_$nonce"
+    val tgtBase = s"/tmp/graft_stream_upsert/tgt_$nonce"
+    val base = graft.sources.Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_id", "event_type", "value", "ts")
+    (0 until 3).foreach { i =>
+      base.where(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val schema = spark.read.parquet(srcDir).schema
+    def latestPerUser(df: DataFrame): DataFrame =
+      df.groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("s"))
+        .select(col("user_id"), col("s.ts").as("ts"),
+          col("s.event_id").as("event_id"),
+          col("s.event_type").as("event_type"), col("s.value").as("value"))
+    var current: Option[String] = None
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val incoming = latestPerUser(batch)
+        val merged = current match {
+          case Some(prev) =>
+            latestPerUser(spark.read.parquet(prev).unionByName(incoming))
+          case None => incoming
+        }
+        val out = s"$tgtBase/v$batchId"
+        merged.write.mode("overwrite").parquet(out)
+        current = Some(out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(current.getOrElse(
+      sys.error("streaming upsert produced no batches")))
+  }
 }

@@ -35,6 +35,131 @@ class ExtraQueriesSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("a18_filtered_aggs: conditional aggregates agree with recomputation") {
+    val out = run("a18_filtered_aggs").cache()
+    val orders = graft.sources.Tables.load(spark, sfDir, "orders")
+    // n_finished recomputed the long way
+    val recount = orders.where(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n2"))
+    val mism = out.join(recount, "o_orderpriority")
+      .where(col("n_finished") =!= col("n2")).count()
+    assert(mism == 0)
+    // booleans agree with their set-level definitions
+    val sets = orders.groupBy("o_orderpriority").agg(
+      count(when(col("o_totalprice") <= 0, 1)).as("n_nonpos"),
+      count(when(col("o_totalprice") > 400000d, 1)).as("n_jumbo"))
+    val bad = out.join(sets, "o_orderpriority")
+      .where(col("all_positive") =!= (col("n_nonpos") === 0) ||
+        col("any_jumbo") =!= (col("n_jumbo") > 0)).count()
+    assert(bad == 0)
+    out.unpersist()
+  }
+
+  test("w11_forward_fill: LOCF laws — identity on observed, carry on gaps") {
+    import org.apache.spark.sql.expressions.Window
+    val out = run("w11_forward_fill").cache()
+    // where a value was observed, fill is the identity
+    assert(out.where(col("observed").isNotNull &&
+      col("filled_price") =!= col("observed")).count() == 0)
+    // where null, fill equals the previous row's fill (or stays null
+    // before the first observation) — previous in the FILL order,
+    // which is (o_orderdate, o_orderkey), so join the date back
+    val dated = out.join(
+      graft.sources.Tables.load(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderdate"),
+      "o_orderkey")
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val lagged = dated.withColumn("__prev", lag("filled_price", 1).over(w))
+    assert(lagged.where(col("observed").isNull &&
+      !(col("filled_price") <=> col("__prev"))).count() == 0)
+    // both cases non-vacuous
+    assert(out.where(col("observed").isNull).count() > 0)
+    assert(out.where(col("observed").isNotNull).count() > 0)
+    out.unpersist()
+  }
+
+  test("j17_lateral_topk agrees with the window-rank formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val out = run("j17_lateral_topk")
+    val c = graft.sources.Tables.load(spark, sfDir, "customer")
+    val n = graft.sources.Tables.load(spark, sfDir, "nation")
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val expect = c.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= 2)
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_custkey", "c_acctbal")
+    assert(out.exceptAll(expect).count() == 0)
+    assert(expect.exceptAll(out).count() == 0)
+  }
+
+  test("llm_url_normalize_dedup: canonicals are normalized and partition the corpus") {
+    val out = run("llm_url_normalize_dedup").cache()
+    val nDocs = graft.sources.Tables.load(spark, sfDir, "documents").count()
+    // every source URL lands in exactly one canonical group
+    val total = out.agg(sum("n_urls")).head().getLong(0)
+    assert(total == nDocs)
+    // canonical form: query params stripped, host lowercased
+    assert(out.where(col("canonical_url").contains("?") ||
+      col("canonical_url") =!= lower(col("canonical_url"))).count() == 0)
+    // variants never exceed members; keeper ids are plausible
+    assert(out.where(col("n_raw_variants") > col("n_urls")).count() == 0)
+    assert(out.where(col("kept_doc_id") < 0).count() == 0)
+    out.unpersist()
+  }
+
+  test("o5_recursive_cte: levels double down a binary tree from the root") {
+    val out = run("o5_recursive_cte").cache()
+    val rows = out.orderBy("depth").collect()
+    assert(rows.head.getAs[Long]("n_nodes") == 1L) // the root
+    // a full level has exactly 2^depth nodes, and levels stay full
+    // until the key space runs out (customer keys are dense from 1)
+    rows.takeWhile(r => r.getAs[Long]("n_nodes") ==
+      (1L << r.getAs[Int]("depth"))) match {
+      case full => assert(full.length >= 3, "at least 3 full levels expected")
+    }
+    out.unpersist()
+  }
+
+  test("a19_bitwise_aggs: mask bits reconstruct distinct-type counts") {
+    val out = run("a19_bitwise_aggs").cache()
+    val events = graft.sources.Tables.load(spark, sfDir, "events")
+    val expect = events.groupBy((col("user_id") % 100).as("user_bucket"))
+      .agg(countDistinct("event_type").as("nd"))
+    val bad = out.join(expect, "user_bucket")
+      .where(col("n_types") =!= col("nd")).count()
+    assert(bad == 0)
+    // common_mask can only keep bits present in the union mask
+    assert(out.where((col("common_mask").bitwiseAND(col("type_mask"))) =!=
+      col("common_mask")).count() == 0)
+    out.unpersist()
+  }
+
+  test("f14_map_ops: map pipeline agrees with the relational recomputation") {
+    val out = run("f14_map_ops")
+    val events = graft.sources.Tables.load(spark, sfDir, "events")
+    val expect = events.where(col("user_id") < 200)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 3)
+      .select(col("user_id"), col("event_type"),
+        (col("cnt") * 10 + length(col("event_type"))).as("score"))
+    assert(out.exceptAll(expect).count() == 0)
+    assert(expect.exceptAll(out).count() == 0)
+  }
+
+  test("stream_upsert_merge equals the batch latest-per-user reduction") {
+    import org.apache.spark.sql.expressions.Window
+    val out = run("stream_upsert_merge")
+    val events = graft.sources.Tables.load(spark, sfDir, "events")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val expect = events.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select("user_id", "event_id", "event_type", "value")
+    assert(out.exceptAll(expect).count() == 0)
+    assert(expect.exceptAll(out).count() == 0)
+  }
+
   test("o3_gap_fill_calendar: complete grid with genuine zero-filled gaps") {
     val out = run("o3_gap_fill_calendar").cache()
     val nTypes = out.select("event_type").distinct().count()

@@ -56,6 +56,10 @@ class IdempotenceSpec extends AnyFunSuite {
     runTwice("stream_session_window")
   }
 
+  test("streaming merge-upsert query is re-runnable (nonced source/target/checkpoint)") {
+    runTwice("stream_upsert_merge")
+  }
+
   test("zorder layout query is re-runnable (clustered dir overwritten)") {
     runTwice("s15_zorder_layout")
   }

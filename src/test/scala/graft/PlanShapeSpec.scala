@@ -38,6 +38,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Union"), s"cube must not plan as a UNION:\n$p")
   }
 
+  test("j17_lateral_topk decorrelates: WindowGroupLimit prune, no nested loop") {
+    val p = planOf("j17_lateral_topk")
+    assert(!p.contains("CartesianProduct"), s"cartesian in lateral join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in lateral join:\n$p")
+    // the per-nation LIMIT must prune map-side (top-k heap before the
+    // exchange), not re-execute the subquery per outer row
+    assert(p.contains("WindowGroupLimit"),
+      s"lateral LIMIT should decorrelate to WindowGroupLimit:\n$p")
+  }
+
+  test("a18_filtered_aggs stays a HashAggregate — no SortAggregate demotion") {
+    val p = planOf("a18_filtered_aggs")
+    assert(p.contains("HashAggregate"), s"expected hash aggregate:\n$p")
+    // a struct-valued aggregate buffer would silently demote this to
+    // SortAggregate (partial sort of every scan partition at 100 TB)
+    assert(!p.contains("SortAggregate"), s"hash agg demoted to sort agg:\n$p")
+    assert(!p.contains("Window"), s"conditional aggs must not window:\n$p")
+  }
+
   test("u4_set_ops_all plans multiset ops without cartesian/nested-loop joins") {
     val p = planOf("u4_set_ops_all")
     assert(!p.contains("CartesianProduct"), s"cartesian in set ops:\n$p")
