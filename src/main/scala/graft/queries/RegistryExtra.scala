@@ -547,6 +547,25 @@ object RegistryExtra {
       StreamingOps.slidingWindowCounts(s, dir)
         .orderBy("window_start", "event_type")),
 
+    // COUNT(DISTINCT) as a window value — Spark (like ANSI engines
+    // generally) rejects DISTINCT inside window aggregates, so the
+    // portable trick is max(dense_rank): rank the values within the
+    // partition, the max rank IS the distinct count, attached to every
+    // row with no groupBy + join-back. Both windows share one
+    // partition key, so the whole thing is a single exchange + sort
+    // (plan-pinned), not two passes.
+    "w12_distinct_count_window" -> ((s, dir) => {
+      val byDate = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+      val all = Window.partitionBy("o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .where(col("o_custkey") <= 100)
+        .withColumn("__dr", dense_rank().over(byDate))
+        .select(col("o_custkey"), col("o_orderkey"),
+          max(col("__dr")).over(all).cast("long").as("n_distinct_dates"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Streaming MERGE upsert (foreachBatch + batch-local reduce +
     // versioned-by-batchId target): the streaming-CDC-into-a-keyed-
     // table production pattern; latest-wins on (ts, event_id) so the
@@ -589,6 +608,12 @@ object RegistryExtra {
            WHERE c_nationkey = n_nationkey
            ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
          ORDER BY n_name, c_custkey""",
+    "w12_distinct_count_window" ->
+      """SELECT o_custkey, o_orderkey,
+                count(DISTINCT o_orderdate)
+                  OVER (PARTITION BY o_custkey) AS n_distinct_dates
+         FROM orders WHERE o_custkey <= 100
+         ORDER BY o_custkey, o_orderkey""",
     "stream_upsert_merge" ->
       """SELECT user_id, event_id, event_type, value FROM (
            SELECT *, row_number() OVER (PARTITION BY user_id

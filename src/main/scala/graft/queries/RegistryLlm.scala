@@ -288,6 +288,53 @@ object RegistryLlm {
         .orderBy("bigram")
     }),
 
+    // Bigram-LM negative-log-likelihood scoring (the CCNet/KenLM
+    // perplexity-filter recipe, self-trained on the corpus): each
+    // occurrence scores -ln P(w2|w1) with P = n_bigram/n_prefix from
+    // exact integer counts; per-bigram NLL is rounded into integer
+    // MICRO-units before the per-doc sum, so the sum is exact long
+    // arithmetic — engine-portable where a raw double sum would be
+    // merge-order nondeterministic. The LM (|distinct bigrams|) is
+    // broadcast here; at 100 TB vocab it degrades gracefully to a
+    // shuffle hash join on the bigram key — still one join, and the
+    // occurrence side never re-shuffles for the prefix totals
+    // (they ride in on the broadcast).
+    "llm_bigram_perplexity" -> ((s, dir) => {
+      val occ = Tables.scaled(docs(s, dir))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFns.ngrams(col("text"), 2)).as("bigram"))
+        .cache()
+      val lm = occ.groupBy("bigram").agg(count(lit(1)).as("nb"))
+        .withColumn("prefix", element_at(split(col("bigram"), " "), 1))
+      val pref = lm.groupBy("prefix").agg(sum("nb").as("np"))
+      occ.join(broadcast(lm.select("bigram", "nb", "prefix")), "bigram")
+        .join(broadcast(pref), "prefix")
+        .withColumn("__nll",
+          round(log(col("np").cast("double") / col("nb")) * 1000000, 0)
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("__nll").as("nll_micro"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic training-shard assignment: the pre-training
+    // "global shuffle + shard" step. Order comes from the md5 of the
+    // id (growth-stable, seedless, engine-reproducible — the same
+    // discipline as llm_train_val_split), shards from the shared
+    // md5 bucket; within-shard position is a row_number over the hash
+    // order. One exchange on the shard key; no global sort.
+    "llm_shuffle_shards" -> ((s, dir) => {
+      val hx = md5(col("doc_id").cast("string"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("__hx", "doc_id")
+      docs(s, dir)
+        .select(col("doc_id"), hx.as("__hx"),
+          (TextAnalysis.stableBucket(col("doc_id")) % 8).as("shard"))
+        .withColumn("pos", row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    }),
+
     // Language ID via stopword-profile intersection scoring.
     "llm_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), col("lang"),
@@ -964,6 +1011,32 @@ object RegistryLlm {
          FROM c2 JOIN p USING (prefix)
          WHERE n_bigram >= 3
          ORDER BY bigram""",
+    "llm_bigram_perplexity" ->
+      """WITH occ AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+           FROM (SELECT doc_id,
+                        string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+                 FROM documents)),
+         lm AS (SELECT bigram, count(*) AS nb FROM occ GROUP BY bigram),
+         lm2 AS (SELECT bigram, nb, string_split(bigram, ' ')[1] AS prefix FROM lm),
+         pref AS (SELECT prefix, sum(nb) AS np FROM lm2 GROUP BY prefix),
+         sc AS (SELECT occ.doc_id,
+                       cast(round(ln(cast(np AS DOUBLE) / nb) * 1000000, 0) AS BIGINT) AS nll
+                FROM occ JOIN lm2 USING (bigram) JOIN pref USING (prefix))
+         SELECT doc_id, count(*) AS n_bigrams,
+                cast(sum(nll) AS BIGINT) AS nll_micro
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "llm_shuffle_shards" ->
+      """WITH h AS (
+           SELECT doc_id, md5(cast(doc_id AS VARCHAR)) AS hx,
+                  ('0x' || substring(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
+           FROM documents)
+         SELECT doc_id, b % 8 AS shard,
+                cast(row_number() OVER (PARTITION BY b % 8
+                  ORDER BY hx, doc_id) AS INTEGER) AS pos
+         FROM h ORDER BY doc_id""",
     "llm_semdedup" ->
       """WITH e AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v
                     FROM embeddings),

@@ -160,6 +160,54 @@ class ExtraQueriesSpec extends AnyFunSuite {
     assert(expect.exceptAll(out).count() == 0)
   }
 
+  test("w12_distinct_count_window agrees with groupBy countDistinct") {
+    val out = run("w12_distinct_count_window")
+    val orders = graft.sources.Tables.load(spark, sfDir, "orders")
+      .where(col("o_custkey") <= 100)
+    val expect = orders.groupBy("o_custkey")
+      .agg(countDistinct("o_orderdate").as("nd"))
+    val bad = out.join(expect, "o_custkey")
+      .where(col("n_distinct_dates") =!= col("nd")).count()
+    assert(bad == 0)
+    // one row per order, value constant within the customer
+    assert(out.count() == orders.count())
+    assert(out.select("o_custkey", "n_distinct_dates").distinct().count() ==
+      expect.count())
+  }
+
+  test("llm_bigram_perplexity: per-doc totals tie to the corpus LM") {
+    val out = run("llm_bigram_perplexity").cache()
+    // NLL is nonnegative (P <= 1 always) and bigram totals match a
+    // direct recount of each doc's bigrams
+    assert(out.where(col("nll_micro") < 0).count() == 0)
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val recount = docs.select(col("doc_id"),
+        size(graft.functions.TextFns.ngrams(col("text"), 2)).as("n2"))
+      .where(col("n2") > 0)
+    val bad = out.join(recount, "doc_id")
+      .where(col("n_bigrams") =!= col("n2")).count()
+    assert(bad == 0)
+    assert(out.count() == recount.count())
+    out.unpersist()
+  }
+
+  test("llm_shuffle_shards: dense positions, bucket-derived assignment") {
+    val out = run("llm_shuffle_shards").cache()
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    assert(out.count() == docs.count())
+    // shard is exactly the shared md5 bucket mod 8 (growth-stable)
+    val bad = out.where(col("shard") =!=
+      (graft.operators.TextAnalysis.stableBucket(col("doc_id")) % 8)).count()
+    assert(bad == 0)
+    // positions are dense 1..n within every shard
+    val perShard = out.groupBy("shard").agg(count(lit(1)).as("n"),
+      min("pos").as("mn"), max("pos").as("mx"),
+      countDistinct("pos").as("ndp"))
+    assert(perShard.where(col("mn") =!= 1 || col("mx") =!= col("n") ||
+      col("ndp") =!= col("n")).count() == 0)
+    out.unpersist()
+  }
+
   test("o3_gap_fill_calendar: complete grid with genuine zero-filled gaps") {
     val out = run("o3_gap_fill_calendar").cache()
     val nTypes = out.select("event_type").distinct().count()

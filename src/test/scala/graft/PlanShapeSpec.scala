@@ -57,6 +57,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"conditional aggs must not window:\n$p")
   }
 
+  test("w12_distinct_count_window: both windows share ONE customer exchange") {
+    val p = planOf("w12_distinct_count_window")
+    val keyExchanges = "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size
+    assert(keyExchanges == 1,
+      s"expected exactly 1 o_custkey exchange shared by both windows:\n$p")
+  }
+
   test("u4_set_ops_all plans multiset ops without cartesian/nested-loop joins") {
     val p = planOf("u4_set_ops_all")
     assert(!p.contains("CartesianProduct"), s"cartesian in set ops:\n$p")
