@@ -92,6 +92,41 @@ object NearDup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Containment near-dup pairs: C = |A∩B| / min(|A|,|B|) with the
+    * same inverted-index + stop-shingle machinery as [[jaccardPairs]].
+    * Containment is the detector for SUBSET duplication — a document
+    * wholly embedded in a longer one scores ~1 here while its Jaccard
+    * (|∩|/|∪|) can sit arbitrarily low, so a Jaccard-tau filter never
+    * fires. Same denominator discipline: set sizes come from the
+    * UNFILTERED postings, so the stop-shingle cap can only lower a
+    * pair's score (recall trade, never precision). Pairs where either
+    * side has no shingles are dropped (no 0-denominator). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, tau: Double, maxDf: Int = 0): DataFrame = {
+    val post0 = postings(df, idCol, textCol, n)
+    val cap =
+      if (maxDf >= 0) maxDf
+      else math.max(64L, 2L * math.ceil(math.sqrt(df.count().toDouble)).toLong)
+    val post =
+      if (cap == 0) post0
+      else {
+        val rare = post0.groupBy("__sh").count().where(col("count") <= cap).select("__sh")
+        post0.join(rare, "__sh")
+      }
+    val sizes = post0.groupBy("__id").agg(count(lit(1)).as("__sz"))
+    val inter = post.as("a").join(post.as("b"), "__sh")
+      .where(col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
+      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
+      .withColumn("containment",
+        round(col("__inter").cast("double") / least(col("__sza"), col("__szb")), 6))
+      .where(col("containment") >= tau)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Edit-distance (Levenshtein) near-dup pairs with length-band
     * blocking — the fuzzy-match family (entity-resolution shape):
     * catches small in-place edits that shingle Jaccard scores

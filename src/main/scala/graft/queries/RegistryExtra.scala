@@ -547,6 +547,34 @@ object RegistryExtra {
       StreamingOps.slidingWindowCounts(s, dir)
         .orderBy("window_start", "event_type")),
 
+    // Interval-OVERLAP join (the interval-algebra completion of j7's
+    // point-in-range): per-user-day session intervals against
+    // synthesized maintenance windows, banded on the day so the
+    // candidate join is a plain equi-join (every overlapping pair
+    // shares the day key — lossless here since both interval families
+    // are day-confined), with the exact overlap predicate and overlap
+    // DURATION computed on integer epoch-micros. Never a cross join;
+    // at 100 TB the band key keeps candidates linear in co-resident
+    // intervals per day.
+    "j18_interval_overlap_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sessions = ev
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(unix_micros(col("ts"))).as("s_start"),
+          max(unix_micros(col("ts"))).as("s_end"))
+      val windows = ev.select(to_date(col("ts")).as("day")).distinct()
+        .where(dayofmonth(col("day")) % 3 === 0)
+        .select(col("day"),
+          (unix_micros(col("day").cast("timestamp")) + 21600000000L).as("w_start"),
+          (unix_micros(col("day").cast("timestamp")) + 64800000000L).as("w_end"))
+      sessions.join(windows, "day")
+        .where(col("s_start") <= col("w_end") && col("w_start") <= col("s_end"))
+        .select(col("user_id"), col("day"),
+          (least(col("s_end"), col("w_end")) -
+            greatest(col("s_start"), col("w_start"))).as("overlap_us"))
+        .orderBy("user_id", "day")
+    }),
+
     // COUNT(DISTINCT) as a window value — Spark (like ANSI engines
     // generally) rejects DISTINCT inside window aggregates, so the
     // portable trick is max(dense_rank): rank the values within the
@@ -608,6 +636,21 @@ object RegistryExtra {
            WHERE c_nationkey = n_nationkey
            ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
          ORDER BY n_name, c_custkey""",
+    "j18_interval_overlap_join" ->
+      """WITH s AS (
+           SELECT user_id, cast(date_trunc('day', ts) AS DATE) AS day,
+                  min(epoch_us(ts)) AS s_start, max(epoch_us(ts)) AS s_end
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT day, epoch_us(cast(day AS TIMESTAMP)) + 21600000000 AS w_start,
+                  epoch_us(cast(day AS TIMESTAMP)) + 64800000000 AS w_end
+           FROM (SELECT DISTINCT cast(date_trunc('day', ts) AS DATE) AS day FROM events)
+           WHERE day(day) % 3 = 0)
+         SELECT s.user_id, s.day,
+                least(s.s_end, w.w_end) - greatest(s.s_start, w.w_start) AS overlap_us
+         FROM s JOIN w USING (day)
+         WHERE s.s_start <= w.w_end AND w.w_start <= s.s_end
+         ORDER BY s.user_id, s.day""",
     "w12_distinct_count_window" ->
       """SELECT o_custkey, o_orderkey,
                 count(DISTINCT o_orderdate)

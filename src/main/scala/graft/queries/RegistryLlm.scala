@@ -89,6 +89,52 @@ object RegistryLlm {
           maxDf = -1)
         .orderBy("id_a", "id_b")),
 
+    // Containment near-dup pairs on a corpus with PLANTED subset
+    // duplicates (every 25th doc re-enters truncated to its first
+    // half): the truncated copy's shingles are a subset of the
+    // original's, so containment ~1 while Jaccard sits near 0.5 —
+    // below the Jaccard detector's tau. This is the "document pasted
+    // inside another" case every crawl dedup needs and pure Jaccard
+    // misses. Same inverted-index + auto stop-shingle machinery as
+    // llm_jaccard_pairs.
+    "llm_containment_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      // token-boundary truncation: the copy keeps the first HALF of
+      // the token stream, so its shingle set is a strict subset of
+      // the original's (a char-level cut would corrupt the boundary
+      // token and leak containment below tau on short docs)
+      val truncated = d.where(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          array_join(slice(graft.functions.TextFns.tokens(col("text")),
+            lit(1), greatest(
+              floor(size(graft.functions.TextFns.tokens(col("text"))) / 2)
+                .cast("int"), lit(1))), " ").as("text"))
+      NearDup.containmentPairs(d.unionByName(truncated), "doc_id", "text",
+          n = 4, tau = 0.9, maxDf = -1)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // BPE pair statistics — the inner loop of byte-pair-encoding
+    // tokenizer TRAINING: adjacent character-pair counts weighted by
+    // word frequency (the statistic a merge step maximizes). Word
+    // counts aggregate first (vocab-sized, tiny), so the char-pair
+    // explosion runs over DISTINCT words — corpus token volume never
+    // re-explodes. Expression-only pair generation (transform over a
+    // sequence), two map-side-combinable shuffles.
+    "llm_bpe_pair_stats" -> ((s, dir) => {
+      val words = Tables.scaled(docs(s, dir))
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .where(length(col("w")) >= 2)
+      words
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("wc").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    }),
+
     // MinHash(64) + LSH(16 bands x 4 rows) candidates on bigram
     // shingles, exact-Jaccard verified at tau=0.8.
     "llm_minhash_pairs" -> ((s, dir) =>
@@ -1011,6 +1057,54 @@ object RegistryLlm {
          FROM c2 JOIN p USING (prefix)
          WHERE n_bigram >= 3
          ORDER BY bigram""",
+    "llm_containment_pairs" ->
+      """WITH docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 20000 AS doc_id,
+                  array_to_string(
+                    list_slice(ws, 1, greatest(cast(len(ws) // 2 AS INTEGER), 1)),
+                    ' ') AS text
+           FROM (SELECT doc_id,
+                        string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+                 FROM documents)
+           WHERE doc_id % 25 = 0),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(len(ws) - 3, 0) + 1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS ts
+           FROM (SELECT doc_id,
+                        string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+                 FROM docs2)),
+         posts AS (SELECT doc_id, unnest(ts) AS s FROM sh),
+         hot AS (SELECT coalesce(list(s), []) AS hs
+                 FROM (SELECT s FROM posts GROUP BY s
+                       HAVING count(*) > (SELECT greatest(64, 2 * cast(ceil(sqrt(count(*))) AS BIGINT))
+                                          FROM docs2))),
+         shf AS (SELECT doc_id, ts,
+                        list_filter(ts, x -> NOT list_contains(hot.hs, x)) AS tsf
+                 FROM sh, hot),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  round(cast(len(list_intersect(a.tsf, b.tsf)) AS DOUBLE) /
+                        least(len(a.ts), len(b.ts)), 6) AS containment
+           FROM shf a JOIN shf b ON a.doc_id < b.doc_id
+           WHERE least(len(a.ts), len(b.ts)) > 0)
+         SELECT id_a, id_b, containment FROM pairs WHERE containment >= 0.9
+         ORDER BY id_a, id_b""",
+    "llm_bpe_pair_stats" ->
+      """WITH w AS (
+           SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
+           FROM documents),
+         wc AS (SELECT w, count(*) AS wc FROM w
+                WHERE length(w) >= 2 GROUP BY w),
+         pairs AS (
+           SELECT unnest(list_transform(range(1, length(w) - 1 + 1),
+                    i -> substr(w, cast(i AS INTEGER), 2))) AS pair, wc
+           FROM wc)
+         SELECT pair, cast(sum(wc) AS BIGINT) AS n
+         FROM pairs WHERE length(pair) = 2
+         GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
     "llm_bigram_perplexity" ->
       """WITH occ AS (
            SELECT doc_id,

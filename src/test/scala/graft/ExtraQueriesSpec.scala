@@ -208,6 +208,51 @@ class ExtraQueriesSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("llm_containment_pairs finds every planted subset-duplicate") {
+    val out = run("llm_containment_pairs").cache()
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    // planted pairs whose truncated half still carries >= 1 shingle
+    // (>= 8 tokens) must all be detected; shorter docs have no
+    // shingle evidence to find
+    val planted = docs
+      .where(col("doc_id") % 25 === 0 &&
+        size(graft.functions.TextFns.tokens(col("text"))) >= 8)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 20000).as("id_b"))
+    assert(planted.count() > 0)
+    val missed = planted.join(out, Seq("id_a", "id_b"), "left_anti").count()
+    assert(missed == 0, s"$missed planted subset-dups missed")
+    assert(out.where(col("containment") < 0.9).count() == 0)
+    out.unpersist()
+  }
+
+  test("llm_bpe_pair_stats matches a driver-side recount at tiny scale") {
+    val out = run("llm_bpe_pair_stats").collect()
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { t =>
+      t.trim.split("\\s+").filter(_.length >= 2).foreach { w =>
+        w.sliding(2).foreach { p => counts(p) = counts.getOrElse(p, 0L) + 1L }
+      }
+    }
+    val expectTop = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val gotTop = out.map(r => (r.getAs[String]("pair"), r.getAs[Long]("n"))).toSeq
+    assert(gotTop == expectTop)
+  }
+
+  test("j18_interval_overlap_join: overlaps are genuine and bounded") {
+    val out = run("j18_interval_overlap_join").cache()
+    assert(out.count() > 0)
+    // overlap is nonnegative (zero for degenerate point-sessions
+    // touching the window) and can never exceed the 12h window
+    assert(out.where(col("overlap_us") < 0 ||
+      col("overlap_us") > 43200000000L).count() == 0)
+    assert(out.where(col("overlap_us") > 0).count() > 0)
+    // only banded days carry windows
+    assert(out.where(dayofmonth(col("day")) % 3 =!= 0).count() == 0)
+    out.unpersist()
+  }
+
   test("o3_gap_fill_calendar: complete grid with genuine zero-filled gaps") {
     val out = run("o3_gap_fill_calendar").cache()
     val nTypes = out.select("event_type").distinct().count()

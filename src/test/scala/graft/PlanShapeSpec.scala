@@ -64,6 +64,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly 1 o_custkey exchange shared by both windows:\n$p")
   }
 
+  test("j18_interval_overlap_join bands on the day key — no cartesian") {
+    val p = planOf("j18_interval_overlap_join")
+    assert(!p.contains("CartesianProduct"), s"cartesian in interval join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in interval join:\n$p")
+  }
+
+  test("llm_containment_pairs stays on the inverted index — no cartesian") {
+    val p = planOf("llm_containment_pairs")
+    assert(!p.contains("CartesianProduct"), s"cartesian in containment:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in containment:\n$p")
+  }
+
   test("u4_set_ops_all plans multiset ops without cartesian/nested-loop joins") {
     val p = planOf("u4_set_ops_all")
     assert(!p.contains("CartesianProduct"), s"cartesian in set ops:\n$p")
