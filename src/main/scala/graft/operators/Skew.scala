@@ -17,6 +17,27 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Salted equi-JOIN for a skewed probe side: the fact rows spread
+    * over `saltBuckets` sub-keys via a deterministic salt, the (small)
+    * build side replicates once per bucket (explode of a literal
+    * range — `saltBuckets`× its size, fine for a dimension), and the
+    * join key becomes (key, salt) so the hot key's rows land on
+    * `saltBuckets` reducers instead of one. Semantically identical to
+    * the plain join — the salt matches exactly one replica per row.
+    *
+    * This is the MANUAL mitigation for engines/paths where AQE's
+    * runtime skew-join split can't see the skew (e.g. the skewed side
+    * feeds from an exchange AQE already coalesced, or the join is
+    * inside a cached subtree); prefer AQE where it applies. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltOn: Column, saltBuckets: Int = 8): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(saltOn), lit(saltBuckets.toLong)))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Salted count+sum per key. `saltOn` must be a deterministic
     * expression spreading rows within a key (e.g. a unique id). */
   def saltedCountSum(df: DataFrame, keyCols: Seq[String], valueCol: String,

@@ -547,6 +547,26 @@ object RegistryExtra {
       StreamingOps.slidingWindowCounts(s, dir)
         .orderBy("window_start", "event_type")),
 
+    // Salted equi-join on a MANUFACTURED hot key (80% of events
+    // collapse onto key 0): the fact side spreads each key over 8
+    // salt buckets, the dim replicates 8x, the join key becomes
+    // (k, salt) — the hot key's rows land on 8 reducers instead of 1.
+    // The oracle is the UNSALTED join: salting must be semantically
+    // invisible. Complements skew_salted_agg (aggregation side) and
+    // AQE's runtime skew-join split (which can't see every skew).
+    "j19_salted_skew_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("k",
+          when(pmod(col("user_id"), lit(10)) < 8, 0L).otherwise(col("user_id")))
+      val dim = ev.select("k").distinct()
+        .withColumn("grp", concat(lit("grp_"), (col("k") % 7).cast("string")))
+      graft.operators.Skew.saltedJoin(ev, dim, "k", col("event_id"), 8)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy("grp")
+    }),
+
     // Interval-OVERLAP join (the interval-algebra completion of j7's
     // point-in-range): per-user-day session intervals against
     // synthesized maintenance windows, banded on the day so the
@@ -636,6 +656,15 @@ object RegistryExtra {
            WHERE c_nationkey = n_nationkey
            ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
          ORDER BY n_name, c_custkey""",
+    "j19_salted_skew_join" ->
+      """WITH f AS (
+           SELECT CASE WHEN user_id % 10 < 8 THEN 0 ELSE user_id END AS k, value
+           FROM events),
+         d AS (SELECT DISTINCT k, 'grp_' || cast(k % 7 AS VARCHAR) AS grp FROM f)
+         SELECT grp, count(*) AS n_events,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM f JOIN d USING (k)
+         GROUP BY grp ORDER BY grp""",
     "j18_interval_overlap_join" ->
       """WITH s AS (
            SELECT user_id, cast(date_trunc('day', ts) AS DATE) AS day,

@@ -253,6 +253,21 @@ class ExtraQueriesSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("j19_salted_skew_join: salting is semantically invisible") {
+    val out = run("j19_salted_skew_join")
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .withColumn("k",
+        when(pmod(col("user_id"), lit(10)) < 8, 0L).otherwise(col("user_id")))
+    val dim = ev.select("k").distinct()
+      .withColumn("grp", concat(lit("grp_"), (col("k") % 7).cast("string")))
+    val plain = ev.join(dim, "k")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    assert(out.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(out).count() == 0)
+  }
+
   test("o3_gap_fill_calendar: complete grid with genuine zero-filled gaps") {
     val out = run("o3_gap_fill_calendar").cache()
     val nTypes = out.select("event_type").distinct().count()

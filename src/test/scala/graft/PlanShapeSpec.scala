@@ -76,6 +76,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in containment:\n$p")
   }
 
+  test("j19_salted_skew_join: the shuffle-join key carries the salt") {
+    // force the shuffle-join path (a broadcast would make salting moot)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planOf("j19_salted_skew_join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffle join under broadcast=-1:\n$p")
+      assert(p.contains("__salt"), s"join key must include the salt:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("u4_set_ops_all plans multiset ops without cartesian/nested-loop joins") {
     val p = planOf("u4_set_ops_all")
     assert(!p.contains("CartesianProduct"), s"cartesian in set ops:\n$p")
