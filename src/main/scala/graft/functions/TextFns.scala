@@ -38,10 +38,14 @@ object TextFns {
     * Jaccard/MinHash currency). */
   def shingles(c: Column, n: Int): Column = array_distinct(ngrams(c, n))
 
-  /** BPE-ish subword segmentation count: runs of letters, runs of
-    * digits, or single punctuation — the classic pre-tokenizer regex. */
-  def bpeishTokenCount(c: Column): Column =
-    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+  /** BPE-ish pre-tokenizer segmentation: runs of letters, runs of
+    * digits, or single punctuation — the classic pre-tokenizer regex,
+    * as the piece array. */
+  def bpeishPieces(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Count view of [[bpeishPieces]]. */
+  def bpeishTokenCount(c: Column): Column = size(bpeishPieces(c))
 
   /** Punctuation+digit character count (anything outside [a-z ] after
     * lowercasing) — building block for quality scoring. */

@@ -135,6 +135,18 @@ object RegistryLlm {
         .limit(20)
     }),
 
+    // BPE-ish PRE-tokenization as rows: the classic letters/digits/
+    // punctuation segmentation regex (the step before BPE merges),
+    // exploded and ranked — vocabulary-building's first pass.
+    // Expression-only segmentation (regexp_extract_all, codegen'd);
+    // one count shuffle; top-k via TakeOrdered.
+    "llm_bpeish_pretokenize" -> ((s, dir) =>
+      Tables.scaled(docs(s, dir))
+        .select(explode(graft.functions.TextFns.bpeishPieces(col("text"))).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("piece"))
+        .limit(30)),
+
     // MinHash(64) + LSH(16 bands x 4 rows) candidates on bigram
     // shingles, exact-Jaccard verified at tau=0.8.
     "llm_minhash_pairs" -> ((s, dir) =>
@@ -1092,6 +1104,13 @@ object RegistryLlm {
            WHERE least(len(a.ts), len(b.ts)) > 0)
          SELECT id_a, id_b, containment FROM pairs WHERE containment >= 0.9
          ORDER BY id_a, id_b""",
+    "llm_bpeish_pretokenize" ->
+      """WITH p AS (
+           SELECT unnest(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS piece
+           FROM documents)
+         SELECT piece, count(*) AS n FROM p
+         GROUP BY piece ORDER BY n DESC, piece LIMIT 30""",
     "llm_bpe_pair_stats" ->
       """WITH w AS (
            SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
