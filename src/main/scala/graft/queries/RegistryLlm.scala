@@ -502,6 +502,54 @@ object RegistryLlm {
         .orderBy("canonical_url")
     }),
 
+    // Robust spread statistics per language: median absolute deviation
+    // (MAD) — the outlier-resistant spread a quality-filter cutoff
+    // should use instead of stddev on heavy-tailed score
+    // distributions. Two exact percentile passes over integer
+    // micro-units (same currency as llm_quality_percentiles); the
+    // per-language medians broadcast back, never a second scan-wide
+    // shuffle of raw scores.
+    "llm_quality_mad" -> ((s, dir) => {
+      val units = (TextAnalysis.qualityScore(col("text")).cast("decimal(18,6)") *
+        1000000).cast("long")
+      val scored = docs(s, dir).select(col("lang"), units.as("__u"))
+      val med = scored.groupBy("lang").agg(expr("percentile(__u, 0.5)").as("__med"))
+      scored.join(broadcast(med), "lang")
+        .withColumn("__ad", abs(col("__u").cast("double") - col("__med")))
+        .groupBy("lang")
+        .agg((max(col("__med")) / 1000000.0).as("median_score"),
+          (expr("percentile(__ad, 0.5)") / 1000000.0).as("mad_score"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    // Class-rebalancing OVERSAMPLING: every language is replicated up
+    // to the majority class's count — deterministic (replica index +
+    // doc_id ordering, no RNG), expression-driven (explode of a
+    // sequence sized by the per-class factor), capped exactly at the
+    // target by a per-class row_number. The heavy row multiplication
+    // happens AFTER the join with the (broadcast) class-count frame,
+    // so the corpus shuffles once for the capping window and nothing
+    // else.
+    "llm_oversample_balance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select("doc_id", "lang")
+      val byLang = d.groupBy("lang").agg(count(lit(1)).as("__n"))
+      val target = byLang.agg(max(col("__n")).as("__t"))
+      val replicated = d.join(broadcast(byLang), "lang")
+        .crossJoin(broadcast(target))
+        .withColumn("__factor",
+          ceil(col("__t").cast("double") / col("__n")).cast("int"))
+        .withColumn("rep", explode(sequence(lit(1), col("__factor"))))
+      val w = Window.partitionBy("lang").orderBy("rep", "doc_id")
+      replicated.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= col("__t"))
+        .groupBy("lang")
+        .agg(max(col("__n")).as("n_orig"), count(lit(1)).as("n_after"),
+          countDistinct(col("doc_id")).as("n_distinct"))
+        .orderBy("lang")
+    }),
+
     // Corpus token frequencies: explode (lateral view) + top-k LIMIT.
     "llm_token_frequencies" -> ((s, dir) =>
       Tables.scaled(docs(s, dir))
@@ -1254,6 +1302,26 @@ object RegistryLlm {
                  quantile_cont(units, 0.75) / 1000000.0 AS p75,
                  count(*) AS n_docs
           FROM u GROUP BY lang ORDER BY lang""",
+    "llm_quality_mad" ->
+      s"""WITH u AS (SELECT lang, $unitsSql AS units FROM documents),
+          m AS (SELECT lang, quantile_cont(units, 0.5) AS med FROM u GROUP BY lang),
+          d AS (SELECT u.lang, abs(cast(units AS DOUBLE) - med) AS ad, med
+                FROM u JOIN m USING (lang))
+          SELECT lang, max(med) / 1000000.0 AS median_score,
+                 quantile_cont(ad, 0.5) / 1000000.0 AS mad_score,
+                 count(*) AS n_docs
+          FROM d GROUP BY lang ORDER BY lang""",
+    "llm_oversample_balance" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         t AS (SELECT max(n) AS t FROM n),
+         r AS (SELECT d.doc_id, d.lang, n.n, t.t,
+                      unnest(range(1, cast(ceil(cast(t.t AS DOUBLE) / n.n) AS BIGINT) + 1)) AS rep
+               FROM documents d JOIN n USING (lang) CROSS JOIN t),
+         capped AS (SELECT *, row_number() OVER (PARTITION BY lang
+                      ORDER BY rep, doc_id) AS rn FROM r)
+         SELECT lang, max(n) AS n_orig, count(*) AS n_after,
+                count(DISTINCT doc_id) AS n_distinct
+         FROM capped WHERE rn <= t GROUP BY lang ORDER BY lang""",
     "llm_quality_buckets" ->
       s"""WITH u AS (SELECT doc_id, $unitsSql AS units FROM documents),
           c AS (SELECT quantile_cont(units, 0.25) AS c1,

@@ -268,6 +268,34 @@ class ExtraQueriesSpec extends AnyFunSuite {
     assert(plain.exceptAll(out).count() == 0)
   }
 
+  test("llm_quality_mad: at least half of each language sits within med±mad") {
+    val out = RegistryLlm.defs("llm_quality_mad")(spark, sfDir).cache()
+    assert(out.where(col("mad_score") < 0).count() == 0)
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val scored = docs.select(col("lang"),
+      graft.operators.TextAnalysis.qualityScore(col("text"))
+        .cast("double").as("q"))
+    val within = scored.join(out, "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        count(when(abs(col("q") - col("median_score")) <=
+          col("mad_score") + 1e-9, 1)).as("n_in"))
+    // the defining MAD property: >= half the mass within med ± mad
+    assert(within.where(col("n_in") * 2 < col("n")).count() == 0)
+    out.unpersist()
+  }
+
+  test("llm_oversample_balance: every class reaches the majority count") {
+    val out = RegistryLlm.defs("llm_oversample_balance")(spark, sfDir).cache()
+    val target = out.agg(max("n_orig")).head().getLong(0)
+    assert(out.where(col("n_after") =!= target).count() == 0,
+      "all classes must balance to the majority count")
+    // oversampling only repeats existing docs, never invents or drops
+    assert(out.where(col("n_distinct") =!= col("n_orig")).count() == 0)
+    assert(out.where(col("n_after") < col("n_orig")).count() == 0)
+    out.unpersist()
+  }
+
   test("o3_gap_fill_calendar: complete grid with genuine zero-filled gaps") {
     val out = run("o3_gap_fill_calendar").cache()
     val nTypes = out.select("event_type").distinct().count()
