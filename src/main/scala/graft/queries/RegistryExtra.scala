@@ -547,6 +547,25 @@ object RegistryExtra {
       StreamingOps.slidingWindowCounts(s, dir)
         .orderBy("window_start", "event_type")),
 
+    // Array SET-operation family (array_intersect / union / except /
+    // arrays_overlap): each document's token stream splits in half
+    // and the halves compare as sets — all codegen'd array
+    // expressions inside the scan stage, no explode, no shuffle
+    // before the final sort.
+    "f15_array_set_ops" -> ((s, dir) => {
+      val ws = graft.functions.TextFns.tokens(col("text"))
+      val half = floor(size(ws) / 2).cast("int")
+      val a = array_distinct(slice(ws, lit(1), half))
+      val b = array_distinct(slice(ws, half + 1, size(ws) - half))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(array_intersect(a, b)).as("n_shared"),
+          size(array_union(a, b)).as("n_union"),
+          size(array_except(a, b)).as("n_only_first"),
+          arrays_overlap(a, b).as("halves_overlap"))
+        .orderBy("doc_id")
+    }),
+
     // Salted equi-join on a MANUFACTURED hot key (80% of events
     // collapse onto key 0): the fact side spreads each key over 8
     // salt buckets, the dim replicates 8x, the join key becomes
@@ -656,6 +675,22 @@ object RegistryExtra {
            WHERE c_nationkey = n_nationkey
            ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
          ORDER BY n_name, c_custkey""",
+    "f15_array_set_ops" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         h AS (SELECT doc_id, ws, len(ws) // 2 AS half FROM s),
+         ab AS (SELECT doc_id,
+                       list_distinct(ws[1 : half]) AS a,
+                       list_distinct(ws[half + 1 : len(ws)]) AS b
+                FROM h)
+         SELECT doc_id,
+                cast(len(list_intersect(a, b)) AS INTEGER) AS n_shared,
+                cast(len(list_distinct(list_concat(a, b))) AS INTEGER) AS n_union,
+                cast(len(list_filter(a, x -> NOT list_contains(b, x))) AS INTEGER) AS n_only_first,
+                len(list_intersect(a, b)) > 0 AS halves_overlap
+         FROM ab ORDER BY doc_id""",
     "j19_salted_skew_join" ->
       """WITH f AS (
            SELECT CASE WHEN user_id % 10 < 8 THEN 0 ELSE user_id END AS k, value

@@ -502,6 +502,27 @@ object RegistryLlm {
         .orderBy("canonical_url")
     }),
 
+    // N-gram NOVELTY per document (memorization-risk / template
+    // detection): the share of a doc's distinct trigram shingles that
+    // appear in NO other document. One inverted-index pass (distinct
+    // shingles per doc → corpus df), the df==1 count rides back on
+    // the same posting rows — no second corpus scan. Ratio reported
+    // in exact integer micro-units (integer division), no float sums.
+    "llm_ngram_novelty" -> ((s, dir) => {
+      val occ = Tables.scaled(docs(s, dir))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFns.shingles(col("text"), 3)).as("sh"))
+        .cache()
+      val dfq = occ.groupBy("sh").agg(count(lit(1)).as("__df"))
+      occ.join(dfq, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("__df") === 1, 1)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          expr("(n_novel * 1000000) div n_shingles").as("novelty_micro"))
+        .orderBy("doc_id")
+    }),
+
     // Robust spread statistics per language: median absolute deviation
     // (MAD) — the outlier-resistant spread a quality-filter cutoff
     // should use instead of stddev on heavy-tailed score
@@ -1302,6 +1323,21 @@ object RegistryLlm {
                  quantile_cont(units, 0.75) / 1000000.0 AS p75,
                  count(*) AS n_docs
           FROM u GROUP BY lang ORDER BY lang""",
+    "llm_ngram_novelty" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS ts
+           FROM (SELECT doc_id,
+                        string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+                 FROM documents)),
+         occ AS (SELECT doc_id, unnest(ts) AS s FROM sh),
+         dfq AS (SELECT s, count(*) AS df FROM occ GROUP BY s)
+         SELECT occ.doc_id, count(*) AS n_shingles,
+                count(*) FILTER (df = 1) AS n_novel,
+                (count(*) FILTER (df = 1) * 1000000) // count(*) AS novelty_micro
+         FROM occ JOIN dfq USING (s)
+         GROUP BY occ.doc_id ORDER BY occ.doc_id""",
     "llm_quality_mad" ->
       s"""WITH u AS (SELECT lang, $unitsSql AS units FROM documents),
           m AS (SELECT lang, quantile_cont(units, 0.5) AS med FROM u GROUP BY lang),

@@ -296,6 +296,36 @@ class ExtraQueriesSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("f15_array_set_ops: set identities hold against recomputed halves") {
+    val out = run("f15_array_set_ops")
+    val ws = graft.functions.TextFns.tokens(col("text"))
+    val half = floor(size(ws) / 2).cast("int")
+    val a = array_distinct(slice(ws, lit(1), half))
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), size(a).as("n_a"))
+    // A = (A ∩ B) ⊎ (A \ B), and overlap is exactly "shared nonempty"
+    val joined = out.join(docs, "doc_id")
+    assert(joined.where(col("n_shared") + col("n_only_first") =!= col("n_a"))
+      .count() == 0)
+    assert(joined.where(col("halves_overlap") =!= (col("n_shared") > 0))
+      .count() == 0)
+    assert(joined.where(col("n_union") < col("n_shared")).count() == 0)
+  }
+
+  test("llm_ngram_novelty: totals reconcile with the corpus df profile") {
+    val out = RegistryLlm.defs("llm_ngram_novelty")(spark, sfDir).cache()
+    assert(out.where(col("novelty_micro") < 0 ||
+      col("novelty_micro") > 1000000L).count() == 0)
+    // every df==1 shingle contributes exactly one novel posting
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val nSingletons = docs
+      .select(explode(graft.functions.TextFns.shingles(col("text"), 3)).as("sh"))
+      .groupBy("sh").count().where(col("count") === 1).count()
+    val totalNovel = out.agg(sum("n_novel")).head().getLong(0)
+    assert(totalNovel == nSingletons)
+    out.unpersist()
+  }
+
   test("o3_gap_fill_calendar: complete grid with genuine zero-filled gaps") {
     val out = run("o3_gap_fill_calendar").cache()
     val nTypes = out.select("event_type").distinct().count()
