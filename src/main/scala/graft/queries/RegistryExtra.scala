@@ -642,6 +642,14 @@ object RegistryExtra {
         .select("user_id", "event_id", "event_type", "value")
         .orderBy("user_id")),
 
+    // flatMapGroupsWithState (variable-arity stateful emission): one
+    // row per spend-tier boundary crossed — zero or many rows per
+    // group invocation, which mapGroupsWithState cannot express.
+    // Exact integer-cents accumulation, O(1) state per key.
+    "stream_threshold_emit" -> ((s, dir) =>
+      graft.streaming.ThresholdEmit.tierCrossings(s, dir)
+        .orderBy("user_id", "tier")),
+
     // Stream-STREAM time-range join: per-user click→purchase
     // attribution pairs within a 1-day horizon, aggregated per user
     // from the append-sink read-back.
@@ -675,6 +683,24 @@ object RegistryExtra {
            WHERE c_nationkey = n_nationkey
            ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
          ORDER BY n_name, c_custkey""",
+    "stream_threshold_emit" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+                  cast(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         c AS (SELECT user_id, event_id, ts, cents,
+                      sum(cents) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+               FROM e),
+         x AS (SELECT user_id, event_id, cast(cum AS BIGINT) AS cum,
+                      cast(coalesce(lag(cum) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id), 0) AS BIGINT) AS prev
+               FROM c)
+         SELECT user_id, event_id,
+                unnest(range(prev // 100000 + 1, cum // 100000 + 1)) AS tier
+         FROM x WHERE cum // 100000 > prev // 100000
+         ORDER BY user_id, tier""",
     "f15_array_set_ops" ->
       """WITH s AS (
            SELECT doc_id,

@@ -326,6 +326,28 @@ class ExtraQueriesSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("stream_threshold_emit: tiers are dense and reconcile with totals") {
+    val out = run("stream_threshold_emit").cache()
+    // positive values → monotone cumulative sums → every tier from 1
+    // to the final tier is crossed exactly once per user
+    val perUser = out.groupBy("user_id").agg(count(lit(1)).as("n"),
+      min("tier").as("mn"), max("tier").as("mx"),
+      countDistinct("tier").as("nd"))
+    assert(perUser.where(col("mn") =!= 1 || col("mx") =!= col("n") ||
+      col("nd") =!= col("n")).count() == 0)
+    // the final tier equals the floor of each user's exact cent total
+    val events = graft.sources.Tables.load(spark, sfDir, "events")
+    val totals = events.groupBy("user_id")
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("user_id"), (col("cents") / 100000L).cast("long").as("final_tier"))
+      .where(col("final_tier") >= 1)
+    val got = out.groupBy("user_id").agg(max("tier").as("mx"))
+    assert(got.join(totals, "user_id")
+      .where(col("mx") =!= col("final_tier")).count() == 0)
+    assert(got.count() == totals.count())
+    out.unpersist()
+  }
+
   test("o3_gap_fill_calendar: complete grid with genuine zero-filled gaps") {
     val out = run("o3_gap_fill_calendar").cache()
     val nTypes = out.select("event_type").distinct().count()

@@ -60,6 +60,10 @@ class IdempotenceSpec extends AnyFunSuite {
     runTwice("stream_upsert_merge")
   }
 
+  test("threshold-emission streaming query is re-runnable (nonced sink + checkpoint)") {
+    runTwice("stream_threshold_emit")
+  }
+
   test("zorder layout query is re-runnable (clustered dir overwritten)") {
     runTwice("s15_zorder_layout")
   }
