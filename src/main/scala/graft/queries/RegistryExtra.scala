@@ -566,6 +566,26 @@ object RegistryExtra {
         .orderBy("doc_id")
     }),
 
+    // Explicit NULL-ordering control: Spark's ASC default is NULLS
+    // FIRST while ANSI engines commonly default NULLS LAST — a silent
+    // cross-engine divergence for any top-k over a nullable sort key.
+    // Both directions pinned explicitly (asc_nulls_last /
+    // desc_nulls_first) so the k-row set is engine-deterministic;
+    // each half still plans as TakeOrderedAndProject, never a full
+    // sort.
+    "o6_null_ordering" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .withColumn("v",
+          when(col("o_orderstatus") === "O", lit(null).cast("double"))
+            .otherwise(col("o_totalprice")))
+        .select("o_orderkey", "v")
+      val a = base.orderBy(col("v").asc_nulls_last, col("o_orderkey")).limit(5)
+        .select(lit("asc_nulls_last").as("mode"), col("o_orderkey"), col("v"))
+      val b = base.orderBy(col("v").desc_nulls_first, col("o_orderkey")).limit(5)
+        .select(lit("desc_nulls_first").as("mode"), col("o_orderkey"), col("v"))
+      a.unionByName(b).orderBy("mode", "o_orderkey")
+    }),
+
     // Salted equi-join on a MANUFACTURED hot key (80% of events
     // collapse onto key 0): the fact side spreads each key over 8
     // salt buckets, the dim replicates 8x, the join key becomes
@@ -717,6 +737,17 @@ object RegistryExtra {
                 cast(len(list_filter(a, x -> NOT list_contains(b, x))) AS INTEGER) AS n_only_first,
                 len(list_intersect(a, b)) > 0 AS halves_overlap
          FROM ab ORDER BY doc_id""",
+    "o6_null_ordering" ->
+      """WITH base AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS v
+           FROM orders),
+         a AS (SELECT 'asc_nulls_last' AS mode, o_orderkey, v FROM base
+               ORDER BY v ASC NULLS LAST, o_orderkey LIMIT 5),
+         b AS (SELECT 'desc_nulls_first' AS mode, o_orderkey, v FROM base
+               ORDER BY v DESC NULLS FIRST, o_orderkey LIMIT 5)
+         SELECT * FROM a UNION ALL SELECT * FROM b
+         ORDER BY mode, o_orderkey""",
     "j19_salted_skew_join" ->
       """WITH f AS (
            SELECT CASE WHEN user_id % 10 < 8 THEN 0 ELSE user_id END AS k, value

@@ -502,6 +502,31 @@ object RegistryLlm {
         .orderBy("canonical_url")
     }),
 
+    // The curation FUNNEL — the composition witness: raw crawl (with
+    // planted exact dups) → exact dedup → quality gate → train split,
+    // reported as per-stage survivor counts. Each stage is the
+    // already-witnessed operator (Dedup.exactByContent, the
+    // micro-unit quality score, the md5 stableSplit) chained on ONE
+    // cached lineage — proving the operators compose without
+    // re-reading the corpus per stage.
+    "llm_curation_funnel" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text", "lang")
+      val raw = d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000)).cache()
+      val deduped = Dedup.exactByContent(raw, "doc_id", Seq("text", "lang")).cache()
+      val units = (TextAnalysis.qualityScore(col("text")).cast("decimal(18,6)") *
+        1000000).cast("long")
+      val quality = deduped.where(units >= 500000).cache()
+      val train = quality.where(TextAnalysis.stableSplit(col("doc_id")) === "train")
+      def stage(ord: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n"))
+          .select(lit(ord).as("ord"), lit(name).as("stage"), col("n"))
+      stage(1, "raw", raw)
+        .unionByName(stage(2, "exact_dedup", deduped))
+        .unionByName(stage(3, "quality", quality))
+        .unionByName(stage(4, "train_split", train))
+        .orderBy("ord")
+    }),
+
     // N-gram NOVELTY per document (memorization-risk / template
     // detection): the share of a doc's distinct trigram shingles that
     // appear in NO other document. One inverted-index pass (distinct
@@ -1323,6 +1348,27 @@ object RegistryLlm {
                  quantile_cont(units, 0.75) / 1000000.0 AS p75,
                  count(*) AS n_docs
           FROM u GROUP BY lang ORDER BY lang""",
+    "llm_curation_funnel" ->
+      s"""WITH raw AS (
+            SELECT doc_id, text, lang FROM documents
+            UNION ALL SELECT doc_id + 10000, text, lang FROM documents),
+          fp AS (
+            SELECT doc_id, text, lang,
+                   md5(concat_ws(chr(1),
+                     coalesce(cast(text AS VARCHAR), chr(1) || 'N'),
+                     coalesce(cast(lang AS VARCHAR), chr(1) || 'N'))) AS f
+            FROM raw),
+          dedup AS (
+            SELECT text, lang, min(doc_id) AS doc_id FROM fp
+            GROUP BY f, text, lang),
+          q AS (SELECT * FROM dedup WHERE $unitsSql >= 500000),
+          t AS (SELECT * FROM q
+                WHERE ('0x' || substring(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900)
+          SELECT cast(1 AS INTEGER) AS ord, 'raw' AS stage, (SELECT count(*) FROM raw) AS n
+          UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM dedup)
+          UNION ALL SELECT 3, 'quality', (SELECT count(*) FROM q)
+          UNION ALL SELECT 4, 'train_split', (SELECT count(*) FROM t)
+          ORDER BY ord""",
     "llm_ngram_novelty" ->
       """WITH sh AS (
            SELECT doc_id,

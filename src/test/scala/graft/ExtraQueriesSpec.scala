@@ -348,6 +348,27 @@ class ExtraQueriesSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("llm_curation_funnel: stages shrink monotonically from 2x the corpus") {
+    val out = RegistryLlm.defs("llm_curation_funnel")(spark, sfDir)
+      .orderBy("ord").collect()
+    val ns = out.map(_.getAs[Long]("n"))
+    val corpus = graft.sources.Tables.load(spark, sfDir, "documents").count()
+    assert(ns.head == 2 * corpus, "raw stage must hold corpus + planted dups")
+    assert(ns(1) <= corpus, "exact dedup must at least remove the planted dups")
+    assert(ns.sliding(2).forall(p => p(1) <= p(0)), "funnel must be nonincreasing")
+    assert(ns.last > 0, "the pipeline must keep something")
+  }
+
+  test("o6_null_ordering: nulls land where each direction pins them") {
+    val out = run("o6_null_ordering").cache()
+    assert(out.where(col("mode") === "asc_nulls_last" && col("v").isNull)
+      .count() == 0, "asc_nulls_last top-k must be null-free")
+    assert(out.where(col("mode") === "desc_nulls_first" && col("v").isNotNull)
+      .count() == 0, "desc_nulls_first top-k must be all nulls here")
+    assert(out.count() == 10)
+    out.unpersist()
+  }
+
   test("o3_gap_fill_calendar: complete grid with genuine zero-filled gaps") {
     val out = run("o3_gap_fill_calendar").cache()
     val nTypes = out.select("event_type").distinct().count()
