@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
@@ -62,7 +62,22 @@ object NearDup {
     * Jaccard (denominators stay unfiltered, below) — a recall trade,
     * never a precision bug. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, tau: Double, maxDf: Int = 0): DataFrame = {
+                   n: Int, tau: Double, maxDf: Int = 0): DataFrame =
+    scoredPairs(df, idCol, textCol, n, maxDf, "jaccard",
+      (inter, sza, szb) => inter.cast("double") / (sza + szb - inter))
+      .where(col("jaccard") >= tau)
+
+  /** Shared inverted-index machinery: build (possibly stop-shingle-
+    * capped) postings, intersect candidate pairs, and score each pair
+    * from (intersection, |A|, |B|) with `score`. Set sizes come from
+    * the UNFILTERED postings: the stop-shingle filter may only shrink
+    * the candidate/intersection side (recall cost), never the
+    * denominators — sizing from the filtered set would inflate scores
+    * above their true value (precision bug). Scores round to 6
+    * decimals for engine portability. */
+  private def scoredPairs(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, maxDf: Int, scoreName: String,
+                          score: (Column, Column, Column) => Column): DataFrame = {
     val post0 = postings(df, idCol, textCol, n)
     val cap =
       if (maxDf >= 0) maxDf
@@ -73,10 +88,6 @@ object NearDup {
         val rare = post0.groupBy("__sh").count().where(col("count") <= cap).select("__sh")
         post0.join(rare, "__sh")
       }
-    // Set sizes come from the UNFILTERED postings: the stop-shingle
-    // filter may only shrink the candidate/intersection side (recall
-    // cost), never the denominators — sizing from the filtered set
-    // would inflate Jaccard above its true value (precision bug).
     val sizes = post0.groupBy("__id").agg(count(lit(1)).as("__sz"))
     val inter = post.as("a").join(post.as("b"), "__sh")
       .where(col("a.__id") < col("b.__id"))
@@ -85,11 +96,9 @@ object NearDup {
     inter
       .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
       .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
-      .withColumn("jaccard",
-        round(col("__inter").cast("double") /
-          (col("__sza") + col("__szb") - col("__inter")), 6))
-      .where(col("jaccard") >= tau)
-      .select("id_a", "id_b", "jaccard")
+      .withColumn(scoreName,
+        round(score(col("__inter"), col("__sza"), col("__szb")), 6))
+      .select("id_a", "id_b", scoreName)
   }
 
   /** Containment near-dup pairs: C = |A∩B| / min(|A|,|B|) with the
@@ -102,30 +111,10 @@ object NearDup {
     * pair's score (recall trade, never precision). Pairs where either
     * side has no shingles are dropped (no 0-denominator). */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       n: Int, tau: Double, maxDf: Int = 0): DataFrame = {
-    val post0 = postings(df, idCol, textCol, n)
-    val cap =
-      if (maxDf >= 0) maxDf
-      else math.max(64L, 2L * math.ceil(math.sqrt(df.count().toDouble)).toLong)
-    val post =
-      if (cap == 0) post0
-      else {
-        val rare = post0.groupBy("__sh").count().where(col("count") <= cap).select("__sh")
-        post0.join(rare, "__sh")
-      }
-    val sizes = post0.groupBy("__id").agg(count(lit(1)).as("__sz"))
-    val inter = post.as("a").join(post.as("b"), "__sh")
-      .where(col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .agg(count(lit(1)).as("__inter"))
-    inter
-      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
-      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
-      .withColumn("containment",
-        round(col("__inter").cast("double") / least(col("__sza"), col("__szb")), 6))
+                       n: Int, tau: Double, maxDf: Int = 0): DataFrame =
+    scoredPairs(df, idCol, textCol, n, maxDf, "containment",
+      (inter, sza, szb) => inter.cast("double") / least(sza, szb))
       .where(col("containment") >= tau)
-      .select("id_a", "id_b", "containment")
-  }
 
   /** Edit-distance (Levenshtein) near-dup pairs with length-band
     * blocking — the fuzzy-match family (entity-resolution shape):

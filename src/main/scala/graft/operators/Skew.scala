@@ -23,7 +23,9 @@ object Skew {
     * range — `saltBuckets`× its size, fine for a dimension), and the
     * join key becomes (key, salt) so the hot key's rows land on
     * `saltBuckets` reducers instead of one. Semantically identical to
-    * the plain join — the salt matches exactly one replica per row.
+    * the plain inner join — the salt matches exactly one replica per
+    * row. `saltOn` must be non-null (a null salt would silently drop
+    * a fact row the plain join keeps); use a key/id column.
     *
     * This is the MANUAL mitigation for engines/paths where AQE's
     * runtime skew-join split can't see the skew (e.g. the skewed side
