@@ -566,6 +566,43 @@ object RegistryExtra {
         .orderBy("doc_id")
     }),
 
+    // Ordered FUNNEL-pattern matching (click → view → purchase as a
+    // SUBSEQUENCE of each user-day's event stream): the
+    // MATCH_RECOGNIZE-style sequential pattern, done with one
+    // grouped sort (array_sort of (ts, event_id, type) structs —
+    // collect_list alone has no order guarantee) and greedy
+    // earliest-match position arithmetic, all array expressions.
+    // Per-day conversion counts; one shuffle on the session key.
+    "w13_funnel_pattern" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""WITH ev AS (
+                 SELECT user_id, to_date(ts) AS day, event_type, ts, event_id
+                 FROM events),
+               sess AS (
+                 SELECT user_id, day,
+                        transform(array_sort(collect_list(struct(ts, event_id, event_type))),
+                                  x -> x.event_type) AS l
+                 FROM ev GROUP BY user_id, day),
+               f AS (
+                 -- lateral column aliases: p1/p2r feed the next step's
+                 -- greedy search window
+                 SELECT user_id, day,
+                        nullif(array_position(l, 'click'), 0) AS p1,
+                        CASE WHEN p1 IS NOT NULL THEN
+                          nullif(array_position(
+                            slice(l, CAST(p1 AS INT) + 1, size(l)), 'view'), 0)
+                        END AS p2r,
+                        CASE WHEN p2r IS NOT NULL THEN
+                          nullif(array_position(
+                            slice(l, CAST(p1 + p2r AS INT) + 1, size(l)), 'purchase'), 0)
+                        END AS p3r
+                 FROM sess)
+               SELECT day, count(*) AS n_sessions,
+                      count(p1) AS n_step1, count(p2r) AS n_step2,
+                      count(p3r) AS n_step3
+               FROM f GROUP BY day ORDER BY day""")
+    }),
+
     // Explicit NULL-ordering control: Spark's ASC default is NULLS
     // FIRST while ANSI engines commonly default NULLS LAST — a silent
     // cross-engine divergence for any top-k over a nullable sort key.
@@ -737,6 +774,27 @@ object RegistryExtra {
                 cast(len(list_filter(a, x -> NOT list_contains(b, x))) AS INTEGER) AS n_only_first,
                 len(list_intersect(a, b)) > 0 AS halves_overlap
          FROM ab ORDER BY doc_id""",
+    "w13_funnel_pattern" ->
+      """WITH ev AS (
+           SELECT user_id, cast(date_trunc('day', ts) AS DATE) AS day,
+                  event_type, ts, event_id
+           FROM events),
+         sess AS (
+           SELECT user_id, day,
+                  list(event_type ORDER BY ts, event_id) AS l
+           FROM ev GROUP BY user_id, day),
+         f AS (
+           SELECT user_id, day,
+                  nullif(list_position(l, 'click'), 0) AS p1,
+                  CASE WHEN p1 IS NOT NULL THEN
+                    nullif(list_position(l[p1 + 1 :], 'view'), 0) END AS p2r,
+                  CASE WHEN p2r IS NOT NULL THEN
+                    nullif(list_position(l[p1 + p2r + 1 :], 'purchase'), 0) END AS p3r
+           FROM sess)
+         SELECT day, count(*) AS n_sessions,
+                count(p1) AS n_step1, count(p2r) AS n_step2,
+                count(p3r) AS n_step3
+         FROM f GROUP BY day ORDER BY day""",
     "o6_null_ordering" ->
       """WITH base AS (
            SELECT o_orderkey,

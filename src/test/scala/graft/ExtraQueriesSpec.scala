@@ -369,6 +369,18 @@ class ExtraQueriesSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("w13_funnel_pattern: step counts are a monotone funnel") {
+    val out = run("w13_funnel_pattern").cache()
+    assert(out.where(col("n_step1") > col("n_sessions") ||
+      col("n_step2") > col("n_step1") ||
+      col("n_step3") > col("n_step2")).count() == 0)
+    // the pattern genuinely matches somewhere and genuinely fails
+    // somewhere (otherwise the subsequence logic proved nothing)
+    assert(out.agg(sum("n_step3")).head().getLong(0) > 0)
+    assert(out.where(col("n_step1") < col("n_sessions")).count() > 0)
+    out.unpersist()
+  }
+
   test("o3_gap_fill_calendar: complete grid with genuine zero-filled gaps") {
     val out = run("o3_gap_fill_calendar").cache()
     val nTypes = out.select("event_type").distinct().count()
