@@ -28,12 +28,14 @@ object Bench {
     val prepSec = (System.nanoTime() - tPrep) / 1e9
     // Per-query wall time; failures are RECORDED (name -> error), never
     // silently folded into the timings (round-1 verdict "what's wrong" #1).
-    // SPARK_GRAFT_BENCH_REPS > 1 reports the per-query MEDIAN of that
-    // many runs — tames the documented ±40% host noise
-    // (BENCH_NOTES.md) without hiding structure.
-    // Malformed env value falls back to 1 instead of killing the bench.
-    val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").trim.toInt)
-      .getOrElse(1).max(1)
+    // Default is the per-query MEDIAN of 3 runs — a single rep is at the
+    // mercy of host contention (the round-6 bench showed ±10× outliers on
+    // a contended host that vanished on re-run; BENCH_NOTES.md); the
+    // median of 3 is robust to one bad rep without hiding structure.
+    // SPARK_GRAFT_BENCH_REPS=1 restores single-shot for fast iteration.
+    // Malformed env value falls back to 3 instead of killing the bench.
+    val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").trim.toInt)
+      .getOrElse(3).max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

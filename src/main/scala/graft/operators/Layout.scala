@@ -82,13 +82,21 @@ object Layout {
     * file from the dynamic overwrite — its stale directory is removed
     * explicitly, or the deleted rows would resurface.
     *
-    * NOT crash-atomic: plain parquet has no commit log, so a failure
-    * between the overwrite and the emptied-partition cleanup can leave
-    * a fully-deleted partition's old files behind (rerun the delete to
-    * converge — the operation is idempotent). True atomicity requires
-    * a table format with a transaction log; this operator documents
-    * the trade rather than hiding it. The staging dir is removed on
-    * success.
+    * NOT crash-atomic: plain parquet has no commit log, so true
+    * atomicity requires a table format with a transaction log; this
+    * operator documents the trade rather than hiding it. The crash
+    * windows, precisely:
+    *  - between the completed overwrite and the emptied-partition
+    *    cleanup: a fully-deleted partition's old files linger; rerun
+    *    the delete to converge (idempotent in THIS window only);
+    *  - DURING the dynamic overwrite: a partition dir may have been
+    *    cleared before its survivor files landed. The survivors'
+    *    only copy is the run's staging dir — which is why each run
+    *    stages under a fresh `run_<nanos>` subdir (a rerun can never
+    *    clobber the copy a recovery needs), and why staging is
+    *    deleted only AFTER the rewritten table validates against the
+    *    staged row count. Recovery: re-land the retained staging dir
+    *    (plain dynamic-overwrite write), then rerun the delete.
     */
   def targetedDelete(spark: SparkSession, tableDir: String,
                      partCol: String, keyCol: String, keys: DataFrame,
@@ -96,11 +104,16 @@ object Layout {
     val affected = keys
       .select(pmod(col(keyCol), lit(nBuckets)).cast("int").as(partCol))
       .distinct().collect().map(_.getInt(0))
+    // Fresh staging subdir per run: a rerun after a mid-overwrite
+    // crash must never overwrite the previous run's staged survivors
+    // (potentially their only remaining copy).
+    val runStaging = s"$stagingDir/run_${System.nanoTime()}"
     spark.read.parquet(tableDir)
       .where(col(partCol).isin(affected.toIndexedSeq: _*))
       .join(broadcast(keys), Seq(keyCol), "left_anti")
-      .write.mode("overwrite").parquet(stagingDir)
-    val staged = spark.read.parquet(stagingDir)
+      .write.mode("overwrite").parquet(runStaging)
+    val staged = spark.read.parquet(runStaging)
+    val stagedCount = staged.count()
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
@@ -119,6 +132,14 @@ object Layout {
     (affected.toSet -- survivors).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$partCol=$b"), true)
     }
-    fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
+    // Validate the landed table before dropping the staged copy: the
+    // affected partitions must now hold exactly the staged survivors.
+    val landed = spark.read.parquet(tableDir)
+      .where(col(partCol).isin(affected.toIndexedSeq: _*)).count()
+    require(landed == stagedCount,
+      s"targetedDelete validation failed: staged $stagedCount survivor rows " +
+        s"but affected partitions hold $landed after overwrite; staging " +
+        s"retained at $runStaging for recovery")
+    fs.delete(new org.apache.hadoop.fs.Path(runStaging), true)
   }
 }

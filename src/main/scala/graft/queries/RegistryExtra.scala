@@ -754,9 +754,11 @@ object RegistryExtra {
                       cast(coalesce(lag(cum) OVER (PARTITION BY user_id
                         ORDER BY ts, event_id), 0) AS BIGINT) AS prev
                FROM c)
-         SELECT user_id, event_id,
-                unnest(range(prev // 100000 + 1, cum // 100000 + 1)) AS tier
-         FROM x WHERE cum // 100000 > prev // 100000
+         SELECT user_id, event_id, tier FROM (
+           SELECT user_id, event_id,
+                  unnest(range(prev // 100000 + 1, cum // 100000 + 1)) AS tier
+           FROM x WHERE cum // 100000 > prev // 100000)
+         WHERE tier >= 1
          ORDER BY user_id, tier""",
     "f15_array_set_ops" ->
       """WITH s AS (

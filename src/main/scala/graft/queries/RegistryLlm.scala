@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Multimodal, NearDup, Similarity, TextAnalysis}
+import graft.operators.{CacheScope, Dedup, Multimodal, NearDup, Similarity, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** LLM-training-data pipeline registry (builder-prompt first-class
@@ -358,10 +358,11 @@ object RegistryLlm {
     // occurrence side never re-shuffles for the prefix totals
     // (they ride in on the broadcast).
     "llm_bigram_perplexity" -> ((s, dir) => {
-      val occ = Tables.scaled(docs(s, dir))
-        .select(col("doc_id"),
-          explode(graft.functions.TextFns.ngrams(col("text"), 2)).as("bigram"))
-        .cache()
+      // generation-scoped cache: re-invocation frees the previous one
+      val occ = CacheScope.scoped1("llm_bigram_perplexity")(
+        Tables.scaled(docs(s, dir))
+          .select(col("doc_id"),
+            explode(graft.functions.TextFns.ngrams(col("text"), 2)).as("bigram")))
       val lm = occ.groupBy("bigram").agg(count(lit(1)).as("nb"))
         .withColumn("prefix", element_at(split(col("bigram"), " "), 1))
       val pref = lm.groupBy("prefix").agg(sum("nb").as("np"))
@@ -511,11 +512,13 @@ object RegistryLlm {
     // re-reading the corpus per stage.
     "llm_curation_funnel" -> ((s, dir) => {
       val d = docs(s, dir).select("doc_id", "text", "lang")
-      val raw = d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000)).cache()
-      val deduped = Dedup.exactByContent(raw, "doc_id", Seq("text", "lang")).cache()
+      val raw = d.unionByName(d.withColumn("doc_id", col("doc_id") + 10000))
+      val deduped = Dedup.exactByContent(raw, "doc_id", Seq("text", "lang"))
       val units = (TextAnalysis.qualityScore(col("text")).cast("decimal(18,6)") *
         1000000).cast("long")
-      val quality = deduped.where(units >= 500000).cache()
+      val quality = deduped.where(units >= 500000)
+      // generation-scoped caches: re-invocation frees the previous ones
+      CacheScope.scoped("llm_curation_funnel")(raw, deduped, quality)
       val train = quality.where(TextAnalysis.stableSplit(col("doc_id")) === "train")
       def stage(ord: Int, name: String, df: DataFrame) =
         df.agg(count(lit(1)).as("n"))
@@ -534,10 +537,11 @@ object RegistryLlm {
     // the same posting rows — no second corpus scan. Ratio reported
     // in exact integer micro-units (integer division), no float sums.
     "llm_ngram_novelty" -> ((s, dir) => {
-      val occ = Tables.scaled(docs(s, dir))
-        .select(col("doc_id"),
-          explode(graft.functions.TextFns.shingles(col("text"), 3)).as("sh"))
-        .cache()
+      // generation-scoped cache: re-invocation frees the previous one
+      val occ = CacheScope.scoped1("llm_ngram_novelty")(
+        Tables.scaled(docs(s, dir))
+          .select(col("doc_id"),
+            explode(graft.functions.TextFns.shingles(col("text"), 3)).as("sh")))
       val dfq = occ.groupBy("sh").agg(count(lit(1)).as("__df"))
       occ.join(dfq, "sh")
         .groupBy("doc_id")
@@ -609,10 +613,11 @@ object RegistryLlm {
     // scalar (tiny aggregate, same shape as the watermark).
     "llm_tfidf_top_terms" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val toks = Tables.scaled(docs(s, dir))
-        .select(col("doc_id"),
-          explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
-        .cache()
+      // generation-scoped cache: re-invocation frees the previous one
+      val toks = CacheScope.scoped1("llm_tfidf_top_terms")(
+        Tables.scaled(docs(s, dir))
+          .select(col("doc_id"),
+            explode(graft.functions.TextFns.tokens(col("text"))).as("term")))
       val nDocs = docs(s, dir).count()
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
       val len = toks.groupBy("doc_id").agg(count(lit(1)).as("__len"))

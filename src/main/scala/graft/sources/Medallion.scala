@@ -29,6 +29,21 @@ import graft.models.RealEstate
   * read back from its table for the next layer's build, so the
   * expression-dense silver transform runs exactly once per
   * materialization, not once per downstream model.
+  *
+  * CATALOG-DURABILITY SCOPE (differs from the reference): the
+  * reference's catalog is a SHARED Hive metastore service
+  * (docker-compose.yml `hive-metastore` + Postgres backing DB), so
+  * table entries are visible to every engine and survive every
+  * process. Here the metastore is Spark's default embedded Derby —
+  * PER-PROCESS and in-session only. What IS durable is the data plus
+  * layout: every table is EXTERNAL parquet under [[warehouseRoot]],
+  * and a fresh session recovers the full catalog with [[register]]
+  * (the `CREATE TABLE IF NOT EXISTS … LOCATION` replay) without
+  * recomputing anything. Pointing multiple concurrent processes or
+  * non-Spark engines at one live catalog requires a real shared
+  * metastore (Hive behind `spark.sql.catalogImplementation=hive`) —
+  * deliberately out of scope for this library's single-process
+  * harness; do not mistake the in-session catalog for one.
   */
 object Medallion {
 

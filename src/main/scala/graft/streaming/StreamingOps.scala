@@ -223,15 +223,43 @@ object StreamingOps {
     completeSinkRun(spark, stream, nonce)(finalShape)
   }
 
+  /** Latest-wins reduction on the user key: struct-max on
+    * (ts, event_id, …) — map-side combinable, so a batch reduces to
+    * its distinct keys before any merge. */
+  def latestPerUser(df: DataFrame): DataFrame =
+    df.groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("s"))
+      .select(col("user_id"), col("s.ts").as("ts"),
+        col("s.event_id").as("event_id"),
+        col("s.event_type").as("event_type"), col("s.value").as("value"))
+
+  /** Merge one already-reduced micro-batch into the running keyed
+    * target with per-batch shuffle volume O(batch keys), never
+    * O(target): target rows whose key is absent from the batch pass
+    * through via a BROADCAST left-anti join (the target side is never
+    * re-partitioned or re-aggregated — batch keys are small by
+    * construction, the target is not), and only the contested target
+    * rows (broadcast left-semi) re-enter the latest-wins aggregate
+    * together with the batch. At 100× target size the per-batch cost
+    * is unchanged; re-aggregating `prev ∪ batch` per batch — the naive
+    * recipe — would re-shuffle the whole target every micro-batch. */
+  def mergeBatch(prev: DataFrame, incoming: DataFrame): DataFrame = {
+    val keys = broadcast(incoming.select("user_id").distinct())
+    val untouched = prev.join(keys, Seq("user_id"), "left_anti")
+    val contested = prev.join(keys, Seq("user_id"), "left_semi")
+    untouched.unionByName(latestPerUser(contested.unionByName(incoming)))
+  }
+
   /** Streaming MERGE: the foreachBatch + upsert production pattern
     * (streaming CDC into a keyed table — the Delta
     * `forEachBatch { merge }` recipe without Delta). The source is
     * split into three files streamed one per micro-batch
     * (maxFilesPerTrigger=1), so the upsert genuinely iterates; each
-    * batch reduces to latest-per-user FIRST (struct-max on
-    * (ts, event_id) — map-side combinable, batch-local) and only then
-    * merges with the running target, so per-batch shuffle volume is
-    * O(distinct keys in batch), never O(target).
+    * batch reduces to latest-per-user FIRST ([[latestPerUser]] —
+    * map-side combinable, batch-local) and then merges via
+    * [[mergeBatch]], whose broadcast anti/semi split keeps per-batch
+    * shuffle volume O(distinct keys in batch), never O(target).
     *
     * The target is written as one versioned dir per micro-batch
     * (`v<batchId>`) — the idempotent-by-batchId foreachBatch recipe: a
@@ -251,13 +279,6 @@ object StreamingOps {
         .coalesce(1).write.mode("append").parquet(srcDir)
     }
     val schema = spark.read.parquet(srcDir).schema
-    def latestPerUser(df: DataFrame): DataFrame =
-      df.groupBy("user_id")
-        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
-          col("value"))).as("s"))
-        .select(col("user_id"), col("s.ts").as("ts"),
-          col("s.event_id").as("event_id"),
-          col("s.event_type").as("event_type"), col("s.value").as("value"))
     var current: Option[String] = None
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -267,8 +288,7 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val incoming = latestPerUser(batch)
         val merged = current match {
-          case Some(prev) =>
-            latestPerUser(spark.read.parquet(prev).unionByName(incoming))
+          case Some(prev) => mergeBatch(spark.read.parquet(prev), incoming)
           case None => incoming
         }
         val out = s"$tgtBase/v$batchId"

@@ -18,6 +18,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (ts, event_id) INSIDE the group — Spark guarantees no iterator
   * order — which bounds per-invocation memory by the per-key batch
   * volume, the same bound mapGroupsWithState already implies.
+  *
+  * Negative values (refunds) are first-class: cents use
+  * half-away-from-zero tie rounding ([[toCents]] — the semantics of
+  * DuckDB's round() and BigDecimal HALF_UP; `math.round` rounds ties
+  * toward +∞ and diverges on negative values), tiers are FLOOR
+  * divisions so the boundary grid is well-defined below zero, and
+  * only POSITIVE tier boundaries (t ≥ 1) emit — a refund can drag the
+  * cumulative down and a later re-crossing of the same boundary
+  * re-emits, which is exactly "the event that crossed it".
   */
 object ThresholdEmit {
 
@@ -26,6 +35,34 @@ object ThresholdEmit {
   case class Crossing(user_id: Long, event_id: Long, tier: Long)
 
   private val tierCents = 100000L // 1000.00 in cents
+
+  /** Integer cents of a double with HALF-AWAY-FROM-ZERO tie rounding
+    * on the binary double — matches DuckDB round(value*100) (the
+    * oracle) for negative refunds where math.round(x) (ties toward
+    * +∞) would be off by one cent. */
+  private[streaming] def toCents(value: Double): Long = {
+    val x = value * 100.0
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+  }
+
+  /** Pure per-group fold (spec-testable without a stream): crossings
+    * emitted by `sorted` events starting from cumulative `start`
+    * cents, plus the updated cumulative. A tier t ≥ 1 emits when the
+    * cumulative crosses t*1000.00 from below; floorDiv keeps the grid
+    * consistent when refunds push the cumulative negative. */
+  private[streaming] def foldCrossings(uid: Long, sorted: Seq[EventRow],
+                                       start: Long): (Long, Seq[Crossing]) = {
+    var cum = start
+    val out = Seq.newBuilder[Crossing]
+    sorted.foreach { r =>
+      val prevTier = Math.floorDiv(cum, tierCents)
+      cum += toCents(r.value)
+      (math.max(prevTier + 1, 1L) to Math.floorDiv(cum, tierCents)).foreach { t =>
+        out += Crossing(uid, r.event_id, t)
+      }
+    }
+    (cum, out.result())
+  }
 
   /** Run tier-crossing emission over the events file stream to
     * completion (AvailableNow) and return every crossing. */
@@ -48,17 +85,10 @@ object ThresholdEmit {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[EventRow], state: GroupState[Long]) =>
           val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
-          var cum = state.getOption.getOrElse(0L)
-          val out = Seq.newBuilder[Crossing]
-          sorted.foreach { r =>
-            val prevTier = cum / tierCents
-            cum += math.round(r.value * 100)
-            (prevTier + 1 to cum / tierCents).foreach { t =>
-              out += Crossing(uid, r.event_id, t)
-            }
-          }
+          val (cum, out) =
+            foldCrossings(uid, sorted, state.getOption.getOrElse(0L))
           state.update(cum)
-          out.result().iterator
+          out.iterator
       }
 
     val q = crossings.writeStream

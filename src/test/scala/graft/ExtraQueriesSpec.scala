@@ -646,6 +646,20 @@ class ExtraQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("generation-scoped caches: re-invocation does not accumulate lineages") {
+    // The four CacheScope queries cache an intermediate the RETURNED
+    // frame still references; a bench loop re-running them must hold
+    // at most ONE live generation each, not one per invocation.
+    val names = Seq("llm_bigram_perplexity", "llm_curation_funnel",
+      "llm_ngram_novelty", "llm_tfidf_top_terms")
+    names.foreach(n => run(n).collect())
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    names.foreach(n => run(n).collect())
+    val after2 = spark.sparkContext.getPersistentRDDs.size
+    assert(after2 <= after1,
+      s"cached lineages accumulate across invocations: $after1 -> $after2")
+  }
+
   test("j10_full_outer_join keeps unmatched rows from both sides") {
     // sf0.001's supplier/customer tables are too small to populate
     // either filter; the asymmetry the test asserts exists at sf0.01.

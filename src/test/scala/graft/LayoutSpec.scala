@@ -111,6 +111,37 @@ class LayoutSpec extends AnyFunSuite {
     assert(after.count() == ev.where(col("u_bucket") =!= 5).count())
   }
 
+  test("targeted delete reruns never clobber a prior run's staged survivors") {
+    import spark.implicits._
+    val base = graft.sources.Ingest.fixtureDir(sf01) + "/gdpr_rerun_spec"
+    val staging = graft.sources.Ingest.fixtureDir(sf01) + "/gdpr_rerun_staging"
+    val ev = graft.sources.Tables.load(spark, sf01, "events")
+      .select(col("event_id"), col("user_id"),
+        pmod(col("user_id"), lit(8)).cast("int").as("u_bucket"))
+    ev.write.mode("overwrite").partitionBy("u_bucket").parquet(base)
+    // simulate a previous run that crashed mid-overwrite: its staging
+    // subdir (the survivors' only copy in that scenario) is on disk
+    val leftover = new java.io.File(s"$staging/run_0000/part-survivors.parquet")
+    leftover.getParentFile.mkdirs()
+    java.nio.file.Files.write(leftover.toPath, "survivors".getBytes)
+
+    val keys = Seq(7L, 23L).toDF("user_id")
+    Layout.targetedDelete(spark, base, "u_bucket", "user_id", keys, 8, staging)
+    // the rerun staged under its own run_<nanos> dir and cleaned ONLY
+    // that; the crashed run's copy is untouched for recovery
+    assert(leftover.exists(), "rerun clobbered a prior run's staging dir")
+    assert(new java.io.File(staging).listFiles().map(_.getName).sorted
+      .sameElements(Array("run_0000")),
+      "completed rerun left its own staging dir behind")
+    // and a second rerun over the already-deleted keys converges
+    val afterFirst = spark.read.parquet(base).count()
+    Layout.targetedDelete(spark, base, "u_bucket", "user_id", keys, 8, staging)
+    val after = spark.read.parquet(base)
+    assert(after.count() == afterFirst)
+    assert(after.where(col("user_id").isin(7L, 23L)).count() == 0)
+    assert(leftover.exists())
+  }
+
   test("j13 plan carries the bloom might_contain probe on the fact side") {
     val df = SparkEntry.queries("j13_bloom_pruned_join")(spark, sf01)
     // the registry helper forces planning while the bloom confs hold

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import graft.SparkTestBase
+
+/** Scale-shape + numeric-edge laws for the streaming operators that
+  * the sfDir oracle compare cannot articulate: the upsert merge must
+  * keep the TARGET out of every per-batch shuffle (the 100 TB
+  * contract), and tier emission must agree with the DuckDB oracle on
+  * refunds (negative values) the non-negative fixture never
+  * exercises. */
+class StreamingSemanticsSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  test("mergeBatch: untouched target bulk flows scan→anti→union, no shuffle") {
+    val base = graft.sources.Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_id", "event_type", "value", "ts")
+    val prevDir = graft.sources.Ingest.fixtureDir(sfDir) + "/merge_prev_spec"
+    StreamingOps.latestPerUser(base.where(col("event_id") % 3 =!= 0))
+      .write.mode("overwrite").parquet(prevDir)
+    val prev = spark.read.parquet(prevDir)
+    val incoming = StreamingOps.latestPerUser(base.where(col("event_id") % 3 === 0))
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val merged = StreamingOps.mergeBatch(prev, incoming)
+      val plan = merged.queryExecution.executedPlan
+      // the target passes through a broadcast anti join (batch keys
+      // build side), and that anti join's OUTPUT never re-shuffles:
+      // no ShuffleExchange holds the anti join in its subtree
+      val antis = plan.collect {
+        case j: BroadcastHashJoinExec if j.joinType == LeftAnti => j }
+      assert(antis.size == 1, s"expected 1 broadcast anti join:\n$plan")
+      val shufflesOverAnti = plan.collect {
+        case e: ShuffleExchangeExec if e.collectFirst {
+          case j: BroadcastHashJoinExec if j.joinType == LeftAnti => j
+        }.nonEmpty => e
+      }
+      assert(shufflesOverAnti.isEmpty,
+        s"target bulk re-shuffles above the anti join — O(target) merge:\n$plan")
+      // only the contested slice (broadcast semi) re-enters the
+      // latest-wins aggregate
+      val semis = plan.collect {
+        case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j }
+      assert(semis.size == 1, s"expected 1 broadcast semi join:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    // semantics: identical to the naive full re-aggregation
+    val merged = StreamingOps.mergeBatch(prev, incoming)
+    val naive = StreamingOps.latestPerUser(prev.unionByName(incoming))
+    assert(merged.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(merged).count() == 0)
+  }
+
+  private def ev(id: Long, v: Double) =
+    ThresholdEmit.EventRow(id, new java.sql.Timestamp(id * 60000L), 1L, v)
+
+  test("toCents rounds ties half-away-from-zero (DuckDB round), not half-up") {
+    assert(ThresholdEmit.toCents(2.125) == 213)   // 212.5 → away from zero
+    assert(ThresholdEmit.toCents(-2.125) == -213) // math.round gives -212
+    assert(ThresholdEmit.toCents(-0.005) == -1)   // math.round gives 0
+    assert(ThresholdEmit.toCents(490.02) == 49002)
+    assert(ThresholdEmit.toCents(-490.02) == -49002)
+  }
+
+  test("refund semantics: only positive tiers emit; re-crossing re-emits") {
+    // deposit 1500 → tier 1; refund 600 (cum 900, no emission);
+    // deposit 200 (cum 1100) → tier 1 crossed AGAIN from below
+    val (cum1, out1) = ThresholdEmit.foldCrossings(1L,
+      Seq(ev(1, 1500.00), ev(2, -600.00), ev(3, 200.00)), 0L)
+    assert(cum1 == 110000L)
+    assert(out1.map(c => (c.event_id, c.tier)) == Seq((1L, 1L), (3L, 1L)))
+
+    // a dip below zero emits nothing on the way down and no tier <= 0
+    // on the way back up (the DuckDB oracle's `tier >= 1` filter)
+    val (cum2, out2) = ThresholdEmit.foldCrossings(1L,
+      Seq(ev(1, -1500.00), ev(2, 2700.00), ev(3, 900.00)), 0L)
+    assert(cum2 == 210000L)
+    assert(out2.map(c => (c.event_id, c.tier)) == Seq((2L, 1L), (3L, 2L)))
+
+    // state round-trip: a later batch resumes from the stored cum
+    val (cum3, out3) = ThresholdEmit.foldCrossings(1L, Seq(ev(4, 1000.00)), cum2)
+    assert(cum3 == 310000L && out3.map(_.tier) == Seq(3L))
+  }
+}
