@@ -228,6 +228,98 @@ object RegistryGold {
           countDistinct(col("o_custkey")).as("n_customers"))
         .orderBy("month")),
 
+    // ---- Real Vietnamese-diacritics semantics (round-6/7 verdict ask
+    // #1). The medallion chain transliterates to ASCII for byte-stable
+    // tables (SURVEY §7.4); these three witnesses run the reference's
+    // LITERAL unicode predicates — non-ASCII LIKE, Unicode
+    // case-mapping, diacritic initcap — on strings derived
+    // deterministically from harness keys, with the DuckDB oracle
+    // rebuilding the same strings from the same keys.
+
+    // F6/unicode: the ACTUAL price CASE (stg_properties.sql:63-85) —
+    // LIKE '%tỷ%' / '%triệu%' / '%thỏa thuận%' / '%liên hệ%' over
+    // genuinely diacritic price strings. The ' TỶ' branch normalizes
+    // only if lower() really case-maps Ỷ→ỷ; 'Thỏa thuận'/'Liên hệ'
+    // exercise mixed-case diacritics through the null branch.
+    "f6_unicode_price_case" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val pi = (floor(col("o_totalprice")).cast("long") % 900 + 1).cast("string")
+      val pd = (col("o_orderkey") % 10).cast("string")
+      val piTrieu = ((floor(col("o_totalprice")).cast("long") % 900 + 1) * 1000 +
+        (col("o_orderkey") % 10) * 100).cast("string")
+      val raw = o.select(col("o_orderkey").as("listing_id"),
+        when(col("o_orderkey") % 5 === 0, concat(pi, lit(","), pd, lit(" tỷ")))
+          .when(col("o_orderkey") % 5 === 1, concat(piTrieu, lit(" triệu")))
+          .when(col("o_orderkey") % 5 === 2, lit("Thỏa thuận"))
+          .when(col("o_orderkey") % 5 === 3, lit("Liên hệ"))
+          .otherwise(concat(pi, lit("."), pd, lit(" TỶ"))).as("price_raw"))
+      val num = regexp_replace(
+        regexp_extract(col("price_raw"), "([0-9][0-9,\\.]*)", 1), ",", ".")
+        .try_cast("double")
+      raw.select(col("listing_id"), col("price_raw"),
+        when(lower(col("price_raw")).like("%tỷ%"), num)
+          .when(lower(col("price_raw")).like("%triệu%"), num / 1000.0)
+          .when(lower(col("price_raw")).like("%thỏa thuận%") ||
+            lower(col("price_raw")).like("%liên hệ%"), lit(null).cast("double"))
+          .otherwise(num).as("price_in_billions"),
+        when(lower(col("price_raw")).like("%thỏa thuận%") ||
+          lower(col("price_raw")).like("%liên hệ%"), "MISSING_PRICE")
+          .otherwise("VALID").as("data_quality_flag"))
+        .orderBy("listing_id")
+    }),
+
+    // F6/unicode: the legal-status categorizer with its literal
+    // predicates (dim_legal_status.sql:25-53) — lower() must case-map
+    // Đ→đ, Ổ→ổ, Ồ→ồ, Ư→ư before the '%sổ đỏ%' / '%sổ hồng%' /
+    // '%sổ riêng%' / '%đang chờ%' / '%chưa có%' LIKEs. md5 surrogate
+    // stands in for the engine-private hash (F5 witnesses that shape
+    // rows-only); groupBy additionally proves unicode grouping keys.
+    "f6_unicode_legal_status" -> ((s, dir) => {
+      val status = when(col("c_custkey") % 7 === 0, "Sổ đỏ chính chủ")
+        .when(col("c_custkey") % 7 === 1, "Đã có sổ hồng")
+        .when(col("c_custkey") % 7 === 2, "Sổ riêng từng căn")
+        .when(col("c_custkey") % 7 === 3, "Đang chờ cấp sổ")
+        .when(col("c_custkey") % 7 === 4, "CHƯA CÓ giấy tờ")
+        .when(col("c_custkey") % 7 === 5, "Giấy tờ viết tay")
+        .otherwise(lit(null).cast("string"))
+      val cat = when(lower(col("legal_status")).like("%sổ đỏ%") ||
+          lower(col("legal_status")).like("%sổ hồng%"), "Có sổ đỏ/hồng")
+        .when(lower(col("legal_status")).like("%sổ riêng%"), "Có sổ riêng")
+        .when(lower(col("legal_status")).like("%đang chờ%") ||
+          lower(col("legal_status")).like("%chưa có%"), "Chưa có sổ")
+        .when(col("legal_status").isNull, "Không rõ")
+        .otherwise("Khác")
+      Tables.load(s, dir, "customer")
+        .select(status.as("legal_status"))
+        .groupBy("legal_status").agg(count(lit(1)).as("n_listings"))
+        .select(col("legal_status"),
+          md5(col("legal_status")).as("legal_status_id"),
+          cat.as("legal_status_category"), col("n_listings"))
+        .orderBy(coalesce(col("legal_status"), lit("")))
+    }),
+
+    // F6/unicode: initcap/lower/upper + whitespace-collapse over
+    // diacritic addresses (stg_properties.sql:88-95
+    // `initcap(trim(regexp_replace(address, '\s+', ' ')))`): Unicode
+    // title-casing must agree byte-for-byte with the oracle's
+    // character-sliced emulation (DuckDB 1.0 has no initcap).
+    "f6_unicode_initcap_address" -> ((s, dir) => {
+      val ward = when(col("c_custkey") % 3 === 0, "BẾN THÀNH")
+        .when(col("c_custkey") % 3 === 1, "cầu ông lãnh")
+        .otherwise("Đa Kao")
+      val addrRaw = concat(
+        lit("  số "), (col("c_custkey") % 99 + 1).cast("string"),
+        lit("   đường TRẦN HƯNG ĐẠO,  phường "), ward,
+        lit(" ,  quận "), (col("c_custkey") % 12 + 1).cast("string"),
+        lit(", THÀNH PHỐ hồ chí minh  "))
+      val collapsed = trim(regexp_replace(addrRaw, "\\s+", " "))
+      Tables.load(s, dir, "customer").select(col("c_custkey"),
+        initcap(collapsed).as("address"),
+        lower(collapsed).as("address_lower"),
+        upper(collapsed).as("address_upper"))
+        .orderBy("c_custkey")
+    }),
+
     // dbt-test equivalents over silver (SURVEY §5) — single-pass report.
     "quality_report_checks" -> ((s, dir) =>
       Quality.report(silver(s, dir),
@@ -331,6 +423,83 @@ object RegistryGold {
       """SELECT cast(date_trunc('month', o_orderdate) AS DATE) AS month,
                 count(*) AS n, count(DISTINCT o_custkey) AS n_customers
          FROM orders GROUP BY 1 ORDER BY month""",
+    "f6_unicode_price_case" ->
+      """WITH raw AS (
+           SELECT o_orderkey AS listing_id,
+                  CASE
+                    WHEN o_orderkey % 5 = 0 THEN
+                      cast(cast(floor(o_totalprice) AS BIGINT) % 900 + 1 AS VARCHAR)
+                      || ',' || cast(o_orderkey % 10 AS VARCHAR) || ' tỷ'
+                    WHEN o_orderkey % 5 = 1 THEN
+                      cast((cast(floor(o_totalprice) AS BIGINT) % 900 + 1) * 1000
+                           + (o_orderkey % 10) * 100 AS VARCHAR) || ' triệu'
+                    WHEN o_orderkey % 5 = 2 THEN 'Thỏa thuận'
+                    WHEN o_orderkey % 5 = 3 THEN 'Liên hệ'
+                    ELSE cast(cast(floor(o_totalprice) AS BIGINT) % 900 + 1 AS VARCHAR)
+                         || '.' || cast(o_orderkey % 10 AS VARCHAR) || ' TỶ'
+                  END AS price_raw
+           FROM orders),
+         n AS (SELECT listing_id, price_raw,
+                      try_cast(replace(regexp_extract(price_raw,
+                        '([0-9][0-9,\.]*)', 1), ',', '.') AS DOUBLE) AS num
+               FROM raw)
+         SELECT listing_id, price_raw,
+                CASE
+                  WHEN lower(price_raw) LIKE '%tỷ%' THEN num
+                  WHEN lower(price_raw) LIKE '%triệu%' THEN num / 1000
+                  WHEN lower(price_raw) LIKE '%thỏa thuận%'
+                    OR lower(price_raw) LIKE '%liên hệ%' THEN NULL
+                  ELSE num
+                END AS price_in_billions,
+                CASE WHEN lower(price_raw) LIKE '%thỏa thuận%'
+                       OR lower(price_raw) LIKE '%liên hệ%' THEN 'MISSING_PRICE'
+                     ELSE 'VALID' END AS data_quality_flag
+         FROM n ORDER BY listing_id""",
+    "f6_unicode_legal_status" ->
+      """WITH s AS (
+           SELECT CASE
+                    WHEN c_custkey % 7 = 0 THEN 'Sổ đỏ chính chủ'
+                    WHEN c_custkey % 7 = 1 THEN 'Đã có sổ hồng'
+                    WHEN c_custkey % 7 = 2 THEN 'Sổ riêng từng căn'
+                    WHEN c_custkey % 7 = 3 THEN 'Đang chờ cấp sổ'
+                    WHEN c_custkey % 7 = 4 THEN 'CHƯA CÓ giấy tờ'
+                    WHEN c_custkey % 7 = 5 THEN 'Giấy tờ viết tay'
+                    ELSE NULL END AS legal_status
+           FROM customer),
+         g AS (SELECT legal_status, count(*) AS n_listings
+               FROM s GROUP BY legal_status)
+         SELECT legal_status, md5(legal_status) AS legal_status_id,
+                CASE
+                  WHEN lower(legal_status) LIKE '%sổ đỏ%'
+                    OR lower(legal_status) LIKE '%sổ hồng%' THEN 'Có sổ đỏ/hồng'
+                  WHEN lower(legal_status) LIKE '%sổ riêng%' THEN 'Có sổ riêng'
+                  WHEN lower(legal_status) LIKE '%đang chờ%'
+                    OR lower(legal_status) LIKE '%chưa có%' THEN 'Chưa có sổ'
+                  WHEN legal_status IS NULL THEN 'Không rõ'
+                  ELSE 'Khác'
+                END AS legal_status_category,
+                n_listings
+         FROM g ORDER BY coalesce(legal_status, '')""",
+    "f6_unicode_initcap_address" ->
+      """WITH raw AS (
+           SELECT c_custkey,
+                  '  số ' || cast(c_custkey % 99 + 1 AS VARCHAR)
+                  || '   đường TRẦN HƯNG ĐẠO,  phường '
+                  || CASE WHEN c_custkey % 3 = 0 THEN 'BẾN THÀNH'
+                          WHEN c_custkey % 3 = 1 THEN 'cầu ông lãnh'
+                          ELSE 'Đa Kao' END
+                  || ' ,  quận ' || cast(c_custkey % 12 + 1 AS VARCHAR)
+                  || ', THÀNH PHỐ hồ chí minh  ' AS address_raw
+           FROM customer),
+         c AS (SELECT c_custkey,
+                      trim(regexp_replace(address_raw, '\s+', ' ', 'g')) AS collapsed
+               FROM raw)
+         SELECT c_custkey,
+                array_to_string(list_transform(string_split(lower(collapsed), ' '),
+                  w -> upper(w[1]) || w[2:]), ' ') AS address,
+                lower(collapsed) AS address_lower,
+                upper(collapsed) AS address_upper
+         FROM c ORDER BY c_custkey""",
     "quality_report_checks" -> (chainSql +
       """SELECT check_name, n_violations FROM (
            SELECT 'not_null_property_id' AS check_name,
