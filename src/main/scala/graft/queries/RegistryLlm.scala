@@ -697,6 +697,18 @@ object RegistryLlm {
           Multimodal.attachMedia(docs(s, dir), "doc_id", "text"))
         .orderBy("media_id")),
 
+    // REAL image decode (round-7 verdict stretch #8): genuine 24bpp
+    // BMP blobs are encoded per customer key (Multimodal.encodeBmp),
+    // then decoded by parsing the actual container — header walk, BGR
+    // order, bottom-up rows, stride padding. Pixels are pure functions
+    // of (id, x, y), so the DuckDB oracle recomputes the expected
+    // channel statistics WITHOUT a BMP parser: any container-layout
+    // bug in either codec half breaks the hash match.
+    "multimodal_bmp_decode" -> ((s, dir) =>
+      Multimodal.decodeBmpStats(
+          Multimodal.bmpCorpus(Tables.load(s, dir, "customer"), "c_custkey"))
+        .orderBy("media_id")),
+
     // Multimodal frame-sample + resize (video/audio verb shape with a
     // stubbed kernel): slice payload into 64-byte frames, keep every
     // 3rd, pad-to-width "resize".
@@ -1588,6 +1600,26 @@ object RegistryLlm {
                     i -> cast(ascii(substr(text, cast(i AS INTEGER), 1)) AS BIGINT)),
                   (acc, x) -> (acc * 131 + x) % 1000000007), 0) AS checksum
          FROM documents ORDER BY media_id""",
+    "multimodal_bmp_decode" ->
+      """WITH k AS (SELECT c_custkey AS media_id,
+                           c_custkey % 6 + 2 AS w, c_custkey % 4 + 2 AS h
+                    FROM customer),
+         xs AS (SELECT unnest(range(0, 8)) AS x),
+         ys AS (SELECT unnest(range(0, 6)) AS y),
+         px AS (SELECT media_id, w, h, x, y
+                FROM k CROSS JOIN xs CROSS JOIN ys
+                WHERE x < w AND y < h)
+         SELECT media_id,
+                cast(max(w) AS INTEGER) AS width,
+                cast(max(h) AS INTEGER) AS height,
+                24 AS bpp,
+                cast(sum((media_id + 3 * (y * w + x)) % 256) AS BIGINT) AS sum_r,
+                cast(sum((media_id * 5 + y + x) % 256) AS BIGINT) AS sum_g,
+                cast(sum((media_id * 11 + y * x) % 256) AS BIGINT) AS sum_b,
+                cast(max(CASE WHEN x = w - 1 AND y = 0
+                              THEN (media_id + 3 * (y * w + x)) % 256 END)
+                     AS INTEGER) AS topright_r
+         FROM px GROUP BY media_id ORDER BY media_id""",
     "multimodal_frame_sample" ->
       """WITH idx AS (SELECT unnest(range(0, 16)) AS frame_idx),
          frames AS (

@@ -143,4 +143,34 @@ class TextMultimodalSpec extends AnyFunSuite {
       .as[String].collect().toSeq
     assert(out == cases.map(_._2))
   }
+
+  test("BMP decode recovers the generative pixel stats from real containers") {
+    import graft.operators.Multimodal
+    // widths 2..7 cover every stride-padding case (w*3 % 4 = 2,1,0,3,2,1)
+    for (id <- 1L to 24L) {
+      val w = (id % 6 + 2).toInt; val h = (id % 4 + 2).toInt
+      val bytes = Multimodal.encodeBmp(id, w, h)
+      assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+      val (dw, dh, bpp, sr, sg, sb, tr) = Multimodal.decodeBmp(bytes)
+      assert((dw, dh, bpp) == (w, h, 24))
+      val px = for (y <- 0 until h; x <- 0 until w) yield (x, y)
+      assert(sr == px.map { case (x, y) => Multimodal.redAt(id, x, y, w).toLong }.sum)
+      assert(sg == px.map { case (x, y) => Multimodal.greenAt(id, x, y, w).toLong }.sum)
+      assert(sb == px.map { case (x, y) => Multimodal.blueAt(id, x, y, w).toLong }.sum)
+      // orientation witness: image-space (w-1, 0) — a decoder that
+      // forgets bottom-up row order reads the wrong stored row
+      assert(tr == Multimodal.redAt(id, w - 1, 0, w))
+    }
+  }
+
+  test("BMP decode rejects non-BMP and truncated payloads") {
+    import graft.operators.Multimodal
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp("not an image at all, just text bytes ......".getBytes)
+    }
+    val ok = Multimodal.encodeBmp(7L, 5, 4)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp(ok.take(ok.length - 8)) // truncated pixel array
+    }
+  }
 }
