@@ -707,6 +707,15 @@ object RegistryExtra {
       graft.streaming.ThresholdEmit.tierCrossings(s, dir)
         .orderBy("user_id", "tier")),
 
+    // transformWithState (state API v2, the CURRENT arbitrary-state
+    // API): named typed state cells (2× ValueState + MapState) under
+    // the RocksDB provider, state persisted across three real
+    // micro-batches; per-batch progress rows fold to an
+    // order-independent final shape (monotone measures → max).
+    "stream_transform_with_state" -> ((s, dir) =>
+      graft.streaming.TransformWithStateOps.runningSpend(s, dir)
+        .orderBy("user_id")),
+
     // Stream-STREAM time-range join: per-user click→purchase
     // attribution pairs within a 1-day horizon, aggregated per user
     // from the append-sink read-back.
@@ -843,6 +852,17 @@ object RegistryExtra {
            SELECT *, row_number() OVER (PARTITION BY user_id
              ORDER BY ts DESC, event_id DESC) AS rn FROM events)
          WHERE rn = 1 ORDER BY user_id""",
+    "stream_transform_with_state" ->
+      """WITH e AS (
+           SELECT user_id, event_type, event_id % 3 AS grp,
+                  cast(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+         SELECT user_id,
+                cast(sum(cents) AS BIGINT) AS total_cents,
+                count(*) AS n_events,
+                cast(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                cast(count(DISTINCT grp) AS BIGINT) AS n_batches
+         FROM e GROUP BY user_id ORDER BY user_id""",
     "o5_recursive_cte" ->
       """WITH RECURSIVE tree AS (
            SELECT cast(1 AS BIGINT) AS k, 0 AS depth

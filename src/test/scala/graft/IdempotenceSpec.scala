@@ -64,6 +64,10 @@ class IdempotenceSpec extends AnyFunSuite {
     runTwice("stream_threshold_emit")
   }
 
+  test("transformWithState query is re-runnable (nonced source/sink/checkpoint)") {
+    runTwice("stream_transform_with_state")
+  }
+
   test("zorder layout query is re-runnable (clustered dir overwritten)") {
     runTwice("s15_zorder_layout")
   }
