@@ -99,6 +99,94 @@ object RealEstate {
   private def try_cast_double(c: Column): Column =
     c.try_cast("double") // lenient: garbage -> NULL (ANSI-safe, SURVEY §7.1)
 
+  /** Fully-diacritic raw feed — the reference crawl's ACTUAL shape
+    * (unicode price strings, separate ward/district/province fields,
+    * Vietnamese floor counts, legal statuses needing initcap),
+    * deterministic in the harness keys so the DuckDB oracle rebuilds
+    * it from the same tables. Together with [[silverUnicode]] this is
+    * the end-to-end unicode twin of the ASCII-safe chain above. */
+  def rawListingsUnicode(orders: DataFrame, customer: DataFrame,
+                         nation: DataFrame, region: DataFrame): DataFrame = {
+    val pi = (floor(col("o_totalprice")).cast("long") % 900 + 1).cast("string")
+    val pd = (col("o_orderkey") % 10).cast("string")
+    val piTrieu = ((floor(col("o_totalprice")).cast("long") % 900 + 1) * 1000 +
+      (col("o_orderkey") % 10) * 100).cast("string")
+    val tySuffix = when(col("o_orderkey") % 2 === 0, " tỷ").otherwise(" TỶ")
+    graft.sources.Tables.scaled(orders)
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("o_orderkey").cast("string").as("listing_id"),
+        concat(lit("  nhà "), col("c_mktsegment"), lit("   số "),
+          (col("o_orderkey") % 50).cast("string"), lit("  ")).as("title_raw"),
+        when(col("o_orderkey") % 5 === 0, concat(pi, lit(","), pd, tySuffix))
+          .when(col("o_orderkey") % 5 === 1, concat(piTrieu, lit(" triệu")))
+          .when(col("o_orderkey") % 5 === 2, lit("Thỏa thuận"))
+          .when(col("o_orderkey") % 5 === 3, lit("Liên hệ"))
+          .otherwise(concat(pi, lit("."), pd)).as("price_raw"),
+        when(col("o_custkey") % 7 === 6, lit(null).cast("string"))
+          .otherwise(concat((col("o_custkey") % 300 + 10).cast("string"),
+            lit(" m²"))).as("area_raw"),
+        concat((col("o_orderkey") % 5 + 1).cast("string"), lit(" tầng"))
+          .as("floors_raw"),
+        concat(lit("  số "), (col("o_custkey") % 99 + 1).cast("string"),
+          lit("   đường "), col("c_name"), lit(",  "), col("n_name"),
+          lit("  ")).as("address_raw"),
+        concat(lit("phường   BẾN "), col("n_name")).as("ward_raw"),
+        concat(lit("QUẬN "), (col("o_custkey") % 12 + 1).cast("string"))
+          .as("district_raw"),
+        when(col("c_nationkey") % 2 === 0, "THÀNH PHỐ hồ chí minh")
+          .otherwise("hà nội").as("province_raw"),
+        when(col("o_orderkey") % 11 === 0, lit(null).cast("string"))
+          .otherwise(when(col("o_custkey") % 7 === 0, "sổ đỏ chính chủ")
+            .when(col("o_custkey") % 7 === 1, "đã có sổ hồng")
+            .when(col("o_custkey") % 7 === 2, "sổ riêng từng căn")
+            .when(col("o_custkey") % 7 === 3, "đang chờ cấp sổ")
+            .when(col("o_custkey") % 7 === 4, " giấy tờ viết tay ")
+            .otherwise("hợp đồng mua bán")).as("legal_raw"),
+        col("o_orderdate").as("updated_at_ts"))
+  }
+
+  /** The silver transform with the reference's LITERAL unicode
+    * semantics, expression for expression (stg_properties.sql:34-102):
+    * the price CASE in the reference's branch order (tỷ → triệu →
+    * thỏa thuận/liên hệ → else PARSES the bare number), diacritic
+    * `initcap(trim(regexp_replace(x,'\s+',' ')))` over address/ward/
+    * district/province, `initcap(trim(...))` over legal_status, and
+    * the reference's quality-flag branch order (price first). */
+  def silverUnicode(raw: DataFrame): DataFrame = {
+    def normInitcap(c: Column): Column =
+      initcap(trim(regexp_replace(c, "\\s+", " ")))
+    val num = try_to_number_like(col("price_raw"))
+    raw.select(
+      md5(col("listing_id")).as("property_id"),
+      normInitcap(col("title_raw")).as("title"),
+      when(lower(col("price_raw")).like("%tỷ%"), num)
+        .when(lower(col("price_raw")).like("%triệu%"), num / 1000.0)
+        .when(lower(col("price_raw")).like("%thỏa thuận%") ||
+          lower(col("price_raw")).like("%liên hệ%"), lit(null).cast("double"))
+        .otherwise(num).as("price_in_billions"),
+      try_cast_double(regexp_replace(
+        regexp_extract(col("area_raw"), "([0-9][0-9,\\.]*)", 1), ",", "."))
+        .as("area"),
+      regexp_extract(col("floors_raw"), "([0-9]+)", 1).try_cast("int")
+        .as("floors"),
+      normInitcap(col("address_raw")).as("address"),
+      normInitcap(col("ward_raw")).as("ward"),
+      normInitcap(col("district_raw")).as("district"),
+      normInitcap(col("province_raw")).as("province"),
+      initcap(trim(col("legal_raw"))).as("legal_status"),
+      col("updated_at_ts"),
+      date_trunc("day", col("updated_at_ts")).cast("date").as("date_key"),
+      when(col("price_raw").isNull ||
+        lower(col("price_raw")).like("%thỏa thuận%") ||
+        lower(col("price_raw")).like("%liên hệ%"), "MISSING_PRICE")
+        .when(col("address_raw").isNull || trim(col("address_raw")) === "",
+          "MISSING_ADDRESS")
+        .otherwise("VALID").as("data_quality_flag"))
+  }
+
   /** Numeric token out of a messy price string: first `[0-9][0-9,.]*`
     * run, decimal-comma fixed (stg_properties.sql:45-47,63-84). */
   private def try_to_number_like(c: Column): Column =

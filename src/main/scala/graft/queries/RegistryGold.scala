@@ -320,6 +320,19 @@ object RegistryGold {
         .orderBy("c_custkey")
     }),
 
+    // F6/unicode END-TO-END: the whole silver transform with the
+    // reference's literal unicode semantics over a fully-diacritic
+    // raw feed — stg_properties.sql:34-102 verbatim: price CASE in
+    // reference branch order (tỷ → triệu → thỏa thuận/liên hệ →
+    // else PARSES the bare number), diacritic initcap over four
+    // address fields, initcap'd legal status, reference quality-flag
+    // branch order (price checked before address).
+    "f6_unicode_silver_chain" -> ((s, dir) =>
+      RealEstate.silverUnicode(RealEstate.rawListingsUnicode(
+          Tables.load(s, dir, "orders"), Tables.load(s, dir, "customer"),
+          Tables.load(s, dir, "nation"), Tables.load(s, dir, "region")))
+        .orderBy("property_id")),
+
     // dbt-test equivalents over silver (SURVEY §5) — single-pass report.
     "quality_report_checks" -> ((s, dir) =>
       Quality.report(silver(s, dir),
@@ -480,6 +493,90 @@ object RegistryGold {
                 END AS legal_status_category,
                 n_listings
          FROM g ORDER BY coalesce(legal_status, '')""",
+    "f6_unicode_silver_chain" ->
+      """WITH raw AS (
+           SELECT cast(o_orderkey AS VARCHAR) AS listing_id,
+                  '  nhà ' || c_mktsegment || '   số '
+                    || cast(o_orderkey % 50 AS VARCHAR) || '  ' AS title_raw,
+                  CASE
+                    WHEN o_orderkey % 5 = 0 THEN
+                      cast(cast(floor(o_totalprice) AS BIGINT) % 900 + 1 AS VARCHAR)
+                      || ',' || cast(o_orderkey % 10 AS VARCHAR)
+                      || (CASE WHEN o_orderkey % 2 = 0 THEN ' tỷ' ELSE ' TỶ' END)
+                    WHEN o_orderkey % 5 = 1 THEN
+                      cast((cast(floor(o_totalprice) AS BIGINT) % 900 + 1) * 1000
+                           + (o_orderkey % 10) * 100 AS VARCHAR) || ' triệu'
+                    WHEN o_orderkey % 5 = 2 THEN 'Thỏa thuận'
+                    WHEN o_orderkey % 5 = 3 THEN 'Liên hệ'
+                    ELSE cast(cast(floor(o_totalprice) AS BIGINT) % 900 + 1 AS VARCHAR)
+                         || '.' || cast(o_orderkey % 10 AS VARCHAR)
+                  END AS price_raw,
+                  CASE WHEN o_custkey % 7 = 6 THEN NULL
+                       ELSE cast(o_custkey % 300 + 10 AS VARCHAR) || ' m²'
+                  END AS area_raw,
+                  cast(o_orderkey % 5 + 1 AS VARCHAR) || ' tầng' AS floors_raw,
+                  '  số ' || cast(o_custkey % 99 + 1 AS VARCHAR) || '   đường '
+                    || c_name || ',  ' || n_name || '  ' AS address_raw,
+                  'phường   BẾN ' || n_name AS ward_raw,
+                  'QUẬN ' || cast(o_custkey % 12 + 1 AS VARCHAR) AS district_raw,
+                  CASE WHEN c_nationkey % 2 = 0 THEN 'THÀNH PHỐ hồ chí minh'
+                       ELSE 'hà nội' END AS province_raw,
+                  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                       WHEN o_custkey % 7 = 0 THEN 'sổ đỏ chính chủ'
+                       WHEN o_custkey % 7 = 1 THEN 'đã có sổ hồng'
+                       WHEN o_custkey % 7 = 2 THEN 'sổ riêng từng căn'
+                       WHEN o_custkey % 7 = 3 THEN 'đang chờ cấp sổ'
+                       WHEN o_custkey % 7 = 4 THEN ' giấy tờ viết tay '
+                       ELSE 'hợp đồng mua bán' END AS legal_raw,
+                  o_orderdate AS updated_at_ts
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         c AS (SELECT *,
+                      try_cast(replace(regexp_extract(price_raw,
+                        '([0-9][0-9,\.]*)', 1), ',', '.') AS DOUBLE) AS num,
+                      lower(trim(regexp_replace(title_raw, '\s+', ' ', 'g'))) AS title_lc,
+                      lower(trim(regexp_replace(address_raw, '\s+', ' ', 'g'))) AS addr_lc,
+                      lower(trim(regexp_replace(ward_raw, '\s+', ' ', 'g'))) AS ward_lc,
+                      lower(trim(regexp_replace(district_raw, '\s+', ' ', 'g'))) AS dist_lc,
+                      lower(trim(regexp_replace(province_raw, '\s+', ' ', 'g'))) AS prov_lc,
+                      lower(trim(legal_raw)) AS legal_lc
+               FROM raw)
+         SELECT md5(listing_id) AS property_id,
+                array_to_string(list_transform(string_split(title_lc, ' '),
+                  w -> upper(w[1]) || w[2:]), ' ') AS title,
+                CASE
+                  WHEN lower(price_raw) LIKE '%tỷ%' THEN num
+                  WHEN lower(price_raw) LIKE '%triệu%' THEN num / 1000
+                  WHEN lower(price_raw) LIKE '%thỏa thuận%'
+                    OR lower(price_raw) LIKE '%liên hệ%' THEN NULL
+                  ELSE num
+                END AS price_in_billions,
+                try_cast(replace(regexp_extract(area_raw,
+                  '([0-9][0-9,\.]*)', 1), ',', '.') AS DOUBLE) AS area,
+                try_cast(regexp_extract(floors_raw, '([0-9]+)', 1) AS INTEGER) AS floors,
+                array_to_string(list_transform(string_split(addr_lc, ' '),
+                  w -> upper(w[1]) || w[2:]), ' ') AS address,
+                array_to_string(list_transform(string_split(ward_lc, ' '),
+                  w -> upper(w[1]) || w[2:]), ' ') AS ward,
+                array_to_string(list_transform(string_split(dist_lc, ' '),
+                  w -> upper(w[1]) || w[2:]), ' ') AS district,
+                array_to_string(list_transform(string_split(prov_lc, ' '),
+                  w -> upper(w[1]) || w[2:]), ' ') AS province,
+                array_to_string(list_transform(string_split(legal_lc, ' '),
+                  w -> upper(w[1]) || w[2:]), ' ') AS legal_status,
+                updated_at_ts,
+                cast(date_trunc('day', updated_at_ts) AS DATE) AS date_key,
+                CASE
+                  WHEN price_raw IS NULL
+                    OR lower(price_raw) LIKE '%thỏa thuận%'
+                    OR lower(price_raw) LIKE '%liên hệ%' THEN 'MISSING_PRICE'
+                  WHEN address_raw IS NULL OR trim(address_raw) = ''
+                    THEN 'MISSING_ADDRESS'
+                  ELSE 'VALID'
+                END AS data_quality_flag
+         FROM c ORDER BY property_id""",
     "f6_unicode_initcap_address" ->
       """WITH raw AS (
            SELECT c_custkey,
