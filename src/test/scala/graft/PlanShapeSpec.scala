@@ -132,4 +132,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian product in semdedup:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in semdedup:\n$p")
   }
+
+  test("f6_unicode_silver_chain: broadcast star + projection, one sort exchange") {
+    // The unicode silver chain is expression-dense but shuffle-light:
+    // three broadcast dim joins feed a pure projection; the ONLY
+    // hash/range exchange is the registry output's global sort.
+    // Unicode LIKE/initcap must not push anything off the codegen path
+    // into extra shuffles.
+    val p = planOf("f6_unicode_silver_chain")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj == 3, s"expected 3 broadcast dim joins, found $bhj:\n$p")
+    // non-broadcast exchanges: Tables.scaled's round-robin + the
+    // output sort's range partitioning — and nothing else
+    val shuffles = "(?<!Broadcast)Exchange ".r.findAllIn(p).size
+    assert(shuffles == 2,
+      s"unicode silver chain grew unexpected shuffles ($shuffles):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join fell to SMJ:\n$p")
+  }
 }
