@@ -134,8 +134,21 @@ object Layout {
     }
     // Validate the landed table before dropping the staged copy: the
     // affected partitions must now hold exactly the staged survivors.
-    val landed = spark.read.parquet(tableDir)
-      .where(col(partCol).isin(affected.toIndexedSeq: _*)).count()
+    // Zero survivors = nothing was overwritten and the cleanup above
+    // removed every affected dir (possibly leaving the table with no
+    // files at all, where a parquet read would fail on schema
+    // inference) — validate by the dirs' absence instead.
+    val landed =
+      if (stagedCount == 0) {
+        val lingering = affected.filter(b =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$tableDir/$partCol=$b")))
+        require(lingering.isEmpty,
+          s"targetedDelete validation failed: zero survivors staged but " +
+            s"partition dirs ${lingering.mkString(",")} still exist; " +
+            s"staging retained at $runStaging for recovery")
+        0L
+      } else spark.read.parquet(tableDir)
+        .where(col(partCol).isin(affected.toIndexedSeq: _*)).count()
     require(landed == stagedCount,
       s"targetedDelete validation failed: staged $stagedCount survivor rows " +
         s"but affected partitions hold $landed after overwrite; staging " +

@@ -179,9 +179,15 @@ object Multimodal {
     val bpp = buf.getShort(28).toInt
     val comp = buf.getInt(30)
     require(bpp == 24 && comp == 0, s"unsupported BMP variant: bpp=$bpp compression=$comp")
-    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    // hostile-header hardening: bound the fields BEFORE any address
+    // arithmetic (a huge w*h would overflow Int and skip the length
+    // check; a sub-header offset would read header bytes as pixels)
+    require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20),
+      s"bad dimensions ${w}x$h")
+    require(off >= 54 && off <= bytes.length, s"bad pixel-data offset $off")
     val stride = w * 3 + (4 - (w * 3) % 4) % 4
-    require(bytes.length >= off + stride * h, "truncated pixel array")
+    require(bytes.length.toLong >= off.toLong + stride.toLong * h,
+      "truncated pixel array")
     var sr = 0L; var sg = 0L; var sb = 0L
     var row = 0
     while (row < h) {

@@ -703,15 +703,18 @@ object RegistryExtra {
     // row per spend-tier boundary crossed — zero or many rows per
     // group invocation, which mapGroupsWithState cannot express.
     // Exact integer-cents accumulation, O(1) state per key.
+    // NOTE (user_id, tier) is no longer unique once refunds allow a
+    // tier to be re-crossed — event_id makes the sort total.
     "stream_threshold_emit" -> ((s, dir) =>
       graft.streaming.ThresholdEmit.tierCrossings(s, dir)
-        .orderBy("user_id", "tier")),
+        .orderBy("user_id", "tier", "event_id")),
 
     // transformWithState (state API v2, the CURRENT arbitrary-state
     // API): named typed state cells (2× ValueState + MapState) under
     // the RocksDB provider, state persisted across three real
     // micro-batches; per-batch progress rows fold to an
-    // order-independent final shape (monotone measures → max).
+    // order-independent final shape (per-batch deltas → sum,
+    // monotone counters → max).
     "stream_transform_with_state" -> ((s, dir) =>
       graft.streaming.TransformWithStateOps.runningSpend(s, dir)
         .orderBy("user_id")),
@@ -768,7 +771,7 @@ object RegistryExtra {
                   unnest(range(prev // 100000 + 1, cum // 100000 + 1)) AS tier
            FROM x WHERE cum // 100000 > prev // 100000)
          WHERE tier >= 1
-         ORDER BY user_id, tier""",
+         ORDER BY user_id, tier, event_id""",
     "f15_array_set_ops" ->
       """WITH s AS (
            SELECT doc_id,

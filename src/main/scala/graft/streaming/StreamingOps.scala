@@ -243,7 +243,15 @@ object StreamingOps {
     * rows (broadcast left-semi) re-enter the latest-wins aggregate
     * together with the batch. At 100× target size the per-batch cost
     * is unchanged; re-aggregating `prev ∪ batch` per batch — the naive
-    * recipe — would re-shuffle the whole target every micro-batch. */
+    * recipe — would re-shuffle the whole target every micro-batch.
+    *
+    * The target IS scanned twice (anti + semi) — a deliberate
+    * IO-for-shuffle trade: two sequential reads beat one full
+    * re-shuffle, and the broadcast build side is shared between the
+    * two joins (ReuseExchange). Callers should persist `incoming`
+    * around the merge (as [[upsertMergeRun]] does) so the batch
+    * aggregate isn't recomputed for the key-set broadcast and the
+    * union. */
   def mergeBatch(prev: DataFrame, incoming: DataFrame): DataFrame = {
     val keys = broadcast(incoming.select("user_id").distinct())
     val untouched = prev.join(keys, Seq("user_id"), "left_anti")
@@ -286,14 +294,16 @@ object StreamingOps {
       .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val incoming = latestPerUser(batch)
-        val merged = current match {
-          case Some(prev) => mergeBatch(spark.read.parquet(prev), incoming)
-          case None => incoming
-        }
-        val out = s"$tgtBase/v$batchId"
-        merged.write.mode("overwrite").parquet(out)
-        current = Some(out)
+        val incoming = latestPerUser(batch).persist()
+        try {
+          val merged = current match {
+            case Some(prev) => mergeBatch(spark.read.parquet(prev), incoming)
+            case None => incoming
+          }
+          val out = s"$tgtBase/v$batchId"
+          merged.write.mode("overwrite").parquet(out)
+          current = Some(out)
+        } finally incoming.unpersist(false)
       }
       .start()
     q.awaitTermination()

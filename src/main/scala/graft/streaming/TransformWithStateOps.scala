@@ -20,16 +20,18 @@ import org.apache.spark.sql.streaming._
   * its rows into cumulative cents (exact integer,
   * [[ThresholdEmit.toCents]] discipline), the running event count and
   * per-event-type counts (MapState), then emits ONE progress row per
-  * (user, batch). Every emitted measure is MONOTONE across batches,
-  * so the read-back aggregate (per-user max + emission count) is
-  * independent of file→batch assignment order — the same determinism
-  * trick as the upsert merge's latest-wins.
+  * (user, batch). The read-back aggregate is independent of
+  * file→batch assignment order by construction: `batch_cents` is the
+  * batch's own DELTA (summable in any order — refund-safe where a
+  * max-of-cumulative would not be, since refunds make the cumulative
+  * non-monotone), while `n_events`/`n_types` are genuinely monotone
+  * counters (→ max).
   */
 object TransformWithStateOps {
 
   case class SpendEvent(event_id: Long, user_id: Long, event_type: String,
                         value: Double)
-  case class SpendProgress(user_id: Long, cum_cents: Long, n_events: Long,
+  case class SpendProgress(user_id: Long, batch_cents: Long, n_events: Long,
                            n_types: Long)
 
   /** Per-user running-spend processor: two ValueStates + a MapState,
@@ -51,8 +53,11 @@ object TransformWithStateOps {
                                  timers: TimerValues): Iterator[SpendProgress] = {
       var c = if (cum.exists()) cum.get() else 0L
       var n = if (cnt.exists()) cnt.get() else 0L
+      var batchCents = 0L
       rows.foreach { r =>
-        c += ThresholdEmit.toCents(r.value)
+        val cents = ThresholdEmit.toCents(r.value)
+        c += cents
+        batchCents += cents
         n += 1
         val prev = if (byType.containsKey(r.event_type))
           byType.getValue(r.event_type) else 0L
@@ -63,7 +68,7 @@ object TransformWithStateOps {
       var types = 0L
       val it = byType.keys()
       while (it.hasNext) { it.next(); types += 1 }
-      Iterator.single(SpendProgress(user, c, n, types))
+      Iterator.single(SpendProgress(user, batchCents, n, types))
     }
   }
 
@@ -110,7 +115,7 @@ object TransformWithStateOps {
     }
     spark.table(nonce)
       .groupBy("user_id")
-      .agg(max("cum_cents").as("total_cents"),
+      .agg(sum("batch_cents").as("total_cents"),
         max("n_events").as("n_events"),
         max("n_types").as("n_types"),
         count(lit(1)).as("n_batches"))
