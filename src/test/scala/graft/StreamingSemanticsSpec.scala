@@ -87,4 +87,50 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     val (cum3, out3) = ThresholdEmit.foldCrossings(1L, Seq(ev(4, 1000.00)), cum2)
     assert(cum3 == 310000L && out3.map(_.tier) == Seq(3L))
   }
+
+  test("streaming paths survive a refund fixture (negative values end-to-end)") {
+    // The harness fixture is all-positive, so this drives the ACTUAL
+    // streaming machinery (flatMapGroupsWithState + transformWithState/
+    // RocksDB) over refunds: dips, re-crossings, exact tie cents.
+    import spark.implicits._
+    val dir = graft.sources.Ingest.fixtureDir(sfDir) + "/refund_fixture"
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val rows = Seq(
+      (1L, t(1), 10L, "purchase", 1500.00),
+      (2L, t(2), 10L, "refund", -600.00),
+      (3L, t(3), 10L, "purchase", 200.00), // re-crosses tier 1
+      (4L, t(1), 11L, "refund", -1500.00), // dips below zero first
+      (5L, t(2), 11L, "purchase", 2700.00),
+      (6L, t(3), 11L, "purchase", 900.00),
+      (7L, t(1), 12L, "purchase", 2.125), // exact .5-cent ties
+      (8L, t(2), 12L, "refund", -2.125),
+      (9L, t(1), 13L, "refund", -0.005)) // rounds away from zero
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val tmp = dir + "/__build"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    // the streaming sources glob the literal FILE name events.parquet
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+
+    val crossings = ThresholdEmit.tierCrossings(spark, dir)
+      .select("user_id", "event_id", "tier")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(crossings == Set((10L, 1L, 1L), (10L, 3L, 1L),
+      (11L, 5L, 1L), (11L, 6L, 2L)),
+      s"refund tier semantics diverged: $crossings")
+
+    val spend = TransformWithStateOps.runningSpend(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // (total_cents, n_events, n_types, n_batches); batches = distinct
+    // event_id%3 groups per user
+    assert(spend(10L) == ((110000L, 3L, 2L, 3L)))
+    assert(spend(11L) == ((210000L, 3L, 2L, 3L)))
+    assert(spend(12L) == ((0L, 2L, 2L, 2L)), s"tie cents diverged: ${spend(12L)}")
+    assert(spend(13L) == ((-1L, 1L, 1L, 1L)), s"negative tie diverged: ${spend(13L)}")
+  }
 }
