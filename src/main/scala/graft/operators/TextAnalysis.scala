@@ -205,6 +205,57 @@ object TextAnalysis {
           .cast("long").as("n_chunk_tokens"))
   }
 
+  /** C4-style PARAGRAPH-level exact dedup with document
+    * reconstruction (Raffel et al. 2020 §2.2 dedups three-sentence
+    * spans corpus-wide; the reference repo dedups whole listings
+    * only — this is the sub-document granularity a training-data
+    * pipeline needs). Every document is split into consecutive
+    * `chunkSize`-token paragraphs via [[chunkDocuments]]; for each
+    * DISTINCT paragraph text exactly one occurrence survives
+    * corpus-wide — the lexicographically smallest (document,
+    * position); documents are then reassembled from their surviving
+    * paragraphs in original order.
+    *
+    * Output per input document: `n_paragraphs`, `n_kept`,
+    * `kept_tokens`, and `text_md5` of the reassembled text (md5 so a
+    * DuckDB oracle verifies the reconstruction byte-for-byte without
+    * hauling the full text through the comparator).
+    *
+    * Scale shape: winner election is ONE hash shuffle keyed on the
+    * md5 paragraph fingerprint; the winner set (one row per distinct
+    * paragraph) joins back on the same key — its aggregate output is
+    * already hash-partitioned on the fingerprint, so only the chunk
+    * side shuffles; reassembly shuffles (id, idx, text) triples once
+    * on the document key. The corpus is never self-joined, nothing
+    * is collected. The winner aggregate buffers a 2-field struct,
+    * which deliberately plans as a partial+final SortAggregate
+    * (struct buffers aren't hash-mutable) — the classic
+    * sort-by-fingerprint dedup; the hot per-doc reassembly stays a
+    * flat HashAggregate. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int): DataFrame = {
+    val chunks = chunkDocuments(df, idCol, textCol, chunkSize)
+      .withColumn("__fp", md5(col("chunk_text")))
+    val winners = chunks
+      .groupBy("__fp")
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__w"))
+    chunks.join(winners, "__fp")
+      .withColumn("keep",
+        col(idCol) === col(s"__w.$idCol") &&
+          col("chunk_idx") === col("__w.chunk_idx"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_paragraphs"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        coalesce(sum(when(col("keep"), col("n_chunk_tokens"))), lit(0L))
+          .as("kept_tokens"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("chunk_idx"), col("chunk_text"))))),
+            x => x.getField("chunk_text")))).as("text_md5"))
+  }
+
   /** Deterministic mixture sampling: down-sample each group (e.g.
     * language or source domain) to a target rate so the kept corpus
     * matches a prescribed mixture. Keep decision = the document's

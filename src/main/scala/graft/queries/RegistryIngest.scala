@@ -215,6 +215,26 @@ object RegistryIngest {
         .orderBy("event_type")
     }),
 
+    // S19: ORC round-trip — the second columnar format (Spark's
+    // native ORC reader/writer, the lakehouse interchange case).
+    // The read-back applies a predicate that must reach the ORC scan
+    // as a pushed filter (plan-pinned in PlanShapeSpec) — same
+    // pushdown contract as the parquet S3 witness, different format.
+    "s19_orc_roundtrip" -> ((s, dir) => {
+      val path = Ingest.fixtureDir(dir) + "/lineitem_orc"
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity",
+          "l_extendedprice", "l_returnflag")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .where(col("l_quantity") > 25)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            .as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Small-file COMPACTION (the OPTIMIZE/rewrite maintenance verb): a
     // 64-file directory (the streaming-ingest small-files problem) is
     // rewritten as 4 range-partitioned, key-sorted files —
@@ -353,6 +373,11 @@ object RegistryIngest {
          FROM events
          WHERE cast(date_trunc('day', ts) AS DATE) = DATE '2024-01-05'
          GROUP BY event_type ORDER BY event_type""",
+    "s19_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+                cast(sum(cast(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+         FROM lineitem WHERE l_quantity > 25
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "bronze_csv_adapter" ->
       """WITH src AS (
            SELECT c_name || ', ' || n_name || ', ' || r_name AS address,

@@ -308,6 +308,17 @@ object RegistryLlm {
       TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text", chunkSize = 60)
         .orderBy("doc_id", "chunk_idx")),
 
+    // C4-style paragraph-level exact dedup: one global winner per
+    // distinct 3-token paragraph (min (doc, position) wins),
+    // documents reassembled from their surviving paragraphs — the
+    // sub-document dedup granularity whole-doc fingerprints can't
+    // express. 3-token paragraphs make natural cross-doc collisions
+    // at this corpus size; the md5 of each reassembled doc is
+    // hash-compared against the oracle's reconstruction.
+    "llm_paragraph_dedup" -> ((s, dir) =>
+      TextAnalysis.paragraphDedup(docs(s, dir), "doc_id", "text", chunkSize = 3)
+        .orderBy("doc_id")),
+
     // Deterministic mixture sampling: per-language keep rates applied
     // via the stable md5 bucket — pure projection, no shuffle, no
     // sample() nondeterminism. Output is the kept docs plus the
@@ -737,6 +748,17 @@ object RegistryLlm {
           sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
         .orderBy("event_type")),
 
+    // Bounded-state streaming dedup (dropDuplicatesWithinWatermark):
+    // planted at-least-once redelivery duplicates must vanish, so the
+    // oracle is the ORIGINAL table's aggregate. State is bounded to
+    // the watermark horizon — the 100 TB/day dedup shape.
+    "stream_dropdup_watermark" -> ((s, dir) =>
+      StreamingOps.dedupWithinWatermark(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .orderBy("event_type")),
+
     // Stateful streaming dedup via mapGroupsWithState — O(1) state per
     // key; same W1 semantics as the batch window dedup, same oracle.
     "stream_stateful_dedup" -> ((s, dir) =>
@@ -1104,6 +1126,12 @@ object RegistryLlm {
       """SELECT event_type, count(*) AS n_events,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // Planted redelivery duplicates must be dropped, so the expected
+    // aggregate is the ORIGINAL (duplicate-free) table's.
+    "stream_dropdup_watermark" ->
+      """SELECT event_type, count(*) AS n_events,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "llm_quality_filter" -> qualityFilterOracle,
     "llm_incremental_dedup" ->
       s"""WITH d AS (SELECT doc_id, text, lang FROM documents),
@@ -1140,6 +1168,32 @@ object RegistryLlm {
                 array_to_string(toks[chunk_idx * 60 + 1 : chunk_idx * 60 + 60], ' ') AS chunk_text,
                 least(60, n - chunk_idx * 60) AS n_chunk_tokens
          FROM c ORDER BY doc_id, chunk_idx""",
+    "llm_paragraph_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, len(toks) AS n, toks,
+                      unnest(range(0, (len(toks) + 2) // 3)) AS chunk_idx
+               FROM t),
+         ch AS (SELECT doc_id, chunk_idx,
+                       array_to_string(toks[chunk_idx * 3 + 1 : chunk_idx * 3 + 3], ' ') AS chunk_text,
+                       least(3, n - chunk_idx * 3) AS n_toks
+                FROM c),
+         w AS (SELECT md5(chunk_text) AS fp,
+                      min(struct_pack(d := doc_id, i := chunk_idx)) AS win
+               FROM ch GROUP BY 1),
+         k AS (SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text, ch.n_toks,
+                      (ch.doc_id = struct_extract(w.win, 'd')
+                       AND ch.chunk_idx = struct_extract(w.win, 'i')) AS keep
+               FROM ch JOIN w ON md5(ch.chunk_text) = w.fp)
+         SELECT doc_id,
+                count(*) AS n_paragraphs,
+                count(*) FILTER (WHERE keep) AS n_kept,
+                cast(coalesce(sum(n_toks) FILTER (WHERE keep), 0) AS BIGINT) AS kept_tokens,
+                md5(coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                               FILTER (WHERE keep), '')) AS text_md5
+         FROM k GROUP BY doc_id ORDER BY doc_id""",
     "llm_mixture_sample" ->
       """WITH b AS (
            SELECT doc_id, lang,

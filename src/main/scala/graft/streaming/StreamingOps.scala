@@ -310,4 +310,39 @@ object StreamingOps {
     spark.read.parquet(current.getOrElse(
       sys.error("streaming upsert produced no batches")))
   }
+
+  /** Streaming dedup with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` holds a key only until the
+    * watermark passes that key's event time + delay, so state is
+    * O(keys per horizon), never O(all keys ever) — the only
+    * exactly-once dedup shape that survives an unbounded stream
+    * (plain `dropDuplicates` on a stream accumulates state forever).
+    * The fixture re-sends every `event_id % 7 == 0` event verbatim
+    * (an at-least-once delivery retry — identical timestamp, so the
+    * duplicate always lands inside the 1-day horizon); the oracle is
+    * the ORIGINAL table's aggregate, so a surviving duplicate breaks
+    * the hash match. Written as a single source file → one
+    * deterministic micro-batch here; the cross-batch (state
+    * persistence) and horizon-expiry halves are spec-driven with
+    * per-file batches in StreamingSemanticsSpec. */
+  def dedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val nonce = "graft_stream_dropdup_" + System.nanoTime()
+    val srcDir = s"/tmp/graft_stream_dropdup/src_$nonce"
+    ev.unionByName(ev.where(col("event_id") % 7 === 0))
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val outDir = s"/tmp/graft_stream_dropdup/out_$nonce"
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
 }

@@ -133,6 +133,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in semdedup:\n$p")
   }
 
+  test("s19_orc_roundtrip: predicate reaches the ORC scan, columns pruned") {
+    val p = planOf("s19_orc_roundtrip")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)]"),
+      s"l_quantity predicate not pushed into the ORC scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string>"),
+      s"ORC scan reads more than the 3 referenced columns:\n$p")
+  }
+
+  test("llm_paragraph_dedup: aggregate winner election, no self-join blowup") {
+    val p = planOf("llm_paragraph_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"paragraph dedup degenerated to an all-pairs join:\n$p")
+    // winners are elected by a (deliberate, struct-buffer) sort
+    // aggregate on the fingerprint — never a Window over the corpus
+    assert(!p.contains("Window"), s"winner election fell back to a Window:\n$p")
+    // reassembly stays an ObjectHashAggregate on the doc key
+    assert(p.contains("ObjectHashAggregate"),
+      s"doc reassembly lost its hash aggregate:\n$p")
+  }
+
   test("f6_unicode_silver_chain: broadcast star + projection, one sort exchange") {
     // The unicode silver chain is expression-dense but shuffle-light:
     // three broadcast dim joins feed a pure projection; the ONLY

@@ -133,4 +133,54 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(spend(12L) == ((0L, 2L, 2L, 2L)), s"tie cents diverged: ${spend(12L)}")
     assert(spend(13L) == ((-1L, 1L, 1L, 1L)), s"negative tie diverged: ${spend(13L)}")
   }
+
+  test("dropDuplicatesWithinWatermark: cross-batch dedup + horizon expiry") {
+    // The registry witness runs one micro-batch; this drives the two
+    // halves that need batch boundaries: (a) a duplicate arriving in a
+    // LATER batch is dropped while its key is inside the horizon, and
+    // (b) once the watermark passes key-ts + delay the state is
+    // EVICTED, so a fresh-timestamped redelivery re-emits — the
+    // observable proof that state is bounded to the horizon rather
+    // than accumulating forever.
+    import spark.implicits._
+    val nonce = "dropdup_spec_" + System.nanoTime()
+    val srcDir = s"/tmp/graft_stream_dropdup/spec_src_$nonce"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(hours: Long) = new java.sql.Timestamp(t0.getTime + hours * 3600000L)
+    val batches = Seq(
+      // batch 1: two distinct keys
+      Seq((1L, at(0), "a"), (2L, at(1), "b")),
+      // batch 2: key 1 redelivered inside the horizon (dropped) + a
+      // far-ahead row that advances the watermark to t0+48h, past
+      // key 1's expiry at ts(t0) + 1d delay
+      Seq((1L, at(0), "a-dup"), (3L, at(72), "c")),
+      // batch 3: spacer — state cleanup applies the advanced
+      // watermark at the END of a batch, so key 1's eviction lands
+      // here, one batch after the watermark moved
+      Seq((4L, at(73), "d")),
+      // batch 4: key 1 re-sent with a fresh in-horizon timestamp
+      // AFTER eviction -> re-emits
+      Seq((1L, at(60), "a-again")))
+    batches.foreach { rows =>
+      rows.toDF("event_id", "ts", "tag").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      Thread.sleep(1100) // distinct mtimes -> deterministic file order
+    }
+    val outDir = s"/tmp/graft_stream_dropdup/spec_out_$nonce"
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"/tmp/graft_stream_ckpt/$nonce")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val tags = spark.read.parquet(outDir)
+      .select("tag").collect().map(_.getString(0)).toSet
+    assert(tags == Set("a", "b", "c", "d", "a-again"),
+      s"expected in-horizon dup dropped and post-expiry redelivery kept: $tags")
+  }
 }

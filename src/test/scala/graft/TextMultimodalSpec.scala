@@ -87,6 +87,41 @@ class TextMultimodalSpec extends AnyFunSuite {
       (3L, 0L, "x1 x2 x3", 3L), (3L, 1L, "x4 x5 x6", 3L)))
   }
 
+  test("paragraph dedup: first (doc, position) wins, reconstruction exact") {
+    import org.apache.spark.sql.functions._
+    // "a b c" appears in docs 1 (chunk 0), 2 (chunk 1), and TWICE in
+    // doc 1 is impossible here, but doc 3 repeats it internally —
+    // the single survivor corpus-wide must be doc 1 chunk 0.
+    val docs = Seq(
+      (1L, "a b c d e f"),       // chunks: "a b c", "d e f"
+      (2L, "x y z a b c"),       // "x y z", "a b c"(dup -> dropped)
+      (3L, "a b c a b c")        // both chunks dup -> doc empties
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .paragraphDedup(docs, "doc_id", "text", chunkSize = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(out == Seq(
+      (1L, 2L, 2L, 6L, m("a b c d e f")),
+      (2L, 2L, 1L, 3L, m("x y z")),
+      (3L, 2L, 0L, 0L, m(""))))
+
+    // corpus law at sf scale: kept occurrences == distinct paragraphs
+    val corpus = graft.sources.Tables.load(spark, sfDir, "documents")
+    val res = graft.operators.TextAnalysis
+      .paragraphDedup(corpus, "doc_id", "text", chunkSize = 3)
+    val kept = res.agg(sum("n_kept")).collect()(0).getLong(0)
+    val distinctParas = graft.operators.TextAnalysis
+      .chunkDocuments(corpus, "doc_id", "text", chunkSize = 3)
+      .select("chunk_text").distinct().count()
+    assert(kept == distinctParas,
+      s"each distinct paragraph must survive exactly once: $kept != $distinctParas")
+  }
+
   test("mixture sampling: rate 1.0 keeps all, 0.0 drops all, unlisted drops") {
     import org.apache.spark.sql.functions._
     val docs = (1L to 200L).toDF("doc_id")
