@@ -230,8 +230,9 @@ object TextAnalysis {
     * is collected. The winner aggregate buffers a 2-field struct,
     * which deliberately plans as a partial+final SortAggregate
     * (struct buffers aren't hash-mutable) — the classic
-    * sort-by-fingerprint dedup; the hot per-doc reassembly stays a
-    * flat HashAggregate. */
+    * sort-by-fingerprint dedup; the per-doc reassembly plans as an
+    * ObjectHashAggregate (collect_list buffer), plan-pinned in
+    * PlanShapeSpec. */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      chunkSize: Int): DataFrame = {
     val chunks = chunkDocuments(df, idCol, textCol, chunkSize)

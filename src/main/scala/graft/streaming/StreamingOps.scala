@@ -330,11 +330,10 @@ object StreamingOps {
       .select("event_id", "ts", "user_id", "event_type", "value")
     val nonce = "graft_stream_dropdup_" + System.nanoTime()
     val srcDir = s"/tmp/graft_stream_dropdup/src_$nonce"
-    ev.unionByName(ev.where(col("event_id") % 7 === 0))
-      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val fixture = ev.unionByName(ev.where(col("event_id") % 7 === 0))
+    fixture.coalesce(1).write.mode("overwrite").parquet(srcDir)
     val outDir = s"/tmp/graft_stream_dropdup/out_$nonce"
-    val schema = spark.read.parquet(srcDir).schema
-    val q = spark.readStream.schema(schema).parquet(srcDir)
+    val q = spark.readStream.schema(fixture.schema).parquet(srcDir)
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream.format("parquet")

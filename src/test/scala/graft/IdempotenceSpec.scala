@@ -92,6 +92,14 @@ class IdempotenceSpec extends AnyFunSuite {
     runTwice("j15_cbo_stats_join")
   }
 
+  test("watermark-dedup streaming query is re-runnable (nonced source/sink/checkpoint)") {
+    runTwice("stream_dropdup_watermark")
+  }
+
+  test("orc round-trip query is re-runnable (fixture dir overwritten)") {
+    runTwice("s19_orc_roundtrip")
+  }
+
   test("memory-sink and file-sink streaming variants agree") {
     import org.apache.spark.sql.functions.col
     val order = Seq(col("report_date"), col("event_type"))

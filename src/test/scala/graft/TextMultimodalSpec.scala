@@ -89,9 +89,10 @@ class TextMultimodalSpec extends AnyFunSuite {
 
   test("paragraph dedup: first (doc, position) wins, reconstruction exact") {
     import org.apache.spark.sql.functions._
-    // "a b c" appears in docs 1 (chunk 0), 2 (chunk 1), and TWICE in
-    // doc 1 is impossible here, but doc 3 repeats it internally —
-    // the single survivor corpus-wide must be doc 1 chunk 0.
+    // "a b c" appears as doc 1 chunk 0, doc 2 chunk 1, and twice
+    // inside doc 3 — winner election must collapse the within-doc
+    // repeats too, leaving doc 1 chunk 0 as the single corpus-wide
+    // survivor (so doc 3 reconstructs to the empty string).
     val docs = Seq(
       (1L, "a b c d e f"),       // chunks: "a b c", "d e f"
       (2L, "x y z a b c"),       // "x y z", "a b c"(dup -> dropped)
