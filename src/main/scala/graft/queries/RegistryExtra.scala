@@ -263,6 +263,28 @@ object RegistryExtra {
             .as("days_since_92"))
         .orderBy("o_orderkey")),
 
+    // ANSI-safe error-handling family (try_divide / try_multiply /
+    // try_to_timestamp): under the driver's ANSI-on session these
+    // return NULL instead of raising on division-by-zero, bigint
+    // overflow, and out-of-range dates — the per-row error-quarantine
+    // idiom a 100 TB batch needs (one poisoned row must not kill a
+    // stage). Each expression mixes NULL and non-NULL rows
+    // deterministically: quantity 25 divides by zero, orderkeys
+    // > 1000 overflow Long.MaxValue/1000, linenumber*8 > 31 is an
+    // invalid day-of-month.
+    "f16_try_arithmetic" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          try_divide(col("l_extendedprice"), col("l_quantity") - 25)
+            .as("safe_div"),
+          try_multiply(col("l_orderkey"), lit(9223372036854775L))
+            .as("safe_mul"),
+          try_to_timestamp(concat(lit("2024-01-"),
+            lpad((col("l_linenumber") * 8).cast("string"), 2, "0")))
+            .as("safe_ts"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // CUBE: all four grouping combinations (detail, each single-dim
     // subtotal, grand total) in ONE Expand pass over one shuffle —
     // same single-scan argument as a11_grouping_sets; gid
@@ -1009,6 +1031,19 @@ object RegistryExtra {
          FROM grid g LEFT JOIN sparse s
            ON g.event_type = s.event_type AND g.day = s.day
          ORDER BY g.event_type, g.day""",
+    // DuckDB: double/0.0 is already NULL (matches try_divide); the
+    // overflow arm is guarded by the exact boundary (orderkey > 1000
+    // overflows orderkey * (Long.MaxValue // 1000)); bad dates via
+    // try_cast.
+    "f16_try_arithmetic" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_extendedprice / (l_quantity - 25) AS safe_div,
+                CASE WHEN l_orderkey > 1000 THEN NULL
+                     ELSE l_orderkey * 9223372036854775 END AS safe_mul,
+                try_cast('2024-01-' || lpad(cast(l_linenumber * 8 AS VARCHAR), 2, '0')
+                         AS TIMESTAMP) AS safe_ts
+         FROM lineitem WHERE l_orderkey % 50 = 0
+         ORDER BY l_orderkey, l_linenumber""",
     "a14_mode" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
                     FROM lineitem GROUP BY 1, 2),

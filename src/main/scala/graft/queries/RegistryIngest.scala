@@ -235,6 +235,45 @@ object RegistryIngest {
         .orderBy("l_returnflag")
     }),
 
+    // S20: malformed-row handling on the CSV scan — the ingest
+    // semantics a messy crawl feed actually needs. Every
+    // custkey % 13 == 0 line carries an unparseable numeric field;
+    // PERMISSIVE quarantines those rows in the corrupt-record column
+    // (good fields still parse), DROPMALFORMED silently drops them.
+    // Both modes are asserted against the planted corruption count in
+    // ONE result row. At 100 TB this is the row-level error-quarantine
+    // path: one poisoned record must never kill the stage.
+    "s20_csv_malformed_modes" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val path = Ingest.fixtureDir(dir) + "/malformed_csv"
+      t(s, dir, "customer").select(
+          concat(
+            col("c_custkey").cast("string"), lit(","),
+            when(col("c_custkey") % 13 === 0, lit("xx"))
+              .otherwise(col("c_acctbal").cast("decimal(12,2)").cast("string")))
+            .as("value"))
+        .write.mode("overwrite").text(path)
+      val dataFields = Seq(StructField("c_custkey", LongType),
+        StructField("c_acctbal", DoubleType))
+      val permissive = s.read
+        .schema(StructType(dataFields :+ StructField("_corrupt", StringType)))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .agg(count(lit(1)).as("n_total"),
+          count(col("_corrupt")).as("n_corrupt"),
+          sum(col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            .as("sum_good"))
+      // count(c_acctbal), not count(*): the CSV parser only validates
+      // the columns the plan actually reads (column pruning), so a
+      // bare row count would parse nothing and drop nothing —
+      // malformation is defined relative to the projected schema
+      val dropped = s.read.schema(StructType(dataFields))
+        .option("mode", "DROPMALFORMED").csv(path)
+        .agg(count(col("c_acctbal")).as("n_dropmalformed"))
+      permissive.crossJoin(dropped)
+    }),
+
     // Small-file COMPACTION (the OPTIMIZE/rewrite maintenance verb): a
     // 64-file directory (the streaming-ingest small-files problem) is
     // rewritten as 4 range-partitioned, key-sorted files —
@@ -378,6 +417,15 @@ object RegistryIngest {
                 cast(sum(cast(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
          FROM lineitem WHERE l_quantity > 25
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // expected counts derive from the PLANTED corruption rule: rows
+    // with custkey % 13 == 0 are unparseable in the numeric field
+    "s20_csv_malformed_modes" ->
+      """SELECT count(*) AS n_total,
+                count(*) FILTER (WHERE c_custkey % 13 = 0) AS n_corrupt,
+                cast(sum(cast(cast(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(18,6)))
+                       FILTER (WHERE c_custkey % 13 <> 0) AS DOUBLE) AS sum_good,
+                count(*) FILTER (WHERE c_custkey % 13 <> 0) AS n_dropmalformed
+         FROM customer""",
     "bronze_csv_adapter" ->
       """WITH src AS (
            SELECT c_name || ', ' || n_name || ', ' || r_name AS address,

@@ -100,6 +100,10 @@ class IdempotenceSpec extends AnyFunSuite {
     runTwice("s19_orc_roundtrip")
   }
 
+  test("malformed-csv query is re-runnable (fixture dir overwritten)") {
+    runTwice("s20_csv_malformed_modes")
+  }
+
   test("memory-sink and file-sink streaming variants agree") {
     import org.apache.spark.sql.functions.col
     val order = Seq(col("report_date"), col("event_type"))
