@@ -134,6 +134,42 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(spend(13L) == ((-1L, 1L, 1L, 1L)), s"negative tie diverged: ${spend(13L)}")
   }
 
+  test("checkpoint resume: a restarted stream processes only new files, exactly once") {
+    // The native version of the reference's _processed_files.txt
+    // incremental contract (load_bronze_to_table.py:37-73): the file
+    // source tracks consumed files in the checkpoint, so a restarted
+    // AvailableNow run ships ONLY files that arrived since the last
+    // run, and nothing twice — restart-safe incremental ingest with
+    // no bookkeeping code at all.
+    import spark.implicits._
+    val nonce = "ckpt_resume_" + System.nanoTime()
+    val srcDir = s"/tmp/graft_stream_resume/src_$nonce"
+    val outDir = s"/tmp/graft_stream_resume/out_$nonce"
+    val ckpt = s"/tmp/graft_stream_ckpt/$nonce"
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(srcDir).schema
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst == 2, s"first run should ship both seed rows: $afterFirst")
+    Seq((3L, "c")).toDF("id", "tag")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    val ids = spark.read.parquet(outDir)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      s"resume must ship only the new file and never re-ship old ones: $ids")
+  }
+
   test("dropDuplicatesWithinWatermark: cross-batch dedup + horizon expiry") {
     // The registry witness runs one micro-batch; this drives the two
     // halves that need batch boundaries: (a) a duplicate arriving in a
