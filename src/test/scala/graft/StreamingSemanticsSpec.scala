@@ -146,9 +146,9 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     val srcDir = s"/tmp/graft_stream_resume/src_$nonce"
     val outDir = s"/tmp/graft_stream_resume/out_$nonce"
     val ckpt = s"/tmp/graft_stream_ckpt/$nonce"
+    val seed = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
     def runOnce(): Unit = {
-      val schema = spark.read.parquet(srcDir).schema
-      val q = spark.readStream.schema(schema).parquet(srcDir)
+      val q = spark.readStream.schema(seed.schema).parquet(srcDir)
         .writeStream.format("parquet")
         .option("path", outDir)
         .option("checkpointLocation", ckpt)
@@ -156,8 +156,7 @@ class StreamingSemanticsSpec extends AnyFunSuite {
         .start()
       q.awaitTermination()
     }
-    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
-      .coalesce(1).write.mode("append").parquet(srcDir)
+    seed.coalesce(1).write.mode("append").parquet(srcDir)
     runOnce()
     val afterFirst = spark.read.parquet(outDir).count()
     assert(afterFirst == 2, s"first run should ship both seed rows: $afterFirst")
