@@ -235,6 +235,28 @@ object RegistryIngest {
         .orderBy("l_returnflag")
     }),
 
+    // S10's in-engine half, done natively: the paged crawl feed read
+    // through a custom DataSource V2 (graft.sources.PagedJsonSource —
+    // one InputPartition per API page, column pruning pushed into the
+    // Jackson parser). The fixture lands events as 8 page-NNNNN.jsonl
+    // files exactly as the reference's DAG lands API pages; the
+    // oracle recomputes from the original table, so a paging bug
+    // (row lost/duplicated across pages) breaks the hash.
+    "s10_paged_json_source" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/paged_api"
+      graft.sources.PagedJsonSource.buildPages(
+        t(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
+        "event_id", nPages = 8, base)
+      s.read.format("graft.sources.PagedJsonSource")
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .load(base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
     // S20: malformed-row handling on the CSV scan — the ingest
     // semantics a messy crawl feed actually needs. Every
     // custkey % 13 == 0 line carries an unparseable numeric field;
@@ -417,6 +439,11 @@ object RegistryIngest {
                 cast(sum(cast(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
          FROM lineitem WHERE l_quantity > 25
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "s10_paged_json_source" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // expected counts derive from the PLANTED corruption rule: rows
     // with custkey % 13 == 0 are unparseable in the numeric field
     "s20_csv_malformed_modes" ->

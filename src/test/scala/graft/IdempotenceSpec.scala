@@ -104,6 +104,10 @@ class IdempotenceSpec extends AnyFunSuite {
     runTwice("s20_csv_malformed_modes")
   }
 
+  test("paged-json DSv2 query is re-runnable (page dir rebuilt)") {
+    runTwice("s10_paged_json_source")
+  }
+
   test("memory-sink and file-sink streaming variants agree") {
     import org.apache.spark.sql.functions.col
     val order = Seq(col("report_date"), col("event_type"))
