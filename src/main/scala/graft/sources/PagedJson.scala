@@ -42,21 +42,33 @@ class PagedJsonSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = options.get("path")
     require(dir != null, "paged-json source requires a path")
-    val first = PagedJsonSource.listPages(dir).headOption.getOrElse(
-      throw new IllegalArgumentException(s"no page-*.jsonl files under $dir"))
+    val first = PagedJsonSource.listPages(dir, PagedJsonSource.driverHadoopConf())
+      .headOption.getOrElse(
+        throw new IllegalArgumentException(s"no page-*.jsonl files under $dir"))
     SparkSession.active.read.json(first.toString).schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new PagedJsonTable(schema, properties.get("path"))
+                        properties: util.Map[String, String]): Table = {
+    // validated here, not only in inferSchema: the explicit-schema
+    // read path (supportsExternalMetadata) never calls inferSchema
+    val path = properties.get("path")
+    require(path != null, "paged-json source requires a path")
+    new PagedJsonTable(schema, path)
+  }
 }
 
 object PagedJsonSource {
+  /** The session's Hadoop configuration (driver-side) — so
+    * spark.hadoop.* settings (credentials, defaultFS) reach this
+    * source exactly as they reach the builtin ones. */
+  private[sources] def driverHadoopConf(): Configuration =
+    SparkSession.active.sparkContext.hadoopConfiguration
+
   /** Page files in cursor order. Driver-side metadata listing only. */
-  def listPages(dir: String): Seq[HPath] = {
+  def listPages(dir: String, conf: Configuration): Seq[HPath] = {
     val p = new HPath(dir)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).map(_.getPath)
       .filter(_.getName.matches("page-\\d+\\.jsonl"))
@@ -73,7 +85,11 @@ object PagedJsonSource {
                  nPages: Int, dir: String): String = {
     import org.apache.spark.sql.functions._
     val staging = dir + "__build"
-    df.withColumn("__page", pmod(col(idCol), lit(nPages)).cast("int"))
+    // NULL ids route to page 0 (pmod(NULL) is NULL, which would land
+    // in the Hive default partition and be silently dropped by the
+    // rename loop below — rows are never lost to the paging)
+    df.withColumn("__page",
+        coalesce(pmod(col(idCol), lit(nPages)), lit(0)).cast("int"))
       .repartition(nPages, col("__page"))
       .write.mode("overwrite").partitionBy("__page").json(staging)
     val out = new HPath(dir)
@@ -88,7 +104,10 @@ object PagedJsonSource {
           .filter(_.getName.startsWith("part-"))
         require(parts.length == 1,
           s"expected one part file per page, got ${parts.length} in $partDir")
-        fs.rename(parts.head, new HPath(out, f"page-$i%05d.jsonl"))
+        val dest = new HPath(out, f"page-$i%05d.jsonl")
+        // HDFS-style FileSystems report most rename failures by
+        // returning false, not throwing — a dropped page must abort
+        require(fs.rename(parts.head, dest), s"rename failed: $dest")
       }
     }
     fs.delete(new HPath(staging), true)
@@ -120,31 +139,42 @@ class PagedJsonScan(required: StructType, path: String) extends Scan with Batch 
   override def description(): String =
     s"PagedJsonScan path=$path, readSchema=${required.simpleString}"
   override def planInputPartitions(): Array[InputPartition] =
-    PagedJsonSource.listPages(path)
+    PagedJsonSource.listPages(path, PagedJsonSource.driverHadoopConf())
       .map(p => PagedJsonInputPartition(p.toString): InputPartition).toArray
+  // driver-side capture of the session's Hadoop conf + timezone, so
+  // executor readers see spark.hadoop.* settings and parse zone-less
+  // timestamps exactly like the builtin JSON source
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedJsonReaderFactory(required)
+    new PagedJsonReaderFactory(required,
+      new org.apache.spark.util.SerializableConfiguration(
+        PagedJsonSource.driverHadoopConf()),
+      JsonLineBridge.sessionTimeZone)
 }
 
 case class PagedJsonInputPartition(file: String) extends InputPartition
 
-class PagedJsonReaderFactory(required: StructType)
+class PagedJsonReaderFactory(
+    required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    timeZoneId: String)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PagedJsonPartitionReader(
-      partition.asInstanceOf[PagedJsonInputPartition].file, required)
+      partition.asInstanceOf[PagedJsonInputPartition].file, required,
+      conf.value, timeZoneId)
 }
 
 /** One page = one task: stream the page's lines through the shared
   * Jackson parser (constructed HERE, executor-side — it is not
   * serializable) against only the pruned schema. */
-class PagedJsonPartitionReader(file: String, required: StructType)
+class PagedJsonPartitionReader(file: String, required: StructType,
+                               conf: Configuration, timeZoneId: String)
     extends PartitionReader[InternalRow] {
-  private val parse = JsonLineBridge.lineParser(required)
+  private val parse = JsonLineBridge.lineParser(required, timeZoneId)
   private val hPath = new HPath(file)
-  private val stream = hPath.getFileSystem(new Configuration()).open(hPath)
+  private val stream = hPath.getFileSystem(conf).open(hPath)
   private val lines = scala.io.Source.fromInputStream(stream, "UTF-8").getLines()
-  private val rows = lines.filter(_.nonEmpty).flatMap(parse)
+  private val rows = lines.filter(_.trim.nonEmpty).flatMap(parse)
   private var current: InternalRow = _
 
   override def next(): Boolean =

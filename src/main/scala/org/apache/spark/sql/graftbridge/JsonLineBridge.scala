@@ -2,6 +2,7 @@ package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptionsInRead, JacksonParser}
+import org.apache.spark.sql.catalyst.util.{FailureSafeParser, PermissiveMode}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,19 +15,31 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object JsonLineBridge {
 
+  /** The session timezone to capture DRIVER-side and hand to
+    * [[lineParser]], so executor-side parsing of zone-less timestamps
+    * matches the builtin source under any session timezone. */
+  def sessionTimeZone: String =
+    org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+
   /** A per-task line parser for `schema` (executor-side construction:
     * JacksonParser is not serializable — call this inside the
     * partition reader, not on the driver). Rows are copied out of the
     * parser's reused buffer. Parsing only the pruned `schema` is what
     * makes DSv2 column pruning real work-skipping here: Jackson
-    * skips the untouched fields token-by-token. */
-  def lineParser(schema: StructType): String => Iterator[InternalRow] = {
+    * skips the untouched fields token-by-token. Malformed lines go
+    * through the same [[FailureSafeParser]] as the builtin source in
+    * PERMISSIVE mode — a garbage line yields an all-null row instead
+    * of killing the task with an internal BadRecordException. */
+  def lineParser(schema: StructType,
+                 timeZoneId: String): String => Iterator[InternalRow] = {
     val opts = new JSONOptionsInRead(
-      Map.empty[String, String], "UTC", "_corrupt_record")
-    val parser = new JacksonParser(schema, opts,
+      Map.empty[String, String], timeZoneId, "_corrupt_record")
+    val raw = new JacksonParser(schema, opts,
       allowArrayAsStructs = false, Seq.empty)
-    line =>
-      parser.parse[String](line, CreateJacksonParser.string,
-        UTF8String.fromString).iterator.map(_.copy())
+    val safe = new FailureSafeParser[String](
+      line => raw.parse[String](line, CreateJacksonParser.string,
+        UTF8String.fromString),
+      PermissiveMode, schema, "_corrupt_record")
+    line => safe.parse(line).map(_.copy())
   }
 }

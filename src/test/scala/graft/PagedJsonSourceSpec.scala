@@ -55,6 +55,27 @@ class PagedJsonSourceSpec extends AnyFunSuite {
       s"scan did not prune to the 2 referenced columns:\n$plan")
   }
 
+  test("malformed page lines yield null rows (builtin PERMISSIVE parity)") {
+    val dir = graft.sources.Ingest.fixtureDir(sfDir) + "/paged_api_bad"
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve("page-00000.jsonl"),
+      java.util.Arrays.asList(
+        """{"event_id": 1, "value": 2.5}""",
+        "{garbage",
+        "   ",
+        """{"event_id": 2, "value": 3.5}"""),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val rows = spark.read.format("graft.sources.PagedJsonSource")
+      .schema("event_id BIGINT, value DOUBLE").load(dir).collect()
+    // 2 parsed rows + 1 all-null row for the garbage line; the
+    // whitespace-only line is skipped — a poisoned crawl page must
+    // not kill the task
+    assert(rows.length == 3, s"expected 3 rows, got ${rows.toSeq}")
+    assert(rows.count(r => r.isNullAt(0) && r.isNullAt(1)) == 1,
+      s"garbage line should surface as one null row: ${rows.toSeq}")
+  }
+
   test("missing directory reads as empty, not as an error") {
     val df = spark.read
       .format("graft.sources.PagedJsonSource")
