@@ -126,18 +126,35 @@ class PagedJsonTable(tableSchema: StructType, path: String)
 }
 
 class PagedJsonScanBuilder(full: StructType, path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new PagedJsonScan(required, path)
+  // ALL filters stay residual (returned back to Spark): the parser
+  // uses them to skip failing rows mid-parse (the builtin JSON
+  // source's own pushdown shape), while Spark re-applies them above,
+  // so the skip can never change results
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+  override def build(): Scan = new PagedJsonScan(required, path, pushed)
 }
 
-class PagedJsonScan(required: StructType, path: String) extends Scan with Batch {
+class PagedJsonScan(required: StructType, path: String,
+                    pushed: Array[org.apache.spark.sql.sources.Filter])
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"PagedJsonScan path=$path, readSchema=${required.simpleString}"
+    s"PagedJsonScan path=$path, readSchema=${required.simpleString}, " +
+      s"pushedFilters=[${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
     PagedJsonSource.listPages(path, PagedJsonSource.driverHadoopConf())
       .map(p => PagedJsonInputPartition(p.toString): InputPartition).toArray
@@ -148,7 +165,7 @@ class PagedJsonScan(required: StructType, path: String) extends Scan with Batch 
     new PagedJsonReaderFactory(required,
       new org.apache.spark.util.SerializableConfiguration(
         PagedJsonSource.driverHadoopConf()),
-      JsonLineBridge.sessionTimeZone)
+      JsonLineBridge.sessionTimeZone, pushed)
 }
 
 case class PagedJsonInputPartition(file: String) extends InputPartition
@@ -156,21 +173,24 @@ case class PagedJsonInputPartition(file: String) extends InputPartition
 class PagedJsonReaderFactory(
     required: StructType,
     conf: org.apache.spark.util.SerializableConfiguration,
-    timeZoneId: String)
+    timeZoneId: String,
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PagedJsonPartitionReader(
       partition.asInstanceOf[PagedJsonInputPartition].file, required,
-      conf.value, timeZoneId)
+      conf.value, timeZoneId, pushed)
 }
 
 /** One page = one task: stream the page's lines through the shared
   * Jackson parser (constructed HERE, executor-side — it is not
   * serializable) against only the pruned schema. */
 class PagedJsonPartitionReader(file: String, required: StructType,
-                               conf: Configuration, timeZoneId: String)
+                               conf: Configuration, timeZoneId: String,
+                               pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReader[InternalRow] {
-  private val parse = JsonLineBridge.lineParser(required, timeZoneId)
+  private val parse =
+    JsonLineBridge.lineParser(required, timeZoneId, pushed.toSeq)
   private val hPath = new HPath(file)
   private val stream = hPath.getFileSystem(conf).open(hPath)
   private val lines = scala.io.Source.fromInputStream(stream, "UTF-8").getLines()

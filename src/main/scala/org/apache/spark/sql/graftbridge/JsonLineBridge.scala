@@ -26,16 +26,21 @@ object JsonLineBridge {
     * partition reader, not on the driver). Rows are copied out of the
     * parser's reused buffer. Parsing only the pruned `schema` is what
     * makes DSv2 column pruning real work-skipping here: Jackson
-    * skips the untouched fields token-by-token. Malformed lines go
-    * through the same [[FailureSafeParser]] as the builtin source in
-    * PERMISSIVE mode — a garbage line yields an all-null row instead
-    * of killing the task with an internal BadRecordException. */
-  def lineParser(schema: StructType,
-                 timeZoneId: String): String => Iterator[InternalRow] = {
+    * skips the untouched fields token-by-token; `filters` (which the
+    * scan keeps RESIDUAL — Spark re-applies them above, so they are
+    * a skip optimization, never a correctness dependency) let the
+    * parser drop failing rows mid-parse, the builtin JSON source's
+    * own pushdown mechanism. Malformed lines go through the same
+    * [[FailureSafeParser]] as the builtin source in PERMISSIVE
+    * mode — a garbage line yields an all-null row instead of killing
+    * the task with an internal BadRecordException. */
+  def lineParser(schema: StructType, timeZoneId: String,
+                 filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+      : String => Iterator[InternalRow] = {
     val opts = new JSONOptionsInRead(
       Map.empty[String, String], timeZoneId, "_corrupt_record")
     val raw = new JacksonParser(schema, opts,
-      allowArrayAsStructs = false, Seq.empty)
+      allowArrayAsStructs = false, filters)
     val safe = new FailureSafeParser[String](
       line => raw.parse[String](line, CreateJacksonParser.string,
         UTF8String.fromString),

@@ -55,6 +55,18 @@ class PagedJsonSourceSpec extends AnyFunSuite {
       s"scan did not prune to the 2 referenced columns:\n$plan")
   }
 
+  test("filters reach the parser as a skip hint and stay residual") {
+    val filtered = read().where(col("event_type") === "click")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedFilters=[") && plan.contains("event_type"),
+      s"filter did not reach the scan:\n$plan")
+    // residual semantics: the parser-side skip can never change the
+    // result vs filtering the direct table read
+    val expected = graft.sources.Tables.load(spark, sfDir, "events")
+      .where(col("event_type") === "click").count()
+    assert(filtered.count() == expected)
+  }
+
   test("malformed page lines yield null rows (builtin PERMISSIVE parity)") {
     val dir = graft.sources.Ingest.fixtureDir(sfDir) + "/paged_api_bad"
     val p = java.nio.file.Paths.get(dir)
