@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.graftbridge.JsonLineBridge
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -130,25 +131,29 @@ class PagedJsonScanBuilder(full: StructType, path: String)
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = full
-  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   // ALL filters stay residual (returned back to Spark): the parser
   // uses them to skip failing rows mid-parse (the builtin JSON
   // source's own pushdown shape), while Spark re-applies them above,
-  // so the skip can never change results
-  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
-      : Array[org.apache.spark.sql.sources.Filter] = {
-    pushed = filters
+  // so the skip can never change results. Parity with the builtin:
+  // the spark.sql.json.filterPushdown escape hatch is honored, and
+  // only the subset the parser can actually evaluate is REPORTED as
+  // pushed.
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed =
+      if (JsonLineBridge.jsonFilterPushdownEnabled)
+        JsonLineBridge.convertibleFilters(filters, full)
+      else Array.empty
     filters
   }
-  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
-    pushed
+  override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan = new PagedJsonScan(required, path, pushed)
 }
 
 class PagedJsonScan(required: StructType, path: String,
-                    pushed: Array[org.apache.spark.sql.sources.Filter])
+                    pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -174,7 +179,7 @@ class PagedJsonReaderFactory(
     required: StructType,
     conf: org.apache.spark.util.SerializableConfiguration,
     timeZoneId: String,
-    pushed: Array[org.apache.spark.sql.sources.Filter])
+    pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PagedJsonPartitionReader(
@@ -187,7 +192,7 @@ class PagedJsonReaderFactory(
   * serializable) against only the pruned schema. */
 class PagedJsonPartitionReader(file: String, required: StructType,
                                conf: Configuration, timeZoneId: String,
-                               pushed: Array[org.apache.spark.sql.sources.Filter])
+                               pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
   private val parse =
     JsonLineBridge.lineParser(required, timeZoneId, pushed.toSeq)

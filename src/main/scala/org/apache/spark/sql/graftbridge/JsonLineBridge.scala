@@ -21,6 +21,22 @@ object JsonLineBridge {
   def sessionTimeZone: String =
     org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
 
+  /** The builtin JSON source's pushdown gate
+    * (spark.sql.json.filterPushdown) — honored here too, so the
+    * escape hatch users reach for on a JsonFilters mis-skip applies
+    * to the custom source exactly as to `spark.read.json`. */
+  def jsonFilterPushdownEnabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.jsonFilterPushDown
+
+  /** The subset of `filters` the parser can actually evaluate against
+    * `schema` (top-level, convertible references) — what the builtin
+    * source REPORTS as pushed; everything else is silently dropped by
+    * StructFilters at parse time and must not be advertised. */
+  def convertibleFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      schema: StructType): Array[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.catalyst.StructFilters.pushedFilters(filters, schema)
+
   /** A per-task line parser for `schema` (executor-side construction:
     * JacksonParser is not serializable — call this inside the
     * partition reader, not on the driver). Rows are copied out of the

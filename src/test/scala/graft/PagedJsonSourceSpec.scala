@@ -58,13 +58,26 @@ class PagedJsonSourceSpec extends AnyFunSuite {
   test("filters reach the parser as a skip hint and stay residual") {
     val filtered = read().where(col("event_type") === "click")
     val plan = filtered.queryExecution.executedPlan.toString
-    assert(plan.contains("pushedFilters=[") && plan.contains("event_type"),
+    // exact content, not just the marker: an empty pushedFilters=[]
+    // (pushdown silently broken) must fail here
+    assert(plan.contains(
+      "pushedFilters=[IsNotNull(event_type), EqualTo(event_type,click)]"),
       s"filter did not reach the scan:\n$plan")
     // residual semantics: the parser-side skip can never change the
     // result vs filtering the direct table read
     val expected = graft.sources.Tables.load(spark, sfDir, "events")
       .where(col("event_type") === "click").count()
     assert(filtered.count() == expected)
+  }
+
+  test("spark.sql.json.filterPushdown.enabled=false disables the parser skip") {
+    spark.conf.set("spark.sql.json.filterPushdown.enabled", "false")
+    try {
+      val plan = read().where(col("event_type") === "click")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("pushedFilters=[]"),
+        s"escape hatch must empty the pushed set:\n$plan")
+    } finally spark.conf.unset("spark.sql.json.filterPushdown.enabled")
   }
 
   test("malformed page lines yield null rows (builtin PERMISSIVE parity)") {
