@@ -45,6 +45,23 @@ class SketchSpec extends AnyFunSuite {
       s"bloom false-positive count $falsePos far above the 1% target")
   }
 
+  test("approxQuantile (Greenwald-Khanna) respects the rank-error bound") {
+    val rel = 0.01
+    val approx = ev.stat.approxQuantile("value",
+      Array(0.25, 0.5, 0.75), rel)
+    val n = ev.count()
+    val sorted = ev.select("value").na.drop()
+      .orderBy("value").collect().map(_.getDouble(0))
+    Array(0.25, 0.5, 0.75).zip(approx).foreach { case (q, a) =>
+      // the GK guarantee is on RANK: the returned value's rank is
+      // within rel*n of ceil(q*n)
+      val rank = sorted.count(_ <= a)
+      val target = math.ceil(q * sorted.length)
+      assert(math.abs(rank - target) <= rel * n + 1,
+        s"quantile $q: value $a at rank $rank vs target $target")
+    }
+  }
+
   test("freqItems returns every item above the support threshold") {
     val n = ev.count()
     val support = 0.1
