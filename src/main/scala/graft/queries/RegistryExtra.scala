@@ -285,6 +285,29 @@ object RegistryExtra {
             .as("safe_ts"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // DataFrameNaFunctions — the API-level null-cleaning verbs
+    // (na.replace → na.fill → na.drop) over deterministically planted
+    // nulls; all three are pure projections/filters (codegen'd CASE/
+    // coalesce under the hood), so the whole cleanup is narrow. The
+    // complete-rows count (na.drop) rides along as a broadcast scalar.
+    "f17_na_functions" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 11 === 0, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")).as("seg"),
+          when(col("c_custkey") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")).as("bal"))
+      val cleaned = c.na.replace("seg", Map("MACHINERY" -> "MACHINES"))
+        .na.fill(Map("seg" -> "UNKNOWN", "bal" -> 0.0))
+      val complete = c.na.drop("any", Seq("seg", "bal"))
+        .agg(count(lit(1)).as("n_complete"))
+      cleaned.groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal").cast("decimal(18,6)")).cast("double").as("sum_bal"))
+        .crossJoin(broadcast(complete))
+        .orderBy("seg")
+    }),
+
     // CUBE: all four grouping combinations (detail, each single-dim
     // subtotal, grand total) in ONE Expand pass over one shuffle —
     // same single-scan argument as a11_grouping_sets; gid
@@ -1044,6 +1067,25 @@ object RegistryExtra {
                          AS TIMESTAMP) AS safe_ts
          FROM lineitem WHERE l_orderkey % 50 = 0
          ORDER BY l_orderkey, l_linenumber""",
+    "f17_na_functions" ->
+      """WITH c AS (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 11 = 0 THEN NULL
+                       ELSE c_mktsegment END AS seg,
+                  CASE WHEN c_custkey % 7 = 0 THEN NULL
+                       ELSE c_acctbal END AS bal
+           FROM customer),
+         cleaned AS (
+           SELECT coalesce(CASE WHEN seg = 'MACHINERY' THEN 'MACHINES'
+                                ELSE seg END, 'UNKNOWN') AS seg,
+                  coalesce(bal, 0.0) AS bal
+           FROM c),
+         d AS (SELECT count(*) AS n_complete FROM c
+               WHERE seg IS NOT NULL AND bal IS NOT NULL)
+         SELECT seg, count(*) AS n,
+                cast(sum(cast(bal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal,
+                (SELECT n_complete FROM d) AS n_complete
+         FROM cleaned GROUP BY seg ORDER BY seg""",
     "a14_mode" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
                     FROM lineitem GROUP BY 1, 2),
