@@ -257,6 +257,34 @@ object RegistryIngest {
         .orderBy("event_type")
     }),
 
+    // The STREAMING half of the paged source: the same page directory
+    // consumed as a micro-batch stream (offset = pages consumed —
+    // PagedJsonMicroBatchStream's cursor semantics) through the
+    // append parquet sink. The oracle is identical to the batch
+    // witness: the cursor must deliver every page exactly once.
+    "stream_paged_json_source" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/paged_api_stream"
+      graft.sources.PagedJsonSource.buildPages(
+        t(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
+        "event_id", nPages = 8, base)
+      val nonce = "graft_paged_stream_" + System.nanoTime()
+      val outDir = s"/tmp/graft_paged_stream/out_$nonce"
+      val q = s.readStream.format("graft.sources.PagedJsonSource")
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .load(base)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
     // S20: malformed-row handling on the CSV scan — the ingest
     // semantics a messy crawl feed actually needs. Every
     // custkey % 13 == 0 line carries an unparseable numeric field;
@@ -440,6 +468,11 @@ object RegistryIngest {
          FROM lineitem WHERE l_quantity > 25
          GROUP BY l_returnflag ORDER BY l_returnflag""",
     "s10_paged_json_source" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_paged_json_source" ->
       """SELECT event_type, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
                 count(DISTINCT user_id) AS n_users

@@ -121,7 +121,7 @@ class PagedJsonTable(tableSchema: StructType, path: String)
   override def name(): String = s"paged_json($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagedJsonScanBuilder(tableSchema, path)
 }
@@ -157,6 +157,9 @@ class PagedJsonScan(required: StructType, path: String,
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PagedJsonMicroBatchStream(required, path, pushed)
   override def description(): String =
     s"PagedJsonScan path=$path, readSchema=${required.simpleString}, " +
       s"pushedFilters=[${pushed.mkString(", ")}]"
@@ -206,4 +209,59 @@ class PagedJsonPartitionReader(file: String, required: StructType,
     if (rows.hasNext) { current = rows.next(); true } else false
   override def get(): InternalRow = current
   override def close(): Unit = stream.close()
+}
+
+/** The API cursor as a STREAMING offset: the paged feed consumed as a
+  * micro-batch stream, offset = "number of pages consumed so far".
+  * Each `latestOffset` re-lists the page directory (the cursor poll);
+  * `planInputPartitions(start, end)` ships exactly the pages in
+  * [start, end) — one task per new page — and the checkpoint persists
+  * the cursor, so a restarted query resumes at the first unconsumed
+  * page. Requires the crawl's append-only page layout (page-00000,
+  * page-00001, … — zero-padded names keep listing order == cursor
+  * order); already-consumed pages are assumed immutable, exactly the
+  * contract a paginated API gives. Column pruning and residual
+  * filter-skipping are inherited from the batch scan unchanged. */
+class PagedJsonOffset(val pages: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"pages":$pages}"""
+  override def equals(o: Any): Boolean = o match {
+    case p: PagedJsonOffset => p.pages == pages
+    case _ => false
+  }
+  override def hashCode(): Int = pages
+}
+
+class PagedJsonMicroBatchStream(required: StructType, path: String,
+                                pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def currentPages(): Seq[HPath] =
+    PagedJsonSource.listPages(path, PagedJsonSource.driverHadoopConf())
+
+  override def initialOffset(): Offset = new PagedJsonOffset(0)
+  override def latestOffset(): Offset =
+    new PagedJsonOffset(currentPages().length)
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{"pages":(\d+)\}""".r
+    json.trim match {
+      case m(n) => new PagedJsonOffset(n.toInt)
+      case other => throw new IllegalArgumentException(
+        s"malformed paged-json offset: $other")
+    }
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[PagedJsonOffset].pages
+    val to = end.asInstanceOf[PagedJsonOffset].pages
+    currentPages().slice(from, to)
+      .map(p => PagedJsonInputPartition(p.toString): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedJsonReaderFactory(required,
+      new org.apache.spark.util.SerializableConfiguration(
+        PagedJsonSource.driverHadoopConf()),
+      JsonLineBridge.sessionTimeZone, pushed)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }

@@ -108,6 +108,10 @@ class IdempotenceSpec extends AnyFunSuite {
     runTwice("s10_paged_json_source")
   }
 
+  test("paged-json streaming query is re-runnable (nonced sink + checkpoint)") {
+    runTwice("stream_paged_json_source")
+  }
+
   test("memory-sink and file-sink streaming variants agree") {
     import org.apache.spark.sql.functions.col
     val order = Seq(col("report_date"), col("event_type"))

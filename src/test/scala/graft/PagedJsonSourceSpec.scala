@@ -101,6 +101,42 @@ class PagedJsonSourceSpec extends AnyFunSuite {
       s"garbage line should surface as one null row: ${rows.toSeq}")
   }
 
+  test("streaming: the API cursor is the offset — resume ships only new pages") {
+    import spark.implicits._
+    val nonce = "paged_stream_" + System.nanoTime()
+    val dir = s"/tmp/graft_paged_stream/src_$nonce"
+    val out = s"/tmp/graft_paged_stream/out_$nonce"
+    val ckpt = s"/tmp/graft_stream_ckpt/$nonce"
+    def writePage(i: Int, rows: String*): Unit = {
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve(f"page-$i%05d.jsonl"),
+        java.util.Arrays.asList(rows: _*),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.PagedJsonSource")
+        .schema("id BIGINT, tag STRING").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writePage(0, """{"id":1,"tag":"a"}""", """{"id":2,"tag":"b"}""")
+    writePage(1, """{"id":3,"tag":"c"}""")
+    runOnce()
+    assert(spark.read.parquet(out).count() == 3,
+      "first run must consume both existing pages")
+    writePage(2, """{"id":4,"tag":"d"}""")
+    runOnce()
+    val tags = spark.read.parquet(out)
+      .select("tag").as[String].collect().sorted.toSeq
+    // the checkpointed cursor must skip pages 0-1: nothing re-shipped
+    assert(tags == Seq("a", "b", "c", "d"),
+      s"cursor resume shipped wrong pages: $tags")
+  }
+
   test("missing directory reads as empty, not as an error") {
     val df = spark.read
       .format("graft.sources.PagedJsonSource")
