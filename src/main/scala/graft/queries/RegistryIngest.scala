@@ -17,6 +17,21 @@ import graft.operators.Incremental
 object RegistryIngest {
   private type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Shared witness shape for the paged-source pair: the batch and
+    * streaming reads must produce the IDENTICAL aggregate, checked
+    * against one oracle — defined once so they cannot diverge. */
+  private def pagedAgg(df: DataFrame): DataFrame =
+    df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  private val pagedOracle =
+    """SELECT event_type, count(*) AS n,
+              cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+              count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY event_type ORDER BY event_type"""
   private def tsLit(df: DataFrame, c: String, v: String) =
     lit(v).cast(df.schema(df.schema.fieldIndex(c)).dataType)
 
@@ -247,21 +262,19 @@ object RegistryIngest {
       graft.sources.PagedJsonSource.buildPages(
         t(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
         "event_id", nPages = 8, base)
-      s.read.format("graft.sources.PagedJsonSource")
+      pagedAgg(s.read.format("graft.sources.PagedJsonSource")
         .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
-        .load(base)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
-          countDistinct(col("user_id")).as("n_users"))
-        .orderBy("event_type")
+        .load(base))
     }),
 
     // The STREAMING half of the paged source: the same page directory
     // consumed as a micro-batch stream (offset = pages consumed —
     // PagedJsonMicroBatchStream's cursor semantics) through the
-    // append parquet sink. The oracle is identical to the batch
-    // witness: the cursor must deliver every page exactly once.
+    // append parquet sink, paced to 3 pages per micro-batch
+    // (admission control — the 8-page backlog drains as 3 REAL
+    // batches, each with its own checkpoint commit). The oracle is
+    // identical to the batch witness: the cursor must deliver every
+    // page exactly once.
     "stream_paged_json_source" -> ((s, dir) => {
       val base = Ingest.fixtureDir(dir) + "/paged_api_stream"
       graft.sources.PagedJsonSource.buildPages(
@@ -271,18 +284,14 @@ object RegistryIngest {
       val outDir = s"/tmp/graft_paged_stream/out_$nonce"
       val q = s.readStream.format("graft.sources.PagedJsonSource")
         .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .option("maxPagesPerTrigger", "3")
         .load(base)
         .writeStream.format("parquet").option("path", outDir)
         .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(outDir)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
-          countDistinct(col("user_id")).as("n_users"))
-        .orderBy("event_type")
+      pagedAgg(s.read.parquet(outDir))
     }),
 
     // S20: malformed-row handling on the CSV scan — the ingest
@@ -467,16 +476,8 @@ object RegistryIngest {
                 cast(sum(cast(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
          FROM lineitem WHERE l_quantity > 25
          GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "s10_paged_json_source" ->
-      """SELECT event_type, count(*) AS n,
-                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
-                count(DISTINCT user_id) AS n_users
-         FROM events GROUP BY event_type ORDER BY event_type""",
-    "stream_paged_json_source" ->
-      """SELECT event_type, count(*) AS n,
-                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
-                count(DISTINCT user_id) AS n_users
-         FROM events GROUP BY event_type ORDER BY event_type""",
+    "s10_paged_json_source" -> pagedOracle,
+    "stream_paged_json_source" -> pagedOracle,
     // expected counts derive from the PLANTED corruption rule: rows
     // with custkey % 13 == 0 are unparseable in the numeric field
     "s20_csv_malformed_modes" ->

@@ -66,14 +66,19 @@ object PagedJsonSource {
   private[sources] def driverHadoopConf(): Configuration =
     SparkSession.active.sparkContext.hadoopConfiguration
 
-  /** Page files in cursor order. Driver-side metadata listing only. */
+  /** Page files in cursor order — NUMERIC page order, not
+    * lexicographic (page-100000 must sort after page-99999, and
+    * mixed-width names must not interleave; the streaming cursor
+    * slices this sequence by position, so ordering IS correctness
+    * there). Driver-side metadata listing only. */
   def listPages(dir: String, conf: Configuration): Seq[HPath] = {
     val p = new HPath(dir)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).map(_.getPath)
       .filter(_.getName.matches("page-\\d+\\.jsonl"))
-      .sortBy(_.getName).toSeq
+      .sortBy(q => q.getName.stripPrefix("page-").stripSuffix(".jsonl").toLong)
+      .toSeq
   }
 
   /** Fixture builder: lay `df` out as the crawl's page directory
@@ -123,10 +128,11 @@ class PagedJsonTable(tableSchema: StructType, path: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedJsonScanBuilder(tableSchema, path)
+    new PagedJsonScanBuilder(tableSchema, path, options)
 }
 
-class PagedJsonScanBuilder(full: StructType, path: String)
+class PagedJsonScanBuilder(full: StructType, path: String,
+                           options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -149,17 +155,19 @@ class PagedJsonScanBuilder(full: StructType, path: String)
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new PagedJsonScan(required, path, pushed)
+  override def build(): Scan =
+    new PagedJsonScan(required, path, pushed,
+      Option(options.get("maxPagesPerTrigger")).map(_.toInt))
 }
 
 class PagedJsonScan(required: StructType, path: String,
-                    pushed: Array[Filter])
+                    pushed: Array[Filter], maxPagesPerTrigger: Option[Int])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new PagedJsonMicroBatchStream(required, path, pushed)
+    new PagedJsonMicroBatchStream(this, path, maxPagesPerTrigger)
   override def description(): String =
     s"PagedJsonScan path=$path, readSchema=${required.simpleString}, " +
       s"pushedFilters=[${pushed.mkString(", ")}]"
@@ -168,12 +176,14 @@ class PagedJsonScan(required: StructType, path: String,
       .map(p => PagedJsonInputPartition(p.toString): InputPartition).toArray
   // driver-side capture of the session's Hadoop conf + timezone, so
   // executor readers see spark.hadoop.* settings and parse zone-less
-  // timestamps exactly like the builtin JSON source
-  override def createReaderFactory(): PartitionReaderFactory =
+  // timestamps exactly like the builtin JSON source; ONE factory
+  // builder shared by the batch and streaming halves
+  private[sources] def readerFactory(): PartitionReaderFactory =
     new PagedJsonReaderFactory(required,
       new org.apache.spark.util.SerializableConfiguration(
         PagedJsonSource.driverHadoopConf()),
       JsonLineBridge.sessionTimeZone, pushed)
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory()
 }
 
 case class PagedJsonInputPartition(file: String) extends InputPartition
@@ -211,17 +221,29 @@ class PagedJsonPartitionReader(file: String, required: StructType,
   override def close(): Unit = stream.close()
 }
 
-/** The API cursor as a STREAMING offset: the paged feed consumed as a
-  * micro-batch stream, offset = "number of pages consumed so far".
-  * Each `latestOffset` re-lists the page directory (the cursor poll);
-  * `planInputPartitions(start, end)` ships exactly the pages in
-  * [start, end) — one task per new page — and the checkpoint persists
-  * the cursor, so a restarted query resumes at the first unconsumed
-  * page. Requires the crawl's append-only page layout (page-00000,
-  * page-00001, … — zero-padded names keep listing order == cursor
-  * order); already-consumed pages are assumed immutable, exactly the
-  * contract a paginated API gives. Column pruning and residual
-  * filter-skipping are inherited from the batch scan unchanged. */
+/** The API cursor as a STREAMING offset: the paged feed consumed as
+  * a micro-batch stream, offset = "number of pages consumed so far".
+  * Each poll re-lists the page directory (the cursor check), a batch
+  * plans exactly the pages in [start, end) — one task per page — and
+  * the checkpoint persists the cursor, so a restarted query resumes
+  * at the first unconsumed page.
+  *
+  * Contract: the crawl's page layout is APPEND-ONLY and IMMUTABLE —
+  * new pages carry numbers greater than every existing page (cursor
+  * order = numeric page order, see [[PagedJsonSource.listPages]]),
+  * and consumed pages never change. A listing that ever REGRESSES
+  * below the high-water cursor (pages deleted, or a delete+recreate
+  * re-land) aborts the query instead of silently re-shipping or
+  * skipping pages.
+  *
+  * Admission control: `maxPagesPerTrigger` (read option) bounds each
+  * micro-batch; with `Trigger.AvailableNow` the target offset is
+  * frozen up front ([[SupportsTriggerAvailableNow]] — without it
+  * Spark would silently fall back to single-batch Trigger.Once
+  * semantics) and the backlog drains in maxPagesPerTrigger-sized
+  * batches, each with its own checkpoint commit. Column pruning and
+  * residual filter-skipping are inherited from the batch scan
+  * unchanged (shared reader factory). */
 class PagedJsonOffset(val pages: Int)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = s"""{"pages":$pages}"""
@@ -232,36 +254,80 @@ class PagedJsonOffset(val pages: Int)
   override def hashCode(): Int = pages
 }
 
-class PagedJsonMicroBatchStream(required: StructType, path: String,
-                                pushed: Array[Filter])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+class PagedJsonMicroBatchStream(scan: PagedJsonScan, path: String,
+                                maxPagesPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
-  private def currentPages(): Seq[HPath] =
-    PagedJsonSource.listPages(path, PagedJsonSource.driverHadoopConf())
+  // last directory snapshot (reused by planInputPartitions — one
+  // listing per poll, not two) and the high-water cursor (never
+  // allowed to regress; fed by polls AND checkpointed offsets)
+  private var lastListing: Seq[HPath] = Seq.empty
+  private var maxSeen = 0
+  private var availableNowCap: Option[Int] = None
+
+  private def poll(): Int = {
+    val pages = PagedJsonSource.listPages(path, PagedJsonSource.driverHadoopConf())
+    require(pages.length >= maxSeen,
+      s"page directory regressed: listed ${pages.length} pages below the " +
+        s"high-water cursor $maxSeen — the layout must be append-only")
+    lastListing = pages
+    maxSeen = pages.length
+    pages.length
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(poll())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPagesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
 
   override def initialOffset(): Offset = new PagedJsonOffset(0)
+
+  // unused once SupportsAdmissionControl is in play — Spark drives
+  // the two-arg variant below
   override def latestOffset(): Offset =
-    new PagedJsonOffset(currentPages().length)
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[PagedJsonOffset].pages
+    val avail = availableNowCap.getOrElse(poll())
+    val to = limit match {
+      case mf: ReadMaxFiles => math.min(avail, from + mf.maxFiles())
+      case _ => avail
+    }
+    new PagedJsonOffset(math.max(from, to))
+  }
+
+  override def reportLatestOffset(): Offset = new PagedJsonOffset(maxSeen)
+
   override def deserializeOffset(json: String): Offset = {
     val m = """\{"pages":(\d+)\}""".r
     json.trim match {
-      case m(n) => new PagedJsonOffset(n.toInt)
+      case m(n) =>
+        maxSeen = math.max(maxSeen, n.toInt)
+        new PagedJsonOffset(n.toInt)
       case other => throw new IllegalArgumentException(
         s"malformed paged-json offset: $other")
     }
   }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[PagedJsonOffset].pages
     val to = end.asInstanceOf[PagedJsonOffset].pages
-    currentPages().slice(from, to)
+    if (lastListing.length < to) poll() // restart path: no snapshot yet
+    require(lastListing.length >= to,
+      s"page directory regressed: cannot plan [${from}, ${to}) over " +
+        s"${lastListing.length} listed pages")
+    lastListing.slice(from, to)
       .map(p => PagedJsonInputPartition(p.toString): InputPartition).toArray
   }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedJsonReaderFactory(required,
-      new org.apache.spark.util.SerializableConfiguration(
-        PagedJsonSource.driverHadoopConf()),
-      JsonLineBridge.sessionTimeZone, pushed)
+    scan.readerFactory()
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

@@ -114,20 +114,27 @@ class PagedJsonSourceSpec extends AnyFunSuite {
         java.util.Arrays.asList(rows: _*),
         java.nio.charset.StandardCharsets.UTF_8)
     }
-    def runOnce(): Unit = {
+    def runOnce(): Seq[Long] = {
       val q = spark.readStream.format("graft.sources.PagedJsonSource")
-        .schema("id BIGINT, tag STRING").load(dir)
+        .schema("id BIGINT, tag STRING")
+        .option("maxPagesPerTrigger", "1")
+        .load(dir)
         .writeStream.format("parquet").option("path", out)
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).toSeq
     }
     writePage(0, """{"id":1,"tag":"a"}""", """{"id":2,"tag":"b"}""")
     writePage(1, """{"id":3,"tag":"c"}""")
-    runOnce()
+    val batches = runOnce()
     assert(spark.read.parquet(out).count() == 3,
       "first run must consume both existing pages")
+    // admission control is REAL micro-batching, not one giant batch:
+    // AvailableNow + maxPagesPerTrigger=1 drains 2 pages as 2 batches
+    assert(batches.filter(_ > 0) == Seq(2L, 1L),
+      s"expected one batch per page (2 rows then 1): $batches")
     writePage(2, """{"id":4,"tag":"d"}""")
     runOnce()
     val tags = spark.read.parquet(out)
