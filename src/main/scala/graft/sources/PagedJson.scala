@@ -30,9 +30,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   - pages are listed once on the driver (the API-cursor analogue)
   *     and stream through executor-side Hadoop FS readers — works on
   *     any Hadoop-visible filesystem, nothing is collected;
-  *   - schema inference (`spark.read` without an explicit schema) is
-  *     a metadata operation on the FIRST page only — the paged
-  *     analogue of the reference's describe-then-read two-pass.
+  *   - schema inference (`spark.read` without an explicit schema)
+  *     unions inference across ALL pages — the paged analogue of the
+  *     reference's all-files two-pass (load_bronze_to_table.py:
+  *     130-133), needed because the crawl's key set is ragged per
+  *     listing: a field that first appears on page 2 must still
+  *     surface. `samplePages=N` bounds the inference pass for
+  *     crawls too large to full-scan twice (100 TB case) — an
+  *     explicit, documented trade: fields appearing only AFTER the
+  *     first N pages are then dropped on a schema-less read;
+  *   - `maxPagesPerPartition=N` coalesces N consecutive pages into
+  *     one input partition (order preserved within the partition) —
+  *     without it a 100 TB crawl of small pages would plan millions
+  *     of tiny tasks; with it, parallelism is bounded by
+  *     ceil(pages/N) while row identity is untouched.
   *
   * Usage: `spark.read.format("graft.sources.PagedJsonSource")
   *   .schema(...).load(dir)`.
@@ -43,10 +54,20 @@ class PagedJsonSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = options.get("path")
     require(dir != null, "paged-json source requires a path")
-    val first = PagedJsonSource.listPages(dir, PagedJsonSource.driverHadoopConf())
-      .headOption.getOrElse(
-        throw new IllegalArgumentException(s"no page-*.jsonl files under $dir"))
-    SparkSession.active.read.json(first.toString).schema
+    val pages = PagedJsonSource.listPages(dir, PagedJsonSource.driverHadoopConf())
+    if (pages.isEmpty)
+      throw new IllegalArgumentException(s"no page-*.jsonl files under $dir")
+    // union inference across pages (the builtin JSON source's multi-
+    // file behavior): the crawl is ragged — a key first appearing on
+    // page 2 must not be silently dropped. samplePages caps the pass
+    // for crawls where a full second read is unaffordable.
+    val sample = Option(options.get("samplePages")) match {
+      case Some(n) =>
+        require(n.toInt > 0, s"samplePages must be positive, got $n")
+        pages.take(n.toInt)
+      case None => pages
+    }
+    SparkSession.active.read.json(sample.map(_.toString): _*).schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -77,9 +98,15 @@ object PagedJsonSource {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).map(_.getPath)
       .filter(_.getName.matches("page-\\d+\\.jsonl"))
-      .sortBy(q => q.getName.stripPrefix("page-").stripSuffix(".jsonl").toLong)
+      .sortBy(pageNumber)
       .toSeq
   }
+
+  /** The page's NUMBER — the cursor's unit of identity (a count is
+    * not: a late page filling a numbering gap below the cursor shifts
+    * every later position while keeping counts monotone). */
+  def pageNumber(p: HPath): Long =
+    p.getName.stripPrefix("page-").stripSuffix(".jsonl").toLong
 
   /** Fixture builder: lay `df` out as the crawl's page directory
     * (`page-00000.jsonl` …), one JSONL file per page — the landed
@@ -155,13 +182,20 @@ class PagedJsonScanBuilder(full: StructType, path: String,
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan =
+  override def build(): Scan = {
+    val pagesPerPartition =
+      Option(options.get("maxPagesPerPartition")).map(_.toInt).getOrElse(1)
+    require(pagesPerPartition >= 1,
+      s"maxPagesPerPartition must be >= 1, got $pagesPerPartition")
     new PagedJsonScan(required, path, pushed,
-      Option(options.get("maxPagesPerTrigger")).map(_.toInt))
+      Option(options.get("maxPagesPerTrigger")).map(_.toInt),
+      pagesPerPartition)
+  }
 }
 
 class PagedJsonScan(required: StructType, path: String,
-                    pushed: Array[Filter], maxPagesPerTrigger: Option[Int])
+                    pushed: Array[Filter], maxPagesPerTrigger: Option[Int],
+                    pagesPerPartition: Int)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -171,9 +205,15 @@ class PagedJsonScan(required: StructType, path: String,
   override def description(): String =
     s"PagedJsonScan path=$path, readSchema=${required.simpleString}, " +
       s"pushedFilters=[${pushed.mkString(", ")}]"
+  /** Consecutive pages coalesce into one partition (bounded task
+    * count at scale); cursor order is preserved both across and
+    * within partitions, so row identity is unchanged. */
+  private[sources] def groupPages(pages: Seq[HPath]): Array[InputPartition] =
+    pages.map(_.toString).grouped(pagesPerPartition)
+      .map(g => PagedJsonInputPartition(g): InputPartition).toArray
   override def planInputPartitions(): Array[InputPartition] =
-    PagedJsonSource.listPages(path, PagedJsonSource.driverHadoopConf())
-      .map(p => PagedJsonInputPartition(p.toString): InputPartition).toArray
+    groupPages(
+      PagedJsonSource.listPages(path, PagedJsonSource.driverHadoopConf()))
   // driver-side capture of the session's Hadoop conf + timezone, so
   // executor readers see spark.hadoop.* settings and parse zone-less
   // timestamps exactly like the builtin JSON source; ONE factory
@@ -186,7 +226,7 @@ class PagedJsonScan(required: StructType, path: String,
   override def createReaderFactory(): PartitionReaderFactory = readerFactory()
 }
 
-case class PagedJsonInputPartition(file: String) extends InputPartition
+case class PagedJsonInputPartition(files: Seq[String]) extends InputPartition
 
 class PagedJsonReaderFactory(
     required: StructType,
@@ -196,45 +236,67 @@ class PagedJsonReaderFactory(
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PagedJsonPartitionReader(
-      partition.asInstanceOf[PagedJsonInputPartition].file, required,
+      partition.asInstanceOf[PagedJsonInputPartition].files, required,
       conf.value, timeZoneId, pushed)
 }
 
-/** One page = one task: stream the page's lines through the shared
-  * Jackson parser (constructed HERE, executor-side — it is not
-  * serializable) against only the pruned schema. */
-class PagedJsonPartitionReader(file: String, required: StructType,
+/** One partition = one task over its (coalesced) pages, read in
+  * cursor order, one open stream at a time: the lines flow through
+  * the shared Jackson parser (constructed HERE, executor-side — it
+  * is not serializable) against only the pruned schema. */
+class PagedJsonPartitionReader(files: Seq[String], required: StructType,
                                conf: Configuration, timeZoneId: String,
                                pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
   private val parse =
     JsonLineBridge.lineParser(required, timeZoneId, pushed.toSeq)
-  private val hPath = new HPath(file)
-  private val stream = hPath.getFileSystem(conf).open(hPath)
-  private val lines = scala.io.Source.fromInputStream(stream, "UTF-8").getLines()
-  private val rows = lines.filter(_.trim.nonEmpty).flatMap(parse)
+  private var fileIdx = -1
+  private var stream: org.apache.hadoop.fs.FSDataInputStream = _
+  private var rows: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (rows.hasNext) { current = rows.next(); true } else false
+  private def advanceFile(): Boolean = {
+    if (stream != null) { stream.close(); stream = null }
+    fileIdx += 1
+    if (fileIdx >= files.length) false
+    else {
+      val hPath = new HPath(files(fileIdx))
+      stream = hPath.getFileSystem(conf).open(hPath)
+      rows = scala.io.Source.fromInputStream(stream, "UTF-8").getLines()
+        .filter(_.trim.nonEmpty).flatMap(parse)
+      true
+    }
+  }
+
+  @scala.annotation.tailrec
+  final override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true }
+    else if (advanceFile()) next()
+    else false
   override def get(): InternalRow = current
-  override def close(): Unit = stream.close()
+  override def close(): Unit = if (stream != null) stream.close()
 }
 
 /** The API cursor as a STREAMING offset: the paged feed consumed as
   * a micro-batch stream, offset = "number of pages consumed so far".
   * Each poll re-lists the page directory (the cursor check), a batch
-  * plans exactly the pages in [start, end) — one task per page — and
+  * plans exactly the pages in [start, end) — one task per page (or per maxPagesPerPartition pages) — and
   * the checkpoint persists the cursor, so a restarted query resumes
   * at the first unconsumed page.
   *
   * Contract: the crawl's page layout is APPEND-ONLY and IMMUTABLE —
   * new pages carry numbers greater than every existing page (cursor
   * order = numeric page order, see [[PagedJsonSource.listPages]]),
-  * and consumed pages never change. A listing that ever REGRESSES
-  * below the high-water cursor (pages deleted, or a delete+recreate
-  * re-land) aborts the query instead of silently re-shipping or
-  * skipping pages.
+  * and consumed pages never change. The offset therefore persists
+  * BOTH the positional cursor (pages consumed) and the NUMBER of the
+  * last consumed page: a count alone cannot detect a late page
+  * filling a numbering gap below the cursor, or a delete+recreate
+  * that preserves count — both shift positions in the sorted listing
+  * so a positional slice would silently re-ship a consumed page and
+  * skip the new one. Every poll and every planned batch re-checks
+  * that the page at position cursor-1 still carries the checkpointed
+  * number, and aborts the query on any mismatch (as it does when the
+  * listing count regresses).
   *
   * Admission control: `maxPagesPerTrigger` (read option) bounds each
   * micro-batch; with `Trigger.AvailableNow` the target offset is
@@ -244,9 +306,14 @@ class PagedJsonPartitionReader(file: String, required: StructType,
   * batches, each with its own checkpoint commit. Column pruning and
   * residual filter-skipping are inherited from the batch scan
   * unchanged (shared reader factory). */
-class PagedJsonOffset(val pages: Int)
+/** `pages` = positional cursor (pages consumed); `lastPage` = page
+  * NUMBER of the last consumed page, -1 when nothing is consumed or
+  * the checkpoint predates this field (legacy offsets deserialize
+  * with -1 and skip the identity check once). Equality is positional
+  * — `lastPage` is the validation payload, not the position. */
+class PagedJsonOffset(val pages: Int, val lastPage: Long = -1L)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"pages":$pages}"""
+  override def json(): String = s"""{"pages":$pages,"lastPage":$lastPage}"""
   override def equals(o: Any): Boolean = o match {
     case p: PagedJsonOffset => p.pages == pages
     case _ => false
@@ -292,22 +359,52 @@ class PagedJsonMicroBatchStream(scan: PagedJsonScan, path: String,
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is used (SupportsAdmissionControl)")
 
+  /** The identity check a positional cursor needs: the page at
+    * position `pages-1` of the current listing must still be the
+    * checkpointed `lastPage` number. A late gap-filling page or a
+    * count-preserving delete+recreate below the cursor shifts that
+    * position — abort rather than silently re-ship/skip. */
+  private def validateCursor(off: PagedJsonOffset): Unit =
+    if (off.pages > 0 && off.lastPage >= 0) {
+      require(lastListing.length >= off.pages,
+        s"page directory regressed: ${lastListing.length} pages listed " +
+          s"below the cursor ${off.pages}")
+      val actual = PagedJsonSource.pageNumber(lastListing(off.pages - 1))
+      require(actual == off.lastPage,
+        s"page directory mutated below the cursor: position ${off.pages - 1} " +
+          s"is now page-$actual but the checkpoint consumed through " +
+          s"page-${off.lastPage} — a late page filled a numbering gap or a " +
+          "consumed page was replaced; the layout must be append-only")
+    }
+
+  private def offsetAt(pages: Int): PagedJsonOffset =
+    new PagedJsonOffset(pages,
+      if (pages == 0) -1L
+      else PagedJsonSource.pageNumber(lastListing(pages - 1)))
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[PagedJsonOffset].pages
+    val startOff = start.asInstanceOf[PagedJsonOffset]
+    val from = startOff.pages
     val avail = availableNowCap.getOrElse(poll())
+    if (lastListing.length < from) poll() // restart path: stale snapshot
+    validateCursor(startOff)
     val to = limit match {
       case mf: ReadMaxFiles => math.min(avail, from + mf.maxFiles())
       case _ => avail
     }
-    new PagedJsonOffset(math.max(from, to))
+    offsetAt(math.max(from, to))
   }
 
   override def reportLatestOffset(): Offset = new PagedJsonOffset(maxSeen)
 
   override def deserializeOffset(json: String): Offset = {
-    val m = """\{"pages":(\d+)\}""".r
+    val full = """\{"pages":(\d+),"lastPage":(-?\d+)\}""".r
+    val legacy = """\{"pages":(\d+)\}""".r
     json.trim match {
-      case m(n) =>
+      case full(n, lp) =>
+        maxSeen = math.max(maxSeen, n.toInt)
+        new PagedJsonOffset(n.toInt, lp.toLong)
+      case legacy(n) =>
         maxSeen = math.max(maxSeen, n.toInt)
         new PagedJsonOffset(n.toInt)
       case other => throw new IllegalArgumentException(
@@ -316,14 +413,17 @@ class PagedJsonMicroBatchStream(scan: PagedJsonScan, path: String,
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[PagedJsonOffset].pages
-    val to = end.asInstanceOf[PagedJsonOffset].pages
+    val startOff = start.asInstanceOf[PagedJsonOffset]
+    val endOff = end.asInstanceOf[PagedJsonOffset]
+    val from = startOff.pages
+    val to = endOff.pages
     if (lastListing.length < to) poll() // restart path: no snapshot yet
     require(lastListing.length >= to,
       s"page directory regressed: cannot plan [${from}, ${to}) over " +
         s"${lastListing.length} listed pages")
-    lastListing.slice(from, to)
-      .map(p => PagedJsonInputPartition(p.toString): InputPartition).toArray
+    validateCursor(startOff)
+    validateCursor(endOff)
+    scan.groupPages(lastListing.slice(from, to))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

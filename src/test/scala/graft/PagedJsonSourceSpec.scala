@@ -28,6 +28,25 @@ class PagedJsonSourceSpec extends AnyFunSuite {
       "page files must map 1:1 to input partitions")
   }
 
+  test("maxPagesPerPartition bounds task count without changing rows") {
+    // 8 pages coalesced 3-at-a-time -> ceil(8/3) = 3 partitions; the
+    // 100 TB shape: parallelism bounded, row identity untouched
+    val coalesced = spark.read
+      .format("graft.sources.PagedJsonSource")
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("maxPagesPerPartition", "3")
+      .load(base)
+    assert(coalesced.rdd.getNumPartitions == 3,
+      "8 pages at 3 pages/partition must plan 3 partitions")
+    val a = coalesced.agg(
+      count(lit(1)), countDistinct(col("event_id")),
+      sum(col("value").cast("decimal(18,6)"))).collect()(0)
+    val b = read().agg(
+      count(lit(1)), countDistinct(col("event_id")),
+      sum(col("value").cast("decimal(18,6)"))).collect()(0)
+    assert(a == b, s"coalescing changed row content: $a vs $b")
+  }
+
   test("no row lost or duplicated across the page layout") {
     val viaPages = read().agg(
       count(lit(1)), countDistinct(col("event_id")),
@@ -38,7 +57,7 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     assert(viaPages == direct, s"paged read diverged: $viaPages vs $direct")
   }
 
-  test("inferred schema (first-page metadata pass) matches the data") {
+  test("inferred schema (all-pages metadata pass) matches the data") {
     val inferred = spark.read
       .format("graft.sources.PagedJsonSource").load(base)
     // JSON inference orders fields alphabetically and widens numerics;
@@ -46,6 +65,39 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     assert(inferred.columns.sorted.toSeq ==
       Seq("event_id", "event_type", "user_id", "value"))
     assert(inferred.count() == read().count())
+  }
+
+  test("ragged pages: inference unions keys across ALL pages") {
+    // the crawl's actual shape: page 1 introduces a key page 0 lacks
+    // (end_to_end_pipeline.py's ragged per-listing parameters); the
+    // reference infers over all files (load_bronze_to_table.py:
+    // 130-133) and so must we — a schema-less read that silently
+    // drops later-page fields is the bug this pins
+    val dir = graft.sources.Ingest.fixtureDir(sfDir) + "/paged_api_ragged"
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve("page-00000.jsonl"),
+      java.util.Arrays.asList("""{"id":1}""", """{"id":2}"""),
+      java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(p.resolve("page-00001.jsonl"),
+      java.util.Arrays.asList("""{"id":3,"extra":"only-on-page-1"}"""),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val inferred = spark.read.format("graft.sources.PagedJsonSource").load(dir)
+    assert(inferred.columns.sorted.toSeq == Seq("extra", "id"),
+      s"later-page key dropped by inference: ${inferred.columns.toSeq}")
+    assert(inferred.where(col("extra").isNotNull).count() == 1,
+      "the later-page field must carry its value")
+    // the STREAMING half infers through the same path
+    val streamSchema = spark.readStream
+      .format("graft.sources.PagedJsonSource").load(dir).schema
+    assert(streamSchema.fieldNames.sorted.toSeq == Seq("extra", "id"),
+      s"streaming inference dropped a later-page key: $streamSchema")
+    // samplePages=1 is the documented bounded-inference trade:
+    // first-page-only, later-only keys invisible
+    val sampled = spark.read.format("graft.sources.PagedJsonSource")
+      .option("samplePages", "1").load(dir)
+    assert(sampled.columns.toSeq == Seq("id"),
+      s"samplePages=1 must infer from page 0 only: ${sampled.columns.toSeq}")
   }
 
   test("column pruning is pushed into the scan") {
@@ -142,6 +194,57 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     // the checkpointed cursor must skip pages 0-1: nothing re-shipped
     assert(tags == Seq("a", "b", "c", "d"),
       s"cursor resume shipped wrong pages: $tags")
+  }
+
+  test("streaming: a gap-filling page below the cursor aborts, a true append resumes") {
+    import spark.implicits._
+    val nonce = "paged_gap_" + System.nanoTime()
+    val dir = s"/tmp/graft_paged_stream/src_$nonce"
+    val out = s"/tmp/graft_paged_stream/out_$nonce"
+    val ckpt = s"/tmp/graft_stream_ckpt/$nonce"
+    def writePage(i: Int, rows: String*): Unit = {
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve(f"page-$i%05d.jsonl"),
+        java.util.Arrays.asList(rows: _*),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.PagedJsonSource")
+        .schema("id BIGINT, tag STRING")
+        .load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // the crawl legitimately skips empty pages: consume 0 and 2
+    writePage(0, """{"id":1,"tag":"a"}""")
+    writePage(2, """{"id":3,"tag":"c"}""")
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+    // a true append above the cursor resumes cleanly across the gap
+    writePage(3, """{"id":4,"tag":"d"}""")
+    runOnce()
+    assert(spark.read.parquet(out).select("tag").as[String].collect().sorted
+      .toSeq == Seq("a", "c", "d"))
+    // a LATE page filling the numbering gap below the cursor shifts
+    // every consumed position while keeping counts monotone — the
+    // count-only guard round 8 shipped would silently re-ship page 2
+    // and skip page 1; the page-NUMBER check must abort instead
+    writePage(1, """{"id":9,"tag":"X"}""")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("mutated below the cursor")),
+      s"expected the cursor-identity abort, got: ${messages(e)}")
+    // and nothing was re-shipped or skipped before the abort
+    assert(spark.read.parquet(out).select("tag").as[String].collect().sorted
+      .toSeq == Seq("a", "c", "d"))
   }
 
   test("missing directory reads as empty, not as an error") {
