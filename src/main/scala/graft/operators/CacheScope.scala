@@ -24,12 +24,23 @@ object CacheScope {
 
   /** Cache `dfs` as query `name`'s current generation, releasing any
     * previous generation whose plan no longer matches. Returns the
-    * inputs (cached) for inline use. */
+    * inputs (cached) for inline use.
+    *
+    * The stale check scans EVERY name's live generation, not just this
+    * name's: CacheManager dedups entries by canonicalized plan across
+    * the whole session, so two query names caching sameResult plans
+    * share ONE cache entry — unpersisting the old generation of name A
+    * would evict the entry name B's live generation still reads. An
+    * old frame is released only when no live frame anywhere (fresh or
+    * other-name) sameResult-matches it. */
   def scoped(name: String)(dfs: DataFrame*): Seq[DataFrame] = synchronized {
     val fresh = dfs.map(_.queryExecution.analyzed)
+    val otherLive = (live - name).values.flatten.toSeq
     live.getOrElse(name, Nil).foreach { old =>
-      if (!fresh.exists(_.sameResult(old.queryExecution.analyzed)))
-        old.unpersist(false)
+      val oldPlan = old.queryExecution.analyzed
+      val stillNeeded = fresh.exists(_.sameResult(oldPlan)) ||
+        otherLive.exists(_.queryExecution.analyzed.sameResult(oldPlan))
+      if (!stillNeeded) old.unpersist(false)
     }
     dfs.foreach(_.cache())
     live(name) = dfs

@@ -69,38 +69,83 @@ object Multimodal {
     }
   }
 
-  val frameSchema: StructType = StructType(Seq(
+  val frameStatsSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),
-    StructField("frame_len", LongType, nullable = false),
-    StructField("frame_md5", StringType, nullable = false),
-    StructField("resized_md5", StringType, nullable = false)))
+    StructField("out_w", IntegerType, nullable = false),
+    StructField("out_h", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("topright_r", IntegerType, nullable = false)))
 
-  /** Frame sampling + "resize" over the binary payload — the video/
-    * audio verbs of the multimodal family with the codec stubbed: the
-    * payload is sliced into fixed-width frames, every `sampleEvery`-th
-    * frame kept, and each frame "resized" (padded to the fixed width
-    * with 0x20 — the stand-in for a real resample/resize kernel).
-    * Slicing/sampling/batching are the real executor-side plumbing;
-    * only the kernel is fake. */
-  def frameSample(spark: SparkSession, media: DataFrame,
-                  frameBytes: Int = 64, sampleEvery: Int = 3): DataFrame = {
-    require(frameBytes > 0 && sampleEvery > 0)
-    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+  /** REAL frame sampling + nearest-neighbor resize: the payload is a
+    * genuine multi-frame 24bpp BMP strip (frame f = image rows
+    * [f*frameHeight, (f+1)*frameHeight), see [[videoCorpus]]). Every
+    * `sampleEvery`-th frame is decoded through the actual container
+    * (header walk, BGR, bottom-up rows, stride padding — shared with
+    * [[decodeBmp]]) and resized to outW×outH by nearest-neighbor
+    * source mapping (sx = x·w/outW, sy = y·frameHeight/outH, floor) —
+    * a real resize kernel over real decoded pixels, finishing what
+    * the BMP decode started. Emitted per sampled frame: resized
+    * channel sums + the resized top-right red channel (an
+    * orientation witness — a decoder that ignores bottom-up storage
+    * reads the wrong strip row). */
+  def frameSampleBmp(media: DataFrame, frameHeight: Int = 4,
+                     sampleEvery: Int = 3, outW: Int = 3,
+                     outH: Int = 2): DataFrame = {
+    require(frameHeight > 0 && sampleEvery > 0 && outW > 0 && outH > 0)
+    val enc = org.apache.spark.sql.Encoders.row(frameStatsSchema)
     media.select("media_id", "media").mapPartitions { rows =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
       rows.flatMap { r =>
         val id = r.getLong(0)
-        val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        (0 until (bytes.length + frameBytes - 1) / frameBytes)
-          .filter(_ % sampleEvery == 0)
-          .map { i =>
-            val frame = bytes.slice(i * frameBytes, (i + 1) * frameBytes)
-            val resized = frame.padTo(frameBytes, ' '.toByte)
-            Row(id, i, frame.length.toLong,
-              hex(md.digest(frame)), hex(md.digest(resized)))
+        val bytes = r.getAs[Array[Byte]](1)
+        val (off, w, h, stride) = parseBmpHeader(bytes)
+        require(h % frameHeight == 0,
+          s"strip height $h not a multiple of frame height $frameHeight")
+        // image-space pixel read: strip row gy lives in stored row
+        // h-1-gy (bottom-up container)
+        def channel(gy: Int, x: Int, c: Int): Int =
+          bytes(off + (h - 1 - gy) * stride + 3 * x + c) & 0xff
+        (0 until h / frameHeight).filter(_ % sampleEvery == 0).map { f =>
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var toprightR = 0
+          var yo = 0
+          while (yo < outH) {
+            val sy = yo * frameHeight / outH
+            val gy = f * frameHeight + sy
+            var xo = 0
+            while (xo < outW) {
+              val sx = xo * w / outW
+              sb += channel(gy, sx, 0)
+              sg += channel(gy, sx, 1)
+              sr += channel(gy, sx, 2)
+              if (xo == outW - 1 && yo == 0) toprightR = channel(gy, sx, 2)
+              xo += 1
+            }
+            yo += 1
           }
+          Row(id, f, outW, outH, sr, sg, sb, toprightR)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic multi-frame corpus: one genuine BMP strip per key
+    * — width id%6+2, id%5+2 frames of height `frameHeight` stacked
+    * vertically, pixels pure in (id, x, global y) via the
+    * [[redAt]]/[[greenAt]]/[[blueAt]] formulas, so the oracle
+    * recomputes sampled-resized statistics with no BMP parser. */
+  def videoCorpus(df: DataFrame, idCol: String,
+                  frameHeight: Int = 4): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false))))
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val nFrames = (id % 5 + 2).toInt
+        Row(id, encodeBmp(id, (id % 6 + 2).toInt, nFrames * frameHeight))
       }
     }(enc)
   }
@@ -168,7 +213,12 @@ object Multimodal {
     * sums plus an orientation witness (the IMAGE-space top-right
     * pixel's red channel, which lives in the LAST stored row; a
     * decoder that ignores bottom-up layout gets it wrong). */
-  def decodeBmp(bytes: Array[Byte]): (Int, Int, Int, Long, Long, Long, Int) = {
+  /** Shared container validation + header walk: returns (pixel-data
+    * offset, width, height, row stride). Hostile-header hardening:
+    * bound every field BEFORE any address arithmetic (a huge w*h
+    * would overflow Int and skip the length check; a sub-header
+    * offset would read header bytes as pixels). */
+  private def parseBmpHeader(bytes: Array[Byte]): (Int, Int, Int, Int) = {
     require(bytes != null && bytes.length >= 54 &&
       bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte, "not a BMP payload")
     val buf = java.nio.ByteBuffer.wrap(bytes)
@@ -179,15 +229,18 @@ object Multimodal {
     val bpp = buf.getShort(28).toInt
     val comp = buf.getInt(30)
     require(bpp == 24 && comp == 0, s"unsupported BMP variant: bpp=$bpp compression=$comp")
-    // hostile-header hardening: bound the fields BEFORE any address
-    // arithmetic (a huge w*h would overflow Int and skip the length
-    // check; a sub-header offset would read header bytes as pixels)
     require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20),
       s"bad dimensions ${w}x$h")
     require(off >= 54 && off <= bytes.length, s"bad pixel-data offset $off")
     val stride = w * 3 + (4 - (w * 3) % 4) % 4
     require(bytes.length.toLong >= off.toLong + stride.toLong * h,
       "truncated pixel array")
+    (off, w, h, stride)
+  }
+
+  def decodeBmp(bytes: Array[Byte]): (Int, Int, Int, Long, Long, Long, Int) = {
+    val (off, w, h, stride) = parseBmpHeader(bytes)
+    val bpp = 24
     var sr = 0L; var sg = 0L; var sb = 0L
     var row = 0
     while (row < h) {

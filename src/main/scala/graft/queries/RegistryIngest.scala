@@ -70,6 +70,28 @@ object RegistryIngest {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // S1 at 100 TB: the reference's 2-pass inference re-READS the
+    // whole feed just to discover the schema — unaffordable at scale.
+    // samplingRatio bounds the inference pass to a deterministic
+    // sample (seeded sample, builtin JSON source); the witness pins
+    // BOTH the data (same oracle as the full pass) and the inferred
+    // schema itself (schema_sig literal under the hash), so a sampled
+    // pass that ever narrows a type or drops a field breaks the row.
+    "s1_sampled_inference" -> ((s, dir) => {
+      val path = Ingest.fixtureDir(dir) + "/events_jsonl_sampled"
+      Ingest.writeJsonl(
+        t(s, dir, "events").select("event_id", "user_id", "event_type", "value"), path)
+      val inferred = s.read.option("samplingRatio", "0.1").json(path).schema
+      val sig = inferred.fields
+        .map(f => f.name + ":" + f.dataType.simpleString).mkString(",")
+      s.read.schema(inferred).json(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .withColumn("schema_sig", lit(sig))
+        .orderBy("event_type")
+    }),
+
     // S2: headered CSV scan with schema inference (normalize_csv.py:45-48).
     "s2_csv_roundtrip" -> ((s, dir) => {
       val path = Ingest.fixtureDir(dir) + "/customer_csv"
@@ -412,6 +434,12 @@ object RegistryIngest {
                 count(CASE WHEN event_id % 3 = 2 THEN 1 END) AS n_with_type,
                 count(DISTINCT user_id) AS n_users
          FROM events""",
+    "s1_sampled_inference" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                'event_id:bigint,event_type:string,user_id:bigint,value:double'
+                  AS schema_sig
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "s2_csv_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n,
                 cast(sum(cast(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal

@@ -720,13 +720,18 @@ object RegistryLlm {
           Multimodal.bmpCorpus(Tables.load(s, dir, "customer"), "c_custkey"))
         .orderBy("media_id")),
 
-    // Multimodal frame-sample + resize (video/audio verb shape with a
-    // stubbed kernel): slice payload into 64-byte frames, keep every
-    // 3rd, pad-to-width "resize".
+    // REAL frame-sample + resize (round-8 verdict #3 — the last
+    // synthetic kernel made real): each payload is a genuine
+    // multi-frame 24bpp BMP strip, every 3rd frame is decoded through
+    // the actual container and nearest-neighbor-resized to 3x2; the
+    // oracle recomputes the resized channel sums straight from the
+    // generative pixel formulas, so container layout, frame slicing,
+    // the resize source mapping AND bottom-up orientation are all
+    // under the hash.
     "multimodal_frame_sample" -> ((s, dir) =>
-      Multimodal.frameSample(s,
-          Multimodal.attachMedia(docs(s, dir), "doc_id", "text"),
-          frameBytes = 64, sampleEvery = 3)
+      Multimodal.frameSampleBmp(
+          Multimodal.videoCorpus(Tables.load(s, dir, "customer"), "c_custkey"),
+          frameHeight = 4, sampleEvery = 3, outW = 3, outH = 2)
         .orderBy("media_id", "frame_idx")),
 
     // Structured Streaming (AvailableNow) daily tumbling-window
@@ -1675,17 +1680,28 @@ object RegistryLlm {
                      AS INTEGER) AS topright_r
          FROM px GROUP BY media_id ORDER BY media_id""",
     "multimodal_frame_sample" ->
-      """WITH idx AS (SELECT unnest(range(0, 16)) AS frame_idx),
-         frames AS (
-           SELECT doc_id, cast(frame_idx AS INTEGER) AS frame_idx,
-                  substr(text, cast(frame_idx * 64 + 1 AS INTEGER), 64) AS frame
-           FROM documents CROSS JOIN idx
-           WHERE frame_idx * 64 < length(text) AND frame_idx % 3 = 0)
-         SELECT cast(doc_id AS BIGINT) AS media_id, frame_idx,
-                cast(length(frame) AS BIGINT) AS frame_len,
-                md5(frame) AS frame_md5,
-                md5(rpad(frame, 64, ' ')) AS resized_md5
-         FROM frames ORDER BY media_id, frame_idx""",
+      """WITH k AS (SELECT c_custkey AS media_id,
+                           c_custkey % 6 + 2 AS w, c_custkey % 5 + 2 AS nf
+                    FROM customer),
+         f AS (SELECT unnest(range(0, 6)) AS frame_idx),
+         xs AS (SELECT unnest(range(0, 3)) AS xo),
+         ys AS (SELECT unnest(range(0, 2)) AS yo),
+         px AS (
+           SELECT media_id, w, frame_idx, xo, yo,
+                  (xo * w) // 3 AS sx,
+                  frame_idx * 4 + (yo * 4) // 2 AS gy
+           FROM k CROSS JOIN f CROSS JOIN xs CROSS JOIN ys
+           WHERE frame_idx < nf AND frame_idx % 3 = 0)
+         SELECT media_id, cast(frame_idx AS INTEGER) AS frame_idx,
+                3 AS out_w, 2 AS out_h,
+                cast(sum((media_id + 3 * (gy * w + sx)) % 256) AS BIGINT) AS sum_r,
+                cast(sum((media_id * 5 + gy + sx) % 256) AS BIGINT) AS sum_g,
+                cast(sum((media_id * 11 + gy * sx) % 256) AS BIGINT) AS sum_b,
+                cast(max(CASE WHEN xo = 2 AND yo = 0
+                              THEN (media_id + 3 * (gy * w + sx)) % 256 END)
+                     AS INTEGER) AS topright_r
+         FROM px GROUP BY media_id, frame_idx, w
+         ORDER BY media_id, frame_idx""",
     "stream_daily_counts" ->
       """SELECT cast(date_trunc('day', ts) AS DATE) AS report_date, event_type,
                 count(*) AS n_events

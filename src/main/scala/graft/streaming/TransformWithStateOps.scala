@@ -90,6 +90,13 @@ object TransformWithStateOps {
     val schema = spark.read.parquet(srcDir).schema
     // transformWithState requires the RocksDB provider; scope it to
     // this query's start (the conf is captured at stream start).
+    // CAVEAT: the conf is SESSION-global for the swap window — any
+    // OTHER stream started concurrently in this session while this
+    // query spins up would silently inherit RocksDB (or have its
+    // intended provider reverted by the finally). Safe here because
+    // the harness runs queries sequentially (Verify/Bench/specs all
+    // single-stream); a concurrent-streams caller must instead set
+    // the provider once session-wide, or isolate via newSession().
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     try {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",

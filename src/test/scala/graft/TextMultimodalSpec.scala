@@ -209,4 +209,48 @@ class TextMultimodalSpec extends AnyFunSuite {
       Multimodal.decodeBmp(ok.take(ok.length - 8)) // truncated pixel array
     }
   }
+
+  test("frame sample decodes real strip pixels and resizes nearest-neighbor") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.Row
+    val ids = (1L to 24L)
+    val media = Multimodal.videoCorpus(
+      spark.range(1, 25).toDF("c_custkey"), "c_custkey", frameHeight = 4)
+    val got = Multimodal.frameSampleBmp(media, frameHeight = 4,
+        sampleEvery = 3, outW = 3, outH = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    // expected straight from the generative formulas: frame f, resized
+    // (xo,yo) reads source (xo*w/3, f*4 + yo*4/2) in GLOBAL strip coords
+    for (id <- ids) {
+      val w = (id % 6 + 2).toInt
+      val nf = (id % 5 + 2).toInt
+      val sampled = (0 until nf).filter(_ % 3 == 0)
+      for (f <- sampled) {
+        val r = got((id, f))
+        val px = for (yo <- 0 until 2; xo <- 0 until 3)
+          yield (xo * w / 3, f * 4 + yo * 4 / 2)
+        assert(r.getLong(4) == px.map { case (x, y) =>
+          Multimodal.redAt(id, x, y, w).toLong }.sum, s"sum_r id=$id f=$f")
+        assert(r.getLong(5) == px.map { case (x, y) =>
+          Multimodal.greenAt(id, x, y, w).toLong }.sum, s"sum_g id=$id f=$f")
+        assert(r.getLong(6) == px.map { case (x, y) =>
+          Multimodal.blueAt(id, x, y, w).toLong }.sum, s"sum_b id=$id f=$f")
+        // orientation witness: frame-local top row = strip row f*4,
+        // which lives DEEP in the stored (bottom-up) pixel array
+        assert(r.getInt(7) == Multimodal.redAt(id, 2 * w / 3, f * 4, w),
+          s"topright id=$id f=$f")
+      }
+      // exactly the sampled frames, nothing more
+      assert(got.keys.count(_._1 == id) == sampled.size)
+    }
+    // a strip whose height is not a whole number of frames must abort,
+    // not silently truncate
+    val bad = spark.createDataFrame(
+      java.util.Arrays.asList(Row(99L, Multimodal.encodeBmp(99L, 3, 5))),
+      Multimodal.mediaSchema.copy(fields = Multimodal.mediaSchema.fields.take(2)))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.frameSampleBmp(bad, frameHeight = 4).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
