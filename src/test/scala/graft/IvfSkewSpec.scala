@@ -38,14 +38,130 @@ class IvfSkewSpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
   }
 
-  test("IVF recall against brute force is nontrivial at nProbe=2") {
-    val e = Tables.load(spark, sfDir, "embeddings")
+  test("skew task-share law: 80%-hot key bounded by the skew-safe dedup") {
+    // Round-8 verdict #6: tie the salted/skew-safe story to MEASURED
+    // task behavior. Plant a key carrying 80% of sf0.1 events, then
+    // read per-task shuffle-read record counts off a SparkListener:
+    //  - the HAZARD is real: an unlimited window partitioned by the
+    //    hot key funnels ~80% of all rows through one task (this is
+    //    what latestByKey would do without WindowGroupLimit's rn=1
+    //    map-side limit — asserted via a window aggregate the
+    //    optimizer cannot limit);
+    //  - the MITIGATION holds: latestByKeySkewSafe reduces the hot
+    //    key map-side to one max row, and the wide side either joins
+    //    a BROADCAST of the tiny per-key maxima (the measured plan
+    //    here — zero wide-side shuffle) or shuffles on (key, ord)
+    //    (large key cardinality) — in both plans no task reads more
+    //    than a smidgen of the total.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // 32 real reduce partitions for the share math: the suite default
+    // (4) would make even perfect spreading a 25% share, and AQE's
+    // small-data coalescing would merge this tiny shuffle back into a
+    // handful of tasks — at real scale partition counts are data-sized
+    // and neither pin is needed
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+    val hot = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .select(
+        when(col("event_id") % 10 < 8, lit(77777L)).otherwise(col("user_id"))
+          .as("user_id"),
+        col("event_id"), col("ts"), col("value"))
+    val total = hot.count().toDouble
+
+    def maxTaskShare(run: => Unit): Double = {
+      val records = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) records.add(m.shuffleReadMetrics.recordsRead)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        run
+        // listener bus is async: wait for the task-end stream to drain
+        var last = -1
+        var stable = 0
+        while (stable < 4) { // 4 * 250ms of no new events
+          Thread.sleep(250)
+          if (records.size == last) stable += 1 else { stable = 0; last = records.size }
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      records.asScala.foldLeft(0L)(math.max).toDouble / total
+    }
+
+    val hazard = maxTaskShare {
+      // running count per key — no group limit possible: every row of
+      // the hot key must reach one task
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      hot.withColumn("__rn", count(lit(1)).over(w))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val mitigated = maxTaskShare {
+      graft.operators.Dedup.latestByKeySkewSafe(hot, Seq("user_id"),
+          struct(col("ts"), col("event_id")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    info(f"max task share: unlimited-window=$hazard%.3f skew-safe=$mitigated%.3f")
+    assert(hazard >= 0.6,
+      s"hot-key hazard did not materialize (max share $hazard) — fixture broken?")
+    assert(mitigated <= 0.10,
+      s"skew-safe dedup concentrated a task at $mitigated of all rows")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
+  test("IVF recall@3 law: seeded and trained quantizers vs brute force") {
+    // The r8 witnesses prove the train→index→probe CHAIN runs; this
+    // law bounds result QUALITY so a future ANN edit can't silently
+    // degrade to garbage neighbors (round-8 verdict #4). recall@3 =
+    // |IVF top-3 ∩ exact top-3| / |exact top-3| over the
+    // deterministic query subset, nProbe=2.
+    val e = Tables.load(spark, sfDir, "embeddings").cache()
     val q = e.where(col("vec_id") % 50 === 0)
     val exact = graft.operators.Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val ivf = Ivf.search(e, q, "vec_id", "embedding", 50, 2, 3)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val recall = ivf.intersect(exact).size.toDouble / exact.size
-    assert(recall > 0.0, s"IVF found none of the exact top-3 (recall=$recall)")
+    def recallOf(ivf: org.apache.spark.sql.DataFrame): Double = {
+      val got = ivf.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    def seededAt(nProbe: Int): Double = recallOf(
+      Ivf.search(e, q, "vec_id", "embedding", 50, nProbe, 3))
+    val centers = graft.operators.Similarity.groupCentroids(e, "label", "embedding")
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), x -> x.centroid)")
+        .as("__sv"))
+      .select(col("label").cast("long").as("seed_id"), col("__sv"))
+    def trainedAt(nProbe: Int): Double = recallOf(
+      Ivf.searchWith(e, q, "vec_id", "embedding", centers, nProbe, 3))
+    val nSeedCells = (e.count() / 50).toInt.max(1)
+    val nTrainedCells = centers.count().toInt
+    val (s2, s4, sAll) = (seededAt(2), seededAt(4), seededAt(nSeedCells))
+    val (t2, t4, tAll) = (trainedAt(2), trainedAt(4), trainedAt(nTrainedCells))
+    info(s"recall@3 seeded: nProbe2=$s2 nProbe4=$s4 all($nSeedCells)=$sAll")
+    info(s"recall@3 trained: nProbe2=$t2 nProbe4=$t4 all($nTrainedCells)=$tAll")
+    e.unpersist()
+    // fixed floors under the measured values (seeded .43, trained .37
+    // at nProbe=2 on this fixture — recorded in BENCH_NOTES §r9): a
+    // broken probe order, cell assignment, or centroid layout lands
+    // near zero, not near the floor
+    assert(s2 >= 0.35, s"seeded recall@3 (nProbe=2) degraded: $s2")
+    assert(t2 >= 0.30, s"trained recall@3 (nProbe=2) degraded: $t2")
+    // structural laws, not tuned numbers: more probes never hurt, and
+    // probing EVERY cell is exhaustive search — identical top-3 to
+    // brute force (same score, same tie-break)
+    assert(s2 <= s4 && s4 <= sAll, s"seeded recall not monotone: $s2 $s4 $sAll")
+    assert(t2 <= t4 && t4 <= tAll, s"trained recall not monotone: $t2 $t4 $tAll")
+    assert(sAll == 1.0, s"seeded full-probe must equal brute force: $sAll")
+    assert(tAll == 1.0, s"trained full-probe must equal brute force: $tAll")
   }
 }
