@@ -99,6 +99,10 @@ object Multimodal {
     media.select("media_id", "media").mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
+        // a null payload (failed fetch — mediaSchema allows it) yields
+        // zero frames, it must not kill the task
+        if (r.isNullAt(1)) Iterator.empty
+        else {
         val bytes = r.getAs[Array[Byte]](1)
         val (off, w, h, stride) = parseBmpHeader(bytes)
         require(h % frameHeight == 0,
@@ -126,6 +130,7 @@ object Multimodal {
             yo += 1
           }
           Row(id, f, outW, outH, sr, sg, sb, toprightR)
+        }
         }
       }
     }(enc)
@@ -207,12 +212,6 @@ object Multimodal {
     StructField("sum_b", LongType, nullable = false),
     StructField("topright_r", IntegerType, nullable = false)))
 
-  /** REAL decode: validate the container (magic, bpp, compression),
-    * honor the header's pixel-data offset, and walk the pixel array —
-    * bottom-up rows, BGR order, 4-byte row stride — into per-channel
-    * sums plus an orientation witness (the IMAGE-space top-right
-    * pixel's red channel, which lives in the LAST stored row; a
-    * decoder that ignores bottom-up layout gets it wrong). */
   /** Shared container validation + header walk: returns (pixel-data
     * offset, width, height, row stride). Hostile-header hardening:
     * bound every field BEFORE any address arithmetic (a huge w*h
@@ -238,6 +237,12 @@ object Multimodal {
     (off, w, h, stride)
   }
 
+  /** REAL decode: validate the container (magic, bpp, compression),
+    * honor the header's pixel-data offset, and walk the pixel array —
+    * bottom-up rows, BGR order, 4-byte row stride — into per-channel
+    * sums plus an orientation witness (the IMAGE-space top-right
+    * pixel's red channel, which lives in the LAST stored row; a
+    * decoder that ignores bottom-up layout gets it wrong). */
   def decodeBmp(bytes: Array[Byte]): (Int, Int, Int, Long, Long, Long, Int) = {
     val (off, w, h, stride) = parseBmpHeader(bytes)
     val bpp = 24

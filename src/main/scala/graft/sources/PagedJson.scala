@@ -288,15 +288,17 @@ class PagedJsonPartitionReader(files: Seq[String], required: StructType,
   * new pages carry numbers greater than every existing page (cursor
   * order = numeric page order, see [[PagedJsonSource.listPages]]),
   * and consumed pages never change. The offset therefore persists
-  * BOTH the positional cursor (pages consumed) and the NUMBER of the
-  * last consumed page: a count alone cannot detect a late page
-  * filling a numbering gap below the cursor, or a delete+recreate
-  * that preserves count — both shift positions in the sorted listing
-  * so a positional slice would silently re-ship a consumed page and
-  * skip the new one. Every poll and every planned batch re-checks
-  * that the page at position cursor-1 still carries the checkpointed
-  * number, and aborts the query on any mismatch (as it does when the
-  * listing count regresses).
+  * the positional cursor (pages consumed), the NUMBER of the last
+  * consumed page, AND a rolling fingerprint of every consumed page
+  * number in order: a count alone cannot detect a late page filling
+  * a numbering gap below the cursor or a delete+recreate that
+  * preserves count, and the last number alone cannot detect a
+  * count-preserving delete+gap-fill pair — all of these shift
+  * positions in the sorted listing, so a positional slice would
+  * silently re-ship a consumed page and skip the new one. Every poll
+  * and every planned batch re-verifies the consumed prefix against
+  * the checkpointed fingerprint and aborts the query on any mismatch
+  * (as it does when the listing count regresses).
   *
   * Admission control: `maxPagesPerTrigger` (read option) bounds each
   * micro-batch; with `Trigger.AvailableNow` the target offset is
@@ -307,18 +309,37 @@ class PagedJsonPartitionReader(files: Seq[String], required: StructType,
   * residual filter-skipping are inherited from the batch scan
   * unchanged (shared reader factory). */
 /** `pages` = positional cursor (pages consumed); `lastPage` = page
-  * NUMBER of the last consumed page, -1 when nothing is consumed or
-  * the checkpoint predates this field (legacy offsets deserialize
-  * with -1 and skip the identity check once). Equality is positional
-  * — `lastPage` is the validation payload, not the position. */
-class PagedJsonOffset(val pages: Int, val lastPage: Long = -1L)
+  * NUMBER of the last consumed page (-1 when nothing is consumed);
+  * `prefixHash` = rolling fingerprint over ALL consumed page numbers
+  * in cursor order ([[PagedJsonOffset.prefixHash]]), None when the
+  * checkpoint predates the field (legacy offsets deserialize without
+  * it and skip the identity check once). The full-prefix fingerprint
+  * is what actually carries the immutability contract: checking only
+  * the number at position pages-1 would miss a count-preserving
+  * delete-below-cursor combined with a gap-fill (listing [0,5] →
+  * [1,5]: same length, same last number, different consumed pages).
+  * Equality is positional — the rest is validation payload. */
+class PagedJsonOffset(val pages: Int, val lastPage: Long = -1L,
+                      val prefixHash: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"pages":$pages,"lastPage":$lastPage}"""
+  override def json(): String = prefixHash match {
+    case Some(h) => s"""{"pages":$pages,"lastPage":$lastPage,"prefixHash":$h}"""
+    case None => s"""{"pages":$pages,"lastPage":$lastPage}"""
+  }
   override def equals(o: Any): Boolean = o match {
     case p: PagedJsonOffset => p.pages == pages
     case _ => false
   }
   override def hashCode(): Int = pages
+}
+
+object PagedJsonOffset {
+  /** Order-sensitive fold over the first `n` listed pages' NUMBERS —
+    * any mutation of the consumed prefix (replace, delete+gap-fill,
+    * reorder) changes it. */
+  def prefixHash(pages: Seq[HPath], n: Int): Long =
+    pages.take(n).foldLeft(17L)((h, p) =>
+      h * 1000003L + PagedJsonSource.pageNumber(p))
 }
 
 class PagedJsonMicroBatchStream(scan: PagedJsonScan, path: String,
@@ -359,11 +380,12 @@ class PagedJsonMicroBatchStream(scan: PagedJsonScan, path: String,
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is used (SupportsAdmissionControl)")
 
-  /** The identity check a positional cursor needs: the page at
-    * position `pages-1` of the current listing must still be the
-    * checkpointed `lastPage` number. A late gap-filling page or a
-    * count-preserving delete+recreate below the cursor shifts that
-    * position — abort rather than silently re-ship/skip. */
+  /** The identity check a positional cursor needs: the consumed
+    * prefix of the current listing must still carry exactly the
+    * checkpointed page numbers, fingerprint-compared in order. A late
+    * gap-filling page, a delete, or a delete+recreate below the
+    * cursor — including count-preserving combinations — changes the
+    * fingerprint: abort rather than silently re-ship/skip. */
   private def validateCursor(off: PagedJsonOffset): Unit =
     if (off.pages > 0 && off.lastPage >= 0) {
       require(lastListing.length >= off.pages,
@@ -375,12 +397,21 @@ class PagedJsonMicroBatchStream(scan: PagedJsonScan, path: String,
           s"is now page-$actual but the checkpoint consumed through " +
           s"page-${off.lastPage} — a late page filled a numbering gap or a " +
           "consumed page was replaced; the layout must be append-only")
+      off.prefixHash.foreach { expected =>
+        require(PagedJsonOffset.prefixHash(lastListing, off.pages) == expected,
+          s"page directory mutated below the cursor: the ${off.pages} " +
+            "consumed pages' numbers no longer match the checkpointed " +
+            "prefix fingerprint — a consumed page was deleted/replaced " +
+            "and a later page shifted into its position; the layout must " +
+            "be append-only")
+      }
     }
 
   private def offsetAt(pages: Int): PagedJsonOffset =
-    new PagedJsonOffset(pages,
-      if (pages == 0) -1L
-      else PagedJsonSource.pageNumber(lastListing(pages - 1)))
+    if (pages == 0) new PagedJsonOffset(0)
+    else new PagedJsonOffset(pages,
+      PagedJsonSource.pageNumber(lastListing(pages - 1)),
+      Some(PagedJsonOffset.prefixHash(lastListing, pages)))
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startOff = start.asInstanceOf[PagedJsonOffset]
@@ -398,10 +429,15 @@ class PagedJsonMicroBatchStream(scan: PagedJsonScan, path: String,
   override def reportLatestOffset(): Offset = new PagedJsonOffset(maxSeen)
 
   override def deserializeOffset(json: String): Offset = {
-    val full = """\{"pages":(\d+),"lastPage":(-?\d+)\}""".r
+    val hashed =
+      """\{"pages":(\d+),"lastPage":(-?\d+),"prefixHash":(-?\d+)\}""".r
+    val numbered = """\{"pages":(\d+),"lastPage":(-?\d+)\}""".r
     val legacy = """\{"pages":(\d+)\}""".r
     json.trim match {
-      case full(n, lp) =>
+      case hashed(n, lp, ph) =>
+        maxSeen = math.max(maxSeen, n.toInt)
+        new PagedJsonOffset(n.toInt, lp.toLong, Some(ph.toLong))
+      case numbered(n, lp) =>
         maxSeen = math.max(maxSeen, n.toInt)
         new PagedJsonOffset(n.toInt, lp.toLong)
       case legacy(n) =>

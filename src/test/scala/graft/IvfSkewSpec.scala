@@ -143,7 +143,10 @@ class IvfSkewSpec extends AnyFunSuite {
       .select(col("label").cast("long").as("seed_id"), col("__sv"))
     def trainedAt(nProbe: Int): Double = recallOf(
       Ivf.searchWith(e, q, "vec_id", "embedding", centers, nProbe, 3))
-    val nSeedCells = (e.count() / 50).toInt.max(1)
+    // count the seeds by the ACTUAL seed rule (Ivf.seeds selects
+    // vec_id % seedEvery == 1) — deriving it as count/50 would break
+    // the full-probe law whenever the fixture isn't an exact multiple
+    val nSeedCells = e.where(col("vec_id") % 50 === 1).count().toInt.max(1)
     val nTrainedCells = centers.count().toInt
     val (s2, s4, sAll) = (seededAt(2), seededAt(4), seededAt(nSeedCells))
     val (t2, t4, tAll) = (trainedAt(2), trainedAt(4), trainedAt(nTrainedCells))

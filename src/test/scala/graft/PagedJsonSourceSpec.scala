@@ -247,6 +247,50 @@ class PagedJsonSourceSpec extends AnyFunSuite {
       .toSeq == Seq("a", "c", "d"))
   }
 
+  test("streaming: count-preserving delete+gap-fill below the cursor aborts") {
+    // the adversarial case a single-position check misses: consume
+    // [page-0, page-5], then delete page-0 AND gap-fill page-1 — the
+    // listing keeps length 2 and the same LAST page number 5, but the
+    // consumed prefix is no longer the consumed pages; only the
+    // full-prefix fingerprint in the offset can see it
+    val nonce = "paged_swap_" + System.nanoTime()
+    val dir = s"/tmp/graft_paged_stream/src_$nonce"
+    val out = s"/tmp/graft_paged_stream/out_$nonce"
+    val ckpt = s"/tmp/graft_stream_ckpt/$nonce"
+    def writePage(i: Int, rows: String*): Unit = {
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve(f"page-$i%05d.jsonl"),
+        java.util.Arrays.asList(rows: _*),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.PagedJsonSource")
+        .schema("id BIGINT, tag STRING")
+        .load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writePage(0, """{"id":1,"tag":"a"}""")
+    writePage(5, """{"id":2,"tag":"b"}""")
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir).resolve("page-00000.jsonl"))
+    writePage(1, """{"id":9,"tag":"X"}""")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("mutated below the cursor")),
+      s"expected the prefix-fingerprint abort, got: ${messages(e)}")
+  }
+
   test("missing directory reads as empty, not as an error") {
     val df = spark.read
       .format("graft.sources.PagedJsonSource")

@@ -245,12 +245,22 @@ class TextMultimodalSpec extends AnyFunSuite {
     }
     // a strip whose height is not a whole number of frames must abort,
     // not silently truncate
+    val twoCol = Multimodal.mediaSchema.copy(
+      fields = Multimodal.mediaSchema.fields.take(2))
     val bad = spark.createDataFrame(
       java.util.Arrays.asList(Row(99L, Multimodal.encodeBmp(99L, 3, 5))),
-      Multimodal.mediaSchema.copy(fields = Multimodal.mediaSchema.fields.take(2)))
+      twoCol)
     val e = intercept[org.apache.spark.SparkException] {
       Multimodal.frameSampleBmp(bad, frameHeight = 4).collect()
     }
     assert(e.getMessage != null)
+    // a NULL payload (failed fetch) yields zero frames, not a crash
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Multimodal.encodeBmp(1L, 3, 8)), Row(2L, null)),
+      twoCol)
+    val rows = Multimodal.frameSampleBmp(withNull, frameHeight = 4).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(0) == 1L),
+      s"null media must contribute zero frames: ${rows.toSeq}")
   }
 }
