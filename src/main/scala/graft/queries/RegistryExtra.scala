@@ -772,6 +772,20 @@ object RegistryExtra {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("purchase_id")).as("n_purchases"))
+        .orderBy("user_id")),
+
+    // Stream-STREAM LEFT OUTER time-range join: matched pairs emit
+    // eagerly, unmatched clicks emit with a null purchase only after
+    // the watermark expires their buffered state — the null-emission
+    // path the inner join never takes. n_unmatched in the oracle is
+    // what pins it: if expired state never emitted, every user's
+    // unmatched count would read 0 and the hash would break.
+    "stream_stream_outer_join" -> ((s, dir) =>
+      StreamingOps.streamStreamOuterAttribution(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("purchase_id") >= 0, 1)).as("n_matched"),
+          count(when(col("purchase_id") === -1, 1)).as("n_unmatched"))
         .orderBy("user_id")))
 
   val oracles: Map[String, String] = Map(
@@ -1236,6 +1250,16 @@ object RegistryExtra {
            ON p.user_id = c.user_id
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 DAY
+         GROUP BY c.user_id ORDER BY c.user_id""",
+    "stream_stream_outer_join" ->
+      """SELECT c.user_id, count(*) AS n_rows,
+                count(p.event_id) AS n_matched,
+                count(*) FILTER (p.event_id IS NULL) AS n_unmatched
+         FROM events c LEFT JOIN events p
+           ON p.user_id = c.user_id
+          AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 DAY
+         WHERE c.event_type = 'click'
          GROUP BY c.user_id ORDER BY c.user_id""",
     "stream_sliding_window" ->
       """WITH x AS (SELECT cast(date_trunc('day', ts) AS DATE) AS d, event_type

@@ -272,6 +272,27 @@ object RegistryIngest {
         .orderBy("l_returnflag")
     }),
 
+    // S21: XML round trip through Spark 4's NATIVE XML source (the
+    // spark-xml module folded into core) — the third non-columnar
+    // interchange format beside JSONL and CSV, with rowTag framing
+    // and schema inference. The crawl world still ships XML sitemaps
+    // and legacy listing feeds; the oracle recomputes from the
+    // original table so element framing, escaping, and type
+    // inference are all under the hash.
+    "s21_xml_roundtrip" -> ((s, dir) => {
+      val path = Ingest.fixtureDir(dir) + "/customer_xml"
+      t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite").option("rowTag", "customer").xml(path)
+      s.read.option("rowTag", "customer").xml(path)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_name")).as("n_names"),
+          sum(col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            .as("sum_acctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // S10's in-engine half, done natively: the paged crawl feed read
     // through a custom DataSource V2 (graft.sources.PagedJsonSource —
     // one InputPartition per API page, column pruning pushed into the
@@ -504,6 +525,11 @@ object RegistryIngest {
                 cast(sum(cast(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
          FROM lineitem WHERE l_quantity > 25
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "s21_xml_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                count(DISTINCT c_name) AS n_names,
+                cast(sum(cast(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "s10_paged_json_source" -> pagedOracle,
     "stream_paged_json_source" -> pagedOracle,
     // expected counts derive from the PLANTED corruption rule: rows

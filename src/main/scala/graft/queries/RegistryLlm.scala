@@ -720,6 +720,42 @@ object RegistryLlm {
           Multimodal.bmpCorpus(Tables.load(s, dir, "customer"), "c_custkey"))
         .orderBy("media_id")),
 
+    // Media ingest through Spark's native binaryFile source — the
+    // idiom a 100 TB image/audio corpus actually lands with: one FILE
+    // per blob on the shared FS, `spark.read.format("binaryFile")`
+    // with pathGlobFilter, each file a (path, length, content) row,
+    // partition-parallel with no driver-side byte handling
+    // (spark.sql.files.maxPartitionBytes sizes the tasks). The blobs
+    // are genuine BMPs written per customer key; the witness pins the
+    // id parsed from the file NAME, the source-reported byte length
+    // (recomputed by the oracle from the container arithmetic), and
+    // the decoded pixel stats — so file landing, listing, and content
+    // round-trip are all under the hash.
+    "multimodal_binary_ingest" -> ((s, dir) => {
+      val base = graft.sources.Ingest.fixtureDir(dir) + "/bmp_files"
+      Multimodal.bmpCorpus(Tables.load(s, dir, "customer"), "c_custkey")
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          val d = java.nio.file.Paths.get(base)
+          java.nio.file.Files.createDirectories(d)
+          it.foreach { r =>
+            java.nio.file.Files.write(d.resolve(s"media-${r.getLong(0)}.bmp"),
+              r.getAs[Array[Byte]](1))
+          }
+        }
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp").load(base)
+        .select(
+          regexp_extract(col("path"), "media-(\\d+)\\.bmp$", 1)
+            .cast("long").as("media_id"),
+          col("length").as("n_bytes"),
+          col("content").as("media"))
+      Multimodal.decodeBmpStats(media.select("media_id", "media"))
+        .join(media.select("media_id", "n_bytes"), "media_id")
+        .select("media_id", "n_bytes", "width", "height",
+          "sum_r", "sum_g", "sum_b", "topright_r")
+        .orderBy("media_id")
+    }),
+
     // REAL frame-sample + resize (round-8 verdict #3 — the last
     // synthetic kernel made real): each payload is a genuine
     // multi-frame 24bpp BMP strip, every 3rd frame is decoded through
@@ -1679,6 +1715,31 @@ object RegistryLlm {
                               THEN (media_id + 3 * (y * w + x)) % 256 END)
                      AS INTEGER) AS topright_r
          FROM px GROUP BY media_id ORDER BY media_id""",
+    "multimodal_binary_ingest" ->
+      """WITH k AS (SELECT c_custkey AS media_id,
+                           c_custkey % 6 + 2 AS w, c_custkey % 4 + 2 AS h
+                    FROM customer),
+         dims AS (SELECT media_id, w, h,
+                         3 * w + (4 - (3 * w) % 4) % 4 AS stride
+                  FROM k),
+         xs AS (SELECT unnest(range(0, 8)) AS x),
+         ys AS (SELECT unnest(range(0, 6)) AS y),
+         px AS (SELECT media_id, w, h, x, y
+                FROM k CROSS JOIN xs CROSS JOIN ys
+                WHERE x < w AND y < h)
+         SELECT p.media_id,
+                cast(54 + d.stride * d.h AS BIGINT) AS n_bytes,
+                cast(max(p.w) AS INTEGER) AS width,
+                cast(max(p.h) AS INTEGER) AS height,
+                cast(sum((p.media_id + 3 * (p.y * p.w + p.x)) % 256) AS BIGINT) AS sum_r,
+                cast(sum((p.media_id * 5 + p.y + p.x) % 256) AS BIGINT) AS sum_g,
+                cast(sum((p.media_id * 11 + p.y * p.x) % 256) AS BIGINT) AS sum_b,
+                cast(max(CASE WHEN p.x = p.w - 1 AND p.y = 0
+                              THEN (p.media_id + 3 * (p.y * p.w + p.x)) % 256 END)
+                     AS INTEGER) AS topright_r
+         FROM px p JOIN dims d ON p.media_id = d.media_id
+         GROUP BY p.media_id, d.stride, d.h
+         ORDER BY p.media_id""",
     "multimodal_frame_sample" ->
       """WITH k AS (SELECT c_custkey AS media_id,
                            c_custkey % 6 + 2 AS w, c_custkey % 5 + 2 AS nf

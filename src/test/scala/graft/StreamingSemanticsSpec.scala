@@ -218,4 +218,33 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(tags == Set("a", "b", "c", "d", "a-again"),
       s"expected in-horizon dup dropped and post-expiry redelivery kept: $tags")
   }
+
+  test("stream-stream LEFT OUTER join equals the batch left join, nulls included") {
+    // the law the oracle pins at sf0.01, asserted in-JVM at sf0.001:
+    // the streamed outer join (flush sentinels + spacer batch driving
+    // watermark expiry) must reproduce the BATCH left join exactly —
+    // in particular the UNMATCHED clicks, which only exist if expired
+    // state really emits its null rows
+    val streamed = StreamingOps.streamStreamOuterAttribution(spark, sfDir)
+      .select("user_id", "click_id", "purchase_id")
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("p_id"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("interval 1 day"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"),
+        coalesce(col("p_id"), lit(-1L)).as("purchase_id"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed outer join diverged from the batch left join")
+    val unmatched = batch.where(col("purchase_id") === -1).count()
+    assert(unmatched > 0,
+      "fixture must contain unmatched clicks or the expiry path is untested")
+  }
 }
