@@ -141,6 +141,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"ORC scan reads more than the 3 referenced columns:\n$p")
   }
 
+  test("binaryFile metadata query never reads blob content") {
+    // the 100 TB media-corpus contract behind multimodal_binary_ingest:
+    // a listing/length query over petabytes of blobs must stay a
+    // metadata operation — content pruned out of the scan schema
+    val dir = graft.sources.Ingest.fixtureDir(sfDir) + "/bmp_probe"
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    (1L to 3L).foreach { id =>
+      java.nio.file.Files.write(p.resolve(s"media-$id.bmp"),
+        graft.operators.Multimodal.encodeBmp(id, 3, 2))
+    }
+    val plan = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bmp").load(dir)
+      .select("length").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<length:bigint>"),
+      s"length-only query read more than metadata:\n$plan")
+    assert(!plan.contains("content"),
+      s"blob content survived column pruning:\n$plan")
+  }
+
   test("llm_paragraph_dedup: aggregate winner election, no self-join blowup") {
     val p = planOf("llm_paragraph_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
