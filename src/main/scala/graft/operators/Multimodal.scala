@@ -280,6 +280,26 @@ object Multimodal {
     }(enc)
   }
 
+  /** [[decodeBmpStats]] + a pass-through source-reported byte length:
+    * one scan, one decode pass — for sources (binaryFile) that report
+    * blob length as FILE metadata, so the witness can pin it without
+    * a second scan and a re-join. Input columns: (media_id, n_bytes,
+    * media). */
+  def decodeBmpStatsWithLength(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val schema = StructType(
+      bmpStatsSchema.fields.patch(1,
+        Seq(StructField("n_bytes", LongType, nullable = false)), 0))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "n_bytes", "media").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (w, h, bpp, sr, sg, sb, tr) = decodeBmp(r.getAs[Array[Byte]](2))
+          Row(r.getLong(0), r.getLong(1), w, h, bpp, sr, sg, sb, tr)
+        }
+      }
+    }(enc)
+  }
+
   /** Batched per-partition BMP decode into [[bmpStatsSchema]]. */
   def decodeBmpStats(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(bmpStatsSchema)

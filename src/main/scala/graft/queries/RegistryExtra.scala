@@ -1259,7 +1259,7 @@ object RegistryExtra {
            ON p.user_id = c.user_id
           AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 DAY
-         WHERE c.event_type = 'click'
+         WHERE c.event_type = 'click' AND c.user_id % 3 = 0
          GROUP BY c.user_id ORDER BY c.user_id""",
     "stream_sliding_window" ->
       """WITH x AS (SELECT cast(date_trunc('day', ts) AS DATE) AS d, event_type

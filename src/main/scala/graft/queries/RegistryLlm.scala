@@ -733,6 +733,11 @@ object RegistryLlm {
     // round-trip are all under the hash.
     "multimodal_binary_ingest" -> ((s, dir) => {
       val base = graft.sources.Ingest.fixtureDir(dir) + "/bmp_files"
+      // overwrite-idempotent like every fixture writer: stale blobs
+      // from an earlier naming scheme must not leak into the listing
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(basePath, true)
       Multimodal.bmpCorpus(Tables.load(s, dir, "customer"), "c_custkey")
         .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
           val d = java.nio.file.Paths.get(base)
@@ -742,6 +747,8 @@ object RegistryLlm {
               r.getAs[Array[Byte]](1))
           }
         }
+      // ONE scan: the source-reported length (file metadata) rides
+      // along with the content through a single decode pass
       val media = s.read.format("binaryFile")
         .option("pathGlobFilter", "*.bmp").load(base)
         .select(
@@ -749,8 +756,7 @@ object RegistryLlm {
             .cast("long").as("media_id"),
           col("length").as("n_bytes"),
           col("content").as("media"))
-      Multimodal.decodeBmpStats(media.select("media_id", "media"))
-        .join(media.select("media_id", "n_bytes"), "media_id")
+      Multimodal.decodeBmpStatsWithLength(media)
         .select("media_id", "n_bytes", "width", "height",
           "sum_r", "sum_g", "sum_b", "topright_r")
         .orderBy("media_id")

@@ -124,7 +124,13 @@ object PagedJsonSource {
     df.withColumn("__page",
         coalesce(pmod(col(idCol), lit(nPages)), lit(0)).cast("int"))
       .repartition(nPages, col("__page"))
-      .write.mode("overwrite").partitionBy("__page").json(staging)
+      .write.mode("overwrite").partitionBy("__page")
+      // full microsecond precision: the default JSON timestampFormat
+      // writes [.SSS] and silently truncates micros, which would make
+      // a paged round trip of TIMESTAMP columns lossy (reads are
+      // lenient and accept any fraction width)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(staging)
     val out = new HPath(dir)
     val fs = out.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)

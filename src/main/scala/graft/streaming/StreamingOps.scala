@@ -224,26 +224,18 @@ object StreamingOps {
     * (one day per side, watermark-evicted); the outer semantics add
     * no state — only the null-emission-on-expiry path. */
   def streamStreamOuterAttribution(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.hadoop.fs.{Path => HPath}
     val nonce = "graft_stream_ssoj_" + System.nanoTime()
     val pageDir = "/tmp/graft_stream_src/" + nonce
-    val staging = pageDir + "__stage"
+    // a deterministic third of the users: the outer join re-buffers
+    // the whole feed as join state AND replays it through three
+    // micro-batches — the semantics need coverage, not volume (the
+    // oracle carries the same predicate)
     val ev = graft.sources.Tables.load(spark, sfDir, "events")
-      .where(col("event_type").isin("click", "purchase"))
+      .where(col("event_type").isin("click", "purchase") &&
+        col("user_id") % 3 === 0)
       .select("event_id", "user_id", "event_type", "ts")
-    // page 0: the whole real feed as ONE page file (executor-written,
-    // driver renames — the buildPages idiom)
-    ev.coalesce(1).write.mode("overwrite").json(staging)
-    val fs = new HPath(pageDir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new HPath(pageDir), true)
-    fs.mkdirs(new HPath(pageDir))
-    val part = fs.listStatus(new HPath(staging)).map(_.getPath)
-      .filter(_.getName.startsWith("part-"))
-    require(part.length == 1, s"expected one part file, got ${part.length}")
-    require(fs.rename(part.head, new HPath(pageDir + "/page-00000.jsonl")),
-      "rename failed")
-    fs.delete(new HPath(staging), true)
+    // page 0: the whole real feed as ONE page file
+    graft.sources.PagedJsonSource.buildPages(ev, "event_id", 1, pageDir)
     // pages 1-2: flush sentinels far past the data (events are 2024)
     def flushPage(idx: Int, ts: String): Unit = {
       val p = java.nio.file.Paths.get(pageDir)

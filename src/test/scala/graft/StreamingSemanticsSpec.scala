@@ -228,6 +228,7 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     val streamed = StreamingOps.streamStreamOuterAttribution(spark, sfDir)
       .select("user_id", "click_id", "purchase_id")
     val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .where(col("user_id") % 3 === 0) // the witness's deterministic subset
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
