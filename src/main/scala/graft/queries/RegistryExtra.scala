@@ -308,6 +308,130 @@ object RegistryExtra {
         .orderBy("seg")
     }),
 
+    // VARIANT (Spark 4 semi-structured type): a nested JSON document
+    // built per row, parsed once with parse_json, then path-extracted
+    // with variant_get at typed leaves — the open-schema ingestion
+    // shape (one binary-encoded variant column instead of N sparse
+    // string columns; extraction is codegen'd, no per-path re-parse
+    // of the text). JSON numbers parse to exact decimals, so the
+    // value sum stays hash-portable; a JSON null inside the array
+    // (to_json keeps array nulls; planted on event_id % 13 — the
+    // feed itself is null-free) pins is_variant_null as distinct
+    // from a missing path (SQL NULL, not variant null).
+    "f18_variant_extract" -> ((s, dir) => {
+      val nulledVal = when(col("event_id") % 13 === 0, lit(null).cast("double"))
+        .otherwise(col("value"))
+      val js = to_json(struct(
+        struct(col("user_id").as("uid"), col("event_type").as("etype"))
+          .as("meta"),
+        array(nulledVal).as("vals"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")))
+      t(s, dir, "events")
+        .select(parse_json(js).as("v"))
+        .select(
+          expr("variant_get(v, '$.meta.etype', 'string')").as("etype"),
+          expr("variant_get(v, '$.meta.uid', 'long')").as("uid"),
+          expr("variant_get(v, '$.vals[0]', 'decimal(12,2)')").as("val0"),
+          expr("variant_get(v, '$.k', 'long')").as("k"),
+          expr("is_variant_null(variant_get(v, '$.vals[0]'))").as("vnull"))
+        .groupBy("etype")
+        .agg(count(lit(1)).as("n"),
+          sum(col("uid")).as("uid_sum"),
+          sum(col("k")).as("k_sum"),
+          sum(col("val0")).cast("double").as("val_sum"),
+          count(when(col("vnull"), 1)).as("n_null_vals"))
+        .orderBy("etype")
+    }),
+
+    // String collation (Spark 4): UTF8_LCASE makes comparison,
+    // grouping, and `contains` case-insensitive WITHOUT materializing
+    // a lowercased copy — the collation rides the type, so the
+    // group-by shuffle hashes the collation key directly. Exercised
+    // over genuinely case-varied Vietnamese text (ĐÀ NẴNG vs Đà
+    // Nẵng): the collated `contains 'nẵng'` matches the uppercase
+    // variant a binary contains would miss, and case variants of one
+    // city+source land in one group (n_case_variants > 1 pins it).
+    // The output key is lowered + re-collated to UTF8_BINARY so the
+    // result schema (and the oracle's) is a plain string.
+    "f19_collated_group" -> ((s, dir) => {
+      val city = when(col("doc_id") % 2 === 0,
+          when(col("doc_id") % 4 === 0, lit("Hà Nội")).otherwise(lit("HÀ NỘI")))
+        .otherwise(
+          when(col("doc_id") % 4 === 1, lit("Đà Nẵng")).otherwise(lit("ĐÀ NẴNG")))
+      val src = when(col("doc_id") % 3 === 0, upper(col("source")))
+        .when(col("doc_id") % 3 === 1, initcap(col("source")))
+        .otherwise(col("source"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), concat(src, lit(" "), city).as("k"))
+        .where(expr("contains(collate(k, 'UTF8_LCASE'), 'nẵng')"))
+        .groupBy(expr("collate(k, 'UTF8_LCASE')").as("__ck"))
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("first_doc"),
+          countDistinct(col("k")).as("n_case_variants"))
+        .select(
+          expr("collate(lower(__ck), 'UTF8_BINARY')").as("key_lc"),
+          col("n"), col("first_doc"), col("n_case_variants"))
+        .orderBy("key_lc")
+    }),
+
+    // Linear-regression aggregate family (regr_slope / intercept /
+    // r2) per ship month. Spark's native regr_* merge double moments
+    // in partition order (run-nondeterministic low bits, never
+    // hash-comparable — same reason a17 avoids builtin stddev/corr),
+    // so the witness computes the EXACT decimal power sums in the
+    // aggregate and applies each closed-form once, driver-free and
+    // bit-reproducible: one shuffle on the month key, map-side
+    // partial sums, O(groups) output — the shape the builtins plan
+    // too, minus the nondeterminism.
+    "a20_regr_stats" -> ((s, dir) => {
+      def dq(c: Column) = c.cast("decimal(12,2)")
+      def dp(c: Column) = c.cast("decimal(18,2)")
+      val n = col("n"); val sx = col("__sx").cast("double")
+      val sy = col("__sy").cast("double"); val sxx = col("__sxx").cast("double")
+      val syy = col("__syy").cast("double"); val sxy = col("__sxy").cast("double")
+      val covn = n * sxy - sx * sy
+      val varx = n * sxx - sx * sx
+      val vary = n * syy - sy * sy
+      val slope = covn / varx
+      t(s, dir, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
+          .as("ship_month"))
+        .agg(count(lit(1)).as("n"),
+          sum(dq(col("l_quantity"))).as("__sx"),
+          sum(dq(col("l_quantity")) * dq(col("l_quantity"))).as("__sxx"),
+          sum(dp(col("l_extendedprice"))).as("__sy"),
+          sum(dp(col("l_extendedprice")) * dp(col("l_extendedprice")))
+            .as("__syy"),
+          sum(dq(col("l_quantity")) * dp(col("l_extendedprice"))).as("__sxy"))
+        .select(col("ship_month"), n,
+          slope.as("slope"),
+          ((sy - slope * sx) / n).as("intercept"),
+          (covn * covn / (varx * vary)).as("r2"))
+        .orderBy("ship_month")
+    }),
+
+    // SQL pipe syntax + session variables (Spark 4): the same
+    // filter→aggregate→extend→order chain as a classic GROUP BY
+    // query, written as a |> pipeline with the threshold bound via
+    // DECLARE VARIABLE — the interactive-SQL surface a warehouse
+    // user drives the engine through. Compiles to the identical
+    // logical plan (one shuffle on the two grouping keys), so the
+    // syntax costs nothing at scale; the oracle is the classic
+    // formulation with the variable inlined.
+    "s22_pipe_sql" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("DECLARE OR REPLACE VARIABLE graft_min_qty DOUBLE DEFAULT 25.0")
+      s.sql("""FROM lineitem
+           |> WHERE l_quantity >= graft_min_qty
+           |> AGGREGATE count(*) AS n,
+                        sum(cast(l_extendedprice AS DECIMAL(18,2))) AS __rev
+                GROUP BY l_returnflag, l_linestatus
+           |> EXTEND cast(__rev AS DOUBLE) / n AS avg_rev
+           |> SELECT l_returnflag, l_linestatus, n,
+                     cast(__rev AS DOUBLE) AS revenue, avg_rev
+           |> ORDER BY l_returnflag, l_linestatus""")
+    }),
+
     // CUBE: all four grouping combinations (detail, each single-dim
     // subtotal, grand total) in ONE Expand pass over one shuffle —
     // same single-scan argument as a11_grouping_sets; gid
@@ -1100,6 +1224,73 @@ object RegistryExtra {
                 cast(sum(cast(bal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal,
                 (SELECT n_complete FROM d) AS n_complete
          FROM cleaned GROUP BY seg ORDER BY seg""",
+    "f18_variant_extract" ->
+      """SELECT event_type AS etype, count(*) AS n,
+                cast(sum(user_id) AS BIGINT) AS uid_sum,
+                cast(sum(cast(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                  AS k_sum,
+                cast(sum(CASE WHEN event_id % 13 = 0 THEN NULL
+                              ELSE cast(value AS DECIMAL(12,2)) END) AS DOUBLE)
+                  AS val_sum,
+                count(*) FILTER (event_id % 13 = 0) AS n_null_vals
+         FROM events GROUP BY event_type ORDER BY etype""",
+    "f19_collated_group" ->
+      """WITH k AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                        WHEN doc_id % 3 = 1 THEN upper(source[1]) || source[2:]
+                        ELSE source END) || ' ' ||
+                  (CASE WHEN doc_id % 2 = 0 THEN
+                          CASE WHEN doc_id % 4 = 0 THEN 'Hà Nội' ELSE 'HÀ NỘI' END
+                        ELSE
+                          CASE WHEN doc_id % 4 = 1 THEN 'Đà Nẵng' ELSE 'ĐÀ NẴNG' END
+                   END) AS k
+           FROM documents)
+         SELECT lower(k) AS key_lc, count(*) AS n,
+                min(doc_id) AS first_doc,
+                count(DISTINCT k) AS n_case_variants
+         FROM k WHERE contains(lower(k), 'nẵng')
+         GROUP BY lower(k) ORDER BY key_lc""",
+    // DuckDB's DECIMAL(38,_)->DOUBLE cast is not correctly rounded once
+    // the hugeint-scaled value exceeds 2^53 (it divides a double by the
+    // scale power, double-rounding); the VARCHAR hop IS correctly
+    // rounded and matches Spark's BigDecimal.doubleValue bit-for-bit.
+    "a20_regr_stats" ->
+      """WITH s AS (
+           SELECT cast(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+                  count(*) AS n,
+                  sum(cast(l_quantity AS DECIMAL(12,2))) AS sx,
+                  sum(cast(l_quantity AS DECIMAL(12,2)) *
+                      cast(l_quantity AS DECIMAL(12,2))) AS sxx,
+                  sum(cast(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                  sum(cast(l_extendedprice AS DECIMAL(18,2)) *
+                      cast(l_extendedprice AS DECIMAL(18,2))) AS syy,
+                  sum(cast(l_quantity AS DECIMAL(12,2)) *
+                      cast(l_extendedprice AS DECIMAL(18,2))) AS sxy
+           FROM lineitem GROUP BY 1),
+         d AS (
+           SELECT ship_month, n,
+                  cast(cast(sx AS VARCHAR) AS DOUBLE) AS sx,
+                  cast(cast(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+                  cast(cast(sy AS VARCHAR) AS DOUBLE) AS sy,
+                  cast(cast(syy AS VARCHAR) AS DOUBLE) AS syy,
+                  cast(cast(sxy AS VARCHAR) AS DOUBLE) AS sxy
+           FROM s)
+         SELECT ship_month, n,
+                (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+                (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                  AS intercept,
+                ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+                ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+         FROM d ORDER BY ship_month""",
+    "s22_pipe_sql" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                  AS avg_rev
+         FROM lineitem WHERE l_quantity >= 25.0
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
     "a14_mode" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
                     FROM lineitem GROUP BY 1, 2),
