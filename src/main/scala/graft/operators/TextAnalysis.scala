@@ -73,6 +73,35 @@ object TextAnalysis {
       .drop("__norm_len")
   }
 
+  /** Duplicated-span coverage (the exact-substring dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): per document, the count and ppm fraction of k-token
+    * span POSITIONS whose exact span occurs in at least one OTHER
+    * document — the removal criterion of suffix-array dedup,
+    * re-expressed relationally. Cross-doc presence is min != max of
+    * the id over a span-key window: ONE shuffle on the span key plus
+    * one per-doc regroup, never a self-join and no distinct-count
+    * state. At corpus scale the span key would be xxhash64(span) to
+    * shrink shuffle width; kept as the raw string so an external
+    * engine recomputes it. Documents shorter than k tokens have no
+    * spans and are excluded. */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val spans = df.select(col(idCol), TextFns.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= k)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
+          i => array_join(slice(col("__toks"), i, lit(k)), " "))).as("__span"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__span")
+    spans
+      .withColumn("__dup", min(col(idCol)).over(w) =!= max(col(idCol)).over(w))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("__dup"), 1)).as("n_dup_spans"))
+      .withColumn("dup_ppm",
+        expr("(2 * 1000000 * n_dup_spans + n_spans) div (2 * n_spans)"))
+  }
+
   /** Document fingerprints: rolling content hash (order-sensitive) +
     * md5 of the normalized text (exact-dup key). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -514,6 +514,90 @@ object RegistryLlm {
         .orderBy("canonical_url")
     }),
 
+    // Domain-level curation stats (the CommonCrawl per-domain gate:
+    // filter whole registered domains by blocklist + aggregate
+    // quality before touching individual documents). URLs are
+    // synthesized deterministically (subdomain × 12 registered
+    // domains, mixed-case hosts on doc_id % 5); the host comes out of
+    // the codegen'd parse_url, the registered domain is the last two
+    // host labels, the blocklist is a broadcast anti-join (never a
+    // shuffle of the corpus against a 2-row table), and per-domain
+    // quality averages exact micro-units. At 100 TB this is ONE
+    // corpus shuffle on the domain key — the standard domain-reputation
+    // pass before document-level filtering.
+    "llm_domain_stats" -> ((s, dir) => {
+      import s.implicits._
+      val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val host = concat(col("source"), lit(".ex"),
+        (col("doc_id") % 4).cast("string"), lit("."), tld)
+      val rawHost = when(col("doc_id") % 5 === 0, upper(host)).otherwise(host)
+      val url = concat(lit("https://"), rawHost, lit("/p/"),
+        (col("doc_id") % 25).cast("string"))
+      val qUnits = (TextAnalysis.qualityScore(col("text"))
+        .cast("decimal(18,6)") * 1000000).cast("long")
+      val d = docs(s, dir)
+        .select(col("doc_id"), url.as("url"), qUnits.as("__q"))
+        .withColumn("host", lower(expr("parse_url(url, 'HOST')")))
+        .withColumn("domain",
+          concat_ws(".", slice(split(col("host"), "\\."), -2, 2)))
+        .withColumn("path", expr("parse_url(url, 'PATH')"))
+      val blocked = Seq("ex0.com", "ex1.org").toDF("domain")
+      d.join(broadcast(blocked), Seq("domain"), "left_anti")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          countDistinct(col("path")).as("n_paths"),
+          (sum(col("__q")).cast("double") / count(lit(1)) / 1000000.0)
+            .as("avg_quality"))
+        .orderBy("domain")
+    }),
+
+    // Vocabulary coverage / OOV-rate analysis: a fixed top-K vocab is
+    // built from the TRAIN split only (md5-stable assignment — the
+    // same doc never flips sides on rerun), then the held-out split's
+    // token stream is scored against it. The vocab is top-K over
+    // token TYPES (bounded — 31 types in this corpus, ~100k-1M for a
+    // real one), picked via TakeOrdered with a total tie-break
+    // (count desc, token asc), and broadcast to the eval-side join:
+    // the corpus-sized token stream shuffles once (per-doc regroup),
+    // never against the vocab. Per-doc OOV rates use the exact
+    // half-up integer ppm so both engines agree bit-for-bit.
+    "llm_vocab_oov" -> ((s, dir) => {
+      val norm = split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")
+      val base = docs(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.stableSplit(col("doc_id")).as("__split"),
+        explode(norm).as("tok"))
+      val vocab = base.where(col("__split") === "train")
+        .groupBy("tok").agg(count(lit(1)).as("__cnt"))
+        .orderBy(col("__cnt").desc, col("tok")).limit(20)
+        .select(col("tok"), lit(1).as("__iv"))
+      val perDoc = base.where(col("__split") =!= "train")
+        .join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("lang", "doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          count(when(col("__iv").isNull, 1)).as("n_oov"))
+        .withColumn("oov_ppm",
+          expr("(2 * 1000000 * n_oov + n_toks) div (2 * n_toks)"))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_oov")).as("n_oov_tokens"),
+          (sum(col("oov_ppm")).cast("double") / count(lit(1)))
+            .as("avg_doc_oov_ppm"),
+          count(when(col("oov_ppm") > 300000, 1)).as("n_high_oov_docs"))
+        .orderBy("lang")
+    }),
+
+    // Duplicated-span coverage (the exact-substring dedup signal):
+    // position-level — unlike llm_ngram_novelty's distinct-type df —
+    // so the output is the fraction of each document's TEXT that is
+    // duplicated verbatim in some other document. See
+    // [[TextAnalysis.dupSpanStats]] for the plan-shape argument.
+    "llm_dup_span_stats" -> ((s, dir) =>
+      TextAnalysis.dupSpanStats(docs(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id")),
+
     // The curation FUNNEL — the composition witness: raw crawl (with
     // planted exact dups) → exact dedup → quality gate → train split,
     // reported as per-stage survivor counts. Each stage is the
@@ -1578,6 +1662,78 @@ object RegistryLlm {
                 count(DISTINCT url) AS n_raw_variants,
                 min(doc_id) AS kept_doc_id
          FROM c GROUP BY canonical_url ORDER BY canonical_url""",
+    "llm_domain_stats" ->
+      s"""WITH u AS (
+            SELECT doc_id, text,
+                   source || '.ex' || cast(doc_id % 4 AS VARCHAR) || '.' ||
+                   (CASE (doc_id % 3) WHEN 0 THEN 'com'
+                                      WHEN 1 THEN 'org' ELSE 'net' END) AS h
+            FROM documents),
+          d AS (
+            SELECT doc_id, $unitsSql AS q,
+                   lower(CASE WHEN doc_id % 5 = 0 THEN upper(h) ELSE h END)
+                     AS host,
+                   '/p/' || cast(doc_id % 25 AS VARCHAR) AS path
+            FROM u),
+          r AS (
+            SELECT *, array_to_string(string_split(host, '.')[-2:], '.')
+                        AS domain
+            FROM d)
+          SELECT domain, count(*) AS n_docs,
+                 count(DISTINCT host) AS n_hosts,
+                 count(DISTINCT path) AS n_paths,
+                 cast(sum(q) AS DOUBLE) / count(*) / 1000000.0 AS avg_quality
+          FROM r WHERE domain NOT IN ('ex0.com', 'ex1.org')
+          GROUP BY domain ORDER BY domain""",
+    "llm_vocab_oov" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+                  unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+                    AS tok
+           FROM documents),
+         sp AS (
+           SELECT *, ('0x' || substring(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000 < 900 AS is_train
+           FROM toks),
+         vocab AS (
+           SELECT tok FROM (
+             SELECT tok, count(*) AS c FROM sp WHERE is_train
+             GROUP BY tok ORDER BY c DESC, tok LIMIT 20)),
+         pd AS (
+           SELECT lang, doc_id, count(*) AS n_toks,
+                  count(*) FILTER (tok NOT IN (SELECT tok FROM vocab)) AS n_oov
+           FROM sp WHERE NOT is_train GROUP BY 1, 2),
+         pd2 AS (
+           SELECT *, (2 * 1000000 * n_oov + n_toks) // (2 * n_toks) AS oov_ppm
+           FROM pd)
+         SELECT lang, count(*) AS n_docs,
+                cast(sum(n_toks) AS BIGINT) AS n_tokens,
+                cast(sum(n_oov) AS BIGINT) AS n_oov_tokens,
+                cast(sum(oov_ppm) AS DOUBLE) / count(*) AS avg_doc_oov_ppm,
+                count(*) FILTER (oov_ppm > 300000) AS n_high_oov_docs
+         FROM pd2 GROUP BY lang ORDER BY lang""",
+    "llm_dup_span_stats" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+                    AS toks
+           FROM documents),
+         sp AS (
+           SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS span
+           FROM t, unnest(range(1, len(toks) - 6)) r(i)
+           WHERE len(toks) >= 8),
+         d AS (
+           SELECT doc_id,
+                  min(doc_id) OVER (PARTITION BY span) <>
+                  max(doc_id) OVER (PARTITION BY span) AS dup
+           FROM sp),
+         pd AS (
+           SELECT doc_id, count(*) AS n_spans,
+                  count(*) FILTER (dup) AS n_dup_spans
+           FROM d GROUP BY doc_id)
+         SELECT doc_id, n_spans, n_dup_spans,
+                (2 * 1000000 * n_dup_spans + n_spans) // (2 * n_spans) AS dup_ppm
+         FROM pd ORDER BY doc_id""",
     "llm_fingerprints" ->
       """SELECT doc_id,
                 coalesce(list_reduce(

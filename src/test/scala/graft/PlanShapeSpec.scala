@@ -189,4 +189,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unicode silver chain grew unexpected shuffles ($shuffles):\n$p")
     assert(!p.contains("SortMergeJoin"), s"dim join fell to SMJ:\n$p")
   }
+
+  test("llm_domain_stats: blocklist is a broadcast anti-join, never a corpus shuffle") {
+    val p = planOf("llm_domain_stats")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"blocklist must apply as a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"2-row blocklist shuffled the corpus:\n$p")
+  }
+
+  test("llm_vocab_oov: the vocab probe is a broadcast join on the token stream") {
+    val p = planOf("llm_vocab_oov")
+    assert(p.contains("BroadcastHashJoin"),
+      s"top-K vocab must broadcast to the eval token stream:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"bounded vocab shuffled the token stream:\n$p")
+  }
+
+  test("llm_dup_span_stats: span presence via window min/max — no join at all") {
+    val p = planOf("llm_dup_span_stats")
+    assert(!p.contains("Join"), s"dup-span coverage must not join:\n$p")
+    assert(p.contains("Window"), s"span window disappeared:\n$p")
+  }
 }

@@ -263,4 +263,37 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(_.getLong(0) == 1L),
       s"null media must contribute zero frames: ${rows.toSeq}")
   }
+
+  test("dup-span coverage: exact dup = 100%, unique doc = 0, partial overlap counts aligned spans") {
+    import spark.implicits._
+    // doc 1 == doc 2 verbatim (16 tokens); doc 3 shares EXACTLY the
+    // first 8 tokens of doc 1 then diverges; doc 4 is fully unique.
+    val shared = (1 to 8).map(i => s"w$i").mkString(" ")
+    val tail1 = (9 to 16).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$shared $tail1"),
+      (2L, s"$shared $tail1"),
+      (3L, s"$shared x1 x2 x3 x4 x5 x6 x7 x8"),
+      (4L, (1 to 16).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .dupSpanStats(corpus, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // 16 tokens -> 9 span positions each
+    assert(r(0) == (1L, 9L, 9L, 1000000L), s"exact dup must be fully covered: ${r(0)}")
+    assert(r(1) == (2L, 9L, 9L, 1000000L), s"exact dup must be fully covered: ${r(1)}")
+    // only position 1 of doc 3 (the aligned 8-token prefix) is shared
+    assert(r(2) == (3L, 9L, 1L, 111111L), s"partial overlap must count exactly 1 span: ${r(2)}")
+    assert(r(3) == (4L, 9L, 0L, 0L), s"unique doc must be 0: ${r(3)}")
+  }
+
+  test("dup-span coverage excludes sub-k documents instead of erroring") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c"), (2L, (1 to 9).map(_.toString).mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .dupSpanStats(corpus, "doc_id", "text", k = 8).collect()
+    assert(r.map(_.getLong(0)).toSet == Set(2L), s"3-token doc must drop: ${r.toSeq}")
+  }
 }
