@@ -15,6 +15,11 @@ import graft.functions.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    // Ladder rung (c): whole-operator planner extension. The strategy
+    // self-scopes (fires only on broadcast-declared point-in-interval
+    // inner joins, returns Nil otherwise) so injecting it session-wide
+    // is safe for every other plan shape.
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }
 

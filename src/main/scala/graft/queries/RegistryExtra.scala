@@ -840,6 +840,33 @@ object RegistryExtra {
         .orderBy("user_id", "day")
     }),
 
+    // Point-in-interval join through the engine's OWN planner rung:
+    // graft.plans.IntervalJoinStrategy recognizes `p BETWEEN lo AND
+    // hi` (no equi-conjunct) against a broadcast-hinted build side and
+    // plans BroadcastIntervalJoinExec — a centered interval tree
+    // probed at O(log n + matches) per event instead of
+    // BroadcastNestedLoopJoin's O(n) full scan per probe. Same
+    // business-hours-window semantics as j18, but the probe side is
+    // the RAW event stream (60k points at sf0.01, the shape that
+    // makes nested-loop quadratic), not pre-aggregated sessions.
+    "j20_interval_tree_join" -> ((s, dir) => {
+      graft.plans.IntervalJoinStrategy.install(s)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("p"))
+      val windows = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day")).distinct()
+        .where(dayofmonth(col("day")) % 3 === 0)
+        .select(col("day"),
+          (unix_micros(col("day").cast("timestamp")) + 21600000000L).as("w_start"),
+          (unix_micros(col("day").cast("timestamp")) + 64800000000L).as("w_end"))
+      ev.join(broadcast(windows),
+          col("p") >= col("w_start") && col("p") <= col("w_end"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("user_id")).as("user_checksum"))
+        .orderBy("day")
+    }),
+
     // COUNT(DISTINCT) as a window value — Spark (like ANSI engines
     // generally) rejects DISTINCT inside window aggregates, so the
     // portable trick is max(dense_rank): rank the values within the
@@ -1027,6 +1054,17 @@ object RegistryExtra {
          FROM s JOIN w USING (day)
          WHERE s.s_start <= w.w_end AND w.w_start <= s.s_end
          ORDER BY s.user_id, s.day""",
+    "j20_interval_tree_join" ->
+      """WITH w AS (
+           SELECT day, epoch_us(cast(day AS TIMESTAMP)) + 21600000000 AS w_start,
+                  epoch_us(cast(day AS TIMESTAMP)) + 64800000000 AS w_end
+           FROM (SELECT DISTINCT cast(date_trunc('day', ts) AS DATE) AS day FROM events)
+           WHERE day(day) % 3 = 0)
+         SELECT w.day, count(*) AS n_events,
+                cast(sum(e.user_id) AS BIGINT) AS user_checksum
+         FROM events e JOIN w
+           ON epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) <= w.w_end
+         GROUP BY w.day ORDER BY w.day""",
     "w12_distinct_count_window" ->
       """SELECT o_custkey, o_orderkey,
                 count(DISTINCT o_orderdate)

@@ -19,7 +19,7 @@ object Tables {
     // Spark's parquet reader rejects by default. Read nanos as long and
     // rebuild a (micro-truncated) timestamp — truncation toward zero,
     // identical to an engine-side ns→us cast.
-    if (name == "events") {
+    val df = if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       import org.apache.spark.sql.types.LongType
@@ -29,6 +29,25 @@ object Tables {
             org.apache.spark.sql.functions.expr("ts div 1000")))
       else raw
     } else spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeNtz(df)
+  }
+
+  /** The harness parquet has carried three timestamp encodings across
+    * rounds: TIMESTAMP(NANOS) (readable only as long under
+    * nanosAsLong), UTC-adjusted TIMESTAMP(MICROS), and naive
+    * TIMESTAMP_NTZ(MICROS). Normalize every NTZ column to session-TZ
+    * TimestampType so downstream operators (unix_micros, watermarks,
+    * date_trunc, typed Encoders) see ONE type regardless of which
+    * encoding the driver generated. Every engine session pins UTC, so
+    * the NTZ wall clock maps to the identical instant the UTC-adjusted
+    * encoding carried — and DuckDB, reading the same file naively,
+    * computes the same epoch micros. No-op when nothing is NTZ. */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+      (d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
   }
 
   /** Register every table as a temp view named exactly like the parquet

@@ -28,8 +28,9 @@ object StatefulDedup {
 
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    val events = (if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else raw)
+    val events = graft.sources.Tables.normalizeNtz(
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else raw)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[EventRow]
 

@@ -37,7 +37,7 @@ object StreamingOps {
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
-    (tsFixed, nonce)
+    (graft.sources.Tables.normalizeNtz(tsFixed), nonce)
   }
 
   /** Watermarked 1-day tumbling-window counts over the events stream. */

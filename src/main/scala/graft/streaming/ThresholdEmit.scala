@@ -75,8 +75,9 @@ object ThresholdEmit {
 
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    val events = (if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else raw)
+    val events = graft.sources.Tables.normalizeNtz(
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else raw)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       .as[EventRow]
 
