@@ -867,6 +867,73 @@ object RegistryExtra {
         .orderBy("day")
     }),
 
+    // Pipeline observability via Dataset.observe (§5's dbt-test
+    // analog WITHOUT a second scan): the metrics ride the very pass
+    // that materializes the frame — a QueryExecutionListener hands
+    // them to the driver when the action completes, so a 100 TB
+    // write gets its row counts / null counts / control totals for
+    // free instead of re-aggregating the table afterwards. The
+    // registry result is the observed metrics row itself; the oracle
+    // recomputes the same aggregates relationally — any divergence
+    // between the observed path and a direct aggregation is a
+    // correctness failure of the observation plumbing.
+    "quality_observed_metrics" -> ((s, dir) => {
+      val obs = org.apache.spark.sql.Observation()
+      t(s, dir, "orders").observe(obs,
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderdate")).as("n_nonnull_dates"),
+          decSum(col("o_totalprice")).as("total_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("n_nonnull_dates").asInstanceOf[Long],
+        m("total_price").asInstanceOf[Double],
+        m("min_key").asInstanceOf[Long],
+        m("max_key").asInstanceOf[Long]))
+        .toDF("n_rows", "n_nonnull_dates", "total_price", "min_key",
+          "max_key")
+    }),
+
+    // AS-OF join (the time-series join Spark has no native operator
+    // for): each purchase matched to the LATEST click at-or-before
+    // its timestamp per user. The Spark-first expression is NOT a
+    // band/range join (quadratic in events-per-user, needs a second
+    // dedup pass to keep only the latest candidate) but union +
+    // forward-fill: tag both sides, sort per user by (ts,
+    // click-before-purchase, event_id), and `last(click_id,
+    // ignoreNulls)` over the preceding-rows frame IS the as-of match
+    // — ONE key shuffle, one ordered pass, linear at any events-per-
+    // user density. Purchases with no preceding click keep the -1
+    // marker (left-outer as-of).
+    "j21_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val tagged = ev
+        .withColumn("click_id",
+          when(col("event_type") === "click", col("event_id")))
+        .withColumn("is_purchase",
+          (col("event_type") === "purchase").cast("int"))
+      // same-ts click sorts BEFORE the purchase: at-or-before (<=)
+      // as-of semantics; event_id breaks same-ts click ties (latest
+      // id wins), keeping the match deterministic
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("is_purchase"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("asof_click_id",
+          last(col("click_id"), ignoreNulls = true).over(w))
+        .where(col("is_purchase") === 1)
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("purchase_ts_us"),
+          coalesce(col("asof_click_id"), lit(-1L)).as("asof_click_id"))
+        .orderBy("user_id", "purchase_id")
+    }),
+
     // COUNT(DISTINCT) as a window value — Spark (like ANSI engines
     // generally) rejects DISTINCT inside window aggregates, so the
     // portable trick is max(dense_rank): rank the values within the
@@ -1065,6 +1132,32 @@ object RegistryExtra {
          FROM events e JOIN w
            ON epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) <= w.w_end
          GROUP BY w.day ORDER BY w.day""",
+    "quality_observed_metrics" ->
+      """SELECT count(*) AS n_rows,
+                count(o_orderdate) AS n_nonnull_dates,
+                cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  AS total_price,
+                cast(min(o_orderkey) AS BIGINT) AS min_key,
+                cast(max(o_orderkey) AS BIGINT) AS max_key
+         FROM orders""",
+    "j21_asof_join" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+           FROM events WHERE event_type IN ('click','purchase')
+         ), tagged AS (
+           SELECT *,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+           FROM ev)
+         SELECT user_id, event_id AS purchase_id, ts_us AS purchase_ts_us,
+                CAST(coalesce(last_value(click_id IGNORE NULLS) OVER (
+                  PARTITION BY user_id
+                  ORDER BY ts_us, is_purchase, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+                  AS BIGINT) AS asof_click_id
+         FROM tagged
+         QUALIFY is_purchase = 1
+         ORDER BY user_id, purchase_id""",
     "w12_distinct_count_window" ->
       """SELECT o_custkey, o_orderkey,
                 count(DISTINCT o_orderdate)

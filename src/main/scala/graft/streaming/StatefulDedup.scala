@@ -51,13 +51,18 @@ object StatefulDedup {
           winner
       }
 
-    val q = deduped.writeStream
-      .format("memory").queryName(sinkName)
-      .outputMode("update")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state = one winner row per user (≤ events): size state
+    // partitions to that, not the session's batch shuffle default
+    StreamTune.withStatePartitions(spark,
+      StreamTune.eventRows(spark, sfDir)) {
+      val q = deduped.writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // With update mode a key may emit once per micro-batch; keep the
     // final (latest) emission per key — same W1 semantics, batch-side.
     graft.operators.Dedup.latestByKey(

@@ -60,18 +60,20 @@ object StreamingOps {
     * plain batch read-back of the sink directory. `shape` is the
     * variant's final projection. */
   private def completeSinkRun(spark: SparkSession, stream: DataFrame,
-                              nonce: String)
+                              nonce: String, estStateRows: Long)
                              (shape: DataFrame => DataFrame): DataFrame = {
     val outDir = "/tmp/graft_stream_out/" + nonce
-    val q = stream.writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        shape(batch).write.mode("overwrite").parquet(outDir)
-      }
-      .start()
-    q.awaitTermination()
+    StreamTune.withStatePartitions(spark, estStateRows) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          shape(batch).write.mode("overwrite").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir)
   }
 
@@ -79,13 +81,15 @@ object StreamingOps {
     * read the result table back on the driver. */
   def dailyEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val (stream, nonce) = dailyStream(spark, sfDir)
-    val q = stream.writeStream
-      .format("memory").queryName(nonce)
-      .outputMode("complete")
-      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamTune.withStatePartitions(spark, estStateRows = 100000L) {
+      val q = stream.writeStream
+        .format("memory").queryName(nonce)
+        .outputMode("complete")
+        .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     finalShape(spark.table(nonce))
   }
 
@@ -126,7 +130,9 @@ object StreamingOps {
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("w"), col("n_name"))
       .agg(count(lit(1)).as("n_events"))
-    completeSinkRun(spark, stream, nonce)(
+    // state = open windows × dims — calendar-bounded, not data-volume-
+    // bounded (the docstring's 100 TB/day point): days × 25 nations
+    completeSinkRun(spark, stream, nonce, estStateRows = 100000L)(
       _.select(col("w.start").cast("date").as("report_date"),
         col("n_name"), col("n_events")))
   }
@@ -142,7 +148,8 @@ object StreamingOps {
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    completeSinkRun(spark, stream, nonce)(
+    // state = days × event_types × 2 (docstring) — calendar-bounded
+    completeSinkRun(spark, stream, nonce, estStateRows = 100000L)(
       _.select(col("w.start").cast("date").as("window_start"),
         col("event_type"), col("n_events")))
   }
@@ -162,7 +169,10 @@ object StreamingOps {
       .withWatermark("ts", "1 day")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-    completeSinkRun(spark, stream, nonce)(
+    // sessions ≤ events (every session holds ≥ 1 event): data-volume-
+    // bounded state, sized from the actual feed
+    completeSinkRun(spark, stream, nonce,
+      StreamTune.eventRows(spark, sfDir))(
       _.select(col("user_id"),
         unix_micros(col("w.start")).as("session_start_us"),
         unix_micros(col("w.end")).as("session_end_us"),
@@ -192,14 +202,20 @@ object StreamingOps {
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("interval 1 day"))
     val outDir = "/tmp/graft_stream_out/" + nonce
-    val q = joined
-      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
-      .writeStream.format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // join state buffers ≤ one watermark horizon of each side: events
+    // volume is the bound (four stores per state partition make
+    // oversized partition counts expensive — BENCH_NOTES round 9)
+    StreamTune.withStatePartitions(spark,
+      StreamTune.eventRows(spark, sfDir)) {
+      val q = joined
+        .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir)
   }
 
@@ -266,15 +282,20 @@ object StreamingOps {
         col("purchase_ts") <= col("click_ts") + expr("interval 1 day"),
       "left_outer")
     val outDir = "/tmp/graft_stream_out/" + nonce
-    val q = joined
-      .select(col("c_user").as("user_id"), col("click_id"),
-        col("purchase_id"))
-      .writeStream.format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // same state bound as the inner join (one horizon per side);
+    // outer adds only the null-emission path, not state volume
+    StreamTune.withStatePartitions(spark,
+      StreamTune.eventRows(spark, sfDir)) {
+      val q = joined
+        .select(col("c_user").as("user_id"), col("click_id"),
+          col("purchase_id"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir)
       .where(col("user_id") >= 0)
       // null-free purchase_id: Spark and DuckDB disagree on default
@@ -299,7 +320,8 @@ object StreamingOps {
     * sinks are for. */
   def dailyEventCountsToFiles(spark: SparkSession, sfDir: String): DataFrame = {
     val (stream, nonce) = dailyStream(spark, sfDir)
-    completeSinkRun(spark, stream, nonce)(finalShape)
+    // state = days × event_types (docstring) — calendar-bounded
+    completeSinkRun(spark, stream, nonce, estStateRows = 100000L)(finalShape)
   }
 
   /** Latest-wins reduction on the user key: struct-max on
@@ -367,25 +389,32 @@ object StreamingOps {
     }
     val schema = spark.read.parquet(srcDir).schema
     var current: Option[String] = None
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      .writeStream
-      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val incoming = latestPerUser(batch).persist()
-        try {
-          val merged = current match {
-            case Some(prev) => mergeBatch(spark.read.parquet(prev), incoming)
-            case None => incoming
-          }
-          val out = s"$tgtBase/v$batchId"
-          merged.write.mode("overwrite").parquet(out)
-          current = Some(out)
-        } finally incoming.unpersist(false)
-      }
-      .start()
-    q.awaitTermination()
+    // the stream itself is stateless (foreachBatch owns the merge),
+    // but every batch's latest-per-user aggregate and target write
+    // plan under this conf: size them to the keyed target (≤ events),
+    // not the session's batch-join default
+    StreamTune.withStatePartitions(spark,
+      StreamTune.eventRows(spark, sfDir)) {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val incoming = latestPerUser(batch).persist()
+          try {
+            val merged = current match {
+              case Some(prev) => mergeBatch(spark.read.parquet(prev), incoming)
+              case None => incoming
+            }
+            val out = s"$tgtBase/v$batchId"
+            merged.write.mode("overwrite").parquet(out)
+            current = Some(out)
+          } finally incoming.unpersist(false)
+        }
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(current.getOrElse(
       sys.error("streaming upsert produced no batches")))
   }
@@ -412,15 +441,19 @@ object StreamingOps {
     val fixture = ev.unionByName(ev.where(col("event_id") % 7 === 0))
     fixture.coalesce(1).write.mode("overwrite").parquet(srcDir)
     val outDir = s"/tmp/graft_stream_dropdup/out_$nonce"
-    val q = spark.readStream.schema(fixture.schema).parquet(srcDir)
-      .withWatermark("ts", "1 day")
-      .dropDuplicatesWithinWatermark("event_id")
-      .writeStream.format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // dedup state = keys within the watermark horizon ≤ events
+    StreamTune.withStatePartitions(spark,
+      StreamTune.eventRows(spark, sfDir)) {
+      val q = spark.readStream.schema(fixture.schema).parquet(srcDir)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(outDir)
   }
 }

@@ -92,13 +92,17 @@ object ThresholdEmit {
           out.iterator
       }
 
-    val q = crossings.writeStream
-      .format("memory").queryName(sinkName)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state = one cumulative-cents long per user (≤ events)
+    StreamTune.withStatePartitions(spark,
+      StreamTune.eventRows(spark, sfDir)) {
+      val q = crossings.writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sinkName)
   }
 }

@@ -107,13 +107,18 @@ object TransformWithStateOps {
       val progress = events.groupByKey(_.user_id)
         .transformWithState(new SpendProcessor, TimeMode.None(),
           OutputMode.Append())
-      val q = progress.writeStream
-        .format("memory").queryName(nonce)
-        .outputMode("append")
-        .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // state = ValueState per user (≤ events); RocksDB instances per
+      // partition make oversizing even costlier than HDFS-backed
+      StreamTune.withStatePartitions(spark,
+        StreamTune.eventRows(spark, sfDir)) {
+        val q = progress.writeStream
+          .format("memory").queryName(nonce)
+          .outputMode("append")
+          .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     } finally prev match {
       case Some(v) =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
