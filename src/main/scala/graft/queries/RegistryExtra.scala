@@ -703,6 +703,16 @@ object RegistryExtra {
       StreamingOps.sessionWindowCounts(s, dir)
         .orderBy("user_id", "session_start_us")),
 
+    // The SAME sessionization contract re-expressed on event-time
+    // TIMERS (transformWithState + handleExpiredTimer): state is
+    // merged pending sessions per user, one armed timer per key, and
+    // finalization happens when the watermark passes last event +
+    // gap — the TTL-by-semantics pattern. One oracle pins both this
+    // and the declarative session_window witness.
+    "stream_timer_sessions" -> ((s, dir) =>
+      graft.streaming.SessionTimers.timerSessions(s, dir)
+        .orderBy("user_id", "session_start_us")),
+
     // Stream-static enrichment join (events stream ⋈ broadcast nation
     // dim) feeding a watermarked daily window — the streaming star
     // join.
@@ -895,43 +905,6 @@ object RegistryExtra {
         m("max_key").asInstanceOf[Long]))
         .toDF("n_rows", "n_nonnull_dates", "total_price", "min_key",
           "max_key")
-    }),
-
-    // AS-OF join (the time-series join Spark has no native operator
-    // for): each purchase matched to the LATEST click at-or-before
-    // its timestamp per user. The Spark-first expression is NOT a
-    // band/range join (quadratic in events-per-user, needs a second
-    // dedup pass to keep only the latest candidate) but union +
-    // forward-fill: tag both sides, sort per user by (ts,
-    // click-before-purchase, event_id), and `last(click_id,
-    // ignoreNulls)` over the preceding-rows frame IS the as-of match
-    // — ONE key shuffle, one ordered pass, linear at any events-per-
-    // user density. Purchases with no preceding click keep the -1
-    // marker (left-outer as-of).
-    "j21_asof_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .where(col("event_type").isin("click", "purchase"))
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("ts_us"), col("event_type"))
-      val tagged = ev
-        .withColumn("click_id",
-          when(col("event_type") === "click", col("event_id")))
-        .withColumn("is_purchase",
-          (col("event_type") === "purchase").cast("int"))
-      // same-ts click sorts BEFORE the purchase: at-or-before (<=)
-      // as-of semantics; event_id breaks same-ts click ties (latest
-      // id wins), keeping the match deterministic
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts_us"), col("is_purchase"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tagged
-        .withColumn("asof_click_id",
-          last(col("click_id"), ignoreNulls = true).over(w))
-        .where(col("is_purchase") === 1)
-        .select(col("user_id"), col("event_id").as("purchase_id"),
-          col("ts_us").as("purchase_ts_us"),
-          coalesce(col("asof_click_id"), lit(-1L)).as("asof_click_id"))
-        .orderBy("user_id", "purchase_id")
     }),
 
     // COUNT(DISTINCT) as a window value — Spark (like ANSI engines
@@ -1140,24 +1113,6 @@ object RegistryExtra {
                 cast(min(o_orderkey) AS BIGINT) AS min_key,
                 cast(max(o_orderkey) AS BIGINT) AS max_key
          FROM orders""",
-    "j21_asof_join" ->
-      """WITH ev AS (
-           SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
-           FROM events WHERE event_type IN ('click','purchase')
-         ), tagged AS (
-           SELECT *,
-             CASE WHEN event_type = 'click' THEN event_id END AS click_id,
-             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
-           FROM ev)
-         SELECT user_id, event_id AS purchase_id, ts_us AS purchase_ts_us,
-                CAST(coalesce(last_value(click_id IGNORE NULLS) OVER (
-                  PARTITION BY user_id
-                  ORDER BY ts_us, is_purchase, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
-                  AS BIGINT) AS asof_click_id
-         FROM tagged
-         QUALIFY is_purchase = 1
-         ORDER BY user_id, purchase_id""",
     "w12_distinct_count_window" ->
       """SELECT o_custkey, o_orderkey,
                 count(DISTINCT o_orderdate)
@@ -1542,6 +1497,25 @@ object RegistryExtra {
                       RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
          ORDER BY o_orderkey""",
     "stream_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM flagged)
+         SELECT user_id,
+                epoch_us(min(ts)) AS session_start_us,
+                epoch_us(max(ts)) + 1800000000 AS session_end_us,
+                count(*) AS n_events
+         FROM sessions GROUP BY user_id, session_seq
+         ORDER BY user_id, session_start_us""",
+    "stream_timer_sessions" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id,
                   CASE WHEN lag(ts) OVER w IS NULL

@@ -68,6 +68,10 @@ class IdempotenceSpec extends AnyFunSuite {
     runTwice("stream_transform_with_state")
   }
 
+  test("timer-session streaming query is re-runnable (nonced source/sink/checkpoint)") {
+    runTwice("stream_timer_sessions")
+  }
+
   test("zorder layout query is re-runnable (clustered dir overwritten)") {
     runTwice("s15_zorder_layout")
   }
