@@ -877,6 +877,39 @@ object RegistryExtra {
         .orderBy("day")
     }),
 
+    // Spark 4 SQL SCRIPTING (BEGIN…END compound statements): session
+    // variables, WHILE control flow, and an array accumulator built
+    // per iteration, unwrapped relationally by the script's final
+    // SELECT — the procedural-SQL surface (dbt pre/post-hooks, ETL
+    // driver scripts) that previously needed an external driver
+    // language. The loop body hits the real events view once per
+    // day-of-week bucket; the oracle is the equivalent single
+    // GROUP BY (DuckDB dayofweek is 0-based, Spark 1-based).
+    "sql_scripting_loop" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      val prev = s.conf.getOption("spark.sql.scripting.enabled")
+      try {
+        s.conf.set("spark.sql.scripting.enabled", "true")
+        s.sql("""
+          BEGIN
+            DECLARE acc ARRAY<STRUCT<dow: INT, n_events: BIGINT>>
+              DEFAULT array();
+            DECLARE i INT DEFAULT 1;
+            WHILE i <= 7 DO
+              SET acc = array_append(acc, named_struct('dow', i,
+                'n_events',
+                (SELECT count(*) FROM events WHERE dayofweek(ts) = i)));
+              SET i = i + 1;
+            END WHILE;
+            SELECT s.dow AS dow, s.n_events AS n_events
+            FROM (SELECT explode(acc) AS s) ORDER BY dow;
+          END""")
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+        case None => s.conf.unset("spark.sql.scripting.enabled")
+      }
+    }),
+
     // Pipeline observability via Dataset.observe (§5's dbt-test
     // analog WITHOUT a second scan): the metrics ride the very pass
     // that materializes the frame — a QueryExecutionListener hands
@@ -1105,6 +1138,9 @@ object RegistryExtra {
          FROM events e JOIN w
            ON epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) <= w.w_end
          GROUP BY w.day ORDER BY w.day""",
+    "sql_scripting_loop" ->
+      """SELECT dayofweek(ts) + 1 AS dow, count(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY dow""",
     "quality_observed_metrics" ->
       """SELECT count(*) AS n_rows,
                 count(o_orderdate) AS n_nonnull_dates,
