@@ -422,6 +422,27 @@ object RegistryLlm {
       TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Model INFERENCE as a relational expression: a fastText-style
+    // linear quality classifier applied with the hashing trick —
+    // every token hashes (md5, engine-recomputable like the SimHash
+    // signature) to an integer weight in [-1000, 1000], the document
+    // score is the plain sum over token OCCURRENCES, the verdict is
+    // its sign. The whole thing is one higher-order array fold
+    // (transform + aggregate) inside the scan stage: per-row, fully
+    // codegen'd, ZERO shuffle — at 100 TB classifier scoring streams
+    // through the corpus at scan speed, which is exactly how
+    // production quality filters (CCNet, Gopher) run. Integer
+    // weights keep the score exact, so the oracle hash-matches.
+    "llm_classifier_score" -> ((s, dir) => {
+      def weight(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 2001L - 1000L
+      docs(s, dir).select(col("doc_id"),
+          aggregate(graft.functions.TextFns.tokens(col("text")),
+            lit(0L), (acc, t) => acc + weight(t)).as("score_units"))
+        .withColumn("keep", col("score_units") > 0)
+        .orderBy("doc_id")
+    }),
+
     // Custom typed Aggregator: bounded-heap top-3 events by value per
     // user — O(k) state, map-side combinable; oracle is the window
     // formulation it replaces at scale.
@@ -1519,6 +1540,20 @@ object RegistryLlm {
                     ['the','a','of','and','to','in','is'])) AS DOUBLE) / 7.0 * 0.3,
                   1.0), 0.0), 6) AS quality_score
          FROM documents ORDER BY doc_id""",
+    "llm_classifier_score" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+                    AS toks
+           FROM documents)
+         SELECT doc_id,
+                cast(coalesce(list_sum(list_transform(toks,
+                  t -> ('0x' || substring(md5(t), 1, 8))::BIGINT % 2001
+                       - 1000)), 0) AS BIGINT) AS score_units,
+                cast(coalesce(list_sum(list_transform(toks,
+                  t -> ('0x' || substring(md5(t), 1, 8))::BIGINT % 2001
+                       - 1000)), 0) AS BIGINT) > 0 AS keep
+         FROM t ORDER BY doc_id""",
     "llm_token_stats" ->
       """WITH t AS (
            SELECT doc_id, text,
