@@ -46,6 +46,44 @@ class SessionTimersSpec extends AnyFunSuite {
     assert(merge(Nil, ev.reverse) == out)
   }
 
+  test("property: any batch split merges to the same sessions as one batch (cross-batch law)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Event times clustered enough that merges actually happen; the
+    // law is what makes cross-micro-batch sessionization correct:
+    // folding batches through the state one at a time must equal
+    // sessionizing the union (holds unconditionally because no
+    // session is finalized between batches in the pure merge).
+    val times = Gen.listOf(Gen.chooseNum(0L, 20L).map(_ * (gap / 2)))
+    val prop = Prop.forAll(times, Gen.chooseNum(0, 1000)) { (ts, cut) =>
+      val (a, b) = ts.splitAt(if (ts.isEmpty) 0 else cut % (ts.length + 1))
+      val sequential = merge(merge(Nil, a), b)
+      val oneShot = merge(Nil, ts)
+      sequential == oneShot
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, s"cross-batch law: $res")
+  }
+
+  test("property: sessions partition the events — counts sum, gaps only between sessions") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val times = Gen.nonEmptyListOf(Gen.chooseNum(0L, 50L).map(_ * (gap / 3)))
+    val prop = Prop.forAll(times) { ts =>
+      val out = merge(Nil, ts)
+      val sorted = out.sortBy(_.start_us)
+      val countsOk = sorted.map(_.n).sum == ts.length.toLong
+      val ordered = sorted.forall(p => p.start_us <= p.last_us)
+      val gapped = sorted.sliding(2).forall {
+        case Seq(x, y) => y.start_us - x.last_us >= gap
+        case _ => true
+      }
+      countsOk && ordered && gapped
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, s"partition law: $res")
+  }
+
   test("timer sessions agree with the builtin session_window witness") {
     val timer = SparkEntry.queries("stream_timer_sessions")(spark, sfDir)
     val builtin = SparkEntry.queries("stream_session_window")(spark, sfDir)
