@@ -49,7 +49,11 @@ object IntervalJoinStrategy extends SparkStrategy {
       loStrict: Boolean, hiStrict: Boolean, residual: Option[Expression])
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case j @ Join(l, r, Inner, Some(cond), hint) if buildable(j, r) =>
+    // !isStreaming: the build side is executeCollect'ed once — a
+    // micro-batch source must fall through to Spark's streaming-aware
+    // planning (extra strategies run FIRST, so the guard is on us)
+    case j @ Join(l, r, Inner, Some(cond), hint)
+        if !j.isStreaming && buildable(j, r) =>
       extract(cond, l, r) match {
         case Some(p) =>
           BroadcastIntervalJoinExec(planLater(l), planLater(r),
