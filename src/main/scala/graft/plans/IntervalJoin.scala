@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   And, Attribute, BindReferences, Expression, GreaterThan,
   GreaterThanOrEqual, JoinedRow, LessThan, LessThanOrEqual, Predicate,
   UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.LongType
@@ -51,12 +51,14 @@ object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     // !isStreaming: the build side is executeCollect'ed once — a
     // micro-batch source must fall through to Spark's streaming-aware
-    // planning (extra strategies run FIRST, so the guard is on us)
-    case j @ Join(l, r, Inner, Some(cond), hint)
+    // planning (extra strategies run FIRST, so the guard is on us).
+    // LeftOuter keeps ON-clause semantics: the residual decides
+    // matches, an unmatched probe row emits null-padded build columns.
+    case j @ Join(l, r, jt @ (Inner | LeftOuter), Some(cond), hint)
         if !j.isStreaming && buildable(j, r) =>
       extract(cond, l, r) match {
         case Some(p) =>
-          BroadcastIntervalJoinExec(planLater(l), planLater(r),
+          BroadcastIntervalJoinExec(planLater(l), planLater(r), jt,
             p.point, p.lo, p.hi, p.loStrict, p.hiStrict, p.residual) :: Nil
         case None => Nil
       }
@@ -197,15 +199,21 @@ object IntervalIndex {
   * one tree descent. Null probe points and null/inverted bounds
   * produce no matches — identical to the SQL comparison semantics the
   * operator replaces. Residual conjuncts (anything beyond the two
-  * range bounds) evaluate on the joined row before projection.
+  * range bounds) evaluate on the joined row and DECIDE the match
+  * (ON-clause semantics): for Inner a failing pair is dropped, for
+  * LeftOuter a probe row none of whose candidates pass emits once
+  * with null-padded build columns.
   */
 case class BroadcastIntervalJoinExec(
-    left: SparkPlan, right: SparkPlan,
+    left: SparkPlan, right: SparkPlan, joinType: JoinType,
     point: Expression, lo: Expression, hi: Expression,
     loStrict: Boolean, hiStrict: Boolean,
     residual: Option[Expression]) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = joinType match {
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
   override def outputPartitioning = left.outputPartitioning
 
   override protected def withNewChildrenInternal(
@@ -235,25 +243,42 @@ case class BroadcastIntervalJoinExec(
     val pointB = BindReferences.bindReference(point, left.output)
     val resAttrs = output
     val res = residual
+    val outer = joinType == LeftOuter
+    val nRight = right.output.length
     left.execute().mapPartitions({ iter =>
       val tree = index.value
-      if (tree == null) Iterator.empty
-      else {
-        val joined = new JoinedRow
-        val project = UnsafeProjection.create(resAttrs, resAttrs)
-        val pred = res.map(Predicate.create(_, resAttrs))
-        pred.foreach(_.initialize(0))
-        val buf = new ArrayBuffer[InternalRow]()
-        iter.flatMap { lrow =>
-          val pv = pointB.eval(lrow)
-          if (pv == null) Iterator.empty
-          else {
-            buf.clear()
-            tree.query(pv.asInstanceOf[Long], buf)
+      val joined = new JoinedRow
+      val project = UnsafeProjection.create(resAttrs, resAttrs)
+      val pred = res.map(Predicate.create(_, resAttrs))
+      pred.foreach(_.initialize(0))
+      val nullRight =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nRight)
+      val buf = new ArrayBuffer[InternalRow]()
+      if (tree == null && !outer) Iterator.empty
+      else iter.flatMap { lrow =>
+        val pv = pointB.eval(lrow)
+        if (pv == null) {
+          if (outer) Iterator.single(project(joined(lrow, nullRight)))
+          else Iterator.empty
+        } else {
+          buf.clear()
+          if (tree != null) tree.query(pv.asInstanceOf[Long], buf)
+          if (!outer)
+            // stream the projection (its buffer is reused; consumers
+            // take rows one at a time)
             buf.iterator.flatMap { rrow =>
               joined(lrow, rrow)
               if (pred.forall(_.eval(joined))) Some(project(joined)) else None
             }
+          else {
+            // decide matches FIRST (residual = ON-clause), then emit
+            // lazily — no projected row is ever buffered
+            val matches = buf.filter { rrow =>
+              joined(lrow, rrow); pred.forall(_.eval(joined))
+            }
+            if (matches.isEmpty)
+              Iterator.single(project(joined(lrow, nullRight)))
+            else matches.iterator.map(rrow => project(joined(lrow, rrow)))
           }
         }
       }

@@ -110,6 +110,53 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(q.count() == 0)
   }
 
+  test("left outer: matches the default planner, unmatched probes null-pad") {
+    IntervalJoinStrategy.install(spark)
+    def q: DataFrame =
+      points.join(broadcast(intervals),
+          col("p") >= col("lo") && col("p") <= col("hi"), "left_outer")
+        .select(col("pid"), col("iid")).orderBy("pid", "iid")
+    val custom = q
+    val got = custom.collect()
+    assert(custom.queryExecution.executedPlan.toString
+      .contains("BroadcastIntervalJoin"))
+    val expected = withDefaultPlanner(q.collect())
+    assert(got.toSeq == expected.toSeq)
+    // gaps exist by construction (stride-7 points, width-30 intervals
+    // every 50): some rows must be null-padded, some matched
+    assert(got.exists(_.isNullAt(1)) && got.exists(!_.isNullAt(1)))
+  }
+
+  test("left outer: residual is ON-clause — failing residual null-pads instead of dropping") {
+    IntervalJoinStrategy.install(spark)
+    def q: DataFrame =
+      points.join(broadcast(intervals),
+          col("p") >= col("lo") && col("p") <= col("hi") &&
+            (col("iid") % 2 === 0), "left_outer")
+        .select(col("pid"), col("iid")).orderBy("pid", "iid")
+    val custom = q
+    val got = custom.collect()
+    assert(custom.queryExecution.executedPlan.toString
+      .contains("BroadcastIntervalJoin"))
+    assert(got.toSeq == withDefaultPlanner(q.collect()).toSeq)
+    // a point inside ONLY an odd interval survives with null iid —
+    // the row count never drops below |points|
+    assert(got.length >= 200)
+  }
+
+  test("left outer: empty/invalid build side emits every probe row null-padded") {
+    IntervalJoinStrategy.install(spark)
+    val iv = Seq((1L, None: Option[Long], Some(100L)),
+        (2L, Some(90L), Some(10L)))
+      .toDF("iid", "lo", "hi")
+    val q = points.join(broadcast(iv),
+        col("p") >= col("lo") && col("p") <= col("hi"), "left_outer")
+      .select("pid", "iid")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("BroadcastIntervalJoin"))
+    assert(q.count() == 200 && q.where(col("iid").isNotNull).count() == 0)
+  }
+
   test("interval tree law: agrees with brute force on seeded adversarial data") {
     val rnd = new scala.util.Random(42)
     val entries = Array.tabulate(500) { i =>
