@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   And, Attribute, BindReferences, Expression, GreaterThan,
   GreaterThanOrEqual, JoinedRow, LessThan, LessThanOrEqual, Predicate,
   UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.LongType
@@ -54,7 +54,11 @@ object IntervalJoinStrategy extends SparkStrategy {
     // planning (extra strategies run FIRST, so the guard is on us).
     // LeftOuter keeps ON-clause semantics: the residual decides
     // matches, an unmatched probe row emits null-padded build columns.
-    case j @ Join(l, r, jt @ (Inner | LeftOuter), Some(cond), hint)
+    // LeftSemi/LeftAnti emit each probe row at most once (exists /
+    // not-exists a containing interval) — the "events inside/outside
+    // any window" filter shapes.
+    case j @ Join(l, r, jt @ (Inner | LeftOuter | LeftSemi | LeftAnti),
+        Some(cond), hint)
         if !j.isStreaming && buildable(j, r) =>
       extract(cond, l, r) match {
         case Some(p) =>
@@ -212,6 +216,7 @@ case class BroadcastIntervalJoinExec(
 
   override def output: Seq[Attribute] = joinType match {
     case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case LeftSemi | LeftAnti => left.output
     case _ => left.output ++ right.output
   }
   override def outputPartitioning = left.outputPartitioning
@@ -241,46 +246,58 @@ case class BroadcastIntervalJoinExec(
     }
     val index = sparkContext.broadcast(IntervalIndex.build(entries))
     val pointB = BindReferences.bindReference(point, left.output)
-    val resAttrs = output
+    // the residual evaluates on the JOINED row regardless of what the
+    // join type projects out; for outer the binding schema must carry
+    // the widened nullability or the projection would elide the null
+    // checks and read garbage from the null-pad row
+    val joinAttrs = joinType match {
+      case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+      case _ => left.output ++ right.output
+    }
+    val outAttrs = output
     val res = residual
-    val outer = joinType == LeftOuter
+    val jt = joinType
     val nRight = right.output.length
     left.execute().mapPartitions({ iter =>
       val tree = index.value
       val joined = new JoinedRow
-      val project = UnsafeProjection.create(resAttrs, resAttrs)
-      val pred = res.map(Predicate.create(_, resAttrs))
+      val project = UnsafeProjection.create(outAttrs, joinAttrs)
+      val pred = res.map(Predicate.create(_, joinAttrs))
       pred.foreach(_.initialize(0))
       val nullRight =
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nRight)
       val buf = new ArrayBuffer[InternalRow]()
-      if (tree == null && !outer) Iterator.empty
-      else iter.flatMap { lrow =>
+      // a probe row's candidate intervals, residual applied (the
+      // ON-clause match set); empty for a null point — SQL comparison
+      // semantics make every candidate a non-match then
+      def matches(lrow: InternalRow): Iterator[InternalRow] = {
         val pv = pointB.eval(lrow)
-        if (pv == null) {
-          if (outer) Iterator.single(project(joined(lrow, nullRight)))
-          else Iterator.empty
-        } else {
-          buf.clear()
-          if (tree != null) tree.query(pv.asInstanceOf[Long], buf)
-          if (!outer)
-            // stream the projection (its buffer is reused; consumers
-            // take rows one at a time)
-            buf.iterator.flatMap { rrow =>
-              joined(lrow, rrow)
-              if (pred.forall(_.eval(joined))) Some(project(joined)) else None
-            }
-          else {
-            // decide matches FIRST (residual = ON-clause), then emit
-            // lazily — no projected row is ever buffered
-            val matches = buf.filter { rrow =>
-              joined(lrow, rrow); pred.forall(_.eval(joined))
-            }
-            if (matches.isEmpty)
-              Iterator.single(project(joined(lrow, nullRight)))
-            else matches.iterator.map(rrow => project(joined(lrow, rrow)))
-          }
+        buf.clear()
+        if (pv != null && tree != null)
+          tree.query(pv.asInstanceOf[Long], buf)
+        buf.iterator.filter { rrow =>
+          joined(lrow, rrow); pred.forall(_.eval(joined))
         }
+      }
+      jt match {
+        case Inner =>
+          if (tree == null) Iterator.empty
+          else iter.flatMap { lrow =>
+            matches(lrow).map(rrow => project(joined(lrow, rrow)))
+          }
+        case LeftOuter => iter.flatMap { lrow =>
+          // decide the match set FIRST, then emit lazily — no
+          // reused projection row is ever buffered
+          val ms = matches(lrow).toArray
+          if (ms.isEmpty) Iterator.single(project(joined(lrow, nullRight)))
+          else ms.iterator.map(rrow => project(joined(lrow, rrow)))
+        }
+        case LeftSemi =>
+          if (tree == null) Iterator.empty
+          else iter.filter(lrow => matches(lrow).hasNext)
+        case LeftAnti => iter.filter(lrow => !matches(lrow).hasNext)
+        case t => throw new IllegalStateException(
+          s"unplannable join type reached interval exec: $t")
       }
     }, preservesPartitioning = true)
   }

@@ -157,6 +157,44 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(q.count() == 200 && q.where(col("iid").isNotNull).count() == 0)
   }
 
+  test("left semi and left anti: match the default planner and partition the probe side") {
+    IntervalJoinStrategy.install(spark)
+    def semi: DataFrame = points.join(broadcast(intervals),
+        col("p") >= col("lo") && col("p") <= col("hi"), "left_semi")
+      .orderBy("pid")
+    def anti: DataFrame = points.join(broadcast(intervals),
+        col("p") >= col("lo") && col("p") <= col("hi"), "left_anti")
+      .orderBy("pid")
+    val s = semi
+    val a = anti
+    val sGot = s.collect()
+    val aGot = a.collect()
+    assert(s.queryExecution.executedPlan.toString.contains("BroadcastIntervalJoin"))
+    assert(a.queryExecution.executedPlan.toString.contains("BroadcastIntervalJoin"))
+    assert(sGot.toSeq == withDefaultPlanner(semi.collect()).toSeq)
+    assert(aGot.toSeq == withDefaultPlanner(anti.collect()).toSeq)
+    // semi ∪ anti = all probes, disjoint; both sides non-trivial
+    assert(sGot.length + aGot.length == 200)
+    assert(sGot.nonEmpty && aGot.nonEmpty)
+  }
+
+  test("left anti with null probe points keeps them (null condition = non-match)") {
+    IntervalJoinStrategy.install(spark)
+    // p=1031 falls in the gap after interval [1000, 1030]
+    val p = Seq((1L, Some(10L)), (2L, None), (3L, Some(1031L)))
+      .toDF("pid", "p")
+    def q(tp: String): DataFrame = p.join(broadcast(intervals),
+        col("p") >= col("lo") && col("p") <= col("hi"), tp)
+      .select("pid").orderBy("pid")
+    val anti = q("left_anti")
+    assert(anti.queryExecution.executedPlan.toString
+      .contains("BroadcastIntervalJoin"))
+    assert(anti.collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(q("left_semi").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(withDefaultPlanner(q("left_anti").collect().map(_.getLong(0)).toSeq)
+      == Seq(2L, 3L))
+  }
+
   test("interval tree law: agrees with brute force on seeded adversarial data") {
     val rnd = new scala.util.Random(42)
     val entries = Array.tabulate(500) { i =>
