@@ -211,4 +211,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"dup-span coverage must not join:\n$p")
     assert(p.contains("Window"), s"span window disappeared:\n$p")
   }
+
+  test("llm_classifier_score: scoring is scan-stage only — no join, no aggregate, one sort exchange") {
+    val p = planOf("llm_classifier_score")
+    assert(!p.contains("Join"), s"classifier inference must not join:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"classifier inference must not aggregate:\n$p")
+    // the ONLY exchange is the harness's output ordering
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, // rangepartitioning for the sort (+AQE read)
+      s"classifier scoring should add no shuffle beyond the output sort:\n$p")
+  }
+
+  test("quality_observed_metrics: metrics ride the pass via CollectMetrics, no second scan") {
+    // the observed frame's plan carries a CollectMetrics node over the
+    // single scan — assert on the observed lineage itself
+    val obs = org.apache.spark.sql.Observation()
+    val df = graft.sources.Tables.load(spark, sfDir, "orders").observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("CollectMetrics"), s"observe lost its metrics node:\n$p")
+    assert("FileScan|BatchScan".r.findAllIn(p).size == 1,
+      s"metrics must not add a scan:\n$p")
+    assert(obs.get("n").asInstanceOf[Long] > 0)
+  }
 }
