@@ -376,6 +376,45 @@ object RegistryIngest {
       permissive.crossJoin(dropped)
     }),
 
+    // S21: the JSON half of the malformed-ingestion story (S20 covers
+    // CSV): one row in 13 is written as syntactically invalid JSONL.
+    // PERMISSIVE lands the raw line in the corrupt column with data
+    // fields null; DROPMALFORMED silently drops the row. The oracle
+    // recomputes every count from the generative formula — corruption
+    // is keyed on c_custkey % 13, so DuckDB never parses the broken
+    // file.
+    "s21_json_corrupt_modes" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val path = Ingest.fixtureDir(dir) + "/malformed_json"
+      t(s, dir, "customer").select(
+          concat(lit("{\"c_custkey\":"), col("c_custkey").cast("string"),
+            lit(",\"c_acctbal\":"),
+            when(col("c_custkey") % 13 === 0, lit("oops}"))
+              .otherwise(concat(
+                col("c_acctbal").cast("decimal(12,2)").cast("string"),
+                lit("}"))))
+            .as("value"))
+        .write.mode("overwrite").text(path)
+      val dataFields = Seq(StructField("c_custkey", LongType),
+        StructField("c_acctbal", DoubleType))
+      val permissive = s.read
+        .schema(StructType(dataFields :+ StructField("_corrupt", StringType)))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        .agg(count(lit(1)).as("n_total"),
+          count(col("_corrupt")).as("n_corrupt"),
+          sum(col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            .as("sum_good"))
+      // count(c_acctbal), not count(*): like the CSV scan, the Jackson
+      // parser validates only projected fields — malformation is
+      // relative to the read schema
+      val dropped = s.read.schema(StructType(dataFields))
+        .option("mode", "DROPMALFORMED").json(path)
+        .agg(count(col("c_acctbal")).as("n_dropmalformed"))
+      permissive.crossJoin(dropped)
+    }),
+
     // Small-file COMPACTION (the OPTIMIZE/rewrite maintenance verb): a
     // 64-file directory (the streaming-ingest small-files problem) is
     // rewritten as 4 range-partitioned, key-sorted files —
@@ -535,6 +574,13 @@ object RegistryIngest {
     // expected counts derive from the PLANTED corruption rule: rows
     // with custkey % 13 == 0 are unparseable in the numeric field
     "s20_csv_malformed_modes" ->
+      """SELECT count(*) AS n_total,
+                count(*) FILTER (WHERE c_custkey % 13 = 0) AS n_corrupt,
+                cast(sum(cast(cast(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(18,6)))
+                       FILTER (WHERE c_custkey % 13 <> 0) AS DOUBLE) AS sum_good,
+                count(*) FILTER (WHERE c_custkey % 13 <> 0) AS n_dropmalformed
+         FROM customer""",
+    "s21_json_corrupt_modes" ->
       """SELECT count(*) AS n_total,
                 count(*) FILTER (WHERE c_custkey % 13 = 0) AS n_corrupt,
                 cast(sum(cast(cast(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(18,6)))
