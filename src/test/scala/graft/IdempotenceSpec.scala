@@ -108,6 +108,10 @@ class IdempotenceSpec extends AnyFunSuite {
     runTwice("s20_csv_malformed_modes")
   }
 
+  test("corrupt-json query is re-runnable (fixture dir overwritten)") {
+    runTwice("s21_json_corrupt_modes")
+  }
+
   test("paged-json DSv2 query is re-runnable (page dir rebuilt)") {
     runTwice("s10_paged_json_source")
   }
