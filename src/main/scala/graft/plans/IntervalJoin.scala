@@ -90,10 +90,16 @@ object IntervalJoinStrategy extends SparkStrategy {
     * right — in either written order. */
   private def bound(e: Expression, l: LogicalPlan, r: LogicalPlan)
       : Option[(Expression, Expression, Boolean, Boolean)] = {
+    // the bound must genuinely REFERENCE the build side: a literal
+    // bound (`p BETWEEN lit AND lit`) is a pushable filter, not a
+    // join bound — treating it as one would degrade whatever real
+    // join structure remains (e.g. an equi key) to a residual
     def sides(a: Expression, b: Expression): Option[(Expression, Expression, Boolean)] =
-      if (a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet))
+      if (a.references.subsetOf(l.outputSet) && b.references.nonEmpty &&
+          b.references.subsetOf(r.outputSet))
         Some((a, b, true))        // point cmp bound
-      else if (b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet))
+      else if (b.references.subsetOf(l.outputSet) && a.references.nonEmpty &&
+          a.references.subsetOf(r.outputSet))
         Some((b, a, false))       // bound cmp point
       else None
     e match {
@@ -112,13 +118,25 @@ object IntervalJoinStrategy extends SparkStrategy {
   private def extract(cond: Expression, l: LogicalPlan, r: LogicalPlan)
       : Option[Pattern] = {
     val cs = conjuncts(cond)
+    // an equi-conjunct between the sides means Spark can hash-join on
+    // it — strictly better than probing an interval tree and filtering
+    // the equality as a residual; leave those joins alone
+    val hasEquiKey = cs.exists {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(a, b) =>
+        (a.references.nonEmpty && a.references.subsetOf(l.outputSet) &&
+          b.references.nonEmpty && b.references.subsetOf(r.outputSet)) ||
+        (b.references.nonEmpty && b.references.subsetOf(l.outputSet) &&
+          a.references.nonEmpty && a.references.subsetOf(r.outputSet))
+      case _ => false
+    }
+    if (hasEquiKey) return None
     val bounds = cs.flatMap(c => bound(c, l, r).map(c -> _))
     val lower = bounds.collectFirst { case (c, (p, b, true, s)) => (c, p, b, s) }
     val upper = bounds.collectFirst { case (c, (p, b, false, s)) => (c, p, b, s) }
     (lower, upper) match {
       case (Some((lc, lp, lo, ls)), Some((uc, up, hi, us)))
-          if lp.semanticEquals(up) && lp.dataType == LongType &&
-            lo.dataType == LongType && hi.dataType == LongType &&
+          if lp.semanticEquals(up) && longBacked(lp.dataType) &&
+            lo.dataType == lp.dataType && hi.dataType == lp.dataType &&
             lp.deterministic && lo.deterministic && hi.deterministic =>
         val rest = cs.filterNot(c => (c eq lc) || (c eq uc))
         Some(Pattern(lp, lo, hi, ls, us,
@@ -126,6 +144,18 @@ object IntervalJoinStrategy extends SparkStrategy {
       case _ => None
     }
   }
+
+  /** Types whose internal value is a Long with value-order comparison
+    * semantics — the tree probes the raw long. TimestampType /
+    * TimestampNTZType are epoch micros internally, so `ts BETWEEN
+    * w_start AND w_end` (the natural authoring of the window join)
+    * accelerates without a manual unix_micros cast. Analysis has
+    * already coerced both bounds to the point's type (enforced above),
+    * so mixed-type comparisons never reach the exec. */
+  private def longBacked(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == LongType ||
+      dt == org.apache.spark.sql.types.TimestampType ||
+      dt == org.apache.spark.sql.types.TimestampNTZType
 
   /** Idempotently register the strategy on a session (the
     * driver-owned-session path; [[graft.GraftExtensions]] is the

@@ -195,6 +195,52 @@ class IntervalJoinSpec extends AnyFunSuite {
       == Seq(2L, 3L))
   }
 
+  test("timestamp points plan through the interval exec and match the default planner") {
+    IntervalJoinStrategy.install(spark)
+    // the natural authoring: ts BETWEEN w_start AND w_end on real
+    // timestamps — no manual unix_micros cast required
+    // events every 10 minutes from 2024-01-01T00:00Z
+    val ev = (0 until 300).map(i =>
+        (i.toLong, new java.sql.Timestamp(1704067200000L + i * 600000L)))
+      .toDF("eid", "ts")
+    val win = (0 until 10).map(k =>
+        (k.toLong, new java.sql.Timestamp(1704067200000L + k * 18000000L),
+          new java.sql.Timestamp(1704067200000L + k * 18000000L + 7200000L)))
+      .toDF("wid", "w_start", "w_end")
+    def q: DataFrame = ev.join(broadcast(win),
+        col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+      .select("eid", "wid").orderBy("eid", "wid")
+    val custom = q
+    val got = custom.collect()
+    assert(custom.queryExecution.executedPlan.toString
+      .contains("BroadcastIntervalJoin"),
+      s"timestamp points missed the strategy:\n${custom.queryExecution.executedPlan}")
+    assert(got.toSeq == withDefaultPlanner(q.collect()).toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("scope guards: equi-conjunct joins and literal-bound filters are left to Spark") {
+    IntervalJoinStrategy.install(spark)
+    // equi key + range: the hash join on the key is strictly better —
+    // the strategy must not demote it to an interval probe
+    val ev = points.withColumn("pk", col("pid") % 5)
+    val win = intervals.withColumn("wk", col("iid") % 5)
+    val equi = ev.join(broadcast(win),
+        col("pk") === col("wk") && col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid")
+    val ep = equi.queryExecution.executedPlan.toString
+    assert(!ep.contains("BroadcastIntervalJoin"),
+      s"equi-join was demoted to interval probing:\n$ep")
+    assert(ep.contains("BroadcastHashJoin"), s"expected hash join:\n$ep")
+    // literal bounds are a filter, not a join bound — no pattern match
+    val litBound = points.join(broadcast(intervals),
+        col("p") >= lit(0L) && col("p") <= lit(100L) && col("pid") === col("iid"))
+      .select("pid", "iid")
+    val lp = litBound.queryExecution.executedPlan.toString
+    assert(!lp.contains("BroadcastIntervalJoin"),
+      s"literal-bounds join wrongly matched the interval pattern:\n$lp")
+  }
+
   test("interval tree law: agrees with brute force on seeded adversarial data") {
     val rnd = new scala.util.Random(42)
     val entries = Array.tabulate(500) { i =>
