@@ -463,6 +463,29 @@ object RegistryLlm {
         .orderBy("user_id", "rank")
     }),
 
+    // The same typed Aggregator surfaced through the SQL registry
+    // (spark.udf.register + udaf): a dbt/Thrift/Superset user calls
+    // graft_topk(value, id) in plain SQL and gets the bounded-heap
+    // map-side-combinable aggregate — the custom-AGGREGATE face of
+    // the SQL extension story next to sql_graft_dot's scalar
+    // expression. Same oracle shape as the Scala-API witness.
+    "sql_topk_udaf" -> ((s, dir) => {
+      s.udf.register("graft_topk",
+        udaf(new graft.functions.TopKAggregator(3),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaLong)))
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT user_id, cast(pos + 1 AS INT) AS rank,
+               entry._2 AS event_id, entry._1 AS value
+        FROM (SELECT user_id, graft_topk(value, event_id) AS top
+              FROM events WHERE value IS NOT NULL
+              GROUP BY user_id)
+        LATERAL VIEW posexplode(top) AS pos, entry
+        ORDER BY user_id, rank""")
+    }),
+
     // Exact quality-score percentile thresholds per language — the
     // quality-cutoff selection step of a filtering pipeline. Computed
     // over integer micro-units so type-7 interpolation is exact dyadic
@@ -1571,6 +1594,13 @@ object RegistryLlm {
                   AS mean_token_len
          FROM t ORDER BY doc_id""",
     "w3_topk_aggregator" ->
+      """SELECT user_id, cast(rank AS INTEGER) AS rank, event_id, value FROM (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY value DESC, event_id ASC) AS rank
+           FROM events WHERE value IS NOT NULL)
+         WHERE rank <= 3 ORDER BY user_id, rank""",
+    "sql_topk_udaf" ->
       """SELECT user_id, cast(rank AS INTEGER) AS rank, event_id, value FROM (
            SELECT user_id, event_id, value,
                   row_number() OVER (PARTITION BY user_id
