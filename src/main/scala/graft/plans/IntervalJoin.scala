@@ -121,12 +121,18 @@ object IntervalJoinStrategy extends SparkStrategy {
     // an equi-conjunct between the sides means Spark can hash-join on
     // it — strictly better than probing an interval tree and filtering
     // the equality as a residual; leave those joins alone
+    def acrossSides(a: Expression, b: Expression): Boolean =
+      (a.references.nonEmpty && a.references.subsetOf(l.outputSet) &&
+        b.references.nonEmpty && b.references.subsetOf(r.outputSet)) ||
+      (b.references.nonEmpty && b.references.subsetOf(l.outputSet) &&
+        a.references.nonEmpty && a.references.subsetOf(r.outputSet))
     val hasEquiKey = cs.exists {
       case org.apache.spark.sql.catalyst.expressions.EqualTo(a, b) =>
-        (a.references.nonEmpty && a.references.subsetOf(l.outputSet) &&
-          b.references.nonEmpty && b.references.subsetOf(r.outputSet)) ||
-        (b.references.nonEmpty && b.references.subsetOf(l.outputSet) &&
-          a.references.nonEmpty && a.references.subsetOf(r.outputSet))
+        acrossSides(a, b)
+      // <=> is also a hash-joinable key (BroadcastHashJoin supports
+      // null-safe equality) — same demotion hazard as EqualTo
+      case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(a, b) =>
+        acrossSides(a, b)
       case _ => false
     }
     if (hasEquiKey) return None

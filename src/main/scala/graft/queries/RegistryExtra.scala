@@ -901,8 +901,12 @@ object RegistryExtra {
                 (SELECT count(*) FROM events WHERE dayofweek(ts) = i)));
               SET i = i + 1;
             END WHILE;
+            -- zero-count weekdays are filtered so the result agrees
+            -- with the oracle's GROUP BY (which emits no row for a
+            -- weekday absent from the feed) at ANY scale factor
             SELECT s.dow AS dow, s.n_events AS n_events
-            FROM (SELECT explode(acc) AS s) ORDER BY dow;
+            FROM (SELECT explode(acc) AS s)
+            WHERE s.n_events > 0 ORDER BY dow;
           END""")
       } finally prev match {
         case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)

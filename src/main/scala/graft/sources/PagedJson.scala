@@ -108,6 +108,17 @@ object PagedJsonSource {
   def pageNumber(p: HPath): Long =
     p.getName.stripPrefix("page-").stripSuffix(".jsonl").toLong
 
+  /** Write one hand-built page file in the layout's naming scheme —
+    * the harness uses this for far-future SENTINEL pages that advance
+    * stream watermarks deterministically (one page per micro-batch).
+    * Kept here so the naming stays in lockstep with
+    * [[listPages]]/[[buildPages]]. */
+  def writePage(dir: String, idx: Int, lines: Seq[String]): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir).resolve(f"page-$idx%05d.jsonl"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava,
+      java.nio.charset.StandardCharsets.UTF_8)
+
   /** Fixture builder: lay `df` out as the crawl's page directory
     * (`page-00000.jsonl` …), one JSONL file per page — the landed
     * shape of the reference's paged API pull

@@ -80,8 +80,13 @@ object SessionTimers {
       * backlogs batch by batch. */
     private def rearmTimer(ps: Seq[PendingSession]): Unit = {
       getHandle.listTimers().foreach(getHandle.deleteTimer)
+      // CEIL to millis: timers are ms-granular but ripeness compares
+      // in micros — flooring would let a timer fire up to 999us before
+      // the session is ripe, find nothing, and re-arm an already-
+      // passed expiry (a session silently withheld if the watermark
+      // never advances again)
       if (ps.nonEmpty)
-        getHandle.registerTimer((ps.map(_.last_us).min + gapUs) / 1000L)
+        getHandle.registerTimer((ps.map(_.last_us).min + gapUs + 999L) / 1000L)
     }
 
     override def handleInputRows(user: Long, rows: Iterator[SessEvent],
@@ -121,11 +126,8 @@ object SessionTimers {
       .select("user_id", "event_id", "ts")
     graft.sources.PagedJsonSource.buildPages(ev, "event_id", 1, pageDir)
     def flushPage(idx: Int, ts: String): Unit =
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(pageDir).resolve(f"page-$idx%05d.jsonl"),
-        java.util.Arrays.asList(
-          s"""{"user_id":-1,"event_id":-1,"ts":"$ts"}"""),
-        java.nio.charset.StandardCharsets.UTF_8)
+      graft.sources.PagedJsonSource.writePage(pageDir, idx,
+        Seq(s"""{"user_id":-1,"event_id":-1,"ts":"$ts"}"""))
     flushPage(1, "2030-01-01T00:00:00.000Z")
     flushPage(2, "2030-03-01T00:00:00.000Z")
 

@@ -253,14 +253,10 @@ object StreamingOps {
     // page 0: the whole real feed as ONE page file
     graft.sources.PagedJsonSource.buildPages(ev, "event_id", 1, pageDir)
     // pages 1-2: flush sentinels far past the data (events are 2024)
-    def flushPage(idx: Int, ts: String): Unit = {
-      val p = java.nio.file.Paths.get(pageDir)
-      java.nio.file.Files.write(p.resolve(f"page-$idx%05d.jsonl"),
-        java.util.Arrays.asList(
-          s"""{"event_id":-1,"user_id":-1,"event_type":"click","ts":"$ts"}""",
-          s"""{"event_id":-2,"user_id":-1,"event_type":"purchase","ts":"$ts"}"""),
-        java.nio.charset.StandardCharsets.UTF_8)
-    }
+    def flushPage(idx: Int, ts: String): Unit =
+      graft.sources.PagedJsonSource.writePage(pageDir, idx,
+        Seq(s"""{"event_id":-1,"user_id":-1,"event_type":"click","ts":"$ts"}""",
+          s"""{"event_id":-2,"user_id":-1,"event_type":"purchase","ts":"$ts"}"""))
     flushPage(1, "2030-01-01T00:00:00.000Z")
     flushPage(2, "2030-03-01T00:00:00.000Z")
 

@@ -239,6 +239,13 @@ class IntervalJoinSpec extends AnyFunSuite {
     val lp = litBound.queryExecution.executedPlan.toString
     assert(!lp.contains("BroadcastIntervalJoin"),
       s"literal-bounds join wrongly matched the interval pattern:\n$lp")
+    // null-safe equality (<=>) is hash-joinable too — same bail-out
+    val nullSafe = ev.join(broadcast(win),
+        col("pk") <=> col("wk") && col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid")
+    val np = nullSafe.queryExecution.executedPlan.toString
+    assert(!np.contains("BroadcastIntervalJoin"),
+      s"null-safe equi-join was demoted to interval probing:\n$np")
   }
 
   test("interval tree law: agrees with brute force on seeded adversarial data") {
