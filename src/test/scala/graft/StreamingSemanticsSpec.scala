@@ -248,4 +248,51 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(unmatched > 0,
       "fixture must contain unmatched clicks or the expiry path is untested")
   }
+
+  test("StreamingQueryListener: progress events carry exact input-row and state accounting") {
+    // the production monitoring surface: a listener observes every
+    // micro-batch's numInputRows and the stateful operator's state
+    // rows — at 100 TB this is how lag, state growth, and watermark
+    // stalls actually get alerted on. The accounting must be EXACT:
+    // summed numInputRows equals the feed, state rows equal the
+    // distinct group count.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        seen.add(e.progress)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val out = StreamingOps.dailyEventCounts(spark, sfDir)
+      val expectedGroups = out.count()
+      val events = graft.sources.Tables.load(spark, sfDir, "events").count()
+      // listener delivery is async — progress events may trail the
+      // query's termination briefly
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      def inputRows = {
+        val it = seen.iterator(); var s = 0L
+        while (it.hasNext) s += it.next().numInputRows
+        s
+      }
+      while (inputRows < events && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(inputRows == events,
+        s"listener accounted $inputRows input rows, feed has $events")
+      val stateRows = {
+        val it = seen.iterator(); var m = 0L
+        while (it.hasNext) {
+          val p = it.next()
+          p.stateOperators.foreach(so => m = math.max(m, so.numRowsTotal))
+        }
+        m
+      }
+      assert(stateRows == expectedGroups,
+        s"state rows $stateRows != aggregate groups $expectedGroups")
+    } finally spark.streams.removeListener(listener)
+  }
 }
