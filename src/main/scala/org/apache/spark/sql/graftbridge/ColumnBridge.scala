@@ -26,4 +26,17 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .registerFunction(fn._1, fn._2, fn._3)
+
+  /** Materialize the planner strategies an extensions object would
+    * inject at session build — lets the suite pin the
+    * `spark.sql.extensions=graft.GraftExtensions` wiring without
+    * tearing down the shared test session (builder extensions are
+    * ignored once a session exists; the build hook is `private[sql]`,
+    * hence this bridge). */
+  def plannerStrategies(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
 }

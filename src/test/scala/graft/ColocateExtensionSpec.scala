@@ -32,4 +32,17 @@ class ColocateExtensionSpec extends AnyFunSuite {
       .head.getDouble(0)
     assert(v == 11.0)
   }
+
+  test("GraftExtensions wires the interval-join strategy into session build") {
+    // the spark.sql.extensions=graft.GraftExtensions entry point:
+    // builder extensions are silently ignored once a session exists,
+    // so materialize what the extensions object would inject and pin
+    // that the planner rung is among it
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val strategies = org.apache.spark.sql.graftbridge.ColumnBridge
+      .plannerStrategies(ext, spark)
+    assert(strategies.contains(graft.plans.IntervalJoinStrategy),
+      s"extensions did not inject IntervalJoinStrategy: $strategies")
+  }
 }
