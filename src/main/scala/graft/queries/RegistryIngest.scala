@@ -334,6 +334,7 @@ object RegistryIngest {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      graft.streaming.StreamTune.dropScratch("/tmp/graft_stream_ckpt/" + nonce)
       pagedAgg(s.read.parquet(outDir))
     }),
 

@@ -157,6 +157,7 @@ object SessionTimers {
           .start()
         q.awaitTermination()
       }
+      StreamTune.dropScratch("/tmp/graft_stream_ckpt/" + nonce, pageDir)
     } finally prev match {
       case Some(v) =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)

@@ -63,6 +63,7 @@ object StatefulDedup {
         .start()
       q.awaitTermination()
     }
+    StreamTune.dropScratch(ckpt)
     // With update mode a key may emit once per micro-batch; keep the
     // final (latest) emission per key — same W1 semantics, batch-side.
     graft.operators.Dedup.latestByKey(

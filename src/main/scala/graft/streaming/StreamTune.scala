@@ -73,4 +73,23 @@ object StreamTune {
     counts.getOrElseUpdate(sfDir,
       graft.sources.Tables.load(spark, sfDir, "events").count())
   }
+
+  /** Best-effort post-termination cleanup of a finished stream's
+    * nonce-scoped scratch dirs (checkpoints, source fixtures — NEVER
+    * the output a returned DataFrame still reads). Every harness
+    * invocation creates fresh nonce dirs, so without this the bench's
+    * 3 reps × ~15 streaming queries leak hundreds of MB of dead
+    * checkpoints per run. Guarded to the engine's own /tmp namespaces
+    * so a bad path can't delete anything else. */
+  def dropScratch(paths: String*): Unit = paths.foreach { p =>
+    if (p.startsWith("/tmp/graft_")) {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      try rm(new java.io.File(p))
+      catch { case _: Exception => () } // scratch cleanup is advisory
+    }
+  }
 }

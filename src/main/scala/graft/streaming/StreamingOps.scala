@@ -74,6 +74,7 @@ object StreamingOps {
         .start()
       q.awaitTermination()
     }
+    StreamTune.dropScratch("/tmp/graft_stream_ckpt/" + nonce)
     spark.read.parquet(outDir)
   }
 
@@ -90,6 +91,7 @@ object StreamingOps {
         .start()
       q.awaitTermination()
     }
+    StreamTune.dropScratch("/tmp/graft_stream_ckpt/" + nonce)
     finalShape(spark.table(nonce))
   }
 
@@ -111,6 +113,7 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    StreamTune.dropScratch("/tmp/graft_stream_ckpt/" + nonce)
     spark.read.parquet(outDir)
   }
 
@@ -216,6 +219,7 @@ object StreamingOps {
         .start()
       q.awaitTermination()
     }
+    StreamTune.dropScratch("/tmp/graft_stream_ckpt/" + nonce)
     spark.read.parquet(outDir)
   }
 
@@ -292,6 +296,7 @@ object StreamingOps {
         .start()
       q.awaitTermination()
     }
+    StreamTune.dropScratch("/tmp/graft_stream_ckpt/" + nonce, pageDir)
     spark.read.parquet(outDir)
       .where(col("user_id") >= 0)
       // null-free purchase_id: Spark and DuckDB disagree on default
@@ -411,6 +416,7 @@ object StreamingOps {
         .start()
       q.awaitTermination()
     }
+    StreamTune.dropScratch("/tmp/graft_stream_ckpt/" + nonce, srcDir)
     spark.read.parquet(current.getOrElse(
       sys.error("streaming upsert produced no batches")))
   }
@@ -450,6 +456,7 @@ object StreamingOps {
         .start()
       q.awaitTermination()
     }
+    StreamTune.dropScratch("/tmp/graft_stream_ckpt/" + nonce, srcDir)
     spark.read.parquet(outDir)
   }
 }

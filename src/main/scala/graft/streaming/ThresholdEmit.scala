@@ -103,6 +103,7 @@ object ThresholdEmit {
         .start()
       q.awaitTermination()
     }
+    StreamTune.dropScratch(ckpt)
     spark.table(sinkName)
   }
 }

@@ -119,6 +119,7 @@ object TransformWithStateOps {
           .start()
         q.awaitTermination()
       }
+      StreamTune.dropScratch("/tmp/graft_stream_ckpt/" + nonce, srcDir)
     } finally prev match {
       case Some(v) =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
