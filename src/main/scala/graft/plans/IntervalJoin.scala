@@ -217,12 +217,23 @@ object IntervalIndex {
   /** Empty input builds a null tree; callers treat null as no-match. */
   def build(entries: Array[Entry]): IntervalIndex = {
     if (entries.isEmpty) return null
-    val byLo = entries.sortBy(_.lo)
-    val mid = byLo(byLo.length / 2)
-    // Median element's midpoint: that element always lands at this
-    // node (lo <= center <= hi), so both children are strictly
-    // smaller and recursion terminates.
-    val center = mid.lo / 2 + mid.hi / 2 + (mid.lo % 2 + mid.hi % 2) / 2
+    // Center = median of ALL 2n endpoints — the classical centered
+    // interval-tree construction. The interval owning the median
+    // endpoint always contains it (lo <= center <= hi when center is
+    // one of its own endpoints), so at least one entry lands at this
+    // node, both children are strictly smaller, recursion terminates,
+    // AND each child holds at most half the remaining endpoints —
+    // guaranteeing O(log n) depth even when upper bounds shrink
+    // geometrically (a midpoint-of-median-element center does not).
+    val endpoints = new Array[Long](entries.length * 2)
+    var i = 0
+    while (i < entries.length) {
+      endpoints(2 * i) = entries(i).lo
+      endpoints(2 * i + 1) = entries(i).hi
+      i += 1
+    }
+    java.util.Arrays.sort(endpoints)
+    val center = endpoints(endpoints.length / 2)
     val atNode = entries.filter(e => e.lo <= center && e.hi >= center)
     val lows = entries.filter(_.hi < center)
     val highs = entries.filter(_.lo > center)
@@ -264,9 +275,35 @@ case class BroadcastIntervalJoinExec(
   protected override def doExecute(): RDD[InternalRow] = {
     val loB = BindReferences.bindReference(lo, right.output)
     val hiB = BindReferences.bindReference(hi, right.output)
+    // Build-side safety caps, mirroring BroadcastExchangeExec's hard
+    // limits (512M rows / 8 GB): the strategy trusts logical stats
+    // under autoBroadcastJoinThreshold, and a stats misestimate must
+    // fail with a descriptive error — not an uncontrolled driver
+    // collect and executor-side OOM when the tree ships.
+    val collected = right.executeCollect()
+    if (collected.length >= 512000000) {
+      throw new org.apache.spark.SparkException(
+        s"BroadcastIntervalJoinExec: build side has ${collected.length} " +
+          "rows, above the 512000000-row broadcast limit (stats " +
+          "misestimate? — disable via autoBroadcastJoinThreshold=-1 " +
+          "and drop the broadcast hint to fall back to the default plan)")
+    }
+    var buildBytes = 0L
+    collected.foreach {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+        buildBytes += u.getSizeInBytes
+      case _ => ()
+    }
+    if (buildBytes > (8L << 30)) {
+      throw new org.apache.spark.SparkException(
+        s"BroadcastIntervalJoinExec: build side is $buildBytes bytes, " +
+          "above the 8 GB broadcast limit (stats misestimate? — " +
+          "disable via autoBroadcastJoinThreshold=-1 and drop the " +
+          "broadcast hint to fall back to the default plan)")
+    }
     // Strict bounds shrink the stored interval by one microtick so the
     // tree's inclusive probe implements < / > exactly on longs.
-    val entries = right.executeCollect().flatMap { r =>
+    val entries = collected.flatMap { r =>
       val lv = loB.eval(r)
       val hv = hiB.eval(r)
       if (lv == null || hv == null) None
@@ -294,12 +331,16 @@ case class BroadcastIntervalJoinExec(
     val res = residual
     val jt = joinType
     val nRight = right.output.length
-    left.execute().mapPartitions({ iter =>
+    left.execute().mapPartitionsWithIndex({ (partIndex, iter) =>
       val tree = index.value
       val joined = new JoinedRow
       val project = UnsafeProjection.create(outAttrs, joinAttrs)
       val pred = res.map(Predicate.create(_, joinAttrs))
-      pred.foreach(_.initialize(0))
+      // real partition index: the analyzer pulls nondeterministic
+      // expressions out of join conditions today, but a partition-
+      // index-sensitive residual must not silently all see index 0
+      // if that ever changes
+      pred.foreach(_.initialize(partIndex))
       val nullRight =
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nRight)
       val buf = new ArrayBuffer[InternalRow]()

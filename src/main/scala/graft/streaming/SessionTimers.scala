@@ -117,7 +117,19 @@ object SessionTimers {
   }
 
   /** Run timer-driven sessionization over the events feed to
-    * completion and return the finalized sessions. */
+    * completion and return the finalized sessions.
+    *
+    * TWO-SENTINEL INVARIANT (load-bearing, do not weaken): an
+    * AvailableNow query stops once the source drains, and a timer
+    * that becomes ripe only under the FINAL batch's watermark fires
+    * in the NEXT micro-batch — which never runs. A single flush page
+    * would advance the watermark past every real session's close but
+    * stop before the re-armed timers fire, silently withholding the
+    * trailing sessions. Hence exactly two sentinel pages: page 1
+    * advances the watermark, page 2 is the batch in which the now-
+    * ripe timers fire. The completeness assertion below recomputes
+    * the session count in batch and fails loudly if a future edit
+    * drops a sentinel. */
   def timerSessions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nonce = "graft_timer_sess_" + System.nanoTime()
@@ -164,6 +176,20 @@ object SessionTimers {
       case None =>
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
-    spark.table(nonce).where(col("user_id") >= 0)
+    // Completeness check for the two-sentinel invariant: the batch
+    // session_window recompute (same 30-min contract as the oracle)
+    // must agree on the session COUNT — if a caller ever runs this
+    // with fewer sentinel pages, trailing sessions are withheld and
+    // this fails instead of returning a silently short result.
+    val streamed = spark.table(nonce).where(col("user_id") >= 0)
+    val expected = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count().count()
+    val got = streamed.count()
+    require(got == expected,
+      s"timerSessions emitted $got sessions but batch recompute has " +
+        s"$expected — trailing timers never fired (two-sentinel " +
+        "invariant violated?)")
+    streamed
   }
 }
