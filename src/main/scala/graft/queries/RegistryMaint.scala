@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Layout, TextAnalysis, Versioned}
+import graft.operators.{Layout, TextAnalysis, TxLog, Upsert, Versioned}
 import graft.sources.{Ingest, Tables}
 
 /** Lakehouse maintenance & data-management verbs: Z-order layout
@@ -136,6 +136,38 @@ object RegistryMaint {
           sum(col("value").cast("decimal(18,6)")).cast("double")
             .as("sum_value"))
         .orderBy("version")
+    }),
+
+    // Atomic manifest-commit log (the Delta `_delta_log` ACID analog —
+    // TxLog): version 1 is a plain commit, version 2 lands through a
+    // transact-MERGE (optimistic concurrency: a racing writer would
+    // force a recompute, TxLogSpec proves the interleavings), and the
+    // readback time-travels BOTH versions through their manifests —
+    // a reader can never observe a partially-landed directory. The
+    // oracle recomputes each version's aggregate from the original
+    // events table.
+    "s23_acid_commit_log" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txlog_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          to_date(col("ts")).as("day"))
+      TxLog.commit(
+        ev.where(col("day") < lit("2024-01-11").cast("date")), base, None)
+      TxLog.transact(s, base) { snap =>
+        Upsert.merge(snap.get,
+          ev.where(col("day") >= lit("2024-01-11").cast("date") &&
+            col("day") < lit("2024-01-21").cast("date")),
+          Seq("event_id"))
+      }
+      Seq(1, 2).map { v =>
+        TxLog.readVersion(s, base, v.toLong)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+          .withColumn("version", lit(v))
+          .select("version", "n_rows", "sum_value")
+      }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
     // Dynamic partition pruning: the fact table is partitioned by day;
@@ -280,6 +312,15 @@ object RegistryMaint {
          WHERE p_size = 1
          GROUP BY p_brand ORDER BY p_brand""",
     "s16_versioned_snapshot" ->
+      """SELECT cast(1 AS INTEGER) AS version, count(*) AS n_rows,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events WHERE cast(ts AS DATE) < DATE '2024-01-11'
+         UNION ALL
+         SELECT cast(2 AS INTEGER), count(*),
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
+         FROM events WHERE cast(ts AS DATE) < DATE '2024-01-21'
+         ORDER BY version""",
+    "s23_acid_commit_log" ->
       """SELECT cast(1 AS INTEGER) AS version, count(*) AS n_rows,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events WHERE cast(ts AS DATE) < DATE '2024-01-11'

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{TxLog, Upsert}
+
+/** Laws for the atomic manifest-commit log (VERDICT r9 next-round #1
+  * and #4): snapshot isolation for readers interleaved inside a
+  * write, CAS conflict detection for racing writers, and
+  * serialization of concurrent MERGEs via transact's retry. */
+class TxLogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def df(rows: Seq[(Int, String)]) = {
+    import spark.implicits._
+    rows.toDF("k", "s")
+  }
+  private def contents(d: org.apache.spark.sql.DataFrame): Set[(Int, String)] =
+    d.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+
+  private val v1Rows = (1 to 100).map(i => i -> s"one-$i")
+  private val v2Rows = (1 to 120).map(i => i -> s"two-$i")
+
+  test("a reader interleaved between file-land and manifest-publish " +
+    "sees the old complete version, never a partial") {
+    val base = "/tmp/graft_txlog/iso"
+    TxLog.drop(spark, base)
+    val v1 = TxLog.commit(df(v1Rows), base, None)
+    assert(v1 == 1L)
+    // writer lands version 2's files... (df repartitioned so the txn
+    // dir holds several files — a partial-directory read would differ)
+    val landed = TxLog.land(df(v2Rows).repartition(4), base)
+    assert(landed.size == 4)
+    // ...and an interleaved reader resolves manifests, not directories:
+    assert(contents(TxLog.read(spark, base)) == v1Rows.toSet,
+      "reader overlapping an in-flight write must see v1 exactly")
+    // ...then the publish lands and the same reader path sees v2 whole
+    TxLog.publish(spark, base, 2L, landed)
+    assert(contents(TxLog.read(spark, base)) == v2Rows.toSet)
+    // time travel still resolves the old complete version
+    assert(contents(TxLog.readVersion(spark, base, 1L)) == v1Rows.toSet)
+  }
+
+  test("racing writers: the CAS loser fails with CommitConflict and " +
+    "leaves no partial state behind") {
+    val base = "/tmp/graft_txlog/race"
+    TxLog.drop(spark, base)
+    TxLog.commit(df(v1Rows), base, None)
+    val seen = TxLog.latestVersion(spark, base)   // both writers read v1
+    TxLog.commit(df(v2Rows), base, seen)          // writer A wins v2
+    val loser = intercept[TxLog.CommitConflictException] {
+      TxLog.commit(df(Seq(999 -> "loser")), base, seen)
+    }
+    assert(loser.getMessage.contains("version 2"))
+    // table is exactly A's commit...
+    assert(contents(TxLog.read(spark, base)) == v2Rows.toSet)
+    // ...and the loser's landed files were discarded: every txn dir on
+    // disk is referenced by some manifest
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/data"))
+      .map(_.getPath.getName).toSet
+    val referenced = (1L to 2L).flatMap(v =>
+      TxLog.manifestFiles(spark, base, v).map(_.split("/")(1))).toSet
+    assert(onDisk == referenced,
+      s"unreferenced txn dirs left behind: ${onDisk -- referenced}")
+  }
+
+  test("transact: a merge that loses the race retries against the " +
+    "winner's table — final state equals sequential application") {
+    val base = "/tmp/graft_txlog/merge"
+    TxLog.drop(spark, base)
+    val seed = (1 to 10).map(i => i -> "base")
+    TxLog.commit(df(seed), base, None)
+    val sourceA = Seq(3 -> "A", 4 -> "A", 11 -> "A")
+    val sourceB = Seq(4 -> "B", 5 -> "B", 12 -> "B")
+    var bodyRuns = 0
+    TxLog.transact(spark, base) { snap =>
+      bodyRuns += 1
+      if (bodyRuns == 1) {
+        // writer A commits between B's snapshot read and B's publish
+        TxLog.transact(spark, base) { aSnap =>
+          Upsert.merge(aSnap.get, df(sourceA), Seq("k"))
+        }
+      }
+      Upsert.merge(snap.get, df(sourceB), Seq("k"))
+    }
+    assert(bodyRuns == 2, "loser must have recomputed after the CAS loss")
+    val expected = contents(
+      Upsert.merge(Upsert.merge(df(seed), df(sourceA), Seq("k")),
+        df(sourceB), Seq("k")))
+    assert(contents(TxLog.read(spark, base)) == expected)
+    assert(TxLog.latestVersion(spark, base).contains(3L))
+  }
+
+  test("vacuum keeps the newest manifests and deletes unreferenced " +
+    "txn dirs; surviving versions stay readable") {
+    val base = "/tmp/graft_txlog/vac"
+    TxLog.drop(spark, base)
+    var v = Option.empty[Long]
+    Seq(v1Rows, v2Rows, v1Rows.take(10)).foreach { rows =>
+      v = Some(TxLog.commit(df(rows), base, v))
+    }
+    val survivors = TxLog.vacuum(spark, base, keepLast = 1)
+    assert(survivors == Seq(3L))
+    assert(TxLog.latestVersion(spark, base).contains(3L))
+    assert(contents(TxLog.read(spark, base)) == v1Rows.take(10).toSet)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/data"))
+      .map(_.getPath.getName).toSet
+    val referenced = TxLog.manifestFiles(spark, base, 3L)
+      .map(_.split("/")(1)).toSet
+    assert(onDisk == referenced)
+  }
+}
