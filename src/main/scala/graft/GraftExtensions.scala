@@ -20,6 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // inner joins, returns Nil otherwise) so injecting it session-wide
     // is safe for every other plan shape.
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
+    // Ladder rung (b'): logical optimizer rule — derived min/max
+    // pre-filter on the probe side of point-in-interval joins. Also
+    // self-scoping (same pattern match as the strategy, Inner/LeftSemi
+    // only, marker-aliased for fixed-point idempotency).
+    ext.injectOptimizerRule(_ => graft.plans.IntervalPrefilterRule)
   }
 }
 

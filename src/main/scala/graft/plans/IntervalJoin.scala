@@ -44,7 +44,7 @@ object IntervalJoinStrategy extends SparkStrategy {
     * plan, bounds from the right, remaining conjuncts as a residual
     * evaluated on the joined row. `loStrict`/`hiStrict` carry
     * open-bound variants (`<` / `>`). */
-  private final case class Pattern(
+  private[plans] final case class Pattern(
       point: Expression, lo: Expression, hi: Expression,
       loStrict: Boolean, hiStrict: Boolean, residual: Option[Expression])
 
@@ -72,7 +72,7 @@ object IntervalJoinStrategy extends SparkStrategy {
   /** Right side must be declared-or-estimated small: an explicit
     * broadcast hint wins; otherwise trust stats only under the
     * session broadcast threshold (≤ 0 disables, same as Spark). */
-  private def buildable(j: Join, right: LogicalPlan): Boolean = {
+  private[plans] def buildable(j: Join, right: LogicalPlan): Boolean = {
     val hinted = j.hint.rightHint.exists(_.strategy.exists(
       _ == org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
     lazy val threshold = org.apache.spark.sql.internal.SQLConf.get
@@ -115,7 +115,7 @@ object IntervalJoinStrategy extends SparkStrategy {
     }
   }
 
-  private def extract(cond: Expression, l: LogicalPlan, r: LogicalPlan)
+  private[plans] def extract(cond: Expression, l: LogicalPlan, r: LogicalPlan)
       : Option[Pattern] = {
     val cs = conjuncts(cond)
     // an equi-conjunct between the sides means Spark can hash-join on

@@ -859,8 +859,14 @@ object RegistryExtra {
     // business-hours-window semantics as j18, but the probe side is
     // the RAW event stream (60k points at sf0.01, the shape that
     // makes nested-loop quadratic), not pre-aggregated sessions.
+    // The optimizer-rule rung rides the same witness: the min/max
+    // pre-filter (IntervalPrefilterRule) injects derived bounds on
+    // the probe side, so out-of-range events die at a codegen'd
+    // two-long compare before the tree probe — the oracle pins that
+    // strategy + rule together still produce the exact join result.
     "j20_interval_tree_join" -> ((s, dir) => {
       graft.plans.IntervalJoinStrategy.install(s)
+      graft.plans.IntervalPrefilterRule.install(s)
       val ev = t(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("p"))
       val windows = t(s, dir, "events")
