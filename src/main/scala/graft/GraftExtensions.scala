@@ -15,6 +15,7 @@ import graft.functions.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.topkFunction)
     // Ladder rung (c): whole-operator planner extension. The strategy
     // self-scopes (fires only on broadcast-declared point-in-interval
     // inner joins, returns Nil otherwise) so injecting it session-wide
@@ -35,5 +36,36 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "graft_dot(a, b) takes two arguments")
       DotProduct(children.head, children(1))
+    })
+
+  /** The bounded-heap top-k typed Aggregator as an injectable SQL
+    * function: `graft_topk(value, id[, k])` with k a literal (default
+    * 3, matching the session-registry face in RegistryLlm). Injected
+    * builders run at resolution per call site, so a literal k can pick
+    * the aggregator's heap bound — something `udf.register` (fixed
+    * instance) cannot do. */
+  val topkFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_topk"),
+    new ExpressionInfo(classOf[graft.functions.TopKAggregator].getName, "graft_topk"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2 || children.length == 3,
+        "graft_topk(value, id[, k]) takes two or three arguments")
+      val k = children.drop(2) match {
+        case Seq(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+        case Seq() => 3
+        case other => throw new IllegalArgumentException(
+          s"graft_topk k must be an integer literal, got $other")
+      }
+      // Build the ScalaAggregator expression directly: a Column-API
+      // detour (udaf(...).apply) yields an unconverted ColumnNode
+      // wrapper that the analyzer rejects when returned from a
+      // registry builder.
+      val agg = new graft.functions.TopKAggregator(k)
+      org.apache.spark.sql.execution.aggregate.ScalaAggregator(
+        children.take(2), agg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)](),
+        agg.bufferEncoder.asInstanceOf[
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]])
+        .toAggregateExpression()
     })
 }

@@ -27,6 +27,16 @@ object ColumnBridge {
       .sessionState.functionRegistry
       .registerFunction(fn._1, fn._2, fn._3)
 
+  /** The live `SparkSessionExtensions` of an already-built session
+    * (`private[sql]` accessor). Thrift/JDBC connections are served by
+    * `newSession()` clones whose function registry is built from this
+    * object, so injecting into it is how an endpoint operator exposes
+    * custom functions to every future JDBC session without tearing the
+    * context down. */
+  def sessionExtensions(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSessionExtensions =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].extensions
+
   /** Materialize the planner strategies an extensions object would
     * inject at session build — lets the suite pin the
     * `spark.sql.extensions=graft.GraftExtensions` wiring without

@@ -25,6 +25,15 @@ class ThriftEndpointSpec extends AnyFunSuite {
     // own session — serve the DURABLE medallion catalog instead, which
     // is exactly what the reference's dbt/BI clients query over thrift.
     graft.sources.Medallion.ensureMaterialized(spark, SparkTestBase.sfDir)
+    // VERDICT r9 #7: custom functions over JDBC. Each connection gets a
+    // fresh `newSession()` whose function registry is built from the
+    // context's SparkSessionExtensions — inject GraftExtensions there
+    // (bridge accessor; builder `.withExtensions` is ignored once a
+    // session exists) so graft_dot / graft_topk resolve in every
+    // thrift-served session, exactly the `spark.sql.extensions=
+    // graft.GraftExtensions` wiring a deployed endpoint would use.
+    new GraftExtensions()(
+      org.apache.spark.sql.graftbridge.ColumnBridge.sessionExtensions(spark))
     val server =
       org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
         .startWithContext(spark.sqlContext)
@@ -54,6 +63,21 @@ class ThriftEndpointSpec extends AnyFunSuite {
           .takeWhile(_.next()).map(r => (r.getString(1), r.getLong(2))).toList
         assert(cats.nonEmpty && cats.map(_._2).sum > 0,
           s"gold.dim_legal_status not queryable over JDBC: $cats")
+        // Custom scalar expression: codegen'd graft_dot
+        val dot = st.executeQuery(
+          "SELECT graft_dot(CAST(array(1.0, 2.0, 3.0) AS ARRAY<DOUBLE>), " +
+            "CAST(array(4.0, 5.0, 6.0) AS ARRAY<DOUBLE>)) AS d")
+        assert(dot.next() && math.abs(dot.getDouble(1) - 32.0) < 1e-9,
+          "graft_dot not served over JDBC")
+        // Custom typed-Aggregator UDAF: graft_topk with a literal k
+        val topk = st.executeQuery(
+          "SELECT e._2 AS id FROM (SELECT graft_topk(v, id, 2) AS top " +
+            "FROM VALUES (1.0D, 10L), (5.0D, 20L), (3.0D, 30L), (4.0D, 40L) " +
+            "AS t(v, id)) LATERAL VIEW explode(top) AS e ORDER BY id")
+        val ids = Iterator.continually(topk)
+          .takeWhile(_.next()).map(_.getLong(1)).toList
+        assert(ids == List(20L, 40L),
+          s"graft_topk(k=2) over JDBC: expected top-2 ids 20,40, got $ids")
       } finally conn.close()
     } finally server.stop()
   }
