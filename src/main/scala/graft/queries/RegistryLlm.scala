@@ -923,6 +923,19 @@ object RegistryLlm {
           sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
         .orderBy("event_type")),
 
+    // Exactly-once streaming ingest into the manifest-commit log:
+    // foreachBatch → TxLog.appendOnce keyed by (appId, batchId), with
+    // the restart-shaped redelivery of the final batch replayed and
+    // pinned a no-op inside txnSinkIngest — at-least-once delivery
+    // composed with an idempotent versioned sink is the 100 TB/day
+    // exactly-once story. Oracle: each event counted exactly once.
+    "stream_txn_sink" -> ((s, dir) =>
+      StreamingOps.txnSinkIngest(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .orderBy("event_type")),
+
     // Bounded-state streaming dedup (dropDuplicatesWithinWatermark):
     // planted at-least-once redelivery duplicates must vanish, so the
     // oracle is the ORIGINAL table's aggregate. State is bounded to
@@ -1298,6 +1311,12 @@ object RegistryLlm {
                 n_tokens
          FROM r ORDER BY doc_id""",
     "stream_events_archive" ->
+      """SELECT event_type, count(*) AS n_events,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // The replayed final batch must be a no-op, so the expected
+    // aggregate counts each event exactly once.
+    "stream_txn_sink" ->
       """SELECT event_type, count(*) AS n_events,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY event_type ORDER BY event_type""",

@@ -170,6 +170,61 @@ object RegistryMaint {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    // Copy-on-write MERGE through the manifest log (Delta's file-level
+    // MERGE shape): the table is range-clustered on event_id with
+    // per-file min/max stats in the manifest, and the CDC source
+    // touches a narrow id band — so mergeCow rewrites only the
+    // overlapping band files and carries the rest into the new version
+    // by reference (the require pins that evidence; at 100 TB this is
+    // the difference between rewriting GBs and rewriting the table).
+    // The oracle recomputes the merged state with a CASE.
+    "s24_cow_merge_log" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txcow_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(ev.repartitionByRange(8, col("event_id")),
+        base, None, Some("event_id"))
+      val before = TxLog.manifestFiles(s, base, 1L).toSet
+      val source = ev.where(col("event_id").between(cowLo, cowHi))
+        .withColumn("value", col("value") * 2)
+      TxLog.mergeCow(s, base, source, Seq("event_id"), "event_id")
+      val after = TxLog.manifestFiles(s, base, 2L).toSet
+      val carried = before.intersect(after).size
+      require(carried >= 1 && carried < before.size,
+        s"COW must carry some files and rewrite some: $carried of ${before.size}")
+      TxLog.read(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Manifest-stats file skipping (Delta data-skipping analog): a
+    // narrow id-range scan resolves the manifest's per-file min/max
+    // FIRST and opens only the overlapping band files — at 10^5 files
+    // this is the planner-independent layer of pruning that works on
+    // any store, before parquet row-group stats even load. The
+    // require pins that files were actually skipped.
+    "s25_manifest_skipping_scan" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txskip_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(ev.repartitionByRange(8, col("event_id")),
+        base, None, Some("event_id"))
+      val (kept, all) = TxLog.pruneRange(s, base, "event_id", cowLo, cowHi)
+      require(kept.size < all.size,
+        s"manifest stats must skip files: kept ${kept.size} of ${all.size}")
+      TxLog.readRange(s, base, "event_id", cowLo, cowHi)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Dynamic partition pruning: the fact table is partitioned by day;
     // the dim-side filter (5 peak days of 30) becomes a RUNTIME
     // partition filter on the fact scan — at 100 TB the scan opens 5
@@ -234,6 +289,10 @@ object RegistryMaint {
           when(col("lang") === "en", 100).otherwise(500))
         .select("doc_id", "lang")
         .orderBy("doc_id")))
+
+  /** CDC id band shared by the COW-merge/skipping queries and their
+    * oracles — non-empty at every SF (event_id is 0..N-1, N ≥ 1000). */
+  private val (cowLo, cowHi) = (100L, 299L)
 
   /** The DPP dim filter — shared between query and oracle. */
   private val peakDays = Seq(
@@ -333,6 +392,20 @@ object RegistryMaint {
       """SELECT cast(3 AS INTEGER) AS version, count(*) AS n_rows,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events WHERE cast(ts AS DATE) < DATE '2024-01-31'""",
+    "s24_cow_merge_log" ->
+      s"""SELECT event_type, count(*) AS n,
+                cast(sum(cast(
+                  CASE WHEN event_id BETWEEN $cowLo AND $cowHi
+                       THEN value * 2 ELSE value END
+                  AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         GROUP BY event_type ORDER BY event_type""",
+    "s25_manifest_skipping_scan" ->
+      s"""SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE event_id BETWEEN $cowLo AND $cowHi
+         GROUP BY event_type ORDER BY event_type""",
     "j14_dpp_star_join" ->
       """SELECT event_type, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -117,6 +117,45 @@ object StreamingOps {
     spark.read.parquet(outDir)
   }
 
+  /** Exactly-once streaming ingest into the manifest-commit log:
+    * foreachBatch delivers each micro-batch to [[graft.operators.TxLog
+    * .appendOnce]] keyed by (appId, batchId), the Delta `txn`-action
+    * pattern. foreachBatch is at-least-once — after a driver restart
+    * the last batch is REDELIVERED — so the sink must dedupe by batch
+    * id or double-count; this run proves it by replaying the final
+    * batch (the restart shape) and pinning that the table version and
+    * contents are unchanged. Contrast with [[archiveEvents]], whose
+    * builtin file sink gets the same guarantee from its own
+    * _spark_metadata log. */
+  def txnSinkIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TxLog
+    val (tsFixed, nonce) = rawEvents(spark, sfDir, "txn_sink")
+    val base = "/tmp/graft_stream_txlog/" + nonce
+    val appId = "graft_ingest"
+    @volatile var lastBatch = -1L
+    val q = tsFixed
+      .select("event_id", "user_id", "event_type", "value")
+      .writeStream
+      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        TxLog.appendOnce(batch, base, appId, bid, statsCol = Some("event_id"))
+        lastBatch = math.max(lastBatch, bid)
+      }
+      .start()
+    q.awaitTermination()
+    // Simulated restart replay: redeliver the final batch. appendOnce
+    // must no-op — version and row count pinned unchanged.
+    val vBefore = TxLog.latestVersion(spark, base).get
+    val replayed = TxLog.appendOnce(
+      TxLog.read(spark, base).limit(10), base, appId, lastBatch)
+    require(replayed == vBefore &&
+      TxLog.latestVersion(spark, base).contains(vBefore),
+      s"replayed batch $lastBatch must be a no-op: v$replayed vs v$vBefore")
+    StreamTune.dropScratch("/tmp/graft_stream_ckpt/" + nonce)
+    TxLog.read(spark, base)
+  }
+
   /** Stream-static enrichment join + windowed aggregate: the events
     * stream is joined to a BATCH dimension (nation, broadcast — the
     * static side is planned once per micro-batch and never shuffles

@@ -1,0 +1,171 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{TxLog, Upsert}
+
+/** Laws for the v2 manifest's scale features: insert-only append,
+  * min/max file skipping, copy-on-write MERGE, and the exactly-once
+  * streaming txn map. The unifying claim under test: commit and query
+  * work scale with the DELTA (new data / touched range), never the
+  * table — the property that separates "correct at sf0.01" from
+  * "viable at 100 TB". */
+class TxLogScaleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  /** `n` rows keyed 0..n-1, value tagged by `tag`, range-clustered
+    * into `parts` files so each file covers one contiguous key band —
+    * the layout a clustered 100 TB fact table would have. */
+  private def clustered(lo: Long, n: Long, tag: String, parts: Int) = {
+    spark.range(lo, lo + n)
+      .select(col("id").as("k"), concat(lit(tag), lit("-"), col("id")).as("s"))
+      .repartitionByRange(parts, col("k"))
+  }
+
+  private def contents(d: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    d.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("append republishes prior entries by reference: no prior file " +
+    "is rewritten, and the landed work is only the new batch") {
+    val base = "/tmp/graft_txlog/append"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 100, "a", 2), base, None, Some("k"))
+    val v1Files = TxLog.manifestFiles(spark, base, 1L)
+    TxLog.append(clustered(100, 50, "b", 1), base, Some("k"))
+    TxLog.append(clustered(150, 50, "c", 1), base, Some("k"))
+    assert(TxLog.latestVersion(spark, base).contains(3L))
+    val v3 = TxLog.manifest(spark, base, 3L)._1
+    // v1's files appear verbatim (same paths — never re-landed)
+    assert(v1Files.toSet.subsetOf(v3.map(_.path).toSet))
+    // row counts ride the manifest: full count with zero data I/O
+    assert(v3.map(_.rows).sum == 200L)
+    assert(contents(TxLog.read(spark, base)) ==
+      contents(clustered(0, 100, "a", 1)
+        .unionAll(clustered(100, 50, "b", 1))
+        .unionAll(clustered(150, 50, "c", 1))))
+  }
+
+  test("readRange prunes files by manifest min/max before the scan " +
+    "and still returns exactly the predicate's rows") {
+    val base = "/tmp/graft_txlog/skip"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 1000, "x", 8), base, None, Some("k"))
+    val (kept, all) = TxLog.pruneRange(spark, base, "k", 10L, 90L)
+    assert(all.size == 8, s"expected 8 range-clustered files, got ${all.size}")
+    assert(kept.size <= 2,
+      s"narrow range must touch at most 2 of 8 band files, kept ${kept.size}")
+    assert(contents(TxLog.readRange(spark, base, "k", 10L, 90L)) ==
+      contents(TxLog.read(spark, base).where(col("k").between(10, 90))))
+    // a range outside every band prunes everything (schema preserved)
+    val empty = TxLog.readRange(spark, base, "k", 5000L, 6000L)
+    assert(empty.columns.toSeq == Seq("k", "s") && empty.count() == 0)
+  }
+
+  test("mergeCow rewrites only range-overlapping files; untouched " +
+    "files are carried by reference and the result equals a full merge") {
+    val base = "/tmp/graft_txlog/cow"
+    TxLog.drop(spark, base)
+    val target = clustered(0, 1000, "t", 8)
+    TxLog.commit(target, base, None, Some("k"))
+    val before = TxLog.manifest(spark, base, 1L)._1
+    // updates confined to one band + fresh inserts just above the band
+    val source = spark.range(250, 280)
+      .select(col("id").as("k"), concat(lit("upd-"), col("id")).as("s"))
+    TxLog.mergeCow(spark, base, source, Seq("k"), "k")
+    val after = TxLog.manifest(spark, base, 2L)._1
+    val carried = before.map(_.path).toSet.intersect(after.map(_.path).toSet)
+    assert(carried.size >= 6,
+      s"narrow-range merge must carry most of 8 files, carried ${carried.size}")
+    assert(carried.size < before.size, "at least one file must be rewritten")
+    assert(contents(TxLog.read(spark, base)) ==
+      contents(Upsert.merge(clustered(0, 1000, "t", 1), source, Seq("k"))))
+  }
+
+  test("mergeCow inserts keys outside every file's range exactly once") {
+    val base = "/tmp/graft_txlog/cow_ins"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 100, "t", 2), base, None, Some("k"))
+    val source = spark.range(90, 120) // 10 updates + 20 inserts
+      .select(col("id").as("k"), concat(lit("n-"), col("id")).as("s"))
+    TxLog.mergeCow(spark, base, source, Seq("k"), "k")
+    val got = contents(TxLog.read(spark, base))
+    assert(got.size == 120)
+    assert(got == contents(
+      Upsert.merge(clustered(0, 100, "t", 1), source, Seq("k"))))
+  }
+
+  test("mergeCow CAS loser recomputes against the winner: final state " +
+    "equals sequential application") {
+    val base = "/tmp/graft_txlog/cow_race"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 100, "t", 2), base, None, Some("k"))
+    val srcA = spark.range(10, 20)
+      .select(col("id").as("k"), concat(lit("A-"), col("id")).as("s"))
+    val srcB = spark.range(15, 25)
+      .select(col("id").as("k"), concat(lit("B-"), col("id")).as("s"))
+    var attempts = 0
+    TxLog.mergeCow(spark, base, srcB, Seq("k"), "k", onAttempt = { a =>
+      attempts = a
+      if (a == 1) // writer A lands between B's snapshot read and publish
+        TxLog.mergeCow(spark, base, srcA, Seq("k"), "k")
+    })
+    assert(attempts == 2, "loser must have recomputed after the CAS loss")
+    assert(contents(TxLog.read(spark, base)) == contents(
+      Upsert.merge(Upsert.merge(clustered(0, 100, "t", 1), srcA, Seq("k")),
+        srcB, Seq("k"))))
+    // no orphans: every data dir on disk is referenced by some manifest
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/data"))
+      .map(_.getPath.getName).toSet
+    val referenced = (1L to 3L).flatMap(v =>
+      TxLog.manifestFiles(spark, base, v).map(_.split("/")(1))).toSet
+    assert(onDisk == referenced,
+      s"unreferenced txn dirs left behind: ${onDisk -- referenced}")
+  }
+
+  test("appendOnce is idempotent per (appId, batchId): a replayed " +
+    "batch changes nothing, a new batch appends") {
+    val base = "/tmp/graft_txlog/once"
+    TxLog.drop(spark, base)
+    val b0 = clustered(0, 50, "b0", 1)
+    val b1 = clustered(50, 50, "b1", 1)
+    assert(TxLog.appendOnce(b0, base, "app", 0L) == 1L)
+    // at-least-once redelivery of batch 0 (restart replay): no-op
+    assert(TxLog.appendOnce(b0, base, "app", 0L) == 1L)
+    assert(TxLog.latestVersion(spark, base).contains(1L))
+    assert(TxLog.appendOnce(b1, base, "app", 1L) == 2L)
+    // replay of an OLD batch after later ones landed: still a no-op
+    assert(TxLog.appendOnce(b0, base, "app", 0L) == 2L)
+    assert(TxLog.read(spark, base).count() == 100)
+    // a second writer app keeps its own high-water mark
+    assert(TxLog.appendOnce(clustered(100, 10, "c", 1), base, "app2", 0L) == 3L)
+    assert(TxLog.manifest(spark, base, 3L)._2 ==
+      Map("app" -> 1L, "app2" -> 0L))
+    // the replayed batch's discarded files leave no orphan dirs
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/data"))
+      .map(_.getPath.getName).toSet
+    val referenced = TxLog.manifestFiles(spark, base, 3L)
+      .map(_.split("/")(1)).toSet
+    assert(onDisk == referenced,
+      s"replayed batches must not leave orphan files: ${onDisk -- referenced}")
+  }
+
+  test("a v1 manifest (bare paths) still reads, appends, and merges — " +
+    "its stat-less files are conservatively rewritten by mergeCow") {
+    val base = "/tmp/graft_txlog/v1compat"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 40, "t", 2), base, None) // no statsCol: v1 lines
+    assert(TxLog.manifest(spark, base, 1L)._1.forall(_.stats.isEmpty))
+    TxLog.append(clustered(40, 10, "a", 1), base, Some("k"))
+    val source = spark.range(0, 5)
+      .select(col("id").as("k"), concat(lit("u-"), col("id")).as("s"))
+    TxLog.mergeCow(spark, base, source, Seq("k"), "k")
+    assert(contents(TxLog.read(spark, base)) == contents(
+      Upsert.merge(
+        clustered(0, 40, "t", 1).unionAll(clustered(40, 10, "a", 1)),
+        source, Seq("k"))))
+  }
+}
