@@ -465,6 +465,81 @@ object TxLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Small-file compaction (Delta OPTIMIZE analog): bin-pack every
+    * file below `smallThresholdRows` into few large files and publish
+    * the result as a new version; files at/above the threshold — and
+    * that is the point — are carried by REFERENCE, so a stream that
+    * appended ten thousand tiny batches is repaired by rewriting only
+    * those tiny files, never the big ones. Content-identical,
+    * snapshot-isolated (older versions keep reading the old files
+    * until vacuum), txn high-water map carried forward so
+    * [[appendOnce]] idempotency survives maintenance. Files with
+    * unknown row counts (v1 manifests) are conservatively rewritten.
+    * Returns the new version, or the current one if nothing to do. */
+  def compact(spark: SparkSession, base: String, smallThresholdRows: Long,
+              targetRows: Long, statsCol: Option[String] = None,
+              maxAttempts: Int = 5): Long = {
+    require(targetRows >= smallThresholdRows,
+      "targetRows must be at least the small-file threshold")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val (small, carried) =
+        entries.partition(e => e.rows < 0 || e.rows < smallThresholdRows)
+      if (small.size <= 1) return cur // nothing to bin-pack
+      val smallRows = small.map(_.rows.max(0L)).sum
+      val nOut = math.max(1L, (smallRows + targetRows - 1) / targetRows).toInt
+      val smallDf = spark.read.parquet(small.map(e => s"$base/${e.path}"): _*)
+      // keep the cluster layout when the caller has one: range
+      // repartition re-establishes band-per-file so stats skipping
+      // stays sharp after compaction
+      val packed = statsCol match {
+        case Some(c) => smallDf.repartitionByRange(
+          nOut, org.apache.spark.sql.functions.col(c))
+        case None => smallDf.repartition(nOut)
+      }
+      val newEntries = landEntries(packed, base, statsCol)
+      try {
+        publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns)
+        return cur + 1L
+      } catch {
+        case e: CommitConflictException =>
+          discard(spark, base, newEntries.map(_.path))
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The append-only change feed: rows of every file ADDED in versions
+    * (fromExclusive, toInclusive], tagged `_commit_version`. For
+    * append/appendOnce versions this is exactly the rows committed by
+    * each version — the incremental-consumer surface (Delta CDF's
+    * insert case). For COW/compaction versions rewritten files appear
+    * as adds too, so consumers of mixed workloads must dedupe by key —
+    * the same caveat Delta documents for CDF without deletion vectors. */
+  def changesBetween(spark: SparkSession, base: String,
+                     fromExclusive: Long, toInclusive: Long): DataFrame = {
+    require(fromExclusive < toInclusive, "empty version range")
+    import org.apache.spark.sql.functions.lit
+    val perVersion = (fromExclusive to toInclusive).map(v =>
+      v -> (if (v == 0L) Set.empty[String]
+            else manifest(spark, base, v)._1.map(_.path).toSet)).toMap
+    val dfs = (fromExclusive + 1 to toInclusive).flatMap { v =>
+      val added = perVersion(v) -- perVersion(v - 1)
+      if (added.isEmpty) None
+      else Some(spark.read.parquet(added.toSeq.map(p => s"$base/$p"): _*)
+        .withColumn("_commit_version", lit(v)))
+    }
+    dfs.reduceLeftOption(_.unionByName(_)).getOrElse {
+      read(spark, base).withColumn("_commit_version", lit(0L))
+        .where(lit(false))
+    }
+  }
+
   /** Optimistic-concurrency transaction: `body` receives the current
     * snapshot (None for an empty store) and returns the FULL new
     * table contents; on a CAS loss the landed files are discarded and

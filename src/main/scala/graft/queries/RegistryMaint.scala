@@ -225,6 +225,69 @@ object RegistryMaint {
         .orderBy("event_type")
     }),
 
+    // Small-file compaction through the manifest log (Delta OPTIMIZE
+    // analog): a big range-clustered seed plus three tiny streamed
+    // batches (appendOnce, the small-file problem in miniature), then
+    // compact bin-packs ONLY the tiny files — the seed's band files
+    // are carried by reference, the txn high-water map survives
+    // maintenance, and old versions stay readable until vacuum. The
+    // oracle is the logical table contents, which compaction must not
+    // change.
+    "s26_log_compaction" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txcompact_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(
+        ev.where(col("event_id") >= 200)
+          .repartitionByRange(4, col("event_id")),
+        base, None, Some("event_id"))
+      Seq((0L, 50L, 0L), (50L, 100L, 1L), (100L, 150L, 2L)).foreach {
+        case (lo, hi, bid) =>
+          TxLog.appendOnce(
+            ev.where(col("event_id") >= lo && col("event_id") < hi)
+              .coalesce(1),
+            base, "ingest", bid, Some("event_id"))
+      }
+      val before = TxLog.manifestFiles(s, base, 4L).size
+      val v = TxLog.compact(s, base, smallThresholdRows = 60,
+        targetRows = 1000000, statsCol = Some("event_id"))
+      val after = TxLog.manifestFiles(s, base, v).size
+      require(after < before,
+        s"compaction must shrink the file count: $before -> $after")
+      TxLog.read(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Version change feed over the manifest log (Delta CDF's insert
+    // case): files added per version ARE the rows each append
+    // committed, tagged _commit_version — the surface an incremental
+    // downstream consumer reads instead of re-scanning the table. The
+    // oracle recomputes each batch's aggregate from the id slices.
+    "s27_change_feed" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txcdf_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(
+        ev.where(col("event_id") >= 200)
+          .repartitionByRange(4, col("event_id")),
+        base, None, Some("event_id"))
+      TxLog.append(ev.where(col("event_id") < 100), base, Some("event_id"))
+      TxLog.append(ev.where(col("event_id").between(100, 199)),
+        base, Some("event_id"))
+      TxLog.changesBetween(s, base, 1L, 3L)
+        .groupBy(col("_commit_version").cast("int").as("commit_version"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("commit_version")
+    }),
+
     // Dynamic partition pruning: the fact table is partitioned by day;
     // the dim-side filter (5 peak days of 30) becomes a RUNTIME
     // partition filter on the fact scan — at 100 TB the scan opens 5
@@ -392,6 +455,21 @@ object RegistryMaint {
       """SELECT cast(3 AS INTEGER) AS version, count(*) AS n_rows,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events WHERE cast(ts AS DATE) < DATE '2024-01-31'""",
+    "s26_log_compaction" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE event_id < 150 OR event_id >= 200
+         GROUP BY event_type ORDER BY event_type""",
+    "s27_change_feed" ->
+      """SELECT cast(2 AS INTEGER) AS commit_version, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events WHERE event_id < 100
+         UNION ALL
+         SELECT cast(3 AS INTEGER), count(*),
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
+         FROM events WHERE event_id BETWEEN 100 AND 199
+         ORDER BY commit_version""",
     "s24_cow_merge_log" ->
       s"""SELECT event_type, count(*) AS n,
                 cast(sum(cast(

@@ -153,6 +153,60 @@ class TxLogScaleSpec extends AnyFunSuite {
       s"replayed batches must not leave orphan files: ${onDisk -- referenced}")
   }
 
+  test("compact bin-packs only the small files, carries big files by " +
+    "reference, keeps content + clustering + txn map, and preserves " +
+    "old-version readability") {
+    val base = "/tmp/graft_txlog/compact"
+    TxLog.drop(spark, base)
+    // big seed: 2 files of 500 rows; then 4 tiny streamed batches
+    TxLog.commit(clustered(0, 1000, "big", 2), base, None, Some("k"))
+    (0 until 4).foreach { i =>
+      TxLog.appendOnce(clustered(1000 + i * 10, 10, s"tiny$i", 1),
+        base, "app", i.toLong, Some("k"))
+    }
+    val before = TxLog.manifest(spark, base, 5L)
+    assert(before._1.size == 6)
+    val v = TxLog.compact(spark, base, smallThresholdRows = 100,
+      targetRows = 1000, statsCol = Some("k"))
+    assert(v == 6L)
+    val (after, txns) = TxLog.manifest(spark, base, 6L)
+    // 2 big carried + 1 packed
+    assert(after.size == 3, s"expected 3 files after compaction: $after")
+    val bigPaths = before._1.filter(_.rows >= 100).map(_.path).toSet
+    assert(bigPaths.subsetOf(after.map(_.path).toSet),
+      "big files must be carried by reference")
+    // the packed file keeps stats so skipping still works post-compact
+    assert(after.forall(_.stats.nonEmpty))
+    // txn high-water map survives maintenance: a replay is still a no-op
+    assert(txns == Map("app" -> 3L))
+    assert(TxLog.appendOnce(clustered(0, 5, "dup", 1), base, "app", 3L) == 6L)
+    // content identical; the pre-compaction version still readable
+    assert(contents(TxLog.read(spark, base)) ==
+      contents(TxLog.readVersion(spark, base, 5L)))
+    assert(TxLog.read(spark, base).count() == 1040)
+    // compacting an already-compact table is a no-op
+    assert(TxLog.compact(spark, base, 100, 1000, Some("k")) == 6L)
+  }
+
+  test("changesBetween returns exactly the rows each append committed, " +
+    "tagged with their commit version") {
+    val base = "/tmp/graft_txlog/cdf"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 100, "seed", 2), base, None, Some("k"))
+    TxLog.append(clustered(100, 20, "b1", 1), base, Some("k"))
+    TxLog.append(clustered(120, 30, "b2", 1), base, Some("k"))
+    val changes = TxLog.changesBetween(spark, base, 1L, 3L)
+      .groupBy("_commit_version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(changes == Map(2L -> 20L, 3L -> 30L))
+    // from-zero covers the seed too
+    assert(TxLog.changesBetween(spark, base, 0L, 3L).count() == 150)
+    // consuming the feed incrementally reconstructs the table
+    val replayed = TxLog.changesBetween(spark, base, 0L, 3L)
+      .drop("_commit_version")
+    assert(contents(replayed) == contents(TxLog.read(spark, base)))
+  }
+
   test("a v1 manifest (bare paths) still reads, appends, and merges — " +
     "its stat-less files are conservatively rewritten by mergeCow") {
     val base = "/tmp/graft_txlog/v1compat"
