@@ -45,9 +45,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The v2 manifest line carries optional per-file min/max stats on a
   * designated clustering column plus idempotency metadata, unlocking
-  * the three operations that make the log viable AT 100 TB rather
-  * than merely correct (all three are Delta surfaces the reference
-  * relies on — add-only commits, data skipping, txn actions):
+  * the operations that make the log viable AT 100 TB rather than
+  * merely correct (each a Delta surface the reference relies on —
+  * add-only commits, data skipping, txn actions, OPTIMIZE, CDF):
   *
   *  - [[append]]: insert-only commit that re-publishes prior entries
   *    verbatim and lands only the new files — commit work is O(new
@@ -93,7 +93,51 @@ object TxLog {
   private def cmp(dtype: String, a: String, b: String): Int = dtype match {
     case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
-    case _        => a.compareTo(b)
+    case _        => utf8Cmp(a, b)
+  }
+
+  /** Unsigned UTF-8 byte comparison — the ordering Spark's UTF8String
+    * min/max used to produce the stats. String.compareTo (UTF-16 code
+    * units) disagrees above the BMP (surrogates sort below U+E000..
+    * U+FFFF), which would make overlap checks unsound for e.g. emoji
+    * keys. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def castType(dtype: String): String = dtype match {
+    case "long" => "long"; case "double" => "double"; case _ => "string"
+  }
+
+  /** Does this file possibly hold rows with `column` in [lo, hi]?
+    * Entries without stats, or with stats on another column, must be
+    * answered yes. */
+  private def touchesRange(e: Entry, column: String,
+                           lo: String, hi: String): Boolean =
+    e.stats match {
+      case Some(st) if st.column == column => st.overlaps(lo, hi)
+      case _ => true
+    }
+
+  /** Retry `body` on CAS losses up to `maxAttempts`, rethrowing the
+    * final conflict. A body that lands files per attempt must discard
+    * them before rethrowing; files landed ONCE outside the loop are
+    * the caller's to clean on the final failure. */
+  private def withCasRetry[T](maxAttempts: Int)(body: Int => T): T = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body(attempt)
+      catch { case _: CommitConflictException if attempt < maxAttempts => () }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
@@ -218,16 +262,16 @@ object TxLog {
     * stats and are treated as always-overlapping. */
   private[graft] def landEntries(df: DataFrame, base: String,
                                  statsCol: Option[String]): Seq[Entry] = {
+    // fail fast: a missing column or unsupported type must surface
+    // BEFORE the (possibly huge) data write, not orphan a landed dir
+    val dtypeByCol = statsCol.map(c => c -> statsDtype(df.schema(c).dataType))
     val rels = land(df, base)
-    statsCol match {
+    dtypeByCol match {
       case None => rels.map(Entry(_, -1L, None))
-      case Some(c) =>
+      case Some((c, dtype)) =>
         import org.apache.spark.sql.functions._
         val spark = df.sparkSession
-        val dtype = statsDtype(df.schema(c).dataType)
-        val castT = dtype match {
-          case "long" => "long"; case "double" => "double"; case _ => "string"
-        }
+        val castT = castType(dtype)
         val txnDir = s"$base/${rels.head.split('/').dropRight(1).mkString("/")}"
         val byFile = spark.read.parquet(txnDir)
           .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1)
@@ -302,8 +346,12 @@ object TxLog {
              statsCol: Option[String] = None): Long = {
     val spark = df.sparkSession
     val v = expected.getOrElse(0L) + 1L
+    // carry the txn high-water map of the version we build on: a
+    // maintenance rewrite (transact/commit) must never reset
+    // appendOnce's exactly-once state
+    val txns = expected.map(manifest(spark, base, _)._2).getOrElse(Map.empty)
     val entries = landEntries(df, base, statsCol)
-    try { publishEntries(spark, base, v, entries, Map.empty); v }
+    try { publishEntries(spark, base, v, entries, txns); v }
     catch {
       case e: CommitConflictException =>
         discard(spark, base, entries.map(_.path)); throw e
@@ -319,28 +367,25 @@ object TxLog {
              maxAttempts: Int = 5): Long = {
     val spark = df.sparkSession
     val entries = landEntries(df, base, statsCol)
-    var attempt = 0
-    while (attempt < maxAttempts) {
-      attempt += 1
+    try withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base)
       val (prev, txns) = cur.map(manifest(spark, base, _))
         .getOrElse((Seq.empty[Entry], Map.empty[String, Long]))
       val v = cur.getOrElse(0L) + 1L
-      try { publishEntries(spark, base, v, prev ++ entries, txns); return v }
-      catch {
-        case e: CommitConflictException if attempt >= maxAttempts =>
-          discard(spark, base, entries.map(_.path)); throw e
-        case _: CommitConflictException => ()
-      }
+      publishEntries(spark, base, v, prev ++ entries, txns)
+      v
+    } catch {
+      case e: CommitConflictException =>
+        discard(spark, base, entries.map(_.path)); throw e
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** Exactly-once append for streaming foreachBatch sinks (Delta's
     * `txn` action): the manifest carries an (appId → batchId)
     * high-water map forward; re-delivering an already-applied batch —
     * the at-least-once contract of foreachBatch after a restart — is
-    * a no-op. Returns the version containing the batch. */
+    * a no-op. Returns the version that published the batch, or the
+    * current latest version when the batch was already applied. */
   def appendOnce(df: DataFrame, base: String, appId: String, batchId: Long,
                  statsCol: Option[String] = None, maxAttempts: Int = 5): Long = {
     val spark = df.sparkSession
@@ -348,29 +393,24 @@ object TxLog {
       manifest(spark, base, v)._2.getOrElse(appId, -1L) >= batchId)
     if (already.isDefined) return already.get
     val entries = landEntries(df, base, statsCol)
-    var attempt = 0
-    while (attempt < maxAttempts) {
-      attempt += 1
+    try withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base)
       val (prev, txns) = cur.map(manifest(spark, base, _))
         .getOrElse((Seq.empty[Entry], Map.empty[String, Long]))
       if (txns.getOrElse(appId, -1L) >= batchId) {
         // a racing replica applied this batch between our check and now
         discard(spark, base, entries.map(_.path))
-        return cur.get
-      }
-      val v = cur.getOrElse(0L) + 1L
-      try {
+        cur.get
+      } else {
+        val v = cur.getOrElse(0L) + 1L
         publishEntries(spark, base, v, prev ++ entries,
           txns + (appId -> batchId))
-        return v
-      } catch {
-        case e: CommitConflictException if attempt >= maxAttempts =>
-          discard(spark, base, entries.map(_.path)); throw e
-        case _: CommitConflictException => ()
+        v
       }
+    } catch {
+      case e: CommitConflictException =>
+        discard(spark, base, entries.map(_.path)); throw e
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** Manifest-level file skipping: entries of the latest version whose
@@ -383,11 +423,7 @@ object TxLog {
       throw new IllegalStateException(s"no committed version at $base"))
     val (entries, _) = manifest(spark, base, v)
     val (l, h) = (reprOf(lo), reprOf(hi))
-    val kept = entries.filter(_.stats match {
-      case Some(st) if st.column == column => st.overlaps(l, h)
-      case _ => true
-    })
-    (kept, entries)
+    (entries.filter(touchesRange(_, column, l, h)), entries)
   }
 
   /** Range read with data skipping: prune files by manifest stats,
@@ -423,10 +459,7 @@ object TxLog {
       s"statsCol $statsCol must be a merge key (got $keys) — range " +
         "skipping is only sound when pruning on the match key")
     import org.apache.spark.sql.functions._
-    val dtype = statsDtype(source.schema(statsCol).dataType)
-    val castT = dtype match {
-      case "long" => "long"; case "double" => "double"; case _ => "string"
-    }
+    val castT = castType(statsDtype(source.schema(statsCol).dataType))
     val bounds = source
       .agg(min(col(statsCol).cast(castT)).cast("string"),
         max(col(statsCol).cast(castT)).cast("string")).head()
@@ -435,17 +468,13 @@ object TxLog {
         throw new IllegalStateException(s"no committed version at $base"))
     }
     val (lo, hi) = (bounds.getString(0), bounds.getString(1))
-    var attempt = 0
-    while (attempt < maxAttempts) {
-      attempt += 1
+    withCasRetry(maxAttempts) { attempt =>
       val cur = latestVersion(spark, base)
       val (entries, txns) = cur.map(manifest(spark, base, _))
         .getOrElse((Seq.empty[Entry], Map.empty[String, Long]))
       onAttempt(attempt) // test seam: between snapshot read and publish
-      val (touched, carried) = entries.partition(_.stats match {
-        case Some(st) if st.column == statsCol => st.overlaps(lo, hi)
-        case _ => true // no stats / other column: must rewrite
-      })
+      val (touched, carried) =
+        entries.partition(touchesRange(_, statsCol, lo, hi))
       val merged =
         if (touched.isEmpty) source
         else Upsert.merge(
@@ -453,16 +482,12 @@ object TxLog {
           source, keys)
       val newEntries = landEntries(merged, base, Some(statsCol))
       val v = cur.getOrElse(0L) + 1L
-      try {
-        publishEntries(spark, base, v, carried ++ newEntries, txns)
-        return v
-      } catch {
-        case _: CommitConflictException =>
-          discard(spark, base, newEntries.map(_.path))
-          if (attempt >= maxAttempts) throw new CommitConflictException(v)
+      try { publishEntries(spark, base, v, carried ++ newEntries, txns); v }
+      catch {
+        case e: CommitConflictException => // this attempt's land is dead
+          discard(spark, base, newEntries.map(_.path)); throw e
       }
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** Small-file compaction (Delta OPTIMIZE analog): bin-pack every
@@ -481,37 +506,41 @@ object TxLog {
               maxAttempts: Int = 5): Long = {
     require(targetRows >= smallThresholdRows,
       "targetRows must be at least the small-file threshold")
-    var attempt = 0
-    while (attempt < maxAttempts) {
-      attempt += 1
+    withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
       val (entries, txns) = manifest(spark, base, cur)
       val (small, carried) =
         entries.partition(e => e.rows < 0 || e.rows < smallThresholdRows)
-      if (small.size <= 1) return cur // nothing to bin-pack
-      val smallRows = small.map(_.rows.max(0L)).sum
-      val nOut = math.max(1L, (smallRows + targetRows - 1) / targetRows).toInt
-      val smallDf = spark.read.parquet(small.map(e => s"$base/${e.path}"): _*)
-      // keep the cluster layout when the caller has one: range
-      // repartition re-establishes band-per-file so stats skipping
-      // stays sharp after compaction
-      val packed = statsCol match {
-        case Some(c) => smallDf.repartitionByRange(
-          nOut, org.apache.spark.sql.functions.col(c))
-        case None => smallDf.repartition(nOut)
-      }
-      val newEntries = landEntries(packed, base, statsCol)
-      try {
-        publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns)
-        return cur + 1L
-      } catch {
-        case e: CommitConflictException =>
-          discard(spark, base, newEntries.map(_.path))
-          if (attempt >= maxAttempts) throw e
+      if (small.size <= 1) cur // nothing to bin-pack
+      else {
+        // unknown-row (v1) files are rewritten but can't be sized —
+        // budget one output file each so a whole unknown table never
+        // funnels into a single task; the rewrite records row counts,
+        // so a second compact() can then bin-pack them for real
+        val unknown = small.count(_.rows < 0)
+        val knownRows = small.filter(_.rows >= 0).map(_.rows).sum
+        val nOut = math.max(1L,
+          (knownRows + targetRows - 1) / targetRows + unknown).toInt
+        val smallDf = spark.read.parquet(small.map(e => s"$base/${e.path}"): _*)
+        // keep the cluster layout when the caller has one: range
+        // repartition re-establishes band-per-file so stats skipping
+        // stays sharp after compaction
+        val packed = statsCol match {
+          case Some(c) => smallDf.repartitionByRange(
+            nOut, org.apache.spark.sql.functions.col(c))
+          case None => smallDf.repartition(nOut)
+        }
+        val newEntries = landEntries(packed, base, statsCol)
+        try {
+          publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns)
+          cur + 1L
+        } catch {
+          case e: CommitConflictException => // this attempt's land is dead
+            discard(spark, base, newEntries.map(_.path)); throw e
+        }
       }
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** The append-only change feed: rows of every file ADDED in versions

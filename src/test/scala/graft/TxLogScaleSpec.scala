@@ -153,6 +153,33 @@ class TxLogScaleSpec extends AnyFunSuite {
       s"replayed batches must not leave orphan files: ${onDisk -- referenced}")
   }
 
+  test("a maintenance transact carries the txn high-water map: " +
+    "appendOnce idempotency survives a full rewrite") {
+    val base = "/tmp/graft_txlog/txn_carry"
+    TxLog.drop(spark, base)
+    TxLog.appendOnce(clustered(0, 50, "b0", 1), base, "app", 0L)
+    // nightly maintenance: full-snapshot rewrite through transact
+    TxLog.transact(spark, base)(snap => snap.get)
+    assert(TxLog.manifest(spark, base, 2L)._2 == Map("app" -> 0L),
+      "transact/commit must not reset exactly-once state")
+    // the restart-shaped replay after maintenance is still a no-op
+    assert(TxLog.appendOnce(clustered(0, 50, "dup", 1), base, "app", 0L) == 2L)
+    assert(TxLog.read(spark, base).count() == 50)
+  }
+
+  test("landEntries fails fast on a bad stats column: nothing landed, " +
+    "nothing orphaned") {
+    val base = "/tmp/graft_txlog/failfast"
+    TxLog.drop(spark, base)
+    intercept[IllegalArgumentException] {
+      TxLog.append(clustered(0, 10, "x", 1), base, Some("no_such_col"))
+    }
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/data")),
+      "a rejected stats column must not leave landed files behind")
+  }
+
   test("compact bin-packs only the small files, carries big files by " +
     "reference, keeps content + clustering + txn map, and preserves " +
     "old-version readability") {
