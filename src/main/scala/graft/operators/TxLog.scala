@@ -225,6 +225,21 @@ object TxLog {
     readVersion(spark, base, v)
   }
 
+  /** Schema-evolving snapshot read (Delta `mergeSchema` on the read
+    * side): the snapshot's schema is the UNION of every live file's
+    * schema — a column introduced by a later [[append]] surfaces as
+    * NULL on rows from older files, matching the reference's
+    * `mergeSchema=true` loads (load_bronze_to_table.py:158). Costs a
+    * footer read per file at planning (why it is not the default
+    * `read`): at 10^5 files that is a driver-side metadata pass, the
+    * same price Spark's own mergeSchema pays. */
+  def readEvolved(spark: SparkSession, base: String): DataFrame = {
+    val v = latestVersion(spark, base).getOrElse(
+      throw new IllegalStateException(s"no committed version at $base"))
+    val files = manifestFiles(spark, base, v).map(rel => s"$base/$rel")
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
   /** Land `df`'s files under a fresh txn dir. They reference no
     * manifest yet, so concurrent readers cannot see them. Returns the
     * base-relative paths, for [[publish]]. */
@@ -267,6 +282,7 @@ object TxLog {
     val dtypeByCol = statsCol.map(c => c -> statsDtype(df.schema(c).dataType))
     val rels = land(df, base)
     dtypeByCol match {
+      case _ if rels.isEmpty => Seq.empty // all-empty write: no part files
       case None => rels.map(Entry(_, -1L, None))
       case Some((c, dtype)) =>
         import org.apache.spark.sql.functions._
@@ -486,6 +502,91 @@ object TxLog {
       catch {
         case e: CommitConflictException => // this attempt's land is dead
           discard(spark, base, newEntries.map(_.path)); throw e
+      }
+    }
+  }
+
+  /** Copy-on-write DELETE (Delta `DELETE WHERE` analog): remove rows
+    * with `column` in [lo, hi] that also satisfy `residual`. Only the
+    * files whose manifest stats range overlaps [lo, hi] are rewritten;
+    * every other file is carried into the new version by reference —
+    * the same skipping soundness as [[mergeCow]]: a row matching the
+    * predicate can only live in a file whose range covers its key, so
+    * at 100 TB a targeted erasure rewrites the touched band, not the
+    * table. A touched file whose every row dies is dropped from the
+    * manifest rather than republished empty. Files without stats are
+    * conservatively rewritten. Returns the published version (the
+    * current one when no file overlaps the range). */
+  def deleteRange(spark: SparkSession, base: String, column: String,
+                  lo: Any, hi: Any,
+                  residual: org.apache.spark.sql.Column =
+                    org.apache.spark.sql.functions.lit(true),
+                  maxAttempts: Int = 5): Long =
+    rewriteRange(spark, base, column, lo, hi, maxAttempts) { touched =>
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      // survivors: NOT (in-range AND residual). The negation is taken
+      // over a null-safe coalesce so residual=NULL rows (SQL unknown)
+      // survive, matching DELETE WHERE three-valued semantics.
+      touched.where(!coalesce(
+        col(column).between(lit(lo), lit(hi)) && residual, lit(false)))
+    }
+
+  /** Copy-on-write UPDATE (Delta `UPDATE SET` analog): for rows with
+    * `column` in [lo, hi] satisfying `residual`, replace each column
+    * in `set` with its expression; all other rows — and all files
+    * outside the stats range — are carried unchanged (untouched files
+    * by reference, like [[deleteRange]]). `set` may not assign the
+    * pruning column itself: moving a row's cluster key would invalidate
+    * the band layout the skipping relies on (Delta has the same
+    * restriction on partition columns via rewrite). Returns the
+    * published version. */
+  def updateRange(spark: SparkSession, base: String, column: String,
+                  lo: Any, hi: Any,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  residual: org.apache.spark.sql.Column =
+                    org.apache.spark.sql.functions.lit(true),
+                  maxAttempts: Int = 5): Long = {
+    require(!set.contains(column),
+      s"UPDATE may not assign the clustering column $column — " +
+        "rewriting the band key would break manifest-stats skipping")
+    rewriteRange(spark, base, column, lo, hi, maxAttempts) { touched =>
+      import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+      val hit = coalesce(
+        col(column).between(lit(lo), lit(hi)) && residual, lit(false))
+      set.foldLeft(touched) { case (df, (c, expr)) =>
+        df.withColumn(c, when(hit, expr).otherwise(col(c)))
+      }
+    }
+  }
+
+  /** Shared COW rewrite loop for the row-level DML verbs: partition
+    * the manifest by stats overlap with [lo, hi], run `transform` over
+    * ONLY the touched files, land the result re-clustered with fresh
+    * stats, and publish carried ++ new under CAS retry. Zero-row
+    * outputs land no files (parquet still writes an empty part; its
+    * rows==0 entry is dropped). */
+  private def rewriteRange(spark: SparkSession, base: String, column: String,
+                           lo: Any, hi: Any, maxAttempts: Int)
+                          (transform: DataFrame => DataFrame): Long = {
+    val (l, h) = (reprOf(lo), reprOf(hi))
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val (touched, carried) = entries.partition(touchesRange(_, column, l, h))
+      if (touched.isEmpty) cur
+      else {
+        val rewritten = transform(
+          spark.read.parquet(touched.map(e => s"$base/${e.path}"): _*))
+        val newEntries = landEntries(rewritten, base, Some(column))
+          .filter(_.rows != 0L)
+        try {
+          publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns)
+          cur + 1L
+        } catch {
+          case e: CommitConflictException => // this attempt's land is dead
+            discard(spark, base, newEntries.map(_.path)); throw e
+        }
       }
     }
   }

@@ -201,6 +201,67 @@ object RegistryMaint {
         .orderBy("event_type")
     }),
 
+    // Copy-on-write DELETE through the manifest log (Delta DELETE
+    // WHERE analog — the GDPR erasure verb at the file level): the
+    // table is range-clustered on event_id, the predicate is a narrow
+    // id band plus a residual event_type condition, and deleteRange
+    // rewrites ONLY the band files — every out-of-band file rides into
+    // the new version by reference (the require pins it). At 100 TB an
+    // erasure request rewrites the touched band, never the table. The
+    // oracle recomputes the survivors with NOT(...).
+    "s28_cow_delete_log" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txdel_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(ev.repartitionByRange(8, col("event_id")),
+        base, None, Some("event_id"))
+      val before = TxLog.manifestFiles(s, base, 1L).toSet
+      TxLog.deleteRange(s, base, "event_id", cowLo, cowHi,
+        residual = col("event_type") === "click")
+      val after = TxLog.manifestFiles(s, base, 2L).toSet
+      val carried = before.intersect(after).size
+      require(carried >= 1 && carried < before.size,
+        s"COW delete must carry some files and rewrite some: " +
+          s"$carried of ${before.size}")
+      TxLog.read(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Copy-on-write UPDATE through the manifest log (Delta UPDATE SET
+    // analog): same band + residual shape as the delete; only the
+    // overlapping band files are rewritten, non-matching rows inside
+    // them are carried bit-identical, and the rewritten files land
+    // with fresh min/max stats so skipping stays sharp after DML.
+    // The oracle recomputes the new values with a CASE.
+    "s29_cow_update_log" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txupd_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(ev.repartitionByRange(8, col("event_id")),
+        base, None, Some("event_id"))
+      val before = TxLog.manifestFiles(s, base, 1L).toSet
+      TxLog.updateRange(s, base, "event_id", cowLo, cowHi,
+        set = Map("value" -> col("value") * 3),
+        residual = col("event_type") === "view")
+      val after = TxLog.manifestFiles(s, base, 2L).toSet
+      val carried = before.intersect(after).size
+      require(carried >= 1 && carried < before.size,
+        s"COW update must carry some files and rewrite some: " +
+          s"$carried of ${before.size}")
+      TxLog.read(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Manifest-stats file skipping (Delta data-skipping analog): a
     // narrow id-range scan resolves the manifest's per-file min/max
     // FIRST and opens only the overlapping band files — at 10^5 files
@@ -281,6 +342,74 @@ object RegistryMaint {
       TxLog.append(ev.where(col("event_id").between(100, 199)),
         base, Some("event_id"))
       TxLog.changesBetween(s, base, 1L, 3L)
+        .groupBy(col("_commit_version").cast("int").as("commit_version"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("commit_version")
+    }),
+
+    // Schema evolution across manifest versions (Delta mergeSchema on
+    // both sides of the log): version 1 lands the original schema,
+    // version 2 appends rows carrying a NEW column, and readEvolved
+    // unions the file schemas — pre-evolution rows surface NULL in the
+    // new column, exactly the reference's mergeSchema=true load
+    // (load_bronze_to_table.py:158). The aggregate pins both halves:
+    // the old rows' NULL count and the new column's sum.
+    "s30_schema_evolution" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txevolve_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events").select("event_id", "user_id", "value")
+      TxLog.commit(ev.where(col("event_id") < 500)
+          .repartitionByRange(2, col("event_id")),
+        base, None, Some("event_id"))
+      TxLog.append(
+        ev.where(col("event_id") >= 500)
+          .withColumn("value_x2", col("value") * 2),
+        base, Some("event_id"))
+      TxLog.readEvolved(s, base)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("value_x2")).as("n_evolved"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"),
+          sum(col("value_x2").cast("decimal(18,6)")).cast("double")
+            .as("sum_value_x2"))
+    }),
+
+    // Streaming FROM the manifest log (the Delta streaming-source
+    // analog, via the custom DSv2 TxLogSource): each committed version
+    // is one micro-batch (offset = version, checkpoint-resumable), a
+    // batch's rows are the files that version ADDED (manifest diff —
+    // never a table rescan), and changeFeed tags rows with their
+    // commit version. The seed + two appends drain under AvailableNow
+    // in version-sized batches into a parquet sink; the oracle
+    // recomputes each version's aggregate from its id slice.
+    "stream_txlog_source" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txstream_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(
+        ev.where(col("event_id") >= 200)
+          .repartitionByRange(4, col("event_id")),
+        base, None, Some("event_id"))
+      TxLog.append(ev.where(col("event_id") < 100), base, Some("event_id"))
+      TxLog.append(ev.where(col("event_id").between(100, 199)),
+        base, Some("event_id"))
+      val nonce = "graft_txlog_stream_" + System.nanoTime()
+      val outDir = s"/tmp/graft_txlog_stream/out_$nonce"
+      val ckpt = "/tmp/graft_stream_ckpt/" + nonce
+      val q = s.readStream.format("graft.sources.TxLogSource")
+        .option("changeFeed", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load(base)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StreamTune.dropScratch(ckpt)
+      s.read.parquet(outDir)
         .groupBy(col("_commit_version").cast("int").as("commit_version"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double")
@@ -475,6 +604,43 @@ object RegistryMaint {
                 cast(sum(cast(
                   CASE WHEN event_id BETWEEN $cowLo AND $cowHi
                        THEN value * 2 ELSE value END
+                  AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         GROUP BY event_type ORDER BY event_type""",
+    "s30_schema_evolution" ->
+      """SELECT count(*) AS n_rows,
+                count(*) FILTER (WHERE event_id >= 500) AS n_evolved,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                cast(sum(cast(value * 2 AS DECIMAL(18,6)))
+                       FILTER (WHERE event_id >= 500) AS DOUBLE)
+                  AS sum_value_x2
+         FROM events""",
+    "stream_txlog_source" ->
+      """SELECT cast(1 AS INTEGER) AS commit_version, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events WHERE event_id >= 200
+         UNION ALL
+         SELECT cast(2 AS INTEGER), count(*),
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
+         FROM events WHERE event_id < 100
+         UNION ALL
+         SELECT cast(3 AS INTEGER), count(*),
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
+         FROM events WHERE event_id BETWEEN 100 AND 199
+         ORDER BY commit_version""",
+    "s28_cow_delete_log" ->
+      s"""SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE NOT (event_id BETWEEN $cowLo AND $cowHi
+                    AND event_type = 'click')
+         GROUP BY event_type ORDER BY event_type""",
+    "s29_cow_update_log" ->
+      s"""SELECT event_type, count(*) AS n,
+                cast(sum(cast(
+                  CASE WHEN event_id BETWEEN $cowLo AND $cowHi
+                            AND event_type = 'view'
+                       THEN value * 3 ELSE value END
                   AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events
          GROUP BY event_type ORDER BY event_type""",

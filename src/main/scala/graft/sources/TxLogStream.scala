@@ -1,0 +1,447 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.column.page.PageReadStore
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.TxLog
+
+/** Streaming source over the [[TxLog]] manifest-commit log — the
+  * Delta streaming-source analog (the reference streams FROM its
+  * Delta tables downstream of every dbt model; here the same surface
+  * is native on the plain-parquet log): each published VERSION is a
+  * micro-batch, the checkpointed offset is the last consumed version,
+  * and a batch's rows are exactly the files that version ADDED
+  * (manifest diff — never a rescan of the table).
+  *
+  * Why version offsets need none of the paged source's fingerprint
+  * machinery: manifests are published by an atomic create-if-absent
+  * CAS, version numbers are dense and monotone, and a published
+  * manifest is immutable — so "(start, end]" names an immutable set
+  * of files forever. The only way history disappears is [[TxLog
+  * .vacuum]], which this source surfaces as an explicit
+  * reset-your-checkpoint error instead of silently skipping data.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft.sources.TxLogSource")
+  *     .option("changeFeed", "true")        // + _commit_version column
+  *     .option("maxVersionsPerTrigger", 1)  // admission control
+  *     .option("startingVersion", 3)        // skip the seed commit
+  *     .load(base)
+  * }}}
+  *
+  * Semantics and options:
+  *  - default (`changeFeed` unset): rows of every added file, i.e.
+  *    the INSERT stream of an append-only table. For COW/compaction
+  *    versions rewritten files appear as adds (same caveat
+  *    [[TxLog.changesBetween]] documents — dedupe by key downstream).
+  *  - `changeFeed=true`: appends a `_commit_version` LONG column so a
+  *    downstream consumer can window/dedupe per commit.
+  *  - `startingVersion=N`: first consumed version is N+1 — the "seed
+  *    commit already loaded, stream the increments" shape.
+  *  - `maxVersionsPerTrigger=N`: at most N versions per micro-batch;
+  *    with `Trigger.AvailableNow` the backlog target is frozen up
+  *    front and drains in N-sized batches, each checkpointed.
+  *  - batch read (`spark.read` on the same format): latest snapshot
+  *    (or the full change feed from version 0 under `changeFeed`) —
+  *    provided for parity; [[TxLog.read]] through Spark's vectorized
+  *    parquet scan remains the fast batch path.
+  *  - `versionAsOf=N` (batch only): time travel — the snapshot (or
+  *    feed prefix) as of version N, schema inferred from N's own
+  *    files so later-added columns don't leak into the past.
+  *
+  * The executor half decodes parquet through the PUBLIC parquet-mr
+  * Group API with the column projection pushed into the file reader
+  * (`setRequestedSchema` — pruned columns are never materialized, and
+  * pages of unprojected columns are never read). Flat schemas of the
+  * manifest-log types (numeric/string/bool/date/timestamp) are
+  * supported; a column missing from an old file reads as NULL, so
+  * schema-evolving appends ([[TxLog.readEvolved]]) stream correctly.
+  */
+class TxLogSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = options.get("path")
+    require(base != null, "txlog source requires a path")
+    val spark = SparkSession.active
+    require(TxLog.latestVersion(spark, base).isDefined,
+      s"no committed version at $base — the txlog source needs at " +
+        "least one published manifest to infer a schema")
+    // time-travel reads infer from the TARGET version's files, so a
+    // column added after versionAsOf does not leak into the past
+    val snap = Option(options.get("versionAsOf")).map(_.toLong) match {
+      case Some(v) =>
+        val latest = TxLog.latestVersion(spark, base).get
+        require(v >= 1 && v <= latest,
+          s"versionAsOf $v is beyond the latest committed version $latest")
+        val files = TxLog.manifestFiles(spark, base, v)
+          .map(rel => s"$base/$rel")
+        spark.read.option("mergeSchema", "true").parquet(files: _*).schema
+      case None => TxLog.readEvolved(spark, base).schema
+    }
+    if (TxLogSource.changeFeed(options))
+      StructType(snap.fields :+
+        StructField(TxLogSource.CommitVersionCol, LongType, nullable = false))
+    else snap
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val base = properties.get("path")
+    require(base != null, "txlog source requires a path")
+    new TxLogTable(schema, base)
+  }
+}
+
+object TxLogSource {
+  val CommitVersionCol = "_commit_version"
+
+  private[sources] def changeFeed(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("changeFeed")).exists(_.toBoolean)
+
+  private[sources] def driverHadoopConf(): Configuration =
+    SparkSession.active.sparkContext.hadoopConfiguration
+
+  /** Files ADDED by version `v` (manifest diff against v-1), as
+    * base-relative paths. Version 1 diffs against the empty set.
+    * A missing manifest — vacuumed history — raises a reset-the-
+    * checkpoint error instead of a raw FileNotFound. */
+  private[sources] def addedFiles(spark: SparkSession, base: String,
+                                  v: Long): Seq[String] = {
+    def files(ver: Long): Set[String] =
+      if (ver == 0L) Set.empty
+      else
+        try TxLog.manifestFiles(spark, base, ver).toSet
+        catch {
+          case _: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"version $ver's manifest is gone from $base (vacuumed?) — " +
+                "the stream cannot replay it; reset the checkpoint or " +
+                "raise the vacuum retention above the consumer lag")
+        }
+    (files(v) -- files(v - 1)).toSeq.sorted
+  }
+}
+
+class TxLogTable(tableSchema: StructType, base: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"txlog($base)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TxLogScanBuilder(tableSchema, base, options)
+}
+
+class TxLogScanBuilder(full: StructType, base: String,
+                       options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = {
+    val maxVersions =
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+    maxVersions.foreach(n => require(n >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $n"))
+    val startingVersion =
+      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
+    require(startingVersion >= 0,
+      s"startingVersion must be >= 0, got $startingVersion")
+    val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+    versionAsOf.foreach(v => require(v >= 1,
+      s"versionAsOf must be >= 1, got $v"))
+    new TxLogScan(required, base, TxLogSource.changeFeed(options),
+      maxVersions, startingVersion, versionAsOf)
+  }
+}
+
+class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
+                maxVersionsPerTrigger: Option[Long], startingVersion: Long,
+                versionAsOf: Option[Long] = None)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"TxLogScan base=$base, changeFeed=$changeFeed, " +
+      s"readSchema=${required.simpleString}"
+
+  /** Batch read: the snapshot's files — latest version, or the
+    * `versionAsOf` time-travel target — each tagged with that version
+    * (plain mode ignores the tag); under changeFeed the feed from
+    * version 0 through the target, each file tagged the version that
+    * added it. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val latest = TxLog.latestVersion(spark, base).getOrElse(
+      throw new IllegalStateException(s"no committed version at $base"))
+    versionAsOf.foreach(v => require(v <= latest,
+      s"versionAsOf $v is beyond the latest committed version $latest"))
+    val target = versionAsOf.getOrElse(latest)
+    if (changeFeed)
+      (1L to target).flatMap(v =>
+        TxLogSource.addedFiles(spark, base, v)
+          .map(f => TxLogInputPartition(s"$base/$f", v): InputPartition)).toArray
+    else
+      TxLog.manifestFiles(spark, base, target)
+        .map(f => TxLogInputPartition(s"$base/$f", target): InputPartition)
+        .toArray
+  }
+
+  private[sources] def readerFactory(): PartitionReaderFactory =
+    new TxLogReaderFactory(required,
+      new org.apache.spark.util.SerializableConfiguration(
+        TxLogSource.driverHadoopConf()))
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory()
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TxLogMicroBatchStream(this, base, maxVersionsPerTrigger,
+      startingVersion)
+}
+
+case class TxLogInputPartition(file: String, commitVersion: Long)
+    extends InputPartition
+
+class TxLogReaderFactory(
+    required: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TxLogInputPartition]
+    new TxLogPartitionReader(p.file, p.commitVersion, required, conf.value)
+  }
+}
+
+/** One partition = one data file, decoded executor-side through the
+  * public parquet-mr Group API. The projection is pushed into
+  * `setRequestedSchema`, so pruned columns never leave the file;
+  * `_commit_version` (when required) is filled from the partition's
+  * manifest metadata, not the file; a required column absent from
+  * this (older) file yields NULL — the mergeSchema read semantics. */
+class TxLogPartitionReader(file: String, commitVersion: Long,
+                           required: StructType, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val reader =
+    ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file), conf))
+  private val fileSchema: MessageType =
+    reader.getFooter.getFileMetaData.getSchema
+  /** required fields present in THIS file, in required order (the
+    * projection); fields absent (evolved-away or _commit_version) are
+    * filled outside the file read. */
+  private val present = required.fields.filter(f =>
+    f.name != TxLogSource.CommitVersionCol && fileSchema.containsField(f.name))
+  private val projection: MessageType = {
+    import scala.jdk.CollectionConverters._
+    val fields: List[org.apache.parquet.schema.Type] =
+      present.map(f =>
+        fileSchema.getType(fileSchema.getFieldIndex(f.name))).toList
+    new MessageType(fileSchema.getName, fields.asJava)
+  }
+  /** count(*)-style scans prune every file column away (the required
+    * schema is empty or metadata-only); then only the footer's row
+    * count matters — no page is read at all. */
+  private val rowCountOnly = present.isEmpty
+  private var footerRows: Long =
+    if (rowCountOnly) reader.getRecordCount else 0L
+  if (!rowCountOnly) reader.setRequestedSchema(projection)
+
+  private var pages: PageReadStore = _
+  private var records: org.apache.parquet.io.RecordReader[Group] = _
+  private var remaining = 0L
+  private var current: InternalRow = _
+
+  private def advanceRowGroup(): Boolean = {
+    pages = reader.readNextRowGroup()
+    if (pages == null) false
+    else {
+      records = new ColumnIOFactory().getColumnIO(projection)
+        .getRecordReader(pages, new GroupRecordConverter(projection))
+      remaining = pages.getRowCount
+      if (remaining == 0) advanceRowGroup() else true
+    }
+  }
+
+  @scala.annotation.tailrec
+  final override def next(): Boolean =
+    if (rowCountOnly) {
+      if (footerRows == 0) false
+      else { footerRows -= 1; current = convert(null); true }
+    } else if (remaining > 0) {
+      remaining -= 1
+      current = convert(records.read())
+      true
+    } else if (advanceRowGroup()) next()
+    else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+
+  private def convert(g: Group): InternalRow = {
+    val values = new Array[Any](required.length)
+    var presentIdx = 0
+    var i = 0
+    while (i < required.length) {
+      val f = required.fields(i)
+      values(i) =
+        if (f.name == TxLogSource.CommitVersionCol) commitVersion
+        else if (presentIdx < present.length && present(presentIdx).name == f.name) {
+          val gi = presentIdx
+          presentIdx += 1
+          if (g.getFieldRepetitionCount(gi) == 0) null
+          else fieldValue(g, gi, f.dataType)
+        } else null // column not in this (older) file: mergeSchema NULL
+      i += 1
+    }
+    new GenericInternalRow(values)
+  }
+
+  private def fieldValue(g: Group, i: Int, dt: DataType): Any = dt match {
+    case LongType => g.getType.getType(i).asPrimitiveType()
+      .getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.INT64 => g.getLong(i, 0)
+        case _ => g.getInteger(i, 0).toLong
+      }
+    case IntegerType => g.getInteger(i, 0)
+    case ShortType => g.getInteger(i, 0).toShort
+    case ByteType => g.getInteger(i, 0).toByte
+    case DoubleType => g.getType.getType(i).asPrimitiveType()
+      .getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.DOUBLE => g.getDouble(i, 0)
+        case _ => g.getFloat(i, 0).toDouble
+      }
+    case FloatType => g.getFloat(i, 0)
+    case BooleanType => g.getBoolean(i, 0)
+    case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+    case BinaryType => g.getBinary(i, 0).getBytes
+    case DateType => g.getInteger(i, 0) // days since epoch
+    case TimestampType | TimestampNTZType => timestampMicros(g, i)
+    case other => throw new IllegalArgumentException(
+      s"txlog source does not support column type $other (flat " +
+        "numeric/string/bool/date/timestamp schemas only)")
+  }
+
+  /** Spark writes INT96 (legacy default) or INT64 micros; accept
+    * both, plus annotated MILLIS/NANOS. */
+  private def timestampMicros(g: Group, i: Int): Long = {
+    val pt = g.getType.getType(i).asPrimitiveType()
+    pt.getPrimitiveTypeName match {
+      case PrimitiveType.PrimitiveTypeName.INT96 =>
+        val buf = java.nio.ByteBuffer.wrap(g.getInt96(i, 0).getBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nanosOfDay = buf.getLong
+        val julianDay = buf.getInt
+        (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+      case PrimitiveType.PrimitiveTypeName.INT64 =>
+        val raw = g.getLong(i, 0)
+        pt.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+              case LogicalTypeAnnotation.TimeUnit.NANOS => raw / 1000L
+              case _ => raw // MICROS
+            }
+          case _ => raw
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported parquet timestamp encoding $other")
+    }
+  }
+}
+
+/** The committed VERSION as a streaming offset. Versions are dense,
+  * monotone (CAS-assigned), and immutable once published, so the
+  * offset alone fully determines every batch's contents — restart
+  * resumes at checkpointed-version + 1 with no listing-identity
+  * checks needed. */
+class TxLogOffset(val version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"version":$version}"""
+  override def equals(o: Any): Boolean = o match {
+    case t: TxLogOffset => t.version == version
+    case _ => false
+  }
+  override def hashCode(): Int = version.toInt
+}
+
+class TxLogMicroBatchStream(scan: TxLogScan, base: String,
+                            maxVersionsPerTrigger: Option[Long],
+                            startingVersion: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
+
+  private def spark = SparkSession.active
+  private var availableNowTarget: Option[Long] = None
+
+  private def latestCommitted(): Long =
+    TxLog.latestVersion(spark, base).getOrElse(0L)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestCommitted())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = new TxLogOffset(startingVersion)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[TxLogOffset].version
+    val avail = availableNowTarget.getOrElse(latestCommitted())
+    val to = limit match {
+      case mf: ReadMaxFiles => math.min(avail, from + mf.maxFiles())
+      case _ => avail
+    }
+    new TxLogOffset(math.max(from, to))
+  }
+
+  override def reportLatestOffset(): Offset =
+    new TxLogOffset(latestCommitted())
+
+  override def deserializeOffset(json: String): Offset = {
+    val pat = """\{"version":(\d+)\}""".r
+    json.trim match {
+      case pat(v) => new TxLogOffset(v.toLong)
+      case other => throw new IllegalArgumentException(
+        s"malformed txlog offset: $other")
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[TxLogOffset].version
+    val to = end.asInstanceOf[TxLogOffset].version
+    (from + 1 to to).flatMap(v =>
+      TxLogSource.addedFiles(spark, base, v)
+        .map(f => TxLogInputPartition(s"$base/$f", v): InputPartition)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.readerFactory()
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -234,6 +234,100 @@ class TxLogScaleSpec extends AnyFunSuite {
     assert(contents(replayed) == contents(TxLog.read(spark, base)))
   }
 
+  test("deleteRange rewrites only range-overlapping files, drops " +
+    "files emptied by the delete, and honors the residual predicate") {
+    val base = "/tmp/graft_txlog/del"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 1000, "t", 8), base, None, Some("k"))
+    val before = TxLog.manifest(spark, base, 1L)._1
+    // band delete with a residual: only even keys inside [250, 279] die
+    val v = TxLog.deleteRange(spark, base, "k", 250L, 279L,
+      residual = col("k") % 2 === 0)
+    assert(v == 2L)
+    val after = TxLog.manifest(spark, base, 2L)._1
+    val carried = before.map(_.path).toSet.intersect(after.map(_.path).toSet)
+    assert(carried.size >= 6,
+      s"narrow delete must carry most of 8 band files, carried ${carried.size}")
+    assert(carried.size < before.size, "at least one file must be rewritten")
+    assert(contents(TxLog.read(spark, base)) ==
+      contents(clustered(0, 1000, "t", 1)
+        .where(!(col("k").between(250, 279) && col("k") % 2 === 0))))
+    // whole-band delete: the emptied band's file vanishes from the
+    // manifest instead of being republished as a 0-row file
+    TxLog.deleteRange(spark, base, "k", 0L, 124L)
+    val v3 = TxLog.manifest(spark, base, 3L)._1
+    assert(v3.forall(_.rows > 0L), s"empty files republished: $v3")
+    assert(TxLog.read(spark, base).where(col("k") < 125).count() == 0)
+    // a range outside every band is a no-op at the current version
+    assert(TxLog.deleteRange(spark, base, "k", 90000L, 99000L) == 3L)
+    // the pre-delete snapshot is still readable (time travel)
+    assert(TxLog.readVersion(spark, base, 1L).count() == 1000)
+  }
+
+  test("updateRange rewrites only the touched band, leaves non-matching " +
+    "rows bit-identical, and refuses to assign the clustering column") {
+    val base = "/tmp/graft_txlog/upd"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 1000, "t", 8), base, None, Some("k"))
+    val before = TxLog.manifest(spark, base, 1L)._1
+    val v = TxLog.updateRange(spark, base, "k", 250L, 279L,
+      set = Map("s" -> concat(lit("upd-"), col("k"))),
+      residual = col("k") % 2 === 0)
+    assert(v == 2L)
+    val after = TxLog.manifest(spark, base, 2L)._1
+    val carried = before.map(_.path).toSet.intersect(after.map(_.path).toSet)
+    assert(carried.size >= 6 && carried.size < before.size,
+      s"narrow update must carry most band files, carried ${carried.size}")
+    val expect = clustered(0, 1000, "t", 1)
+      .select(col("k"),
+        when(col("k").between(250, 279) && col("k") % 2 === 0,
+          concat(lit("upd-"), col("k"))).otherwise(col("s")).as("s"))
+    assert(contents(TxLog.read(spark, base)) == contents(expect))
+    // rewritten band keeps fresh stats: skipping stays sharp after DML
+    assert(after.forall(_.stats.nonEmpty))
+    intercept[IllegalArgumentException] {
+      TxLog.updateRange(spark, base, "k", 0L, 10L,
+        set = Map("k" -> (col("k") + 1)))
+    }
+  }
+
+  test("8 genuinely concurrent appenders all land exactly once: " +
+    "dense version chain, no lost batch, no duplicate, no orphan") {
+    val base = "/tmp/graft_txlog/race8"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 10, "seed", 1), base, None, Some("k"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // 8 threads race their appends through the CAS; retries must
+    // absorb every collision (maxAttempts > thread count)
+    val futures = (0 until 8).map { i =>
+      Future {
+        TxLog.append(clustered(100 + i * 10, 10, s"w$i", 1),
+          base, Some("k"), maxAttempts = 20)
+      }
+    }
+    val versions = Await.result(Future.sequence(futures), 120.seconds)
+    // every writer won SOME distinct version; the chain is dense
+    assert(versions.toSet.size == 8, s"versions not distinct: $versions")
+    assert(versions.toSet == (2L to 9L).toSet, s"chain not dense: $versions")
+    assert(TxLog.latestVersion(spark, base).contains(9L))
+    val rows = TxLog.read(spark, base)
+    assert(rows.count() == 90, "every batch exactly once")
+    assert(rows.groupBy("k").count().where(col("count") > 1).count() == 0)
+    // no orphan txn dirs: every dir on disk is referenced by the
+    // surviving manifests (CAS losers must clean up after themselves)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/data"))
+      .map(_.getPath.getName).toSet
+    val referenced = (1L to 9L).flatMap(v =>
+      TxLog.manifestFiles(spark, base, v).map(_.split("/")(1))).toSet
+    assert(onDisk == referenced,
+      s"orphaned txn dirs after the race: ${onDisk -- referenced}")
+  }
+
   test("a v1 manifest (bare paths) still reads, appends, and merges — " +
     "its stat-less files are conservatively rewritten by mergeCow") {
     val base = "/tmp/graft_txlog/v1compat"

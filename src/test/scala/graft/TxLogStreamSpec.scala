@@ -1,0 +1,210 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.TxLog
+
+/** Laws for the txlog streaming source: version-per-micro-batch
+  * consumption, checkpoint resume, exactly-once delivery across
+  * restarts, change-feed tagging, schema evolution, and the vacuumed-
+  * history failure mode. The unifying claim: a batch's contents are
+  * the files its VERSION added — work per trigger scales with the
+  * commit delta, never the table. */
+class TxLogStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def clustered(lo: Long, n: Long, tag: String, parts: Int) = {
+    spark.range(lo, lo + n)
+      .select(col("id").as("k"), concat(lit(tag), lit("-"), col("id")).as("s"))
+      .repartitionByRange(parts, col("k"))
+  }
+
+  private def contents(d: DataFrame): Set[(Long, String)] =
+    d.select("k", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  /** Drain the source with AvailableNow into a parquet sink; returns
+    * the sink readback. */
+  private def drain(base: String, out: String, ckpt: String,
+                    options: Map[String, String] = Map.empty): DataFrame = {
+    val reader = options.foldLeft(
+      spark.readStream.format("graft.sources.TxLogSource")) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    val q = reader.load(base)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
+  test("change-feed stream delivers exactly the rows each version " +
+    "committed, tagged with its commit version, one version per trigger") {
+    val base = "/tmp/graft_txstream/feed"
+    val out = "/tmp/graft_txstream/feed_out"
+    val ckpt = "/tmp/graft_txstream/feed_ckpt"
+    Seq(base, out, ckpt).foreach(TxLog.drop(spark, _))
+    TxLog.commit(clustered(0, 100, "seed", 2), base, None, Some("k"))
+    TxLog.append(clustered(100, 20, "b1", 1), base, Some("k"))
+    TxLog.append(clustered(120, 30, "b2", 1), base, Some("k"))
+    val got = drain(base, out, ckpt,
+      Map("changeFeed" -> "true", "maxVersionsPerTrigger" -> "1"))
+    val perVersion = got.groupBy("_commit_version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perVersion == Map(1L -> 100L, 2L -> 20L, 3L -> 30L))
+    assert(contents(got) == contents(TxLog.read(spark, base)))
+    // one version per micro-batch: the sink's per-batch file sets are
+    // version-pure (every parquet batch dir committed by the stream
+    // holds exactly one _commit_version)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(out)))
+  }
+
+  test("restart resumes at the checkpointed version: appends between " +
+    "runs arrive exactly once, consumed history is never re-shipped") {
+    val base = "/tmp/graft_txstream/resume"
+    val out = "/tmp/graft_txstream/resume_out"
+    val ckpt = "/tmp/graft_txstream/resume_ckpt"
+    Seq(base, out, ckpt).foreach(TxLog.drop(spark, _))
+    TxLog.commit(clustered(0, 50, "seed", 1), base, None, Some("k"))
+    TxLog.append(clustered(50, 10, "b1", 1), base, Some("k"))
+    val run1 = drain(base, out, ckpt, Map("changeFeed" -> "true"))
+    assert(run1.count() == 60)
+    // two more versions land while the stream is down
+    TxLog.append(clustered(60, 10, "b2", 1), base, Some("k"))
+    TxLog.append(clustered(70, 10, "b3", 1), base, Some("k"))
+    val run2 = drain(base, out, ckpt, Map("changeFeed" -> "true"))
+    assert(run2.count() == 80, "each row must arrive exactly once")
+    assert(run2.groupBy("k").count().where(col("count") > 1).count() == 0,
+      "no row may be shipped twice across restarts")
+    assert(contents(run2) == contents(TxLog.read(spark, base)))
+    // an idle restart (no new versions) ships nothing new
+    val run3 = drain(base, out, ckpt, Map("changeFeed" -> "true"))
+    assert(run3.count() == 80)
+  }
+
+  test("startingVersion skips the seed: only increments stream") {
+    val base = "/tmp/graft_txstream/startv"
+    val out = "/tmp/graft_txstream/startv_out"
+    val ckpt = "/tmp/graft_txstream/startv_ckpt"
+    Seq(base, out, ckpt).foreach(TxLog.drop(spark, _))
+    TxLog.commit(clustered(0, 100, "seed", 2), base, None, Some("k"))
+    TxLog.append(clustered(100, 20, "b1", 1), base, Some("k"))
+    val got = drain(base, out, ckpt,
+      Map("changeFeed" -> "true", "startingVersion" -> "1"))
+    assert(got.count() == 20)
+    assert(got.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("schema-evolving append streams correctly: rows from pre-" +
+    "evolution files carry NULL in the new column; readEvolved agrees") {
+    val base = "/tmp/graft_txstream/evolve"
+    val out = "/tmp/graft_txstream/evolve_out"
+    val ckpt = "/tmp/graft_txstream/evolve_ckpt"
+    Seq(base, out, ckpt).foreach(TxLog.drop(spark, _))
+    TxLog.commit(clustered(0, 30, "old", 1), base, None, Some("k"))
+    TxLog.append(
+      clustered(30, 20, "new", 1).withColumn("extra", col("k") * 10),
+      base, Some("k"))
+    // batch side first: the evolved snapshot unions the schemas
+    val snap = TxLog.readEvolved(spark, base)
+    assert(snap.columns.toSeq == Seq("k", "s", "extra"))
+    assert(snap.where(col("extra").isNull).count() == 30)
+    assert(snap.where(col("extra") === col("k") * 10).count() == 20)
+    // streaming side: same union schema, same NULL semantics
+    val got = drain(base, out, ckpt)
+    assert(got.columns.toSet == Set("k", "s", "extra"))
+    assert(got.count() == 50)
+    assert(got.where(col("extra").isNull).count() == 30)
+    assert(got.where(col("extra") === col("k") * 10).count() == 20)
+  }
+
+  test("vacuumed history below the checkpoint fails with a reset " +
+    "error instead of silently skipping data") {
+    val base = "/tmp/graft_txstream/vac"
+    val out = "/tmp/graft_txstream/vac_out"
+    val ckpt = "/tmp/graft_txstream/vac_ckpt"
+    Seq(base, out, ckpt).foreach(TxLog.drop(spark, _))
+    TxLog.commit(clustered(0, 10, "a", 1), base, None, Some("k"))
+    TxLog.append(clustered(10, 10, "b", 1), base, Some("k"))
+    TxLog.append(clustered(20, 10, "c", 1), base, Some("k"))
+    TxLog.append(clustered(30, 10, "d", 1), base, Some("k"))
+    // vacuum history away BEFORE any consumption: the fresh stream's
+    // cursor (version 0) now points below the oldest surviving manifest
+    TxLog.vacuum(spark, base, keepLast = 2)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(base, out, ckpt, Map("changeFeed" -> "true"))
+    }
+    val msg = Option(ex.getCause).map(_.toString).getOrElse(ex.toString)
+    assert(msg.contains("vacuumed") || msg.contains("manifest is gone"),
+      s"expected a vacuumed-history error, got: $msg")
+  }
+
+  test("batch read through the source equals the native snapshot " +
+    "read; change-feed batch equals changesBetween from zero") {
+    val base = "/tmp/graft_txstream/batch"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 40, "a", 2), base, None, Some("k"))
+    TxLog.append(clustered(40, 10, "b", 1), base, Some("k"))
+    val viaSource = spark.read.format("graft.sources.TxLogSource").load(base)
+    assert(contents(viaSource) == contents(TxLog.read(spark, base)))
+    // column pruning path: a projected read still decodes correctly
+    assert(viaSource.select("k").collect().map(_.getLong(0)).toSet ==
+      (0L until 50L).toSet)
+    val feed = spark.read.format("graft.sources.TxLogSource")
+      .option("changeFeed", "true").load(base)
+    val expect = TxLog.changesBetween(spark, base, 0L, 2L)
+    assert(feed.groupBy("_commit_version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      expect.groupBy("_commit_version").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  test("versionAsOf time-travels the batch read, with the schema of " +
+    "THAT version — later-added columns don't leak into the past") {
+    val base = "/tmp/graft_txstream/asof"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 30, "v1", 1), base, None, Some("k"))
+    TxLog.append(
+      clustered(30, 20, "v2", 1).withColumn("extra", col("k") * 10),
+      base, Some("k"))
+    val asOf1 = spark.read.format("graft.sources.TxLogSource")
+      .option("versionAsOf", "1").load(base)
+    assert(asOf1.columns.toSeq == Seq("k", "s"),
+      "version 1's schema must not include the later column")
+    assert(contents(asOf1) == contents(TxLog.readVersion(spark, base, 1L)))
+    val asOf2 = spark.read.format("graft.sources.TxLogSource")
+      .option("versionAsOf", "2").load(base)
+    assert(asOf2.count() == 50 && asOf2.columns.contains("extra"))
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.TxLogSource")
+        .option("versionAsOf", "9").load(base).collect()
+    }
+    assert(ex.getMessage.contains("beyond the latest"))
+  }
+
+  test("timestamp and numeric types survive the Group-API decode " +
+    "bit-identically to the native parquet reader") {
+    val base = "/tmp/graft_txstream/types"
+    TxLog.drop(spark, base)
+    val df = spark.range(0, 100)
+      .select(col("id").as("k"),
+        concat(lit("s-"), col("id")).as("s"),
+        (col("id") * 1.5).as("d"),
+        col("id").cast("int").as("i"),
+        (col("id") % 2 === 0).as("b"),
+        date_add(to_date(lit("2024-01-01")), col("id").cast("int")).as("dt"),
+        expr("timestamp'2024-01-01 00:00:00' + " +
+          "make_interval(0, 0, 0, 0, 0, 0, id)").as("ts"))
+    TxLog.commit(df, base, None, Some("k"))
+    val native = TxLog.read(spark, base)
+    val viaSource = spark.read.format("graft.sources.TxLogSource").load(base)
+    assert(viaSource.orderBy("k").collect().toSeq ==
+      native.orderBy("k").collect().toSeq)
+  }
+}
