@@ -417,6 +417,22 @@ object RegistryMaint {
         .orderBy("commit_version")
     }),
 
+    // The full medallion hop as a log-to-log stream (the reference's
+    // Delta→Delta bronze→silver cadence): TxLogSource consumes the
+    // bronze log version-per-batch, the transform drops error events,
+    // and appendOnce lands the silver log exactly-once per micro-batch
+    // — including across a restart with new bronze commits in between
+    // (the helper pins 3 bronze versions → exactly 3 silver versions
+    // and the checkpoint-global batch high-water). The oracle is the
+    // cleaned events aggregate.
+    "stream_txlog_medallion" -> ((s, dir) =>
+      graft.streaming.StreamingOps.logToLogPipeline(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")),
+
     // Dynamic partition pruning: the fact table is partitioned by day;
     // the dim-side filter (5 peak days of 30) becomes a RUNTIME
     // partition filter on the fact scan — at 100 TB the scan opens 5
@@ -628,6 +644,11 @@ object RegistryMaint {
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
          FROM events WHERE event_id BETWEEN 100 AND 199
          ORDER BY commit_version""",
+    "stream_txlog_medallion" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events WHERE event_type <> 'error'
+         GROUP BY event_type ORDER BY event_type""",
     "s28_cow_delete_log" ->
       s"""SELECT event_type, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

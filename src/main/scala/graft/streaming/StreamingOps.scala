@@ -156,6 +156,67 @@ object StreamingOps {
     TxLog.read(spark, base)
   }
 
+  /** The medallion hop as a LOG-TO-LOG stream — both ends on the
+    * manifest-commit log: a bronze [[graft.operators.TxLog]] store is
+    * consumed version-per-micro-batch through the DSv2 TxLogSource,
+    * cleaned (error events dropped — the bronze→silver transform in
+    * miniature), and landed EXACTLY-ONCE into a silver TxLog via
+    * appendOnce keyed by the micro-batch id. The stream then stops,
+    * two more bronze versions land, and a SECOND run on the same
+    * checkpoint resumes: only the new versions flow (source side),
+    * and a replayed batch id no-ops (sink side) — exactly-once holds
+    * on BOTH ends across the restart. This is the reference's
+    * Delta-to-Delta streaming shape (bronze→silver) with commit work
+    * O(new versions) at each hop, never a table rescan. */
+  def logToLogPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TxLog
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val nonce = "log2log_" + java.util.UUID.randomUUID().toString
+    val bronze = "/tmp/graft_stream_txlog/bronze_" + nonce
+    val silver = "/tmp/graft_stream_txlog/silver_" + nonce
+    val ckpt = "/tmp/graft_stream_ckpt/" + nonce
+    TxLog.commit(
+      ev.where(col("event_id") >= 400).repartitionByRange(4, col("event_id")),
+      bronze, None, Some("event_id"))
+    TxLog.append(ev.where(col("event_id") < 200), bronze, Some("event_id"))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.TxLogSource")
+        .option("maxVersionsPerTrigger", "1")
+        .load(bronze)
+        .where(col("event_type") =!= "error")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          TxLog.appendOnce(batch, silver, "medallion", bid,
+            statsCol = Some("event_id"))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run() // bronze v1+v2 drain as two micro-batches
+    // two restarts' worth of new data lands while the stream is down
+    TxLog.append(ev.where(col("event_id").between(200, 399)),
+      bronze, Some("event_id"))
+    run() // resume from the checkpoint: ONLY bronze v3 flows
+    // source-side exactly-once: 3 bronze versions → exactly 3 silver
+    // versions (a re-shipped version would mint a 4th; appendOnce
+    // replay of a consumed batch id would not, so count both ends)
+    require(TxLog.latestVersion(spark, silver).contains(3L),
+      s"expected 3 silver versions, got " +
+        s"${TxLog.latestVersion(spark, silver)}")
+    // sink-side exactly-once: batch ids are checkpoint-global (run 1
+    // committed 0 and 1, run 2 resumed at 2), so the silver high-water
+    // map reads 2 — a post-restart redelivery of any of them no-ops
+    require(TxLog.manifest(spark, silver, 3L)._2 == Map("medallion" -> 2L),
+      s"expected sink high-water (medallion -> 2), got " +
+        s"${TxLog.manifest(spark, silver, 3L)._2}")
+    StreamTune.dropScratch(ckpt)
+    TxLog.read(spark, silver)
+  }
+
   /** Stream-static enrichment join + windowed aggregate: the events
     * stream is joined to a BATCH dimension (nation, broadcast — the
     * static side is planned once per micro-batch and never shuffles

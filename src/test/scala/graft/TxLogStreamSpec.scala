@@ -188,6 +188,28 @@ class TxLogStreamSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("beyond the latest"))
   }
 
+  test("the log is SQL-visible: CREATE TABLE ... USING the source, " +
+    "then plain SQL sees each query's CURRENT latest snapshot") {
+    val base = "/tmp/graft_txstream/sqlusing"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 50, "a", 2), base, None, Some("k"))
+    spark.sql("DROP TABLE IF EXISTS txlog_sql_demo")
+    spark.sql("CREATE TABLE txlog_sql_demo " +
+      s"USING graft.sources.TxLogSource OPTIONS (path '$base')")
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM txlog_sql_demo")
+        .head().getLong(0) == 50)
+      // a commit AFTER table creation is visible to the next query —
+      // the table resolves the latest manifest per plan, not at DDL
+      TxLog.append(clustered(50, 10, "b", 1), base, Some("k"))
+      assert(spark.sql("SELECT count(*) AS n FROM txlog_sql_demo")
+        .head().getLong(0) == 60)
+      assert(spark.sql(
+        "SELECT s FROM txlog_sql_demo WHERE k = 55").head().getString(0)
+        == "b-55")
+    } finally spark.sql("DROP TABLE IF EXISTS txlog_sql_demo")
+  }
+
   test("timestamp and numeric types survive the Group-API decode " +
     "bit-identically to the native parquet reader") {
     val base = "/tmp/graft_txstream/types"
