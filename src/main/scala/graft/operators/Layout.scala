@@ -51,19 +51,28 @@ object Layout {
     * table-level min/max — one row); at 100 TB the same two numbers
     * come from table metadata. */
   def zorderWrite(df: DataFrame, aCol: String, bCol: String,
-                  outDir: String, nFiles: Int): Unit = {
+                  outDir: String, nFiles: Int): Unit =
+    zorderCluster(df, aCol, bCol, nFiles)
+      .write.mode("overwrite").parquet(outDir)
+
+  /** The clustering half of [[zorderWrite]] without the sink: the
+    * returned DataFrame is range-partitioned and locally sorted on
+    * the Z-value (one tile of the key plane per partition), so ANY
+    * writer — plain parquet, or a TxLog commit with per-file stats on
+    * both keys ([[TxLog.commitMulti]]) — lands tile-per-file. */
+  def zorderCluster(df: DataFrame, aCol: String, bCol: String,
+                    nFiles: Int): DataFrame = {
     val s = df.agg(
       min(col(aCol)).cast("long"), max(col(aCol)).cast("long"),
       min(col(bCol)).cast("long"), max(col(bCol)).cast("long")).head()
     require(!s.isNullAt(0) && !s.isNullAt(2),
-      s"zorderWrite: no non-null ($aCol, $bCol) rows to cluster")
+      s"zorderCluster: no non-null ($aCol, $bCol) rows to cluster")
     val z = zvalue(col(aCol), s.getLong(0), s.getLong(1),
       col(bCol), s.getLong(2), s.getLong(3))
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(outDir)
   }
 
   /** Copy-on-write targeted delete on a hash-partitioned parquet

@@ -87,8 +87,14 @@ object TxLog {
   }
 
   /** One manifest entry: a base-relative data file, its row count
-    * (-1 when unknown, e.g. a v1 manifest), and optional stats. */
-  final case class Entry(path: String, rows: Long, stats: Option[ColStats])
+    * (-1 when unknown, e.g. a v1 manifest), and per-column min/max
+    * stats (empty when the writer collected none; one PER clustering
+    * column under [[commitMulti]], so a Z-ordered table can skip on
+    * EITHER dimension at the manifest level). */
+  final case class Entry(path: String, rows: Long, stats: Seq[ColStats]) {
+    def statsFor(column: String): Option[ColStats] =
+      stats.find(_.column == column)
+  }
 
   private def cmp(dtype: String, a: String, b: String): Int = dtype match {
     case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
@@ -117,13 +123,12 @@ object TxLog {
   }
 
   /** Does this file possibly hold rows with `column` in [lo, hi]?
-    * Entries without stats, or with stats on another column, must be
-    * answered yes. */
+    * Entries without stats on that column must be answered yes. */
   private def touchesRange(e: Entry, column: String,
                            lo: String, hi: String): Boolean =
-    e.stats match {
-      case Some(st) if st.column == column => st.overlaps(lo, hi)
-      case _ => true
+    e.statsFor(column) match {
+      case Some(st) => st.overlaps(lo, hi)
+      case None => true
     }
 
   /** Retry `body` on CAS losses up to `maxAttempts`, rethrowing the
@@ -143,20 +148,29 @@ object TxLog {
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** Line format: `path[\trows[\t(dtype\tcol\tmin\tmax)+]]` — 2 + 4k
+    * fields. The single-stats v2 line (6 fields) is the k=1 case, so
+    * older manifests parse unchanged. */
   private def serLine(e: Entry): String = e match {
-    case Entry(p, -1L, None) => p // v1-compatible bare path
-    case Entry(p, n, None) => s"$p\t$n"
-    case Entry(p, n, Some(ColStats(c, t, mn, mx))) =>
-      s"$p\t$n\t$t\t${enc(c)}\t${enc(mn)}\t${enc(mx)}"
+    case Entry(p, -1L, Nil) => p // v1-compatible bare path
+    case Entry(p, n, Nil) => s"$p\t$n"
+    case Entry(p, n, cols) =>
+      s"$p\t$n\t" + cols.map(cs =>
+        s"${cs.dtype}\t${enc(cs.column)}\t${enc(cs.min)}\t${enc(cs.max)}")
+        .mkString("\t")
   }
 
-  private def parseLine(line: String): Entry = line.split('\t') match {
-    case Array(p) => Entry(p, -1L, None)
-    case Array(p, n) => Entry(p, n.toLong, None)
-    case Array(p, n, t, c, mn, mx) =>
-      Entry(p, n.toLong, Some(ColStats(dec(c), t, dec(mn), dec(mx))))
-    case other => throw new IllegalStateException(
-      s"malformed manifest line: $line (${other.length} fields)")
+  private def parseLine(line: String): Entry = {
+    val f = line.split('\t')
+    if (f.length == 1) Entry(f(0), -1L, Nil)
+    else if (f.length == 2) Entry(f(0), f(1).toLong, Nil)
+    else if ((f.length - 2) % 4 == 0)
+      Entry(f(0), f(1).toLong,
+        f.drop(2).grouped(4).map { g =>
+          ColStats(dec(g(1)), g(0), dec(g(2)), dec(g(3)))
+        }.toList)
+    else throw new IllegalStateException(
+      s"malformed manifest line: $line (${f.length} fields)")
   }
 
   private def fc(base: String, spark: SparkSession): FileContext =
@@ -270,43 +284,54 @@ object TxLog {
 
   private def reprOf(v: Any): String = v.toString
 
-  /** Land `df` and collect per-file (rows, min, max) on `statsCol` by
-    * reading back ONLY the just-landed txn dir — one extra scan of
-    * the new data (never the table), the price of stats on a writer
-    * we can't hook. Files that are all-NULL in `statsCol` get no
-    * stats and are treated as always-overlapping. */
   private[graft] def landEntries(df: DataFrame, base: String,
-                                 statsCol: Option[String]): Seq[Entry] = {
+                                 statsCol: Option[String]): Seq[Entry] =
+    landEntriesMulti(df, base, statsCol.toSeq)
+
+  /** Land `df` and collect per-file (rows, min, max) on each of
+    * `statsCols` by reading back ONLY the just-landed txn dir — one
+    * extra scan of the new data (never the table), the price of stats
+    * on a writer we can't hook. A file that is all-NULL in a stats
+    * column gets no stats FOR THAT COLUMN and is treated as
+    * always-overlapping there. */
+  private[graft] def landEntriesMulti(df: DataFrame, base: String,
+                                      statsCols: Seq[String]): Seq[Entry] = {
     // fail fast: a missing column or unsupported type must surface
     // BEFORE the (possibly huge) data write, not orphan a landed dir
-    val dtypeByCol = statsCol.map(c => c -> statsDtype(df.schema(c).dataType))
+    val dtypes = statsCols.map(c => c -> statsDtype(df.schema(c).dataType))
     val rels = land(df, base)
-    dtypeByCol match {
-      case _ if rels.isEmpty => Seq.empty // all-empty write: no part files
-      case None => rels.map(Entry(_, -1L, None))
-      case Some((c, dtype)) =>
-        import org.apache.spark.sql.functions._
-        val spark = df.sparkSession
-        val castT = castType(dtype)
-        val txnDir = s"$base/${rels.head.split('/').dropRight(1).mkString("/")}"
-        val byFile = spark.read.parquet(txnDir)
-          .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1)
-            .as("__file"))
-          .agg(count(lit(1)).as("__rows"),
-            min(col(c).cast(castT)).cast("string").as("__min"),
-            max(col(c).cast(castT)).cast("string").as("__max"))
-          .collect() // one row per landed file — bounded driver metadata
-          .map(r => r.getString(0) ->
-            (r.getLong(1), Option(r.getString(2)), Option(r.getString(3))))
-          .toMap
-        rels.map { rel =>
-          byFile.get(rel.split('/').last) match {
-            case Some((n, Some(mn), Some(mx))) =>
-              Entry(rel, n, Some(ColStats(c, dtype, mn, mx)))
-            case Some((n, _, _)) => Entry(rel, n, None)
-            case None => Entry(rel, 0L, None) // empty file: no rows scanned
-          }
+    if (rels.isEmpty) Seq.empty // all-empty write: no part files
+    else if (dtypes.isEmpty) rels.map(Entry(_, -1L, Nil))
+    else {
+      import org.apache.spark.sql.functions._
+      val spark = df.sparkSession
+      val txnDir = s"$base/${rels.head.split('/').dropRight(1).mkString("/")}"
+      val aggs = count(lit(1)).as("__rows") +:
+        dtypes.zipWithIndex.flatMap { case ((c, t), i) =>
+          val castT = castType(t)
+          Seq(min(col(c).cast(castT)).cast("string").as(s"__min$i"),
+            max(col(c).cast(castT)).cast("string").as(s"__max$i"))
         }
+      val byFile = spark.read.parquet(txnDir)
+        .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1)
+          .as("__file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // one row per landed file — bounded driver metadata
+        .map(r => r.getString(0) -> r)
+        .toMap
+      rels.map { rel =>
+        byFile.get(rel.split('/').last) match {
+          case Some(r) =>
+            val cols = dtypes.zipWithIndex.flatMap { case ((c, t), i) =>
+              (Option(r.getString(2 + 2 * i)), Option(r.getString(3 + 2 * i))) match {
+                case (Some(mn), Some(mx)) => Some(ColStats(c, t, mn, mx))
+                case _ => None // all-NULL column in this file
+              }
+            }
+            Entry(rel, r.getLong(1), cols)
+          case None => Entry(rel, 0L, Nil) // empty file: no rows scanned
+        }
+      }
     }
   }
 
@@ -316,7 +341,7 @@ object TxLog {
     * and no two writers can both win the same version. */
   private[graft] def publish(spark: SparkSession, base: String,
                              v: Long, files: Seq[String]): Unit =
-    publishEntries(spark, base, v, files.map(Entry(_, -1L, None)), Map.empty)
+    publishEntries(spark, base, v, files.map(Entry(_, -1L, Nil)), Map.empty)
 
   private[graft] def publishEntries(spark: SparkSession, base: String, v: Long,
                                     entries: Seq[Entry],
@@ -359,14 +384,23 @@ object TxLog {
     * after cleaning up the landed files if another writer got there
     * first. Returns the published version. */
   def commit(df: DataFrame, base: String, expected: Option[Long],
-             statsCol: Option[String] = None): Long = {
+             statsCol: Option[String] = None): Long =
+    commitMulti(df, base, expected, statsCol.toSeq)
+
+  /** [[commit]] with stats on SEVERAL columns — the pairing for a
+    * Z-ordered layout: each file of a Z-clustered table covers a
+    * small tile of the key plane, so manifest min/max on BOTH
+    * dimensions lets [[readRanges]] skip files for a 2-D box
+    * predicate before any footer is opened. */
+  def commitMulti(df: DataFrame, base: String, expected: Option[Long],
+                  statsCols: Seq[String]): Long = {
     val spark = df.sparkSession
     val v = expected.getOrElse(0L) + 1L
     // carry the txn high-water map of the version we build on: a
     // maintenance rewrite (transact/commit) must never reset
     // appendOnce's exactly-once state
     val txns = expected.map(manifest(spark, base, _)._2).getOrElse(Map.empty)
-    val entries = landEntries(df, base, statsCol)
+    val entries = landEntriesMulti(df, base, statsCols)
     try { publishEntries(spark, base, v, entries, txns); v }
     catch {
       case e: CommitConflictException =>
@@ -457,6 +491,41 @@ object TxLog {
       spark.read.parquet(kept.map(e => s"$base/${e.path}"): _*)
         .where(col(column).between(lit(lo), lit(hi)))
     }
+  }
+
+  /** Multi-range file skipping: entries of the latest version whose
+    * stats overlap EVERY (column, lo, hi) predicate — the conjunction
+    * a 2-D box query puts on a Z-ordered table. Per-column absence of
+    * stats is conservative (that predicate passes). */
+  def pruneRanges(spark: SparkSession, base: String,
+                  preds: Seq[(String, Any, Any)]): (Seq[Entry], Seq[Entry]) = {
+    require(preds.nonEmpty, "pruneRanges needs at least one predicate")
+    val v = latestVersion(spark, base).getOrElse(
+      throw new IllegalStateException(s"no committed version at $base"))
+    val (entries, _) = manifest(spark, base, v)
+    val kept = entries.filter(e => preds.forall { case (c, lo, hi) =>
+      touchesRange(e, c, reprOf(lo), reprOf(hi))
+    })
+    (kept, entries)
+  }
+
+  /** Box read with 2-D (or n-D) data skipping: prune files by ALL the
+    * range predicates' manifest stats, then scan only the survivors
+    * with the residual row-level predicate applied. On a Z-ordered
+    * table ([[Layout.zorderCluster]] + [[commitMulti]]) a box that
+    * covers a sliver of the key plane opens a handful of the table's
+    * files — pruned on BOTH dimensions, which a single-column sort
+    * can never give. */
+  def readRanges(spark: SparkSession, base: String,
+                 preds: Seq[(String, Any, Any)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = pruneRanges(spark, base, preds)
+    val residual = preds.map { case (c, lo, hi) =>
+      col(c).between(lit(lo), lit(hi))
+    }.reduce(_ && _)
+    if (kept.isEmpty) read(spark, base).where(lit(false))
+    else spark.read.parquet(kept.map(e => s"$base/${e.path}"): _*)
+      .where(residual)
   }
 
   /** Copy-on-write MERGE: rewrite ONLY the files whose `statsCol`

@@ -201,6 +201,35 @@ object RegistryMaint {
         .orderBy("event_type")
     }),
 
+    // Z-order + manifest stats, combined (Delta OPTIMIZE ZORDER with
+    // data skipping, both halves in-engine): lineitem is Z-clustered
+    // on (l_orderkey, l_partkey) and committed with per-file min/max
+    // on BOTH keys in the manifest; the 2-D box query then prunes
+    // files on BOTH dimensions BEFORE any parquet footer is opened
+    // (the require pins a real skip). s15 proved the parquet-stats
+    // layer of this; here the skipping is planner-independent manifest
+    // metadata — the layer that works on any store at 10^5 files.
+    "s31_zorder_manifest_skip" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txzorder_lineitem"
+      TxLog.drop(s, base)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+      TxLog.commitMulti(
+        Layout.zorderCluster(li, "l_orderkey", "l_partkey", 16),
+        base, None, Seq("l_orderkey", "l_partkey"))
+      val preds = Seq[(String, Any, Any)](
+        ("l_orderkey", okLo, okHi), ("l_partkey", pkLo, pkHi))
+      val (kept, all) = TxLog.pruneRanges(s, base, preds)
+      require(kept.size < all.size,
+        s"2-D manifest stats must skip files: kept ${kept.size} of ${all.size}")
+      TxLog.readRanges(s, base, preds)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Copy-on-write DELETE through the manifest log (Delta DELETE
     // WHERE analog — the GDPR erasure verb at the file level): the
     // table is range-clustered on event_id, the predicate is a narrow
@@ -644,6 +673,13 @@ object RegistryMaint {
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
          FROM events WHERE event_id BETWEEN 100 AND 199
          ORDER BY commit_version""",
+    "s31_zorder_manifest_skip" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+                cast(sum(cast(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey BETWEEN $okLo AND $okHi
+           AND l_partkey BETWEEN $pkLo AND $pkHi
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "stream_txlog_medallion" ->
       """SELECT event_type, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
