@@ -67,6 +67,11 @@ import graft.operators.TxLog
   *  - `versionAsOf=N` (batch only): time travel — the snapshot (or
   *    feed prefix) as of version N, schema inferred from N's own
   *    files so later-added columns don't leak into the past.
+  *  - range predicates (`WHERE k BETWEEN lo AND hi`, =, <, >) are
+  *    pushed into the scan builder and prune manifest entries by
+  *    per-file min/max stats BEFORE any footer is opened — batch and
+  *    per-micro-batch alike; every filter stays residual with Spark,
+  *    so the skip can only drop provably-dead files.
   *
   * The executor half decodes parquet through the PUBLIC parquet-mr
   * Group API with the column projection pushed into the file reader
@@ -121,25 +126,65 @@ object TxLogSource {
   private[sources] def driverHadoopConf(): Configuration =
     SparkSession.active.sparkContext.hadoopConfiguration
 
-  /** Files ADDED by version `v` (manifest diff against v-1), as
-    * base-relative paths. Version 1 diffs against the empty set.
-    * A missing manifest — vacuumed history — raises a reset-the-
-    * checkpoint error instead of a raw FileNotFound. */
-  private[sources] def addedFiles(spark: SparkSession, base: String,
-                                  v: Long): Seq[String] = {
-    def files(ver: Long): Set[String] =
-      if (ver == 0L) Set.empty
-      else
-        try TxLog.manifestFiles(spark, base, ver).toSet
-        catch {
-          case _: java.io.FileNotFoundException =>
-            throw new IllegalStateException(
-              s"version $ver's manifest is gone from $base (vacuumed?) — " +
-                "the stream cannot replay it; reset the checkpoint or " +
-                "raise the vacuum retention above the consumer lag")
-        }
-    (files(v) -- files(v - 1)).toSeq.sorted
+  /** Entries ADDED by version `v` (manifest diff against v-1).
+    * Version 1 diffs against the empty set. A missing manifest —
+    * vacuumed history — raises a reset-the-checkpoint error instead
+    * of a raw FileNotFound. */
+  private[sources] def addedEntries(spark: SparkSession, base: String,
+                                    v: Long): Seq[TxLog.Entry] = {
+    def entriesOf(ver: Long): Seq[TxLog.Entry] =
+      try TxLog.manifest(spark, base, ver)._1
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"version $ver's manifest is gone from $base (vacuumed?) — " +
+              "the stream cannot replay it; reset the checkpoint or " +
+              "raise the vacuum retention above the consumer lag")
+      }
+    val prev: Set[String] =
+      if (v == 1L) Set.empty else entriesOf(v - 1).map(_.path).toSet
+    entriesOf(v).filterNot(e => prev.contains(e.path)).sortBy(_.path)
   }
+
+  /** The (column, lo?, hi?) range constraints a DSv2 filter implies —
+    * empty when the filter has no range shape we can use. Only
+    * top-level conjunctions contribute (the filters ARRAY is itself a
+    * conjunction); Or/Not/In stay un-pruned (conservative). */
+  private[sources] def rangeOf(f: org.apache.spark.sql.sources.Filter)
+      : Seq[(String, Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.sources._
+    def ok(v: Any): Boolean = v != null && (v.isInstanceOf[Number] ||
+      v.isInstanceOf[String] || v.isInstanceOf[java.sql.Date] ||
+      v.isInstanceOf[java.time.LocalDate])
+    f match {
+      case EqualTo(c, v) if ok(v) => Seq((c, Some(v), Some(v)))
+      case GreaterThan(c, v) if ok(v) => Seq((c, Some(v), None))
+      case GreaterThanOrEqual(c, v) if ok(v) => Seq((c, Some(v), None))
+      case LessThan(c, v) if ok(v) => Seq((c, None, Some(v)))
+      case LessThanOrEqual(c, v) if ok(v) => Seq((c, None, Some(v)))
+      case And(l, r) => rangeOf(l) ++ rangeOf(r)
+      case _ => Seq.empty
+    }
+  }
+
+  /** Can this entry's stats satisfy every pushed filter? Absent stats,
+    * non-range filters, and un-comparable value/dtype combinations
+    * all answer yes (pruning may only drop PROVABLY dead files; the
+    * filters are re-applied row-level by Spark regardless). The
+    * strict/inclusive distinction is deliberately ignored — boundary
+    * files survive, rows die above. */
+  private[sources] def entrySurvives(
+      e: TxLog.Entry,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => rangeOf(f).forall { case (c, lo, hi) =>
+      e.statsFor(c) match {
+        case Some(st) => scala.util.Try {
+          lo.forall(l => st.overlaps(l.toString, st.max)) &&
+            hi.forall(h => st.overlaps(st.min, h.toString))
+        }.getOrElse(true)
+        case None => true
+      }
+    })
 }
 
 class TxLogTable(tableSchema: StructType, base: String)
@@ -154,10 +199,23 @@ class TxLogTable(tableSchema: StructType, base: String)
 
 class TxLogScanBuilder(full: StructType, base: String,
                        options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  /** Range-shaped predicates prune manifest entries before any footer
+    * is opened ([[TxLogSource.entrySurvives]]); EVERY filter stays
+    * residual (returned back to Spark), so the skip can only remove
+    * files that cannot hold a matching row — never change results. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(f => TxLogSource.rangeOf(f).nonEmpty)
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
   override def build(): Scan = {
     val maxVersions =
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
@@ -171,25 +229,31 @@ class TxLogScanBuilder(full: StructType, base: String,
     versionAsOf.foreach(v => require(v >= 1,
       s"versionAsOf must be >= 1, got $v"))
     new TxLogScan(required, base, TxLogSource.changeFeed(options),
-      maxVersions, startingVersion, versionAsOf)
+      maxVersions, startingVersion, versionAsOf, pushed)
   }
 }
 
 class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
                 maxVersionsPerTrigger: Option[Long], startingVersion: Long,
-                versionAsOf: Option[Long] = None)
+                versionAsOf: Option[Long] = None,
+                pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"TxLogScan base=$base, changeFeed=$changeFeed, " +
-      s"readSchema=${required.simpleString}"
+      s"readSchema=${required.simpleString}, " +
+      s"pushedFilters=[${pushed.mkString(", ")}]"
+
+  private[sources] def survivors(entries: Seq[TxLog.Entry]): Seq[TxLog.Entry] =
+    entries.filter(e => TxLogSource.entrySurvives(e, pushed.toIndexedSeq))
 
   /** Batch read: the snapshot's files — latest version, or the
     * `versionAsOf` time-travel target — each tagged with that version
     * (plain mode ignores the tag); under changeFeed the feed from
     * version 0 through the target, each file tagged the version that
-    * added it. */
+    * added it. Either way, files whose manifest stats cannot satisfy
+    * the pushed range filters are skipped before any footer opens. */
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val latest = TxLog.latestVersion(spark, base).getOrElse(
@@ -199,11 +263,12 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
     val target = versionAsOf.getOrElse(latest)
     if (changeFeed)
       (1L to target).flatMap(v =>
-        TxLogSource.addedFiles(spark, base, v)
-          .map(f => TxLogInputPartition(s"$base/$f", v): InputPartition)).toArray
+        survivors(TxLogSource.addedEntries(spark, base, v))
+          .map(e => TxLogInputPartition(s"$base/${e.path}", v): InputPartition))
+        .toArray
     else
-      TxLog.manifestFiles(spark, base, target)
-        .map(f => TxLogInputPartition(s"$base/$f", target): InputPartition)
+      survivors(TxLog.manifest(spark, base, target)._1)
+        .map(e => TxLogInputPartition(s"$base/${e.path}", target): InputPartition)
         .toArray
   }
 
@@ -435,9 +500,12 @@ class TxLogMicroBatchStream(scan: TxLogScan, base: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[TxLogOffset].version
     val to = end.asInstanceOf[TxLogOffset].version
+    // stats-pruning applies per batch too: a filtered stream never
+    // ships files the pushed ranges prove dead (filters stay residual)
     (from + 1 to to).flatMap(v =>
-      TxLogSource.addedFiles(spark, base, v)
-        .map(f => TxLogInputPartition(s"$base/$f", v): InputPartition)).toArray
+      scan.survivors(TxLogSource.addedEntries(spark, base, v))
+        .map(e => TxLogInputPartition(s"$base/${e.path}", v): InputPartition))
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -210,6 +210,31 @@ class TxLogStreamSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS txlog_sql_demo")
   }
 
+  test("pushed range filters prune manifest entries before the scan: " +
+    "fewer planned partitions, identical results, filters residual") {
+    val base = "/tmp/graft_txstream/pushdown"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 1000, "x", 8), base, None, Some("k"))
+    val src = spark.read.format("graft.sources.TxLogSource").load(base)
+    val narrow = src.where(col("k").between(10, 90))
+    // partition count IS the planned-file count for a DSv2 scan: the
+    // 8-band table must plan at most 2 band files for the narrow range
+    assert(narrow.rdd.getNumPartitions <= 2,
+      s"expected <=2 planned files, got ${narrow.rdd.getNumPartitions}")
+    assert(src.rdd.getNumPartitions == 8)
+    assert(contents(narrow) ==
+      contents(TxLog.read(spark, base).where(col("k").between(10, 90))))
+    // point lookup: one band file
+    val point = src.where(col("k") === 500)
+    assert(point.rdd.getNumPartitions <= 1)
+    assert(point.count() == 1)
+    // a range beyond every band plans zero partitions and returns none
+    assert(src.where(col("k") > 5000).count() == 0)
+    // non-range filters (e.g. on the string column) prune nothing and
+    // stay correct
+    assert(src.where(col("s") === "x-7").count() == 1)
+  }
+
   test("timestamp and numeric types survive the Group-API decode " +
     "bit-identically to the native parquet reader") {
     val base = "/tmp/graft_txstream/types"
