@@ -20,11 +20,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                                    version reads ONE manifest)
   *
   * - WRITE: land all files under a fresh txn dir, then publish the
-  *   manifest for version v+1 with an ATOMIC create-if-absent rename
-  *   ([[FileContext]] + `Options.Rename.NONE` — the same primitive
-  *   Spark's streaming checkpoint manager relies on; atomic on
-  *   HDFS-like stores and the local FS, NOT on raw S3, which needs a
-  *   coordinating catalog — the identical caveat Delta documents).
+  *   manifest for version v+1 with an ATOMIC create-if-absent
+  *   install: [[FileContext]] + `Options.Rename.NONE` on HDFS-like
+  *   stores (the same primitive Spark's streaming checkpoint manager
+  *   relies on), `Files.createLink` (POSIX link(2), kernel-atomic
+  *   fail-if-exists) on the local FS — where rename-if-absent is
+  *   check-then-act and two racers could both "win" (TxLogScaleSpec's
+  *   8-writer race caught exactly that). Raw S3 has neither and needs
+  *   a coordinating catalog — the identical caveat Delta documents.
   * - READ: resolve the highest published manifest, read only its
   *   files. A reader interleaved anywhere inside a write sees the
   *   previous complete version — never a partial directory
@@ -357,17 +360,41 @@ object TxLog {
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val dst = manifestPath(base, v)
-    try fc(base, spark).rename(tmp, dst, Options.Rename.NONE)
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.nio.file.FileAlreadyExistsException =>
-        f.delete(tmp, false)
-        throw new CommitConflictException(v)
-      case _: java.io.IOException if f.exists(dst) =>
-        // some FileContext impls signal an existing destination as a
-        // bare IOException — same CAS outcome
-        f.delete(tmp, false)
-        throw new CommitConflictException(v)
+    val scheme = new Path(base).toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      // Local FS: FileContext's rename-if-absent is check-then-act —
+      // the POSIX rename(2) underneath OVERWRITES an existing
+      // destination, so two racing writers can both believe they won
+      // (a lost update, plus a torn checksum sidecar for concurrent
+      // readers; caught by TxLogScaleSpec's 8-writer race). link(2)
+      // via Files.createLink is the kernel-atomic fail-if-exists
+      // primitive, the same trick Delta's local LogStore documents.
+      val rawTmp = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val rawDst = java.nio.file.Paths.get(dst.toUri.getPath)
+      try java.nio.file.Files.createLink(rawDst, rawTmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false)
+          throw new CommitConflictException(v)
+      }
+      f.delete(tmp, false) // also removes tmp's .crc; dst carries none
+    } else {
+      // HDFS-like stores: rename-if-absent IS atomic server-side (the
+      // primitive Spark's streaming checkpoint manager relies on).
+      // Raw S3 has neither and needs a coordinating catalog — the
+      // identical caveat Delta documents.
+      try fc(base, spark).rename(tmp, dst, Options.Rename.NONE)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false)
+          throw new CommitConflictException(v)
+        case _: java.io.IOException if f.exists(dst) =>
+          // some FileContext impls signal an existing destination as a
+          // bare IOException — same CAS outcome
+          f.delete(tmp, false)
+          throw new CommitConflictException(v)
+      }
     }
   }
 
@@ -625,6 +652,60 @@ object TxLog {
       set.foldLeft(touched) { case (df, (c, expr)) =>
         df.withColumn(c, when(hit, expr).otherwise(col(c)))
       }
+    }
+  }
+
+  /** Atomic range replacement (Delta `replaceWhere` analog — the
+    * daily-reload shape): in ONE published version, every existing
+    * row with `column` in [lo, hi] is dropped and `df`'s rows take
+    * their place. Validated like Delta: `df` may only contain rows
+    * inside the replaced range (a misrouted row would silently
+    * corrupt a neighboring band). Files outside the range ride by
+    * reference; in-range survivors of PARTIALLY overlapping files are
+    * rewritten. The replacement lands once and is reused across CAS
+    * retries — a conflict re-reads one manifest, never re-lands the
+    * batch. */
+  def replaceRange(spark: SparkSession, base: String, column: String,
+                   lo: Any, hi: Any, df: DataFrame,
+                   maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val outside = df.where(
+      !coalesce(col(column).between(lit(lo), lit(hi)), lit(false)))
+      .limit(1).count()
+    require(outside == 0,
+      s"replaceRange: replacement rows must satisfy $column BETWEEN " +
+        s"$lo AND $hi (found at least one outside — Delta's replaceWhere " +
+        "constraint, which keeps band skipping sound)")
+    val (l, h) = (reprOf(lo), reprOf(hi))
+    val newEntries = landEntriesMulti(df, base, Seq(column))
+    try withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val (touched, carried) = entries.partition(touchesRange(_, column, l, h))
+      val survivors =
+        if (touched.isEmpty) Seq.empty
+        else {
+          val out = landEntriesMulti(
+            spark.read.parquet(touched.map(e => s"$base/${e.path}"): _*)
+              .where(!coalesce(
+                col(column).between(lit(lo), lit(hi)), lit(false))),
+            base, Seq(column)).filter(_.rows != 0L)
+          out
+        }
+      try {
+        publishEntries(spark, base, cur + 1L,
+          carried ++ survivors ++ newEntries, txns)
+        cur + 1L
+      } catch {
+        case e: CommitConflictException =>
+          // this attempt's survivor rewrite is dead; the replacement
+          // batch itself is kept for the retry
+          discard(spark, base, survivors.map(_.path)); throw e
+      }
+    } catch {
+      case e: CommitConflictException =>
+        discard(spark, base, newEntries.map(_.path)); throw e
     }
   }
 

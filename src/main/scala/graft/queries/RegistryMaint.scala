@@ -378,6 +378,39 @@ object RegistryMaint {
         .orderBy("commit_version")
     }),
 
+    // Atomic range replacement through the manifest log (Delta
+    // replaceWhere — the daily-reload verb): one published version
+    // drops every row in the id band and installs the recomputed
+    // batch (here: only the band's click events, values ×10) in its
+    // place; out-of-band files ride by reference, and a replacement
+    // row outside the declared range is rejected up front. Distinct
+    // from UPDATE: non-click band rows are GONE, not carried. The
+    // oracle recomputes survivors + replacements with NOT/CASE.
+    "s32_replace_range" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txreplace_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(ev.repartitionByRange(8, col("event_id")),
+        base, None, Some("event_id"))
+      val before = TxLog.manifestFiles(s, base, 1L).toSet
+      val reload = ev.where(col("event_id").between(cowLo, cowHi) &&
+          col("event_type") === "click")
+        .withColumn("value", col("value") * 10)
+      TxLog.replaceRange(s, base, "event_id", cowLo, cowHi, reload)
+      val after = TxLog.manifestFiles(s, base, 2L).toSet
+      val carried = before.intersect(after).size
+      require(carried >= 1 && carried < before.size,
+        s"band replace must carry some files and rewrite some: " +
+          s"$carried of ${before.size}")
+      TxLog.read(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Schema evolution across manifest versions (Delta mergeSchema on
     // both sides of the log): version 1 lands the original schema,
     // version 2 appends rows carrying a NEW column, and readEvolved
@@ -651,6 +684,16 @@ object RegistryMaint {
                        THEN value * 2 ELSE value END
                   AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events
+         GROUP BY event_type ORDER BY event_type""",
+    "s32_replace_range" ->
+      s"""SELECT event_type, count(*) AS n,
+                cast(sum(cast(
+                  CASE WHEN event_id BETWEEN $cowLo AND $cowHi
+                       THEN value * 10 ELSE value END
+                  AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE event_id NOT BETWEEN $cowLo AND $cowHi
+            OR event_type = 'click'
          GROUP BY event_type ORDER BY event_type""",
     "s30_schema_evolution" ->
       """SELECT count(*) AS n_rows,

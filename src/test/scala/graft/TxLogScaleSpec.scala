@@ -362,6 +362,37 @@ class TxLogScaleSpec extends AnyFunSuite {
       Seq(("a", 10L, 20L), ("b", 5000L, 6000L))).count() == 0)
   }
 
+  test("replaceRange swaps a band atomically: out-of-band files ride " +
+    "by reference, partial overlaps keep their out-of-band survivors, " +
+    "and a misrouted replacement row is rejected up front") {
+    val base = "/tmp/graft_txlog/replace"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 1000, "t", 8), base, None, Some("k"))
+    val before = TxLog.manifest(spark, base, 1L)._1
+    // daily re-load of band [200, 399]: fewer rows, new payloads
+    val reload = spark.range(200, 300)
+      .select(col("id").as("k"), concat(lit("reload-"), col("id")).as("s"))
+    val v = TxLog.replaceRange(spark, base, "k", 200L, 399L, reload)
+    assert(v == 2L)
+    val after = TxLog.manifest(spark, base, 2L)._1
+    val carried = before.map(_.path).toSet.intersect(after.map(_.path).toSet)
+    assert(carried.size >= 5 && carried.size < before.size,
+      s"band replace must carry out-of-band files, carried ${carried.size}")
+    val expect = clustered(0, 1000, "t", 1)
+      .where(!col("k").between(200, 399))
+      .unionAll(reload)
+    assert(contents(TxLog.read(spark, base)) == contents(expect))
+    assert(TxLog.read(spark, base).count() == 900) // 800 kept + 100 new
+    // a replacement row outside the declared range is rejected BEFORE
+    // anything lands
+    intercept[IllegalArgumentException] {
+      TxLog.replaceRange(spark, base, "k", 0L, 9L,
+        spark.range(5, 15).select(col("id").as("k"), lit("bad").as("s")))
+    }
+    assert(TxLog.latestVersion(spark, base).contains(2L),
+      "a rejected replace must not publish")
+  }
+
   test("a v1 manifest (bare paths) still reads, appends, and merges — " +
     "its stat-less files are conservatively rewritten by mergeCow") {
     val base = "/tmp/graft_txlog/v1compat"
