@@ -841,6 +841,37 @@ object TxLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Version history (Delta DESCRIBE HISTORY analog): one row per
+    * surviving published version — file count, row count (NULL when
+    * any entry predates row-counted manifests), files added vs the
+    * previous version, and the txn high-water app count. Driver-side
+    * manifest metadata only; with full-snapshot manifests this is
+    * O(versions × files) parse work, the price of one-file resolution
+    * everywhere else (a maintenance verb, not a query-path one). */
+  def history(spark: SparkSession, base: String): DataFrame = {
+    val dir = new Path(s"$base/$LogDir")
+    val f = fs(base, spark)
+    val versions: Seq[Long] =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq
+        .flatMap(st => parseVersion(st.getPath.getName)).sorted
+    val rows = versions.map { v =>
+      val (entries, txns) = manifest(spark, base, v)
+      val prevPaths: Set[String] =
+        if (versions.contains(v - 1))
+          manifest(spark, base, v - 1)._1.map(_.path).toSet
+        else Set.empty
+      val nRows: Option[Long] =
+        if (entries.forall(_.rows >= 0)) Some(entries.map(_.rows).sum)
+        else None
+      (v, entries.size.toLong, nRows,
+        entries.count(e => !prevPaths.contains(e.path)).toLong,
+        txns.size.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("version", "n_files", "n_rows", "n_added_files", "n_txn_apps")
+  }
+
   /** Retention vacuum: drop all but the newest `keepLast` manifests,
     * then delete every txn dir no surviving manifest references.
     * Returns the surviving versions, ascending. */

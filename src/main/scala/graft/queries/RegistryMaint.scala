@@ -378,6 +378,28 @@ object RegistryMaint {
         .orderBy("commit_version")
     }),
 
+    // Version history over the manifest log (Delta DESCRIBE HISTORY):
+    // per-version row counts ride the manifests, so the full history
+    // answer costs zero data I/O — the oracle recomputes each
+    // version's cumulative count from the id slices the commits used.
+    "s33_log_history" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txhistory_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(
+        ev.where(col("event_id") >= 200)
+          .repartitionByRange(4, col("event_id")),
+        base, None, Some("event_id"))
+      TxLog.append(ev.where(col("event_id") < 100), base, Some("event_id"))
+      TxLog.append(ev.where(col("event_id").between(100, 199)),
+        base, Some("event_id"))
+      TxLog.history(s, base)
+        .select(col("version").cast("int").as("version"),
+          col("n_rows"))
+        .orderBy("version")
+    }),
+
     // Atomic range replacement through the manifest log (Delta
     // replaceWhere — the daily-reload verb): one published version
     // drops every row in the id band and installs the recomputed
@@ -685,6 +707,16 @@ object RegistryMaint {
                   AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events
          GROUP BY event_type ORDER BY event_type""",
+    "s33_log_history" ->
+      """SELECT cast(1 AS INTEGER) AS version, count(*) AS n_rows
+         FROM events WHERE event_id >= 200
+         UNION ALL
+         SELECT cast(2 AS INTEGER),
+                count(*) FILTER (WHERE event_id >= 200 OR event_id < 100)
+         FROM events
+         UNION ALL
+         SELECT cast(3 AS INTEGER), count(*) FROM events
+         ORDER BY version""",
     "s32_replace_range" ->
       s"""SELECT event_type, count(*) AS n,
                 cast(sum(cast(

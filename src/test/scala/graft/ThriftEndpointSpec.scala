@@ -34,6 +34,18 @@ class ThriftEndpointSpec extends AnyFunSuite {
     // graft.GraftExtensions` wiring a deployed endpoint would use.
     new GraftExtensions()(
       org.apache.spark.sql.graftbridge.ColumnBridge.sessionExtensions(spark))
+    // The ACID manifest log as a BI-visible table: CREATE ... USING
+    // the DSv2 source registers it in the shared catalog, so every
+    // thrift-served session reads the log's CURRENT latest snapshot
+    // with manifest-stats pruning on pushed range predicates.
+    val txBase = "/tmp/graft_thrift_txlog"
+    graft.operators.TxLog.drop(spark, txBase)
+    graft.operators.TxLog.commit(
+      spark.range(0, 100).selectExpr("id AS k", "id % 5 AS g"),
+      txBase, None, Some("k"))
+    spark.sql("DROP TABLE IF EXISTS txlog_jdbc_demo")
+    spark.sql("CREATE TABLE txlog_jdbc_demo " +
+      s"USING graft.sources.TxLogSource OPTIONS (path '$txBase')")
     val server =
       org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
         .startWithContext(spark.sqlContext)
@@ -78,6 +90,15 @@ class ThriftEndpointSpec extends AnyFunSuite {
           .takeWhile(_.next()).map(_.getLong(1)).toList
         assert(ids == List(20L, 40L),
           s"graft_topk(k=2) over JDBC: expected top-2 ids 20,40, got $ids")
+        // The manifest-log table over JDBC (snapshot-isolated ACID
+        // reads from a BI client)
+        val tx = st.executeQuery(
+          "SELECT g, count(*) AS n FROM txlog_jdbc_demo " +
+            "GROUP BY g ORDER BY g")
+        val groups = Iterator.continually(tx)
+          .takeWhile(_.next()).map(r => (r.getLong(1), r.getLong(2))).toList
+        assert(groups == (0L to 4L).map(g => (g, 20L)).toList,
+          s"txlog table over JDBC: $groups")
       } finally conn.close()
     } finally server.stop()
   }
