@@ -360,8 +360,11 @@ object TxLog {
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val dst = manifestPath(base, v)
-    val scheme = new Path(base).toUri.getScheme
-    if (scheme == null || scheme == "file") {
+    // decide by the RESOLVED filesystem, not the raw path's scheme: a
+    // scheme-less path on a cluster resolves to fs.defaultFS (HDFS),
+    // where the rename branch is the correct — and atomic — one
+    val scheme = f.getUri.getScheme
+    if (scheme == "file") {
       // Local FS: FileContext's rename-if-absent is check-then-act —
       // the POSIX rename(2) underneath OVERWRITES an existing
       // destination, so two racing writers can both believe they won
@@ -493,32 +496,20 @@ object TxLog {
   /** Manifest-level file skipping: entries of the latest version whose
     * stats range overlaps [lo, hi] (entries without stats, or with
     * stats on another column, always qualify). Returns (kept, all) so
-    * callers can audit the skip rate. */
+    * callers can audit the skip rate. Single-predicate sugar over
+    * [[pruneRanges]]. */
   def pruneRange(spark: SparkSession, base: String, column: String,
-                 lo: Any, hi: Any): (Seq[Entry], Seq[Entry]) = {
-    val v = latestVersion(spark, base).getOrElse(
-      throw new IllegalStateException(s"no committed version at $base"))
-    val (entries, _) = manifest(spark, base, v)
-    val (l, h) = (reprOf(lo), reprOf(hi))
-    (entries.filter(touchesRange(_, column, l, h)), entries)
-  }
+                 lo: Any, hi: Any): (Seq[Entry], Seq[Entry]) =
+    pruneRanges(spark, base, Seq((column, lo, hi)))
 
   /** Range read with data skipping: prune files by manifest stats,
     * then scan only the survivors (the residual predicate still
     * applies row-level). On a clustered table a narrow range opens a
-    * handful of the table's files — the 10^5-file scan killer. */
+    * handful of the table's files — the 10^5-file scan killer.
+    * Single-predicate sugar over [[readRanges]]. */
   def readRange(spark: SparkSession, base: String, column: String,
-                lo: Any, hi: Any): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val (kept, _) = pruneRange(spark, base, column, lo, hi)
-    if (kept.isEmpty) {
-      // preserve schema: empty slice of the latest snapshot
-      read(spark, base).where(lit(false))
-    } else {
-      spark.read.parquet(kept.map(e => s"$base/${e.path}"): _*)
-        .where(col(column).between(lit(lo), lit(hi)))
-    }
-  }
+                lo: Any, hi: Any): DataFrame =
+    readRanges(spark, base, Seq((column, lo, hi)))
 
   /** Multi-range file skipping: entries of the latest version whose
     * stats overlap EVERY (column, lo, hi) predicate — the conjunction
@@ -592,7 +583,8 @@ object TxLog {
         else Upsert.merge(
           spark.read.parquet(touched.map(e => s"$base/${e.path}"): _*),
           source, keys)
-      val newEntries = landEntries(merged, base, Some(statsCol))
+      val newEntries = landEntriesMulti(merged, base,
+        preservedStatsCols(touched, Seq(statsCol), merged.schema))
       val v = cur.getOrElse(0L) + 1L
       try { publishEntries(spark, base, v, carried ++ newEntries, txns); v }
       catch {
@@ -669,15 +661,27 @@ object TxLog {
                    lo: Any, hi: Any, df: DataFrame,
                    maxAttempts: Int = 5): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
-    val outside = df.where(
-      !coalesce(col(column).between(lit(lo), lit(hi)), lit(false)))
-      .limit(1).count()
-    require(outside == 0,
-      s"replaceRange: replacement rows must satisfy $column BETWEEN " +
-        s"$lo AND $hi (found at least one outside — Delta's replaceWhere " +
-        "constraint, which keeps band skipping sound)")
     val (l, h) = (reprOf(lo), reprOf(hi))
-    val newEntries = landEntriesMulti(df, base, Seq(column))
+    val dtype = statsDtype(df.schema(column).dataType)
+    // land FIRST, validate from the landed files' own stats: one
+    // evaluation of df (a separate validation count would re-evaluate
+    // a non-deterministic plan, letting a misrouted row slip between
+    // the check and the land), and the landed min/max is exactly what
+    // later skipping will trust. A file without stats on the column
+    // holds all-NULL keys — NULL is not inside any range, reject too.
+    val newEntries0 = landEntriesMulti(df, base, Seq(column))
+    val misrouted = newEntries0.filter(_.rows != 0L).filterNot(e =>
+      e.statsFor(column).exists(st =>
+        cmp(dtype, st.min, l) >= 0 && cmp(dtype, st.max, h) <= 0))
+    if (misrouted.nonEmpty) {
+      discard(spark, base, newEntries0.map(_.path))
+      throw new IllegalArgumentException(
+        s"replaceRange: replacement rows must satisfy $column BETWEEN " +
+          s"$lo AND $hi (landed files ${misrouted.map(_.path).mkString(",")} " +
+          "fall outside — Delta's replaceWhere constraint, which keeps " +
+          "band skipping sound; nothing was published)")
+    }
+    val newEntries = newEntries0.filter(_.rows != 0L)
     try withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
@@ -686,12 +690,13 @@ object TxLog {
       val survivors =
         if (touched.isEmpty) Seq.empty
         else {
-          val out = landEntriesMulti(
-            spark.read.parquet(touched.map(e => s"$base/${e.path}"): _*)
-              .where(!coalesce(
-                col(column).between(lit(lo), lit(hi)), lit(false))),
-            base, Seq(column)).filter(_.rows != 0L)
-          out
+          val kept = spark.read
+            .parquet(touched.map(e => s"$base/${e.path}"): _*)
+            .where(!coalesce(
+              col(column).between(lit(lo), lit(hi)), lit(false)))
+          landEntriesMulti(kept, base,
+            preservedStatsCols(touched, Seq(column), kept.schema))
+            .filter(_.rows != 0L)
         }
       try {
         publishEntries(spark, base, cur + 1L,
@@ -709,12 +714,25 @@ object TxLog {
     }
   }
 
+  /** Stats columns to re-collect when rewriting `touched` files:
+    * `primary` plus every column the touched entries already carried
+    * stats on (a DML rewrite must not erase a commitMulti table's
+    * other skipping dimensions), limited to columns the rewritten
+    * schema still has. */
+  private def preservedStatsCols(touched: Seq[Entry], primary: Seq[String],
+                                 schema: org.apache.spark.sql.types.StructType)
+      : Seq[String] =
+    (primary ++ touched.flatMap(_.stats.map(_.column))).distinct
+      .filter(schema.fieldNames.contains)
+
   /** Shared COW rewrite loop for the row-level DML verbs: partition
     * the manifest by stats overlap with [lo, hi], run `transform` over
     * ONLY the touched files, land the result re-clustered with fresh
-    * stats, and publish carried ++ new under CAS retry. Zero-row
-    * outputs land no files (parquet still writes an empty part; its
-    * rows==0 entry is dropped). */
+    * stats on the predicate column PLUS whatever columns the touched
+    * entries carried (2-D skipping survives DML), and publish
+    * carried ++ new under CAS retry. Zero-row outputs land no files
+    * (parquet still writes an empty part; its rows==0 entry is
+    * dropped). */
   private def rewriteRange(spark: SparkSession, base: String, column: String,
                            lo: Any, hi: Any, maxAttempts: Int)
                           (transform: DataFrame => DataFrame): Long = {
@@ -728,7 +746,8 @@ object TxLog {
       else {
         val rewritten = transform(
           spark.read.parquet(touched.map(e => s"$base/${e.path}"): _*))
-        val newEntries = landEntries(rewritten, base, Some(column))
+        val newEntries = landEntriesMulti(rewritten, base,
+          preservedStatsCols(touched, Seq(column), rewritten.schema))
           .filter(_.rows != 0L)
         try {
           publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns)
@@ -782,7 +801,8 @@ object TxLog {
             nOut, org.apache.spark.sql.functions.col(c))
           case None => smallDf.repartition(nOut)
         }
-        val newEntries = landEntries(packed, base, statsCol)
+        val newEntries = landEntriesMulti(packed, base,
+          preservedStatsCols(small, statsCol.toSeq, packed.schema))
         try {
           publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns)
           cur + 1L
@@ -855,18 +875,25 @@ object TxLog {
       if (!f.exists(dir)) Seq.empty
       else f.listStatus(dir).toSeq
         .flatMap(st => parseVersion(st.getPath.getName)).sorted
+    // one sequential pass, each manifest parsed once: the previous
+    // iteration's path set rides forward (a per-version re-parse of
+    // v-1 would make this O(V²) manifest I/O at 10^3 versions)
+    var prevVersion = -1L
+    var prevPaths: Set[String] = Set.empty
     val rows = versions.map { v =>
       val (entries, txns) = manifest(spark, base, v)
-      val prevPaths: Set[String] =
-        if (versions.contains(v - 1))
-          manifest(spark, base, v - 1)._1.map(_.path).toSet
-        else Set.empty
+      // after a vacuum gap the previous version is gone: every file of
+      // the oldest surviving version counts as added (diff base empty)
+      val diffBase = if (v == prevVersion + 1) prevPaths else Set.empty[String]
       val nRows: Option[Long] =
         if (entries.forall(_.rows >= 0)) Some(entries.map(_.rows).sum)
         else None
-      (v, entries.size.toLong, nRows,
-        entries.count(e => !prevPaths.contains(e.path)).toLong,
+      val row = (v, entries.size.toLong, nRows,
+        entries.count(e => !diffBase.contains(e.path)).toLong,
         txns.size.toLong)
+      prevVersion = v
+      prevPaths = entries.map(_.path).toSet
+      row
     }
     import spark.implicits._
     rows.toDF("version", "n_files", "n_rows", "n_added_files", "n_txn_apps")

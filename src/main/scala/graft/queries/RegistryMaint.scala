@@ -480,8 +480,12 @@ object RegistryMaint {
       TxLog.append(ev.where(col("event_id") < 100), base, Some("event_id"))
       TxLog.append(ev.where(col("event_id").between(100, 199)),
         base, Some("event_id"))
+      // fixed output dir, dropped up front (repeated invocations must
+      // not accumulate fixture copies under /tmp); the CHECKPOINT is
+      // nonce-fresh so each invocation re-streams from version 0
+      val outDir = Ingest.fixtureDir(dir) + "/txstream_out"
+      TxLog.drop(s, outDir)
       val nonce = "graft_txlog_stream_" + System.nanoTime()
-      val outDir = s"/tmp/graft_txlog_stream/out_$nonce"
       val ckpt = "/tmp/graft_stream_ckpt/" + nonce
       val q = s.readStream.format("graft.sources.TxLogSource")
         .option("changeFeed", "true")

@@ -255,6 +255,10 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
     * added it. Either way, files whose manifest stats cannot satisfy
     * the pushed range filters are skipped before any footer opens. */
   override def planInputPartitions(): Array[InputPartition] = {
+    require(startingVersion == 0L,
+      "startingVersion is a streaming-only option (it positions the " +
+        "stream's initial offset); for a batch read use versionAsOf " +
+        "or changeFeed")
     val spark = SparkSession.active
     val latest = TxLog.latestVersion(spark, base).getOrElse(
       throw new IllegalStateException(s"no committed version at $base"))
@@ -279,9 +283,14 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
   override def createReaderFactory(): PartitionReaderFactory = readerFactory()
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(versionAsOf.isEmpty,
+      "versionAsOf is a batch-only option (a stream has no fixed " +
+        "target version); use startingVersion to begin after a known " +
+        "version")
     new TxLogMicroBatchStream(this, base, maxVersionsPerTrigger,
       startingVersion)
+  }
 }
 
 case class TxLogInputPartition(file: String, commitVersion: Long)

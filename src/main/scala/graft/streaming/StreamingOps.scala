@@ -172,9 +172,15 @@ object StreamingOps {
     import graft.operators.TxLog
     val ev = graft.sources.Tables.load(spark, sfDir, "events")
       .select("event_id", "user_id", "event_type", "value")
+    // fixed store dirs, dropped up front (no /tmp accumulation across
+    // invocations); the CHECKPOINT stays nonce-fresh — the restart
+    // this helper exercises is the one INSIDE a single invocation
+    val fixtures = graft.sources.Ingest.fixtureDir(sfDir)
+    val bronze = fixtures + "/log2log_bronze"
+    val silver = fixtures + "/log2log_silver"
+    graft.operators.TxLog.drop(spark, bronze)
+    graft.operators.TxLog.drop(spark, silver)
     val nonce = "log2log_" + java.util.UUID.randomUUID().toString
-    val bronze = "/tmp/graft_stream_txlog/bronze_" + nonce
-    val silver = "/tmp/graft_stream_txlog/silver_" + nonce
     val ckpt = "/tmp/graft_stream_ckpt/" + nonce
     TxLog.commit(
       ev.where(col("event_id") >= 400).repartitionByRange(4, col("event_id")),

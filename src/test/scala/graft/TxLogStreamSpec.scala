@@ -56,12 +56,17 @@ class TxLogStreamSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(perVersion == Map(1L -> 100L, 2L -> 20L, 3L -> 30L))
     assert(contents(got) == contents(TxLog.read(spark, base)))
-    // one version per micro-batch: the sink's per-batch file sets are
-    // version-pure (every parquet batch dir committed by the stream
-    // holds exactly one _commit_version)
+    // one version per micro-batch: the parquet sink commits one
+    // _spark_metadata batch file per micro-batch — exactly 3 here, so
+    // maxVersionsPerTrigger=1 genuinely produced 3 triggers (a
+    // regression shipping all versions in one batch would leave 1)
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(out)))
+    val batchCommits = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$out/_spark_metadata")).toSeq
+      .map(_.getPath.getName).count(_.matches("\\d+"))
+    assert(batchCommits == 3,
+      s"expected 3 sink batch commits (one per version), got $batchCommits")
   }
 
   test("restart resumes at the checkpointed version: appends between " +
