@@ -149,7 +149,11 @@ object TxLogSource {
   /** The (column, lo?, hi?) range constraints a DSv2 filter implies —
     * empty when the filter has no range shape we can use. Only
     * top-level conjunctions contribute (the filters ARRAY is itself a
-    * conjunction); Or/Not/In stay un-pruned (conservative). */
+    * conjunction); an IN-list contributes its value ENVELOPE
+    * [min repr, max repr] per dtype ordering at check time (values
+    * between list members survive — conservative, still kills
+    * out-of-band files for the point-lookup dashboard shape);
+    * Or/Not stay un-pruned (conservative). */
   private[sources] def rangeOf(f: org.apache.spark.sql.sources.Filter)
       : Seq[(String, Option[Any], Option[Any])] = {
     import org.apache.spark.sql.sources._
@@ -167,6 +171,23 @@ object TxLogSource {
     }
   }
 
+  /** IN-list constraints of a filter: (column, values). Kept separate
+    * from [[rangeOf]] because an IN is a DISJUNCTION of points — a
+    * file survives if ANY value falls inside its stats range. */
+  private[sources] def inListOf(f: org.apache.spark.sql.sources.Filter)
+      : Seq[(String, Seq[Any])] = {
+    import org.apache.spark.sql.sources._
+    def ok(v: Any): Boolean = v != null && (v.isInstanceOf[Number] ||
+      v.isInstanceOf[String] || v.isInstanceOf[java.sql.Date] ||
+      v.isInstanceOf[java.time.LocalDate])
+    f match {
+      case In(c, vs) if vs.nonEmpty && vs.forall(ok) =>
+        Seq((c, vs.toIndexedSeq))
+      case And(l, r) => inListOf(l) ++ inListOf(r)
+      case _ => Seq.empty
+    }
+  }
+
   /** Can this entry's stats satisfy every pushed filter? Absent stats,
     * non-range filters, and un-comparable value/dtype combinations
     * all answer yes (pruning may only drop PROVABLY dead files; the
@@ -176,15 +197,28 @@ object TxLogSource {
   private[sources] def entrySurvives(
       e: TxLog.Entry,
       filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean =
-    filters.forall(f => rangeOf(f).forall { case (c, lo, hi) =>
-      e.statsFor(c) match {
-        case Some(st) => scala.util.Try {
-          lo.forall(l => st.overlaps(l.toString, st.max)) &&
-            hi.forall(h => st.overlaps(st.min, h.toString))
-        }.getOrElse(true)
-        case None => true
+    filters.forall { f =>
+      val ranges = rangeOf(f).forall { case (c, lo, hi) =>
+        e.statsFor(c) match {
+          case Some(st) => scala.util.Try {
+            lo.forall(l => st.overlaps(l.toString, st.max)) &&
+              hi.forall(h => st.overlaps(st.min, h.toString))
+          }.getOrElse(true)
+          case None => true
+        }
       }
-    })
+      // an IN-list is a disjunction of points: the file survives this
+      // filter if ANY value lands inside its stats range
+      val inLists = inListOf(f).forall { case (c, vs) =>
+        e.statsFor(c) match {
+          case Some(st) => scala.util.Try {
+            vs.exists(v => st.overlaps(v.toString, v.toString))
+          }.getOrElse(true)
+          case None => true
+        }
+      }
+      ranges && inLists
+    }
 }
 
 class TxLogTable(tableSchema: StructType, base: String)
@@ -211,7 +245,8 @@ class TxLogScanBuilder(full: StructType, base: String,
     * files that cannot hold a matching row — never change results. */
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
-    pushed = filters.filter(f => TxLogSource.rangeOf(f).nonEmpty)
+    pushed = filters.filter(f =>
+      TxLogSource.rangeOf(f).nonEmpty || TxLogSource.inListOf(f).nonEmpty)
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =

@@ -238,6 +238,14 @@ class TxLogStreamSpec extends AnyFunSuite {
     // non-range filters (e.g. on the string column) prune nothing and
     // stay correct
     assert(src.where(col("s") === "x-7").count() == 1)
+    // IN-list: a disjunction of points keeps only the bands any value
+    // lands in (two bands for two far-apart keys)
+    val inq = src.where(col("k").isin(5L, 900L))
+    assert(inq.rdd.getNumPartitions <= 2,
+      s"IN-list must prune to the hit bands, got ${inq.rdd.getNumPartitions}")
+    assert(inq.count() == 2)
+    // an IN-list entirely outside every band plans nothing
+    assert(src.where(col("k").isin(7777L, 8888L)).count() == 0)
   }
 
   test("timestamp and numeric types survive the Group-API decode " +
