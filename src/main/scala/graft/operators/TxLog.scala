@@ -840,6 +840,44 @@ object TxLog {
     }
   }
 
+  /** Full change feed WITH delete markers (Delta CDF's shape without
+    * stored deletion vectors): for each version in (fromExclusive,
+    * toInclusive], rows of files ADDED by the version carry
+    * `_change_type`='insert' and rows of files REMOVED carry
+    * `_change_type`='delete', both tagged `_commit_version`. Applying
+    * the feed in order — delete by key, then insert — reconstructs
+    * the table. A COW rewrite reports its rewritten file as a
+    * delete+insert PAIR for every unchanged row (the file is the unit
+    * of change); that is the materialization caveat Delta documents
+    * when CDF is not stored at write time — consumers reconcile by
+    * key. Removed files stay readable until a vacuum drops the last
+    * manifest referencing them — the same retention contract as
+    * [[changesBetween]]. */
+  def changesWithDeletes(spark: SparkSession, base: String,
+                         fromExclusive: Long, toInclusive: Long): DataFrame = {
+    require(fromExclusive < toInclusive, "empty version range")
+    import org.apache.spark.sql.functions.lit
+    val paths = (fromExclusive to toInclusive).map(v =>
+      v -> (if (v == 0L) Set.empty[String]
+            else manifest(spark, base, v)._1.map(_.path).toSet)).toMap
+    val dfs = (fromExclusive + 1 to toInclusive).flatMap { v =>
+      val added = paths(v) -- paths(v - 1)
+      val removed = paths(v - 1) -- paths(v)
+      def slice(files: Set[String], kind: String) =
+        if (files.isEmpty) None
+        else Some(spark.read.parquet(files.toSeq.map(p => s"$base/$p"): _*)
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_change_type", lit(kind)))
+      slice(removed, "delete") ++ slice(added, "insert")
+    }
+    dfs.reduceLeftOption(_.unionByName(_)).getOrElse {
+      read(spark, base)
+        .withColumn("_commit_version", lit(0L))
+        .withColumn("_change_type", lit("insert"))
+        .where(lit(false))
+    }
+  }
+
   /** Optimistic-concurrency transaction: `body` receives the current
     * snapshot (None for an empty store) and returns the FULL new
     * table contents; on a CAS loss the landed files are discarded and

@@ -378,6 +378,36 @@ object RegistryMaint {
         .orderBy("commit_version")
     }),
 
+    // Change feed WITH delete markers (Delta CDF shape): band files
+    // are landed one-per-slice so file boundaries are id-exact, then
+    // one whole-band delete (pure delete markers, the emptied file
+    // vanishes) and one partial-band delete (the rewritten file shows
+    // as delete+insert pairs for its unchanged rows — the file is the
+    // unit of change, the materialization caveat Delta documents for
+    // CDF without stored vectors). The oracle recomputes each
+    // (version, change_type) slice from the id bands.
+    "s34_change_feed_deletes" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txcdfdel_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(ev.where(col("event_id") < 250).coalesce(1),
+        base, None, Some("event_id"))
+      TxLog.append(ev.where(col("event_id").between(250, 499)).coalesce(1),
+        base, Some("event_id"))
+      TxLog.append(ev.where(col("event_id") >= 500).coalesce(1),
+        base, Some("event_id"))
+      TxLog.deleteRange(s, base, "event_id", 0L, 249L)   // v4: whole band
+      TxLog.deleteRange(s, base, "event_id", 250L, 299L) // v5: partial band
+      TxLog.changesWithDeletes(s, base, 3L, 5L)
+        .groupBy(col("_commit_version").cast("int").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("commit_version", "change_type")
+    }),
+
     // Version history over the manifest log (Delta DESCRIBE HISTORY):
     // per-version row counts ride the manifests, so the full history
     // answer costs zero data I/O — the oracle recomputes each
@@ -711,6 +741,20 @@ object RegistryMaint {
                   AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events
          GROUP BY event_type ORDER BY event_type""",
+    "s34_change_feed_deletes" ->
+      """SELECT cast(4 AS INTEGER) AS commit_version,
+                'delete' AS change_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events WHERE event_id < 250
+         UNION ALL
+         SELECT cast(5 AS INTEGER), 'delete', count(*),
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
+         FROM events WHERE event_id BETWEEN 250 AND 499
+         UNION ALL
+         SELECT cast(5 AS INTEGER), 'insert', count(*),
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
+         FROM events WHERE event_id BETWEEN 300 AND 499
+         ORDER BY commit_version, change_type""",
     "s33_log_history" ->
       """SELECT cast(1 AS INTEGER) AS version, count(*) AS n_rows
          FROM events WHERE event_id >= 200

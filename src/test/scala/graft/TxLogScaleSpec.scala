@@ -393,6 +393,34 @@ class TxLogScaleSpec extends AnyFunSuite {
       "a rejected replace must not publish")
   }
 
+  test("changesWithDeletes replays to the exact final table: apply " +
+    "deletes by key then inserts, version by version") {
+    val base = "/tmp/graft_txlog/cdfdel"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 100, "seed", 2), base, None, Some("k"))
+    TxLog.mergeCow(spark, base,
+      spark.range(40, 60)
+        .select(col("id").as("k"), concat(lit("upd-"), col("id")).as("s")),
+      Seq("k"), "k") // v2: COW rewrite → delete+insert pairs
+    TxLog.deleteRange(spark, base, "k", 0L, 24L) // v3
+    val feed = TxLog.changesWithDeletes(spark, base, 0L, 3L)
+      .select("k", "s", "_commit_version", "_change_type")
+      .collect()
+    // replay driver-side (tiny): per version, delete keys then insert
+    val state = scala.collection.mutable.Map[Long, String]()
+    feed.groupBy(_.getLong(2)).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+      val (dels, ins) = rows.partition(_.getString(3) == "delete")
+      dels.foreach(r => state.remove(r.getLong(0)))
+      ins.foreach(r => state.update(r.getLong(0), r.getString(1)))
+    }
+    assert(state.toMap == contents(TxLog.read(spark, base)).toMap,
+      "replaying the delete+insert feed must reconstruct the table")
+    // the COW version reports BOTH sides of its rewritten file
+    val v2 = feed.filter(_.getLong(2) == 2L)
+    assert(v2.exists(_.getString(3) == "delete") &&
+      v2.exists(_.getString(3) == "insert"))
+  }
+
   test("a v1 manifest (bare paths) still reads, appends, and merges — " +
     "its stat-less files are conservatively rewritten by mergeCow") {
     val base = "/tmp/graft_txlog/v1compat"
