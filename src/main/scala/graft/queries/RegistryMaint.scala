@@ -378,6 +378,30 @@ object RegistryMaint {
         .orderBy("commit_version")
     }),
 
+    // Metadata-only aggregates over the log (Delta's metadata-query
+    // optimization, via DSv2 complete aggregate pushdown): an
+    // un-filtered COUNT(*)/MIN/MAX over the log-backed table is
+    // answered from manifest row counts and per-file stats — ZERO
+    // data files opened at any table size (the require pins the
+    // TxLogAggScan plan node). The oracle computes the same three
+    // values the ordinary way.
+    "s35_metadata_agg" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txmeta_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(ev.repartitionByRange(8, col("event_id")),
+        base, None, Some("event_id"))
+      val df = s.read.format("graft.sources.TxLogSource").load(base)
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+      require(df.queryExecution.executedPlan.toString.contains("TxLogAggScan"),
+        "the aggregate must be answered from manifest metadata " +
+          "(TxLogAggScan), not a data scan")
+      df
+    }),
+
     // Change feed WITH delete markers (Delta CDF shape): band files
     // are landed one-per-slice so file boundaries are id-exact, then
     // one whole-band delete (pure delete markers, the emptied file
@@ -741,6 +765,10 @@ object RegistryMaint {
                   AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events
          GROUP BY event_type ORDER BY event_type""",
+    "s35_metadata_agg" ->
+      """SELECT count(*) AS n_rows, min(event_id) AS min_id,
+                max(event_id) AS max_id
+         FROM events""",
     "s34_change_feed_deletes" ->
       """SELECT cast(4 AS INTEGER) AS commit_version,
                 'delete' AS change_type, count(*) AS n,

@@ -234,11 +234,115 @@ class TxLogTable(tableSchema: StructType, base: String)
 class TxLogScanBuilder(full: StructType, base: String,
                        options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var aggResult: Option[(StructType, Seq[Any])] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Metadata-only aggregates (the Delta metadata-query optimization):
+    * an un-filtered, un-grouped COUNT(*) / MIN(col) / MAX(col) over
+    * the snapshot is answered from the manifest alone — row counts
+    * ride every v2+ entry and min/max ride the stats columns — so
+    * `SELECT count(*) FROM log_table` opens ZERO data files at any
+    * table size. Declared COMPLETE pushdown: the scan returns the one
+    * final row. Bails (false) whenever the manifest cannot answer
+    * exactly: pushed filters present (Spark also refuses on its side
+    * when residuals exist), GROUP BY, change-feed mode, any entry
+    * without a row count, or a MIN/MAX column lacking stats on some
+    * non-empty file. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = aggResult.isDefined || tryPushAggregation(agg, dryRun = true)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = tryPushAggregation(agg, dryRun = false)
+
+  private def tryPushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      dryRun: Boolean): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+      TxLogSource.changeFeed(options) ||
+      Option(options.get("startingVersion")).exists(_.toLong > 0)) return false
+    val spark = SparkSession.active
+    val latestOpt = TxLog.latestVersion(spark, base)
+    if (latestOpt.isEmpty) return false
+    val target = Option(options.get("versionAsOf")).map(_.toLong)
+      .getOrElse(latestOpt.get)
+    if (target > latestOpt.get) return false
+    val entries = TxLog.manifest(spark, base, target)._1
+    if (entries.exists(_.rows < 0)) return false // v1 entries: count unknown
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        Some(f.fieldNames.head)
+      case _ => None
+    }
+    val dataEntries = entries.filter(_.rows > 0L)
+    val values = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((LongType: DataType, entries.map(_.rows).sum: Any))
+      case m: Min => colOf(m.column).flatMap(c => statsExtreme(c, dataEntries,
+        takeMax = false))
+      case m: Max => colOf(m.column).flatMap(c => statsExtreme(c, dataEntries,
+        takeMax = true))
+      case _ => None
+    }
+    if (values.exists(_.isEmpty)) return false
+    if (!dryRun) {
+      val fields = values.flatten.zipWithIndex.map { case ((dt, _), i) =>
+        StructField(s"agg_$i", dt, nullable = true) }
+      aggResult = Some((StructType(fields), values.flatten.map(_._2)))
+    }
+    true
+  }
+
+  /** MIN or MAX of `column` across the snapshot, from manifest stats:
+    * sound only when EVERY non-empty file carries stats on the column
+    * (an uncovered file could hide the true extreme). SQL MIN/MAX
+    * ignore NULLs, and a file whose column is all-NULL carries no
+    * stats for it — so all-NULL files are the one acceptable gap; we
+    * cannot distinguish them from stat-less v2 single-column entries,
+    * hence the conservative bail when ANY non-empty entry lacks the
+    * column. Returns (sparkType, internal value). */
+  private def statsExtreme(column: String, dataEntries: Seq[TxLog.Entry],
+                           takeMax: Boolean): Option[(DataType, Any)] = {
+    if (dataEntries.isEmpty) return None
+    val field = full.fields.find(_.name == column).getOrElse(return None)
+    val stats = dataEntries.map(_.statsFor(column))
+    if (stats.exists(_.isEmpty)) return None
+    val cs = stats.flatten
+    val dtype = cs.head.dtype
+    val reprs = cs.map(c => if (takeMax) c.max else c.min)
+    val pick = scala.util.Try {
+      val ord: Ordering[String] = dtype match {
+        case "long" => Ordering.by((s: String) => s.toLong)
+        case "double" => Ordering.by((s: String) => s.toDouble)
+        // ISO dates + strings: UNSIGNED UTF-8 byte order — the same
+        // ordering Spark's own string MIN/MAX (UTF8String) uses, and
+        // the ordering the stats were computed under
+        case _ => Ordering.by((s: String) => UTF8String.fromString(s))
+      }
+      if (takeMax) reprs.max(ord) else reprs.min(ord)
+    }.toOption.getOrElse(return None)
+    val value: Option[Any] = field.dataType match {
+      case LongType => scala.util.Try(pick.toLong: Any).toOption
+      case IntegerType => scala.util.Try(pick.toInt: Any).toOption
+      case ShortType => scala.util.Try(pick.toShort: Any).toOption
+      case DoubleType => scala.util.Try(pick.toDouble: Any).toOption
+      case FloatType => scala.util.Try(pick.toFloat: Any).toOption
+      case StringType => Some(UTF8String.fromString(pick))
+      case DateType => scala.util.Try(
+        java.time.LocalDate.parse(pick).toEpochDay.toInt: Any).toOption
+      case _ => None // timestamps/decimals never carry stats (statsDtype)
+    }
+    value.map(v => (field.dataType, v))
+  }
   /** Range-shaped predicates prune manifest entries before any footer
     * is opened ([[TxLogSource.entrySurvives]]); EVERY filter stays
     * residual (returned back to Spark), so the skip can only remove
@@ -251,7 +355,12 @@ class TxLogScanBuilder(full: StructType, base: String,
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushed
-  override def build(): Scan = {
+  override def build(): Scan = aggResult match {
+    case Some((schema, values)) => new TxLogAggScan(base, schema, values)
+    case None => buildRowScan()
+  }
+
+  private def buildRowScan(): Scan = {
     val maxVersions =
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
     maxVersions.foreach(n => require(n >= 1,
@@ -330,6 +439,36 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
 
 case class TxLogInputPartition(file: String, commitVersion: Long)
     extends InputPartition
+
+/** The completely-pushed-aggregate scan: ONE partition, ONE row,
+  * computed on the driver from manifest metadata — zero data files
+  * opened. `values` hold Catalyst-internal representations of
+  * manifest-derived primitives (Long/Int/Double/UTF8String/date
+  * days), all JVM-serializable. */
+class TxLogAggScan(base: String, aggSchema: StructType, values: Seq[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"TxLogAggScan base=$base (metadata-only aggregate, zero files read)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(TxLogAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          private val row = new GenericInternalRow(
+            p.asInstanceOf[TxLogAggPartition].values.toArray)
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class TxLogAggPartition(values: Seq[Any]) extends InputPartition
 
 class TxLogReaderFactory(
     required: StructType,

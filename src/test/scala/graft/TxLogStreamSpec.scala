@@ -248,6 +248,45 @@ class TxLogStreamSpec extends AnyFunSuite {
     assert(src.where(col("k").isin(7777L, 8888L)).count() == 0)
   }
 
+  test("un-filtered COUNT(*)/MIN/MAX are answered from manifest " +
+    "metadata alone: TxLogAggScan in the plan, one partition, zero " +
+    "data files read, values identical to the full computation") {
+    val base = "/tmp/graft_txstream/aggpush"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(5, 995, "x", 8), base, None, Some("k"))
+    TxLog.append(clustered(1000, 50, "y", 1), base, Some("k"))
+    val src = spark.read.format("graft.sources.TxLogSource").load(base)
+    val agg = src.agg(count(lit(1)).as("n"), min("k").as("mn"),
+      max("k").as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("TxLogAggScan"),
+      s"expected the metadata-only agg scan in the plan:\n$plan")
+    val row = agg.head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      (1045L, 5L, 1049L))
+    // string min/max use the same UTF-8 ordering as Spark's own
+    val srow = src.agg(min("s"), max("s")).head()
+    val nat = TxLog.read(spark, base).agg(min("s"), max("s")).head()
+    assert(srow == nat, s"string extremes: $srow vs $nat")
+    // versionAsOf: the count is THAT version's
+    assert(spark.read.format("graft.sources.TxLogSource")
+      .option("versionAsOf", "1").load(base).count() == 995L)
+    // a WHERE query must NOT take the metadata path and stays correct
+    val filtered = src.where(col("k") >= 1000).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("TxLogAggScan"))
+    assert(filtered.head().getLong(0) == 50L)
+    // stat-less (v1) entries cannot answer: normal scan, correct value
+    val v1base = "/tmp/graft_txstream/aggpush_v1"
+    TxLog.drop(spark, v1base)
+    TxLog.commit(clustered(0, 10, "z", 1), v1base, None) // no stats
+    val v1src = spark.read.format("graft.sources.TxLogSource").load(v1base)
+    val v1agg = v1src.agg(count(lit(1)))
+    assert(!v1agg.queryExecution.executedPlan.toString
+      .contains("TxLogAggScan"))
+    assert(v1agg.head().getLong(0) == 10L)
+  }
+
   test("timestamp and numeric types survive the Group-API decode " +
     "bit-identically to the native parquet reader") {
     val base = "/tmp/graft_txstream/types"
