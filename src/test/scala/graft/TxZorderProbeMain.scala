@@ -73,6 +73,20 @@ object TxZorderProbeMain {
         s"${full == ranged && ranged == pushed} ($full)")
     }
 
+    // metadata-only aggregate (DSv2 complete pushdown): the same
+    // COUNT/MIN/MAX answered from the manifest vs scanning the data
+    (1 to 3).foreach { rep =>
+      val meta = timed(s"rep$rep count/min/max via manifest") {
+        spark.read.format("graft.sources.TxLogSource").load(base)
+          .agg(count(lit(1)), min(col("a")), max(col("b"))).head()
+      }
+      val full = timed(s"rep$rep count/min/max via data scan") {
+        TxLog.read(spark, base)
+          .agg(count(lit(1)), min(col("a")), max(col("b"))).head()
+      }
+      println(s"rep$rep agg identical=${meta == full} ($meta)")
+    }
+
     TxLog.drop(spark, base)
     spark.stop()
   }
