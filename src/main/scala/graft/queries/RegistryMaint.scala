@@ -378,6 +378,77 @@ object RegistryMaint {
         .orderBy("commit_version")
     }),
 
+    // DSv2 WRITE path of the log table: the seed lands via
+    // df.write.mode("overwrite") and the increment via mode("append"),
+    // both with inline per-file stats riding the executor commit
+    // messages (no read-back scan); the require pins that the written
+    // entries carry rows + stats so skipping stays sharp. The oracle
+    // is the plain events aggregate.
+    "s36_dsv2_write" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txdsv2w_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ev.where(col("event_id") < 500)
+        .repartitionByRange(4, col("event_id"))
+        .write.format("graft.sources.TxLogSource")
+        .option("statsColumns", "event_id")
+        .mode("overwrite").save(base)
+      ev.where(col("event_id") >= 500)
+        .write.format("graft.sources.TxLogSource")
+        .option("statsColumns", "event_id")
+        .mode("append").save(base)
+      val entries = TxLog.manifest(s, base, 2L)._1
+      require(entries.forall(e => e.rows > 0 &&
+        e.statsFor("event_id").isDefined),
+        s"DSv2-written entries must carry inline rows+stats: $entries")
+      TxLog.read(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // The native streaming SINK (DSv2 StreamingWrite — no foreachBatch
+    // anywhere): the bronze log streams version-per-batch through the
+    // source and lands in the silver log one VERSION PER EPOCH with
+    // the (queryId → epoch) high-water carried in the manifest — the
+    // replay-safe exactly-once contract, now entirely inside the
+    // format. The oracle is the full events aggregate.
+    "stream_txlog_sink" -> ((s, dir) => {
+      val bronze = Ingest.fixtureDir(dir) + "/txsink_bronze"
+      val silver = Ingest.fixtureDir(dir) + "/txsink_silver"
+      TxLog.drop(s, bronze); TxLog.drop(s, silver)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(
+        ev.where(col("event_id") >= 500)
+          .repartitionByRange(4, col("event_id")),
+        bronze, None, Some("event_id"))
+      TxLog.append(ev.where(col("event_id") < 500), bronze, Some("event_id"))
+      val nonce = "graft_txsink_" + System.nanoTime()
+      val q = s.readStream.format("graft.sources.TxLogSource")
+        .option("maxVersionsPerTrigger", "1")
+        .load(bronze)
+        .writeStream.format("graft.sources.TxLogSource")
+        .option("path", silver)
+        .option("statsColumns", "event_id")
+        .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StreamTune.dropScratch("/tmp/graft_stream_ckpt/" + nonce)
+      require(TxLog.latestVersion(s, silver).contains(2L),
+        "two bronze versions must land as exactly two silver epochs")
+      TxLog.read(s, silver)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Metadata-only aggregates over the log (Delta's metadata-query
     // optimization, via DSv2 complete aggregate pushdown): an
     // un-filtered COUNT(*)/MIN/MAX over the log-backed table is
@@ -765,6 +836,14 @@ object RegistryMaint {
                   AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events
          GROUP BY event_type ORDER BY event_type""",
+    "s36_dsv2_write" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_txlog_sink" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "s35_metadata_agg" ->
       """SELECT count(*) AS n_rows, min(event_id) AS min_id,
                 max(event_id) AS max_id

@@ -1,0 +1,387 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.TxLog
+
+/** The WRITE half of the DSv2 log table: `df.write.format(...)`
+  * (append / overwrite-as-truncate), SQL `INSERT INTO` over the
+  * catalog table, and a native STREAMING SINK with exactly-once
+  * epochs — the surfaces that previously required calling the TxLog
+  * API directly or wrapping appendOnce in foreachBatch.
+  *
+  * Protocol, mapped onto DSv2's two-phase commit:
+  *  - executors write parquet files under a fresh per-write txn dir
+  *    (`data/<uuid>[-e<epoch>]/part-<partition>-<task>.parquet`) via
+  *    the public parquet-mr Group writer, tracking rows + per-column
+  *    min/max INLINE — stats ride the commit messages, so no
+  *    read-back scan is needed (cheaper than [[TxLog.landEntries]]);
+  *  - `BatchWrite.commit` publishes one manifest from the collected
+  *    messages under the same CAS retry as [[TxLog.append]]: a
+  *    conflict re-reads ONE manifest, the landed data is reused;
+  *    `abort` deletes the txn dir — uncommitted files were never
+  *    referenced, so readers cannot have seen them;
+  *  - overwrite (`SaveMode.Overwrite` → [[SupportsTruncate]])
+  *    publishes ONLY the new files — the old version stays readable
+  *    until vacuum, exactly like every other rewrite verb;
+  *  - the streaming sink commits one version per epoch and carries
+  *    the (queryId → epochId) high-water in the manifest's txn map —
+  *    [[TxLog.appendOnce]]'s exactly-once contract without the
+  *    foreachBatch detour: a replayed epoch discards its re-landed
+  *    files and publishes nothing.
+  *
+  * Write options: `statsColumns` (comma-separated) selects the
+  * inline-stats columns; it defaults to none — callers who want
+  * skipping name their cluster keys, same as the TxLog API.
+  */
+class TxLogWriteBuilder(base: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new TxLogWrite(base, info, doTruncate)
+}
+
+class TxLogWrite(base: String, info: LogicalWriteInfo, truncate: Boolean)
+    extends Write {
+  private val statsCols: Seq[String] =
+    Option(info.options.get("statsColumns")).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+  statsCols.foreach(c => require(info.schema().fieldNames.contains(c),
+    s"statsColumns entry $c is not a column of ${info.schema().simpleString}"))
+
+  override def toBatch: BatchWrite =
+    new TxLogBatchWrite(base, info.schema(), statsCols, truncate)
+  override def toStreaming: StreamingWrite = {
+    require(!truncate,
+      "the txlog streaming sink is append-only (complete/update output " +
+        "modes would truncate history); use append mode")
+    new TxLogStreamingWrite(base, info.schema(), statsCols,
+      info.queryId())
+  }
+}
+
+/** Serializable per-file result: path (base-relative), rows, and one
+  * (column, dtype, minRepr, maxRepr) per stats column that saw at
+  * least one non-null value. */
+case class TxLogWriterMessage(path: String, rows: Long,
+                              stats: Seq[(String, String, String, String)])
+    extends WriterCommitMessage
+
+object TxLogWriteSupport {
+  /** parquet schema for the supported flat types (same set the read
+    * side decodes). */
+  def messageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val prim = f.dataType match {
+        case LongType => Types.optional(PrimitiveTypeName.INT64)
+        case IntegerType => Types.optional(PrimitiveTypeName.INT32)
+        case ShortType => Types.optional(PrimitiveTypeName.INT32)
+          .as(LogicalTypeAnnotation.intType(16, true))
+        case ByteType => Types.optional(PrimitiveTypeName.INT32)
+          .as(LogicalTypeAnnotation.intType(8, true))
+        case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE)
+        case FloatType => Types.optional(PrimitiveTypeName.FLOAT)
+        case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
+        case StringType => Types.optional(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType())
+        case BinaryType => Types.optional(PrimitiveTypeName.BINARY)
+        case DateType => Types.optional(PrimitiveTypeName.INT32)
+          .as(LogicalTypeAnnotation.dateType())
+        case TimestampType => Types.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case TimestampNTZType => Types.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case other => throw new IllegalArgumentException(
+          s"txlog sink does not support column type $other (flat " +
+            "numeric/string/bool/date/timestamp schemas only)")
+      }
+      b.addField(prim.named(f.name))
+    }
+    b.named("graft_txlog_row")
+  }
+
+  /** TxLog stats dtype of a Spark type (mirrors TxLog.statsDtype). */
+  def statsDtype(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "long"
+    case FloatType | DoubleType => "double"
+    case DateType => "date"
+    case StringType => "string"
+    case other => throw new IllegalArgumentException(
+      s"unsupported stats column type $other (long/double/date/string)")
+  }
+
+  /** The manifest-stats string repr of an internal value (must agree
+    * with what `cast(col as <castType>).cast("string")` produced on
+    * the landEntries path, so both write paths prune identically). */
+  def repr(dt: DataType, v: Any): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      String.valueOf(v.asInstanceOf[Number].longValue())
+    case FloatType | DoubleType =>
+      String.valueOf(v.asInstanceOf[Number].doubleValue())
+    case DateType => java.time.LocalDate.ofEpochDay(
+      v.asInstanceOf[Number].longValue()).toString
+    case StringType => v.toString
+    case other => throw new IllegalArgumentException(s"no repr for $other")
+  }
+
+  def cmp(dtype: String, a: String, b: String): Int = dtype match {
+    case "long" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _ =>
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+  }
+}
+
+class TxLogBatchWrite(base: String, schema: StructType,
+                      statsCols: Seq[String], truncate: Boolean)
+    extends BatchWrite {
+  private val txn = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new TxLogWriterFactory(base, s"data/$txn", schema, statsCols,
+      new org.apache.spark.util.SerializableConfiguration(
+        TxLogSource.driverHadoopConf()))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val entries = TxLogWriteCommit.toEntries(messages)
+    TxLogWriteCommit.publishWithRetry(spark, base, entries,
+      replaceAll = truncate)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    TxLogWriteCommit.dropTxn(base, s"data/$txn")
+}
+
+class TxLogStreamingWrite(base: String, schema: StructType,
+                          statsCols: Seq[String], queryId: String)
+    extends StreamingWrite {
+  private val writeId = java.util.UUID.randomUUID().toString
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new TxLogStreamingWriterFactory(base, s"data/$writeId", schema, statsCols,
+      new org.apache.spark.util.SerializableConfiguration(
+        TxLogSource.driverHadoopConf()))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val entries = TxLogWriteCommit.toEntries(messages)
+    TxLogWriteCommit.publishEpochWithRetry(spark, base, entries,
+      appId = s"sink-$queryId", epochId = epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    TxLogWriteCommit.dropTxn(base, s"data/$writeId-e$epochId")
+}
+
+/** Driver-side commit logic shared by the batch and streaming writes:
+  * messages → manifest entries, CAS-retried publish (data reused on
+  * conflict, exactly like [[TxLog.append]]). */
+object TxLogWriteCommit {
+  def toEntries(messages: Array[WriterCommitMessage]): Seq[TxLog.Entry] =
+    messages.toSeq.collect {
+      case m: TxLogWriterMessage if m.rows > 0 =>
+        TxLog.Entry(m.path, m.rows, m.stats.map { case (c, t, mn, mx) =>
+          TxLog.ColStats(c, t, mn, mx)
+        })
+    }
+
+  def dropTxn(base: String, txnRel: String): Unit = {
+    val p = new HPath(s"$base/$txnRel")
+    val fs = p.getFileSystem(TxLogSource.driverHadoopConf())
+    fs.delete(p, true)
+  }
+
+  def publishWithRetry(spark: org.apache.spark.sql.SparkSession,
+                       base: String, entries: Seq[TxLog.Entry],
+                       replaceAll: Boolean, maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = TxLog.latestVersion(spark, base)
+      val (prev, txns) = cur.map(TxLog.manifest(spark, base, _))
+        .getOrElse((Seq.empty[TxLog.Entry], Map.empty[String, Long]))
+      val v = cur.getOrElse(0L) + 1L
+      val all = if (replaceAll) entries else prev ++ entries
+      try {
+        TxLog.publishEntries(spark, base, v, all, txns)
+        return v
+      } catch {
+        case _: TxLog.CommitConflictException if attempt < maxAttempts => ()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Exactly-once epoch commit: the manifest's txn map carries the
+    * sink's (appId → epochId) high-water; a replayed epoch discards
+    * its re-landed files and publishes nothing. */
+  def publishEpochWithRetry(spark: org.apache.spark.sql.SparkSession,
+                            base: String, entries: Seq[TxLog.Entry],
+                            appId: String, epochId: Long,
+                            maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = TxLog.latestVersion(spark, base)
+      val (prev, txns) = cur.map(TxLog.manifest(spark, base, _))
+        .getOrElse((Seq.empty[TxLog.Entry], Map.empty[String, Long]))
+      if (txns.getOrElse(appId, -1L) >= epochId) {
+        // replay after restart: this epoch already landed
+        entries.map(_.path).map(p =>
+          new HPath(s"$base/$p").getParent).distinct.foreach { dir =>
+          dir.getFileSystem(TxLogSource.driverHadoopConf()).delete(dir, true)
+        }
+        return cur.get
+      }
+      val v = cur.getOrElse(0L) + 1L
+      try {
+        TxLog.publishEntries(spark, base, v, prev ++ entries,
+          txns + (appId -> epochId))
+        return v
+      } catch {
+        case _: TxLog.CommitConflictException if attempt < maxAttempts => ()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+class TxLogWriterFactory(base: String, txnRel: String, schema: StructType,
+                         statsCols: Seq[String],
+                         conf: org.apache.spark.util.SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new TxLogDataWriter(base, txnRel, f"part-$partitionId%05d-$taskId",
+      schema, statsCols, conf.value)
+}
+
+class TxLogStreamingWriterFactory(base: String, txnRelPrefix: String,
+                                  schema: StructType, statsCols: Seq[String],
+                                  conf: org.apache.spark.util.SerializableConfiguration)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new TxLogDataWriter(base, s"$txnRelPrefix-e$epochId",
+      f"part-$partitionId%05d-$taskId", schema, statsCols, conf.value)
+}
+
+/** One task's parquet file, written through the public parquet-mr
+  * Group writer, with rows + per-stats-column min/max tracked INLINE
+  * (Catalyst-internal comparisons on the fly; reprs match the
+  * landEntries cast path so both write routes prune identically).
+  * The file is created lazily on the first row — an empty task
+  * commits an empty message, never an empty file. */
+class TxLogDataWriter(base: String, txnRel: String, fileStem: String,
+                      schema: StructType, statsCols: Seq[String],
+                      conf: Configuration)
+    extends DataWriter[InternalRow] {
+  private val rel = s"$txnRel/$fileStem.parquet"
+  private val mt = TxLogWriteSupport.messageType(schema)
+  private val factory = new SimpleGroupFactory(mt)
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[
+    org.apache.parquet.example.data.Group] = _
+  private var rows = 0L
+  // per stats column: (schema index, spark type, dtype, min, max)
+  private val tracked = statsCols.map { c =>
+    val i = schema.fieldIndex(c)
+    val dt = schema.fields(i).dataType
+    Array[Any](i, dt, TxLogWriteSupport.statsDtype(dt), null, null)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) {
+      writer = ExampleParquetWriter.builder(
+          org.apache.parquet.hadoop.util.HadoopOutputFile
+            .fromPath(new HPath(s"$base/$rel"), conf))
+        .withType(mt)
+        .withConf(conf)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+    }
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        schema.fields(i).dataType match {
+          case LongType => g.add(i, row.getLong(i))
+          case IntegerType | DateType => g.add(i, row.getInt(i))
+          case ShortType => g.add(i, row.getShort(i).toInt)
+          case ByteType => g.add(i, row.getByte(i).toInt)
+          case DoubleType => g.add(i, row.getDouble(i))
+          case FloatType => g.add(i, row.getFloat(i))
+          case BooleanType => g.add(i, row.getBoolean(i))
+          case StringType => g.add(i, row.getUTF8String(i).toString)
+          case BinaryType => g.add(i,
+            org.apache.parquet.io.api.Binary.fromConstantByteArray(
+              row.getBinary(i)))
+          case TimestampType | TimestampNTZType => g.add(i, row.getLong(i))
+          case other => throw new IllegalArgumentException(
+            s"unsupported type $other")
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+    rows += 1L
+    // inline stats
+    tracked.foreach { t =>
+      val idx = t(0).asInstanceOf[Int]
+      if (!row.isNullAt(idx)) {
+        val dt = t(1).asInstanceOf[DataType]
+        val dtype = t(2).asInstanceOf[String]
+        val r = TxLogWriteSupport.repr(dt, dt match {
+          case LongType => row.getLong(idx)
+          case IntegerType => row.getInt(idx)
+          case ShortType => row.getShort(idx)
+          case ByteType => row.getByte(idx)
+          case DoubleType => row.getDouble(idx)
+          case FloatType => row.getFloat(idx)
+          case DateType => row.getInt(idx)
+          case StringType => row.getUTF8String(idx).toString
+          case other => throw new IllegalArgumentException(s"$other")
+        })
+        if (t(3) == null ||
+          TxLogWriteSupport.cmp(dtype, r, t(3).asInstanceOf[String]) < 0)
+          t(3) = r
+        if (t(4) == null ||
+          TxLogWriteSupport.cmp(dtype, r, t(4).asInstanceOf[String]) > 0)
+          t(4) = r
+      }
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    val stats = tracked.flatMap { t =>
+      if (t(3) == null) None
+      else Some((schema.fields(t(0).asInstanceOf[Int]).name,
+        t(2).asInstanceOf[String],
+        t(3).asInstanceOf[String], t(4).asInstanceOf[String]))
+    }
+    TxLogWriterMessage(rel, rows, stats)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    val p = new HPath(s"$base/$rel")
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, false)
+  }
+
+  override def close(): Unit = ()
+}
