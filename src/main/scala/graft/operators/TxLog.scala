@@ -99,7 +99,7 @@ object TxLog {
       stats.find(_.column == column)
   }
 
-  private def cmp(dtype: String, a: String, b: String): Int = dtype match {
+  private[graft] def cmp(dtype: String, a: String, b: String): Int = dtype match {
     case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
     case _        => utf8Cmp(a, b)
@@ -138,7 +138,7 @@ object TxLog {
     * final conflict. A body that lands files per attempt must discard
     * them before rethrowing; files landed ONCE outside the loop are
     * the caller's to clean on the final failure. */
-  private def withCasRetry[T](maxAttempts: Int)(body: Int => T): T = {
+  private[graft] def withCasRetry[T](maxAttempts: Int)(body: Int => T): T = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -273,7 +273,7 @@ object TxLog {
       .map(st => s"$DataDir/$txn/${st.getPath.getName}")
   }
 
-  private def statsDtype(dt: org.apache.spark.sql.types.DataType): String = {
+  private[graft] def statsDtype(dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType => "long"
@@ -822,22 +822,41 @@ object TxLog {
     * as adds too, so consumers of mixed workloads must dedupe by key —
     * the same caveat Delta documents for CDF without deletion vectors. */
   def changesBetween(spark: SparkSession, base: String,
-                     fromExclusive: Long, toInclusive: Long): DataFrame = {
+                     fromExclusive: Long, toInclusive: Long): DataFrame =
+    changeSlices(spark, base, fromExclusive, toInclusive,
+      withDeletes = false).drop("_change_type")
+
+  /** Shared version-diff scaffolding of the two change feeds: one
+    * tagged slice per (version, add/remove) transition, unioned BY
+    * NAME with missing columns allowed — a schema-evolving append's
+    * new column surfaces as NULL on older slices, matching
+    * [[readEvolved]]. `withDeletes=false` never reads removed files. */
+  private def changeSlices(spark: SparkSession, base: String,
+                           fromExclusive: Long, toInclusive: Long,
+                           withDeletes: Boolean): DataFrame = {
     require(fromExclusive < toInclusive, "empty version range")
     import org.apache.spark.sql.functions.lit
     val perVersion = (fromExclusive to toInclusive).map(v =>
       v -> (if (v == 0L) Set.empty[String]
             else manifest(spark, base, v)._1.map(_.path).toSet)).toMap
+    def slice(v: Long, files: Set[String], kind: String) =
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files.toSeq.map(p => s"$base/$p"): _*)
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_change_type", lit(kind)))
     val dfs = (fromExclusive + 1 to toInclusive).flatMap { v =>
-      val added = perVersion(v) -- perVersion(v - 1)
-      if (added.isEmpty) None
-      else Some(spark.read.parquet(added.toSeq.map(p => s"$base/$p"): _*)
-        .withColumn("_commit_version", lit(v)))
+      val removed =
+        if (withDeletes) slice(v, perVersion(v - 1) -- perVersion(v), "delete")
+        else None
+      removed ++ slice(v, perVersion(v) -- perVersion(v - 1), "insert")
     }
-    dfs.reduceLeftOption(_.unionByName(_)).getOrElse {
-      read(spark, base).withColumn("_commit_version", lit(0L))
-        .where(lit(false))
-    }
+    dfs.reduceLeftOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        read(spark, base)
+          .withColumn("_commit_version", lit(0L))
+          .withColumn("_change_type", lit("insert"))
+          .where(lit(false))
+      }
   }
 
   /** Full change feed WITH delete markers (Delta CDF's shape without
@@ -854,29 +873,8 @@ object TxLog {
     * manifest referencing them — the same retention contract as
     * [[changesBetween]]. */
   def changesWithDeletes(spark: SparkSession, base: String,
-                         fromExclusive: Long, toInclusive: Long): DataFrame = {
-    require(fromExclusive < toInclusive, "empty version range")
-    import org.apache.spark.sql.functions.lit
-    val paths = (fromExclusive to toInclusive).map(v =>
-      v -> (if (v == 0L) Set.empty[String]
-            else manifest(spark, base, v)._1.map(_.path).toSet)).toMap
-    val dfs = (fromExclusive + 1 to toInclusive).flatMap { v =>
-      val added = paths(v) -- paths(v - 1)
-      val removed = paths(v - 1) -- paths(v)
-      def slice(files: Set[String], kind: String) =
-        if (files.isEmpty) None
-        else Some(spark.read.parquet(files.toSeq.map(p => s"$base/$p"): _*)
-          .withColumn("_commit_version", lit(v))
-          .withColumn("_change_type", lit(kind)))
-      slice(removed, "delete") ++ slice(added, "insert")
-    }
-    dfs.reduceLeftOption(_.unionByName(_)).getOrElse {
-      read(spark, base)
-        .withColumn("_commit_version", lit(0L))
-        .withColumn("_change_type", lit("insert"))
-        .where(lit(false))
-    }
-  }
+                         fromExclusive: Long, toInclusive: Long): DataFrame =
+    changeSlices(spark, base, fromExclusive, toInclusive, withDeletes = true)
 
   /** Optimistic-concurrency transaction: `body` receives the current
     * snapshot (None for an empty store) and returns the FULL new

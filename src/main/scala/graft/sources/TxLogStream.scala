@@ -149,11 +149,9 @@ object TxLogSource {
   /** The (column, lo?, hi?) range constraints a DSv2 filter implies —
     * empty when the filter has no range shape we can use. Only
     * top-level conjunctions contribute (the filters ARRAY is itself a
-    * conjunction); an IN-list contributes its value ENVELOPE
-    * [min repr, max repr] per dtype ordering at check time (values
-    * between list members survive — conservative, still kills
-    * out-of-band files for the point-lookup dashboard shape);
-    * Or/Not stay un-pruned (conservative). */
+    * conjunction). IN-lists are NOT ranges — they are disjunctions of
+    * points, handled separately by [[inListOf]]; Or/Not stay
+    * un-pruned (conservative). */
   private[sources] def rangeOf(f: org.apache.spark.sql.sources.Filter)
       : Seq[(String, Option[Any], Option[Any])] = {
     import org.apache.spark.sql.sources._
@@ -188,6 +186,17 @@ object TxLogSource {
     }
   }
 
+  /** Filter value → the stats-repr string the manifest stores. Floats
+    * MUST widen through toDouble (float 1.1f → "1.100000023841858"),
+    * because both write paths widened the stats the same way —
+    * stringifying the float directly ("1.1") would parse to a
+    * DIFFERENT double and unsoundly prune the file holding the
+    * matching rows. */
+  private def valueRepr(v: Any): String = v match {
+    case f: java.lang.Float => f.floatValue().toDouble.toString
+    case other => other.toString
+  }
+
   /** Can this entry's stats satisfy every pushed filter? Absent stats,
     * non-range filters, and un-comparable value/dtype combinations
     * all answer yes (pruning may only drop PROVABLY dead files; the
@@ -201,8 +210,8 @@ object TxLogSource {
       val ranges = rangeOf(f).forall { case (c, lo, hi) =>
         e.statsFor(c) match {
           case Some(st) => scala.util.Try {
-            lo.forall(l => st.overlaps(l.toString, st.max)) &&
-              hi.forall(h => st.overlaps(st.min, h.toString))
+            lo.forall(l => st.overlaps(valueRepr(l), st.max)) &&
+              hi.forall(h => st.overlaps(st.min, valueRepr(h)))
           }.getOrElse(true)
           case None => true
         }
@@ -212,7 +221,7 @@ object TxLogSource {
       val inLists = inListOf(f).forall { case (c, vs) =>
         e.statsFor(c) match {
           case Some(st) => scala.util.Try {
-            vs.exists(v => st.overlaps(v.toString, v.toString))
+            vs.exists(v => st.overlaps(valueRepr(v), valueRepr(v)))
           }.getOrElse(true)
           case None => true
         }
@@ -261,13 +270,25 @@ class TxLogScanBuilder(full: StructType, base: String,
     * when residuals exist), GROUP BY, change-feed mode, any entry
     * without a row count, or a MIN/MAX column lacking stats on some
     * non-empty file. */
+  // the dry-run's computed result, keyed by the Aggregation instance:
+  // supportCompletePushDown and pushAggregation receive the same
+  // object back-to-back, so the manifest is listed/parsed ONCE per
+  // query, not twice. aggResult is only installed by pushAggregation —
+  // a support probe that Spark decides not to follow must not flip
+  // build() onto the agg scan.
+  private var cachedAgg: Option[(AnyRef, (StructType, Seq[Any]))] = None
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = aggResult.isDefined || tryPushAggregation(agg, dryRun = true)
+      : Boolean = tryPushAggregation(agg, dryRun = true)
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = tryPushAggregation(agg, dryRun = false)
+      : Boolean = cachedAgg match {
+    case Some((key, result)) if key eq agg =>
+      aggResult = Some(result); true
+    case _ => tryPushAggregation(agg, dryRun = false)
+  }
 
   private def tryPushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
@@ -302,11 +323,11 @@ class TxLogScanBuilder(full: StructType, base: String,
       case _ => None
     }
     if (values.exists(_.isEmpty)) return false
-    if (!dryRun) {
-      val fields = values.flatten.zipWithIndex.map { case ((dt, _), i) =>
-        StructField(s"agg_$i", dt, nullable = true) }
-      aggResult = Some((StructType(fields), values.flatten.map(_._2)))
-    }
+    val fields = values.flatten.zipWithIndex.map { case ((dt, _), i) =>
+      StructField(s"agg_$i", dt, nullable = true) }
+    val result = (StructType(fields), values.flatten.map(_._2))
+    if (dryRun) cachedAgg = Some((agg, result))
+    else aggResult = Some(result)
     true
   }
 

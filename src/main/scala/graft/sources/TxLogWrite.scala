@@ -57,8 +57,14 @@ class TxLogWrite(base: String, info: LogicalWriteInfo, truncate: Boolean)
   private val statsCols: Seq[String] =
     Option(info.options.get("statsColumns")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-  statsCols.foreach(c => require(info.schema().fieldNames.contains(c),
-    s"statsColumns entry $c is not a column of ${info.schema().simpleString}"))
+  statsCols.foreach { c =>
+    require(info.schema().fieldNames.contains(c),
+      s"statsColumns entry $c is not a column of ${info.schema().simpleString}")
+    // fail fast on the DRIVER for unsupported stats types — the
+    // executor-side writer would otherwise kill every task late, with
+    // retry noise (the TxLog API path fails before writing too)
+    TxLogWriteSupport.statsDtype(info.schema()(c).dataType)
+  }
 
   override def toBatch: BatchWrite =
     new TxLogBatchWrite(base, info.schema(), statsCols, truncate)
@@ -114,36 +120,12 @@ object TxLogWriteSupport {
     b.named("graft_txlog_row")
   }
 
-  /** TxLog stats dtype of a Spark type (mirrors TxLog.statsDtype). */
-  def statsDtype(dt: DataType): String = dt match {
-    case ByteType | ShortType | IntegerType | LongType => "long"
-    case FloatType | DoubleType => "double"
-    case DateType => "date"
-    case StringType => "string"
-    case other => throw new IllegalArgumentException(
-      s"unsupported stats column type $other (long/double/date/string)")
-  }
+  /** TxLog's stats dtype of a Spark type (one comparator for both
+    * write paths — drift between the write-side tracker and the
+    * read-side overlap check would make pruning unsound). */
+  def statsDtype(dt: DataType): String = TxLog.statsDtype(dt)
 
-  /** The manifest-stats string repr of an internal value (must agree
-    * with what `cast(col as <castType>).cast("string")` produced on
-    * the landEntries path, so both write paths prune identically). */
-  def repr(dt: DataType, v: Any): String = dt match {
-    case ByteType | ShortType | IntegerType | LongType =>
-      String.valueOf(v.asInstanceOf[Number].longValue())
-    case FloatType | DoubleType =>
-      String.valueOf(v.asInstanceOf[Number].doubleValue())
-    case DateType => java.time.LocalDate.ofEpochDay(
-      v.asInstanceOf[Number].longValue()).toString
-    case StringType => v.toString
-    case other => throw new IllegalArgumentException(s"no repr for $other")
-  }
-
-  def cmp(dtype: String, a: String, b: String): Int = dtype match {
-    case "long" => java.lang.Long.compare(a.toLong, b.toLong)
-    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
-    case _ =>
-      UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
-  }
+  def cmp(dtype: String, a: String, b: String): Int = TxLog.cmp(dtype, a, b)
 }
 
 class TxLogBatchWrite(base: String, schema: StructType,
@@ -208,24 +190,16 @@ object TxLogWriteCommit {
 
   def publishWithRetry(spark: org.apache.spark.sql.SparkSession,
                        base: String, entries: Seq[TxLog.Entry],
-                       replaceAll: Boolean, maxAttempts: Int = 5): Long = {
-    var attempt = 0
-    while (true) {
-      attempt += 1
+                       replaceAll: Boolean, maxAttempts: Int = 5): Long =
+    TxLog.withCasRetry(maxAttempts) { _ =>
       val cur = TxLog.latestVersion(spark, base)
       val (prev, txns) = cur.map(TxLog.manifest(spark, base, _))
         .getOrElse((Seq.empty[TxLog.Entry], Map.empty[String, Long]))
       val v = cur.getOrElse(0L) + 1L
       val all = if (replaceAll) entries else prev ++ entries
-      try {
-        TxLog.publishEntries(spark, base, v, all, txns)
-        return v
-      } catch {
-        case _: TxLog.CommitConflictException if attempt < maxAttempts => ()
-      }
+      TxLog.publishEntries(spark, base, v, all, txns)
+      v
     }
-    throw new IllegalStateException("unreachable")
-  }
 
   /** Exactly-once epoch commit: the manifest's txn map carries the
     * sink's (appId → epochId) high-water; a replayed epoch discards
@@ -233,10 +207,8 @@ object TxLogWriteCommit {
   def publishEpochWithRetry(spark: org.apache.spark.sql.SparkSession,
                             base: String, entries: Seq[TxLog.Entry],
                             appId: String, epochId: Long,
-                            maxAttempts: Int = 5): Long = {
-    var attempt = 0
-    while (true) {
-      attempt += 1
+                            maxAttempts: Int = 5): Long =
+    TxLog.withCasRetry(maxAttempts) { _ =>
       val cur = TxLog.latestVersion(spark, base)
       val (prev, txns) = cur.map(TxLog.manifest(spark, base, _))
         .getOrElse((Seq.empty[TxLog.Entry], Map.empty[String, Long]))
@@ -246,19 +218,67 @@ object TxLogWriteCommit {
           new HPath(s"$base/$p").getParent).distinct.foreach { dir =>
           dir.getFileSystem(TxLogSource.driverHadoopConf()).delete(dir, true)
         }
-        return cur.get
-      }
-      val v = cur.getOrElse(0L) + 1L
-      try {
+        cur.get
+      } else {
+        val v = cur.getOrElse(0L) + 1L
         TxLog.publishEntries(spark, base, v, prev ++ entries,
           txns + (appId -> epochId))
-        return v
-      } catch {
-        case _: TxLog.CommitConflictException if attempt < maxAttempts => ()
+        v
       }
     }
-    throw new IllegalStateException("unreachable")
+}
+
+/** Typed running min/max for one stats column — primitive comparisons
+  * on the per-row hot path, string reprs produced ONCE at commit.
+  * UTF8String values from an UnsafeRow point into the row's reused
+  * buffer, so a new string extreme is CLONED when stored. */
+class StatsTracker(idx: Int, name: String, dt: DataType)
+    extends Serializable {
+  private val dtype = TxLogWriteSupport.statsDtype(dt)
+  private var seen = false
+  private var minL = Long.MaxValue; private var maxL = Long.MinValue
+  private var minD = Double.NaN; private var maxD = Double.NaN
+  private var minU: UTF8String = _; private var maxU: UTF8String = _
+
+  def update(row: InternalRow): Unit = {
+    if (row.isNullAt(idx)) return
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType | DateType =>
+        val v = dt match {
+          case LongType => row.getLong(idx)
+          case IntegerType | DateType => row.getInt(idx).toLong
+          case ShortType => row.getShort(idx).toLong
+          case _ => row.getByte(idx).toLong
+        }
+        if (v < minL) minL = v
+        if (v > maxL) maxL = v
+      case DoubleType | FloatType =>
+        val v = if (dt == DoubleType) row.getDouble(idx)
+                else row.getFloat(idx).toDouble
+        if (minD.isNaN || v < minD) minD = v
+        if (maxD.isNaN || v > maxD) maxD = v
+      case StringType =>
+        val v = row.getUTF8String(idx)
+        if (minU == null || v.compareTo(minU) < 0) minU = v.clone()
+        if (maxU == null || v.compareTo(maxU) > 0) maxU = v.clone()
+      case other => throw new IllegalArgumentException(s"$other")
+    }
+    seen = true
   }
+
+  /** (column, dtype, minRepr, maxRepr) — None when every row was NULL. */
+  def result: Option[(String, String, String, String)] =
+    if (!seen) None
+    else Some(dt match {
+      case DateType => (name, dtype,
+        java.time.LocalDate.ofEpochDay(minL).toString,
+        java.time.LocalDate.ofEpochDay(maxL).toString)
+      case LongType | IntegerType | ShortType | ByteType =>
+        (name, dtype, minL.toString, maxL.toString)
+      case DoubleType | FloatType =>
+        (name, dtype, minD.toString, maxD.toString)
+      case _ => (name, dtype, minU.toString, maxU.toString)
+    })
 }
 
 class TxLogWriterFactory(base: String, txnRel: String, schema: StructType,
@@ -296,12 +316,8 @@ class TxLogDataWriter(base: String, txnRel: String, fileStem: String,
   private var writer: org.apache.parquet.hadoop.ParquetWriter[
     org.apache.parquet.example.data.Group] = _
   private var rows = 0L
-  // per stats column: (schema index, spark type, dtype, min, max)
-  private val tracked = statsCols.map { c =>
-    val i = schema.fieldIndex(c)
-    val dt = schema.fields(i).dataType
-    Array[Any](i, dt, TxLogWriteSupport.statsDtype(dt), null, null)
-  }
+  private val tracked = statsCols.map(c => new StatsTracker(
+    schema.fieldIndex(c), schema(c).name, schema(c).dataType))
 
   override def write(row: InternalRow): Unit = {
     if (writer == null) {
@@ -338,42 +354,12 @@ class TxLogDataWriter(base: String, txnRel: String, fileStem: String,
     }
     writer.write(g)
     rows += 1L
-    // inline stats
-    tracked.foreach { t =>
-      val idx = t(0).asInstanceOf[Int]
-      if (!row.isNullAt(idx)) {
-        val dt = t(1).asInstanceOf[DataType]
-        val dtype = t(2).asInstanceOf[String]
-        val r = TxLogWriteSupport.repr(dt, dt match {
-          case LongType => row.getLong(idx)
-          case IntegerType => row.getInt(idx)
-          case ShortType => row.getShort(idx)
-          case ByteType => row.getByte(idx)
-          case DoubleType => row.getDouble(idx)
-          case FloatType => row.getFloat(idx)
-          case DateType => row.getInt(idx)
-          case StringType => row.getUTF8String(idx).toString
-          case other => throw new IllegalArgumentException(s"$other")
-        })
-        if (t(3) == null ||
-          TxLogWriteSupport.cmp(dtype, r, t(3).asInstanceOf[String]) < 0)
-          t(3) = r
-        if (t(4) == null ||
-          TxLogWriteSupport.cmp(dtype, r, t(4).asInstanceOf[String]) > 0)
-          t(4) = r
-      }
-    }
+    tracked.foreach(_.update(row))
   }
 
   override def commit(): WriterCommitMessage = {
     if (writer != null) writer.close()
-    val stats = tracked.flatMap { t =>
-      if (t(3) == null) None
-      else Some((schema.fields(t(0).asInstanceOf[Int]).name,
-        t(2).asInstanceOf[String],
-        t(3).asInstanceOf[String], t(4).asInstanceOf[String]))
-    }
-    TxLogWriterMessage(rel, rows, stats)
+    TxLogWriterMessage(rel, rows, tracked.flatMap(_.result))
   }
 
   override def abort(): Unit = {

@@ -421,6 +421,26 @@ class TxLogScaleSpec extends AnyFunSuite {
       v2.exists(_.getString(3) == "insert"))
   }
 
+  test("the change feeds union schema-evolved slices by name: the " +
+    "later column reads NULL on pre-evolution versions") {
+    val base = "/tmp/graft_txlog/cdfevolve"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 30, "old", 1), base, None, Some("k"))
+    TxLog.append(
+      clustered(30, 20, "new", 1).withColumn("extra", col("k") * 10),
+      base, Some("k"))
+    TxLog.deleteRange(spark, base, "k", 0L, 9L)
+    val feed = TxLog.changesWithDeletes(spark, base, 0L, 3L)
+    assert(feed.columns.contains("extra"))
+    assert(feed.where(col("_commit_version") === 1 &&
+      col("extra").isNotNull).count() == 0)
+    assert(feed.where(col("_commit_version") === 2 &&
+      col("_change_type") === "insert" && col("extra").isNotNull)
+      .count() == 20)
+    val inserts = TxLog.changesBetween(spark, base, 0L, 2L)
+    assert(inserts.columns.contains("extra") && inserts.count() == 50)
+  }
+
   test("a v1 manifest (bare paths) still reads, appends, and merges — " +
     "its stat-less files are conservatively rewritten by mergeCow") {
     val base = "/tmp/graft_txlog/v1compat"

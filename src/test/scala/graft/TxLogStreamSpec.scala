@@ -248,6 +248,27 @@ class TxLogStreamSpec extends AnyFunSuite {
     assert(src.where(col("k").isin(7777L, 8888L)).count() == 0)
   }
 
+  test("float predicates prune soundly: the filter value widens " +
+    "through toDouble exactly like the stored stats, so the file " +
+    "holding the matching rows always survives") {
+    val base = "/tmp/graft_txstream/floatpush"
+    TxLog.drop(spark, base)
+    val df = spark.range(0, 100)
+      .select(col("id").as("k"),
+        (col("id").cast("float") / 10.0f).cast("float").as("f"))
+      .repartitionByRange(4, col("k"))
+    TxLog.commitMulti(df, base, None, Seq("k", "f"))
+    val src = spark.read.format("graft.sources.TxLogSource").load(base)
+    // 1.1f has no exact double repr via toString — the regression this
+    // pins pruned the file and returned zero rows
+    assert(src.where(col("f") === lit(1.1f)).count() ==
+      TxLog.read(spark, base).where(col("f") === lit(1.1f)).count())
+    assert(src.where(col("f").isin(1.1f, 55.5f)).count() ==
+      TxLog.read(spark, base).where(col("f").isin(1.1f, 55.5f)).count())
+    assert(src.where(col("f") >= lit(9.7f)).count() ==
+      TxLog.read(spark, base).where(col("f") >= lit(9.7f)).count())
+  }
+
   test("un-filtered COUNT(*)/MIN/MAX are answered from manifest " +
     "metadata alone: TxLogAggScan in the plan, one partition, zero " +
     "data files read, values identical to the full computation") {
