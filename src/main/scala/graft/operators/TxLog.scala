@@ -125,6 +125,16 @@ object TxLog {
     case "long" => "long"; case "double" => "double"; case _ => "string"
   }
 
+  /** Resolve a manifest path: relative entries live under this
+    * table's base; ABSOLUTE entries (leading "/" or a URI scheme) are
+    * zero-copy references into ANOTHER table — the shallow-clone
+    * mechanism ([[cloneShallow]]). */
+  def resolve(base: String, path: String): String =
+    if (isAbsolute(path)) path else s"$base/$path"
+
+  private[graft] def isAbsolute(path: String): Boolean =
+    path.startsWith("/") || path.contains("://")
+
   /** Does this file possibly hold rows with `column` in [lo, hi]?
     * Entries without stats on that column must be answered yes. */
   private def touchesRange(e: Entry, column: String,
@@ -231,7 +241,7 @@ object TxLog {
 
   /** Snapshot read of version `v`: only that manifest's files. */
   def readVersion(spark: SparkSession, base: String, v: Long): DataFrame = {
-    val files = manifestFiles(spark, base, v).map(rel => s"$base/$rel")
+    val files = manifestFiles(spark, base, v).map(resolve(base, _))
     spark.read.parquet(files: _*)
   }
 
@@ -253,7 +263,7 @@ object TxLog {
   def readEvolved(spark: SparkSession, base: String): DataFrame = {
     val v = latestVersion(spark, base).getOrElse(
       throw new IllegalStateException(s"no committed version at $base"))
-    val files = manifestFiles(spark, base, v).map(rel => s"$base/$rel")
+    val files = manifestFiles(spark, base, v).map(resolve(base, _))
     spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
@@ -542,7 +552,7 @@ object TxLog {
       col(c).between(lit(lo), lit(hi))
     }.reduce(_ && _)
     if (kept.isEmpty) read(spark, base).where(lit(false))
-    else spark.read.parquet(kept.map(e => s"$base/${e.path}"): _*)
+    else spark.read.parquet(kept.map(e => resolve(base, e.path)): _*)
       .where(residual)
   }
 
@@ -581,7 +591,7 @@ object TxLog {
       val merged =
         if (touched.isEmpty) source
         else Upsert.merge(
-          spark.read.parquet(touched.map(e => s"$base/${e.path}"): _*),
+          spark.read.parquet(touched.map(e => resolve(base, e.path)): _*),
           source, keys)
       val newEntries = landEntriesMulti(merged, base,
         preservedStatsCols(touched, Seq(statsCol), merged.schema))
@@ -691,7 +701,7 @@ object TxLog {
         if (touched.isEmpty) Seq.empty
         else {
           val kept = spark.read
-            .parquet(touched.map(e => s"$base/${e.path}"): _*)
+            .parquet(touched.map(e => resolve(base, e.path)): _*)
             .where(!coalesce(
               col(column).between(lit(lo), lit(hi)), lit(false)))
           landEntriesMulti(kept, base,
@@ -745,7 +755,7 @@ object TxLog {
       if (touched.isEmpty) cur
       else {
         val rewritten = transform(
-          spark.read.parquet(touched.map(e => s"$base/${e.path}"): _*))
+          spark.read.parquet(touched.map(e => resolve(base, e.path)): _*))
         val newEntries = landEntriesMulti(rewritten, base,
           preservedStatsCols(touched, Seq(column), rewritten.schema))
           .filter(_.rows != 0L)
@@ -792,7 +802,7 @@ object TxLog {
         val knownRows = small.filter(_.rows >= 0).map(_.rows).sum
         val nOut = math.max(1L,
           (knownRows + targetRows - 1) / targetRows + unknown).toInt
-        val smallDf = spark.read.parquet(small.map(e => s"$base/${e.path}"): _*)
+        val smallDf = spark.read.parquet(small.map(e => resolve(base, e.path)): _*)
         // keep the cluster layout when the caller has one: range
         // repartition re-establishes band-per-file so stats skipping
         // stays sharp after compaction
@@ -841,7 +851,7 @@ object TxLog {
             else manifest(spark, base, v)._1.map(_.path).toSet)).toMap
     def slice(v: Long, files: Set[String], kind: String) =
       if (files.isEmpty) None
-      else Some(spark.read.parquet(files.toSeq.map(p => s"$base/$p"): _*)
+      else Some(spark.read.parquet(files.toSeq.map(resolve(base, _)): _*)
         .withColumn("_commit_version", lit(v))
         .withColumn("_change_type", lit(kind)))
     val dfs = (fromExclusive + 1 to toInclusive).flatMap { v =>
@@ -935,6 +945,58 @@ object TxLog {
     rows.toDF("version", "n_files", "n_rows", "n_added_files", "n_txn_apps")
   }
 
+  /** RESTORE (Delta `RESTORE TABLE ... VERSION AS OF` analog): roll
+    * the table back to version `v` by republishing v's entries as a
+    * NEW version — the rolled-back versions stay readable until
+    * vacuum (history is never rewritten), the data files never move,
+    * and the CURRENT txn high-water map is carried so an exactly-once
+    * sink's replay protection survives the rollback. Fails if v's
+    * files were already vacuumed. Returns the new version. */
+  def restore(spark: SparkSession, base: String, v: Long,
+              maxAttempts: Int = 5): Long =
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      require(v >= 1 && v <= cur,
+        s"cannot restore version $v of a table at version $cur")
+      val (entries, _) = manifest(spark, base, v)
+      val (_, txns) = manifest(spark, base, cur)
+      publishEntries(spark, base, cur + 1L, entries, txns)
+      cur + 1L
+    }
+
+  /** Shallow clone (Delta `CREATE TABLE ... SHALLOW CLONE` analog):
+    * publish a version-1 manifest at `dstBase` whose entries
+    * REFERENCE the source's current files by ABSOLUTE path — zero
+    * data copied, stats carried verbatim so skipping works on the
+    * clone immediately. Writes to the clone (append, COW DML, MERGE)
+    * land locally and diverge; the source is never touched, and the
+    * clone's vacuum never deletes source files ([[vacuum]] skips
+    * absolute entries). Caveat — the same one Delta documents:
+    * vacuuming the SOURCE can delete files a live clone still
+    * references; retain source history at least as long as clones
+    * live. The clone starts with an empty txn map (it is a new table
+    * for exactly-once purposes). */
+  def cloneShallow(spark: SparkSession, srcBase: String,
+                   dstBase: String): Long = {
+    require(latestVersion(spark, dstBase).isEmpty,
+      s"clone destination $dstBase already has committed versions")
+    val v = latestVersion(spark, srcBase).getOrElse(
+      throw new IllegalStateException(s"no committed version at $srcBase"))
+    // qualify the source base so the clone's references stay valid
+    // from any working directory / filesystem resolution
+    val srcAbs = {
+      val p = new Path(srcBase)
+      if (p.toUri.getScheme == null)
+        fs(srcBase, spark).makeQualified(p).toUri.getPath
+      else p.toString
+    }
+    val (entries, _) = manifest(spark, srcBase, v)
+    val cloned = entries.map(e => e.copy(path = resolve(srcAbs, e.path)))
+    publishEntries(spark, dstBase, 1L, cloned, Map.empty)
+    1L
+  }
+
   /** Retention vacuum: drop all but the newest `keepLast` manifests,
     * then delete every txn dir no surviving manifest references.
     * Returns the surviving versions, ascending. */
@@ -945,7 +1007,10 @@ object TxLog {
     val versions = f.listStatus(logDir).toSeq
       .flatMap(st => parseVersion(st.getPath.getName)).sorted
     val (drop, keep) = versions.splitAt(math.max(0, versions.length - keepLast))
+    // absolute (cloned-in) entries are another table's files: they
+    // contribute nothing to LOCAL liveness and are never deleted here
     val live = keep.flatMap(v => manifestFiles(spark, base, v))
+      .filterNot(isAbsolute)
       .map(rel => new Path(s"$base/$rel").getParent.getName).toSet
     drop.foreach(v => f.delete(manifestPath(base, v), false))
     val dataDir = new Path(s"$base/$DataDir")

@@ -503,6 +503,66 @@ object RegistryMaint {
         .orderBy("commit_version", "change_type")
     }),
 
+    // RESTORE over the manifest log (Delta RESTORE VERSION AS OF):
+    // version 3 is the "bad deploy" (a band delete); restore(2) rolls
+    // back by republishing v2's entries as v4 — no file moves, the
+    // bad version stays readable, and the readback equals the
+    // pre-delete table. The oracle is the full events aggregate.
+    "s37_restore_version" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txrestore_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(ev.where(col("event_id") < 500)
+          .repartitionByRange(4, col("event_id")),
+        base, None, Some("event_id"))
+      TxLog.append(ev.where(col("event_id") >= 500), base, Some("event_id"))
+      TxLog.deleteRange(s, base, "event_id", cowLo, cowHi) // the bad deploy
+      val v = TxLog.restore(s, base, 2L)
+      require(v == 4L && TxLog.manifestFiles(s, base, 4L).toSet ==
+        TxLog.manifestFiles(s, base, 2L).toSet,
+        "restore must republish v2's files verbatim as v4")
+      TxLog.read(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Shallow clone (Delta SHALLOW CLONE): the clone's v1 manifest
+    // references the source's files by absolute path — zero data
+    // copied, stats carried so skipping works immediately — and a COW
+    // update then diverges the clone locally while the source stays
+    // byte-identical (the require pins both). The oracle recomputes
+    // the clone's state with a CASE.
+    "s38_shallow_clone" -> ((s, dir) => {
+      val src = Ingest.fixtureDir(dir) + "/txclone_src"
+      val dst = Ingest.fixtureDir(dir) + "/txclone_dst"
+      TxLog.drop(s, src); TxLog.drop(s, dst)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(ev.repartitionByRange(8, col("event_id")),
+        base = src, expected = None, statsCol = Some("event_id"))
+      TxLog.cloneShallow(s, src, dst)
+      TxLog.updateRange(s, dst, "event_id", cowLo, cowHi,
+        set = Map("value" -> col("value") * 5),
+        residual = col("event_type") === "signup")
+      val srcRows = TxLog.read(s, src).count()
+      val cloneV2 = TxLog.manifest(s, dst, 2L)._1
+      require(cloneV2.exists(e => e.path.startsWith("/")) &&
+        cloneV2.exists(e => !e.path.startsWith("/")),
+        "diverged clone must mix source references and local files")
+      require(srcRows == TxLog.read(s, dst).count(),
+        "the COW update must not change row counts on either side")
+      TxLog.read(s, dst)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Version history over the manifest log (Delta DESCRIBE HISTORY):
     // per-version row counts ride the manifests, so the full history
     // answer costs zero data I/O — the oracle recomputes each
@@ -833,6 +893,19 @@ object RegistryMaint {
                 cast(sum(cast(
                   CASE WHEN event_id BETWEEN $cowLo AND $cowHi
                        THEN value * 2 ELSE value END
+                  AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         GROUP BY event_type ORDER BY event_type""",
+    "s37_restore_version" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "s38_shallow_clone" ->
+      s"""SELECT event_type, count(*) AS n,
+                cast(sum(cast(
+                  CASE WHEN event_id BETWEEN $cowLo AND $cowHi
+                            AND event_type = 'signup'
+                       THEN value * 5 ELSE value END
                   AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events
          GROUP BY event_type ORDER BY event_type""",

@@ -441,11 +441,11 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
     if (changeFeed)
       (1L to target).flatMap(v =>
         survivors(TxLogSource.addedEntries(spark, base, v))
-          .map(e => TxLogInputPartition(s"$base/${e.path}", v): InputPartition))
+          .map(e => TxLogInputPartition(TxLog.resolve(base, e.path), v): InputPartition))
         .toArray
     else
       survivors(TxLog.manifest(spark, base, target)._1)
-        .map(e => TxLogInputPartition(s"$base/${e.path}", target): InputPartition)
+        .map(e => TxLogInputPartition(TxLog.resolve(base, e.path), target): InputPartition)
         .toArray
   }
 
@@ -716,7 +716,7 @@ class TxLogMicroBatchStream(scan: TxLogScan, base: String,
     // ships files the pushed ranges prove dead (filters stay residual)
     (from + 1 to to).flatMap(v =>
       scan.survivors(TxLogSource.addedEntries(spark, base, v))
-        .map(e => TxLogInputPartition(s"$base/${e.path}", v): InputPartition))
+        .map(e => TxLogInputPartition(TxLog.resolve(base, e.path), v): InputPartition))
       .toArray
   }
 

@@ -441,6 +441,64 @@ class TxLogScaleSpec extends AnyFunSuite {
     assert(inserts.columns.contains("extra") && inserts.count() == 50)
   }
 
+  test("restore republishes an old version as a NEW one: rollback " +
+    "with full history, no file moves, txn map carried") {
+    val base = "/tmp/graft_txlog/restore"
+    TxLog.drop(spark, base)
+    TxLog.appendOnce(clustered(0, 50, "a", 1), base, "app", 0L, Some("k"))
+    TxLog.append(clustered(50, 30, "b", 1), base, Some("k"))
+    TxLog.deleteRange(spark, base, "k", 0L, 19L) // v3: the bad deploy
+    assert(TxLog.read(spark, base).count() == 60)
+    val v = TxLog.restore(spark, base, 2L)
+    assert(v == 4L)
+    assert(contents(TxLog.read(spark, base)) ==
+      contents(TxLog.readVersion(spark, base, 2L)))
+    assert(TxLog.read(spark, base).count() == 80)
+    // the "bad" version stays readable (history never rewritten) and
+    // the restored manifest reuses v2's files verbatim
+    assert(TxLog.readVersion(spark, base, 3L).count() == 60)
+    assert(TxLog.manifestFiles(spark, base, 4L).toSet ==
+      TxLog.manifestFiles(spark, base, 2L).toSet)
+    // exactly-once state survives the rollback
+    assert(TxLog.manifest(spark, base, 4L)._2 == Map("app" -> 0L))
+    assert(TxLog.appendOnce(clustered(0, 5, "dup", 1), base, "app", 0L) == 4L)
+  }
+
+  test("shallow clone references the source's files with zero copy: " +
+    "reads + skipping work immediately, COW writes diverge locally, " +
+    "the source is never touched, clone vacuum spares source files") {
+    val src = "/tmp/graft_txlog/clone_src"
+    val dst = "/tmp/graft_txlog/clone_dst"
+    TxLog.drop(spark, src); TxLog.drop(spark, dst)
+    TxLog.commit(clustered(0, 1000, "s", 8), src, None, Some("k"))
+    TxLog.cloneShallow(spark, src, dst)
+    // zero-copy: the clone's data dir does not even exist yet
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dst/data")))
+    assert(contents(TxLog.read(spark, dst)) ==
+      contents(TxLog.read(spark, src)))
+    // stats carried: manifest skipping works on the clone immediately
+    val (kept, all) = TxLog.pruneRange(spark, dst, "k", 10L, 90L)
+    assert(all.size == 8 && kept.size <= 2)
+    // divergent COW write on the clone: only the touched band lands
+    // locally; untouched entries keep referencing the source
+    TxLog.updateRange(spark, dst, "k", 250L, 279L,
+      set = Map("s" -> concat(lit("clone-"), col("k"))))
+    assert(TxLog.read(spark, dst)
+      .where(col("s").startsWith("clone-")).count() == 30)
+    assert(contents(TxLog.read(spark, src)) ==
+      contents(clustered(0, 1000, "s", 1)), "source must be untouched")
+    val v2 = TxLog.manifest(spark, dst, 2L)._1
+    assert(v2.exists(e => e.path.startsWith("/")) &&
+      v2.exists(e => !e.path.startsWith("/")),
+      s"divergent clone must mix source refs and local files: $v2")
+    // clone vacuum drops its own history but never the source's files
+    TxLog.vacuum(spark, dst, keepLast = 1)
+    assert(TxLog.read(spark, src).count() == 1000)
+    assert(TxLog.read(spark, dst).count() == 1000)
+  }
+
   test("a v1 manifest (bare paths) still reads, appends, and merges — " +
     "its stat-less files are conservatively rewritten by mergeCow") {
     val base = "/tmp/graft_txlog/v1compat"
