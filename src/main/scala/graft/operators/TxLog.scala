@@ -89,14 +89,38 @@ object TxLog {
       TxLog.cmp(dtype, max, lo) >= 0 && TxLog.cmp(dtype, min, hi) <= 0
   }
 
+  /** Deletion-vector reference (Delta's DV / merge-on-read DELETE):
+    * `dir` is a (base-relative, or absolute for clones) parquet
+    * dataset of (`__file`, `__pos`) rows naming deleted row positions;
+    * `rows` is how many of THIS entry's positions it holds — what
+    * metadata COUNT(*) subtracts without opening a file. */
+  final case class Dv(dir: String, rows: Long)
+
+  /** Bloom-filter index reference (Delta `CREATE BLOOMFILTER INDEX`
+    * analog): `dir` is a sidecar parquet dataset of (`__file`,
+    * `__pos`) rows — the SET bit positions of each file's bloom over
+    * `column` — shared by every entry of one [[buildBloomIndex]] run;
+    * `m` bits, `k` hashes. Point lookups probe the k positions of the
+    * value and keep only files holding ALL of them. */
+  final case class BloomRef(dir: String, column: String, m: Long, k: Int)
+
   /** One manifest entry: a base-relative data file, its row count
-    * (-1 when unknown, e.g. a v1 manifest), and per-column min/max
+    * (-1 when unknown, e.g. a v1 manifest), per-column min/max
     * stats (empty when the writer collected none; one PER clustering
     * column under [[commitMulti]], so a Z-ordered table can skip on
-    * EITHER dimension at the manifest level). */
-  final case class Entry(path: String, rows: Long, stats: Seq[ColStats]) {
+    * EITHER dimension at the manifest level), and an optional
+    * deletion vector ([[deleteRangeMor]]) masking rows without
+    * rewriting the file. */
+  final case class Entry(path: String, rows: Long, stats: Seq[ColStats],
+                         dv: Option[Dv] = None,
+                         blooms: Seq[BloomRef] = Nil) {
     def statsFor(column: String): Option[ColStats] =
       stats.find(_.column == column)
+    def bloomFor(column: String): Option[BloomRef] =
+      blooms.find(_.column == column)
+    /** Live (undeleted) rows; -1 when the physical count is unknown. */
+    def liveRows: Long =
+      if (rows < 0) -1L else rows - dv.map(_.rows).getOrElse(0L)
   }
 
   private[graft] def cmp(dtype: String, a: String, b: String): Int = dtype match {
@@ -163,26 +187,44 @@ object TxLog {
 
   /** Line format: `path[\trows[\t(dtype\tcol\tmin\tmax)+]]` — 2 + 4k
     * fields. The single-stats v2 line (6 fields) is the k=1 case, so
-    * older manifests parse unchanged. */
-  private def serLine(e: Entry): String = e match {
-    case Entry(p, -1L, Nil) => p // v1-compatible bare path
-    case Entry(p, n, Nil) => s"$p\t$n"
-    case Entry(p, n, cols) =>
-      s"$p\t$n\t" + cols.map(cs =>
-        s"${cs.dtype}\t${enc(cs.column)}\t${enc(cs.min)}\t${enc(cs.max)}")
-        .mkString("\t")
-  }
+    * older manifests parse unchanged. A deletion vector rides as one
+    * reserved 4-field group with dtype `dv`
+    * (`dv\t<encoded dir>\t<rows>\t-`) — the group slot keeps the
+    * parser uniform, and `dv` never collides with [[statsDtype]]'s
+    * output so pre-DV manifests are unaffected. */
+  private def serLine(e: Entry): String =
+    if (e.rows == -1L && e.stats.isEmpty && e.dv.isEmpty && e.blooms.isEmpty)
+      e.path // v1-compatible bare path
+    else if (e.stats.isEmpty && e.dv.isEmpty && e.blooms.isEmpty)
+      s"${e.path}\t${e.rows}"
+    else {
+      val groups = e.stats.map(cs =>
+        s"${cs.dtype}\t${enc(cs.column)}\t${enc(cs.min)}\t${enc(cs.max)}") ++
+        e.blooms.map(b =>
+          s"bf\t${enc(b.dir)}\t${enc(b.column)}\t${b.m},${b.k}") ++
+        e.dv.map(d => s"dv\t${enc(d.dir)}\t${d.rows}\t-")
+      s"${e.path}\t${e.rows}\t" + groups.mkString("\t")
+    }
 
   private def parseLine(line: String): Entry = {
     val f = line.split('\t')
     if (f.length == 1) Entry(f(0), -1L, Nil)
     else if (f.length == 2) Entry(f(0), f(1).toLong, Nil)
-    else if ((f.length - 2) % 4 == 0)
+    else if ((f.length - 2) % 4 == 0) {
+      val groups = f.drop(2).grouped(4).toList
+      val dvGroups = groups.filter(_.head == "dv")
+      val bfGroups = groups.filter(_.head == "bf")
+      val statGroups = groups.filterNot(g => g.head == "dv" || g.head == "bf")
+      require(dvGroups.size <= 1,
+        s"manifest line carries ${dvGroups.size} deletion vectors: $line")
       Entry(f(0), f(1).toLong,
-        f.drop(2).grouped(4).map { g =>
-          ColStats(dec(g(1)), g(0), dec(g(2)), dec(g(3)))
-        }.toList)
-    else throw new IllegalStateException(
+        statGroups.map(g => ColStats(dec(g(1)), g(0), dec(g(2)), dec(g(3)))),
+        dvGroups.headOption.map(g => Dv(dec(g(1)), g(2).toLong)),
+        bfGroups.map { g =>
+          val Array(m, k) = g(3).split(',')
+          BloomRef(dec(g(1)), dec(g(2)), m.toLong, k.toInt)
+        })
+    } else throw new IllegalStateException(
       s"malformed manifest line: $line (${f.length} fields)")
   }
 
@@ -239,11 +281,10 @@ object TxLog {
   def manifestFiles(spark: SparkSession, base: String, v: Long): Seq[String] =
     manifest(spark, base, v)._1.map(_.path)
 
-  /** Snapshot read of version `v`: only that manifest's files. */
-  def readVersion(spark: SparkSession, base: String, v: Long): DataFrame = {
-    val files = manifestFiles(spark, base, v).map(resolve(base, _))
-    spark.read.parquet(files: _*)
-  }
+  /** Snapshot read of version `v`: only that manifest's files, with
+    * each file's deletion vector (if any) applied. */
+  def readVersion(spark: SparkSession, base: String, v: Long): DataFrame =
+    readEntries(spark, base, manifest(spark, base, v)._1)
 
   /** Snapshot read of the latest published version. */
   def read(spark: SparkSession, base: String): DataFrame = {
@@ -263,8 +304,89 @@ object TxLog {
   def readEvolved(spark: SparkSession, base: String): DataFrame = {
     val v = latestVersion(spark, base).getOrElse(
       throw new IllegalStateException(s"no committed version at $base"))
-    val files = manifestFiles(spark, base, v).map(resolve(base, _))
-    spark.read.option("mergeSchema", "true").parquet(files: _*)
+    readEntries(spark, base, manifest(spark, base, v)._1, mergeSchema = true)
+  }
+
+  /** Deletion-vector sidecar column names. The sidecar is an ordinary
+    * parquet dataset of one (file-name, row-position) row per deleted
+    * row, landed under its own txn dir like data files — so vacuum
+    * liveness, shallow clones, and retention all treat it uniformly. */
+  private[graft] val DvFileCol = "__file"
+  private[graft] val DvPosCol = "__pos"
+
+  /** Sum of dv-masked rows at/under which the anti-join side is
+    * broadcast: positions are 2 small columns, so 4M rows is ~100 MB
+    * serialized — inside Spark's default broadcast comfort zone. */
+  private val DvBroadcastMaxRows = 4L * 1000 * 1000
+
+  private[graft] def fileName(path: String): String = path.split('/').last
+
+  /** The deleted (file-name, position) rows of `entries`' deletion
+    * vectors — one union branch per DISTINCT sidecar dir (number of
+    * MOR commits since the last purge, small), each filtered to the
+    * file names that actually reference it. None when no entry has a
+    * DV. */
+  private def dvFrame(spark: SparkSession, base: String,
+                      entries: Seq[Entry]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val dved = entries.filter(_.dv.isDefined)
+    if (dved.isEmpty) None
+    else Some(dved.groupBy(_.dv.get.dir).toSeq.sortBy(_._1).map {
+      case (dir, es) =>
+        // the name filter only trims positions of files NOT being read
+        // (they can never match the anti-join) — an optimization, so
+        // skip it rather than build a huge literal IN at scale
+        val dirDf = spark.read.parquet(resolve(base, dir))
+        val trimmed =
+          if (es.size <= 256)
+            dirDf.where(col(DvFileCol).isin(es.map(e => fileName(e.path)): _*))
+          else dirDf
+        trimmed.select(col(DvFileCol), col(DvPosCol))
+    }.reduce(_.unionAll(_)))
+  }
+
+  /** Read `entries`' files with deletion vectors applied: DV-free
+    * files scan untouched; DV'd files anti-join their (file, position)
+    * mask on parquet's `_metadata` row index — no data file is ever
+    * rewritten to serve a read. The mask is broadcast when its total
+    * row count (known from the manifest) is small, so at scale the
+    * common case adds a map-side filter, not a shuffle. */
+  private[graft] def readEntries(spark: SparkSession, base: String,
+                                 entries: Seq[Entry],
+                                 mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(entries.nonEmpty,
+      s"cannot read an empty entry list at $base (fully-deleted snapshot)")
+    def rd = if (mergeSchema)
+      spark.read.option("mergeSchema", "true") else spark.read
+    val (dved, plain) = entries.partition(_.dv.isDefined)
+    val plainDf =
+      if (plain.isEmpty) None
+      else Some(rd.parquet(plain.map(e => resolve(base, e.path)): _*))
+    val dvedDf =
+      if (dved.isEmpty) None
+      else {
+        val mask0 = dvFrame(spark, base, dved).get
+        val mask =
+          if (dved.map(_.dv.get.rows).sum <= DvBroadcastMaxRows)
+            broadcast(mask0)
+          else mask0
+        val raw = rd.parquet(dved.map(e => resolve(base, e.path)): _*)
+        require(!raw.columns.contains(DvFileCol) &&
+          !raw.columns.contains(DvPosCol),
+          s"table schema collides with DV helper columns $DvFileCol/$DvPosCol")
+        Some(raw
+          .withColumn(DvFileCol, col("_metadata.file_name"))
+          .withColumn(DvPosCol, col("_metadata.row_index"))
+          .join(mask, Seq(DvFileCol, DvPosCol), "left_anti")
+          .drop(DvFileCol, DvPosCol))
+      }
+    (plainDf, dvedDf) match {
+      case (Some(p), Some(d)) => p.unionByName(d, allowMissingColumns = mergeSchema)
+      case (Some(p), None) => p
+      case (None, Some(d)) => d
+      case (None, None) => throw new IllegalStateException("unreachable")
+    }
   }
 
   /** Land `df`'s files under a fresh txn dir. They reference no
@@ -552,8 +674,7 @@ object TxLog {
       col(c).between(lit(lo), lit(hi))
     }.reduce(_ && _)
     if (kept.isEmpty) read(spark, base).where(lit(false))
-    else spark.read.parquet(kept.map(e => resolve(base, e.path)): _*)
-      .where(residual)
+    else readEntries(spark, base, kept).where(residual)
   }
 
   /** Copy-on-write MERGE: rewrite ONLY the files whose `statsCol`
@@ -591,8 +712,8 @@ object TxLog {
       val merged =
         if (touched.isEmpty) source
         else Upsert.merge(
-          spark.read.parquet(touched.map(e => resolve(base, e.path)): _*),
-          source, keys)
+          readEntries(spark, base, touched), // masks applied: deleted
+          source, keys)                      // rows never resurrect
       val newEntries = landEntriesMulti(merged, base,
         preservedStatsCols(touched, Seq(statsCol), merged.schema))
       val v = cur.getOrElse(0L) + 1L
@@ -628,6 +749,247 @@ object TxLog {
       touched.where(!coalesce(
         col(column).between(lit(lo), lit(hi)) && residual, lit(false)))
     }
+
+  /** Land a (file, position) sidecar dataset — deletion vector or
+    * bloom index — under its own txn dir (same placement as data
+    * files, so vacuum/clone treat it uniformly) and return its
+    * base-relative dir. */
+  private def landDvDir(df: DataFrame, base: String): String = {
+    val txn = java.util.UUID.randomUUID().toString
+    val dir = s"$DataDir/$txn"
+    df.write.mode("error").parquet(s"$base/$dir")
+    dir
+  }
+
+  private def discardDir(spark: SparkSession, base: String,
+                         dir: String): Unit =
+    fs(base, spark).delete(new Path(s"$base/$dir"), true)
+
+  /** Merge-on-read DELETE (Delta deletion-vectors analog): rows with
+    * `column` in [lo, hi] satisfying `residual` are masked by writing
+    * their (file, `_metadata.row_index`) positions to a sidecar — NO
+    * data file is rewritten or dropped from disk, so at 100 TB a
+    * delete commits in O(deleted rows), not O(touched files), and a
+    * high-churn delete workload stops amplifying writes the way
+    * [[deleteRange]]'s copy-on-write does. Reads apply the mask as an
+    * anti-join on the row index ([[readEntries]]); [[purgeDeletes]]
+    * (Delta `REORG … APPLY (PURGE)`) later folds masks into rewritten
+    * files. A file already carrying a mask gets a MERGED sidecar (old
+    * positions stay deleted); a file whose every row is masked is
+    * dropped from the manifest. File skipping stays sound — stats
+    * ranges only widen truth (a masked row no longer exists but its
+    * stats band remains), which can never un-skip a live row. Returns
+    * the published version (the current one when nothing matches). */
+  def deleteRangeMor(spark: SparkSession, base: String, column: String,
+                     lo: Any, hi: Any,
+                     residual: org.apache.spark.sql.Column =
+                       org.apache.spark.sql.functions.lit(true),
+                     maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val (l, h) = (reprOf(lo), reprOf(hi))
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val (touched, carried) = entries.partition(touchesRange(_, column, l, h))
+      if (touched.isEmpty) cur
+      else {
+        // positions are computed over the RAW files: already-masked
+        // rows re-match and the union+distinct below folds them into
+        // the merged sidecar — old deletions can never resurrect
+        val raw = spark.read.parquet(touched.map(e => resolve(base, e.path)): _*)
+        val hit = coalesce(
+          col(column).between(lit(lo), lit(hi)) && residual, lit(false))
+        val newHits = raw
+          .withColumn(DvFileCol, col("_metadata.file_name"))
+          .withColumn(DvPosCol, col("_metadata.row_index"))
+          .where(hit)
+          .select(DvFileCol, DvPosCol)
+        val allDv = dvFrame(spark, base, touched) match {
+          case Some(old) => newHits.unionByName(old).distinct()
+          case None => newHits // raw positions are unique by construction
+        }
+        val dvDir = landDvDir(allDv.repartition(col(DvFileCol)), base)
+        // per-file mask sizes, read back from the LANDED sidecar (the
+        // bytes later skipping will trust): bounded driver metadata —
+        // one row per touched file
+        val dvRoot = new Path(s"$base/$dvDir")
+        val hasParts = fs(base, spark).listStatus(dvRoot).exists { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        val counts: Map[String, Long] =
+          if (!hasParts) Map.empty
+          else spark.read.parquet(s"$base/$dvDir")
+            .groupBy(DvFileCol).count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (counts.isEmpty) { discardDir(spark, base, dvDir); cur }
+        else {
+          val newTouched = touched.flatMap { e =>
+            counts.get(fileName(e.path)) match {
+              case Some(n) if e.rows >= 0 && n >= e.rows => None // fully dead
+              case Some(n) => Some(e.copy(dv = Some(Dv(dvDir, n))))
+              case None => Some(e) // no hits, no prior mask: carry verbatim
+            }
+          }
+          try {
+            publishEntries(spark, base, cur + 1L,
+              carried ++ newTouched, txns)
+            cur + 1L
+          } catch {
+            case e: CommitConflictException =>
+              discardDir(spark, base, dvDir); throw e
+          }
+        }
+      }
+    }
+  }
+
+  /** Materialize deletion vectors (Delta `REORG TABLE … APPLY (PURGE)`
+    * analog): rewrite ONLY the files carrying a mask, applying it, and
+    * drop the sidecar references; every clean file rides into the new
+    * version untouched. After the old versions age out, [[vacuum]]
+    * reclaims the orphaned sidecar dirs. Returns the published version
+    * (the current one when no file carries a mask). */
+  def purgeDeletes(spark: SparkSession, base: String,
+                   maxAttempts: Int = 5): Long =
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val (dved, carried) = entries.partition(_.dv.isDefined)
+      if (dved.isEmpty) cur
+      else {
+        val cleaned = readEntries(spark, base, dved)
+        val newEntries = landEntriesMulti(cleaned, base,
+          preservedStatsCols(dved, Seq.empty, cleaned.schema))
+          .filter(_.rows != 0L)
+        try {
+          publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns)
+          cur + 1L
+        } catch {
+          case e: CommitConflictException =>
+            discard(spark, base, newEntries.map(_.path)); throw e
+        }
+      }
+    }
+
+  /** The k bloom bit positions of a value: double hashing via Spark's
+    * codegen'd xxhash64 with the hash index as seed, over the value's
+    * STRING form (aligning the probe literal's type with the stored
+    * column's). Used identically at build (distributed, per row) and
+    * probe (one local row), so cross-engine hash drift is impossible
+    * by construction. */
+  private def bloomPosCols(c: org.apache.spark.sql.Column, m: Long,
+                           k: Int): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    (0 until k).map(i => pmod(xxhash64(lit(i), c.cast("string")), lit(m)))
+  }
+
+  private def probePositions(spark: SparkSession, value: Any, m: Long,
+                             k: Int): Seq[Long] = {
+    import org.apache.spark.sql.functions.lit
+    val row = spark.range(1).select(bloomPosCols(lit(value), m, k): _*).head()
+    (0 until k).map(row.getLong)
+  }
+
+  /** Build a bloom-filter index over `column` (Delta `CREATE
+    * BLOOMFILTER INDEX` analog): ONE distributed pass computes each
+    * file's set bit positions (k xxhash64 probes per row, `bitsPerRow
+    * × largest file` bits, distinct), lands them as a (file, position)
+    * sidecar, and republishes the SAME data entries carrying the
+    * reference — zero data files rewritten. Point lookups
+    * ([[readPoint]]) on a NON-clustered high-cardinality column then
+    * skip every file whose bloom misses any of the value's k
+    * positions — the lookup shape min/max band stats can never serve
+    * (a random key's range overlaps every file). Files rewritten by
+    * later DML lose the reference (conservatively scanned) until the
+    * index is rebuilt; deletion-vector masks only over-approximate
+    * membership, which can never skip a live row. Entries with
+    * unknown row counts are left unindexed. Returns the published
+    * version. */
+  def buildBloomIndex(spark: SparkSession, base: String, column: String,
+                      bitsPerRow: Int = 16, k: Int = 5,
+                      maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{col, explode, array}
+    require(bitsPerRow >= 2 && k >= 1, s"degenerate bloom: $bitsPerRow/$k")
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val indexable = entries.filter(_.rows > 0L)
+      if (indexable.isEmpty) cur
+      else {
+        val m = math.max(64L, bitsPerRow.toLong * indexable.map(_.rows).max)
+        val raw = spark.read
+          .parquet(indexable.map(e => resolve(base, e.path)): _*)
+        val bits = raw
+          .where(col(column).isNotNull)
+          .select(col("_metadata.file_name").as(DvFileCol),
+            explode(array(bloomPosCols(col(column), m, k): _*)).as(DvPosCol))
+          .distinct()
+        val dir = landDvDir(bits.repartition(col(DvFileCol)), base)
+        val ref = BloomRef(dir, column, m, k)
+        val indexed = entries.map(e =>
+          if (e.rows > 0L)
+            e.copy(blooms = e.blooms.filterNot(_.column == column) :+ ref)
+          else e)
+        try { publishEntries(spark, base, cur + 1L, indexed, txns); cur + 1L }
+        catch {
+          case e: CommitConflictException =>
+            discardDir(spark, base, dir); throw e
+        }
+      }
+    }
+  }
+
+  /** Point-lookup pruning: entries of the latest version that can hold
+    * `column` = `value`, filtered FIRST by min/max stats and then by
+    * the bloom index (a file survives only if its bloom holds ALL k
+    * positions of the value). Probing reads only the tiny position
+    * rows matching the value's k positions from the sidecar — at 10^5
+    * files that is k rows per file worst case, one pushed-filter scan.
+    * Entries without a bloom on the column pass conservatively.
+    * Returns (kept, all). */
+  def prunePoint(spark: SparkSession, base: String, column: String,
+                 value: Any): (Seq[Entry], Seq[Entry]) = {
+    import org.apache.spark.sql.functions.{col, countDistinct, lit}
+    require(value != null, "point lookup value must be non-null")
+    val v = latestVersion(spark, base).getOrElse(
+      throw new IllegalStateException(s"no committed version at $base"))
+    val (entries, _) = manifest(spark, base, v)
+    val repr = reprOf(value)
+    val statsKept = entries.filter(touchesRange(_, column, repr, repr))
+    val (bloomable, rest) = statsKept.partition(_.bloomFor(column).isDefined)
+    if (bloomable.isEmpty) return (statsKept, entries)
+    val kept = bloomable.groupBy(_.bloomFor(column).get).toSeq
+      .sortBy(_._1.dir).flatMap { case (ref, es) =>
+        val positions = probePositions(spark, value, ref.m, ref.k)
+        val need = positions.distinct.size
+        val nameFilter =
+          if (es.size <= 256)
+            col(DvFileCol).isin(es.map(e => fileName(e.path)): _*)
+          else lit(true) // optimization only — extra names never match
+        val present = spark.read.parquet(resolve(base, ref.dir))
+          .where(col(DvPosCol).isin(positions.distinct: _*) && nameFilter)
+          .groupBy(DvFileCol)
+          .agg(countDistinct(col(DvPosCol)).as("__n"))
+          .collect()
+          .filter(_.getLong(1) >= need).map(_.getString(0)).toSet
+        es.filter(e => present.contains(fileName(e.path)))
+      }
+    (kept ++ rest, entries)
+  }
+
+  /** Bloom-indexed point read: prune by stats + bloom, scan only the
+    * survivors with the equality predicate residual. */
+  def readPoint(spark: SparkSession, base: String, column: String,
+                value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = prunePoint(spark, base, column, value)
+    if (kept.isEmpty) read(spark, base).where(lit(false))
+    else readEntries(spark, base, kept).where(col(column) === lit(value))
+  }
 
   /** Copy-on-write UPDATE (Delta `UPDATE SET` analog): for rows with
     * `column` in [lo, hi] satisfying `residual`, replace each column
@@ -700,8 +1062,7 @@ object TxLog {
       val survivors =
         if (touched.isEmpty) Seq.empty
         else {
-          val kept = spark.read
-            .parquet(touched.map(e => resolve(base, e.path)): _*)
+          val kept = readEntries(spark, base, touched)
             .where(!coalesce(
               col(column).between(lit(lo), lit(hi)), lit(false)))
           landEntriesMulti(kept, base,
@@ -754,8 +1115,7 @@ object TxLog {
       val (touched, carried) = entries.partition(touchesRange(_, column, l, h))
       if (touched.isEmpty) cur
       else {
-        val rewritten = transform(
-          spark.read.parquet(touched.map(e => resolve(base, e.path)): _*))
+        val rewritten = transform(readEntries(spark, base, touched))
         val newEntries = landEntriesMulti(rewritten, base,
           preservedStatsCols(touched, Seq(column), rewritten.schema))
           .filter(_.rows != 0L)
@@ -790,8 +1150,11 @@ object TxLog {
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
       val (entries, txns) = manifest(spark, base, cur)
+      // LIVE rows drive the small-file test: a big file hollowed out
+      // by deletion vectors is exactly what compaction should fold in
+      // (the rewrite applies its mask and drops the sidecar ref)
       val (small, carried) =
-        entries.partition(e => e.rows < 0 || e.rows < smallThresholdRows)
+        entries.partition(e => e.rows < 0 || e.liveRows < smallThresholdRows)
       if (small.size <= 1) cur // nothing to bin-pack
       else {
         // unknown-row (v1) files are rewritten but can't be sized —
@@ -799,10 +1162,10 @@ object TxLog {
         // funnels into a single task; the rewrite records row counts,
         // so a second compact() can then bin-pack them for real
         val unknown = small.count(_.rows < 0)
-        val knownRows = small.filter(_.rows >= 0).map(_.rows).sum
+        val knownRows = small.filter(_.rows >= 0).map(_.liveRows).sum
         val nOut = math.max(1L,
           (knownRows + targetRows - 1) / targetRows + unknown).toInt
-        val smallDf = spark.read.parquet(small.map(e => resolve(base, e.path)): _*)
+        val smallDf = readEntries(spark, base, small)
         // keep the cluster layout when the caller has one: range
         // repartition re-establishes band-per-file so stats skipping
         // stays sharp after compaction
@@ -840,25 +1203,67 @@ object TxLog {
     * tagged slice per (version, add/remove) transition, unioned BY
     * NAME with missing columns allowed — a schema-evolving append's
     * new column surfaces as NULL on older slices, matching
-    * [[readEvolved]]. `withDeletes=false` never reads removed files. */
+    * [[readEvolved]]. Deletion vectors make the feed row-precise:
+    * slices read through [[readEntries]] (only LIVE rows of a removed
+    * or added file appear), and a same-path mask change emits exactly
+    * the newly-masked rows as 'delete' markers — the precision Delta
+    * CDF gains from DVs — plus newly-UNmasked rows (a RESTORE across
+    * a MOR delete) as re-'insert's. `withDeletes=false` never reads
+    * removed files or mask transitions. */
   private def changeSlices(spark: SparkSession, base: String,
                            fromExclusive: Long, toInclusive: Long,
                            withDeletes: Boolean): DataFrame = {
     require(fromExclusive < toInclusive, "empty version range")
-    import org.apache.spark.sql.functions.lit
-    val perVersion = (fromExclusive to toInclusive).map(v =>
-      v -> (if (v == 0L) Set.empty[String]
-            else manifest(spark, base, v)._1.map(_.path).toSet)).toMap
-    def slice(v: Long, files: Set[String], kind: String) =
-      if (files.isEmpty) None
-      else Some(spark.read.parquet(files.toSeq.map(resolve(base, _)): _*)
+    import org.apache.spark.sql.functions.{col, lit}
+    val perVersion: Map[Long, Seq[Entry]] = (fromExclusive to toInclusive)
+      .map(v => v -> (if (v == 0L) Seq.empty[Entry]
+                      else manifest(spark, base, v)._1)).toMap
+    def slice(v: Long, es: Seq[Entry], kind: String): Option[DataFrame] =
+      if (es.isEmpty) None
+      else Some(readEntries(spark, base, es, mergeSchema = true)
         .withColumn("_commit_version", lit(v))
         .withColumn("_change_type", lit(kind)))
+    def maskOf(es: Seq[Entry]): DataFrame =
+      dvFrame(spark, base, es).getOrElse {
+        import spark.implicits._
+        Seq.empty[(String, Long)].toDF(DvFileCol, DvPosCol)
+      }
+    // rows whose mask membership changed between two manifests of the
+    // SAME file: kind='delete' → newly masked, kind='insert' → newly
+    // unmasked. Position-set difference, then a semi-join pins the
+    // actual rows.
+    def dvDelta(v: Long, changed: Seq[(Entry, Entry)],
+                kind: String): Option[DataFrame] =
+      if (changed.isEmpty) None
+      else {
+        val (oldEs, newEs) = changed.unzip
+        val delta =
+          if (kind == "delete") maskOf(newEs).exceptAll(maskOf(oldEs))
+          else maskOf(oldEs).exceptAll(maskOf(newEs))
+        val raw = spark.read.option("mergeSchema", "true")
+          .parquet(newEs.map(e => resolve(base, e.path)): _*)
+        Some(raw
+          .withColumn(DvFileCol, col("_metadata.file_name"))
+          .withColumn(DvPosCol, col("_metadata.row_index"))
+          .join(delta, Seq(DvFileCol, DvPosCol), "left_semi")
+          .drop(DvFileCol, DvPosCol)
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_change_type", lit(kind)))
+      }
     val dfs = (fromExclusive + 1 to toInclusive).flatMap { v =>
-      val removed =
-        if (withDeletes) slice(v, perVersion(v - 1) -- perVersion(v), "delete")
-        else None
-      removed ++ slice(v, perVersion(v) -- perVersion(v - 1), "insert")
+      val prev = perVersion(v - 1).map(e => e.path -> e).toMap
+      val curP = perVersion(v).map(_.path).toSet
+      val added = perVersion(v).filterNot(e => prev.contains(e.path))
+      val removedE = perVersion(v - 1).filterNot(e => curP.contains(e.path))
+      val changed = perVersion(v).flatMap(e =>
+        prev.get(e.path).filter(_.dv != e.dv).map(o => (o, e)))
+      val deletes =
+        if (!withDeletes) Seq.empty
+        else slice(v, removedE, "delete").toSeq ++
+          dvDelta(v, changed, "delete").toSeq
+      val inserts = slice(v, added, "insert").toSeq ++
+        (if (withDeletes) dvDelta(v, changed, "insert").toSeq else Seq.empty)
+      deletes ++ inserts
     }
     dfs.reduceLeftOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse {
@@ -879,7 +1284,11 @@ object TxLog {
     * delete+insert PAIR for every unchanged row (the file is the unit
     * of change); that is the materialization caveat Delta documents
     * when CDF is not stored at write time — consumers reconcile by
-    * key. Removed files stay readable until a vacuum drops the last
+    * key. A [[deleteRangeMor]] version, by contrast, is row-precise:
+    * exactly the newly-masked rows appear as deletes (and a RESTORE
+    * that unmasks rows re-inserts exactly those) — the CDF precision
+    * Delta gets from deletion vectors. Removed files stay readable
+    * until a vacuum drops the last
     * manifest referencing them — the same retention contract as
     * [[changesBetween]]. */
   def changesWithDeletes(spark: SparkSession, base: String,
@@ -931,8 +1340,8 @@ object TxLog {
       // after a vacuum gap the previous version is gone: every file of
       // the oldest surviving version counts as added (diff base empty)
       val diffBase = if (v == prevVersion + 1) prevPaths else Set.empty[String]
-      val nRows: Option[Long] =
-        if (entries.forall(_.rows >= 0)) Some(entries.map(_.rows).sum)
+      val nRows: Option[Long] = // LIVE rows: masked deletions excluded
+        if (entries.forall(_.rows >= 0)) Some(entries.map(_.liveRows).sum)
         else None
       val row = (v, entries.size.toLong, nRows,
         entries.count(e => !diffBase.contains(e.path)).toLong,
@@ -992,7 +1401,10 @@ object TxLog {
       else p.toString
     }
     val (entries, _) = manifest(spark, srcBase, v)
-    val cloned = entries.map(e => e.copy(path = resolve(srcAbs, e.path)))
+    val cloned = entries.map(e => e.copy(
+      path = resolve(srcAbs, e.path),
+      dv = e.dv.map(d => d.copy(dir = resolve(srcAbs, d.dir))),
+      blooms = e.blooms.map(b => b.copy(dir = resolve(srcAbs, b.dir)))))
     publishEntries(spark, dstBase, 1L, cloned, Map.empty)
     1L
   }
@@ -1008,10 +1420,18 @@ object TxLog {
       .flatMap(st => parseVersion(st.getPath.getName)).sorted
     val (drop, keep) = versions.splitAt(math.max(0, versions.length - keepLast))
     // absolute (cloned-in) entries are another table's files: they
-    // contribute nothing to LOCAL liveness and are never deleted here
-    val live = keep.flatMap(v => manifestFiles(spark, base, v))
-      .filterNot(isAbsolute)
-      .map(rel => new Path(s"$base/$rel").getParent.getName).toSet
+    // contribute nothing to LOCAL liveness and are never deleted here.
+    // A referenced deletion-vector or bloom sidecar dir is as live as
+    // the data files it serves — dropping a DV would resurrect
+    // deleted rows; dropping a bloom would break referenced probes.
+    val liveEntries = keep.flatMap(v => manifest(spark, base, v)._1)
+    val sidecarDirs =
+      liveEntries.flatMap(_.dv).map(_.dir) ++
+        liveEntries.flatMap(_.blooms).map(_.dir)
+    val live = (liveEntries.map(_.path).filterNot(isAbsolute)
+        .map(rel => new Path(s"$base/$rel").getParent.getName) ++
+      sidecarDirs.filterNot(isAbsolute)
+        .map(rel => new Path(s"$base/$rel").getName)).toSet
     drop.foreach(v => f.delete(manifestPath(base, v), false))
     val dataDir = new Path(s"$base/$DataDir")
     if (f.exists(dataDir))

@@ -774,6 +774,60 @@ object RegistryLlm {
         .orderBy("doc_id", "rank")
     }),
 
+    // BM25 full-text ranking (Okapi BM25, Lucene idf variant): score
+    // every document holding at least one query term and return the
+    // global top-20. The shape is the retrieval half of a RAG /
+    // training-data search stack: one token shuffle (shared relation
+    // with the tf-idf family), the query-term filter collapses the
+    // fact side to ~|Q| rows per doc BEFORE the aggregate, df and
+    // avgdl are driver scalars (|Q| rows / one avg), and the top-k is
+    // TakeOrderedAndProject — never a global sort or single-partition
+    // window, so the plan survives a corpus-sized scored set. The
+    // per-doc score sums term contributions in FIXED written order
+    // (per-term conditional aggregates, not sum-over-rows) so the
+    // double arithmetic is bit-reproducible against the oracle.
+    "llm_bm25_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val qTerms = Seq("spark", "vector", "stream")
+      val toks = CacheScope.scoped1("llm_bm25_search")(
+        Tables.scaled(docs(s, dir))
+          .select(col("doc_id"),
+            explode(graft.functions.TextFns.tokens(col("text"))).as("term")))
+      val nDocs = docs(s, dir).count()
+      val len = toks.groupBy("doc_id").agg(count(lit(1)).as("__len"))
+      val avgdl = len.agg(avg(col("__len"))).head().getDouble(0)
+      val tf = toks.where(col("term").isin(qTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("__tf"))
+      val dfMap = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // |Q| rows
+      val wide = tf.groupBy("doc_id").agg(
+        sum(when(col("term") === qTerms.head, col("__tf")))
+          .as(s"__tf_${qTerms.head}"),
+        qTerms.tail.map(t =>
+          sum(when(col("term") === t, col("__tf"))).as(s"__tf_$t")): _*)
+      val contrib = qTerms.map { t =>
+        val dfv = dfMap.getOrElse(t, 0L).toDouble
+        val tfc = col(s"__tf_$t")
+        // mirror the oracle's literal text exactly: same association,
+        // same constants — ln((N - df + 0.5)/(df + 0.5) + 1) Lucene idf
+        when(tfc.isNotNull,
+          log(lit((nDocs - dfv + 0.5) / (dfv + 0.5) + 1.0)) *
+            (tfc * lit(2.2)) /
+            (tfc + lit(1.2) * (lit(1.0) - lit(0.75) +
+              lit(0.75) * col("__len") / lit(avgdl))))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+      val scored = wide.join(len, "doc_id")
+        .withColumn("score", round(contrib, 6))
+        .select("doc_id", "score")
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20) // TakeOrderedAndProject: the scale-safe top-k
+      scored.withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    }),
+
     // Rolling-hash + md5 document fingerprints.
     "llm_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
@@ -1721,6 +1775,43 @@ object RegistryLlm {
            SELECT *, row_number() OVER (PARTITION BY doc_id
              ORDER BY tfidf DESC, term ASC) AS rank FROM scored)
          WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "llm_bm25_search" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+                    AS term
+           FROM documents),
+         len AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+         n AS (SELECT (SELECT count(*) FROM documents) AS nd,
+                      (SELECT avg(len) FROM len) AS avgdl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         wide AS (
+           SELECT doc_id,
+                  sum(CASE WHEN term = 'spark' THEN tf END) AS tf_spark,
+                  sum(CASE WHEN term = 'vector' THEN tf END) AS tf_vector,
+                  sum(CASE WHEN term = 'stream' THEN tf END) AS tf_stream
+           FROM tf GROUP BY 1),
+         scored AS (
+           SELECT w.doc_id, round(
+             coalesce(ln((nd - (SELECT df FROM dfq WHERE term='spark') + 0.5) /
+                         ((SELECT df FROM dfq WHERE term='spark') + 0.5) + 1) *
+                      (tf_spark * 2.2) /
+                      (tf_spark + 1.2 * (1 - 0.75 + 0.75 * len / avgdl)), 0) +
+             coalesce(ln((nd - (SELECT df FROM dfq WHERE term='vector') + 0.5) /
+                         ((SELECT df FROM dfq WHERE term='vector') + 0.5) + 1) *
+                      (tf_vector * 2.2) /
+                      (tf_vector + 1.2 * (1 - 0.75 + 0.75 * len / avgdl)), 0) +
+             coalesce(ln((nd - (SELECT df FROM dfq WHERE term='stream') + 0.5) /
+                         ((SELECT df FROM dfq WHERE term='stream') + 0.5) + 1) *
+                      (tf_stream * 2.2) /
+                      (tf_stream + 1.2 * (1 - 0.75 + 0.75 * len / avgdl)), 0), 6)
+             AS score
+           FROM wide w JOIN len ON w.doc_id = len.doc_id CROSS JOIN n)
+         SELECT cast(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+                  AS rank, doc_id, score
+         FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
     "llm_token_frequencies" ->
       """WITH toks AS (
            SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))

@@ -291,6 +291,108 @@ object RegistryMaint {
         .orderBy("event_type")
     }),
 
+    // Merge-on-read DELETE via deletion vectors (Delta DV analog —
+    // the write-amplification killer s28's COW path can't be): two
+    // overlapping deletes with residual predicates commit by writing
+    // ONLY (file, row-position) sidecars — the requires pin that the
+    // data-file set is IDENTICAL across all three versions, so at
+    // 100 TB a delete costs O(deleted rows), never a band rewrite.
+    // Reads apply the mask as a broadcast anti-join on parquet's
+    // _metadata.row_index. The oracle recomputes survivors with the
+    // two NOT(...) predicates.
+    "s39_mor_delete" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txmor_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(ev.repartitionByRange(8, col("event_id")),
+        base, None, Some("event_id"))
+      val before = TxLog.manifestFiles(s, base, 1L).toSet
+      TxLog.deleteRangeMor(s, base, "event_id", cowLo, cowHi,
+        residual = col("event_type") === "click")
+      TxLog.deleteRangeMor(s, base, "event_id", morLo, morHi,
+        residual = col("event_type") === "view")
+      Seq(2L, 3L).foreach { v =>
+        require(TxLog.manifestFiles(s, base, v).toSet == before,
+          s"MOR delete must rewrite ZERO data files (version $v)")
+      }
+      TxLog.read(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Deletion-vector purge (Delta REORG TABLE ... APPLY (PURGE)
+    // analog): after the same two MOR deletes, purge rewrites ONLY
+    // the masked files folding their sidecars in — clean files ride
+    // by reference (the require pins both halves) — and the readback
+    // after purge must be bit-identical to the masked read (same
+    // oracle recompute as s39). This is the maintenance verb that
+    // keeps a high-churn delete workload's read amplification bounded.
+    "s40_mor_purge" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txpurge_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(ev.repartitionByRange(8, col("event_id")),
+        base, None, Some("event_id"))
+      val before = TxLog.manifestFiles(s, base, 1L).toSet
+      TxLog.deleteRangeMor(s, base, "event_id", cowLo, cowHi,
+        residual = col("event_type") === "click")
+      TxLog.deleteRangeMor(s, base, "event_id", morLo, morHi,
+        residual = col("event_type") === "view")
+      val masked = TxLog.manifest(s, base, 3L)._1.count(_.dv.isDefined)
+      TxLog.purgeDeletes(s, base)
+      val entries = TxLog.manifest(s, base, 4L)._1
+      require(entries.forall(_.dv.isEmpty), "purge must clear every mask")
+      val carried = entries.map(_.path).toSet.intersect(before).size
+      require(carried == before.size - masked && masked >= 1,
+        s"purge must rewrite ONLY the $masked masked files " +
+          s"(carried $carried of ${before.size})")
+      TxLog.read(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Bloom-filter point-lookup index (Delta CREATE BLOOMFILTER INDEX
+    // analog): the table is clustered on user_id, so a lookup by the
+    // md5 surrogate key — random relative to the layout — overlaps
+    // EVERY file's min/max band and stats cannot prune. One index
+    // build (zero files rewritten) stores each file's k xxhash64 bit
+    // positions in a sidecar; the probe reads at most k tiny position
+    // rows per file and opens only files holding ALL k bits. The
+    // requires pin a real skip per lookup. At 100 TB this is the
+    // needle-in-haystack verb: k sidecar rows instead of 10^5 footers.
+    // The oracle selects the same rows by the pre-image ids.
+    "s41_bloom_point_lookup" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txbloom_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"),
+          md5(col("event_id").cast("string").cast("binary")).as("sk"))
+      TxLog.commit(ev.repartitionByRange(8, col("user_id")),
+        base, None, Some("user_id"))
+      TxLog.buildBloomIndex(s, base, "sk", bitsPerRow = 24, k = 5)
+      val ids = Seq(42L, 123L, 321L)
+      ids.map { id =>
+          val sk = ev.sparkSession.range(1)
+            .select(md5(lit(id.toString).cast("binary"))).head().getString(0)
+          val (kept, all) = TxLog.prunePoint(s, base, "sk", sk)
+          require(kept.size < all.size,
+            s"bloom must skip files for id $id: kept ${kept.size} of ${all.size}")
+          TxLog.readPoint(s, base, "sk", sk)
+        }
+        .reduce(_.unionByName(_))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
     // Manifest-stats file skipping (Delta data-skipping analog): a
     // narrow id-range scan resolves the manifest's per-file min/max
     // FIRST and opens only the overlapping band files — at 10^5 files
@@ -774,6 +876,9 @@ object RegistryMaint {
   /** CDC id band shared by the COW-merge/skipping queries and their
     * oracles — non-empty at every SF (event_id is 0..N-1, N ≥ 1000). */
   private val (cowLo, cowHi) = (100L, 299L)
+  /** Second MOR-delete band, overlapping [cowLo, cowHi] so the mask
+    * merge (old positions stay dead) is exercised by s39/s40. */
+  private val (morLo, morHi) = (200L, 449L)
 
   /** The DPP dim filter — shared between query and oracle. */
   private val peakDays = Seq(
@@ -994,6 +1099,28 @@ object RegistryMaint {
          FROM events
          WHERE NOT (event_id BETWEEN $cowLo AND $cowHi
                     AND event_type = 'click')
+         GROUP BY event_type ORDER BY event_type""",
+    "s41_bloom_point_lookup" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events WHERE event_id IN (42, 123, 321)
+         ORDER BY event_id""",
+    "s39_mor_delete" ->
+      s"""SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE NOT (event_id BETWEEN $cowLo AND $cowHi
+                    AND event_type = 'click')
+           AND NOT (event_id BETWEEN $morLo AND $morHi
+                    AND event_type = 'view')
+         GROUP BY event_type ORDER BY event_type""",
+    "s40_mor_purge" ->
+      s"""SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE NOT (event_id BETWEEN $cowLo AND $cowHi
+                    AND event_type = 'click')
+           AND NOT (event_id BETWEEN $morLo AND $morHi
+                    AND event_type = 'view')
          GROUP BY event_type ORDER BY event_type""",
     "s29_cow_update_log" ->
       s"""SELECT event_type, count(*) AS n,

@@ -146,6 +146,55 @@ object TxLogSource {
     entriesOf(v).filterNot(e => prev.contains(e.path)).sortBy(_.path)
   }
 
+  /** Sorted deleted-row positions of one entry's deletion-vector
+    * sidecar, loaded driver-side at planning with the same parquet-mr
+    * Group API the readers use. Empty for unmasked entries. Planning
+    * cost is O(sidecar rows) per masked entry — fine on the source's
+    * commit-delta batches (a masked ADD is rare); bulk analytics over
+    * heavily-masked snapshots belong on [[TxLog.read]], whose
+    * anti-join applies masks distributed. */
+  private[sources] def dvPositionsFor(base: String, e: TxLog.Entry,
+                                      conf: Configuration): Array[Long] =
+    e.dv match {
+      case None => Array.emptyLongArray
+      case Some(dv) =>
+        val dirPath = new HPath(TxLog.resolve(base, dv.dir))
+        val fsys = dirPath.getFileSystem(conf)
+        val name = e.path.split('/').last
+        val out = scala.collection.mutable.ArrayBuilder.make[Long]
+        fsys.listStatus(dirPath).toSeq
+          .filter { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .foreach { st =>
+            val reader = ParquetFileReader.open(
+              HadoopInputFile.fromPath(st.getPath, conf))
+            try {
+              val schema = reader.getFooter.getFileMetaData.getSchema
+              val fileIdx = schema.getFieldIndex(TxLog.DvFileCol)
+              val posIdx = schema.getFieldIndex(TxLog.DvPosCol)
+              var pages = reader.readNextRowGroup()
+              while (pages != null) {
+                val rec = new ColumnIOFactory().getColumnIO(schema)
+                  .getRecordReader(pages, new GroupRecordConverter(schema))
+                var i = 0L
+                val n = pages.getRowCount
+                while (i < n) {
+                  val g = rec.read()
+                  if (g.getString(fileIdx, 0) == name)
+                    out += g.getLong(posIdx, 0)
+                  i += 1
+                }
+                pages = reader.readNextRowGroup()
+              }
+            } finally reader.close()
+          }
+        val arr = out.result()
+        java.util.Arrays.sort(arr)
+        arr
+    }
+
   /** The (column, lo?, hi?) range constraints a DSv2 filter implies —
     * empty when the filter has no range shape we can use. Only
     * top-level conjunctions contribute (the filters ARRAY is itself a
@@ -312,10 +361,12 @@ class TxLogScanBuilder(full: StructType, base: String,
         Some(f.fieldNames.head)
       case _ => None
     }
-    val dataEntries = entries.filter(_.rows > 0L)
+    val dataEntries = entries.filter(_.liveRows > 0L)
     val values = agg.aggregateExpressions.toSeq.map {
+      // deletion-vector rows subtract from COUNT without opening a
+      // file — the mask size rides the manifest entry
       case _: CountStar =>
-        Some((LongType: DataType, entries.map(_.rows).sum: Any))
+        Some((LongType: DataType, entries.map(_.liveRows).sum: Any))
       case m: Min => colOf(m.column).flatMap(c => statsExtreme(c, dataEntries,
         takeMax = false))
       case m: Max => colOf(m.column).flatMap(c => statsExtreme(c, dataEntries,
@@ -342,6 +393,10 @@ class TxLogScanBuilder(full: StructType, base: String,
   private def statsExtreme(column: String, dataEntries: Seq[TxLog.Entry],
                            takeMax: Boolean): Option[(DataType, Any)] = {
     if (dataEntries.isEmpty) return None
+    // a deletion vector can mask the extreme row on ANY column while
+    // the file's stats band still claims it — manifest MIN/MAX is
+    // unsound under masks, fall back to the scan (which applies them)
+    if (dataEntries.exists(_.dv.isDefined)) return None
     val field = full.fields.find(_.name == column).getOrElse(return None)
     val stats = dataEntries.map(_.statsFor(column))
     if (stats.exists(_.isEmpty)) return None
@@ -438,14 +493,17 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
     versionAsOf.foreach(v => require(v <= latest,
       s"versionAsOf $v is beyond the latest committed version $latest"))
     val target = versionAsOf.getOrElse(latest)
+    val conf = TxLogSource.driverHadoopConf()
     if (changeFeed)
       (1L to target).flatMap(v =>
         survivors(TxLogSource.addedEntries(spark, base, v))
-          .map(e => TxLogInputPartition(TxLog.resolve(base, e.path), v): InputPartition))
+          .map(e => TxLogInputPartition(TxLog.resolve(base, e.path), v,
+            TxLogSource.dvPositionsFor(base, e, conf)): InputPartition))
         .toArray
     else
       survivors(TxLog.manifest(spark, base, target)._1)
-        .map(e => TxLogInputPartition(TxLog.resolve(base, e.path), target): InputPartition)
+        .map(e => TxLogInputPartition(TxLog.resolve(base, e.path), target,
+          TxLogSource.dvPositionsFor(base, e, conf)): InputPartition)
         .toArray
   }
 
@@ -466,7 +524,8 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
   }
 }
 
-case class TxLogInputPartition(file: String, commitVersion: Long)
+case class TxLogInputPartition(file: String, commitVersion: Long,
+                               dvPositions: Array[Long] = Array.emptyLongArray)
     extends InputPartition
 
 /** The completely-pushed-aggregate scan: ONE partition, ONE row,
@@ -505,7 +564,8 @@ class TxLogReaderFactory(
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TxLogInputPartition]
-    new TxLogPartitionReader(p.file, p.commitVersion, required, conf.value)
+    new TxLogPartitionReader(p.file, p.commitVersion, required, conf.value,
+      p.dvPositions)
   }
 }
 
@@ -516,7 +576,8 @@ class TxLogReaderFactory(
   * manifest metadata, not the file; a required column absent from
   * this (older) file yields NULL — the mergeSchema read semantics. */
 class TxLogPartitionReader(file: String, commitVersion: Long,
-                           required: StructType, conf: Configuration)
+                           required: StructType, conf: Configuration,
+                           dvPositions: Array[Long] = Array.emptyLongArray)
     extends PartitionReader[InternalRow] {
 
   private val reader =
@@ -537,16 +598,29 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
   }
   /** count(*)-style scans prune every file column away (the required
     * schema is empty or metadata-only); then only the footer's row
-    * count matters — no page is read at all. */
+    * count matters — minus masked rows — and no page is read at all. */
   private val rowCountOnly = present.isEmpty
   private var footerRows: Long =
-    if (rowCountOnly) reader.getRecordCount else 0L
+    if (rowCountOnly) reader.getRecordCount - dvPositions.length else 0L
   if (!rowCountOnly) reader.setRequestedSchema(projection)
 
   private var pages: PageReadStore = _
   private var records: org.apache.parquet.io.RecordReader[Group] = _
   private var remaining = 0L
   private var current: InternalRow = _
+  /** Global row ordinal — row groups are read in file order, so a
+    * simple counter matches parquet's `_metadata.row_index`, the
+    * coordinate deletion vectors are expressed in. */
+  private var rowIdx = -1L
+  private var dvPtr = 0
+
+  /** Is this ordinal masked by the deletion vector? `dvPositions` is
+    * sorted and `idx` strictly increases, so one forward pointer walks
+    * the mask in O(1) amortized. */
+  private def isMasked(idx: Long): Boolean = {
+    while (dvPtr < dvPositions.length && dvPositions(dvPtr) < idx) dvPtr += 1
+    dvPtr < dvPositions.length && dvPositions(dvPtr) == idx
+  }
 
   private def advanceRowGroup(): Boolean = {
     pages = reader.readNextRowGroup()
@@ -559,17 +633,21 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
     }
   }
 
-  @scala.annotation.tailrec
   final override def next(): Boolean =
     if (rowCountOnly) {
-      if (footerRows == 0) false
+      if (footerRows <= 0) false
       else { footerRows -= 1; current = convert(null); true }
-    } else if (remaining > 0) {
-      remaining -= 1
-      current = convert(records.read())
-      true
-    } else if (advanceRowGroup()) next()
-    else false
+    } else {
+      // loop instead of recurse: a masked row advances to the next
+      // candidate without emitting
+      while (remaining > 0 || advanceRowGroup()) {
+        remaining -= 1
+        val g = records.read()
+        rowIdx += 1
+        if (!isMasked(rowIdx)) { current = convert(g); return true }
+      }
+      false
+    }
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
@@ -714,9 +792,11 @@ class TxLogMicroBatchStream(scan: TxLogScan, base: String,
     val to = end.asInstanceOf[TxLogOffset].version
     // stats-pruning applies per batch too: a filtered stream never
     // ships files the pushed ranges prove dead (filters stay residual)
+    val conf = TxLogSource.driverHadoopConf()
     (from + 1 to to).flatMap(v =>
       scan.survivors(TxLogSource.addedEntries(spark, base, v))
-        .map(e => TxLogInputPartition(TxLog.resolve(base, e.path), v): InputPartition))
+        .map(e => TxLogInputPartition(TxLog.resolve(base, e.path), v,
+          TxLogSource.dvPositionsFor(base, e, conf)): InputPartition))
       .toArray
   }
 

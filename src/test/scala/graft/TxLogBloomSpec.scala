@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TxLog
+
+/** Laws for the bloom-filter point-lookup index (Delta `CREATE
+  * BLOOMFILTER INDEX` analog): a surrogate-key lookup on a
+  * NON-clustered high-cardinality column — the shape min/max band
+  * stats can never prune — skips to the owning file; correctness is
+  * preserved under appends (unindexed files scanned), MOR deletes
+  * (bloom over-approximates), vacuum (sidecar liveness), and clones.
+  * All assertions are deterministic: xxhash64 positions over fixed
+  * data. */
+class TxLogBloomSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def df(ks: Seq[Long]) = {
+    import spark.implicits._
+    ks.map(i => (i, s"key-$i", s"payload-$i")).toDF("k", "sk", "payload")
+  }
+  private def rowsOf(d: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    d.select("k", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  /** 8 files clustered on k with stats on k; sk is effectively random
+    * relative to the layout — every file's [min,max] sk band overlaps
+    * every probe, so only the bloom can skip. */
+  private def seed(base: String): Long = {
+    TxLog.drop(spark, base)
+    TxLog.commit(df(1L to 800L).repartitionByRange(8, col("k")), base,
+      None, Some("k"))
+    TxLog.buildBloomIndex(spark, base, "sk", bitsPerRow = 24, k = 5)
+  }
+
+  test("a point lookup on the indexed column prunes to the owning " +
+    "file; zero data files were rewritten by the index build") {
+    val base = "/tmp/graft_txbloom/basic"
+    val v2 = seed(base)
+    assert(v2 == 2L)
+    assert(TxLog.manifestFiles(spark, base, 2L).toSet ==
+      TxLog.manifestFiles(spark, base, 1L).toSet,
+      "index build must republish the same data files")
+    val (kept, all) = TxLog.prunePoint(spark, base, "sk", "key-123")
+    assert(all.size == 8)
+    assert(kept.size == 1,
+      s"bloom must prune a unique key to its file: kept ${kept.size}")
+    assert(rowsOf(TxLog.readPoint(spark, base, "sk", "key-123")) ==
+      Set((123L, "payload-123")))
+    // a value that never existed: no file survives, empty result
+    val (keptMiss, _) = TxLog.prunePoint(spark, base, "sk", "key-99999")
+    assert(keptMiss.isEmpty, s"absent key kept ${keptMiss.size} files")
+    assert(TxLog.readPoint(spark, base, "sk", "key-99999").count() == 0)
+  }
+
+  test("appended files are unindexed but conservatively scanned; a " +
+    "rebuild re-covers them") {
+    val base = "/tmp/graft_txbloom/append"
+    seed(base)
+    TxLog.append(df(Seq(9001L)), base, Some("k"))
+    // the new key lives in an unindexed file → kept, and found
+    val (kept, all) = TxLog.prunePoint(spark, base, "sk", "key-9001")
+    assert(all.size == 9)
+    assert(kept.exists(_.bloomFor("sk").isEmpty),
+      "the unindexed appended file must survive conservatively")
+    assert(rowsOf(TxLog.readPoint(spark, base, "sk", "key-9001")) ==
+      Set((9001L, "payload-9001")))
+    // rebuild covers everything again: the appended key now prunes to 1
+    TxLog.buildBloomIndex(spark, base, "sk", bitsPerRow = 24, k = 5)
+    val (kept2, _) = TxLog.prunePoint(spark, base, "sk", "key-9001")
+    assert(kept2.size == 1 && kept2.head.bloomFor("sk").isDefined)
+  }
+
+  test("a MOR delete leaves probes sound: the masked row is gone from " +
+    "the result even though its bloom bits remain") {
+    val base = "/tmp/graft_txbloom/mor"
+    seed(base)
+    TxLog.deleteRangeMor(spark, base, "k", 123L, 123L)
+    assert(TxLog.readPoint(spark, base, "sk", "key-123").count() == 0,
+      "bloom over-approximation must never resurrect a masked row")
+    // neighbors unaffected
+    assert(rowsOf(TxLog.readPoint(spark, base, "sk", "key-124")) ==
+      Set((124L, "payload-124")))
+  }
+
+  test("vacuum keeps the bloom sidecar while referenced; a clone " +
+    "carries the index by absolute reference") {
+    val base = "/tmp/graft_txbloom/vacuum"
+    val dst = "/tmp/graft_txbloom/vacuum_clone"
+    seed(base)
+    TxLog.vacuum(spark, base, keepLast = 1)
+    val (kept, _) = TxLog.prunePoint(spark, base, "sk", "key-700")
+    assert(kept.size == 1, "the sidecar must survive a vacuum that " +
+      "keeps a referencing manifest")
+    assert(rowsOf(TxLog.readPoint(spark, base, "sk", "key-700")) ==
+      Set((700L, "payload-700")))
+    TxLog.drop(spark, dst)
+    TxLog.cloneShallow(spark, base, dst)
+    val (keptC, allC) = TxLog.prunePoint(spark, dst, "sk", "key-700")
+    assert(allC.size == 8 && keptC.size == 1,
+      "the clone must probe the source's index by absolute path")
+    assert(rowsOf(TxLog.readPoint(spark, dst, "sk", "key-700")) ==
+      Set((700L, "payload-700")))
+  }
+
+  test("DML rewrites drop the index on rewritten files only — " +
+    "conservative, never wrong") {
+    val base = "/tmp/graft_txbloom/dml"
+    seed(base)
+    // COW-delete a k band: the touched band file is rewritten without
+    // a bloom; the untouched files keep theirs
+    TxLog.deleteRange(spark, base, "k", 50L, 60L)
+    val entries = TxLog.manifest(spark, base, 3L)._1
+    assert(entries.exists(_.bloomFor("sk").isEmpty) &&
+      entries.exists(_.bloomFor("sk").isDefined))
+    // a key in the rewritten band file still found (file unindexed →
+    // kept conservatively); a deleted key is gone
+    assert(rowsOf(TxLog.readPoint(spark, base, "sk", "key-70")) ==
+      Set((70L, "payload-70")))
+    assert(TxLog.readPoint(spark, base, "sk", "key-55").count() == 0)
+    // an indexed untouched file still prunes sharply
+    val (kept, _) = TxLog.prunePoint(spark, base, "sk", "key-700")
+    assert(kept.count(_.bloomFor("sk").isDefined) <= 1)
+  }
+}

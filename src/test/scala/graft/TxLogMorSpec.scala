@@ -1,0 +1,231 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TxLog
+
+/** Laws for merge-on-read DELETE via deletion vectors — the Delta DV
+  * surface on the manifest log: a delete that rewrites ZERO data
+  * files, mask merging across overlapping deletes, full-file drop,
+  * read-path correctness everywhere masks can surface (snapshot,
+  * range read, DSv2 source, metadata aggregates, change feed, COW
+  * verbs, compaction, clone), purge materialization, and vacuum
+  * liveness of sidecars. */
+class TxLogMorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("k", "s")
+  }
+  private def contents(d: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    d.select("k", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private val rows = (1L to 300L).map(i => i -> s"s-$i")
+
+  /** 4 range-clustered files with manifest stats on k. */
+  private def seed(base: String): Set[String] = {
+    TxLog.drop(spark, base)
+    TxLog.commit(df(rows).repartitionByRange(4, col("k")), base, None,
+      Some("k"))
+    TxLog.manifestFiles(spark, base, 1L).toSet
+  }
+
+  test("MOR delete rewrites zero data files, merges overlapping masks, " +
+    "and reads equal sequential filters") {
+    val base = "/tmp/graft_txmor/basic"
+    val v1Files = seed(base)
+    val v2 = TxLog.deleteRangeMor(spark, base, "k", 50L, 120L,
+      residual = col("k") % 2 === 0)
+    assert(v2 == 2L)
+    // the MOR law: every data file of v1 rides into v2 untouched
+    assert(TxLog.manifestFiles(spark, base, 2L).toSet == v1Files,
+      "a merge-on-read delete must not rewrite or drop any data file")
+    val expect2 = rows.filterNot { case (k, _) =>
+      k >= 50 && k <= 120 && k % 2 == 0 }
+    assert(contents(TxLog.read(spark, base)) == expect2.toSet)
+    // overlapping second delete: old positions stay dead, masks merge
+    val v3 = TxLog.deleteRangeMor(spark, base, "k", 100L, 180L)
+    assert(v3 == 3L)
+    assert(TxLog.manifestFiles(spark, base, 3L).toSet == v1Files)
+    val expect3 = expect2.filterNot { case (k, _) => k >= 100 && k <= 180 }
+    assert(contents(TxLog.read(spark, base)) == expect3.toSet)
+    // each masked entry references exactly one sidecar, and counts add
+    // up to the masked-row total
+    val entries = TxLog.manifest(spark, base, 3L)._1
+    val masked = entries.flatMap(_.dv)
+    assert(masked.nonEmpty)
+    assert(masked.map(_.rows).sum == rows.size - expect3.size)
+    // time travel: both older versions still read exactly
+    assert(contents(TxLog.readVersion(spark, base, 1L)) == rows.toSet)
+    assert(contents(TxLog.readVersion(spark, base, 2L)) == expect2.toSet)
+  }
+
+  test("a fully-masked file is dropped from the manifest") {
+    val base = "/tmp/graft_txmor/fulldrop"
+    val v1Files = seed(base)
+    // the middle band [76..150] lives entirely inside one of the four
+    // range-clustered files only if bands align; instead mask a range
+    // that covers at least one whole file: [1..160] spans files 1-2
+    // fully (75-row bands) and part of file 3
+    TxLog.deleteRangeMor(spark, base, "k", 1L, 160L)
+    val after = TxLog.manifestFiles(spark, base, 2L).toSet
+    assert(after.subsetOf(v1Files) && after.size < v1Files.size,
+      s"fully-masked files must drop from the manifest: ${after.size} of ${v1Files.size}")
+    assert(contents(TxLog.read(spark, base)) ==
+      rows.filter(_._1 > 160).toSet)
+  }
+
+  test("COW verbs over masked files never resurrect deleted rows") {
+    val base = "/tmp/graft_txmor/cow"
+    seed(base)
+    TxLog.deleteRangeMor(spark, base, "k", 50L, 120L)
+    // COW update over a band that includes masked rows
+    TxLog.updateRange(spark, base, "k", 100L, 200L,
+      set = Map("s" -> concat(col("s"), lit("!"))))
+    val expect = rows.filterNot { case (k, _) => k >= 50 && k <= 120 }
+      .map { case (k, s) => if (k >= 100 && k <= 200) (k, s + "!") else (k, s) }
+    assert(contents(TxLog.read(spark, base)) == expect.toSet)
+    // COW merge sourcing keys inside the masked band re-inserts ONLY
+    // the source keys — other masked rows stay dead
+    TxLog.mergeCow(spark, base,
+      df(Seq(60L -> "revived-60")), Seq("k"), "k")
+    val expect2 = expect.toSet + (60L -> "revived-60")
+    assert(contents(TxLog.read(spark, base)) == expect2)
+  }
+
+  test("metadata COUNT subtracts the mask with zero files opened; " +
+    "MIN/MAX over a masked snapshot falls back to a correct scan") {
+    val base = "/tmp/graft_txmor/aggpush"
+    seed(base)
+    // mask away the low band, including the global min of k
+    TxLog.deleteRangeMor(spark, base, "k", 1L, 30L)
+    val src = spark.read.format("graft.sources.TxLogSource").load(base)
+    val cnt = src.agg(count(lit(1)).as("n"))
+    assert(cnt.queryExecution.executedPlan.toString.contains("TxLogAggScan"),
+      "COUNT over a masked snapshot must stay metadata-only")
+    assert(cnt.head().getLong(0) == 270L)
+    // MIN/MAX: manifest stats still claim min=1 — the masked row. The
+    // pushdown must bail (no TxLogAggScan) and the scan must return 31
+    val mn = src.agg(min("k").as("mn"))
+    assert(!mn.queryExecution.executedPlan.toString.contains("TxLogAggScan"),
+      "MIN over a masked snapshot is unsound from stats and must bail")
+    assert(mn.head().getLong(0) == 31L)
+  }
+
+  test("the DSv2 row scan and range reads apply masks") {
+    val base = "/tmp/graft_txmor/scan"
+    seed(base)
+    TxLog.deleteRangeMor(spark, base, "k", 50L, 120L,
+      residual = col("k") % 3 === 0)
+    val expect = rows.filterNot { case (k, _) =>
+      k >= 50 && k <= 120 && k % 3 == 0 }.toSet
+    val viaSource = spark.read.format("graft.sources.TxLogSource").load(base)
+    assert(contents(viaSource) == expect)
+    // pushed range filter + mask, together
+    assert(contents(viaSource.where(col("k") <= 60)) ==
+      expect.filter(_._1 <= 60))
+    assert(contents(TxLog.readRange(spark, base, "k", 40L, 130L)) ==
+      expect.filter(t => t._1 >= 40 && t._1 <= 130))
+  }
+
+  test("the change feed emits precisely the newly-masked rows as " +
+    "deletes, and a RESTORE across a MOR delete re-inserts them") {
+    val base = "/tmp/graft_txmor/cdf"
+    seed(base)
+    TxLog.deleteRangeMor(spark, base, "k", 50L, 120L,
+      residual = col("k") % 2 === 0)
+    val dead = rows.filter { case (k, _) =>
+      k >= 50 && k <= 120 && k % 2 == 0 }.toSet
+    val feed = TxLog.changesWithDeletes(spark, base, 1L, 2L)
+    val byKind = feed.collect().groupBy(_.getAs[String]("_change_type"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("k"), r.getAs[String]("s"))).toSet)
+      .toMap
+    assert(byKind.getOrElse("delete", Set.empty) == dead,
+      "delete markers must be exactly the newly-masked rows")
+    assert(byKind.getOrElse("insert", Set.empty).isEmpty,
+      "a pure MOR delete adds no rows")
+    // RESTORE to v1 drops the mask on the SAME files → precise re-inserts
+    TxLog.restore(spark, base, 1L)
+    val feed2 = TxLog.changesWithDeletes(spark, base, 2L, 3L)
+    val byKind2 = feed2.collect().groupBy(_.getAs[String]("_change_type"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("k"), r.getAs[String]("s"))).toSet)
+      .toMap
+    assert(byKind2.getOrElse("insert", Set.empty) == dead,
+      "unmasking must re-insert exactly the previously-masked rows")
+    assert(byKind2.getOrElse("delete", Set.empty).isEmpty)
+    assert(contents(TxLog.read(spark, base)) == rows.toSet)
+  }
+
+  test("purge materializes masks; vacuum keeps sidecars live while " +
+    "referenced and reclaims them after") {
+    val base = "/tmp/graft_txmor/purge"
+    seed(base)
+    TxLog.deleteRangeMor(spark, base, "k", 50L, 120L)
+    val expect = rows.filterNot { case (k, _) => k >= 50 && k <= 120 }.toSet
+    // vacuum to the masked version only: the sidecar must survive
+    TxLog.vacuum(spark, base, keepLast = 1)
+    assert(contents(TxLog.read(spark, base)) == expect,
+      "vacuum must treat a referenced sidecar as live")
+    val v3 = TxLog.purgeDeletes(spark, base)
+    assert(v3 == 3L)
+    val entries = TxLog.manifest(spark, base, 3L)._1
+    assert(entries.forall(_.dv.isEmpty), "purge must clear every mask")
+    assert(contents(TxLog.read(spark, base)) == expect)
+    // now the sidecar is orphaned once v2 ages out
+    TxLog.vacuum(spark, base, keepLast = 1)
+    assert(contents(TxLog.read(spark, base)) == expect)
+    // every surviving txn dir is referenced by the surviving manifest
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/data"))
+      .map(_.getPath.getName).toSet
+    val referenced = entries.map(e =>
+      e.path.split('/').dropRight(1).last).toSet
+    assert(onDisk == referenced,
+      s"orphaned dirs must be reclaimed: disk=$onDisk referenced=$referenced")
+  }
+
+  test("compaction folds masked files: mask applied, sidecar ref " +
+    "dropped, content preserved") {
+    val base = "/tmp/graft_txmor/compact"
+    seed(base)
+    TxLog.deleteRangeMor(spark, base, "k", 50L, 120L)
+    val expect = rows.filterNot { case (k, _) => k >= 50 && k <= 120 }.toSet
+    // every file is "small" at this threshold → full bin-pack
+    TxLog.compact(spark, base, smallThresholdRows = 1000L,
+      targetRows = 1000L, statsCol = Some("k"))
+    val entries = TxLog.manifest(spark, base, 3L)._1
+    assert(entries.forall(_.dv.isEmpty))
+    assert(contents(TxLog.read(spark, base)) == expect)
+    assert(entries.map(_.rows).sum == expect.size)
+  }
+
+  test("a shallow clone carries masks; purging the clone leaves the " +
+    "source untouched") {
+    val src = "/tmp/graft_txmor/clone_src"
+    val dst = "/tmp/graft_txmor/clone_dst"
+    seed(src)
+    TxLog.deleteRangeMor(spark, src, "k", 50L, 120L)
+    val expect = rows.filterNot { case (k, _) => k >= 50 && k <= 120 }.toSet
+    TxLog.drop(spark, dst)
+    TxLog.cloneShallow(spark, src, dst)
+    assert(contents(TxLog.read(spark, dst)) == expect,
+      "the clone must see the source's masks")
+    TxLog.purgeDeletes(spark, dst)
+    assert(contents(TxLog.read(spark, dst)) == expect)
+    // the source still reads through its mask, files untouched
+    assert(contents(TxLog.read(spark, src)) == expect)
+    assert(TxLog.manifest(spark, src, 2L)._1.exists(_.dv.isDefined))
+  }
+
+  test("history and the streaming source see live rows") {
+    val base = "/tmp/graft_txmor/history"
+    seed(base)
+    TxLog.deleteRangeMor(spark, base, "k", 1L, 100L)
+    val h = TxLog.history(spark, base).collect()
+      .map(r => r.getAs[Long]("version") -> r.getAs[Long]("n_rows")).toMap
+    assert(h(1L) == 300L && h(2L) == 200L,
+      s"history must report LIVE rows per version: $h")
+  }
+}
