@@ -100,9 +100,14 @@ object TxLog {
     * analog): `dir` is a sidecar parquet dataset of (`__file`,
     * `__pos`) rows — the SET bit positions of each file's bloom over
     * `column` — shared by every entry of one [[buildBloomIndex]] run;
-    * `m` bits, `k` hashes. Point lookups probe the k positions of the
-    * value and keep only files holding ALL of them. */
-  final case class BloomRef(dir: String, column: String, m: Long, k: Int)
+    * `m` bits, `k` hashes. `dtype` is the column's Catalyst type at
+    * build time: the probe casts its literal through it BEFORE the
+    * string hash, so a long-typed lookup against a double column
+    * hashes "42.0", not "42" — the same positions the build wrote.
+    * Point lookups probe the k positions of the value and keep only
+    * files holding ALL of them. */
+  final case class BloomRef(dir: String, column: String, m: Long, k: Int,
+                            dtype: String)
 
   /** One manifest entry: a base-relative data file, its row count
     * (-1 when unknown, e.g. a v1 manifest), per-column min/max
@@ -201,7 +206,7 @@ object TxLog {
       val groups = e.stats.map(cs =>
         s"${cs.dtype}\t${enc(cs.column)}\t${enc(cs.min)}\t${enc(cs.max)}") ++
         e.blooms.map(b =>
-          s"bf\t${enc(b.dir)}\t${enc(b.column)}\t${b.m},${b.k}") ++
+          s"bf\t${enc(b.dir)}\t${enc(b.column)}\t${b.m},${b.k},${b.dtype}") ++
         e.dv.map(d => s"dv\t${enc(d.dir)}\t${d.rows}\t-")
       s"${e.path}\t${e.rows}\t" + groups.mkString("\t")
     }
@@ -221,8 +226,10 @@ object TxLog {
         statGroups.map(g => ColStats(dec(g(1)), g(0), dec(g(2)), dec(g(3)))),
         dvGroups.headOption.map(g => Dv(dec(g(1)), g(2).toLong)),
         bfGroups.map { g =>
-          val Array(m, k) = g(3).split(',')
-          BloomRef(dec(g(1)), dec(g(2)), m.toLong, k.toInt)
+          // limit 3: the dtype itself may hold commas (decimal(p,s))
+          val parts = g(3).split(",", 3)
+          BloomRef(dec(g(1)), dec(g(2)), parts(0).toLong, parts(1).toInt,
+            if (parts.length > 2) parts(2) else "string")
         })
     } else throw new IllegalStateException(
       s"malformed manifest line: $line (${f.length} fields)")
@@ -321,6 +328,12 @@ object TxLog {
 
   private[graft] def fileName(path: String): String = path.split('/').last
 
+  /** Is this directory member a data part file (not a _SUCCESS marker
+    * or a hidden checksum)? The one visibility rule every dir listing
+    * — land, sidecar scans, existence checks — must share. */
+  private[graft] def isDataFileName(n: String): Boolean =
+    !n.startsWith("_") && !n.startsWith(".")
+
   /** The deleted (file-name, position) rows of `entries`' deletion
     * vectors — one union branch per DISTINCT sidecar dir (number of
     * MOR commits since the last purge, small), each filtered to the
@@ -382,7 +395,12 @@ object TxLog {
           .drop(DvFileCol, DvPosCol))
       }
     (plainDf, dvedDf) match {
-      case (Some(p), Some(d)) => p.unionByName(d, allowMissingColumns = mergeSchema)
+      // allowMissingColumns unconditionally: the two subset reads each
+      // infer from their OWN files, so on a schema-evolved table whose
+      // mask boundary splits old from new files they can disagree even
+      // without mergeSchema — fill the gap with NULLs (what one read
+      // over all files would have produced) instead of crashing
+      case (Some(p), Some(d)) => p.unionByName(d, allowMissingColumns = true)
       case (Some(p), None) => p
       case (None, Some(d)) => d
       case (None, None) => throw new IllegalStateException("unreachable")
@@ -398,10 +416,7 @@ object TxLog {
     df.write.mode("error").parquet(dir)
     val f = fs(base, df.sparkSession)
     f.listStatus(new Path(dir)).toSeq
-      .filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
+      .filter(st => st.isFile && isDataFileName(st.getPath.getName))
       .map(st => s"$DataDir/$txn/${st.getPath.getName}")
   }
 
@@ -417,7 +432,16 @@ object TxLog {
     }
   }
 
-  private def reprOf(v: Any): String = v.toString
+  /** A predicate value's stats-repr string. Floats MUST widen through
+    * toDouble: the stats themselves were collected via a double cast
+    * (1.1f → "1.100000023841858"), so stringifying the float directly
+    * ("1.1") would parse to a DIFFERENT double and unsoundly prune —
+    * or fail to touch — the files holding the matching rows (the same
+    * hazard TxLogSource.valueRepr documents for the DSv2 path). */
+  private def reprOf(v: Any): String = v match {
+    case f: java.lang.Float => f.floatValue().toDouble.toString
+    case other => other.toString
+  }
 
   private[graft] def landEntries(df: DataFrame, base: String,
                                  statsCol: Option[String]): Seq[Entry] =
@@ -436,8 +460,12 @@ object TxLog {
     val dtypes = statsCols.map(c => c -> statsDtype(df.schema(c).dataType))
     val rels = land(df, base)
     if (rels.isEmpty) Seq.empty // all-empty write: no part files
-    else if (dtypes.isEmpty) rels.map(Entry(_, -1L, Nil))
     else {
+      // even with no stats columns the per-file ROW COUNT is collected
+      // (a column-free scan — footer metadata weight): row counts are
+      // what metadata COUNT(*) pushdown, live-row compaction sizing,
+      // and full-mask entry drops all run on, so a stat-less commit or
+      // purge must not silently demote the table to rows=-1
       import org.apache.spark.sql.functions._
       val spark = df.sparkSession
       val txnDir = s"$base/${rels.head.split('/').dropRight(1).mkString("/")}"
@@ -797,49 +825,194 @@ object TxLog {
         // positions are computed over the RAW files: already-masked
         // rows re-match and the union+distinct below folds them into
         // the merged sidecar — old deletions can never resurrect
-        val raw = spark.read.parquet(touched.map(e => resolve(base, e.path)): _*)
+        val raw = taggedRead(spark, base, touched)
         val hit = coalesce(
           col(column).between(lit(lo), lit(hi)) && residual, lit(false))
-        val newHits = raw
-          .withColumn(DvFileCol, col("_metadata.file_name"))
-          .withColumn(DvPosCol, col("_metadata.row_index"))
-          .where(hit)
-          .select(DvFileCol, DvPosCol)
-        val allDv = dvFrame(spark, base, touched) match {
-          case Some(old) => newHits.unionByName(old).distinct()
-          case None => newHits // raw positions are unique by construction
-        }
-        val dvDir = landDvDir(allDv.repartition(col(DvFileCol)), base)
-        // per-file mask sizes, read back from the LANDED sidecar (the
-        // bytes later skipping will trust): bounded driver metadata —
-        // one row per touched file
-        val dvRoot = new Path(s"$base/$dvDir")
-        val hasParts = fs(base, spark).listStatus(dvRoot).exists { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }
-        val counts: Map[String, Long] =
-          if (!hasParts) Map.empty
-          else spark.read.parquet(s"$base/$dvDir")
-            .groupBy(DvFileCol).count().collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
-        if (counts.isEmpty) { discardDir(spark, base, dvDir); cur }
-        else {
-          val newTouched = touched.flatMap { e =>
-            counts.get(fileName(e.path)) match {
-              case Some(n) if e.rows >= 0 && n >= e.rows => None // fully dead
-              case Some(n) => Some(e.copy(dv = Some(Dv(dvDir, n))))
-              case None => Some(e) // no hits, no prior mask: carry verbatim
+        val hits0 = raw.where(hit)
+        landMaskSidecar(spark, base, touched, hits0) match {
+          case None => cur // no hits, no prior masks: nothing to publish
+          case Some((dvDir, counts)) =>
+            try {
+              publishEntries(spark, base, cur + 1L,
+                carried ++ remask(touched, dvDir, counts), txns)
+              cur + 1L
+            } catch {
+              case e: CommitConflictException =>
+                discardDir(spark, base, dvDir); throw e
             }
-          }
-          try {
-            publishEntries(spark, base, cur + 1L,
-              carried ++ newTouched, txns)
-            cur + 1L
-          } catch {
-            case e: CommitConflictException =>
-              discardDir(spark, base, dvDir); throw e
-          }
+        }
+      }
+    }
+  }
+
+  /** The raw (mask-ignoring) tagged read of `entries`' files: all
+    * table columns plus ([[DvFileCol]], [[DvPosCol]]) from parquet's
+    * `_metadata` — the coordinates masks are expressed in. */
+  private def taggedRead(spark: SparkSession, base: String,
+                         entries: Seq[Entry]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(entries.map(e => resolve(base, e.path)): _*)
+      .withColumn(DvFileCol, col("_metadata.file_name"))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+  }
+
+  /** Land one merged mask sidecar for `touched`: new hit positions
+    * (from the tagged `hits0`, any extra columns ignored) unioned with
+    * the entries' EXISTING masks, distinct. Returns the sidecar dir
+    * and per-file mask sizes read back from the landed bytes (bounded
+    * driver metadata — one row per touched file), or None when there
+    * is nothing to mask (the landed empty dir is discarded). */
+  private def landMaskSidecar(spark: SparkSession, base: String,
+                              touched: Seq[Entry], hits0: DataFrame)
+      : Option[(String, Map[String, Long])] = {
+    import org.apache.spark.sql.functions.col
+    val newHits = hits0.select(DvFileCol, DvPosCol)
+    val allDv = dvFrame(spark, base, touched) match {
+      case Some(old) => newHits.unionByName(old).distinct()
+      case None => newHits // raw positions are unique by construction
+    }
+    val dvDir = landDvDir(allDv.repartition(col(DvFileCol)), base)
+    val dvRoot = new Path(s"$base/$dvDir")
+    val hasParts = fs(base, spark).listStatus(dvRoot).exists(st =>
+      st.isFile && isDataFileName(st.getPath.getName))
+    val counts: Map[String, Long] =
+      if (!hasParts) Map.empty
+      else spark.read.parquet(s"$base/$dvDir")
+        .groupBy(DvFileCol).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) { discardDir(spark, base, dvDir); None }
+    else Some((dvDir, counts))
+  }
+
+  /** Touched entries re-pointed at the merged sidecar: fully-masked
+    * files drop from the manifest; files the mask never reached carry
+    * verbatim. */
+  private def remask(touched: Seq[Entry], dvDir: String,
+                     counts: Map[String, Long]): Seq[Entry] =
+    touched.flatMap { e =>
+      counts.get(fileName(e.path)) match {
+        case Some(n) if e.rows >= 0 && n >= e.rows => None // fully dead
+        case Some(n) => Some(e.copy(dv = Some(Dv(dvDir, n))))
+        case None => Some(e) // no hits, no prior mask: carry verbatim
+      }
+    }
+
+  /** Merge-on-read UPDATE (Delta's DV update path — mask + append):
+    * rows with `column` in [lo, hi] satisfying `residual` are MASKED
+    * in place and their updated images land as NEW files in the same
+    * commit — zero existing files rewritten, write cost O(updated
+    * rows). Unlike the COW [[updateRange]], `set` MAY reassign the
+    * clustering column: the appended files carry their own fresh
+    * min/max stats, so skipping stays sound wherever the rows move.
+    * Already-masked rows are excluded from the update set (a deleted
+    * row must not resurrect as its updated image). Returns the
+    * published version. */
+  def updateRangeMor(spark: SparkSession, base: String, column: String,
+                     lo: Any, hi: Any,
+                     set: Map[String, org.apache.spark.sql.Column],
+                     residual: org.apache.spark.sql.Column =
+                       org.apache.spark.sql.functions.lit(true),
+                     maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val (l, h) = (reprOf(lo), reprOf(hi))
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val (touched, carried) = entries.partition(touchesRange(_, column, l, h))
+      if (touched.isEmpty) cur
+      else {
+        val raw = taggedRead(spark, base, touched)
+        val hit = coalesce(
+          col(column).between(lit(lo), lit(hi)) && residual, lit(false))
+        val hits0 = raw.where(hit)
+        // live hits only: a previously-masked (deleted) row matching
+        // the predicate must not come back as an updated image
+        val live = dvFrame(spark, base, touched) match {
+          case Some(m) => hits0.join(m, Seq(DvFileCol, DvPosCol), "left_anti")
+          case None => hits0
+        }
+        val updated = set.foldLeft(live) { case (df, (c, expr)) =>
+          df.withColumn(c, expr)
+        }.drop(DvFileCol, DvPosCol)
+        val newEntries = landEntriesMulti(updated, base,
+          preservedStatsCols(touched, Seq(column), updated.schema))
+          .filter(_.rows != 0L)
+        landMaskSidecar(spark, base, touched, hits0) match {
+          case None => // no hits anywhere: drop the (empty) append too
+            discard(spark, base, newEntries.map(_.path)); cur
+          case Some((dvDir, counts)) =>
+            try {
+              publishEntries(spark, base, cur + 1L,
+                carried ++ remask(touched, dvDir, counts) ++ newEntries, txns)
+              cur + 1L
+            } catch {
+              case e: CommitConflictException =>
+                discardDir(spark, base, dvDir)
+                discard(spark, base, newEntries.map(_.path))
+                throw e
+            }
+        }
+      }
+    }
+  }
+
+  /** Merge-on-read MERGE (Delta's DV merge path — mask matched rows,
+    * append the source): target rows whose `keys` appear in `source`
+    * are masked; ALL source rows land as new files in the same commit.
+    * Row-level result is identical to [[mergeCow]] / [[Upsert.merge]]
+    * (target-anti-source ∪ source), but zero target files are
+    * rewritten — write cost is O(source), the shape that keeps a
+    * continuous CDC feed against a 100 TB table from amplifying every
+    * batch into band rewrites. `statsCol` must be a merge key (the
+    * same skipping-soundness containment as [[mergeCow]]). Returns the
+    * published version. */
+  def mergeMor(spark: SparkSession, base: String, source: DataFrame,
+               keys: Seq[String], statsCol: String,
+               maxAttempts: Int = 5): Long = {
+    require(keys.contains(statsCol),
+      s"statsCol $statsCol must be a merge key (got $keys) — range " +
+        "skipping is only sound when pruning on the match key")
+    import org.apache.spark.sql.functions.{col, max, min}
+    val castT = castType(statsDtype(source.schema(statsCol).dataType))
+    val bounds = source
+      .agg(min(col(statsCol).cast(castT)).cast("string"),
+        max(col(statsCol).cast(castT)).cast("string")).head()
+    if (bounds.isNullAt(0)) { // empty / all-null source: nothing to merge
+      return latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+    }
+    val (lo, hi) = (bounds.getString(0), bounds.getString(1))
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val (touched, carried) =
+        entries.partition(touchesRange(_, statsCol, lo, hi))
+      val newEntries = landEntriesMulti(source, base,
+        preservedStatsCols(touched, Seq(statsCol), source.schema))
+        .filter(_.rows != 0L)
+      def publishWith(masked: Seq[Entry], dvDir: Option[String]): Long =
+        try {
+          publishEntries(spark, base, cur + 1L,
+            carried ++ masked ++ newEntries, txns)
+          cur + 1L
+        } catch {
+          case e: CommitConflictException =>
+            dvDir.foreach(discardDir(spark, base, _))
+            discard(spark, base, newEntries.map(_.path))
+            throw e
+        }
+      if (touched.isEmpty) publishWith(Seq.empty, None)
+      else {
+        // matched = target rows whose key tuple appears in the source
+        val hits0 = taggedRead(spark, base, touched)
+          .join(source.select(keys.map(col): _*).distinct(),
+            keys, "left_semi")
+        landMaskSidecar(spark, base, touched, hits0) match {
+          case None => publishWith(touched, None) // insert-only batch
+          case Some((dvDir, counts)) =>
+            publishWith(remask(touched, dvDir, counts), Some(dvDir))
         }
       }
     }
@@ -880,17 +1053,22 @@ object TxLog {
     * column's). Used identically at build (distributed, per row) and
     * probe (one local row), so cross-engine hash drift is impossible
     * by construction. */
-  private def bloomPosCols(c: org.apache.spark.sql.Column, m: Long,
-                           k: Int): Seq[org.apache.spark.sql.Column] = {
+  private def bloomPosCols(c: org.apache.spark.sql.Column, m: Long, k: Int,
+                           dtype: String): Seq[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
-    (0 until k).map(i => pmod(xxhash64(lit(i), c.cast("string")), lit(m)))
+    // the cast through the BUILD-TIME column type is what makes a
+    // differently-typed probe literal (42L against a double column)
+    // hash the same string the build hashed ("42.0")
+    (0 until k).map(i =>
+      pmod(xxhash64(lit(i), c.cast(dtype).cast("string")), lit(m)))
   }
 
-  private def probePositions(spark: SparkSession, value: Any, m: Long,
-                             k: Int): Seq[Long] = {
+  private def probePositions(spark: SparkSession, value: Any,
+                             ref: BloomRef): Seq[Long] = {
     import org.apache.spark.sql.functions.lit
-    val row = spark.range(1).select(bloomPosCols(lit(value), m, k): _*).head()
-    (0 until k).map(row.getLong)
+    val row = spark.range(1)
+      .select(bloomPosCols(lit(value), ref.m, ref.k, ref.dtype): _*).head()
+    (0 until ref.k).map(row.getLong)
   }
 
   /** Build a bloom-filter index over `column` (Delta `CREATE
@@ -923,13 +1101,15 @@ object TxLog {
         val m = math.max(64L, bitsPerRow.toLong * indexable.map(_.rows).max)
         val raw = spark.read
           .parquet(indexable.map(e => resolve(base, e.path)): _*)
+        val dtype = raw.schema(column).dataType.catalogString
         val bits = raw
           .where(col(column).isNotNull)
           .select(col("_metadata.file_name").as(DvFileCol),
-            explode(array(bloomPosCols(col(column), m, k): _*)).as(DvPosCol))
+            explode(array(bloomPosCols(col(column), m, k, dtype): _*))
+              .as(DvPosCol))
           .distinct()
         val dir = landDvDir(bits.repartition(col(DvFileCol)), base)
-        val ref = BloomRef(dir, column, m, k)
+        val ref = BloomRef(dir, column, m, k, dtype)
         val indexed = entries.map(e =>
           if (e.rows > 0L)
             e.copy(blooms = e.blooms.filterNot(_.column == column) :+ ref)
@@ -964,7 +1144,7 @@ object TxLog {
     if (bloomable.isEmpty) return (statsKept, entries)
     val kept = bloomable.groupBy(_.bloomFor(column).get).toSeq
       .sortBy(_._1.dir).flatMap { case (ref, es) =>
-        val positions = probePositions(spark, value, ref.m, ref.k)
+        val positions = probePositions(spark, value, ref)
         val need = positions.distinct.size
         val nameFilter =
           if (es.size <= 256)

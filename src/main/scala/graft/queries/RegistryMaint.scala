@@ -302,16 +302,7 @@ object RegistryMaint {
     // two NOT(...) predicates.
     "s39_mor_delete" -> ((s, dir) => {
       val base = Ingest.fixtureDir(dir) + "/txmor_events"
-      TxLog.drop(s, base)
-      val ev = t(s, dir, "events")
-        .select("event_id", "user_id", "event_type", "value")
-      TxLog.commit(ev.repartitionByRange(8, col("event_id")),
-        base, None, Some("event_id"))
-      val before = TxLog.manifestFiles(s, base, 1L).toSet
-      TxLog.deleteRangeMor(s, base, "event_id", cowLo, cowHi,
-        residual = col("event_type") === "click")
-      TxLog.deleteRangeMor(s, base, "event_id", morLo, morHi,
-        residual = col("event_type") === "view")
+      val before = morFixture(s, dir, base)
       Seq(2L, 3L).foreach { v =>
         require(TxLog.manifestFiles(s, base, v).toSet == before,
           s"MOR delete must rewrite ZERO data files (version $v)")
@@ -333,16 +324,7 @@ object RegistryMaint {
     // keeps a high-churn delete workload's read amplification bounded.
     "s40_mor_purge" -> ((s, dir) => {
       val base = Ingest.fixtureDir(dir) + "/txpurge_events"
-      TxLog.drop(s, base)
-      val ev = t(s, dir, "events")
-        .select("event_id", "user_id", "event_type", "value")
-      TxLog.commit(ev.repartitionByRange(8, col("event_id")),
-        base, None, Some("event_id"))
-      val before = TxLog.manifestFiles(s, base, 1L).toSet
-      TxLog.deleteRangeMor(s, base, "event_id", cowLo, cowHi,
-        residual = col("event_type") === "click")
-      TxLog.deleteRangeMor(s, base, "event_id", morLo, morHi,
-        residual = col("event_type") === "view")
+      val before = morFixture(s, dir, base)
       val masked = TxLog.manifest(s, base, 3L)._1.count(_.dv.isDefined)
       TxLog.purgeDeletes(s, base)
       val entries = TxLog.manifest(s, base, 4L)._1
@@ -351,6 +333,74 @@ object RegistryMaint {
       require(carried == before.size - masked && masked >= 1,
         s"purge must rewrite ONLY the $masked masked files " +
           s"(carried $carried of ${before.size})")
+      TxLog.read(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Merge-on-read UPDATE (Delta's DV update path — mask + append):
+    // the same band+residual shape as s29's COW update, but the hit
+    // rows are MASKED in place and their updated images land as new
+    // files in the SAME commit — the require pins that every original
+    // file rides untouched and only fresh files were added. Write
+    // cost O(updated rows), never a band rewrite. Oracle: identical
+    // CASE recompute to s29.
+    "s42_mor_update" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txmorupd_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(ev.repartitionByRange(8, col("event_id")),
+        base, None, Some("event_id"))
+      val before = TxLog.manifestFiles(s, base, 1L).toSet
+      TxLog.updateRangeMor(s, base, "event_id", cowLo, cowHi,
+        set = Map("value" -> col("value") * 3),
+        residual = col("event_type") === "view")
+      val after = TxLog.manifestFiles(s, base, 2L).toSet
+      require(before.subsetOf(after) && after.size > before.size,
+        s"MOR update must carry every original file and append: " +
+          s"${before.size} -> ${after.size}")
+      TxLog.read(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Merge-on-read MERGE (Delta's DV merge path): matched target
+    // rows are masked, the whole CDC batch appends — row-level result
+    // identical to s24's COW merge (same oracle recompute), but ZERO
+    // target files are rewritten: files leave the manifest only by
+    // becoming fully masked (the require pins no rewrites). The shape
+    // that keeps a continuous CDC feed against a 100 TB table from
+    // amplifying every batch into band rewrites.
+    "s43_mor_merge" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txmormrg_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(ev.repartitionByRange(8, col("event_id")),
+        base, None, Some("event_id"))
+      val before = TxLog.manifestFiles(s, base, 1L).toSet
+      val source = ev.where(col("event_id").between(cowLo, cowHi))
+        .withColumn("value", col("value") * 2)
+      TxLog.mergeMor(s, base, source, Seq("event_id"), "event_id")
+      val v2 = TxLog.manifest(s, base, 2L)._1
+      val after = v2.map(_.path).toSet
+      require(before.intersect(after).nonEmpty,
+        "MOR merge must carry out-of-band files by reference")
+      // no-rewrite pin: the only NEW rows in v2 are the source batch
+      // itself — a rewrite would have to fold surviving band rows into
+      // fresh files, inflating the added-row total past the source's
+      val addedRows = v2.filterNot(e => before.contains(e.path))
+        .map(_.rows).sum
+      require(addedRows == source.count(),
+        s"MOR merge must append exactly the source batch " +
+          s"($addedRows rows added)")
       TxLog.read(s, base)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -880,6 +930,24 @@ object RegistryMaint {
     * merge (old positions stay dead) is exercised by s39/s40. */
   private val (morLo, morHi) = (200L, 449L)
 
+  /** Shared s39/s40 fixture (the two witnesses and their oracles must
+    * stay in lockstep on bands + residuals): clustered commit, then
+    * the two overlapping masked deletes. Returns v1's file set. */
+  private def morFixture(s: SparkSession, dir: String,
+                         base: String): Set[String] = {
+    TxLog.drop(s, base)
+    val ev = t(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    TxLog.commit(ev.repartitionByRange(8, col("event_id")),
+      base, None, Some("event_id"))
+    val before = TxLog.manifestFiles(s, base, 1L).toSet
+    TxLog.deleteRangeMor(s, base, "event_id", cowLo, cowHi,
+      residual = col("event_type") === "click")
+    TxLog.deleteRangeMor(s, base, "event_id", morLo, morHi,
+      residual = col("event_type") === "view")
+    before
+  }
+
   /** The DPP dim filter — shared between query and oracle. */
   private val peakDays = Seq(
     "2024-01-03", "2024-01-07", "2024-01-12", "2024-01-18", "2024-01-25")
@@ -1104,6 +1172,23 @@ object RegistryMaint {
       """SELECT event_id, user_id, event_type, value
          FROM events WHERE event_id IN (42, 123, 321)
          ORDER BY event_id""",
+    "s42_mor_update" ->
+      s"""SELECT event_type, count(*) AS n,
+                cast(sum(cast(
+                  CASE WHEN event_id BETWEEN $cowLo AND $cowHi
+                            AND event_type = 'view'
+                       THEN value * 3 ELSE value END
+                  AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         GROUP BY event_type ORDER BY event_type""",
+    "s43_mor_merge" ->
+      s"""SELECT event_type, count(*) AS n,
+                cast(sum(cast(
+                  CASE WHEN event_id BETWEEN $cowLo AND $cowHi
+                       THEN value * 2 ELSE value END
+                  AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         GROUP BY event_type ORDER BY event_type""",
     "s39_mor_delete" ->
       s"""SELECT event_type, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

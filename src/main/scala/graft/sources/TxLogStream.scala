@@ -146,54 +146,60 @@ object TxLogSource {
     entriesOf(v).filterNot(e => prev.contains(e.path)).sortBy(_.path)
   }
 
-  /** Sorted deleted-row positions of one entry's deletion-vector
-    * sidecar, loaded driver-side at planning with the same parquet-mr
-    * Group API the readers use. Empty for unmasked entries. Planning
-    * cost is O(sidecar rows) per masked entry — fine on the source's
-    * commit-delta batches (a masked ADD is rare); bulk analytics over
-    * heavily-masked snapshots belong on [[TxLog.read]], whose
-    * anti-join applies masks distributed. */
-  private[sources] def dvPositionsFor(base: String, e: TxLog.Entry,
-                                      conf: Configuration): Array[Long] =
-    e.dv match {
-      case None => Array.emptyLongArray
-      case Some(dv) =>
-        val dirPath = new HPath(TxLog.resolve(base, dv.dir))
-        val fsys = dirPath.getFileSystem(conf)
-        val name = e.path.split('/').last
-        val out = scala.collection.mutable.ArrayBuilder.make[Long]
-        fsys.listStatus(dirPath).toSeq
-          .filter { st =>
-            val n = st.getPath.getName
-            st.isFile && !n.startsWith("_") && !n.startsWith(".")
-          }
-          .foreach { st =>
-            val reader = ParquetFileReader.open(
-              HadoopInputFile.fromPath(st.getPath, conf))
-            try {
-              val schema = reader.getFooter.getFileMetaData.getSchema
-              val fileIdx = schema.getFieldIndex(TxLog.DvFileCol)
-              val posIdx = schema.getFieldIndex(TxLog.DvPosCol)
-              var pages = reader.readNextRowGroup()
-              while (pages != null) {
-                val rec = new ColumnIOFactory().getColumnIO(schema)
-                  .getRecordReader(pages, new GroupRecordConverter(schema))
-                var i = 0L
-                val n = pages.getRowCount
-                while (i < n) {
-                  val g = rec.read()
-                  if (g.getString(fileIdx, 0) == name)
-                    out += g.getLong(posIdx, 0)
-                  i += 1
-                }
-                pages = reader.readNextRowGroup()
+  /** Sorted deleted-row positions of every masked entry, keyed by the
+    * entry's manifest path — loaded driver-side at planning with the
+    * same parquet-mr Group API the readers use. Each DISTINCT sidecar
+    * dir is scanned ONCE (positions bucketed by file name as they
+    * stream past), so a snapshot whose single MOR commit masked F
+    * files costs one O(sidecar rows) pass, not F of them. Bulk
+    * analytics over heavily-masked snapshots still belong on
+    * [[TxLog.read]], whose anti-join applies masks distributed. */
+  private[sources] def dvPositionsByFile(base: String,
+                                         entries: Seq[TxLog.Entry],
+                                         conf: Configuration)
+      : Map[String, Array[Long]] = {
+    import scala.collection.mutable
+    val dved = entries.filter(_.dv.isDefined)
+    if (dved.isEmpty) return Map.empty
+    dved.groupBy(_.dv.get.dir).toSeq.flatMap { case (dir, es) =>
+      val wanted = es.map(e => TxLog.fileName(e.path) -> e.path).toMap
+      val buckets = mutable.Map.empty[String, mutable.ArrayBuilder[Long]]
+      val dirPath = new HPath(TxLog.resolve(base, dir))
+      val fsys = dirPath.getFileSystem(conf)
+      fsys.listStatus(dirPath).toSeq
+        .filter(st => st.isFile && TxLog.isDataFileName(st.getPath.getName))
+        .foreach { st =>
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(st.getPath, conf))
+          try {
+            val schema = reader.getFooter.getFileMetaData.getSchema
+            val fileIdx = schema.getFieldIndex(TxLog.DvFileCol)
+            val posIdx = schema.getFieldIndex(TxLog.DvPosCol)
+            var pages = reader.readNextRowGroup()
+            while (pages != null) {
+              val rec = new ColumnIOFactory().getColumnIO(schema)
+                .getRecordReader(pages, new GroupRecordConverter(schema))
+              var i = 0L
+              val n = pages.getRowCount
+              while (i < n) {
+                val g = rec.read()
+                val name = g.getString(fileIdx, 0)
+                if (wanted.contains(name))
+                  buckets.getOrElseUpdate(name,
+                    mutable.ArrayBuilder.make[Long]) += g.getLong(posIdx, 0)
+                i += 1
               }
-            } finally reader.close()
-          }
-        val arr = out.result()
+              pages = reader.readNextRowGroup()
+            }
+          } finally reader.close()
+        }
+      buckets.toSeq.map { case (name, b) =>
+        val arr = b.result()
         java.util.Arrays.sort(arr)
-        arr
-    }
+        wanted(name) -> arr
+      }
+    }.toMap
+  }
 
   /** The (column, lo?, hi?) range constraints a DSv2 filter implies —
     * empty when the filter has no range shape we can use. Only
@@ -494,17 +500,16 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
       s"versionAsOf $v is beyond the latest committed version $latest"))
     val target = versionAsOf.getOrElse(latest)
     val conf = TxLogSource.driverHadoopConf()
+    def parts(es: Seq[TxLog.Entry], v: Long): Seq[InputPartition] = {
+      val masks = TxLogSource.dvPositionsByFile(base, es, conf)
+      es.map(e => TxLogInputPartition(TxLog.resolve(base, e.path), v,
+        masks.getOrElse(e.path, Array.emptyLongArray)): InputPartition)
+    }
     if (changeFeed)
       (1L to target).flatMap(v =>
-        survivors(TxLogSource.addedEntries(spark, base, v))
-          .map(e => TxLogInputPartition(TxLog.resolve(base, e.path), v,
-            TxLogSource.dvPositionsFor(base, e, conf)): InputPartition))
-        .toArray
+        parts(survivors(TxLogSource.addedEntries(spark, base, v)), v)).toArray
     else
-      survivors(TxLog.manifest(spark, base, target)._1)
-        .map(e => TxLogInputPartition(TxLog.resolve(base, e.path), target,
-          TxLogSource.dvPositionsFor(base, e, conf)): InputPartition)
-        .toArray
+      parts(survivors(TxLog.manifest(spark, base, target)._1), target).toArray
   }
 
   private[sources] def readerFactory(): PartitionReaderFactory =
@@ -793,11 +798,12 @@ class TxLogMicroBatchStream(scan: TxLogScan, base: String,
     // stats-pruning applies per batch too: a filtered stream never
     // ships files the pushed ranges prove dead (filters stay residual)
     val conf = TxLogSource.driverHadoopConf()
-    (from + 1 to to).flatMap(v =>
-      scan.survivors(TxLogSource.addedEntries(spark, base, v))
-        .map(e => TxLogInputPartition(TxLog.resolve(base, e.path), v,
-          TxLogSource.dvPositionsFor(base, e, conf)): InputPartition))
-      .toArray
+    (from + 1 to to).flatMap { v =>
+      val es = scan.survivors(TxLogSource.addedEntries(spark, base, v))
+      val masks = TxLogSource.dvPositionsByFile(base, es, conf)
+      es.map(e => TxLogInputPartition(TxLog.resolve(base, e.path), v,
+        masks.getOrElse(e.path, Array.emptyLongArray)): InputPartition)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

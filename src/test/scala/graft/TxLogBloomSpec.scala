@@ -103,6 +103,38 @@ class TxLogBloomSpec extends AnyFunSuite {
       Set((700L, "payload-700")))
   }
 
+  test("a probe literal of a different numeric type hashes through " +
+    "the build-time column type") {
+    val base = "/tmp/graft_txbloom/dtype"
+    TxLog.drop(spark, base)
+    import spark.implicits._
+    val d = (1L to 400L).map(i => (i, i.toDouble)).toDF("k", "dk")
+    TxLog.commit(d.repartitionByRange(4, col("k")), base, None, Some("k"))
+    TxLog.buildBloomIndex(spark, base, "dk", bitsPerRow = 24, k = 5)
+    // a LONG probe against the DOUBLE column must hash "42.0" (the
+    // string the build hashed), not "42" — else the owning file is
+    // silently skipped and the lookup returns empty
+    val (kept, all) = TxLog.prunePoint(spark, base, "dk", 42L)
+    assert(all.size == 4 && kept.size == 1,
+      s"cross-type probe must find the owning file: kept ${kept.size}")
+    assert(TxLog.readPoint(spark, base, "dk", 42L).count() == 1)
+  }
+
+  test("float range predicates widen through the stats' double cast") {
+    val base = "/tmp/graft_txbloom/floatrepr"
+    TxLog.drop(spark, base)
+    import spark.implicits._
+    val d = Seq(1.1f, 2.2f, 3.3f).zipWithIndex
+      .map { case (f, i) => (i.toLong, f) }.toDF("k", "fk")
+    TxLog.commit(d.repartitionByRange(3, col("fk")), base, None, Some("fk"))
+    // 2.2f's stats repr is "2.200000047683716" (double-widened); a
+    // probe repr of "2.2" would place hi BELOW the file's min and
+    // unsoundly skip the single file holding the row
+    val got = TxLog.readRange(spark, base, "fk", 2.2f, 2.2f).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L,
+      s"float range must touch the owning file: ${got.toSeq}")
+  }
+
   test("DML rewrites drop the index on rewritten files only — " +
     "conservative, never wrong") {
     val base = "/tmp/graft_txbloom/dml"

@@ -219,6 +219,66 @@ class TxLogMorSpec extends AnyFunSuite {
     assert(TxLog.manifest(spark, src, 2L)._1.exists(_.dv.isDefined))
   }
 
+  test("MOR update: zero files rewritten, bit-identical to the COW " +
+    "update, and a masked row never resurrects as its updated image") {
+    val morBase = "/tmp/graft_txmor/upd_mor"
+    val cowBase = "/tmp/graft_txmor/upd_cow"
+    seed(morBase); seed(cowBase)
+    // pre-delete a band, then update an overlapping band on both twins
+    TxLog.deleteRangeMor(spark, morBase, "k", 90L, 110L)
+    TxLog.deleteRange(spark, cowBase, "k", 90L, 110L)
+    val before = TxLog.manifestFiles(spark, morBase, 2L).toSet
+    TxLog.updateRangeMor(spark, morBase, "k", 100L, 200L,
+      set = Map("s" -> concat(col("s"), lit("!"))))
+    TxLog.updateRange(spark, cowBase, "k", 100L, 200L,
+      set = Map("s" -> concat(col("s"), lit("!"))))
+    val after = TxLog.manifestFiles(spark, morBase, 3L).toSet
+    assert(before.subsetOf(after) && after.size > before.size,
+      "MOR update must carry every file and append the images")
+    assert(contents(TxLog.read(spark, morBase)) ==
+      contents(TxLog.read(spark, cowBase)))
+    // deleted rows 90-110 must not be back, updated or otherwise
+    assert(TxLog.read(spark, morBase)
+      .where(col("k").between(90, 110)).count() == 0)
+  }
+
+  test("MOR update may reassign the clustering column: the appended " +
+    "files carry fresh stats, range reads stay exact") {
+    val base = "/tmp/graft_txmor/upd_rekey"
+    seed(base)
+    // move a band's keys up by 10000 — out of every original band
+    TxLog.updateRangeMor(spark, base, "k", 50L, 60L,
+      set = Map("k" -> (col("k") + 10000L)))
+    val expectMoved = (50L to 60L).map(k => (k + 10000L, s"s-$k")).toSet
+    assert(contents(TxLog.readRange(spark, base, "k", 10000L, 11000L)) ==
+      expectMoved)
+    assert(contents(TxLog.readRange(spark, base, "k", 40L, 70L)) ==
+      ((40L to 49L) ++ (61L to 70L)).map(k => (k, s"s-$k")).toSet)
+  }
+
+  test("MOR merge: content equals Upsert.merge, added rows are " +
+    "exactly the source batch, insert-only batches skip masking") {
+    val base = "/tmp/graft_txmor/merge"
+    seed(base)
+    val before = TxLog.manifestFiles(spark, base, 1L).toSet
+    val source = // updates + inserts
+      df(((150L to 170L) ++ (900L to 905L)).map(i => i -> s"s-$i-v2"))
+    TxLog.mergeMor(spark, base, source, Seq("k"), "k")
+    val v2 = TxLog.manifest(spark, base, 2L)._1
+    assert(v2.filterNot(e => before.contains(e.path)).map(_.rows).sum ==
+      source.count(), "added rows must be exactly the source batch")
+    val expect = rows.filterNot(t => t._1 >= 150 && t._1 <= 170).toSet ++
+      ((150L to 170L) ++ (900L to 905L)).map(k => (k, s"s-$k-v2"))
+    assert(contents(TxLog.read(spark, base)) == expect)
+    // insert-only second batch: no target key matches → no new masks
+    val maskedBefore = v2.count(_.dv.isDefined)
+    TxLog.mergeMor(spark, base, df(Seq(7777L -> "s-7777")), Seq("k"), "k")
+    val v3 = TxLog.manifest(spark, base, 3L)._1
+    assert(v3.count(_.dv.isDefined) == maskedBefore,
+      "an insert-only batch must not grow any mask")
+    assert(contents(TxLog.read(spark, base)) == expect + ((7777L, "s-7777")))
+  }
+
   test("history and the streaming source see live rows") {
     val base = "/tmp/graft_txmor/history"
     seed(base)

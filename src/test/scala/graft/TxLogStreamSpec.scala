@@ -297,10 +297,23 @@ class TxLogStreamSpec extends AnyFunSuite {
     assert(!filtered.queryExecution.executedPlan.toString
       .contains("TxLogAggScan"))
     assert(filtered.head().getLong(0) == 50L)
-    // stat-less (v1) entries cannot answer: normal scan, correct value
+    // a stat-less commit still records per-file ROW COUNTS, so
+    // COUNT(*) stays metadata-only even without a stats column
+    val nsBase = "/tmp/graft_txstream/aggpush_nostats"
+    TxLog.drop(spark, nsBase)
+    TxLog.commit(clustered(0, 10, "z", 1), nsBase, None) // no stats cols
+    val nsAgg = spark.read.format("graft.sources.TxLogSource").load(nsBase)
+      .agg(count(lit(1)))
+    assert(nsAgg.queryExecution.executedPlan.toString
+      .contains("TxLogAggScan"),
+      "row counts ride stat-less commits; COUNT must stay metadata-only")
+    assert(nsAgg.head().getLong(0) == 10L)
+    // a genuine v1 manifest (bare paths, no row counts) cannot answer:
+    // normal scan, correct value
     val v1base = "/tmp/graft_txstream/aggpush_v1"
     TxLog.drop(spark, v1base)
-    TxLog.commit(clustered(0, 10, "z", 1), v1base, None) // no stats
+    TxLog.publish(spark, v1base, 1L,
+      TxLog.land(clustered(0, 10, "z", 1), v1base))
     val v1src = spark.read.format("graft.sources.TxLogSource").load(v1base)
     val v1agg = v1src.agg(count(lit(1)))
     assert(!v1agg.queryExecution.executedPlan.toString
