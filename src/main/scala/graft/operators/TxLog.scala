@@ -76,6 +76,14 @@ object TxLog {
       s"concurrent writer already committed version $version; " +
         "re-read the table and retry (see TxLog.transact)")
 
+  /** A write produced rows failing a CHECK constraint; the landed
+    * files were discarded and nothing was published. */
+  final class ConstraintViolationException(val name: String,
+                                           val expr: String, val bad: Long)
+    extends RuntimeException(
+      s"CHECK constraint '$name' ($expr) violated by $bad written " +
+        "row(s); the write was discarded, nothing was published")
+
   private val LogDir = "_log"
   private val DataDir = "data"
 
@@ -284,6 +292,24 @@ object TxLog {
     (data.map(parseLine), txns)
   }
 
+  /** CHECK constraints (name → SQL expression) of one published
+    * version — `#constraint` meta lines. */
+  def constraintsOf(spark: SparkSession, base: String,
+                    v: Long): Map[String, String] =
+    manifestLines(spark, base, v)
+      .filter(_.startsWith("#constraint\t"))
+      .map(_.split('\t') match {
+        case Array(_, n, ex) => dec(n) -> dec(ex)
+        case other => throw new IllegalStateException(
+          s"malformed constraint line (${other.length} fields)")
+      }).toMap
+
+  /** CHECK constraints of the latest published version (empty for an
+    * empty store). */
+  def constraints(spark: SparkSession, base: String): Map[String, String] =
+    latestVersion(spark, base)
+      .map(constraintsOf(spark, base, _)).getOrElse(Map.empty)
+
   /** The file list of one published version (base-relative paths). */
   def manifestFiles(spark: SparkSession, base: String, v: Long): Seq[String] =
     manifest(spark, base, v)._1.map(_.path)
@@ -482,7 +508,7 @@ object TxLog {
         .collect() // one row per landed file — bounded driver metadata
         .map(r => r.getString(0) -> r)
         .toMap
-      rels.map { rel =>
+      val out = rels.map { rel =>
         byFile.get(rel.split('/').last) match {
           case Some(r) =>
             val cols = dtypes.zipWithIndex.flatMap { case ((c, t), i) =>
@@ -495,8 +521,79 @@ object TxLog {
           case None => Entry(rel, 0L, Nil) // empty file: no rows scanned
         }
       }
+      // the one choke point every data write passes through — CHECK
+      // constraints veto the batch here, before any manifest publishes
+      enforceConstraints(spark, base, out.filter(_.rows != 0L))
+      out
     }
   }
+
+  /** Verify every row of `newEntries`' just-landed files against the
+    * table's CHECK constraints (SQL semantics: a row fails only when
+    * the expression is FALSE — NULL/unknown passes). One aggregate
+    * scan over the NEW files only, and only when constraints exist.
+    * On violation the landed files are discarded and
+    * [[ConstraintViolationException]] thrown — nothing publishes. */
+  private[graft] def enforceConstraints(spark: SparkSession, base: String,
+                                        newEntries: Seq[Entry]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    if (newEntries.isEmpty) return
+    val cons = constraints(spark, base).toSeq.sortBy(_._1)
+    if (cons.isEmpty) return
+    val df = spark.read.parquet(newEntries.map(e => resolve(base, e.path)): _*)
+    val aggs = cons.zipWithIndex.map { case ((_, ex), i) =>
+      sum(when(!coalesce(expr(ex), lit(true)), 1L).otherwise(0L))
+        .as(s"__vio_$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cons.zipWithIndex.foreach { case ((n, ex), i) =>
+      if (!row.isNullAt(i) && row.getLong(i) > 0) {
+        discard(spark, base, newEntries.map(_.path))
+        throw new ConstraintViolationException(n, ex, row.getLong(i))
+      }
+    }
+  }
+
+  /** Add a CHECK constraint (Delta `ALTER TABLE … ADD CONSTRAINT`
+    * analog): the EXISTING table is validated first — exactly like
+    * Delta, a table already violating the expression rejects the
+    * constraint — then the same entries republish with the new
+    * `#constraint` meta line. Every subsequent write (commit, append,
+    * the exactly-once sink, `df.write`, COW rewrites, MOR appended
+    * images) is checked against it at land time and aborts cleanly on
+    * violation. Returns the published version. */
+  def addConstraint(spark: SparkSession, base: String, name: String,
+                    checkExpr: String, maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val cons = constraintsOf(spark, base, cur)
+      require(!cons.contains(name), s"constraint '$name' already exists")
+      val bad =
+        if (entries.isEmpty) 0L
+        else readEntries(spark, base, entries)
+          .where(!coalesce(expr(checkExpr), lit(true))).count()
+      if (bad > 0) throw new ConstraintViolationException(name, checkExpr, bad)
+      publishEntries(spark, base, cur + 1L, entries, txns,
+        Some(cons + (name -> checkExpr)))
+      cur + 1L
+    }
+  }
+
+  /** Drop a CHECK constraint by name. Returns the published version. */
+  def dropConstraint(spark: SparkSession, base: String, name: String,
+                     maxAttempts: Int = 5): Long =
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val cons = constraintsOf(spark, base, cur)
+      require(cons.contains(name), s"no constraint named '$name'")
+      publishEntries(spark, base, cur + 1L, entries, txns, Some(cons - name))
+      cur + 1L
+    }
 
   /** Atomically publish `files` as version `v`. Write-to-temp then
     * rename-if-absent: the rename either installs the complete
@@ -506,10 +603,19 @@ object TxLog {
                              v: Long, files: Seq[String]): Unit =
     publishEntries(spark, base, v, files.map(Entry(_, -1L, Nil)), Map.empty)
 
+  /** Publish a manifest. CHECK-constraint meta lines are carried
+    * forward from the latest published version automatically (every
+    * DML/maintenance verb republishes without knowing about them);
+    * only [[addConstraint]]/[[dropConstraint]] pass an override. */
   private[graft] def publishEntries(spark: SparkSession, base: String, v: Long,
                                     entries: Seq[Entry],
-                                    txns: Map[String, Long]): Unit = {
+                                    txns: Map[String, Long],
+                                    constraintsOverride: Option[Map[String, String]] =
+                                      None): Unit = {
+    val cons = constraintsOverride.getOrElse(constraints(spark, base))
     val lines =
+      cons.toSeq.sortBy(_._1).map { case (n, ex) =>
+        s"#constraint\t${enc(n)}\t${enc(ex)}" } ++
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn\t${enc(a)}\t$b" } ++
         entries.map(serLine)
     val f = fs(base, spark)

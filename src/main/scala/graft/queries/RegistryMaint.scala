@@ -341,6 +341,40 @@ object RegistryMaint {
         .orderBy("event_type")
     }),
 
+    // CHECK constraints (Delta ALTER TABLE ... ADD CONSTRAINT): the
+    // gate every write surface passes through at land time — the
+    // requires pin that a violating append aborts with NOTHING
+    // published (no version, no orphan files) while a valid append
+    // lands under the same constraint. At 100 TB this is the schema-
+    // quality contract that keeps a bad upstream batch from
+    // poisoning the table. Oracle: events plus the valid batch.
+    "s44_check_constraint" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txcons_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(ev.repartitionByRange(8, col("event_id")),
+        base, None, Some("event_id"))
+      TxLog.addConstraint(s, base, "id_nonneg", "event_id >= 0")
+      val rejected = try {
+        TxLog.append(ev.limit(5)
+          .withColumn("event_id", lit(-1L)), base, Some("event_id"))
+        false
+      } catch { case _: TxLog.ConstraintViolationException => true }
+      require(rejected, "a violating append must be vetoed")
+      require(TxLog.latestVersion(s, base).contains(2L),
+        "a vetoed append must publish nothing")
+      TxLog.append(ev.where(col("event_id") < 50)
+        .withColumn("event_id", col("event_id") + 100000L),
+        base, Some("event_id"))
+      TxLog.read(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Merge-on-read UPDATE (Delta's DV update path — mask + append):
     // the same band+residual shape as s29's COW update, but the hit
     // rows are MASKED in place and their updated images land as new
@@ -1172,6 +1206,13 @@ object RegistryMaint {
       """SELECT event_id, user_id, event_type, value
          FROM events WHERE event_id IN (42, 123, 321)
          ORDER BY event_id""",
+    "s44_check_constraint" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM (SELECT event_type, value FROM events
+               UNION ALL
+               SELECT event_type, value FROM events WHERE event_id < 50)
+         GROUP BY event_type ORDER BY event_type""",
     "s42_mor_update" ->
       s"""SELECT event_type, count(*) AS n,
                 cast(sum(cast(

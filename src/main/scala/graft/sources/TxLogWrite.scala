@@ -190,7 +190,10 @@ object TxLogWriteCommit {
 
   def publishWithRetry(spark: org.apache.spark.sql.SparkSession,
                        base: String, entries: Seq[TxLog.Entry],
-                       replaceAll: Boolean, maxAttempts: Int = 5): Long =
+                       replaceAll: Boolean, maxAttempts: Int = 5): Long = {
+    // CHECK constraints veto the write here (landed files discarded)
+    // before any manifest publishes — same contract as the API verbs
+    TxLog.enforceConstraints(spark, base, entries)
     TxLog.withCasRetry(maxAttempts) { _ =>
       val cur = TxLog.latestVersion(spark, base)
       val (prev, txns) = cur.map(TxLog.manifest(spark, base, _))
@@ -200,6 +203,7 @@ object TxLogWriteCommit {
       TxLog.publishEntries(spark, base, v, all, txns)
       v
     }
+  }
 
   /** Exactly-once epoch commit: the manifest's txn map carries the
     * sink's (appId → epochId) high-water; a replayed epoch discards
@@ -207,7 +211,8 @@ object TxLogWriteCommit {
   def publishEpochWithRetry(spark: org.apache.spark.sql.SparkSession,
                             base: String, entries: Seq[TxLog.Entry],
                             appId: String, epochId: Long,
-                            maxAttempts: Int = 5): Long =
+                            maxAttempts: Int = 5): Long = {
+    TxLog.enforceConstraints(spark, base, entries)
     TxLog.withCasRetry(maxAttempts) { _ =>
       val cur = TxLog.latestVersion(spark, base)
       val (prev, txns) = cur.map(TxLog.manifest(spark, base, _))
@@ -226,6 +231,7 @@ object TxLogWriteCommit {
         v
       }
     }
+  }
 }
 
 /** Typed running min/max for one stats column — primitive comparisons

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TxLog
+
+/** Laws for CHECK constraints on the manifest log (Delta `ALTER TABLE
+  * … ADD CONSTRAINT` analog): write-time enforcement at every write
+  * surface (append, commit, exactly-once sink path, `df.write`, MOR
+  * appended images), SQL NULL-passes semantics, add-time validation
+  * of existing data, constraint survival across DML/maintenance, and
+  * clean aborts (no orphan files, no published version). */
+class TxLogConstraintSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def df(rows: Seq[(Long, java.lang.Long)]) = {
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+  private def seed(base: String): Unit = {
+    TxLog.drop(spark, base)
+    TxLog.commit(df((1L to 100L).map(i => i -> java.lang.Long.valueOf(i))),
+      base, None, Some("k"))
+  }
+  private def txnDirsOnDisk(base: String): Set[String] = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/data"))
+      .map(_.getPath.getName).toSet
+  }
+
+  test("a violating append aborts cleanly: exception, no new version, " +
+    "no orphan files; a valid append lands; NULL passes the check") {
+    val base = "/tmp/graft_txcons/append"
+    seed(base)
+    assert(TxLog.addConstraint(spark, base, "v_pos", "v > 0") == 2L)
+    assert(TxLog.constraints(spark, base) == Map("v_pos" -> "v > 0"))
+    val dirsBefore = txnDirsOnDisk(base)
+    val ex = intercept[TxLog.ConstraintViolationException] {
+      TxLog.append(df(Seq(200L -> java.lang.Long.valueOf(-5L))), base)
+    }
+    assert(ex.name == "v_pos" && ex.bad == 1L)
+    assert(TxLog.latestVersion(spark, base).contains(2L),
+      "a vetoed write must publish nothing")
+    assert(txnDirsOnDisk(base) == dirsBefore,
+      "a vetoed write must leave no orphan txn dirs")
+    // NULL is SQL unknown — it PASSES a CHECK (only FALSE fails)
+    TxLog.append(df(Seq(201L -> java.lang.Long.valueOf(7L),
+      202L -> null.asInstanceOf[java.lang.Long])), base)
+    assert(TxLog.read(spark, base).count() == 102L)
+  }
+
+  test("adding a constraint the existing table violates is rejected " +
+    "with the violation count; nothing publishes") {
+    val base = "/tmp/graft_txcons/addfail"
+    seed(base)
+    val ex = intercept[TxLog.ConstraintViolationException] {
+      TxLog.addConstraint(spark, base, "v_big", "v > 50")
+    }
+    assert(ex.bad == 50L)
+    assert(TxLog.latestVersion(spark, base).contains(1L))
+    assert(TxLog.constraints(spark, base).isEmpty)
+  }
+
+  test("constraints survive DML and maintenance, gate MOR appended " +
+    "images, and dropConstraint lifts the gate") {
+    val base = "/tmp/graft_txcons/dml"
+    seed(base)
+    TxLog.addConstraint(spark, base, "v_pos", "v > 0")
+    // survival: MOR delete, COW merge, compaction all republish it
+    TxLog.deleteRangeMor(spark, base, "k", 10L, 20L)
+    TxLog.mergeCow(spark, base,
+      df(Seq(50L -> java.lang.Long.valueOf(500L))), Seq("k"), "k")
+    TxLog.compact(spark, base, smallThresholdRows = 1000L,
+      targetRows = 1000L, statsCol = Some("k"))
+    assert(TxLog.constraints(spark, base) == Map("v_pos" -> "v > 0"))
+    // a MOR update whose images violate must abort with no new version
+    val before = TxLog.latestVersion(spark, base)
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.updateRangeMor(spark, base, "k", 30L, 40L,
+        set = Map("v" -> lit(-1L)))
+    }
+    assert(TxLog.latestVersion(spark, base) == before)
+    // drop the gate: the same update now lands
+    TxLog.dropConstraint(spark, base, "v_pos")
+    TxLog.updateRangeMor(spark, base, "k", 30L, 40L,
+      set = Map("v" -> lit(-1L)))
+    assert(TxLog.read(spark, base).where(col("v") === -1L).count() == 11L)
+  }
+
+  test("the DSv2 df.write path is gated too: a violating batch aborts " +
+    "before any manifest publishes") {
+    val base = "/tmp/graft_txcons/dsv2"
+    seed(base)
+    TxLog.addConstraint(spark, base, "v_pos", "v > 0")
+    intercept[TxLog.ConstraintViolationException] {
+      df(Seq(300L -> java.lang.Long.valueOf(-1L)))
+        .write.format("graft.sources.TxLogSource")
+        .mode("append").save(base)
+    }
+    assert(TxLog.latestVersion(spark, base).contains(2L))
+    df(Seq(300L -> java.lang.Long.valueOf(3L)))
+      .write.format("graft.sources.TxLogSource")
+      .mode("append").save(base)
+    assert(TxLog.read(spark, base).count() == 101L)
+  }
+}
