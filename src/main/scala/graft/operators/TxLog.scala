@@ -554,6 +554,22 @@ object TxLog {
     }
   }
 
+  /** Re-verify `entries` when the table's constraint set changed
+    * since `checked` — the concurrent-ADD-CONSTRAINT race: a writer
+    * that landed (and was checked) under the old set, lost the CAS to
+    * a constraint publish, and is about to republish its data under
+    * the NEW set. Returns the set now in force, for the next retry.
+    * Mirrors Delta's metadata-conflict handling, but re-validates
+    * instead of aborting. */
+  private[graft] def reEnforceIfChanged(spark: SparkSession, base: String,
+                                        entries: Seq[Entry],
+                                        checked: Map[String, String])
+      : Map[String, String] = {
+    val now = constraints(spark, base)
+    if (now != checked) enforceConstraints(spark, base, entries)
+    now
+  }
+
   /** Add a CHECK constraint (Delta `ALTER TABLE … ADD CONSTRAINT`
     * analog): the EXISTING table is validated first — exactly like
     * Delta, a table already violating the expression rejects the
@@ -712,9 +728,13 @@ object TxLog {
   def append(df: DataFrame, base: String, statsCol: Option[String] = None,
              maxAttempts: Int = 5): Long = {
     val spark = df.sparkSession
+    var checkedCons = constraints(spark, base) // the set land checks under
     val entries = landEntries(df, base, statsCol)
     try withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base)
+      // a CAS loss to a concurrent ADD CONSTRAINT must not republish
+      // data that was only checked under the OLD constraint set
+      checkedCons = reEnforceIfChanged(spark, base, entries, checkedCons)
       val (prev, txns) = cur.map(manifest(spark, base, _))
         .getOrElse((Seq.empty[Entry], Map.empty[String, Long]))
       val v = cur.getOrElse(0L) + 1L
@@ -738,9 +758,11 @@ object TxLog {
     val already = latestVersion(spark, base).filter(v =>
       manifest(spark, base, v)._2.getOrElse(appId, -1L) >= batchId)
     if (already.isDefined) return already.get
+    var checkedCons = constraints(spark, base)
     val entries = landEntries(df, base, statsCol)
     try withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base)
+      checkedCons = reEnforceIfChanged(spark, base, entries, checkedCons)
       val (prev, txns) = cur.map(manifest(spark, base, _))
         .getOrElse((Seq.empty[Entry], Map.empty[String, Long]))
       if (txns.getOrElse(appId, -1L) >= batchId) {

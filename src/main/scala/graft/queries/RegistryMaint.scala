@@ -876,6 +876,49 @@ object RegistryMaint {
         .orderBy("commit_version")
     }),
 
+    // Row-precise CDF streaming (Delta readChangeFeed with deletion
+    // vectors): the stream tags every row _commit_version AND
+    // _change_type, and a MOR delete — invisible to the plain insert
+    // feed, which diffs file sets — ships exactly its masked rows as
+    // 'delete' markers to the downstream consumer. The fixture is
+    // commit → MOR-delete(band clicks) → append; the readback
+    // aggregates the feed per (version, change_type). The oracle
+    // recomputes all four slices from events.
+    "stream_txlog_cdf" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txcdf_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(
+        ev.where(col("event_id") >= 200)
+          .repartitionByRange(4, col("event_id")),
+        base, None, Some("event_id"))
+      TxLog.deleteRangeMor(s, base, "event_id", morLo, morHi,
+        residual = col("event_type") === "click")
+      TxLog.append(ev.where(col("event_id") < 100), base, Some("event_id"))
+      val outDir = Ingest.fixtureDir(dir) + "/txcdf_out"
+      TxLog.drop(s, outDir)
+      val nonce = "graft_txlog_cdf_" + System.nanoTime()
+      val ckpt = "/tmp/graft_stream_ckpt/" + nonce
+      val q = s.readStream.format("graft.sources.TxLogSource")
+        .option("changeFeedTypes", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load(base)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StreamTune.dropScratch(ckpt)
+      s.read.parquet(outDir)
+        .groupBy(col("_commit_version").cast("int").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("commit_version", "change_type")
+    }),
+
     // The full medallion hop as a log-to-log stream (the reference's
     // Delta→Delta bronze→silver cadence): TxLogSource consumes the
     // bronze log version-per-batch, the transform drops error events,
@@ -1170,6 +1213,21 @@ object RegistryMaint {
                        FILTER (WHERE event_id >= 500) AS DOUBLE)
                   AS sum_value_x2
          FROM events""",
+    "stream_txlog_cdf" ->
+      s"""SELECT cast(1 AS INTEGER) AS commit_version,
+                'insert' AS change_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events WHERE event_id >= 200
+         UNION ALL
+         SELECT cast(2 AS INTEGER), 'delete', count(*),
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
+         FROM events WHERE event_id BETWEEN $morLo AND $morHi
+           AND event_type = 'click'
+         UNION ALL
+         SELECT cast(3 AS INTEGER), 'insert', count(*),
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
+         FROM events WHERE event_id < 100
+         ORDER BY commit_version, change_type""",
     "stream_txlog_source" ->
       """SELECT cast(1 AS INTEGER) AS commit_version, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

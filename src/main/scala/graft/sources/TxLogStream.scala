@@ -103,10 +103,14 @@ class TxLogSource extends TableProvider {
         spark.read.option("mergeSchema", "true").parquet(files: _*).schema
       case None => TxLog.readEvolved(spark, base).schema
     }
+    var fields = snap.fields
     if (TxLogSource.changeFeed(options))
-      StructType(snap.fields :+
-        StructField(TxLogSource.CommitVersionCol, LongType, nullable = false))
-    else snap
+      fields :+= StructField(TxLogSource.CommitVersionCol, LongType,
+        nullable = false)
+    if (TxLogSource.changeTypes(options))
+      fields :+= StructField(TxLogSource.ChangeTypeCol, StringType,
+        nullable = false)
+    StructType(fields)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -119,9 +123,34 @@ class TxLogSource extends TableProvider {
 
 object TxLogSource {
   val CommitVersionCol = "_commit_version"
+  val ChangeTypeCol = "_change_type"
 
+  /** `changeFeedTypes=true` implies the change feed. */
   private[sources] def changeFeed(options: CaseInsensitiveStringMap): Boolean =
-    Option(options.get("changeFeed")).exists(_.toBoolean)
+    Option(options.get("changeFeed")).exists(_.toBoolean) ||
+      changeTypes(options)
+
+  /** Row-precise CDF mode (Delta `readChangeFeed` with deletion
+    * vectors): adds a `_change_type` column and emits, per version —
+    * rows of ADDED files as 'insert', LIVE rows of REMOVED files as
+    * 'delete', and for a same-path mask transition exactly the
+    * newly-masked rows as 'delete' (newly-unmasked as 'insert'). A
+    * MOR delete — invisible to the plain insert feed, which diffs
+    * file sets — streams its deleted rows downstream precisely. */
+  private[sources] def changeTypes(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("changeFeedTypes")).exists(_.toBoolean)
+
+  /** Sorted-array difference a \ b (both sorted ascending). */
+  private[sources] def diffSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+    var i = 0; var j = 0
+    while (i < a.length) {
+      while (j < b.length && b(j) < a(i)) j += 1
+      if (j >= b.length || b(j) != a(i)) out += a(i)
+      i += 1
+    }
+    out.result()
+  }
 
   private[sources] def driverHadoopConf(): Configuration =
     SparkSession.active.sparkContext.hadoopConfiguration
@@ -463,24 +492,80 @@ class TxLogScanBuilder(full: StructType, base: String,
     versionAsOf.foreach(v => require(v >= 1,
       s"versionAsOf must be >= 1, got $v"))
     new TxLogScan(required, base, TxLogSource.changeFeed(options),
-      maxVersions, startingVersion, versionAsOf, pushed)
+      maxVersions, startingVersion, versionAsOf, pushed,
+      TxLogSource.changeTypes(options))
   }
 }
 
 class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
                 maxVersionsPerTrigger: Option[Long], startingVersion: Long,
                 versionAsOf: Option[Long] = None,
-                pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                changeTypes: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"TxLogScan base=$base, changeFeed=$changeFeed, " +
+      s"changeTypes=$changeTypes, " +
       s"readSchema=${required.simpleString}, " +
       s"pushedFilters=[${pushed.mkString(", ")}]"
 
   private[sources] def survivors(entries: Seq[TxLog.Entry]): Seq[TxLog.Entry] =
     entries.filter(e => TxLogSource.entrySurvives(e, pushed.toIndexedSeq))
+
+  /** Row-precise CDF partitions for ONE version transition (v-1 → v):
+    * added files emit live rows as 'insert', removed files emit their
+    * live rows as 'delete', and same-path mask transitions emit
+    * exactly the newly-masked positions as 'delete' (newly-unmasked
+    * as 'insert') via keepOnly partitions. Pushed range filters prune
+    * each group by its manifest stats as usual. */
+  private[sources] def transitionPartitions(spark: SparkSession,
+                                            v: Long): Seq[InputPartition] = {
+    val conf = TxLogSource.driverHadoopConf()
+    def entriesOf(ver: Long): Seq[TxLog.Entry] =
+      if (ver == 0L) Seq.empty
+      else try TxLog.manifest(spark, base, ver)._1
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"version $ver's manifest is gone from $base (vacuumed?) — " +
+              "the stream cannot replay it; reset the checkpoint or " +
+              "raise the vacuum retention above the consumer lag")
+      }
+    val prev = entriesOf(v - 1)
+    val cur = entriesOf(v)
+    val prevByPath = prev.map(e => e.path -> e).toMap
+    val curPaths = cur.map(_.path).toSet
+    val added = survivors(cur.filterNot(e => prevByPath.contains(e.path)))
+    val removed = survivors(prev.filterNot(e => curPaths.contains(e.path)))
+    val changed = survivors(cur.filter(e =>
+      prevByPath.get(e.path).exists(_.dv != e.dv)))
+      .map(e => (prevByPath(e.path), e))
+    def masked(es: Seq[TxLog.Entry], kind: String): Seq[InputPartition] = {
+      val masks = TxLogSource.dvPositionsByFile(base, es, conf)
+      es.map(e => TxLogInputPartition(TxLog.resolve(base, e.path), v,
+        masks.getOrElse(e.path, Array.emptyLongArray),
+        changeType = kind): InputPartition)
+    }
+    val oldMasks = TxLogSource.dvPositionsByFile(base, changed.map(_._1), conf)
+    val newMasks = TxLogSource.dvPositionsByFile(base, changed.map(_._2), conf)
+    val deltas = changed.flatMap { case (oldE, newE) =>
+      val o = oldMasks.getOrElse(oldE.path, Array.emptyLongArray)
+      val n = newMasks.getOrElse(newE.path, Array.emptyLongArray)
+      val dead = TxLogSource.diffSorted(n, o)
+      val back = TxLogSource.diffSorted(o, n)
+      (if (dead.nonEmpty)
+        Some(TxLogInputPartition(TxLog.resolve(base, newE.path), v,
+          keepOnly = dead, changeType = "delete"): InputPartition)
+      else None) ++
+      (if (back.nonEmpty)
+        Some(TxLogInputPartition(TxLog.resolve(base, newE.path), v,
+          keepOnly = back, changeType = "insert"): InputPartition)
+      else None)
+    }
+    masked(removed, "delete") ++ deltas ++ masked(added, "insert")
+  }
 
   /** Batch read: the snapshot's files — latest version, or the
     * `versionAsOf` time-travel target — each tagged with that version
@@ -505,7 +590,9 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
       es.map(e => TxLogInputPartition(TxLog.resolve(base, e.path), v,
         masks.getOrElse(e.path, Array.emptyLongArray)): InputPartition)
     }
-    if (changeFeed)
+    if (changeTypes)
+      (1L to target).flatMap(v => transitionPartitions(spark, v)).toArray
+    else if (changeFeed)
       (1L to target).flatMap(v =>
         parts(survivors(TxLogSource.addedEntries(spark, base, v)), v)).toArray
     else
@@ -525,12 +612,19 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
         "target version); use startingVersion to begin after a known " +
         "version")
     new TxLogMicroBatchStream(this, base, maxVersionsPerTrigger,
-      startingVersion)
+      startingVersion, changeTypes)
   }
 }
 
+/** One data file to decode. `dvPositions` (sorted) are row ordinals
+  * to SKIP (the deletion-vector mask); `keepOnly` (sorted), when
+  * non-empty, inverts the contract — emit ONLY those ordinals (the
+  * CDF mask-transition slices). `changeType` fills `_change_type`
+  * when the scan projects it. */
 case class TxLogInputPartition(file: String, commitVersion: Long,
-                               dvPositions: Array[Long] = Array.emptyLongArray)
+                               dvPositions: Array[Long] = Array.emptyLongArray,
+                               keepOnly: Array[Long] = Array.emptyLongArray,
+                               changeType: String = "insert")
     extends InputPartition
 
 /** The completely-pushed-aggregate scan: ONE partition, ONE row,
@@ -570,7 +664,7 @@ class TxLogReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TxLogInputPartition]
     new TxLogPartitionReader(p.file, p.commitVersion, required, conf.value,
-      p.dvPositions)
+      p.dvPositions, p.keepOnly, p.changeType)
   }
 }
 
@@ -582,7 +676,9 @@ class TxLogReaderFactory(
   * this (older) file yields NULL — the mergeSchema read semantics. */
 class TxLogPartitionReader(file: String, commitVersion: Long,
                            required: StructType, conf: Configuration,
-                           dvPositions: Array[Long] = Array.emptyLongArray)
+                           dvPositions: Array[Long] = Array.emptyLongArray,
+                           keepOnly: Array[Long] = Array.emptyLongArray,
+                           changeType: String = "insert")
     extends PartitionReader[InternalRow] {
 
   private val reader =
@@ -593,7 +689,9 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
     * projection); fields absent (evolved-away or _commit_version) are
     * filled outside the file read. */
   private val present = required.fields.filter(f =>
-    f.name != TxLogSource.CommitVersionCol && fileSchema.containsField(f.name))
+    f.name != TxLogSource.CommitVersionCol &&
+      f.name != TxLogSource.ChangeTypeCol && fileSchema.containsField(f.name))
+  private val changeTypeUtf8 = UTF8String.fromString(changeType)
   private val projection: MessageType = {
     import scala.jdk.CollectionConverters._
     val fields: List[org.apache.parquet.schema.Type] =
@@ -606,7 +704,9 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
     * count matters — minus masked rows — and no page is read at all. */
   private val rowCountOnly = present.isEmpty
   private var footerRows: Long =
-    if (rowCountOnly) reader.getRecordCount - dvPositions.length else 0L
+    if (!rowCountOnly) 0L
+    else if (keepOnly.nonEmpty) keepOnly.length.toLong
+    else reader.getRecordCount - dvPositions.length
   if (!rowCountOnly) reader.setRequestedSchema(projection)
 
   private var pages: PageReadStore = _
@@ -618,6 +718,7 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
     * coordinate deletion vectors are expressed in. */
   private var rowIdx = -1L
   private var dvPtr = 0
+  private var keepPtr = 0
 
   /** Is this ordinal masked by the deletion vector? `dvPositions` is
     * sorted and `idx` strictly increases, so one forward pointer walks
@@ -626,6 +727,14 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
     while (dvPtr < dvPositions.length && dvPositions(dvPtr) < idx) dvPtr += 1
     dvPtr < dvPositions.length && dvPositions(dvPtr) == idx
   }
+
+  /** Should this ordinal be emitted? keepOnly-mode (CDF mask slices)
+    * inverts the mask contract: emit iff the ordinal is listed. */
+  private def emitAt(idx: Long): Boolean =
+    if (keepOnly.nonEmpty) {
+      while (keepPtr < keepOnly.length && keepOnly(keepPtr) < idx) keepPtr += 1
+      keepPtr < keepOnly.length && keepOnly(keepPtr) == idx
+    } else !isMasked(idx)
 
   private def advanceRowGroup(): Boolean = {
     pages = reader.readNextRowGroup()
@@ -643,13 +752,13 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
       if (footerRows <= 0) false
       else { footerRows -= 1; current = convert(null); true }
     } else {
-      // loop instead of recurse: a masked row advances to the next
+      // loop instead of recurse: a skipped row advances to the next
       // candidate without emitting
       while (remaining > 0 || advanceRowGroup()) {
         remaining -= 1
         val g = records.read()
         rowIdx += 1
-        if (!isMasked(rowIdx)) { current = convert(g); return true }
+        if (emitAt(rowIdx)) { current = convert(g); return true }
       }
       false
     }
@@ -665,6 +774,7 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
       val f = required.fields(i)
       values(i) =
         if (f.name == TxLogSource.CommitVersionCol) commitVersion
+        else if (f.name == TxLogSource.ChangeTypeCol) changeTypeUtf8
         else if (presentIdx < present.length && present(presentIdx).name == f.name) {
           val gi = presentIdx
           presentIdx += 1
@@ -746,7 +856,8 @@ class TxLogOffset(val version: Long)
 
 class TxLogMicroBatchStream(scan: TxLogScan, base: String,
                             maxVersionsPerTrigger: Option[Long],
-                            startingVersion: Long)
+                            startingVersion: Long,
+                            changeTypes: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
@@ -797,6 +908,9 @@ class TxLogMicroBatchStream(scan: TxLogScan, base: String,
     val to = end.asInstanceOf[TxLogOffset].version
     // stats-pruning applies per batch too: a filtered stream never
     // ships files the pushed ranges prove dead (filters stay residual)
+    if (changeTypes)
+      return (from + 1 to to)
+        .flatMap(v => scan.transitionPartitions(spark, v)).toArray
     val conf = TxLogSource.driverHadoopConf()
     (from + 1 to to).flatMap { v =>
       val es = scan.survivors(TxLogSource.addedEntries(spark, base, v))

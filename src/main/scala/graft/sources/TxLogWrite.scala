@@ -190,12 +190,18 @@ object TxLogWriteCommit {
 
   def publishWithRetry(spark: org.apache.spark.sql.SparkSession,
                        base: String, entries: Seq[TxLog.Entry],
-                       replaceAll: Boolean, maxAttempts: Int = 5): Long = {
+                       replaceAll: Boolean, maxAttempts: Int = 5,
+                       onAttempt: Int => Unit = _ => ()): Long = {
     // CHECK constraints veto the write here (landed files discarded)
     // before any manifest publishes — same contract as the API verbs
+    var checked = TxLog.constraints(spark, base)
     TxLog.enforceConstraints(spark, base, entries)
-    TxLog.withCasRetry(maxAttempts) { _ =>
+    TxLog.withCasRetry(maxAttempts) { attempt =>
       val cur = TxLog.latestVersion(spark, base)
+      onAttempt(attempt) // test seam: between snapshot read and publish
+      // losing the CAS to a concurrent ADD CONSTRAINT re-validates the
+      // landed data under the winner's constraint set
+      checked = TxLog.reEnforceIfChanged(spark, base, entries, checked)
       val (prev, txns) = cur.map(TxLog.manifest(spark, base, _))
         .getOrElse((Seq.empty[TxLog.Entry], Map.empty[String, Long]))
       val v = cur.getOrElse(0L) + 1L
@@ -212,9 +218,11 @@ object TxLogWriteCommit {
                             base: String, entries: Seq[TxLog.Entry],
                             appId: String, epochId: Long,
                             maxAttempts: Int = 5): Long = {
+    var checked = TxLog.constraints(spark, base)
     TxLog.enforceConstraints(spark, base, entries)
     TxLog.withCasRetry(maxAttempts) { _ =>
       val cur = TxLog.latestVersion(spark, base)
+      checked = TxLog.reEnforceIfChanged(spark, base, entries, checked)
       val (prev, txns) = cur.map(TxLog.manifest(spark, base, _))
         .getOrElse((Seq.empty[TxLog.Entry], Map.empty[String, Long]))
       if (txns.getOrElse(appId, -1L) >= epochId) {

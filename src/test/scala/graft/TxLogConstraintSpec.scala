@@ -88,6 +88,31 @@ class TxLogConstraintSpec extends AnyFunSuite {
     assert(TxLog.read(spark, base).where(col("v") === -1L).count() == 11L)
   }
 
+  test("losing the CAS to a concurrent ADD CONSTRAINT re-validates " +
+    "the landed batch under the winner's constraint set") {
+    val base = "/tmp/graft_txcons/race"
+    seed(base)
+    // the batch is valid under the EMPTY set a writer would check at
+    // land time, but violates the constraint a racer installs between
+    // the writer's snapshot read and its publish
+    val batch = df(Seq(500L -> java.lang.Long.valueOf(-9L)))
+    val entries = TxLog.landEntries(batch, base, Some("k"))
+    var raced = false
+    val ex = intercept[TxLog.ConstraintViolationException] {
+      graft.sources.TxLogWriteCommit.publishWithRetry(spark, base, entries,
+        replaceAll = false, onAttempt = { attempt =>
+          if (attempt == 1 && !raced) {
+            raced = true
+            TxLog.addConstraint(spark, base, "v_pos", "v > 0") // CAS winner
+          }
+        })
+    }
+    assert(ex.name == "v_pos")
+    // nothing republished the stale batch; the constraint publish won
+    assert(TxLog.latestVersion(spark, base).contains(2L))
+    assert(TxLog.read(spark, base).where(col("k") === 500L).count() == 0)
+  }
+
   test("the DSv2 df.write path is gated too: a violating batch aborts " +
     "before any manifest publishes") {
     val base = "/tmp/graft_txcons/dsv2"

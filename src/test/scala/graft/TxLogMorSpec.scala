@@ -279,6 +279,46 @@ class TxLogMorSpec extends AnyFunSuite {
     assert(contents(TxLog.read(spark, base)) == expect + ((7777L, "s-7777")))
   }
 
+  test("CDF mode (_change_type) carries MOR deletes downstream " +
+    "row-precisely — batch and streaming agree") {
+    val base = "/tmp/graft_txmor/cdfstream"
+    seed(base)                                                   // v1
+    TxLog.deleteRangeMor(spark, base, "k", 50L, 120L,
+      residual = col("k") % 2 === 0)                             // v2
+    TxLog.append(df(Seq(900L -> "s-900")), base, Some("k"))      // v3
+    TxLog.restore(spark, base, 1L)                               // v4
+    val dead = (50L to 120L).filter(_ % 2 == 0).map(k => (k, s"s-$k")).toSet
+    def byVk(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .groupBy(r => (r.getAs[Long]("_commit_version"),
+        r.getAs[String]("_change_type")))
+      .view.mapValues(_.map(r =>
+        (r.getAs[Long]("k"), r.getAs[String]("s"))).toSet).toMap
+    val batch = byVk(spark.read.format("graft.sources.TxLogSource")
+      .option("changeFeedTypes", "true").load(base))
+    assert(batch((1L, "insert")) == rows.toSet)
+    assert(batch((2L, "delete")) == dead,
+      "v2 must emit exactly the newly-masked rows as deletes")
+    assert(batch((3L, "insert")) == Set((900L, "s-900")))
+    // the RESTORE drops the appended file (its live rows are deletes)
+    // and unmasks the v2 positions (precise re-inserts)
+    assert(batch((4L, "delete")) == Set((900L, "s-900")))
+    assert(batch((4L, "insert")) == dead)
+    assert(batch.keySet.size == 5, s"unexpected slices: ${batch.keySet}")
+    // the STREAMING feed sees the identical multiset, one version per
+    // micro-batch
+    val q = spark.readStream.format("graft.sources.TxLogSource")
+      .option("changeFeedTypes", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load(base)
+      .writeStream.format("memory").queryName("txmor_cdf")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = byVk(spark.table("txmor_cdf"))
+    assert(streamed == batch,
+      "streaming CDF must equal the batch feed slice-for-slice")
+  }
+
   test("history and the streaming source see live rows") {
     val base = "/tmp/graft_txmor/history"
     seed(base)
