@@ -310,6 +310,12 @@ object TxLog {
     latestVersion(spark, base)
       .map(constraintsOf(spark, base, _)).getOrElse(Map.empty)
 
+  /** Did version `v` change data logically? False for pure physical
+    * rewrites (compaction, DV purge) stamped `#nodatachange` — the
+    * change feeds skip those versions. */
+  def dataChangeOf(spark: SparkSession, base: String, v: Long): Boolean =
+    !manifestLines(spark, base, v).contains("#nodatachange")
+
   /** The file list of one published version (base-relative paths). */
   def manifestFiles(spark: SparkSession, base: String, v: Long): Seq[String] =
     manifest(spark, base, v)._1.map(_.path)
@@ -480,7 +486,31 @@ object TxLog {
     * column gets no stats FOR THAT COLUMN and is treated as
     * always-overlapping there. */
   private[graft] def landEntriesMulti(df: DataFrame, base: String,
-                                      statsCols: Seq[String]): Seq[Entry] = {
+                                      statsCols: Seq[String]): Seq[Entry] =
+    landEntriesChecked(df, base, statsCols)._1
+
+  /** [[landEntriesMulti]] that also returns the CHECK-constraint set
+    * the landed batch was enforced under — the CAS retry loops compare
+    * against it to detect concurrent constraint changes (including a
+    * drop-then-re-add of the same name, which a before-land snapshot
+    * would miss). */
+  private[graft] def landEntriesChecked(df: DataFrame, base: String,
+                                        statsCols: Seq[String])
+      : (Seq[Entry], Map[String, String]) = {
+    val spark = df.sparkSession
+    val cons = constraints(spark, base)
+    val entries = landEntriesRaw(df, base, statsCols)
+    // the one choke point every data write passes through — CHECK
+    // constraints veto the batch here, before any manifest publishes
+    enforceConstraints(spark, base, entries.filter(_.rows != 0L), cons)
+    (entries, cons)
+  }
+
+  /** Land WITHOUT constraint enforcement — the DSv2 sink's shape
+    * (executors land, the driver commit enforces); tests use it to
+    * mimic that path. API verbs go through [[landEntriesChecked]]. */
+  private[graft] def landEntriesRaw(df: DataFrame, base: String,
+                                    statsCols: Seq[String]): Seq[Entry] = {
     // fail fast: a missing column or unsupported type must surface
     // BEFORE the (possibly huge) data write, not orphan a landed dir
     val dtypes = statsCols.map(c => c -> statsDtype(df.schema(c).dataType))
@@ -521,52 +551,70 @@ object TxLog {
           case None => Entry(rel, 0L, Nil) // empty file: no rows scanned
         }
       }
-      // the one choke point every data write passes through — CHECK
-      // constraints veto the batch here, before any manifest publishes
-      enforceConstraints(spark, base, out.filter(_.rows != 0L))
       out
     }
   }
 
   /** Verify every row of `newEntries`' just-landed files against the
-    * table's CHECK constraints (SQL semantics: a row fails only when
-    * the expression is FALSE — NULL/unknown passes). One aggregate
-    * scan over the NEW files only, and only when constraints exist.
-    * On violation the landed files are discarded and
-    * [[ConstraintViolationException]] thrown — nothing publishes. */
+    * GIVEN CHECK-constraint set (SQL semantics: a row fails only when
+    * the expression is FALSE — NULL/unknown passes; a column the new
+    * files lack — an older-schema producer after evolution — reads as
+    * NULL and passes too). One aggregate scan over the NEW files
+    * only, and only when constraints exist. On ANY failure — a
+    * violation, or an error evaluating a constraint — the landed
+    * files are discarded before the exception propagates, so nothing
+    * publishes and nothing orphans. The caller supplies `cons` (one
+    * read it already did); recording WHICH set was enforced is what
+    * lets the CAS retry loops detect a drop-then-re-add of the same
+    * constraint between their read and the land (the ABA shape). */
   private[graft] def enforceConstraints(spark: SparkSession, base: String,
-                                        newEntries: Seq[Entry]): Unit = {
+                                        newEntries: Seq[Entry],
+                                        cons0: Map[String, String]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
     if (newEntries.isEmpty) return
-    val cons = constraints(spark, base).toSeq.sortBy(_._1)
+    val cons = cons0.toSeq.sortBy(_._1)
     if (cons.isEmpty) return
-    val df = spark.read.parquet(newEntries.map(e => resolve(base, e.path)): _*)
-    val aggs = cons.zipWithIndex.map { case ((_, ex), i) =>
-      sum(when(!coalesce(expr(ex), lit(true)), 1L).otherwise(0L))
-        .as(s"__vio_$i")
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cons.zipWithIndex.foreach { case ((n, ex), i) =>
-      if (!row.isNullAt(i) && row.getLong(i) > 0) {
-        discard(spark, base, newEntries.map(_.path))
-        throw new ConstraintViolationException(n, ex, row.getLong(i))
+    try {
+      val raw = spark.read.parquet(newEntries.map(e => resolve(base, e.path)): _*)
+      // columns a constraint references but the new files lack (an
+      // older-schema batch) evaluate as NULL — SQL CHECK passes
+      val present = raw.columns.map(_.toLowerCase).toSet
+      val missing = cons.flatMap { case (_, ex) =>
+        spark.sessionState.sqlParser.parseExpression(ex).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length == 1 => a.name
+        }
+      }.distinct.filterNot(c => present.contains(c.toLowerCase))
+      val df = missing.foldLeft(raw)((d, c) => d.withColumn(c, lit(null)))
+      val aggs = cons.zipWithIndex.map { case ((_, ex), i) =>
+        sum(when(!coalesce(expr(ex), lit(true)), 1L).otherwise(0L))
+          .as(s"__vio_$i")
       }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      cons.zipWithIndex.foreach { case ((n, ex), i) =>
+        if (!row.isNullAt(i) && row.getLong(i) > 0)
+          throw new ConstraintViolationException(n, ex, row.getLong(i))
+      }
+    } catch {
+      case e: Throwable => // violation OR evaluation error: clean up
+        discard(spark, base, newEntries.map(_.path)); throw e
     }
   }
 
   /** Re-verify `entries` when the table's constraint set changed
-    * since `checked` — the concurrent-ADD-CONSTRAINT race: a writer
-    * that landed (and was checked) under the old set, lost the CAS to
-    * a constraint publish, and is about to republish its data under
-    * the NEW set. Returns the set now in force, for the next retry.
-    * Mirrors Delta's metadata-conflict handling, but re-validates
-    * instead of aborting. */
+    * since `checked` (the set enforcement ACTUALLY ran under) — the
+    * concurrent-ADD-CONSTRAINT race: a writer that landed and was
+    * checked under the old set, lost the CAS to a constraint publish,
+    * and is about to republish its data under the NEW set. Returns
+    * the set now in force, for the next retry. Mirrors Delta's
+    * metadata-conflict handling, but re-validates instead of
+    * aborting. */
   private[graft] def reEnforceIfChanged(spark: SparkSession, base: String,
                                         entries: Seq[Entry],
                                         checked: Map[String, String])
       : Map[String, String] = {
     val now = constraints(spark, base)
-    if (now != checked) enforceConstraints(spark, base, entries)
+    if (now != checked) enforceConstraints(spark, base, entries, now)
     now
   }
 
@@ -581,6 +629,11 @@ object TxLog {
   def addConstraint(spark: SparkSession, base: String, name: String,
                     checkExpr: String, maxAttempts: Int = 5): Long = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    require(name.trim.nonEmpty && checkExpr.trim.nonEmpty,
+      "constraint name and expression must be non-empty")
+    expr(checkExpr) // parse up front: an unparseable expression must
+                    // fail HERE, not poison every later write — the
+                    // empty-table path below never evaluates it
     withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
@@ -622,14 +675,20 @@ object TxLog {
   /** Publish a manifest. CHECK-constraint meta lines are carried
     * forward from the latest published version automatically (every
     * DML/maintenance verb republishes without knowing about them);
-    * only [[addConstraint]]/[[dropConstraint]] pass an override. */
+    * only [[addConstraint]]/[[dropConstraint]] pass an override.
+    * `dataChange=false` (compaction, DV purge — pure physical
+    * rewrites) stamps a `#nodatachange` line so the change feeds skip
+    * the version instead of emitting phantom delete+insert pairs for
+    * rows that never logically changed (Delta's dataChange flag). */
   private[graft] def publishEntries(spark: SparkSession, base: String, v: Long,
                                     entries: Seq[Entry],
                                     txns: Map[String, Long],
                                     constraintsOverride: Option[Map[String, String]] =
-                                      None): Unit = {
+                                      None,
+                                    dataChange: Boolean = true): Unit = {
     val cons = constraintsOverride.getOrElse(constraints(spark, base))
     val lines =
+      (if (dataChange) Seq.empty else Seq("#nodatachange")) ++
       cons.toSeq.sortBy(_._1).map { case (n, ex) =>
         s"#constraint\t${enc(n)}\t${enc(ex)}" } ++
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn\t${enc(a)}\t$b" } ++
@@ -728,8 +787,8 @@ object TxLog {
   def append(df: DataFrame, base: String, statsCol: Option[String] = None,
              maxAttempts: Int = 5): Long = {
     val spark = df.sparkSession
-    var checkedCons = constraints(spark, base) // the set land checks under
-    val entries = landEntries(df, base, statsCol)
+    val (entries, checked0) = landEntriesChecked(df, base, statsCol.toSeq)
+    var checkedCons = checked0 // the set the land was ENFORCED under
     try withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base)
       // a CAS loss to a concurrent ADD CONSTRAINT must not republish
@@ -758,8 +817,8 @@ object TxLog {
     val already = latestVersion(spark, base).filter(v =>
       manifest(spark, base, v)._2.getOrElse(appId, -1L) >= batchId)
     if (already.isDefined) return already.get
-    var checkedCons = constraints(spark, base)
-    val entries = landEntries(df, base, statsCol)
+    val (entries, checked0) = landEntriesChecked(df, base, statsCol.toSeq)
+    var checkedCons = checked0
     try withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base)
       checkedCons = reEnforceIfChanged(spark, base, entries, checkedCons)
@@ -1166,7 +1225,8 @@ object TxLog {
           preservedStatsCols(dved, Seq.empty, cleaned.schema))
           .filter(_.rows != 0L)
         try {
-          publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns)
+          publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns,
+            dataChange = false) // mask materialization only: CDF skips
           cur + 1L
         } catch {
           case e: CommitConflictException =>
@@ -1485,7 +1545,8 @@ object TxLog {
         val newEntries = landEntriesMulti(packed, base,
           preservedStatsCols(small, statsCol.toSeq, packed.schema))
         try {
-          publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns)
+          publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns,
+            dataChange = false) // bin-pack moves bytes, not rows: CDF skips
           cur + 1L
         } catch {
           case e: CommitConflictException => // this attempt's land is dead
@@ -1559,6 +1620,11 @@ object TxLog {
           .withColumn("_change_type", lit(kind)))
       }
     val dfs = (fromExclusive + 1 to toInclusive).flatMap { v =>
+      // pure physical rewrites (compaction, DV purge) changed no
+      // logical row: the feed skips them entirely — later versions
+      // still diff against the rewritten file set
+      if (!dataChangeOf(spark, base, v)) Seq.empty
+      else {
       val prev = perVersion(v - 1).map(e => e.path -> e).toMap
       val curP = perVersion(v).map(_.path).toSet
       val added = perVersion(v).filterNot(e => prev.contains(e.path))
@@ -1572,6 +1638,7 @@ object TxLog {
       val inserts = slice(v, added, "insert").toSeq ++
         (if (withDeletes) dvDelta(v, changed, "insert").toSeq else Seq.empty)
       deletes ++ inserts
+      }
     }
     dfs.reduceLeftOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse {
@@ -1678,7 +1745,13 @@ object TxLog {
         s"cannot restore version $v of a table at version $cur")
       val (entries, _) = manifest(spark, base, v)
       val (_, txns) = manifest(spark, base, cur)
-      publishEntries(spark, base, cur + 1L, entries, txns)
+      // restore the TARGET version's constraint set too (table state =
+      // data + metadata at v, like Delta): every version's data was
+      // validated against ITS OWN set, so carrying the CURRENT set
+      // instead could publish data that violates an advertised
+      // constraint added after v
+      publishEntries(spark, base, cur + 1L, entries, txns,
+        Some(constraintsOf(spark, base, v)))
       cur + 1L
     }
 
@@ -1713,7 +1786,11 @@ object TxLog {
       path = resolve(srcAbs, e.path),
       dv = e.dv.map(d => d.copy(dir = resolve(srcAbs, d.dir))),
       blooms = e.blooms.map(b => b.copy(dir = resolve(srcAbs, b.dir)))))
-    publishEntries(spark, dstBase, 1L, cloned, Map.empty)
+    // the clone inherits the source's CHECK constraints (Delta clones
+    // carry table metadata): a writable dev copy of a constrained
+    // table must not silently accept rows the source would veto
+    publishEntries(spark, dstBase, 1L, cloned, Map.empty,
+      Some(constraintsOf(spark, srcBase, v)))
     1L
   }
 

@@ -170,6 +170,18 @@ object TxLogSource {
               "the stream cannot replay it; reset the checkpoint or " +
               "raise the vacuum retention above the consumer lag")
       }
+    // a dataChange=false version (compaction, DV purge) rewrote files
+    // without changing any logical row — its "adds" must not re-ship
+    // rows the stream already delivered (Delta's streaming source
+    // skips dataChange=false AddFiles the same way)
+    val changed =
+      try TxLog.dataChangeOf(spark, base, v)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          entriesOf(v) // raises the friendly vacuumed-history error
+          true // unreachable
+      }
+    if (!changed) return Seq.empty
     val prev: Set[String] =
       if (v == 1L) Set.empty else entriesOf(v - 1).map(_.path).toSet
     entriesOf(v).filterNot(e => prev.contains(e.path)).sortBy(_.path)
@@ -533,8 +545,10 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
               "the stream cannot replay it; reset the checkpoint or " +
               "raise the vacuum retention above the consumer lag")
       }
+    val cur = entriesOf(v) // friendly error before the dataChange probe
+    // pure physical rewrites changed no logical row: no CDF slices
+    if (!TxLog.dataChangeOf(spark, base, v)) return Seq.empty
     val prev = entriesOf(v - 1)
-    val cur = entriesOf(v)
     val prevByPath = prev.map(e => e.path -> e).toMap
     val curPaths = cur.map(_.path).toSet
     val added = survivors(cur.filterNot(e => prevByPath.contains(e.path)))

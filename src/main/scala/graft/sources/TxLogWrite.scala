@@ -193,9 +193,11 @@ object TxLogWriteCommit {
                        replaceAll: Boolean, maxAttempts: Int = 5,
                        onAttempt: Int => Unit = _ => ()): Long = {
     // CHECK constraints veto the write here (landed files discarded)
-    // before any manifest publishes — same contract as the API verbs
+    // before any manifest publishes — same contract as the API verbs.
+    // `checked` records the set enforcement ACTUALLY ran under, so a
+    // drop-then-re-add between reads cannot slip past the comparison
     var checked = TxLog.constraints(spark, base)
-    TxLog.enforceConstraints(spark, base, entries)
+    TxLog.enforceConstraints(spark, base, entries, checked)
     TxLog.withCasRetry(maxAttempts) { attempt =>
       val cur = TxLog.latestVersion(spark, base)
       onAttempt(attempt) // test seam: between snapshot read and publish
@@ -218,11 +220,15 @@ object TxLogWriteCommit {
                             base: String, entries: Seq[TxLog.Entry],
                             appId: String, epochId: Long,
                             maxAttempts: Int = 5): Long = {
-    var checked = TxLog.constraints(spark, base)
-    TxLog.enforceConstraints(spark, base, entries)
+    // enforcement is deferred until we KNOW the epoch is not a replay:
+    // a replayed epoch must stay a silent no-op even if the table
+    // gained a constraint its (already-committed, possibly since-
+    // deleted) rows would now violate — failing there would crash the
+    // stream on every restart and break exactly-once recovery. None =
+    // not yet validated; Some(set) = validated under that exact set.
+    var checked: Option[Map[String, String]] = None
     TxLog.withCasRetry(maxAttempts) { _ =>
       val cur = TxLog.latestVersion(spark, base)
-      checked = TxLog.reEnforceIfChanged(spark, base, entries, checked)
       val (prev, txns) = cur.map(TxLog.manifest(spark, base, _))
         .getOrElse((Seq.empty[TxLog.Entry], Map.empty[String, Long]))
       if (txns.getOrElse(appId, -1L) >= epochId) {
@@ -233,6 +239,13 @@ object TxLogWriteCommit {
         }
         cur.get
       } else {
+        checked = Some(checked match {
+          case None =>
+            val cons = TxLog.constraints(spark, base)
+            TxLog.enforceConstraints(spark, base, entries, cons)
+            cons
+          case Some(c) => TxLog.reEnforceIfChanged(spark, base, entries, c)
+        })
         val v = cur.getOrElse(0L) + 1L
         TxLog.publishEntries(spark, base, v, prev ++ entries,
           txns + (appId -> epochId))

@@ -113,6 +113,73 @@ class TxLogConstraintSpec extends AnyFunSuite {
     assert(TxLog.read(spark, base).where(col("k") === 500L).count() == 0)
   }
 
+  test("a replayed sink epoch stays a silent no-op even when a " +
+    "later-added constraint would reject its (already-committed) rows") {
+    val base = "/tmp/graft_txcons/replay"
+    seed(base)
+    val batch = df(Seq(600L -> java.lang.Long.valueOf(-3L)))
+    // epoch 7 commits while no constraint exists (raw land mimics the
+    // sink: executors land, the driver commit enforces)
+    val e1 = TxLog.landEntriesRaw(batch, base, Seq("k"))
+    graft.sources.TxLogWriteCommit.publishEpochWithRetry(spark, base, e1,
+      appId = "sinkA", epochId = 7L)
+    // the violating row is later erased, so the constraint validates
+    TxLog.deleteRange(spark, base, "k", 600L, 600L)
+    TxLog.addConstraint(spark, base, "v_pos", "v > 0")
+    val vBefore = TxLog.latestVersion(spark, base)
+    // at-least-once replay of epoch 7 after a restart: re-land, retry
+    val e2 = TxLog.landEntriesRaw(batch, base, Seq("k"))
+    val got = graft.sources.TxLogWriteCommit.publishEpochWithRetry(spark,
+      base, e2, appId = "sinkA", epochId = 7L)
+    assert(got == vBefore.get && TxLog.latestVersion(spark, base) == vBefore,
+      "a replayed epoch must no-op, not fail enforcement")
+    assert(TxLog.read(spark, base).where(col("k") === 600L).count() == 0)
+  }
+
+  test("RESTORE brings back the target version's constraint set " +
+    "alongside its data — the two stay consistent") {
+    val base = "/tmp/graft_txcons/restore"
+    TxLog.drop(spark, base)
+    TxLog.commit(df(Seq(1L -> java.lang.Long.valueOf(-5L),
+      2L -> java.lang.Long.valueOf(3L))), base, None, Some("k"))   // v1
+    TxLog.deleteRange(spark, base, "k", 1L, 1L)                    // v2
+    TxLog.addConstraint(spark, base, "v_pos", "v > 0")             // v3
+    TxLog.restore(spark, base, 1L)                                 // v4
+    // v1 had no constraints; restoring its data must restore its
+    // metadata too — else the table would advertise v > 0 while
+    // holding v = -5
+    assert(TxLog.constraints(spark, base).isEmpty,
+      "restore must republish the TARGET version's constraint set")
+    assert(TxLog.read(spark, base).where(col("v") < 0).count() == 1)
+  }
+
+  test("a shallow clone inherits the source's constraints") {
+    val src = "/tmp/graft_txcons/clone_src"
+    val dst = "/tmp/graft_txcons/clone_dst"
+    seed(src)
+    TxLog.addConstraint(spark, src, "v_pos", "v > 0")
+    TxLog.drop(spark, dst)
+    TxLog.cloneShallow(spark, src, dst)
+    assert(TxLog.constraints(spark, dst) == Map("v_pos" -> "v > 0"))
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.append(df(Seq(700L -> java.lang.Long.valueOf(-1L))), dst)
+    }
+  }
+
+  test("an older-schema batch lacking a constrained column passes: " +
+    "the missing column reads NULL, and SQL CHECK passes on NULL") {
+    val base = "/tmp/graft_txcons/evolve"
+    TxLog.drop(spark, base)
+    import spark.implicits._
+    TxLog.commit((1L to 50L).map(i => (i, i, i * 10))
+      .toDF("k", "v", "c2"), base, None, Some("k"))
+    TxLog.addConstraint(spark, base, "c2_pos", "c2 > 0")
+    // an upstream producer still on the pre-evolution schema
+    TxLog.append(df(Seq(900L -> java.lang.Long.valueOf(1L))), base)
+    assert(TxLog.readEvolved(spark, base).count() == 51L,
+      "the old-schema batch must land (its c2 is NULL → CHECK passes)")
+  }
+
   test("the DSv2 df.write path is gated too: a violating batch aborts " +
     "before any manifest publishes") {
     val base = "/tmp/graft_txcons/dsv2"

@@ -319,6 +319,33 @@ class TxLogMorSpec extends AnyFunSuite {
       "streaming CDF must equal the batch feed slice-for-slice")
   }
 
+  test("compaction and purge are dataChange=false: every change feed " +
+    "skips them instead of emitting phantom delete+insert pairs") {
+    val base = "/tmp/graft_txmor/nodatachange"
+    seed(base)                                                    // v1
+    TxLog.deleteRangeMor(spark, base, "k", 50L, 120L)             // v2
+    TxLog.purgeDeletes(spark, base)                               // v3
+    TxLog.compact(spark, base, smallThresholdRows = 1000L,
+      targetRows = 1000L, statsCol = Some("k"))                   // v4
+    // batch change feeds: nothing logically changed after v2
+    assert(TxLog.changesWithDeletes(spark, base, 2L, 4L).count() == 0,
+      "purge/compact rewrites must not appear in the feed")
+    assert(TxLog.changesBetween(spark, base, 2L, 4L).count() == 0)
+    // typed CDF source: no slices past v2
+    val cdf = spark.read.format("graft.sources.TxLogSource")
+      .option("changeFeedTypes", "true").load(base)
+    assert(cdf.where(col("_commit_version") > 2).count() == 0)
+    // plain insert feed: the compacted files must not re-ship rows the
+    // stream already delivered
+    val feed = spark.read.format("graft.sources.TxLogSource")
+      .option("changeFeed", "true").load(base)
+    assert(feed.where(col("_commit_version") > 2).count() == 0,
+      "dataChange=false adds must be skipped by the insert feed")
+    // ...and the SNAPSHOT still reads the post-maintenance state
+    assert(contents(TxLog.read(spark, base)) ==
+      rows.filterNot(t => t._1 >= 50 && t._1 <= 120).toSet)
+  }
+
   test("history and the streaming source see live rows") {
     val base = "/tmp/graft_txmor/history"
     seed(base)
