@@ -1205,6 +1205,83 @@ object TxLog {
     }
   }
 
+  /** Apply one CDC batch exactly-once (the Delta Live Tables `APPLY
+    * CHANGES INTO` shape, built from the MOR primitives): target rows
+    * whose `keys` appear in `deleteKeys` are MASKED, `inserts` lands
+    * as new files, and the (appId → batchId) high-water rides the
+    * SAME commit — so a foreachBatch replay after a restart is a
+    * silent no-op on both halves. This is the replica-maintenance
+    * loop over a row-precise change feed ([[sources.TxLogSource]]
+    * `changeFeedTypes`): per-batch work is O(changed rows), zero
+    * target files rewritten, and the replica never rebuilds.
+    * `statsCol` must be a key (skipping soundness, as [[mergeCow]]).
+    * Works against an EMPTY store (the bootstrap batch). Returns the
+    * published version. */
+  def applyChanges(spark: SparkSession, base: String,
+                   deleteKeys: DataFrame, inserts: DataFrame,
+                   keys: Seq[String], statsCol: String,
+                   appId: String, batchId: Long,
+                   maxAttempts: Int = 5): Long = {
+    require(keys.contains(statsCol),
+      s"statsCol $statsCol must be a key (got $keys)")
+    import org.apache.spark.sql.functions.{col, max, min}
+    val already = latestVersion(spark, base).filter(v =>
+      manifest(spark, base, v)._2.getOrElse(appId, -1L) >= batchId)
+    if (already.isDefined) return already.get
+    val (newEntries0, checked0) =
+      landEntriesChecked(inserts, base, Seq(statsCol))
+    val newEntries = newEntries0.filter(_.rows != 0L)
+    var checkedCons = checked0
+    val castT = castType(statsDtype(deleteKeys.schema(statsCol).dataType))
+    val bounds = deleteKeys
+      .agg(min(col(statsCol).cast(castT)).cast("string"),
+        max(col(statsCol).cast(castT)).cast("string")).head()
+    val keyRange: Option[(String, String)] =
+      if (bounds.isNullAt(0)) None // no deletes in this batch
+      else Some((bounds.getString(0), bounds.getString(1)))
+    try withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base)
+      checkedCons = reEnforceIfChanged(spark, base, newEntries, checkedCons)
+      val (entries, txns) = cur.map(manifest(spark, base, _))
+        .getOrElse((Seq.empty[Entry], Map.empty[String, Long]))
+      if (txns.getOrElse(appId, -1L) >= batchId) {
+        // a racing replica applied this batch between check and now
+        discard(spark, base, newEntries.map(_.path))
+        cur.get
+      } else {
+        val (touched, carried) = keyRange match {
+          case Some((lo, hi)) =>
+            entries.partition(touchesRange(_, statsCol, lo, hi))
+          case None => (Seq.empty[Entry], entries)
+        }
+        val (masked, dvDirOpt) =
+          if (touched.isEmpty) (touched, None)
+          else {
+            val hits = taggedRead(spark, base, touched)
+              .join(deleteKeys.select(keys.map(col): _*).distinct(),
+                keys, "left_semi")
+            landMaskSidecar(spark, base, touched, hits) match {
+              case None => (touched, None) // no key actually present
+              case Some((dvDir, counts)) =>
+                (remask(touched, dvDir, counts), Some(dvDir))
+            }
+          }
+        val v = cur.getOrElse(0L) + 1L
+        try {
+          publishEntries(spark, base, v, carried ++ masked ++ newEntries,
+            txns + (appId -> batchId))
+          v
+        } catch {
+          case e: CommitConflictException => // this attempt's mask is dead
+            dvDirOpt.foreach(discardDir(spark, base, _)); throw e
+        }
+      }
+    } catch {
+      case e: CommitConflictException =>
+        discard(spark, base, newEntries.map(_.path)); throw e
+    }
+  }
+
   /** Materialize deletion vectors (Delta `REORG TABLE … APPLY (PURGE)`
     * analog): rewrite ONLY the files carrying a mask, applying it, and
     * drop the sidecar references; every clean file rides into the new

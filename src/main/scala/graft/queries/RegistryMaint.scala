@@ -935,6 +935,23 @@ object RegistryMaint {
             .as("sum_value"))
         .orderBy("event_type")),
 
+    // CDC replication end-to-end (the DLT APPLY CHANGES INTO loop): a
+    // replica log consumes the source's row-precise typed change feed
+    // and applies every micro-batch with TxLog.applyChanges — deletes
+    // MASK matched keys (merge-on-read), inserts append, and the
+    // batch high-water rides the same commit, exactly-once on both
+    // halves across a restart with new source commits in between. The
+    // helper requires replica ≡ source bit-for-bit, 4 versions, and
+    // the checkpoint-global high-water. Oracle: the source's final
+    // state recomputed from events.
+    "stream_txlog_replica" -> ((s, dir) =>
+      graft.streaming.StreamingOps.cdcReplicaPipeline(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")),
+
     // Dynamic partition pruning: the fact table is partitioned by day;
     // the dim-side filter (5 peak days of 30) becomes a RUNTIME
     // partition filter on the fact scan — at 100 TB the scan opens 5
@@ -1213,6 +1230,17 @@ object RegistryMaint {
                        FILTER (WHERE event_id >= 500) AS DOUBLE)
                   AS sum_value_x2
          FROM events""",
+    "stream_txlog_replica" ->
+      s"""SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE (event_id >= 200
+                AND NOT (event_id BETWEEN 200 AND 449
+                         AND event_type = 'click')
+                AND NOT (event_id BETWEEN 300 AND 600
+                         AND event_type = 'view'))
+            OR event_id < 100
+         GROUP BY event_type ORDER BY event_type""",
     "stream_txlog_cdf" ->
       s"""SELECT cast(1 AS INTEGER) AS commit_version,
                 'insert' AS change_type, count(*) AS n,

@@ -223,6 +223,74 @@ object StreamingOps {
     TxLog.read(spark, silver)
   }
 
+  /** CDC replication over the row-precise typed change feed: a
+    * REPLICA log table is kept in sync with a source log by consuming
+    * `changeFeedTypes=true` (every row tagged insert/delete) and
+    * applying each micro-batch with [[graft.operators.TxLog
+    * .applyChanges]] — deletes MASK matched keys (merge-on-read, zero
+    * file rewrites), inserts append, and the (app → batch) high-water
+    * rides the same commit, so both halves are exactly-once across
+    * the restart this helper exercises. The loop a serving copy or
+    * cross-region replica runs at 100 TB: per-batch work is O(changed
+    * rows); the replica never rebuilds. Returns the replica snapshot
+    * after proving it equals the source bit-for-bit. */
+  def cdcReplicaPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TxLog
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val fixtures = graft.sources.Ingest.fixtureDir(sfDir)
+    val src = fixtures + "/cdc_src"
+    val rep = fixtures + "/cdc_replica"
+    TxLog.drop(spark, src); TxLog.drop(spark, rep)
+    val ckpt = "/tmp/graft_stream_ckpt/cdc_" + java.util.UUID.randomUUID()
+    // source history before the stream starts: seed + a MOR delete
+    TxLog.commit(
+      ev.where(col("event_id") >= 200).repartitionByRange(4, col("event_id")),
+      src, None, Some("event_id"))
+    TxLog.deleteRangeMor(spark, src, "event_id", 200L, 449L,
+      residual = col("event_type") === "click")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.TxLogSource")
+        .option("changeFeedTypes", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          TxLog.applyChanges(spark, rep,
+            deleteKeys = batch.where(col("_change_type") === "delete")
+              .select("event_id"),
+            inserts = batch.where(col("_change_type") === "insert")
+              .drop("_commit_version", "_change_type"),
+            keys = Seq("event_id"), statsCol = "event_id",
+            appId = "cdc-replica", batchId = bid)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run() // source v1 (insert) + v2 (precise deletes) drain
+    // while the replica is down: another masked delete and an append
+    TxLog.deleteRangeMor(spark, src, "event_id", 300L, 600L,
+      residual = col("event_type") === "view")
+    TxLog.append(ev.where(col("event_id") < 100), src, Some("event_id"))
+    run() // resume: ONLY v3 + v4 flow
+    // replica ≡ source, row for row
+    val a = TxLog.read(spark, src)
+    val b = TxLog.read(spark, rep)
+    require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "the CDC replica must equal the source snapshot exactly")
+    // exactly-once evidence: 4 source versions → 4 replica versions,
+    // high-water at the last batch id
+    require(TxLog.latestVersion(spark, rep).contains(4L),
+      s"expected 4 replica versions, got ${TxLog.latestVersion(spark, rep)}")
+    require(TxLog.manifest(spark, rep, 4L)._2 == Map("cdc-replica" -> 3L),
+      s"unexpected replica high-water: ${TxLog.manifest(spark, rep, 4L)._2}")
+    StreamTune.dropScratch(ckpt)
+    TxLog.read(spark, rep)
+  }
+
   /** Stream-static enrichment join + windowed aggregate: the events
     * stream is joined to a BATCH dimension (nation, broadcast — the
     * static side is planned once per micro-batch and never shuffles

@@ -346,6 +346,34 @@ class TxLogMorSpec extends AnyFunSuite {
       rows.filterNot(t => t._1 >= 50 && t._1 <= 120).toSet)
   }
 
+  test("applyChanges: one commit masks deleted keys and appends " +
+    "inserts; a replayed batch is a no-op on both halves") {
+    val base = "/tmp/graft_txmor/apply"
+    TxLog.drop(spark, base)
+    import spark.implicits._
+    def keysOf(ks: Seq[Long]) = ks.toDF("k")
+    // bootstrap batch 0 against the EMPTY store
+    TxLog.applyChanges(spark, base, keysOf(Seq.empty), df(rows.take(200)),
+      Seq("k"), "k", appId = "app", batchId = 0L)
+    // batch 1: delete a key band, insert new rows
+    val dels = (20L to 40L)
+    val ins = (900L to 905L).map(k => k -> s"s-$k")
+    TxLog.applyChanges(spark, base, keysOf(dels), df(ins),
+      Seq("k"), "k", appId = "app", batchId = 1L)
+    val expect = rows.take(200).filterNot(t => dels.contains(t._1)).toSet ++ ins
+    assert(contents(TxLog.read(spark, base)) == expect)
+    assert(TxLog.latestVersion(spark, base).contains(2L))
+    // deletes were MASKED, not rewritten: v1's files all survive in v2
+    assert(TxLog.manifestFiles(spark, base, 1L).toSet
+      .subsetOf(TxLog.manifestFiles(spark, base, 2L).toSet))
+    // at-least-once replay of batch 1: silent no-op, no new version
+    TxLog.applyChanges(spark, base, keysOf(dels), df(ins),
+      Seq("k"), "k", appId = "app", batchId = 1L)
+    assert(TxLog.latestVersion(spark, base).contains(2L),
+      "a replayed batch must publish nothing")
+    assert(contents(TxLog.read(spark, base)) == expect)
+  }
+
   test("history and the streaming source see live rows") {
     val base = "/tmp/graft_txmor/history"
     seed(base)
