@@ -331,6 +331,48 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
 
+  /** Okapi BM25 (Lucene idf variant) document scores for a FIXED
+    * query-term set, over a pre-tokenized (doc_id, term) relation.
+    * Scale shape: the query-term filter collapses the fact side to
+    * ~|Q| rows per doc before any aggregate, df and avgdl are driver
+    * scalars, and each document's score sums its per-term
+    * contributions in FIXED written order (conditional aggregates,
+    * never sum-over-rows of doubles) so the result is
+    * bit-reproducible across engines and partitionings. Only
+    * documents holding ≥1 query term are scored. Returns
+    * (doc_id, score), score rounded to 6. */
+  def bm25Scores(toks: org.apache.spark.sql.DataFrame, nDocs: Long,
+                 terms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val len = toks.groupBy("doc_id").agg(count(lit(1)).as("__len"))
+    val avgdl = len.agg(avg(col("__len"))).head().getDouble(0)
+    val tf = toks.where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("__tf"))
+    val dfMap = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // |Q| rows
+    val wide = tf.groupBy("doc_id").agg(
+      sum(when(col("term") === terms.head, col("__tf")))
+        .as(s"__tf_${terms.head}"),
+      terms.tail.map(t =>
+        sum(when(col("term") === t, col("__tf"))).as(s"__tf_$t")): _*)
+    val contrib = terms.map { t =>
+      val dfv = dfMap.getOrElse(t, 0L).toDouble
+      val tfc = col(s"__tf_$t")
+      // mirror the oracle's literal text exactly: same association,
+      // same constants — ln((N - df + 0.5)/(df + 0.5) + 1) Lucene idf
+      when(tfc.isNotNull,
+        log(lit((nDocs - dfv + 0.5) / (dfv + 0.5) + 1.0)) *
+          (tfc * lit(k1 + 1)) /
+          (tfc + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * col("__len") / lit(avgdl))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    wide.join(len, "doc_id")
+      .withColumn("score", round(contrib, 6))
+      .select("doc_id", "score")
+  }
+
   /** Sequential in-place masking: URL → EMAIL → IPV4 → PHONE. Pure
     * codegen'd regexp_replace chain — one projection, no UDF. */
   def redactPii(c: Column): Column =

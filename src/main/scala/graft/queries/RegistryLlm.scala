@@ -788,43 +788,56 @@ object RegistryLlm {
     // double arithmetic is bit-reproducible against the oracle.
     "llm_bm25_search" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val qTerms = Seq("spark", "vector", "stream")
       val toks = CacheScope.scoped1("llm_bm25_search")(
         Tables.scaled(docs(s, dir))
           .select(col("doc_id"),
             explode(graft.functions.TextFns.tokens(col("text"))).as("term")))
-      val nDocs = docs(s, dir).count()
-      val len = toks.groupBy("doc_id").agg(count(lit(1)).as("__len"))
-      val avgdl = len.agg(avg(col("__len"))).head().getDouble(0)
-      val tf = toks.where(col("term").isin(qTerms: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("__tf"))
-      val dfMap = tf.groupBy("term").agg(count(lit(1)).as("__df"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // |Q| rows
-      val wide = tf.groupBy("doc_id").agg(
-        sum(when(col("term") === qTerms.head, col("__tf")))
-          .as(s"__tf_${qTerms.head}"),
-        qTerms.tail.map(t =>
-          sum(when(col("term") === t, col("__tf"))).as(s"__tf_$t")): _*)
-      val contrib = qTerms.map { t =>
-        val dfv = dfMap.getOrElse(t, 0L).toDouble
-        val tfc = col(s"__tf_$t")
-        // mirror the oracle's literal text exactly: same association,
-        // same constants — ln((N - df + 0.5)/(df + 0.5) + 1) Lucene idf
-        when(tfc.isNotNull,
-          log(lit((nDocs - dfv + 0.5) / (dfv + 0.5) + 1.0)) *
-            (tfc * lit(2.2)) /
-            (tfc + lit(1.2) * (lit(1.0) - lit(0.75) +
-              lit(0.75) * col("__len") / lit(avgdl))))
-          .otherwise(lit(0.0))
-      }.reduce(_ + _)
-      val scored = wide.join(len, "doc_id")
-        .withColumn("score", round(contrib, 6))
-        .select("doc_id", "score")
+      val scored = TextAnalysis
+        .bm25Scores(toks, docs(s, dir).count(),
+          Seq("spark", "vector", "stream"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(20) // TakeOrderedAndProject: the scale-safe top-k
       scored.withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
         .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    }),
+
+    // Hybrid retrieval (the RAG-stack ranking shape): BM25 lexical
+    // top-50 and embedding-cosine top-50 (to a fixed query vector)
+    // fused by reciprocal-rank fusion — RRF(d) = Σ 1/(60+rank_i),
+    // missing ranks contribute 0, the standard robust fusion that
+    // needs no score normalization. Both legs are scale-shaped (one
+    // token shuffle + driver scalars; broadcast query over the corpus
+    // scan) and the fusion joins two 50-row lists — the expensive
+    // halves never meet. Doubles fused in fixed written order.
+    "llm_hybrid_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = CacheScope.scoped1("llm_hybrid_search")(
+        Tables.scaled(docs(s, dir))
+          .select(col("doc_id"),
+            explode(graft.functions.TextFns.tokens(col("text"))).as("term")))
+      val bm = TextAnalysis
+        .bm25Scores(toks, docs(s, dir).count(),
+          Seq("spark", "vector", "stream"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+      val bmRanked = bm.withColumn("rank_bm", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select("doc_id", "rank_bm")
+      val e = embs(s, dir)
+      val cosRanked = Similarity
+        .bruteForceTopK(e, e.where(col("vec_id") === 0),
+          "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("rank_cos"))
+      bmRanked.join(cosRanked, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("rank_bm")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_cos")), lit(0.0)), 6))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(15)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("int"))
+        .select("rank", "doc_id", "rrf")
         .orderBy("rank")
     }),
 
@@ -1812,6 +1825,64 @@ object RegistryLlm {
          SELECT cast(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
                   AS rank, doc_id, score
          FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+    "llm_hybrid_search" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+                    AS term
+           FROM documents),
+         len AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+         n AS (SELECT (SELECT count(*) FROM documents) AS nd,
+                      (SELECT avg(len) FROM len) AS avgdl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         wide AS (
+           SELECT doc_id,
+                  sum(CASE WHEN term = 'spark' THEN tf END) AS tf_spark,
+                  sum(CASE WHEN term = 'vector' THEN tf END) AS tf_vector,
+                  sum(CASE WHEN term = 'stream' THEN tf END) AS tf_stream
+           FROM tf GROUP BY 1),
+         scored AS (
+           SELECT w.doc_id, round(
+             coalesce(ln((nd - (SELECT df FROM dfq WHERE term='spark') + 0.5) /
+                         ((SELECT df FROM dfq WHERE term='spark') + 0.5) + 1) *
+                      (tf_spark * 2.2) /
+                      (tf_spark + 1.2 * (1 - 0.75 + 0.75 * len / avgdl)), 0) +
+             coalesce(ln((nd - (SELECT df FROM dfq WHERE term='vector') + 0.5) /
+                         ((SELECT df FROM dfq WHERE term='vector') + 0.5) + 1) *
+                      (tf_vector * 2.2) /
+                      (tf_vector + 1.2 * (1 - 0.75 + 0.75 * len / avgdl)), 0) +
+             coalesce(ln((nd - (SELECT df FROM dfq WHERE term='stream') + 0.5) /
+                         ((SELECT df FROM dfq WHERE term='stream') + 0.5) + 1) *
+                      (tf_stream * 2.2) /
+                      (tf_stream + 1.2 * (1 - 0.75 + 0.75 * len / avgdl)), 0), 6)
+             AS score
+           FROM wide w JOIN len ON w.doc_id = len.doc_id CROSS JOIN n),
+         bm AS (
+           SELECT doc_id, cast(row_number() OVER
+                    (ORDER BY score DESC, doc_id) AS INTEGER) AS rank_bm
+           FROM scored ORDER BY score DESC, doc_id LIMIT 50),
+         q AS (SELECT cast(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+         cosd AS (
+           SELECT e.vec_id AS doc_id,
+                  round(list_cosine_similarity(qv,
+                    cast(e.embedding AS DOUBLE[])), 4) AS cs
+           FROM q, embeddings e WHERE e.vec_id <> 0),
+         cosr AS (
+           SELECT doc_id, cast(row_number() OVER
+                    (ORDER BY cs DESC, doc_id) AS INTEGER) AS rank_cos
+           FROM cosd ORDER BY cs DESC, doc_id LIMIT 50),
+         fused AS (
+           SELECT coalesce(bm.doc_id, cosr.doc_id) AS doc_id,
+                  round(coalesce(cast(1.0 AS DOUBLE) / (60 + rank_bm), 0) +
+                        coalesce(cast(1.0 AS DOUBLE) / (60 + rank_cos), 0), 6)
+                    AS rrf
+           FROM bm FULL OUTER JOIN cosr ON bm.doc_id = cosr.doc_id)
+         SELECT cast(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                  AS INTEGER) AS rank, doc_id, rrf
+         FROM fused ORDER BY rrf DESC, doc_id LIMIT 15""",
     "llm_token_frequencies" ->
       """WITH toks AS (
            SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))

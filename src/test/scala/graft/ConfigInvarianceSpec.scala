@@ -32,7 +32,13 @@ class ConfigInvarianceSpec extends AnyFunSuite {
     "a17_moments",
     "llm_quality_percentiles",
     "llm_shuffle_shards",
-    "stream_daily_counts")
+    "stream_daily_counts",
+    // the merge-on-read path: mask computation (row_index positions),
+    // the DV anti-join, and the sidecar repartition must all be
+    // partition-count independent
+    "s39_mor_delete",
+    // BM25: per-term conditional aggregation and TakeOrdered top-k
+    "llm_bm25_search")
 
   private def render(v: Any): String = v match {
     case null => "∅"
