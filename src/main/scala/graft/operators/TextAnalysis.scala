@@ -345,20 +345,24 @@ object TextAnalysis {
                  terms: Seq[String], k1: Double = 1.2,
                  b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
+    require(terms.distinct.size == terms.size,
+      s"duplicate query terms: $terms")
     val len = toks.groupBy("doc_id").agg(count(lit(1)).as("__len"))
     val avgdl = len.agg(avg(col("__len"))).head().getDouble(0)
     val tf = toks.where(col("term").isin(terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("__tf"))
     val dfMap = tf.groupBy("term").agg(count(lit(1)).as("__df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // |Q| rows
+    // internal columns are INDEX-named: a term is arbitrary user text
+    // ("a.b", backticks) that must never reach a column reference
     val wide = tf.groupBy("doc_id").agg(
-      sum(when(col("term") === terms.head, col("__tf")))
-        .as(s"__tf_${terms.head}"),
-      terms.tail.map(t =>
-        sum(when(col("term") === t, col("__tf"))).as(s"__tf_$t")): _*)
-    val contrib = terms.map { t =>
+      sum(when(col("term") === terms.head, col("__tf"))).as("__tf_0"),
+      terms.tail.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("__tf"))).as(s"__tf_${i + 1}")
+      }: _*)
+    val contrib = terms.zipWithIndex.map { case (t, i) =>
       val dfv = dfMap.getOrElse(t, 0L).toDouble
-      val tfc = col(s"__tf_$t")
+      val tfc = col(s"__tf_$i")
       // mirror the oracle's literal text exactly: same association,
       // same constants — ln((N - df + 0.5)/(df + 0.5) + 1) Lucene idf
       when(tfc.isNotNull,

@@ -1228,8 +1228,18 @@ object TxLog {
     val already = latestVersion(spark, base).filter(v =>
       manifest(spark, base, v)._2.getOrElse(appId, -1L) >= batchId)
     if (already.isDefined) return already.get
+    // appended replica files keep every stats dimension the current
+    // snapshot's entries carry (same contract as the other MOR/merge
+    // verbs' preservedStatsCols) — a Z-ordered source's 2-D skipping
+    // must survive replication, not decay one batch at a time
+    val statsCols = {
+      val existing = latestVersion(spark, base)
+        .map(v => manifest(spark, base, v)._1).getOrElse(Seq.empty)
+      (Seq(statsCol) ++ existing.flatMap(_.stats.map(_.column))).distinct
+        .filter(inserts.schema.fieldNames.contains)
+    }
     val (newEntries0, checked0) =
-      landEntriesChecked(inserts, base, Seq(statsCol))
+      landEntriesChecked(inserts, base, statsCols)
     val newEntries = newEntries0.filter(_.rows != 0L)
     var checkedCons = checked0
     val castT = castType(statsDtype(deleteKeys.schema(statsCol).dataType))

@@ -58,20 +58,23 @@ object TxCdcProbeMain {
       TxLog.commit(table, mor, None, Some("k")) }
     timed("seed full (20M, 32 files)") {
       TxLog.commit(table, full, None, Some("k")) }
-    val bytesBefore = dirBytes(mor)
+    // each route's delta against ITS OWN seed size — the two seeds
+    // can differ slightly in on-disk bytes
+    val morBefore = dirBytes(mor)
+    val fullBefore = dirBytes(full)
 
     timed("applyChanges (mask 100k keys + append 100k rows)") {
       TxLog.applyChanges(spark, mor, delKeys, upserts,
         Seq("k"), "k", appId = "probe", batchId = 0L)
     }
-    val morDelta = dirBytes(mor) - bytesBefore
+    val morDelta = dirBytes(mor) - morBefore
     timed("full transact rebuild (same batch)") {
       TxLog.transact(spark, full) { snap =>
         Upsert.merge(
           snap.get.join(delKeys, Seq("k"), "left_anti"), upserts, Seq("k"))
       }
     }
-    val fullDelta = dirBytes(full) - bytesBefore
+    val fullDelta = dirBytes(full) - fullBefore
     println(f"bytes written: applyChanges=${morDelta / 1e6}%.1f MB " +
       f"rebuild=${fullDelta / 1e6}%.1f MB " +
       f"(${fullDelta.toDouble / morDelta}%.1fx)")

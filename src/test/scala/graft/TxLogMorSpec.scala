@@ -347,31 +347,45 @@ class TxLogMorSpec extends AnyFunSuite {
   }
 
   test("applyChanges: one commit masks deleted keys and appends " +
-    "inserts; a replayed batch is a no-op on both halves") {
+    "inserts; a replayed batch is a no-op on both halves; appended " +
+    "files keep every stats dimension the snapshot carries") {
     val base = "/tmp/graft_txmor/apply"
     TxLog.drop(spark, base)
     import spark.implicits._
     def keysOf(ks: Seq[Long]) = ks.toDF("k")
-    // bootstrap batch 0 against the EMPTY store
-    TxLog.applyChanges(spark, base, keysOf(Seq.empty), df(rows.take(200)),
-      Seq("k"), "k", appId = "app", batchId = 0L)
-    // batch 1: delete a key band, insert new rows
+    // 2-D stats seed: skipping on BOTH k and s must survive batches
+    TxLog.commitMulti(df(rows.take(200)).repartitionByRange(4, col("k")),
+      base, None, Seq("k", "s"))
+    val v1Files = TxLog.manifestFiles(spark, base, 1L).toSet
+    // batch 0: delete a key band, insert new rows
     val dels = (20L to 40L)
     val ins = (900L to 905L).map(k => k -> s"s-$k")
     TxLog.applyChanges(spark, base, keysOf(dels), df(ins),
-      Seq("k"), "k", appId = "app", batchId = 1L)
+      Seq("k"), "k", appId = "app", batchId = 0L)
     val expect = rows.take(200).filterNot(t => dels.contains(t._1)).toSet ++ ins
     assert(contents(TxLog.read(spark, base)) == expect)
     assert(TxLog.latestVersion(spark, base).contains(2L))
     // deletes were MASKED, not rewritten: v1's files all survive in v2
-    assert(TxLog.manifestFiles(spark, base, 1L).toSet
-      .subsetOf(TxLog.manifestFiles(spark, base, 2L).toSet))
-    // at-least-once replay of batch 1: silent no-op, no new version
+    assert(v1Files.subsetOf(TxLog.manifestFiles(spark, base, 2L).toSet))
+    // replica-appended files carry stats on EVERY existing dimension,
+    // not just the clustering key — 2-D skipping must not decay
+    val appended = TxLog.manifest(spark, base, 2L)._1
+      .filterNot(e => v1Files.contains(e.path))
+    assert(appended.nonEmpty && appended.forall(e =>
+      e.statsFor("k").isDefined && e.statsFor("s").isDefined),
+      s"appended entries must keep 2-D stats: ${appended.map(_.stats)}")
+    // at-least-once replay of batch 0: silent no-op, no new version
     TxLog.applyChanges(spark, base, keysOf(dels), df(ins),
-      Seq("k"), "k", appId = "app", batchId = 1L)
+      Seq("k"), "k", appId = "app", batchId = 0L)
     assert(TxLog.latestVersion(spark, base).contains(2L),
       "a replayed batch must publish nothing")
     assert(contents(TxLog.read(spark, base)) == expect)
+    // the EMPTY-store bootstrap shape still works
+    val boot = "/tmp/graft_txmor/apply_boot"
+    TxLog.drop(spark, boot)
+    TxLog.applyChanges(spark, boot, keysOf(Seq.empty), df(rows.take(10)),
+      Seq("k"), "k", appId = "app", batchId = 0L)
+    assert(contents(TxLog.read(spark, boot)) == rows.take(10).toSet)
   }
 
   test("history and the streaming source see live rows") {
