@@ -316,6 +316,23 @@ object TxLog {
   def dataChangeOf(spark: SparkSession, base: String, v: Long): Boolean =
     !manifestLines(spark, base, v).contains("#nodatachange")
 
+  /** Identity-column high-waters (column → highest id ever assigned)
+    * of one published version — `#identity` meta lines. */
+  def identityOf(spark: SparkSession, base: String,
+                 v: Long): Map[String, Long] =
+    manifestLines(spark, base, v)
+      .filter(_.startsWith("#identity\t"))
+      .map(_.split('\t') match {
+        case Array(_, c, hw) => dec(c) -> hw.toLong
+        case other => throw new IllegalStateException(
+          s"malformed identity line (${other.length} fields)")
+      }).toMap
+
+  private def latestIdentity(spark: SparkSession,
+                             base: String): Map[String, Long] =
+    latestVersion(spark, base)
+      .map(identityOf(spark, base, _)).getOrElse(Map.empty)
+
   /** The file list of one published version (base-relative paths). */
   def manifestFiles(spark: SparkSession, base: String, v: Long): Seq[String] =
     manifest(spark, base, v)._1.map(_.path)
@@ -685,12 +702,17 @@ object TxLog {
                                     txns: Map[String, Long],
                                     constraintsOverride: Option[Map[String, String]] =
                                       None,
-                                    dataChange: Boolean = true): Unit = {
+                                    dataChange: Boolean = true,
+                                    identityOverride: Option[Map[String, Long]] =
+                                      None): Unit = {
     val cons = constraintsOverride.getOrElse(constraints(spark, base))
+    val ident = identityOverride.getOrElse(latestIdentity(spark, base))
     val lines =
       (if (dataChange) Seq.empty else Seq("#nodatachange")) ++
       cons.toSeq.sortBy(_._1).map { case (n, ex) =>
         s"#constraint\t${enc(n)}\t${enc(ex)}" } ++
+      ident.toSeq.sortBy(_._1).map { case (c, hw) =>
+        s"#identity\t${enc(c)}\t$hw" } ++
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn\t${enc(a)}\t$b" } ++
         entries.map(serLine)
     val f = fs(base, spark)
@@ -1201,6 +1223,57 @@ object TxLog {
           case Some((dvDir, counts)) =>
             publishWith(remask(touched, dvDir, counts), Some(dvDir))
         }
+      }
+    }
+  }
+
+  /** Append with a system-assigned IDENTITY column (Delta `GENERATED
+    * ALWAYS AS IDENTITY` semantics): `idCol` must NOT be in `df` —
+    * the engine assigns ids above the table's high-water, UNIQUE and
+    * INCREASING across commits, with gaps allowed (Delta's identical
+    * contract). Assignment is `high-water + 1 + monotonically
+    * increasing id` — per-partition counters, no shuffle, no global
+    * sort, so the append stays O(batch) at any table size; the new
+    * high-water is read back from the landed files' own idCol stats
+    * (the bytes later readers trust) and rides the manifest as an
+    * `#identity` meta line that every verb carries forward. A CAS
+    * loss to a concurrent identity append RE-ASSIGNS from the
+    * winner's high-water (the landed batch is discarded and re-landed
+    * — two winners must never share an id range). `onAttempt` is a
+    * test seam. Returns the published version. */
+  def appendIdentity(df: DataFrame, base: String, idCol: String,
+                     statsCol: Option[String] = None, maxAttempts: Int = 5,
+                     onAttempt: Int => Unit = _ => ()): Long = {
+    import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id}
+    require(!df.columns.contains(idCol),
+      s"IDENTITY column $idCol is system-assigned; the batch must not " +
+        "provide it (GENERATED ALWAYS semantics)")
+    val spark = df.sparkSession
+    withCasRetry(maxAttempts) { attempt =>
+      val cur = latestVersion(spark, base)
+      val (prev, txns) = cur.map(manifest(spark, base, _))
+        .getOrElse((Seq.empty[Entry], Map.empty[String, Long]))
+      val ident = cur.map(identityOf(spark, base, _)).getOrElse(Map.empty)
+      val water = ident.getOrElse(idCol, 0L)
+      onAttempt(attempt) // test seam: between snapshot read and land
+      val assigned = df.withColumn(idCol,
+        lit(water) + lit(1L) + monotonically_increasing_id())
+      val entries = landEntriesMulti(assigned, base,
+        (Seq(idCol) ++ statsCol).distinct)
+      // the new high-water comes from the LANDED files' stats — the
+      // same bytes any later reader or skip decision will trust
+      val newWater = entries.flatMap(_.statsFor(idCol))
+        .map(_.max.toLong).foldLeft(water)(math.max)
+      val v = cur.getOrElse(0L) + 1L
+      try {
+        publishEntries(spark, base, v, prev ++ entries, txns,
+          identityOverride = Some(ident + (idCol -> newWater)))
+        v
+      } catch {
+        case e: CommitConflictException =>
+          // a racer may have consumed ids from the SAME water mark:
+          // discard and re-assign from the winner's high-water
+          discard(spark, base, entries.map(_.path)); throw e
       }
     }
   }

@@ -375,6 +375,37 @@ object RegistryMaint {
         .orderBy("event_type")
     }),
 
+    // IDENTITY column (Delta GENERATED ALWAYS AS IDENTITY): two
+    // appends get system-assigned surrogate ids — unique, increasing
+    // across commits, gaps allowed — via per-partition counters above
+    // the manifest's high-water (no shuffle, no global sort: O(batch)
+    // at any table size). The requires pin cross-batch monotonicity
+    // through the manifest high-water; the readback aggregates are
+    // the deterministic face of a gap-tolerant id space. Oracle:
+    // row counts from events (ids unique ⇒ n_distinct == n_rows).
+    "s45_identity_append" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txid_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+      TxLog.appendIdentity(
+        ev.where(col("event_id") < 300)
+          .select("user_id", "event_type", "value"),
+        base, "row_id", Some("row_id"))
+      val w1 = TxLog.identityOf(s, base, 1L)("row_id")
+      TxLog.appendIdentity(
+        ev.where(col("event_id").between(300, 599))
+          .select("user_id", "event_type", "value"),
+        base, "row_id", Some("row_id"))
+      val w2 = TxLog.identityOf(s, base, 2L)("row_id")
+      require(w2 > w1 && w1 > 0,
+        s"identity high-water must grow across commits: $w1 -> $w2")
+      TxLog.read(s, base)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("row_id")).as("n_distinct_ids"),
+          (count(lit(1)) === countDistinct(col("row_id"))).as("all_unique"),
+          (min(col("row_id")) >= 1).as("ids_positive"))
+    }),
+
     // Merge-on-read UPDATE (Delta's DV update path — mask + append):
     // the same band+residual shape as s29's COW update, but the hit
     // rows are MASKED in place and their updated images land as new
@@ -1299,6 +1330,10 @@ object RegistryMaint {
                UNION ALL
                SELECT event_type, value FROM events WHERE event_id < 50)
          GROUP BY event_type ORDER BY event_type""",
+    "s45_identity_append" ->
+      """SELECT count(*) AS n_rows, count(*) AS n_distinct_ids,
+                true AS all_unique, true AS ids_positive
+         FROM events WHERE event_id < 600""",
     "s42_mor_update" ->
       s"""SELECT event_type, count(*) AS n,
                 cast(sum(cast(
