@@ -476,6 +476,11 @@ object TxLog {
       case FloatType | DoubleType => "double"
       case DateType => "date"
       case StringType => "string"
+      // event-time clustering, THE 100 TB fact layout: stats stored as
+      // epoch SECONDS (cast to long floors sub-second — sound for
+      // range overlap because floor is monotone, and the row-level
+      // residual still applies exactly)
+      case TimestampType => "long"
       case other => throw new IllegalArgumentException(
         s"unsupported stats column type $other (long/double/date/string)")
     }
@@ -489,6 +494,10 @@ object TxLog {
     * hazard TxLogSource.valueRepr documents for the DSv2 path). */
   private def reprOf(v: Any): String = v match {
     case f: java.lang.Float => f.floatValue().toDouble.toString
+    // timestamp predicates compare against epoch-SECONDS stats (the
+    // floor both sides keeps range overlap sound — see statsDtype)
+    case t: java.sql.Timestamp => Math.floorDiv(t.getTime, 1000L).toString
+    case i: java.time.Instant => i.getEpochSecond.toString
     case other => other.toString
   }
 

@@ -375,6 +375,35 @@ object RegistryMaint {
         .orderBy("event_type")
     }),
 
+    // Event-time data skipping: the fact table is range-clustered on
+    // its TIMESTAMP column and committed with manifest stats stored
+    // as epoch seconds — a time-band query prunes files BEFORE any
+    // footer opens (the require pins a real skip). This is THE 100 TB
+    // fact layout: event-time clustering plus manifest-level skipping
+    // turns "last 5 days" into a handful of file opens. The oracle
+    // recomputes the band with TIMESTAMP literals.
+    "s46_event_time_skipping" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txts_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "event_type", "value", "ts")
+      TxLog.commit(ev.repartitionByRange(8, col("ts")), base, None,
+        Some("ts"))
+      val lo = java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-05T00:00:00Z"))
+      val hi = java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-10T00:00:00Z"))
+      val (kept, all) = TxLog.pruneRange(s, base, "ts", lo, hi)
+      require(kept.size < all.size,
+        s"timestamp stats must skip files: kept ${kept.size} of ${all.size}")
+      TxLog.readRange(s, base, "ts", lo, hi)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // IDENTITY column (Delta GENERATED ALWAYS AS IDENTITY): two
     // appends get system-assigned surrogate ids — unique, increasing
     // across commits, gaps allowed — via per-partition counters above
@@ -1329,6 +1358,13 @@ object RegistryMaint {
          FROM (SELECT event_type, value FROM events
                UNION ALL
                SELECT event_type, value FROM events WHERE event_id < 50)
+         GROUP BY event_type ORDER BY event_type""",
+    "s46_event_time_skipping" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                      AND TIMESTAMP '2024-01-10 00:00:00'
          GROUP BY event_type ORDER BY event_type""",
     "s45_identity_append" ->
       """SELECT count(*) AS n_rows, count(*) AS n_distinct_ids,

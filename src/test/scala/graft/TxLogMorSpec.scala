@@ -388,6 +388,35 @@ class TxLogMorSpec extends AnyFunSuite {
     assert(contents(TxLog.read(spark, boot)) == rows.take(10).toSet)
   }
 
+  test("event-time clustering: timestamp stats prune files and range " +
+    "reads stay exact; the mask anti-join broadcasts a small mask") {
+    val base = "/tmp/graft_txmor/tsstats"
+    TxLog.drop(spark, base)
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    val evs = (0L until 400L)
+      .map(i => (i, java.sql.Timestamp.from(t0.plusSeconds(i * 60))))
+      .toDF("k", "ts")
+    TxLog.commit(evs.repartitionByRange(8, col("ts")), base, None,
+      Some("ts"))
+    val (lo, hi) = (java.sql.Timestamp.from(t0.plusSeconds(100 * 60)),
+      java.sql.Timestamp.from(t0.plusSeconds(140 * 60)))
+    val (kept, all) = TxLog.pruneRange(spark, base, "ts", lo, hi)
+    assert(kept.size < all.size && all.size == 8,
+      s"timestamp stats must skip files: kept ${kept.size} of ${all.size}")
+    val got = TxLog.readRange(spark, base, "ts", lo, hi)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == (100L to 140L).toSet)
+    // MOR delete pruned by the timestamp band, read through the mask
+    TxLog.deleteRangeMor(spark, base, "ts", lo, hi)
+    assert(TxLog.read(spark, base).count() == 359L)
+    // the mask (41 positions, manifest-known) rides a BROADCAST
+    // anti-join — a map-side filter, no shuffle of the fact side
+    val plan = TxLog.read(spark, base).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"small masks must broadcast:\n$plan")
+  }
+
   test("history and the streaming source see live rows") {
     val base = "/tmp/graft_txmor/history"
     seed(base)
