@@ -417,6 +417,33 @@ class TxLogMorSpec extends AnyFunSuite {
       s"small masks must broadcast:\n$plan")
   }
 
+  test("a long mask-accumulation chain stays correct and folds flat: " +
+    "20 sequential MOR deletes, then purge") {
+    val base = "/tmp/graft_txmor/chain"
+    seed(base)
+    // each delete touches a sliding band; masks merge repeatedly and
+    // the snapshot ends up referencing MANY distinct sidecar dirs
+    (0 until 20).foreach { i =>
+      TxLog.deleteRangeMor(spark, base, "k", 10L + i * 14, 10L + i * 14 + 6)
+    }
+    val dead = (0 until 20)
+      .flatMap(i => (10L + i * 14) to (10L + i * 14 + 6)).toSet
+    val expect = rows.filterNot(t => dead.contains(t._1)).toSet
+    assert(contents(TxLog.read(spark, base)) == expect)
+    val dirs = TxLog.manifest(spark, base, 21L)._1
+      .flatMap(_.dv).map(_.dir).distinct
+    assert(dirs.size > 1, s"chain must span several sidecar dirs: $dirs")
+    // the metadata COUNT stays exact through the whole chain
+    val cnt = spark.read.format("graft.sources.TxLogSource").load(base)
+      .agg(count(lit(1))).head().getLong(0)
+    assert(cnt == expect.size)
+    // purge folds everything into clean files; vacuum reclaims all
+    TxLog.purgeDeletes(spark, base)
+    TxLog.vacuum(spark, base, keepLast = 1)
+    assert(contents(TxLog.read(spark, base)) == expect)
+    assert(TxLog.manifest(spark, base, 22L)._1.forall(_.dv.isEmpty))
+  }
+
   test("history and the streaming source see live rows") {
     val base = "/tmp/graft_txmor/history"
     seed(base)
