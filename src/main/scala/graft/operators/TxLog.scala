@@ -292,17 +292,27 @@ object TxLog {
     (data.map(parseLine), txns)
   }
 
-  /** CHECK constraints (name → SQL expression) of one published
-    * version — `#constraint` meta lines. */
-  def constraintsOf(spark: SparkSession, base: String,
-                    v: Long): Map[String, String] =
-    manifestLines(spark, base, v)
-      .filter(_.startsWith("#constraint\t"))
+  private def parseConstraintLines(lines: Seq[String]): Map[String, String] =
+    lines.filter(_.startsWith("#constraint\t"))
       .map(_.split('\t') match {
         case Array(_, n, ex) => dec(n) -> dec(ex)
         case other => throw new IllegalStateException(
           s"malformed constraint line (${other.length} fields)")
       }).toMap
+
+  private def parseIdentityLines(lines: Seq[String]): Map[String, Long] =
+    lines.filter(_.startsWith("#identity\t"))
+      .map(_.split('\t') match {
+        case Array(_, c, hw) => dec(c) -> hw.toLong
+        case other => throw new IllegalStateException(
+          s"malformed identity line (${other.length} fields)")
+      }).toMap
+
+  /** CHECK constraints (name → SQL expression) of one published
+    * version — `#constraint` meta lines. */
+  def constraintsOf(spark: SparkSession, base: String,
+                    v: Long): Map[String, String] =
+    parseConstraintLines(manifestLines(spark, base, v))
 
   /** CHECK constraints of the latest published version (empty for an
     * empty store). */
@@ -320,18 +330,29 @@ object TxLog {
     * of one published version — `#identity` meta lines. */
   def identityOf(spark: SparkSession, base: String,
                  v: Long): Map[String, Long] =
-    manifestLines(spark, base, v)
-      .filter(_.startsWith("#identity\t"))
-      .map(_.split('\t') match {
-        case Array(_, c, hw) => dec(c) -> hw.toLong
-        case other => throw new IllegalStateException(
-          s"malformed identity line (${other.length} fields)")
-      }).toMap
+    parseIdentityLines(manifestLines(spark, base, v))
 
   private def latestIdentity(spark: SparkSession,
                              base: String): Map[String, Long] =
     latestVersion(spark, base)
       .map(identityOf(spark, base, _)).getOrElse(Map.empty)
+
+  /** GENERATED ALWAYS guard for INSERT-shaped writes (append,
+    * appendOnce, applyChanges inserts, the DSv2 sink): a batch that
+    * explicitly provides an identity column is rejected — otherwise
+    * the high-water would not cover its ids and later [[appendIdentity]]
+    * calls would collide. Deliberately NOT applied to rewrite verbs
+    * (purge, compaction, COW DML, merges): those republish or replace
+    * EXISTING rows whose ids are already under the high-water. */
+  private[graft] def requireNoIdentityColumns(
+      spark: SparkSession, base: String,
+      columns: Seq[String]): Unit = {
+    val clash = latestIdentity(spark, base).keySet.intersect(columns.toSet)
+    require(clash.isEmpty,
+      s"IDENTITY column(s) ${clash.mkString(", ")} are system-assigned " +
+        "(GENERATED ALWAYS); an insert batch must not provide them — " +
+        "use appendIdentity")
+  }
 
   /** The file list of one published version (base-relative paths). */
   def manifestFiles(spark: SparkSession, base: String, v: Long): Seq[String] =
@@ -714,8 +735,15 @@ object TxLog {
                                     dataChange: Boolean = true,
                                     identityOverride: Option[Map[String, Long]] =
                                       None): Unit = {
-    val cons = constraintsOverride.getOrElse(constraints(spark, base))
-    val ident = identityOverride.getOrElse(latestIdentity(spark, base))
+    // ONE read of the latest manifest serves every carried meta kind
+    // (a second listing + parse per commit is pure waste on stores
+    // where each is a network round trip)
+    lazy val latestLines: Seq[String] = latestVersion(spark, base)
+      .map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
+    val cons = constraintsOverride
+      .getOrElse(parseConstraintLines(latestLines))
+    val ident = identityOverride
+      .getOrElse(parseIdentityLines(latestLines))
     val lines =
       (if (dataChange) Seq.empty else Seq("#nodatachange")) ++
       cons.toSeq.sortBy(_._1).map { case (n, ex) =>
@@ -818,6 +846,7 @@ object TxLog {
   def append(df: DataFrame, base: String, statsCol: Option[String] = None,
              maxAttempts: Int = 5): Long = {
     val spark = df.sparkSession
+    requireNoIdentityColumns(spark, base, df.columns)
     val (entries, checked0) = landEntriesChecked(df, base, statsCol.toSeq)
     var checkedCons = checked0 // the set the land was ENFORCED under
     try withCasRetry(maxAttempts) { _ =>
@@ -848,6 +877,7 @@ object TxLog {
     val already = latestVersion(spark, base).filter(v =>
       manifest(spark, base, v)._2.getOrElse(appId, -1L) >= batchId)
     if (already.isDefined) return already.get
+    requireNoIdentityColumns(spark, base, df.columns)
     val (entries, checked0) = landEntriesChecked(df, base, statsCol.toSeq)
     var checkedCons = checked0
     try withCasRetry(maxAttempts) { _ =>
@@ -1240,10 +1270,12 @@ object TxLog {
     * ALWAYS AS IDENTITY` semantics): `idCol` must NOT be in `df` —
     * the engine assigns ids above the table's high-water, UNIQUE and
     * INCREASING across commits, with gaps allowed (Delta's identical
-    * contract). Assignment is `high-water + 1 + monotonically
-    * increasing id` — per-partition counters, no shuffle, no global
-    * sort, so the append stays O(batch) at any table size; the new
-    * high-water is read back from the landed files' own idCol stats
+    * contract — an aborted attempt may skip ids, but a successful
+    * commit consumes exactly batch-size ids). Assignment is
+    * `high-water + per-partition cumulative offset + within-partition
+    * row index` — no shuffle, no global sort, one tiny per-partition
+    * count aggregate, so the append stays O(batch) at any table size;
+    * the new high-water is read back from the landed files' own idCol stats
     * (the bytes later readers trust) and rides the manifest as an
     * `#identity` meta line that every verb carries forward. A CAS
     * loss to a concurrent identity append RE-ASSIGNS from the
@@ -1253,7 +1285,8 @@ object TxLog {
   def appendIdentity(df: DataFrame, base: String, idCol: String,
                      statsCol: Option[String] = None, maxAttempts: Int = 5,
                      onAttempt: Int => Unit = _ => ()): Long = {
-    import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id}
+    import org.apache.spark.sql.functions.{col, count, lit,
+      monotonically_increasing_id, spark_partition_id}
     require(!df.columns.contains(idCol),
       s"IDENTITY column $idCol is system-assigned; the batch must not " +
         "provide it (GENERATED ALWAYS semantics)")
@@ -1265,14 +1298,35 @@ object TxLog {
       val ident = cur.map(identityOf(spark, base, _)).getOrElse(Map.empty)
       val water = ident.getOrElse(idCol, 0L)
       onAttempt(attempt) // test seam: between snapshot read and land
-      val assigned = df.withColumn(idCol,
-        lit(water) + lit(1L) + monotonically_increasing_id())
+      // DENSE allocation: per-partition cumulative offsets (one tiny
+      // count aggregate — ≤ nPartitions rows to the driver) plus the
+      // WITHIN-partition row index (the low 33 bits of Spark's
+      // monotonic id). The naive `water + monotonic id` would burn
+      // ~2^33 ids per partition per commit and eventually wrap Long;
+      // this consumes exactly batch-size ids per commit.
+      val withPid = df.withColumn("__pid", spark_partition_id())
+      val counts = withPid.groupBy("__pid").agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+        (pid, acc + n)
+      }
+      val offMap = counts.map(_._1).zip(offsets.map(_._2)).toMap
+      import spark.implicits._
+      val offDf = offMap.toSeq.toDF("__pid", "__off")
+      val rowInPart =
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+      val assigned = withPid
+        .join(org.apache.spark.sql.functions.broadcast(offDf), "__pid")
+        .withColumn(idCol, lit(water) + lit(1L) + col("__off") + rowInPart)
+        .drop("__pid", "__off")
       val entries = landEntriesMulti(assigned, base,
         (Seq(idCol) ++ statsCol).distinct)
       // the new high-water comes from the LANDED files' stats — the
       // same bytes any later reader or skip decision will trust
       val newWater = entries.flatMap(_.statsFor(idCol))
         .map(_.max.toLong).foldLeft(water)(math.max)
+      require(newWater >= water,
+        s"identity overflow: high-water $water -> $newWater")
       val v = cur.getOrElse(0L) + 1L
       try {
         publishEntries(spark, base, v, prev ++ entries, txns,
@@ -1310,6 +1364,7 @@ object TxLog {
     val already = latestVersion(spark, base).filter(v =>
       manifest(spark, base, v)._2.getOrElse(appId, -1L) >= batchId)
     if (already.isDefined) return already.get
+    requireNoIdentityColumns(spark, base, inserts.columns)
     // appended replica files keep every stats dimension the current
     // snapshot's entries carry (same contract as the other MOR/merge
     // verbs' preservedStatsCols) — a Z-ordered source's 2-D skipping
@@ -1955,11 +2010,13 @@ object TxLog {
       path = resolve(srcAbs, e.path),
       dv = e.dv.map(d => d.copy(dir = resolve(srcAbs, d.dir))),
       blooms = e.blooms.map(b => b.copy(dir = resolve(srcAbs, b.dir)))))
-    // the clone inherits the source's CHECK constraints (Delta clones
-    // carry table metadata): a writable dev copy of a constrained
-    // table must not silently accept rows the source would veto
+    // the clone inherits the source's CHECK constraints AND identity
+    // high-waters (Delta clones carry table metadata): a writable dev
+    // copy must neither accept rows the source would veto nor restart
+    // its identity allocation at 1 over cloned-in ids
     publishEntries(spark, dstBase, 1L, cloned, Map.empty,
-      Some(constraintsOf(spark, srcBase, v)))
+      Some(constraintsOf(spark, srcBase, v)),
+      identityOverride = Some(identityOf(spark, srcBase, v)))
     1L
   }
 

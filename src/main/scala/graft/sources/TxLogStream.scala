@@ -253,7 +253,9 @@ object TxLogSource {
     import org.apache.spark.sql.sources._
     def ok(v: Any): Boolean = v != null && (v.isInstanceOf[Number] ||
       v.isInstanceOf[String] || v.isInstanceOf[java.sql.Date] ||
-      v.isInstanceOf[java.time.LocalDate])
+      v.isInstanceOf[java.time.LocalDate] ||
+      v.isInstanceOf[java.sql.Timestamp] ||
+      v.isInstanceOf[java.time.Instant])
     f match {
       case EqualTo(c, v) if ok(v) => Seq((c, Some(v), Some(v)))
       case GreaterThan(c, v) if ok(v) => Seq((c, Some(v), None))
@@ -273,7 +275,9 @@ object TxLogSource {
     import org.apache.spark.sql.sources._
     def ok(v: Any): Boolean = v != null && (v.isInstanceOf[Number] ||
       v.isInstanceOf[String] || v.isInstanceOf[java.sql.Date] ||
-      v.isInstanceOf[java.time.LocalDate])
+      v.isInstanceOf[java.time.LocalDate] ||
+      v.isInstanceOf[java.sql.Timestamp] ||
+      v.isInstanceOf[java.time.Instant])
     f match {
       case In(c, vs) if vs.nonEmpty && vs.forall(ok) =>
         Seq((c, vs.toIndexedSeq))
@@ -290,6 +294,11 @@ object TxLogSource {
     * matching rows. */
   private def valueRepr(v: Any): String = v match {
     case f: java.lang.Float => f.floatValue().toDouble.toString
+    // timestamp stats are stored as epoch SECONDS (TxLog.statsDtype):
+    // the floor on both sides keeps range overlap sound
+    case t: java.sql.Timestamp =>
+      Math.floorDiv(t.getTime, 1000L).toString
+    case i: java.time.Instant => i.getEpochSecond.toString
     case other => other.toString
   }
 

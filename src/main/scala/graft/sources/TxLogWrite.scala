@@ -54,6 +54,15 @@ class TxLogWriteBuilder(base: String, info: LogicalWriteInfo)
 
 class TxLogWrite(base: String, info: LogicalWriteInfo, truncate: Boolean)
     extends Write {
+  // GENERATED ALWAYS: the sink is an insert path — a batch providing
+  // an identity column would bypass the high-water (which
+  // publishEntries carries forward even across overwrites) and
+  // collide with later appendIdentity allocations; checked on the
+  // driver at plan time
+  TxLog.requireNoIdentityColumns(
+    org.apache.spark.sql.SparkSession.active, base,
+    info.schema().fieldNames.toSeq)
+
   private val statsCols: Seq[String] =
     Option(info.options.get("statsColumns")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)

@@ -52,6 +52,49 @@ class TxLogIdentitySpec extends AnyFunSuite {
     }
   }
 
+  test("allocation is DENSE: a successful commit consumes exactly " +
+    "batch-size ids, so the id space cannot burn out") {
+    val base = "/tmp/graft_txid/dense"
+    TxLog.drop(spark, base)
+    TxLog.appendIdentity(df(100, "a"), base, "id") // 4 partitions
+    assert(TxLog.identityOf(spark, base, 1L)("id") == 100L,
+      "100 rows must consume exactly ids 1..100")
+    TxLog.appendIdentity(df(37, "b"), base, "id")
+    assert(TxLog.identityOf(spark, base, 2L)("id") == 137L)
+    assert(ids(base).sorted == (1L to 137L))
+  }
+
+  test("GENERATED ALWAYS holds on every insert path: append and the " +
+    "DSv2 sink reject batches providing the identity column; a " +
+    "shallow clone carries the high-water") {
+    val src = "/tmp/graft_txid/guard"
+    val dst = "/tmp/graft_txid/guard_clone"
+    TxLog.drop(spark, src)
+    TxLog.appendIdentity(df(100, "a"), src, "id")
+    import spark.implicits._
+    val withId = Seq((9999L, "x")).toDF("id", "s")
+    intercept[IllegalArgumentException] {
+      TxLog.append(withId, src)
+    }
+    intercept[IllegalArgumentException] {
+      withId.write.format("graft.sources.TxLogSource")
+        .mode("append").save(src)
+    }
+    // a batch WITHOUT the column still appends fine... via the
+    // identity verb (a plain append would leave id NULL in new files)
+    TxLog.appendIdentity(df(5, "b"), src, "id")
+    assert(ids(src).distinct.size == 105)
+    // the clone inherits the high-water: its next identity append
+    // starts ABOVE the cloned-in ids
+    TxLog.drop(spark, dst)
+    TxLog.cloneShallow(spark, src, dst)
+    TxLog.appendIdentity(df(10, "c"), dst, "id")
+    val cloneIds = ids(dst)
+    assert(cloneIds.distinct.size == 115,
+      s"clone identity must not collide: ${cloneIds.size} rows, " +
+        s"${cloneIds.distinct.size} distinct")
+  }
+
   test("a CAS loss to a concurrent identity append re-assigns from " +
     "the winner's high-water — no shared id ranges") {
     val base = "/tmp/graft_txid/race"

@@ -415,6 +415,14 @@ class TxLogMorSpec extends AnyFunSuite {
     val plan = TxLog.read(spark, base).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"small masks must broadcast:\n$plan")
+    // pushed TIMESTAMP filters prune files on the DSv2 path too: the
+    // 8-band table plans a handful of files for the narrow band
+    val src = spark.read.format("graft.sources.TxLogSource").load(base)
+    val narrow = src.where(col("ts").between(lit(lo), lit(hi)))
+    assert(narrow.rdd.getNumPartitions < 8,
+      s"pushed ts filters must prune: ${narrow.rdd.getNumPartitions}")
+    assert(narrow.count() == 0) // the band was MOR-deleted above
+    assert(src.rdd.getNumPartitions == 8)
   }
 
   test("a long mask-accumulation chain stays correct and folds flat: " +
