@@ -341,9 +341,11 @@ object TxLog {
     * appendOnce, applyChanges inserts, the DSv2 sink): a batch that
     * explicitly provides an identity column is rejected — otherwise
     * the high-water would not cover its ids and later [[appendIdentity]]
-    * calls would collide. Deliberately NOT applied to rewrite verbs
-    * (purge, compaction, COW DML, merges): those republish or replace
-    * EXISTING rows whose ids are already under the high-water. */
+    * calls would collide. NOT applied to rewrite verbs (purge,
+    * compaction, COW DML): those republish EXISTING ids. Merges run
+    * GENERATED-BY-DEFAULT instead — the id column is legitimately
+    * present (it can BE the merge key), and the high-water ADVANCES
+    * past any id the source carries ([[mergeIdentityAdvance]]). */
   private[graft] def requireNoIdentityColumns(
       spark: SparkSession, base: String,
       columns: Seq[String]): Unit = {
@@ -352,6 +354,41 @@ object TxLog {
       s"IDENTITY column(s) ${clash.mkString(", ")} are system-assigned " +
         "(GENERATED ALWAYS); an insert batch must not provide them — " +
         "use appendIdentity")
+  }
+
+  /** The per-identity-column maxima a merge SOURCE carries (one agg),
+    * for advancing the high-water at publish: a not-matched insert
+    * with an explicit id must never be re-issued by a later
+    * [[appendIdentity]]. Empty when the table has no identity column
+    * in the source's schema. */
+  private def sourceIdentityMaxes(spark: SparkSession, base: String,
+                                  source: DataFrame): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{col, max}
+    val present = latestIdentity(spark, base).keySet
+      .intersect(source.columns.toSet).toSeq.sorted
+    if (present.isEmpty) Map.empty
+    else {
+      val row = source.agg(
+        max(col(present.head)).cast("long"),
+        present.tail.map(c => max(col(c)).cast("long")): _*).head()
+      present.zipWithIndex.flatMap { case (c, i) =>
+        if (row.isNullAt(i)) None else Some(c -> row.getLong(i))
+      }.toMap
+    }
+  }
+
+  /** Identity override for a merge publish: the CURRENT high-waters
+    * advanced past the source's maxima. None when nothing advances
+    * (publishEntries then carries the latest map unchanged). */
+  private def mergeIdentityAdvance(spark: SparkSession, base: String,
+                                   cur: Long, maxes: Map[String, Long])
+      : Option[Map[String, Long]] = {
+    if (maxes.isEmpty) return None
+    val ident = identityOf(spark, base, cur)
+    val updated = maxes.foldLeft(ident) { case (m, (c, mx)) =>
+      m + (c -> math.max(m.getOrElse(c, 0L), mx))
+    }
+    if (updated == ident) None else Some(updated)
   }
 
   /** The file list of one published version (base-relative paths). */
@@ -542,10 +579,24 @@ object TxLog {
     * drop-then-re-add of the same name, which a before-land snapshot
     * would miss). */
   private[graft] def landEntriesChecked(df: DataFrame, base: String,
-                                        statsCols: Seq[String])
+                                        statsCols: Seq[String],
+                                        guardIdentity: Boolean = false)
       : (Seq[Entry], Map[String, String]) = {
     val spark = df.sparkSession
-    val cons = constraints(spark, base)
+    // ONE manifest read serves both meta checks (constraints + the
+    // identity guard) — a second listing per write is a network
+    // round trip wasted on object stores
+    val latestLines: Seq[String] = latestVersion(spark, base)
+      .map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
+    if (guardIdentity) {
+      val clash = parseIdentityLines(latestLines).keySet
+        .intersect(df.columns.toSet)
+      require(clash.isEmpty,
+        s"IDENTITY column(s) ${clash.mkString(", ")} are system-assigned " +
+          "(GENERATED ALWAYS); an insert batch must not provide them — " +
+          "use appendIdentity")
+    }
+    val cons = parseConstraintLines(latestLines)
     val entries = landEntriesRaw(df, base, statsCols)
     // the one choke point every data write passes through — CHECK
     // constraints veto the batch here, before any manifest publishes
@@ -846,8 +897,8 @@ object TxLog {
   def append(df: DataFrame, base: String, statsCol: Option[String] = None,
              maxAttempts: Int = 5): Long = {
     val spark = df.sparkSession
-    requireNoIdentityColumns(spark, base, df.columns)
-    val (entries, checked0) = landEntriesChecked(df, base, statsCol.toSeq)
+    val (entries, checked0) =
+      landEntriesChecked(df, base, statsCol.toSeq, guardIdentity = true)
     var checkedCons = checked0 // the set the land was ENFORCED under
     try withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base)
@@ -877,8 +928,8 @@ object TxLog {
     val already = latestVersion(spark, base).filter(v =>
       manifest(spark, base, v)._2.getOrElse(appId, -1L) >= batchId)
     if (already.isDefined) return already.get
-    requireNoIdentityColumns(spark, base, df.columns)
-    val (entries, checked0) = landEntriesChecked(df, base, statsCol.toSeq)
+    val (entries, checked0) =
+      landEntriesChecked(df, base, statsCol.toSeq, guardIdentity = true)
     var checkedCons = checked0
     try withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base)
@@ -978,6 +1029,9 @@ object TxLog {
         throw new IllegalStateException(s"no committed version at $base"))
     }
     val (lo, hi) = (bounds.getString(0), bounds.getString(1))
+    // GENERATED BY DEFAULT on merges: the high-water advances past any
+    // explicit id the source carries (one agg, computed once)
+    val idMaxes = sourceIdentityMaxes(spark, base, source)
     withCasRetry(maxAttempts) { attempt =>
       val cur = latestVersion(spark, base)
       val (entries, txns) = cur.map(manifest(spark, base, _))
@@ -993,8 +1047,12 @@ object TxLog {
       val newEntries = landEntriesMulti(merged, base,
         preservedStatsCols(touched, Seq(statsCol), merged.schema))
       val v = cur.getOrElse(0L) + 1L
-      try { publishEntries(spark, base, v, carried ++ newEntries, txns); v }
-      catch {
+      try {
+        publishEntries(spark, base, v, carried ++ newEntries, txns,
+          identityOverride = cur.flatMap(
+            mergeIdentityAdvance(spark, base, _, idMaxes)))
+        v
+      } catch {
         case e: CommitConflictException => // this attempt's land is dead
           discard(spark, base, newEntries.map(_.path)); throw e
       }
@@ -1231,6 +1289,9 @@ object TxLog {
         throw new IllegalStateException(s"no committed version at $base"))
     }
     val (lo, hi) = (bounds.getString(0), bounds.getString(1))
+    // GENERATED BY DEFAULT on merges: advance the high-water past any
+    // explicit id the source carries (one agg, computed once)
+    val idMaxes = sourceIdentityMaxes(spark, base, source)
     withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
@@ -1243,7 +1304,8 @@ object TxLog {
       def publishWith(masked: Seq[Entry], dvDir: Option[String]): Long =
         try {
           publishEntries(spark, base, cur + 1L,
-            carried ++ masked ++ newEntries, txns)
+            carried ++ masked ++ newEntries, txns,
+            identityOverride = mergeIdentityAdvance(spark, base, cur, idMaxes))
           cur + 1L
         } catch {
           case e: CommitConflictException =>
@@ -1303,30 +1365,43 @@ object TxLog {
       // WITHIN-partition row index (the low 33 bits of Spark's
       // monotonic id). The naive `water + monotonic id` would burn
       // ~2^33 ids per partition per commit and eventually wrap Long;
-      // this consumes exactly batch-size ids per commit.
-      val withPid = df.withColumn("__pid", spark_partition_id())
-      val counts = withPid.groupBy("__pid").agg(count(lit(1)).as("__n"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
-        (pid, acc + n)
-      }
-      val offMap = counts.map(_._1).zip(offsets.map(_._2)).toMap
-      import spark.implicits._
-      val offDf = offMap.toSeq.toDF("__pid", "__off")
-      val rowInPart =
-        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
-      val assigned = withPid
-        .join(org.apache.spark.sql.functions.broadcast(offDf), "__pid")
-        .withColumn(idCol, lit(water) + lit(1L) + col("__off") + rowInPart)
-        .drop("__pid", "__off")
-      val entries = landEntriesMulti(assigned, base,
-        (Seq(idCol) ++ statsCol).distinct)
+      // this consumes exactly batch-size ids per commit. The batch is
+      // PERSISTED across the count and the land — a source that
+      // changed (or a nondeterministic plan) between two evaluations
+      // would otherwise overrun a partition's offset range (duplicate
+      // ids) or drop rows whose partition the count never saw.
+      val withPid = df.withColumn("__pid", spark_partition_id()).persist()
+      val entries =
+        try {
+          val counts = withPid.groupBy("__pid").agg(count(lit(1)).as("__n"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+          val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+            (pid, acc + n)
+          }
+          val offMap = counts.map(_._1).zip(offsets.map(_._2)).toMap
+          import spark.implicits._
+          val offDf = offMap.toSeq.toDF("__pid", "__off")
+          val rowInPart =
+            monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+          val assigned = withPid
+            .join(org.apache.spark.sql.functions.broadcast(offDf), "__pid")
+            .withColumn(idCol, lit(water) + lit(1L) + col("__off") + rowInPart)
+            .drop("__pid", "__off")
+          landEntriesMulti(assigned, base, (Seq(idCol) ++ statsCol).distinct)
+        } finally withPid.unpersist()
       // the new high-water comes from the LANDED files' stats — the
-      // same bytes any later reader or skip decision will trust
-      val newWater = entries.flatMap(_.statsFor(idCol))
-        .map(_.max.toLong).foldLeft(water)(math.max)
-      require(newWater >= water,
-        s"identity overflow: high-water $water -> $newWater")
+      // same bytes any later reader or skip decision will trust. Every
+      // landed min must sit ABOVE the old water: a Long wrap (or any
+      // allocation bug) surfaces as an id at/below it and vetoes the
+      // commit before anything publishes.
+      val landedIds = entries.flatMap(_.statsFor(idCol))
+      landedIds.find(_.min.toLong <= water).foreach { bad =>
+        discard(spark, base, entries.map(_.path))
+        throw new IllegalStateException(
+          s"identity overflow/misallocation: landed min ${bad.min} is " +
+            s"not above the high-water $water")
+      }
+      val newWater = landedIds.map(_.max.toLong).foldLeft(water)(math.max)
       val v = cur.getOrElse(0L) + 1L
       try {
         publishEntries(spark, base, v, prev ++ entries, txns,
@@ -1364,7 +1439,6 @@ object TxLog {
     val already = latestVersion(spark, base).filter(v =>
       manifest(spark, base, v)._2.getOrElse(appId, -1L) >= batchId)
     if (already.isDefined) return already.get
-    requireNoIdentityColumns(spark, base, inserts.columns)
     // appended replica files keep every stats dimension the current
     // snapshot's entries carry (same contract as the other MOR/merge
     // verbs' preservedStatsCols) — a Z-ordered source's 2-D skipping
@@ -1376,7 +1450,7 @@ object TxLog {
         .filter(inserts.schema.fieldNames.contains)
     }
     val (newEntries0, checked0) =
-      landEntriesChecked(inserts, base, statsCols)
+      landEntriesChecked(inserts, base, statsCols, guardIdentity = true)
     val newEntries = newEntries0.filter(_.rows != 0L)
     var checkedCons = checked0
     val castT = castType(statsDtype(deleteKeys.schema(statsCol).dataType))

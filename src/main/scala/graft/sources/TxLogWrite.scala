@@ -151,7 +151,7 @@ class TxLogBatchWrite(base: String, schema: StructType,
     val spark = org.apache.spark.sql.SparkSession.active
     val entries = TxLogWriteCommit.toEntries(messages)
     TxLogWriteCommit.publishWithRetry(spark, base, entries,
-      replaceAll = truncate)
+      replaceAll = truncate, schemaCols = schema.fieldNames.toSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -172,7 +172,8 @@ class TxLogStreamingWrite(base: String, schema: StructType,
     val spark = org.apache.spark.sql.SparkSession.active
     val entries = TxLogWriteCommit.toEntries(messages)
     TxLogWriteCommit.publishEpochWithRetry(spark, base, entries,
-      appId = s"sink-$queryId", epochId = epochId)
+      appId = s"sink-$queryId", epochId = epochId,
+      schemaCols = schema.fieldNames.toSeq)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -200,7 +201,11 @@ object TxLogWriteCommit {
   def publishWithRetry(spark: org.apache.spark.sql.SparkSession,
                        base: String, entries: Seq[TxLog.Entry],
                        replaceAll: Boolean, maxAttempts: Int = 5,
-                       onAttempt: Int => Unit = _ => ()): Long = {
+                       onAttempt: Int => Unit = _ => (),
+                       schemaCols: Seq[String] = Seq.empty): Long = {
+    // GENERATED ALWAYS at COMMIT time (the plan-time check alone would
+    // let an identity column established after planning slip through)
+    TxLog.requireNoIdentityColumns(spark, base, schemaCols)
     // CHECK constraints veto the write here (landed files discarded)
     // before any manifest publishes — same contract as the API verbs.
     // `checked` records the set enforcement ACTUALLY ran under, so a
@@ -228,7 +233,8 @@ object TxLogWriteCommit {
   def publishEpochWithRetry(spark: org.apache.spark.sql.SparkSession,
                             base: String, entries: Seq[TxLog.Entry],
                             appId: String, epochId: Long,
-                            maxAttempts: Int = 5): Long = {
+                            maxAttempts: Int = 5,
+                            schemaCols: Seq[String] = Seq.empty): Long = {
     // enforcement is deferred until we KNOW the epoch is not a replay:
     // a replayed epoch must stay a silent no-op even if the table
     // gained a constraint its (already-committed, possibly since-
@@ -248,6 +254,11 @@ object TxLogWriteCommit {
         }
         cur.get
       } else {
+        // a replayed epoch must stay a no-op even against identity
+        // metadata added later, so the GENERATED ALWAYS check also
+        // waits until we KNOW this epoch is new
+        if (checked.isEmpty)
+          TxLog.requireNoIdentityColumns(spark, base, schemaCols)
         checked = Some(checked match {
           case None =>
             val cons = TxLog.constraints(spark, base)
@@ -279,9 +290,14 @@ class StatsTracker(idx: Int, name: String, dt: DataType)
   def update(row: InternalRow): Unit = {
     if (row.isNullAt(idx)) return
     dt match {
-      case LongType | IntegerType | ShortType | ByteType | DateType =>
+      case LongType | IntegerType | ShortType | ByteType | DateType |
+           TimestampType =>
         val v = dt match {
           case LongType => row.getLong(idx)
+          // timestamp stats are epoch SECONDS everywhere (TxLog
+          // .statsDtype / valueRepr) — the internal value is MICROS;
+          // writing micros here would silently break pruning
+          case TimestampType => Math.floorDiv(row.getLong(idx), 1000000L)
           case IntegerType | DateType => row.getInt(idx).toLong
           case ShortType => row.getShort(idx).toLong
           case _ => row.getByte(idx).toLong
