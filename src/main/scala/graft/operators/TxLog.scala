@@ -348,8 +348,19 @@ object TxLog {
     * past any id the source carries ([[mergeIdentityAdvance]]). */
   private[graft] def requireNoIdentityColumns(
       spark: SparkSession, base: String,
-      columns: Seq[String]): Unit = {
-    val clash = latestIdentity(spark, base).keySet.intersect(columns.toSet)
+      columns: Seq[String]): Unit =
+    failOnIdentityClash(latestIdentity(spark, base).keySet, columns)
+
+  /** Case-INSENSITIVE identity-vs-batch-columns clash check: Spark
+    * resolves columns case-insensitively by default, so a batch
+    * providing ROW_ID must not slip past a guard on row_id (ids the
+    * high-water never covered would collide with later
+    * [[appendIdentity]] calls). Mirrors the lowercase matching the
+    * constraint missing-column check uses. */
+  private def failOnIdentityClash(identityCols: Set[String],
+                                  columns: Seq[String]): Unit = {
+    val lower = identityCols.map(_.toLowerCase)
+    val clash = columns.filter(c => lower.contains(c.toLowerCase))
     require(clash.isEmpty,
       s"IDENTITY column(s) ${clash.mkString(", ")} are system-assigned " +
         "(GENERATED ALWAYS); an insert batch must not provide them — " +
@@ -364,15 +375,22 @@ object TxLog {
   private def sourceIdentityMaxes(spark: SparkSession, base: String,
                                   source: DataFrame): Map[String, Long] = {
     import org.apache.spark.sql.functions.{col, max}
-    val present = latestIdentity(spark, base).keySet
-      .intersect(source.columns.toSet).toSeq.sorted
+    // case-insensitive match (Spark's default column resolution): the
+    // high-water must advance even when the source spells the identity
+    // column ROW_ID — but the map key stays the table's canonical name
+    val byLower = latestIdentity(spark, base).keySet
+      .map(c => c.toLowerCase -> c).toMap
+    val present = source.columns.toSeq
+      .flatMap(sc => byLower.get(sc.toLowerCase).map(canon => (sc, canon)))
+      .sortBy(_._2)
     if (present.isEmpty) Map.empty
     else {
       val row = source.agg(
-        max(col(present.head)).cast("long"),
-        present.tail.map(c => max(col(c)).cast("long")): _*).head()
-      present.zipWithIndex.flatMap { case (c, i) =>
-        if (row.isNullAt(i)) None else Some(c -> row.getLong(i))
+        max(col(present.head._1)).cast("long"),
+        present.tail.map { case (sc, _) => max(col(sc)).cast("long") }: _*)
+        .head()
+      present.zipWithIndex.flatMap { case ((_, canon), i) =>
+        if (row.isNullAt(i)) None else Some(canon -> row.getLong(i))
       }.toMap
     }
   }
@@ -588,14 +606,9 @@ object TxLog {
     // round trip wasted on object stores
     val latestLines: Seq[String] = latestVersion(spark, base)
       .map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
-    if (guardIdentity) {
-      val clash = parseIdentityLines(latestLines).keySet
-        .intersect(df.columns.toSet)
-      require(clash.isEmpty,
-        s"IDENTITY column(s) ${clash.mkString(", ")} are system-assigned " +
-          "(GENERATED ALWAYS); an insert batch must not provide them — " +
-          "use appendIdentity")
-    }
+    if (guardIdentity)
+      failOnIdentityClash(parseIdentityLines(latestLines).keySet,
+        df.columns.toSeq)
     val cons = parseConstraintLines(latestLines)
     val entries = landEntriesRaw(df, base, statsCols)
     // the one choke point every data write passes through — CHECK
@@ -1401,6 +1414,27 @@ object TxLog {
           s"identity overflow/misallocation: landed min ${bad.min} is " +
             s"not above the high-water $water")
       }
+      // uniqueness is load-bearing (a duplicate id silently corrupts
+      // every downstream join), and the assignment above leans on the
+      // broadcast join preserving the persisted batch's partition
+      // order — so verify the LANDED bytes directly: distinct ids must
+      // equal rows. One single-column scan + distinct over the NEW
+      // batch only (O(batch), like the stats pass), vetoing the commit
+      // before anything publishes if the plan shape ever breaks.
+      locally {
+        val totalRows = entries.map(_.rows).sum
+        val distinctIds =
+          if (entries.isEmpty) 0L
+          else spark.read.parquet(entries.map(e => resolve(base, e.path)): _*)
+            .select(idCol).distinct().count()
+        if (distinctIds != totalRows) {
+          discard(spark, base, entries.map(_.path))
+          throw new IllegalStateException(
+            s"identity misallocation: $distinctIds distinct ids over " +
+              s"$totalRows landed rows — duplicate ids vetoed before " +
+              "publish")
+        }
+      }
       val newWater = landedIds.map(_.max.toLong).foldLeft(water)(math.max)
       val v = cur.getOrElse(0L) + 1L
       try {
@@ -1585,7 +1619,12 @@ object TxLog {
       if (indexable.isEmpty) cur
       else {
         val m = math.max(64L, bitsPerRow.toLong * indexable.map(_.rows).max)
-        val raw = spark.read
+        // mergeSchema: on a schema-evolved table the column may be
+        // absent from older files — plain inference from an arbitrary
+        // footer could miss it (AnalysisException) or pick a stale
+        // dtype for the BloomRef, breaking probe-time cast alignment;
+        // the union schema is the one readEvolved serves readers
+        val raw = spark.read.option("mergeSchema", "true")
           .parquet(indexable.map(e => resolve(base, e.path)): _*)
         val dtype = raw.schema(column).dataType.catalogString
         val bits = raw

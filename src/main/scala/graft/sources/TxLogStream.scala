@@ -195,6 +195,14 @@ object TxLogSource {
     * files costs one O(sidecar rows) pass, not F of them. Bulk
     * analytics over heavily-masked snapshots still belong on
     * [[TxLog.read]], whose anti-join applies masks distributed. */
+  /** Hard cap on the total masked-row positions the DSv2 planner will
+    * materialize on the driver (each is a Long serialized into its
+    * file's InputPartition): 16M positions ≈ 128 MB. The manifest
+    * carries every entry's dv.rows, so the bound is checked from
+    * metadata BEFORE any sidecar byte is read. Override with
+    * `spark.graft.txlog.dsv2MaxMaskRows`. */
+  private val DefaultMaxMaskRows = 16L * 1000 * 1000
+
   private[sources] def dvPositionsByFile(base: String,
                                          entries: Seq[TxLog.Entry],
                                          conf: Configuration)
@@ -202,6 +210,19 @@ object TxLogSource {
     import scala.collection.mutable
     val dved = entries.filter(_.dv.isDefined)
     if (dved.isEmpty) return Map.empty
+    // a heavily-masked snapshot (high-churn MOR table) would OOM the
+    // driver and bloat task serialization here — refuse from manifest
+    // metadata alone and point at the scale-safe paths instead
+    val totalMask = dved.map(_.dv.get.rows).sum
+    val maxMask = scala.util.Try(SparkSession.active.conf
+      .get("spark.graft.txlog.dsv2MaxMaskRows").toLong)
+      .getOrElse(DefaultMaxMaskRows)
+    require(totalMask <= maxMask,
+      s"snapshot carries $totalMask deletion-vector positions, above " +
+        s"the DSv2 driver-side limit $maxMask " +
+        "(spark.graft.txlog.dsv2MaxMaskRows): read through TxLog.read " +
+        "(distributed anti-join mask), or run TxLog.purgeDeletes to " +
+        "materialize the masks first")
     dved.groupBy(_.dv.get.dir).toSeq.flatMap { case (dir, es) =>
       val wanted = es.map(e => TxLog.fileName(e.path) -> e.path).toMap
       val buckets = mutable.Map.empty[String, mutable.ArrayBuilder[Long]]

@@ -54,15 +54,6 @@ class TxLogWriteBuilder(base: String, info: LogicalWriteInfo)
 
 class TxLogWrite(base: String, info: LogicalWriteInfo, truncate: Boolean)
     extends Write {
-  // GENERATED ALWAYS: the sink is an insert path — a batch providing
-  // an identity column would bypass the high-water (which
-  // publishEntries carries forward even across overwrites) and
-  // collide with later appendIdentity allocations; checked on the
-  // driver at plan time
-  TxLog.requireNoIdentityColumns(
-    org.apache.spark.sql.SparkSession.active, base,
-    info.schema().fieldNames.toSeq)
-
   private val statsCols: Seq[String] =
     Option(info.options.get("statsColumns")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
@@ -75,8 +66,20 @@ class TxLogWrite(base: String, info: LogicalWriteInfo, truncate: Boolean)
     TxLogWriteSupport.statsDtype(info.schema()(c).dataType)
   }
 
-  override def toBatch: BatchWrite =
+  override def toBatch: BatchWrite = {
+    // GENERATED ALWAYS: the sink is an insert path — a batch providing
+    // an identity column would bypass the high-water and collide with
+    // later appendIdentity allocations; checked eagerly on the driver
+    // for BATCH writes only. The streaming path defers the check to
+    // commit time (publishEpochWithRetry): a restarted stream replaying
+    // an already-committed epoch must stay a silent no-op even if the
+    // table gained a matching identity column since — failing at plan
+    // time would break exactly-once restart recovery.
+    TxLog.requireNoIdentityColumns(
+      org.apache.spark.sql.SparkSession.active, base,
+      info.schema().fieldNames.toSeq)
     new TxLogBatchWrite(base, info.schema(), statsCols, truncate)
+  }
   override def toStreaming: StreamingWrite = {
     require(!truncate,
       "the txlog streaming sink is append-only (complete/update output " +
