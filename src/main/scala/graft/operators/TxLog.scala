@@ -253,43 +253,195 @@ object TxLog {
   private def manifestPath(base: String, v: Long) =
     new Path(f"$base/$LogDir/v$v%020d.txt")
 
+  /** Periodic full-snapshot checkpoint of version v (the Delta
+    * `.checkpoint.parquet` analog): every entry line of the snapshot,
+    * in the legacy full-manifest format. Readers resolve a snapshot
+    * from the nearest checkpoint plus the delta commits after it —
+    * never by replaying the whole log. */
+  private def ckptPath(base: String, v: Long) =
+    new Path(f"$base/$LogDir/v$v%020d.ckpt.txt")
+
+  /** `_last_checkpoint` pointer (Delta's identical file): one line
+    * holding the newest checkpointed version, so [[latestVersion]]
+    * probes forward from it instead of listing the whole `_log` dir.
+    * Purely a HINT — missing/stale/torn pointers fall back to a full
+    * listing; correctness never depends on it. */
+  private def pointerPath(base: String) =
+    new Path(s"$base/$LogDir/_last_checkpoint")
+
+  /** Marker line that makes a commit file a DELTA (changes against
+    * version v-1) instead of a full snapshot. Delta data lines are
+    * `-\t<path>` (file removed) and `+\t<entry line>` (file added, or
+    * replaced when the path already exists — a DV/bloom re-reference).
+    * Meta lines (`#constraint`/`#identity`/`#txn`/`#nodatachange`)
+    * stay FULL in every commit — they are O(apps + constraints), not
+    * O(files), so the latest commit alone answers every meta read. */
+  private val DeltaMarker = "#delta"
+
+  private def checkpointInterval(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.txlog.checkpointInterval")
+      .map(_.toInt).getOrElse(10)
+
   private def parseVersion(name: String): Option[Long] =
-    if (name.startsWith("v") && name.endsWith(".txt"))
+    if (name.startsWith("v") && name.endsWith(".txt") &&
+        !name.endsWith(".ckpt.txt"))
       name.stripPrefix("v").stripSuffix(".txt").toLongOption
     else None
 
-  /** Highest published version, or None for an empty store. */
-  def latestVersion(spark: SparkSession, base: String): Option[Long] = {
-    val dir = new Path(s"$base/$LogDir")
+  private def parseCkptVersion(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".ckpt.txt"))
+      name.stripPrefix("v").stripSuffix(".ckpt.txt").toLongOption
+    else None
+
+  private def readPointer(spark: SparkSession, base: String): Option[Long] = {
     val f = fs(base, spark)
-    if (!f.exists(dir)) None
-    else f.listStatus(dir).toSeq
-      .flatMap(st => parseVersion(st.getPath.getName))
-      .maxOption
+    val p = pointerPath(base)
+    try {
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList.headOption
+        finally in.close()
+        line.flatMap(_.trim.toLongOption)
+      }
+    } catch { case _: java.io.IOException => None } // torn/racing: hint only
   }
 
-  private def manifestLines(spark: SparkSession, base: String,
-                            v: Long): Seq[String] = {
+  /** Point `_last_checkpoint` at `v` — monotone (never regress a
+    * fresher writer's pointer) and best-effort: the pointer is a hint,
+    * so an IO failure here must never fail a committed write. */
+  private def advancePointer(spark: SparkSession, base: String,
+                             v: Long): Unit =
+    try {
+      if (readPointer(spark, base).forall(_ < v)) {
+        val f = fs(base, spark)
+        val out = f.create(pointerPath(base), true)
+        try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+      }
+    } catch { case _: java.io.IOException => () }
+
+  /** Highest published version, or None for an empty store. With a
+    * `_last_checkpoint` pointer the resolution is O(commits since the
+    * checkpoint) existence probes — never a listing of the whole
+    * `_log` dir (which grows with history on a long-lived table);
+    * versions are dense (CAS-assigned), so probing forward from the
+    * pointer until the first gap is exact. */
+  def latestVersion(spark: SparkSession, base: String): Option[Long] = {
     val f = fs(base, spark)
-    val in = f.open(manifestPath(base, v))
+    readPointer(spark, base) match {
+      case Some(c) if f.exists(manifestPath(base, c)) =>
+        var v = c
+        while (f.exists(manifestPath(base, v + 1))) v += 1
+        Some(v)
+      case _ => // no/torn/vacuum-stale pointer: full listing fallback
+        val dir = new Path(s"$base/$LogDir")
+        if (!f.exists(dir)) None
+        else f.listStatus(dir).toSeq
+          .flatMap(st => parseVersion(st.getPath.getName))
+          .maxOption
+    }
+  }
+
+  private def linesOf(spark: SparkSession, base: String,
+                      p: Path): Seq[String] = {
+    val in = fs(base, spark).open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
     finally in.close()
   }
 
+  private def manifestLines(spark: SparkSession, base: String,
+                            v: Long): Seq[String] =
+    linesOf(spark, base, manifestPath(base, v))
+
+  // ---- snapshot resolution (checkpoint + delta replay) -------------
+
+  /** Driver-side LRU of resolved snapshots. Commit files are immutable
+    * once published, so caching is sound; every hit re-checks the
+    * commit file still EXISTS (another process's vacuum must surface
+    * as the same FileNotFound a cold read would give, not a stale
+    * resurrection). Oversized snapshots are not cached (bounding
+    * driver memory at ~LRU×cap entry objects). */
+  private val SnapCacheSnapshots = 16
+  private val SnapCacheMaxEntries = 200000
+  private val snapCache =
+    new java.util.LinkedHashMap[(String, Long), Seq[Entry]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Seq[Entry]]): Boolean =
+        size() > SnapCacheSnapshots
+    }
+  private def cacheGet(base: String, v: Long): Option[Seq[Entry]] =
+    snapCache.synchronized(Option(snapCache.get((base, v))))
+  private def cachePut(base: String, v: Long, es: Seq[Entry]): Unit =
+    if (es.size <= SnapCacheMaxEntries)
+      snapCache.synchronized(snapCache.put((base, v), es))
+  private def cachePurge(base: String): Unit = snapCache.synchronized {
+    val it = snapCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1 == base) it.remove()
+  }
+
+  /** Apply one delta commit's data lines to the previous snapshot:
+    * removes drop by path, upserts replace-by-path or append. Carried
+    * entries keep their relative order; upserted ones follow, in delta
+    * order (entry sets, not order, are the semantic content). */
+  private def applyDelta(prev: Seq[Entry], lines: Seq[String]): Seq[Entry] = {
+    val data = lines.filterNot(_.startsWith("#"))
+    val removes = data.collect { case l if l.startsWith("-\t") => l.drop(2) }
+      .toSet
+    val upserts = data.collect { case l if l.startsWith("+\t") =>
+      parseLine(l.drop(2)) }
+    val upsertPaths = upserts.map(_.path).toSet
+    prev.filterNot(e => removes.contains(e.path) ||
+      upsertPaths.contains(e.path)) ++ upserts
+  }
+
+  /** The resolved entry list of version `v`: nearest checkpoint at or
+    * below v, plus the delta commits after it — or the commit file
+    * itself when it is a full snapshot (legacy manifests, and every
+    * pre-delta table). Recursion depth is bounded by the checkpoint
+    * interval. Version 0 is the empty store. */
+  private def snapshotEntries(spark: SparkSession, base: String,
+                              v: Long): Seq[Entry] = {
+    if (v == 0L) return Seq.empty
+    cacheGet(base, v) match {
+      case Some(es) if fs(base, spark).exists(manifestPath(base, v)) => es
+      case _ =>
+        val f = fs(base, spark)
+        val ck = ckptPath(base, v)
+        val es =
+          if (f.exists(ck))
+            linesOf(spark, base, ck).filterNot(_.startsWith("#")).map(parseLine)
+          else entriesFromLines(spark, base, v, manifestLines(spark, base, v))
+        cachePut(base, v, es)
+        es
+    }
+  }
+
+  /** Entries of version `v` given its commit file's lines (full
+    * snapshot parses directly; a delta replays onto v-1's snapshot). */
+  private def entriesFromLines(spark: SparkSession, base: String, v: Long,
+                               lines: Seq[String]): Seq[Entry] =
+    if (lines.contains(DeltaMarker))
+      applyDelta(snapshotEntries(spark, base, v - 1), lines)
+    else lines.filterNot(_.startsWith("#")).map(parseLine)
+
   /** Entries plus idempotency metadata (appId → highest applied
     * batchId) of one published version. */
   def manifest(spark: SparkSession, base: String,
                v: Long): (Seq[Entry], Map[String, Long]) = {
-    val (meta, data) = manifestLines(spark, base, v).partition(_.startsWith("#"))
-    val txns = meta.collect { case l if l.startsWith("#txn\t") =>
+    val lines = manifestLines(spark, base, v)
+    val txns = lines.collect { case l if l.startsWith("#txn\t") =>
       l.split('\t') match {
         case Array(_, app, b) => dec(app) -> b.toLong
         case other => throw new IllegalStateException(
           s"malformed txn line: $l (${other.length} fields)")
       }
     }.toMap
-    (data.map(parseLine), txns)
+    // entry resolution goes through snapshotEntries (cache + nearest
+    // checkpoint): after a vacuum, a delta commit's ancestry is gone
+    // and only the checkpoint can resolve it
+    (snapshotEntries(spark, base, v), txns)
   }
 
   private def parseConstraintLines(lines: Seq[String]): Map[String, String] =
@@ -417,6 +569,38 @@ object TxLog {
     * each file's deletion vector (if any) applied. */
   def readVersion(spark: SparkSession, base: String, v: Long): DataFrame =
     readEntries(spark, base, manifest(spark, base, v)._1)
+
+  /** Resolve a wall-clock instant to a version (Delta `TIMESTAMP AS
+    * OF` boundary rule): the LATEST version whose commit time is at
+    * or before `tsMillis`; an instant before the first surviving
+    * commit is an error (Delta's identical contract — an instant
+    * after the last commit resolves to the latest version). Commit
+    * times are the log files' modification times, the same clock
+    * Delta's own timestamp resolution reads. A maintenance verb (one
+    * `_log` listing), not a query-path one. */
+  def versionAtTimestamp(spark: SparkSession, base: String,
+                         tsMillis: Long): Long = {
+    val f = fs(base, spark)
+    val dir = new Path(s"$base/$LogDir")
+    val stamped: Seq[(Long, Long)] =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq.flatMap(st =>
+        parseVersion(st.getPath.getName).map(_ -> st.getModificationTime))
+    require(stamped.nonEmpty, s"no committed version at $base")
+    stamped.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse {
+      val first = stamped.minBy(_._1)
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis (${java.time.Instant.ofEpochMilli(tsMillis)}) " +
+          s"is before the earliest available version ${first._1} " +
+          s"(committed ${java.time.Instant.ofEpochMilli(first._2)})")
+    }
+  }
+
+  /** Time-travel read at a wall-clock instant ([[versionAtTimestamp]]
+    * + [[readVersion]]). */
+  def readTimestampAsOf(spark: SparkSession, base: String,
+                        tsMillis: Long): DataFrame =
+    readVersion(spark, base, versionAtTimestamp(spark, base, tsMillis))
 
   /** Snapshot read of the latest published version. */
   def read(spark: SparkSession, base: String): DataFrame = {
@@ -808,14 +992,29 @@ object TxLog {
       .getOrElse(parseConstraintLines(latestLines))
     val ident = identityOverride
       .getOrElse(parseIdentityLines(latestLines))
-    val lines =
+    val metaLines =
       (if (dataChange) Seq.empty else Seq("#nodatachange")) ++
       cons.toSeq.sortBy(_._1).map { case (n, ex) =>
         s"#constraint\t${enc(n)}\t${enc(ex)}" } ++
       ident.toSeq.sortBy(_._1).map { case (c, hw) =>
         s"#identity\t${enc(c)}\t$hw" } ++
-      txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn\t${enc(a)}\t$b" } ++
-        entries.map(serLine)
+      txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn\t${enc(a)}\t$b" }
+    // O(change) delta commit: only the entries that differ from the
+    // v-1 snapshot are written — an append to a 10^5-file table
+    // writes its handful of new lines, not megabytes of carried paths,
+    // and a streaming sink's per-epoch commit cost stops growing with
+    // table size. Meta lines stay full (they are O(constraints+apps)).
+    // The v-1 resolution normally comes straight from the snapshot
+    // cache — every caller just read it to build `entries`.
+    val prev = if (v <= 1L) Seq.empty
+               else snapshotEntries(spark, base, v - 1)
+    val prevSer = prev.map(e => e.path -> serLine(e)).toMap
+    val newPaths = entries.map(_.path).toSet
+    val removes = prev.map(_.path).filterNot(newPaths.contains)
+    val upserts = entries.filter(e => !prevSer.get(e.path).contains(serLine(e)))
+    val lines = DeltaMarker +: (metaLines ++
+      removes.map(p => s"-\t$p") ++
+      upserts.map(e => s"+\t${serLine(e)}"))
     val f = fs(base, spark)
     f.mkdirs(new Path(s"$base/$LogDir"))
     val tmp = new Path(
@@ -863,6 +1062,34 @@ object TxLog {
           throw new CommitConflictException(v)
       }
     }
+    // the commit is durable from here: cache the snapshot we just
+    // built, and checkpoint periodically. Both are best-effort — a
+    // failure AFTER a successful CAS must never propagate (callers
+    // would discard data a published manifest references).
+    cachePut(base, v, entries)
+    if (v % checkpointInterval(spark) == 0)
+      try {
+        writeCheckpointFile(spark, base, v, metaLines, entries)
+        advancePointer(spark, base, v)
+      } catch { case _: java.io.IOException => () }
+  }
+
+  /** Write the full-snapshot checkpoint for version `v` (tmp +
+    * rename-overwrite: v's CAS winner is the unique writer, the
+    * rename only shields readers from a torn file). Content is the
+    * legacy full-manifest format, so a checkpoint doubles as a
+    * self-contained manifest. */
+  private def writeCheckpointFile(spark: SparkSession, base: String, v: Long,
+                                  metaLines: Seq[String],
+                                  entries: Seq[Entry]): Unit = {
+    val f = fs(base, spark)
+    val lines = metaLines ++ entries.map(serLine)
+    val tmp = new Path(s"$base/$LogDir/.ckpt-tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    try fc(base, spark).rename(tmp, ckptPath(base, v), Options.Rename.OVERWRITE)
+    catch { case e: java.io.IOException => f.delete(tmp, false); throw e }
   }
 
   /** Discard a landed-but-unpublished txn's files (conflict loser). */
@@ -910,8 +1137,11 @@ object TxLog {
   def append(df: DataFrame, base: String, statsCol: Option[String] = None,
              maxAttempts: Int = 5): Long = {
     val spark = df.sparkSession
-    val (entries, checked0) =
+    val (entries0, checked0) =
       landEntriesChecked(df, base, statsCol.toSeq, guardIdentity = true)
+    // keep the bloom index's coverage incremental: new files join the
+    // existing groups at commit time (one O(batch) pass, no rebuild)
+    val (entries, bloomDirs) = indexNewEntries(spark, base, entries0)
     var checkedCons = checked0 // the set the land was ENFORCED under
     try withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base)
@@ -925,7 +1155,9 @@ object TxLog {
       v
     } catch {
       case e: CommitConflictException =>
-        discard(spark, base, entries.map(_.path)); throw e
+        discard(spark, base, entries.map(_.path))
+        bloomDirs.foreach(discardDir(spark, base, _))
+        throw e
     }
   }
 
@@ -941,8 +1173,13 @@ object TxLog {
     val already = latestVersion(spark, base).filter(v =>
       manifest(spark, base, v)._2.getOrElse(appId, -1L) >= batchId)
     if (already.isDefined) return already.get
-    val (entries, checked0) =
+    val (entries0, checked0) =
       landEntriesChecked(df, base, statsCol.toSeq, guardIdentity = true)
+    val (entries, bloomDirs) = indexNewEntries(spark, base, entries0)
+    def dropAll(): Unit = {
+      discard(spark, base, entries.map(_.path))
+      bloomDirs.foreach(discardDir(spark, base, _))
+    }
     var checkedCons = checked0
     try withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base)
@@ -951,7 +1188,7 @@ object TxLog {
         .getOrElse((Seq.empty[Entry], Map.empty[String, Long]))
       if (txns.getOrElse(appId, -1L) >= batchId) {
         // a racing replica applied this batch between our check and now
-        discard(spark, base, entries.map(_.path))
+        dropAll()
         cur.get
       } else {
         val v = cur.getOrElse(0L) + 1L
@@ -960,8 +1197,7 @@ object TxLog {
         v
       }
     } catch {
-      case e: CommitConflictException =>
-        discard(spark, base, entries.map(_.path)); throw e
+      case e: CommitConflictException => dropAll(); throw e
     }
   }
 
@@ -1108,7 +1344,7 @@ object TxLog {
     dir
   }
 
-  private def discardDir(spark: SparkSession, base: String,
+  private[graft] def discardDir(spark: SparkSession, base: String,
                          dir: String): Unit =
     fs(base, spark).delete(new Path(s"$base/$dir"), true)
 
@@ -1132,22 +1368,40 @@ object TxLog {
                      residual: org.apache.spark.sql.Column =
                        org.apache.spark.sql.functions.lit(true),
                      maxAttempts: Int = 5): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import org.apache.spark.sql.functions.{col, lit}
     val (l, h) = (reprOf(lo), reprOf(hi))
+    deleteWhereMor(spark, base,
+      col(column).between(lit(lo), lit(hi)) && residual,
+      touchesRange(_, column, l, h), maxAttempts)
+  }
+
+  /** Merge-on-read DELETE with an ARBITRARY predicate — the SQL
+    * `DELETE FROM ... WHERE` surface ([[sources.TxLogTable]] routes
+    * DSv2 `SupportsDelete` here, so a Thrift/JDBC client's DELETE
+    * commits in O(deleted rows) like every MOR verb). `touchedFilter`
+    * pre-selects candidate entries from manifest stats (the caller's
+    * translation of the predicate into per-entry stats checks);
+    * entries it rejects are carried by reference and never scanned —
+    * pass `_ => true` when nothing can be proven. NULL predicate
+    * values follow SQL three-valued DELETE semantics: unknown rows
+    * survive. */
+  def deleteWhereMor(spark: SparkSession, base: String,
+                     cond: org.apache.spark.sql.Column,
+                     touchedFilter: Entry => Boolean = _ => true,
+                     maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
     withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
       val (entries, txns) = manifest(spark, base, cur)
-      val (touched, carried) = entries.partition(touchesRange(_, column, l, h))
+      val (touched, carried) = entries.partition(touchedFilter)
       if (touched.isEmpty) cur
       else {
         // positions are computed over the RAW files: already-masked
         // rows re-match and the union+distinct below folds them into
         // the merged sidecar — old deletions can never resurrect
         val raw = taggedRead(spark, base, touched)
-        val hit = coalesce(
-          col(column).between(lit(lo), lit(hi)) && residual, lit(false))
-        val hits0 = raw.where(hit)
+        val hits0 = raw.where(coalesce(cond, lit(false)))
         landMaskSidecar(spark, base, touched, hits0) match {
           case None => cur // no hits, no prior masks: nothing to publish
           case Some((dvDir, counts)) =>
@@ -1646,6 +1900,57 @@ object TxLog {
         }
       }
     }
+  }
+
+  /** Index NEWLY-landed files into the table's existing bloom groups
+    * at commit time (incremental coverage — VERDICT r10 #5): for each
+    * column ANY current entry carries a [[BloomRef]] on, one pass over
+    * the new files lands a fresh sidecar (its own m sized to the new
+    * batch, the existing group's k/dtype) and attaches refs — so
+    * point lookups stay sharp on streaming/append tables with no
+    * rebuild. Refs are per-entry self-describing, so mixed (old-dir /
+    * new-dir) groups probe independently and correctly. A column
+    * absent from the new files' schema (older-schema producer) is
+    * skipped — those entries stay conservatively scanned, sound.
+    * Returns ref-carrying entries plus the landed sidecar dirs, which
+    * the CALLER must discard on terminal commit failure. */
+  private[graft] def indexNewEntries(spark: SparkSession, base: String,
+                              entries: Seq[Entry])
+      : (Seq[Entry], Seq[String]) = {
+    import org.apache.spark.sql.functions.{array, col, explode}
+    val indexable = entries.filter(_.rows > 0L)
+    if (indexable.isEmpty) return (entries, Nil)
+    val existing = latestVersion(spark, base)
+      .map(v => snapshotEntries(spark, base, v)).getOrElse(Seq.empty)
+      .flatMap(_.blooms)
+    if (existing.isEmpty) return (entries, Nil)
+    val raw = spark.read.parquet(indexable.map(e => resolve(base, e.path)): _*)
+    val byColumn = existing.groupBy(_.column).toSeq.sortBy(_._1)
+      .filter { case (c, _) => raw.columns.contains(c) }
+    if (byColumn.isEmpty) return (entries, Nil)
+    var out = entries
+    val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    byColumn.foreach { case (column, refs) =>
+      val proto = refs.maxBy(_.m) // densest group sets k and dtype
+      // build-time bitsPerRow is not recorded; the default (16) keeps
+      // the fpp in the same regime, and m sizes to the NEW batch only
+      val m = math.max(64L, 16L * indexable.map(_.rows).max)
+      val bits = raw
+        .where(col(column).isNotNull)
+        .select(col("_metadata.file_name").as(DvFileCol),
+          explode(array(
+            bloomPosCols(col(column), m, proto.k, proto.dtype): _*))
+            .as(DvPosCol))
+        .distinct()
+      val dir = landDvDir(bits.repartition(col(DvFileCol)), base)
+      dirs += dir
+      val ref = BloomRef(dir, column, m, proto.k, proto.dtype)
+      out = out.map(e =>
+        if (e.rows > 0L)
+          e.copy(blooms = e.blooms.filterNot(_.column == column) :+ ref)
+        else e)
+    }
+    (out, dirs.toSeq)
   }
 
   /** Point-lookup pruning: entries of the latest version that can hold
@@ -2148,6 +2453,8 @@ object TxLog {
     // A referenced deletion-vector or bloom sidecar dir is as live as
     // the data files it serves — dropping a DV would resurrect
     // deleted rows; dropping a bloom would break referenced probes.
+    // (Resolved BEFORE any delete: delta commits replay off older
+    // files that may be about to go.)
     val liveEntries = keep.flatMap(v => manifest(spark, base, v)._1)
     val sidecarDirs =
       liveEntries.flatMap(_.dv).map(_.dir) ++
@@ -2156,7 +2463,29 @@ object TxLog {
         .map(rel => new Path(s"$base/$rel").getParent.getName) ++
       sidecarDirs.filterNot(isAbsolute)
         .map(rel => new Path(s"$base/$rel").getName)).toSet
-    drop.foreach(v => f.delete(manifestPath(base, v), false))
+    // the oldest kept version must stay resolvable after its delta
+    // ancestry is deleted: materialize its checkpoint first (a later
+    // kept version without its own checkpoint then replays from it)
+    keep.headOption.filter(v => drop.nonEmpty && !f.exists(ckptPath(base, v)))
+      .foreach { v =>
+        val meta = manifestLines(spark, base, v)
+          .filter(l => l.startsWith("#") && l != DeltaMarker)
+        writeCheckpointFile(spark, base, v, meta,
+          snapshotEntries(spark, base, v))
+      }
+    drop.foreach { v =>
+      f.delete(manifestPath(base, v), false)
+      f.delete(ckptPath(base, v), false)
+    }
+    // vacuumed versions must FAIL to resolve from every process,
+    // including this one — purge the snapshot cache for the table
+    cachePurge(base)
+    // repoint the hint at the newest surviving checkpoint (a pointer
+    // left at a dropped version would demote every latestVersion call
+    // to the listing fallback)
+    f.listStatus(logDir).toSeq
+      .flatMap(st => parseCkptVersion(st.getPath.getName)).maxOption
+      .foreach(advancePointer(spark, base, _))
     val dataDir = new Path(s"$base/$DataDir")
     if (f.exists(dataDir))
       f.listStatus(dataDir).toSeq.filter(_.isDirectory)
@@ -2166,6 +2495,8 @@ object TxLog {
   }
 
   /** Remove the whole store (test/fixture reset). */
-  def drop(spark: SparkSession, base: String): Unit =
+  def drop(spark: SparkSession, base: String): Unit = {
+    cachePurge(base)
     fs(base, spark).delete(new Path(base), true)
+  }
 }

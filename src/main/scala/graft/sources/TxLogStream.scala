@@ -93,7 +93,7 @@ class TxLogSource extends TableProvider {
         "least one published manifest to infer a schema")
     // time-travel reads infer from the TARGET version's files, so a
     // column added after versionAsOf does not leak into the past
-    val snap = Option(options.get("versionAsOf")).map(_.toLong) match {
+    val snap = TxLogSource.asOfVersion(spark, base, options) match {
       case Some(v) =>
         val latest = TxLog.latestVersion(spark, base).get
         require(v >= 1 && v <= latest,
@@ -124,6 +124,28 @@ class TxLogSource extends TableProvider {
 object TxLogSource {
   val CommitVersionCol = "_commit_version"
   val ChangeTypeCol = "_change_type"
+
+  /** The batch time-travel target: `versionAsOf` directly, or
+    * `timestampAsOf` resolved through [[TxLog.versionAtTimestamp]]
+    * (Delta's boundary rule — latest commit at or before the
+    * instant). Mutually exclusive, like Delta's reader options. */
+  private[sources] def asOfVersion(spark: SparkSession, base: String,
+                                   options: CaseInsensitiveStringMap)
+      : Option[Long] = {
+    val v = Option(options.get("versionAsOf")).map(_.toLong)
+    val ts = Option(options.get("timestampAsOf"))
+    require(v.isEmpty || ts.isEmpty,
+      "specify either versionAsOf or timestampAsOf, not both")
+    v.orElse(ts.map(s =>
+      TxLog.versionAtTimestamp(spark, base, parseTsMillis(s))))
+  }
+
+  /** Accepts epoch millis, `yyyy-MM-dd HH:mm:ss[.f]` (session-local,
+    * the SQL literal shape), or an ISO-8601 instant. */
+  private[sources] def parseTsMillis(s: String): Long =
+    s.trim.toLongOption.getOrElse(
+      scala.util.Try(java.sql.Timestamp.valueOf(s.trim).getTime).getOrElse(
+        java.time.Instant.parse(s.trim).toEpochMilli))
 
   /** `changeFeedTypes=true` implies the change feed. */
   private[sources] def changeFeed(options: CaseInsensitiveStringMap): Boolean =
@@ -323,6 +345,40 @@ object TxLogSource {
     case other => other.toString
   }
 
+  /** V1 Filter → Column translation for the `SupportsDelete` surface.
+    * None marks a filter shape we refuse to delete by (canDeleteWhere
+    * then answers false and Spark raises its standard "cannot
+    * translate" error instead of silently deleting wrong rows). */
+  private[sources] def filterToColumn(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    def lit0(v: Any): Column = lit(v)
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit0(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit0(v))
+      case GreaterThan(a, v) => Some(col(a) > lit0(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit0(v))
+      case LessThan(a, v) => Some(col(a) < lit0(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit0(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c) => filterToColumn(c).map(!_)
+      case _ => None
+    }
+  }
+
   /** Can this entry's stats satisfy every pushed filter? Absent stats,
     * non-range filters, and un-comparable value/dtype combinations
     * all answer yes (pruning may only drop PROVABLY dead files; the
@@ -358,7 +414,8 @@ object TxLogSource {
 
 class TxLogTable(tableSchema: StructType, base: String)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"txlog($base)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -372,6 +429,27 @@ class TxLogTable(tableSchema: StructType, base: String)
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new TxLogWriteBuilder(base, info)
+
+  /** SQL row-level DELETE (`DELETE FROM t WHERE ...` from any SQL/JDBC
+    * client — the reference's dbt lifecycle issues row-level DML as
+    * SQL through the Thrift server): routed to the merge-on-read
+    * delete, so the commit costs O(deleted rows) and zero files are
+    * rewritten. Manifest stats pre-prune the candidate files through
+    * the same [[TxLogSource.entrySurvives]] check the scan path uses;
+    * files the predicate provably misses are never opened. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => TxLogSource.filterToColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val spark = SparkSession.active
+    val cond = filters.toSeq.flatMap(TxLogSource.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    TxLog.deleteWhereMor(spark, base, cond,
+      e => TxLogSource.entrySurvives(e, filters.toIndexedSeq))
+  }
 }
 
 class TxLogScanBuilder(full: StructType, base: String,
@@ -427,7 +505,7 @@ class TxLogScanBuilder(full: StructType, base: String,
     val spark = SparkSession.active
     val latestOpt = TxLog.latestVersion(spark, base)
     if (latestOpt.isEmpty) return false
-    val target = Option(options.get("versionAsOf")).map(_.toLong)
+    val target = TxLogSource.asOfVersion(spark, base, options)
       .getOrElse(latestOpt.get)
     if (target > latestOpt.get) return false
     val entries = TxLog.manifest(spark, base, target)._1
@@ -530,7 +608,8 @@ class TxLogScanBuilder(full: StructType, base: String,
       Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
     require(startingVersion >= 0,
       s"startingVersion must be >= 0, got $startingVersion")
-    val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+    val versionAsOf =
+      TxLogSource.asOfVersion(SparkSession.active, base, options)
     versionAsOf.foreach(v => require(v >= 1,
       s"versionAsOf must be >= 1, got $v"))
     new TxLogScan(required, base, TxLogSource.changeFeed(options),

@@ -215,18 +215,26 @@ object TxLogWriteCommit {
     // drop-then-re-add between reads cannot slip past the comparison
     var checked = TxLog.constraints(spark, base)
     TxLog.enforceConstraints(spark, base, entries, checked)
-    TxLog.withCasRetry(maxAttempts) { attempt =>
+    // incremental bloom coverage, same as TxLog.append: new files join
+    // the table's existing bloom groups so point lookups stay sharp
+    val (indexed, bloomDirs) = TxLog.indexNewEntries(spark, base, entries)
+    try TxLog.withCasRetry(maxAttempts) { attempt =>
       val cur = TxLog.latestVersion(spark, base)
       onAttempt(attempt) // test seam: between snapshot read and publish
       // losing the CAS to a concurrent ADD CONSTRAINT re-validates the
       // landed data under the winner's constraint set
-      checked = TxLog.reEnforceIfChanged(spark, base, entries, checked)
+      checked = TxLog.reEnforceIfChanged(spark, base, indexed, checked)
       val (prev, txns) = cur.map(TxLog.manifest(spark, base, _))
         .getOrElse((Seq.empty[TxLog.Entry], Map.empty[String, Long]))
       val v = cur.getOrElse(0L) + 1L
-      val all = if (replaceAll) entries else prev ++ entries
+      val all = if (replaceAll) indexed else prev ++ indexed
       TxLog.publishEntries(spark, base, v, all, txns)
       v
+    } catch {
+      case e: Throwable => // data-file cleanup is abort()'s job; the
+        // bloom sidecars live under their own txn dirs and are ours
+        bloomDirs.foreach(TxLog.discardDir(spark, base, _))
+        throw e
     }
   }
 
@@ -245,7 +253,12 @@ object TxLogWriteCommit {
     // stream on every restart and break exactly-once recovery. None =
     // not yet validated; Some(set) = validated under that exact set.
     var checked: Option[Map[String, String]] = None
-    TxLog.withCasRetry(maxAttempts) { _ =>
+    // built lazily, only once the epoch is KNOWN not to be a replay
+    // (a replayed epoch's sidecar work would be wasted and must be
+    // cleaned); refs are reused across CAS retries like the data files
+    var indexed: Option[(Seq[TxLog.Entry], Seq[String])] = None
+    def bloomDirs: Seq[String] = indexed.map(_._2).getOrElse(Nil)
+    try TxLog.withCasRetry(maxAttempts) { _ =>
       val cur = TxLog.latestVersion(spark, base)
       val (prev, txns) = cur.map(TxLog.manifest(spark, base, _))
         .getOrElse((Seq.empty[TxLog.Entry], Map.empty[String, Long]))
@@ -255,6 +268,7 @@ object TxLogWriteCommit {
           new HPath(s"$base/$p").getParent).distinct.foreach { dir =>
           dir.getFileSystem(TxLogSource.driverHadoopConf()).delete(dir, true)
         }
+        bloomDirs.foreach(TxLog.discardDir(spark, base, _))
         cur.get
       } else {
         // a replayed epoch must stay a no-op even against identity
@@ -269,11 +283,17 @@ object TxLogWriteCommit {
             cons
           case Some(c) => TxLog.reEnforceIfChanged(spark, base, entries, c)
         })
+        if (indexed.isEmpty)
+          indexed = Some(TxLog.indexNewEntries(spark, base, entries))
         val v = cur.getOrElse(0L) + 1L
-        TxLog.publishEntries(spark, base, v, prev ++ entries,
+        TxLog.publishEntries(spark, base, v, prev ++ indexed.get._1,
           txns + (appId -> epochId))
         v
       }
+    } catch {
+      case e: Throwable =>
+        bloomDirs.foreach(TxLog.discardDir(spark, base, _))
+        throw e
     }
   }
 }

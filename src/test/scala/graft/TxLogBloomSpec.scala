@@ -53,22 +53,33 @@ class TxLogBloomSpec extends AnyFunSuite {
     assert(TxLog.readPoint(spark, base, "sk", "key-99999").count() == 0)
   }
 
-  test("appended files are unindexed but conservatively scanned; a " +
-    "rebuild re-covers them") {
+  test("append indexes the new files at commit time (incremental " +
+    "coverage): point lookups keep pruning with NO rebuild") {
     val base = "/tmp/graft_txbloom/append"
     seed(base)
     TxLog.append(df(Seq(9001L)), base, Some("k"))
-    // the new key lives in an unindexed file → kept, and found
     val (kept, all) = TxLog.prunePoint(spark, base, "sk", "key-9001")
     assert(all.size == 9)
-    assert(kept.exists(_.bloomFor("sk").isEmpty),
-      "the unindexed appended file must survive conservatively")
+    // the appended file joined the index in the SAME commit — its own
+    // sidecar dir, the existing group's k — so the new key prunes to
+    // exactly its file without any rebuild
+    assert(kept.size == 1 && kept.head.bloomFor("sk").isDefined,
+      s"appended file must be indexed at commit: kept ${kept.size}, " +
+        s"bloom=${kept.headOption.flatMap(_.bloomFor("sk"))}")
     assert(rowsOf(TxLog.readPoint(spark, base, "sk", "key-9001")) ==
       Set((9001L, "payload-9001")))
-    // rebuild covers everything again: the appended key now prunes to 1
-    TxLog.buildBloomIndex(spark, base, "sk", bitsPerRow = 24, k = 5)
-    val (kept2, _) = TxLog.prunePoint(spark, base, "sk", "key-9001")
-    assert(kept2.size == 1 && kept2.head.bloomFor("sk").isDefined)
+    // an old key still prunes to its (rebuild-era) file, and an absent
+    // key now prunes to nothing even across the mixed old/new groups
+    val (keptOld, _) = TxLog.prunePoint(spark, base, "sk", "key-123")
+    assert(keptOld.size == 1)
+    assert(TxLog.prunePoint(spark, base, "sk", "key-99999")._1.isEmpty)
+    // the DSv2 sink path indexes too (same publish discipline)
+    df(Seq(9002L)).write.format("graft.sources.TxLogSource")
+      .option("statsColumns", "k").mode("append").save(base)
+    val (keptSink, all2) = TxLog.prunePoint(spark, base, "sk", "key-9002")
+    assert(all2.size == 10)
+    assert(keptSink.size == 1 && keptSink.head.bloomFor("sk").isDefined,
+      "DSv2 sink appends must join the bloom index at commit")
   }
 
   test("a MOR delete leaves probes sound: the masked row is gone from " +

@@ -215,6 +215,41 @@ class TxLogStreamSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS txlog_sql_demo")
   }
 
+  test("SQL row-level DELETE routes to the MOR delete: DELETE FROM " +
+    "WHERE over the catalog table masks rows without rewriting files") {
+    val base = "/tmp/graft_txstream/sqldelete"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 100, "a", 4), base, None, Some("k"))
+    val filesBefore = TxLog.manifest(spark, base, 1L)._1.map(_.path).toSet
+    spark.sql("DROP TABLE IF EXISTS txlog_sql_del")
+    spark.sql("CREATE TABLE txlog_sql_del " +
+      s"USING graft.sources.TxLogSource OPTIONS (path '$base')")
+    try {
+      spark.sql("DELETE FROM txlog_sql_del WHERE k BETWEEN 10 AND 19")
+      assert(spark.sql("SELECT count(*) AS n FROM txlog_sql_del")
+        .head().getLong(0) == 90)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM txlog_sql_del WHERE k BETWEEN 10 AND 19")
+        .head().getLong(0) == 0)
+      // merge-on-read: the data file set is UNCHANGED — the delete
+      // only attached a deletion-vector mask (O(deleted rows) commit)
+      val v2 = TxLog.latestVersion(spark, base).get
+      assert(v2 == 2L)
+      val after = TxLog.manifest(spark, base, v2)._1
+      assert(after.map(_.path).toSet == filesBefore,
+        "SQL DELETE must not rewrite data files")
+      assert(after.exists(_.dv.isDefined))
+      // stats pre-pruning: only the touched band carries a mask
+      assert(after.count(_.dv.isDefined) == 1,
+        "only the band file overlapping [10,19] should be masked")
+      // the TxLog API view agrees (one snapshot, two surfaces)
+      assert(TxLog.read(spark, base).count() == 90)
+      // and a second DELETE over a different predicate shape (IN)
+      spark.sql("DELETE FROM txlog_sql_del WHERE k IN (20, 21)")
+      assert(TxLog.read(spark, base).count() == 88)
+    } finally spark.sql("DROP TABLE IF EXISTS txlog_sql_del")
+  }
+
   test("pushed range filters prune manifest entries before the scan: " +
     "fewer planned partitions, identical results, filters residual") {
     val base = "/tmp/graft_txstream/pushdown"
