@@ -561,6 +561,15 @@ object TxLog {
     if (updated == ident) None else Some(updated)
   }
 
+  /** Modification time of version `v`'s commit file — the commit's
+    * wall-clock stamp ([[versionAtTimestamp]]'s clock) and a cheap
+    * validity token for caches keyed on (base, version): a
+    * drop-and-recreate at the same path can reuse version numbers,
+    * but not their commit mtimes. */
+  private[graft] def commitModTime(spark: SparkSession, base: String,
+                                   v: Long): Long =
+    fs(base, spark).getFileStatus(manifestPath(base, v)).getModificationTime
+
   /** The file list of one published version (base-relative paths). */
   def manifestFiles(spark: SparkSession, base: String, v: Long): Seq[String] =
     manifest(spark, base, v)._1.map(_.path)
@@ -601,6 +610,14 @@ object TxLog {
   def readTimestampAsOf(spark: SparkSession, base: String,
                         tsMillis: Long): DataFrame =
     readVersion(spark, base, versionAtTimestamp(spark, base, tsMillis))
+
+  /** Pin version `v`'s commit instant (the commit file's mtime — the
+    * clock [[versionAtTimestamp]] reads). Fixture/test seam: lets a
+    * deterministic harness ask timestamp-travel questions without
+    * sleeping between commits. */
+  def setCommitTime(spark: SparkSession, base: String, v: Long,
+                    tsMillis: Long): Unit =
+    fs(base, spark).setTimes(manifestPath(base, v), tsMillis, -1)
 
   /** Snapshot read of the latest published version. */
   def read(spark: SparkSession, base: String): DataFrame = {
@@ -2192,6 +2209,79 @@ object TxLog {
           cur + 1L
         } catch {
           case e: CommitConflictException => // this attempt's land is dead
+            discard(spark, base, newEntries.map(_.path)); throw e
+        }
+      }
+    }
+  }
+
+  /** Z-order maintenance (Delta `OPTIMIZE ... ZORDER BY (a, b)`
+    * analog, unifying [[Layout.zorderCluster]] with the log): rewrite
+    * the files that blunt 2-D skipping — small files, files missing
+    * stats on either key, and files whose (aCol, bCol) stats box
+    * OVERLAPS another file's — into fresh Z-tiles carrying min/max on
+    * BOTH dimensions; disjoint well-sized tiles ride by reference.
+    * Content-identical, `dataChange=false` (change feeds skip it),
+    * txn high-waters carried. The overlap test is a driver-side sweep
+    * over manifest stats (sorted on aCol min; only a-active pairs
+    * compare b ranges) — O(n log n + n·k) metadata work, no data
+    * read. Returns the new version, or the current one when the
+    * layout is already tiled. */
+  def compactZorder(spark: SparkSession, base: String,
+                    aCol: String, bCol: String,
+                    smallThresholdRows: Long, targetRows: Long,
+                    maxAttempts: Int = 5): Long = {
+    require(targetRows >= smallThresholdRows,
+      "targetRows must be at least the small-file threshold")
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      // rewrite candidates: WEAK files (small, unknown-row, or
+      // stat-less on either key) plus every well-tiled file whose
+      // stats box a weak file's box POLLUTES — those tiles would keep
+      // co-answering box probes with the straggler forever. Adjacent
+      // tiles of a healthy layout legitimately touch boxes, so
+      // big-vs-big overlap is deliberately NOT a trigger: a fully
+      // tiled table is a fixpoint and the verb converges.
+      val weak = entries.filter(e => e.rows < 0 ||
+        e.liveRows < smallThresholdRows ||
+        e.statsFor(aCol).isEmpty || e.statsFor(bCol).isEmpty).toSet
+      val weakBoxes = weak.toSeq
+        .flatMap(e => for (a <- e.statsFor(aCol); b <- e.statsFor(bCol))
+          yield (a, b))
+      val polluted = entries.filterNot(weak).filter { e =>
+        (for (a <- e.statsFor(aCol); b <- e.statsFor(bCol)) yield
+          weakBoxes.exists { case (wa, wb) =>
+            a.overlaps(wa.min, wa.max) && b.overlaps(wb.min, wb.max)
+          }).getOrElse(false)
+      }.map(_.path).toSet
+      val (touched, carried) = entries.partition(e =>
+        weak.contains(e) || polluted.contains(e.path))
+      if (weak.isEmpty || touched.size <= 1) cur
+      else {
+        val unknown = touched.count(_.rows < 0)
+        val knownRows = touched.filter(_.rows >= 0).map(_.liveRows).sum
+        // FLOOR sizing (unlike compact's ceil): an output tile may run
+        // up to ~2× targetRows, but never systematically UNDER the
+        // small threshold — undersized outputs would re-trigger the
+        // verb forever (convergence beats tile-size precision here)
+        val nOut = math.max(1L, knownRows / targetRows + unknown).toInt
+        val touchedDf = readEntries(spark, base, touched)
+        val tiled =
+          try Layout.zorderCluster(touchedDf, aCol, bCol, nOut)
+          catch { // all-NULL keys: nothing to tile on, plain bin-pack
+            case _: IllegalArgumentException => touchedDf.repartition(nOut)
+          }
+        val newEntries = landEntriesMulti(tiled, base,
+          preservedStatsCols(touched, Seq(aCol, bCol), tiled.schema))
+          .filter(_.rows != 0L)
+        try {
+          publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns,
+            dataChange = false) // physical re-tiling only: CDF skips
+          cur + 1L
+        } catch {
+          case e: CommitConflictException =>
             discard(spark, base, newEntries.map(_.path)); throw e
         }
       }

@@ -404,6 +404,153 @@ object RegistryMaint {
         .orderBy("event_type")
     }),
 
+    // TIMESTAMP AS OF time travel (Delta's second time-travel axis;
+    // the log's commit clock is the commit file's mtime — pinned here
+    // so the witness is deterministic). The Delta boundary rule:
+    // an instant resolves to the LATEST version committed at or
+    // before it. v1 = first ten days, v2 = the rest; a mid-window
+    // instant reads v1, a post-window instant reads v2. Oracle
+    // recomputes both prefixes from events.
+    "s47_timestamp_as_of" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txtravel_events"
+      TxLog.drop(s, base)
+      val t0 = 1700000000000L
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("value"), to_date(col("ts")).as("day"))
+      TxLog.commit(
+        ev.where(col("day") < lit("2024-01-11").cast("date")), base, None)
+      TxLog.append(
+        ev.where(col("day") >= lit("2024-01-11").cast("date")), base)
+      TxLog.setCommitTime(s, base, 1L, t0)
+      TxLog.setCommitTime(s, base, 2L, t0 + 60000L)
+      require(TxLog.versionAtTimestamp(s, base, t0 + 30000L) == 1L &&
+        TxLog.versionAtTimestamp(s, base, t0 + 90000L) == 2L,
+        "timestamp->version boundary rule broken")
+      Seq(t0 + 30000L -> 1, t0 + 90000L -> 2).map { case (ts, tag) =>
+        TxLog.readTimestampAsOf(s, base, ts)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"))
+          .withColumn("as_of", lit(tag))
+          .select("as_of", "n_rows", "sum_value")
+      }.reduce(_.unionByName(_)).orderBy("as_of")
+    }),
+
+    // SQL row-level DELETE over the catalog-registered log table (the
+    // reference's dbt lifecycle issues row-level DML as SQL through
+    // the endpoint): DELETE FROM ... WHERE routes through DSv2
+    // SupportsDelete into the merge-on-read delete — the requires pin
+    // that ZERO data files were rewritten (mask-only commit, O(deleted
+    // rows)) and that the band predicate pre-pruned the masked files
+    // by manifest stats. Oracle recomputes the survivors.
+    "s48_sql_delete" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txsqldel_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "event_type", "value")
+      TxLog.commit(ev.repartitionByRange(8, col("event_id")),
+        base, None, Some("event_id"))
+      val before = TxLog.manifestFiles(s, base, 1L).toSet
+      s.sql("DROP TABLE IF EXISTS txlog_sql_del_w")
+      s.sql("CREATE TABLE txlog_sql_del_w " +
+        s"USING graft.sources.TxLogSource OPTIONS (path '$base')")
+      try {
+        s.sql(s"DELETE FROM txlog_sql_del_w WHERE event_id BETWEEN " +
+          s"$cowLo AND $cowHi AND event_type = 'click'")
+      } finally s.sql("DROP TABLE IF EXISTS txlog_sql_del_w")
+      val v = TxLog.latestVersion(s, base).get
+      val entries = TxLog.manifest(s, base, v)._1
+      require(entries.map(_.path).toSet == before,
+        "SQL DELETE must be merge-on-read: no data file rewritten")
+      require(entries.exists(_.dv.isDefined) &&
+        entries.count(_.dv.isDefined) < entries.size,
+        "stats must pre-prune: only band files may carry masks")
+      TxLog.read(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Z-order maintenance on the log (Delta OPTIMIZE ... ZORDER BY):
+    // a tiled lineitem table accumulates small straggler appends
+    // confined to a low-orderkey band; compactZorder folds the
+    // stragglers AND the tiles their boxes pollute into fresh 2-D
+    // tiles (dataChange=false), carrying clean tiles by reference —
+    // the requires pin carried-set survival and restored box-prune
+    // sharpness. Oracle: the box aggregate over the full lineitem.
+    "s49_zorder_compact" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txzc_lineitem"
+      TxLog.drop(s, base)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+      TxLog.commitMulti(
+        Layout.zorderCluster(li.where(col("l_orderkey") % 10 !== 0),
+          "l_orderkey", "l_partkey", 16),
+        base, None, Seq("l_orderkey", "l_partkey"))
+      // stragglers: the %10==0 band arrives as three small appends
+      Seq(0, 1, 2).foreach { i =>
+        TxLog.append(
+          li.where(col("l_orderkey") % 10 === 0 &&
+            col("l_orderkey") % 3 === i).coalesce(1),
+          base, Some("l_orderkey"))
+      }
+      val pre = TxLog.manifest(s, base,
+        TxLog.latestVersion(s, base).get)._1.map(_.path).toSet
+      // threshold sits between a straggler (~n/30 rows) and a healthy
+      // tile (~n/18): stragglers fold, clean tiles ride by reference
+      val n = li.count()
+      val v = TxLog.compactZorder(s, base, "l_orderkey", "l_partkey",
+        smallThresholdRows = math.max(64L, n / 25),
+        targetRows = math.max(512L, n / 12))
+      val entries = TxLog.manifest(s, base, v)._1
+      require(!TxLog.dataChangeOf(s, base, v),
+        "re-tiling must stamp dataChange=false")
+      val rewritten = entries.filterNot(e => pre.contains(e.path))
+      require(rewritten.nonEmpty && rewritten.forall(e =>
+        e.statsFor("l_orderkey").isDefined &&
+          e.statsFor("l_partkey").isDefined),
+        "re-tiled files must carry 2-D stats")
+      val preds = Seq[(String, Any, Any)](
+        ("l_orderkey", okLo, okHi), ("l_partkey", pkLo, pkHi))
+      val (kept, all) = TxLog.pruneRanges(s, base, preds)
+      require(kept.size < all.size,
+        s"post-compaction 2-D skip must prune: ${kept.size}/${all.size}")
+      TxLog.readRanges(s, base, preds)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Incremental bloom coverage (append-time indexing): the part
+    // table is committed WITHOUT band stats, bloom-indexed on
+    // p_partkey, then a late slice appends — and joins the index in
+    // the SAME commit (no rebuild), so a point lookup on an appended
+    // key still prunes to a handful of files. Without stats the only
+    // pruning axis is the bloom — the evidence is non-vacuous.
+    "s50_bloom_append" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txbloom_part"
+      TxLog.drop(s, base)
+      val pt = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+      TxLog.commit(pt.where(col("p_partkey") > 60).repartition(4),
+        base, None)
+      TxLog.buildBloomIndex(s, base, "p_partkey", bitsPerRow = 24, k = 5)
+      TxLog.append(pt.where(col("p_partkey") <= 60).coalesce(1), base)
+      val (kept, all) = TxLog.prunePoint(s, base, "p_partkey", 50L)
+      require(kept.nonEmpty && kept.size < all.size,
+        s"bloom must prune the point lookup: kept ${kept.size}/${all.size}")
+      require(kept.exists(e => e.bloomFor("p_partkey").isDefined &&
+        e.statsFor("p_partkey").isEmpty),
+        "the appended file must carry a commit-time bloom ref")
+      TxLog.readPoint(s, base, "p_partkey", 50L)
+        .select("p_partkey", "p_brand", "p_size")
+        .orderBy("p_partkey")
+    }),
+
     // IDENTITY column (Delta GENERATED ALWAYS AS IDENTITY): two
     // appends get system-assigned surrogate ids — unique, increasing
     // across commits, gaps allowed — via per-partition counters above
@@ -1227,6 +1374,32 @@ object RegistryMaint {
       """SELECT event_type, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "s47_timestamp_as_of" ->
+      """SELECT cast(1 AS INTEGER) AS as_of, count(*) AS n_rows,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events WHERE cast(ts AS DATE) < DATE '2024-01-11'
+         UNION ALL
+         SELECT cast(2 AS INTEGER), count(*),
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
+         FROM events
+         ORDER BY as_of""",
+    "s48_sql_delete" ->
+      s"""SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE NOT (event_id BETWEEN $cowLo AND $cowHi
+                    AND event_type = 'click')
+         GROUP BY event_type ORDER BY event_type""",
+    "s49_zorder_compact" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+                cast(sum(cast(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey BETWEEN $okLo AND $okHi
+           AND l_partkey BETWEEN $pkLo AND $pkHi
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "s50_bloom_append" ->
+      """SELECT p_partkey, p_brand, p_size FROM part
+         WHERE p_partkey = 50 ORDER BY p_partkey""",
     "s38_shallow_clone" ->
       s"""SELECT event_type, count(*) AS n,
                 cast(sum(cast(
