@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // self-scoping (same pattern match as the strategy, Inner/LeftSemi
     // only, marker-aliased for fixed-point idempotency).
     ext.injectOptimizerRule(_ => graft.plans.IntervalPrefilterRule)
+    // SQL UPDATE / MERGE INTO on txlog tables: resolution rule
+    // rewriting the two row-level-DML shapes (which plain DSv2 tables
+    // cannot serve) into merge-on-read commands. Self-scoping: fires
+    // only when the target relation is a TxLogTable.
+    ext.injectResolutionRule(s => graft.sources.TxLogSqlDmlRule(s))
   }
 }
 

@@ -1503,19 +1503,33 @@ object TxLog {
                      residual: org.apache.spark.sql.Column =
                        org.apache.spark.sql.functions.lit(true),
                      maxAttempts: Int = 5): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import org.apache.spark.sql.functions.{col, lit}
     val (l, h) = (reprOf(lo), reprOf(hi))
+    updateWhereMor(spark, base,
+      col(column).between(lit(lo), lit(hi)) && residual, set,
+      touchesRange(_, column, l, h), Seq(column), maxAttempts)
+  }
+
+  /** Merge-on-read UPDATE with an ARBITRARY predicate — the SQL
+    * `UPDATE ... SET ... WHERE` surface. Same mask+append shape as
+    * [[updateRangeMor]]; `touchedFilter` pre-selects candidate
+    * entries from manifest stats (conservative default: all). */
+  def updateWhereMor(spark: SparkSession, base: String,
+                     cond: org.apache.spark.sql.Column,
+                     set: Map[String, org.apache.spark.sql.Column],
+                     touchedFilter: Entry => Boolean = _ => true,
+                     primaryStats: Seq[String] = Seq.empty,
+                     maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
     withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
       val (entries, txns) = manifest(spark, base, cur)
-      val (touched, carried) = entries.partition(touchesRange(_, column, l, h))
+      val (touched, carried) = entries.partition(touchedFilter)
       if (touched.isEmpty) cur
       else {
         val raw = taggedRead(spark, base, touched)
-        val hit = coalesce(
-          col(column).between(lit(lo), lit(hi)) && residual, lit(false))
-        val hits0 = raw.where(hit)
+        val hits0 = raw.where(coalesce(cond, lit(false)))
         // live hits only: a previously-masked (deleted) row matching
         // the predicate must not come back as an updated image
         val live = dvFrame(spark, base, touched) match {
@@ -1526,7 +1540,7 @@ object TxLog {
           df.withColumn(c, expr)
         }.drop(DvFileCol, DvPosCol)
         val newEntries = landEntriesMulti(updated, base,
-          preservedStatsCols(touched, Seq(column), updated.schema))
+          preservedStatsCols(touched, primaryStats, updated.schema))
           .filter(_.rows != 0L)
         landMaskSidecar(spark, base, touched, hits0) match {
           case None => // no hits anywhere: drop the (empty) append too
@@ -1573,6 +1587,42 @@ object TxLog {
         throw new IllegalStateException(s"no committed version at $base"))
     }
     val (lo, hi) = (bounds.getString(0), bounds.getString(1))
+    mergeMorWhere(spark, base, source, keys,
+      touchesRange(_, statsCol, lo, hi), Seq(statsCol), maxAttempts)
+  }
+
+  /** [[mergeMor]] that picks its own pruning column — the SQL
+    * `MERGE INTO` surface, where the caller supplies only the ON
+    * keys: the first key carrying manifest stats prunes the touched
+    * set; a table with no stats on any key merges un-pruned (every
+    * file semi-join-checked, still zero files rewritten). */
+  def mergeMorAuto(spark: SparkSession, base: String, source: DataFrame,
+                   keys: Seq[String], maxAttempts: Int = 5): Long = {
+    val cur = latestVersion(spark, base).getOrElse(
+      throw new IllegalStateException(s"no committed version at $base"))
+    val entries = manifest(spark, base, cur)._1
+    val statsCol = keys.find(k =>
+      source.columns.contains(k) &&
+        scala.util.Try(statsDtype(source.schema(k).dataType)).isSuccess &&
+        entries.exists(_.statsFor(k).isDefined))
+    statsCol match {
+      case Some(c) => mergeMor(spark, base, source, keys, c, maxAttempts)
+      case None =>
+        if (source.isEmpty) cur
+        else mergeMorWhere(spark, base, source, keys, _ => true,
+          Seq.empty, maxAttempts)
+    }
+  }
+
+  /** Shared MOR-merge core: mask target rows whose `keys` appear in
+    * `source` (within `touchedFilter`'s candidate entries), land the
+    * whole source as new files, publish in one commit. */
+  private def mergeMorWhere(spark: SparkSession, base: String,
+                            source: DataFrame, keys: Seq[String],
+                            touchedFilter: Entry => Boolean,
+                            primaryStats: Seq[String],
+                            maxAttempts: Int): Long = {
+    import org.apache.spark.sql.functions.col
     // GENERATED BY DEFAULT on merges: advance the high-water past any
     // explicit id the source carries (one agg, computed once)
     val idMaxes = sourceIdentityMaxes(spark, base, source)
@@ -1580,10 +1630,9 @@ object TxLog {
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
       val (entries, txns) = manifest(spark, base, cur)
-      val (touched, carried) =
-        entries.partition(touchesRange(_, statsCol, lo, hi))
+      val (touched, carried) = entries.partition(touchedFilter)
       val newEntries = landEntriesMulti(source, base,
-        preservedStatsCols(touched, Seq(statsCol), source.schema))
+        preservedStatsCols(touched, primaryStats, source.schema))
         .filter(_.rows != 0L)
       def publishWith(masked: Seq[Entry], dvDir: Option[String]): Long =
         try {
@@ -1737,12 +1786,34 @@ object TxLog {
                    deleteKeys: DataFrame, inserts: DataFrame,
                    keys: Seq[String], statsCol: String,
                    appId: String, batchId: Long,
-                   maxAttempts: Int = 5): Long = {
+                   maxAttempts: Int = 5): Long =
+    applyBatchCore(spark, base, deleteKeys, inserts, keys, statsCol,
+      Some(appId -> batchId), maxAttempts)
+
+  /** One-shot (delete-keys, inserts) batch WITHOUT exactly-once txn
+    * tracking — the SQL `MERGE INTO` decomposed shapes (update-only,
+    * insert-only, delete-matched) ride this so ad-hoc DML does not
+    * grow the manifest's `#txn` map one line per statement. Same
+    * single-commit mask+append semantics as [[applyChanges]]. */
+  def applyBatch(spark: SparkSession, base: String,
+                 deleteKeys: DataFrame, inserts: DataFrame,
+                 keys: Seq[String], statsCol: String,
+                 maxAttempts: Int = 5): Long =
+    applyBatchCore(spark, base, deleteKeys, inserts, keys, statsCol,
+      None, maxAttempts)
+
+  private def applyBatchCore(spark: SparkSession, base: String,
+                             deleteKeys: DataFrame, inserts: DataFrame,
+                             keys: Seq[String], statsCol: String,
+                             txn: Option[(String, Long)],
+                             maxAttempts: Int): Long = {
     require(keys.contains(statsCol),
       s"statsCol $statsCol must be a key (got $keys)")
     import org.apache.spark.sql.functions.{col, max, min}
-    val already = latestVersion(spark, base).filter(v =>
-      manifest(spark, base, v)._2.getOrElse(appId, -1L) >= batchId)
+    val already = txn.flatMap { case (appId, batchId) =>
+      latestVersion(spark, base).filter(v =>
+        manifest(spark, base, v)._2.getOrElse(appId, -1L) >= batchId)
+    }
     if (already.isDefined) return already.get
     // appended replica files keep every stats dimension the current
     // snapshot's entries carry (same contract as the other MOR/merge
@@ -1770,7 +1841,8 @@ object TxLog {
       checkedCons = reEnforceIfChanged(spark, base, newEntries, checkedCons)
       val (entries, txns) = cur.map(manifest(spark, base, _))
         .getOrElse((Seq.empty[Entry], Map.empty[String, Long]))
-      if (txns.getOrElse(appId, -1L) >= batchId) {
+      if (txn.exists { case (appId, batchId) =>
+          txns.getOrElse(appId, -1L) >= batchId }) {
         // a racing replica applied this batch between check and now
         discard(spark, base, newEntries.map(_.path))
         cur.get
@@ -1795,7 +1867,7 @@ object TxLog {
         val v = cur.getOrElse(0L) + 1L
         try {
           publishEntries(spark, base, v, carried ++ masked ++ newEntries,
-            txns + (appId -> batchId))
+            txn.fold(txns)(txns + _))
           v
         } catch {
           case e: CommitConflictException => // this attempt's mask is dead

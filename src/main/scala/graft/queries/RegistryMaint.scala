@@ -551,6 +551,78 @@ object RegistryMaint {
         .orderBy("p_partkey")
     }),
 
+    // SQL UPDATE on the catalog-registered log table: the resolution
+    // rule (GraftExtensions rung (c)) rewrites UpdateTable into the
+    // merge-on-read update — rows change, zero data files rewritten
+    // (the require pins it). Statements run on a newSession() of the
+    // armed lineage, the same path every Thrift-served session takes.
+    // Oracle recomputes with a CASE.
+    "s51_sql_update" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txsqlupd_orders"
+      TxLog.drop(s, base)
+      val od = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      TxLog.commit(od.repartitionByRange(4, col("o_orderkey")),
+        base, None, Some("o_orderkey"))
+      val before = TxLog.manifestFiles(s, base, 1L).toSet
+      graft.sources.TxLogSqlDml.ensureInjected(s)
+      val sqlS = s.newSession()
+      sqlS.sql("DROP TABLE IF EXISTS txdml_upd_w")
+      sqlS.sql("CREATE TABLE txdml_upd_w " +
+        s"USING graft.sources.TxLogSource OPTIONS (path '$base')")
+      try {
+        sqlS.sql("UPDATE txdml_upd_w SET o_totalprice = o_totalprice * 2 " +
+          "WHERE o_orderkey BETWEEN 100 AND 299")
+      } finally sqlS.sql("DROP TABLE IF EXISTS txdml_upd_w")
+      val entries = TxLog.manifest(s, base,
+        TxLog.latestVersion(s, base).get)._1
+      require(before.subsetOf(entries.map(_.path).toSet),
+        "SQL UPDATE must be merge-on-read: no original file dropped")
+      TxLog.read(s, base)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            .as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // SQL MERGE INTO — the exact dbt shape the reference runs
+    // (`incremental_strategy='merge'` → MERGE ... WHEN MATCHED THEN
+    // UPDATE SET * WHEN NOT MATCHED THEN INSERT *): matched keys are
+    // masked and re-landed with the source image, unmatched source
+    // keys insert, in ONE merge-on-read commit. Oracle recomputes the
+    // merged state with a CASE + UNION of the inserted band.
+    "s52_sql_merge" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txsqlmerge_orders"
+      TxLog.drop(s, base)
+      val od = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      TxLog.commit(
+        od.where(col("o_orderkey") >= 500)
+          .repartitionByRange(4, col("o_orderkey")),
+        base, None, Some("o_orderkey"))
+      graft.sources.TxLogSqlDml.ensureInjected(s)
+      val sqlS = s.newSession()
+      sqlS.sql("DROP TABLE IF EXISTS txdml_merge_w")
+      sqlS.sql("CREATE TABLE txdml_merge_w " +
+        s"USING graft.sources.TxLogSource OPTIONS (path '$base')")
+      try {
+        sqlS.sql("MERGE INTO txdml_merge_w t USING (" +
+          s"SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS " +
+          s"o_totalprice FROM parquet.`$dir/orders.parquet` " +
+          "WHERE o_orderkey < 1000) s " +
+          "ON t.o_orderkey = s.o_orderkey " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      } finally sqlS.sql("DROP TABLE IF EXISTS txdml_merge_w")
+      TxLog.read(s, base)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            .as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // IDENTITY column (Delta GENERATED ALWAYS AS IDENTITY): two
     // appends get system-assigned surrogate ids — unique, increasing
     // across commits, gaps allowed — via per-partition counters above
@@ -1400,6 +1472,20 @@ object RegistryMaint {
     "s50_bloom_append" ->
       """SELECT p_partkey, p_brand, p_size FROM part
          WHERE p_partkey = 50 ORDER BY p_partkey""",
+    "s51_sql_update" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                cast(sum(cast(
+                  CASE WHEN o_orderkey BETWEEN 100 AND 299
+                       THEN o_totalprice * 2 ELSE o_totalprice END
+                  AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s52_sql_merge" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                cast(sum(cast(
+                  CASE WHEN o_orderkey < 1000
+                       THEN o_totalprice * 2 ELSE o_totalprice END
+                  AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "s38_shallow_clone" ->
       s"""SELECT event_type, count(*) AS n,
                 cast(sum(cast(

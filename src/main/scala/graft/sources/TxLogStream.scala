@@ -467,6 +467,9 @@ class TxLogTable(tableSchema: StructType, base: String)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  /** Store root — the handle the SQL DML rewrite rule hands to the
+    * TxLog verbs. */
+  private[sources] def basePath: String = base
   override def name(): String = s"txlog($base)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =

@@ -27,6 +27,15 @@ object ColumnBridge {
       .sessionState.functionRegistry
       .registerFunction(fn._1, fn._2, fn._3)
 
+  /** Materialize a DataFrame from a logical plan (`Dataset.ofRows`,
+    * `private[sql]`) — how a captured SQL subtree (e.g. a MERGE
+    * source) becomes executable inside a command. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** The live `SparkSessionExtensions` of an already-built session
     * (`private[sql]` accessor). Thrift/JDBC connections are served by
     * `newSession()` clones whose function registry is built from this

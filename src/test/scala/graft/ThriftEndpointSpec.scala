@@ -125,6 +125,24 @@ class ThriftEndpointSpec extends AnyFunSuite {
           .takeWhile(_.next()).map(_.getString(1)).mkString("\n")
         assert(plan.contains("prunedFiles="),
           s"EXPLAIN must surface manifest pruning, got:\n$plan")
+        // UPDATE and the dbt MERGE shape over JDBC (the reference's
+        // stg_properties incremental_strategy='merge' lifecycle)
+        st.execute("UPDATE txlog_jdbc_demo SET g = g + 100 WHERE k < 5")
+        val upd = st.executeQuery(
+          "SELECT count(*) AS n FROM txlog_jdbc_demo WHERE g >= 100")
+        assert(upd.next() && upd.getLong(1) == 5,
+          "UPDATE over JDBC must rewrite the five rows")
+        st.execute("MERGE INTO txlog_jdbc_demo t USING " +
+          "(SELECT id AS k, id AS g FROM range(85, 95)) s ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        val mrg = st.executeQuery(
+          "SELECT count(*) AS n, " +
+            "sum(CASE WHEN k BETWEEN 85 AND 94 AND g = k THEN 1 ELSE 0 END) " +
+            "AS merged FROM txlog_jdbc_demo")
+        assert(mrg.next() && mrg.getLong(1) == 95 && mrg.getLong(2) == 10,
+          "MERGE over JDBC: 90 survivors + 5 re-inserted keys, with " +
+            "k∈[85,95) carrying the merged g=k images")
       } finally conn.close()
     } finally server.stop()
   }
