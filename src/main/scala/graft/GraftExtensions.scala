@@ -29,8 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL UPDATE / MERGE INTO on txlog tables: resolution rule
     // rewriting the two row-level-DML shapes (which plain DSv2 tables
     // cannot serve) into merge-on-read commands. Self-scoping: fires
-    // only when the target relation is a TxLogTable.
-    ext.injectResolutionRule(s => graft.sources.TxLogSqlDmlRule(s))
+    // only when the target relation is a TxLogTable. Routed through
+    // the guarded injector so TxLogSqlDml.ensureInjected on the same
+    // lineage never adds a second copy.
+    graft.sources.TxLogSqlDml.injectInto(ext)
   }
 }
 

@@ -280,7 +280,7 @@ object TxLog {
 
   private def checkpointInterval(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.txlog.checkpointInterval")
-      .map(_.toInt).getOrElse(10)
+      .flatMap(_.trim.toIntOption).filter(_ >= 1).getOrElse(10)
 
   private def parseVersion(name: String): Option[Long] =
     if (name.startsWith("v") && name.endsWith(".txt") &&
@@ -358,24 +358,39 @@ object TxLog {
   // ---- snapshot resolution (checkpoint + delta replay) -------------
 
   /** Driver-side LRU of resolved snapshots. Commit files are immutable
-    * once published, so caching is sound; every hit re-checks the
-    * commit file still EXISTS (another process's vacuum must surface
-    * as the same FileNotFound a cold read would give, not a stale
-    * resurrection). Oversized snapshots are not cached (bounding
-    * driver memory at ~LRU×cap entry objects). */
+    * once published, so caching is sound; every hit re-stats the
+    * commit file and compares its MTIME to the cached one — one RPC
+    * that catches both another process's vacuum (file gone → same
+    * FileNotFound a cold read gives) AND a cross-process
+    * drop-and-recreate at the same path reusing version numbers (new
+    * file, new mtime → miss; the schema cache guards the same way).
+    * Oversized snapshots are not cached (bounding driver memory at
+    * ~LRU×cap entry objects). */
   private val SnapCacheSnapshots = 16
   private val SnapCacheMaxEntries = 200000
   private val snapCache =
-    new java.util.LinkedHashMap[(String, Long), Seq[Entry]](32, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long), (Long, Seq[Entry])](
+      32, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), Seq[Entry]]): Boolean =
-        size() > SnapCacheSnapshots
+          e: java.util.Map.Entry[(String, Long), (Long, Seq[Entry])])
+          : Boolean = size() > SnapCacheSnapshots
     }
-  private def cacheGet(base: String, v: Long): Option[Seq[Entry]] =
+  private def commitMtimeOpt(spark: SparkSession, base: String,
+                             v: Long): Option[Long] =
+    try Some(fs(base, spark)
+      .getFileStatus(manifestPath(base, v)).getModificationTime)
+    catch { case _: java.io.IOException => None }
+  private def cacheGet(spark: SparkSession, base: String,
+                       v: Long): Option[Seq[Entry]] =
     snapCache.synchronized(Option(snapCache.get((base, v))))
-  private def cachePut(base: String, v: Long, es: Seq[Entry]): Unit =
+      .flatMap { case (mt, es) =>
+        if (commitMtimeOpt(spark, base, v).contains(mt)) Some(es) else None
+      }
+  private def cachePut(spark: SparkSession, base: String, v: Long,
+                       es: Seq[Entry]): Unit =
     if (es.size <= SnapCacheMaxEntries)
-      snapCache.synchronized(snapCache.put((base, v), es))
+      commitMtimeOpt(spark, base, v).foreach(mt =>
+        snapCache.synchronized(snapCache.put((base, v), (mt, es))))
   private def cachePurge(base: String): Unit = snapCache.synchronized {
     val it = snapCache.keySet.iterator()
     while (it.hasNext) if (it.next()._1 == base) it.remove()
@@ -396,35 +411,51 @@ object TxLog {
       upsertPaths.contains(e.path)) ++ upserts
   }
 
-  /** The resolved entry list of version `v`: nearest checkpoint at or
-    * below v, plus the delta commits after it — or the commit file
-    * itself when it is a full snapshot (legacy manifests, and every
-    * pre-delta table). Recursion depth is bounded by the checkpoint
-    * interval. Version 0 is the empty store. */
+  /** The resolved entry list of version `v`: nearest base at or below
+    * v (snapshot cache hit, checkpoint file, or full-snapshot commit
+    * — legacy manifests and pre-delta tables), plus the delta commits
+    * after it, applied ITERATIVELY oldest-first. No recursion: a
+    * pathological chain (checkpoint writes kept failing, or a huge
+    * configured interval) costs memory-bounded loop iterations, never
+    * a StackOverflowError. Every intermediate version resolved on the
+    * way is cached, so sequential walks (history, CDF) are O(1)
+    * amortized per version. Version 0 is the empty store. */
   private def snapshotEntries(spark: SparkSession, base: String,
                               v: Long): Seq[Entry] = {
     if (v == 0L) return Seq.empty
-    cacheGet(base, v) match {
-      case Some(es) if fs(base, spark).exists(manifestPath(base, v)) => es
-      case _ =>
-        val f = fs(base, spark)
-        val ck = ckptPath(base, v)
-        val es =
+    val f = fs(base, spark)
+    // walk back to the nearest resolvable base, stacking delta lines
+    val pendingDeltas = scala.collection.mutable.Stack.empty[(Long, Seq[String])]
+    var cur = v
+    var baseEntries: Seq[Entry] = null
+    while (baseEntries == null) {
+      if (cur == 0L) baseEntries = Seq.empty
+      else cacheGet(spark, base, cur) match {
+        case Some(es) => baseEntries = es
+        case None =>
+          val ck = ckptPath(base, cur)
           if (f.exists(ck))
-            linesOf(spark, base, ck).filterNot(_.startsWith("#")).map(parseLine)
-          else entriesFromLines(spark, base, v, manifestLines(spark, base, v))
-        cachePut(base, v, es)
-        es
+            baseEntries = linesOf(spark, base, ck)
+              .filterNot(_.startsWith("#")).map(parseLine)
+          else {
+            val lines = manifestLines(spark, base, cur) // FNFE: vacuumed
+            if (lines.contains(DeltaMarker)) {
+              pendingDeltas.push((cur, lines))
+              cur -= 1
+            } else baseEntries = lines.filterNot(_.startsWith("#"))
+              .map(parseLine)
+          }
+      }
     }
+    cachePut(spark, base, cur, baseEntries) // no-op for version 0
+    var es = baseEntries
+    while (pendingDeltas.nonEmpty) {
+      val (ver, lines) = pendingDeltas.pop()
+      es = applyDelta(es, lines)
+      cachePut(spark, base, ver, es)
+    }
+    es
   }
-
-  /** Entries of version `v` given its commit file's lines (full
-    * snapshot parses directly; a delta replays onto v-1's snapshot). */
-  private def entriesFromLines(spark: SparkSession, base: String, v: Long,
-                               lines: Seq[String]): Seq[Entry] =
-    if (lines.contains(DeltaMarker))
-      applyDelta(snapshotEntries(spark, base, v - 1), lines)
-    else lines.filterNot(_.startsWith("#")).map(parseLine)
 
   /** Entries plus idempotency metadata (appId → highest applied
     * batchId) of one published version. */
@@ -502,6 +533,19 @@ object TxLog {
       spark: SparkSession, base: String,
       columns: Seq[String]): Unit =
     failOnIdentityClash(latestIdentity(spark, base).keySet, columns)
+
+  /** GENERATED ALWAYS on the UPDATE surface (Delta's identical rule):
+    * assigning an identity column would mint ids the high-water never
+    * covered, so later [[appendIdentity]] calls could silently
+    * re-issue them. Case-insensitive, like the insert guard. */
+  private def requireNoIdentityAssignment(spark: SparkSession, base: String,
+                                          cols: Seq[String]): Unit = {
+    val lower = latestIdentity(spark, base).keySet.map(_.toLowerCase)
+    val clash = cols.filter(c => lower.contains(c.toLowerCase))
+    require(clash.isEmpty,
+      s"UPDATE may not assign IDENTITY column(s) ${clash.mkString(", ")} " +
+        "(GENERATED ALWAYS — ids are system-assigned)")
+  }
 
   /** Case-INSENSITIVE identity-vs-batch-columns clash check: Spark
     * resolves columns case-insensitively by default, so a batch
@@ -1080,15 +1124,19 @@ object TxLog {
       }
     }
     // the commit is durable from here: cache the snapshot we just
-    // built, and checkpoint periodically. Both are best-effort — a
-    // failure AFTER a successful CAS must never propagate (callers
-    // would discard data a published manifest references).
-    cachePut(base, v, entries)
-    if (v % checkpointInterval(spark) == 0)
-      try {
+    // built, and checkpoint periodically. EVERYTHING below is
+    // best-effort — any failure AFTER a successful CAS must never
+    // propagate (callers would discard data a published manifest
+    // references; the DSv2 commit paths would delete live bloom
+    // sidecars) — hence NonFatal, not just IOException: a bad
+    // interval conf or cache hiccup must not fail a durable commit.
+    try {
+      cachePut(spark, base, v, entries)
+      if (v % checkpointInterval(spark) == 0) {
         writeCheckpointFile(spark, base, v, metaLines, entries)
         advancePointer(spark, base, v)
-      } catch { case _: java.io.IOException => () }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Write the full-snapshot checkpoint for version `v` (tmp +
@@ -1521,6 +1569,7 @@ object TxLog {
                      primaryStats: Seq[String] = Seq.empty,
                      maxAttempts: Int = 5): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit}
+    requireNoIdentityAssignment(spark, base, set.keys.toSeq)
     withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
@@ -1536,9 +1585,22 @@ object TxLog {
           case Some(m) => hits0.join(m, Seq(DvFileCol, DvPosCol), "left_anti")
           case None => hits0
         }
-        val updated = set.foldLeft(live) { case (df, (c, expr)) =>
-          df.withColumn(c, expr)
-        }.drop(DvFileCol, DvPosCol)
+        // SQL UPDATE semantics: every SET expression evaluates against
+        // the OLD row simultaneously (SET a = b, b = a swaps) — one
+        // select, never a sequential withColumn fold (which would feed
+        // each assignment the previous one's output, in Map hash
+        // order). Assignments to columns the schema lacks append.
+        val updated = {
+          import org.apache.spark.sql.functions.col
+          val dataCols = live.columns.toSeq
+            .filterNot(c => c == DvFileCol || c == DvPosCol)
+          val appended = set.keys.toSeq.sorted
+            .filterNot(k => dataCols.exists(_.equalsIgnoreCase(k)))
+          live.select(dataCols.map(c =>
+            set.find(_._1.equalsIgnoreCase(c))
+              .map { case (_, e) => e.as(c) }.getOrElse(col(c))) ++
+            appended.map(k => set(k).as(k)): _*)
+        }
         val newEntries = landEntriesMulti(updated, base,
           preservedStatsCols(touched, primaryStats, updated.schema))
           .filter(_.rows != 0L)
@@ -1668,8 +1730,10 @@ object TxLog {
     * contract — an aborted attempt may skip ids, but a successful
     * commit consumes exactly batch-size ids). Assignment is
     * `high-water + per-partition cumulative offset + within-partition
-    * row index` — no shuffle, no global sort, one tiny per-partition
-    * count aggregate, so the append stays O(batch) at any table size;
+    * row index` — no global sort, one tiny per-partition count
+    * aggregate plus ONE hash shuffle of the batch (by captured
+    * partition id — parallelism matches the input), so the append
+    * stays O(batch) at any table size;
     * the new high-water is read back from the landed files' own idCol stats
     * (the bytes later readers trust) and rides the manifest as an
     * `#identity` meta line that every verb carries forward. A CAS
@@ -1681,7 +1745,7 @@ object TxLog {
                      statsCol: Option[String] = None, maxAttempts: Int = 5,
                      onAttempt: Int => Unit = _ => ()): Long = {
     import org.apache.spark.sql.functions.{col, count, lit,
-      monotonically_increasing_id, spark_partition_id}
+      monotonically_increasing_id, row_number, spark_partition_id}
     require(!df.columns.contains(idCol),
       s"IDENTITY column $idCol is system-assigned; the batch must not " +
         "provide it (GENERATED ALWAYS semantics)")
@@ -1714,8 +1778,21 @@ object TxLog {
           val offMap = counts.map(_._1).zip(offsets.map(_._2)).toMap
           import spark.implicits._
           val offDf = offMap.toSeq.toDF("__pid", "__off")
-          val rowInPart =
-            monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+          // WITHIN-partition index via row_number over the captured
+          // __pid: ranks are distinct by construction under ANY plan
+          // shape. The previous monotonically_increasing_id low-bits
+          // trick assumed the broadcast join preserved the persisted
+          // partitioning — an assumption the post-land uniqueness veto
+          // caught breaking on small local-relation plans. Costs one
+          // hash shuffle of the batch (by __pid — parallelism and
+          // skew match the input partitioning); order within a
+          // partition is arbitrary, which is fine: ids are arbitrary,
+          // they only must be UNIQUE and above the high-water.
+          val rowInPart = row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__pid"))
+              .orderBy(monotonically_increasing_id()))
+            .cast("long") - lit(1L)
           val assigned = withPid
             .join(org.apache.spark.sql.functions.broadcast(offDf), "__pid")
             .withColumn(idCol, lit(water) + lit(1L) + col("__off") + rowInPart)
@@ -1800,13 +1877,14 @@ object TxLog {
                  keys: Seq[String], statsCol: String,
                  maxAttempts: Int = 5): Long =
     applyBatchCore(spark, base, deleteKeys, inserts, keys, statsCol,
-      None, maxAttempts)
+      None, maxAttempts, guardIdentity = false)
 
   private def applyBatchCore(spark: SparkSession, base: String,
                              deleteKeys: DataFrame, inserts: DataFrame,
                              keys: Seq[String], statsCol: String,
                              txn: Option[(String, Long)],
-                             maxAttempts: Int): Long = {
+                             maxAttempts: Int,
+                             guardIdentity: Boolean = true): Long = {
     require(keys.contains(statsCol),
       s"statsCol $statsCol must be a key (got $keys)")
     import org.apache.spark.sql.functions.{col, max, min}
@@ -1826,9 +1904,16 @@ object TxLog {
         .filter(inserts.schema.fieldNames.contains)
     }
     val (newEntries0, checked0) =
-      landEntriesChecked(inserts, base, statsCols, guardIdentity = true)
+      landEntriesChecked(inserts, base, statsCols,
+        guardIdentity = guardIdentity)
     val newEntries = newEntries0.filter(_.rows != 0L)
     var checkedCons = checked0
+    // the unguarded (SQL MERGE) path runs GENERATED BY DEFAULT like
+    // the merge verbs: re-landed images legitimately carry existing
+    // ids, and the high-water must advance past any id in the batch
+    val idMaxes =
+      if (guardIdentity) Map.empty[String, Long]
+      else sourceIdentityMaxes(spark, base, inserts)
     val castT = castType(statsDtype(deleteKeys.schema(statsCol).dataType))
     val bounds = deleteKeys
       .agg(min(col(statsCol).cast(castT)).cast("string"),
@@ -1867,7 +1952,9 @@ object TxLog {
         val v = cur.getOrElse(0L) + 1L
         try {
           publishEntries(spark, base, v, carried ++ masked ++ newEntries,
-            txn.fold(txns)(txns + _))
+            txn.fold(txns)(txns + _),
+            identityOverride = cur.flatMap(
+              mergeIdentityAdvance(spark, base, _, idMaxes)))
           v
         } catch {
           case e: CommitConflictException => // this attempt's mask is dead
@@ -2108,6 +2195,7 @@ object TxLog {
     require(!set.contains(column),
       s"UPDATE may not assign the clustering column $column — " +
         "rewriting the band key would break manifest-stats skipping")
+    requireNoIdentityAssignment(spark, base, set.keys.toSeq)
     rewriteRange(spark, base, column, lo, hi, maxAttempts) { touched =>
       import org.apache.spark.sql.functions.{coalesce, col, lit, when}
       val hit = coalesce(

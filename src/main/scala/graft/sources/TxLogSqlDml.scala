@@ -35,10 +35,13 @@ import graft.operators.TxLog
   */
 case class TxLogSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def txBase(plan: LogicalPlan): Option[String] = plan.collectFirst {
-    case r: DataSourceV2Relation if r.table.isInstanceOf[TxLogTable] =>
-      r.table.asInstanceOf[TxLogTable].basePath
-  }
+  private def txRelation(plan: LogicalPlan): Option[DataSourceV2Relation] =
+    plan.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[TxLogTable] => r
+    }
+
+  private def txBase(plan: LogicalPlan): Option[String] =
+    txRelation(plan).map(_.table.asInstanceOf[TxLogTable].basePath)
 
   /** Re-target a captured expression at a fresh snapshot read: every
     * attribute (resolved or not, qualified or not) becomes a bare
@@ -121,14 +124,21 @@ case class TxLogSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         unsupported(s"non-equi-key ON: ${mergeCond.sql}"))
       // star actions may reach us pre- or post-expansion (the rule
       // shares a fixed point with Spark's assignment alignment): an
-      // expanded form counts as SET */INSERT * iff every assignment
-      // is a same-name column copy
+      // expanded form counts as SET */INSERT * iff every assignment is
+      // a same-name column copy AND the list covers EVERY target
+      // column — a partial same-name list (UPDATE SET v = s.v) is a
+      // different statement and must fail loudly, not silently widen
+      // into a full-row overwrite
+      val targetColsLower = txRelation(target).get.table.schema()
+        .fieldNames.map(_.toLowerCase).toSet
       def isStarAssignments(as: Seq[Assignment]): Boolean =
         as.nonEmpty && as.forall(a =>
           (nameOf(a.key), nameOf(a.value)) match {
             case (Some(k), Some(v)) => k.equalsIgnoreCase(v)
             case _ => false
-          })
+          }) &&
+          as.flatMap(a => nameOf(a.key)).map(_.toLowerCase).toSet ==
+            targetColsLower
       val doUpdate = matched match {
         case Seq() => false
         case Seq(UpdateStarAction(None)) => true
@@ -163,12 +173,16 @@ object TxLogSqlDml {
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[AnyRef, java.lang.Boolean]()))
 
-  def ensureInjected(spark: SparkSession): Unit = {
-    val ext = org.apache.spark.sql.graftbridge.ColumnBridge
-      .sessionExtensions(spark)
-    if (armed.add(ext))
-      ext.injectResolutionRule(s => TxLogSqlDmlRule(s))
-  }
+  /** The one guarded injection point — shared by [[ensureInjected]]
+    * and GraftExtensions so a lineage built with
+    * `spark.sql.extensions=graft.GraftExtensions` that ALSO calls
+    * ensureInjected never carries two copies of the rule. */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    if (armed.add(ext)) ext.injectResolutionRule(s => TxLogSqlDmlRule(s))
+
+  def ensureInjected(spark: SparkSession): Unit =
+    injectInto(org.apache.spark.sql.graftbridge.ColumnBridge
+      .sessionExtensions(spark))
 }
 
 /** `UPDATE <txlog table> SET ... WHERE ...` → merge-on-read update:

@@ -164,15 +164,26 @@ object TxLogSource {
     require(v.isEmpty || ts.isEmpty,
       "specify either versionAsOf or timestampAsOf, not both")
     v.orElse(ts.map(s =>
-      TxLog.versionAtTimestamp(spark, base, parseTsMillis(s))))
+      TxLog.versionAtTimestamp(spark, base, parseTsMillis(spark, s))))
   }
 
-  /** Accepts epoch millis, `yyyy-MM-dd HH:mm:ss[.f]` (session-local,
-    * the SQL literal shape), or an ISO-8601 instant. */
-  private[sources] def parseTsMillis(s: String): Long =
-    s.trim.toLongOption.getOrElse(
-      scala.util.Try(java.sql.Timestamp.valueOf(s.trim).getTime).getOrElse(
-        java.time.Instant.parse(s.trim).toEpochMilli))
+  /** Accepts epoch millis, `yyyy-MM-dd HH:mm:ss[.f]` interpreted in
+    * the SESSION timezone (`spark.sql.session.timeZone`, like a SQL
+    * timestamp literal — NOT the JVM default, which can silently
+    * shift the resolved instant by hours), or an ISO-8601 instant. */
+  private[sources] def parseTsMillis(spark: SparkSession, s: String): Long =
+    s.trim.toLongOption.getOrElse {
+      val naive = scala.util.Try(
+        java.sql.Timestamp.valueOf(s.trim).toLocalDateTime)
+      naive match {
+        case scala.util.Success(ldt) =>
+          val zone = java.time.ZoneId.of(
+            spark.conf.get("spark.sql.session.timeZone",
+              java.time.ZoneId.systemDefault().getId))
+          ldt.atZone(zone).toInstant.toEpochMilli
+        case _ => java.time.Instant.parse(s.trim).toEpochMilli
+      }
+    }
 
   /** `changeFeedTypes=true` implies the change feed. */
   private[sources] def changeFeed(options: CaseInsensitiveStringMap): Boolean =
@@ -514,6 +525,10 @@ class TxLogScanBuilder(full: StructType, base: String,
   private var required: StructType = full
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var aggResult: Option[(StructType, Seq[Any])] = None
+  /** Resolved ONCE per scan: a timestampAsOf option costs one
+    * timestamp→version resolution here, not one per planning phase. */
+  private lazy val asOf: Option[Long] =
+    TxLogSource.asOfVersion(SparkSession.active, base, options)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -559,8 +574,7 @@ class TxLogScanBuilder(full: StructType, base: String,
     val spark = SparkSession.active
     val latestOpt = TxLog.latestVersion(spark, base)
     if (latestOpt.isEmpty) return false
-    val target = TxLogSource.asOfVersion(spark, base, options)
-      .getOrElse(latestOpt.get)
+    val target = asOf.getOrElse(latestOpt.get)
     if (target > latestOpt.get) return false
     val entries = TxLog.manifest(spark, base, target)._1
     if (entries.exists(_.rows < 0)) return false // v1 entries: count unknown
@@ -662,8 +676,7 @@ class TxLogScanBuilder(full: StructType, base: String,
       Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
     require(startingVersion >= 0,
       s"startingVersion must be >= 0, got $startingVersion")
-    val versionAsOf =
-      TxLogSource.asOfVersion(SparkSession.active, base, options)
+    val versionAsOf = asOf
     versionAsOf.foreach(v => require(v >= 1,
       s"versionAsOf must be >= 1, got $v"))
     new TxLogScan(required, base, TxLogSource.changeFeed(options),

@@ -152,4 +152,36 @@ class TxLogDeltaLogSpec extends AnyFunSuite {
     assert(contents(TxLog.read(spark, base)) == Set(2 -> "new"),
       "a cached v1 snapshot from the dropped table must not survive")
   }
+
+  test("an OUT-OF-BAND drop/recreate (another process — the in-JVM " +
+    "purge never ran) is caught by the commit-mtime guard") {
+    val base = "/tmp/graft_txdelta/xproc"
+    TxLog.drop(spark, base)
+    TxLog.commit(df(Seq(1 -> "old")), base, None)
+    assert(contents(TxLog.read(spark, base)) == Set(1 -> "old")) // cached
+    // simulate another process: raw filesystem delete + re-seed, no
+    // TxLog.drop (so this JVM's snapshot cache still holds v1)
+    val f = fs(base)
+    f.delete(new Path(base), true)
+    // ensure a different commit mtime even on a coarse-granularity fs
+    Thread.sleep(20)
+    TxLog.commit(df(Seq(2 -> "new")), base, None)
+    assert(contents(TxLog.read(spark, base)) == Set(2 -> "new"),
+      "the mtime token must invalidate the stale cross-process cache")
+  }
+
+  test("a degenerate checkpointInterval conf can never fail a durable " +
+    "commit (post-CAS work is best-effort)") {
+    val base = "/tmp/graft_txdelta/badconf"
+    TxLog.drop(spark, base)
+    spark.conf.set("spark.graft.txlog.checkpointInterval", "0")
+    try {
+      TxLog.commit(df(Seq(1 -> "a")), base, None)
+      TxLog.append(df(Seq(2 -> "b")), base)
+      assert(TxLog.read(spark, base).count() == 2)
+      spark.conf.set("spark.graft.txlog.checkpointInterval", "not-a-number")
+      TxLog.append(df(Seq(3 -> "c")), base)
+      assert(TxLog.read(spark, base).count() == 3)
+    } finally spark.conf.unset("spark.graft.txlog.checkpointInterval")
+  }
 }

@@ -113,6 +113,63 @@ class TxLogSqlDmlSpec extends AnyFunSuite {
       assert(err.getMessage.contains("equi-key"),
         s"expected a loud shape error, got: ${err.getMessage}")
       assert(TxLog.read(spark, base).count() == 92)
+      // a PARTIAL same-name assignment list is NOT SET * — it must
+      // fail loudly, never silently widen into a full-row overwrite
+      val partial = intercept[Exception] {
+        sql.sql("MERGE INTO txdml_shapes t USING (SELECT id AS k, " +
+          "'y' AS s, 0.0 AS v FROM range(30, 32)) s ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET v = s.v")
+      }
+      assert(partial.getMessage.contains("UPDATE SET *") ||
+        partial.getMessage.contains("matched actions"),
+        s"partial SET must be rejected: ${partial.getMessage}")
+      assert(TxLog.read(spark, base).count() == 92)
     } finally sql.sql("DROP TABLE IF EXISTS txdml_shapes")
+  }
+
+  test("SET expressions evaluate against the OLD row simultaneously " +
+    "(SQL UPDATE semantics), and identity columns reject assignment") {
+    val base = "/tmp/graft_txsqldml/simul"
+    seed(base, "txdml_simul")
+    try {
+      // v doubles from OLD v; k is rebuilt from OLD v — if the
+      // assignments chained, k would see the doubled v
+      sql.sql("UPDATE txdml_simul SET v = v * 2, k = cast(v AS INT) " +
+        "WHERE k = 7")
+      val r = TxLog.read(spark, base).where("v = 140.0")
+        .select("k").head()
+      assert(r.getInt(0) == 70,
+        "k must be built from the OLD v (70), not the doubled one")
+    } finally sql.sql("DROP TABLE IF EXISTS txdml_simul")
+    // identity guard on the UPDATE surface (Delta's rule)
+    val idBase = "/tmp/graft_txsqldml/ident"
+    TxLog.drop(spark, idBase)
+    import spark.implicits._
+    TxLog.appendIdentity(
+      (1 to 10).map(i => (s"n-$i", i * 1.0)).toDF("s", "v"),
+      idBase, "row_id")
+    intercept[IllegalArgumentException] {
+      TxLog.updateRangeMor(spark, idBase, "v", 1.0, 5.0,
+        Map("row_id" -> org.apache.spark.sql.functions.lit(9999L)))
+    }
+    // decomposed update-only MERGE now works on identity tables
+    // (GENERATED BY DEFAULT, high-water advances past carried ids)
+    sql.sql("DROP TABLE IF EXISTS txdml_ident")
+    sql.sql("CREATE TABLE txdml_ident " +
+      s"USING graft.sources.TxLogSource OPTIONS (path '$idBase')")
+    try {
+      sql.sql("MERGE INTO txdml_ident t USING (SELECT row_id, " +
+        "concat('upd-', row_id) AS s, 0.0 AS v FROM txdml_ident " +
+        "WHERE row_id <= 3) src ON t.row_id = src.row_id " +
+        "WHEN MATCHED THEN UPDATE SET *")
+      val snap = TxLog.read(spark, idBase)
+      assert(snap.count() == 10)
+      assert(snap.where("s LIKE 'upd-%'").count() == 3)
+      // ids stayed unique and the next identity append allocates above
+      TxLog.appendIdentity(Seq(("z", 1.0)).toDF("s", "v"), idBase, "row_id")
+      val ids = TxLog.read(spark, idBase).select("row_id")
+        .collect().map(_.getLong(0))
+      assert(ids.distinct.length == 11, s"ids must stay unique: $ids")
+    } finally sql.sql("DROP TABLE IF EXISTS txdml_ident")
   }
 }
