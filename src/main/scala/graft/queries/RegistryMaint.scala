@@ -623,6 +623,47 @@ object RegistryMaint {
         .orderBy("o_orderstatus")
     }),
 
+    // Maintenance SQL grammar (the injectParser rung): OPTIMIZE
+    // bin-packs straggler appends and VACUUM trims history, both as
+    // plain SQL a JDBC operator could issue — the requires pin that
+    // the file count dropped and only the final version survived,
+    // while content is untouched. Oracle: the content aggregate.
+    "s53_sql_optimize" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txsqlopt_lineitem"
+      TxLog.drop(s, base)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      TxLog.commit(
+        li.where(col("l_orderkey") % 10 !== 0)
+          .repartitionByRange(8, col("l_orderkey")),
+        base, None, Some("l_orderkey"))
+      Seq(0, 1, 2).foreach(i => TxLog.append(
+        li.where(col("l_orderkey") % 10 === 0 &&
+          col("l_orderkey") % 3 === i).coalesce(1), base, Some("l_orderkey")))
+      val preFiles = TxLog.manifest(s, base, 4L)._1.size
+      graft.sources.TxLogSqlDml.ensureInjected(s)
+      val sqlS = s.newSession()
+      sqlS.sql("DROP TABLE IF EXISTS txsql_opt_w")
+      sqlS.sql("CREATE TABLE txsql_opt_w " +
+        s"USING graft.sources.TxLogSource OPTIONS (path '$base')")
+      try {
+        sqlS.sql("OPTIMIZE txsql_opt_w")
+        val postFiles = TxLog.manifest(s, base,
+          TxLog.latestVersion(s, base).get)._1.size
+        require(postFiles < preFiles,
+          s"OPTIMIZE must fold stragglers: $preFiles -> $postFiles")
+        val kept = sqlS.sql("VACUUM txsql_opt_w RETAIN 1 VERSIONS")
+          .collect().map(_.getLong(0)).toSeq
+        require(kept.size == 1, s"VACUUM must keep one version: $kept")
+      } finally sqlS.sql("DROP TABLE IF EXISTS txsql_opt_w")
+      TxLog.read(s, base)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // IDENTITY column (Delta GENERATED ALWAYS AS IDENTITY): two
     // appends get system-assigned surrogate ids — unique, increasing
     // across commits, gaps allowed — via per-partition counters above
@@ -1486,6 +1527,10 @@ object RegistryMaint {
                        THEN o_totalprice * 2 ELSE o_totalprice END
                   AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s53_sql_optimize" ->
+      """SELECT l_returnflag, count(*) AS n,
+                cast(sum(cast(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "s38_shallow_clone" ->
       s"""SELECT event_type, count(*) AS n,
                 cast(sum(cast(

@@ -178,7 +178,11 @@ object TxLogSqlDml {
     * `spark.sql.extensions=graft.GraftExtensions` that ALSO calls
     * ensureInjected never carries two copies of the rule. */
   def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    if (armed.add(ext)) ext.injectResolutionRule(s => TxLogSqlDmlRule(s))
+    if (armed.add(ext)) {
+      ext.injectResolutionRule(s => TxLogSqlDmlRule(s))
+      // the grammar rung: OPTIMIZE / VACUUM / DESCRIBE HISTORY
+      ext.injectParser((_, delegate) => new TxLogSqlParser(delegate))
+    }
 
   def ensureInjected(spark: SparkSession): Unit =
     injectInto(org.apache.spark.sql.graftbridge.ColumnBridge

@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import graft.operators.TxLog
+
+/** Maintenance SQL for txlog tables — the PARSER rung of the
+  * SparkSessionExtensions ladder (`injectParser`), completing it:
+  * functions, planner strategy, optimizer rule, resolution rule, and
+  * now grammar. Three statements Spark has no native grammar for
+  * (so interception is strictly additive — any other text delegates
+  * to the stock parser untouched):
+  *
+  *   OPTIMIZE <table>                          → [[TxLog.compact]]
+  *   OPTIMIZE <table> ZORDER BY (a, b)         → [[TxLog.compactZorder]]
+  *   VACUUM <table> RETAIN <n> VERSIONS        → [[TxLog.vacuum]]
+  *   DESCRIBE HISTORY <table>                  → [[TxLog.history]]
+  *
+  * (Delta's VACUUM retains by AGE; the log's retention unit is
+  * versions — stated in the grammar so nobody mistakes the two.)
+  * The table name resolves through the session catalog at RUN time;
+  * a non-txlog table fails loudly. */
+class TxLogSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    TxLogSqlParser.maintenancePlan(sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object TxLogSqlParser {
+  private val Ident = """[\w.`]+"""
+  private val OptimizeRe =
+    s"""(?is)\\s*OPTIMIZE\\s+($Ident)\\s*(?:ZORDER\\s+BY\\s*\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\))?\\s*;?\\s*""".r
+  private val VacuumRe =
+    s"""(?is)\\s*VACUUM\\s+($Ident)\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
+  private val HistoryRe =
+    s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+($Ident)\\s*;?\\s*""".r
+
+  private def parts(ident: String): Seq[String] =
+    ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+
+  private[sources] def maintenancePlan(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case OptimizeRe(t, a, b) =>
+        Some(TxLogOptimizeCommand(parts(t),
+          Option(a).map(x => (x, b))))
+      case VacuumRe(t, n) =>
+        Some(TxLogVacuumCommand(parts(t), n.toInt))
+      case HistoryRe(t) =>
+        Some(TxLogHistoryCommand(parts(t)))
+      case _ => None
+    }
+
+  /** The store root behind a catalog table name — fails loudly when
+    * the name does not resolve to a txlog table. */
+  private[sources] def resolveBase(spark: SparkSession,
+                                   table: Seq[String]): String = {
+    val plan = spark.table(table.mkString(".")).queryExecution.analyzed
+    plan.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[TxLogTable] =>
+        r.table.asInstanceOf[TxLogTable].basePath
+    }.getOrElse(throw new IllegalArgumentException(
+      s"${table.mkString(".")} is not a txlog table — OPTIMIZE/VACUUM/" +
+        "DESCRIBE HISTORY apply to tables USING graft.sources.TxLogSource"))
+  }
+}
+
+/** `OPTIMIZE t [ZORDER BY (a, b)]` → bin-pack small files (or re-tile
+  * small/straggler files into Z-tiles with 2-D stats). Default
+  * thresholds: fold files under 2^20 live rows into ~2^22-row
+  * outputs — the row-count analog of Delta's default file-size bins.
+  * Returns the published version (unchanged when nothing to do). */
+case class TxLogOptimizeCommand(table: Seq[String],
+                                zorder: Option[(String, String)],
+                                smallThresholdRows: Long = 1L << 20,
+                                targetRows: Long = 1L << 22)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val base = TxLogSqlParser.resolveBase(spark, table)
+    val v = zorder match {
+      case Some((a, b)) => TxLog.compactZorder(spark, base, a, b,
+        smallThresholdRows, targetRows)
+      case None => TxLog.compact(spark, base, smallThresholdRows, targetRows)
+    }
+    Seq(Row(v))
+  }
+}
+
+/** `VACUUM t RETAIN n VERSIONS` → drop all but the newest n manifests
+  * and every unreferenced txn dir. Returns the surviving versions. */
+case class TxLogVacuumCommand(table: Seq[String], keepLast: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val base = TxLogSqlParser.resolveBase(spark, table)
+    TxLog.vacuum(spark, base, keepLast).map(Row(_))
+  }
+}
+
+/** `DESCRIBE HISTORY t` → one row per surviving version (the
+  * [[TxLog.history]] surface over SQL/JDBC). */
+case class TxLogHistoryCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = true)(),
+    AttributeReference("n_added_files", LongType, nullable = false)(),
+    AttributeReference("n_txn_apps", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val base = TxLogSqlParser.resolveBase(spark, table)
+    TxLog.history(spark, base).collect().toSeq
+  }
+}

@@ -85,8 +85,27 @@ class TxLogWrite(base: String, info: LogicalWriteInfo, truncate: Boolean)
       "the txlog streaming sink is append-only (complete/update output " +
         "modes would truncate history); use append mode")
     new TxLogStreamingWrite(base, info.schema(), statsCols,
-      info.queryId())
+      info.queryId(), autoCompact)
   }
+
+  /** Auto-compaction policy for the streaming sink (Delta
+    * auto-compaction analog): a long-running stream writes one file
+    * per partition per epoch — without maintenance a month of
+    * 1-minute triggers is 10^5 tiny files. `autoCompact=true` runs a
+    * best-effort [[TxLog.compact]] after an epoch commit whenever at
+    * least `autoCompactMinFiles` (default 8) live files sit under
+    * `autoCompactSmallRows` (default 2^18) rows, binning to
+    * `autoCompactTargetRows` (default 2^20). dataChange=false, so the
+    * change feeds and exactly-once replay are untouched. */
+  private def autoCompact: Option[(Long, Long, Int)] =
+    if (!Option(info.options.get("autoCompact")).exists(_.toBoolean)) None
+    else Some((
+      Option(info.options.get("autoCompactSmallRows")).map(_.toLong)
+        .getOrElse(1L << 18),
+      Option(info.options.get("autoCompactTargetRows")).map(_.toLong)
+        .getOrElse(1L << 20),
+      Option(info.options.get("autoCompactMinFiles")).map(_.toInt)
+        .getOrElse(8)))
 }
 
 /** Serializable per-file result: path (base-relative), rows, and one
@@ -162,7 +181,8 @@ class TxLogBatchWrite(base: String, schema: StructType,
 }
 
 class TxLogStreamingWrite(base: String, schema: StructType,
-                          statsCols: Seq[String], queryId: String)
+                          statsCols: Seq[String], queryId: String,
+                          autoCompact: Option[(Long, Long, Int)] = None)
     extends StreamingWrite {
   private val writeId = java.util.UUID.randomUUID().toString
 
@@ -177,6 +197,21 @@ class TxLogStreamingWrite(base: String, schema: StructType,
     TxLogWriteCommit.publishEpochWithRetry(spark, base, entries,
       appId = s"sink-$queryId", epochId = epochId,
       schemaCols = schema.fieldNames.toSeq)
+    // post-commit auto-compaction: best-effort, AFTER the epoch is
+    // durable — a compaction failure (or CAS storm) must never fail
+    // the stream; dataChange=false keeps feeds and replay semantics
+    autoCompact.foreach { case (smallRows, targetRows, minFiles) =>
+      try {
+        val latest = graft.operators.TxLog.latestVersion(spark, base)
+        val smalls = latest.map(v =>
+          graft.operators.TxLog.manifest(spark, base, v)._1
+            .count(e => e.rows >= 0 && e.liveRows < smallRows))
+          .getOrElse(0)
+        if (smalls >= minFiles)
+          graft.operators.TxLog.compact(spark, base, smallRows, targetRows,
+            statsCols.headOption)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

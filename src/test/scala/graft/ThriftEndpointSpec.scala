@@ -143,6 +143,19 @@ class ThriftEndpointSpec extends AnyFunSuite {
         assert(mrg.next() && mrg.getLong(1) == 95 && mrg.getLong(2) == 10,
           "MERGE over JDBC: 90 survivors + 5 re-inserted keys, with " +
             "k∈[85,95) carrying the merged g=k images")
+        // maintenance grammar over JDBC (the injected parser rung)
+        val hist = st.executeQuery("DESCRIBE HISTORY txlog_jdbc_demo")
+        val versions = Iterator.continually(hist)
+          .takeWhile(_.next()).map(_.getLong(1)).toList
+        assert(versions.nonEmpty && versions == versions.sorted,
+          s"DESCRIBE HISTORY over JDBC: $versions")
+        val opt = st.executeQuery("OPTIMIZE txlog_jdbc_demo")
+        assert(opt.next() && opt.getLong(1) > versions.last,
+          "OPTIMIZE over JDBC must publish a new version")
+        val cnt = st.executeQuery(
+          "SELECT count(*) AS n FROM txlog_jdbc_demo")
+        assert(cnt.next() && cnt.getLong(1) == 95,
+          "OPTIMIZE must not change contents")
       } finally conn.close()
     } finally server.stop()
   }

@@ -127,6 +127,48 @@ class TxLogSqlDmlSpec extends AnyFunSuite {
     } finally sql.sql("DROP TABLE IF EXISTS txdml_shapes")
   }
 
+  test("maintenance SQL (the parser rung): OPTIMIZE bin-packs, " +
+    "OPTIMIZE ZORDER BY re-tiles, VACUUM retains versions, DESCRIBE " +
+    "HISTORY lists them; non-txlog targets fail loudly") {
+    val base = "/tmp/graft_txsqldml/maint"
+    TxLog.drop(spark, base)
+    import spark.implicits._
+    TxLog.commit(
+      (1 to 4000).map(i => (i, i % 50, s"p-$i")).toDF("x", "y", "p")
+        .repartition(4), base, None, Some("x"))
+    // small straggler appends
+    (1 to 3).foreach(i => TxLog.append(
+      Seq((10000 + i, i, s"s-$i")).toDF("x", "y", "p"), base, Some("x")))
+    sql.sql("DROP TABLE IF EXISTS txdml_maint")
+    sql.sql("CREATE TABLE txdml_maint " +
+      s"USING graft.sources.TxLogSource OPTIONS (path '$base')")
+    try {
+      val hist0 = sql.sql("DESCRIBE HISTORY txdml_maint").collect()
+      assert(hist0.map(_.getLong(0)).toSeq == (1L to 4L))
+      val vOpt = sql.sql("OPTIMIZE txdml_maint").head.getLong(0)
+      assert(vOpt == 5L)
+      assert(TxLog.manifest(spark, base, vOpt)._1.size < 7,
+        "OPTIMIZE must bin-pack the straggler files")
+      assert(TxLog.read(spark, base).count() == 4003)
+      val vZ = sql.sql("OPTIMIZE txdml_maint ZORDER BY (x, y)")
+        .head.getLong(0)
+      assert(TxLog.manifest(spark, base, vZ)._1.forall(e =>
+        e.statsFor("x").isDefined || e.rows == 0),
+        "re-tiled files carry stats")
+      val kept = sql.sql("VACUUM txdml_maint RETAIN 2 VERSIONS")
+        .collect().map(_.getLong(0)).toSeq
+      assert(kept.size == 2 && kept.last == vZ)
+      assert(TxLog.read(spark, base).count() == 4003)
+      // non-txlog target: loud error, ordinary SQL untouched
+      sql.sql("CREATE OR REPLACE TEMP VIEW not_txlog AS SELECT 1 AS a")
+      val err = intercept[Exception] {
+        sql.sql("OPTIMIZE not_txlog")
+      }
+      assert(err.getMessage.contains("not a txlog table"))
+      assert(sql.sql("SELECT 1 + 1").head.getInt(0) == 2)
+    } finally sql.sql("DROP TABLE IF EXISTS txdml_maint")
+  }
+
   test("SET expressions evaluate against the OLD row simultaneously " +
     "(SQL UPDATE semantics), and identity columns reject assignment") {
     val base = "/tmp/graft_txsqldml/simul"

@@ -133,4 +133,40 @@ class TxLogWriteSpec extends AnyFunSuite {
     val (kept, all) = TxLog.pruneRange(spark, silver, "k", 100L, 109L)
     assert(kept.size < all.size)
   }
+
+  test("autoCompact on the streaming sink folds epoch files: a " +
+    "many-epoch stream ends with few live files, identical contents, " +
+    "and untouched exactly-once state") {
+    val bronze = "/tmp/graft_txwrite/ac_bronze"
+    val silver = "/tmp/graft_txwrite/ac_silver"
+    val ckpt = "/tmp/graft_txwrite/ac_ckpt"
+    Seq(bronze, silver, ckpt).foreach(TxLog.drop(spark, _))
+    // 12 tiny bronze versions → 12 sink epochs of one small file each
+    TxLog.commit(clustered(0, 5, "a", 1), bronze, None, Some("k"))
+    (1 to 11).foreach(i =>
+      TxLog.append(clustered(i * 5, 5, "a", 1), bronze, Some("k")))
+    val q = spark.readStream.format("graft.sources.TxLogSource")
+      .option("maxVersionsPerTrigger", "1")
+      .load(bronze)
+      .writeStream.format("graft.sources.TxLogSource")
+      .option("path", silver)
+      .option("statsColumns", "k")
+      .option("autoCompact", "true")
+      .option("autoCompactSmallRows", "100")
+      .option("autoCompactTargetRows", "1000")
+      .option("autoCompactMinFiles", "4")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val vLatest = TxLog.latestVersion(spark, silver).get
+    val files = TxLog.manifest(spark, silver, vLatest)._1
+    assert(files.size <= 6,
+      s"auto-compaction must fold the 12 epoch files, got ${files.size}")
+    assert(contents(TxLog.read(spark, silver)) ==
+      contents(TxLog.read(spark, bronze)))
+    // exactly-once cursor survives the interleaved compactions
+    val txns = TxLog.manifest(spark, silver, vLatest)._2
+    assert(txns.values.headOption.contains(11L), s"sink txn map: $txns")
+  }
 }
