@@ -428,10 +428,11 @@ object TxLog {
     val pendingDeltas = scala.collection.mutable.Stack.empty[(Long, Seq[String])]
     var cur = v
     var baseEntries: Seq[Entry] = null
+    var baseFromCache = false
     while (baseEntries == null) {
       if (cur == 0L) baseEntries = Seq.empty
       else cacheGet(spark, base, cur) match {
-        case Some(es) => baseEntries = es
+        case Some(es) => baseEntries = es; baseFromCache = true
         case None =>
           val ck = ckptPath(base, cur)
           if (f.exists(ck))
@@ -447,7 +448,9 @@ object TxLog {
           }
       }
     }
-    cachePut(spark, base, cur, baseEntries) // no-op for version 0
+    // don't re-put a value that just came FROM the cache: the warm
+    // path stays at exactly one metadata RPC (cacheGet's mtime stat)
+    if (!baseFromCache) cachePut(spark, base, cur, baseEntries)
     var es = baseEntries
     while (pendingDeltas.nonEmpty) {
       val (ver, lines) = pendingDeltas.pop()
@@ -2200,9 +2203,14 @@ object TxLog {
       import org.apache.spark.sql.functions.{coalesce, col, lit, when}
       val hit = coalesce(
         col(column).between(lit(lo), lit(hi)) && residual, lit(false))
-      set.foldLeft(touched) { case (df, (c, expr)) =>
-        df.withColumn(c, when(hit, expr).otherwise(col(c)))
-      }
+      // simultaneous evaluation against the OLD row, same SQL UPDATE
+      // semantics as updateWhereMor (a sequential withColumn fold
+      // would feed later assignments earlier ones' outputs, in Map
+      // hash order — SET a = b, b = a must swap)
+      touched.select(touched.columns.toSeq.map(c =>
+        set.find(_._1.equalsIgnoreCase(c))
+          .map { case (_, e) => when(hit, e).otherwise(col(c)).as(c) }
+          .getOrElse(col(c))): _*)
     }
   }
 
@@ -2692,6 +2700,10 @@ object TxLog {
     * then delete every txn dir no surviving manifest references.
     * Returns the surviving versions, ascending. */
   def vacuum(spark: SparkSession, base: String, keepLast: Int): Seq[Long] = {
+    // the CURRENT version is never vacuumable (Delta's identical
+    // guard) — keepLast=0 would silently destroy the whole table
+    require(keepLast >= 1,
+      s"vacuum must retain at least one version, got keepLast=$keepLast")
     val f = fs(base, spark)
     val logDir = new Path(s"$base/$LogDir")
     if (!f.exists(logDir)) return Seq.empty

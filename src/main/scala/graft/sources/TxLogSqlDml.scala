@@ -103,6 +103,12 @@ case class TxLogSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             s"${a.key.sql} (top-level columns only)"))
         key -> new ExprBox(byName(a.value))
       }
+      // SQL forbids duplicate assignment targets — collapsing them
+      // (Map last-wins) would silently drop an assignment
+      val dup = sets.map(_._1.toLowerCase)
+        .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+      require(dup.isEmpty,
+        s"UPDATE assigns column(s) ${dup.mkString(", ")} more than once")
       TxLogUpdateCommand(txBase(table).get,
         condition.map(c => new ExprBox(byName(c))), sets)
 
@@ -122,27 +128,17 @@ case class TxLogSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         unsupported("WHEN NOT MATCHED BY SOURCE")
       val keys = equiKeys(mergeCond).getOrElse(
         unsupported(s"non-equi-key ON: ${mergeCond.sql}"))
-      // star actions may reach us pre- or post-expansion (the rule
-      // shares a fixed point with Spark's assignment alignment): an
-      // expanded form counts as SET */INSERT * iff every assignment is
-      // a same-name column copy AND the list covers EVERY target
-      // column — a partial same-name list (UPDATE SET v = s.v) is a
-      // different statement and must fail loudly, not silently widen
-      // into a full-row overwrite
-      val targetColsLower = txRelation(target).get.table.schema()
-        .fieldNames.map(_.toLowerCase).toSet
-      def isStarAssignments(as: Seq[Assignment]): Boolean =
-        as.nonEmpty && as.forall(a =>
-          (nameOf(a.key), nameOf(a.value)) match {
-            case (Some(k), Some(v)) => k.equalsIgnoreCase(v)
-            case _ => false
-          }) &&
-          as.flatMap(a => nameOf(a.key)).map(_.toLowerCase).toSet ==
-            targetColsLower
+      // STAR actions only. Explicit assignment lists are deliberately
+      // rejected: a name-based classifier cannot distinguish
+      // `SET v = s.v, k = t.k` ("keep old k") from SET * — qualifiers
+      // are aliases we cannot resolve here — and Spark's own star
+      // expansion is rewritable-gated (it never fires for tables
+      // without SupportsRowLevelOperations), so the expanded form
+      // never legitimately reaches this rule. Loud error beats a
+      // silent full-row overwrite.
       val doUpdate = matched match {
         case Seq() => false
         case Seq(UpdateStarAction(None)) => true
-        case Seq(UpdateAction(None, as, _)) if isStarAssignments(as) => true
         case Seq(DeleteAction(None)) => false
         case other => unsupported(s"matched actions $other")
       }
@@ -150,7 +146,6 @@ case class TxLogSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val doInsert = notMatched match {
         case Seq() => false
         case Seq(InsertStarAction(None)) => true
-        case Seq(InsertAction(None, as)) if isStarAssignments(as) => true
         case other => unsupported(s"not-matched actions $other")
       }
       if (!doUpdate && !deleteMatched && !doInsert)

@@ -53,20 +53,43 @@ class TxLogSqlParser(delegate: ParserInterface) extends ParserInterface {
 object TxLogSqlParser {
   private val Ident = """[\w.`]+"""
   private val OptimizeRe =
-    s"""(?is)\\s*OPTIMIZE\\s+($Ident)\\s*(?:ZORDER\\s+BY\\s*\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\))?\\s*;?\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+($Ident)\\s*(?:ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*""".r
   private val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+($Ident)\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
   private val HistoryRe =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+($Ident)\\s*;?\\s*""".r
 
-  private def parts(ident: String): Seq[String] =
-    ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+  /** Split a (possibly backtick-quoted) multipart identifier on dots
+    * OUTSIDE backticks, so `my.table` stays one part. */
+  private def parts(ident: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inTicks = false
+    ident.foreach {
+      case '`' => inTicks = !inTicks
+      case '.' if !inTicks => out += cur.result(); cur.clear()
+      case ch => cur += ch
+    }
+    out += cur.result()
+    out.toSeq
+  }
 
   private[sources] def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case OptimizeRe(t, a, b) =>
-        Some(TxLogOptimizeCommand(parts(t),
-          Option(a).map(x => (x, b))))
+      case OptimizeRe(t, zcols) =>
+        // arity is validated HERE, loudly — a silent fall-through to
+        // the stock parser would reject "OPTIMIZE" as unknown syntax
+        // with no hint that only 2-column ZORDER is supported
+        val z = Option(zcols).map { cs =>
+          cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq match {
+            case Seq(a, b) => (a, b)
+            case other => throw new IllegalArgumentException(
+              s"OPTIMIZE ... ZORDER BY takes exactly two columns " +
+                s"(manifest stats tile a 2-D key plane); got " +
+                s"${other.size}: ${other.mkString(", ")}")
+          }
+        }
+        Some(TxLogOptimizeCommand(parts(t), z))
       case VacuumRe(t, n) =>
         Some(TxLogVacuumCommand(parts(t), n.toInt))
       case HistoryRe(t) =>

@@ -99,13 +99,22 @@ class TxLogWrite(base: String, info: LogicalWriteInfo, truncate: Boolean)
     * change feeds and exactly-once replay are untouched. */
   private def autoCompact: Option[(Long, Long, Int)] =
     if (!Option(info.options.get("autoCompact")).exists(_.toBoolean)) None
-    else Some((
-      Option(info.options.get("autoCompactSmallRows")).map(_.toLong)
-        .getOrElse(1L << 18),
-      Option(info.options.get("autoCompactTargetRows")).map(_.toLong)
-        .getOrElse(1L << 20),
-      Option(info.options.get("autoCompactMinFiles")).map(_.toInt)
-        .getOrElse(8)))
+    else {
+      val small = Option(info.options.get("autoCompactSmallRows"))
+        .map(_.toLong).getOrElse(1L << 18)
+      val target = Option(info.options.get("autoCompactTargetRows"))
+        .map(_.toLong).getOrElse(1L << 20)
+      val minFiles = Option(info.options.get("autoCompactMinFiles"))
+        .map(_.toInt).getOrElse(8)
+      // validate EAGERLY at stream start: inside the per-epoch
+      // best-effort swallow, an inverted pair would silently disable
+      // compaction forever — the exact file accretion it exists to stop
+      require(target >= small && small >= 1 && minFiles >= 2,
+        s"autoCompact thresholds invalid: smallRows=$small " +
+          s"targetRows=$target minFiles=$minFiles (need target >= " +
+          "small >= 1, minFiles >= 2)")
+      Some((small, target, minFiles))
+    }
 }
 
 /** Serializable per-file result: path (base-relative), rows, and one

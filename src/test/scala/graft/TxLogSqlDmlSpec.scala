@@ -166,6 +166,18 @@ class TxLogSqlDmlSpec extends AnyFunSuite {
       }
       assert(err.getMessage.contains("not a txlog table"))
       assert(sql.sql("SELECT 1 + 1").head.getInt(0) == 2)
+      // guard rails: RETAIN 0 can never destroy the table; a wrong
+      // ZORDER arity errors loudly instead of a baffling parse error
+      val v0 = intercept[Exception] {
+        sql.sql("VACUUM txdml_maint RETAIN 0 VERSIONS")
+      }
+      assert(v0.getMessage.contains("at least one version"))
+      assert(TxLog.read(spark, base).count() == 4003,
+        "a rejected VACUUM must not touch data")
+      val arity = intercept[Exception] {
+        sql.sql("OPTIMIZE txdml_maint ZORDER BY (x, y, p)")
+      }
+      assert(arity.getMessage.contains("exactly two columns"))
     } finally sql.sql("DROP TABLE IF EXISTS txdml_maint")
   }
 
@@ -182,6 +194,20 @@ class TxLogSqlDmlSpec extends AnyFunSuite {
         .select("k").head()
       assert(r.getInt(0) == 70,
         "k must be built from the OLD v (70), not the doubled one")
+      // duplicate assignment targets are a loud SQL error (never a
+      // silent Map last-wins)
+      val dup = intercept[Exception] {
+        sql.sql("UPDATE txdml_simul SET v = 1.0, v = 2.0 WHERE k = 1")
+      }
+      assert(dup.getMessage.contains("more than once"))
+      // the COW update verb shares the simultaneous semantics: a
+      // swap-shaped SET must read both OLD values (law for the API)
+      TxLog.updateRange(spark, base, "k", 1, 1,
+        Map("v" -> (col("v") * 10), "s" -> concat(lit("v="), col("v"))))
+      val cow = TxLog.read(spark, base).where("k = 1").head()
+      assert(cow.getAs[String]("s") == "v=10.0" &&
+        cow.getAs[Double]("v") == 100.0,
+        s"COW SET must evaluate against the OLD row: $cow")
     } finally sql.sql("DROP TABLE IF EXISTS txdml_simul")
     // identity guard on the UPDATE surface (Delta's rule)
     val idBase = "/tmp/graft_txsqldml/ident"
