@@ -664,6 +664,63 @@ object RegistryMaint {
         .orderBy("l_returnflag")
     }),
 
+    // The reference's dbt incremental lifecycle END-TO-END on the log
+    // (SURVEY §3 E2, stg_properties.sql:1-16): day-1 state
+    // materialized into a txlog table; day-2 increment selected by
+    // the is_incremental() watermark against the CURRENT table state,
+    // deduped latest-per-key, and applied as SQL
+    // `MERGE INTO ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    // THEN INSERT *` — exactly the statement dbt-spark emits over
+    // Thrift for incremental_strategy='merge'. Zero files rewritten
+    // (merge-on-read), snapshot-isolated readers throughout. The
+    // oracle is the same latest-per-user recompute as
+    // pipeline_incremental_run — two routes, one truth.
+    "s54_dbt_merge_lifecycle" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val d2 = to_timestamp(lit("2024-01-10 00:00:00"))
+      val d3 = to_timestamp(lit("2024-01-20 00:00:00"))
+      def latest(df: DataFrame) = graft.operators.Dedup.latestByKey(
+        df, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+      val base = Ingest.fixtureDir(dir) + "/txdbt_state"
+      val incrPath = Ingest.fixtureDir(dir) + "/txdbt_incr"
+      TxLog.drop(s, base)
+      // run 1: initial materialization (dbt full-refresh)
+      TxLog.commit(
+        latest(ev.where(col("ts") < d2))
+          .select("user_id", "event_id", "event_type", "value", "ts"),
+        base, None, Some("user_id"))
+      // run 2: watermark increment against the LIVE table state
+      val incr = latest(graft.operators.Incremental.newerThanWatermark(
+        ev.where(col("ts") < d3), TxLog.read(s, base), "ts", "ts"))
+        .select("user_id", "event_id", "event_type", "value", "ts")
+      incr.write.mode("overwrite").parquet(incrPath)
+      graft.sources.TxLogSqlDml.ensureInjected(s)
+      val sqlS = s.newSession()
+      sqlS.sql("DROP TABLE IF EXISTS txdbt_state_w")
+      sqlS.sql("CREATE TABLE txdbt_state_w " +
+        s"USING graft.sources.TxLogSource OPTIONS (path '$base')")
+      try {
+        val before = TxLog.manifestFiles(s, base, 1L).toSet
+        sqlS.sql("MERGE INTO txdbt_state_w t USING (SELECT * FROM " +
+          s"parquet.`$incrPath`) s ON t.user_id = s.user_id " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        val v2 = TxLog.latestVersion(s, base).get
+        require(v2 == 2L, s"one atomic MERGE commit expected, at $v2")
+        // merge-on-read write-volume evidence: the NEW files hold
+        // exactly the increment's rows — matched state rows were
+        // MASKED (or their fully-dead files dropped), never rewritten
+        val newRows = TxLog.manifest(s, base, v2)._1
+          .filterNot(e => before.contains(e.path)).map(_.rows).sum
+        val incrRows = s.read.parquet(incrPath).count()
+        require(newRows == incrRows,
+          s"write volume must be O(increment): $newRows vs $incrRows")
+      } finally sqlS.sql("DROP TABLE IF EXISTS txdbt_state_w")
+      TxLog.read(s, base)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    }),
+
     // IDENTITY column (Delta GENERATED ALWAYS AS IDENTITY): two
     // appends get system-assigned surrogate ids — unique, increasing
     // across commits, gaps allowed — via per-partition counters above
@@ -1531,6 +1588,12 @@ object RegistryMaint {
       """SELECT l_returnflag, count(*) AS n,
                 cast(sum(cast(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "s54_dbt_merge_lifecycle" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE ts < TIMESTAMP '2024-01-20')
+         WHERE rn = 1 ORDER BY user_id""",
     "s38_shallow_clone" ->
       s"""SELECT event_type, count(*) AS n,
                 cast(sum(cast(
