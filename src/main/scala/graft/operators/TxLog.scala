@@ -1047,11 +1047,22 @@ object TxLog {
                                     dataChange: Boolean = true,
                                     identityOverride: Option[Map[String, Long]] =
                                       None): Unit = {
+    // a concurrent vacuum can delete the version this commit diffs
+    // against (the committer's snapshot is stale by definition then —
+    // its CAS would lose anyway): surface the FileNotFound as a
+    // CONFLICT so the retry loop re-reads the winner's world and the
+    // in-loop landers run their normal discard path, instead of
+    // leaking a raw FNFE (and orphaned files) out of a writer
+    def staleAsConflict[T](body: => T): T =
+      try body
+      catch { case _: java.io.FileNotFoundException =>
+        throw new CommitConflictException(v) }
     // ONE read of the latest manifest serves every carried meta kind
     // (a second listing + parse per commit is pure waste on stores
     // where each is a network round trip)
-    lazy val latestLines: Seq[String] = latestVersion(spark, base)
-      .map(manifestLines(spark, base, _)).getOrElse(Seq.empty)
+    lazy val latestLines: Seq[String] = staleAsConflict(
+      latestVersion(spark, base)
+        .map(manifestLines(spark, base, _)).getOrElse(Seq.empty))
     val cons = constraintsOverride
       .getOrElse(parseConstraintLines(latestLines))
     val ident = identityOverride
@@ -1071,7 +1082,7 @@ object TxLog {
     // The v-1 resolution normally comes straight from the snapshot
     // cache — every caller just read it to build `entries`.
     val prev = if (v <= 1L) Seq.empty
-               else snapshotEntries(spark, base, v - 1)
+               else staleAsConflict(snapshotEntries(spark, base, v - 1))
     val prevSer = prev.map(e => e.path -> serLine(e)).toMap
     val newPaths = entries.map(_.path).toSet
     val removes = prev.map(_.path).filterNot(newPaths.contains)
@@ -1157,7 +1168,16 @@ object TxLog {
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     try fc(base, spark).rename(tmp, ckptPath(base, v), Options.Rename.OVERWRITE)
-    catch { case e: java.io.IOException => f.delete(tmp, false); throw e }
+    catch {
+      case e: java.io.IOException =>
+        f.delete(tmp, false)
+        // checkpoint content for a version is DETERMINISTIC (derived
+        // from the immutable commit chain), so a concurrent writer —
+        // two racing vacuums both re-basing the same oldest-kept
+        // version (local ChecksumFs surfaces this as a .crc-sidecar
+        // rename collision) — already installed the same bytes: done
+        if (!f.exists(ckptPath(base, v))) throw e
+    }
   }
 
   /** Discard a landed-but-unpublished txn's files (conflict loser). */
@@ -2629,6 +2649,51 @@ object TxLog {
     rows.toDF("version", "n_files", "n_rows", "n_added_files", "n_txn_apps")
   }
 
+  /** One-row table detail (Delta `DESCRIBE DETAIL` analog): current
+    * version, live file/row counts, masked-row total, physical bytes,
+    * constraint/identity/bloom metadata counts, the set of
+    * stats-indexed columns, and the latest checkpoint version.
+    * Driver-side manifest metadata plus one file-status RPC per live
+    * file for byte sizes — a maintenance verb, not a query-path one
+    * (Delta's own DESCRIBE DETAIL pays the same listing). */
+  def describeDetail(spark: SparkSession, base: String): DataFrame = {
+    val v = latestVersion(spark, base).getOrElse(
+      throw new IllegalStateException(s"no committed version at $base"))
+    val (entries, txns) = manifest(spark, base, v)
+    val lines = manifestLines(spark, base, v)
+    val f = fs(base, spark)
+    val sizeBytes = entries.map { e =>
+      scala.util.Try(
+        f.getFileStatus(new Path(resolve(base, e.path))).getLen)
+        .getOrElse(0L)
+    }.sum
+    val nRows: Option[Long] =
+      if (entries.forall(_.rows >= 0)) Some(entries.map(_.liveRows).sum)
+      else None
+    val statsCols = entries.flatMap(_.stats.map(_.column)).distinct.sorted
+    val ckptV: Option[Long] = {
+      val dir = new Path(s"$base/$LogDir")
+      if (!f.exists(dir)) None
+      else f.listStatus(dir).toSeq
+        .flatMap(st => parseCkptVersion(st.getPath.getName)).maxOption
+    }
+    val lastModified = f.getFileStatus(manifestPath(base, v))
+      .getModificationTime
+    import spark.implicits._
+    Seq((
+      "txlog", base, v, lastModified,
+      entries.size.toLong, nRows, entries.flatMap(_.dv).map(_.rows).sum,
+      sizeBytes, statsCols.mkString(","),
+      parseConstraintLines(lines).size.toLong,
+      parseIdentityLines(lines).size.toLong,
+      entries.flatMap(_.blooms.map(_.column)).distinct.size.toLong,
+      txns.size.toLong, ckptV
+    )).toDF("format", "location", "version", "last_modified_ms",
+      "num_files", "num_rows", "num_masked_rows", "size_bytes",
+      "stats_columns", "num_constraints", "num_identity_cols",
+      "num_bloom_cols", "num_txn_apps", "checkpoint_version")
+  }
+
   /** RESTORE (Delta `RESTORE TABLE ... VERSION AS OF` analog): roll
     * the table back to version `v` by republishing v's entries as a
     * NEW version — the rolled-back versions stay readable until
@@ -2699,7 +2764,8 @@ object TxLog {
   /** Retention vacuum: drop all but the newest `keepLast` manifests,
     * then delete every txn dir no surviving manifest references.
     * Returns the surviving versions, ascending. */
-  def vacuum(spark: SparkSession, base: String, keepLast: Int): Seq[Long] = {
+  def vacuum(spark: SparkSession, base: String, keepLast: Int,
+             graceMs: Long = 3600000L): Seq[Long] = {
     // the CURRENT version is never vacuumable (Delta's identical
     // guard) — keepLast=0 would silently destroy the whole table
     require(keepLast >= 1,
@@ -2748,13 +2814,25 @@ object TxLog {
     f.listStatus(logDir).toSeq
       .flatMap(st => parseCkptVersion(st.getPath.getName)).maxOption
       .foreach(advancePointer(spark, base, _))
+    // unreferenced-dir GC honors a grace window (Delta's retention-
+    // hours idea): a CONCURRENT writer's txn dir is unreferenced
+    // until its manifest publishes — deleting a fresh dir would kill
+    // an in-flight land mid-write (caught by the vacuum-race law).
+    // graceMs=0 is for tests/controlled maintenance windows only.
+    val cutoff = System.currentTimeMillis() - graceMs
     val dataDir = new Path(s"$base/$DataDir")
     if (f.exists(dataDir))
       f.listStatus(dataDir).toSeq.filter(_.isDirectory)
         .filterNot(st => live.contains(st.getPath.getName))
+        .filter(_.getModificationTime < cutoff)
         .foreach(st => f.delete(st.getPath, true))
     keep
   }
+
+  /** Purge process-local snapshot caches for a store without touching
+    * disk — for relocations (catalog RENAME) where the bytes move but
+    * live on under a new base. */
+  private[graft] def purgeCaches(base: String): Unit = cachePurge(base)
 
   /** Remove the whole store (test/fixture reset). */
   def drop(spark: SparkSession, base: String): Unit = {

@@ -721,6 +721,109 @@ object RegistryMaint {
         .orderBy("user_id")
     }),
 
+    // SQL RESTORE + DESCRIBE DETAIL (the last two Delta maintenance
+    // verbs a SQL/JDBC user reaches for): RESTORE TABLE ... TO
+    // VERSION AS OF rolls the table back by REPUBLISHING the target
+    // version (history intact, no file moves), RESTORE ... TO
+    // TIMESTAMP AS OF resolves latest-commit-at-or-before first, and
+    // DESCRIBE DETAIL reports the one-row inventory (live counts,
+    // bytes, metadata) after each roll. Final state = v2 restored on
+    // top of a v1 rollback, so the oracle is the plain full recompute.
+    "s55_sql_restore_detail" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txsqlrestore_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "event_type", "value")
+      TxLog.commit(
+        ev.where(col("event_id") < 500)
+          .repartitionByRange(4, col("event_id")),
+        base, None, Some("event_id"))
+      TxLog.append(ev.where(col("event_id") >= 500), base, Some("event_id"))
+      val t0 = 1700000000000L
+      TxLog.setCommitTime(s, base, 1L, t0)
+      TxLog.setCommitTime(s, base, 2L, t0 + 60000L)
+      val v1n = ev.where(col("event_id") < 500).count()
+      val alln = ev.count()
+      graft.sources.TxLogSqlDml.ensureInjected(s)
+      val sqlS = s.newSession()
+      sqlS.sql("DROP TABLE IF EXISTS txsql_restore_w")
+      sqlS.sql("CREATE TABLE txsql_restore_w " +
+        s"USING graft.sources.TxLogSource OPTIONS (path '$base')")
+      try {
+        val r1 = sqlS.sql(
+          "RESTORE TABLE txsql_restore_w TO VERSION AS OF 1").head
+        require(r1.getLong(0) == 1L && r1.getLong(1) == 3L,
+          s"restore must republish v1 as v3: $r1")
+        val d1 = sqlS.sql("DESCRIBE DETAIL txsql_restore_w").head
+        require(d1.getAs[String]("format") == "txlog" &&
+          d1.getAs[Long]("version") == 3L &&
+          d1.getAs[Long]("num_rows") == v1n &&
+          d1.getAs[Long]("size_bytes") > 0L,
+          s"DESCRIBE DETAIL must reflect the rolled-back state: $d1")
+        // timestamp restore: latest commit at-or-before t0+90s is v2
+        // (v3's instant is wall-clock NOW, far above the pinned pair)
+        val r2 = sqlS.sql("RESTORE txsql_restore_w TO TIMESTAMP AS OF " +
+          s"'${t0 + 90000L}'").head
+        require(r2.getLong(0) == 2L && r2.getLong(1) == 4L,
+          s"timestamp restore must resolve v2 and publish v4: $r2")
+        val d2 = sqlS.sql("DESCRIBE DETAIL txsql_restore_w").head
+        require(d2.getAs[Long]("num_rows") == alln,
+          s"detail after the second roll must see all rows: $d2")
+      } finally sqlS.sql("DROP TABLE IF EXISTS txsql_restore_w")
+      TxLog.read(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // The DSv2 TableCatalog rung (DeltaCatalog analog): a warehouse
+    // of txlog tables addressable as `<catalog>.<ns>.<table>`, with
+    // CTAS, INSERT INTO, and Spark's NATIVE time-travel SQL — the
+    // analyzer resolves `VERSION AS OF n` through
+    // TxLogCatalog.loadTable(ident, version), no reader options, no
+    // injected grammar. The requires pin the chain shape (v1 empty
+    // CREATE, v2 CTAS batch, v3 increment) and that the pinned
+    // snapshot answers through the same stats-pruned scan. Oracle:
+    // the full recompute from events.
+    "s56_catalog_sql_lifecycle" -> ((s, dir) => {
+      val wh = Ingest.fixtureDir(dir) + "/txcat_warehouse"
+      TxLog.drop(s, wh + "/lake/events_cat")
+      graft.sources.TxLogSqlDml.ensureInjected(s)
+      val sqlS = s.newSession()
+      sqlS.conf.set("spark.sql.catalog.graftcat",
+        "graft.sources.TxLogCatalog")
+      sqlS.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+      sqlS.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.lake")
+      val ev = t(sqlS, dir, "events")
+        .select("event_id", "event_type", "value")
+      ev.where(col("event_id") < 500).createOrReplaceTempView("ev_p1")
+      ev.where(col("event_id") >= 500).createOrReplaceTempView("ev_p2")
+      sqlS.sql("CREATE TABLE graftcat.lake.events_cat " +
+        "USING graft.sources.TxLogSource AS SELECT * FROM ev_p1")
+      sqlS.sql("INSERT INTO graftcat.lake.events_cat " +
+        "SELECT * FROM ev_p2")
+      val n1 = ev.where(col("event_id") < 500).count()
+      require(sqlS.sql("SELECT count(*) AS n FROM " +
+        "graftcat.lake.events_cat VERSION AS OF 2").head.getLong(0) == n1,
+        "VERSION AS OF 2 must see exactly the CTAS batch")
+      require(sqlS.sql("SELECT count(*) AS n FROM " +
+        "graftcat.lake.events_cat VERSION AS OF 1").head.getLong(0) == 0L,
+        "VERSION AS OF 1 is the empty CREATE commit")
+      require(sqlS.sql("SELECT count(*) AS n FROM " +
+        "graftcat.lake.events_cat VERSION AS OF 2 WHERE event_id < 100")
+        .head.getLong(0) ==
+        ev.where(col("event_id") < 100).count(),
+        "stats-pruned filters must work through the pinned snapshot")
+      TxLog.read(s, wh + "/lake/events_cat")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // IDENTITY column (Delta GENERATED ALWAYS AS IDENTITY): two
     // appends get system-assigned surrogate ids — unique, increasing
     // across commits, gaps allowed — via per-partition counters above
@@ -1588,6 +1691,14 @@ object RegistryMaint {
       """SELECT l_returnflag, count(*) AS n,
                 cast(sum(cast(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "s55_sql_restore_detail" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "s56_catalog_sql_lifecycle" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "s54_dbt_merge_lifecycle" ->
       """SELECT user_id, event_id, event_type, value FROM (
            SELECT *, row_number() OVER (PARTITION BY user_id

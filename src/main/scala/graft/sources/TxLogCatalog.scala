@@ -1,0 +1,276 @@
+package graft.sources
+
+import java.util
+
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.TxLog
+
+/** A DSv2 `TableCatalog` over [[TxLog]] tables — the catalog rung of
+  * the connector ladder (the Delta analog is `DeltaCatalog`), and the
+  * piece that makes Spark's NATIVE time-travel SQL work end-to-end:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.TxLogCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft_warehouse
+  *
+  *   CREATE NAMESPACE graft.lake;
+  *   CREATE TABLE graft.lake.t (k INT, v DOUBLE)
+  *     USING graft.sources.TxLogSource;
+  *   INSERT INTO graft.lake.t ...;
+  *   SELECT * FROM graft.lake.t VERSION AS OF 3;          -- loadTable(v)
+  *   SELECT * FROM graft.lake.t TIMESTAMP AS OF '2024-…'; -- loadTable(ts)
+  * }}}
+  *
+  * Identifier → directory mapping is pure layout: table
+  * `graft.a.b.t` lives at `<warehouse>/a/b/t`; a table is any
+  * directory holding a `_log`. Everything durable is in the store —
+  * the catalog keeps NO state of its own, so any number of sessions
+  * (or engines) resolve the same warehouse identically, and a table
+  * created by the path-based API under the warehouse root is
+  * immediately visible. Time-travel loads return a read-only
+  * snapshot Table (writes and DELETEs on it fail loudly).
+  *
+  * CREATE TABLE persists the declared schema as a `_schema.json`
+  * sidecar and publishes an EMPTY v1 manifest, so a freshly created
+  * table scans as zero rows (the sidecar supplies the schema until
+  * the first files land; after that the union-of-files schema — the
+  * same read-side evolution every txlog read uses — takes over).
+  * Partition transforms are rejected: physical layout on a txlog
+  * table is a WRITE/maintenance concern (clustered commits, OPTIMIZE
+  * ZORDER), not a DDL-time one. */
+class TxLogCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"catalog $name needs spark.sql.catalog.$name.warehouse")
+  }
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Layout mapping with path-escape hardening: an identifier part
+    * must be a plain directory name. */
+  private def checkPart(p: String): String = {
+    require(p.nonEmpty && !p.contains("/") && !p.contains("\\") &&
+      p != "." && p != "..",
+      s"illegal identifier part '$p' (must be a plain directory name)")
+    p
+  }
+  private def nsDir(namespace: Array[String]): Path =
+    new Path((warehouse +: namespace.map(checkPart)).mkString("/"))
+  private def tableDir(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace()), checkPart(ident.name()))
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, "_log"))
+
+  // ---- tables -----------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && isTableDir(st.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table =
+    loadAt(ident, None)
+
+  /** SQL `VERSION AS OF <v>` (Spark passes the literal as a string). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, Some(version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"VERSION AS OF takes a version number, got '$version'"))))
+
+  /** SQL `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds;
+    * resolution is Delta's boundary rule (latest commit ≤ instant). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val base = existingBase(ident)
+    loadAt(ident,
+      Some(TxLog.versionAtTimestamp(spark, base, timestamp / 1000L)))
+  }
+
+  private def existingBase(ident: Identifier): String = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(
+      (catalogName +: ident.namespace().toSeq :+ ident.name()).toSeq)
+    dir.toString
+  }
+
+  private def loadAt(ident: Identifier, asOf: Option[Long]): Table = {
+    val base = existingBase(ident)
+    val latest = TxLog.latestVersion(spark, base).getOrElse(
+      throw new NoSuchTableException(
+        (catalogName +: ident.namespace().toSeq :+ ident.name()).toSeq))
+    asOf.foreach(v => require(v >= 1 && v <= latest,
+      s"version $v is not in ${ident.name()}'s committed range [1, $latest]"))
+    val target = asOf.getOrElse(latest)
+    new TxLogTable(schemaAt(base, target), base, asOf)
+  }
+
+  /** Union-of-files schema of `target`; a file-less snapshot (fresh
+    * CREATE, fully-deleted table) falls back to the declared-schema
+    * sidecar, then to the newest older version that still has files
+    * (the last schema the table was ever seen with). */
+  private def schemaAt(base: String, target: Long): StructType = {
+    def inferred(v: Long): Option[StructType] =
+      if (TxLog.manifestFiles(spark, base, v).isEmpty) None
+      else Some(TxLogSource.snapshotSchema(spark, base, v))
+    inferred(target)
+      .orElse(readSchemaSidecar(base))
+      .orElse(((target - 1) to 1L by -1L).iterator.flatMap { v =>
+        try inferred(v) catch { case NonFatal(_) => None }
+      }.nextOption())
+      .getOrElse(throw new IllegalStateException(
+        s"cannot resolve a schema for $base at version $target: no data " +
+          "files in any resolvable version and no _schema.json sidecar"))
+  }
+
+  private def schemaPath(base: String): Path =
+    new Path(s"$base/_log/_schema.json")
+  private def readSchemaSidecar(base: String): Option[StructType] =
+    if (!fs.exists(schemaPath(base))) None
+    else {
+      val in = fs.open(schemaPath(base))
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+        Some(org.apache.spark.sql.types.DataType.fromJson(
+          new String(bytes.toByteArray, "UTF-8")).asInstanceOf[StructType])
+      } finally in.close()
+    }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "txlog tables take no partition transforms — physical layout is " +
+        "a write/maintenance concern (clustered commits, OPTIMIZE ZORDER)")
+    val dir = tableDir(ident)
+    if (isTableDir(dir)) throw new TableAlreadyExistsException(
+      (catalogName +: ident.namespace().toSeq :+ ident.name()).toSeq)
+    fs.mkdirs(new Path(dir, "_log"))
+    val out = fs.create(schemaPath(dir.toString), true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    // an EMPTY v1 manifest: the table exists, scans as zero rows, and
+    // every later write is an ordinary append on the chain
+    TxLog.publishEntries(spark, dir.toString, 1L, Seq.empty, Map.empty)
+    new TxLogTable(schema, dir.toString)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "txlog schema evolves on WRITE (mergeSchema appends / readEvolved)" +
+        " — ALTER TABLE is not a catalog operation here")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) false
+    else {
+      TxLog.drop(spark, dir.toString) // purges snapshot/schema caches
+      fs.delete(dir, true)
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    val src = tableDir(oldIdent)
+    val dst = tableDir(newIdent)
+    if (!isTableDir(src)) throw new NoSuchTableException(
+      (catalogName +: oldIdent.namespace().toSeq :+ oldIdent.name()).toSeq)
+    if (fs.exists(dst)) throw new TableAlreadyExistsException(
+      (catalogName +: newIdent.namespace().toSeq :+ newIdent.name()).toSeq)
+    // drop cached snapshots under the OLD path before the move (the
+    // mtime guard would catch stale hits, but a rename should not
+    // rely on it)
+    TxLog.purgeCaches(src.toString)
+    fs.mkdirs(dst.getParent)
+    require(fs.rename(src, dst), s"rename $src -> $dst failed")
+  }
+
+  // ---- namespaces ---------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && !isTableDir(st.getPath))
+      .map(st => Array(st.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && !isTableDir(st.getPath))
+      .map(st => namespace :+ st.getPath.getName).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val dir = nsDir(namespace)
+      fs.exists(dir) && !isTableDir(dir)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    val m = new util.HashMap[String, String]()
+    m.put(SupportsNamespaces.PROP_LOCATION, nsDir(namespace).toString)
+    m
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val dir = nsDir(namespace)
+    if (fs.exists(dir)) throw new NamespaceAlreadyExistsException(
+      (catalogName +: namespace.toSeq).toArray)
+    fs.mkdirs(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "txlog namespaces are plain directories — nothing to alter")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!namespaceExists(namespace)) false
+    else {
+      if (!cascade)
+        require(fs.listStatus(dir).isEmpty,
+          s"namespace ${namespace.mkString(".")} is not empty " +
+            "(use CASCADE)")
+      fs.delete(dir, true)
+      true
+    }
+  }
+}

@@ -22,6 +22,10 @@ import graft.operators.TxLog
   *   OPTIMIZE <table> ZORDER BY (a, b)         → [[TxLog.compactZorder]]
   *   VACUUM <table> RETAIN <n> VERSIONS        → [[TxLog.vacuum]]
   *   DESCRIBE HISTORY <table>                  → [[TxLog.history]]
+  *   DESCRIBE DETAIL <table>                   → [[TxLog.describeDetail]]
+  *   RESTORE [TABLE] <t> [TO] VERSION AS OF n  → [[TxLog.restore]]
+  *   RESTORE [TABLE] <t> [TO] TIMESTAMP AS OF 'ts'
+  *                    → [[TxLog.versionAtTimestamp]] + [[TxLog.restore]]
   *
   * (Delta's VACUUM retains by AGE; the log's retention unit is
   * versions — stated in the grammar so nobody mistakes the two.)
@@ -58,6 +62,14 @@ object TxLogSqlParser {
     s"""(?is)\\s*VACUUM\\s+($Ident)\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
   private val HistoryRe =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+($Ident)\\s*;?\\s*""".r
+  private val DetailRe =
+    s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+($Ident)\\s*;?\\s*""".r
+  // Delta's restore grammar: TABLE and TO are optional; the target is
+  // a version number or a quoted timestamp literal (session-timezone
+  // naive, ISO instant, or epoch millis — TxLogSource.parseTsMillis)
+  private val RestoreRe =
+    (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?($Ident)\\s+(?:TO\\s+)?""" +
+      s"""(VERSION|TIMESTAMP)\\s+AS\\s+OF\\s+(?:'([^']*)'|(\\d+))\\s*;?\\s*""").r
 
   /** Split a (possibly backtick-quoted) multipart identifier on dots
     * OUTSIDE backticks, so `my.table` stays one part. */
@@ -94,6 +106,20 @@ object TxLogSqlParser {
         Some(TxLogVacuumCommand(parts(t), n.toInt))
       case HistoryRe(t) =>
         Some(TxLogHistoryCommand(parts(t)))
+      case DetailRe(t) =>
+        Some(TxLogDetailCommand(parts(t)))
+      case RestoreRe(t, kind, quoted, bare) =>
+        val byTimestamp = kind.equalsIgnoreCase("TIMESTAMP")
+        val target = Option(quoted).getOrElse(bare)
+        if (!byTimestamp && quoted != null)
+          throw new IllegalArgumentException(
+            s"RESTORE ... VERSION AS OF takes a version number, " +
+              s"got a string literal '$quoted'")
+        if (target == null)
+          throw new IllegalArgumentException(
+            "RESTORE ... TIMESTAMP AS OF needs a quoted timestamp " +
+              "literal or epoch millis")
+        Some(TxLogRestoreCommand(parts(t), byTimestamp, target))
       case _ => None
     }
 
@@ -143,6 +169,53 @@ case class TxLogVacuumCommand(table: Seq[String], keepLast: Int)
   override def run(spark: SparkSession): Seq[Row] = {
     val base = TxLogSqlParser.resolveBase(spark, table)
     TxLog.vacuum(spark, base, keepLast).map(Row(_))
+  }
+}
+
+/** `DESCRIBE DETAIL t` → the one-row [[TxLog.describeDetail]]
+  * surface over SQL/JDBC (format, location, version, live counts,
+  * physical bytes, metadata inventory, checkpoint version). */
+case class TxLogDetailCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("last_modified_ms", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = true)(),
+    AttributeReference("num_masked_rows", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("stats_columns", StringType, nullable = false)(),
+    AttributeReference("num_constraints", LongType, nullable = false)(),
+    AttributeReference("num_identity_cols", LongType, nullable = false)(),
+    AttributeReference("num_bloom_cols", LongType, nullable = false)(),
+    AttributeReference("num_txn_apps", LongType, nullable = false)(),
+    AttributeReference("checkpoint_version", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val base = TxLogSqlParser.resolveBase(spark, table)
+    TxLog.describeDetail(spark, base).collect().toSeq
+  }
+}
+
+/** `RESTORE [TABLE] t [TO] VERSION|TIMESTAMP AS OF x` → republish the
+  * target version's state as a NEW version ([[TxLog.restore]] — the
+  * Delta restore verb, history never rewritten). Returns the restored
+  * source version and the newly published one. */
+case class TxLogRestoreCommand(table: Seq[String], byTimestamp: Boolean,
+                               target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_version", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val base = TxLogSqlParser.resolveBase(spark, table)
+    val v =
+      if (byTimestamp) TxLog.versionAtTimestamp(spark, base,
+        TxLogSource.parseTsMillis(spark, target))
+      else target.toLong
+    Seq(Row(v, TxLog.restore(spark, base, v)))
   }
 }
 

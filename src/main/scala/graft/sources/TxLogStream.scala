@@ -104,12 +104,7 @@ class TxLogSource extends TableProvider {
     // evolution), which would otherwise dominate every `load()` of a
     // many-file table. The commit mtime guards against version-number
     // reuse after drop-and-recreate at the same path.
-    val snap = TxLogSource.cachedSchema(base, target,
-      TxLog.commitModTime(spark, base, target)) {
-      val files = TxLog.manifestFiles(spark, base, target)
-        .map(rel => TxLog.resolve(base, rel))
-      spark.read.option("mergeSchema", "true").parquet(files: _*).schema
-    }
+    val snap = TxLogSource.snapshotSchema(spark, base, target)
     var fields = snap.fields
     if (TxLogSource.changeFeed(options))
       fields :+= StructField(TxLogSource.CommitVersionCol, LongType,
@@ -141,6 +136,21 @@ object TxLogSource {
           e: java.util.Map.Entry[(String, Long, Long), StructType]): Boolean =
         size() > 64
     }
+  /** A version's union schema (mergeSchema over its live files),
+    * cached by (base, version, commit mtime). Throws when the
+    * version's manifest references no files (fully-deleted snapshot /
+    * freshly created empty table) — callers with a declared-schema
+    * fallback (the catalog) handle that case. */
+  private[sources] def snapshotSchema(spark: SparkSession, base: String,
+                                      target: Long): StructType =
+    cachedSchema(base, target, TxLog.commitModTime(spark, base, target)) {
+      val files = TxLog.manifestFiles(spark, base, target)
+        .map(rel => TxLog.resolve(base, rel))
+      require(files.nonEmpty,
+        s"version $target of $base references no data files")
+      spark.read.option("mergeSchema", "true").parquet(files: _*).schema
+    }
+
   private[sources] def cachedSchema(base: String, v: Long, mtime: Long)
                                    (compute: => StructType): StructType = {
     val key = (base, v, mtime)
@@ -474,7 +484,8 @@ object TxLogSource {
     }
 }
 
-class TxLogTable(tableSchema: StructType, base: String)
+class TxLogTable(tableSchema: StructType, base: String,
+                 asOf: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -488,12 +499,31 @@ class TxLogTable(tableSchema: StructType, base: String)
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TxLogScanBuilder(tableSchema, base, options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a TableCatalog time-travel load (SQL `VERSION AS OF` /
+    // `TIMESTAMP AS OF`) arrives with EMPTY scan options — the pinned
+    // version rides the Table instance instead, injected here so the
+    // whole scan stack (schema, pruning, partitions) sees one source
+    // of truth. An explicit reader option would conflict, so it wins
+    // only when absent.
+    val effective = asOf match {
+      case Some(v) if options.get("versionAsOf") == null &&
+          options.get("timestampAsOf") == null =>
+        val m = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+        m.put("versionAsOf", v.toString)
+        new CaseInsensitiveStringMap(m)
+      case _ => options
+    }
+    new TxLogScanBuilder(tableSchema, base, effective)
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(asOf.isEmpty,
+      s"cannot write to a time-travel snapshot of txlog($base) " +
+        s"pinned at version ${asOf.get} — write to the current table")
     new TxLogWriteBuilder(base, info)
+  }
 
   /** SQL row-level DELETE (`DELETE FROM t WHERE ...` from any SQL/JDBC
     * client — the reference's dbt lifecycle issues row-level DML as
@@ -509,6 +539,8 @@ class TxLogTable(tableSchema: StructType, base: String)
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.functions.lit
+    require(asOf.isEmpty,
+      s"cannot DELETE from a time-travel snapshot of txlog($base)")
     val spark = SparkSession.active
     val cond = filters.toSeq.flatMap(TxLogSource.filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TxLog
+
+/** The DSv2 TableCatalog rung ([[graft.sources.TxLogCatalog]]): a
+  * warehouse of txlog tables addressable as `graft.<ns>.<table>`, with
+  * Spark's NATIVE time-travel SQL (`VERSION AS OF` / `TIMESTAMP AS
+  * OF`) resolving through `loadTable(ident, version|timestamp)` — the
+  * DeltaCatalog analog. The catalog holds no state: everything is
+  * directory layout + the log, so a second session (or engine) sees
+  * the same warehouse. */
+class TxLogCatalogSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s0 = SparkTestBase.spark
+    // parser/rule injection applies at session-state build: arm the
+    // lineage, then work on a NEW session (the Thrift-served shape)
+    graft.sources.TxLogSqlDml.ensureInjected(s0)
+    val s = s0.newSession()
+    s.conf.set("spark.sql.catalog.graft",
+      "graft.sources.TxLogCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse",
+      "/tmp/graft_txcat/warehouse")
+    s
+  }
+  private def sql(q: String) = spark.sql(q)
+
+  test("CREATE NAMESPACE + CREATE TABLE scans empty with the declared " +
+    "schema; INSERT INTO appends on the log; SELECT and row-level " +
+    "DML resolve through the catalog") {
+    TxLog.drop(spark, "/tmp/graft_txcat/warehouse/lake/t1")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+    sql("CREATE TABLE graft.lake.t1 (k INT, v DOUBLE, s STRING) " +
+      "USING graft.sources.TxLogSource")
+    // fresh table: declared schema, zero rows, a real v1 on the chain
+    val empty = sql("SELECT * FROM graft.lake.t1")
+    assert(empty.schema.fieldNames.toSeq == Seq("k", "v", "s"))
+    assert(empty.count() == 0)
+    assert(TxLog.latestVersion(spark,
+      "/tmp/graft_txcat/warehouse/lake/t1").contains(1L))
+    sql("INSERT INTO graft.lake.t1 " +
+      "SELECT id AS k, id * 1.5 AS v, concat('r-', id) AS s " +
+      "FROM range(1, 101)")
+    assert(sql("SELECT count(*) AS n FROM graft.lake.t1").head.getLong(0)
+      == 100)
+    // row-level DML rides the same rewrite rule as path tables
+    sql("DELETE FROM graft.lake.t1 WHERE k BETWEEN 10 AND 19")
+    sql("UPDATE graft.lake.t1 SET v = v * 2 WHERE k = 1")
+    val r = sql("SELECT sum(v) AS sv, count(*) AS n FROM graft.lake.t1").head
+    assert(r.getLong(1) == 90)
+    val expect = (1 to 100).filterNot(k => k >= 10 && k <= 19)
+      .map(k => if (k == 1) k * 3.0 else k * 1.5).sum
+    assert(math.abs(r.getDouble(0) - expect) < 1e-9)
+    // visible in the listing; dropping removes dir + log
+    assert(sql("SHOW TABLES IN graft.lake").collect()
+      .map(_.getString(1)).contains("t1"))
+  }
+
+  test("native SQL time travel: VERSION AS OF and TIMESTAMP AS OF " +
+    "resolve via loadTable; snapshots are read-only") {
+    val base = "/tmp/graft_txcat/warehouse/lake/tt"
+    TxLog.drop(spark, base)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+    sql("DROP TABLE IF EXISTS graft.lake.tt")
+    sql("CREATE TABLE graft.lake.tt (k INT, v DOUBLE) " +
+      "USING graft.sources.TxLogSource")
+    sql("INSERT INTO graft.lake.tt SELECT id AS k, id * 1.0 AS v " +
+      "FROM range(0, 50)")
+    sql("INSERT INTO graft.lake.tt SELECT id AS k, id * 1.0 AS v " +
+      "FROM range(50, 80)")
+    // chain: v1 empty create, v2 = 50 rows, v3 = +30 rows
+    val t0 = 1700000000000L
+    (1L to 3L).zipWithIndex.foreach { case (v, i) =>
+      TxLog.setCommitTime(spark, base, v, t0 + i * 60000L) }
+    assert(sql("SELECT count(*) AS n FROM graft.lake.tt VERSION AS OF 2")
+      .head.getLong(0) == 50)
+    assert(sql("SELECT count(*) AS n FROM graft.lake.tt VERSION AS OF 3")
+      .head.getLong(0) == 80)
+    // Spark converts the literal in the SESSION timezone (UTC here) to
+    // epoch micros; the boundary rule picks the latest commit ≤ instant
+    val lit2 = java.time.Instant.ofEpochMilli(t0 + 90000L)
+      .atZone(java.time.ZoneId.of("UTC")).toLocalDateTime.toString
+      .replace('T', ' ')
+    assert(sql("SELECT count(*) AS n FROM graft.lake.tt " +
+      s"TIMESTAMP AS OF '$lit2'").head.getLong(0) == 50)
+    // stats-pruned filters still work through the pinned snapshot
+    assert(sql("SELECT count(*) AS n FROM graft.lake.tt VERSION AS OF 2 " +
+      "WHERE k >= 40").head.getLong(0) == 10)
+    // a time-travel snapshot rejects writes and deletes loudly
+    val w = intercept[Exception] {
+      sql("INSERT INTO graft.lake.tt VERSION AS OF 2 VALUES (99, 9.9)")
+    }
+    assert(w.getMessage != null)
+    // out-of-range version is a loud error
+    val oob = intercept[Exception] {
+      sql("SELECT * FROM graft.lake.tt VERSION AS OF 99").collect()
+    }
+    assert(oob.getMessage.contains("committed range"))
+  }
+
+  test("CTAS, ALTER TABLE RENAME, DROP TABLE, and maintenance SQL all " +
+    "work on catalog identifiers; identifier parts cannot escape the " +
+    "warehouse") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+    sql("DROP TABLE IF EXISTS graft.lake.ctas")
+    sql("DROP TABLE IF EXISTS graft.lake.renamed")
+    TxLog.drop(spark, "/tmp/graft_txcat/warehouse/lake/ctas")
+    TxLog.drop(spark, "/tmp/graft_txcat/warehouse/lake/renamed")
+    sql("CREATE TABLE graft.lake.ctas USING graft.sources.TxLogSource " +
+      "AS SELECT id AS k, id * 2.0D AS v FROM range(0, 1000)")
+    assert(sql("SELECT count(*) AS n FROM graft.lake.ctas").head.getLong(0)
+      == 1000)
+    // maintenance grammar resolves multi-part catalog names too
+    val hist = sql("DESCRIBE HISTORY graft.lake.ctas").collect()
+    assert(hist.nonEmpty)
+    val d = sql("DESCRIBE DETAIL graft.lake.ctas").head
+    assert(d.getAs[Long]("num_rows") == 1000L)
+    // the RENAME target is CATALOG-RELATIVE (Spark passes the new
+    // multipart name verbatim to renameTable — no catalog stripping)
+    sql("ALTER TABLE graft.lake.ctas RENAME TO lake.renamed")
+    assert(sql("SELECT count(*) AS n FROM graft.lake.renamed")
+      .head.getLong(0) == 1000)
+    assert(!sql("SHOW TABLES IN graft.lake").collect()
+      .map(_.getString(1)).contains("ctas"))
+    sql("DROP TABLE graft.lake.renamed")
+    assert(!sql("SHOW TABLES IN graft.lake").collect()
+      .map(_.getString(1)).contains("renamed"))
+    // path-escape hardening: '..' parts are rejected, never resolved
+    val esc = intercept[Exception] {
+      sql("SELECT * FROM graft.lake.`..`")
+    }
+    assert(esc.getMessage.contains("illegal identifier part") ||
+      esc.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+  }
+
+  test("a path-created txlog table under the warehouse is immediately " +
+    "visible through the catalog (no registration step), and schema " +
+    "evolution shows through") {
+    val base = "/tmp/graft_txcat/warehouse/lake/external"
+    TxLog.drop(spark, base)
+    import spark.implicits._
+    TxLog.commit((1 to 20).map(i => (i, s"a-$i")).toDF("k", "s"),
+      base, None, Some("k"))
+    assert(sql("SELECT count(*) AS n FROM graft.lake.external")
+      .head.getLong(0) == 20)
+    // read-side evolution: a mergeSchema append adds a column; the
+    // catalog's inferred union schema picks it up on the next load
+    TxLog.append((21 to 25).map(i => (i, s"a-$i", i * 10L))
+      .toDF("k", "s", "extra"), base, Some("k"))
+    val evolved = sql("SELECT * FROM graft.lake.external")
+    assert(evolved.schema.fieldNames.contains("extra"))
+    assert(evolved.where(col("extra").isNull).count() == 20)
+  }
+}

@@ -172,8 +172,9 @@ class TxLogMorSpec extends AnyFunSuite {
     val entries = TxLog.manifest(spark, base, 3L)._1
     assert(entries.forall(_.dv.isEmpty), "purge must clear every mask")
     assert(contents(TxLog.read(spark, base)) == expect)
-    // now the sidecar is orphaned once v2 ages out
-    TxLog.vacuum(spark, base, keepLast = 1)
+    // now the sidecar is orphaned once v2 ages out (graceMs=0: the
+    // law asserts the GC itself — controlled maintenance window)
+    TxLog.vacuum(spark, base, keepLast = 1, graceMs = 0L)
     assert(contents(TxLog.read(spark, base)) == expect)
     // every surviving txn dir is referenced by the surviving manifest
     val fs = new org.apache.hadoop.fs.Path(base)

@@ -328,6 +328,45 @@ class TxLogScaleSpec extends AnyFunSuite {
       s"orphaned txn dirs after the race: ${onDisk -- referenced}")
   }
 
+  test("vacuum racing concurrent appenders never corrupts the chain: " +
+    "all batches land, kept versions resolve off the materialized " +
+    "checkpoint, and the pointer stays sane (delta-log protocol)") {
+    val base = "/tmp/graft_txlog/vacrace"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 10, "seed", 1), base, None, Some("k"))
+    (1 to 4).foreach(i =>
+      TxLog.append(clustered(i * 10, 10, s"pre$i", 1), base, Some("k")))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // 4 appenders race while 2 vacuums interleave (each vacuum lists,
+    // materializes a checkpoint at its oldest-kept, deletes ancestry,
+    // repoints, purges the cache — all against live CAS traffic)
+    val writers = (0 until 4).map { i =>
+      Future {
+        TxLog.append(clustered(100 + i * 10, 10, s"w$i", 1),
+          base, Some("k"), maxAttempts = 20)
+      }
+    }
+    val vacuums = (0 until 2).map { _ =>
+      Future { TxLog.vacuum(spark, base, keepLast = 3) }
+    }
+    Await.result(Future.sequence(writers ++ vacuums), 120.seconds)
+    // every batch that was appended is in the final state (vacuum only
+    // trims HISTORY, never the latest snapshot)
+    val rows = TxLog.read(spark, base)
+    assert(rows.count() == 90, s"lost rows after vacuum race: ${rows.count()}")
+    assert(rows.groupBy("k").count().where(col("count") > 1).count() == 0)
+    // the surviving chain resolves end-to-end (delta replay off the
+    // vacuum-materialized checkpoint) and latestVersion stays exact
+    val latest = TxLog.latestVersion(spark, base).get
+    assert(latest == 9L, s"latest=$latest")
+    val survivors = TxLog.vacuum(spark, base, keepLast = 2)
+    survivors.foreach(v =>
+      assert(TxLog.readVersion(spark, base, v).count() >= 50))
+  }
+
   test("commitMulti stores per-file stats on several columns; " +
     "readRanges prunes on the CONJUNCTION and returns the exact box") {
     val base = "/tmp/graft_txlog/multi"

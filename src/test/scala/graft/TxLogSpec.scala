@@ -100,7 +100,9 @@ class TxLogSpec extends AnyFunSuite {
     Seq(v1Rows, v2Rows, v1Rows.take(10)).foreach { rows =>
       v = Some(TxLog.commit(df(rows), base, v))
     }
-    val survivors = TxLog.vacuum(spark, base, keepLast = 1)
+    // graceMs=0: this law asserts the physical GC itself, so it
+    // runs as a controlled maintenance window (no concurrent writers)
+    val survivors = TxLog.vacuum(spark, base, keepLast = 1, graceMs = 0L)
     assert(survivors == Seq(3L))
     assert(TxLog.latestVersion(spark, base).contains(3L))
     assert(contents(TxLog.read(spark, base)) == v1Rows.take(10).toSet)

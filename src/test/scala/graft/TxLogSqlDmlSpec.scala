@@ -181,6 +181,57 @@ class TxLogSqlDmlSpec extends AnyFunSuite {
     } finally sql.sql("DROP TABLE IF EXISTS txdml_maint")
   }
 
+  test("RESTORE TABLE rolls back by version and by timestamp as NEW " +
+    "versions; DESCRIBE DETAIL reports the one-row table inventory") {
+    val base = "/tmp/graft_txsqldml/restore"
+    seed(base, "txdml_restore")
+    import spark.implicits._
+    try {
+      TxLog.append(
+        (101 to 120).map(i => (i, s"name-$i", i * 10.0)).toDF("k", "s", "v"),
+        base, Some("k"))
+      // deterministic commit instants for the timestamp restore
+      val t0 = 1700000000000L
+      TxLog.setCommitTime(spark, base, 1L, t0)
+      TxLog.setCommitTime(spark, base, 2L, t0 + 60000L)
+      // restore to v1 by VERSION (keywords TABLE/TO optional — both
+      // spellings parse)
+      val r1 = sql.sql(
+        "RESTORE TABLE txdml_restore TO VERSION AS OF 1").head
+      assert(r1.getLong(0) == 1L && r1.getLong(1) == 3L)
+      assert(TxLog.read(spark, base).count() == 100)
+      // restore to v2 state by TIMESTAMP (epoch-millis form): latest
+      // commit at-or-before t0+90s is v2 — v3's instant is wall-clock
+      val r2 = sql.sql(
+        s"RESTORE txdml_restore TIMESTAMP AS OF '${t0 + 90000L}'").head
+      assert(r2.getLong(0) == 2L && r2.getLong(1) == 4L)
+      assert(TxLog.read(spark, base).count() == 120)
+      // DESCRIBE DETAIL: the one-row inventory reflects the restored
+      // state (live rows, files, stats column, checkpoint pointer)
+      val d = sql.sql("DESCRIBE DETAIL txdml_restore").head
+      assert(d.getAs[String]("format") == "txlog")
+      // the catalog-resolved base is scheme-qualified (file:/…)
+      assert(d.getAs[String]("location").endsWith(base))
+      assert(d.getAs[Long]("version") == 4L)
+      assert(d.getAs[Long]("num_rows") == 120L)
+      assert(d.getAs[Long]("num_masked_rows") == 0L)
+      assert(d.getAs[Long]("num_files") ==
+        TxLog.manifest(spark, base, 4L)._1.size)
+      assert(d.getAs[Long]("size_bytes") > 0L)
+      assert(d.getAs[String]("stats_columns") == "k")
+      // restore-by-version guards: a string literal where a version
+      // number belongs is a loud error, not a silent parse
+      val bad = intercept[Exception] {
+        sql.sql("RESTORE txdml_restore TO VERSION AS OF 'one'")
+      }
+      assert(bad.getMessage != null)
+      val badV = intercept[Exception] {
+        sql.sql("RESTORE txdml_restore TO VERSION AS OF 99")
+      }
+      assert(badV.getMessage.contains("cannot restore"))
+    } finally sql.sql("DROP TABLE IF EXISTS txdml_restore")
+  }
+
   test("SET expressions evaluate against the OLD row simultaneously " +
     "(SQL UPDATE semantics), and identity columns reject assignment") {
     val base = "/tmp/graft_txsqldml/simul"
