@@ -71,10 +71,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object TxLog {
 
   /** The CAS lost: another writer published this version first. */
-  final class CommitConflictException(version: Long)
-    extends RuntimeException(
+  final class CommitConflictException private[TxLog] (
+      msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause) {
+    def this(version: Long) = this(
       s"concurrent writer already committed version $version; " +
-        "re-read the table and retry (see TxLog.transact)")
+        "re-read the table and retry (see TxLog.transact)", null)
+  }
+  private object CommitConflictException {
+    /** A snapshot read inside a writer's retry body hit a manifest a
+      * concurrent vacuum deleted: the body's world is stale — its CAS
+      * would lose anyway — so surface the same conflict a lost CAS
+      * gives and let the retry re-resolve off the vacuum's
+      * materialized checkpoint. */
+    def staleRead(cause: java.io.FileNotFoundException) =
+      new CommitConflictException(
+        "a concurrent vacuum removed manifests this commit's snapshot " +
+          "was resolving against; re-read the table and retry " +
+          "(see TxLog.transact)", cause)
+  }
 
   /** A write produced rows failing a CHECK constraint; the landed
     * files were discarded and nothing was published. */
@@ -84,7 +99,9 @@ object TxLog {
       s"CHECK constraint '$name' ($expr) violated by $bad written " +
         "row(s); the write was discarded, nothing was published")
 
-  private val LogDir = "_log"
+  // the layout literal is shared with the DSv2 catalog (isTableDir /
+  // schema sidecar probes) — one definition, no silent drift
+  private[graft] val LogDir = "_log"
   private val DataDir = "data"
 
   /** Single-column min/max file statistics. `dtype` picks the
@@ -184,13 +201,28 @@ object TxLog {
   /** Retry `body` on CAS losses up to `maxAttempts`, rethrowing the
     * final conflict. A body that lands files per attempt must discard
     * them before rethrowing; files landed ONCE outside the loop are
-    * the caller's to clean on the final failure. */
+    * the caller's to clean on the final failure.
+    *
+    * A raw [[java.io.FileNotFoundException]] out of the body gets the
+    * same treatment: the only way a writer's snapshot resolution hits
+    * a missing manifest is a concurrent vacuum deleting the ancestry
+    * it was replaying (a fresh retry resolves off the vacuum's
+    * materialized checkpoint), so it converts to a
+    * [[CommitConflictException]] HERE — at every retry site at once —
+    * rather than ad-hoc wrappers inside individual verbs. On the final
+    * attempt the CONFLICT (never the raw FNFE) reaches the caller, so
+    * outer landed-file cleanup paths keyed on the conflict type fire. */
   private[graft] def withCasRetry[T](maxAttempts: Int)(body: Int => T): T = {
     var attempt = 0
     while (true) {
       attempt += 1
       try return body(attempt)
-      catch { case _: CommitConflictException if attempt < maxAttempts => () }
+      catch {
+        case _: CommitConflictException if attempt < maxAttempts => ()
+        case fnfe: java.io.FileNotFoundException =>
+          val conflict = CommitConflictException.staleRead(fnfe)
+          if (attempt >= maxAttempts) throw conflict
+      }
     }
     throw new IllegalStateException("unreachable")
   }
@@ -465,18 +497,20 @@ object TxLog {
   def manifest(spark: SparkSession, base: String,
                v: Long): (Seq[Entry], Map[String, Long]) = {
     val lines = manifestLines(spark, base, v)
-    val txns = lines.collect { case l if l.startsWith("#txn\t") =>
+    // entry resolution goes through snapshotEntries (cache + nearest
+    // checkpoint): after a vacuum, a delta commit's ancestry is gone
+    // and only the checkpoint can resolve it
+    (snapshotEntries(spark, base, v), parseTxnLines(lines))
+  }
+
+  private def parseTxnLines(lines: Seq[String]): Map[String, Long] =
+    lines.collect { case l if l.startsWith("#txn\t") =>
       l.split('\t') match {
         case Array(_, app, b) => dec(app) -> b.toLong
         case other => throw new IllegalStateException(
           s"malformed txn line: $l (${other.length} fields)")
       }
     }.toMap
-    // entry resolution goes through snapshotEntries (cache + nearest
-    // checkpoint): after a vacuum, a delta commit's ancestry is gone
-    // and only the checkpoint can resolve it
-    (snapshotEntries(spark, base, v), txns)
-  }
 
   private def parseConstraintLines(lines: Seq[String]): Map[String, String] =
     lines.filter(_.startsWith("#constraint\t"))
@@ -485,6 +519,29 @@ object TxLog {
         case other => throw new IllegalStateException(
           s"malformed constraint line (${other.length} fields)")
       }).toMap
+
+  private def parseSchemaLines(lines: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    lines.find(_.startsWith("#schema\t")).map(_.split('\t') match {
+      case Array(_, json) =>
+        org.apache.spark.sql.types.DataType.fromJson(dec(json))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      case other => throw new IllegalStateException(
+        s"malformed schema line (${other.length} fields)")
+    })
+
+  /** The DECLARED table schema of one published version — the
+    * `#schema` meta line written by [[alterAddColumns]] (and carried
+    * forward by every later commit), Delta's versioned `metaData`
+    * action analog. None for tables whose schema has only ever been
+    * inferred from data files. A declared column missing from every
+    * data file (just ALTERed, nothing written yet) scans as NULL;
+    * time travel to a version BEFORE the ALTER resolves that
+    * version's own line, so the old snapshot does not grow the new
+    * column. */
+  def declaredSchemaOf(spark: SparkSession, base: String,
+                       v: Long): Option[org.apache.spark.sql.types.StructType] =
+    parseSchemaLines(manifestLines(spark, base, v))
 
   private def parseIdentityLines(lines: Seq[String]): Map[String, Long] =
     lines.filter(_.startsWith("#identity\t"))
@@ -684,7 +741,20 @@ object TxLog {
   def readEvolved(spark: SparkSession, base: String): DataFrame = {
     val v = latestVersion(spark, base).getOrElse(
       throw new IllegalStateException(s"no committed version at $base"))
-    readEntries(spark, base, manifest(spark, base, v)._1, mergeSchema = true)
+    val df = readEntries(spark, base, manifest(spark, base, v)._1,
+      mergeSchema = true)
+    // a column DECLARED (ALTER ADD COLUMNS) but not yet present in any
+    // file scans as a typed NULL, appended after the file columns —
+    // the same surface Delta gives between the ALTER and the first
+    // write carrying the column
+    declaredSchemaOf(spark, base, v) match {
+      case Some(ds) =>
+        val have = df.columns.map(_.toLowerCase).toSet
+        ds.fields.filterNot(f => have(f.name.toLowerCase))
+          .foldLeft(df)((d, f) => d.withColumn(f.name,
+            org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+      case None => df
+    }
   }
 
   /** Deletion-vector sidecar column names. The sidecar is an ordinary
@@ -1010,6 +1080,55 @@ object TxLog {
     }
   }
 
+  /** Widen the declared schema (Delta `ALTER TABLE … ADD COLUMNS`
+    * analog): publish a metadata-only commit whose `#schema` line is
+    * the current schema extended with `cols` — no data file moves or
+    * rewrites, the new columns scan as NULL until something writes
+    * them, and time travel to an earlier version shows that version's
+    * own (narrower) schema because the line is versioned with the
+    * log. New columns must be nullable (there is no backfill — the
+    * same restriction Delta enforces for columns without defaults)
+    * and must not collide case-insensitively with existing ones.
+    * `baseSchema` seeds the current schema for callers that know it
+    * from a richer source (the catalog's declared-schema sidecar);
+    * otherwise it is the prior `#schema` line, falling back to the
+    * union-of-files schema. Stamped `#nodatachange`: no row changed,
+    * so the change feeds skip the version. Returns it. */
+  def alterAddColumns(spark: SparkSession, base: String,
+                      cols: org.apache.spark.sql.types.StructType,
+                      baseSchema: Option[org.apache.spark.sql.types.StructType] =
+                        None,
+                      maxAttempts: Int = 5): Long = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    cols.foreach(f => require(f.nullable,
+      s"new column '${f.name}' must be nullable — existing rows have " +
+        "no value for it (Delta's identical restriction)"))
+    require(cols.map(_.name.toLowerCase).distinct.size == cols.size,
+      "duplicate names in the ADD COLUMNS list")
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val existing = declaredSchemaOf(spark, base, cur)
+        .orElse(baseSchema)
+        .getOrElse {
+          require(entries.nonEmpty,
+            s"cannot ALTER an empty table at $base with no declared " +
+              "schema — create it with one, or write data first")
+          readEntries(spark, base, entries, mergeSchema = true).schema
+        }
+      val have = existing.fieldNames.map(_.toLowerCase).toSet
+      cols.foreach(f => require(!have(f.name.toLowerCase),
+        s"column '${f.name}' already exists (resolution is " +
+          "case-insensitive, like Spark's)"))
+      publishEntries(spark, base, cur + 1L, entries, txns,
+        dataChange = false,
+        declaredSchemaOverride = Some(
+          org.apache.spark.sql.types.StructType(existing.fields ++ cols.fields)))
+      cur + 1L
+    }
+  }
+
   /** Drop a CHECK constraint by name. Returns the published version. */
   def dropConstraint(spark: SparkSession, base: String, name: String,
                      maxAttempts: Int = 5): Long =
@@ -1046,6 +1165,8 @@ object TxLog {
                                       None,
                                     dataChange: Boolean = true,
                                     identityOverride: Option[Map[String, Long]] =
+                                      None,
+                                    declaredSchemaOverride: Option[org.apache.spark.sql.types.StructType] =
                                       None): Unit = {
     // a concurrent vacuum can delete the version this commit diffs
     // against (the committer's snapshot is stale by definition then —
@@ -1067,8 +1188,11 @@ object TxLog {
       .getOrElse(parseConstraintLines(latestLines))
     val ident = identityOverride
       .getOrElse(parseIdentityLines(latestLines))
+    val declared = declaredSchemaOverride
+      .orElse(parseSchemaLines(latestLines))
     val metaLines =
       (if (dataChange) Seq.empty else Seq("#nodatachange")) ++
+      declared.toSeq.map(s => s"#schema\t${enc(s.json)}") ++
       cons.toSeq.sortBy(_._1).map { case (n, ex) =>
         s"#constraint\t${enc(n)}\t${enc(ex)}" } ++
       ident.toSeq.sortBy(_._1).map { case (c, hw) =>
@@ -2659,8 +2783,12 @@ object TxLog {
   def describeDetail(spark: SparkSession, base: String): DataFrame = {
     val v = latestVersion(spark, base).getOrElse(
       throw new IllegalStateException(s"no committed version at $base"))
-    val (entries, txns) = manifest(spark, base, v)
+    // ONE read of the latest manifest serves entries (via the
+    // snapshot cache), txn map, and constraint/identity meta — not a
+    // second full-file round trip just for the meta lines
     val lines = manifestLines(spark, base, v)
+    val entries = snapshotEntries(spark, base, v)
+    val txns = parseTxnLines(lines)
     val f = fs(base, spark)
     val sizeBytes = entries.map { e =>
       scala.util.Try(
@@ -2762,14 +2890,39 @@ object TxLog {
   }
 
   /** Retention vacuum: drop all but the newest `keepLast` manifests,
-    * then delete every txn dir no surviving manifest references.
-    * Returns the surviving versions, ascending. */
+    * then delete every unreferenced txn dir older than `graceMs` (the
+    * grace window protects a CONCURRENT writer's not-yet-published
+    * dir; younger orphans survive until a later vacuum — pass
+    * `graceMs=0` in a controlled maintenance window to force full
+    * reclamation). Returns the surviving versions, ascending.
+    *
+    * Vacuum-vs-vacuum: a racer that finished first may have deleted
+    * manifests THIS run's liveness walk still needed (it listed
+    * earlier, against live appends, so its kept set can sit lower
+    * than the racer's checkpoint). That surfaces as a
+    * FileNotFoundException mid-resolution — handled by restarting
+    * from a FRESH listing, which resolves off the racer's
+    * materialized checkpoint (TxLogScaleSpec's 2-vacuum race law). */
   def vacuum(spark: SparkSession, base: String, keepLast: Int,
              graceMs: Long = 3600000L): Seq[Long] = {
     // the CURRENT version is never vacuumable (Delta's identical
     // guard) — keepLast=0 would silently destroy the whole table
     require(keepLast >= 1,
       s"vacuum must retain at least one version, got keepLast=$keepLast")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return vacuumOnce(spark, base, keepLast, graceMs)
+      catch {
+        case _: java.io.FileNotFoundException if attempt < 5 =>
+          cachePurge(base)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def vacuumOnce(spark: SparkSession, base: String, keepLast: Int,
+                         graceMs: Long): Seq[Long] = {
     val f = fs(base, spark)
     val logDir = new Path(s"$base/$LogDir")
     if (!f.exists(logDir)) return Seq.empty

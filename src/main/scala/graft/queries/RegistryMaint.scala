@@ -824,6 +824,43 @@ object RegistryMaint {
         .orderBy("event_type")
     }),
 
+    // ALTER TABLE ADD COLUMNS (Delta's versioned metaData action):
+    // a metadata-only commit widens the DECLARED schema via a
+    // `#schema` manifest line — no file moves or rewrites, pre-ALTER
+    // rows scan the new column as NULL, the next append fills it, and
+    // the line is versioned with the log so time travel below the
+    // ALTER stays narrow. The requires pin exactly that; the oracle
+    // reproduces the same widened union in portable SQL.
+    "s57_alter_add_column" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val base = Ingest.fixtureDir(dir) + "/txalter_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+      TxLog.commit(ev.where(col("event_id") < 600), base, None,
+        Some("event_id"))
+      val vAlter = TxLog.alterAddColumns(s, base,
+        StructType(Seq(StructField("note", StringType))))
+      require(vAlter == 2L, s"ALTER must publish version 2, got $vAlter")
+      require(TxLog.declaredSchemaOf(s, base, 1L).isEmpty &&
+        !TxLog.readVersion(s, base, 1L).columns.contains("note"),
+        "time travel below the ALTER must stay narrow")
+      require(TxLog.readEvolved(s, base).where(col("note").isNotNull)
+        .count() == 0L, "a just-declared column scans as all-NULL")
+      TxLog.append(ev.where(col("event_id") >= 600)
+        .withColumn("note", concat(lit("n-"), col("event_type"))),
+        base, Some("event_id"))
+      require(TxLog.declaredSchemaOf(s, base, 3L)
+        .exists(_.fieldNames.contains("note")),
+        "the #schema line must carry forward through ordinary appends")
+      TxLog.readEvolved(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("note")).as("n_noted"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // IDENTITY column (Delta GENERATED ALWAYS AS IDENTITY): two
     // appends get system-assigned surrogate ids — unique, increasing
     // across commits, gaps allowed — via per-partition counters above
@@ -1699,6 +1736,16 @@ object RegistryMaint {
       """SELECT event_type, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "s57_alter_add_column" ->
+      """SELECT event_type, count(*) AS n, count(note) AS n_noted,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM (
+           SELECT event_type, CAST(NULL AS VARCHAR) AS note, value
+           FROM events WHERE event_id < 600
+           UNION ALL
+           SELECT event_type, 'n-' || event_type AS note, value
+           FROM events WHERE event_id >= 600)
+         GROUP BY event_type ORDER BY event_type""",
     "s54_dbt_merge_lifecycle" ->
       """SELECT user_id, event_id, event_type, value FROM (
            SELECT *, row_number() OVER (PARTITION BY user_id

@@ -78,7 +78,7 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
   private def tableDir(ident: Identifier): Path =
     new Path(nsDir(ident.namespace()), checkPart(ident.name()))
   private def isTableDir(p: Path): Boolean =
-    fs.exists(new Path(p, "_log"))
+    fs.exists(new Path(p, TxLog.LogDir))
 
   // ---- tables -----------------------------------------------------
 
@@ -139,6 +139,10 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
       if (TxLog.manifestFiles(spark, base, v).isEmpty) None
       else Some(TxLogSource.snapshotSchema(spark, base, v))
     inferred(target)
+      // the version's OWN `#schema` line beats the CREATE-time sidecar:
+      // it is versioned (ALTER ADD COLUMNS publishes a new one), the
+      // sidecar is the birth snapshot
+      .orElse(TxLog.declaredSchemaOf(spark, base, target))
       .orElse(readSchemaSidecar(base))
       .orElse(((target - 1) to 1L by -1L).iterator.flatMap { v =>
         try inferred(v) catch { case NonFatal(_) => None }
@@ -149,7 +153,7 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   private def schemaPath(base: String): Path =
-    new Path(s"$base/_log/_schema.json")
+    new Path(s"$base/${TxLog.LogDir}/_schema.json")
   private def readSchemaSidecar(base: String): Option[StructType] =
     if (!fs.exists(schemaPath(base))) None
     else {
@@ -171,19 +175,56 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(
       (catalogName +: ident.namespace().toSeq :+ ident.name()).toSeq)
-    fs.mkdirs(new Path(dir, "_log"))
+    // a bare existing directory at this identifier is a NAMESPACE:
+    // planting _log inside it would silently convert it into a table
+    // and hide its child tables from every listing (isTableDir
+    // filters namespaces out) — loud error, not catalog corruption
+    if (fs.exists(dir)) throw new IllegalArgumentException(
+      s"cannot CREATE TABLE at ${ident.namespace().mkString(".")}" +
+        s".${ident.name()}: a namespace directory already exists there " +
+        "(drop the namespace first, or pick another name)")
+    fs.mkdirs(new Path(dir, TxLog.LogDir))
     val out = fs.create(schemaPath(dir.toString), true)
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()
     // an EMPTY v1 manifest: the table exists, scans as zero rows, and
-    // every later write is an ordinary append on the chain
-    TxLog.publishEntries(spark, dir.toString, 1L, Seq.empty, Map.empty)
+    // every later write is an ordinary append on the chain. The
+    // declared schema is stamped as a versioned `#schema` meta line
+    // (carried forward by every commit) in addition to the sidecar —
+    // ALTER ADD COLUMNS republishes the line, so time travel sees
+    // each version's own schema.
+    TxLog.publishEntries(spark, dir.toString, 1L, Seq.empty, Map.empty,
+      declaredSchemaOverride = Some(schema))
     new TxLogTable(schema, dir.toString)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "txlog schema evolves on WRITE (mergeSchema appends / readEvolved)" +
-        " — ALTER TABLE is not a catalog operation here")
+  /** `ALTER TABLE … ADD COLUMNS` → [[TxLog.alterAddColumns]] (a
+    * metadata-only versioned commit). Everything else — RENAME/DROP
+    * COLUMN need Delta-style column mapping (physical-name
+    * indirection) the log does not carry; type changes would lie
+    * about bytes on disk — fails loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val base = existingBase(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.size != changes.size)
+      throw new UnsupportedOperationException(
+        "only ALTER TABLE ... ADD COLUMNS is supported on txlog tables " +
+          "(RENAME/DROP COLUMN would need column-mapping indirection; " +
+          "data-file schema otherwise evolves on WRITE via mergeSchema); " +
+          s"got: ${changes.filterNot(adds.contains).mkString(", ")}")
+    val newCols = adds.map { a =>
+      require(a.fieldNames().length == 1,
+        s"nested ADD COLUMN is not supported: ${a.fieldNames().mkString(".")}")
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames()(0), a.dataType(), nullable = a.isNullable)
+    }
+    val latest = TxLog.latestVersion(spark, base).getOrElse(
+      throw new NoSuchTableException(
+        (catalogName +: ident.namespace().toSeq :+ ident.name()).toSeq))
+    TxLog.alterAddColumns(spark, base,
+      org.apache.spark.sql.types.StructType(newCols.toArray),
+      baseSchema = Some(schemaAt(base, latest)))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -20,7 +20,8 @@ import graft.operators.TxLog
   *
   *   OPTIMIZE <table>                          → [[TxLog.compact]]
   *   OPTIMIZE <table> ZORDER BY (a, b)         → [[TxLog.compactZorder]]
-  *   VACUUM <table> RETAIN <n> VERSIONS        → [[TxLog.vacuum]]
+  *   VACUUM <table> RETAIN <n> VERSIONS
+  *          [GRACE <m> SECONDS|MINUTES|HOURS]  → [[TxLog.vacuum]]
   *   DESCRIBE HISTORY <table>                  → [[TxLog.history]]
   *   DESCRIBE DETAIL <table>                   → [[TxLog.describeDetail]]
   *   RESTORE [TABLE] <t> [TO] VERSION AS OF n  → [[TxLog.restore]]
@@ -59,7 +60,8 @@ object TxLogSqlParser {
   private val OptimizeRe =
     s"""(?is)\\s*OPTIMIZE\\s+($Ident)\\s*(?:ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*""".r
   private val VacuumRe =
-    s"""(?is)\\s*VACUUM\\s+($Ident)\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
+    (s"""(?is)\\s*VACUUM\\s+($Ident)\\s+RETAIN\\s+(\\d+)\\s+VERSIONS""" +
+      s"""(?:\\s+GRACE\\s+(\\d+)\\s+(SECONDS|MINUTES|HOURS))?\\s*;?\\s*""").r
   private val HistoryRe =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+($Ident)\\s*;?\\s*""".r
   private val DetailRe =
@@ -102,8 +104,16 @@ object TxLogSqlParser {
           }
         }
         Some(TxLogOptimizeCommand(parts(t), z))
-      case VacuumRe(t, n) =>
-        Some(TxLogVacuumCommand(parts(t), n.toInt))
+      case VacuumRe(t, n, graceN, graceUnit) =>
+        val graceMs = Option(graceN).map { g =>
+          val unit = graceUnit.toUpperCase match {
+            case "SECONDS" => 1000L
+            case "MINUTES" => 60000L
+            case "HOURS" => 3600000L
+          }
+          g.toLong * unit
+        }
+        Some(TxLogVacuumCommand(parts(t), n.toInt, graceMs))
       case HistoryRe(t) =>
         Some(TxLogHistoryCommand(parts(t)))
       case DetailRe(t) =>
@@ -160,15 +170,24 @@ case class TxLogOptimizeCommand(table: Seq[String],
   }
 }
 
-/** `VACUUM t RETAIN n VERSIONS` → drop all but the newest n manifests
-  * and every unreferenced txn dir. Returns the surviving versions. */
-case class TxLogVacuumCommand(table: Seq[String], keepLast: Int)
+/** `VACUUM t RETAIN n VERSIONS [GRACE m SECONDS|MINUTES|HOURS]` →
+  * drop all but the newest n manifests and every unreferenced txn dir
+  * OLDER than the grace window (default 1 hour — a concurrent
+  * writer's not-yet-published dir must survive; `GRACE 0 SECONDS` is
+  * the controlled-maintenance-window escape hatch that forces full
+  * reclamation, the SQL twin of the Scala `graceMs=0`). Returns the
+  * surviving versions. */
+case class TxLogVacuumCommand(table: Seq[String], keepLast: Int,
+                              graceMs: Option[Long] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val base = TxLogSqlParser.resolveBase(spark, table)
-    TxLog.vacuum(spark, base, keepLast).map(Row(_))
+    graceMs match {
+      case Some(g) => TxLog.vacuum(spark, base, keepLast, g).map(Row(_))
+      case None => TxLog.vacuum(spark, base, keepLast).map(Row(_))
+    }
   }
 }
 

@@ -146,9 +146,28 @@ object TxLogSource {
     cachedSchema(base, target, TxLog.commitModTime(spark, base, target)) {
       val files = TxLog.manifestFiles(spark, base, target)
         .map(rel => TxLog.resolve(base, rel))
-      require(files.nonEmpty,
-        s"version $target of $base references no data files")
-      spark.read.option("mergeSchema", "true").parquet(files: _*).schema
+      // the version's DECLARED schema (`#schema` meta line, written by
+      // ALTER ADD COLUMNS) widens the union-of-files schema: a
+      // declared column no file carries yet scans as NULL. File
+      // columns keep their inferred types and order (data is truth
+      // for columns that exist on disk); declared-only columns append
+      // after, in declared order — versioned with the log, so a
+      // time-travel read BEFORE the ALTER stays narrow.
+      val declared = TxLog.declaredSchemaOf(spark, base, target)
+      if (files.isEmpty)
+        declared.getOrElse(throw new IllegalArgumentException(
+          s"version $target of $base references no data files"))
+      else {
+        val inferred =
+          spark.read.option("mergeSchema", "true").parquet(files: _*).schema
+        declared match {
+          case Some(ds) =>
+            val have = inferred.fieldNames.map(_.toLowerCase).toSet
+            StructType(inferred.fields ++
+              ds.fields.filterNot(f => have(f.name.toLowerCase)))
+          case None => inferred
+        }
+      }
     }
 
   private[sources] def cachedSchema(base: String, v: Long, mtime: Long)

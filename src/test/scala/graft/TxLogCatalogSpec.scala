@@ -56,6 +56,17 @@ class TxLogCatalogSpec extends AnyFunSuite {
     // visible in the listing; dropping removes dir + log
     assert(sql("SHOW TABLES IN graft.lake").collect()
       .map(_.getString(1)).contains("t1"))
+    // CREATE TABLE at an identifier that is already a NAMESPACE dir
+    // must fail loudly: planting _log inside it would silently turn
+    // the namespace into a table and hide its children from listings
+    val nsClash = intercept[Exception] {
+      sql("CREATE TABLE graft.lake (k INT) USING graft.sources.TxLogSource")
+    }
+    assert(nsClash.getMessage.contains("namespace directory"),
+      s"unexpected: ${nsClash.getMessage}")
+    assert(sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("lake"),
+      "the namespace must survive the rejected CREATE TABLE intact")
   }
 
   test("native SQL time travel: VERSION AS OF and TIMESTAMP AS OF " +
@@ -88,11 +99,25 @@ class TxLogCatalogSpec extends AnyFunSuite {
     // stats-pruned filters still work through the pinned snapshot
     assert(sql("SELECT count(*) AS n FROM graft.lake.tt VERSION AS OF 2 " +
       "WHERE k >= 40").head.getLong(0) == 10)
-    // a time-travel snapshot rejects writes and deletes loudly
-    val w = intercept[Exception] {
-      sql("INSERT INTO graft.lake.tt VERSION AS OF 2 VALUES (99, 9.9)")
+    // a time-travel snapshot rejects writes and deletes loudly —
+    // driven through the catalog API directly, because the SQL text
+    // `INSERT ... VERSION AS OF` never reaches the guard (Spark's
+    // parser rejects it first, which would green-light a deleted guard)
+    locally {
+      import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsWrite, TableCatalog}
+      val cat = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[TableCatalog]
+      val pinned = cat.loadTable(Identifier.of(Array("lake"), "tt"), "2")
+      val w = intercept[IllegalArgumentException] {
+        pinned.asInstanceOf[SupportsWrite].newWriteBuilder(null)
+      }
+      assert(w.getMessage.contains("time-travel snapshot"))
+      val del = intercept[IllegalArgumentException] {
+        pinned.asInstanceOf[SupportsDelete]
+          .deleteWhere(Array.empty[org.apache.spark.sql.sources.Filter])
+      }
+      assert(del.getMessage.contains("time-travel snapshot"))
     }
-    assert(w.getMessage != null)
     // out-of-range version is a loud error
     val oob = intercept[Exception] {
       sql("SELECT * FROM graft.lake.tt VERSION AS OF 99").collect()
@@ -152,5 +177,51 @@ class TxLogCatalogSpec extends AnyFunSuite {
     val evolved = sql("SELECT * FROM graft.lake.external")
     assert(evolved.schema.fieldNames.contains("extra"))
     assert(evolved.where(col("extra").isNull).count() == 20)
+  }
+
+  test("ALTER TABLE ADD COLUMNS publishes a versioned #schema commit: " +
+    "the new column scans as NULL through SQL, fills on the next " +
+    "INSERT, stays invisible below the ALTER version, and rejects " +
+    "collisions; RENAME/DROP COLUMN fail loudly") {
+    val base = "/tmp/graft_txcat/warehouse/lake/altered"
+    TxLog.drop(spark, base)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+    sql("DROP TABLE IF EXISTS graft.lake.altered")
+    TxLog.drop(spark, base)
+    sql("CREATE TABLE graft.lake.altered (k INT, v DOUBLE) " +
+      "USING graft.sources.TxLogSource")
+    sql("INSERT INTO graft.lake.altered " +
+      "SELECT cast(id AS INT) AS k, id * 1.5 AS v FROM range(0, 40)")
+    sql("ALTER TABLE graft.lake.altered ADD COLUMNS (tag STRING)")
+    // v1 create, v2 insert, v3 the metadata-only ALTER commit
+    assert(TxLog.latestVersion(spark, base).contains(3L))
+    assert(TxLog.declaredSchemaOf(spark, base, 3L)
+      .exists(_.fieldNames.toSeq == Seq("k", "v", "tag")))
+    // pre-ALTER rows: tag scans as NULL through the DSv2 scan stack
+    val widened = sql("SELECT k, v, tag FROM graft.lake.altered")
+    assert(widened.schema.fieldNames.contains("tag"))
+    assert(widened.where(col("tag").isNotNull).count() == 0)
+    // time travel BELOW the ALTER stays narrow
+    assert(!sql("SELECT * FROM graft.lake.altered VERSION AS OF 2")
+      .schema.fieldNames.contains("tag"))
+    // the next INSERT fills the column; old rows stay NULL
+    sql("INSERT INTO graft.lake.altered " +
+      "SELECT cast(id AS INT) AS k, id * 1.5 AS v, concat('t-', id) AS tag " +
+      "FROM range(40, 50)")
+    assert(sql("SELECT count(*) AS n FROM graft.lake.altered " +
+      "WHERE tag IS NOT NULL").head.getLong(0) == 10)
+    assert(sql("SELECT count(*) AS n FROM graft.lake.altered " +
+      "WHERE tag IS NULL").head.getLong(0) == 40)
+    // guards: duplicate (case-insensitive) name; RENAME/DROP COLUMN
+    val dup = intercept[Exception] {
+      sql("ALTER TABLE graft.lake.altered ADD COLUMNS (TAG DOUBLE)")
+    }
+    assert(dup.getMessage.contains("already exists"))
+    val ren = intercept[Exception] {
+      sql("ALTER TABLE graft.lake.altered RENAME COLUMN v TO w")
+    }
+    assert(ren.getMessage.contains("ADD COLUMNS") ||
+      ren.getMessage.contains("column-mapping"))
+    sql("DROP TABLE IF EXISTS graft.lake.altered")
   }
 }

@@ -114,4 +114,28 @@ class TxLogSpec extends AnyFunSuite {
       .map(_.split("/")(1)).toSet
     assert(onDisk == referenced)
   }
+
+  test("withCasRetry treats a raw FileNotFoundException as a stale-" +
+    "snapshot conflict: retried while attempts remain, surfaced as a " +
+    "CommitConflictException — never a raw FNFE — on the last one") {
+    // a vacuum racing a writer deletes manifests the writer's snapshot
+    // resolution is replaying; the conversion lives in the retry loop
+    // so EVERY verb (append, merge, transact, appendOnce...) gets the
+    // re-read-the-winner's-world behavior, and callers' landed-file
+    // cleanup paths — keyed on the conflict type — always fire
+    var calls = 0
+    val got = TxLog.withCasRetry(5) { _ =>
+      calls += 1
+      if (calls < 3) throw new java.io.FileNotFoundException("manifest gone")
+      42
+    }
+    assert(got == 42 && calls == 3)
+    val ex = intercept[TxLog.CommitConflictException] {
+      TxLog.withCasRetry(2) { _ =>
+        throw new java.io.FileNotFoundException("manifest gone")
+      }
+    }
+    assert(ex.getMessage.contains("vacuum"))
+    assert(ex.getCause.isInstanceOf[java.io.FileNotFoundException])
+  }
 }

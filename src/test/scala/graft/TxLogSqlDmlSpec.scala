@@ -159,6 +159,21 @@ class TxLogSqlDmlSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSeq
       assert(kept.size == 2 && kept.last == vZ)
       assert(TxLog.read(spark, base).count() == 4003)
+      // the GRACE clause is the SQL twin of the Scala graceMs knob:
+      // the default 1-hour window deliberately left the now-
+      // unreferenced pre-OPTIMIZE txn dirs on disk (a concurrent
+      // writer's dir is indistinguishable from an orphan until its
+      // manifest publishes); GRACE 0 SECONDS is the controlled-
+      // maintenance-window override that forces full reclamation
+      def dataDirs(): Int =
+        new java.io.File(s"$base/data").listFiles().count(_.isDirectory)
+      val before = dataDirs()
+      // RETAIN 1: only the compacted version's txn dir stays live —
+      // the pre-OPTIMIZE dirs become unreferenced and reclaimable
+      sql.sql("VACUUM txdml_maint RETAIN 1 VERSIONS GRACE 0 SECONDS")
+      assert(dataDirs() < before,
+        "GRACE 0 SECONDS must reclaim unreferenced txn dirs over SQL")
+      assert(TxLog.read(spark, base).count() == 4003)
       // non-txlog target: loud error, ordinary SQL untouched
       sql.sql("CREATE OR REPLACE TEMP VIEW not_txlog AS SELECT 1 AS a")
       val err = intercept[Exception] {
