@@ -375,12 +375,42 @@ object TxLog {
     }
   }
 
+  /** Protocol versions THIS engine implements (Delta's protocol
+    * action, minReaderVersion/minWriterVersion): a manifest stamped
+    * with a higher required reader version fails loudly at read time
+    * instead of silently mis-parsing a future format; a higher
+    * required writer version blocks commits that would drop meta
+    * kinds this writer does not know how to carry forward. Absence of
+    * the line (pre-protocol tables) means (1, 1). Any future change
+    * to the line format, a new meta-line kind, or a new entry-group
+    * dtype MUST bump the matching version here. */
+  private[graft] val ReaderVersion = 1
+  private[graft] val WriterVersion = 1
+
+  private[graft] def parseProtocolLines(lines: Seq[String])
+      : Option[(Int, Int)] =
+    lines.find(_.startsWith("#protocol\t")).map(_.split('\t') match {
+      case Array(_, r, w) => (r.toInt, w.toInt)
+      case other => throw new IllegalStateException(
+        s"malformed protocol line (${other.length} fields)")
+    })
+
   private def linesOf(spark: SparkSession, base: String,
                       p: Path): Seq[String] = {
     val in = fs(base, spark).open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).toList
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    // the reader gate lives at the ONE choke point every manifest and
+    // checkpoint read passes through — a too-new table errors here,
+    // before any line is interpreted
+    parseProtocolLines(lines).foreach { case (r, _) =>
+      if (r > ReaderVersion) throw new IllegalStateException(
+        s"$p requires log reader version $r; this engine implements " +
+          s"$ReaderVersion — upgrade the engine to read this table")
+    }
+    lines
   }
 
   private def manifestLines(spark: SparkSession, base: String,
@@ -951,37 +981,83 @@ object TxLog {
       // what metadata COUNT(*) pushdown, live-row compaction sizing,
       // and full-mask entry drops all run on, so a stat-less commit or
       // purge must not silently demote the table to rows=-1
-      import org.apache.spark.sql.functions._
       val spark = df.sparkSession
       val txnDir = s"$base/${rels.head.split('/').dropRight(1).mkString("/")}"
-      val aggs = count(lit(1)).as("__rows") +:
-        dtypes.zipWithIndex.flatMap { case ((c, t), i) =>
-          val castT = castType(t)
-          Seq(min(col(c).cast(castT)).cast("string").as(s"__min$i"),
-            max(col(c).cast(castT)).cast("string").as(s"__max$i"))
-        }
-      val byFile = spark.read.parquet(txnDir)
-        .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1)
-          .as("__file"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect() // one row per landed file — bounded driver metadata
-        .map(r => r.getString(0) -> r)
-        .toMap
-      val out = rels.map { rel =>
-        byFile.get(rel.split('/').last) match {
-          case Some(r) =>
-            val cols = dtypes.zipWithIndex.flatMap { case ((c, t), i) =>
-              (Option(r.getString(2 + 2 * i)), Option(r.getString(3 + 2 * i))) match {
-                case (Some(mn), Some(mx)) => Some(ColStats(c, t, mn, mx))
-                case _ => None // all-NULL column in this file
-              }
-            }
-            Entry(rel, r.getLong(1), cols)
-          case None => Entry(rel, 0L, Nil) // empty file: no rows scanned
-        }
-      }
-      out
+      val byFile = statsByFile(spark.read.parquet(txnDir), dtypes)
+      rels.map(rel => entryFromStats(rel, byFile, dtypes))
     }
+  }
+
+  /** Per-file row counts and min/max stats for `raw` (any parquet
+    * read), keyed by file NAME: one aggregate scan with map-side
+    * combine, one tiny row per file back on the driver. Shared by the
+    * land path and [[convertParquet]]. */
+  private def statsByFile(raw: DataFrame, dtypes: Seq[(String, String)])
+      : Map[String, org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions._
+    val aggs = count(lit(1)).as("__rows") +:
+      dtypes.zipWithIndex.flatMap { case ((c, t), i) =>
+        val castT = castType(t)
+        Seq(min(col(c).cast(castT)).cast("string").as(s"__min$i"),
+          max(col(c).cast(castT)).cast("string").as(s"__max$i"))
+      }
+    raw.groupBy(element_at(split(col("_metadata.file_path"), "/"), -1)
+        .as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per file — bounded driver metadata
+      .map(r => r.getString(0) -> r)
+      .toMap
+  }
+
+  private def entryFromStats(rel: String,
+                             byFile: Map[String, org.apache.spark.sql.Row],
+                             dtypes: Seq[(String, String)]): Entry =
+    byFile.get(rel.split('/').last) match {
+      case Some(r) =>
+        val cols = dtypes.zipWithIndex.flatMap { case ((c, t), i) =>
+          (Option(r.getString(2 + 2 * i)), Option(r.getString(3 + 2 * i))) match {
+            case (Some(mn), Some(mx)) => Some(ColStats(c, t, mn, mx))
+            case _ => None // all-NULL column in this file
+          }
+        }
+        Entry(rel, r.getLong(1), cols)
+      case None => Entry(rel, 0L, Nil) // empty file: no rows scanned
+    }
+
+  /** In-place conversion of an existing flat parquet directory into a
+    * txlog table (Delta `CONVERT TO DELTA` analog): publish a v1
+    * manifest referencing the part files WHERE THEY ARE — zero data
+    * copied or moved, one metadata scan computes per-file row counts
+    * and min/max stats on `statsCols` so skipping works immediately.
+    * From then on every verb (append, DML, OPTIMIZE, streaming)
+    * behaves as if the table were born on the log; rewrites land
+    * under `data/` and supersede the root files, and [[vacuum]]
+    * reclaims superseded root-level files the same way it reclaims
+    * txn dirs. Hive-partitioned layouts (`k=v/` subdirs) are out of
+    * scope — their partition values live in paths, not files; read
+    * and re-commit those once. Fails on a directory that already has
+    * committed versions. Returns the published version (1). */
+  def convertParquet(spark: SparkSession, base: String,
+                     statsCols: Seq[String] = Nil): Long = {
+    require(latestVersion(spark, base).isEmpty,
+      s"$base already has committed versions — convert targets a plain " +
+        "parquet directory")
+    val f = fs(base, spark)
+    val root = new Path(base)
+    require(f.exists(root), s"$base does not exist")
+    val rootFiles = f.listStatus(root).toSeq
+      .filter(st => st.isFile && isDataFileName(st.getPath.getName))
+      .map(_.getPath.getName).sorted
+    require(rootFiles.nonEmpty,
+      s"no parquet part files directly under $base (hive-partitioned " +
+        "subdirectory layouts are not convertible in place)")
+    val paths = rootFiles.map(n => s"$base/$n")
+    val schema = spark.read.parquet(paths: _*).schema
+    val dtypes = statsCols.map(c => c -> statsDtype(schema(c).dataType))
+    val byFile = statsByFile(spark.read.parquet(paths: _*), dtypes)
+    val entries = rootFiles.map(entryFromStats(_, byFile, dtypes))
+    publishEntries(spark, base, 1L, entries, Map.empty)
+    1L
   }
 
   /** Verify every row of `newEntries`' just-landed files against the
@@ -1190,8 +1266,21 @@ object TxLog {
       .getOrElse(parseIdentityLines(latestLines))
     val declared = declaredSchemaOverride
       .orElse(parseSchemaLines(latestLines))
+    // writer gate + carry: a table stamped by a newer engine with a
+    // higher required writer version must not be committed to by this
+    // one — the meta lines below are RECONSTRUCTED from the kinds this
+    // writer knows, so an ignorant commit would silently drop the
+    // newer table features (Delta's minWriterVersion exists for
+    // exactly this). The carried stamp is the max of the table's and
+    // ours, so requirements never regress.
+    val (tblR, tblW) = parseProtocolLines(latestLines).getOrElse((1, 1))
+    if (tblW > WriterVersion) throw new IllegalStateException(
+      s"$base requires log writer version $tblW; this engine implements " +
+        s"$WriterVersion — upgrade the engine before writing")
     val metaLines =
       (if (dataChange) Seq.empty else Seq("#nodatachange")) ++
+      Seq(s"#protocol\t${math.max(tblR, ReaderVersion)}" +
+        s"\t${math.max(tblW, WriterVersion)}") ++
       declared.toSeq.map(s => s"#schema\t${enc(s.json)}") ++
       cons.toSeq.sortBy(_._1).map { case (n, ex) =>
         s"#constraint\t${enc(n)}\t${enc(ex)}" } ++
@@ -2807,6 +2896,7 @@ object TxLog {
     }
     val lastModified = f.getFileStatus(manifestPath(base, v))
       .getModificationTime
+    val (protoR, protoW) = parseProtocolLines(lines).getOrElse((1, 1))
     import spark.implicits._
     Seq((
       "txlog", base, v, lastModified,
@@ -2815,11 +2905,12 @@ object TxLog {
       parseConstraintLines(lines).size.toLong,
       parseIdentityLines(lines).size.toLong,
       entries.flatMap(_.blooms.map(_.column)).distinct.size.toLong,
-      txns.size.toLong, ckptV
+      txns.size.toLong, ckptV, protoR, protoW
     )).toDF("format", "location", "version", "last_modified_ms",
       "num_files", "num_rows", "num_masked_rows", "size_bytes",
       "stats_columns", "num_constraints", "num_identity_cols",
-      "num_bloom_cols", "num_txn_apps", "checkpoint_version")
+      "num_bloom_cols", "num_txn_apps", "checkpoint_version",
+      "min_reader_version", "min_writer_version")
   }
 
   /** RESTORE (Delta `RESTORE TABLE ... VERSION AS OF` analog): roll
@@ -2979,6 +3070,18 @@ object TxLog {
         .filterNot(st => live.contains(st.getPath.getName))
         .filter(_.getModificationTime < cutoff)
         .foreach(st => f.delete(st.getPath, true))
+    // ROOT-level part files exist only on [[convertParquet]]ed tables
+    // (entries whose base-relative path has no directory component);
+    // once superseded by a rewrite they are unreferenced like any txn
+    // dir and reclaim under the same grace rule — Delta's vacuum
+    // deletes unreferenced files under the table root identically
+    val liveRoot = liveEntries.map(_.path)
+      .filter(p => !isAbsolute(p) && !p.contains('/')).toSet
+    f.listStatus(new Path(base)).toSeq
+      .filter(st => st.isFile && isDataFileName(st.getPath.getName))
+      .filterNot(st => liveRoot.contains(st.getPath.getName))
+      .filter(_.getModificationTime < cutoff)
+      .foreach(st => f.delete(st.getPath, false))
     keep
   }
 

@@ -861,6 +861,37 @@ object RegistryMaint {
         .orderBy("event_type")
     }),
 
+    // CONVERT in place (Delta `CONVERT TO DELTA` analog): an existing
+    // plain-parquet directory becomes a txlog table with ONE metadata
+    // commit — zero bytes copied or moved, per-file stats computed in
+    // the same pass so file skipping works from version 1, and every
+    // later verb (here an ordinary append) treats it as log-born. At
+    // 100 TB this is the difference between adopting a legacy lake
+    // and rewriting it. Oracle: the adopted slice ∪ appended slice.
+    "s58_convert_in_place" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txconvert_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+      ev.where(col("event_id") < 700)
+        .repartitionByRange(4, col("event_id"))
+        .write.mode("overwrite").parquet(base)
+      require(TxLog.convertParquet(s, base, Seq("event_id")) == 1L,
+        "conversion must publish version 1")
+      val (kept, all) = TxLog.pruneRanges(s, base,
+        Seq(("event_id", 0L, 49L)))
+      require(kept.size < all.size,
+        s"conversion-time stats must prune (kept ${kept.size} of " +
+          s"${all.size})")
+      TxLog.append(ev.where(col("event_id") >= 700), base,
+        Some("event_id"))
+      TxLog.read(s, base)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // IDENTITY column (Delta GENERATED ALWAYS AS IDENTITY): two
     // appends get system-assigned surrogate ids — unique, increasing
     // across commits, gaps allowed — via per-partition counters above
@@ -1733,6 +1764,10 @@ object RegistryMaint {
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
     "s56_catalog_sql_lifecycle" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "s58_convert_in_place" ->
       """SELECT event_type, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",

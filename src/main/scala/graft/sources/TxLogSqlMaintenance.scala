@@ -27,6 +27,7 @@ import graft.operators.TxLog
   *   RESTORE [TABLE] <t> [TO] VERSION AS OF n  → [[TxLog.restore]]
   *   RESTORE [TABLE] <t> [TO] TIMESTAMP AS OF 'ts'
   *                    → [[TxLog.versionAtTimestamp]] + [[TxLog.restore]]
+  *   CONVERT TO TXLOG '<path>' [STATS (a, b)]  → [[TxLog.convertParquet]]
   *
   * (Delta's VACUUM retains by AGE; the log's retention unit is
   * versions — stated in the grammar so nobody mistakes the two.)
@@ -72,6 +73,9 @@ object TxLogSqlParser {
   private val RestoreRe =
     (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?($Ident)\\s+(?:TO\\s+)?""" +
       s"""(VERSION|TIMESTAMP)\\s+AS\\s+OF\\s+(?:'([^']*)'|(\\d+))\\s*;?\\s*""").r
+  private val ConvertRe =
+    (s"""(?is)\\s*CONVERT\\s+TO\\s+TXLOG\\s+'([^']+)'""" +
+      s"""(?:\\s+STATS\\s*\\(([^)]*)\\))?\\s*;?\\s*""").r
 
   /** Split a (possibly backtick-quoted) multipart identifier on dots
     * OUTSIDE backticks, so `my.table` stays one part. */
@@ -130,6 +134,10 @@ object TxLogSqlParser {
             "RESTORE ... TIMESTAMP AS OF needs a quoted timestamp " +
               "literal or epoch millis")
         Some(TxLogRestoreCommand(parts(t), byTimestamp, target))
+      case ConvertRe(path, stats) =>
+        val cols = Option(stats).toSeq
+          .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+        Some(TxLogConvertCommand(path, cols))
       case _ => None
     }
 
@@ -191,6 +199,18 @@ case class TxLogVacuumCommand(table: Seq[String], keepLast: Int,
   }
 }
 
+/** `CONVERT TO TXLOG '<path>' [STATS (a, b)]` → adopt an existing
+  * flat parquet directory in place (Delta `CONVERT TO DELTA`): one
+  * metadata commit, zero data copied, per-file min/max stats on the
+  * STATS columns computed in the same pass. Returns the version (1). */
+case class TxLogConvertCommand(path: String, statsCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.convertParquet(spark, path, statsCols)))
+}
+
 /** `DESCRIBE DETAIL t` → the one-row [[TxLog.describeDetail]]
   * surface over SQL/JDBC (format, location, version, live counts,
   * physical bytes, metadata inventory, checkpoint version). */
@@ -211,7 +231,11 @@ case class TxLogDetailCommand(table: Seq[String])
     AttributeReference("num_identity_cols", LongType, nullable = false)(),
     AttributeReference("num_bloom_cols", LongType, nullable = false)(),
     AttributeReference("num_txn_apps", LongType, nullable = false)(),
-    AttributeReference("checkpoint_version", LongType, nullable = true)())
+    AttributeReference("checkpoint_version", LongType, nullable = true)(),
+    AttributeReference("min_reader_version",
+      org.apache.spark.sql.types.IntegerType, nullable = false)(),
+    AttributeReference("min_writer_version",
+      org.apache.spark.sql.types.IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val base = TxLogSqlParser.resolveBase(spark, table)
     TxLog.describeDetail(spark, base).collect().toSeq

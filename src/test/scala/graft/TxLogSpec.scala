@@ -138,4 +138,74 @@ class TxLogSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("vacuum"))
     assert(ex.getCause.isInstanceOf[java.io.FileNotFoundException])
   }
+
+  test("protocol gate: a manifest requiring a newer READER version " +
+    "fails loudly at read; a newer WRITER version still reads but " +
+    "blocks commits (which would silently drop unknown meta kinds)") {
+    val base = "/tmp/graft_txlog/proto"
+    TxLog.drop(spark, base)
+    TxLog.commit(df(v1Rows), base, None)
+    val files = TxLog.manifestFiles(spark, base, 1L)
+    val fsys = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeManifest(v: Long, lines: Seq[String]): Unit = {
+      val p = new org.apache.hadoop.fs.Path(f"$base/_log/v$v%020d.txt")
+      val out = fsys.create(p, true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    // a "future engine" publishes v2: same files, but the table now
+    // requires writer version 2 (reader still 1)
+    writeManifest(2L, s"#protocol\t1\t2" +: files)
+    assert(contents(TxLog.read(spark, base)) == v1Rows.toSet,
+      "reader version 1 tables stay readable")
+    val w = intercept[IllegalStateException] {
+      TxLog.append(df(Seq(999 -> "x")), base)
+    }
+    assert(w.getMessage.contains("writer version 2"), w.getMessage)
+    // v3 requires reader version 2: every read path must refuse
+    writeManifest(3L, s"#protocol\t2\t2" +: files)
+    val r = intercept[IllegalStateException] {
+      TxLog.read(spark, base)
+    }
+    assert(r.getMessage.contains("reader version 2"), r.getMessage)
+  }
+
+  test("convertParquet adopts a flat parquet dir in place: no copies, " +
+    "stats skipping immediate, later DML supersedes root files and " +
+    "vacuum reclaims them") {
+    val base = "/tmp/graft_txlog/convert"
+    TxLog.drop(spark, base)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    (1 to 4000).map(i => (i.toLong, s"c-$i")).toDF("k", "s")
+      .repartitionByRange(4, col("k")).write.mode("overwrite").parquet(base)
+    assert(TxLog.convertParquet(spark, base, Seq("k")) == 1L)
+    val (entries, _) = TxLog.manifest(spark, base, 1L)
+    assert(entries.size == 4 && entries.forall(e => !e.path.contains('/')),
+      "entries must reference the root part files where they are")
+    assert(entries.forall(e => e.rows > 0 && e.statsFor("k").isDefined))
+    assert(TxLog.read(spark, base).count() == 4000)
+    // file skipping works from the conversion commit onward
+    val (kept, all) = TxLog.pruneRanges(spark, base, Seq(("k", 1L, 10L)))
+    assert(kept.size == 1 && all.size == 4,
+      s"a narrow range must open one of four range-banded files " +
+        s"(kept ${kept.size} of ${all.size})")
+    // a COW delete rewrites one band into data/; the superseded root
+    // file is then unreferenced and vacuum (grace 0) reclaims it
+    TxLog.deleteRange(spark, base, "k", 1L, 500L)
+    assert(TxLog.read(spark, base).count() == 3500)
+    val rootBefore = new java.io.File(base).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    TxLog.vacuum(spark, base, keepLast = 1, graceMs = 0L)
+    val rootAfter = new java.io.File(base).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(rootAfter < rootBefore,
+      s"vacuum must reclaim the superseded root file ($rootBefore -> " +
+        s"$rootAfter)")
+    assert(TxLog.read(spark, base).count() == 3500,
+      "live data survives the vacuum")
+  }
 }

@@ -306,4 +306,32 @@ class TxLogSqlDmlSpec extends AnyFunSuite {
       assert(ids.distinct.length == 11, s"ids must stay unique: $ids")
     } finally sql.sql("DROP TABLE IF EXISTS txdml_ident")
   }
+
+  test("CONVERT TO TXLOG adopts a plain parquet dir over SQL (one " +
+    "metadata commit, stats included); DESCRIBE DETAIL reports the " +
+    "protocol versions; re-converting fails loudly") {
+    val base = "/tmp/graft_txsqldml/convert"
+    TxLog.drop(spark, base)
+    import spark.implicits._
+    (1 to 1000).map(i => (i, s"c-$i")).toDF("k", "s")
+      .repartition(2).write.mode("overwrite").parquet(base)
+    val v = sql.sql(s"CONVERT TO TXLOG '$base' STATS (k)").head.getLong(0)
+    assert(v == 1L)
+    assert(TxLog.manifest(spark, base, 1L)._1
+      .forall(e => e.rows > 0 && e.statsFor("k").isDefined))
+    sql.sql("DROP TABLE IF EXISTS txdml_conv")
+    sql.sql("CREATE TABLE txdml_conv " +
+      s"USING graft.sources.TxLogSource OPTIONS (path '$base')")
+    try {
+      assert(sql.sql("SELECT count(*) AS n FROM txdml_conv")
+        .head.getLong(0) == 1000)
+      val d = sql.sql("DESCRIBE DETAIL txdml_conv").head
+      assert(d.getAs[Int]("min_reader_version") == 1)
+      assert(d.getAs[Int]("min_writer_version") == 1)
+      val again = intercept[Exception] {
+        sql.sql(s"CONVERT TO TXLOG '$base'")
+      }
+      assert(again.getMessage.contains("already has committed versions"))
+    } finally sql.sql("DROP TABLE IF EXISTS txdml_conv")
+  }
 }
