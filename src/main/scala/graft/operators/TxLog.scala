@@ -2571,7 +2571,8 @@ object TxLog {
     * Returns the new version, or the current one if nothing to do. */
   def compact(spark: SparkSession, base: String, smallThresholdRows: Long,
               targetRows: Long, statsCol: Option[String] = None,
-              maxAttempts: Int = 5): Long = {
+              maxAttempts: Int = 5,
+              range: Option[(String, Any, Any)] = None): Long = {
     require(targetRows >= smallThresholdRows,
       "targetRows must be at least the small-file threshold")
     withCasRetry(maxAttempts) { _ =>
@@ -2580,9 +2581,20 @@ object TxLog {
       val (entries, txns) = manifest(spark, base, cur)
       // LIVE rows drive the small-file test: a big file hollowed out
       // by deletion vectors is exactly what compaction should fold in
-      // (the rewrite applies its mask and drops the sidecar ref)
+      // (the rewrite applies its mask and drops the sidecar ref).
+      // An OPTIMIZE ... WHERE range additionally scopes the candidate
+      // set to files whose stats overlap it — at 100 TB you compact
+      // the band the streaming sink is actively fragmenting, not the
+      // years of cold history behind it. Stats-less files conservatively
+      // stay in scope (they might overlap).
+      val inScope: Entry => Boolean = range match {
+        case Some((c, lo, hi)) =>
+          e => touchesRange(e, c, reprOf(lo), reprOf(hi))
+        case None => _ => true
+      }
       val (small, carried) =
-        entries.partition(e => e.rows < 0 || e.liveRows < smallThresholdRows)
+        entries.partition(e =>
+          (e.rows < 0 || e.liveRows < smallThresholdRows) && inScope(e))
       if (small.size <= 1) cur // nothing to bin-pack
       else {
         // unknown-row (v1) files are rewritten but can't be sized —
@@ -3012,11 +3024,21 @@ object TxLog {
     throw new IllegalStateException("unreachable")
   }
 
-  private def vacuumOnce(spark: SparkSession, base: String, keepLast: Int,
-                         graceMs: Long): Seq[Long] = {
+  /** Everything one vacuum pass would touch, resolved read-only:
+    * versions to drop vs keep, the checkpoint that must materialize
+    * first, and the stale txn dirs / root-level files past the grace
+    * cutoff. Shared verbatim by the destructive pass and DRY RUN, so
+    * the preview can never drift from the delete. */
+  private case class VacuumPlan(drop: Seq[Long], keep: Seq[Long],
+                                needCkpt: Option[Long],
+                                staleDirs: Seq[Path],
+                                staleRootFiles: Seq[Path])
+
+  private def vacuumPlan(spark: SparkSession, base: String, keepLast: Int,
+                         graceMs: Long): Option[VacuumPlan] = {
     val f = fs(base, spark)
     val logDir = new Path(s"$base/$LogDir")
-    if (!f.exists(logDir)) return Seq.empty
+    if (!f.exists(logDir)) return None
     val versions = f.listStatus(logDir).toSeq
       .flatMap(st => parseVersion(st.getPath.getName)).sorted
     val (drop, keep) = versions.splitAt(math.max(0, versions.length - keepLast))
@@ -3035,17 +3057,52 @@ object TxLog {
         .map(rel => new Path(s"$base/$rel").getParent.getName) ++
       sidecarDirs.filterNot(isAbsolute)
         .map(rel => new Path(s"$base/$rel").getName)).toSet
+    // unreferenced GC honors a grace window (Delta's retention-hours
+    // idea): a CONCURRENT writer's txn dir is unreferenced until its
+    // manifest publishes — deleting a fresh dir would kill an
+    // in-flight land mid-write (caught by the vacuum-race law).
+    // graceMs=0 is for tests/controlled maintenance windows only.
+    val cutoff = System.currentTimeMillis() - graceMs
+    val dataDir = new Path(s"$base/$DataDir")
+    val staleDirs =
+      if (!f.exists(dataDir)) Seq.empty
+      else f.listStatus(dataDir).toSeq.filter(_.isDirectory)
+        .filterNot(st => live.contains(st.getPath.getName))
+        .filter(_.getModificationTime < cutoff)
+        .map(_.getPath)
+    // ROOT-level part files exist only on [[convertParquet]]ed tables
+    // (entries whose base-relative path has no directory component);
+    // once superseded by a rewrite they are unreferenced like any txn
+    // dir and reclaim under the same grace rule — Delta's vacuum
+    // deletes unreferenced files under the table root identically
+    val liveRoot = liveEntries.map(_.path)
+      .filter(p => !isAbsolute(p) && !p.contains('/')).toSet
+    val staleRootFiles = f.listStatus(new Path(base)).toSeq
+      .filter(st => st.isFile && isDataFileName(st.getPath.getName))
+      .filterNot(st => liveRoot.contains(st.getPath.getName))
+      .filter(_.getModificationTime < cutoff)
+      .map(_.getPath)
+    val needCkpt = keep.headOption.filter(v =>
+      drop.nonEmpty && !f.exists(ckptPath(base, v)))
+    Some(VacuumPlan(drop, keep, needCkpt, staleDirs, staleRootFiles))
+  }
+
+  private def vacuumOnce(spark: SparkSession, base: String, keepLast: Int,
+                         graceMs: Long): Seq[Long] = {
+    val plan = vacuumPlan(spark, base, keepLast, graceMs)
+      .getOrElse(return Seq.empty)
+    val f = fs(base, spark)
+    val logDir = new Path(s"$base/$LogDir")
     // the oldest kept version must stay resolvable after its delta
     // ancestry is deleted: materialize its checkpoint first (a later
     // kept version without its own checkpoint then replays from it)
-    keep.headOption.filter(v => drop.nonEmpty && !f.exists(ckptPath(base, v)))
-      .foreach { v =>
-        val meta = manifestLines(spark, base, v)
-          .filter(l => l.startsWith("#") && l != DeltaMarker)
-        writeCheckpointFile(spark, base, v, meta,
-          snapshotEntries(spark, base, v))
-      }
-    drop.foreach { v =>
+    plan.needCkpt.foreach { v =>
+      val meta = manifestLines(spark, base, v)
+        .filter(l => l.startsWith("#") && l != DeltaMarker)
+      writeCheckpointFile(spark, base, v, meta,
+        snapshotEntries(spark, base, v))
+    }
+    plan.drop.foreach { v =>
       f.delete(manifestPath(base, v), false)
       f.delete(ckptPath(base, v), false)
     }
@@ -3058,31 +3115,29 @@ object TxLog {
     f.listStatus(logDir).toSeq
       .flatMap(st => parseCkptVersion(st.getPath.getName)).maxOption
       .foreach(advancePointer(spark, base, _))
-    // unreferenced-dir GC honors a grace window (Delta's retention-
-    // hours idea): a CONCURRENT writer's txn dir is unreferenced
-    // until its manifest publishes — deleting a fresh dir would kill
-    // an in-flight land mid-write (caught by the vacuum-race law).
-    // graceMs=0 is for tests/controlled maintenance windows only.
-    val cutoff = System.currentTimeMillis() - graceMs
-    val dataDir = new Path(s"$base/$DataDir")
-    if (f.exists(dataDir))
-      f.listStatus(dataDir).toSeq.filter(_.isDirectory)
-        .filterNot(st => live.contains(st.getPath.getName))
-        .filter(_.getModificationTime < cutoff)
-        .foreach(st => f.delete(st.getPath, true))
-    // ROOT-level part files exist only on [[convertParquet]]ed tables
-    // (entries whose base-relative path has no directory component);
-    // once superseded by a rewrite they are unreferenced like any txn
-    // dir and reclaim under the same grace rule — Delta's vacuum
-    // deletes unreferenced files under the table root identically
-    val liveRoot = liveEntries.map(_.path)
-      .filter(p => !isAbsolute(p) && !p.contains('/')).toSet
-    f.listStatus(new Path(base)).toSeq
-      .filter(st => st.isFile && isDataFileName(st.getPath.getName))
-      .filterNot(st => liveRoot.contains(st.getPath.getName))
-      .filter(_.getModificationTime < cutoff)
-      .foreach(st => f.delete(st.getPath, false))
-    keep
+    plan.staleDirs.foreach(p => f.delete(p, true))
+    plan.staleRootFiles.foreach(p => f.delete(p, false))
+    plan.keep
+  }
+
+  /** `VACUUM … DRY RUN` (Delta's identical verb): everything the same
+    * vacuum WOULD remove — dropped manifest versions, stale txn dirs,
+    * superseded root-level files — as (kind, path) rows, touching
+    * nothing. Computed by the exact planner the destructive pass
+    * executes, so the preview cannot drift from the delete. */
+  def vacuumDryRun(spark: SparkSession, base: String, keepLast: Int,
+                   graceMs: Long = 3600000L): DataFrame = {
+    require(keepLast >= 1,
+      s"vacuum must retain at least one version, got keepLast=$keepLast")
+    import spark.implicits._
+    vacuumPlan(spark, base, keepLast, graceMs) match {
+      case None => Seq.empty[(String, String)].toDF("kind", "path")
+      case Some(p) =>
+        (p.drop.map(v => "manifest" -> manifestPath(base, v).toString) ++
+          p.staleDirs.map(d => "txn_dir" -> d.toString) ++
+          p.staleRootFiles.map(f => "root_file" -> f.toString))
+          .toDF("kind", "path")
+    }
   }
 
   /** Purge process-local snapshot caches for a store without touching

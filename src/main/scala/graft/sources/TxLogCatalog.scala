@@ -7,7 +7,8 @@ import scala.util.control.NonFatal
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableCatalogCapability, TableChange}
+import org.apache.spark.sql.connector.catalog.constraints.{Check => V2Check}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -197,32 +198,58 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     new TxLogTable(schema, dir.toString)
   }
 
+  /** Spark's native constraint DDL (`ALTER TABLE … ADD CONSTRAINT c
+    * CHECK (…)`) routes here only when the catalog declares it. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   /** `ALTER TABLE … ADD COLUMNS` → [[TxLog.alterAddColumns]] (a
-    * metadata-only versioned commit). Everything else — RENAME/DROP
-    * COLUMN need Delta-style column mapping (physical-name
-    * indirection) the log does not carry; type changes would lie
-    * about bytes on disk — fails loudly. */
+    * metadata-only versioned commit); `ADD CONSTRAINT c CHECK (…)` /
+    * `DROP CONSTRAINT` → [[TxLog.addConstraint]]/[[TxLog.dropConstraint]]
+    * (Spark 4's native ANSI-constraint grammar, no custom parser
+    * needed). Everything else — RENAME/DROP COLUMN need Delta-style
+    * column mapping (physical-name indirection) the log does not
+    * carry; type changes would lie about bytes on disk; UNIQUE/PK/FK
+    * are informational constraints the log does not enforce — fails
+    * loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val base = existingBase(ident)
     val adds = changes.collect { case a: TableChange.AddColumn => a }
-    if (adds.size != changes.size)
-      throw new UnsupportedOperationException(
-        "only ALTER TABLE ... ADD COLUMNS is supported on txlog tables " +
-          "(RENAME/DROP COLUMN would need column-mapping indirection; " +
-          "data-file schema otherwise evolves on WRITE via mergeSchema); " +
-          s"got: ${changes.filterNot(adds.contains).mkString(", ")}")
-    val newCols = adds.map { a =>
-      require(a.fieldNames().length == 1,
-        s"nested ADD COLUMN is not supported: ${a.fieldNames().mkString(".")}")
-      org.apache.spark.sql.types.StructField(
-        a.fieldNames()(0), a.dataType(), nullable = a.isNullable)
+    changes.foreach {
+      case _: TableChange.AddColumn => ()
+      case ac: TableChange.AddConstraint => ac.constraint() match {
+        case chk: V2Check =>
+          TxLog.addConstraint(spark, base, chk.name(), chk.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          "only CHECK constraints are enforceable on txlog tables " +
+            s"(UNIQUE/PRIMARY KEY/FOREIGN KEY are not): ${other.toDDL}")
+      }
+      case dc: TableChange.DropConstraint =>
+        if (TxLog.constraints(spark, base).contains(dc.name()))
+          TxLog.dropConstraint(spark, base, dc.name())
+        else if (!dc.ifExists()) throw new IllegalArgumentException(
+          s"constraint '${dc.name()}' does not exist on " +
+            s"${ident.namespace().mkString(".")}.${ident.name()}")
+      case other => throw new UnsupportedOperationException(
+        "only ADD COLUMNS / ADD CONSTRAINT ... CHECK / DROP CONSTRAINT " +
+          "are supported on txlog tables (RENAME/DROP COLUMN would need " +
+          "column-mapping indirection; data-file schema otherwise " +
+          s"evolves on WRITE via mergeSchema); got: $other")
     }
-    val latest = TxLog.latestVersion(spark, base).getOrElse(
-      throw new NoSuchTableException(
-        (catalogName +: ident.namespace().toSeq :+ ident.name()).toSeq))
-    TxLog.alterAddColumns(spark, base,
-      org.apache.spark.sql.types.StructType(newCols.toArray),
-      baseSchema = Some(schemaAt(base, latest)))
+    if (adds.nonEmpty) {
+      val newCols = adds.map { a =>
+        require(a.fieldNames().length == 1,
+          s"nested ADD COLUMN is not supported: ${a.fieldNames().mkString(".")}")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = a.isNullable)
+      }
+      val latest = TxLog.latestVersion(spark, base).getOrElse(
+        throw new NoSuchTableException(
+          (catalogName +: ident.namespace().toSeq :+ ident.name()).toSeq))
+      TxLog.alterAddColumns(spark, base,
+        org.apache.spark.sql.types.StructType(newCols.toArray),
+        baseSchema = Some(schemaAt(base, latest)))
+    }
     loadTable(ident)
   }
 

@@ -18,10 +18,13 @@ import graft.operators.TxLog
   * (so interception is strictly additive — any other text delegates
   * to the stock parser untouched):
   *
-  *   OPTIMIZE <table>                          → [[TxLog.compact]]
+  *   OPTIMIZE <table>
+  *            [WHERE c BETWEEN lo AND hi]      → [[TxLog.compact]]
   *   OPTIMIZE <table> ZORDER BY (a, b)         → [[TxLog.compactZorder]]
   *   VACUUM <table> RETAIN <n> VERSIONS
-  *          [GRACE <m> SECONDS|MINUTES|HOURS]  → [[TxLog.vacuum]]
+  *          [GRACE <m> SECONDS|MINUTES|HOURS]
+  *          [DRY RUN]                          → [[TxLog.vacuum]] /
+  *                                              [[TxLog.vacuumDryRun]]
   *   DESCRIBE HISTORY <table>                  → [[TxLog.history]]
   *   DESCRIBE DETAIL <table>                   → [[TxLog.describeDetail]]
   *   RESTORE [TABLE] <t> [TO] VERSION AS OF n  → [[TxLog.restore]]
@@ -59,10 +62,13 @@ class TxLogSqlParser(delegate: ParserInterface) extends ParserInterface {
 object TxLogSqlParser {
   private val Ident = """[\w.`]+"""
   private val OptimizeRe =
-    s"""(?is)\\s*OPTIMIZE\\s+($Ident)\\s*(?:ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*""".r
+    (s"""(?is)\\s*OPTIMIZE\\s+($Ident)""" +
+      s"""(?:\\s+WHERE\\s+(\\w+)\\s+BETWEEN\\s+('[^']*'|\\S+)\\s+AND\\s+('[^']*'|\\S+))?""" +
+      s"""\\s*(?:ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*""").r
   private val VacuumRe =
     (s"""(?is)\\s*VACUUM\\s+($Ident)\\s+RETAIN\\s+(\\d+)\\s+VERSIONS""" +
-      s"""(?:\\s+GRACE\\s+(\\d+)\\s+(SECONDS|MINUTES|HOURS))?\\s*;?\\s*""").r
+      s"""(?:\\s+GRACE\\s+(\\d+)\\s+(SECONDS|MINUTES|HOURS))?""" +
+      s"""(?:\\s+(DRY\\s+RUN))?\\s*;?\\s*""").r
   private val HistoryRe =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+($Ident)\\s*;?\\s*""".r
   private val DetailRe =
@@ -94,7 +100,7 @@ object TxLogSqlParser {
 
   private[sources] def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case OptimizeRe(t, zcols) =>
+      case OptimizeRe(t, wcol, wlo, whi, zcols) =>
         // arity is validated HERE, loudly — a silent fall-through to
         // the stock parser would reject "OPTIMIZE" as unknown syntax
         // with no hint that only 2-column ZORDER is supported
@@ -107,8 +113,17 @@ object TxLogSqlParser {
                 s"${other.size}: ${other.mkString(", ")}")
           }
         }
-        Some(TxLogOptimizeCommand(parts(t), z))
-      case VacuumRe(t, n, graceN, graceUnit) =>
+        def unq(s: String): String =
+          if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+            s.substring(1, s.length - 1) else s
+        val where = Option(wcol).map(c => (c, unq(wlo), unq(whi)))
+        if (where.isDefined && z.isDefined)
+          throw new IllegalArgumentException(
+            "OPTIMIZE ... WHERE scopes bin-packing compaction only; " +
+              "combine it with ZORDER BY by z-ordering first, then " +
+              "range-compacting follow-up appends")
+        Some(TxLogOptimizeCommand(parts(t), z, where = where))
+      case VacuumRe(t, n, graceN, graceUnit, dryRun) =>
         val graceMs = Option(graceN).map { g =>
           val unit = graceUnit.toUpperCase match {
             case "SECONDS" => 1000L
@@ -117,7 +132,9 @@ object TxLogSqlParser {
           }
           g.toLong * unit
         }
-        Some(TxLogVacuumCommand(parts(t), n.toInt, graceMs))
+        if (dryRun != null)
+          Some(TxLogVacuumDryRunCommand(parts(t), n.toInt, graceMs))
+        else Some(TxLogVacuumCommand(parts(t), n.toInt, graceMs))
       case HistoryRe(t) =>
         Some(TxLogHistoryCommand(parts(t)))
       case DetailRe(t) =>
@@ -163,7 +180,9 @@ object TxLogSqlParser {
 case class TxLogOptimizeCommand(table: Seq[String],
                                 zorder: Option[(String, String)],
                                 smallThresholdRows: Long = 1L << 20,
-                                targetRows: Long = 1L << 22)
+                                targetRows: Long = 1L << 22,
+                                where: Option[(String, String, String)] =
+                                  None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -172,9 +191,27 @@ case class TxLogOptimizeCommand(table: Seq[String],
     val v = zorder match {
       case Some((a, b)) => TxLog.compactZorder(spark, base, a, b,
         smallThresholdRows, targetRows)
-      case None => TxLog.compact(spark, base, smallThresholdRows, targetRows)
+      case None => TxLog.compact(spark, base, smallThresholdRows, targetRows,
+        statsCol = where.map(_._1), range = where)
     }
     Seq(Row(v))
+  }
+}
+
+/** `VACUUM t RETAIN n VERSIONS [GRACE …] DRY RUN` → everything the
+  * identically-parameterized vacuum WOULD delete, as (kind, path)
+  * rows; nothing is touched. */
+case class TxLogVacuumDryRunCommand(table: Seq[String], keepLast: Int,
+                                    graceMs: Option[Long] = None)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("path", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val base = TxLogSqlParser.resolveBase(spark, table)
+    TxLog.vacuumDryRun(spark, base, keepLast,
+      graceMs.getOrElse(3600000L)).collect().toSeq
   }
 }
 

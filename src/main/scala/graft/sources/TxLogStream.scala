@@ -513,6 +513,26 @@ class TxLogTable(tableSchema: StructType, base: String,
   private[sources] def basePath: String = base
   override def name(): String = s"txlog($base)"
   override def schema(): StructType = tableSchema
+
+  /** The table's CHECK constraints as Spark's native constraint
+    * surface (Spark 4 ANSI constraints): every one was validated
+    * against existing data when added and is enforced on every write
+    * path, so VALID + enforced is the honest status. Resolved at the
+    * pinned version for time-travel snapshots. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    val spark = SparkSession.active
+    val cons = asOf match {
+      case Some(v) => TxLog.constraintsOf(spark, base, v)
+      case None => TxLog.constraints(spark, base)
+    }
+    cons.toSeq.sortBy(_._1).map { case (n, ex) =>
+      Constraint.check(n).predicateSql(ex).enforced(true)
+        .validationStatus(Constraint.ValidationStatus.VALID)
+        .build(): Constraint
+    }.toArray
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,

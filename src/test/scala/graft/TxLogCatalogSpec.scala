@@ -224,4 +224,35 @@ class TxLogCatalogSpec extends AnyFunSuite {
       ren.getMessage.contains("column-mapping"))
     sql("DROP TABLE IF EXISTS graft.lake.altered")
   }
+
+  test("native ANSI constraint DDL: ALTER TABLE ADD CONSTRAINT CHECK " +
+    "enforces on writes, DROP CONSTRAINT lifts it, non-CHECK kinds " +
+    "fail loudly") {
+    val base = "/tmp/graft_txcat/warehouse/lake/cons"
+    TxLog.drop(spark, base)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+    sql("DROP TABLE IF EXISTS graft.lake.cons")
+    TxLog.drop(spark, base)
+    sql("CREATE TABLE graft.lake.cons (k INT, v DOUBLE) " +
+      "USING graft.sources.TxLogSource")
+    sql("INSERT INTO graft.lake.cons " +
+      "SELECT cast(id AS INT) AS k, id * 1.0 AS v FROM range(1, 21)")
+    sql("ALTER TABLE graft.lake.cons ADD CONSTRAINT v_pos CHECK (v > 0)")
+    assert(TxLog.constraints(spark, base) == Map("v_pos" -> "v > 0"))
+    // a violating INSERT aborts cleanly: no version, no rows
+    val bad = intercept[Exception] {
+      sql("INSERT INTO graft.lake.cons VALUES (99, -1.0)")
+    }
+    assert(bad.getMessage.contains("v_pos") ||
+      Option(bad.getCause).exists(_.getMessage.contains("v_pos")),
+      s"violation must name the constraint: ${bad.getMessage}")
+    assert(sql("SELECT count(*) AS n FROM graft.lake.cons")
+      .head.getLong(0) == 20)
+    sql("ALTER TABLE graft.lake.cons DROP CONSTRAINT v_pos")
+    assert(TxLog.constraints(spark, base).isEmpty)
+    sql("INSERT INTO graft.lake.cons VALUES (99, -1.0)")
+    assert(sql("SELECT count(*) AS n FROM graft.lake.cons")
+      .head.getLong(0) == 21)
+    sql("DROP TABLE IF EXISTS graft.lake.cons")
+  }
 }

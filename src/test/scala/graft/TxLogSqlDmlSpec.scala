@@ -174,6 +174,39 @@ class TxLogSqlDmlSpec extends AnyFunSuite {
       assert(dataDirs() < before,
         "GRACE 0 SECONDS must reclaim unreferenced txn dirs over SQL")
       assert(TxLog.read(spark, base).count() == 4003)
+      // straggler appends in two disjoint bands for the scoped verbs
+      import spark.implicits._
+      TxLog.append(Seq((100001, 1, "w1a")).toDF("x", "y", "p"),
+        base, Some("x"))
+      TxLog.append(Seq((100002, 1, "w1b")).toDF("x", "y", "p"),
+        base, Some("x"))
+      val preW2 = files(base)
+      TxLog.append(Seq((200001, 1, "w2")).toDF("x", "y", "p"),
+        base, Some("x"))
+      val w2Files = files(base) -- preW2
+      // DRY RUN previews the drops without touching anything
+      val histBefore =
+        sql.sql("DESCRIBE HISTORY txdml_maint").collect().length
+      val dry = sql.sql(
+        "VACUUM txdml_maint RETAIN 1 VERSIONS GRACE 0 SECONDS DRY RUN")
+        .collect()
+      assert(dry.nonEmpty && dry.forall(r =>
+        Set("manifest", "txn_dir", "root_file").contains(r.getString(0))))
+      assert(sql.sql("DESCRIBE HISTORY txdml_maint").collect().length
+        == histBefore, "DRY RUN must not drop versions")
+      assert(TxLog.read(spark, base).count() == 4006,
+        "DRY RUN must not touch data")
+      // OPTIMIZE ... WHERE folds only small files overlapping the
+      // range; the out-of-range straggler rides untouched
+      val preOpt = files(base)
+      sql.sql("OPTIMIZE txdml_maint WHERE x BETWEEN 100000 AND 150000")
+      val postOpt = files(base)
+      assert(w2Files.subsetOf(postOpt),
+        "out-of-range straggler must survive a scoped OPTIMIZE")
+      assert(postOpt.size == preOpt.size - 1,
+        s"the two in-range stragglers must fold into one " +
+          s"(${preOpt.size} -> ${postOpt.size})")
+      assert(TxLog.read(spark, base).count() == 4006)
       // non-txlog target: loud error, ordinary SQL untouched
       sql.sql("CREATE OR REPLACE TEMP VIEW not_txlog AS SELECT 1 AS a")
       val err = intercept[Exception] {
@@ -187,7 +220,7 @@ class TxLogSqlDmlSpec extends AnyFunSuite {
         sql.sql("VACUUM txdml_maint RETAIN 0 VERSIONS")
       }
       assert(v0.getMessage.contains("at least one version"))
-      assert(TxLog.read(spark, base).count() == 4003,
+      assert(TxLog.read(spark, base).count() == 4006,
         "a rejected VACUUM must not touch data")
       val arity = intercept[Exception] {
         sql.sql("OPTIMIZE txdml_maint ZORDER BY (x, y, p)")
