@@ -550,6 +550,19 @@ object TxLog {
           s"malformed constraint line (${other.length} fields)")
       }).toMap
 
+  private def parseOpLines(lines: Seq[String]): Option[String] =
+    lines.find(_.startsWith("#op\t")).map(_.split('\t') match {
+      case Array(_, op) => dec(op)
+      case other => throw new IllegalStateException(
+        s"malformed op line (${other.length} fields)")
+    })
+
+  /** The operation that produced version `v` (`#op` meta line, Delta
+    * history's `operation` column): WRITE, MERGE, DELETE, UPDATE,
+    * OPTIMIZE, RESTORE, … None for pre-provenance manifests. */
+  def operationOf(spark: SparkSession, base: String, v: Long): Option[String] =
+    parseOpLines(manifestLines(spark, base, v))
+
   private def parseSchemaLines(lines: Seq[String])
       : Option[org.apache.spark.sql.types.StructType] =
     lines.find(_.startsWith("#schema\t")).map(_.split('\t') match {
@@ -1056,7 +1069,8 @@ object TxLog {
     val dtypes = statsCols.map(c => c -> statsDtype(schema(c).dataType))
     val byFile = statsByFile(spark.read.parquet(paths: _*), dtypes)
     val entries = rootFiles.map(entryFromStats(_, byFile, dtypes))
-    publishEntries(spark, base, 1L, entries, Map.empty)
+    publishEntries(spark, base, 1L, entries, Map.empty,
+      operation = "CONVERT")
     1L
   }
 
@@ -1151,7 +1165,7 @@ object TxLog {
           .where(!coalesce(expr(checkExpr), lit(true))).count()
       if (bad > 0) throw new ConstraintViolationException(name, checkExpr, bad)
       publishEntries(spark, base, cur + 1L, entries, txns,
-        Some(cons + (name -> checkExpr)))
+        Some(cons + (name -> checkExpr)), operation = "ADD CONSTRAINT")
       cur + 1L
     }
   }
@@ -1198,7 +1212,7 @@ object TxLog {
         s"column '${f.name}' already exists (resolution is " +
           "case-insensitive, like Spark's)"))
       publishEntries(spark, base, cur + 1L, entries, txns,
-        dataChange = false,
+        dataChange = false, operation = "ADD COLUMNS",
         declaredSchemaOverride = Some(
           org.apache.spark.sql.types.StructType(existing.fields ++ cols.fields)))
       cur + 1L
@@ -1214,7 +1228,8 @@ object TxLog {
       val (entries, txns) = manifest(spark, base, cur)
       val cons = constraintsOf(spark, base, cur)
       require(cons.contains(name), s"no constraint named '$name'")
-      publishEntries(spark, base, cur + 1L, entries, txns, Some(cons - name))
+      publishEntries(spark, base, cur + 1L, entries, txns, Some(cons - name),
+        operation = "DROP CONSTRAINT")
       cur + 1L
     }
 
@@ -1243,7 +1258,8 @@ object TxLog {
                                     identityOverride: Option[Map[String, Long]] =
                                       None,
                                     declaredSchemaOverride: Option[org.apache.spark.sql.types.StructType] =
-                                      None): Unit = {
+                                      None,
+                                    operation: String = "WRITE"): Unit = {
     // a concurrent vacuum can delete the version this commit diffs
     // against (the committer's snapshot is stale by definition then —
     // its CAS would lose anyway): surface the FileNotFound as a
@@ -1279,6 +1295,9 @@ object TxLog {
         s"$WriterVersion — upgrade the engine before writing")
     val metaLines =
       (if (dataChange) Seq.empty else Seq("#nodatachange")) ++
+      // per-commit provenance (Delta history's `operation`): NOT
+      // carried forward — each version records what produced IT
+      Seq(s"#op\t${enc(operation)}") ++
       Seq(s"#protocol\t${math.max(tblR, ReaderVersion)}" +
         s"\t${math.max(tblW, WriterVersion)}") ++
       declared.toSeq.map(s => s"#schema\t${enc(s.json)}") ++
@@ -1494,7 +1513,7 @@ object TxLog {
       } else {
         val v = cur.getOrElse(0L) + 1L
         publishEntries(spark, base, v, prev ++ entries,
-          txns + (appId -> batchId))
+          txns + (appId -> batchId), operation = "STREAMING UPDATE")
         v
       }
     } catch {
@@ -1599,6 +1618,7 @@ object TxLog {
       val v = cur.getOrElse(0L) + 1L
       try {
         publishEntries(spark, base, v, carried ++ newEntries, txns,
+          operation = "MERGE",
           identityOverride = cur.flatMap(
             mergeIdentityAdvance(spark, base, _, idMaxes)))
         v
@@ -1625,7 +1645,8 @@ object TxLog {
                   residual: org.apache.spark.sql.Column =
                     org.apache.spark.sql.functions.lit(true),
                   maxAttempts: Int = 5): Long =
-    rewriteRange(spark, base, column, lo, hi, maxAttempts) { touched =>
+    rewriteRange(spark, base, column, lo, hi, maxAttempts,
+      "DELETE") { touched =>
       import org.apache.spark.sql.functions.{coalesce, col, lit}
       // survivors: NOT (in-range AND residual). The negation is taken
       // over a null-safe coalesce so residual=NULL rows (SQL unknown)
@@ -1708,7 +1729,8 @@ object TxLog {
           case Some((dvDir, counts)) =>
             try {
               publishEntries(spark, base, cur + 1L,
-                carried ++ remask(touched, dvDir, counts), txns)
+                carried ++ remask(touched, dvDir, counts), txns,
+                operation = "DELETE")
               cur + 1L
             } catch {
               case e: CommitConflictException =>
@@ -1846,7 +1868,8 @@ object TxLog {
           case Some((dvDir, counts)) =>
             try {
               publishEntries(spark, base, cur + 1L,
-                carried ++ remask(touched, dvDir, counts) ++ newEntries, txns)
+                carried ++ remask(touched, dvDir, counts) ++ newEntries,
+                txns, operation = "UPDATE")
               cur + 1L
             } catch {
               case e: CommitConflictException =>
@@ -1935,7 +1958,7 @@ object TxLog {
       def publishWith(masked: Seq[Entry], dvDir: Option[String]): Long =
         try {
           publishEntries(spark, base, cur + 1L,
-            carried ++ masked ++ newEntries, txns,
+            carried ++ masked ++ newEntries, txns, operation = "MERGE",
             identityOverride = mergeIdentityAdvance(spark, base, cur, idMaxes))
           cur + 1L
         } catch {
@@ -2188,7 +2211,7 @@ object TxLog {
         val v = cur.getOrElse(0L) + 1L
         try {
           publishEntries(spark, base, v, carried ++ masked ++ newEntries,
-            txn.fold(txns)(txns + _),
+            txn.fold(txns)(txns + _), operation = "APPLY CHANGES",
             identityOverride = cur.flatMap(
               mergeIdentityAdvance(spark, base, _, idMaxes)))
           v
@@ -2224,7 +2247,8 @@ object TxLog {
           .filter(_.rows != 0L)
         try {
           publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns,
-            dataChange = false) // mask materialization only: CDF skips
+            dataChange = false, // mask materialization only: CDF skips
+            operation = "REORG PURGE")
           cur + 1L
         } catch {
           case e: CommitConflictException =>
@@ -2305,7 +2329,8 @@ object TxLog {
           if (e.rows > 0L)
             e.copy(blooms = e.blooms.filterNot(_.column == column) :+ ref)
           else e)
-        try { publishEntries(spark, base, cur + 1L, indexed, txns); cur + 1L }
+        try { publishEntries(spark, base, cur + 1L, indexed, txns,
+          operation = "CREATE BLOOM INDEX"); cur + 1L }
         catch {
           case e: CommitConflictException =>
             discardDir(spark, base, dir); throw e
@@ -2432,7 +2457,8 @@ object TxLog {
       s"UPDATE may not assign the clustering column $column — " +
         "rewriting the band key would break manifest-stats skipping")
     requireNoIdentityAssignment(spark, base, set.keys.toSeq)
-    rewriteRange(spark, base, column, lo, hi, maxAttempts) { touched =>
+    rewriteRange(spark, base, column, lo, hi, maxAttempts,
+      "UPDATE") { touched =>
       import org.apache.spark.sql.functions.{coalesce, col, lit, when}
       val hit = coalesce(
         col(column).between(lit(lo), lit(hi)) && residual, lit(false))
@@ -2499,7 +2525,8 @@ object TxLog {
         }
       try {
         publishEntries(spark, base, cur + 1L,
-          carried ++ survivors ++ newEntries, txns)
+          carried ++ survivors ++ newEntries, txns,
+          operation = "REPLACE WHERE")
         cur + 1L
       } catch {
         case e: CommitConflictException =>
@@ -2533,7 +2560,8 @@ object TxLog {
     * (parquet still writes an empty part; its rows==0 entry is
     * dropped). */
   private def rewriteRange(spark: SparkSession, base: String, column: String,
-                           lo: Any, hi: Any, maxAttempts: Int)
+                           lo: Any, hi: Any, maxAttempts: Int,
+                           op: String)
                           (transform: DataFrame => DataFrame): Long = {
     val (l, h) = (reprOf(lo), reprOf(hi))
     withCasRetry(maxAttempts) { _ =>
@@ -2548,7 +2576,8 @@ object TxLog {
           preservedStatsCols(touched, Seq(column), rewritten.schema))
           .filter(_.rows != 0L)
         try {
-          publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns)
+          publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns,
+            operation = op)
           cur + 1L
         } catch {
           case e: CommitConflictException => // this attempt's land is dead
@@ -2618,7 +2647,8 @@ object TxLog {
           preservedStatsCols(small, statsCol.toSeq, packed.schema))
         try {
           publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns,
-            dataChange = false) // bin-pack moves bytes, not rows: CDF skips
+            dataChange = false, // bin-pack moves bytes, not rows: CDF skips
+            operation = "OPTIMIZE")
           cur + 1L
         } catch {
           case e: CommitConflictException => // this attempt's land is dead
@@ -2691,7 +2721,8 @@ object TxLog {
           .filter(_.rows != 0L)
         try {
           publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns,
-            dataChange = false) // physical re-tiling only: CDF skips
+            dataChange = false, // physical re-tiling only: CDF skips
+            operation = "OPTIMIZE ZORDER")
           cur + 1L
         } catch {
           case e: CommitConflictException =>
@@ -2856,14 +2887,20 @@ object TxLog {
     var prevVersion = -1L
     var prevPaths: Set[String] = Set.empty
     val rows = versions.map { v =>
-      val (entries, txns) = manifest(spark, base, v)
+      // ONE raw read serves txns, operation, and (via the snapshot
+      // cache) entry resolution
+      val lines = manifestLines(spark, base, v)
+      val entries = snapshotEntries(spark, base, v)
+      val txns = parseTxnLines(lines)
       // after a vacuum gap the previous version is gone: every file of
       // the oldest surviving version counts as added (diff base empty)
       val diffBase = if (v == prevVersion + 1) prevPaths else Set.empty[String]
       val nRows: Option[Long] = // LIVE rows: masked deletions excluded
         if (entries.forall(_.rows >= 0)) Some(entries.map(_.liveRows).sum)
         else None
-      val row = (v, entries.size.toLong, nRows,
+      val row = (v, commitModTime(spark, base, v),
+        parseOpLines(lines).orNull,
+        entries.size.toLong, nRows,
         entries.count(e => !diffBase.contains(e.path)).toLong,
         txns.size.toLong)
       prevVersion = v
@@ -2871,7 +2908,8 @@ object TxLog {
       row
     }
     import spark.implicits._
-    rows.toDF("version", "n_files", "n_rows", "n_added_files", "n_txn_apps")
+    rows.toDF("version", "timestamp_ms", "operation", "n_files", "n_rows",
+      "n_added_files", "n_txn_apps")
   }
 
   /** One-row table detail (Delta `DESCRIBE DETAIL` analog): current
@@ -2947,7 +2985,7 @@ object TxLog {
       // instead could publish data that violates an advertised
       // constraint added after v
       publishEntries(spark, base, cur + 1L, entries, txns,
-        Some(constraintsOf(spark, base, v)))
+        Some(constraintsOf(spark, base, v)), operation = "RESTORE")
       cur + 1L
     }
 
@@ -2987,7 +3025,7 @@ object TxLog {
     // copy must neither accept rows the source would veto nor restart
     // its identity allocation at 1 over cloned-in ids
     publishEntries(spark, dstBase, 1L, cloned, Map.empty,
-      Some(constraintsOf(spark, srcBase, v)),
+      Some(constraintsOf(spark, srcBase, v)), operation = "CLONE",
       identityOverride = Some(identityOf(spark, srcBase, v)))
     1L
   }

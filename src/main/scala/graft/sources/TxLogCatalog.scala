@@ -194,7 +194,7 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     // ALTER ADD COLUMNS republishes the line, so time travel sees
     // each version's own schema.
     TxLog.publishEntries(spark, dir.toString, 1L, Seq.empty, Map.empty,
-      declaredSchemaOverride = Some(schema))
+      declaredSchemaOverride = Some(schema), operation = "CREATE TABLE")
     new TxLogTable(schema, dir.toString)
   }
 

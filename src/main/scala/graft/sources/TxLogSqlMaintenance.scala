@@ -303,8 +303,11 @@ case class TxLogRestoreCommand(table: Seq[String], byTimestamp: Boolean,
   * [[TxLog.history]] surface over SQL/JDBC). */
 case class TxLogHistoryCommand(table: Seq[String])
     extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.StringType
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp_ms", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = true)(),
     AttributeReference("n_files", LongType, nullable = false)(),
     AttributeReference("n_rows", LongType, nullable = true)(),
     AttributeReference("n_added_files", LongType, nullable = false)(),

@@ -272,7 +272,8 @@ object TxLogWriteCommit {
         .getOrElse((Seq.empty[TxLog.Entry], Map.empty[String, Long]))
       val v = cur.getOrElse(0L) + 1L
       val all = if (replaceAll) indexed else prev ++ indexed
-      TxLog.publishEntries(spark, base, v, all, txns)
+      TxLog.publishEntries(spark, base, v, all, txns,
+        operation = if (replaceAll) "OVERWRITE" else "WRITE")
       v
     } catch {
       case e: Throwable => // data-file cleanup is abort()'s job; the
@@ -331,7 +332,7 @@ object TxLogWriteCommit {
           indexed = Some(TxLog.indexNewEntries(spark, base, entries))
         val v = cur.getOrElse(0L) + 1L
         TxLog.publishEntries(spark, base, v, prev ++ indexed.get._1,
-          txns + (appId -> epochId))
+          txns + (appId -> epochId), operation = "STREAMING UPDATE")
         v
       }
     } catch {

@@ -185,11 +185,22 @@ class TxLogConstraintSpec extends AnyFunSuite {
     val base = "/tmp/graft_txcons/dsv2"
     seed(base)
     TxLog.addConstraint(spark, base, "v_pos", "v > 0")
-    intercept[TxLog.ConstraintViolationException] {
+    // TWO gates can fire here: since TxLogTable.constraints() surfaces
+    // the set through Spark's native ANSI-constraint API, Spark's own
+    // executor-side enforcement rejects the row (SparkRuntimeException,
+    // CHECK_VIOLATION) before our land-time gate would — and if that
+    // layer is ever bypassed (path writes, older clients), the
+    // land-time ConstraintViolationException still holds the line.
+    // Either way: nothing publishes.
+    val ex = intercept[Exception] {
       df(Seq(300L -> java.lang.Long.valueOf(-1L)))
         .write.format("graft.sources.TxLogSource")
         .mode("append").save(base)
     }
+    assert(ex.isInstanceOf[TxLog.ConstraintViolationException] ||
+      ex.getMessage.contains("v_pos") ||
+      Option(ex.getCause).exists(_.getMessage.contains("v_pos")),
+      s"violation must surface the constraint: ${ex.getMessage}")
     assert(TxLog.latestVersion(spark, base).contains(2L))
     df(Seq(300L -> java.lang.Long.valueOf(3L)))
       .write.format("graft.sources.TxLogSource")

@@ -155,6 +155,13 @@ class TxLogSqlDmlSpec extends AnyFunSuite {
       assert(TxLog.manifest(spark, base, vZ)._1.forall(e =>
         e.statsFor("x").isDefined || e.rows == 0),
         "re-tiled files carry stats")
+      // per-commit provenance (Delta history's `operation`): the
+      // initial commit is a WRITE, the bin-pack an OPTIMIZE
+      val ops = sql.sql("DESCRIBE HISTORY txdml_maint").collect()
+        .map(r => r.getAs[Long]("version") -> r.getAs[String]("operation"))
+        .toMap
+      assert(ops(1L) == "WRITE" && ops(vOpt) == "OPTIMIZE",
+        s"history must carry operations: $ops")
       val kept = sql.sql("VACUUM txdml_maint RETAIN 2 VERSIONS")
         .collect().map(_.getLong(0)).toSeq
       assert(kept.size == 2 && kept.last == vZ)
@@ -350,6 +357,7 @@ class TxLogSqlDmlSpec extends AnyFunSuite {
       .repartition(2).write.mode("overwrite").parquet(base)
     val v = sql.sql(s"CONVERT TO TXLOG '$base' STATS (k)").head.getLong(0)
     assert(v == 1L)
+    assert(TxLog.operationOf(spark, base, 1L).contains("CONVERT"))
     assert(TxLog.manifest(spark, base, 1L)._1
       .forall(e => e.rows > 0 && e.statsFor("k").isDefined))
     sql.sql("DROP TABLE IF EXISTS txdml_conv")
