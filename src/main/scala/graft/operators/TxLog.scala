@@ -153,6 +153,36 @@ object TxLog {
       if (rows < 0) -1L else rows - dv.map(_.rows).getOrElse(0L)
   }
 
+  /** Column-mapping indirection (Delta column mapping, name mode):
+    * the manifest's `#colmap` meta line carries an ordered
+    * logical→physical name map. PHYSICAL names are frozen at column
+    * birth and are what data files, manifest stats, bloom refs and
+    * identity high-waters are keyed on; LOGICAL names are the user
+    * surface. RENAME COLUMN rebinds a logical name to its unchanged
+    * physical column (zero data rewritten); DROP COLUMN removes the
+    * binding (the physical bytes stay until files are naturally
+    * rewritten — and can never resurface, because a re-ADDed column
+    * of the same name gets a FRESH physical name from `nextId`).
+    * Absent line = identity mapping (pre-mapping tables are untouched
+    * byte-for-byte). Lookup is case-insensitive, matching Spark's
+    * default column resolution. */
+  final case class ColMap(cols: Seq[(String, String)], nextId: Int) {
+    private val physByLowerLogical: Map[String, String] =
+      cols.map { case (l, p) => l.toLowerCase -> p }.toMap
+    def physicalOf(logical: String): Option[String] =
+      physByLowerLogical.get(logical.toLowerCase)
+    /** Translate a user-facing column name, failing loudly on names
+      * the table does not have — a silent pass-through would read or
+      * stat a nonexistent physical column. */
+    def physical(logical: String): String =
+      physicalOf(logical).getOrElse(throw new IllegalArgumentException(
+        s"column '$logical' does not exist " +
+          s"(table columns: ${cols.map(_._1).mkString(", ")})"))
+    def hasLogical(name: String): Boolean =
+      physByLowerLogical.contains(name.toLowerCase)
+    def logicalNames: Seq[String] = cols.map(_._1)
+  }
+
   private[graft] def cmp(dtype: String, a: String, b: String): Int = dtype match {
     case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
@@ -383,9 +413,16 @@ object TxLog {
     * kinds this writer does not know how to carry forward. Absence of
     * the line (pre-protocol tables) means (1, 1). Any future change
     * to the line format, a new meta-line kind, or a new entry-group
-    * dtype MUST bump the matching version here. */
-  private[graft] val ReaderVersion = 1
-  private[graft] val WriterVersion = 1
+    * dtype MUST bump the matching version here. These are the engine's
+    * CAPABILITY ceilings; the version a table REQUIRES is
+    * feature-derived at commit time (publishEntries) — (2, 2) only
+    * when column mapping is active, (1, 1) otherwise — so enabling a
+    * v2 feature on one table never locks older engines out of the
+    * rest of the lake. Version 2 = `#colmap` column-mapping
+    * indirection (logical names are rebindable; physical names key
+    * the data). */
+  private[graft] val ReaderVersion = 2
+  private[graft] val WriterVersion = 2
 
   private[graft] def parseProtocolLines(lines: Seq[String])
       : Option[(Int, Int)] =
@@ -586,6 +623,111 @@ object TxLog {
                        v: Long): Option[org.apache.spark.sql.types.StructType] =
     parseSchemaLines(manifestLines(spark, base, v))
 
+  /** `#colmap\t<nextId>(\t<enc(logical)>\t<enc(physical)>)*` — pairs in
+    * column order (the order reads project). */
+  private def parseColMapLines(lines: Seq[String]): Option[ColMap] =
+    lines.find(_.startsWith("#colmap\t")).map { l =>
+      val parts = l.split('\t')
+      require(parts.length >= 2 && parts.length % 2 == 0,
+        s"malformed colmap line (${parts.length} fields)")
+      val pairs = parts.drop(2).grouped(2).map {
+        case Array(lg, ph) => dec(lg) -> dec(ph)
+      }.toSeq
+      ColMap(pairs, parts(1).toInt)
+    }
+
+  private def serColMapLine(cm: ColMap): String =
+    (s"#colmap\t${cm.nextId}" +: cm.cols.map {
+      case (l, p) => s"${enc(l)}\t${enc(p)}"
+    }).mkString("\t")
+
+  /** The column mapping of one published version (None = identity —
+    * the table has never had a RENAME/DROP COLUMN). Versioned with the
+    * log: time travel below the first rename resolves no mapping, so
+    * old snapshots keep their old names. */
+  def columnMappingOf(spark: SparkSession, base: String,
+                      v: Long): Option[ColMap] =
+    parseColMapLines(manifestLines(spark, base, v))
+
+  /** The latest published version's column mapping (None for an empty
+    * store or a never-renamed table). */
+  private[graft] def columnMapping(spark: SparkSession,
+                                   base: String): Option[ColMap] =
+    latestVersion(spark, base).flatMap(columnMappingOf(spark, base, _))
+
+  /** Rename a user-facing (logical-named) DataFrame to physical names
+    * for landing. A column the mapping does not know is a loud error:
+    * write-side schema evolution on a mapped table must go through
+    * [[alterAddColumns]] first (which assigns the fresh physical name
+    * that keeps a dropped column's old bytes from resurfacing). */
+  private[graft] def toPhysicalDf(df: DataFrame, cm: ColMap): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val unknown = df.columns.filterNot(cm.hasLogical)
+    require(unknown.isEmpty,
+      s"column(s) ${unknown.mkString(", ")} are not in this table's " +
+        "column mapping — on a mapped table, declare new columns with " +
+        "ALTER TABLE ... ADD COLUMNS before writing them")
+    df.select(df.columns.toIndexedSeq.map(c =>
+      col(c).as(cm.physical(c))): _*)
+  }
+
+  /** Project a physical-named DataFrame (a raw file read) onto the
+    * logical surface: mapped physical columns alias to their logical
+    * names in mapping order; a mapped column no live file carries yet
+    * (just ALTERed) scans as a typed NULL from the declared schema;
+    * unmapped physical columns (DROPped) vanish. `keep` appends
+    * pass-through columns (CDF tags, DV coordinates) verbatim. */
+  private[graft] def toLogicalDf(df: DataFrame, cm: ColMap,
+                                 declared: Option[org.apache.spark.sql.types.StructType],
+                                 keep: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val present = df.columns.map(c => c.toLowerCase -> c).toMap
+    val mapped = cm.cols.flatMap { case (l, p) =>
+      present.get(p.toLowerCase) match {
+        case Some(actual) => Some(col(actual).as(l))
+        case None => declared.flatMap(_.fields.find(
+            _.name.equalsIgnoreCase(l)))
+          .map(f => lit(null).cast(f.dataType).as(l))
+      }
+    }
+    df.select(mapped ++ keep.flatMap(k =>
+      present.get(k.toLowerCase).map(col)): _*)
+  }
+
+  /** [[toLogicalDf]] against the LATEST version's mapping — the view
+    * user predicates/assignments evaluate on inside the DML verbs.
+    * Identity when the table has no mapping. */
+  private def logicalView(spark: SparkSession, base: String, df: DataFrame,
+                          keep: Seq[String] = Nil): DataFrame =
+    columnMapping(spark, base) match {
+      case Some(cm) => toLogicalDf(df, cm, latestDeclaredSchema(spark, base),
+        keep)
+      case None => df
+    }
+
+  private def latestDeclaredSchema(spark: SparkSession, base: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    latestVersion(spark, base).flatMap(declaredSchemaOf(spark, base, _))
+
+  /** Translate one user-facing column name to physical (identity
+    * without a mapping). */
+  private[graft] def physicalName(spark: SparkSession, base: String,
+                                  column: String): String =
+    columnMapping(spark, base) match {
+      case Some(cm) => cm.physical(column)
+      case None => column
+    }
+
+  /** Rename a user DataFrame to physical names iff the table is
+    * mapped (the verb-entry choke point — identity otherwise, so
+    * unmapped tables keep their exact current plans). */
+  private def toPhysicalIfMapped(spark: SparkSession, base: String,
+                                 df: DataFrame): DataFrame =
+    columnMapping(spark, base) match {
+      case Some(cm) => toPhysicalDf(df, cm)
+      case None => df
+    }
+
   private def parseIdentityLines(lines: Seq[String]): Map[String, Long] =
     lines.filter(_.startsWith("#identity\t"))
       .map(_.split('\t') match {
@@ -636,6 +778,23 @@ object TxLog {
       spark: SparkSession, base: String,
       columns: Seq[String]): Unit =
     failOnIdentityClash(latestIdentity(spark, base).keySet, columns)
+
+  /** Write-side column-mapping gate for the DSv2 sink's COMMIT phase:
+    * on a mapped table every incoming (logical) column must be bound
+    * in the mapping — an unknown name means the physical birth
+    * ([[alterAddColumns]]) never happened, and the files just landed
+    * carry a name no reader would ever serve. Checked at commit, not
+    * plan, so a restarted stream replaying an already-committed epoch
+    * against a since-mapped table stays a silent no-op. */
+  private[graft] def requireMappedColumns(spark: SparkSession, base: String,
+                                          columns: Seq[String]): Unit =
+    columnMapping(spark, base).foreach { cm =>
+      val unknown = columns.filterNot(cm.hasLogical)
+      require(unknown.isEmpty,
+        s"column(s) ${unknown.mkString(", ")} are not in this table's " +
+          "column mapping — on a mapped table, declare new columns with " +
+          "ALTER TABLE ... ADD COLUMNS before writing them")
+    }
 
   /** GENERATED ALWAYS on the UPDATE surface (Delta's identical rule):
     * assigning an identity column would mint ids the high-water never
@@ -722,9 +881,23 @@ object TxLog {
     manifest(spark, base, v)._1.map(_.path)
 
   /** Snapshot read of version `v`: only that manifest's files, with
-    * each file's deletion vector (if any) applied. */
+    * each file's deletion vector (if any) applied, projected onto the
+    * version's OWN logical column names (its `#colmap` line — time
+    * travel below a RENAME shows the old names). */
   def readVersion(spark: SparkSession, base: String, v: Long): DataFrame =
-    readEntries(spark, base, manifest(spark, base, v)._1)
+    columnMappingOf(spark, base, v) match {
+      // the logical projection must see the UNION of the files'
+      // physical columns — a plain read infers from one footer, and a
+      // column only newer files carry would silently NULL-fill from
+      // the declared schema. Mapped tables pay the mergeSchema footer
+      // pass (the price of a rebindable surface); unmapped tables keep
+      // the plain read byte-for-byte.
+      case Some(cm) => toLogicalDf(
+        readEntries(spark, base, manifest(spark, base, v)._1,
+          mergeSchema = true),
+        cm, declaredSchemaOf(spark, base, v))
+      case None => readEntries(spark, base, manifest(spark, base, v)._1)
+    }
 
   /** Resolve a wall-clock instant to a version (Delta `TIMESTAMP AS
     * OF` boundary rule): the LATEST version whose commit time is at
@@ -786,6 +959,13 @@ object TxLog {
       throw new IllegalStateException(s"no committed version at $base"))
     val df = readEntries(spark, base, manifest(spark, base, v)._1,
       mergeSchema = true)
+    columnMappingOf(spark, base, v) match {
+      // an active mapping subsumes the declared-NULL step: the logical
+      // projection fills just-ALTERed columns from the declared schema
+      case Some(cm) =>
+        return toLogicalDf(df, cm, declaredSchemaOf(spark, base, v))
+      case None => ()
+    }
     // a column DECLARED (ALTER ADD COLUMNS) but not yet present in any
     // file scans as a typed NULL, appended after the file columns —
     // the same surface Delta gives between the ALTER and the first
@@ -1094,7 +1274,11 @@ object TxLog {
     val cons = cons0.toSeq.sortBy(_._1)
     if (cons.isEmpty) return
     try {
-      val raw = spark.read.parquet(newEntries.map(e => resolve(base, e.path)): _*)
+      // constraint expressions are stored in LOGICAL names; landed
+      // files carry physical ones — evaluate on the logical view
+      // (identity when the table has no mapping)
+      val raw = logicalView(spark, base,
+        spark.read.parquet(newEntries.map(e => resolve(base, e.path)): _*))
       // columns a constraint references but the new files lack (an
       // older-schema batch) evaluate as NULL — SQL CHECK passes
       val present = raw.columns.map(_.toLowerCase).toSet
@@ -1161,7 +1345,8 @@ object TxLog {
       require(!cons.contains(name), s"constraint '$name' already exists")
       val bad =
         if (entries.isEmpty) 0L
-        else readEntries(spark, base, entries)
+        else logicalView(spark, base, readEntries(spark, base, entries,
+            mergeSchema = columnMapping(spark, base).isDefined))
           .where(!coalesce(expr(checkExpr), lit(true))).count()
       if (bad > 0) throw new ConstraintViolationException(name, checkExpr, bad)
       publishEntries(spark, base, cur + 1L, entries, txns,
@@ -1199,25 +1384,171 @@ object TxLog {
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
       val (entries, txns) = manifest(spark, base, cur)
+      val cmOpt = columnMappingOf(spark, base, cur)
       val existing = declaredSchemaOf(spark, base, cur)
         .orElse(baseSchema)
         .getOrElse {
           require(entries.nonEmpty,
             s"cannot ALTER an empty table at $base with no declared " +
               "schema — create it with one, or write data first")
-          readEntries(spark, base, entries, mergeSchema = true).schema
+          val raw = readEntries(spark, base, entries, mergeSchema = true)
+          // under a mapping the declared schema must carry LOGICAL
+          // names — the raw file schema is physical
+          cmOpt.map(cm => toLogicalDf(raw, cm, None)).getOrElse(raw).schema
         }
-      val have = existing.fieldNames.map(_.toLowerCase).toSet
+      val have = existing.fieldNames.map(_.toLowerCase).toSet ++
+        cmOpt.toSeq.flatMap(_.logicalNames.map(_.toLowerCase))
       cols.foreach(f => require(!have(f.name.toLowerCase),
         s"column '${f.name}' already exists (resolution is " +
           "case-insensitive, like Spark's)"))
+      // with active column mapping every new column is born under a
+      // FRESH physical name (`c<id>_<name>`): a column DROPped and
+      // later re-ADDed must scan as NULL, never as the dropped bytes.
+      // The collision probe covers both current physicals and any
+      // file column (a dropped column's physical still lives on disk).
+      val cmExt = cmOpt.map { cm =>
+        val taken = scala.collection.mutable.Set[String](
+          cm.cols.map(_._2.toLowerCase) ++
+            (if (entries.isEmpty) Nil
+             else readEntries(spark, base, entries, mergeSchema = true)
+               .columns.map(_.toLowerCase).toSeq): _*)
+        var next = cm.nextId
+        val added = cols.fields.map { f =>
+          var p = s"c${next}_${f.name}"
+          next += 1
+          while (taken.contains(p.toLowerCase)) { p = s"c${next}_${f.name}"; next += 1 }
+          taken += p.toLowerCase
+          f.name -> p
+        }.toSeq
+        cm.copy(cols = cm.cols ++ added, nextId = next)
+      }
       publishEntries(spark, base, cur + 1L, entries, txns,
         dataChange = false, operation = "ADD COLUMNS",
         declaredSchemaOverride = Some(
-          org.apache.spark.sql.types.StructType(existing.fields ++ cols.fields)))
+          org.apache.spark.sql.types.StructType(existing.fields ++ cols.fields)),
+        colMapOverride = cmExt)
       cur + 1L
     }
   }
+
+  /** Single-part column names a CHECK-constraint expression references
+    * (lowercased) — the dependency probe RENAME/DROP COLUMN runs. */
+  private def constraintRefLowers(spark: SparkSession, ex: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(ex).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if a.nameParts.length == 1 => a.name.toLowerCase
+    }.toSet
+
+  /** RENAME/DROP guard: the column must not be referenced by a CHECK
+    * constraint (its stored expression would silently stop matching —
+    * Delta blocks dependent constraints identically) and must not be
+    * an IDENTITY column (the high-water line is keyed on it). */
+  private def requireNoDependents(spark: SparkSession, base: String,
+                                  cur: Long, logical: String,
+                                  physical: String, verb: String): Unit = {
+    val dependents = constraintsOf(spark, base, cur).filter {
+      case (_, ex) => constraintRefLowers(spark, ex)
+        .contains(logical.toLowerCase)
+    }.keys.toSeq.sorted
+    require(dependents.isEmpty,
+      s"cannot $verb column '$logical': CHECK constraint(s) " +
+        s"${dependents.mkString(", ")} reference it — drop them first")
+    require(!identityOf(spark, base, cur).keySet
+        .exists(_.equalsIgnoreCase(physical)),
+      s"cannot $verb column '$logical': it is a GENERATED ALWAYS " +
+        "IDENTITY column")
+  }
+
+  /** The version's column mapping, or the identity seed derived from
+    * its current schema — the lazy upgrade a first RENAME/DROP COLUMN
+    * performs (existing physical names are frozen as-is; zero data
+    * moves). */
+  private def colMapOrSeed(spark: SparkSession, base: String,
+                           cur: Long): ColMap =
+    columnMappingOf(spark, base, cur).getOrElse {
+      val entries = manifest(spark, base, cur)._1
+      val fileFields: Seq[String] =
+        if (entries.isEmpty) Seq.empty
+        else readEntries(spark, base, entries, mergeSchema = true)
+          .schema.fieldNames.toSeq
+      val declaredOnly = declaredSchemaOf(spark, base, cur)
+        .map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+        .filterNot(d => fileFields.exists(_.equalsIgnoreCase(d)))
+      val all = fileFields ++ declaredOnly
+      require(all.nonEmpty,
+        s"cannot derive a schema for $base (no files, no declared schema)")
+      ColMap(all.map(n => n -> n), 1)
+    }
+
+  /** RENAME COLUMN (Delta column-mapping name mode): rebind `from`'s
+    * logical name to `to` — a metadata-only commit; ZERO data files
+    * move or rewrite, because files, manifest stats, bloom refs and
+    * identity lines are keyed on the column's frozen PHYSICAL name.
+    * The first rename upgrades the table to column mapping (protocol
+    * (2,2) — pre-mapping engines fail loudly instead of serving stale
+    * names). Time travel below the rename shows the old name (the
+    * `#colmap` line is versioned with the log). Blocked while a CHECK
+    * constraint references the column or it is an IDENTITY column —
+    * Delta's identical dependency rule. Returns the published
+    * version. */
+  def renameColumn(spark: SparkSession, base: String, from: String,
+                   to: String, maxAttempts: Int = 5): Long = {
+    require(to.trim.nonEmpty && !to.contains(".") && !to.contains("\t") &&
+      !to.contains("\n"), s"invalid column name '$to'")
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val cm = colMapOrSeed(spark, base, cur)
+      require(cm.hasLogical(from), s"column '$from' does not exist " +
+        s"(table columns: ${cm.logicalNames.mkString(", ")})")
+      require(from.equalsIgnoreCase(to) || !cm.hasLogical(to),
+        s"column '$to' already exists (resolution is case-insensitive)")
+      requireNoDependents(spark, base, cur, from, cm.physical(from),
+        "rename")
+      val renamed = cm.copy(cols = cm.cols.map { case (l, p) =>
+        if (l.equalsIgnoreCase(from)) (to, p) else (l, p)
+      })
+      val newDeclared = declaredSchemaOf(spark, base, cur).map(ds =>
+        org.apache.spark.sql.types.StructType(ds.fields.map(f =>
+          if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)))
+      publishEntries(spark, base, cur + 1L, entries, txns,
+        dataChange = false, operation = "RENAME COLUMN",
+        colMapOverride = Some(renamed),
+        declaredSchemaOverride = newDeclared)
+      cur + 1L
+    }
+  }
+
+  /** DROP COLUMN (Delta column-mapping name mode): remove the logical
+    * binding — metadata-only; the physical bytes stay in existing
+    * files (reclaimed as files naturally rewrite) but can never
+    * resurface, because [[alterAddColumns]] gives a re-ADDed column of
+    * the same name a fresh physical name. Upgrades to column mapping
+    * like [[renameColumn]]; same dependency blocks; cannot drop the
+    * last column. Returns the published version. */
+  def dropColumn(spark: SparkSession, base: String, name: String,
+                 maxAttempts: Int = 5): Long =
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val cm = colMapOrSeed(spark, base, cur)
+      require(cm.hasLogical(name), s"column '$name' does not exist " +
+        s"(table columns: ${cm.logicalNames.mkString(", ")})")
+      require(cm.cols.size > 1, "cannot drop the last column")
+      requireNoDependents(spark, base, cur, name, cm.physical(name), "drop")
+      val dropped = cm.copy(cols =
+        cm.cols.filterNot(_._1.equalsIgnoreCase(name)))
+      val newDeclared = declaredSchemaOf(spark, base, cur).map(ds =>
+        org.apache.spark.sql.types.StructType(
+          ds.fields.filterNot(_.name.equalsIgnoreCase(name))))
+      publishEntries(spark, base, cur + 1L, entries, txns,
+        dataChange = false, operation = "DROP COLUMN",
+        colMapOverride = Some(dropped),
+        declaredSchemaOverride = newDeclared)
+      cur + 1L
+    }
 
   /** Drop a CHECK constraint by name. Returns the published version. */
   def dropConstraint(spark: SparkSession, base: String, name: String,
@@ -1259,7 +1590,8 @@ object TxLog {
                                       None,
                                     declaredSchemaOverride: Option[org.apache.spark.sql.types.StructType] =
                                       None,
-                                    operation: String = "WRITE"): Unit = {
+                                    operation: String = "WRITE",
+                                    colMapOverride: Option[ColMap] = None): Unit = {
     // a concurrent vacuum can delete the version this commit diffs
     // against (the committer's snapshot is stale by definition then —
     // its CAS would lose anyway): surface the FileNotFound as a
@@ -1282,6 +1614,7 @@ object TxLog {
       .getOrElse(parseIdentityLines(latestLines))
     val declared = declaredSchemaOverride
       .orElse(parseSchemaLines(latestLines))
+    val cmap = colMapOverride.orElse(parseColMapLines(latestLines))
     // writer gate + carry: a table stamped by a newer engine with a
     // higher required writer version must not be committed to by this
     // one — the meta lines below are RECONSTRUCTED from the kinds this
@@ -1298,9 +1631,16 @@ object TxLog {
       // per-commit provenance (Delta history's `operation`): NOT
       // carried forward — each version records what produced IT
       Seq(s"#op\t${enc(operation)}") ++
-      Seq(s"#protocol\t${math.max(tblR, ReaderVersion)}" +
-        s"\t${math.max(tblW, WriterVersion)}") ++
+      // the REQUIRED protocol is feature-derived, not engine-derived:
+      // only a table with active column mapping demands (2,2) — a
+      // pre-mapping reader would serve physical names and resurrect
+      // dropped columns, the exact misread the gate exists to stop.
+      // Unmapped tables keep stamping (1,1), so older engines read and
+      // write them unchanged.
+      Seq(s"#protocol\t${math.max(tblR, if (cmap.isDefined) 2 else 1)}" +
+        s"\t${math.max(tblW, if (cmap.isDefined) 2 else 1)}") ++
       declared.toSeq.map(s => s"#schema\t${enc(s.json)}") ++
+      cmap.toSeq.map(serColMapLine) ++
       cons.toSeq.sortBy(_._1).map { case (n, ex) =>
         s"#constraint\t${enc(n)}\t${enc(ex)}" } ++
       ident.toSeq.sortBy(_._1).map { case (c, hw) =>
@@ -1441,7 +1781,8 @@ object TxLog {
     // maintenance rewrite (transact/commit) must never reset
     // appendOnce's exactly-once state
     val txns = expected.map(manifest(spark, base, _)._2).getOrElse(Map.empty)
-    val entries = landEntriesMulti(df, base, statsCols)
+    val entries = landEntriesMulti(toPhysicalIfMapped(spark, base, df), base,
+      statsCols.map(physicalName(spark, base, _)))
     try { publishEntries(spark, base, v, entries, txns); v }
     catch {
       case e: CommitConflictException =>
@@ -1458,7 +1799,9 @@ object TxLog {
              maxAttempts: Int = 5): Long = {
     val spark = df.sparkSession
     val (entries0, checked0) =
-      landEntriesChecked(df, base, statsCol.toSeq, guardIdentity = true)
+      landEntriesChecked(toPhysicalIfMapped(spark, base, df), base,
+        statsCol.toSeq.map(physicalName(spark, base, _)),
+        guardIdentity = true)
     // keep the bloom index's coverage incremental: new files join the
     // existing groups at commit time (one O(batch) pass, no rebuild)
     val (entries, bloomDirs) = indexNewEntries(spark, base, entries0)
@@ -1494,7 +1837,9 @@ object TxLog {
       manifest(spark, base, v)._2.getOrElse(appId, -1L) >= batchId)
     if (already.isDefined) return already.get
     val (entries0, checked0) =
-      landEntriesChecked(df, base, statsCol.toSeq, guardIdentity = true)
+      landEntriesChecked(toPhysicalIfMapped(spark, base, df), base,
+        statsCol.toSeq.map(physicalName(spark, base, _)),
+        guardIdentity = true)
     val (entries, bloomDirs) = indexNewEntries(spark, base, entries0)
     def dropAll(): Unit = {
       discard(spark, base, entries.map(_.path))
@@ -1549,8 +1894,10 @@ object TxLog {
     val v = latestVersion(spark, base).getOrElse(
       throw new IllegalStateException(s"no committed version at $base"))
     val (entries, _) = manifest(spark, base, v)
+    // manifest stats are keyed on PHYSICAL names — translate each
+    // predicate's (logical) column once before the entry sweep
     val kept = entries.filter(e => preds.forall { case (c, lo, hi) =>
-      touchesRange(e, c, reprOf(lo), reprOf(hi))
+      touchesRange(e, physicalName(spark, base, c), reprOf(lo), reprOf(hi))
     })
     (kept, entries)
   }
@@ -1570,7 +1917,10 @@ object TxLog {
       col(c).between(lit(lo), lit(hi))
     }.reduce(_ && _)
     if (kept.isEmpty) read(spark, base).where(lit(false))
-    else readEntries(spark, base, kept).where(residual)
+    // the residual references LOGICAL names — filter on the logical
+    // view (identity when the table has no mapping)
+    else logicalView(spark, base, readEntries(spark, base, kept))
+      .where(residual)
   }
 
   /** Copy-on-write MERGE: rewrite ONLY the files whose `statsCol`
@@ -1582,12 +1932,18 @@ object TxLog {
     * rewritten. CAS losses recompute against the winner, like
     * [[transact]]. `onAttempt` is a test seam for deterministic race
     * interleaving. */
-  def mergeCow(spark: SparkSession, base: String, source: DataFrame,
-               keys: Seq[String], statsCol: String, maxAttempts: Int = 5,
+  def mergeCow(spark: SparkSession, base: String, source0: DataFrame,
+               keys0: Seq[String], statsCol0: String, maxAttempts: Int = 5,
                onAttempt: Int => Unit = _ => ()): Long = {
-    require(keys.contains(statsCol),
-      s"statsCol $statsCol must be a merge key (got $keys) — range " +
+    require(keys0.contains(statsCol0),
+      s"statsCol $statsCol0 must be a merge key (got $keys0) — range " +
         "skipping is only sound when pruning on the match key")
+    // mapped tables: the merge runs entirely in PHYSICAL namespace —
+    // source renamed once here, keys/statsCol translated, target files
+    // already physical (readEntries below is the raw read)
+    val source = toPhysicalIfMapped(spark, base, source0)
+    val keys = keys0.map(physicalName(spark, base, _))
+    val statsCol = physicalName(spark, base, statsCol0)
     import org.apache.spark.sql.functions._
     val castT = castType(statsDtype(source.schema(statsCol).dataType))
     val bounds = source
@@ -1692,9 +2048,10 @@ object TxLog {
                      maxAttempts: Int = 5): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     val (l, h) = (reprOf(lo), reprOf(hi))
+    val physCol = physicalName(spark, base, column)
     deleteWhereMor(spark, base,
       col(column).between(lit(lo), lit(hi)) && residual,
-      touchesRange(_, column, l, h), maxAttempts)
+      touchesRange(_, physCol, l, h), maxAttempts)
   }
 
   /** Merge-on-read DELETE with an ARBITRARY predicate — the SQL
@@ -1721,8 +2078,15 @@ object TxLog {
       else {
         // positions are computed over the RAW files: already-masked
         // rows re-match and the union+distinct below folds them into
-        // the merged sidecar — old deletions can never resurrect
-        val raw = taggedRead(spark, base, touched)
+        // the merged sidecar — old deletions can never resurrect.
+        // `cond` references LOGICAL names — evaluate on the logical
+        // view with the DV coordinates carried through (mergeSchema on
+        // mapped tables: the projection must see the files' UNION of
+        // physical columns, not one footer's)
+        val cmapped = columnMapping(spark, base).isDefined
+        val raw = logicalView(spark, base,
+          taggedRead(spark, base, touched, mergeSchema = cmapped),
+          keep = Seq(DvFileCol, DvPosCol))
         val hits0 = raw.where(coalesce(cond, lit(false)))
         landMaskSidecar(spark, base, touched, hits0) match {
           case None => cur // no hits, no prior masks: nothing to publish
@@ -1745,9 +2109,12 @@ object TxLog {
     * table columns plus ([[DvFileCol]], [[DvPosCol]]) from parquet's
     * `_metadata` — the coordinates masks are expressed in. */
   private def taggedRead(spark: SparkSession, base: String,
-                         entries: Seq[Entry]): DataFrame = {
+                         entries: Seq[Entry],
+                         mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
-    spark.read.parquet(entries.map(e => resolve(base, e.path)): _*)
+    val rd = if (mergeSchema) spark.read.option("mergeSchema", "true")
+             else spark.read
+    rd.parquet(entries.map(e => resolve(base, e.path)): _*)
       .withColumn(DvFileCol, col("_metadata.file_name"))
       .withColumn(DvPosCol, col("_metadata.row_index"))
   }
@@ -1811,9 +2178,10 @@ object TxLog {
                      maxAttempts: Int = 5): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     val (l, h) = (reprOf(lo), reprOf(hi))
+    val physCol = physicalName(spark, base, column)
     updateWhereMor(spark, base,
       col(column).between(lit(lo), lit(hi)) && residual, set,
-      touchesRange(_, column, l, h), Seq(column), maxAttempts)
+      touchesRange(_, physCol, l, h), Seq(column), maxAttempts)
   }
 
   /** Merge-on-read UPDATE with an ARBITRARY predicate — the SQL
@@ -1835,7 +2203,16 @@ object TxLog {
       val (touched, carried) = entries.partition(touchedFilter)
       if (touched.isEmpty) cur
       else {
-        val raw = taggedRead(spark, base, touched)
+        // `cond` and the SET expressions reference LOGICAL names —
+        // the whole hit/update computation runs on the logical view
+        // (DV coordinates carried through; mergeSchema on mapped
+        // tables so the projection sees every file's physical
+        // columns); the updated images rename back to physical just
+        // before landing
+        val raw = logicalView(spark, base,
+          taggedRead(spark, base, touched,
+            mergeSchema = columnMapping(spark, base).isDefined),
+          keep = Seq(DvFileCol, DvPosCol))
         val hits0 = raw.where(coalesce(cond, lit(false)))
         // live hits only: a previously-masked (deleted) row matching
         // the predicate must not come back as an updated image
@@ -1859,8 +2236,10 @@ object TxLog {
               .map { case (_, e) => e.as(c) }.getOrElse(col(c))) ++
             appended.map(k => set(k).as(k)): _*)
         }
-        val newEntries = landEntriesMulti(updated, base,
-          preservedStatsCols(touched, primaryStats, updated.schema))
+        val updatedP = toPhysicalIfMapped(spark, base, updated)
+        val newEntries = landEntriesMulti(updatedP, base,
+          preservedStatsCols(touched,
+            primaryStats.map(physicalName(spark, base, _)), updatedP.schema))
           .filter(_.rows != 0L)
         landMaskSidecar(spark, base, touched, hits0) match {
           case None => // no hits anywhere: drop the (empty) append too
@@ -1898,6 +2277,17 @@ object TxLog {
     require(keys.contains(statsCol),
       s"statsCol $statsCol must be a merge key (got $keys) — range " +
         "skipping is only sound when pruning on the match key")
+    mergeMorPhys(spark, base, toPhysicalIfMapped(spark, base, source),
+      keys.map(physicalName(spark, base, _)),
+      physicalName(spark, base, statsCol), maxAttempts)
+  }
+
+  /** [[mergeMor]] body in PHYSICAL namespace (source already renamed,
+    * keys/statsCol already translated) — the shared core [[mergeMorAuto]]
+    * also lands on, so nothing translates twice. */
+  private def mergeMorPhys(spark: SparkSession, base: String,
+                           source: DataFrame, keys: Seq[String],
+                           statsCol: String, maxAttempts: Int): Long = {
     import org.apache.spark.sql.functions.{col, max, min}
     val castT = castType(statsDtype(source.schema(statsCol).dataType))
     val bounds = source
@@ -1917,17 +2307,19 @@ object TxLog {
     * keys: the first key carrying manifest stats prunes the touched
     * set; a table with no stats on any key merges un-pruned (every
     * file semi-join-checked, still zero files rewritten). */
-  def mergeMorAuto(spark: SparkSession, base: String, source: DataFrame,
-                   keys: Seq[String], maxAttempts: Int = 5): Long = {
+  def mergeMorAuto(spark: SparkSession, base: String, source0: DataFrame,
+                   keys0: Seq[String], maxAttempts: Int = 5): Long = {
     val cur = latestVersion(spark, base).getOrElse(
       throw new IllegalStateException(s"no committed version at $base"))
     val entries = manifest(spark, base, cur)._1
+    val source = toPhysicalIfMapped(spark, base, source0)
+    val keys = keys0.map(physicalName(spark, base, _))
     val statsCol = keys.find(k =>
       source.columns.contains(k) &&
         scala.util.Try(statsDtype(source.schema(k).dataType)).isSuccess &&
         entries.exists(_.statsFor(k).isDefined))
     statsCol match {
-      case Some(c) => mergeMor(spark, base, source, keys, c, maxAttempts)
+      case Some(c) => mergeMorPhys(spark, base, source, keys, c, maxAttempts)
       case None =>
         if (source.isEmpty) cur
         else mergeMorWhere(spark, base, source, keys, _ => true,
@@ -2000,15 +2392,21 @@ object TxLog {
     * winner's high-water (the landed batch is discarded and re-landed
     * — two winners must never share an id range). `onAttempt` is a
     * test seam. Returns the published version. */
-  def appendIdentity(df: DataFrame, base: String, idCol: String,
-                     statsCol: Option[String] = None, maxAttempts: Int = 5,
+  def appendIdentity(df0: DataFrame, base: String, idCol0: String,
+                     statsCol0: Option[String] = None, maxAttempts: Int = 5,
                      onAttempt: Int => Unit = _ => ()): Long = {
     import org.apache.spark.sql.functions.{col, count, lit,
       monotonically_increasing_id, row_number, spark_partition_id}
+    val spark = df0.sparkSession
+    // mapped tables: ids assign and land under the identity column's
+    // PHYSICAL name (on a mapped table the column must be declared
+    // with ALTER ADD COLUMNS first — same birth rule as every column)
+    val df = toPhysicalIfMapped(spark, base, df0)
+    val idCol = physicalName(spark, base, idCol0)
+    val statsCol = statsCol0.map(physicalName(spark, base, _))
     require(!df.columns.contains(idCol),
-      s"IDENTITY column $idCol is system-assigned; the batch must not " +
+      s"IDENTITY column $idCol0 is system-assigned; the batch must not " +
         "provide it (GENERATED ALWAYS semantics)")
-    val spark = df.sparkSession
     withCasRetry(maxAttempts) { attempt =>
       val cur = latestVersion(spark, base)
       val (prev, txns) = cur.map(manifest(spark, base, _))
@@ -2139,13 +2537,19 @@ object TxLog {
       None, maxAttempts, guardIdentity = false)
 
   private def applyBatchCore(spark: SparkSession, base: String,
-                             deleteKeys: DataFrame, inserts: DataFrame,
-                             keys: Seq[String], statsCol: String,
+                             deleteKeys0: DataFrame, inserts0: DataFrame,
+                             keys0: Seq[String], statsCol0: String,
                              txn: Option[(String, Long)],
                              maxAttempts: Int,
                              guardIdentity: Boolean = true): Long = {
-    require(keys.contains(statsCol),
-      s"statsCol $statsCol must be a key (got $keys)")
+    require(keys0.contains(statsCol0),
+      s"statsCol $statsCol0 must be a key (got $keys0)")
+    // mapped tables: both CDC halves run in PHYSICAL namespace (same
+    // verb-entry translation as the merge verbs)
+    val deleteKeys = toPhysicalIfMapped(spark, base, deleteKeys0)
+    val inserts = toPhysicalIfMapped(spark, base, inserts0)
+    val keys = keys0.map(physicalName(spark, base, _))
+    val statsCol = physicalName(spark, base, statsCol0)
     import org.apache.spark.sql.functions.{col, max, min}
     val already = txn.flatMap { case (appId, batchId) =>
       latestVersion(spark, base).filter(v =>
@@ -2296,11 +2700,14 @@ object TxLog {
     * membership, which can never skip a live row. Entries with
     * unknown row counts are left unindexed. Returns the published
     * version. */
-  def buildBloomIndex(spark: SparkSession, base: String, column: String,
+  def buildBloomIndex(spark: SparkSession, base: String, column0: String,
                       bitsPerRow: Int = 16, k: Int = 5,
                       maxAttempts: Int = 5): Long = {
     import org.apache.spark.sql.functions.{col, explode, array}
     require(bitsPerRow >= 2 && k >= 1, s"degenerate bloom: $bitsPerRow/$k")
+    // bloom refs key on the PHYSICAL name (what the raw files carry) —
+    // a later RENAME costs nothing, probes translate at lookup
+    val column = physicalName(spark, base, column0)
     withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
@@ -2398,10 +2805,11 @@ object TxLog {
     * files that is k rows per file worst case, one pushed-filter scan.
     * Entries without a bloom on the column pass conservatively.
     * Returns (kept, all). */
-  def prunePoint(spark: SparkSession, base: String, column: String,
+  def prunePoint(spark: SparkSession, base: String, column0: String,
                  value: Any): (Seq[Entry], Seq[Entry]) = {
     import org.apache.spark.sql.functions.{col, countDistinct, lit}
     require(value != null, "point lookup value must be non-null")
+    val column = physicalName(spark, base, column0)
     val v = latestVersion(spark, base).getOrElse(
       throw new IllegalStateException(s"no committed version at $base"))
     val (entries, _) = manifest(spark, base, v)
@@ -2435,7 +2843,8 @@ object TxLog {
     import org.apache.spark.sql.functions.{col, lit}
     val (kept, _) = prunePoint(spark, base, column, value)
     if (kept.isEmpty) read(spark, base).where(lit(false))
-    else readEntries(spark, base, kept).where(col(column) === lit(value))
+    else logicalView(spark, base, readEntries(spark, base, kept)
+      .where(col(physicalName(spark, base, column)) === lit(value)))
   }
 
   /** Copy-on-write UPDATE (Delta `UPDATE SET` analog): for rows with
@@ -2483,11 +2892,16 @@ object TxLog {
     * rewritten. The replacement lands once and is reused across CAS
     * retries — a conflict re-reads one manifest, never re-lands the
     * batch. */
-  def replaceRange(spark: SparkSession, base: String, column: String,
-                   lo: Any, hi: Any, df: DataFrame,
+  def replaceRange(spark: SparkSession, base: String, column0: String,
+                   lo: Any, hi: Any, df0: DataFrame,
                    maxAttempts: Int = 5): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val (l, h) = (reprOf(lo), reprOf(hi))
+    // the whole verb runs in PHYSICAL namespace: batch renamed once,
+    // range column translated once (survivor filter + stats + landed
+    // validation all use the same name)
+    val df = toPhysicalIfMapped(spark, base, df0)
+    val column = physicalName(spark, base, column0)
     val dtype = statsDtype(df.schema(column).dataType)
     // land FIRST, validate from the landed files' own stats: one
     // evaluation of df (a separate validation count would re-evaluate
@@ -2564,16 +2978,21 @@ object TxLog {
                            op: String)
                           (transform: DataFrame => DataFrame): Long = {
     val (l, h) = (reprOf(lo), reprOf(hi))
+    // entry stats are keyed physical; the caller's transform (and its
+    // captured `column`/`residual` references) runs on the logical view
+    val physCol = physicalName(spark, base, column)
     withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
       val (entries, txns) = manifest(spark, base, cur)
-      val (touched, carried) = entries.partition(touchesRange(_, column, l, h))
+      val (touched, carried) = entries.partition(touchesRange(_, physCol, l, h))
       if (touched.isEmpty) cur
       else {
-        val rewritten = transform(readEntries(spark, base, touched))
+        val rewritten = toPhysicalIfMapped(spark, base,
+          transform(logicalView(spark, base,
+            readEntries(spark, base, touched))))
         val newEntries = landEntriesMulti(rewritten, base,
-          preservedStatsCols(touched, Seq(column), rewritten.schema))
+          preservedStatsCols(touched, Seq(physCol), rewritten.schema))
           .filter(_.rows != 0L)
         try {
           publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns,
@@ -2599,11 +3018,19 @@ object TxLog {
     * unknown row counts (v1 manifests) are conservatively rewritten.
     * Returns the new version, or the current one if nothing to do. */
   def compact(spark: SparkSession, base: String, smallThresholdRows: Long,
-              targetRows: Long, statsCol: Option[String] = None,
+              targetRows: Long, statsCol0: Option[String] = None,
               maxAttempts: Int = 5,
-              range: Option[(String, Any, Any)] = None): Long = {
+              range0: Option[(String, Any, Any)] = None): Long = {
     require(targetRows >= smallThresholdRows,
       "targetRows must be at least the small-file threshold")
+    // the rewrite runs on raw (physical) reads; stats/range columns
+    // translate once here — passthrough when the name is already
+    // physical (the DSv2 sink's auto-compaction passes those)
+    val statsCol = statsCol0.map(c =>
+      columnMapping(spark, base).flatMap(_.physicalOf(c)).getOrElse(c))
+    val range = range0.map { case (c, lo, hi) =>
+      (columnMapping(spark, base).flatMap(_.physicalOf(c)).getOrElse(c),
+        lo, hi) }
     withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
@@ -2671,11 +3098,13 @@ object TxLog {
     * read. Returns the new version, or the current one when the
     * layout is already tiled. */
   def compactZorder(spark: SparkSession, base: String,
-                    aCol: String, bCol: String,
+                    aCol0: String, bCol0: String,
                     smallThresholdRows: Long, targetRows: Long,
                     maxAttempts: Int = 5): Long = {
     require(targetRows >= smallThresholdRows,
       "targetRows must be at least the small-file threshold")
+    val aCol = physicalName(spark, base, aCol0)
+    val bCol = physicalName(spark, base, bCol0)
     withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
@@ -2816,13 +3245,24 @@ object TxLog {
       deletes ++ inserts
       }
     }
-    dfs.reduceLeftOption(_.unionByName(_, allowMissingColumns = true))
+    val feed = dfs
+      .reduceLeftOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse {
-        read(spark, base)
+        return read(spark, base)
           .withColumn("_commit_version", lit(0L))
           .withColumn("_change_type", lit("insert"))
           .where(lit(false))
       }
+    // the feed's slices read raw files (physical names); project onto
+    // the END version's logical surface (Delta CDF's contract — the
+    // feed is served in the latest schema of the requested range),
+    // CDF tag columns carried through
+    columnMappingOf(spark, base, toInclusive) match {
+      case Some(cm) => toLogicalDf(feed, cm,
+        declaredSchemaOf(spark, base, toInclusive),
+        keep = Seq("_commit_version", "_change_type"))
+      case None => feed
+    }
   }
 
   /** Full change feed WITH delete markers (Delta CDF's shape without
@@ -3023,10 +3463,15 @@ object TxLog {
     // the clone inherits the source's CHECK constraints AND identity
     // high-waters (Delta clones carry table metadata): a writable dev
     // copy must neither accept rows the source would veto nor restart
-    // its identity allocation at 1 over cloned-in ids
+    // its identity allocation at 1 over cloned-in ids. The column
+    // mapping and declared schema ride too — without the `#colmap`
+    // line a mapped source's clone would serve PHYSICAL names and
+    // resurrect dropped columns
     publishEntries(spark, dstBase, 1L, cloned, Map.empty,
       Some(constraintsOf(spark, srcBase, v)), operation = "CLONE",
-      identityOverride = Some(identityOf(spark, srcBase, v)))
+      identityOverride = Some(identityOf(spark, srcBase, v)),
+      declaredSchemaOverride = declaredSchemaOf(spark, srcBase, v),
+      colMapOverride = columnMappingOf(spark, srcBase, v))
     1L
   }
 

@@ -1075,7 +1075,7 @@ object RegistryMaint {
       }
       val before = TxLog.manifestFiles(s, base, 4L).size
       val v = TxLog.compact(s, base, smallThresholdRows = 60,
-        targetRows = 1000000, statsCol = Some("event_id"))
+        targetRows = 1000000, statsCol0 = Some("event_id"))
       val after = TxLog.manifestFiles(s, base, v).size
       require(after < before,
         s"compaction must shrink the file count: $before -> $after")

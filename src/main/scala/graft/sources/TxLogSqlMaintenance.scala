@@ -192,7 +192,7 @@ case class TxLogOptimizeCommand(table: Seq[String],
       case Some((a, b)) => TxLog.compactZorder(spark, base, a, b,
         smallThresholdRows, targetRows)
       case None => TxLog.compact(spark, base, smallThresholdRows, targetRows,
-        statsCol = where.map(_._1), range = where)
+        statsCol0 = where.map(_._1), range0 = where)
     }
     Seq(Row(v))
   }

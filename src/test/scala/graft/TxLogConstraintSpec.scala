@@ -72,7 +72,7 @@ class TxLogConstraintSpec extends AnyFunSuite {
     TxLog.mergeCow(spark, base,
       df(Seq(50L -> java.lang.Long.valueOf(500L))), Seq("k"), "k")
     TxLog.compact(spark, base, smallThresholdRows = 1000L,
-      targetRows = 1000L, statsCol = Some("k"))
+      targetRows = 1000L, statsCol0 = Some("k"))
     assert(TxLog.constraints(spark, base) == Map("v_pos" -> "v > 0"))
     // a MOR update whose images violate must abort with no new version
     val before = TxLog.latestVersion(spark, base)

@@ -195,7 +195,7 @@ class TxLogMorSpec extends AnyFunSuite {
     val expect = rows.filterNot { case (k, _) => k >= 50 && k <= 120 }.toSet
     // every file is "small" at this threshold → full bin-pack
     TxLog.compact(spark, base, smallThresholdRows = 1000L,
-      targetRows = 1000L, statsCol = Some("k"))
+      targetRows = 1000L, statsCol0 = Some("k"))
     val entries = TxLog.manifest(spark, base, 3L)._1
     assert(entries.forall(_.dv.isEmpty))
     assert(contents(TxLog.read(spark, base)) == expect)
@@ -327,7 +327,7 @@ class TxLogMorSpec extends AnyFunSuite {
     TxLog.deleteRangeMor(spark, base, "k", 50L, 120L)             // v2
     TxLog.purgeDeletes(spark, base)                               // v3
     TxLog.compact(spark, base, smallThresholdRows = 1000L,
-      targetRows = 1000L, statsCol = Some("k"))                   // v4
+      targetRows = 1000L, statsCol0 = Some("k"))                   // v4
     // batch change feeds: nothing logically changed after v2
     assert(TxLog.changesWithDeletes(spark, base, 2L, 4L).count() == 0,
       "purge/compact rewrites must not appear in the feed")

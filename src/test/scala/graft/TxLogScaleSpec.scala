@@ -194,7 +194,7 @@ class TxLogScaleSpec extends AnyFunSuite {
     val before = TxLog.manifest(spark, base, 5L)
     assert(before._1.size == 6)
     val v = TxLog.compact(spark, base, smallThresholdRows = 100,
-      targetRows = 1000, statsCol = Some("k"))
+      targetRows = 1000, statsCol0 = Some("k"))
     assert(v == 6L)
     val (after, txns) = TxLog.manifest(spark, base, 6L)
     // 2 big carried + 1 packed
