@@ -892,6 +892,49 @@ object RegistryMaint {
         .orderBy("event_type")
     }),
 
+    // Column mapping (Delta name-mode RENAME/DROP COLUMN): a rename
+    // rebinds the logical name while the frozen PHYSICAL name keeps
+    // keying every data file and manifest stat — a metadata-only
+    // commit that moves zero bytes at any table size. DROP hides the
+    // bytes; a re-ADDed column of the same name is born under a fresh
+    // physical name, so the dropped data can never resurface. Every
+    // verb downstream (pruning, MOR delete, reads) speaks the new
+    // logical names. Oracle: the same aggregate straight off events,
+    // with the re-ADDed column contributing zero non-NULLs.
+    "s59_column_mapping" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val base = Ingest.fixtureDir(dir) + "/txcmap_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+      TxLog.commit(ev.repartitionByRange(8, col("event_id")), base, None,
+        Some("event_id"))
+      val files1 = TxLog.manifestFiles(s, base, 1L).toSet
+      TxLog.renameColumn(s, base, "value", "amount")
+      TxLog.renameColumn(s, base, "event_id", "eid")
+      require(TxLog.manifestFiles(s, base, 3L).toSet == files1,
+        "RENAME COLUMN must be metadata-only: zero data files touched")
+      // pruning by the LOGICAL name reaches the physical stats
+      val (kept, all) = TxLog.pruneRange(s, base, "eid", 0L, 49L)
+      require(kept.size < all.size,
+        s"logical-name skip must prune: kept ${kept.size} of ${all.size}")
+      // DROP + re-ADD must never resurrect the dropped bytes
+      TxLog.dropColumn(s, base, "event_type")
+      TxLog.alterAddColumns(s, base,
+        StructType(Seq(StructField("event_type", StringType))))
+      require(TxLog.read(s, base).where(col("event_type").isNotNull)
+        .count() == 0L,
+        "a re-ADDed column must scan as NULL, not the dropped bytes")
+      // row-level DML through the logical names (mask-only commit)
+      TxLog.deleteRangeMor(s, base, "eid", 100L, 199L)
+      TxLog.read(s, base)
+        .groupBy((col("eid") % 7).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          count(col("event_type")).as("n_type"),
+          sum(col("amount").cast("decimal(18,6)")).cast("double")
+            .as("sum_amount"))
+        .orderBy("bucket")
+    }),
+
     // IDENTITY column (Delta GENERATED ALWAYS AS IDENTITY): two
     // appends get system-assigned surrogate ids — unique, increasing
     // across commits, gaps allowed — via per-partition counters above
@@ -1771,6 +1814,13 @@ object RegistryMaint {
       """SELECT event_type, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "s59_column_mapping" ->
+      """SELECT event_id % 7 AS bucket, count(*) AS n,
+                cast(0 AS BIGINT) AS n_type,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_amount
+         FROM events
+         WHERE NOT (event_id BETWEEN 100 AND 199)
+         GROUP BY 1 ORDER BY 1""",
     "s57_alter_add_column" ->
       """SELECT event_type, count(*) AS n, count(note) AS n_noted,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -217,6 +217,28 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     changes.foreach {
       case _: TableChange.AddColumn => ()
+      // RENAME/DROP COLUMN ride the log's column-mapping indirection
+      // (Delta name mode): metadata-only commits — logical names
+      // rebind, the frozen physical names keep keying every data file,
+      // manifest stat, bloom ref and identity line, so ZERO bytes move
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames().length == 1,
+          s"nested RENAME COLUMN is not supported: " +
+            rc.fieldNames().mkString("."))
+        TxLog.renameColumn(spark, base, rc.fieldNames()(0), rc.newName())
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames().length == 1,
+          s"nested DROP COLUMN is not supported: " +
+            dc.fieldNames().mkString("."))
+        if (TxLog.latestVersion(spark, base).exists(v =>
+            TxLog.columnMappingOf(spark, base, v).exists(
+              _.hasLogical(dc.fieldNames()(0))) ||
+              schemaAt(base, v).fieldNames
+                .exists(_.equalsIgnoreCase(dc.fieldNames()(0)))))
+          TxLog.dropColumn(spark, base, dc.fieldNames()(0))
+        else if (!dc.ifExists()) throw new IllegalArgumentException(
+          s"column '${dc.fieldNames()(0)}' does not exist on " +
+            s"${ident.namespace().mkString(".")}.${ident.name()}")
       case ac: TableChange.AddConstraint => ac.constraint() match {
         case chk: V2Check =>
           TxLog.addConstraint(spark, base, chk.name(), chk.predicateSql())

@@ -137,10 +137,15 @@ object TxLogSource {
         size() > 64
     }
   /** A version's union schema (mergeSchema over its live files),
-    * cached by (base, version, commit mtime). Throws when the
-    * version's manifest references no files (fully-deleted snapshot /
-    * freshly created empty table) — callers with a declared-schema
-    * fallback (the catalog) handle that case. */
+    * cached by (base, version, commit mtime). Under column mapping the
+    * result is the version's LOGICAL surface: mapped physical columns
+    * take their file-inferred types under their logical names (mapping
+    * order), just-declared columns NULL-fill from the `#schema` line,
+    * and unmapped (DROPped) physical columns vanish — exactly
+    * [[TxLog.readVersion]]'s projection. Throws when the version's
+    * manifest references no files (fully-deleted snapshot / freshly
+    * created empty table) — callers with a declared-schema fallback
+    * (the catalog) handle that case. */
   private[sources] def snapshotSchema(spark: SparkSession, base: String,
                                       target: Long): StructType =
     cachedSchema(base, target, TxLog.commitModTime(spark, base, target)) {
@@ -154,21 +159,51 @@ object TxLogSource {
       // after, in declared order — versioned with the log, so a
       // time-travel read BEFORE the ALTER stays narrow.
       val declared = TxLog.declaredSchemaOf(spark, base, target)
+      val cmap = TxLog.columnMappingOf(spark, base, target)
       if (files.isEmpty)
         declared.getOrElse(throw new IllegalArgumentException(
           s"version $target of $base references no data files"))
       else {
         val inferred =
           spark.read.option("mergeSchema", "true").parquet(files: _*).schema
-        declared match {
-          case Some(ds) =>
-            val have = inferred.fieldNames.map(_.toLowerCase).toSet
-            StructType(inferred.fields ++
-              ds.fields.filterNot(f => have(f.name.toLowerCase)))
-          case None => inferred
+        cmap match {
+          case Some(cm) =>
+            // mapped table: serve the logical projection in mapping
+            // order — file types win for on-disk columns, the declared
+            // type backs a just-ALTERed column no file carries yet
+            val byPhys = inferred.fields
+              .map(f => f.name.toLowerCase -> f).toMap
+            val byDecl = declared.toSeq.flatMap(_.fields)
+              .map(f => f.name.toLowerCase -> f).toMap
+            StructType(cm.cols.flatMap { case (l, p) =>
+              byPhys.get(p.toLowerCase).map(_.copy(name = l))
+                .orElse(byDecl.get(l.toLowerCase).map(_.copy(name = l)))
+            })
+          case None => declared match {
+            case Some(ds) =>
+              val have = inferred.fieldNames.map(_.toLowerCase).toSet
+              StructType(inferred.fields ++
+                ds.fields.filterNot(f => have(f.name.toLowerCase)))
+            case None => inferred
+          }
         }
       }
     }
+
+  /** Logical→physical name map of one version (lowercased logical
+    * keys; empty = identity — the table has no column mapping). The
+    * scan stack resolves this ONCE at plan time and threads it through
+    * stats pruning and both partition readers. */
+  private[sources] def physMapOf(spark: SparkSession, base: String,
+                                 target: Long): Map[String, String] =
+    TxLog.columnMappingOf(spark, base, target)
+      .map(_.cols.map { case (l, p) => l.toLowerCase -> p }.toMap)
+      .getOrElse(Map.empty)
+
+  /** Translate one logical column name through a [[physMapOf]] map —
+    * identity for unmapped tables and the synthesized CDF columns. */
+  private[sources] def physOf(m: Map[String, String], name: String): String =
+    m.getOrElse(name.toLowerCase, name)
 
   private[sources] def cachedSchema(base: String, v: Long, mtime: Long)
                                    (compute: => StructType): StructType = {
@@ -478,9 +513,11 @@ object TxLogSource {
     * files survive, rows die above. */
   private[sources] def entrySurvives(
       e: TxLog.Entry,
-      filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean =
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      phys: Map[String, String] = Map.empty): Boolean =
     filters.forall { f =>
-      val ranges = rangeOf(f).forall { case (c, lo, hi) =>
+      val ranges = rangeOf(f).forall { case (c0, lo, hi) =>
+        val c = physOf(phys, c0)
         e.statsFor(c) match {
           case Some(st) => scala.util.Try {
             lo.forall(l => st.overlaps(valueRepr(l), st.max)) &&
@@ -491,7 +528,8 @@ object TxLogSource {
       }
       // an IN-list is a disjunction of points: the file survives this
       // filter if ANY value lands inside its stats range
-      val inLists = inListOf(f).forall { case (c, vs) =>
+      val inLists = inListOf(f).forall { case (c0, vs) =>
+        val c = physOf(phys, c0)
         e.statsFor(c) match {
           case Some(st) => scala.util.Try {
             vs.exists(v => st.overlaps(valueRepr(v), valueRepr(v)))
@@ -583,8 +621,12 @@ class TxLogTable(tableSchema: StructType, base: String,
     val spark = SparkSession.active
     val cond = filters.toSeq.flatMap(TxLogSource.filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
+    // the predicate itself evaluates on the logical view inside
+    // deleteWhereMor; only the stats pre-prune needs physical names
+    val phys = TxLog.latestVersion(spark, base)
+      .map(TxLogSource.physMapOf(spark, base, _)).getOrElse(Map.empty)
     TxLog.deleteWhereMor(spark, base, cond,
-      e => TxLogSource.entrySurvives(e, filters.toIndexedSeq))
+      e => TxLogSource.entrySurvives(e, filters.toIndexedSeq, phys))
   }
 }
 
@@ -600,6 +642,19 @@ class TxLogScanBuilder(full: StructType, base: String,
     * timestamp→version resolution here, not one per planning phase. */
   private lazy val asOf: Option[Long] =
     TxLogSource.asOfVersion(SparkSession.active, base, options)
+  /** Logical→physical column map of the scan's target version (empty
+    * = identity) — pushed filters and required columns arrive in
+    * LOGICAL names; manifest stats and file columns are keyed on the
+    * frozen PHYSICAL names. */
+  private lazy val physMap: Map[String, String] = {
+    val spark = SparkSession.active
+    TxLog.latestVersion(spark, base) match {
+      case Some(latest) =>
+        TxLogSource.physMapOf(spark, base,
+          asOf.filter(_ <= latest).getOrElse(latest))
+      case None => Map.empty
+    }
+  }
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -692,7 +747,8 @@ class TxLogScanBuilder(full: StructType, base: String,
     // unsound under masks, fall back to the scan (which applies them)
     if (dataEntries.exists(_.dv.isDefined)) return None
     val field = full.fields.find(_.name == column).getOrElse(return None)
-    val stats = dataEntries.map(_.statsFor(column))
+    // stats are keyed on the column's frozen physical name
+    val stats = dataEntries.map(_.statsFor(TxLogSource.physOf(physMap, column)))
     if (stats.exists(_.isEmpty)) return None
     val cs = stats.flatten
     val dtype = cs.head.dtype
@@ -752,7 +808,7 @@ class TxLogScanBuilder(full: StructType, base: String,
       s"versionAsOf must be >= 1, got $v"))
     new TxLogScan(required, base, TxLogSource.changeFeed(options),
       maxVersions, startingVersion, versionAsOf, pushed,
-      TxLogSource.changeTypes(options))
+      TxLogSource.changeTypes(options), physMap)
   }
 }
 
@@ -760,7 +816,8 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
                 maxVersionsPerTrigger: Option[Long], startingVersion: Long,
                 versionAsOf: Option[Long] = None,
                 pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-                changeTypes: Boolean = false)
+                changeTypes: Boolean = false,
+                physMap: Map[String, String] = Map.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -791,7 +848,8 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
       s"pushedFilters=[${pushed.mkString(", ")}]" + pruneSummary()
 
   private[sources] def survivors(entries: Seq[TxLog.Entry]): Seq[TxLog.Entry] =
-    entries.filter(e => TxLogSource.entrySurvives(e, pushed.toIndexedSeq))
+    entries.filter(e =>
+      TxLogSource.entrySurvives(e, pushed.toIndexedSeq, physMap))
 
   /** Row-precise CDF partitions for ONE version transition (v-1 → v):
     * added files emit live rows as 'insert', removed files emit their
@@ -884,7 +942,7 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
   private[sources] def readerFactory(): PartitionReaderFactory =
     new TxLogReaderFactory(required,
       new org.apache.spark.util.SerializableConfiguration(
-        TxLogSource.readerHadoopConf()))
+        TxLogSource.readerHadoopConf()), physMap)
   override def createReaderFactory(): PartitionReaderFactory = readerFactory()
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -964,7 +1022,8 @@ case class TxLogAggPartition(values: Seq[Any]) extends InputPartition
 
 class TxLogReaderFactory(
     required: StructType,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    physMap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
 
   /** The metadata columns this source synthesizes per partition (the
@@ -974,6 +1033,14 @@ class TxLogReaderFactory(
     Set(TxLogSource.CommitVersionCol, TxLogSource.ChangeTypeCol)
   private val fileSchema =
     StructType(required.fields.filterNot(f => constNames.contains(f.name)))
+  /** The projection as the FILES know it: each required (logical)
+    * name translated through the column mapping to the frozen
+    * physical name the parquet columns carry. Both readers are
+    * positional past this point, so the output rows/batches still
+    * line up with `required`'s (logical) order. */
+  private val physFileSchema =
+    StructType(fileSchema.fields.map(f =>
+      f.copy(name = TxLogSource.physOf(physMap, f.name))))
   private val constSchema =
     StructType(required.fields.filter(f => constNames.contains(f.name)))
   /** Columnar batches append constant (partition-style) vectors AFTER
@@ -988,7 +1055,7 @@ class TxLogReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TxLogInputPartition]
     new TxLogPartitionReader(p.file, p.commitVersion, required, conf.value,
-      p.dvPositions, p.keepOnly, p.changeType)
+      p.dvPositions, p.keepOnly, p.changeType, physMap)
   }
 
   /** The SQL-visible batch path decodes through Spark's VECTORIZED
@@ -1013,12 +1080,15 @@ class TxLogReaderFactory(
     import org.apache.spark.sql.vectorized.ColumnarBatch
     val p = partition.asInstanceOf[TxLogInputPartition]
     val taskConf = new Configuration(conf.value)
-    // the projection the clipper applies per file: file columns only —
-    // a column absent from an older file becomes a constant-null
-    // vector (the mergeSchema read semantics the row path implements)
+    // the projection the clipper applies per file: file columns only,
+    // requested under their PHYSICAL names (what the parquet columns
+    // carry) — a column absent from an older file becomes a
+    // constant-null vector (the mergeSchema read semantics the row
+    // path implements). Batch vectors are consumed positionally, so
+    // the logical readSchema order still holds.
     taskConf.set(
       org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
-        .SPARK_ROW_REQUESTED_SCHEMA, fileSchema.json)
+        .SPARK_ROW_REQUESTED_SCHEMA, physFileSchema.json)
     taskConf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport]
         .getName)
@@ -1068,25 +1138,32 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
                            required: StructType, conf: Configuration,
                            dvPositions: Array[Long] = Array.emptyLongArray,
                            keepOnly: Array[Long] = Array.emptyLongArray,
-                           changeType: String = "insert")
+                           changeType: String = "insert",
+                           physMap: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   private val reader =
     ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file), conf))
   private val fileSchema: MessageType =
     reader.getFooter.getFileMetaData.getSchema
+  /** A required (logical) field's name as THIS file's columns carry
+    * it — the frozen physical name under column mapping, the field
+    * name itself otherwise. */
+  private def fileName(f: StructField): String =
+    TxLogSource.physOf(physMap, f.name)
   /** required fields present in THIS file, in required order (the
     * projection); fields absent (evolved-away or _commit_version) are
     * filled outside the file read. */
   private val present = required.fields.filter(f =>
     f.name != TxLogSource.CommitVersionCol &&
-      f.name != TxLogSource.ChangeTypeCol && fileSchema.containsField(f.name))
+      f.name != TxLogSource.ChangeTypeCol &&
+      fileSchema.containsField(fileName(f)))
   private val changeTypeUtf8 = UTF8String.fromString(changeType)
   private val projection: MessageType = {
     import scala.jdk.CollectionConverters._
     val fields: List[org.apache.parquet.schema.Type] =
       present.map(f =>
-        fileSchema.getType(fileSchema.getFieldIndex(f.name))).toList
+        fileSchema.getType(fileSchema.getFieldIndex(fileName(f)))).toList
     new MessageType(fileSchema.getName, fields.asJava)
   }
   /** count(*)-style scans prune every file column away (the required

@@ -67,25 +67,37 @@ class TxLogWrite(base: String, info: LogicalWriteInfo, truncate: Boolean)
   }
 
   override def toBatch: BatchWrite = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    // column mapping: files must land under the frozen PHYSICAL names
+    // (the incoming schema speaks logical ones). Strict for batch — an
+    // unmapped column is a plan-time error pointing at ADD COLUMNS.
+    val (pSchema, pStats) = TxLogWriteSupport.toPhysical(
+      spark, base, info.schema(), statsCols, strict = true)
     // GENERATED ALWAYS: the sink is an insert path — a batch providing
     // an identity column would bypass the high-water and collide with
     // later appendIdentity allocations; checked eagerly on the driver
-    // for BATCH writes only. The streaming path defers the check to
-    // commit time (publishEpochWithRetry): a restarted stream replaying
-    // an already-committed epoch must stay a silent no-op even if the
+    // for BATCH writes only (identity lines key on physical names).
+    // The streaming path defers the check to commit time
+    // (publishEpochWithRetry): a restarted stream replaying an
+    // already-committed epoch must stay a silent no-op even if the
     // table gained a matching identity column since — failing at plan
     // time would break exactly-once restart recovery.
-    TxLog.requireNoIdentityColumns(
-      org.apache.spark.sql.SparkSession.active, base,
-      info.schema().fieldNames.toSeq)
-    new TxLogBatchWrite(base, info.schema(), statsCols, truncate)
+    TxLog.requireNoIdentityColumns(spark, base, pSchema.fieldNames.toSeq)
+    new TxLogBatchWrite(base, pSchema, pStats, truncate)
   }
   override def toStreaming: StreamingWrite = {
     require(!truncate,
       "the txlog streaming sink is append-only (complete/update output " +
         "modes would truncate history); use append mode")
-    new TxLogStreamingWrite(base, info.schema(), statsCols,
-      info.queryId(), autoCompact)
+    // lenient translation (unknown logical names pass through): every
+    // write-shape veto is deferred to the epoch commit so a replayed
+    // epoch against a since-evolved table stays a silent no-op
+    val (pSchema, pStats) = TxLogWriteSupport.toPhysical(
+      org.apache.spark.sql.SparkSession.active, base, info.schema(),
+      statsCols, strict = false)
+    new TxLogStreamingWrite(base, pSchema, pStats,
+      info.queryId(), autoCompact,
+      logicalCols = info.schema().fieldNames.toSeq)
   }
 
   /** Auto-compaction policy for the streaming sink (Delta
@@ -165,6 +177,32 @@ object TxLogWriteSupport {
     * read-side overlap check would make pruning unsound). */
   def statsDtype(dt: DataType): String = TxLog.statsDtype(dt)
 
+  /** Translate a write schema + stats columns to the frozen PHYSICAL
+    * names on a mapped table (identity when the table has no column
+    * mapping). `strict` errors on a logical column the mapping does
+    * not know (the batch plan-time veto); lenient passes it through
+    * untranslated — the streaming path's epoch commit vetoes NEW
+    * epochs via [[TxLog.requireMappedColumns]] while replays stay
+    * no-ops. */
+  def toPhysical(spark: org.apache.spark.sql.SparkSession, base: String,
+                 schema: StructType, statsCols: Seq[String],
+                 strict: Boolean): (StructType, Seq[String]) =
+    TxLog.columnMapping(spark, base) match {
+      case Some(cm) =>
+        if (strict) {
+          val unknown = schema.fieldNames.filterNot(cm.hasLogical)
+          require(unknown.isEmpty,
+            s"column(s) ${unknown.mkString(", ")} are not in this " +
+              "table's column mapping — on a mapped table, declare new " +
+              "columns with ALTER TABLE ... ADD COLUMNS before writing " +
+              "them")
+        }
+        (StructType(schema.fields.map(f =>
+          f.copy(name = cm.physicalOf(f.name).getOrElse(f.name)))),
+          statsCols.map(c => cm.physicalOf(c).getOrElse(c)))
+      case None => (schema, statsCols)
+    }
+
   def cmp(dtype: String, a: String, b: String): Int = TxLog.cmp(dtype, a, b)
 }
 
@@ -191,7 +229,8 @@ class TxLogBatchWrite(base: String, schema: StructType,
 
 class TxLogStreamingWrite(base: String, schema: StructType,
                           statsCols: Seq[String], queryId: String,
-                          autoCompact: Option[(Long, Long, Int)] = None)
+                          autoCompact: Option[(Long, Long, Int)] = None,
+                          logicalCols: Seq[String] = Seq.empty)
     extends StreamingWrite {
   private val writeId = java.util.UUID.randomUUID().toString
 
@@ -205,7 +244,8 @@ class TxLogStreamingWrite(base: String, schema: StructType,
     val entries = TxLogWriteCommit.toEntries(messages)
     TxLogWriteCommit.publishEpochWithRetry(spark, base, entries,
       appId = s"sink-$queryId", epochId = epochId,
-      schemaCols = schema.fieldNames.toSeq)
+      schemaCols = schema.fieldNames.toSeq,
+      logicalCols = logicalCols)
     // post-commit auto-compaction: best-effort, AFTER the epoch is
     // durable — a compaction failure (or CAS storm) must never fail
     // the stream; dataChange=false keeps feeds and replay semantics
@@ -290,7 +330,8 @@ object TxLogWriteCommit {
                             base: String, entries: Seq[TxLog.Entry],
                             appId: String, epochId: Long,
                             maxAttempts: Int = 5,
-                            schemaCols: Seq[String] = Seq.empty): Long = {
+                            schemaCols: Seq[String] = Seq.empty,
+                            logicalCols: Seq[String] = Seq.empty): Long = {
     // enforcement is deferred until we KNOW the epoch is not a replay:
     // a replayed epoch must stay a silent no-op even if the table
     // gained a constraint its (already-committed, possibly since-
@@ -316,11 +357,15 @@ object TxLogWriteCommit {
         bloomDirs.foreach(TxLog.discardDir(spark, base, _))
         cur.get
       } else {
-        // a replayed epoch must stay a no-op even against identity
-        // metadata added later, so the GENERATED ALWAYS check also
-        // waits until we KNOW this epoch is new
-        if (checked.isEmpty)
+        // a replayed epoch must stay a no-op even against identity or
+        // column-mapping metadata added later, so the GENERATED ALWAYS
+        // and mapped-column checks both wait until we KNOW this epoch
+        // is new (schemaCols are the as-landed physical names; the
+        // mapping check speaks the stream's logical names)
+        if (checked.isEmpty) {
+          TxLog.requireMappedColumns(spark, base, logicalCols)
           TxLog.requireNoIdentityColumns(spark, base, schemaCols)
+        }
         checked = Some(checked match {
           case None =>
             val cons = TxLog.constraints(spark, base)
