@@ -73,10 +73,12 @@ object TxColMapProbeMain {
     TxLog.commit(table, rewrite, None, Some("k"))
     val preBytes = dirBytes(rewrite)
     timed("(b) physical rewrite under the new name") {
-      val renamed = TxLog.read(spark, rewrite)
+      TxLog.read(spark, rewrite)
         .withColumnRenamed("v", "amount")
-      TxLog.commit(renamed.repartitionByRange(32, col("k")),
-        rewrite, None, Some("k"))
+        .repartitionByRange(32, col("k"))
+        .write.format("graft.sources.TxLogSource")
+        .mode("overwrite").option("statsColumns", "k")
+        .save(rewrite)
     }
     val rewriteBytes = dirBytes(rewrite) - preBytes
     println(f"    bytes written by (b): $rewriteBytes%,d")
