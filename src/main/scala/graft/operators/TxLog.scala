@@ -420,9 +420,14 @@ object TxLog {
     * v2 feature on one table never locks older engines out of the
     * rest of the lake. Version 2 = `#colmap` column-mapping
     * indirection (logical names are rebindable; physical names key
-    * the data). */
+    * the data). Writer version 3 (reader stays 2) = `#partition`
+    * declared partitioning: partition columns live physically in the
+    * files and prune through ordinary stats lines, so ANY reader
+    * handles a partitioned table — but an ignorant writer would land
+    * unsplit multi-value files and drop the `#partition` line,
+    * silently un-partitioning the table, so writes are gated. */
   private[graft] val ReaderVersion = 2
-  private[graft] val WriterVersion = 2
+  private[graft] val WriterVersion = 3
 
   private[graft] def parseProtocolLines(lines: Seq[String])
       : Option[(Int, Int)] =
@@ -735,6 +740,58 @@ object TxLog {
         case other => throw new IllegalStateException(
           s"malformed identity line (${other.length} fields)")
       }).toMap
+
+  /** `#partition\t(<enc(col)>\t<dtype>)+` — the table's partition
+    * columns in declared order (Delta's `partitionColumns`). Names are
+    * PHYSICAL (frozen at column birth, like stats/identity keys), so
+    * RENAME COLUMN on a partition column is the usual zero-rewrite
+    * rebind. `dtype` is the [[statsDtype]] the exact-value stats are
+    * collected under. Declared at table birth and carried forward by
+    * every commit; absent line = unpartitioned. */
+  private[graft] def parsePartitionLines(lines: Seq[String])
+      : Seq[(String, String)] =
+    lines.find(_.startsWith("#partition\t")).map { l =>
+      val parts = l.split('\t')
+      require(parts.length >= 3 && parts.length % 2 == 1,
+        s"malformed partition line (${parts.length} fields)")
+      parts.drop(1).grouped(2).map {
+        case Array(c, t) => dec(c) -> t
+      }.toSeq
+    }.getOrElse(Seq.empty)
+
+  private def serPartitionLine(ps: Seq[(String, String)]): String =
+    ("#partition" +: ps.map { case (c, t) => s"${enc(c)}\t$t" })
+      .mkString("\t")
+
+  /** Partition columns (physical name → stats dtype, declared order)
+    * of one published version; empty = unpartitioned. */
+  def partitionSpecOf(spark: SparkSession, base: String,
+                      v: Long): Seq[(String, String)] =
+    parsePartitionLines(manifestLines(spark, base, v))
+
+  /** The latest version's partition columns (empty for an empty store
+    * or an unpartitioned table). */
+  private[graft] def partitionSpec(spark: SparkSession,
+                                   base: String): Seq[(String, String)] =
+    latestVersion(spark, base)
+      .map(partitionSpecOf(spark, base, _)).getOrElse(Seq.empty)
+
+  /** Commit-time backstop for the DSv2 writes: on a partitioned table
+    * every landed file must be partition-PURE (min==max stats per
+    * partition column — the rolling writer's invariant). Catches a
+    * writer planned before the table took this shape (exotic
+    * drop-and-recreate races); stats absent on a column passes — that
+    * is the all-NULL tuple, pure by construction. */
+  private[graft] def requirePartitionPure(spark: SparkSession, base: String,
+                                          entries: Seq[Entry]): Unit = {
+    val ps = partitionSpec(spark, base)
+    if (ps.isEmpty) return
+    for { (c, _) <- ps; e <- entries; st <- e.statsFor(c) }
+      require(st.min == st.max,
+        s"file ${e.path} spans partition values [${st.min}, ${st.max}] " +
+          s"on '$c' — the write was planned against a different table " +
+          "shape; restart it against the current (partitioned) table")
+  }
 
   /** CHECK constraints (name → SQL expression) of one published
     * version — `#constraint` meta lines. */
@@ -1076,14 +1133,69 @@ object TxLog {
   /** Land `df`'s files under a fresh txn dir. They reference no
     * manifest yet, so concurrent readers cannot see them. Returns the
     * base-relative paths, for [[publish]]. */
-  private[graft] def land(df: DataFrame, base: String): Seq[String] = {
+  private[graft] def land(df: DataFrame, base: String,
+                          pcols: Seq[String] = Seq.empty): Seq[String] = {
     val txn = java.util.UUID.randomUUID().toString
     val dir = s"$base/$DataDir/$txn"
-    df.write.mode("error").parquet(dir)
     val f = fs(base, df.sparkSession)
+    if (pcols.isEmpty) df.write.mode("error").parquet(dir)
+    else {
+      // one file per partition tuple, Spark's dynamic-partition write
+      // doing the split: partitionBy on DUPLICATED helper columns (the
+      // originals stay physically in the files — every reader opens
+      // files directly, no dir-name parsing), then FLATTEN the k=v
+      // layout into the txn root under a per-leaf-dir unique prefix.
+      // The flatten restores the global file-name uniqueness the
+      // DV/bloom sidecars key on (partitionBy reuses part names across
+      // leaf dirs) and keeps vacuum's txn-dir liveness walk
+      // layout-free. Renames are one metadata op per NEW file —
+      // O(batch), never O(table).
+      import org.apache.spark.sql.functions.col
+      val helpers = pcols.indices.map(i => s"__gp_p$i")
+      require(!df.columns.exists(helpers.contains),
+        "table schema collides with partition helper columns " +
+          helpers.mkString(", "))
+      val withHelpers = pcols.zip(helpers).foldLeft(df) {
+        case (d, (c, h)) => d.withColumn(h, col(c))
+      }
+      // cluster by tuple first: without it every input task writes its
+      // own file per value it holds (tasks × values files, the classic
+      // dynamic-partition small-file explosion). One hash shuffle →
+      // one file per tuple per commit; a genuinely huge single tuple
+      // splits via spark.sql.files.maxRecordsPerFile (purity survives
+      // a split — all pieces carry the same exact stats).
+      withHelpers.repartition(helpers.map(col): _*)
+        .write.mode("error").partitionBy(helpers: _*).parquet(dir)
+      flattenPartitionedTxn(f, new Path(dir))
+    }
     f.listStatus(new Path(dir)).toSeq
       .filter(st => st.isFile && isDataFileName(st.getPath.getName))
       .map(st => s"$DataDir/$txn/${st.getPath.getName}")
+  }
+
+  /** Move every part file of a just-written dynamic-partition layout
+    * up into the txn root as `p<n>-<name>` (n unique per leaf dir),
+    * then drop the emptied `k=v` dirs. Runs before the txn is
+    * referenced anywhere, so a crash mid-flatten leaves only an
+    * unreferenced dir for vacuum's grace-window GC. */
+  private def flattenPartitionedTxn(f: org.apache.hadoop.fs.FileSystem,
+                                    root: Path): Unit = {
+    def leafDirs(d: Path): Seq[Path] = {
+      val dirs = f.listStatus(d).toSeq.filter(_.isDirectory)
+      if (dirs.isEmpty) Seq(d) else dirs.flatMap(st => leafDirs(st.getPath))
+    }
+    leafDirs(root).filterNot(_ == root).sortBy(_.toString)
+      .zipWithIndex.foreach { case (leaf, i) =>
+        f.listStatus(leaf).toSeq
+          .filter(st => st.isFile && isDataFileName(st.getPath.getName))
+          .foreach { st =>
+            val dst = new Path(root, s"p$i-${st.getPath.getName}")
+            if (!f.rename(st.getPath, dst)) throw new java.io.IOException(
+              s"failed to flatten ${st.getPath} to $dst")
+          }
+      }
+    f.listStatus(root).toSeq.filter(_.isDirectory)
+      .foreach(st => f.delete(st.getPath, true))
   }
 
   private[graft] def statsDtype(dt: org.apache.spark.sql.types.DataType): String = {
@@ -1151,7 +1263,8 @@ object TxLog {
       failOnIdentityClash(parseIdentityLines(latestLines).keySet,
         df.columns.toSeq)
     val cons = parseConstraintLines(latestLines)
-    val entries = landEntriesRaw(df, base, statsCols)
+    val entries =
+      landEntriesRaw(df, base, statsCols, parsePartitionLines(latestLines))
     // the one choke point every data write passes through — CHECK
     // constraints veto the batch here, before any manifest publishes
     enforceConstraints(spark, base, entries.filter(_.rows != 0L), cons)
@@ -1162,11 +1275,24 @@ object TxLog {
     * (executors land, the driver commit enforces); tests use it to
     * mimic that path. API verbs go through [[landEntriesChecked]]. */
   private[graft] def landEntriesRaw(df: DataFrame, base: String,
-                                    statsCols: Seq[String]): Seq[Entry] = {
+                                    statsCols: Seq[String],
+                                    pcols: Seq[(String, String)] = Seq.empty)
+      : Seq[Entry] = {
+    // a partitioned table's batches MUST carry every partition column
+    // (Delta rejects the same), and partition columns are always
+    // stats-collected (their per-file exact value — min==max by the
+    // one-tuple-per-file split — IS the partition pruning index)
+    val have = df.columns.map(_.toLowerCase).toSet
+    val missingP = pcols.map(_._1).filterNot(c => have.contains(c.toLowerCase))
+    require(missingP.isEmpty,
+      s"write to a partitioned table must supply partition column(s) " +
+        s"${missingP.mkString(", ")}")
     // fail fast: a missing column or unsupported type must surface
     // BEFORE the (possibly huge) data write, not orphan a landed dir
-    val dtypes = statsCols.map(c => c -> statsDtype(df.schema(c).dataType))
-    val rels = land(df, base)
+    val pNames = pcols.map(_._1.toLowerCase).toSet
+    val dtypes = pcols ++ statsCols.filterNot(c => pNames.contains(c.toLowerCase))
+      .map(c => c -> statsDtype(df.schema(c).dataType))
+    val rels = land(df, base, pcols.map(_._1))
     if (rels.isEmpty) Seq.empty // all-empty write: no part files
     else {
       // even with no stats columns the per-file ROW COUNT is collected
@@ -1538,6 +1664,11 @@ object TxLog {
         s"(table columns: ${cm.logicalNames.mkString(", ")})")
       require(cm.cols.size > 1, "cannot drop the last column")
       requireNoDependents(spark, base, cur, name, cm.physical(name), "drop")
+      // partition columns are structural: every write splits and
+      // stats-indexes on them — dropping one would orphan the layout
+      require(!partitionSpecOf(spark, base, cur).exists(
+          _._1.equalsIgnoreCase(cm.physical(name))),
+        s"cannot drop column '$name': it is a partition column")
       val dropped = cm.copy(cols =
         cm.cols.filterNot(_._1.equalsIgnoreCase(name)))
       val newDeclared = declaredSchemaOf(spark, base, cur).map(ds =>
@@ -1591,7 +1722,9 @@ object TxLog {
                                     declaredSchemaOverride: Option[org.apache.spark.sql.types.StructType] =
                                       None,
                                     operation: String = "WRITE",
-                                    colMapOverride: Option[ColMap] = None): Unit = {
+                                    colMapOverride: Option[ColMap] = None,
+                                    partitionOverride: Option[Seq[(String, String)]] =
+                                      None): Unit = {
     // a concurrent vacuum can delete the version this commit diffs
     // against (the committer's snapshot is stale by definition then —
     // its CAS would lose anyway): surface the FileNotFound as a
@@ -1615,6 +1748,7 @@ object TxLog {
     val declared = declaredSchemaOverride
       .orElse(parseSchemaLines(latestLines))
     val cmap = colMapOverride.orElse(parseColMapLines(latestLines))
+    val pspec = partitionOverride.getOrElse(parsePartitionLines(latestLines))
     // writer gate + carry: a table stamped by a newer engine with a
     // higher required writer version must not be committed to by this
     // one — the meta lines below are RECONSTRUCTED from the kinds this
@@ -1637,9 +1771,15 @@ object TxLog {
       // dropped columns, the exact misread the gate exists to stop.
       // Unmapped tables keep stamping (1,1), so older engines read and
       // write them unchanged.
+      // feature-derived writer floor: column mapping demands (2,2);
+      // declared partitioning additionally demands writer 3 (reader
+      // stays — partition columns are physical file columns pruned by
+      // ordinary stats lines, readable by any engine version)
       Seq(s"#protocol\t${math.max(tblR, if (cmap.isDefined) 2 else 1)}" +
-        s"\t${math.max(tblW, if (cmap.isDefined) 2 else 1)}") ++
+        s"\t${Seq(tblW, if (cmap.isDefined) 2 else 1,
+          if (pspec.nonEmpty) 3 else 1).max}") ++
       declared.toSeq.map(s => s"#schema\t${enc(s.json)}") ++
+      (if (pspec.nonEmpty) Seq(serPartitionLine(pspec)) else Seq.empty) ++
       cmap.toSeq.map(serColMapLine) ++
       cons.toSeq.sortBy(_._1).map { case (n, ex) =>
         s"#constraint\t${enc(n)}\t${enc(ex)}" } ++
@@ -1785,6 +1925,64 @@ object TxLog {
       statsCols.map(physicalName(spark, base, _)))
     try { publishEntries(spark, base, v, entries, txns); v }
     catch {
+      case e: CommitConflictException =>
+        discard(spark, base, entries.map(_.path)); throw e
+    }
+  }
+
+  /** Create an EMPTY partitioned table (Delta `CREATE TABLE …
+    * PARTITIONED BY` analog): publishes a file-less v1 manifest whose
+    * `#partition` meta line — carried forward by every later commit —
+    * makes EVERY subsequent data write split one-file-per-partition-
+    * tuple and stamp exact (min==max) stats on the partition columns.
+    * Partition pruning then IS the existing manifest stats skipping:
+    * an equality or range predicate on a partition column prunes
+    * files before any footer opens, through [[readRange]], the DSv2
+    * scan, and SQL alike. Partitioning is declared at table birth and
+    * immutable, exactly like Delta. Choose LOW-cardinality columns —
+    * one file per tuple per commit is the classic partitioning trade;
+    * high-cardinality layouts belong to clustered commits / OPTIMIZE
+    * ZORDER instead. */
+  def createPartitioned(spark: SparkSession, base: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        partitionCols: Seq[String]): Long = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    require(latestVersion(spark, base).isEmpty,
+      s"$base already has committed versions — partitioning is declared " +
+        "at table birth")
+    val pspec = partitionCols.map { c =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition column '$c' is not in the declared schema"))
+      f.name -> statsDtype(f.dataType)
+    }
+    publishEntries(spark, base, 1L, Seq.empty, Map.empty,
+      declaredSchemaOverride = Some(schema),
+      partitionOverride = Some(pspec), operation = "CREATE TABLE")
+    1L
+  }
+
+  /** Data-first creation of a partitioned table: land `df` split by
+    * `partitionCols` and publish it as v1 with the `#partition`
+    * declaration (CTAS shape). `statsCols` adds ordinary clustering
+    * stats on top of the automatic exact partition-column stats. */
+  def commitPartitioned(df: DataFrame, base: String,
+                        partitionCols: Seq[String],
+                        statsCols: Seq[String] = Seq.empty): Long = {
+    val spark = df.sparkSession
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    require(latestVersion(spark, base).isEmpty,
+      s"$base already has committed versions — partitioning is declared " +
+        "at table birth (append/merge/overwrite keep the declared split)")
+    val pspec = partitionCols.map(c =>
+      c -> statsDtype(df.schema(c).dataType))
+    val entries = landEntriesRaw(df, base, statsCols, pspec)
+    try {
+      publishEntries(spark, base, 1L, entries, Map.empty,
+        declaredSchemaOverride = Some(df.schema),
+        partitionOverride = Some(pspec), operation = "CREATE TABLE AS SELECT")
+      1L
+    } catch {
       case e: CommitConflictException =>
         discard(spark, base, entries.map(_.path)); throw e
     }
@@ -3395,12 +3593,13 @@ object TxLog {
       parseConstraintLines(lines).size.toLong,
       parseIdentityLines(lines).size.toLong,
       entries.flatMap(_.blooms.map(_.column)).distinct.size.toLong,
-      txns.size.toLong, ckptV, protoR, protoW
+      txns.size.toLong, ckptV, protoR, protoW,
+      parsePartitionLines(lines).map(_._1).mkString(",")
     )).toDF("format", "location", "version", "last_modified_ms",
       "num_files", "num_rows", "num_masked_rows", "size_bytes",
       "stats_columns", "num_constraints", "num_identity_cols",
       "num_bloom_cols", "num_txn_apps", "checkpoint_version",
-      "min_reader_version", "min_writer_version")
+      "min_reader_version", "min_writer_version", "partition_columns")
   }
 
   /** RESTORE (Delta `RESTORE TABLE ... VERSION AS OF` analog): roll

@@ -1068,6 +1068,39 @@ object RegistryMaint {
         .orderBy("event_id")
     }),
 
+    // Declared partitioning on the log (Delta PARTITIONED BY analog):
+    // a #partition meta line carried by every commit makes every
+    // write split one-file-per-tuple with exact min==max stats, so an
+    // equality predicate on the partition column prunes to the owning
+    // files at the manifest — the layout for the classic
+    // low-cardinality scan axis (event type, ingest day) at 100 TB.
+    // The requires pin purity, the carried declaration, and that the
+    // prune actually skipped files.
+    "s60_partitioned_table" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txpart_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      // CTAS declares the partitioning; the append proves every later
+      // write keeps the split without restating it
+      TxLog.commitPartitioned(ev.where(col("event_id") % 2 === 0), base,
+        Seq("event_type"), Seq("event_id"))
+      TxLog.append(ev.where(col("event_id") % 2 === 1), base)
+      val es = TxLog.manifest(s, base, TxLog.latestVersion(s, base).get)._1
+      require(es.forall(_.statsFor("event_type").forall(st =>
+        st.min == st.max)), "partitioned write landed an impure file")
+      val (kept, all) = TxLog.pruneRanges(s, base,
+        Seq(("event_type", "purchase", "purchase")))
+      require(kept.size < all.size,
+        s"partition pruning must skip files: kept ${kept.size}/${all.size}")
+      TxLog.readRange(s, base, "event_type", "purchase", "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("user_id")
+    }),
+
     // Manifest-stats file skipping (Delta data-skipping analog): a
     // narrow id-range scan resolves the manifest's per-file min/max
     // FIRST and opens only the overlapping band files — at 10^5 files
@@ -1430,6 +1463,45 @@ object RegistryMaint {
     // commit version. The seed + two appends drain under AvailableNow
     // in version-sized batches into a parquet sink; the oracle
     // recomputes each version's aggregate from its id slice.
+    // Bounded initial-snapshot backfill (Delta maxFilesPerTrigger with
+    // (reservoirVersion, index) offsets): at 100 TB "version 1" IS the
+    // table, so a stream starting from scratch must chunk the snapshot
+    // across micro-batches — the offsets carry an intra-version file
+    // index. The require pins that the drain actually took multiple
+    // bounded batches; the oracle checks no row was lost or doubled.
+    "stream_txlog_backfill" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txbackfill_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      TxLog.commit(ev.repartitionByRange(8, col("event_id")), base, None,
+        Some("event_id"))
+      val outDir = Ingest.fixtureDir(dir) + "/txbackfill_out"
+      TxLog.drop(s, outDir)
+      val nonce = "graft_txlog_backfill_" + System.nanoTime()
+      val ckpt = "/tmp/graft_stream_ckpt/" + nonce
+      val q = s.readStream.format("graft.sources.TxLogSource")
+        .option("maxFilesPerTrigger", "3")
+        .load(base)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+        .count(!_.getName.startsWith("."))
+      require(batches == 3,
+        s"8 files at 3/trigger must drain in 3 bounded batches, got $batches")
+      graft.streaming.StreamTune.dropScratch(ckpt)
+      s.read.parquet(outDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     "stream_txlog_source" -> ((s, dir) => {
       val base = Ingest.fixtureDir(dir) + "/txstream_events"
       TxLog.drop(s, base)
@@ -1926,6 +1998,12 @@ object RegistryMaint {
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
          FROM events WHERE event_id < 100
          ORDER BY commit_version, change_type""",
+    "stream_txlog_backfill" ->
+      """SELECT event_type, count(*) AS n,
+                count(DISTINCT event_id) AS n_ids,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         GROUP BY event_type ORDER BY event_type""",
     "stream_txlog_source" ->
       """SELECT cast(1 AS INTEGER) AS commit_version, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -2024,6 +2102,12 @@ object RegistryMaint {
                   AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events
          GROUP BY event_type ORDER BY event_type""",
+    "s60_partitioned_table" ->
+      """SELECT user_id, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE event_type = 'purchase'
+         GROUP BY user_id ORDER BY user_id""",
     "s25_manifest_skipping_scan" ->
       s"""SELECT event_type, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -45,9 +45,10 @@ import graft.operators.TxLog
   * table scans as zero rows (the sidecar supplies the schema until
   * the first files land; after that the union-of-files schema — the
   * same read-side evolution every txlog read uses — takes over).
-  * Partition transforms are rejected: physical layout on a txlog
-  * table is a WRITE/maintenance concern (clustered commits, OPTIMIZE
-  * ZORDER), not a DDL-time one. */
+  * `PARTITIONED BY (col, ...)` (identity transforms) declares log
+  * partitioning: a `#partition` meta line every commit carries, a
+  * one-file-per-tuple split on every write, and partition pruning
+  * through the ordinary manifest stats skipping. */
 class TxLogCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var warehouse: String = _
@@ -170,9 +171,26 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "txlog tables take no partition transforms — physical layout is " +
-        "a write/maintenance concern (clustered commits, OPTIMIZE ZORDER)")
+    // PARTITIONED BY (col, ...) — identity transforms only (Delta's
+    // own constraint): each declared column becomes a `#partition`
+    // meta entry, every write splits one-file-per-tuple with exact
+    // min==max stats, and partition pruning rides the ordinary
+    // manifest stats skipping. Bucket/hours/days transforms would
+    // need value derivation at read time — use clustered commits /
+    // OPTIMIZE ZORDER for those layouts instead.
+    val pspec: Seq[(String, String)] = partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        val c = t.references()(0).fieldNames()(0)
+        val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+          .getOrElse(throw new IllegalArgumentException(
+            s"partition column '$c' is not in the declared schema"))
+        f.name -> TxLog.statsDtype(f.dataType)
+      case other => throw new UnsupportedOperationException(
+        s"txlog tables support only PARTITIONED BY (column) identity " +
+          s"transforms, got: $other — derived layouts (bucket, " +
+          "hours/days) belong to clustered commits / OPTIMIZE ZORDER")
+    }
     val dir = tableDir(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(
       (catalogName +: ident.namespace().toSeq :+ ident.name()).toSeq)
@@ -194,7 +212,9 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     // ALTER ADD COLUMNS republishes the line, so time travel sees
     // each version's own schema.
     TxLog.publishEntries(spark, dir.toString, 1L, Seq.empty, Map.empty,
-      declaredSchemaOverride = Some(schema), operation = "CREATE TABLE")
+      declaredSchemaOverride = Some(schema),
+      partitionOverride = if (pspec.isEmpty) None else Some(pspec),
+      operation = "CREATE TABLE")
     new TxLogTable(schema, dir.toString)
   }
 

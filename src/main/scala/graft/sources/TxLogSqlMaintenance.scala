@@ -272,7 +272,8 @@ case class TxLogDetailCommand(table: Seq[String])
     AttributeReference("min_reader_version",
       org.apache.spark.sql.types.IntegerType, nullable = false)(),
     AttributeReference("min_writer_version",
-      org.apache.spark.sql.types.IntegerType, nullable = false)())
+      org.apache.spark.sql.types.IntegerType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val base = TxLogSqlParser.resolveBase(spark, table)
     TxLog.describeDetail(spark, base).collect().toSeq

@@ -60,6 +60,16 @@ import graft.operators.TxLog
   *  - `maxVersionsPerTrigger=N`: at most N versions per micro-batch;
   *    with `Trigger.AvailableNow` the backlog target is frozen up
   *    front and drains in N-sized batches, each checkpointed.
+  *  - `maxFilesPerTrigger=N`: at most N files per micro-batch, WITHIN
+  *    versions too (offsets carry an intra-version index, Delta's
+  *    (reservoirVersion, index) shape) — the control that matters at
+  *    100 TB, where "version 1" IS the whole table: a stream starting
+  *    from scratch backfills the initial snapshot in bounded chunks
+  *    instead of one giant micro-batch. The index counts the QUERY's
+  *    own stats-surviving files, so (like any Spark stream) the
+  *    query's predicates must not change against an in-flight
+  *    checkpoint. Not applicable to `changeTypes` CDF streams (each
+  *    version's change set ships atomically).
   *  - batch read (`spark.read` on the same format): latest snapshot
   *    (or the full change feed from version 0 under `changeFeed`) —
   *    provided for parity; [[TxLog.read]] through Spark's vectorized
@@ -571,6 +581,25 @@ class TxLogTable(tableSchema: StructType, base: String,
         .build(): Constraint
     }.toArray
   }
+  /** The declared log partitioning (`#partition` meta, resolved at
+    * the pinned version for time-travel snapshots), surfaced as
+    * identity transforms under LOGICAL names — what DESCRIBE TABLE
+    * and SHOW CREATE TABLE render. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val spark = SparkSession.active
+    val v = asOf.orElse(TxLog.latestVersion(spark, base))
+      .getOrElse(return Array.empty)
+    val cm = TxLog.columnMappingOf(spark, base, v)
+    TxLog.partitionSpecOf(spark, base, v).map { case (phys, _) =>
+      val logical = cm.flatMap(_.cols.collectFirst {
+        case (l, p) if p.equalsIgnoreCase(phys) => l
+      }).getOrElse(phys)
+      Expressions.identity(logical)
+    }.toArray
+  }
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -799,6 +828,16 @@ class TxLogScanBuilder(full: StructType, base: String,
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
     maxVersions.foreach(n => require(n >= 1,
       s"maxVersionsPerTrigger must be >= 1, got $n"))
+    val maxFiles =
+      Option(options.get("maxFilesPerTrigger")).map(_.toLong)
+    maxFiles.foreach(n => require(n >= 1,
+      s"maxFilesPerTrigger must be >= 1, got $n"))
+    require(maxFiles.isEmpty || maxVersions.isEmpty,
+      "set maxFilesPerTrigger OR maxVersionsPerTrigger, not both")
+    require(maxFiles.isEmpty || !TxLogSource.changeTypes(options),
+      "maxFilesPerTrigger does not apply to row-precise CDF streams " +
+        "(changeTypes=true) — each version's change set ships " +
+        "atomically; use maxVersionsPerTrigger")
     val startingVersion =
       Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
     require(startingVersion >= 0,
@@ -808,7 +847,7 @@ class TxLogScanBuilder(full: StructType, base: String,
       s"versionAsOf must be >= 1, got $v"))
     new TxLogScan(required, base, TxLogSource.changeFeed(options),
       maxVersions, startingVersion, versionAsOf, pushed,
-      TxLogSource.changeTypes(options), physMap)
+      TxLogSource.changeTypes(options), physMap, maxFiles)
   }
 }
 
@@ -817,7 +856,8 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
                 versionAsOf: Option[Long] = None,
                 pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
                 changeTypes: Boolean = false,
-                physMap: Map[String, String] = Map.empty)
+                physMap: Map[String, String] = Map.empty,
+                maxFilesPerTrigger: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -917,6 +957,9 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
       "startingVersion is a streaming-only option (it positions the " +
         "stream's initial offset); for a batch read use versionAsOf " +
         "or changeFeed")
+    require(maxFilesPerTrigger.isEmpty,
+      "maxFilesPerTrigger is a streaming-only option (admission " +
+        "control has no meaning for a one-shot batch read)")
     val spark = SparkSession.active
     val latest = TxLog.latestVersion(spark, base).getOrElse(
       throw new IllegalStateException(s"no committed version at $base"))
@@ -952,7 +995,7 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
         "target version); use startingVersion to begin after a known " +
         "version")
     new TxLogMicroBatchStream(this, base, maxVersionsPerTrigger,
-      startingVersion, changeTypes)
+      startingVersion, changeTypes, maxFilesPerTrigger)
   }
 }
 
@@ -1311,20 +1354,31 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
   * offset alone fully determines every batch's contents — restart
   * resumes at checkpointed-version + 1 with no listing-identity
   * checks needed. */
-class TxLogOffset(val version: Long)
+/** Stream position: versions <= `version` fully consumed, except
+  * when `index >= 0` — then version `version` is PARTIALLY consumed
+  * (its first `index` stats-surviving files delivered, more remain).
+  * Delta's (reservoirVersion, index) shape: the intra-version index
+  * is what lets `maxFilesPerTrigger` chunk a 10^5-file initial
+  * snapshot across micro-batches instead of ingesting it whole.
+  * Complete offsets serialize in the legacy `{"version":N}` form, so
+  * existing checkpoints resume unchanged. */
+class TxLogOffset(val version: Long, val index: Long = -1L)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"version":$version}"""
+  override def json(): String =
+    if (index < 0) s"""{"version":$version}"""
+    else s"""{"version":$version,"index":$index}"""
   override def equals(o: Any): Boolean = o match {
-    case t: TxLogOffset => t.version == version
+    case t: TxLogOffset => t.version == version && t.index == index
     case _ => false
   }
-  override def hashCode(): Int = version.toInt
+  override def hashCode(): Int = (version * 31 + index).toInt
 }
 
 class TxLogMicroBatchStream(scan: TxLogScan, base: String,
                             maxVersionsPerTrigger: Option[Long],
                             startingVersion: Long,
-                            changeTypes: Boolean = false)
+                            changeTypes: Boolean = false,
+                            maxFilesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
@@ -1338,8 +1392,14 @@ class TxLogMicroBatchStream(scan: TxLogScan, base: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(latestCommitted())
 
+  // both admission options surface as ReadMaxFiles (Spark's only
+  // count-shaped limit); `limitIsFiles` records which unit the number
+  // means, since WE are also the one interpreting it in latestOffset
+  private val limitIsFiles = maxFilesPerTrigger.isDefined
+
   override def getDefaultReadLimit: ReadLimit =
-    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n.toInt))
+    maxFilesPerTrigger.orElse(maxVersionsPerTrigger)
+      .map(n => ReadLimit.maxFiles(n.toInt))
       .getOrElse(ReadLimit.allAvailable())
 
   override def initialOffset(): Offset = new TxLogOffset(startingVersion)
@@ -1348,42 +1408,88 @@ class TxLogMicroBatchStream(scan: TxLogScan, base: String,
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is used (SupportsAdmissionControl)")
 
+  /** The stats-surviving added files of one version, in manifest
+    * order — the SAME ordered list planInputPartitions slices, so the
+    * offset index and the shipped files can never disagree. Derived
+    * from immutable manifests: stable across retries and restarts. */
+  private def versionFiles(v: Long): Seq[TxLog.Entry] =
+    scan.survivors(TxLogSource.addedEntries(spark, base, v))
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[TxLogOffset].version
+    val from = start.asInstanceOf[TxLogOffset]
     val avail = availableNowTarget.getOrElse(latestCommitted())
-    val to = limit match {
-      case mf: ReadMaxFiles => math.min(avail, from + mf.maxFiles())
-      case _ => avail
+    limit match {
+      case mf: ReadMaxFiles if limitIsFiles =>
+        // file-budget walk with intra-version positions: consume the
+        // remainder of a partially-read version first, then whole (or
+        // partial) versions until the budget or the backlog runs out.
+        // Budget >= 1, so progress is guaranteed whenever files remain.
+        var budget = mf.maxFiles().toLong
+        var v = if (from.index >= 0) from.version else from.version + 1
+        var idx = if (from.index >= 0) from.index else 0L
+        var outV = from.version; var outIdx = from.index
+        while (budget > 0 && v <= avail) {
+          val total = versionFiles(v).size.toLong
+          val remaining = math.max(0L, total - idx)
+          if (remaining <= budget) { // finish this version
+            budget -= remaining
+            outV = v; outIdx = -1L
+            v += 1; idx = 0L
+          } else { // budget dies inside this version
+            outV = v; outIdx = idx + budget
+            budget = 0L
+          }
+        }
+        new TxLogOffset(outV, outIdx)
+      case mf: ReadMaxFiles => // maxVersionsPerTrigger (version unit)
+        val to = math.min(avail, from.version + mf.maxFiles())
+        // a PARTIAL start (an option switch between restarts) must
+        // still make progress: finishing its version counts as one
+        if (to > from.version) new TxLogOffset(to)
+        else if (from.index >= 0) new TxLogOffset(from.version)
+        else from
+      case _ =>
+        // unlimited: everything available — including the remainder
+        // of a partially-consumed version
+        if (avail > from.version) new TxLogOffset(avail)
+        else if (from.index >= 0) new TxLogOffset(from.version)
+        else from
     }
-    new TxLogOffset(math.max(from, to))
   }
 
   override def reportLatestOffset(): Offset =
     new TxLogOffset(latestCommitted())
 
   override def deserializeOffset(json: String): Offset = {
-    val pat = """\{"version":(\d+)\}""".r
+    val full = """\{"version":(\d+)\}""".r
+    val part = """\{"version":(\d+),"index":(\d+)\}""".r
     json.trim match {
-      case pat(v) => new TxLogOffset(v.toLong)
+      case full(v) => new TxLogOffset(v.toLong)
+      case part(v, i) => new TxLogOffset(v.toLong, i.toLong)
       case other => throw new IllegalArgumentException(
         s"malformed txlog offset: $other")
     }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[TxLogOffset].version
-    val to = end.asInstanceOf[TxLogOffset].version
+    val s = start.asInstanceOf[TxLogOffset]
+    val e = end.asInstanceOf[TxLogOffset]
     // stats-pruning applies per batch too: a filtered stream never
     // ships files the pushed ranges prove dead (filters stay residual)
-    if (changeTypes)
-      return TxLogInputPartition.uniform((from + 1 to to)
+    if (changeTypes) // version-atomic (maxFilesPerTrigger is rejected)
+      return TxLogInputPartition.uniform((s.version + 1 to e.version)
         .flatMap(v => scan.transitionPartitions(spark, v)))
     val conf = TxLogSource.driverHadoopConf()
-    TxLogInputPartition.uniform((from + 1 to to).flatMap { v =>
-      val es = scan.survivors(TxLogSource.addedEntries(spark, base, v))
+    val firstV = if (s.index >= 0) s.version else s.version + 1
+    TxLogInputPartition.uniform((firstV to e.version).flatMap { v =>
+      val es0 = versionFiles(v)
+      val fromIdx = if (v == s.version && s.index >= 0) s.index.toInt else 0
+      val toIdx = if (v == e.version && e.index >= 0) e.index.toInt
+                  else es0.size
+      val es = es0.slice(fromIdx, toIdx)
       val masks = TxLogSource.dvPositionsByFile(base, es, conf)
-      es.map(e => TxLogInputPartition(TxLog.resolve(base, e.path), v,
-        masks.getOrElse(e.path, Array.emptyLongArray)): InputPartition)
+      es.map(en => TxLogInputPartition(TxLog.resolve(base, en.path), v,
+        masks.getOrElse(en.path, Array.emptyLongArray)): InputPartition)
     })
   }
 

@@ -53,7 +53,8 @@ class TxLogWriteBuilder(base: String, info: LogicalWriteInfo)
 }
 
 class TxLogWrite(base: String, info: LogicalWriteInfo, truncate: Boolean)
-    extends Write {
+    extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   private val statsCols: Seq[String] =
     Option(info.options.get("statsColumns")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
@@ -64,6 +65,67 @@ class TxLogWrite(base: String, info: LogicalWriteInfo, truncate: Boolean)
     // executor-side writer would otherwise kill every task late, with
     // retry noise (the TxLog API path fails before writing too)
     TxLogWriteSupport.statsDtype(info.schema()(c).dataType)
+  }
+
+  /** The table's declared partition columns under the LOGICAL names
+    * this write's schema speaks — what the distribution/ordering
+    * requirement below is phrased in. Resolved once at plan time:
+    * partitioning is fixed at table birth, so a replanned stream
+    * restart sees the identical answer (no replay hazard). */
+  private val logicalPartitionCols: Seq[String] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val cm = TxLog.columnMapping(spark, base)
+    TxLog.partitionSpec(spark, base).map { case (phys, _) =>
+      cm.flatMap(_.cols.collectFirst {
+        case (l, p) if p.equalsIgnoreCase(phys) => l
+      }).getOrElse(phys)
+    }
+  }
+
+  /** Partitioned tables ask Spark to CLUSTER incoming rows by the
+    * partition columns and SORT them within tasks — so each tuple
+    * arrives contiguously in (usually) one task and the rolling
+    * writer emits one file per tuple per task, Spark's own
+    * dynamic-partition write shape. Purity never depends on it: the
+    * writer rolls on ANY tuple change, so an engine that ignored the
+    * hint would produce more (still pure) files, never mixed ones. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.distributions.Distributions
+    import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
+    if (logicalPartitionCols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(logicalPartitionCols
+      .map(c => Expressions.identity(c): Expression).toArray)
+  }
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+    logicalPartitionCols.map(c =>
+      Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING,
+        NullOrdering.NULLS_FIRST)).toArray
+  }
+
+  /** Physical partition-column indices in `pSchema` + stats columns
+    * widened to always track the partition columns (their per-file
+    * exact value IS the pruning index). Loud error when the write is
+    * missing one — partitioning is declared at birth, so this is
+    * deterministic across stream restarts too. */
+  private def partitionPlan(pSchema: StructType, pStats: Seq[String])
+      : (Seq[Int], Seq[String]) = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val pPhys = TxLog.partitionSpec(spark, base).map(_._1)
+    val idx = pPhys.map { p =>
+      val i = pSchema.fieldNames.indexWhere(_.equalsIgnoreCase(p))
+      require(i >= 0,
+        s"write to a partitioned table must supply partition column " +
+          s"'$p' (write schema: ${pSchema.simpleString})")
+      i
+    }
+    val widened = idx.map(pSchema.fieldNames(_)) ++
+      pStats.filterNot(s => idx.exists(i =>
+        pSchema.fieldNames(i).equalsIgnoreCase(s)))
+    (idx, widened)
   }
 
   override def toBatch: BatchWrite = {
@@ -83,7 +145,8 @@ class TxLogWrite(base: String, info: LogicalWriteInfo, truncate: Boolean)
     // table gained a matching identity column since — failing at plan
     // time would break exactly-once restart recovery.
     TxLog.requireNoIdentityColumns(spark, base, pSchema.fieldNames.toSeq)
-    new TxLogBatchWrite(base, pSchema, pStats, truncate)
+    val (pIdx, allStats) = partitionPlan(pSchema, pStats)
+    new TxLogBatchWrite(base, pSchema, allStats, truncate, pIdx)
   }
   override def toStreaming: StreamingWrite = {
     require(!truncate,
@@ -95,9 +158,13 @@ class TxLogWrite(base: String, info: LogicalWriteInfo, truncate: Boolean)
     val (pSchema, pStats) = TxLogWriteSupport.toPhysical(
       org.apache.spark.sql.SparkSession.active, base, info.schema(),
       statsCols, strict = false)
-    new TxLogStreamingWrite(base, pSchema, pStats,
+    // partitioning is safe to require at plan time even for streams:
+    // declared at birth and immutable, a replayed epoch was planned
+    // under the identical spec
+    val (pIdx, allStats) = partitionPlan(pSchema, pStats)
+    new TxLogStreamingWrite(base, pSchema, allStats,
       info.queryId(), autoCompact,
-      logicalCols = info.schema().fieldNames.toSeq)
+      logicalCols = info.schema().fieldNames.toSeq, pIdx = pIdx)
   }
 
   /** Auto-compaction policy for the streaming sink (Delta
@@ -132,8 +199,12 @@ class TxLogWrite(base: String, info: LogicalWriteInfo, truncate: Boolean)
 /** Serializable per-file result: path (base-relative), rows, and one
   * (column, dtype, minRepr, maxRepr) per stats column that saw at
   * least one non-null value. */
-case class TxLogWriterMessage(path: String, rows: Long,
-                              stats: Seq[(String, String, String, String)])
+case class TxLogFileResult(path: String, rows: Long,
+                           stats: Seq[(String, String, String, String)])
+
+/** One task's commit message — SEVERAL files when the table is
+  * partitioned (the rolling writer emits one per partition tuple). */
+case class TxLogWriterMessage(files: Seq[TxLogFileResult])
     extends WriterCommitMessage
 
 object TxLogWriteSupport {
@@ -207,14 +278,15 @@ object TxLogWriteSupport {
 }
 
 class TxLogBatchWrite(base: String, schema: StructType,
-                      statsCols: Seq[String], truncate: Boolean)
+                      statsCols: Seq[String], truncate: Boolean,
+                      pIdx: Seq[Int] = Seq.empty)
     extends BatchWrite {
   private val txn = java.util.UUID.randomUUID().toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new TxLogWriterFactory(base, s"data/$txn", schema, statsCols,
       new org.apache.spark.util.SerializableConfiguration(
-        TxLogSource.driverHadoopConf()))
+        TxLogSource.driverHadoopConf()), pIdx)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -230,14 +302,15 @@ class TxLogBatchWrite(base: String, schema: StructType,
 class TxLogStreamingWrite(base: String, schema: StructType,
                           statsCols: Seq[String], queryId: String,
                           autoCompact: Option[(Long, Long, Int)] = None,
-                          logicalCols: Seq[String] = Seq.empty)
+                          logicalCols: Seq[String] = Seq.empty,
+                          pIdx: Seq[Int] = Seq.empty)
     extends StreamingWrite {
   private val writeId = java.util.UUID.randomUUID().toString
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new TxLogStreamingWriterFactory(base, s"data/$writeId", schema, statsCols,
       new org.apache.spark.util.SerializableConfiguration(
-        TxLogSource.driverHadoopConf()))
+        TxLogSource.driverHadoopConf()), pIdx)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -272,12 +345,14 @@ class TxLogStreamingWrite(base: String, schema: StructType,
   * conflict, exactly like [[TxLog.append]]). */
 object TxLogWriteCommit {
   def toEntries(messages: Array[WriterCommitMessage]): Seq[TxLog.Entry] =
-    messages.toSeq.collect {
-      case m: TxLogWriterMessage if m.rows > 0 =>
-        TxLog.Entry(m.path, m.rows, m.stats.map { case (c, t, mn, mx) =>
-          TxLog.ColStats(c, t, mn, mx)
-        })
-    }
+    messages.toSeq
+      .collect { case m: TxLogWriterMessage => m.files }.flatten
+      .collect {
+        case f if f.rows > 0 =>
+          TxLog.Entry(f.path, f.rows, f.stats.map { case (c, t, mn, mx) =>
+            TxLog.ColStats(c, t, mn, mx)
+          })
+      }
 
   def dropTxn(base: String, txnRel: String): Unit = {
     val p = new HPath(s"$base/$txnRel")
@@ -293,6 +368,8 @@ object TxLogWriteCommit {
     // GENERATED ALWAYS at COMMIT time (the plan-time check alone would
     // let an identity column established after planning slip through)
     TxLog.requireNoIdentityColumns(spark, base, schemaCols)
+    // partition purity backstop (same plan-vs-commit drift class)
+    TxLog.requirePartitionPure(spark, base, entries)
     // CHECK constraints veto the write here (landed files discarded)
     // before any manifest publishes — same contract as the API verbs.
     // `checked` records the set enforcement ACTUALLY ran under, so a
@@ -365,6 +442,7 @@ object TxLogWriteCommit {
         if (checked.isEmpty) {
           TxLog.requireMappedColumns(spark, base, logicalCols)
           TxLog.requireNoIdentityColumns(spark, base, schemaCols)
+          TxLog.requirePartitionPure(spark, base, entries)
         }
         checked = Some(checked match {
           case None =>
@@ -448,52 +526,94 @@ class StatsTracker(idx: Int, name: String, dt: DataType)
 
 class TxLogWriterFactory(base: String, txnRel: String, schema: StructType,
                          statsCols: Seq[String],
-                         conf: org.apache.spark.util.SerializableConfiguration)
+                         conf: org.apache.spark.util.SerializableConfiguration,
+                         pIdx: Seq[Int] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new TxLogDataWriter(base, txnRel, f"part-$partitionId%05d-$taskId",
-      schema, statsCols, conf.value)
+      schema, statsCols, conf.value, pIdx)
 }
 
 class TxLogStreamingWriterFactory(base: String, txnRelPrefix: String,
                                   schema: StructType, statsCols: Seq[String],
-                                  conf: org.apache.spark.util.SerializableConfiguration)
+                                  conf: org.apache.spark.util.SerializableConfiguration,
+                                  pIdx: Seq[Int] = Seq.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new TxLogDataWriter(base, s"$txnRelPrefix-e$epochId",
-      f"part-$partitionId%05d-$taskId", schema, statsCols, conf.value)
+      f"part-$partitionId%05d-$taskId", schema, statsCols, conf.value, pIdx)
 }
 
-/** One task's parquet file, written through the public parquet-mr
+/** One task's parquet output, written through the public parquet-mr
   * Group writer, with rows + per-stats-column min/max tracked INLINE
   * (Catalyst-internal comparisons on the fly; reprs match the
   * landEntries cast path so both write routes prune identically).
-  * The file is created lazily on the first row — an empty task
-  * commits an empty message, never an empty file. */
+  * Files are created lazily on the first row — an empty task commits
+  * an empty message, never an empty file.
+  *
+  * On a PARTITIONED table (`pIdx` non-empty) the writer ROLLS to a
+  * fresh file whenever the partition tuple changes — with the
+  * required clustering+ordering each tuple arrives contiguously, so
+  * one file per tuple per task (Spark's dynamic-partition write
+  * shape). Purity is unconditional: unsorted input would yield MORE
+  * files, never a mixed one. */
 class TxLogDataWriter(base: String, txnRel: String, fileStem: String,
                       schema: StructType, statsCols: Seq[String],
-                      conf: Configuration)
+                      conf: Configuration, pIdx: Seq[Int] = Seq.empty)
     extends DataWriter[InternalRow] {
-  private val rel = s"$txnRel/$fileStem.parquet"
   private val mt = TxLogWriteSupport.messageType(schema)
   private val factory = new SimpleGroupFactory(mt)
+  private var rel: String = _
   private var writer: org.apache.parquet.hadoop.ParquetWriter[
     org.apache.parquet.example.data.Group] = _
   private var rows = 0L
-  private val tracked = statsCols.map(c => new StatsTracker(
-    schema.fieldIndex(c), schema(c).name, schema(c).dataType))
+  private var tracked: Seq[StatsTracker] = Seq.empty
+  private var fileSeq = 0
+  private var curKey: Seq[Any] = _
+  private val done =
+    scala.collection.mutable.ArrayBuffer.empty[TxLogFileResult]
+
+  /** The row's partition tuple as stable values (UTF8String points
+    * into the row's reused buffer — clone before keeping). */
+  private def keyOf(row: InternalRow): Seq[Any] =
+    pIdx.map { i =>
+      if (row.isNullAt(i)) null
+      else schema.fields(i).dataType match {
+        case StringType => row.getUTF8String(i).clone()
+        case dt => row.get(i, dt)
+      }
+    }
+
+  private def finishFile(): Unit = if (writer != null) {
+    writer.close()
+    done += TxLogFileResult(rel, rows, tracked.flatMap(_.result))
+    writer = null
+  }
+
+  private def openFile(): Unit = {
+    rel = s"$txnRel/$fileStem" +
+      (if (pIdx.isEmpty) "" else s"-s$fileSeq") + ".parquet"
+    fileSeq += 1
+    rows = 0L
+    tracked = statsCols.map(c => new StatsTracker(
+      schema.fieldIndex(c), schema(c).name, schema(c).dataType))
+    writer = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile
+          .fromPath(new HPath(s"$base/$rel"), conf))
+      .withType(mt)
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+  }
 
   override def write(row: InternalRow): Unit = {
-    if (writer == null) {
-      writer = ExampleParquetWriter.builder(
-          org.apache.parquet.hadoop.util.HadoopOutputFile
-            .fromPath(new HPath(s"$base/$rel"), conf))
-        .withType(mt)
-        .withConf(conf)
-        .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build()
-    }
+    if (pIdx.nonEmpty) {
+      val k = keyOf(row)
+      if (writer == null || curKey != k) {
+        finishFile(); openFile(); curKey = k
+      }
+    } else if (writer == null) openFile()
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
@@ -523,15 +643,17 @@ class TxLogDataWriter(base: String, txnRel: String, fileStem: String,
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer != null) writer.close()
-    TxLogWriterMessage(rel, rows, tracked.flatMap(_.result))
+    finishFile()
+    TxLogWriterMessage(done.toSeq)
   }
 
   override def abort(): Unit = {
     if (writer != null) writer.close()
-    val p = new HPath(s"$base/$rel")
-    val fs = p.getFileSystem(conf)
-    fs.delete(p, false)
+    val open = Option(rel).toSeq
+    (done.map(_.path) ++ open).distinct.foreach { r =>
+      val p = new HPath(s"$base/$r")
+      p.getFileSystem(conf).delete(p, false)
+    }
   }
 
   override def close(): Unit = ()
