@@ -2726,26 +2726,39 @@ object TxLog {
     * tracking — the SQL `MERGE INTO` decomposed shapes (update-only,
     * insert-only, delete-matched) ride this so ad-hoc DML does not
     * grow the manifest's `#txn` map one line per statement. Same
-    * single-commit mask+append semantics as [[applyChanges]]. */
+    * single-commit mask+append semantics as [[applyChanges]].
+    *
+    * `syncKeys` (SQL `WHEN NOT MATCHED BY SOURCE THEN DELETE`)
+    * additionally masks every target row whose key is ABSENT from it —
+    * the incremental full-sync shape: vanished rows die, surviving
+    * rows stay in place, nothing rewrites. Absence is unprovable from
+    * stats, so the in-span files are read once (an intrinsic cost of
+    * the semantics — the WRITE stays O(vanished rows)); files whose
+    * stats range is provably DISJOINT from the sync keys' span are
+    * dropped metadata-only, without a single byte read — a re-sync
+    * that moves a key window retires old bands for free. */
   def applyBatch(spark: SparkSession, base: String,
                  deleteKeys: DataFrame, inserts: DataFrame,
                  keys: Seq[String], statsCol: String,
-                 maxAttempts: Int = 5): Long =
+                 maxAttempts: Int = 5,
+                 syncKeys: Option[DataFrame] = None): Long =
     applyBatchCore(spark, base, deleteKeys, inserts, keys, statsCol,
-      None, maxAttempts, guardIdentity = false)
+      None, maxAttempts, guardIdentity = false, syncKeys0 = syncKeys)
 
   private def applyBatchCore(spark: SparkSession, base: String,
                              deleteKeys0: DataFrame, inserts0: DataFrame,
                              keys0: Seq[String], statsCol0: String,
                              txn: Option[(String, Long)],
                              maxAttempts: Int,
-                             guardIdentity: Boolean = true): Long = {
+                             guardIdentity: Boolean = true,
+                             syncKeys0: Option[DataFrame] = None): Long = {
     require(keys0.contains(statsCol0),
       s"statsCol $statsCol0 must be a key (got $keys0)")
     // mapped tables: both CDC halves run in PHYSICAL namespace (same
     // verb-entry translation as the merge verbs)
     val deleteKeys = toPhysicalIfMapped(spark, base, deleteKeys0)
     val inserts = toPhysicalIfMapped(spark, base, inserts0)
+    val syncKeys = syncKeys0.map(toPhysicalIfMapped(spark, base, _))
     val keys = keys0.map(physicalName(spark, base, _))
     val statsCol = physicalName(spark, base, statsCol0)
     import org.apache.spark.sql.functions.{col, max, min}
@@ -2782,6 +2795,15 @@ object TxLog {
     val keyRange: Option[(String, String)] =
       if (bounds.isNullAt(0)) None // no deletes in this batch
       else Some((bounds.getString(0), bounds.getString(1)))
+    // sync-delete span: a target file whose stats range is DISJOINT
+    // from it cannot hold any source key — every row vanished, the
+    // file drops metadata-only. Outer None = no sync clause; inner
+    // None = an EMPTY sync source (everything vanishes).
+    val syncRange: Option[Option[(String, String)]] = syncKeys.map { sk =>
+      val b = sk.agg(min(col(statsCol).cast(castT)).cast("string"),
+        max(col(statsCol).cast(castT)).cast("string")).head()
+      if (b.isNullAt(0)) None else Some((b.getString(0), b.getString(1)))
+    }
     try withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base)
       checkedCons = reEnforceIfChanged(spark, base, newEntries, checkedCons)
@@ -2793,17 +2815,43 @@ object TxLog {
         discard(spark, base, newEntries.map(_.path))
         cur.get
       } else {
-        val (touched, carried) = keyRange match {
+        val semiTouched = keyRange match {
           case Some((lo, hi)) =>
-            entries.partition(touchesRange(_, statsCol, lo, hi))
-          case None => (Seq.empty[Entry], entries)
+            entries.filter(touchesRange(_, statsCol, lo, hi))
+          case None => Seq.empty[Entry]
         }
+        // sync half: in-span files are read once for the anti mask
+        // (absence is unprovable from stats — intrinsic to the
+        // semantics); provably-disjoint files drop whole, zero bytes
+        val (syncTouched, syncDropped) = syncRange match {
+          case None => (Seq.empty[Entry], Seq.empty[Entry])
+          case Some(None) => (Seq.empty[Entry], entries) // empty source
+          case Some(Some((lo, hi))) =>
+            entries.partition(touchesRange(_, statsCol, lo, hi))
+        }
+        val droppedPaths = syncDropped.map(_.path).toSet
+        val touchedPaths = (semiTouched ++ syncTouched).map(_.path)
+          .toSet -- droppedPaths
+        val touched = entries.filter(e => touchedPaths.contains(e.path))
+        val carried = entries.filterNot(e =>
+          touchedPaths.contains(e.path) || droppedPaths.contains(e.path))
         val (masked, dvDirOpt) =
           if (touched.isEmpty) (touched, None)
           else {
-            val hits = taggedRead(spark, base, touched)
-              .join(deleteKeys.select(keys.map(col): _*).distinct(),
-                keys, "left_semi")
+            val read = taggedRead(spark, base, touched)
+            val semiHits =
+              if (keyRange.isEmpty) None
+              else Some(read.join(
+                deleteKeys.select(keys.map(col): _*).distinct(),
+                keys, "left_semi"))
+            val antiHits = syncKeys.map(sk => read.join(
+              sk.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+            val hits = (semiHits, antiHits) match {
+              case (Some(s), Some(a)) => // a row can satisfy both masks
+                s.select(DvFileCol, DvPosCol)
+                  .unionByName(a.select(DvFileCol, DvPosCol)).distinct()
+              case (one, other) => one.orElse(other).get
+            }
             landMaskSidecar(spark, base, touched, hits) match {
               case None => (touched, None) // no key actually present
               case Some((dvDir, counts)) =>

@@ -623,6 +623,52 @@ object RegistryMaint {
         .orderBy("o_orderstatus")
     }),
 
+    // The third MERGE clause (Delta's WHEN NOT MATCHED BY SOURCE THEN
+    // DELETE): the incremental full-sync — vanished keys die in the
+    // SAME commit as the inserts, surviving rows stay physically in
+    // place, and target files provably DISJOINT from the source's key
+    // span drop metadata-only (zero bytes read; at 100 TB a re-sync
+    // that moves a key window retires old bands for free). The
+    // requires pin one-commit atomicity and the disjoint-band drop.
+    "s62_merge_sync_delete" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txsync_orders"
+      TxLog.drop(s, base)
+      val od = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      TxLog.commit(
+        od.where(col("o_orderkey") < 6000)
+          .repartitionByRange(4, col("o_orderkey")),
+        base, None, Some("o_orderkey"))
+      val seedFiles = TxLog.manifest(s, base, 1L)._1
+      graft.sources.TxLogSqlDml.ensureInjected(s)
+      val sqlS = s.newSession()
+      sqlS.sql("DROP TABLE IF EXISTS txdml_sync_w")
+      sqlS.sql("CREATE TABLE txdml_sync_w " +
+        s"USING graft.sources.TxLogSource OPTIONS (path '$base')")
+      try {
+        sqlS.sql("MERGE INTO txdml_sync_w t USING (" +
+          s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM " +
+          s"parquet.`$dir/orders.parquet` " +
+          "WHERE o_orderkey BETWEEN 3000 AND 9000) s " +
+          "ON t.o_orderkey = s.o_orderkey " +
+          "WHEN NOT MATCHED THEN INSERT * " +
+          "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+      } finally sqlS.sql("DROP TABLE IF EXISTS txdml_sync_w")
+      require(TxLog.latestVersion(s, base).contains(2L),
+        "inserts + sync deletes must land as ONE commit")
+      val after = TxLog.manifest(s, base, 2L)._1.map(_.path).toSet
+      val dropped = seedFiles.filter(e => e.statsFor("o_orderkey")
+        .exists(st => TxLog.cmp("long", st.max, "3000") < 0))
+      require(dropped.nonEmpty && dropped.forall(e => !after.contains(e.path)),
+        s"bands below the source span must drop metadata-only: $dropped")
+      TxLog.read(s, base)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            .as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Maintenance SQL grammar (the injectParser rung): OPTIMIZE
     // bin-packs straggler appends and VACUUM trims history, both as
     // plain SQL a JDBC operator could issue — the requires pin that
@@ -1870,6 +1916,12 @@ object RegistryMaint {
                        THEN o_totalprice * 2 ELSE o_totalprice END
                   AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s62_merge_sync_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_price
+         FROM orders WHERE o_orderkey BETWEEN 3000 AND 9000
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "s53_sql_optimize" ->
       """SELECT l_returnflag, count(*) AS n,
                 cast(sum(cast(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty

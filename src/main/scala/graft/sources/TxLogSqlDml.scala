@@ -123,9 +123,15 @@ case class TxLogSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             "tableName" -> s"txlog($base)",
             "operation" -> (s"this MERGE shape ($why); supported: " +
               "equi-key ON, WHEN MATCHED THEN UPDATE SET * (or DELETE), " +
-              "WHEN NOT MATCHED THEN INSERT *")))
-      if (notMatchedBySource.nonEmpty)
-        unsupported("WHEN NOT MATCHED BY SOURCE")
+              "WHEN NOT MATCHED THEN INSERT *, " +
+              "WHEN NOT MATCHED BY SOURCE THEN DELETE")))
+      // full-sync delete: target rows whose key vanished from the
+      // source die in the same commit (Delta's third MERGE clause)
+      val syncDelete = notMatchedBySource match {
+        case Seq() => false
+        case Seq(DeleteAction(None)) => true
+        case other => unsupported(s"not-matched-by-source actions $other")
+      }
       val keys = equiKeys(mergeCond).getOrElse(
         unsupported(s"non-equi-key ON: ${mergeCond.sql}"))
       // STAR actions only. Explicit assignment lists are deliberately
@@ -148,10 +154,11 @@ case class TxLogSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Seq(InsertStarAction(None)) => true
         case other => unsupported(s"not-matched actions $other")
       }
-      if (!doUpdate && !deleteMatched && !doInsert)
+      if (!doUpdate && !deleteMatched && !doInsert && !syncDelete)
         unsupported("no actions")
       TxLogMergeCommand(base, keys, source,
-        upsert = doUpdate, insert = doInsert, deleteMatched = deleteMatched)
+        upsert = doUpdate, insert = doInsert, deleteMatched = deleteMatched,
+        syncDelete = syncDelete)
 
     case other => other
   }
@@ -215,7 +222,8 @@ case class TxLogUpdateCommand(base: String, condExpr: Option[ExprBox],
 case class TxLogMergeCommand(base: String, keys: Seq[String],
                              sourcePlan: LogicalPlan,
                              upsert: Boolean, insert: Boolean,
-                             deleteMatched: Boolean)
+                             deleteMatched: Boolean,
+                             syncDelete: Boolean = false)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src: DataFrame = org.apache.spark.sql.graftbridge.ColumnBridge
@@ -241,7 +249,7 @@ case class TxLogMergeCommand(base: String, keys: Seq[String],
     }
     val statsCol = keys.headOption.getOrElse(
       throw new IllegalArgumentException("MERGE needs at least one key"))
-    if (upsert && insert) {
+    if (upsert && insert && !syncDelete) {
       // UPDATE SET * + INSERT * ≡ upsert: anti-by-key ∪ source
       TxLog.mergeMorAuto(spark, base, aligned, keys)
     } else {
@@ -255,12 +263,16 @@ case class TxLogMergeCommand(base: String, keys: Seq[String],
       val deletes =
         if (deleteMatched || upsert) srcKeys else srcKeys.limit(0)
       val inserts =
-        if (upsert) aligned.join(targetKeys, keys, "left_semi")
+        if (upsert && insert) aligned // upsert + sync: every source row
+        else if (upsert) aligned.join(targetKeys, keys, "left_semi")
         else if (insert) aligned.join(targetKeys, keys, "left_anti")
         // pure DELETE: no coverage requirement, so `aligned` must not
         // be touched — an empty frame in the TARGET's shape serves
         else TxLog.read(spark, base).limit(0)
-      TxLog.applyBatch(spark, base, deletes, inserts, keys, statsCol)
+      // WHEN NOT MATCHED BY SOURCE THEN DELETE: rows whose key is
+      // absent from the source die in the SAME commit (full-sync)
+      TxLog.applyBatch(spark, base, deletes, inserts, keys, statsCol,
+        syncKeys = if (syncDelete) Some(srcKeys) else None)
     }
     Seq.empty
   }

@@ -375,4 +375,83 @@ class TxLogSqlDmlSpec extends AnyFunSuite {
       assert(again.getMessage.contains("already has committed versions"))
     } finally sql.sql("DROP TABLE IF EXISTS txdml_conv")
   }
+
+  test("WHEN NOT MATCHED BY SOURCE THEN DELETE: the incremental " +
+    "full-sync — vanished keys die, surviving rows stay in place, " +
+    "new keys insert, all in ONE commit") {
+    val base = "/tmp/graft_txsqldml/sync"
+    seed(base, "txdml_sync")
+    val before = files(base)
+    val vBefore = TxLog.latestVersion(spark, base).get
+    try {
+      // source keeps keys 40..110: 1..39 vanish, 40..100 survive
+      // UNTOUCHED (insert-only + sync — no update clause), 101..110 new
+      sql.sql("MERGE INTO txdml_sync t USING (SELECT id AS k, " +
+        "concat('src-', id) AS s, cast(id AS DOUBLE) AS v " +
+        "FROM range(40, 111)) s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT * " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+      assert(TxLog.latestVersion(spark, base).contains(vBefore + 1),
+        "the three halves must land as ONE commit")
+      val snap = TxLog.read(spark, base)
+      assert(snap.count() == 71)
+      // survivors keep their ORIGINAL values (nothing rewrote them)
+      assert(snap.where("k BETWEEN 40 AND 100 AND s = concat('name-', k) " +
+        "AND v = k * 10").count() == 61)
+      assert(snap.where("k > 100 AND s = concat('src-', k)").count() == 10)
+      assert(snap.where("k < 40").count() == 0)
+      // MOR: in-span seed band files stay referenced (masked, never
+      // rewritten); bands provably BELOW the source span (max k < 40)
+      // dropped whole, metadata-only
+      val seedEs = TxLog.manifest(spark, base, vBefore)._1
+      val after = files(base)
+      seedEs.foreach { e =>
+        val disjoint = e.statsFor("k").exists(st =>
+          TxLog.cmp("long", st.max, "40") < 0)
+        assert(after.contains(e.path) != disjoint,
+          s"${e.path} (stats ${e.stats}) kept=${after.contains(e.path)}")
+      }
+      assert(before == seedEs.map(_.path).toSet) // seed sanity
+    } finally sql.sql("DROP TABLE IF EXISTS txdml_sync")
+  }
+
+  test("sync-delete drops provably-disjoint files metadata-only, and " +
+    "the full upsert+sync makes target == source by key") {
+    val base = "/tmp/graft_txsqldml/syncdrop"
+    seed(base, "txdml_syncdrop") // 4 range-clustered files over k=1..100
+    try {
+      val seedEs = TxLog.manifest(spark, base, 1L)._1
+      val (lowBand, highBand) = seedEs.partition(e =>
+        e.statsFor("k").exists(st => TxLog.cmp("long", st.max, "60") < 0))
+      assert(lowBand.nonEmpty && highBand.nonEmpty, s"bands: $seedEs")
+      // source span k=60..120: the low-band files are DISJOINT from
+      // it — every row provably vanished, so they drop from the
+      // manifest without a byte read (no mask sidecar, no rewrite);
+      // no UPDATE clause, so in-span survivors stay in place
+      sql.sql("MERGE INTO txdml_syncdrop t USING (SELECT id AS k, " +
+        "concat('sync-', id) AS s, cast(id AS DOUBLE) AS v " +
+        "FROM range(60, 121)) s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT * " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+      val after = files(base)
+      assert(lowBand.forall(e => !after.contains(e.path)),
+        s"disjoint band files must drop whole: $after")
+      assert(highBand.forall(e => after.contains(e.path)),
+        "in-span band files stay referenced (masked, never rewritten)")
+      val snap1 = TxLog.read(spark, base)
+      assert(snap1.count() == 61)
+      assert(snap1.where("k <= 100 AND s = concat('name-', k)").count()
+        == 41, "survivors keep original values")
+      // the FULL upsert+sync on top ≡ target == source by key
+      sql.sql("MERGE INTO txdml_syncdrop t USING (SELECT id AS k, " +
+        "concat('sync-', id) AS s, cast(id AS DOUBLE) AS v " +
+        "FROM range(60, 121)) s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT * " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+      val snap2 = TxLog.read(spark, base).orderBy("k").collect()
+      assert(snap2.length == 61)
+      assert(snap2.forall(r => r.getString(1) == s"sync-${r.getInt(0)}"))
+    } finally sql.sql("DROP TABLE IF EXISTS txdml_syncdrop")
+  }
 }
