@@ -1221,7 +1221,7 @@ object TxLog {
     * ("1.1") would parse to a DIFFERENT double and unsoundly prune —
     * or fail to touch — the files holding the matching rows (the same
     * hazard TxLogSource.valueRepr documents for the DSv2 path). */
-  private def reprOf(v: Any): String = v match {
+  private[graft] def reprOf(v: Any): String = v match {
     case f: java.lang.Float => f.floatValue().toDouble.toString
     // timestamp predicates compare against epoch-SECONDS stats (the
     // floor both sides keeps range overlap sound — see statsDtype)

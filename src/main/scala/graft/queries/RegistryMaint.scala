@@ -833,6 +833,50 @@ object RegistryMaint {
     // CREATE, v2 CTAS batch, v3 increment) and that the pinned
     // snapshot answers through the same stats-pruned scan. Oracle:
     // the full recompute from events.
+    // Partition-scoped INSERT OVERWRITE (static + dynamic, Delta's
+    // replaceWhere-on-partitions / partitionOverwriteMode=dynamic):
+    // the named (or batch-present) partition tuples swap for the new
+    // files while every other partition carries BY REFERENCE — the
+    // commit is metadata + new data only, never a read or rewrite of
+    // untouched partitions. The requires pin the carried file set.
+    "s63_partition_overwrite" -> ((s, dir) => {
+      val wh = Ingest.fixtureDir(dir) + "/txpow_warehouse"
+      TxLog.drop(s, wh + "/lake/events_pow")
+      graft.sources.TxLogSqlDml.ensureInjected(s)
+      val sqlS = s.newSession()
+      sqlS.conf.set("spark.sql.catalog.gpow", "graft.sources.TxLogCatalog")
+      sqlS.conf.set("spark.sql.catalog.gpow.warehouse", wh)
+      sqlS.sql("CREATE NAMESPACE IF NOT EXISTS gpow.lake")
+      sqlS.sql("CREATE TABLE gpow.lake.events_pow (event_id BIGINT, " +
+        "event_type STRING, value DOUBLE) " +
+        "USING graft.sources.TxLogSource PARTITIONED BY (event_type)")
+      t(sqlS, dir, "events").select("event_id", "event_type", "value")
+        .createOrReplaceTempView("ev_pow_src")
+      sqlS.sql("INSERT INTO gpow.lake.events_pow " +
+        "SELECT * FROM ev_pow_src")
+      val base = wh + "/lake/events_pow"
+      val before = TxLog.manifest(sqlS, base,
+        TxLog.latestVersion(sqlS, base).get)._1
+      // static overwrite of ONE partition: purchases re-land doubled
+      sqlS.sql("INSERT OVERWRITE gpow.lake.events_pow " +
+        "PARTITION (event_type = 'purchase') " +
+        "SELECT event_id, value * 2 AS value FROM ev_pow_src " +
+        "WHERE event_type = 'purchase'")
+      val after = TxLog.manifest(sqlS, base,
+        TxLog.latestVersion(sqlS, base).get)._1.map(_.path).toSet
+      val untouched = before.filter(_.statsFor("event_type")
+        .exists(_.min != "purchase")).map(_.path)
+      require(untouched.nonEmpty && untouched.forall(after.contains),
+        "untouched partitions must carry by reference")
+      require(before.filter(_.statsFor("event_type")
+          .exists(_.min == "purchase")).map(_.path).forall(!after.contains(_)),
+        "the overwritten partition's old files must drop")
+      sqlS.sql("SELECT event_type, count(*) AS n, " +
+        "cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value " +
+        "FROM gpow.lake.events_pow GROUP BY event_type " +
+        "ORDER BY event_type")
+    }),
+
     "s56_catalog_sql_lifecycle" -> ((s, dir) => {
       val wh = Ingest.fixtureDir(dir) + "/txcat_warehouse"
       TxLog.drop(s, wh + "/lake/events_cat")
@@ -1930,6 +1974,14 @@ object RegistryMaint {
       """SELECT event_type, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "s63_partition_overwrite" ->
+      """SELECT event_type, count(*) AS n,
+                cast(sum(cast(
+                  CASE WHEN event_type = 'purchase' THEN value * 2
+                       ELSE value END AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_value
+         FROM events
+         GROUP BY event_type ORDER BY event_type""",
     "s56_catalog_sql_lifecycle" ->
       """SELECT event_type, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -45,14 +45,48 @@ import graft.operators.TxLog
   * inline-stats columns; it defaults to none — callers who want
   * skipping name their cluster keys, same as the TxLog API.
   */
+/** How a batch write combines with the prior snapshot. Every variant
+  * is O(new data + manifest): removed files DROP from the manifest by
+  * reference — never read, never rewritten. */
+sealed trait TxLogWriteMode
+case object TxLogAppendMode extends TxLogWriteMode
+case object TxLogTruncateMode extends TxLogWriteMode
+/** `INSERT OVERWRITE ... PARTITION (...)` / static-mode overwrite:
+  * drop prior files matching the partition filters, append the new
+  * ones. Exact at FILE level because partitioned files are pure
+  * (min==max), so this is Delta's replaceWhere-on-partition-columns —
+  * metadata-only deletes. */
+final case class TxLogOverwriteWhere(
+    filters: Array[org.apache.spark.sql.sources.Filter])
+  extends TxLogWriteMode
+/** `partitionOverwriteMode=dynamic` / `overwritePartitions()`: replace
+  * exactly the partition tuples PRESENT in the incoming batch —
+  * discovered from the landed files' own exact stats, so no extra
+  * pass over the data. */
+case object TxLogDynamicOverwrite extends TxLogWriteMode
+
 class TxLogWriteBuilder(base: String, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
-  private var doTruncate = false
-  override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new TxLogWrite(base, info, doTruncate)
+    extends WriteBuilder
+    with SupportsOverwrite with SupportsDynamicOverwrite {
+  private var mode: TxLogWriteMode = TxLogAppendMode
+  override def truncate(): WriteBuilder = { mode = TxLogTruncateMode; this }
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : WriteBuilder = {
+    mode =
+      if (filters.isEmpty || filters.forall(
+          _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+        TxLogTruncateMode
+      else TxLogOverwriteWhere(filters)
+    this
+  }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = TxLogDynamicOverwrite; this
+  }
+  override def build(): Write = new TxLogWrite(base, info, mode)
 }
 
-class TxLogWrite(base: String, info: LogicalWriteInfo, truncate: Boolean)
+class TxLogWrite(base: String, info: LogicalWriteInfo,
+                 mode: TxLogWriteMode)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   private val statsCols: Seq[String] =
@@ -146,10 +180,10 @@ class TxLogWrite(base: String, info: LogicalWriteInfo, truncate: Boolean)
     // time would break exactly-once restart recovery.
     TxLog.requireNoIdentityColumns(spark, base, pSchema.fieldNames.toSeq)
     val (pIdx, allStats) = partitionPlan(pSchema, pStats)
-    new TxLogBatchWrite(base, pSchema, allStats, truncate, pIdx)
+    new TxLogBatchWrite(base, pSchema, allStats, mode, pIdx)
   }
   override def toStreaming: StreamingWrite = {
-    require(!truncate,
+    require(mode == TxLogAppendMode,
       "the txlog streaming sink is append-only (complete/update output " +
         "modes would truncate history); use append mode")
     // lenient translation (unknown logical names pass through): every
@@ -278,10 +312,16 @@ object TxLogWriteSupport {
 }
 
 class TxLogBatchWrite(base: String, schema: StructType,
-                      statsCols: Seq[String], truncate: Boolean,
+                      statsCols: Seq[String],
+                      mode: TxLogWriteMode = TxLogAppendMode,
                       pIdx: Seq[Int] = Seq.empty)
     extends BatchWrite {
   private val txn = java.util.UUID.randomUUID().toString
+
+  def this(base: String, schema: StructType, statsCols: Seq[String],
+           truncate: Boolean) =
+    this(base, schema, statsCols,
+      if (truncate) TxLogTruncateMode else TxLogAppendMode)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new TxLogWriterFactory(base, s"data/$txn", schema, statsCols,
@@ -292,7 +332,7 @@ class TxLogBatchWrite(base: String, schema: StructType,
     val spark = org.apache.spark.sql.SparkSession.active
     val entries = TxLogWriteCommit.toEntries(messages)
     TxLogWriteCommit.publishWithRetry(spark, base, entries,
-      replaceAll = truncate, schemaCols = schema.fieldNames.toSeq)
+      mode = mode, schemaCols = schema.fieldNames.toSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -340,6 +380,71 @@ class TxLogStreamingWrite(base: String, schema: StructType,
     TxLogWriteCommit.dropTxn(base, s"data/$writeId-e$epochId")
 }
 
+/** File-level matchers for the partition-scoped overwrite modes —
+  * EXACT (not conservative) because partitioned files are pure: every
+  * partition column's stats are min==max, the tuple itself. A file
+  * that somehow spans values (impossible on a born-partitioned table;
+  * defensive for hand-built manifests) matches nothing, so it is
+  * carried — the safe direction. */
+object TxLogOverwriteSupport {
+  import org.apache.spark.sql.sources._
+
+  /** The file's partition tuple (None = that column is all-NULL). */
+  def tupleOf(e: TxLog.Entry,
+              pspec: Seq[(String, String)]): Seq[Option[String]] =
+    pspec.map { case (c, _) =>
+      e.statsFor(c).filter(st => st.min == st.max).map(_.min)
+    }
+
+  /** A filter tree over partition columns → an exact per-file
+    * predicate. Supports And / EqualTo / EqualNullSafe / IsNull / In —
+    * the shapes Spark emits for `INSERT OVERWRITE ... PARTITION (...)`
+    * and static-mode overwrite. Anything else (ranges, non-partition
+    * columns) errors loudly toward the row-level verbs. */
+  def partitionMatcher(spark: org.apache.spark.sql.SparkSession,
+                       base: String, pspec: Seq[(String, String)],
+                       filters: Array[Filter]): TxLog.Entry => Boolean = {
+    require(pspec.nonEmpty,
+      "INSERT OVERWRITE with a predicate needs a PARTITIONED txlog " +
+        "table; row-level replacement on unpartitioned tables is " +
+        "REPLACE WHERE (TxLog.replaceRange) or DELETE + INSERT")
+    val cm = TxLog.columnMapping(spark, base)
+    def phys(name: String): (String, String) = {
+      val p = cm.flatMap(_.physicalOf(name)).getOrElse(name)
+      pspec.find(_._1.equalsIgnoreCase(p)).getOrElse(
+        throw new IllegalArgumentException(
+          "INSERT OVERWRITE predicates may reference only partition " +
+            s"column(s) ${pspec.map(_._1).mkString(", ")}; got '$name'"))
+    }
+    def valueOf(e: TxLog.Entry, c: String): Option[String] =
+      e.statsFor(c).filter(st => st.min == st.max).map(_.min)
+    def compile(f: Filter): TxLog.Entry => Boolean = f match {
+      case And(l, r) =>
+        val (cl, cr) = (compile(l), compile(r)); e => cl(e) && cr(e)
+      case EqualTo(a, null) => _ => false // SQL: = NULL matches nothing
+      case EqualTo(a, v) =>
+        val (c, dt) = phys(a); val repr = TxLog.reprOf(v)
+        e => valueOf(e, c).exists(x => TxLog.cmp(dt, x, repr) == 0)
+      case EqualNullSafe(a, null) =>
+        val (c, _) = phys(a); e => e.statsFor(c).isEmpty
+      case EqualNullSafe(a, v) => compile(EqualTo(a, v))
+      case IsNull(a) =>
+        val (c, _) = phys(a); e => e.statsFor(c).isEmpty
+      case In(a, vs) =>
+        val (c, dt) = phys(a)
+        val reprs = vs.toSeq.filter(_ != null).map(TxLog.reprOf)
+        e => valueOf(e, c).exists(x =>
+          reprs.exists(r => TxLog.cmp(dt, x, r) == 0))
+      case other => throw new IllegalArgumentException(
+        s"INSERT OVERWRITE supports partition equality predicates " +
+          s"(=, IN, IS NULL, AND); got: $other — use REPLACE WHERE / " +
+          "DELETE for row-level shapes")
+    }
+    val compiled = filters.map(compile)
+    e => compiled.forall(_(e))
+  }
+}
+
 /** Driver-side commit logic shared by the batch and streaming writes:
   * messages → manifest entries, CAS-retried publish (data reused on
   * conflict, exactly like [[TxLog.append]]). */
@@ -362,7 +467,7 @@ object TxLogWriteCommit {
 
   def publishWithRetry(spark: org.apache.spark.sql.SparkSession,
                        base: String, entries: Seq[TxLog.Entry],
-                       replaceAll: Boolean, maxAttempts: Int = 5,
+                       mode: TxLogWriteMode, maxAttempts: Int = 5,
                        onAttempt: Int => Unit = _ => (),
                        schemaCols: Seq[String] = Seq.empty): Long = {
     // GENERATED ALWAYS at COMMIT time (the plan-time check alone would
@@ -376,6 +481,29 @@ object TxLogWriteCommit {
     // drop-then-re-add between reads cannot slip past the comparison
     var checked = TxLog.constraints(spark, base)
     TxLog.enforceConstraints(spark, base, entries, checked)
+    // partition-scoped overwrites resolve their matcher ONCE (the
+    // spec is immutable); replaceWhere additionally validates the NEW
+    // data up front — Delta's own rule: every written row must satisfy
+    // the overwrite predicate, or the statement is rejected whole
+    val pspec = TxLog.partitionSpec(spark, base)
+    val matcher: Option[TxLog.Entry => Boolean] = mode match {
+      case TxLogOverwriteWhere(filters) =>
+        val m = TxLogOverwriteSupport.partitionMatcher(spark, base,
+          pspec, filters)
+        entries.foreach(e => require(m(e),
+          s"INSERT OVERWRITE: written file ${e.path} does not satisfy " +
+            s"the partition filters ${filters.mkString(", ")} — rows " +
+            "outside the overwritten partitions are rejected whole"))
+        Some(m)
+      case TxLogDynamicOverwrite =>
+        require(pspec.nonEmpty,
+          "dynamic partition overwrite needs a partitioned table " +
+            "(unpartitioned tables: use plain overwrite)")
+        val newTuples = entries
+          .map(e => TxLogOverwriteSupport.tupleOf(e, pspec)).toSet
+        Some(e => newTuples.contains(TxLogOverwriteSupport.tupleOf(e, pspec)))
+      case _ => None
+    }
     // incremental bloom coverage, same as TxLog.append: new files join
     // the table's existing bloom groups so point lookups stay sharp
     val (indexed, bloomDirs) = TxLog.indexNewEntries(spark, base, entries)
@@ -388,9 +516,20 @@ object TxLogWriteCommit {
       val (prev, txns) = cur.map(TxLog.manifest(spark, base, _))
         .getOrElse((Seq.empty[TxLog.Entry], Map.empty[String, Long]))
       val v = cur.getOrElse(0L) + 1L
-      val all = if (replaceAll) indexed else prev ++ indexed
+      // replaced files DROP from the manifest by reference — the
+      // overwrite variants never read or rewrite a prior byte
+      val all = mode match {
+        case TxLogAppendMode => prev ++ indexed
+        case TxLogTruncateMode => indexed
+        case _ => prev.filterNot(matcher.get) ++ indexed
+      }
       TxLog.publishEntries(spark, base, v, all, txns,
-        operation = if (replaceAll) "OVERWRITE" else "WRITE")
+        operation = mode match {
+          case TxLogAppendMode => "WRITE"
+          case TxLogTruncateMode => "OVERWRITE"
+          case _: TxLogOverwriteWhere => "REPLACE WHERE"
+          case TxLogDynamicOverwrite => "OVERWRITE PARTITIONS"
+        })
       v
     } catch {
       case e: Throwable => // data-file cleanup is abort()'s job; the

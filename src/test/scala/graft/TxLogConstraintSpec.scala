@@ -100,7 +100,7 @@ class TxLogConstraintSpec extends AnyFunSuite {
     var raced = false
     val ex = intercept[TxLog.ConstraintViolationException] {
       graft.sources.TxLogWriteCommit.publishWithRetry(spark, base, entries,
-        replaceAll = false, onAttempt = { attempt =>
+        mode = graft.sources.TxLogAppendMode, onAttempt = { attempt =>
           if (attempt == 1 && !raced) {
             raced = true
             TxLog.addConstraint(spark, base, "v_pos", "v > 0") // CAS winner

@@ -235,6 +235,70 @@ class TxLogPartitionSpec extends AnyFunSuite {
     assert(es.size == 3, s"seed + one file per region: ${es.map(_.path)}")
   }
 
+  test("INSERT OVERWRITE PARTITION replaces exactly the named " +
+    "partition metadata-only; dynamic mode replaces exactly the " +
+    "tuples present in the batch; history stays time-travelable") {
+    val wh = "/tmp/graft_txpart/warehouse2"
+    val s0 = SparkTestBase.spark
+    graft.sources.TxLogSqlDml.ensureInjected(s0)
+    val s = s0.newSession()
+    s.conf.set("spark.sql.catalog.gp2", "graft.sources.TxLogCatalog")
+    s.conf.set("spark.sql.catalog.gp2.warehouse", wh)
+    val base = s"$wh/lake/ow"
+    TxLog.drop(s, base)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gp2.lake")
+    s.sql("CREATE TABLE gp2.lake.ow (k INT, region STRING, v DOUBLE) " +
+      "USING graft.sources.TxLogSource PARTITIONED BY (region)")
+    s.sql("INSERT INTO gp2.lake.ow SELECT id AS k, " +
+      "CASE WHEN id % 3 = 0 THEN 'aa' WHEN id % 3 = 1 THEN 'bb' " +
+      "ELSE 'cc' END AS region, CAST(id AS DOUBLE) AS v " +
+      "FROM range(0, 30)")
+    def filesOf() = TxLog.manifest(s, base,
+      TxLog.latestVersion(s, base).get)._1
+    val seed = filesOf()
+    assert(seed.size == 3)
+    // static: replace ONE partition; the other two files carry by
+    // reference (same paths — nothing read or rewritten)
+    s.sql("INSERT OVERWRITE gp2.lake.ow PARTITION (region = 'bb') " +
+      "SELECT id AS k, CAST(id * 100 AS DOUBLE) AS v " +
+      "FROM range(0, 5)")
+    val after1 = filesOf()
+    val carried = seed.filter(e =>
+      e.statsFor("region").exists(_.min != "bb")).map(_.path).toSet
+    assert(carried.subsetOf(after1.map(_.path).toSet),
+      "untouched partitions must carry by reference")
+    assert(s.sql("SELECT count(*), sum(v) FROM gp2.lake.ow " +
+      "WHERE region = 'bb'").head() ===
+      org.apache.spark.sql.Row(5L, 1000.0))
+    assert(s.sql("SELECT count(*) FROM gp2.lake.ow").head.getLong(0) == 25)
+    // dynamic: only tuples IN the batch are replaced
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      s.sql("INSERT OVERWRITE gp2.lake.ow " +
+        "SELECT id AS k, 'cc' AS region, CAST(-1 AS DOUBLE) AS v " +
+        "FROM range(0, 4)")
+    } finally
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    val snap = s.sql("SELECT region, count(*) AS n FROM gp2.lake.ow " +
+      "GROUP BY region ORDER BY region").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(snap == Map("aa" -> 10L, "bb" -> 5L, "cc" -> 4L), s"$snap")
+    // written rows outside the overwritten partitions are rejected
+    // whole (Delta's replaceWhere validation) — the SQL PARTITION
+    // clause pins the value so it cannot violate; the DataFrame
+    // overwrite(condition) API can
+    val bad = intercept[Exception] {
+      import org.apache.spark.sql.functions.{col => c, lit}
+      import s.implicits._
+      Seq((1, "zz", 0.0)).toDF("k", "region", "v")
+        .writeTo("gp2.lake.ow").overwrite(c("region") === lit("aa"))
+    }
+    assert(bad.getMessage.contains("does not satisfy"), bad.getMessage)
+    // the overwritten versions stay readable
+    assert(TxLog.readVersion(s, base, 2L).count() == 30)
+    s.sql("DROP TABLE gp2.lake.ow")
+  }
+
   test("merge-on-read DELETE masks partitioned files without breaking " +
     "purity, and time travel below the delete still prunes") {
     val base = "/tmp/graft_txpart/mor"
