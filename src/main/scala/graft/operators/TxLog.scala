@@ -181,6 +181,13 @@ object TxLog {
     def hasLogical(name: String): Boolean =
       physByLowerLogical.contains(name.toLowerCase)
     def logicalNames: Seq[String] = cols.map(_._1)
+    /** Reverse lookup: the logical name bound to a physical column
+      * (the physical name itself when unmapped) — the translation the
+      * partition surfaces present to users. */
+    def logicalOf(physical: String): String =
+      cols.collectFirst {
+        case (l, p) if p.equalsIgnoreCase(physical) => l
+      }.getOrElse(physical)
   }
 
   private[graft] def cmp(dtype: String, a: String, b: String): Int = dtype match {
@@ -776,6 +783,23 @@ object TxLog {
     latestVersion(spark, base)
       .map(partitionSpecOf(spark, base, _)).getOrElse(Seq.empty)
 
+  /** Stats dtype for a PARTITION column — [[statsDtype]] minus
+    * TimestampType: timestamp stats floor to epoch SECONDS (sound for
+    * range pruning, where a row-level residual reapplies exactly),
+    * but partition-scoped OVERWRITE drops whole files by exact tuple
+    * match with no residual — two sub-second-distinct tuples would
+    * conflate and the drop would lose rows. Partition on DATE or a
+    * derived column instead (Delta's own guidance). */
+  private[graft] def partitionDtype(dt: org.apache.spark.sql.types.DataType)
+      : String = {
+    require(dt != org.apache.spark.sql.types.TimestampType &&
+        dt != org.apache.spark.sql.types.TimestampNTZType,
+      "TIMESTAMP partition columns are not supported (exact tuple " +
+        "matching would conflate sub-second values) — partition on a " +
+        "DATE or a derived column, and cluster on the timestamp instead")
+    statsDtype(dt)
+  }
+
   /** Commit-time backstop for the DSv2 writes: on a partitioned table
     * every landed file must be partition-PURE (min==max stats per
     * partition column — the rolling writer's invariant). Catches a
@@ -1152,7 +1176,9 @@ object TxLog {
       // O(batch), never O(table).
       import org.apache.spark.sql.functions.col
       val helpers = pcols.indices.map(i => s"__gp_p$i")
-      require(!df.columns.exists(helpers.contains),
+      // withColumn resolves case-insensitively, so the guard must too
+      require(!df.columns.exists(c =>
+          helpers.exists(_.equalsIgnoreCase(c))),
         "table schema collides with partition helper columns " +
           helpers.mkString(", "))
       val withHelpers = pcols.zip(helpers).foldLeft(df) {
@@ -1954,7 +1980,7 @@ object TxLog {
       val f = schema.fields.find(_.name.equalsIgnoreCase(c))
         .getOrElse(throw new IllegalArgumentException(
           s"partition column '$c' is not in the declared schema"))
-      f.name -> statsDtype(f.dataType)
+      f.name -> partitionDtype(f.dataType)
     }
     publishEntries(spark, base, 1L, Seq.empty, Map.empty,
       declaredSchemaOverride = Some(schema),
@@ -1974,8 +2000,14 @@ object TxLog {
     require(latestVersion(spark, base).isEmpty,
       s"$base already has committed versions — partitioning is declared " +
         "at table birth (append/merge/overwrite keep the declared split)")
-    val pspec = partitionCols.map(c =>
-      c -> statsDtype(df.schema(c).dataType))
+    // same case-insensitive resolution as createPartitioned/the
+    // catalog; the schema field's own casing is what freezes
+    val pspec = partitionCols.map { c =>
+      val f = df.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition column '$c' is not in the DataFrame's schema"))
+      f.name -> partitionDtype(f.dataType)
+    }
     val entries = landEntriesRaw(df, base, statsCols, pspec)
     try {
       publishEntries(spark, base, 1L, entries, Map.empty,
@@ -3718,7 +3750,11 @@ object TxLog {
       Some(constraintsOf(spark, srcBase, v)), operation = "CLONE",
       identityOverride = Some(identityOf(spark, srcBase, v)),
       declaredSchemaOverride = declaredSchemaOf(spark, srcBase, v),
-      colMapOverride = columnMappingOf(spark, srcBase, v))
+      colMapOverride = columnMappingOf(spark, srcBase, v),
+      // the partition declaration rides too — dropping it would
+      // silently un-partition the clone (the exact hazard the
+      // writer-v3 gate exists to stop)
+      partitionOverride = Some(partitionSpecOf(spark, srcBase, v)))
     1L
   }
 

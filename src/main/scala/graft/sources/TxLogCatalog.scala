@@ -185,7 +185,7 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
         val f = schema.fields.find(_.name.equalsIgnoreCase(c))
           .getOrElse(throw new IllegalArgumentException(
             s"partition column '$c' is not in the declared schema"))
-        f.name -> TxLog.statsDtype(f.dataType)
+        f.name -> TxLog.partitionDtype(f.dataType)
       case other => throw new UnsupportedOperationException(
         s"txlog tables support only PARTITIONED BY (column) identity " +
           s"transforms, got: $other — derived layouts (bucket, " +

@@ -593,10 +593,7 @@ class TxLogTable(tableSchema: StructType, base: String,
       .getOrElse(return Array.empty)
     val cm = TxLog.columnMappingOf(spark, base, v)
     TxLog.partitionSpecOf(spark, base, v).map { case (phys, _) =>
-      val logical = cm.flatMap(_.cols.collectFirst {
-        case (l, p) if p.equalsIgnoreCase(phys) => l
-      }).getOrElse(phys)
-      Expressions.identity(logical)
+      Expressions.identity(cm.map(_.logicalOf(phys)).getOrElse(phys))
     }.toArray
   }
 

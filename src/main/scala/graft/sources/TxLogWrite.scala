@@ -110,9 +110,7 @@ class TxLogWrite(base: String, info: LogicalWriteInfo,
     val spark = org.apache.spark.sql.SparkSession.active
     val cm = TxLog.columnMapping(spark, base)
     TxLog.partitionSpec(spark, base).map { case (phys, _) =>
-      cm.flatMap(_.cols.collectFirst {
-        case (l, p) if p.equalsIgnoreCase(phys) => l
-      }).getOrElse(phys)
+      cm.map(_.logicalOf(phys)).getOrElse(phys)
     }
   }
 
@@ -156,9 +154,12 @@ class TxLogWrite(base: String, info: LogicalWriteInfo,
           s"'$p' (write schema: ${pSchema.simpleString})")
       i
     }
-    val widened = idx.map(pSchema.fieldNames(_)) ++
-      pStats.filterNot(s => idx.exists(i =>
-        pSchema.fieldNames(i).equalsIgnoreCase(s)))
+    // stats are recorded under the MANIFEST's frozen physical casing
+    // (pPhys), not the write schema's — Entry.statsFor is exact-match,
+    // so a batch supplying 'REGION' for partition column 'region' must
+    // still land stats every reader resolves
+    val widened = pPhys ++
+      pStats.filterNot(s => pPhys.exists(_.equalsIgnoreCase(s)))
     (idx, widened)
   }
 
@@ -389,12 +390,23 @@ class TxLogStreamingWrite(base: String, schema: StructType,
 object TxLogOverwriteSupport {
   import org.apache.spark.sql.sources._
 
-  /** The file's partition tuple (None = that column is all-NULL). */
-  def tupleOf(e: TxLog.Entry,
-              pspec: Seq[(String, String)]): Seq[Option[String]] =
-    pspec.map { case (c, _) =>
-      e.statsFor(c).filter(st => st.min == st.max).map(_.min)
+  /** The file's partition tuple (inner None = that column is
+    * all-NULL). Outer None = the file SPANS values on some partition
+    * column (impossible on a born-partitioned table; defensive for
+    * hand-built manifests) — such a file matches no tuple, so dynamic
+    * overwrite always CARRIES it, never conflating it with the
+    * legitimate all-NULL tuple. */
+  def tupleOf(e: TxLog.Entry, pspec: Seq[(String, String)])
+      : Option[Seq[Option[String]]] = {
+    val parts = pspec.map { case (c, _) =>
+      e.statsFor(c) match {
+        case Some(st) if st.min == st.max => Some(Some(st.min))
+        case Some(_) => None // spans values: no tuple
+        case None => Some(None) // all-NULL component
+      }
     }
+    if (parts.contains(None)) None else Some(parts.map(_.get))
+  }
 
   /** A filter tree over partition columns → an exact per-file
     * predicate. Supports And / EqualTo / EqualNullSafe / IsNull / In —
@@ -500,8 +512,9 @@ object TxLogWriteCommit {
           "dynamic partition overwrite needs a partitioned table " +
             "(unpartitioned tables: use plain overwrite)")
         val newTuples = entries
-          .map(e => TxLogOverwriteSupport.tupleOf(e, pspec)).toSet
-        Some(e => newTuples.contains(TxLogOverwriteSupport.tupleOf(e, pspec)))
+          .flatMap(e => TxLogOverwriteSupport.tupleOf(e, pspec)).toSet
+        Some(e => TxLogOverwriteSupport.tupleOf(e, pspec)
+          .exists(newTuples.contains))
       case _ => None
     }
     // incremental bloom coverage, same as TxLog.append: new files join
@@ -735,8 +748,14 @@ class TxLogDataWriter(base: String, txnRel: String, fileStem: String,
       (if (pIdx.isEmpty) "" else s"-s$fileSeq") + ".parquet"
     fileSeq += 1
     rows = 0L
-    tracked = statsCols.map(c => new StatsTracker(
-      schema.fieldIndex(c), schema(c).name, schema(c).dataType))
+    // resolve case-insensitively but record stats under the REQUESTED
+    // name — the manifest's frozen physical casing, which exact-match
+    // readers (Entry.statsFor) key on regardless of this batch's casing
+    tracked = statsCols.map { c =>
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      require(i >= 0, s"stats column '$c' is not in the write schema")
+      new StatsTracker(i, c, schema.fields(i).dataType)
+    }
     writer = ExampleParquetWriter.builder(
         org.apache.parquet.hadoop.util.HadoopOutputFile
           .fromPath(new HPath(s"$base/$rel"), conf))

@@ -299,6 +299,42 @@ class TxLogPartitionSpec extends AnyFunSuite {
     s.sql("DROP TABLE gp2.lake.ow")
   }
 
+  test("review regressions: clones carry the partition declaration; " +
+    "mis-cased writes land stats under the frozen physical casing; " +
+    "TIMESTAMP partition columns are rejected; declaration resolution " +
+    "is case-insensitive everywhere") {
+    import spark.implicits._
+    val base = "/tmp/graft_txpart/regr"
+    val clone = "/tmp/graft_txpart/regr_clone"
+    TxLog.drop(spark, base); TxLog.drop(spark, clone)
+    // case-insensitive declaration (freezes the schema field's casing)
+    TxLog.commitPartitioned(df(Seq((1, "a", "x"))), base, Seq("REGION"))
+    assert(TxLog.partitionSpec(spark, base).map(_._1) == Seq("region"))
+    // a shallow clone keeps the declaration — its writes still split
+    TxLog.cloneShallow(spark, base, clone)
+    assert(TxLog.partitionSpec(spark, clone).map(_._1) == Seq("region"))
+    TxLog.append(df(Seq((2, "b", "y"), (3, "c", "z"))), clone)
+    assertPure(clone, "region")
+    assert(entriesOf(clone).size == 3)
+    // a DSv2 batch supplying 'REGION' still lands stats every
+    // exact-match reader resolves as 'region'
+    Seq((4, "d", "w")).toDF("id", "REGION", "payload")
+      .write.format("graft.sources.TxLogSource")
+      .mode("append").save(base)
+    assertPure(base, "region")
+    assert(TxLog.pruneRanges(spark, base,
+      Seq(("region", "d", "d")))._1.size == 1)
+    // timestamps cannot be partition columns (exact tuple matching
+    // would conflate sub-second values under epoch-second stats)
+    val ts = intercept[IllegalArgumentException] {
+      TxLog.commitPartitioned(
+        Seq((1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00.1")))
+          .toDF("id", "t"),
+        "/tmp/graft_txpart/regr_ts", Seq("t"))
+    }
+    assert(ts.getMessage.contains("TIMESTAMP partition"))
+  }
+
   test("merge-on-read DELETE masks partitioned files without breaking " +
     "purity, and time travel below the delete still prunes") {
     val base = "/tmp/graft_txpart/mor"
