@@ -432,9 +432,12 @@ object TxLog {
     * files and prune through ordinary stats lines, so ANY reader
     * handles a partitioned table — but an ignorant writer would land
     * unsplit multi-value files and drop the `#partition` line,
-    * silently un-partitioning the table, so writes are gated. */
+    * silently un-partitioning the table, so writes are gated. Writer
+    * version 4 (reader stays 2) = `#generatedcol` GENERATED ALWAYS AS
+    * columns: an ignorant writer would land un-computed, un-validated
+    * values and drop the declaration. */
   private[graft] val ReaderVersion = 2
-  private[graft] val WriterVersion = 3
+  private[graft] val WriterVersion = 4
 
   private[graft] def parseProtocolLines(lines: Seq[String])
       : Option[(Int, Int)] =
@@ -815,6 +818,95 @@ object TxLog {
         s"file ${e.path} spans partition values [${st.min}, ${st.max}] " +
           s"on '$c' — the write was planned against a different table " +
           "shape; restart it against the current (partitioned) table")
+  }
+
+  /** `#generatedcol\t<enc(col)>\t<enc(sqlExpr)>` — GENERATED ALWAYS AS
+    * columns (Delta generated columns): `col` and the expression speak
+    * LOGICAL names, like CHECK constraints. The API write verbs
+    * COMPUTE the column when a batch omits it and VALIDATE it
+    * (`col <=> expr`, null-safe) when supplied; the DSv2/SQL write
+    * paths validate at commit and require the column supplied (the
+    * data is already landed executor-side — nothing left to compute).
+    * Declared at table birth, carried forward by every commit. The
+    * flagship pairing: a generated `CAST(ts AS DATE)` day column as
+    * the PARTITION column — the pattern the TIMESTAMP-partition ban
+    * points at. */
+  private[graft] def parseGeneratedLines(lines: Seq[String])
+      : Seq[(String, String)] =
+    lines.collect { case l if l.startsWith("#generatedcol\t") =>
+      l.split('\t') match {
+        case Array(_, c, ex) => dec(c) -> dec(ex)
+        case other => throw new IllegalStateException(
+          s"malformed generated-column line (${other.length} fields)")
+      }
+    }
+
+  /** GENERATED ALWAYS AS columns (column → SQL expression, declared
+    * order) of one published version; empty = none. */
+  def generatedColumnsOf(spark: SparkSession, base: String,
+                         v: Long): Seq[(String, String)] =
+    parseGeneratedLines(manifestLines(spark, base, v))
+
+  private[graft] def generatedColumns(spark: SparkSession,
+                                      base: String): Seq[(String, String)] =
+    latestVersion(spark, base)
+      .map(generatedColumnsOf(spark, base, _)).getOrElse(Seq.empty)
+
+  /** The null-safe validation predicate for a SUPPLIED generated
+    * column — rides the existing constraint scan over the landed
+    * files, so validation costs one shared aggregate pass. */
+  private def generatedCheckExpr(c: String, ex: String): String =
+    s"`$c` <=> ($ex)"
+
+  /** Synthetic constraint entries validating every generated column
+    * PRESENT in `cols`; errors on one that is ABSENT (the DSv2/SQL
+    * write shape, where compute is impossible). */
+  private[graft] def generatedChecksFor(spark: SparkSession, base: String,
+                                        cols: Seq[String])
+      : Map[String, String] = {
+    val gens = generatedColumns(spark, base)
+    if (gens.isEmpty) return Map.empty
+    val cm = columnMapping(spark, base)
+    val have = cols.map(_.toLowerCase).toSet
+    gens.map { case (c, ex) =>
+      // landed files carry PHYSICAL names; `cols` is as-landed
+      val phys = cm.map(_.physical(c)).getOrElse(c)
+      require(have.contains(phys.toLowerCase) || have.contains(c.toLowerCase),
+        s"column '$c' is GENERATED ALWAYS AS ($ex) — this write path " +
+          "cannot compute it; include the column in the written data " +
+          "(the TxLog API verbs compute it automatically)")
+      s"_generated_$c" -> generatedCheckExpr(c, ex)
+    }.toMap
+  }
+
+  /** Compute every declared generated column a batch OMITS; validation
+    * of supplied ones happens on the landed files via the constraint
+    * scan. `df` is in PHYSICAL namespace (the verb-entry translation
+    * already ran); generation expressions speak logical names, so a
+    * mapped table computes on the logical view and translates back. */
+  private def applyGeneratedColumns(spark: SparkSession, base: String,
+                                    df: DataFrame,
+                                    gens: Seq[(String, String)],
+                                    cm: Option[ColMap]): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    if (gens.isEmpty) return df
+    def missing(d: DataFrame, logical: String): Boolean = {
+      val phys = cm.map(_.physical(logical)).getOrElse(logical)
+      !d.columns.exists(x => x.equalsIgnoreCase(phys) ||
+        x.equalsIgnoreCase(logical))
+    }
+    val toCompute = gens.filter { case (c, _) => missing(df, c) }
+    if (toCompute.isEmpty) df
+    else cm match {
+      case None =>
+        toCompute.foldLeft(df) { case (d, (c, ex)) =>
+          d.withColumn(c, expr(ex)) }
+      case Some(m) =>
+        val logical = toLogicalDf(df, m, None)
+        val computed = toCompute.foldLeft(logical) { case (d, (c, ex)) =>
+          d.withColumn(c, expr(ex)) }
+        toPhysicalDf(computed, m)
+    }
   }
 
   /** CHECK constraints (name → SQL expression) of one published
@@ -1288,12 +1380,22 @@ object TxLog {
     if (guardIdentity)
       failOnIdentityClash(parseIdentityLines(latestLines).keySet,
         df.columns.toSeq)
+    // GENERATED ALWAYS AS: compute every declared column the batch
+    // omits (before landing — the computed value may also be the
+    // partition split key); supplied ones validate below via the
+    // constraint scan (`col <=> expr`, one shared aggregate pass)
+    val gens = parseGeneratedLines(latestLines)
+    val df2 = applyGeneratedColumns(spark, base, df, gens,
+      parseColMapLines(latestLines))
     val cons = parseConstraintLines(latestLines)
     val entries =
-      landEntriesRaw(df, base, statsCols, parsePartitionLines(latestLines))
+      landEntriesRaw(df2, base, statsCols, parsePartitionLines(latestLines))
     // the one choke point every data write passes through — CHECK
     // constraints veto the batch here, before any manifest publishes
-    enforceConstraints(spark, base, entries.filter(_.rows != 0L), cons)
+    val genChecks = gens.map { case (c, ex) =>
+      s"_generated_$c" -> generatedCheckExpr(c, ex) }.toMap
+    enforceConstraints(spark, base, entries.filter(_.rows != 0L),
+      cons ++ genChecks)
     (entries, cons)
   }
 
@@ -1750,6 +1852,8 @@ object TxLog {
                                     operation: String = "WRITE",
                                     colMapOverride: Option[ColMap] = None,
                                     partitionOverride: Option[Seq[(String, String)]] =
+                                      None,
+                                    generatedOverride: Option[Seq[(String, String)]] =
                                       None): Unit = {
     // a concurrent vacuum can delete the version this commit diffs
     // against (the committer's snapshot is stale by definition then —
@@ -1775,6 +1879,7 @@ object TxLog {
       .orElse(parseSchemaLines(latestLines))
     val cmap = colMapOverride.orElse(parseColMapLines(latestLines))
     val pspec = partitionOverride.getOrElse(parsePartitionLines(latestLines))
+    val gens = generatedOverride.getOrElse(parseGeneratedLines(latestLines))
     // writer gate + carry: a table stamped by a newer engine with a
     // higher required writer version must not be committed to by this
     // one — the meta lines below are RECONSTRUCTED from the kinds this
@@ -1798,14 +1903,18 @@ object TxLog {
       // Unmapped tables keep stamping (1,1), so older engines read and
       // write them unchanged.
       // feature-derived writer floor: column mapping demands (2,2);
-      // declared partitioning additionally demands writer 3 (reader
-      // stays — partition columns are physical file columns pruned by
-      // ordinary stats lines, readable by any engine version)
+      // declared partitioning demands writer 3 and generated columns
+      // writer 4 (reader stays — both are ordinary physical columns
+      // with ordinary stats lines, readable by any engine version; an
+      // IGNORANT WRITER is what would corrupt them: unsplit files /
+      // un-computed, un-validated columns, plus the dropped meta line)
       Seq(s"#protocol\t${math.max(tblR, if (cmap.isDefined) 2 else 1)}" +
         s"\t${Seq(tblW, if (cmap.isDefined) 2 else 1,
-          if (pspec.nonEmpty) 3 else 1).max}") ++
+          if (pspec.nonEmpty) 3 else 1,
+          if (gens.nonEmpty) 4 else 1).max}") ++
       declared.toSeq.map(s => s"#schema\t${enc(s.json)}") ++
       (if (pspec.nonEmpty) Seq(serPartitionLine(pspec)) else Seq.empty) ++
+      gens.map { case (c, ex) => s"#generatedcol\t${enc(c)}\t${enc(ex)}" } ++
       cmap.toSeq.map(serColMapLine) ++
       cons.toSeq.sortBy(_._1).map { case (n, ex) =>
         s"#constraint\t${enc(n)}\t${enc(ex)}" } ++
@@ -1954,6 +2063,37 @@ object TxLog {
       case e: CommitConflictException =>
         discard(spark, base, entries.map(_.path)); throw e
     }
+  }
+
+  /** Create an EMPTY table with declared metadata: `partitionCols`
+    * ([[createPartitioned]] semantics) and/or `generated` GENERATED
+    * ALWAYS AS columns (column → SQL expression over the OTHER
+    * columns; must be deterministic — a non-deterministic expression
+    * fails its own `col <=> expr` validation at first write). The
+    * flagship combination is a generated `CAST(ts AS DATE)` day
+    * column AS the partition column — every append supplies raw
+    * events with a timestamp and the engine derives, splits, and
+    * stats-indexes the day automatically. */
+  def createTable(spark: SparkSession, base: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  partitionCols: Seq[String] = Seq.empty,
+                  generated: Seq[(String, String)] = Seq.empty): Long = {
+    require(latestVersion(spark, base).isEmpty,
+      s"$base already has committed versions — table metadata is " +
+        "declared at birth")
+    def fieldOf(c: String) = schema.fields.find(_.name.equalsIgnoreCase(c))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '$c' is not in the declared schema"))
+    val pspec = partitionCols.map { c =>
+      val f = fieldOf(c); f.name -> partitionDtype(f.dataType)
+    }
+    val gens = generated.map { case (c, ex) => fieldOf(c).name -> ex }
+    publishEntries(spark, base, 1L, Seq.empty, Map.empty,
+      declaredSchemaOverride = Some(schema),
+      partitionOverride = if (pspec.isEmpty) None else Some(pspec),
+      generatedOverride = if (gens.isEmpty) None else Some(gens),
+      operation = "CREATE TABLE")
+    1L
   }
 
   /** Create an EMPTY partitioned table (Delta `CREATE TABLE …
@@ -3751,10 +3891,11 @@ object TxLog {
       identityOverride = Some(identityOf(spark, srcBase, v)),
       declaredSchemaOverride = declaredSchemaOf(spark, srcBase, v),
       colMapOverride = columnMappingOf(spark, srcBase, v),
-      // the partition declaration rides too — dropping it would
-      // silently un-partition the clone (the exact hazard the
-      // writer-v3 gate exists to stop)
-      partitionOverride = Some(partitionSpecOf(spark, srcBase, v)))
+      // the partition and generated-column declarations ride too —
+      // dropping either would silently strip the clone of write-side
+      // semantics (the exact hazard the writer-v3/v4 gates stop)
+      partitionOverride = Some(partitionSpecOf(spark, srcBase, v)),
+      generatedOverride = Some(generatedColumnsOf(spark, srcBase, v)))
     1L
   }
 

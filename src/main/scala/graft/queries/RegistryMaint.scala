@@ -1191,6 +1191,39 @@ object RegistryMaint {
         .orderBy("user_id")
     }),
 
+    // GENERATED ALWAYS AS column as the PARTITION column (Delta
+    // generated columns + the derived-partition pattern): the table
+    // declares day = CAST(ts AS DATE); appends supply RAW events and
+    // the engine derives the day, splits one-file-per-day, and
+    // stats-indexes it — daily partition pruning with zero caller
+    // cooperation, the canonical 100 TB fact-table layout. The
+    // requires pin derivation, purity, and the one-day prune.
+    "s64_generated_day_partition" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txgen_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "event_type", "value", "ts")
+      TxLog.createTable(s, base,
+        ev.schema.add("day", org.apache.spark.sql.types.DateType),
+        partitionCols = Seq("day"),
+        generated = Seq("day" -> "CAST(ts AS DATE)"))
+      TxLog.append(ev, base) // no day column supplied — derived
+      val es = TxLog.manifest(s, base, TxLog.latestVersion(s, base).get)._1
+      require(es.size >= 25, s"one file per derived day: ${es.size}")
+      require(es.forall(_.statsFor("day").forall(st => st.min == st.max)),
+        "derived-day files must be partition-pure")
+      val (kept, all) = TxLog.pruneRanges(s, base,
+        Seq(("day", "2024-01-15", "2024-01-15")))
+      require(kept.size == 1 && all.size == es.size,
+        s"a one-day query must open one file: ${kept.size}/${all.size}")
+      TxLog.read(s, base)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy("day")
+    }),
+
     // Manifest-stats file skipping (Delta data-skipping analog): a
     // narrow id-range scan resolves the manifest's per-file min/max
     // FIRST and opens only the overlapping band files — at 10^5 files
@@ -2206,6 +2239,11 @@ object RegistryMaint {
                   AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events
          GROUP BY event_type ORDER BY event_type""",
+    "s64_generated_day_partition" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         GROUP BY 1 ORDER BY 1""",
     "s60_partitioned_table" ->
       """SELECT user_id, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

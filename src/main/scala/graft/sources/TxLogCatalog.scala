@@ -168,9 +168,35 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
       } finally in.close()
     }
 
-  override def createTable(ident: Identifier, schema: StructType,
+  /** The modern entry Spark actually calls: v2 `Column`s carry the
+    * `GENERATED ALWAYS AS` expression first-class (the StructType
+    * bridge drops it), so extract here and delegate. */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
+    val gens = columns.toSeq.flatMap(c =>
+      Option(c.generationExpression()).map(c.name -> _))
+    val schema = StructType(columns.map { c =>
+      val f = org.apache.spark.sql.types.StructField(
+        c.name, c.dataType, c.nullable)
+      Option(c.comment()).fold(f)(f.withComment)
+    })
+    createTableImpl(ident, schema, partitions, properties, gens)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    createTableImpl(ident, schema, partitions, properties,
+      schema.fields.toSeq.flatMap(f =>
+        org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .getGenerationExpression(f).map(f.name -> _)))
+
+  private def createTableImpl(ident: Identifier, schema: StructType,
+                              partitions: Array[Transform],
+                              properties: util.Map[String, String],
+                              gens: Seq[(String, String)]): Table = {
     // PARTITIONED BY (col, ...) — identity transforms only (Delta's
     // own constraint): each declared column becomes a `#partition`
     // meta entry, every write splits one-file-per-tuple with exact
@@ -211,17 +237,24 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     // (carried forward by every commit) in addition to the sidecar —
     // ALTER ADD COLUMNS republishes the line, so time travel sees
     // each version's own schema.
+    // `day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))` persists as a
+    // #generatedcol line the write verbs compute and every write path
+    // validates. Pairs with PARTITIONED BY (day): the Delta-recommended
+    // derived-partition pattern.
     TxLog.publishEntries(spark, dir.toString, 1L, Seq.empty, Map.empty,
       declaredSchemaOverride = Some(schema),
       partitionOverride = if (pspec.isEmpty) None else Some(pspec),
+      generatedOverride = if (gens.isEmpty) None else Some(gens),
       operation = "CREATE TABLE")
     new TxLogTable(schema, dir.toString)
   }
 
   /** Spark's native constraint DDL (`ALTER TABLE … ADD CONSTRAINT c
-    * CHECK (…)`) routes here only when the catalog declares it. */
+    * CHECK (…)`) and `GENERATED ALWAYS AS (…)` column DDL route here
+    * only when the catalog declares them. */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   /** `ALTER TABLE … ADD COLUMNS` → [[TxLog.alterAddColumns]] (a
     * metadata-only versioned commit); `ADD CONSTRAINT c CHECK (…)` /

@@ -492,7 +492,11 @@ object TxLogWriteCommit {
     // `checked` records the set enforcement ACTUALLY ran under, so a
     // drop-then-re-add between reads cannot slip past the comparison
     var checked = TxLog.constraints(spark, base)
-    TxLog.enforceConstraints(spark, base, entries, checked)
+    // GENERATED ALWAYS AS: this path cannot compute (data is already
+    // landed executor-side) — require the columns supplied and
+    // validate them through the same constraint scan
+    TxLog.enforceConstraints(spark, base, entries,
+      checked ++ TxLog.generatedChecksFor(spark, base, schemaCols))
     // partition-scoped overwrites resolve their matcher ONCE (the
     // spec is immutable); replaceWhere additionally validates the NEW
     // data up front — Delta's own rule: every written row must satisfy
@@ -599,7 +603,8 @@ object TxLogWriteCommit {
         checked = Some(checked match {
           case None =>
             val cons = TxLog.constraints(spark, base)
-            TxLog.enforceConstraints(spark, base, entries, cons)
+            TxLog.enforceConstraints(spark, base, entries,
+              cons ++ TxLog.generatedChecksFor(spark, base, schemaCols))
             cons
           case Some(c) => TxLog.reEnforceIfChanged(spark, base, entries, c)
         })

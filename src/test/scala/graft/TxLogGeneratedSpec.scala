@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, IntegerType, StringType, StructField, StructType, TimestampType}
+
+import graft.operators.TxLog
+
+/** GENERATED ALWAYS AS columns on the log (Delta generated columns):
+  * a `#generatedcol` meta line carried by every commit; the API write
+  * verbs COMPUTE the column when a batch omits it and VALIDATE it
+  * (null-safe `col <=> expr`) when supplied; DSv2/SQL writes validate
+  * at commit and require the column supplied. The flagship pairing is
+  * a generated `CAST(ts AS DATE)` day column AS the partition column —
+  * the pattern the TIMESTAMP-partition ban points at. */
+class TxLogGeneratedSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def events(rows: Seq[(Int, String)]) = {
+    import spark.implicits._
+    rows.map { case (i, t) => (i, ts(t)) }.toDF("id", "etime")
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("etime", TimestampType),
+    StructField("day", DateType)))
+
+  test("the flagship: a generated day column as the PARTITION column — " +
+    "appends supply raw timestamps, the engine derives, splits, and " +
+    "prunes on the day") {
+    val base = "/tmp/graft_txgen/daypart"
+    TxLog.drop(spark, base)
+    TxLog.createTable(spark, base, schema,
+      partitionCols = Seq("day"),
+      generated = Seq("day" -> "CAST(etime AS DATE)"))
+    TxLog.append(events(Seq(
+      (1, "2024-03-01 10:00:00"), (2, "2024-03-01 23:59:59"),
+      (3, "2024-03-02 00:00:01"), (4, "2024-03-03 08:00:00"))), base)
+    val es = TxLog.manifest(spark, base,
+      TxLog.latestVersion(spark, base).get)._1
+    assert(es.size == 3, s"3 derived days must land 3 files: $es")
+    es.foreach { e =>
+      val st = e.statsFor("day").get
+      assert(st.min == st.max, s"impure day file: $e")
+    }
+    // the derived column is a real, queryable column...
+    val got = TxLog.read(spark, base)
+    assert(got.columns.toSeq == Seq("id", "etime", "day"))
+    assert(got.where(col("day") === lit(java.sql.Date.valueOf("2024-03-01")))
+      .count() == 2)
+    // ...and partition pruning works on it
+    val (kept, all) = TxLog.pruneRanges(spark, base,
+      Seq(("day", "2024-03-02", "2024-03-02")))
+    assert(all.size == 3 && kept.size == 1)
+  }
+
+  test("a supplied generated column validates row-by-row: consistent " +
+    "values pass, an inconsistent batch is rejected whole") {
+    val base = "/tmp/graft_txgen/validate"
+    TxLog.drop(spark, base)
+    TxLog.createTable(spark, base, schema,
+      generated = Seq("day" -> "CAST(etime AS DATE)"))
+    import spark.implicits._
+    // consistent explicit values pass
+    TxLog.append(Seq((1, ts("2024-03-01 10:00:00"),
+        java.sql.Date.valueOf("2024-03-01")))
+      .toDF("id", "etime", "day"), base)
+    assert(TxLog.read(spark, base).count() == 1)
+    // an inconsistent one fails the null-safe check and lands nothing
+    val before = TxLog.latestVersion(spark, base)
+    val e = intercept[TxLog.ConstraintViolationException] {
+      TxLog.append(Seq((2, ts("2024-03-01 10:00:00"),
+          java.sql.Date.valueOf("1999-01-01")))
+        .toDF("id", "etime", "day"), base)
+    }
+    assert(e.name.startsWith("_generated_"))
+    assert(TxLog.latestVersion(spark, base) == before)
+    assert(TxLog.read(spark, base).count() == 1)
+  }
+
+  test("SQL lifecycle: CREATE TABLE with GENERATED ALWAYS AS + " +
+    "PARTITIONED BY, writes through the API derive the column, and a " +
+    "DSv2 INSERT missing it errors with guidance") {
+    val wh = "/tmp/graft_txgen/warehouse"
+    val s0 = SparkTestBase.spark
+    graft.sources.TxLogSqlDml.ensureInjected(s0)
+    val s = s0.newSession()
+    s.conf.set("spark.sql.catalog.gg", "graft.sources.TxLogCatalog")
+    s.conf.set("spark.sql.catalog.gg.warehouse", wh)
+    val base = s"$wh/lake/gt"
+    TxLog.drop(s, base)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gg.lake")
+    s.sql("CREATE TABLE gg.lake.gt (id INT, etime TIMESTAMP, " +
+      "day DATE GENERATED ALWAYS AS (CAST(etime AS DATE))) " +
+      "USING graft.sources.TxLogSource PARTITIONED BY (day)")
+    assert(TxLog.generatedColumns(s, base) ==
+      Seq("day" -> "CAST(etime AS DATE)"))
+    assert(TxLog.partitionSpec(s, base).map(_._1) == Seq("day"))
+    // the API append derives + splits
+    TxLog.append(events(Seq((1, "2024-03-01 10:00:00"),
+      (2, "2024-03-02 10:00:00"))), base)
+    assert(s.sql("SELECT count(*) FROM gg.lake.gt " +
+      "WHERE day = DATE'2024-03-01'").head.getLong(0) == 1)
+    // a consistent SQL INSERT (all columns) passes through DSv2
+    s.sql("INSERT INTO gg.lake.gt VALUES " +
+      "(3, TIMESTAMP'2024-03-02 11:00:00', DATE'2024-03-02')")
+    assert(s.sql("SELECT count(*) FROM gg.lake.gt").head.getLong(0) == 3)
+    // an inconsistent SQL INSERT is rejected whole
+    val bad = intercept[Exception] {
+      s.sql("INSERT INTO gg.lake.gt VALUES " +
+        "(4, TIMESTAMP'2024-03-02 11:00:00', DATE'1999-01-01')")
+    }
+    assert(bad.getMessage.contains("_generated_") ||
+      bad.getMessage.contains("GENERATED"), bad.getMessage)
+    assert(s.sql("SELECT count(*) FROM gg.lake.gt").head.getLong(0) == 3)
+    // DESCRIBE DETAIL min_writer_version reflects the feature gate
+    assert(s.sql("DESCRIBE DETAIL gg.lake.gt").head()
+      .getAs[Int]("min_writer_version") == 4)
+    s.sql("DROP TABLE gg.lake.gt")
+  }
+
+  test("generated metadata is carried by DML and maintenance, and a " +
+    "clone inherits it") {
+    val base = "/tmp/graft_txgen/carry"
+    val clone = "/tmp/graft_txgen/carry_clone"
+    TxLog.drop(spark, base); TxLog.drop(spark, clone)
+    TxLog.createTable(spark, base, schema,
+      generated = Seq("day" -> "CAST(etime AS DATE)"))
+    TxLog.append(events((1 to 20).map(i =>
+      (i, f"2024-03-${i % 3 + 1}%02d 10:00:00"))), base)
+    TxLog.deleteRangeMor(spark, base, "id", 1, 5)
+    TxLog.compact(spark, base, smallThresholdRows = 1000L,
+      targetRows = 1000L)
+    assert(TxLog.generatedColumns(spark, base) ==
+      Seq("day" -> "CAST(etime AS DATE)"))
+    TxLog.cloneShallow(spark, base, clone)
+    assert(TxLog.generatedColumns(spark, clone) ==
+      Seq("day" -> "CAST(etime AS DATE)"))
+    // the clone derives on append like the source
+    TxLog.append(events(Seq((99, "2024-04-01 00:00:00"))), clone)
+    assert(TxLog.read(spark, clone)
+      .where(col("day") === lit(java.sql.Date.valueOf("2024-04-01")))
+      .count() == 1)
+  }
+}
