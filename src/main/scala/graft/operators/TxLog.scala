@@ -786,6 +786,36 @@ object TxLog {
     latestVersion(spark, base)
       .map(partitionSpecOf(spark, base, _)).getOrElse(Seq.empty)
 
+  /** Partition inventory (Delta/Hive `SHOW PARTITIONS` analog), pure
+    * manifest metadata — zero data files opened: one row per live
+    * partition tuple with its file and live-row counts. Tuples render
+    * Hive-style (`day=2024-01-01/region=ea`; NULL components as
+    * `__HIVE_DEFAULT_PARTITION__`), under LOGICAL column names. */
+  def showPartitions(spark: SparkSession, base: String): DataFrame = {
+    val v = latestVersion(spark, base).getOrElse(
+      throw new IllegalStateException(s"no committed version at $base"))
+    val pspec = partitionSpecOf(spark, base, v)
+    require(pspec.nonEmpty,
+      s"SHOW PARTITIONS: txlog($base) is not a partitioned table")
+    val cm = columnMappingOf(spark, base, v)
+    val names = pspec.map { case (p, _) =>
+      cm.map(_.logicalOf(p)).getOrElse(p) }
+    val entries = snapshotEntries(spark, base, v)
+    val rows = entries.groupBy(e => pspec.map { case (c, _) =>
+        e.statsFor(c).filter(st => st.min == st.max).map(_.min)
+      }).toSeq
+      .map { case (tuple, es) =>
+        val rendered = names.zip(tuple).map { case (n, ov) =>
+          s"$n=${ov.getOrElse("__HIVE_DEFAULT_PARTITION__")}"
+        }.mkString("/")
+        (rendered, es.size.toLong,
+          if (es.forall(_.rows >= 0)) es.map(_.liveRows).sum else -1L)
+      }
+      .sortBy(_._1)
+    import spark.implicits._
+    rows.toDF("partition", "num_files", "num_rows")
+  }
+
   /** Stats dtype for a PARTITION column — [[statsDtype]] minus
     * TimestampType: timestamp stats floor to epoch SECONDS (sound for
     * range pruning, where a row-level residual reapplies exactly),

@@ -1224,6 +1224,30 @@ object RegistryMaint {
         .orderBy("day")
     }),
 
+    // SHOW PARTITIONS (Delta/Hive analog) as pure manifest metadata —
+    // the partition inventory with file/live-row counts answers from
+    // the driver's snapshot, zero data files opened, at ANY table
+    // size. The require pins the per-tuple file count the partitioned
+    // write produced.
+    "s65_show_partitions" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txshowpart_events"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select("event_id", "event_type", "value")
+      TxLog.commitPartitioned(ev, base, Seq("event_type"))
+      graft.sources.TxLogSqlDml.ensureInjected(s)
+      val sqlS = s.newSession()
+      sqlS.sql("DROP TABLE IF EXISTS txshowpart_w")
+      sqlS.sql("CREATE TABLE txshowpart_w " +
+        s"USING graft.sources.TxLogSource OPTIONS (path '$base')")
+      try {
+        val out = sqlS.sql("SHOW PARTITIONS txshowpart_w")
+        require(out.collect().forall(_.getLong(1) == 1L),
+          "one commit must land exactly one file per tuple")
+        out.select("partition", "num_rows").orderBy("partition")
+      } finally sqlS.sql("DROP TABLE IF EXISTS txshowpart_w")
+    }),
+
     // Manifest-stats file skipping (Delta data-skipping analog): a
     // narrow id-range scan resolves the manifest's per-file min/max
     // FIRST and opens only the overlapping band files — at 10^5 files
@@ -2239,6 +2263,10 @@ object RegistryMaint {
                   AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events
          GROUP BY event_type ORDER BY event_type""",
+    "s65_show_partitions" ->
+      """SELECT concat('event_type=', event_type) AS partition,
+                count(*) AS num_rows
+         FROM events GROUP BY event_type ORDER BY 1""",
     "s64_generated_day_partition" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

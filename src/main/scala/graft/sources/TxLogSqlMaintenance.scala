@@ -82,6 +82,8 @@ object TxLogSqlParser {
   private val ConvertRe =
     (s"""(?is)\\s*CONVERT\\s+TO\\s+TXLOG\\s+'([^']+)'""" +
       s"""(?:\\s+STATS\\s*\\(([^)]*)\\))?\\s*;?\\s*""").r
+  private val ShowPartitionsRe =
+    s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+($Ident)\\s*;?\\s*""".r
 
   /** Split a (possibly backtick-quoted) multipart identifier on dots
     * OUTSIDE backticks, so `my.table` stays one part. */
@@ -155,6 +157,11 @@ object TxLogSqlParser {
         val cols = Option(stats).toSeq
           .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
         Some(TxLogConvertCommand(path, cols))
+      // claimed ahead of Spark's own SHOW PARTITIONS (which needs v2
+      // SupportsPartitionManagement); falls back to the delegate at
+      // RUN time for non-txlog targets via resolveBase's loud error
+      case ShowPartitionsRe(t) =>
+        Some(TxLogShowPartitionsCommand(parts(t)))
       case _ => None
     }
 
@@ -246,6 +253,22 @@ case class TxLogConvertCommand(path: String, statsCols: Seq[String])
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TxLog.convertParquet(spark, path, statsCols)))
+}
+
+/** `SHOW PARTITIONS t` → the manifest's partition inventory
+  * ([[TxLog.showPartitions]]): one row per live tuple with file/row
+  * counts, zero data files opened. */
+case class TxLogShowPartitionsCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val base = TxLogSqlParser.resolveBase(spark, table)
+    TxLog.showPartitions(spark, base).collect().toSeq
+  }
 }
 
 /** `DESCRIBE DETAIL t` → the one-row [[TxLog.describeDetail]]

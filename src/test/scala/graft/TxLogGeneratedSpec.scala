@@ -122,6 +122,43 @@ class TxLogGeneratedSpec extends AnyFunSuite {
     s.sql("DROP TABLE gg.lake.gt")
   }
 
+  test("SHOW PARTITIONS lists the manifest's partition inventory — " +
+    "tuples, file and live-row counts — without opening a data file") {
+    val wh = "/tmp/graft_txgen/warehouse_sp"
+    val s0 = SparkTestBase.spark
+    graft.sources.TxLogSqlDml.ensureInjected(s0)
+    val s = s0.newSession()
+    s.conf.set("spark.sql.catalog.gsp", "graft.sources.TxLogCatalog")
+    s.conf.set("spark.sql.catalog.gsp.warehouse", wh)
+    val base = s"$wh/lake/sp"
+    TxLog.drop(s, base)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsp.lake")
+    s.sql("CREATE TABLE gsp.lake.sp (id INT, region STRING) " +
+      "USING graft.sources.TxLogSource PARTITIONED BY (region)")
+    s.sql("INSERT INTO gsp.lake.sp SELECT id AS k, " +
+      "CASE WHEN id % 2 = 0 THEN 'ea' ELSE 'we' END FROM range(0, 10)")
+    s.sql("INSERT INTO gsp.lake.sp VALUES (99, 'ea'), (100, NULL)")
+    val got = s.sql("SHOW PARTITIONS gsp.lake.sp").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "region=__HIVE_DEFAULT_PARTITION__" -> ((1L, 1L)),
+      "region=ea" -> ((2L, 6L)),
+      "region=we" -> ((1L, 5L))), s"$got")
+    // MOR deletes show in the LIVE row counts
+    s.sql("DELETE FROM gsp.lake.sp WHERE id >= 99")
+    val after = s.sql("SHOW PARTITIONS gsp.lake.sp").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(after("region=ea") == 5L)
+    // unpartitioned tables answer loudly
+    val e = intercept[Exception] {
+      s.sql("CREATE TABLE gsp.lake.flat (k INT) " +
+        "USING graft.sources.TxLogSource")
+      s.sql("SHOW PARTITIONS gsp.lake.flat").collect()
+    }
+    assert(e.getMessage.contains("not a partitioned table"))
+    s.sql("DROP TABLE gsp.lake.sp"); s.sql("DROP TABLE gsp.lake.flat")
+  }
+
   test("generated metadata is carried by DML and maintenance, and a " +
     "clone inherits it") {
     val base = "/tmp/graft_txgen/carry"
