@@ -494,9 +494,21 @@ object TxLog {
     try Some(fs(base, spark)
       .getFileStatus(manifestPath(base, v)).getModificationTime)
     catch { case _: java.io.IOException => None }
+  /** ONE canonical spelling per table dir: the SQL surfaces hand
+    * URI-qualified paths (`file:/tmp/t`) where the API uses raw ones
+    * (`/tmp/t`) — a raw-string key would cache the SAME table twice,
+    * and a purge through one spelling would miss the other's entries
+    * (caught by the bench's repeated s55 runs: a pinned-mtime table
+    * recreated at the same path revived the PREVIOUS incarnation's
+    * entry list through the alias). Qualification is pure URI math —
+    * no filesystem RPC. */
+  private def cacheKey(base: String): String = {
+    val s = new Path(base).toString // normalizes separators
+    if (s.startsWith("file:")) s.stripPrefix("file:") else s
+  }
   private def cacheGet(spark: SparkSession, base: String,
                        v: Long): Option[Seq[Entry]] =
-    snapCache.synchronized(Option(snapCache.get((base, v))))
+    snapCache.synchronized(Option(snapCache.get((cacheKey(base), v))))
       .flatMap { case (mt, es) =>
         if (commitMtimeOpt(spark, base, v).contains(mt)) Some(es) else None
       }
@@ -504,10 +516,11 @@ object TxLog {
                        es: Seq[Entry]): Unit =
     if (es.size <= SnapCacheMaxEntries)
       commitMtimeOpt(spark, base, v).foreach(mt =>
-        snapCache.synchronized(snapCache.put((base, v), (mt, es))))
+        snapCache.synchronized(snapCache.put((cacheKey(base), v), (mt, es))))
   private def cachePurge(base: String): Unit = snapCache.synchronized {
+    val key = cacheKey(base)
     val it = snapCache.keySet.iterator()
-    while (it.hasNext) if (it.next()._1 == base) it.remove()
+    while (it.hasNext) if (it.next()._1 == key) it.remove()
   }
 
   /** Apply one delta commit's data lines to the previous snapshot:
@@ -1137,10 +1150,17 @@ object TxLog {
   /** Pin version `v`'s commit instant (the commit file's mtime — the
     * clock [[versionAtTimestamp]] reads). Fixture/test seam: lets a
     * deterministic harness ask timestamp-travel questions without
-    * sleeping between commits. */
+    * sleeping between commits. The snapshot cache is purged for the
+    * table: its staleness guard IS the commit mtime, so rewriting the
+    * clock must drop the cached entries — a drop-and-recreate that
+    * pins the SAME instants would otherwise revive the PREVIOUS
+    * table's entry list (caught by the bench's repeated-invocation
+    * runs: RESTORE republished a prior incarnation's dead paths). */
   def setCommitTime(spark: SparkSession, base: String, v: Long,
-                    tsMillis: Long): Unit =
+                    tsMillis: Long): Unit = {
     fs(base, spark).setTimes(manifestPath(base, v), tsMillis, -1)
+    cachePurge(base)
+  }
 
   /** Snapshot read of the latest published version. */
   def read(spark: SparkSession, base: String): DataFrame = {

@@ -1224,6 +1224,54 @@ object RegistryMaint {
         .orderBy("day")
     }),
 
+    // The composite lifecycle the round's features exist for: a fact
+    // table partitioned on a GENERATED day column — raw appends
+    // derive and split; one bad day is RESTATED with partition-scoped
+    // INSERT OVERWRITE (old day file drops metadata-only, 29 other
+    // days carried by reference, generated-consistency validated);
+    // SHOW PARTITIONS reads the inventory without opening a file.
+    // The classic daily-backfill correction at 100 TB: the commit
+    // costs one day of data, never the table.
+    "s66_day_restatement" -> ((s, dir) => {
+      val wh = Ingest.fixtureDir(dir) + "/txday_warehouse"
+      val base = wh + "/lake/fact"
+      TxLog.drop(s, base)
+      graft.sources.TxLogSqlDml.ensureInjected(s)
+      val sqlS = s.newSession()
+      sqlS.conf.set("spark.sql.catalog.gday", "graft.sources.TxLogCatalog")
+      sqlS.conf.set("spark.sql.catalog.gday.warehouse", wh)
+      sqlS.sql("CREATE NAMESPACE IF NOT EXISTS gday.lake")
+      sqlS.sql("CREATE TABLE gday.lake.fact (event_id BIGINT, " +
+        "event_type STRING, value DOUBLE, ts TIMESTAMP, " +
+        "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+        "USING graft.sources.TxLogSource PARTITIONED BY (day)")
+      val ev = t(sqlS, dir, "events")
+        .select("event_id", "event_type", "value", "ts")
+      TxLog.append(ev, base) // day derived + split, one file per day
+      val before = TxLog.manifest(sqlS, base,
+        TxLog.latestVersion(sqlS, base).get)._1
+      ev.createOrReplaceTempView("ev_day_src")
+      // restate 2024-01-15: the correction doubles its values
+      sqlS.sql("INSERT OVERWRITE gday.lake.fact " +
+        "PARTITION (day = DATE'2024-01-15') " +
+        "SELECT event_id, event_type, value * 2 AS value, ts " +
+        "FROM ev_day_src WHERE CAST(ts AS DATE) = DATE'2024-01-15'")
+      val after = TxLog.manifest(sqlS, base,
+        TxLog.latestVersion(sqlS, base).get)._1.map(_.path).toSet
+      val untouched = before.filter(_.statsFor("day")
+        .exists(_.min != "2024-01-15")).map(_.path)
+      require(untouched.nonEmpty && untouched.forall(after.contains),
+        "the 29 untouched days must carry by reference")
+      require(before.filter(_.statsFor("day").exists(_.min == "2024-01-15"))
+          .map(_.path).forall(!after.contains(_)),
+        "the restated day's old file must drop metadata-only")
+      require(sqlS.sql("SHOW PARTITIONS gday.lake.fact").count() == 30,
+        "the inventory must list all 30 day tuples")
+      sqlS.sql("SELECT day, count(*) AS n, " +
+        "cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value " +
+        "FROM gday.lake.fact GROUP BY day ORDER BY day")
+    }),
+
     // SHOW PARTITIONS (Delta/Hive analog) as pure manifest metadata —
     // the partition inventory with file/live-row counts answers from
     // the driver's snapshot, zero data files opened, at ANY table
@@ -2267,6 +2315,14 @@ object RegistryMaint {
       """SELECT concat('event_type=', event_type) AS partition,
                 count(*) AS num_rows
          FROM events GROUP BY event_type ORDER BY 1""",
+    "s66_day_restatement" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+                cast(sum(cast(
+                  CASE WHEN CAST(ts AS DATE) = DATE '2024-01-15'
+                       THEN value * 2 ELSE value END
+                  AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events
+         GROUP BY 1 ORDER BY 1""",
     "s64_generated_day_partition" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
                 cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -177,12 +177,29 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
                            properties: util.Map[String, String]): Table = {
     val gens = columns.toSeq.flatMap(c =>
       Option(c.generationExpression()).map(c.name -> _))
+    // `id BIGINT GENERATED ALWAYS AS IDENTITY` → the log's #identity
+    // high-water line, seeded so the first allocation is `start`.
+    // Step 1 / ALWAYS only — the high-water protocol allocates dense
+    // increments and vetoes explicit inserts (BY DEFAULT arrives via
+    // the merge/CDC verbs, which advance the water past source ids).
+    val idents = columns.toSeq.flatMap(c =>
+      Option(c.identityColumnSpec()).map(c.name -> _))
+    idents.foreach { case (n, spec) =>
+      require(spec.getStep == 1,
+        s"identity column '$n': only INCREMENT BY 1 is supported " +
+          "(the log allocates dense high-water increments)")
+      require(!spec.isAllowExplicitInsert,
+        s"identity column '$n': only GENERATED ALWAYS AS IDENTITY is " +
+          "supported (BY DEFAULT values arrive via MERGE/applyChanges, " +
+          "which advance the high-water past explicit ids)")
+    }
     val schema = StructType(columns.map { c =>
       val f = org.apache.spark.sql.types.StructField(
         c.name, c.dataType, c.nullable)
       Option(c.comment()).fold(f)(f.withComment)
     })
-    createTableImpl(ident, schema, partitions, properties, gens)
+    createTableImpl(ident, schema, partitions, properties, gens,
+      idents.map { case (n, spec) => n -> (spec.getStart - 1L) }.toMap)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -191,12 +208,14 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     createTableImpl(ident, schema, partitions, properties,
       schema.fields.toSeq.flatMap(f =>
         org.apache.spark.sql.catalyst.util.GeneratedColumn
-          .getGenerationExpression(f).map(f.name -> _)))
+          .getGenerationExpression(f).map(f.name -> _)),
+      Map.empty)
 
   private def createTableImpl(ident: Identifier, schema: StructType,
                               partitions: Array[Transform],
                               properties: util.Map[String, String],
-                              gens: Seq[(String, String)]): Table = {
+                              gens: Seq[(String, String)],
+                              identitySeeds: Map[String, Long]): Table = {
     // PARTITIONED BY (col, ...) — identity transforms only (Delta's
     // own constraint): each declared column becomes a `#partition`
     // meta entry, every write splits one-file-per-tuple with exact
@@ -245,6 +264,8 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
       declaredSchemaOverride = Some(schema),
       partitionOverride = if (pspec.isEmpty) None else Some(pspec),
       generatedOverride = if (gens.isEmpty) None else Some(gens),
+      identityOverride =
+        if (identitySeeds.isEmpty) None else Some(identitySeeds),
       operation = "CREATE TABLE")
     new TxLogTable(schema, dir.toString)
   }
@@ -254,7 +275,8 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     * only when the catalog declares them. */
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** `ALTER TABLE … ADD COLUMNS` → [[TxLog.alterAddColumns]] (a
     * metadata-only versioned commit); `ADD CONSTRAINT c CHECK (…)` /

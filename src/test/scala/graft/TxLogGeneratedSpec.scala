@@ -159,6 +159,52 @@ class TxLogGeneratedSpec extends AnyFunSuite {
     s.sql("DROP TABLE gsp.lake.sp"); s.sql("DROP TABLE gsp.lake.flat")
   }
 
+  test("GENERATED ALWAYS AS IDENTITY DDL seeds the log's high-water: " +
+    "allocation starts at START WITH, explicit inserts stay vetoed, " +
+    "and unsupported specs error at CREATE") {
+    val wh = "/tmp/graft_txgen/warehouse_id"
+    val s0 = SparkTestBase.spark
+    graft.sources.TxLogSqlDml.ensureInjected(s0)
+    val s = s0.newSession()
+    s.conf.set("spark.sql.catalog.gid", "graft.sources.TxLogCatalog")
+    s.conf.set("spark.sql.catalog.gid.warehouse", wh)
+    val base = s"$wh/lake/idt"
+    TxLog.drop(s, base)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gid.lake")
+    s.sql("CREATE TABLE gid.lake.idt (row_id BIGINT GENERATED ALWAYS " +
+      "AS IDENTITY (START WITH 100 INCREMENT BY 1), v STRING) " +
+      "USING graft.sources.TxLogSource")
+    assert(TxLog.identityOf(s, base, 1L) == Map("row_id" -> 99L),
+      "the seed must make the FIRST allocation = START WITH")
+    import s.implicits._
+    TxLog.appendIdentity(Seq("a", "b", "c").toDF("v"), base, "row_id")
+    val ids = TxLog.read(s, base).select("row_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(100L, 101L, 102L), ids.toSeq.toString)
+    // SQL INSERT with an explicit id is rejected (Spark's own identity
+    // handling fires before our gate — either way the table is safe)
+    intercept[Exception] {
+      s.sql("INSERT INTO gid.lake.idt VALUES (999, 'x')")
+    }
+    // ...and the path-based DSv2 write hits OUR GENERATED ALWAYS veto
+    val veto = intercept[Exception] {
+      Seq((999L, "x")).toDF("row_id", "v")
+        .write.format("graft.sources.TxLogSource")
+        .mode("append").save(base)
+    }
+    assert(veto.getMessage.toLowerCase.contains("identity"),
+      veto.getMessage)
+    assert(TxLog.read(s, base).count() == 3)
+    // unsupported flavors fail at CREATE, not first write
+    val step = intercept[Exception] {
+      s.sql("CREATE TABLE gid.lake.idt2 (id BIGINT GENERATED ALWAYS " +
+        "AS IDENTITY (START WITH 1 INCREMENT BY 5), v STRING) " +
+        "USING graft.sources.TxLogSource")
+    }
+    assert(step.getMessage.contains("INCREMENT BY 1"), step.getMessage)
+    s.sql("DROP TABLE gid.lake.idt")
+  }
+
   test("generated metadata is carried by DML and maintenance, and a " +
     "clone inherits it") {
     val base = "/tmp/graft_txgen/carry"
