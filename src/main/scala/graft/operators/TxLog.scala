@@ -502,10 +502,19 @@ object TxLog {
     * recreated at the same path revived the PREVIOUS incarnation's
     * entry list through the alias). Qualification is pure URI math —
     * no filesystem RPC. */
-  private def cacheKey(base: String): String = {
-    val s = new Path(base).toString // normalizes separators
-    if (s.startsWith("file:")) s.stripPrefix("file:") else s
+  /** ONE canonical spelling per local table dir, shared with the
+    * DSv2 schema cache: `file:/tmp/t`, `file:///tmp/t` and `/tmp/t`
+    * all canonicalize to the raw path (the URI path component), so
+    * no cache can alias one table under two keys. Non-file schemes
+    * keep their qualified spelling. */
+  private[graft] def canonicalBase(base: String): String = {
+    val p = new Path(base)
+    val u = p.toUri
+    if (u.getScheme == null) p.toString
+    else if (u.getScheme == "file") u.getPath
+    else p.toString
   }
+  private def cacheKey(base: String): String = canonicalBase(base)
   private def cacheGet(spark: SparkSession, base: String,
                        v: Long): Option[Seq[Entry]] =
     snapCache.synchronized(Option(snapCache.get((cacheKey(base), v))))
@@ -799,6 +808,23 @@ object TxLog {
     latestVersion(spark, base)
       .map(partitionSpecOf(spark, base, _)).getOrElse(Seq.empty)
 
+  /** A file's partition tuple under `pspec` (inner None = all-NULL
+    * component); outer None = the file SPANS values on some partition
+    * column — impossible on a born-partitioned table, defensive for
+    * hand-built manifests. The ONE extraction the overwrite matchers
+    * and the partition inventory share. */
+  private[graft] def entryTuple(e: Entry, pspec: Seq[(String, String)])
+      : Option[Seq[Option[String]]] = {
+    val parts = pspec.map { case (c, _) =>
+      e.statsFor(c) match {
+        case Some(st) if st.min == st.max => Some(Some(st.min))
+        case Some(_) => None // spans values: no tuple
+        case None => Some(None) // all-NULL component
+      }
+    }
+    if (parts.contains(None)) None else Some(parts.map(_.get))
+  }
+
   /** Partition inventory (Delta/Hive `SHOW PARTITIONS` analog), pure
     * manifest metadata — zero data files opened: one row per live
     * partition tuple with its file and live-row counts. Tuples render
@@ -814,13 +840,16 @@ object TxLog {
     val names = pspec.map { case (p, _) =>
       cm.map(_.logicalOf(p)).getOrElse(p) }
     val entries = snapshotEntries(spark, base, v)
-    val rows = entries.groupBy(e => pspec.map { case (c, _) =>
-        e.statsFor(c).filter(st => st.min == st.max).map(_.min)
-      }).toSeq
+    val rows = entries.groupBy(entryTuple(_, pspec)).toSeq
       .map { case (tuple, es) =>
-        val rendered = names.zip(tuple).map { case (n, ov) =>
-          s"$n=${ov.getOrElse("__HIVE_DEFAULT_PARTITION__")}"
-        }.mkString("/")
+        val rendered = tuple match {
+          case Some(vals) => names.zip(vals).map { case (n, ov) =>
+            s"$n=${ov.getOrElse("__HIVE_DEFAULT_PARTITION__")}"
+          }.mkString("/")
+          // impossible on a born-partitioned table; surfaced, never
+          // conflated with the legitimate all-NULL tuple
+          case None => "__MIXED_VALUES__"
+        }
         (rendered, es.size.toLong,
           if (es.forall(_.rows >= 0)) es.map(_.liveRows).sum else -1L)
       }
@@ -1409,8 +1438,11 @@ object TxLog {
     * column gets no stats FOR THAT COLUMN and is treated as
     * always-overlapping there. */
   private[graft] def landEntriesMulti(df: DataFrame, base: String,
-                                      statsCols: Seq[String]): Seq[Entry] =
-    landEntriesChecked(df, base, statsCols)._1
+                                      statsCols: Seq[String],
+                                      recomputeGenerated: Boolean = false)
+      : Seq[Entry] =
+    landEntriesChecked(df, base, statsCols,
+      recomputeGenerated = recomputeGenerated)._1
 
   /** [[landEntriesMulti]] that also returns the CHECK-constraint set
     * the landed batch was enforced under — the CAS retry loops compare
@@ -1419,7 +1451,8 @@ object TxLog {
     * would miss). */
   private[graft] def landEntriesChecked(df: DataFrame, base: String,
                                         statsCols: Seq[String],
-                                        guardIdentity: Boolean = false)
+                                        guardIdentity: Boolean = false,
+                                        recomputeGenerated: Boolean = false)
       : (Seq[Entry], Map[String, String]) = {
     val spark = df.sparkSession
     // ONE manifest read serves both meta checks (constraints + the
@@ -1433,10 +1466,22 @@ object TxLog {
     // GENERATED ALWAYS AS: compute every declared column the batch
     // omits (before landing — the computed value may also be the
     // partition split key); supplied ones validate below via the
-    // constraint scan (`col <=> expr`, one shared aggregate pass)
+    // constraint scan (`col <=> expr`, one shared aggregate pass).
+    // Rewrite paths (UPDATE/MERGE images whose SOURCE columns may
+    // have changed) pass recomputeGenerated — the stale derived value
+    // is dropped and re-derived instead of failing validation,
+    // Delta's own recompute-on-update rule.
     val gens = parseGeneratedLines(latestLines)
-    val df2 = applyGeneratedColumns(spark, base, df, gens,
-      parseColMapLines(latestLines))
+    val cmapParsed = parseColMapLines(latestLines)
+    val df0 =
+      if (!recomputeGenerated || gens.isEmpty) df
+      else {
+        val genPhys = gens.map { case (c, _) =>
+          cmapParsed.map(_.physical(c)).getOrElse(c) }
+        df.drop(df.columns.filter(x => genPhys.exists(_.equalsIgnoreCase(x))
+          || gens.exists(_._1.equalsIgnoreCase(x))).toIndexedSeq: _*)
+      }
+    val df2 = applyGeneratedColumns(spark, base, df0, gens, cmapParsed)
     val cons = parseConstraintLines(latestLines)
     val entries =
       landEntriesRaw(df2, base, statsCols, parsePartitionLines(latestLines))
@@ -1638,6 +1683,11 @@ object TxLog {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
     require(name.trim.nonEmpty && checkExpr.trim.nonEmpty,
       "constraint name and expression must be non-empty")
+    // the prefix is reserved for the synthetic generated-column
+    // validation entries — a user constraint under it would be
+    // silently shadowed at land time (map-key collision)
+    require(!name.startsWith("_generated_"),
+      s"constraint name '$name' uses the reserved _generated_ prefix")
     expr(checkExpr) // parse up front: an unparseable expression must
                     // fail HERE, not poison every later write — the
                     // empty-table path below never evaluates it
@@ -1761,6 +1811,18 @@ object TxLog {
         .exists(_.equalsIgnoreCase(physical)),
       s"cannot $verb column '$logical': it is a GENERATED ALWAYS " +
         "IDENTITY column")
+    // a dangling #generatedcol line (unresolvable expression, or a
+    // vanished target column) would brick every later write — the
+    // exact dependency rule Delta applies to generated columns
+    val gens = generatedColumnsOf(spark, base, cur)
+    require(!gens.exists(_._1.equalsIgnoreCase(logical)),
+      s"cannot $verb column '$logical': it is GENERATED ALWAYS AS")
+    val genDeps = gens.filter { case (_, ex) =>
+      constraintRefLowers(spark, ex).contains(logical.toLowerCase)
+    }.map(_._1)
+    require(genDeps.isEmpty,
+      s"cannot $verb column '$logical': generated column(s) " +
+        s"${genDeps.mkString(", ")} derive from it")
   }
 
   /** The version's column mapping, or the identity seed derived from
@@ -2163,19 +2225,7 @@ object TxLog {
                         schema: org.apache.spark.sql.types.StructType,
                         partitionCols: Seq[String]): Long = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
-    require(latestVersion(spark, base).isEmpty,
-      s"$base already has committed versions — partitioning is declared " +
-        "at table birth")
-    val pspec = partitionCols.map { c =>
-      val f = schema.fields.find(_.name.equalsIgnoreCase(c))
-        .getOrElse(throw new IllegalArgumentException(
-          s"partition column '$c' is not in the declared schema"))
-      f.name -> partitionDtype(f.dataType)
-    }
-    publishEntries(spark, base, 1L, Seq.empty, Map.empty,
-      declaredSchemaOverride = Some(schema),
-      partitionOverride = Some(pspec), operation = "CREATE TABLE")
-    1L
+    createTable(spark, base, schema, partitionCols)
   }
 
   /** Data-first creation of a partitioned table: land `df` split by
@@ -2390,7 +2440,8 @@ object TxLog {
           readEntries(spark, base, touched), // masks applied: deleted
           source, keys)                      // rows never resurrect
       val newEntries = landEntriesMulti(merged, base,
-        preservedStatsCols(touched, Seq(statsCol), merged.schema))
+        preservedStatsCols(touched, Seq(statsCol), merged.schema),
+        recomputeGenerated = true)
       val v = cur.getOrElse(0L) + 1L
       try {
         publishEntries(spark, base, v, carried ++ newEntries, txns,
@@ -2659,7 +2710,8 @@ object TxLog {
         val updatedP = toPhysicalIfMapped(spark, base, updated)
         val newEntries = landEntriesMulti(updatedP, base,
           preservedStatsCols(touched,
-            primaryStats.map(physicalName(spark, base, _)), updatedP.schema))
+            primaryStats.map(physicalName(spark, base, _)), updatedP.schema),
+          recomputeGenerated = true)
           .filter(_.rows != 0L)
         landMaskSidecar(spark, base, touched, hits0) match {
           case None => // no hits anywhere: drop the (empty) append too
@@ -2765,7 +2817,8 @@ object TxLog {
       val (entries, txns) = manifest(spark, base, cur)
       val (touched, carried) = entries.partition(touchedFilter)
       val newEntries = landEntriesMulti(source, base,
-        preservedStatsCols(touched, primaryStats, source.schema))
+        preservedStatsCols(touched, primaryStats, source.schema),
+        recomputeGenerated = true)
         .filter(_.rows != 0L)
       def publishWith(masked: Seq[Entry], dvDir: Option[String]): Long =
         try {

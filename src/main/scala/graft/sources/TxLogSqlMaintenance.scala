@@ -157,11 +157,17 @@ object TxLogSqlParser {
         val cols = Option(stats).toSeq
           .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
         Some(TxLogConvertCommand(path, cols))
-      // claimed ahead of Spark's own SHOW PARTITIONS (which needs v2
-      // SupportsPartitionManagement); falls back to the delegate at
-      // RUN time for non-txlog targets via resolveBase's loud error
+      // claimed ONLY for txlog targets: Spark HAS its own SHOW
+      // PARTITIONS grammar (unlike OPTIMIZE/VACUUM), so any table the
+      // resolver does not recognize as a txlog store falls through to
+      // the delegate untouched — interception stays strictly additive
       case ShowPartitionsRe(t) =>
-        Some(TxLogShowPartitionsCommand(parts(t)))
+        val p = parts(t)
+        val isTx =
+          try { resolveBase(org.apache.spark.sql.SparkSession.active, p)
+                true }
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (isTx) Some(TxLogShowPartitionsCommand(p)) else None
       case _ => None
     }
 

@@ -218,14 +218,10 @@ object TxLogSource {
   private[sources] def cachedSchema(base: String, v: Long, mtime: Long)
                                    (compute: => StructType): StructType = {
     // normalize the path spelling (file:/tmp/t vs /tmp/t) — the same
-    // aliasing the snapshot cache normalizes: a pinned-mtime table
-    // recreated at the same path must never serve a previous
-    // incarnation's schema through the alias
-    val canon = {
-      val s = new HPath(base).toString
-      if (s.startsWith("file:")) s.stripPrefix("file:") else s
-    }
-    val key = (canon, v, mtime)
+    // canonicalization the snapshot cache uses (ONE helper, no
+    // drift): a pinned-mtime table recreated at the same path must
+    // never serve a previous incarnation's schema through an alias
+    val key = (TxLog.canonicalBase(base), v, mtime)
     val hit = schemaCache.synchronized(Option(schemaCache.get(key)))
     hit.getOrElse {
       val s = compute

@@ -397,16 +397,7 @@ object TxLogOverwriteSupport {
     * overwrite always CARRIES it, never conflating it with the
     * legitimate all-NULL tuple. */
   def tupleOf(e: TxLog.Entry, pspec: Seq[(String, String)])
-      : Option[Seq[Option[String]]] = {
-    val parts = pspec.map { case (c, _) =>
-      e.statsFor(c) match {
-        case Some(st) if st.min == st.max => Some(Some(st.min))
-        case Some(_) => None // spans values: no tuple
-        case None => Some(None) // all-NULL component
-      }
-    }
-    if (parts.contains(None)) None else Some(parts.map(_.get))
-  }
+      : Option[Seq[Option[String]]] = TxLog.entryTuple(e, pspec)
 
   /** A filter tree over partition columns → an exact per-file
     * predicate. Supports And / EqualTo / EqualNullSafe / IsNull / In —

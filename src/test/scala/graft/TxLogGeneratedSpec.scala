@@ -205,6 +205,42 @@ class TxLogGeneratedSpec extends AnyFunSuite {
     s.sql("DROP TABLE gid.lake.idt")
   }
 
+  test("review regressions: UPDATE of a source column RECOMPUTES the " +
+    "generated value; RENAME/DROP of generated columns or their " +
+    "sources is blocked; reserved constraint names rejected") {
+    val base = "/tmp/graft_txgen/recompute"
+    TxLog.drop(spark, base)
+    TxLog.createTable(spark, base, schema,
+      generated = Seq("day" -> "CAST(etime AS DATE)"))
+    TxLog.append(events(Seq((1, "2024-03-01 10:00:00"),
+      (2, "2024-03-02 10:00:00"))), base)
+    // the UPDATE moves row 1's etime to another day: the derived day
+    // must FOLLOW (Delta's recompute-on-update), not abort validation
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    TxLog.updateWhereMor(spark, base, col("id") === 1,
+      Map("etime" -> expr("TIMESTAMP'2024-03-09 08:00:00'")))
+    val r1 = TxLog.read(spark, base).where(col("id") === 1).head()
+    assert(r1.getAs[java.sql.Date]("day").toString == "2024-03-09", r1)
+    // dependency guards: the generated column and its source are
+    // pinned (a dangling expression would brick every later write)
+    val g1 = intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, base, "etime", "event_time")
+    }
+    assert(g1.getMessage.contains("derive"), g1.getMessage)
+    val g2 = intercept[IllegalArgumentException] {
+      TxLog.dropColumn(spark, base, "day")
+    }
+    assert(g2.getMessage.contains("GENERATED"), g2.getMessage)
+    // the synthetic-check namespace is reserved
+    val g3 = intercept[IllegalArgumentException] {
+      TxLog.addConstraint(spark, base, "_generated_day", "day IS NOT NULL")
+    }
+    assert(g3.getMessage.contains("reserved"), g3.getMessage)
+    // renaming an UNRELATED column still works
+    TxLog.renameColumn(spark, base, "id", "row_key")
+    assert(TxLog.read(spark, base).columns.contains("row_key"))
+  }
+
   test("generated metadata is carried by DML and maintenance, and a " +
     "clone inherits it") {
     val base = "/tmp/graft_txgen/carry"
