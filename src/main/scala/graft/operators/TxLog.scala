@@ -1966,7 +1966,8 @@ object TxLog {
                                     partitionOverride: Option[Seq[(String, String)]] =
                                       None,
                                     generatedOverride: Option[Seq[(String, String)]] =
-                                      None): Unit = {
+                                      None,
+                                    clearColMap: Boolean = false): Unit = {
     // a concurrent vacuum can delete the version this commit diffs
     // against (the committer's snapshot is stale by definition then —
     // its CAS would lose anyway): surface the FileNotFound as a
@@ -1989,7 +1990,11 @@ object TxLog {
       .getOrElse(parseIdentityLines(latestLines))
     val declared = declaredSchemaOverride
       .orElse(parseSchemaLines(latestLines))
-    val cmap = colMapOverride.orElse(parseColMapLines(latestLines))
+    // REPLACE TABLE resets the logical lineage: the new definition's
+    // names bind fresh, so a carried mapping (keyed on the OLD data
+    // files' physical names) must drop rather than mistranslate
+    val cmap = if (clearColMap) None
+               else colMapOverride.orElse(parseColMapLines(latestLines))
     val pspec = partitionOverride.getOrElse(parsePartitionLines(latestLines))
     val gens = generatedOverride.getOrElse(parseGeneratedLines(latestLines))
     // writer gate + carry: a table stamped by a newer engine with a

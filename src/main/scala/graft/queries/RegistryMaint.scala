@@ -1272,6 +1272,46 @@ object RegistryMaint {
         "FROM gday.lake.fact GROUP BY day ORDER BY day")
     }),
 
+    // Atomic CREATE OR REPLACE TABLE AS SELECT (StagingTableCatalog,
+    // Delta's REPLACE): the dbt full-refresh shape — the staged CTAS
+    // lands files inert and ONE manifest commit swaps the table;
+    // readers see the old table until that instant, history below the
+    // swap stays time-travelable, and the old definition's metadata
+    // resets. The requires pin one-commit atomicity and the surviving
+    // history.
+    "s67_replace_table" -> ((s, dir) => {
+      val wh = Ingest.fixtureDir(dir) + "/txreplace_warehouse"
+      val base = wh + "/lake/ords"
+      TxLog.drop(s, base)
+      graft.sources.TxLogSqlDml.ensureInjected(s)
+      val sqlS = s.newSession()
+      sqlS.conf.set("spark.sql.catalog.grt", "graft.sources.TxLogCatalog")
+      sqlS.conf.set("spark.sql.catalog.grt.warehouse", wh)
+      sqlS.sql("CREATE NAMESPACE IF NOT EXISTS grt.lake")
+      t(sqlS, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView("ords_src")
+      sqlS.sql("CREATE OR REPLACE TABLE grt.lake.ords " +
+        "USING graft.sources.TxLogSource " +
+        "AS SELECT * FROM ords_src WHERE o_orderkey < 3000")
+      val v1 = TxLog.latestVersion(sqlS, base).get
+      // the full-refresh: new definition, doubled prices, wider range
+      sqlS.sql("CREATE OR REPLACE TABLE grt.lake.ords " +
+        "USING graft.sources.TxLogSource " +
+        "AS SELECT o_orderkey, o_orderstatus, " +
+        "o_totalprice * 2 AS o_totalprice FROM ords_src " +
+        "WHERE o_orderkey < 6000")
+      require(TxLog.latestVersion(sqlS, base).contains(v1 + 1),
+        "the replace must land as ONE commit")
+      require(TxLog.readVersion(sqlS, base, v1).count() ==
+        t(sqlS, dir, "orders").where(col("o_orderkey") < 3000).count(),
+        "history below the swap must stay time-travelable")
+      sqlS.sql("SELECT o_orderstatus, count(*) AS n, " +
+        "cast(sum(cast(o_totalprice AS decimal(18,6))) AS double) " +
+        "AS sum_price FROM grt.lake.ords " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    }),
+
     // SHOW PARTITIONS (Delta/Hive analog) as pure manifest metadata —
     // the partition inventory with file/live-row counts answers from
     // the driver's snapshot, zero data files opened, at ANY table
@@ -2315,6 +2355,12 @@ object RegistryMaint {
       """SELECT concat('event_type=', event_type) AS partition,
                 count(*) AS num_rows
          FROM events GROUP BY event_type ORDER BY 1""",
+    "s67_replace_table" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                cast(sum(cast(o_totalprice * 2 AS DECIMAL(18,6)))
+                  AS DOUBLE) AS sum_price
+         FROM orders WHERE o_orderkey < 6000
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "s66_day_restatement" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
                 cast(sum(cast(

@@ -49,7 +49,8 @@ import graft.operators.TxLog
   * partitioning: a `#partition` meta line every commit carries, a
   * one-file-per-tuple split on every write, and partition pruning
   * through the ordinary manifest stats skipping. */
-class TxLogCatalog extends TableCatalog with SupportsNamespaces {
+class TxLogCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -171,17 +172,19 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
   /** The modern entry Spark actually calls: v2 `Column`s carry the
     * `GENERATED ALWAYS AS` expression first-class (the StructType
     * bridge drops it), so extract here and delegate. */
-  override def createTable(ident: Identifier,
-                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
-                           partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
+  /** v2 `Column`s → (schema, generated exprs, identity seeds): the
+    * generation expression and identity spec ride the Column
+    * first-class (the StructType bridge drops them).
+    * `id BIGINT GENERATED ALWAYS AS IDENTITY` seeds the log's
+    * #identity high-water so the first allocation is `start`; step 1 /
+    * ALWAYS only — the high-water protocol allocates dense increments
+    * and vetoes explicit inserts (BY DEFAULT arrives via the
+    * merge/CDC verbs, which advance the water past source ids). */
+  private def columnsMeta(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column])
+      : (StructType, Seq[(String, String)], Map[String, Long]) = {
     val gens = columns.toSeq.flatMap(c =>
       Option(c.generationExpression()).map(c.name -> _))
-    // `id BIGINT GENERATED ALWAYS AS IDENTITY` → the log's #identity
-    // high-water line, seeded so the first allocation is `start`.
-    // Step 1 / ALWAYS only — the high-water protocol allocates dense
-    // increments and vetoes explicit inserts (BY DEFAULT arrives via
-    // the merge/CDC verbs, which advance the water past source ids).
     val idents = columns.toSeq.flatMap(c =>
       Option(c.identityColumnSpec()).map(c.name -> _))
     idents.foreach { case (n, spec) =>
@@ -198,8 +201,68 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
         c.name, c.dataType, c.nullable)
       Option(c.comment()).fold(f)(f.withComment)
     })
-    createTableImpl(ident, schema, partitions, properties, gens,
+    (schema, gens,
       idents.map { case (n, spec) => n -> (spec.getStart - 1L) }.toMap)
+  }
+
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val (schema, gens, seeds) = columnsMeta(columns)
+    createTableImpl(ident, schema, partitions, properties, gens, seeds)
+  }
+
+  // ---- atomic CREATE OR REPLACE (StagingTableCatalog) --------------
+
+  /** `[CREATE OR] REPLACE TABLE ... [AS SELECT]`: the staged table
+    * collects the written files under an inert txn dir; NOTHING
+    * publishes until `commitStagedChanges`, which lands the swap as
+    * ONE manifest commit. On an existing table the replace is a new
+    * VERSION — history (and time travel below it) survives, exactly
+    * like Delta's REPLACE; the old definition's constraints, identity
+    * waters, column mapping and partitioning reset to the new DDL's. */
+  override def stageCreate(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(
+      (catalogName +: ident.namespace().toSeq :+ ident.name()).toSeq)
+    stage(ident, columns, partitions, mustExist = false, mayCreate = true)
+  }
+
+  override def stageReplace(ident: Identifier,
+                            columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(
+      (catalogName +: ident.namespace().toSeq :+ ident.name()).toSeq)
+    stage(ident, columns, partitions, mustExist = true, mayCreate = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, columns, partitions, mustExist = false, mayCreate = true)
+
+  private def stage(ident: Identifier,
+                    columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                    partitions: Array[Transform],
+                    mustExist: Boolean, mayCreate: Boolean)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val (schema, gens, seeds) = columnsMeta(columns)
+    val pspec = pspecOf(schema, partitions)
+    val dir = tableDir(ident)
+    if (mayCreate && !isTableDir(dir) && fs.exists(dir))
+      throw new IllegalArgumentException(
+        s"cannot CREATE TABLE at ${ident.namespace().mkString(".")}" +
+          s".${ident.name()}: a namespace directory already exists there")
+    new StagedTxLogTable(dir.toString, ident, schema, pspec, gens, seeds,
+      mustExist, this)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -211,31 +274,42 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
           .getGenerationExpression(f).map(f.name -> _)),
       Map.empty)
 
+  /** PARTITIONED BY (col, ...) — identity transforms only (Delta's
+    * own constraint): each declared column becomes a `#partition`
+    * meta entry, every write splits one-file-per-tuple with exact
+    * min==max stats, and partition pruning rides the ordinary
+    * manifest stats skipping. Bucket/hours/days transforms would
+    * need value derivation at read time — use clustered commits /
+    * OPTIMIZE ZORDER for those layouts instead. */
+  private def pspecOf(schema: StructType, partitions: Array[Transform])
+      : Seq[(String, String)] = partitions.toSeq.map {
+    case t if t.name() == "identity" && t.references().length == 1 &&
+        t.references()(0).fieldNames().length == 1 =>
+      val c = t.references()(0).fieldNames()(0)
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition column '$c' is not in the declared schema"))
+      f.name -> TxLog.partitionDtype(f.dataType)
+    case other => throw new UnsupportedOperationException(
+      s"txlog tables support only PARTITIONED BY (column) identity " +
+        s"transforms, got: $other — derived layouts (bucket, " +
+        "hours/days) belong to clustered commits / OPTIMIZE ZORDER")
+  }
+
+  /** Write the declared-schema sidecar (shared by CREATE and the
+    * staged commit paths). */
+  private[sources] def writeSchemaSidecar(base: String,
+                                          schema: StructType): Unit = {
+    val out = fs.create(schemaPath(base), true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
   private def createTableImpl(ident: Identifier, schema: StructType,
                               partitions: Array[Transform],
                               properties: util.Map[String, String],
                               gens: Seq[(String, String)],
                               identitySeeds: Map[String, Long]): Table = {
-    // PARTITIONED BY (col, ...) — identity transforms only (Delta's
-    // own constraint): each declared column becomes a `#partition`
-    // meta entry, every write splits one-file-per-tuple with exact
-    // min==max stats, and partition pruning rides the ordinary
-    // manifest stats skipping. Bucket/hours/days transforms would
-    // need value derivation at read time — use clustered commits /
-    // OPTIMIZE ZORDER for those layouts instead.
-    val pspec: Seq[(String, String)] = partitions.toSeq.map {
-      case t if t.name() == "identity" && t.references().length == 1 &&
-          t.references()(0).fieldNames().length == 1 =>
-        val c = t.references()(0).fieldNames()(0)
-        val f = schema.fields.find(_.name.equalsIgnoreCase(c))
-          .getOrElse(throw new IllegalArgumentException(
-            s"partition column '$c' is not in the declared schema"))
-        f.name -> TxLog.partitionDtype(f.dataType)
-      case other => throw new UnsupportedOperationException(
-        s"txlog tables support only PARTITIONED BY (column) identity " +
-          s"transforms, got: $other — derived layouts (bucket, " +
-          "hours/days) belong to clustered commits / OPTIMIZE ZORDER")
-    }
+    val pspec = pspecOf(schema, partitions)
     val dir = tableDir(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(
       (catalogName +: ident.namespace().toSeq :+ ident.name()).toSeq)
@@ -248,8 +322,7 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
         s".${ident.name()}: a namespace directory already exists there " +
         "(drop the namespace first, or pick another name)")
     fs.mkdirs(new Path(dir, TxLog.LogDir))
-    val out = fs.create(schemaPath(dir.toString), true)
-    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    writeSchemaSidecar(dir.toString, schema)
     // an EMPTY v1 manifest: the table exists, scans as zero rows, and
     // every later write is an ordinary append on the chain. The
     // declared schema is stamped as a versioned `#schema` meta line
@@ -436,6 +509,114 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
             "(use CASCADE)")
       fs.delete(dir, true)
       true
+    }
+  }
+}
+
+/** A staged `[CREATE OR] REPLACE TABLE` target: executors land files
+  * under an inert `data/<txn>` dir through the same rolling writer
+  * the ordinary DSv2 sink uses (partition split + inline stats), the
+  * BatchWrite stashes the entries HERE instead of publishing, and
+  * `commitStagedChanges` swaps the table in ONE manifest commit —
+  * readers see the old table until that instant, and on an existing
+  * table the swap is a new VERSION (history and time travel below it
+  * survive, like Delta's REPLACE). `abortStagedChanges` discards the
+  * landed txn; a brand-new table's dir vanishes entirely. */
+class StagedTxLogTable(base: String, ident: Identifier,
+                       tableSchema: StructType,
+                       pspec: Seq[(String, String)],
+                       gens: Seq[(String, String)],
+                       identitySeeds: Map[String, Long],
+                       mustExist: Boolean,
+                       catalog: TxLogCatalog)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.write._
+
+  private val txn = java.util.UUID.randomUUID().toString
+  @volatile private var staged: Seq[TxLog.Entry] = Seq.empty
+  private val existedAtStage =
+    TxLog.latestVersion(SparkSession.active, base).isDefined
+
+  override def name(): String = s"txlog($base) [staged]"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // REPLACE ... AS SELECT arrives as a truncate-overwrite of the
+      // (empty) staged target — same landing either way
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write
+          with RequiresDistributionAndOrdering {
+        import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+        import org.apache.spark.sql.connector.expressions.{Expression, Expressions, NullOrdering, SortDirection, SortOrder}
+        override def requiredDistribution(): Distribution =
+          if (pspec.isEmpty) Distributions.unspecified()
+          else Distributions.clustered(pspec.map(p =>
+            Expressions.identity(p._1): Expression).toArray)
+        override def requiredOrdering(): Array[SortOrder] =
+          pspec.map(p => Expressions.sort(Expressions.identity(p._1),
+            SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(info: PhysicalWriteInfo)
+              : DataWriterFactory = {
+            val pIdx = pspec.map { case (c, _) =>
+              tableSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c)) }
+            new TxLogWriterFactory(base, s"data/$txn", tableSchema,
+              pspec.map(_._1),
+              new org.apache.spark.util.SerializableConfiguration(
+                TxLogSource.driverHadoopConf()), pIdx)
+          }
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            staged = TxLogWriteCommit.toEntries(messages) // defer publish
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            TxLogWriteCommit.dropTxn(base, s"data/$txn")
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val spark = SparkSession.active
+    TxLog.withCasRetry(5) { _ =>
+      val cur = TxLog.latestVersion(spark, base)
+      if (cur.isEmpty) {
+        require(!mustExist,
+          s"REPLACE TABLE $ident: the table vanished while staged")
+        val f = new Path(base)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.mkdirs(new Path(s"$base/${TxLog.LogDir}"))
+        catalog.writeSchemaSidecar(base, tableSchema)
+      } else {
+        // schema sidecar follows the NEW definition (versioned #schema
+        // lines keep time travel seeing each version's own)
+        catalog.writeSchemaSidecar(base, tableSchema)
+      }
+      val txns = cur.map(v =>
+        TxLog.manifest(spark, base, v)._2).getOrElse(Map.empty)
+      TxLog.publishEntries(spark, base, cur.getOrElse(0L) + 1L, staged,
+        txns, // exactly-once sink cursors survive, like RESTORE
+        constraintsOverride = Some(Map.empty),
+        identityOverride = Some(identitySeeds),
+        declaredSchemaOverride = Some(tableSchema),
+        partitionOverride = Some(pspec),        // empty CLEARS
+        generatedOverride = Some(gens),         // empty CLEARS
+        clearColMap = true,
+        operation =
+          if (cur.isEmpty) "CREATE TABLE AS SELECT" else "REPLACE TABLE")
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val spark = SparkSession.active
+    TxLogWriteCommit.dropTxn(base, s"data/$txn")
+    if (!existedAtStage) { // a brand-new table's dir vanishes whole
+      val f = new Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (TxLog.latestVersion(spark, base).isEmpty) f.delete(new Path(base), true)
     }
   }
 }
