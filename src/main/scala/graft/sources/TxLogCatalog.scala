@@ -229,7 +229,8 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(
       (catalogName +: ident.namespace().toSeq :+ ident.name()).toSeq)
-    stage(ident, columns, partitions, mustExist = false, mayCreate = true)
+    stage(ident, columns, partitions, mustExist = false,
+      allowReplace = false)
   }
 
   override def stageReplace(ident: Identifier,
@@ -239,7 +240,8 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     if (!tableExists(ident)) throw new NoSuchTableException(
       (catalogName +: ident.namespace().toSeq :+ ident.name()).toSeq)
-    stage(ident, columns, partitions, mustExist = true, mayCreate = false)
+    stage(ident, columns, partitions, mustExist = true,
+      allowReplace = true)
   }
 
   override def stageCreateOrReplace(ident: Identifier,
@@ -247,22 +249,23 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
                                     partitions: Array[Transform],
                                     properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable =
-    stage(ident, columns, partitions, mustExist = false, mayCreate = true)
+    stage(ident, columns, partitions, mustExist = false,
+      allowReplace = true)
 
   private def stage(ident: Identifier,
                     columns: Array[org.apache.spark.sql.connector.catalog.Column],
                     partitions: Array[Transform],
-                    mustExist: Boolean, mayCreate: Boolean)
+                    mustExist: Boolean, allowReplace: Boolean)
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val (schema, gens, seeds) = columnsMeta(columns)
     val pspec = pspecOf(schema, partitions)
     val dir = tableDir(ident)
-    if (mayCreate && !isTableDir(dir) && fs.exists(dir))
+    if (!isTableDir(dir) && fs.exists(dir))
       throw new IllegalArgumentException(
         s"cannot CREATE TABLE at ${ident.namespace().mkString(".")}" +
           s".${ident.name()}: a namespace directory already exists there")
     new StagedTxLogTable(dir.toString, ident, schema, pspec, gens, seeds,
-      mustExist, this)
+      mustExist, allowReplace, this)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -528,6 +531,7 @@ class StagedTxLogTable(base: String, ident: Identifier,
                        gens: Seq[(String, String)],
                        identitySeeds: Map[String, Long],
                        mustExist: Boolean,
+                       allowReplace: Boolean,
                        catalog: TxLogCatalog)
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
@@ -583,6 +587,10 @@ class StagedTxLogTable(base: String, ident: Identifier,
     val spark = SparkSession.active
     TxLog.withCasRetry(5) { _ =>
       val cur = TxLog.latestVersion(spark, base)
+      // a pure CTAS losing a creation race must FAIL, never silently
+      // replace the winner's table
+      if (cur.isDefined && !allowReplace)
+        throw new TableAlreadyExistsException(Seq(ident.toString))
       if (cur.isEmpty) {
         require(!mustExist,
           s"REPLACE TABLE $ident: the table vanished while staged")
