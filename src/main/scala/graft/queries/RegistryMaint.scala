@@ -895,14 +895,16 @@ object RegistryMaint {
       sqlS.sql("INSERT INTO graftcat.lake.events_cat " +
         "SELECT * FROM ev_p2")
       val n1 = ev.where(col("event_id") < 500).count()
+      // CTAS is ATOMIC since the StagingTableCatalog rung: create +
+      // data land as ONE commit (v1), the INSERT is v2
       require(sqlS.sql("SELECT count(*) AS n FROM " +
-        "graftcat.lake.events_cat VERSION AS OF 2").head.getLong(0) == n1,
-        "VERSION AS OF 2 must see exactly the CTAS batch")
+        "graftcat.lake.events_cat VERSION AS OF 1").head.getLong(0) == n1,
+        "VERSION AS OF 1 must see exactly the (atomic) CTAS batch")
       require(sqlS.sql("SELECT count(*) AS n FROM " +
-        "graftcat.lake.events_cat VERSION AS OF 1").head.getLong(0) == 0L,
-        "VERSION AS OF 1 is the empty CREATE commit")
+        "graftcat.lake.events_cat VERSION AS OF 2").head.getLong(0) ==
+        ev.count(), "VERSION AS OF 2 is CTAS + INSERT")
       require(sqlS.sql("SELECT count(*) AS n FROM " +
-        "graftcat.lake.events_cat VERSION AS OF 2 WHERE event_id < 100")
+        "graftcat.lake.events_cat VERSION AS OF 1 WHERE event_id < 100")
         .head.getLong(0) ==
         ev.where(col("event_id") < 100).count(),
         "stats-pruned filters must work through the pinned snapshot")
