@@ -636,7 +636,7 @@ object RegistryMaint {
       val od = t(s, dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       TxLog.commit(
-        od.where(col("o_orderkey") < 6000)
+        od.where(col("o_orderkey") < 900)
           .repartitionByRange(4, col("o_orderkey")),
         base, None, Some("o_orderkey"))
       val seedFiles = TxLog.manifest(s, base, 1L)._1
@@ -649,7 +649,7 @@ object RegistryMaint {
         sqlS.sql("MERGE INTO txdml_sync_w t USING (" +
           s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM " +
           s"parquet.`$dir/orders.parquet` " +
-          "WHERE o_orderkey BETWEEN 3000 AND 9000) s " +
+          "WHERE o_orderkey BETWEEN 450 AND 1350) s " +
           "ON t.o_orderkey = s.o_orderkey " +
           "WHEN NOT MATCHED THEN INSERT * " +
           "WHEN NOT MATCHED BY SOURCE THEN DELETE")
@@ -658,7 +658,7 @@ object RegistryMaint {
         "inserts + sync deletes must land as ONE commit")
       val after = TxLog.manifest(s, base, 2L)._1.map(_.path).toSet
       val dropped = seedFiles.filter(e => e.statsFor("o_orderkey")
-        .exists(st => TxLog.cmp("long", st.max, "3000") < 0))
+        .exists(st => TxLog.cmp("long", st.max, "450") < 0))
       require(dropped.nonEmpty && dropped.forall(e => !after.contains(e.path)),
         s"bands below the source span must drop metadata-only: $dropped")
       TxLog.read(s, base)
@@ -2111,7 +2111,7 @@ object RegistryMaint {
       """SELECT o_orderstatus, count(*) AS n,
                 cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                   AS sum_price
-         FROM orders WHERE o_orderkey BETWEEN 3000 AND 9000
+         FROM orders WHERE o_orderkey BETWEEN 450 AND 1350
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "s53_sql_optimize" ->
       """SELECT l_returnflag, count(*) AS n,
