@@ -506,14 +506,28 @@ object TxLog {
     * DSv2 schema cache: `file:/tmp/t`, `file:///tmp/t` and `/tmp/t`
     * all canonicalize to the raw path (the URI path component), so
     * no cache can alias one table under two keys. Non-file schemes
-    * keep their qualified spelling. */
+    * keep their qualified spelling. The file:-collapse is gated on
+    * the DEFAULT filesystem also being file: — on a cluster whose
+    * default FS is HDFS/S3, `file:/tmp/t` (local) and `/tmp/t`
+    * (default-FS) are two DIFFERENT tables, so there the scheme-less
+    * spelling qualifies against the default FS instead (pure URI
+    * math, no filesystem RPC). */
   private[graft] def canonicalBase(base: String): String = {
     val p = new Path(base)
     val u = p.toUri
-    if (u.getScheme == null) p.toString
-    else if (u.getScheme == "file") u.getPath
+    lazy val defaultIsFile = defaultFsScheme == "file"
+    if (u.getScheme == null) {
+      if (defaultIsFile) p.toString
+      else new Path(new Path(defaultFsUri), base).toString
+    }
+    else if (u.getScheme == "file" && defaultIsFile) u.getPath
     else p.toString
   }
+  private def defaultFsUri: String =
+    scala.util.Try(SparkSession.active.sparkContext.hadoopConfiguration
+      .get("fs.defaultFS", "file:///")).getOrElse("file:///")
+  private def defaultFsScheme: String =
+    Option(new Path(defaultFsUri).toUri.getScheme).getOrElse("file")
   private def cacheKey(base: String): String = canonicalBase(base)
   private def cacheGet(spark: SparkSession, base: String,
                        v: Long): Option[Seq[Entry]] =
@@ -872,6 +886,18 @@ object TxLog {
       "TIMESTAMP partition columns are not supported (exact tuple " +
         "matching would conflate sub-second values) — partition on a " +
         "DATE or a derived column, and cluster on the timestamp instead")
+    // same spirit for binary floats: partition tuple identity is exact
+    // string-repr equality across two independent stats pipelines, and
+    // -0.0 vs 0.0 render as DISTINCT tuples that numeric comparison
+    // treats as equal — a dynamic overwrite could then fail to drop a
+    // matching partition's old file, leaving duplicate rows. Partition
+    // on a derived DECIMAL/STRING instead.
+    require(dt != org.apache.spark.sql.types.FloatType &&
+        dt != org.apache.spark.sql.types.DoubleType,
+      "FLOAT/DOUBLE partition columns are not supported (exact tuple " +
+        "matching is unsound for binary floats: -0.0 vs 0.0 land as " +
+        "distinct tuples that compare equal) — partition on a derived " +
+        "DECIMAL or STRING column instead")
     statsDtype(dt)
   }
 
@@ -2205,12 +2231,57 @@ object TxLog {
       val f = fieldOf(c); f.name -> partitionDtype(f.dataType)
     }
     val gens = generated.map { case (c, ex) => fieldOf(c).name -> ex }
+    validateGeneratedExprs(spark, schema, gens)
     publishEntries(spark, base, 1L, Seq.empty, Map.empty,
       declaredSchemaOverride = Some(schema),
       partitionOverride = if (pspec.isEmpty) None else Some(pspec),
       generatedOverride = if (gens.isEmpty) None else Some(gens),
       operation = "CREATE TABLE")
     1L
+  }
+
+  /** DDL-time validation of GENERATED ALWAYS AS expressions: parse
+    * each and fully analyze it against the NON-generated columns. A
+    * typo'd expression (or one referencing a missing/generated
+    * column) must fail the CREATE/REPLACE statement itself — left
+    * unchecked it creates a table whose every write fails at land
+    * time, and the no-dependents guard forbids dropping a GENERATED
+    * column, so the table would be permanently unwritable short of
+    * REPLACE TABLE. Analysis runs over an empty local frame: no job,
+    * no IO. */
+  private[graft] def validateGeneratedExprs(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      gens: Seq[(String, String)]): Unit = {
+    if (gens.isEmpty) return
+    val genNames = gens.map(_._1)
+    // generation expressions may reference only NON-generated columns
+    // (Delta's own constraint — a generated column depending on
+    // another would make compute order ambiguous)
+    val others = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(f =>
+        genNames.exists(_.equalsIgnoreCase(f.name))))
+    gens.foreach { case (c, ex) =>
+      // parse EAGERLY (functions.expr defers to analysis) so a syntax
+      // error reports as such, not as a resolution failure
+      try spark.sessionState.sqlParser.parseExpression(ex)
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"GENERATED ALWAYS AS ($ex) for column '$c' does not " +
+            s"parse: ${e.getMessage}")
+      }
+      val parsed = org.apache.spark.sql.functions.expr(ex)
+      try spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          others)
+        .select(parsed).queryExecution.analyzed
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"GENERATED ALWAYS AS ($ex) for column '$c' does not resolve " +
+            "against the table's non-generated columns (" +
+            s"${others.fieldNames.mkString(", ")}): ${e.getMessage}")
+      }
+    }
   }
 
   /** Create an EMPTY partitioned table (Delta `CREATE TABLE …

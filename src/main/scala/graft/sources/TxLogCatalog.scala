@@ -258,6 +258,9 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
                     mustExist: Boolean, allowReplace: Boolean)
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val (schema, gens, seeds) = columnsMeta(columns)
+    // fail the DDL statement itself on a bad generation expression —
+    // never stage (let alone publish) a table whose writes cannot land
+    TxLog.validateGeneratedExprs(spark, schema, gens)
     val pspec = pspecOf(schema, partitions)
     val dir = tableDir(ident)
     if (!isTableDir(dir) && fs.exists(dir))
@@ -312,6 +315,9 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
                               properties: util.Map[String, String],
                               gens: Seq[(String, String)],
                               identitySeeds: Map[String, Long]): Table = {
+    // a typo'd GENERATED ALWAYS AS fails the CREATE statement, not
+    // every later write against a permanently-poisoned table
+    TxLog.validateGeneratedExprs(spark, schema, gens)
     val pspec = pspecOf(schema, partitions)
     val dir = tableDir(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(

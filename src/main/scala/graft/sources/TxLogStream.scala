@@ -1402,7 +1402,11 @@ class TxLogMicroBatchStream(scan: TxLogScan, base: String,
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.orElse(maxVersionsPerTrigger)
-      .map(n => ReadLimit.maxFiles(n.toInt))
+      // clamp, don't truncate: a value above Int.MaxValue would
+      // overflow .toInt to a NEGATIVE budget and the walk would admit
+      // nothing — the stream silently stalls forever instead of
+      // behaving as "effectively unlimited"
+      .map(n => ReadLimit.maxFiles(math.min(n, Int.MaxValue.toLong).toInt))
       .getOrElse(ReadLimit.allAvailable())
 
   override def initialOffset(): Offset = new TxLogOffset(startingVersion)
@@ -1411,12 +1415,18 @@ class TxLogMicroBatchStream(scan: TxLogScan, base: String,
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is used (SupportsAdmissionControl)")
 
-  /** The stats-surviving added files of one version, in manifest
-    * order — the SAME ordered list planInputPartitions slices, so the
-    * offset index and the shipped files can never disagree. Derived
-    * from immutable manifests: stable across retries and restarts. */
+  /** The added files of one version, in manifest order — the SAME
+    * ordered list planInputPartitions slices, so the offset index and
+    * the shipped files can never disagree. Deliberately UNFILTERED:
+    * the index counts raw manifest entries, never stats-pruned
+    * survivors, because pushdown is not user-controlled — a Spark
+    * upgrade or plan change that pushes more/fewer filters would
+    * silently re-interpret an in-flight checkpoint offset (skipping
+    * or re-delivering files). Pruning applies AFTER slicing, in
+    * planInputPartitions, where it only saves IO. Derived from
+    * immutable manifests: stable across retries and restarts. */
   private def versionFiles(v: Long): Seq[TxLog.Entry] =
-    scan.survivors(TxLogSource.addedEntries(spark, base, v))
+    TxLogSource.addedEntries(spark, base, v)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[TxLogOffset]
@@ -1489,7 +1499,10 @@ class TxLogMicroBatchStream(scan: TxLogScan, base: String,
       val fromIdx = if (v == s.version && s.index >= 0) s.index.toInt else 0
       val toIdx = if (v == e.version && e.index >= 0) e.index.toInt
                   else es0.size
-      val es = es0.slice(fromIdx, toIdx)
+      // prune AFTER slicing: the offset index addresses the raw
+      // manifest list (predicate-independent — see versionFiles);
+      // stats-pruning here only drops dead IO from the shipped batch
+      val es = scan.survivors(es0.slice(fromIdx, toIdx))
       val masks = TxLogSource.dvPositionsByFile(base, es, conf)
       es.map(en => TxLogInputPartition(TxLog.resolve(base, en.path), v,
         masks.getOrElse(en.path, Array.emptyLongArray)): InputPartition)

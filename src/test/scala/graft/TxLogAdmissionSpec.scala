@@ -139,4 +139,72 @@ class TxLogAdmissionSpec extends AnyFunSuite {
     assert(streamError(Map("maxFilesPerTrigger" -> "2",
       "changeFeedTypes" -> "true")).contains("version"))
   }
+
+  test("the offset index is predicate-independent: a scan with pushed " +
+    "filters walks the same offsets as an unfiltered one (a Spark " +
+    "upgrade changing pushdown must never re-interpret an in-flight " +
+    "checkpoint), and stats pruning still applies after slicing") {
+    import org.apache.spark.sql.sources.{Filter, GreaterThan}
+    val base = "/tmp/graft_txadm/predfree"
+    TxLog.drop(spark, base)
+    import spark.implicits._
+    // range-split files so per-file k stats are disjoint and a pushed
+    // range filter genuinely prunes some of them
+    def ranged(offset: Int): org.apache.spark.sql.DataFrame =
+      (offset until offset + 30).map(i => (i, s"s$i")).toDF("k", "s")
+        .repartitionByRange(3, col("k"))
+    TxLog.commit(ranged(0), base, None, statsCol = Some("k"))
+    TxLog.append(ranged(30), base, statsCol = Some("k"))
+    val schema = TxLog.read(spark, base).schema
+    def stream(filters: Array[Filter]) = new TxLogMicroBatchStream(
+      new TxLogScan(schema, base, changeFeed = false,
+        maxVersionsPerTrigger = None, startingVersion = 0L,
+        pushed = filters, maxFilesPerTrigger = Some(2L)),
+      base, maxVersionsPerTrigger = None, startingVersion = 0L,
+      maxFilesPerTrigger = Some(2L))
+    val plain = stream(Array.empty)
+    val filtered = stream(Array(GreaterThan("k", 39)))
+    // identical offset walks: the index counts RAW manifest files
+    var oPlain: TxLogOffset = new TxLogOffset(0L)
+    var oFilt: TxLogOffset = new TxLogOffset(0L)
+    for (_ <- 1 to 4) {
+      oPlain = plain.latestOffset(oPlain, ReadLimit.maxFiles(2))
+        .asInstanceOf[TxLogOffset]
+      oFilt = filtered.latestOffset(oFilt, ReadLimit.maxFiles(2))
+        .asInstanceOf[TxLogOffset]
+      assert(oPlain == oFilt, s"${oPlain.json()} vs ${oFilt.json()}")
+    }
+    assert(oPlain == new TxLogOffset(2L)) // both drained all 6 files
+    // pruning still bites AFTER slicing: the filtered stream ships
+    // fewer partitions over the same offset range, and never a file
+    // whose stats disprove k > 39
+    val full = filtered.planInputPartitions(
+      new TxLogOffset(0L), new TxLogOffset(2L))
+    assert(full.length < 6 && full.nonEmpty)
+    val rows = 60 - 40 // k in 40..59 survive
+    val gotRows = spark.readStream.format("graft.sources.TxLogSource")
+      .load(base).where(col("k") > 39)
+    val ckpt = s"$base/_ck_${System.nanoTime()}"
+    val q = gotRows.writeStream.format("memory").queryName("predfree")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("predfree").count() == rows)
+  }
+
+  test("an admission budget above Int.MaxValue clamps instead of " +
+    "overflowing to a negative budget that admits nothing") {
+    val base = "/tmp/graft_txadm/clamp"
+    TxLog.drop(spark, base)
+    seed(base, 2, 10, "c")
+    val s = mbs(base, Some(Long.MaxValue))
+    val lim = s.getDefaultReadLimit
+    val mf = lim.asInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.ReadMaxFiles]
+    assert(mf.maxFiles() == Int.MaxValue)
+    // and the walk under the clamped budget admits the whole backlog
+    val o = s.latestOffset(new TxLogOffset(0L), lim)
+      .asInstanceOf[TxLogOffset]
+    assert(o == new TxLogOffset(1L), o.json())
+  }
 }

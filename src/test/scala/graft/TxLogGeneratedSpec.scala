@@ -264,4 +264,65 @@ class TxLogGeneratedSpec extends AnyFunSuite {
       .where(col("day") === lit(java.sql.Date.valueOf("2024-04-01")))
       .count() == 1)
   }
+
+  test("a typo'd GENERATED ALWAYS AS expression fails the DDL " +
+    "statement itself — never a table whose every write fails at land " +
+    "time (the no-dependents guard would make it permanently " +
+    "unwritable short of REPLACE)") {
+    import org.apache.spark.sql.types._
+    val base = "/tmp/graft_txgen/ddlcheck"
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", IntegerType),
+      StructField("day", DateType)))
+    // unparseable expression
+    TxLog.drop(spark, base)
+    val e1 = intercept[IllegalArgumentException] {
+      TxLog.createTable(spark, base, schema,
+        generated = Seq("day" -> "CAST(ts AS"))
+    }
+    assert(e1.getMessage.contains("does not parse"))
+    assert(TxLog.latestVersion(spark, base).isEmpty) // nothing published
+    // parses but references a column the schema lacks
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.createTable(spark, base, schema,
+        generated = Seq("day" -> "CAST(tz AS DATE)"))
+    }
+    assert(e2.getMessage.contains("does not resolve"))
+    // a generation expression may not reference another generated
+    // column (compute order would be ambiguous)
+    val schema2 = schema.add(StructField("day2", DateType))
+    val e3 = intercept[IllegalArgumentException] {
+      TxLog.createTable(spark, base, schema2, generated = Seq(
+        "day" -> "CAST(ts AS DATE)", "day2" -> "day + INTERVAL 1 DAY"))
+    }
+    assert(e3.getMessage.contains("does not resolve"))
+    // the SQL catalog route fails the CREATE statement the same way
+    val s0 = SparkTestBase.spark
+    graft.sources.TxLogSqlDml.ensureInjected(s0)
+    val s = s0.newSession()
+    s.conf.set("spark.sql.catalog.gddl", "graft.sources.TxLogCatalog")
+    s.conf.set("spark.sql.catalog.gddl.warehouse", "/tmp/graft_txgen/wh_ddl")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gddl.lake")
+    s.sql("DROP TABLE IF EXISTS gddl.lake.bad")
+    val e4 = intercept[Exception] {
+      s.sql("CREATE TABLE gddl.lake.bad (ts TIMESTAMP, v INT, " +
+        "day DATE GENERATED ALWAYS AS (CAST(tz AS DATE))) " +
+        "USING graft.sources.TxLogSource")
+    }
+    // the SQL route may be vetoed by Spark's own generated-column
+    // analysis (it runs first when the catalog declares the
+    // capability) or by our DDL-time validator — either way the
+    // STATEMENT fails and no table is born
+    assert(e4.getMessage.contains("does not resolve") ||
+      e4.getMessage.contains("cannot be resolved"), e4.getMessage)
+    assert(!s.catalog.tableExists("gddl.lake.bad"))
+    // and the valid spelling still creates + derives
+    s.sql("CREATE TABLE gddl.lake.good (ts TIMESTAMP, v INT, " +
+      "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+      "USING graft.sources.TxLogSource")
+    s.sql("INSERT INTO gddl.lake.good (ts, v, day) VALUES " +
+      "(TIMESTAMP'2024-03-05 10:00:00', 1, DATE'2024-03-05')")
+    assert(s.table("gddl.lake.good").count() == 1)
+    s.sql("DROP TABLE gddl.lake.good")
+  }
 }

@@ -346,4 +346,47 @@ class TxLogPartitionSpec extends AnyFunSuite {
     assertPure(base, "region")
     assert(TxLog.readVersion(spark, base, 1L).count() == 40)
   }
+
+  test("FLOAT/DOUBLE partition columns are rejected like TIMESTAMP: " +
+    "exact tuple identity is unsound for binary floats (-0.0 vs 0.0)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("bucketd", DoubleType),
+      StructField("bucketf", FloatType)))
+    for (c <- Seq("bucketd", "bucketf")) {
+      val base = s"/tmp/graft_txpart/float_$c"
+      TxLog.drop(spark, base)
+      val e = intercept[IllegalArgumentException] {
+        TxLog.createPartitioned(spark, base, schema, Seq(c))
+      }
+      assert(e.getMessage.contains("FLOAT/DOUBLE"), e.getMessage)
+      assert(TxLog.latestVersion(spark, base).isEmpty)
+    }
+  }
+
+  test("canonicalBase only collapses file: to the raw path when the " +
+    "DEFAULT filesystem is also file: — on an HDFS-defaulted cluster " +
+    "file:/tmp/t and /tmp/t are different tables and must never share " +
+    "a cache key") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val saved = conf.get("fs.defaultFS")
+    // local default: all three spellings collapse to one key
+    assert(TxLog.canonicalBase("file:/tmp/t") ==
+      TxLog.canonicalBase("/tmp/t"))
+    assert(TxLog.canonicalBase("file:///tmp/t") ==
+      TxLog.canonicalBase("/tmp/t"))
+    try {
+      conf.set("fs.defaultFS", "hdfs://nn:8020/")
+      // scheme-less now qualifies against the default FS...
+      assert(TxLog.canonicalBase("/tmp/t").startsWith("hdfs://nn:8020"))
+      // ...and is a DIFFERENT key from the explicitly-local table
+      assert(TxLog.canonicalBase("file:/tmp/t") !=
+        TxLog.canonicalBase("/tmp/t"))
+      // qualified non-file spellings stay themselves
+      assert(TxLog.canonicalBase("s3a://bkt/t") == "s3a://bkt/t")
+    } finally {
+      if (saved == null) conf.unset("fs.defaultFS")
+      else conf.set("fs.defaultFS", saved)
+    }
+  }
 }
