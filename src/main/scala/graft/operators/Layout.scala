@@ -25,17 +25,31 @@ object Layout {
     * a degenerate dimension (lo == hi) maps to 0 rather than dividing
     * by zero. */
   def zvalue(a: Column, aLo: Long, aHi: Long,
-             b: Column, bLo: Long, bHi: Long): Column = {
+             b: Column, bLo: Long, bHi: Long): Column =
+    zvalueK(Seq((a, aLo, aHi), (b, bLo, bHi)))
+
+  /** k-dimensional bit-interleaved Z-value (Delta `ZORDER BY` takes k
+    * columns; so does this). Resolution divides the 62 usable mantissa
+    * bits of a positive long evenly: 16 bits/dim at k=2..3, 15 at k=4,
+    * 12 at k=5, … — coarser per-dimension buckets are the intrinsic
+    * trade of interleaving more keys, exactly as in Delta's
+    * byte-interleave. Same codegen-friendly shift/and/or fold as the
+    * 2-D form; degenerate dimensions (lo == hi) map to 0. */
+  def zvalueK(dims: Seq[(Column, Long, Long)]): Column = {
+    val k = dims.size
+    require(k >= 2, s"a Z-value interleaves at least two keys (got $k)")
+    val bits = math.min(16, 62 / k)
+    val maxV = (1L << bits) - 1
     def norm(c: Column, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)
-      else ((c - lit(lo)).cast("double") * (65535.0 / (hi - lo).toDouble))
+      else ((c - lit(lo)).cast("double") * (maxV.toDouble / (hi - lo).toDouble))
         .cast("long")
-    val an = norm(a, aLo, aHi)
-    val bn = norm(b, bLo, bHi)
-    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(an, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(bn, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    val ns = dims.map { case (c, lo, hi) => norm(c, lo, hi) }
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      ns.zipWithIndex.foldLeft(acc) { case (a, (n, d)) =>
+        a.bitwiseOR(
+          shiftleft(shiftright(n, i).bitwiseAND(lit(1L)), k * i + d))
+      }
     }
   }
 
@@ -61,14 +75,27 @@ object Layout {
     * writer — plain parquet, or a TxLog commit with per-file stats on
     * both keys ([[TxLog.commitMulti]]) — lands tile-per-file. */
   def zorderCluster(df: DataFrame, aCol: String, bCol: String,
-                    nFiles: Int): DataFrame = {
-    val s = df.agg(
-      min(col(aCol)).cast("long"), max(col(aCol)).cast("long"),
-      min(col(bCol)).cast("long"), max(col(bCol)).cast("long")).head()
-    require(!s.isNullAt(0) && !s.isNullAt(2),
-      s"zorderCluster: no non-null ($aCol, $bCol) rows to cluster")
-    val z = zvalue(col(aCol), s.getLong(0), s.getLong(1),
-      col(bCol), s.getLong(2), s.getLong(3))
+                    nFiles: Int): DataFrame =
+    zorderClusterK(df, Seq(aCol, bCol), nFiles)
+
+  /** k-column [[zorderCluster]]: one agg for all 2k bound scalars
+    * (single driver round-trip), one range shuffle on the interleaved
+    * Z-value, local sort — identical cost shape to the 2-D form at
+    * any k. */
+  def zorderClusterK(df: DataFrame, cols: Seq[String],
+                     nFiles: Int): DataFrame = {
+    require(cols.size >= 2,
+      s"zorderCluster needs at least two columns (got ${cols.size})")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val s = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      require(!s.isNullAt(2 * i),
+        s"zorderCluster: no non-null (${cols.mkString(", ")}) rows to " +
+          s"cluster ('$c' is all NULL)")
+    }
+    val z = zvalueK(cols.zipWithIndex.map { case (c, i) =>
+      (col(c), s.getLong(2 * i), s.getLong(2 * i + 1)) })
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")

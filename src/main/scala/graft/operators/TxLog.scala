@@ -3697,17 +3697,57 @@ object TxLog {
   def compactZorder(spark: SparkSession, base: String,
                     aCol0: String, bCol0: String,
                     smallThresholdRows: Long, targetRows: Long,
+                    maxAttempts: Int): Long =
+    compactZorder(spark, base, Seq(aCol0, bCol0),
+      smallThresholdRows, targetRows, maxAttempts)
+  def compactZorder(spark: SparkSession, base: String,
+                    aCol0: String, bCol0: String,
+                    smallThresholdRows: Long, targetRows: Long): Long =
+    compactZorder(spark, base, Seq(aCol0, bCol0),
+      smallThresholdRows, targetRows, 5)
+
+  /** k-column [[compactZorder]] (Delta's `ZORDER BY (a, b, c, …)`
+    * arity): same weak/polluted sweep and convergence contract with
+    * the overlap test applied on ALL k dimensions, and the rewrite
+    * clustered by the k-ary interleave ([[Layout.zvalueK]] — 16
+    * bits/dim at k≤3, thinning as k grows, Delta's own trade). */
+  def compactZorder(spark: SparkSession, base: String,
+                    cols0: Seq[String],
+                    smallThresholdRows: Long, targetRows: Long,
                     maxAttempts: Int = 5): Long = {
     require(targetRows >= smallThresholdRows,
       "targetRows must be at least the small-file threshold")
-    val aCol = physicalName(spark, base, aCol0)
-    val bCol = physicalName(spark, base, bCol0)
+    require(cols0.size >= 2,
+      s"ZORDER takes at least two columns (got ${cols0.size}) — a " +
+        "single-key layout is a plain sort: use compact + a sorted write")
+    // loud verb-entry veto for non-interleavable key types: the
+    // normalize step casts to LONG, and a runtime CAST_INVALID_INPUT
+    // mid-rewrite (ANSI) would be baffling. Schema resolution is
+    // best-effort — a file-less table no-ops below anyway.
+    try {
+      val sch = read(spark, base).schema
+      cols0.foreach { c0 =>
+        sch.fields.find(_.name.equalsIgnoreCase(c0)).foreach { f =>
+          require(
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+              f.dataType == org.apache.spark.sql.types.TimestampType,
+            s"ZORDER BY column '$c0' has type ${f.dataType.simpleString} " +
+              "— the bit-interleave normalizes numeric/timestamp keys; " +
+              "cluster strings via a derived numeric key (hash, " +
+              "dictionary id) instead")
+        }
+      }
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case scala.util.control.NonFatal(_) => ()
+    }
+    val cols = cols0.map(physicalName(spark, base, _))
     withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
       val (entries, txns) = manifest(spark, base, cur)
       // rewrite candidates: WEAK files (small, unknown-row, or
-      // stat-less on either key) plus every well-tiled file whose
+      // stat-less on any key) plus every well-tiled file whose
       // stats box a weak file's box POLLUTES — those tiles would keep
       // co-answering box probes with the straggler forever. Adjacent
       // tiles of a healthy layout legitimately touch boxes, so
@@ -3715,15 +3755,15 @@ object TxLog {
       // tiled table is a fixpoint and the verb converges.
       val weak = entries.filter(e => e.rows < 0 ||
         e.liveRows < smallThresholdRows ||
-        e.statsFor(aCol).isEmpty || e.statsFor(bCol).isEmpty).toSet
-      val weakBoxes = weak.toSeq
-        .flatMap(e => for (a <- e.statsFor(aCol); b <- e.statsFor(bCol))
-          yield (a, b))
+        cols.exists(c => e.statsFor(c).isEmpty)).toSet
+      def boxOf(e: Entry): Option[Seq[ColStats]] = {
+        val ss = cols.flatMap(e.statsFor)
+        if (ss.size == cols.size) Some(ss) else None
+      }
+      val weakBoxes = weak.toSeq.flatMap(boxOf)
       val polluted = entries.filterNot(weak).filter { e =>
-        (for (a <- e.statsFor(aCol); b <- e.statsFor(bCol)) yield
-          weakBoxes.exists { case (wa, wb) =>
-            a.overlaps(wa.min, wa.max) && b.overlaps(wb.min, wb.max)
-          }).getOrElse(false)
+        boxOf(e).exists(box => weakBoxes.exists(wb =>
+          box.zip(wb).forall { case (s, w) => s.overlaps(w.min, w.max) }))
       }.map(_.path).toSet
       val (touched, carried) = entries.partition(e =>
         weak.contains(e) || polluted.contains(e.path))
@@ -3738,12 +3778,12 @@ object TxLog {
         val nOut = math.max(1L, knownRows / targetRows + unknown).toInt
         val touchedDf = readEntries(spark, base, touched)
         val tiled =
-          try Layout.zorderCluster(touchedDf, aCol, bCol, nOut)
+          try Layout.zorderClusterK(touchedDf, cols, nOut)
           catch { // all-NULL keys: nothing to tile on, plain bin-pack
             case _: IllegalArgumentException => touchedDf.repartition(nOut)
           }
         val newEntries = landEntriesMulti(tiled, base,
-          preservedStatsCols(touched, Seq(aCol, bCol), tiled.schema))
+          preservedStatsCols(touched, cols, tiled.schema))
           .filter(_.rows != 0L)
         try {
           publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns,

@@ -105,15 +105,15 @@ object TxLogSqlParser {
       case OptimizeRe(t, wcol, wlo, whi, zcols) =>
         // arity is validated HERE, loudly — a silent fall-through to
         // the stock parser would reject "OPTIMIZE" as unknown syntax
-        // with no hint that only 2-column ZORDER is supported
+        // with no hint about the supported shape
         val z = Option(zcols).map { cs =>
-          cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq match {
-            case Seq(a, b) => (a, b)
-            case other => throw new IllegalArgumentException(
-              s"OPTIMIZE ... ZORDER BY takes exactly two columns " +
-                s"(manifest stats tile a 2-D key plane); got " +
-                s"${other.size}: ${other.mkString(", ")}")
-          }
+          val cols = cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          if (cols.size < 2) throw new IllegalArgumentException(
+            s"OPTIMIZE ... ZORDER BY takes at least two columns " +
+              s"(a single key is a plain sort — use OPTIMIZE without " +
+              s"ZORDER plus a sorted write); got ${cols.size}: " +
+              cols.mkString(", "))
+          cols
         }
         def unq(s: String): String =
           if (s.length >= 2 && s.head == '\'' && s.last == '\'')
@@ -191,7 +191,7 @@ object TxLogSqlParser {
   * outputs — the row-count analog of Delta's default file-size bins.
   * Returns the published version (unchanged when nothing to do). */
 case class TxLogOptimizeCommand(table: Seq[String],
-                                zorder: Option[(String, String)],
+                                zorder: Option[Seq[String]],
                                 smallThresholdRows: Long = 1L << 20,
                                 targetRows: Long = 1L << 22,
                                 where: Option[(String, String, String)] =
@@ -202,7 +202,7 @@ case class TxLogOptimizeCommand(table: Seq[String],
   override def run(spark: SparkSession): Seq[Row] = {
     val base = TxLogSqlParser.resolveBase(spark, table)
     val v = zorder match {
-      case Some((a, b)) => TxLog.compactZorder(spark, base, a, b,
+      case Some(cols) => TxLog.compactZorder(spark, base, cols,
         smallThresholdRows, targetRows)
       case None => TxLog.compact(spark, base, smallThresholdRows, targetRows,
         statsCol0 = where.map(_._1), range0 = where)

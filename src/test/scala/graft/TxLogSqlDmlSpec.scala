@@ -230,9 +230,16 @@ class TxLogSqlDmlSpec extends AnyFunSuite {
       assert(TxLog.read(spark, base).count() == 4006,
         "a rejected VACUUM must not touch data")
       val arity = intercept[Exception] {
+        sql.sql("OPTIMIZE txdml_maint ZORDER BY (x)")
+      }
+      assert(arity.getMessage.contains("at least two columns"))
+      // k columns are legal now; a non-numeric key still fails loudly
+      // at the verb (a runtime CAST error mid-rewrite would baffle)
+      val strKey = intercept[Exception] {
         sql.sql("OPTIMIZE txdml_maint ZORDER BY (x, y, p)")
       }
-      assert(arity.getMessage.contains("exactly two columns"))
+      assert(strKey.getMessage.contains("derived numeric key"),
+        strKey.getMessage)
     } finally sql.sql("DROP TABLE IF EXISTS txdml_maint")
   }
 

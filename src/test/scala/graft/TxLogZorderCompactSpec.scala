@@ -102,4 +102,89 @@ class TxLogZorderCompactSpec extends AnyFunSuite {
     TxLog.compactZorder(spark, base, "x", "y", 1000L, 4000L)
     assert(box() == before)
   }
+
+  test("k-column ZORDER: a 3-D layout prunes a 3-D box on ALL three " +
+    "dimensions (each single-dimension slab keeps more files than the " +
+    "box), content identical, fixpoint, and SQL takes the k-ary form") {
+    val base = "/tmp/graft_txzc/kd"
+    TxLog.drop(spark, base)
+    // (day, region, key): the fact-table shape VERDICT r11 names
+    val rows = spark.range(60000).select(
+      (col("id") * 7 % 30).cast("int").as("day"),
+      (col("id") * 13 % 50).cast("int").as("region"),
+      (col("id") * 31 % 1000).cast("int").as("key"),
+      concat(lit("p-"), col("id")).as("payload"))
+    TxLog.commitMulti(
+      Layout.zorderClusterK(rows, Seq("day", "region", "key"), 24),
+      base, None, Seq("day", "region", "key"))
+    // straggler appends so the verb has weak files to fold
+    (1 to 2).foreach { i =>
+      TxLog.append(spark.range(60).select(
+        (col("id") % 3).cast("int").as("day"),
+        (col("id") % 5).cast("int").as("region"),
+        (col("id") % 50).cast("int").as("key"),
+        concat(lit(s"s$i-"), col("id")).as("payload")).coalesce(1),
+        base, Some("day"))
+    }
+    def checksum3() = TxLog.read(spark, base)
+      .agg(count(lit(1)),
+        bit_xor(xxhash64(col("day"), col("region"), col("key"),
+          col("payload")))).head()
+    val before = checksum3()
+    val v = TxLog.compactZorder(spark, base, Seq("day", "region", "key"),
+      smallThresholdRows = 500L, targetRows = 2000L)
+    val entries = TxLog.manifest(spark, base, v)._1
+    assert(entries.size > 8, s"expected a multi-tile layout, got ${entries.size}")
+    assert(entries.forall(e => Seq("day", "region", "key").forall(c =>
+      e.statsFor(c).isDefined)), "tiles must carry 3-D stats")
+    assert(checksum3() == before)
+    assert(!TxLog.dataChangeOf(spark, base, v))
+    // skip sharpness: the 3-D box prunes strictly harder than any
+    // single-dimension slab — evidence all three dims participate
+    val boxPred = Seq(("day", 0, 5), ("region", 0, 9), ("key", 0, 199))
+    val (kept3, all) = TxLog.pruneRanges(spark, base, boxPred)
+    assert(kept3.size < all.size / 2,
+      s"3-D box should prune most tiles, kept ${kept3.size}/${all.size}")
+    for (dim <- boxPred) {
+      val (kept1, _) = TxLog.pruneRanges(spark, base, Seq(dim))
+      assert(kept3.size < kept1.size,
+        s"3-D box (${kept3.size}) must out-prune the ${dim._1}-only " +
+          s"slab (${kept1.size})")
+    }
+    // box-query correctness against the raw read
+    val expect = TxLog.read(spark, base)
+      .where(col("day").between(0, 5) && col("region").between(0, 9) &&
+        col("key").between(0, 199))
+      .agg(count(lit(1)), bit_xor(xxhash64(col("payload")))).head()
+    val got = TxLog.readRanges(spark, base, boxPred)
+      .agg(count(lit(1)), bit_xor(xxhash64(col("payload")))).head()
+    assert(got == expect)
+    // fixpoint within bounded iterations
+    var prev = v; var iters = 0; var settled = false
+    while (!settled && iters < 3) {
+      val next = TxLog.compactZorder(spark, base,
+        Seq("day", "region", "key"), 500L, 2000L)
+      settled = next == prev; prev = next; iters += 1
+    }
+    assert(settled, "k-ary compactZorder must converge to a fixpoint")
+    // the SQL verb takes k columns now (arity < 2 still fails loudly)
+    val s0 = SparkTestBase.spark
+    graft.sources.TxLogSqlDml.ensureInjected(s0)
+    val s = s0.newSession()
+    s.read.format("graft.sources.TxLogSource").load(base)
+      .createOrReplaceTempView("txzc_kd")
+    val sqlV = s.sql("OPTIMIZE txzc_kd ZORDER BY (day, region, key)")
+      .head().getLong(0)
+    // SQL defaults use Delta-scale bins (2^20/2^22 rows), so the small
+    // test tiles legitimately re-fold — content must stay identical
+    // and every output tile must carry 3-D stats
+    assert(sqlV >= prev)
+    assert(checksum3() == before)
+    assert(TxLog.manifest(spark, base, sqlV)._1.forall(e =>
+      Seq("day", "region", "key").forall(c => e.statsFor(c).isDefined)))
+    val e = intercept[Exception] {
+      s.sql("OPTIMIZE txzc_kd ZORDER BY (day)")
+    }
+    assert(e.getMessage.contains("at least two columns"))
+  }
 }
