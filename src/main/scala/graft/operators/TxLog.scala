@@ -2923,6 +2923,292 @@ object TxLog {
     }
   }
 
+  /** One WHEN clause of a conditional multi-clause MERGE
+    * ([[mergeClauses]] — Delta's full `MERGE INTO` clause surface).
+    * Conditions and assignment values are Columns over the JOINED
+    * row: TARGET columns by bare logical name, SOURCE columns via
+    * [[sourceCol]]. `condition = None` always fires; clauses are
+    * evaluated in declaration order, first match wins (Delta's
+    * ordering rule). */
+  sealed trait MergeWhen {
+    def condition: Option[org.apache.spark.sql.Column]
+  }
+  /** `WHEN [NOT] MATCHED [BY SOURCE] AND cond THEN UPDATE SET k = v,
+    * …` — assignments evaluate SIMULTANEOUSLY against the old row
+    * (SQL UPDATE semantics); unassigned columns carry through. */
+  final case class MergeUpdate(condition: Option[org.apache.spark.sql.Column],
+                               set: Map[String, org.apache.spark.sql.Column])
+      extends MergeWhen
+  /** `WHEN MATCHED [BY SOURCE] AND cond THEN DELETE`. */
+  final case class MergeDelete(condition: Option[org.apache.spark.sql.Column])
+      extends MergeWhen
+  /** `WHEN NOT MATCHED AND cond THEN INSERT (cols) VALUES (exprs)` —
+    * values reference SOURCE columns ([[sourceCol]]); target columns
+    * the map omits insert as NULL (SQL's rule). */
+  final case class MergeInsert(condition: Option[org.apache.spark.sql.Column],
+                               values: Map[String, org.apache.spark.sql.Column])
+      extends MergeWhen
+
+  /** Namespace prefix SOURCE columns take inside [[MergeWhen]]
+    * expressions (the joined row carries target columns bare and
+    * source columns prefixed, so `t.x` vs `s.x` can never collide). */
+  private[graft] val MergeSrcPrefix = "__src_"
+  /** Reference a SOURCE column inside a [[MergeWhen]] condition or
+    * assignment — the `s.x` of SQL MERGE. */
+  def sourceCol(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(MergeSrcPrefix + name)
+
+  /** Conditional multi-clause merge-on-read MERGE — the full Delta
+    * `MERGE INTO` clause surface over the log (the dbt soft-delete /
+    * `incremental_predicates` recipes emit exactly these shapes):
+    *
+    *   - `matched`: `WHEN MATCHED [AND cond] THEN UPDATE SET …/DELETE`,
+    *     any number, first-match-wins per (target row, source row)
+    *     pair. A target row that would be modified by MORE THAN ONE
+    *     source row fails loudly (Delta's cardinality violation) —
+    *     nondeterministic last-write-wins is never silently picked.
+    *   - `notMatched`: `WHEN NOT MATCHED [AND cond] THEN INSERT …`,
+    *     conditions/values over SOURCE columns only.
+    *   - `notMatchedBySource`: `WHEN NOT MATCHED BY SOURCE [AND cond]
+    *     THEN UPDATE …/DELETE`, conditions/values over TARGET columns
+    *     only (no source row exists to reference).
+    *
+    * Execution is ONE mask+append commit, Delta's DV merge shape:
+    * fired matched/not-matched-by-source rows are MASKED in place
+    * (row-precise — a conditional clause firing on one of two
+    * same-key rows masks exactly that row), their updated images and
+    * the fired inserts land as new files, zero existing files
+    * rewritten. Write cost O(changed rows). Scale levers carried
+    * over from the star-shaped verbs: the matched half prunes
+    * candidate files by manifest stats on the first ON key carrying
+    * them; with no NOT-MATCHED-BY-SOURCE clause, span-disjoint files
+    * are never read at all; with exactly `WHEN NOT MATCHED BY SOURCE
+    * THEN DELETE` (unconditional), span-disjoint files drop
+    * METADATA-ONLY (every row provably vanished — the [[applyBatch]]
+    * sync optimization); a CONDITIONAL by-source clause must read
+    * them once (absence of a key is unprovable from stats; the write
+    * stays O(fired rows)). The fired matched pairs are persisted for
+    * the commit's duration — they feed the cardinality check, the
+    * mask, and each update clause's images (Delta materializes the
+    * same set). Identity columns follow the merge verbs' GENERATED BY
+    * DEFAULT rule: images may carry existing ids, the high-water
+    * advances past any id in the batch. Returns the published
+    * version. */
+  def mergeClauses(spark: SparkSession, base: String, source: DataFrame,
+                   keys: Seq[String],
+                   matched: Seq[MergeWhen] = Seq.empty,
+                   notMatched: Seq[MergeInsert] = Seq.empty,
+                   notMatchedBySource: Seq[MergeWhen] = Seq.empty,
+                   maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    import org.apache.spark.sql.Column
+    require(keys.nonEmpty, "MERGE needs at least one ON key")
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "MERGE with no WHEN clauses")
+    matched.foreach {
+      case _: MergeInsert => throw new IllegalArgumentException(
+        "WHEN MATCHED takes UPDATE/DELETE, not INSERT")
+      case _ => ()
+    }
+    notMatchedBySource.foreach {
+      case _: MergeInsert => throw new IllegalArgumentException(
+        "WHEN NOT MATCHED BY SOURCE takes UPDATE/DELETE, not INSERT")
+      case _ => ()
+    }
+    val missingKeys = keys.filterNot(k =>
+      source.columns.exists(_.equalsIgnoreCase(k)))
+    require(missingKeys.isEmpty,
+      s"MERGE source lacks ON key(s) ${missingKeys.mkString(", ")}")
+    require(!source.columns.exists(_.startsWith(MergeSrcPrefix)),
+      s"source columns may not start with the reserved $MergeSrcPrefix")
+    // first firing clause's index (first-match-wins), NULL when none;
+    // a NULL condition is false (SQL three-valued WHEN)
+    def fireIdx(clauses: Seq[MergeWhen]): Column =
+      clauses.zipWithIndex.foldRight(lit(null).cast("int"): Column) {
+        case ((cl, i), els) =>
+          when(cl.condition.map(c => coalesce(c, lit(false)))
+            .getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+    // GENERATED BY DEFAULT advance (computed once, like mergeMorWhere)
+    val idMaxes = sourceIdentityMaxes(spark, base, source)
+    // unconditional by-source DELETE is the one by-source shape where
+    // span-disjoint files can drop metadata-only
+    val uncondSyncDelete = notMatchedBySource match {
+      case Seq(MergeDelete(None)) => true
+      case _ => false
+    }
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val targetSchema = read(spark, base).schema
+      val targetCols = targetSchema.fieldNames.toSeq
+      require(!targetCols.exists(_.startsWith(MergeSrcPrefix)),
+        s"target columns may not start with the reserved $MergeSrcPrefix")
+      def castTo(c: String, v: Column): Column =
+        v.cast(targetSchema(targetSchema.fieldIndex(c)).dataType).as(c)
+      // span pruning on the first ON key carrying stats in BOTH the
+      // source and some manifest entry (mergeMorAuto's rule)
+      val statsKey = keys.find { k0 =>
+        val k = physicalName(spark, base, k0)
+        source.columns.find(_.equalsIgnoreCase(k0)).exists(n =>
+          scala.util.Try(statsDtype(source.schema(n).dataType)).isSuccess) &&
+          entries.exists(_.statsFor(k).isDefined)
+      }
+      val span: Option[(String, String)] = statsKey.flatMap { k0 =>
+        import org.apache.spark.sql.functions.{max, min}
+        val castT = castType(statsDtype(source.schema(
+          source.columns.find(_.equalsIgnoreCase(k0)).get).dataType))
+        val b = source.agg(min(col(k0).cast(castT)).cast("string"),
+          max(col(k0).cast(castT)).cast("string")).head()
+        if (b.isNullAt(0)) None else Some((b.getString(0), b.getString(1)))
+      }
+      val inSpan: Entry => Boolean = span match {
+        case Some((lo, hi)) =>
+          val phys = physicalName(spark, base, statsKey.get)
+          e => touchesRange(e, phys, lo, hi)
+        case None =>
+          // no usable stats key, or an EMPTY source: with an empty
+          // source nothing can match, so only by-source clauses act
+          if (statsKey.isDefined) _ => false else _ => true
+      }
+      val needAllForBySource = notMatchedBySource.nonEmpty
+      // dropped: provably every row is by-source-not-matched and the
+      // only by-source clause is an unconditional DELETE
+      val (touched0, rest) = entries.partition(inSpan)
+      val (dropped, outOfSpan) =
+        if (needAllForBySource && uncondSyncDelete) (rest, Seq.empty[Entry])
+        else if (needAllForBySource) (Seq.empty[Entry], rest)
+        else (Seq.empty[Entry], Seq.empty[Entry])
+      val touched = touched0 ++ outOfSpan
+      val carried =
+        if (needAllForBySource) Seq.empty[Entry]
+        else rest
+      val cmapped = columnMapping(spark, base).isDefined
+      // the joined namespace: target columns bare (+ DV coordinates),
+      // source columns prefixed
+      val srcP = source.select(source.columns.toIndexedSeq.map(c =>
+        col(c).as(MergeSrcPrefix + c)): _*)
+      def keyEq: Column = keys.map(k =>
+        col(k) === col(MergeSrcPrefix +
+          source.columns.find(_.equalsIgnoreCase(k)).get)).reduce(_ && _)
+      val live: Option[DataFrame] =
+        if (touched.isEmpty) None
+        else {
+          val raw = logicalView(spark, base,
+            taggedRead(spark, base, touched, mergeSchema = cmapped),
+            keep = Seq(DvFileCol, DvPosCol))
+          Some(dvFrame(spark, base, touched) match {
+            case Some(m) => raw.join(m, Seq(DvFileCol, DvPosCol), "left_anti")
+            case None => raw
+          })
+        }
+      val fired: Option[DataFrame] = live.filter(_ => matched.nonEmpty)
+        .map(_.join(srcP, keyEq, "inner")
+          .withColumn("__fire", fireIdx(matched))
+          .where(col("__fire").isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      try {
+        // Delta's cardinality law: a target row modified by the merge
+        // must match at most ONE source row
+        fired.foreach { f =>
+          val dup = f.groupBy(col(DvFileCol), col(DvPosCol)).count()
+            .where(col("count") > 1).limit(1)
+          if (!dup.isEmpty) throw new IllegalStateException(
+            "MERGE: a target row matched multiple source rows with a " +
+              "firing WHEN MATCHED clause — nondeterministic result " +
+              "(Delta's cardinality violation); de-duplicate the source " +
+              "on the ON keys first")
+        }
+        // not-matched-by-source rows and their firing clause
+        val nmbsFired: Option[DataFrame] =
+          live.filter(_ => notMatchedBySource.nonEmpty).map { lv =>
+            val srcKeys = srcP.select(keys.map(k => col(MergeSrcPrefix +
+              source.columns.find(_.equalsIgnoreCase(k)).get).as(k)): _*)
+              .distinct()
+            lv.join(srcKeys, keys, "left_anti")
+              .withColumn("__fire", fireIdx(notMatchedBySource))
+              .where(col("__fire").isNotNull)
+          }
+        // update images: per update clause, assignments evaluate
+        // simultaneously against the OLD (joined) row
+        def updateImages(firedDf: DataFrame, clauses: Seq[MergeWhen])
+            : Seq[DataFrame] =
+          clauses.zipWithIndex.collect {
+            case (MergeUpdate(_, set), i) =>
+              firedDf.where(col("__fire") === i)
+                .select(targetCols.map(c =>
+                  set.find(_._1.equalsIgnoreCase(c))
+                    .map { case (_, v) => castTo(c, v) }
+                    .getOrElse(col(c))): _*)
+          }
+        // insert images: source rows matching NO live target key, per
+        // first firing insert clause; omitted columns insert as NULL
+        val insertImages: Seq[DataFrame] =
+          if (notMatched.isEmpty) Seq.empty
+          else {
+            val unmatched = live match {
+              case Some(lv) =>
+                srcP.join(lv.select(keys.map(col): _*), keyEq, "left_anti")
+              case None => srcP // no candidate files: nothing matches
+            }
+            val uf = unmatched.withColumn("__fire", fireIdx(notMatched))
+              .where(col("__fire").isNotNull)
+            notMatched.zipWithIndex.map { case (MergeInsert(_, values), i) =>
+              uf.where(col("__fire") === i)
+                .select(targetCols.map(c =>
+                  values.find(_._1.equalsIgnoreCase(c))
+                    .map { case (_, v) => castTo(c, v) }
+                    .getOrElse(lit(null).cast(
+                      targetSchema(targetSchema.fieldIndex(c)).dataType)
+                      .as(c))): _*)
+            }
+          }
+        val images: Seq[DataFrame] =
+          fired.toSeq.flatMap(updateImages(_, matched)) ++
+            insertImages ++
+            nmbsFired.toSeq.flatMap(updateImages(_, notMatchedBySource))
+        val allImages = images.reduceLeftOption(_.unionByName(_))
+        val newEntries = allImages match {
+          case None => Seq.empty[Entry]
+          case Some(img) =>
+            landEntriesMulti(toPhysicalIfMapped(spark, base, img), base,
+              preservedStatsCols(touched,
+                statsKey.toSeq.map(physicalName(spark, base, _)),
+                toPhysicalIfMapped(spark, base, img).schema),
+              recomputeGenerated = true).filter(_.rows != 0L)
+        }
+        // mask: fired matched rows ∪ fired by-source rows
+        val maskParts =
+          fired.map(_.select(DvFileCol, DvPosCol)).toSeq ++
+            nmbsFired.map(_.select(DvFileCol, DvPosCol)).toSeq
+        val maskHits = maskParts.reduceLeftOption(_.unionByName(_))
+        def publishWith(masked: Seq[Entry], dvDir: Option[String]): Long =
+          try {
+            publishEntries(spark, base, cur + 1L,
+              carried ++ masked ++ newEntries, txns, operation = "MERGE",
+              identityOverride =
+                mergeIdentityAdvance(spark, base, cur, idMaxes))
+            cur + 1L
+          } catch {
+            case e: CommitConflictException =>
+              dvDir.foreach(discardDir(spark, base, _))
+              discard(spark, base, newEntries.map(_.path))
+              throw e
+          }
+        maskHits match {
+          case None => publishWith(touched, None)
+          case Some(hits) =>
+            landMaskSidecar(spark, base, touched, hits) match {
+              case None => publishWith(touched, None) // nothing fired
+              case Some((dvDir, counts)) =>
+                publishWith(remask(touched, dvDir, counts), Some(dvDir))
+            }
+        }
+      } finally fired.foreach(_.unpersist())
+    }
+  }
+
   /** Append with a system-assigned IDENTITY column (Delta `GENERATED
     * ALWAYS AS IDENTITY` semantics): `idCol` must NOT be in `df` —
     * the engine assigns ids above the table's high-water, UNIQUE and

@@ -669,6 +669,53 @@ object RegistryMaint {
         .orderBy("o_orderstatus")
     }),
 
+    // Conditional multi-clause MERGE (VERDICT r11 missing #1 — the
+    // full Delta clause surface a dbt soft-delete / snapshot recipe
+    // emits): ordered WHEN MATCHED AND ... DELETE / conditional
+    // UPDATE with an explicit assignment list, conditional INSERT
+    // with a column list, and BOTH not-matched-by-source shapes
+    // (conditional DELETE + catch-all UPDATE) — first-match-wins,
+    // ONE merge-on-read commit. Oracle: the same five clauses
+    // composed as relational algebra over the raw table.
+    "s68_merge_conditional" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txcond_orders"
+      TxLog.drop(s, base)
+      val od = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      TxLog.commit(
+        od.where(col("o_orderkey") < 900)
+          .repartitionByRange(4, col("o_orderkey")),
+        base, None, Some("o_orderkey"))
+      graft.sources.TxLogSqlDml.ensureInjected(s)
+      val sqlS = s.newSession()
+      sqlS.sql("DROP TABLE IF EXISTS txdml_cond_w")
+      sqlS.sql("CREATE TABLE txdml_cond_w " +
+        s"USING graft.sources.TxLogSource OPTIONS (path '$base')")
+      try {
+        sqlS.sql("MERGE INTO txdml_cond_w t USING (" +
+          "SELECT o_orderkey, o_orderstatus, o_totalprice, " +
+          s"o_orderkey % 10 = 0 AS deleted FROM parquet.`$dir/orders.parquet` " +
+          "WHERE o_orderkey BETWEEN 450 AND 1350) s " +
+          "ON t.o_orderkey = s.o_orderkey " +
+          "WHEN MATCHED AND s.deleted THEN DELETE " +
+          "WHEN MATCHED AND t.o_totalprice < 100000 THEN UPDATE SET " +
+          "o_totalprice = s.o_totalprice + t.o_totalprice " +
+          "WHEN NOT MATCHED AND NOT s.deleted THEN INSERT " +
+          "(o_orderkey, o_orderstatus, o_totalprice) VALUES " +
+          "(s.o_orderkey, s.o_orderstatus, s.o_totalprice) " +
+          "WHEN NOT MATCHED BY SOURCE AND t.o_orderkey < 100 THEN DELETE " +
+          "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'Z'")
+      } finally sqlS.sql("DROP TABLE IF EXISTS txdml_cond_w")
+      require(TxLog.latestVersion(s, base).contains(2L),
+        "the five-clause statement must land as ONE commit")
+      TxLog.read(s, base)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            .as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Maintenance SQL grammar (the injectParser rung): OPTIMIZE
     // bin-packs straggler appends and VACUUM trims history, both as
     // plain SQL a JDBC operator could issue — the requires pin that
@@ -2113,6 +2160,31 @@ object RegistryMaint {
                   AS sum_price
          FROM orders WHERE o_orderkey BETWEEN 450 AND 1350
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s68_merge_conditional" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                    FROM orders WHERE o_orderkey < 900),
+              s AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                           (o_orderkey % 10 = 0) AS deleted
+                    FROM orders WHERE o_orderkey BETWEEN 450 AND 1350),
+              merged AS (
+                SELECT t.o_orderkey, t.o_orderstatus,
+                       CASE WHEN t.o_totalprice < 100000
+                            THEN s.o_totalprice + t.o_totalprice
+                            ELSE t.o_totalprice END AS o_totalprice
+                FROM t JOIN s ON t.o_orderkey = s.o_orderkey
+                WHERE NOT s.deleted
+                UNION ALL
+                SELECT t.o_orderkey, 'Z' AS o_orderstatus, t.o_totalprice
+                FROM t WHERE t.o_orderkey NOT IN
+                  (SELECT o_orderkey FROM s) AND t.o_orderkey >= 100
+                UNION ALL
+                SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+                FROM s WHERE s.o_orderkey NOT IN
+                  (SELECT o_orderkey FROM t) AND NOT s.deleted)
+         SELECT o_orderstatus, count(*) AS n,
+                cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_price
+         FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "s53_sql_optimize" ->
       """SELECT l_returnflag, count(*) AS n,
                 cast(sum(cast(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty

@@ -72,6 +72,10 @@ case class TxLogSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def nameOf(e: Expression): Option[String] = e match {
     case u: UnresolvedAttribute => Some(u.nameParts.last)
     case a: Attribute => Some(a.name)
+    // the analyzer wraps a type-mismatched key side in a widening
+    // cast (t.k INT = s.k BIGINT) — still the same equi-key
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      nameOf(c.child)
     case _ => None
   }
 
@@ -122,45 +126,154 @@ case class TxLogSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           messageParameters = Map(
             "tableName" -> s"txlog($base)",
             "operation" -> (s"this MERGE shape ($why); supported: " +
-              "equi-key ON, WHEN MATCHED THEN UPDATE SET * (or DELETE), " +
-              "WHEN NOT MATCHED THEN INSERT *, " +
-              "WHEN NOT MATCHED BY SOURCE THEN DELETE")))
-      // full-sync delete: target rows whose key vanished from the
-      // source die in the same commit (Delta's third MERGE clause)
-      val syncDelete = notMatchedBySource match {
-        case Seq() => false
-        case Seq(DeleteAction(None)) => true
-        case other => unsupported(s"not-matched-by-source actions $other")
-      }
+              "an equi-key ON conjunction with any number of " +
+              "conditional WHEN MATCHED UPDATE/DELETE, WHEN NOT " +
+              "MATCHED INSERT, and WHEN NOT MATCHED BY SOURCE " +
+              "UPDATE/DELETE clauses (star or explicit assignments)")))
       val keys = equiKeys(mergeCond).getOrElse(
         unsupported(s"non-equi-key ON: ${mergeCond.sql}"))
-      // STAR actions only. Explicit assignment lists are deliberately
-      // rejected: a name-based classifier cannot distinguish
-      // `SET v = s.v, k = t.k` ("keep old k") from SET * — qualifiers
-      // are aliases we cannot resolve here — and Spark's own star
-      // expansion is rewritable-gated (it never fires for tables
-      // without SupportsRowLevelOperations), so the expanded form
-      // never legitimately reaches this rule. Loud error beats a
-      // silent full-row overwrite.
-      val doUpdate = matched match {
-        case Seq() => false
-        case Seq(UpdateStarAction(None)) => true
-        case Seq(DeleteAction(None)) => false
-        case other => unsupported(s"matched actions $other")
-      }
-      val deleteMatched = matched == Seq(DeleteAction(None))
-      val doInsert = notMatched match {
-        case Seq() => false
-        case Seq(InsertStarAction(None)) => true
-        case other => unsupported(s"not-matched actions $other")
-      }
-      if (!doUpdate && !deleteMatched && !doInsert && !syncDelete)
+      // FAST PATH — the exact unconditional star shapes keep their
+      // proven single-verb routes (upsert / decomposed semi-anti /
+      // full-sync), which also carry the sharpest stats pruning
+      val fastSync = notMatchedBySource == Seq(DeleteAction(None))
+      val fastUpdate = matched == Seq(UpdateStarAction(None))
+      val fastDeleteM = matched == Seq(DeleteAction(None))
+      val fastInsert = notMatched == Seq(InsertStarAction(None))
+      val fastShape =
+        (matched.isEmpty || fastUpdate || fastDeleteM) &&
+          (notMatched.isEmpty || fastInsert) &&
+          (notMatchedBySource.isEmpty || fastSync)
+      if (matched.isEmpty && notMatched.isEmpty &&
+          notMatchedBySource.isEmpty)
         unsupported("no actions")
-      TxLogMergeCommand(base, keys, source,
-        upsert = doUpdate, insert = doInsert, deleteMatched = deleteMatched,
-        syncDelete = syncDelete)
+      if (fastShape)
+        TxLogMergeCommand(base, keys, source,
+          upsert = fastUpdate, insert = fastInsert,
+          deleteMatched = fastDeleteM, syncDelete = fastSync)
+      else {
+        // GENERAL PATH — conditional / multi-clause / explicit
+        // assignments → [[TxLog.mergeClauses]]. Attribute references
+        // are tagged by SIDE here (where the plans still carry
+        // qualifiers and exprIds) and resolved against the live
+        // column sets at run time.
+        val tag = new MergeSideTagger(target, source, unsupported)
+        def clauseOf(a: MergeAction, ctx: String): SqlMergeClause = a match {
+          case UpdateAction(cond, assigns, _) =>
+            SqlMergeClause("update", cond.map(c =>
+              new ExprBox(tag(c))), assigns.map(asn =>
+              tag.assignKey(asn.key) -> new ExprBox(tag(asn.value))), ctx)
+          case UpdateStarAction(cond) =>
+            SqlMergeClause("updateStar", cond.map(c =>
+              new ExprBox(tag(c))), Seq.empty, ctx)
+          case DeleteAction(cond) =>
+            SqlMergeClause("delete", cond.map(c =>
+              new ExprBox(tag(c))), Seq.empty, ctx)
+          case InsertAction(cond, assigns) =>
+            SqlMergeClause("insert", cond.map(c =>
+              new ExprBox(tag(c))), assigns.map(asn =>
+              tag.assignKey(asn.key) -> new ExprBox(tag(asn.value))), ctx)
+          case InsertStarAction(cond) =>
+            SqlMergeClause("insertStar", cond.map(c =>
+              new ExprBox(tag(c))), Seq.empty, ctx)
+          case other => unsupported(s"action $other in $ctx")
+        }
+        val matchedCl = matched.map(clauseOf(_, "matched"))
+        val notMatchedCl = notMatched.map(clauseOf(_, "insert"))
+        val nmbsCl = notMatchedBySource.map(clauseOf(_, "bySource"))
+        matchedCl.foreach(c => if (c.kind.startsWith("insert"))
+          unsupported("INSERT in WHEN MATCHED"))
+        notMatchedCl.foreach(c => if (!c.kind.startsWith("insert"))
+          unsupported("UPDATE/DELETE in WHEN NOT MATCHED"))
+        nmbsCl.foreach(c => if (c.kind.startsWith("insert"))
+          unsupported("INSERT in WHEN NOT MATCHED BY SOURCE"))
+        TxLogMergeClausesCommand(base, keys, source,
+          matchedCl, notMatchedCl, nmbsCl)
+      }
 
     case other => other
+  }
+}
+
+/** Tags every attribute reference in a captured MERGE clause
+  * expression with its SIDE — `__tgt_x` / `__src_x` / bare `x` when
+  * unqualified and unresolvable here — using the target/source plans'
+  * aliases and (when already resolved) exprIds. The command resolves
+  * the tags against the live column sets at run time (bare names
+  * resolve contextually: both-sides contexts error on ambiguity,
+  * source-only/target-only contexts bind to their side). */
+private[sources] class MergeSideTagger(target: LogicalPlan,
+                                       source: LogicalPlan,
+                                       unsupported: String => Nothing) {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+
+  private def aliasesOf(plan: LogicalPlan): Set[String] = {
+    val subs = plan.collect {
+      case s: SubqueryAlias => s.alias.toLowerCase
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        u.multipartIdentifier.last.toLowerCase
+    }
+    val ident = plan.collectFirst {
+      case r: DataSourceV2Relation => r
+    }.flatMap(_.identifier).map(_.name.toLowerCase)
+    (subs ++ ident.toSeq).toSet
+  }
+  private val tgtAliases = aliasesOf(target)
+  private val srcAliases = aliasesOf(source)
+  private val shared = tgtAliases.intersect(srcAliases)
+  private val tgtIds = target.output.map(_.exprId).toSet
+  private val srcIds =
+    scala.util.Try(source.output.map(_.exprId).toSet)
+      .getOrElse(Set.empty[org.apache.spark.sql.catalyst.expressions.ExprId])
+
+  private def inlineWith(e: Expression): Expression = e.transformUp {
+    case w: org.apache.spark.sql.catalyst.expressions.With =>
+      val defs = w.defs.map(d => d.id -> d.child).toMap
+      w.child.transformUp {
+        case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef
+            if defs.contains(r.id) => defs(r.id)
+      }
+  }
+
+  /** Tag one expression's references by side. */
+  def apply(e: Expression): Expression = inlineWith(e).transformUp {
+    case a: AttributeReference if tgtIds.contains(a.exprId) =>
+      UnresolvedAttribute(Seq(SqlMergeClause.TgtTag + a.name))
+    case a: AttributeReference if srcIds.contains(a.exprId) =>
+      UnresolvedAttribute(Seq(SqlMergeClause.SrcTag + a.name))
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    case u: UnresolvedAttribute if u.nameParts.size >= 2 =>
+      val q = u.nameParts.head.toLowerCase
+      if (shared.contains(q)) unsupported(
+        s"alias '$q' names BOTH merge sides — rename one")
+      else if (tgtAliases.contains(q)) {
+        if (u.nameParts.size != 2) unsupported(
+          s"nested field reference ${u.nameParts.mkString(".")}")
+        UnresolvedAttribute(Seq(SqlMergeClause.TgtTag + u.nameParts(1)))
+      } else if (srcAliases.contains(q)) {
+        if (u.nameParts.size != 2) unsupported(
+          s"nested field reference ${u.nameParts.mkString(".")}")
+        UnresolvedAttribute(Seq(SqlMergeClause.SrcTag + u.nameParts(1)))
+      } else unsupported(
+        s"unknown qualifier '${u.nameParts.head}' in " +
+          u.nameParts.mkString("."))
+    case u: UnresolvedAttribute => UnresolvedAttribute(Seq(u.nameParts.head))
+  }
+
+  /** An assignment TARGET must be a (possibly target-qualified)
+    * top-level target column. */
+  def assignKey(e: Expression): String = e match {
+    case a: AttributeReference if tgtIds.contains(a.exprId) => a.name
+    case a: AttributeReference if srcIds.contains(a.exprId) =>
+      unsupported(s"assignment to SOURCE column ${a.name}")
+    case a: Attribute if a.name.indexOf('.') < 0 => a.name
+    case u: UnresolvedAttribute if u.nameParts.size == 1 =>
+      u.nameParts.head
+    case u: UnresolvedAttribute if u.nameParts.size == 2 &&
+        tgtAliases.contains(u.nameParts.head.toLowerCase) =>
+      u.nameParts(1)
+    case other => unsupported(
+      s"unsupported assignment target ${other.sql} (top-level target " +
+        "columns only)")
   }
 }
 
@@ -212,6 +325,115 @@ case class TxLogUpdateCommand(base: String, condExpr: Option[ExprBox],
     val cond = condExpr.map(b => column(b.e)).getOrElse(lit(true))
     TxLog.updateWhereMor(spark, base, cond,
       sets.map { case (c, v) => c -> column(v.e) }.toMap)
+    Seq.empty
+  }
+}
+
+/** One captured WHEN clause of a general SQL MERGE: `kind` ∈
+  * update/updateStar/delete/insert/insertStar, side-tagged condition
+  * and assignments ([[MergeSideTagger]]), and the resolution context
+  * (`matched` = both sides visible, `insert` = source only,
+  * `bySource` = target only). */
+case class SqlMergeClause(kind: String, cond: Option[ExprBox],
+                          sets: Seq[(String, ExprBox)], ctx: String)
+
+object SqlMergeClause {
+  val TgtTag = "__tgt_"
+  val SrcTag: String = TxLog.MergeSrcPrefix // "__src_"
+}
+
+/** General conditional multi-clause `MERGE INTO` →
+  * [[TxLog.mergeClauses]]: side tags resolve against the LIVE target
+  * and source column sets, star actions expand to full coverage, and
+  * the verb executes the Delta clause semantics (first-match-wins,
+  * cardinality law, row-precise masks) in one commit. */
+case class TxLogMergeClausesCommand(base: String, keys: Seq[String],
+                                    sourcePlan: LogicalPlan,
+                                    matched: Seq[SqlMergeClause],
+                                    notMatched: Seq[SqlMergeClause],
+                                    bySource: Seq[SqlMergeClause])
+    extends LeafRunnableCommand {
+  import SqlMergeClause.{SrcTag, TgtTag}
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val src: DataFrame = ColumnBridge.ofRows(spark, sourcePlan)
+    val targetSchema = TxLog.read(spark, base).schema
+    val targetCols = targetSchema.fieldNames.toSeq
+    val srcCols = src.columns.toSeq
+    def srcActual(n: String) = srcCols.find(_.equalsIgnoreCase(n))
+    def tgtActual(n: String) = targetCols.find(_.equalsIgnoreCase(n))
+    def err(msg: String): Nothing =
+      throw new IllegalArgumentException(s"MERGE INTO txlog($base): $msg")
+    // side tags → the joined namespace (target bare, source prefixed);
+    // bare names resolve by context, erroring on genuine ambiguity
+    def resolveExpr(e: Expression, ctx: String): Expression = e.transformUp {
+      case u: UnresolvedAttribute if u.nameParts.size == 1 =>
+        val n = u.nameParts.head
+        if (n.startsWith(TgtTag)) {
+          val raw = n.substring(TgtTag.length)
+          UnresolvedAttribute(Seq(tgtActual(raw).getOrElse(
+            err(s"target has no column '$raw'"))))
+        } else if (n.startsWith(SrcTag)) {
+          val raw = n.substring(SrcTag.length)
+          UnresolvedAttribute(Seq(SrcTag + srcActual(raw).getOrElse(
+            err(s"source has no column '$raw'"))))
+        } else ctx match {
+          case "insert" => UnresolvedAttribute(Seq(SrcTag +
+            srcActual(n).getOrElse(err(
+              s"WHEN NOT MATCHED references source columns only; " +
+                s"'$n' is not one"))))
+          case "bySource" => UnresolvedAttribute(Seq(tgtActual(n)
+            .getOrElse(err(
+              s"WHEN NOT MATCHED BY SOURCE references target columns " +
+                s"only; '$n' is not one"))))
+          case _ => (tgtActual(n), srcActual(n)) match {
+            case (Some(_), Some(_)) => err(
+              s"reference '$n' is ambiguous (both target and source " +
+                "have it) — qualify with the table/source alias")
+            case (Some(t), None) => UnresolvedAttribute(Seq(t))
+            case (None, Some(s)) => UnresolvedAttribute(Seq(SrcTag + s))
+            case _ => err(s"column '$n' is in neither target nor source")
+          }
+        }
+    }
+    def colOf(b: ExprBox, ctx: String) =
+      ColumnBridge.column(resolveExpr(b.e, ctx))
+    def assignments(c: SqlMergeClause): Map[String, org.apache.spark.sql.Column] = {
+      val keysL = c.sets.map(_._1.toLowerCase)
+      val dup = keysL.groupBy(identity).collect {
+        case (k, vs) if vs.size > 1 => k }
+      if (dup.nonEmpty)
+        err(s"column(s) ${dup.mkString(", ")} assigned more than once")
+      c.sets.map { case (k, v) =>
+        tgtActual(k).getOrElse(
+          err(s"assignment to unknown target column '$k'")) ->
+          colOf(v, c.ctx)
+      }.toMap
+    }
+    def starValues(): Map[String, org.apache.spark.sql.Column] =
+      targetCols.map { c =>
+        c -> TxLog.sourceCol(srcActual(c).getOrElse(err(
+          s"SET * / INSERT * needs the source to cover every target " +
+            s"column; missing '$c'")))
+      }.toMap
+    def toWhen(c: SqlMergeClause): TxLog.MergeWhen = c.kind match {
+      case "update" =>
+        TxLog.MergeUpdate(c.cond.map(colOf(_, c.ctx)), assignments(c))
+      case "updateStar" =>
+        TxLog.MergeUpdate(c.cond.map(colOf(_, c.ctx)), starValues())
+      case "delete" => TxLog.MergeDelete(c.cond.map(colOf(_, c.ctx)))
+      case "insert" =>
+        TxLog.MergeInsert(c.cond.map(colOf(_, c.ctx)), assignments(c))
+      case "insertStar" =>
+        TxLog.MergeInsert(c.cond.map(colOf(_, c.ctx)), starValues())
+      case other => err(s"unknown clause kind $other")
+    }
+    TxLog.mergeClauses(spark, base, src, keys,
+      matched = matched.map(toWhen),
+      notMatched = notMatched.map(toWhen)
+        .map(_.asInstanceOf[TxLog.MergeInsert]),
+      notMatchedBySource = bySource.map(toWhen))
     Seq.empty
   }
 }
