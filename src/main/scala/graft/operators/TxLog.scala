@@ -4126,16 +4126,17 @@ object TxLog {
         Seq.empty[(String, Long)].toDF(DvFileCol, DvPosCol)
       }
     // rows whose mask membership changed between two manifests of the
-    // SAME file: kind='delete' → newly masked, kind='insert' → newly
+    // SAME file: dead=true → newly masked, dead=false → newly
     // unmasked. Position-set difference, then a semi-join pins the
-    // actual rows.
+    // actual rows. `kind` is the emitted label (an UPDATE version
+    // labels its dead rows 'update_preimage', not 'delete').
     def dvDelta(v: Long, changed: Seq[(Entry, Entry)],
-                kind: String): Option[DataFrame] =
+                kind: String, dead: Boolean = true): Option[DataFrame] =
       if (changed.isEmpty) None
       else {
         val (oldEs, newEs) = changed.unzip
         val delta =
-          if (kind == "delete") maskOf(newEs).exceptAll(maskOf(oldEs))
+          if (dead) maskOf(newEs).exceptAll(maskOf(oldEs))
           else maskOf(oldEs).exceptAll(maskOf(newEs))
         val raw = spark.read.option("mergeSchema", "true")
           .parquet(newEs.map(e => resolve(base, e.path)): _*)
@@ -4159,12 +4160,26 @@ object TxLog {
       val removedE = perVersion(v - 1).filterNot(e => curP.contains(e.path))
       val changed = perVersion(v).flatMap(e =>
         prev.get(e.path).filter(_.dv != e.dv).map(o => (o, e)))
+      // an UPDATE version with mask transitions is the MOR update
+      // signature: its newly-masked rows are the UPDATE's preimages,
+      // its added files the postimages, and a fully-masked file that
+      // dropped from the manifest held only preimages (Delta CDF's
+      // update_preimage/update_postimage contract). A COW UPDATE has
+      // no mask transition and keeps the documented delete+insert
+      // materialization (its removed files also carry unchanged rows,
+      // which MUST NOT be claimed as updated).
+      val morUpdate = withDeletes && changed.nonEmpty &&
+        operationOf(spark, base, v).contains("UPDATE")
+      val (delKind, insKind) =
+        if (morUpdate) ("update_preimage", "update_postimage")
+        else ("delete", "insert")
       val deletes =
         if (!withDeletes) Seq.empty
-        else slice(v, removedE, "delete").toSeq ++
-          dvDelta(v, changed, "delete").toSeq
-      val inserts = slice(v, added, "insert").toSeq ++
-        (if (withDeletes) dvDelta(v, changed, "insert").toSeq else Seq.empty)
+        else slice(v, removedE, delKind).toSeq ++
+          dvDelta(v, changed, delKind, dead = true).toSeq
+      val inserts = slice(v, added, insKind).toSeq ++
+        (if (withDeletes) dvDelta(v, changed, "insert", dead = false).toSeq
+         else Seq.empty)
       deletes ++ inserts
       }
     }

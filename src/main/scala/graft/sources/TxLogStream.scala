@@ -924,6 +924,16 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
     val changed = survivors(cur.filter(e =>
       prevByPath.get(e.path).exists(_.dv != e.dv)))
       .map(e => (prevByPath(e.path), e))
+    // MOR-update signature (same gate as the batch feed): an UPDATE
+    // version with a mask transition emits Delta CDF update images —
+    // newly-masked rows (and fully-masked dropped files) as
+    // 'update_preimage', added files as 'update_postimage'. COW
+    // updates (no transition) keep delete+insert.
+    val morUpdate = changed.nonEmpty &&
+      TxLog.operationOf(spark, base, v).contains("UPDATE")
+    val (delKind, insKind) =
+      if (morUpdate) ("update_preimage", "update_postimage")
+      else ("delete", "insert")
     def masked(es: Seq[TxLog.Entry], kind: String): Seq[InputPartition] = {
       val masks = TxLogSource.dvPositionsByFile(base, es, conf)
       es.map(e => TxLogInputPartition(TxLog.resolve(base, e.path), v,
@@ -939,14 +949,14 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
       val back = TxLogSource.diffSorted(o, n)
       (if (dead.nonEmpty)
         Some(TxLogInputPartition(TxLog.resolve(base, newE.path), v,
-          keepOnly = dead, changeType = "delete"): InputPartition)
+          keepOnly = dead, changeType = delKind): InputPartition)
       else None) ++
       (if (back.nonEmpty)
         Some(TxLogInputPartition(TxLog.resolve(base, newE.path), v,
           keepOnly = back, changeType = "insert"): InputPartition)
       else None)
     }
-    masked(removed, "delete") ++ deltas ++ masked(added, "insert")
+    masked(removed, delKind) ++ deltas ++ masked(added, insKind)
   }
 
   /** Batch read: the snapshot's files — latest version, or the

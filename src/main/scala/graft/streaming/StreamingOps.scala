@@ -258,10 +258,15 @@ object StreamingOps {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, bid: Long) =>
+          // an UPDATE surfaces as update_preimage/update_postimage
+          // (Delta readChangeFeed's contract); replica maintenance
+          // applies a preimage as a delete-key and a postimage as an
+          // insert — replay stays bit-identical either way
           TxLog.applyChanges(spark, rep,
-            deleteKeys = batch.where(col("_change_type") === "delete")
-              .select("event_id"),
-            inserts = batch.where(col("_change_type") === "insert")
+            deleteKeys = batch.where(col("_change_type")
+              .isin("delete", "update_preimage")).select("event_id"),
+            inserts = batch.where(col("_change_type")
+              .isin("insert", "update_postimage"))
               .drop("_commit_version", "_change_type"),
             keys = Seq("event_id"), statsCol = "event_id",
             appId = "cdc-replica", batchId = bid)
@@ -271,22 +276,32 @@ object StreamingOps {
       q.awaitTermination()
     }
     run() // source v1 (insert) + v2 (precise deletes) drain
-    // while the replica is down: another masked delete and an append
+    // while the replica is down: another masked delete, an append, and
+    // a MOR UPDATE (whose feed slices are typed update images)
     TxLog.deleteRangeMor(spark, src, "event_id", 300L, 600L,
       residual = col("event_type") === "view")
     TxLog.append(ev.where(col("event_id") < 100), src, Some("event_id"))
-    run() // resume: ONLY v3 + v4 flow
+    TxLog.updateRangeMor(spark, src, "event_id", 650L, 800L,
+      Map("value" -> (col("value") * 2)),
+      residual = col("event_type") === "purchase")
+    // the update version's feed really is typed as update images
+    val v5Types = TxLog.changesWithDeletes(spark, src, 4L, 5L)
+      .select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSet
+    require(v5Types == Set("update_preimage", "update_postimage"),
+      s"a MOR UPDATE version must emit update images, got $v5Types")
+    run() // resume: ONLY v3 + v4 + v5 flow
     // replica ≡ source, row for row
     val a = TxLog.read(spark, src)
     val b = TxLog.read(spark, rep)
     require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "the CDC replica must equal the source snapshot exactly")
-    // exactly-once evidence: 4 source versions → 4 replica versions,
+    // exactly-once evidence: 5 source versions → 5 replica versions,
     // high-water at the last batch id
-    require(TxLog.latestVersion(spark, rep).contains(4L),
-      s"expected 4 replica versions, got ${TxLog.latestVersion(spark, rep)}")
-    require(TxLog.manifest(spark, rep, 4L)._2 == Map("cdc-replica" -> 3L),
-      s"unexpected replica high-water: ${TxLog.manifest(spark, rep, 4L)._2}")
+    require(TxLog.latestVersion(spark, rep).contains(5L),
+      s"expected 5 replica versions, got ${TxLog.latestVersion(spark, rep)}")
+    require(TxLog.manifest(spark, rep, 5L)._2 == Map("cdc-replica" -> 4L),
+      s"unexpected replica high-water: ${TxLog.manifest(spark, rep, 5L)._2}")
     StreamTune.dropScratch(ckpt)
     TxLog.read(spark, rep)
   }

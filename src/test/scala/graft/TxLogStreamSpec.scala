@@ -375,4 +375,85 @@ class TxLogStreamSpec extends AnyFunSuite {
     assert(viaSource.orderBy("k").collect().toSeq ==
       native.orderBy("k").collect().toSeq)
   }
+
+  test("CDF update images (r11 missing #2): a MOR UPDATE version " +
+    "emits update_preimage/update_postimage through BOTH feeds; a " +
+    "pure MOR delete still emits 'delete'; a COW UPDATE keeps the " +
+    "documented delete+insert materialization") {
+    val base = "/tmp/graft_txstream/cdfupd"
+    TxLog.drop(spark, base)
+    import spark.implicits._
+    TxLog.commit((1 to 100).map(i => (i, i * 1.0, s"r$i"))
+      .toDF("k", "v", "p").repartitionByRange(4, col("k")),
+      base, None, Some("k"))
+    // v2: MOR update (mask + images)
+    TxLog.updateRangeMor(spark, base, "k", 10L, 29L,
+      Map("v" -> (col("v") + 1000)))
+    // v3: pure MOR delete
+    TxLog.deleteRangeMor(spark, base, "k", 90L, 99L)
+    // v4: COW update (band rewrite, no mask transition)
+    TxLog.updateRange(spark, base, "k", 30L, 39L,
+      Map("v" -> (col("v") - 1)))
+    def slice(from: Long, to: Long): Map[String, (Long, Double)] =
+      TxLog.changesWithDeletes(spark, base, from, to)
+        .groupBy("_change_type")
+        .agg(count(lit(1)), sum("v"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+    // batch feed: v2 = exactly 20 preimages + 20 postimages
+    val v2 = slice(1L, 2L)
+    assert(v2.keySet == Set("update_preimage", "update_postimage"), v2)
+    assert(v2("update_preimage")._1 == 20 && v2("update_postimage")._1 == 20)
+    assert(v2("update_postimage")._2 == v2("update_preimage")._2 + 20 * 1000)
+    // v3 = plain deletes, never images
+    val v3 = slice(2L, 3L)
+    assert(v3.keySet == Set("delete") && v3("delete")._1 == 10, v3)
+    // v4 (COW) = delete+insert pairs for the rewritten band — the
+    // file is the unit of change, unchanged rows included, and NO
+    // update-image claim is made
+    val v4 = slice(3L, 4L)
+    assert(v4.keySet == Set("delete", "insert"), v4)
+    // streaming typed feed agrees with the batch feed slice-for-slice
+    val ckpt = s"$base/_ck_${System.nanoTime()}"
+    val q = spark.readStream.format("graft.sources.TxLogSource")
+      .option("changeFeedTypes", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load(base)
+      .writeStream.format("memory").queryName("cdfupd")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("cdfupd")
+      .groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed((2L, "update_preimage")) == 20)
+    assert(streamed((2L, "update_postimage")) == 20)
+    assert(streamed((3L, "delete")) == 10)
+    assert(!streamed.keySet.exists { case (v, t) =>
+      v == 3L && t.startsWith("update_") })
+    assert(streamed.keySet.filter(_._1 == 4L).map(_._2) ==
+      Set("delete", "insert"))
+    // replica replay over the typed feed stays bit-identical when
+    // preimages apply as delete-keys and postimages as inserts
+    val rep = "/tmp/graft_txstream/cdfupd_rep"
+    TxLog.drop(spark, rep)
+    // apply per version, in order, through applyChanges
+    val feed = spark.table("cdfupd")
+    (1L to 4L).foreach { v =>
+      val b = feed.where(col("_commit_version") === v)
+      TxLog.applyChanges(spark, rep,
+        deleteKeys = b.where(col("_change_type")
+          .isin("delete", "update_preimage")).select("k"),
+        inserts = b.where(col("_change_type")
+          .isin("insert", "update_postimage"))
+          .drop("_commit_version", "_change_type"),
+        keys = Seq("k"), statsCol = "k", appId = "cdfupd-rep", batchId = v)
+    }
+    val a = TxLog.read(spark, base)
+    val b = TxLog.read(spark, rep)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "replica replay over update images must reproduce the source")
+  }
 }
