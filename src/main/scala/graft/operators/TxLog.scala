@@ -437,7 +437,7 @@ object TxLog {
     * columns: an ignorant writer would land un-computed, un-validated
     * values and drop the declaration. */
   private[graft] val ReaderVersion = 2
-  private[graft] val WriterVersion = 4
+  private[graft] val WriterVersion = 5 // 5 = ALTER COLUMN type widening
 
   private[graft] def parseProtocolLines(lines: Seq[String])
       : Option[(Int, Int)] =
@@ -939,6 +939,130 @@ object TxLog {
       }
     }
 
+  /** `#widencol\t<enc(physCol)>\t<enc(typeJson)>` — columns widened by
+    * `ALTER COLUMN ... TYPE` (Delta type widening). The line is what
+    * tells every reader to request the DECLARED (widened) type
+    * explicitly: after the ALTER, old files keep their narrow bytes
+    * and new files land wide, and neither plain inference (first
+    * footer wins) nor mergeSchema (CANNOT_MERGE_SCHEMAS on int vs
+    * long) can serve that mix — only an explicit requested schema
+    * (Spark's parquet readers upcast per file) can. Cumulative,
+    * carried forward by every commit, reset by REPLACE TABLE. */
+  private[graft] def parseWidenLines(lines: Seq[String])
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    lines.collect { case l if l.startsWith("#widencol\t") =>
+      l.split('\t') match {
+        case Array(_, c, tj) =>
+          dec(c) -> org.apache.spark.sql.types.DataType.fromJson(dec(tj))
+        case other => throw new IllegalStateException(
+          s"malformed widencol line (${other.length} fields)")
+      }
+    }
+
+  /** Widened columns (physical name → declared type) of one published
+    * version; empty = the table was never widened. */
+  def widenedColumnsOf(spark: SparkSession, base: String,
+                       v: Long): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    parseWidenLines(manifestLines(spark, base, v))
+
+  /** The explicit PHYSICAL requested schema of version `v` when the
+    * table carries widenings, None otherwise. Built from the declared
+    * `#schema` (the widened types live there), translated through the
+    * version's column mapping. Every read of a widened table must go
+    * through this schema — see [[parseWidenLines]] for why. */
+  private[graft] def widenedPhysSchema(spark: SparkSession, base: String,
+                                       v: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val lines = manifestLines(spark, base, v)
+    if (parseWidenLines(lines).isEmpty) None
+    else {
+      val declared = parseSchemaLines(lines).getOrElse(
+        throw new IllegalStateException(
+          s"$base carries #widencol lines but no #schema line — the " +
+            "declared schema is the widened read surface"))
+      val cm = parseColMapLines(lines)
+      Some(org.apache.spark.sql.types.StructType(declared.fields.map(f =>
+        f.copy(name = cm.map(_.physical(f.name)).getOrElse(f.name)))))
+    }
+  }
+
+  /** [[widenedPhysSchema]] at the latest version (None on an empty
+    * store — nothing to read there anyway). */
+  private def widenedPhysSchemaLatest(spark: SparkSession, base: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    latestVersion(spark, base)
+      .flatMap(v => widenedPhysSchema(spark, base, v))
+
+  /** `ALTER TABLE ... ALTER COLUMN col TYPE <wider>` (Delta's type
+    * widening): a METADATA-ONLY commit — the declared `#schema`
+    * carries the widened type, a `#widencol` line switches every
+    * reader to an explicit requested schema (old narrow files upcast
+    * per file inside Spark's parquet readers), and not one data byte
+    * moves. Safe set only: byte→short→int→long, float→double, and
+    * decimal growth that loses no integral digits or scale — anything
+    * else (narrowing, cross-family) would lie about bytes on disk and
+    * fails loudly. Time travel below the ALTER serves the old type
+    * (the widen line is versioned with the log). Returns the
+    * published version. */
+  def alterWidenColumn(spark: SparkSession, base: String, column: String,
+                       newType: org.apache.spark.sql.types.DataType,
+                       maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.types._
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      // the declared surface: the versioned #schema line, else the
+      // current snapshot's logical schema synthesized once — from the
+      // ALTER on, the declared schema IS the read surface
+      val declared0 = declaredSchemaOf(spark, base, cur).getOrElse(
+        readVersion(spark, base, cur).schema)
+      val idx = declared0.fieldNames.indexWhere(_.equalsIgnoreCase(column))
+      require(idx >= 0, s"column '$column' is not in the table schema " +
+        s"(${declared0.fieldNames.mkString(", ")})")
+      val f = declared0.fields(idx)
+      def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+        case (a, b) if a == b => false
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType) => true
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case (a: DecimalType, b: DecimalType) =>
+          b.scale >= a.scale &&
+            b.precision - b.scale >= a.precision - a.scale &&
+            (b.precision > a.precision || b.scale > a.scale)
+        case _ => false
+      }
+      require(widens(f.dataType, newType),
+        s"ALTER COLUMN ${f.name} TYPE ${newType.simpleString}: only safe " +
+          s"widenings of ${f.dataType.simpleString} are supported " +
+          "(byte<short<int<long, float<double, decimal precision growth " +
+          "losing no integral digits) — narrowing or cross-family " +
+          "changes would lie about the bytes on disk")
+      val phys = physicalName(spark, base, f.name)
+      // partition tuple identity and generated-column validation are
+      // typed at declaration; widening under them would need re-stamped
+      // metadata this verb does not rewrite — loud veto, not drift
+      require(!partitionSpec(spark, base).exists(
+        _._1.equalsIgnoreCase(phys)),
+        s"cannot widen partition column '${f.name}' — partition tuple " +
+          "identity is typed at declaration")
+      require(!generatedColumns(spark, base).exists(
+        _._1.equalsIgnoreCase(f.name)),
+        s"cannot widen GENERATED column '${f.name}' — its type is fixed " +
+          "by the generation expression")
+      val declared = StructType(
+        declared0.fields.updated(idx, f.copy(dataType = newType)))
+      val widen = widenedColumnsOf(spark, base, cur)
+        .filterNot(_._1.equalsIgnoreCase(phys)) :+ (phys -> newType)
+      publishEntries(spark, base, cur + 1L, entries, txns,
+        dataChange = false, operation = "ALTER COLUMN",
+        declaredSchemaOverride = Some(declared),
+        widenOverride = Some(widen))
+      cur + 1L
+    }
+  }
+
   /** GENERATED ALWAYS AS columns (column → SQL expression, declared
     * order) of one published version; empty = none. */
   def generatedColumnsOf(spark: SparkSession, base: String,
@@ -1155,7 +1279,10 @@ object TxLog {
     * each file's deletion vector (if any) applied, projected onto the
     * version's OWN logical column names (its `#colmap` line — time
     * travel below a RENAME shows the old names). */
-  def readVersion(spark: SparkSession, base: String, v: Long): DataFrame =
+  def readVersion(spark: SparkSession, base: String, v: Long): DataFrame = {
+    // widened tables read through the declared schema explicitly
+    // (narrow old files upcast per file); see parseWidenLines
+    val wide = widenedPhysSchema(spark, base, v)
     columnMappingOf(spark, base, v) match {
       // the logical projection must see the UNION of the files'
       // physical columns — a plain read infers from one footer, and a
@@ -1165,10 +1292,12 @@ object TxLog {
       // the plain read byte-for-byte.
       case Some(cm) => toLogicalDf(
         readEntries(spark, base, manifest(spark, base, v)._1,
-          mergeSchema = true),
+          mergeSchema = wide.isEmpty, requested = wide),
         cm, declaredSchemaOf(spark, base, v))
-      case None => readEntries(spark, base, manifest(spark, base, v)._1)
+      case None => readEntries(spark, base, manifest(spark, base, v)._1,
+        requested = wide)
     }
+  }
 
   /** Resolve a wall-clock instant to a version (Delta `TIMESTAMP AS
     * OF` boundary rule): the LATEST version whose commit time is at
@@ -1235,8 +1364,9 @@ object TxLog {
   def readEvolved(spark: SparkSession, base: String): DataFrame = {
     val v = latestVersion(spark, base).getOrElse(
       throw new IllegalStateException(s"no committed version at $base"))
+    val wide = widenedPhysSchema(spark, base, v)
     val df = readEntries(spark, base, manifest(spark, base, v)._1,
-      mergeSchema = true)
+      mergeSchema = wide.isEmpty, requested = wide)
     columnMappingOf(spark, base, v) match {
       // an active mapping subsumes the declared-NULL step: the logical
       // projection fills just-ALTERed columns from the declared schema
@@ -1310,12 +1440,20 @@ object TxLog {
     * common case adds a map-side filter, not a shuffle. */
   private[graft] def readEntries(spark: SparkSession, base: String,
                                  entries: Seq[Entry],
-                                 mergeSchema: Boolean = false): DataFrame = {
+                                 mergeSchema: Boolean = false,
+                                 requested: Option[org.apache.spark.sql.types.StructType] =
+                                   None): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(entries.nonEmpty,
       s"cannot read an empty entry list at $base (fully-deleted snapshot)")
-    def rd = if (mergeSchema)
-      spark.read.option("mergeSchema", "true") else spark.read
+    // `requested` (widened tables) pins the read to an explicit
+    // schema: Spark's parquet readers upcast each file to it, the
+    // only shape that can serve a narrow-old/wide-new file mix
+    def rd = requested match {
+      case Some(s) => spark.read.schema(s)
+      case None if mergeSchema => spark.read.option("mergeSchema", "true")
+      case None => spark.read
+    }
     val (dved, plain) = entries.partition(_.dv.isDefined)
     val plainDf =
       if (plain.isEmpty) None
@@ -1993,7 +2131,9 @@ object TxLog {
                                       None,
                                     generatedOverride: Option[Seq[(String, String)]] =
                                       None,
-                                    clearColMap: Boolean = false): Unit = {
+                                    clearColMap: Boolean = false,
+                                    widenOverride: Option[Seq[(String, org.apache.spark.sql.types.DataType)]] =
+                                      None): Unit = {
     // a concurrent vacuum can delete the version this commit diffs
     // against (the committer's snapshot is stale by definition then —
     // its CAS would lose anyway): surface the FileNotFound as a
@@ -2023,6 +2163,11 @@ object TxLog {
                else colMapOverride.orElse(parseColMapLines(latestLines))
     val pspec = partitionOverride.getOrElse(parsePartitionLines(latestLines))
     val gens = generatedOverride.getOrElse(parseGeneratedLines(latestLines))
+    // REPLACE TABLE (clearColMap) also resets widenings: the new
+    // definition's types bind fresh, and the old widen lines are keyed
+    // on the old data files' physical columns
+    val widen = if (clearColMap) Seq.empty
+                else widenOverride.getOrElse(parseWidenLines(latestLines))
     // writer gate + carry: a table stamped by a newer engine with a
     // higher required writer version must not be committed to by this
     // one — the meta lines below are RECONSTRUCTED from the kinds this
@@ -2051,12 +2196,17 @@ object TxLog {
       // with ordinary stats lines, readable by any engine version; an
       // IGNORANT WRITER is what would corrupt them: unsplit files /
       // un-computed, un-validated columns, plus the dropped meta line)
+      // widened columns demand writer 5: an ignorant writer would
+      // reconstruct the meta lines without #widencol and silently
+      // un-widen the table's read surface
       Seq(s"#protocol\t${math.max(tblR, if (cmap.isDefined) 2 else 1)}" +
         s"\t${Seq(tblW, if (cmap.isDefined) 2 else 1,
           if (pspec.nonEmpty) 3 else 1,
-          if (gens.nonEmpty) 4 else 1).max}") ++
+          if (gens.nonEmpty) 4 else 1,
+          if (widen.nonEmpty) 5 else 1).max}") ++
       declared.toSeq.map(s => s"#schema\t${enc(s.json)}") ++
       (if (pspec.nonEmpty) Seq(serPartitionLine(pspec)) else Seq.empty) ++
+      widen.map { case (c, dt) => s"#widencol\t${enc(c)}\t${enc(dt.json)}" } ++
       gens.map { case (c, ex) => s"#generatedcol\t${enc(c)}\t${enc(ex)}" } ++
       cmap.toSeq.map(serColMapLine) ++
       cons.toSeq.sortBy(_._1).map { case (n, ex) =>
@@ -2659,8 +2809,14 @@ object TxLog {
                          entries: Seq[Entry],
                          mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val rd = if (mergeSchema) spark.read.option("mergeSchema", "true")
-             else spark.read
+    // widened tables: every DML verb's raw read requests the declared
+    // (widened) physical schema — the mixed-width file set reads no
+    // other way (see parseWidenLines)
+    val rd = widenedPhysSchemaLatest(spark, base) match {
+      case Some(ws) => spark.read.schema(ws)
+      case None if mergeSchema => spark.read.option("mergeSchema", "true")
+      case None => spark.read
+    }
     rd.parquet(entries.map(e => resolve(base, e.path)): _*)
       .withColumn(DvFileCol, col("_metadata.file_name"))
       .withColumn(DvPosCol, col("_metadata.row_index"))
@@ -4115,9 +4271,13 @@ object TxLog {
     val perVersion: Map[Long, Seq[Entry]] = (fromExclusive to toInclusive)
       .map(v => v -> (if (v == 0L) Seq.empty[Entry]
                       else manifest(spark, base, v)._1)).toMap
+    // the feed is served in the END version's surface; a widened end
+    // version pins every slice read to its declared physical schema
+    val wide = widenedPhysSchema(spark, base, toInclusive)
     def slice(v: Long, es: Seq[Entry], kind: String): Option[DataFrame] =
       if (es.isEmpty) None
-      else Some(readEntries(spark, base, es, mergeSchema = true)
+      else Some(readEntries(spark, base, es,
+        mergeSchema = wide.isEmpty, requested = wide)
         .withColumn("_commit_version", lit(v))
         .withColumn("_change_type", lit(kind)))
     def maskOf(es: Seq[Entry]): DataFrame =
@@ -4138,8 +4298,10 @@ object TxLog {
         val delta =
           if (dead) maskOf(newEs).exceptAll(maskOf(oldEs))
           else maskOf(oldEs).exceptAll(maskOf(newEs))
-        val raw = spark.read.option("mergeSchema", "true")
-          .parquet(newEs.map(e => resolve(base, e.path)): _*)
+        val raw = (wide match {
+          case Some(ws) => spark.read.schema(ws)
+          case None => spark.read.option("mergeSchema", "true")
+        }).parquet(newEs.map(e => resolve(base, e.path)): _*)
         Some(raw
           .withColumn(DvFileCol, col("_metadata.file_name"))
           .withColumn(DvPosCol, col("_metadata.row_index"))
@@ -4415,7 +4577,10 @@ object TxLog {
       // dropping either would silently strip the clone of write-side
       // semantics (the exact hazard the writer-v3/v4 gates stop)
       partitionOverride = Some(partitionSpecOf(spark, srcBase, v)),
-      generatedOverride = Some(generatedColumnsOf(spark, srcBase, v)))
+      generatedOverride = Some(generatedColumnsOf(spark, srcBase, v)),
+      // widen lines ride too: without them a widened source's clone
+      // would try to read its mixed-width files by inference and crash
+      widenOverride = Some(widenedColumnsOf(spark, srcBase, v)))
     1L
   }
 

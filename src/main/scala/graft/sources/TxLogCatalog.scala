@@ -409,11 +409,20 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
         else if (!dc.ifExists()) throw new IllegalArgumentException(
           s"constraint '${dc.name()}' does not exist on " +
             s"${ident.namespace().mkString(".")}.${ident.name()}")
+      // ALTER COLUMN x TYPE <wider> → metadata-only type widening
+      // (Delta's safe set); narrowing fails inside the verb
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames().length == 1,
+          s"nested ALTER COLUMN is not supported: " +
+            ut.fieldNames().mkString("."))
+        TxLog.alterWidenColumn(spark, base, ut.fieldNames()(0),
+          ut.newDataType())
       case other => throw new UnsupportedOperationException(
-        "only ADD COLUMNS / ADD CONSTRAINT ... CHECK / DROP CONSTRAINT " +
-          "are supported on txlog tables (RENAME/DROP COLUMN would need " +
-          "column-mapping indirection; data-file schema otherwise " +
-          s"evolves on WRITE via mergeSchema); got: $other")
+        "only ADD COLUMNS / ALTER COLUMN ... TYPE (widening) / ADD " +
+          "CONSTRAINT ... CHECK / DROP CONSTRAINT are supported on " +
+          "txlog tables (RENAME/DROP COLUMN would need column-mapping " +
+          "indirection; data-file schema otherwise evolves on WRITE " +
+          s"via mergeSchema); got: $other")
     }
     if (adds.nonEmpty) {
       val newCols = adds.map { a =>

@@ -170,7 +170,13 @@ object TxLogSource {
       // time-travel read BEFORE the ALTER stays narrow.
       val declared = TxLog.declaredSchemaOf(spark, base, target)
       val cmap = TxLog.columnMappingOf(spark, base, target)
-      if (files.isEmpty)
+      // a widened version's surface IS the declared schema (old files
+      // upcast inside the readers); footer inference would serve the
+      // narrow type — or crash on the mixed-width union
+      if (TxLog.widenedColumnsOf(spark, base, target).nonEmpty)
+        declared.getOrElse(throw new IllegalStateException(
+          s"$base carries #widencol lines but no #schema line"))
+      else if (files.isEmpty)
         declared.getOrElse(throw new IllegalArgumentException(
           s"version $target of $base references no data files"))
       else {

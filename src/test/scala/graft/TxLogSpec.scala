@@ -155,15 +155,15 @@ class TxLogSpec extends AnyFunSuite {
       finally out.close()
     }
     // a "future engine" publishes v2: same files, but the table now
-    // requires writer version 5 (reader still 1) — one above this
+    // requires writer version 6 (reader still 1) — one above this
     // engine's WriterVersion capability ceiling
-    writeManifest(2L, s"#protocol\t1\t5" +: files)
+    writeManifest(2L, s"#protocol\t1\t6" +: files)
     assert(contents(TxLog.read(spark, base)) == v1Rows.toSet,
       "reader version 1 tables stay readable")
     val w = intercept[IllegalStateException] {
       TxLog.append(df(Seq(999 -> "x")), base)
     }
-    assert(w.getMessage.contains("writer version 5"), w.getMessage)
+    assert(w.getMessage.contains("writer version 6"), w.getMessage)
     // v3 requires reader version 3: every read path must refuse
     writeManifest(3L, s"#protocol\t3\t3" +: files)
     val r = intercept[IllegalStateException] {
