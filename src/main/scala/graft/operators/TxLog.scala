@@ -540,10 +540,16 @@ object TxLog {
     if (es.size <= SnapCacheMaxEntries)
       commitMtimeOpt(spark, base, v).foreach(mt =>
         snapCache.synchronized(snapCache.put((cacheKey(base), v), (mt, es))))
-  private def cachePurge(base: String): Unit = snapCache.synchronized {
+  private def cachePurge(base: String): Unit = {
     val key = cacheKey(base)
-    val it = snapCache.keySet.iterator()
-    while (it.hasNext) if (it.next()._1 == key) it.remove()
+    snapCache.synchronized {
+      val it = snapCache.keySet.iterator()
+      while (it.hasNext) if (it.next()._1 == key) it.remove()
+    }
+    physSchemaCache.synchronized {
+      val it = physSchemaCache.keySet.iterator()
+      while (it.hasNext) if (it.next()._1 == key) it.remove()
+    }
   }
 
   /** Apply one delta commit's data lines to the previous snapshot:
@@ -1275,6 +1281,40 @@ object TxLog {
   def manifestFiles(spark: SparkSession, base: String, v: Long): Seq[String] =
     manifest(spark, base, v)._1.map(_.path)
 
+  /** Driver-side LRU of a version's PHYSICAL union-of-files schema,
+    * keyed by (canonical base, version, commit mtime) — all three
+    * immutable for a live version (the same validity contract as the
+    * snapshot cache and the DSv2 schema cache). This is what keeps a
+    * mapped table's API reads from paying the mergeSchema footer pass
+    * (O(files) driver IO) once per QUERY: the first read computes the
+    * union, every later plan of the same version reads with the
+    * cached schema and opens zero footers (VERDICT r11 #6). */
+  private val physSchemaCache =
+    new java.util.LinkedHashMap[(String, Long, Long),
+        org.apache.spark.sql.types.StructType](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long),
+            org.apache.spark.sql.types.StructType]): Boolean = size() > 64
+    }
+  /** Cache-miss counter — the observable the spec law pins (a timing
+    * probe would be flaky; a miss count is exact). */
+  private[graft] val physSchemaMisses =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def cachedPhysUnionSchema(spark: SparkSession,
+                                           base: String, v: Long)
+      : org.apache.spark.sql.types.StructType = {
+    val key = (canonicalBase(base), v, commitModTime(spark, base, v))
+    val hit = physSchemaCache.synchronized(Option(physSchemaCache.get(key)))
+    hit.getOrElse {
+      physSchemaMisses.incrementAndGet()
+      val files = manifest(spark, base, v)._1.map(e => resolve(base, e.path))
+      val s = spark.read.option("mergeSchema", "true")
+        .parquet(files: _*).schema
+      physSchemaCache.synchronized(physSchemaCache.put(key, s))
+      s
+    }
+  }
+
   /** Snapshot read of version `v`: only that manifest's files, with
     * each file's deletion vector (if any) applied, projected onto the
     * version's OWN logical column names (its `#colmap` line — time
@@ -1287,12 +1327,14 @@ object TxLog {
       // the logical projection must see the UNION of the files'
       // physical columns — a plain read infers from one footer, and a
       // column only newer files carry would silently NULL-fill from
-      // the declared schema. Mapped tables pay the mergeSchema footer
-      // pass (the price of a rebindable surface); unmapped tables keep
-      // the plain read byte-for-byte.
+      // the declared schema. Mapped tables read with the CACHED union
+      // schema (the mergeSchema footer pass runs once per version,
+      // not once per query); unmapped tables keep the plain read
+      // byte-for-byte.
       case Some(cm) => toLogicalDf(
         readEntries(spark, base, manifest(spark, base, v)._1,
-          mergeSchema = wide.isEmpty, requested = wide),
+          requested = wide.orElse(
+            Some(cachedPhysUnionSchema(spark, base, v)))),
         cm, declaredSchemaOf(spark, base, v))
       case None => readEntries(spark, base, manifest(spark, base, v)._1,
         requested = wide)
@@ -1366,7 +1408,7 @@ object TxLog {
       throw new IllegalStateException(s"no committed version at $base"))
     val wide = widenedPhysSchema(spark, base, v)
     val df = readEntries(spark, base, manifest(spark, base, v)._1,
-      mergeSchema = wide.isEmpty, requested = wide)
+      requested = wide.orElse(Some(cachedPhysUnionSchema(spark, base, v))))
     columnMappingOf(spark, base, v) match {
       // an active mapping subsumes the declared-NULL step: the logical
       // projection fills just-ALTERed columns from the declared schema
@@ -2811,10 +2853,18 @@ object TxLog {
     import org.apache.spark.sql.functions.col
     // widened tables: every DML verb's raw read requests the declared
     // (widened) physical schema — the mixed-width file set reads no
-    // other way (see parseWidenLines)
+    // other way (see parseWidenLines). Mapped tables (mergeSchema)
+    // read with the cached union schema: same union semantics over
+    // the touched subset (absent columns NULL-fill), zero footer
+    // opens after the version's first read.
     val rd = widenedPhysSchemaLatest(spark, base) match {
       case Some(ws) => spark.read.schema(ws)
-      case None if mergeSchema => spark.read.option("mergeSchema", "true")
+      case None if mergeSchema =>
+        latestVersion(spark, base) match {
+          case Some(v) =>
+            spark.read.schema(cachedPhysUnionSchema(spark, base, v))
+          case None => spark.read.option("mergeSchema", "true")
+        }
       case None => spark.read
     }
     rd.parquet(entries.map(e => resolve(base, e.path)): _*)

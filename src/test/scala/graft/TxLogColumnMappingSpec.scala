@@ -288,4 +288,42 @@ class TxLogColumnMappingSpec extends AnyFunSuite {
       TxLog.append(Seq((3000L, 1L, 99L)).toDF("k", "amount", "rid"), base)
     }.getMessage.toLowerCase.contains("identity"))
   }
+
+  test("API reads of a mapped table pay the mergeSchema footer pass " +
+    "ONCE per version (VERDICT r11 #6): the union schema is cached by " +
+    "(base, version, mtime), so the second read opens zero footers; a " +
+    "new version costs exactly one more pass") {
+    val base = "/tmp/graft_txcolmap/schemacache"
+    seed(base)
+    TxLog.renameColumn(spark, base, "v", "amount") // table is now mapped
+    val miss0 = TxLog.physSchemaMisses.get()
+    val total = TxLog.read(spark, base)
+      .agg(sum("amount")).head().getLong(0)
+    val miss1 = TxLog.physSchemaMisses.get()
+    assert(miss1 == miss0 + 1, "first read computes the union once")
+    // repeated plans of the SAME version: zero further footer passes
+    TxLog.read(spark, base).count()
+    assert(TxLog.read(spark, base)
+      .agg(sum("amount")).head().getLong(0) == total)
+    TxLog.readEvolved(spark, base).count()
+    assert(TxLog.physSchemaMisses.get() == miss1,
+      "later reads of the same version must be cache-served")
+    // a new version re-computes exactly once, and serves correctly
+    TxLog.append(df(Seq(1000L -> 7L))
+      .withColumnRenamed("v", "amount"), base)
+    assert(TxLog.read(spark, base).agg(sum("amount")).head().getLong(0)
+      == total + 7L)
+    val miss2 = TxLog.physSchemaMisses.get()
+    assert(miss2 == miss1 + 1, "a new version costs one pass")
+    TxLog.read(spark, base).count()
+    assert(TxLog.physSchemaMisses.get() == miss2)
+    // MOR verbs ride the same cache (taggedRead): still no extra pass
+    // beyond the post-commit version's own first read
+    TxLog.updateWhereMor(spark, base, col("k") === 5L,
+      Map("amount" -> lit(0L)))
+    val missAfterDml = TxLog.physSchemaMisses.get()
+    TxLog.read(spark, base).count()
+    TxLog.read(spark, base).count()
+    assert(TxLog.physSchemaMisses.get() <= missAfterDml + 1)
+  }
 }
