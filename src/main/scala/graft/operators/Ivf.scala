@@ -60,10 +60,21 @@ object Ivf {
     * nearest cells per query, exact cosine top-k within them. Output:
     * (query_id, neighbor_id, cos_sim, rank). */
   def searchWith(df: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-                 centers: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    val s = broadcast(centers)
-    val assigned = assignTo(df, idCol, vecCol, s)
+                 centers: DataFrame, nProbe: Int, k: Int): DataFrame =
+    searchAssigned(df, queries, idCol, vecCol, centers,
+      assignTo(df, idCol, vecCol, broadcast(centers)), nProbe, k)
 
+  /** IVF search over a PERSISTED index: `assigned` is a precomputed
+    * (idCol, cell) frame — e.g. a TxLog table maintained
+    * incrementally (train once, assign each appended batch against
+    * the frozen centers) — so the probe pays ZERO assignment work
+    * over the corpus. This is how a 100 TB embedding store actually
+    * serves kNN: the corpus×K assignment ran once at ingest; a query
+    * touches only the probed cells' candidates. */
+  def searchAssigned(df: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, centers: DataFrame,
+                     assigned: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val s = broadcast(centers)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("__qs").desc, col("seed_id").asc)

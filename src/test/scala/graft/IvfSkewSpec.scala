@@ -167,4 +167,64 @@ class IvfSkewSpec extends AnyFunSuite {
     assert(sAll == 1.0, s"seeded full-probe must equal brute force: $sAll")
     assert(tAll == 1.0, s"trained full-probe must equal brute force: $tAll")
   }
+
+  test("persisted IVF index: train once + incremental append serves " +
+    "the same results as an in-query quantizer over the same centers, " +
+    "and recall vs brute force survives the persistence round-trip") {
+    import graft.operators.TxLog
+    val e = Tables.load(spark, sfDir, "embeddings").cache()
+    val q = e.where(col("vec_id") % 50 === 0)
+    val centersBase = "/tmp/graft_ivfp/centers"
+    val assignBase = "/tmp/graft_ivfp/assign"
+    TxLog.drop(spark, centersBase); TxLog.drop(spark, assignBase)
+    val initial = e.where(col("vec_id") % 5 =!= 0)
+    val newBatch = e.where(col("vec_id") % 5 === 0)
+    val centers0 = graft.operators.Similarity
+      .groupCentroids(initial, "label", "embedding")
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), x -> x.centroid)")
+        .as("sv"))
+      .select(col("label").cast("long").as("seed_id"), col("sv"))
+    TxLog.commit(centers0, centersBase, None)
+    val frozen = TxLog.read(spark, centersBase)
+      .select(col("seed_id"), col("sv").as("__sv"))
+    TxLog.commit(Ivf.assignTo(initial, "vec_id", "embedding", frozen),
+      assignBase, None, Some("vec_id"))
+    TxLog.appendOnce(Ivf.assignTo(newBatch, "vec_id", "embedding", frozen),
+      assignBase, appId = "ivfp-law", batchId = 1L,
+      statsCol = Some("vec_id"))
+    // idempotent maintenance: a replayed batch is a no-op
+    assert(TxLog.appendOnce(
+      Ivf.assignTo(newBatch, "vec_id", "embedding", frozen),
+      assignBase, appId = "ivfp-law", batchId = 1L,
+      statsCol = Some("vec_id")) == 2L)
+    val persisted = Ivf.searchAssigned(e, q, "vec_id", "embedding",
+      frozen, TxLog.read(spark, assignBase), nProbe = 2, k = 3)
+    // equivalence: the persisted index answers exactly like assigning
+    // the whole corpus in-query against the SAME frozen centers
+    val inQuery = Ivf.searchWith(e, q, "vec_id", "embedding", frozen,
+      nProbe = 2, k = 3)
+    assert(persisted.exceptAll(inQuery).isEmpty &&
+      inQuery.exceptAll(persisted).isEmpty,
+      "persisted and in-query assignment must answer identically")
+    // recall vs brute force: a floor at the working nProbe, monotone
+    // in probes, and EXACT at full probe (exhaustive ≡ brute force) —
+    // the structural laws a quantizer swap cannot silently break
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(e, q, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(nProbe: Int): Double = {
+      val got = Ivf.searchAssigned(e, q, "vec_id", "embedding", frozen,
+          TxLog.read(spark, assignBase), nProbe, 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val nCells = frozen.count().toInt
+    val (r2, r4, rAll) = (recallAt(2), recallAt(4), recallAt(nCells))
+    info(s"persisted-IVF recall@3: nProbe2=$r2 nProbe4=$r4 all($nCells)=$rAll")
+    assert(r2 >= 0.25, s"persisted-IVF recall degraded: $r2")
+    assert(r2 <= r4 && r4 <= rAll, s"recall not monotone: $r2 $r4 $rAll")
+    assert(rAll == 1.0, s"full-probe must equal brute force: $rAll")
+    e.unpersist()
+  }
 }
