@@ -1531,6 +1531,21 @@ object TxLog {
     }
   }
 
+  /** [[readEntries]] over the CURRENT snapshot: injects the widened
+    * requested schema when the table carries `#widencol` lines, so
+    * every latest-snapshot rewrite/scan verb (compact, zorder, COW
+    * DML, purge, bloom, colmap seeding, constraint backfill scans)
+    * reads a narrow-old/wide-new file mix instead of crashing on
+    * footer inference. Time-travel callers use [[readEntries]] with
+    * the TARGET version's [[widenedPhysSchema]] — never this. */
+  private def readEntriesCurrent(spark: SparkSession, base: String,
+                                 entries: Seq[Entry],
+                                 mergeSchema: Boolean = false): DataFrame = {
+    val wide = widenedPhysSchemaLatest(spark, base)
+    readEntries(spark, base, entries,
+      mergeSchema = mergeSchema && wide.isEmpty, requested = wide)
+  }
+
   /** Land `df`'s files under a fresh txn dir. They reference no
     * manifest yet, so concurrent readers cannot see them. Returns the
     * base-relative paths, for [[publish]]. */
@@ -1905,7 +1920,7 @@ object TxLog {
       require(!cons.contains(name), s"constraint '$name' already exists")
       val bad =
         if (entries.isEmpty) 0L
-        else logicalView(spark, base, readEntries(spark, base, entries,
+        else logicalView(spark, base, readEntriesCurrent(spark, base, entries,
             mergeSchema = columnMapping(spark, base).isDefined))
           .where(!coalesce(expr(checkExpr), lit(true))).count()
       if (bad > 0) throw new ConstraintViolationException(name, checkExpr, bad)
@@ -1951,7 +1966,7 @@ object TxLog {
           require(entries.nonEmpty,
             s"cannot ALTER an empty table at $base with no declared " +
               "schema — create it with one, or write data first")
-          val raw = readEntries(spark, base, entries, mergeSchema = true)
+          val raw = readEntriesCurrent(spark, base, entries, mergeSchema = true)
           // under a mapping the declared schema must carry LOGICAL
           // names — the raw file schema is physical
           cmOpt.map(cm => toLogicalDf(raw, cm, None)).getOrElse(raw).schema
@@ -1970,7 +1985,7 @@ object TxLog {
         val taken = scala.collection.mutable.Set[String](
           cm.cols.map(_._2.toLowerCase) ++
             (if (entries.isEmpty) Nil
-             else readEntries(spark, base, entries, mergeSchema = true)
+             else readEntriesCurrent(spark, base, entries, mergeSchema = true)
                .columns.map(_.toLowerCase).toSeq): _*)
         var next = cm.nextId
         val added = cols.fields.map { f =>
@@ -2041,7 +2056,7 @@ object TxLog {
       val entries = manifest(spark, base, cur)._1
       val fileFields: Seq[String] =
         if (entries.isEmpty) Seq.empty
-        else readEntries(spark, base, entries, mergeSchema = true)
+        else readEntriesCurrent(spark, base, entries, mergeSchema = true)
           .schema.fieldNames.toSeq
       val declaredOnly = declaredSchemaOf(spark, base, cur)
         .map(_.fieldNames.toSeq).getOrElse(Seq.empty)
@@ -2657,7 +2672,7 @@ object TxLog {
     if (kept.isEmpty) read(spark, base).where(lit(false))
     // the residual references LOGICAL names — filter on the logical
     // view (identity when the table has no mapping)
-    else logicalView(spark, base, readEntries(spark, base, kept))
+    else logicalView(spark, base, readEntriesCurrent(spark, base, kept))
       .where(residual)
   }
 
@@ -2705,7 +2720,7 @@ object TxLog {
       val merged =
         if (touched.isEmpty) source
         else Upsert.merge(
-          readEntries(spark, base, touched), // masks applied: deleted
+          readEntriesCurrent(spark, base, touched), // masks applied: deleted
           source, keys)                      // rows never resurrect
       val newEntries = landEntriesMulti(merged, base,
         preservedStatsCols(touched, Seq(statsCol), merged.schema),
@@ -3734,7 +3749,7 @@ object TxLog {
       val (dved, carried) = entries.partition(_.dv.isDefined)
       if (dved.isEmpty) cur
       else {
-        val cleaned = readEntries(spark, base, dved)
+        val cleaned = readEntriesCurrent(spark, base, dved)
         val newEntries = landEntriesMulti(cleaned, base,
           preservedStatsCols(dved, Seq.empty, cleaned.schema))
           .filter(_.rows != 0L)
@@ -3809,9 +3824,14 @@ object TxLog {
         // absent from older files — plain inference from an arbitrary
         // footer could miss it (AnalysisException) or pick a stale
         // dtype for the BloomRef, breaking probe-time cast alignment;
-        // the union schema is the one readEvolved serves readers
-        val raw = spark.read.option("mergeSchema", "true")
-          .parquet(indexable.map(e => resolve(base, e.path)): _*)
+        // the union schema is the one readEvolved serves readers. A
+        // WIDENED table pins the read to the declared schema instead
+        // (mergeSchema cannot merge a narrow/wide mix), so the bloom
+        // positions hash the WIDENED dtype — the same one probes see.
+        val raw = (widenedPhysSchemaLatest(spark, base) match {
+          case Some(ws) => spark.read.schema(ws)
+          case None => spark.read.option("mergeSchema", "true")
+        }).parquet(indexable.map(e => resolve(base, e.path)): _*)
         val dtype = raw.schema(column).dataType.catalogString
         val bits = raw
           .where(col(column).isNotNull)
@@ -3932,7 +3952,7 @@ object TxLog {
     import org.apache.spark.sql.functions.{col, lit}
     val (kept, _) = prunePoint(spark, base, column, value)
     if (kept.isEmpty) read(spark, base).where(lit(false))
-    else logicalView(spark, base, readEntries(spark, base, kept)
+    else logicalView(spark, base, readEntriesCurrent(spark, base, kept)
       .where(col(physicalName(spark, base, column)) === lit(value)))
   }
 
@@ -4019,7 +4039,7 @@ object TxLog {
       val survivors =
         if (touched.isEmpty) Seq.empty
         else {
-          val kept = readEntries(spark, base, touched)
+          val kept = readEntriesCurrent(spark, base, touched)
             .where(!coalesce(
               col(column).between(lit(lo), lit(hi)), lit(false)))
           landEntriesMulti(kept, base,
@@ -4079,7 +4099,7 @@ object TxLog {
       else {
         val rewritten = toPhysicalIfMapped(spark, base,
           transform(logicalView(spark, base,
-            readEntries(spark, base, touched))))
+            readEntriesCurrent(spark, base, touched))))
         val newEntries = landEntriesMulti(rewritten, base,
           preservedStatsCols(touched, Seq(physCol), rewritten.schema))
           .filter(_.rows != 0L)
@@ -4150,7 +4170,7 @@ object TxLog {
         val knownRows = small.filter(_.rows >= 0).map(_.liveRows).sum
         val nOut = math.max(1L,
           (knownRows + targetRows - 1) / targetRows + unknown).toInt
-        val smallDf = readEntries(spark, base, small)
+        val smallDf = readEntriesCurrent(spark, base, small)
         // keep the cluster layout when the caller has one: range
         // repartition re-establishes band-per-file so stats skipping
         // stays sharp after compaction
@@ -4268,7 +4288,7 @@ object TxLog {
         // small threshold — undersized outputs would re-trigger the
         // verb forever (convergence beats tile-size precision here)
         val nOut = math.max(1L, knownRows / targetRows + unknown).toInt
-        val touchedDf = readEntries(spark, base, touched)
+        val touchedDf = readEntriesCurrent(spark, base, touched)
         val tiled =
           try Layout.zorderClusterK(touchedDf, cols, nOut)
           catch { // all-NULL keys: nothing to tile on, plain bin-pack

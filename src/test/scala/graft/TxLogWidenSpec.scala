@@ -163,4 +163,43 @@ class TxLogWidenSpec extends AnyFunSuite {
     val detail = TxLog.describeDetail(spark, base).head()
     assert(detail.getAs[Int]("min_writer_version") == 5, detail)
   }
+
+  test("maintenance verbs run over the mixed-width file set: OPTIMIZE " +
+    "(compact), ZORDER, REORG PURGE, COW range ops and bloom indexing " +
+    "all read through the widened schema; content and the wide " +
+    "surface survive every rewrite") {
+    val base = "/tmp/graft_txwiden/maint"
+    TxLog.drop(spark, base)
+    import spark.implicits._
+    TxLog.commit((1 to 1000).map(i => (i, i % 40, s"p$i"))
+      .toDF("k", "y", "p").repartitionByRange(4, col("k")),
+      base, None, Some("k"))
+    TxLog.alterWidenColumn(spark, base, "k", LongType)
+    // the mix: wide straggler appends
+    (1 to 3).foreach(i => TxLog.append(
+      Seq((10_000_000_000L + i, i, s"w$i")).toDF("k", "y", "p"),
+      base, Some("k")))
+    TxLog.deleteWhereMor(spark, base, col("k") === 7L) // a mask too
+    def checksum() = TxLog.read(spark, base)
+      .agg(count(lit(1)), sum("k")).head()
+    val before = checksum()
+    // compact folds the stragglers across the width mix
+    TxLog.compact(spark, base, smallThresholdRows = 100L,
+      targetRows = 2000L)
+    assert(checksum() == before)
+    // z-order re-tiles across the mix
+    TxLog.compactZorder(spark, base, "k", "y", 100L, 2000L)
+    assert(checksum() == before)
+    // purge materializes masks over the mix
+    TxLog.purgeDeletes(spark, base)
+    assert(checksum() == before)
+    // COW replaceRange + bloom index over the mix
+    TxLog.replaceRange(spark, base, "k", 1L, 10L,
+      Seq((1L, 0, "r1")).toDF("k", "y", "p"))
+    TxLog.buildBloomIndex(spark, base, "k", bitsPerRow = 16, k = 5)
+    val (kept, _) = TxLog.prunePoint(spark, base, "k", 10_000_000_001L)
+    assert(TxLog.readPoint(spark, base, "k", 10_000_000_001L).count() == 1)
+    // the surface is still wide everywhere
+    assert(TxLog.read(spark, base).schema("k").dataType == LongType)
+  }
 }
