@@ -550,6 +550,10 @@ object TxLog {
       val it = physSchemaCache.keySet.iterator()
       while (it.hasNext) if (it.next()._1 == key) it.remove()
     }
+    widenCache.synchronized {
+      val it = widenCache.keySet.iterator()
+      while (it.hasNext) if (it.next()._1 == key) it.remove()
+    }
   }
 
   /** Apply one delta commit's data lines to the previous snapshot:
@@ -656,6 +660,15 @@ object TxLog {
     * OPTIMIZE, RESTORE, … None for pre-provenance manifests. */
   def operationOf(spark: SparkSession, base: String, v: Long): Option[String] =
     parseOpLines(manifestLines(spark, base, v))
+
+  /** The version's per-commit CDF hint (`#cdfop`): Some("update") on
+    * merge-on-read UPDATE commits — the explicit writer-stamped signal
+    * the change feeds use to emit update images (never inferred from
+    * manifest shape; see publishEntries). */
+  private[graft] def cdfOpOf(spark: SparkSession, base: String,
+                             v: Long): Option[String] =
+    manifestLines(spark, base, v).find(_.startsWith("#cdfop\t"))
+      .map(l => dec(l.split('\t')(1)))
 
   private def parseSchemaLines(lines: Seq[String])
       : Option[org.apache.spark.sql.types.StructType] =
@@ -966,10 +979,36 @@ object TxLog {
     }
 
   /** Widened columns (physical name → declared type) of one published
-    * version; empty = the table was never widened. */
+    * version; empty = the table was never widened. Cache-served (the
+    * DSv2 schema resolution probes this per load). */
   def widenedColumnsOf(spark: SparkSession, base: String,
                        v: Long): Seq[(String, org.apache.spark.sql.types.DataType)] =
-    parseWidenLines(manifestLines(spark, base, v))
+    widenedOfCached(spark, base, v)
+
+  /** Driver-side LRU of a version's parsed widen set, keyed like the
+    * snapshot/schema caches by (canonical base, version, commit
+    * mtime). The PRESENCE check sits on every read path (readVersion,
+    * the DML verbs' tagged read, readEntriesCurrent), so it must not
+    * cost a manifest open+parse per query — after the first probe of
+    * a version it is one cached lookup guarded by a stat RPC. */
+  private val widenCache =
+    new java.util.LinkedHashMap[(String, Long, Long),
+        Seq[(String, org.apache.spark.sql.types.DataType)]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long),
+            Seq[(String, org.apache.spark.sql.types.DataType)]]): Boolean =
+        size() > 256
+    }
+  private def widenedOfCached(spark: SparkSession, base: String, v: Long)
+      : Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    val key = (canonicalBase(base), v, commitModTime(spark, base, v))
+    val hit = widenCache.synchronized(Option(widenCache.get(key)))
+    hit.getOrElse {
+      val w = parseWidenLines(manifestLines(spark, base, v))
+      widenCache.synchronized(widenCache.put(key, w))
+      w
+    }
+  }
 
   /** The explicit PHYSICAL requested schema of version `v` when the
     * table carries widenings, None otherwise. Built from the declared
@@ -979,9 +1018,9 @@ object TxLog {
   private[graft] def widenedPhysSchema(spark: SparkSession, base: String,
                                        v: Long)
       : Option[org.apache.spark.sql.types.StructType] = {
-    val lines = manifestLines(spark, base, v)
-    if (parseWidenLines(lines).isEmpty) None
+    if (widenedOfCached(spark, base, v).isEmpty) None
     else {
+      val lines = manifestLines(spark, base, v)
       val declared = parseSchemaLines(lines).getOrElse(
         throw new IllegalStateException(
           s"$base carries #widencol lines but no #schema line — the " +
@@ -1703,6 +1742,27 @@ object TxLog {
           || gens.exists(_._1.equalsIgnoreCase(x))).toIndexedSeq: _*)
       }
     val df2 = applyGeneratedColumns(spark, base, df0, gens, cmapParsed)
+    // widened tables pin every read to the DECLARED schema — a batch
+    // carrying a column outside it would land bytes no read can ever
+    // serve (silently unreachable data, where an unwidened table
+    // surfaces the column via union reads). Loud veto: declare the
+    // column first (ALTER TABLE ... ADD COLUMNS), then write.
+    val widenParsed = parseWidenLines(latestLines)
+    if (widenParsed.nonEmpty) {
+      val declared = parseSchemaLines(latestLines).getOrElse(
+        throw new IllegalStateException(
+          s"$base carries #widencol lines but no #schema line"))
+      val declaredPhys = declared.fieldNames.map(n =>
+        cmapParsed.map(_.physical(n)).getOrElse(n).toLowerCase).toSet
+      val extra = df2.columns.filterNot(c =>
+        declaredPhys.contains(c.toLowerCase))
+      require(extra.isEmpty,
+        s"write to the widened table at $base carries column(s) " +
+          s"${extra.mkString(", ")} outside the declared schema — " +
+          "widened tables read through the declared schema, so these " +
+          "bytes would be unreachable; ALTER TABLE ... ADD COLUMNS " +
+          "first, then write")
+    }
     val cons = parseConstraintLines(latestLines)
     val entries =
       landEntriesRaw(df2, base, statsCols, parsePartitionLines(latestLines))
@@ -2190,7 +2250,8 @@ object TxLog {
                                       None,
                                     clearColMap: Boolean = false,
                                     widenOverride: Option[Seq[(String, org.apache.spark.sql.types.DataType)]] =
-                                      None): Unit = {
+                                      None,
+                                    cdfOp: Option[String] = None): Unit = {
     // a concurrent vacuum can delete the version this commit diffs
     // against (the committer's snapshot is stale by definition then —
     // its CAS would lose anyway): surface the FileNotFound as a
@@ -2241,6 +2302,14 @@ object TxLog {
       // per-commit provenance (Delta history's `operation`): NOT
       // carried forward — each version records what produced IT
       Seq(s"#op\t${enc(operation)}") ++
+      // per-commit CDF hint (also not carried): a merge-on-read
+      // UPDATE stamps `#cdfop update`, the EXPLICIT signal the change
+      // feeds read to emit update_preimage/update_postimage. The
+      // writer stamps its own semantics instead of readers inferring
+      // them from manifest shape — structural inference mislabels the
+      // fully-masked-drop case (no surviving mask transition) and
+      // would make stream labels depend on the consumer's pushdown.
+      cdfOp.toSeq.map(h => s"#cdfop\t${enc(h)}") ++
       // the REQUIRED protocol is feature-derived, not engine-derived:
       // only a table with active column mapping demands (2,2) — a
       // pre-mapping reader would serve physical names and resurrect
@@ -3017,7 +3086,7 @@ object TxLog {
             try {
               publishEntries(spark, base, cur + 1L,
                 carried ++ remask(touched, dvDir, counts) ++ newEntries,
-                txns, operation = "UPDATE")
+                txns, operation = "UPDATE", cdfOp = Some("update"))
               cur + 1L
             } catch {
               case e: CommitConflictException =>
@@ -3262,7 +3331,16 @@ object TxLog {
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
       val (entries, txns) = manifest(spark, base, cur)
-      val targetSchema = read(spark, base).schema
+      // an EMPTY target (file-less create, fully-deleted snapshot) is
+      // a legitimate MERGE target for the NOT MATCHED half — its
+      // schema comes from the declared #schema line when no file can
+      // supply one
+      val targetSchema = scala.util.Try(read(spark, base).schema)
+        .getOrElse(declaredSchemaOf(spark, base, cur).getOrElse(
+          throw new IllegalStateException(
+            s"MERGE into the empty table at $base with no declared " +
+              "schema — declare one (createTable / CREATE TABLE) or " +
+              "write data first")))
       val targetCols = targetSchema.fieldNames.toSeq
       require(!targetCols.exists(_.startsWith(MergeSrcPrefix)),
         s"target columns may not start with the reserved $MergeSrcPrefix")
@@ -4234,10 +4312,12 @@ object TxLog {
         "single-key layout is a plain sort: use compact + a sorted write")
     // loud verb-entry veto for non-interleavable key types: the
     // normalize step casts to LONG, and a runtime CAST_INVALID_INPUT
-    // mid-rewrite (ANSI) would be baffling. Schema resolution is
-    // best-effort — a file-less table no-ops below anyway.
-    try {
-      val sch = read(spark, base).schema
+    // mid-rewrite (ANSI) would be baffling. Schema RESOLUTION is
+    // best-effort (a file-less / fully-deleted table has no schema to
+    // resolve and no-ops below — its resolution failure must not
+    // masquerade as a veto), but a resolved non-numeric key always
+    // errors.
+    scala.util.Try(read(spark, base).schema).toOption.foreach { sch =>
       cols0.foreach { c0 =>
         sch.fields.find(_.name.equalsIgnoreCase(c0)).foreach { f =>
           require(
@@ -4249,9 +4329,6 @@ object TxLog {
               "dictionary id) instead")
         }
       }
-    } catch {
-      case e: IllegalArgumentException => throw e
-      case scala.util.control.NonFatal(_) => ()
     }
     val cols = cols0.map(physicalName(spark, base, _))
     withCasRetry(maxAttempts) { _ =>
@@ -4392,16 +4469,18 @@ object TxLog {
       val removedE = perVersion(v - 1).filterNot(e => curP.contains(e.path))
       val changed = perVersion(v).flatMap(e =>
         prev.get(e.path).filter(_.dv != e.dv).map(o => (o, e)))
-      // an UPDATE version with mask transitions is the MOR update
-      // signature: its newly-masked rows are the UPDATE's preimages,
-      // its added files the postimages, and a fully-masked file that
-      // dropped from the manifest held only preimages (Delta CDF's
-      // update_preimage/update_postimage contract). A COW UPDATE has
-      // no mask transition and keeps the documented delete+insert
-      // materialization (its removed files also carry unchanged rows,
-      // which MUST NOT be claimed as updated).
-      val morUpdate = withDeletes && changed.nonEmpty &&
-        operationOf(spark, base, v).contains("UPDATE")
+      // a `#cdfop update` commit is a MOR update (the WRITER stamps
+      // it — never inferred from manifest shape, which mislabels the
+      // fully-masked-drop case): its newly-masked rows are the
+      // UPDATE's preimages, its added files the postimages, and a
+      // fully-masked file that dropped from the manifest held only
+      // preimages (Delta CDF's update_preimage/update_postimage
+      // contract). A COW UPDATE carries no hint and keeps the
+      // documented delete+insert materialization (its removed files
+      // also carry unchanged rows, which MUST NOT be claimed as
+      // updated).
+      val morUpdate = withDeletes &&
+        cdfOpOf(spark, base, v).contains("update")
       val (delKind, insKind) =
         if (morUpdate) ("update_preimage", "update_postimage")
         else ("delete", "insert")

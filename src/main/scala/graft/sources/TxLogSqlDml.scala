@@ -206,16 +206,24 @@ private[sources] class MergeSideTagger(target: LogicalPlan,
                                        unsupported: String => Nothing) {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
 
+  /** Only the TOP-LEVEL aliases of one merge side: the SubqueryAlias
+    * spine wrapping the root, plus a root relation's own name. Inner
+    * aliases (a join inside the source subquery, the target table's
+    * name re-used inside a self-merge source) are OUT OF SCOPE for
+    * merge-clause qualifiers per SQL scoping — collecting them would
+    * both falsely flag a self-merge as "names BOTH sides" and
+    * silently rebind an out-of-scope qualifier against the side's
+    * OUTPUT columns. */
   private def aliasesOf(plan: LogicalPlan): Set[String] = {
-    val subs = plan.collect {
-      case s: SubqueryAlias => s.alias.toLowerCase
+    def walk(p: LogicalPlan, acc: Set[String]): Set[String] = p match {
+      case s: SubqueryAlias => walk(s.child, acc + s.alias.toLowerCase)
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-        u.multipartIdentifier.last.toLowerCase
+        acc + u.multipartIdentifier.last.toLowerCase
+      case r: DataSourceV2Relation =>
+        acc ++ r.identifier.map(_.name.toLowerCase)
+      case _ => acc // a subquery body: its inner names are not in scope
     }
-    val ident = plan.collectFirst {
-      case r: DataSourceV2Relation => r
-    }.flatMap(_.identifier).map(_.name.toLowerCase)
-    (subs ++ ident.toSeq).toSet
+    walk(plan, Set.empty)
   }
   private val tgtAliases = aliasesOf(target)
   private val srcAliases = aliasesOf(source)

@@ -930,13 +930,15 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
     val changed = survivors(cur.filter(e =>
       prevByPath.get(e.path).exists(_.dv != e.dv)))
       .map(e => (prevByPath(e.path), e))
-    // MOR-update signature (same gate as the batch feed): an UPDATE
-    // version with a mask transition emits Delta CDF update images —
+    // MOR-update gate (same as the batch feed): the writer-stamped
+    // `#cdfop update` hint — never a structural inference, which
+    // would mislabel fully-masked drops and, worse, make the label
+    // depend on the CONSUMER's pushed filters (survivors pruning the
+    // transitioned files would flip postimages to 'insert'). Emits
     // newly-masked rows (and fully-masked dropped files) as
     // 'update_preimage', added files as 'update_postimage'. COW
-    // updates (no transition) keep delete+insert.
-    val morUpdate = changed.nonEmpty &&
-      TxLog.operationOf(spark, base, v).contains("UPDATE")
+    // updates carry no hint and keep delete+insert.
+    val morUpdate = TxLog.cdfOpOf(spark, base, v).contains("update")
     val (delKind, insKind) =
       if (morUpdate) ("update_preimage", "update_postimage")
       else ("delete", "insert")
@@ -1385,7 +1387,12 @@ class TxLogOffset(val version: Long, val index: Long = -1L)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String =
     if (index < 0) s"""{"version":$version}"""
-    else s"""{"version":$version,"index":$index}"""
+    // `"raw":true` stamps WHAT the index counts (raw manifest
+    // positions — predicate-independent). Partial offsets from the
+    // earlier build counted stats-SURVIVING files and carry no stamp;
+    // deserializeOffset refuses them rather than silently re-reading
+    // or skipping files under the new meaning.
+    else s"""{"version":$version,"index":$index,"raw":true}"""
   override def equals(o: Any): Boolean = o match {
     case t: TxLogOffset => t.version == version && t.index == index
     case _ => false
@@ -1491,10 +1498,18 @@ class TxLogMicroBatchStream(scan: TxLogScan, base: String,
 
   override def deserializeOffset(json: String): Offset = {
     val full = """\{"version":(\d+)\}""".r
-    val part = """\{"version":(\d+),"index":(\d+)\}""".r
+    val part = """\{"version":(\d+),"index":(\d+),"raw":true\}""".r
+    val legacyPart = """\{"version":(\d+),"index":(\d+)\}""".r
     json.trim match {
       case full(v) => new TxLogOffset(v.toLong)
       case part(v, i) => new TxLogOffset(v.toLong, i.toLong)
+      case legacyPart(v, i) => throw new IllegalStateException(
+        s"checkpoint offset {version:$v,index:$i} was written by an " +
+          "earlier build whose index counted stats-SURVIVING files; " +
+          "this build's indexes count raw manifest entries " +
+          "(predicate-independent) — replaying it could skip or " +
+          "re-deliver files. Drain the stream with the old build to a " +
+          "complete (index-free) offset, or reset the checkpoint")
       case other => throw new IllegalArgumentException(
         s"malformed txlog offset: $other")
     }

@@ -35,16 +35,25 @@ class TxLogAdmissionSpec extends AnyFunSuite {
       maxFilesPerTrigger = maxFiles)
 
   test("offset serialization: complete offsets keep the legacy form " +
-    "(existing checkpoints resume), partial ones carry the index") {
+    "(existing checkpoints resume), partial ones carry the index " +
+    "with the raw-semantics stamp; UNstamped partials (pre-r12 " +
+    "survivor indexing) are refused loudly") {
     val base = "/tmp/graft_txadm/ser"
     TxLog.drop(spark, base)
     seed(base, 2, 10, "a")
     val s = mbs(base, Some(1L))
     assert(new TxLogOffset(3L).json() == """{"version":3}""")
-    assert(new TxLogOffset(3L, 2L).json() == """{"version":3,"index":2}""")
+    assert(new TxLogOffset(3L, 2L).json() ==
+      """{"version":3,"index":2,"raw":true}""")
     assert(s.deserializeOffset("""{"version":3}""") == new TxLogOffset(3L))
-    assert(s.deserializeOffset("""{"version":3,"index":2}""") ==
+    assert(s.deserializeOffset("""{"version":3,"index":2,"raw":true}""") ==
       new TxLogOffset(3L, 2L))
+    // a pre-r12 partial offset counted stats-SURVIVING files: replay
+    // under raw indexing could skip or re-deliver — refuse, loudly
+    val e = intercept[IllegalStateException] {
+      s.deserializeOffset("""{"version":3,"index":2}""")
+    }
+    assert(e.getMessage.contains("earlier build"), e.getMessage)
   }
 
   test("the budget walk chunks within and across versions, resumes " +

@@ -208,4 +208,45 @@ class TxLogMergeClausesSpec extends AnyFunSuite {
         col("status")))).head()
     assert(sig(TxLog.read(spark, base)) == sig(expect))
   }
+
+  test("review regression: MERGE into an EMPTY target (fully-deleted " +
+    "or file-less-created) runs its NOT MATCHED inserts off the " +
+    "declared schema instead of crashing on schema resolution") {
+    val base = "/tmp/graft_txmc/empty"
+    import org.apache.spark.sql.types._
+    TxLog.drop(spark, base)
+    import spark.implicits._
+    TxLog.createTable(spark, base, StructType(Seq(
+      StructField("k", IntegerType), StructField("v", IntegerType),
+      StructField("status", StringType))))
+    TxLog.append(Seq((1, 10, "a")).toDF("k", "v", "status"),
+      base, Some("k"))
+    // truncate via the empty-source unconditional by-source DELETE
+    TxLog.mergeClauses(spark, base,
+      Seq.empty[(Int, Int)].toDF("k", "v"), Seq("k"),
+      notMatchedBySource = Seq(MergeDelete(None)))
+    assert(TxLog.manifest(spark, base,
+      TxLog.latestVersion(spark, base).get)._1.isEmpty)
+    // the next incremental run inserts into the empty table
+    TxLog.mergeClauses(spark, base, Seq((5, 50)).toDF("k", "v"), Seq("k"),
+      matched = Seq(MergeUpdate(None, Map("v" -> sourceCol("v")))),
+      notMatched = Seq(MergeInsert(None,
+        Map("k" -> sourceCol("k"), "v" -> sourceCol("v"),
+          "status" -> lit("reborn")))))
+    assert(snapshot(base) == Set((5, 50, "reborn")))
+    // without a declared schema an empty target has nothing to bind
+    // the clauses against — loud error, never a crash mid-plan
+    val undeclared = "/tmp/graft_txmc/empty_undeclared"
+    target(undeclared, Seq((1, 10, "a")))
+    TxLog.mergeClauses(spark, undeclared,
+      Seq.empty[(Int, Int)].toDF("k", "v"), Seq("k"),
+      notMatchedBySource = Seq(MergeDelete(None)))
+    val e = intercept[IllegalStateException] {
+      TxLog.mergeClauses(spark, undeclared,
+        Seq((5, 50)).toDF("k", "v"), Seq("k"),
+        notMatched = Seq(MergeInsert(None,
+          Map("k" -> sourceCol("k"), "v" -> sourceCol("v")))))
+    }
+    assert(e.getMessage.contains("no declared schema"), e.getMessage)
+  }
 }

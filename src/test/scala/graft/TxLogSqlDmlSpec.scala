@@ -572,4 +572,29 @@ class TxLogSqlDmlSpec extends AnyFunSuite {
       assert(snap.where("k BETWEEN 20 AND 30 AND v = k * 10.0").count() == 11)
     } finally sql.sql("DROP TABLE IF EXISTS txdml_cond3")
   }
+
+  test("review regression: a SELF-merge whose source subquery mentions " +
+    "the target's table name resolves table-name qualifiers correctly " +
+    "(inner names are out of scope, not 'both sides')") {
+    val base = "/tmp/graft_txsqldml/selfm"
+    seed(base, "txdml_self")
+    try {
+      // no target alias; the source subquery reads the SAME table —
+      // the spine-scoped alias collection must not flag 'txdml_self'
+      // as naming both sides
+      sql.sql(
+        """MERGE INTO txdml_self
+          |USING (SELECT k + 1 AS k, s, v FROM txdml_self WHERE k < 5) s
+          |ON txdml_self.k = s.k
+          |WHEN MATCHED AND txdml_self.v > 10 THEN
+          |  UPDATE SET v = s.v + txdml_self.v
+          |""".stripMargin)
+      val snap = TxLog.read(spark, base)
+      // matched keys 2..5 (source k = 2..5 from rows 1..4); v > 10
+      // holds for k >= 2, so v_new = old(k)*10 + old(k-1)*10
+      assert(snap.where("k BETWEEN 2 AND 5 AND v = k * 10.0 + (k - 1) * 10.0")
+        .count() == 4, snap.where("k <= 6").collect().mkString(", "))
+      assert(snap.where("k = 1 AND v = 10.0").count() == 1)
+    } finally sql.sql("DROP TABLE IF EXISTS txdml_self")
+  }
 }

@@ -456,4 +456,58 @@ class TxLogStreamSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "replica replay over update images must reproduce the source")
   }
+
+  test("review regressions: a MOR UPDATE that fully masks its file " +
+    "still emits update images (the #cdfop hint, not manifest-shape " +
+    "inference); a FILTERED typed stream keeps the labels (pushdown " +
+    "cannot flip postimages to inserts); legacy survivor-indexed " +
+    "offsets are refused loudly") {
+    val base = "/tmp/graft_txstream/cdfhint"
+    TxLog.drop(spark, base)
+    import spark.implicits._
+    // ONE file; the update hits EVERY row → remask drops the file
+    // from the manifest (no surviving mask transition — the shape a
+    // structural gate mislabels as delete+insert)
+    TxLog.commit((1 to 10).map(i => (i, i * 1.0)).toDF("k", "v")
+      .coalesce(1), base, None, Some("k"))
+    TxLog.updateWhereMor(spark, base, lit(true),
+      Map("v" -> (col("v") + 100)))
+    val batch = TxLog.changesWithDeletes(spark, base, 1L, 2L)
+      .groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch == Map("update_preimage" -> 10L,
+      "update_postimage" -> 10L), batch)
+    // the typed STREAM with a pushed filter: the filter prunes the
+    // (fully-masked, dropped) old file entirely, but labels must not
+    // change — postimages stay postimages
+    val ckpt = s"$base/_ck_${System.nanoTime()}"
+    val q = spark.readStream.format("graft.sources.TxLogSource")
+      .option("changeFeedTypes", "true")
+      .load(base)
+      .where(col("v") > 100.0) // only postimages satisfy this
+      .writeStream.format("memory").queryName("cdfhint")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("cdfhint")
+      .groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed.getOrElse("update_postimage", 0L) == 10L,
+      s"filtered stream must keep image labels: $streamed")
+    assert(!streamed.contains("insert"), streamed)
+    // a partial offset written by the pre-r12 build (no "raw" stamp —
+    // its index counted stats-surviving files) is refused, never
+    // silently re-interpreted
+    val mbs = new graft.sources.TxLogMicroBatchStream(
+      null, base, None, 0L)
+    val e = intercept[IllegalStateException] {
+      mbs.deserializeOffset("""{"version":3,"index":2}""")
+    }
+    assert(e.getMessage.contains("earlier build"), e.getMessage)
+    // the stamped form round-trips
+    assert(mbs.deserializeOffset(
+      new graft.sources.TxLogOffset(3L, 2L).json()) ==
+      new graft.sources.TxLogOffset(3L, 2L))
+  }
 }

@@ -202,4 +202,28 @@ class TxLogWidenSpec extends AnyFunSuite {
     // the surface is still wide everywhere
     assert(TxLog.read(spark, base).schema("k").dataType == LongType)
   }
+
+  test("review regressions: a widened table REJECTS a batch carrying " +
+    "a column outside the declared schema (the bytes would be " +
+    "unreachable — reads pin to the declared surface); ALTER ADD " +
+    "COLUMNS first, then the write lands and reads back") {
+    val base = "/tmp/graft_txwiden/evolve"
+    TxLog.drop(spark, base)
+    import spark.implicits._
+    TxLog.commit(Seq((1, "a")).toDF("k", "p"), base, None, Some("k"))
+    TxLog.alterWidenColumn(spark, base, "k", LongType)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(Seq((2L, "b", 9.5)).toDF("k", "p", "score"), base)
+    }
+    assert(e.getMessage.contains("unreachable"), e.getMessage)
+    assert(TxLog.read(spark, base).count() == 1, "the veto lands nothing")
+    // declare the column, then the same write works and READS BACK
+    TxLog.alterAddColumns(spark, base,
+      StructType(Seq(StructField("score", DoubleType))))
+    TxLog.append(Seq((2L, "b", 9.5)).toDF("k", "p", "score"), base)
+    val snap = TxLog.read(spark, base)
+    assert(snap.count() == 2)
+    assert(snap.where(col("score") === 9.5).count() == 1)
+    assert(snap.schema("k").dataType == LongType)
+  }
 }

@@ -187,4 +187,16 @@ class TxLogZorderCompactSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("at least two columns"))
   }
+
+  test("review regression: ZORDER on an EMPTY table (file-less create " +
+    "or fully-deleted) no-ops — the type veto's schema resolution " +
+    "failure must not masquerade as an error") {
+    import org.apache.spark.sql.types._
+    val base = "/tmp/graft_txzc/empty"
+    TxLog.drop(spark, base)
+    TxLog.createTable(spark, base, StructType(Seq(
+      StructField("x", IntegerType), StructField("y", IntegerType))))
+    assert(TxLog.compactZorder(spark, base, "x", "y", 100L, 1000L) == 1L,
+      "an empty table's ZORDER is a no-op at the current version")
+  }
 }
