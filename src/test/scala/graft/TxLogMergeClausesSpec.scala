@@ -249,4 +249,25 @@ class TxLogMergeClausesSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no declared schema"), e.getMessage)
   }
+
+  test("SQL three-valued WHEN: a clause condition evaluating to NULL " +
+    "does not fire — the row falls through to the next clause (or " +
+    "stays untouched), never a NullPointer or a spurious fire") {
+    val base = "/tmp/graft_txmc/nullcond"
+    target(base, Seq((1, 10, "a"), (2, 20, "a"), (3, 30, "a")))
+    import spark.implicits._
+    // flag: true / null / false per key
+    val src = Seq((1, 100, Some(true)), (2, 200, None: Option[Boolean]),
+      (3, 300, Some(false))).toDF("k", "v", "flag")
+    TxLog.mergeClauses(spark, base, src, Seq("k"),
+      matched = Seq(
+        MergeDelete(Some(sourceCol("flag"))),         // fires only on TRUE
+        MergeUpdate(Some(!sourceCol("flag")),         // NULL stays NULL
+          Map("v" -> sourceCol("v")))))
+    assert(snapshot(base) == Set(
+      // k=1: flag=true → first clause (DELETE) fired — gone
+      (2, 20, "a"),    // flag NULL: NEITHER clause fires — untouched
+      (3, 300, "a")),  // flag=false: !flag=true → second clause updated
+      snapshot(base).toString)
+  }
 }
