@@ -196,4 +196,40 @@ class TxLogInteractionSpec extends AnyFunSuite {
     assert(ids.size == 3 && ids.max > 2,
       s"clone identity must continue above the cloned-in ids: $ids")
   }
+
+  test("conditional multi-clause MERGE works against a CATALOG-" +
+    "qualified table name (not just OPTIONS-path tables), with the " +
+    "namespace-qualified target alias resolving correctly") {
+    val s0 = SparkTestBase.spark
+    graft.sources.TxLogSqlDml.ensureInjected(s0)
+    val s = s0.newSession()
+    s.conf.set("spark.sql.catalog.gcm", "graft.sources.TxLogCatalog")
+    s.conf.set("spark.sql.catalog.gcm.warehouse", "/tmp/graft_txix/wh_cm")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcm.lake")
+    s.sql("DROP TABLE IF EXISTS gcm.lake.orders")
+    s.sql("CREATE TABLE gcm.lake.orders (k INT, v DOUBLE, status STRING) " +
+      "USING graft.sources.TxLogSource")
+    s.sql("INSERT INTO gcm.lake.orders VALUES " +
+      "(1, 10.0, 'a'), (2, 20.0, 'a'), (3, 30.0, 'a')")
+    s.sql(
+      """MERGE INTO gcm.lake.orders t
+        |USING (SELECT * FROM VALUES (2, 22.0, true), (3, 33.0, false),
+        |       (4, 44.0, false) AS s(k, v, del)) s
+        |ON t.k = s.k
+        |WHEN MATCHED AND s.del THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED AND NOT s.del THEN
+        |  INSERT (k, v, status) VALUES (s.k, s.v, 'new')
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'stale'
+        |""".stripMargin)
+    val got = s.table("gcm.lake.orders").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1, 10.0, "stale"),  // not matched by source
+      // k=2 deleted (conditional first clause)
+      (3, 33.0, "a"),      // updated
+      (4, 44.0, "new")),   // conditional insert
+      got.toString)
+    s.sql("DROP TABLE gcm.lake.orders")
+  }
 }
