@@ -86,8 +86,19 @@ object Layout {
                      nFiles: Int): DataFrame = {
     require(cols.size >= 2,
       s"zorderCluster needs at least two columns (got ${cols.size})")
+    // the normalize step's `c - lit(lo: Long)` only resolves on
+    // NUMERIC keys under ANSI — a timestamp key must go through the
+    // same long (epoch-second) representation its min/max bounds use,
+    // or Subtract(timestamp, bigint) fails analysis mid-rewrite
+    def keyCol(c: String): Column =
+      df.schema.fields.find(_.name.equalsIgnoreCase(c)) match {
+        case Some(f)
+          if f.dataType == org.apache.spark.sql.types.TimestampType =>
+          col(c).cast("long")
+        case _ => col(c)
+      }
     val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+      Seq(min(keyCol(c)).cast("long"), max(keyCol(c)).cast("long")))
     val s = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.foreach { case (c, i) =>
       require(!s.isNullAt(2 * i),
@@ -95,7 +106,7 @@ object Layout {
           s"cluster ('$c' is all NULL)")
     }
     val z = zvalueK(cols.zipWithIndex.map { case (c, i) =>
-      (col(c), s.getLong(2 * i), s.getLong(2 * i + 1)) })
+      (keyCol(c), s.getLong(2 * i), s.getLong(2 * i + 1)) })
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -435,8 +435,13 @@ object TxLog {
     * silently un-partitioning the table, so writes are gated. Writer
     * version 4 (reader stays 2) = `#generatedcol` GENERATED ALWAYS AS
     * columns: an ignorant writer would land un-computed, un-validated
-    * values and drop the declaration. */
-  private[graft] val ReaderVersion = 2
+    * values and drop the declaration. Reader version 3 = `#widencol`
+    * type widening: correct reads REQUIRE the declared (widened)
+    * requested schema — an ignorant reader would footer-infer a
+    * narrow/mixed schema and fail with CANNOT_MERGE_SCHEMAS (or
+    * silently serve one file's width), so widening is reader-visible,
+    * exactly as Delta models its type-widening table feature. */
+  private[graft] val ReaderVersion = 3
   private[graft] val WriterVersion = 5 // 5 = ALTER COLUMN type widening
 
   private[graft] def parseProtocolLines(lines: Seq[String])
@@ -1059,9 +1064,32 @@ object TxLog {
       val (entries, txns) = manifest(spark, base, cur)
       // the declared surface: the versioned #schema line, else the
       // current snapshot's logical schema synthesized once — from the
-      // ALTER on, the declared schema IS the read surface
-      val declared0 = declaredSchemaOf(spark, base, cur).getOrElse(
-        readVersion(spark, base, cur).schema)
+      // ALTER on, the declared schema IS the read surface. Because
+      // widened reads PIN that surface, it must cover every column
+      // the live files carry: writes may have evolved file schemas
+      // beyond a stale #schema (mergeSchema-on-write is the documented
+      // evolution path), and publishing the stale declared schema
+      // here would silently hide each file-only column from every
+      // subsequent read — metadata-only DDL causing data loss. So the
+      // file union's extra columns FOLD into the published schema
+      // (appended, nullable — exactly what readEvolved served before
+      // the ALTER). Mapped tables are exempt: their live surface is
+      // the colmap by construction (toPhysicalDf vetoes unmapped
+      // writes), so any extra physical file column is a DROPped
+      // column's bytes, which must stay hidden.
+      val declared0 = {
+        val stated = declaredSchemaOf(spark, base, cur).getOrElse(
+          readVersion(spark, base, cur).schema)
+        if (entries.isEmpty || columnMappingOf(spark, base, cur).isDefined)
+          stated
+        else {
+          val union = cachedPhysUnionSchema(spark, base, cur)
+          val have = stated.fieldNames.map(_.toLowerCase).toSet
+          StructType(stated.fields ++ union.fields
+            .filterNot(f => have(f.name.toLowerCase))
+            .map(_.copy(nullable = true)))
+        }
+      }
       val idx = declared0.fieldNames.indexWhere(_.equalsIgnoreCase(column))
       require(idx >= 0, s"column '$column' is not in the table schema " +
         s"(${declared0.fieldNames.mkString(", ")})")
@@ -1570,19 +1598,26 @@ object TxLog {
     }
   }
 
-  /** [[readEntries]] over the CURRENT snapshot: injects the widened
-    * requested schema when the table carries `#widencol` lines, so
-    * every latest-snapshot rewrite/scan verb (compact, zorder, COW
-    * DML, purge, bloom, colmap seeding, constraint backfill scans)
-    * reads a narrow-old/wide-new file mix instead of crashing on
-    * footer inference. Time-travel callers use [[readEntries]] with
-    * the TARGET version's [[widenedPhysSchema]] — never this. */
+  /** [[readEntries]] over the CURRENT snapshot, pinned to an explicit
+    * requested schema: the widened declared schema when the table
+    * carries `#widencol` lines, else the version's cached physical
+    * UNION. Every latest-snapshot rewrite/scan verb (compact, zorder,
+    * COW DML, purge, bloom, colmap seeding, constraint backfill
+    * scans) reads through this — a one-footer inferred read of a
+    * schema-evolved (mergeSchema-on-write) file subset would silently
+    * DROP the columns the un-inferred footers carry, and a REWRITE
+    * verb would then land the loss permanently. The union schema is
+    * cached per version (zero footer opens after the first), and the
+    * explicit request also skips per-query inference entirely.
+    * Time-travel callers use [[readEntries]] with the TARGET
+    * version's [[widenedPhysSchema]] — never this. */
   private def readEntriesCurrent(spark: SparkSession, base: String,
                                  entries: Seq[Entry],
                                  mergeSchema: Boolean = false): DataFrame = {
-    val wide = widenedPhysSchemaLatest(spark, base)
-    readEntries(spark, base, entries,
-      mergeSchema = mergeSchema && wide.isEmpty, requested = wide)
+    val requested = widenedPhysSchemaLatest(spark, base)
+      .orElse(latestVersion(spark, base)
+        .map(v => cachedPhysUnionSchema(spark, base, v)))
+    readEntries(spark, base, entries, requested = requested)
   }
 
   /** Land `df`'s files under a fresh txn dir. They reference no
@@ -1699,10 +1734,12 @@ object TxLog {
     * always-overlapping there. */
   private[graft] def landEntriesMulti(df: DataFrame, base: String,
                                       statsCols: Seq[String],
-                                      recomputeGenerated: Boolean = false)
+                                      recomputeGenerated: Boolean = false,
+                                      pendingDeclared: Set[String] = Set.empty)
       : Seq[Entry] =
     landEntriesChecked(df, base, statsCols,
-      recomputeGenerated = recomputeGenerated)._1
+      recomputeGenerated = recomputeGenerated,
+      pendingDeclared = pendingDeclared)._1
 
   /** [[landEntriesMulti]] that also returns the CHECK-constraint set
     * the landed batch was enforced under — the CAS retry loops compare
@@ -1712,7 +1749,9 @@ object TxLog {
   private[graft] def landEntriesChecked(df: DataFrame, base: String,
                                         statsCols: Seq[String],
                                         guardIdentity: Boolean = false,
-                                        recomputeGenerated: Boolean = false)
+                                        recomputeGenerated: Boolean = false,
+                                        pendingDeclared: Set[String] =
+                                          Set.empty)
       : (Seq[Entry], Map[String, String]) = {
     val spark = df.sparkSession
     // ONE manifest read serves both meta checks (constraints + the
@@ -1752,8 +1791,13 @@ object TxLog {
       val declared = parseSchemaLines(latestLines).getOrElse(
         throw new IllegalStateException(
           s"$base carries #widencol lines but no #schema line"))
+      // `pendingDeclared` (physical, lowercased) are columns the
+      // CALLING verb will declare in the SAME commit that references
+      // these files (merge schema evolution) — readable the instant
+      // they are visible, so the veto admits them
       val declaredPhys = declared.fieldNames.map(n =>
-        cmapParsed.map(_.physical(n)).getOrElse(n).toLowerCase).toSet
+        cmapParsed.map(_.physical(n)).getOrElse(n).toLowerCase).toSet ++
+        pendingDeclared
       val extra = df2.columns.filterNot(c =>
         declaredPhys.contains(c.toLowerCase))
       require(extra.isEmpty,
@@ -2039,24 +2083,8 @@ object TxLog {
       // with active column mapping every new column is born under a
       // FRESH physical name (`c<id>_<name>`): a column DROPped and
       // later re-ADDed must scan as NULL, never as the dropped bytes.
-      // The collision probe covers both current physicals and any
-      // file column (a dropped column's physical still lives on disk).
-      val cmExt = cmOpt.map { cm =>
-        val taken = scala.collection.mutable.Set[String](
-          cm.cols.map(_._2.toLowerCase) ++
-            (if (entries.isEmpty) Nil
-             else readEntriesCurrent(spark, base, entries, mergeSchema = true)
-               .columns.map(_.toLowerCase).toSeq): _*)
-        var next = cm.nextId
-        val added = cols.fields.map { f =>
-          var p = s"c${next}_${f.name}"
-          next += 1
-          while (taken.contains(p.toLowerCase)) { p = s"c${next}_${f.name}"; next += 1 }
-          taken += p.toLowerCase
-          f.name -> p
-        }.toSeq
-        cm.copy(cols = cm.cols ++ added, nextId = next)
-      }
+      val cmExt = cmOpt.map(cm =>
+        colMapWithAdded(spark, base, entries, cm, cols.fields.toSeq))
       publishEntries(spark, base, cur + 1L, entries, txns,
         dataChange = false, operation = "ADD COLUMNS",
         declaredSchemaOverride = Some(
@@ -2064,6 +2092,33 @@ object TxLog {
         colMapOverride = cmExt)
       cur + 1L
     }
+  }
+
+  /** Extend a column mapping with FRESH physical names for `added`
+    * logical columns (the ADD COLUMNS / merge-schema-evolution rule):
+    * `c<id>_<name>`, collision-probed against both current physicals
+    * and any column a live file carries — a column DROPped and later
+    * re-ADDed must scan as NULL, never as the dropped bytes. */
+  private def colMapWithAdded(spark: SparkSession, base: String,
+                              entries: Seq[Entry], cm: ColMap,
+                              added: Seq[org.apache.spark.sql.types.StructField])
+      : ColMap = {
+    val taken = scala.collection.mutable.Set[String](
+      cm.cols.map(_._2.toLowerCase) ++
+        (if (entries.isEmpty) Nil
+         else readEntriesCurrent(spark, base, entries, mergeSchema = true)
+           .columns.map(_.toLowerCase).toSeq): _*)
+    var next = cm.nextId
+    val newCols = added.map { f =>
+      var p = s"c${next}_${f.name}"
+      next += 1
+      while (taken.contains(p.toLowerCase)) {
+        p = s"c${next}_${f.name}"; next += 1
+      }
+      taken += p.toLowerCase
+      f.name -> p
+    }
+    cm.copy(cols = cm.cols ++ newCols, nextId = next)
   }
 
   /** Single-part column names a CHECK-constraint expression references
@@ -2322,10 +2377,14 @@ object TxLog {
       // with ordinary stats lines, readable by any engine version; an
       // IGNORANT WRITER is what would corrupt them: unsplit files /
       // un-computed, un-validated columns, plus the dropped meta line)
-      // widened columns demand writer 5: an ignorant writer would
-      // reconstruct the meta lines without #widencol and silently
-      // un-widen the table's read surface
-      Seq(s"#protocol\t${math.max(tblR, if (cmap.isDefined) 2 else 1)}" +
+      // widened columns demand writer 5 AND reader 3: an ignorant
+      // writer would reconstruct the meta lines without #widencol and
+      // silently un-widen the table's read surface; an ignorant READER
+      // would footer-infer a narrow/mixed schema instead of the
+      // declared widened one (Delta's type widening is reader-visible
+      // for the same reason)
+      Seq(s"#protocol\t${Seq(tblR, if (cmap.isDefined) 2 else 1,
+          if (widen.nonEmpty) 3 else 1).max}" +
         s"\t${Seq(tblW, if (cmap.isDefined) 2 else 1,
           if (pspec.nonEmpty) 3 else 1,
           if (gens.nonEmpty) 4 else 1,
@@ -2937,19 +2996,20 @@ object TxLog {
     import org.apache.spark.sql.functions.col
     // widened tables: every DML verb's raw read requests the declared
     // (widened) physical schema — the mixed-width file set reads no
-    // other way (see parseWidenLines). Mapped tables (mergeSchema)
-    // read with the cached union schema: same union semantics over
-    // the touched subset (absent columns NULL-fill), zero footer
-    // opens after the version's first read.
+    // other way (see parseWidenLines). All OTHER tables read with the
+    // version's cached union schema: the projection must see the
+    // UNION of the files' physical columns (absent columns NULL-fill
+    // per file) — one footer's inference on a schema-evolved touched
+    // subset would silently DROP the other footers' columns from the
+    // landed images. Zero footer opens after the version's first read.
     val rd = widenedPhysSchemaLatest(spark, base) match {
       case Some(ws) => spark.read.schema(ws)
-      case None if mergeSchema =>
+      case None =>
         latestVersion(spark, base) match {
           case Some(v) =>
             spark.read.schema(cachedPhysUnionSchema(spark, base, v))
           case None => spark.read.option("mergeSchema", "true")
         }
-      case None => spark.read
     }
     rd.parquet(entries.map(e => resolve(base, e.path)): _*)
       .withColumn(DvFileCol, col("_metadata.file_name"))
@@ -3282,14 +3342,24 @@ object TxLog {
     * mask, and each update clause's images (Delta materializes the
     * same set). Identity columns follow the merge verbs' GENERATED BY
     * DEFAULT rule: images may carry existing ids, the high-water
-    * advances past any id in the batch. Returns the published
-    * version. */
+    * advances past any id in the batch.
+    *
+    * `evolveSchema` (Delta `schema.autoMerge` / dbt-spark
+    * `on_schema_change: append_new_columns`): source columns absent
+    * from the target ADD to its declared schema in the SAME commit —
+    * old rows read NULL, time travel below the merge stays narrow,
+    * clause assignments/inserts may target the new columns, and on a
+    * mapped table each gets a fresh physical name (the ADD COLUMNS
+    * rule). Off (default): extra source columns are ordinary
+    * unreferenced inputs — clause conditions read them, the target
+    * shape never changes. Returns the published version. */
   def mergeClauses(spark: SparkSession, base: String, source: DataFrame,
                    keys: Seq[String],
                    matched: Seq[MergeWhen] = Seq.empty,
                    notMatched: Seq[MergeInsert] = Seq.empty,
                    notMatchedBySource: Seq[MergeWhen] = Seq.empty,
-                   maxAttempts: Int = 5): Long = {
+                   maxAttempts: Int = 5,
+                   evolveSchema: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     import org.apache.spark.sql.Column
     require(keys.nonEmpty, "MERGE needs at least one ON key")
@@ -3335,15 +3405,55 @@ object TxLog {
       // a legitimate MERGE target for the NOT MATCHED half — its
       // schema comes from the declared #schema line when no file can
       // supply one
-      val targetSchema = scala.util.Try(read(spark, base).schema)
+      // the target surface is the EVOLVED one (union of live files ∪
+      // declared schema): a one-footer `read` on a schema-evolved
+      // unmapped table could miss file-evolved columns, and the image
+      // projection below would then land their loss permanently
+      val baseSchema = scala.util.Try(readEvolved(spark, base).schema)
         .getOrElse(declaredSchemaOf(spark, base, cur).getOrElse(
           throw new IllegalStateException(
             s"MERGE into the empty table at $base with no declared " +
               "schema — declare one (createTable / CREATE TABLE) or " +
               "write data first")))
+      // MERGE schema evolution (Delta `schema.autoMerge` / dbt-spark
+      // `on_schema_change: append_new_columns`): source columns
+      // absent from the target ADD to its schema in the SAME commit
+      // as the merge — old rows read NULL, time travel below the
+      // merge stays narrow (the #schema line is versioned). Off by
+      // default: without the flag, extra source columns are ordinary
+      // unreferenced SQL inputs (clause conditions read them) and the
+      // target shape never changes behind the caller's back.
+      val extras: Seq[org.apache.spark.sql.types.StructField] =
+        if (!evolveSchema) Seq.empty
+        else source.schema.fields.toSeq
+          .filterNot(f => baseSchema.fieldNames
+            .exists(_.equalsIgnoreCase(f.name)))
+          .map(f => org.apache.spark.sql.types.StructField(
+            f.name, f.dataType, nullable = true))
+      val targetSchema =
+        if (extras.isEmpty) baseSchema
+        else org.apache.spark.sql.types.StructType(
+          baseSchema.fields ++ extras)
       val targetCols = targetSchema.fieldNames.toSeq
       require(!targetCols.exists(_.startsWith(MergeSrcPrefix)),
         s"target columns may not start with the reserved $MergeSrcPrefix")
+      // an assignment/insert targeting a column outside the (possibly
+      // evolved) target schema would be dropped SILENTLY by the image
+      // projection below — fail loudly instead, naming the columns
+      // and the flag that would admit them
+      locally {
+        val assigned = (matched ++ notMatchedBySource).flatMap {
+          case MergeUpdate(_, set) => set.keys
+          case _ => Nil
+        } ++ notMatched.flatMap(_.values.keys)
+        val unknown = assigned.filterNot(k =>
+          targetCols.exists(_.equalsIgnoreCase(k))).distinct
+        require(unknown.isEmpty,
+          s"MERGE assigns column(s) ${unknown.mkString(", ")} that are " +
+            "not in the target schema — add them first (ALTER TABLE " +
+            "... ADD COLUMNS), or pass evolveSchema=true to evolve the " +
+            "target from the source's columns")
+      }
       def castTo(c: String, v: Column): Column =
         v.cast(targetSchema(targetSchema.fieldIndex(c)).dataType).as(c)
       // span pruning on the first ON key carrying stats in BOTH the
@@ -3383,7 +3493,17 @@ object TxLog {
       val carried =
         if (needAllForBySource) Seq.empty[Entry]
         else rest
-      val cmapped = columnMapping(spark, base).isDefined
+      val cmCur = columnMapping(spark, base)
+      val cmapped = cmCur.isDefined
+      // evolution on a MAPPED table assigns the new columns fresh
+      // physical names (the ADD COLUMNS rule — a re-ADD of a DROPped
+      // name must scan as NULL, never as the dropped bytes)
+      val cmNew: Option[ColMap] =
+        if (extras.isEmpty) cmCur
+        else cmCur.map(cm => colMapWithAdded(spark, base, entries, cm,
+          extras))
+      def toPhysLocal(df: DataFrame): DataFrame =
+        cmNew.map(toPhysicalDf(df, _)).getOrElse(df)
       // the joined namespace: target columns bare (+ DV coordinates),
       // source columns prefixed
       val srcP = source.select(source.columns.toIndexedSeq.map(c =>
@@ -3439,7 +3559,15 @@ object TxLog {
                 .select(targetCols.map(c =>
                   set.find(_._1.equalsIgnoreCase(c))
                     .map { case (_, v) => castTo(c, v) }
-                    .getOrElse(col(c))): _*)
+                    .getOrElse {
+                      // a just-EVOLVED column has no old value in the
+                      // live frame: unassigned, it updates to NULL —
+                      // exactly what the old row reads post-evolution
+                      if (firedDf.columns.exists(_.equalsIgnoreCase(c)))
+                        col(c)
+                      else lit(null).cast(targetSchema(
+                        targetSchema.fieldIndex(c)).dataType).as(c)
+                    }): _*)
           }
         // insert images: source rows matching NO live target key, per
         // first firing insert clause; omitted columns insert as NULL
@@ -3468,14 +3596,18 @@ object TxLog {
             insertImages ++
             nmbsFired.toSeq.flatMap(updateImages(_, notMatchedBySource))
         val allImages = images.reduceLeftOption(_.unionByName(_))
+        val pendingPhys = extras.map(f =>
+          cmNew.map(_.physical(f.name)).getOrElse(f.name).toLowerCase).toSet
         val newEntries = allImages match {
           case None => Seq.empty[Entry]
           case Some(img) =>
-            landEntriesMulti(toPhysicalIfMapped(spark, base, img), base,
+            val phys = toPhysLocal(img)
+            landEntriesMulti(phys, base,
               preservedStatsCols(touched,
                 statsKey.toSeq.map(physicalName(spark, base, _)),
-                toPhysicalIfMapped(spark, base, img).schema),
-              recomputeGenerated = true).filter(_.rows != 0L)
+                phys.schema),
+              recomputeGenerated = true,
+              pendingDeclared = pendingPhys).filter(_.rows != 0L)
         }
         // mask: fired matched rows ∪ fired by-source rows
         val maskParts =
@@ -3487,7 +3619,13 @@ object TxLog {
             publishEntries(spark, base, cur + 1L,
               carried ++ masked ++ newEntries, txns, operation = "MERGE",
               identityOverride =
-                mergeIdentityAdvance(spark, base, cur, idMaxes))
+                mergeIdentityAdvance(spark, base, cur, idMaxes),
+              // schema evolution rides the SAME commit: the evolved
+              // #schema (and the extended mapping) become visible
+              // atomically with the files that carry the new columns
+              declaredSchemaOverride =
+                if (extras.isEmpty) None else Some(targetSchema),
+              colMapOverride = if (extras.isEmpty) None else cmNew)
             cur + 1L
           } catch {
             case e: CommitConflictException =>

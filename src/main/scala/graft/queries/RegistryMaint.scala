@@ -716,6 +716,68 @@ object RegistryMaint {
         .orderBy("o_orderstatus")
     }),
 
+    // MERGE schema evolution (VERDICT r12 missing #1 — Delta's
+    // schema.autoMerge / dbt-spark `on_schema_change:
+    // append_new_columns` on a merge-materialized model): a MERGE
+    // whose source carries a NEW column (1) fails LOUDLY by default
+    // naming the column — never a silent drop — and (2) with the
+    // autoMerge conf evolves the target schema in the SAME commit as
+    // the merge: matched rows update with the column, inserts carry
+    // it, untouched old-file rows read NULL, and time travel below
+    // the merge stays narrow. One atomic commit, O(changed rows)
+    // write volume — the evolution itself is a #schema metadata line.
+    "s71_merge_evolve" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txevolve_orders"
+      TxLog.drop(s, base)
+      val od = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      TxLog.commit(
+        od.where(col("o_orderkey") < 900)
+          .repartitionByRange(4, col("o_orderkey")),
+        base, None, Some("o_orderkey"))
+      graft.sources.TxLogSqlDml.ensureInjected(s)
+      val sqlS = s.newSession()
+      sqlS.sql("DROP TABLE IF EXISTS txdml_evolve_w")
+      sqlS.sql("CREATE TABLE txdml_evolve_w " +
+        s"USING graft.sources.TxLogSource OPTIONS (path '$base')")
+      val stmt = "MERGE INTO txdml_evolve_w t USING (" +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice, " +
+        "CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'web' " +
+        "WHEN 1 THEN 'app' ELSE 'ops' END AS o_channel " +
+        s"FROM parquet.`$dir/orders.parquet` " +
+        "WHERE o_orderkey BETWEEN 450 AND 1350) s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *"
+      try {
+        // default: the star shape VETOES (naming column and conf)
+        val err = scala.util.Try(sqlS.sql(stmt))
+        require(err.isFailure &&
+          err.failed.get.getMessage.contains("o_channel"),
+          s"autoMerge off must veto the evolving star merge: $err")
+        require(TxLog.latestVersion(s, base).contains(1L),
+          "the veto must land nothing")
+        sqlS.conf.set(graft.sources.TxLogSqlDml.AutoMergeConf, "true")
+        sqlS.sql(stmt)
+      } finally {
+        sqlS.conf.unset(graft.sources.TxLogSqlDml.AutoMergeConf)
+        sqlS.sql("DROP TABLE IF EXISTS txdml_evolve_w")
+      }
+      require(TxLog.latestVersion(s, base).contains(2L),
+        "schema evolution + merge must land as ONE commit")
+      require(!TxLog.readVersion(s, base, 1L).columns.contains("o_channel"),
+        "time travel below the merge must stay narrow")
+      require(TxLog.declaredSchemaOf(s, base, 2L).exists(
+        _.fieldNames.contains("o_channel")),
+        "the evolved #schema must carry the new column")
+      TxLog.readEvolved(s, base)
+        .groupBy(coalesce(col("o_channel"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            .as("sum_price"))
+        .orderBy("channel")
+    }),
+
     // ALTER COLUMN type widening (VERDICT r11 missing #4 — Delta's
     // type-widening feature): INT→BIGINT and FLOAT→DOUBLE as
     // metadata-only commits, then a WIDE append lands next to the
@@ -2263,6 +2325,26 @@ object RegistryMaint {
                 cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                   AS sum_price
          FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s71_merge_evolve" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                    FROM orders WHERE o_orderkey < 900),
+              s AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                           CASE CAST(o_orderkey % 3 AS INTEGER)
+                                WHEN 0 THEN 'web' WHEN 1 THEN 'app'
+                                ELSE 'ops' END AS o_channel
+                    FROM orders WHERE o_orderkey BETWEEN 450 AND 1350),
+              merged AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice, o_channel
+                FROM s
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus, o_totalprice,
+                       NULL AS o_channel
+                FROM t WHERE o_orderkey NOT IN
+                  (SELECT o_orderkey FROM s))
+         SELECT coalesce(o_channel, 'none') AS channel, count(*) AS n,
+                cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_price
+         FROM merged GROUP BY 1 ORDER BY 1""",
     "s70_alter_widen" ->
       """SELECT cast(o_orderkey % 7 AS INTEGER) AS grp, count(*) AS n,
                 cast(sum(o_orderkey) AS BIGINT) AS sum_key

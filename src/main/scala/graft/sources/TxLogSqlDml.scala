@@ -286,6 +286,14 @@ private[sources] class MergeSideTagger(target: LogicalPlan,
 }
 
 object TxLogSqlDml {
+  /** Session conf gating MERGE schema evolution (Delta's
+    * `spark.databricks.delta.schema.autoMerge.enabled` analog): when
+    * true, a star action whose source carries columns absent from the
+    * target ADDs them to the target schema in the same commit; when
+    * false (default), that shape fails loudly instead of silently
+    * dropping the columns. */
+  val AutoMergeConf = "spark.graft.schema.autoMerge.enabled"
+
   /** Idempotently arm a session lineage with the DML rule: injects
     * into the LIVE extensions object (so every future `newSession()`
     * and Thrift-served session plans with it) exactly once per
@@ -366,7 +374,43 @@ case class TxLogMergeClausesCommand(base: String, keys: Seq[String],
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val src: DataFrame = ColumnBridge.ofRows(spark, sourcePlan)
-    val targetSchema = TxLog.read(spark, base).schema
+    // an EMPTY target (file-less create, fully-deleted snapshot) is a
+    // legitimate MERGE target for the NOT MATCHED half — mirror the
+    // verb's own fallback to the declared #schema rather than crash
+    // on the read (the empty-table incremental-bootstrap shape)
+    val baseSchema = scala.util.Try(TxLog.read(spark, base).schema)
+      .getOrElse(TxLog.latestVersion(spark, base)
+        .flatMap(v => TxLog.declaredSchemaOf(spark, base, v))
+        .getOrElse(throw new IllegalArgumentException(
+          s"MERGE INTO txlog($base): the table is empty and declares " +
+            "no schema — declare one (CREATE TABLE) or write data " +
+            "first")))
+    // MERGE schema evolution over SQL (Delta's autoMerge conf): a
+    // STAR action with source columns absent from the target either
+    // EVOLVES the target (conf on — dbt `on_schema_change:
+    // append_new_columns`) or fails LOUDLY listing them (conf off) —
+    // silently dropping the columns is data loss either way. Extra
+    // source columns without a star action stay ordinary unreferenced
+    // SQL inputs (clause conditions read them), exactly as before.
+    val extraSrc = src.schema.fields.toSeq.filterNot(f =>
+      baseSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    val hasStar = (matched ++ notMatched ++ bySource)
+      .exists(c => c.kind == "updateStar" || c.kind == "insertStar")
+    val autoMerge = spark.conf
+      .get(TxLogSqlDml.AutoMergeConf, "false").toBoolean
+    if (hasStar && extraSrc.nonEmpty && !autoMerge)
+      throw new IllegalArgumentException(
+        s"MERGE INTO txlog($base): UPDATE SET * / INSERT * would DROP " +
+          s"source column(s) ${extraSrc.map(_.name).mkString(", ")} " +
+          "not present in the target — set " +
+          s"${TxLogSqlDml.AutoMergeConf}=true to evolve the target " +
+          "schema (old rows read NULL), or project them away in the " +
+          "source")
+    val evolve = hasStar && extraSrc.nonEmpty && autoMerge
+    val targetSchema =
+      if (!evolve) baseSchema
+      else org.apache.spark.sql.types.StructType(
+        baseSchema.fields ++ extraSrc.map(_.copy(nullable = true)))
     val targetCols = targetSchema.fieldNames.toSeq
     val srcCols = src.columns.toSeq
     def srcActual(n: String) = srcCols.find(_.equalsIgnoreCase(n))
@@ -441,7 +485,8 @@ case class TxLogMergeClausesCommand(base: String, keys: Seq[String],
       matched = matched.map(toWhen),
       notMatched = notMatched.map(toWhen)
         .map(_.asInstanceOf[TxLog.MergeInsert]),
-      notMatchedBySource = bySource.map(toWhen))
+      notMatchedBySource = bySource.map(toWhen),
+      evolveSchema = evolve)
     Seq.empty
   }
 }
@@ -465,6 +510,44 @@ case class TxLogMergeCommand(base: String, keys: Seq[String],
     require(missingKeys.isEmpty,
       s"MERGE INTO txlog($base): source lacks ON key(s) " +
         missingKeys.mkString(", "))
+    // star shapes with EXTRA source columns leave the fast path: the
+    // aligned projection below would silently DROP them (data loss).
+    // With autoMerge on they route through the general clause verb's
+    // schema evolution; off, the same loud error the clause route
+    // raises.
+    val extraSrc = src.schema.fields.toSeq.filterNot(f =>
+      targetCols.exists(_.equalsIgnoreCase(f.name)))
+    if ((upsert || insert) && extraSrc.nonEmpty) {
+      val autoMerge = spark.conf
+        .get(TxLogSqlDml.AutoMergeConf, "false").toBoolean
+      require(autoMerge,
+        s"MERGE INTO txlog($base): UPDATE SET * / INSERT * would DROP " +
+          s"source column(s) ${extraSrc.map(_.name).mkString(", ")} " +
+          "not present in the target — set " +
+          s"${TxLogSqlDml.AutoMergeConf}=true to evolve the target " +
+          "schema (old rows read NULL), or project them away in the " +
+          "source")
+      val missing = targetCols.filterNot(c =>
+        src.columns.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"MERGE INTO txlog($base): INSERT/UPDATE SET * needs the source " +
+          s"to cover every target column; missing ${missing.mkString(", ")}")
+      def srcName(c: String): String =
+        src.columns.find(_.equalsIgnoreCase(c)).getOrElse(c)
+      val star = (targetCols ++ extraSrc.map(_.name))
+        .map(c => c -> TxLog.sourceCol(srcName(c))).toMap
+      TxLog.mergeClauses(spark, base, src, keys,
+        matched =
+          if (upsert) Seq(TxLog.MergeUpdate(None, star))
+          else if (deleteMatched) Seq(TxLog.MergeDelete(None))
+          else Seq.empty,
+        notMatched =
+          if (insert) Seq(TxLog.MergeInsert(None, star)) else Seq.empty,
+        notMatchedBySource =
+          if (syncDelete) Seq(TxLog.MergeDelete(None)) else Seq.empty,
+        evolveSchema = true)
+      return Seq.empty
+    }
     // SET */INSERT * need full column coverage, CAST to the target's
     // types (a bigint source landing next to int files would poison
     // later snapshot reads); a pure DELETE only needs the keys

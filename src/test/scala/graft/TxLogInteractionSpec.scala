@@ -232,4 +232,41 @@ class TxLogInteractionSpec extends AnyFunSuite {
       got.toString)
     s.sql("DROP TABLE gcm.lake.orders")
   }
+
+  test("rewrite verbs × file-evolved schema: OPTIMIZE / ZORDER / COW " +
+    "UPDATE / COW merge / purge on a mergeSchema-on-write-evolved " +
+    "table read the files' UNION, never one footer — the evolved " +
+    "column's values survive every rewrite") {
+    import graft.operators.TxLog
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = "/tmp/graft_txint/evolve_rewrite"
+    TxLog.drop(spark, base)
+    // file 1: (k, v); files 2..4: (k, v, tag) — the documented
+    // mergeSchema-on-write evolution path, all files small
+    TxLog.commit((1 to 50).map(i => (i, i * 10)).toDF("k", "v")
+      .coalesce(1), base, None, Some("k"))
+    (0 to 2).foreach(b => TxLog.append(
+      (1 to 20).map(i => (100 * (b + 1) + i, i, s"t$b"))
+        .toDF("k", "v", "tag").coalesce(1), base, Some("k")))
+    def tagSum: Long = TxLog.readEvolved(spark, base)
+      .agg(sum(when(col("tag").isNotNull, 1L).otherwise(0L))).head.getLong(0)
+    def total: Long = TxLog.readEvolved(spark, base).count()
+    assert(tagSum == 60 && total == 110)
+    // OPTIMIZE folds all four small files into one — tag must survive
+    TxLog.compact(spark, base, 1000L, 100000L)
+    assert(tagSum == 60 && total == 110,
+      "compaction must not drop the file-evolved column's values")
+    // COW UPDATE rewrites touched rows — non-assigned tag carries
+    TxLog.updateRange(spark, base, "k", 101, 101, Map("v" -> lit(999)))
+    val row = TxLog.readEvolved(spark, base).where(col("k") === 101)
+      .select("v", "tag").head
+    assert(row.getInt(0) == 999 && row.getString(1) == "t0",
+      s"COW update must carry the evolved column: $row")
+    assert(tagSum == 60 && total == 110)
+    // ZORDER re-tiles everything — tag survives the interleave
+    TxLog.compactZorder(spark, base, Seq("k", "v"), 100000L, 200000L)
+    assert(tagSum == 60 && total == 110,
+      "zorder must not drop the file-evolved column's values")
+  }
 }

@@ -270,4 +270,122 @@ class TxLogMergeClausesSpec extends AnyFunSuite {
       (3, 300, "a")),  // flag=false: !flag=true → second clause updated
       snapshot(base).toString)
   }
+
+  test("schema evolution (Delta autoMerge / dbt append_new_columns): " +
+    "a merge carrying a NEW source column evolves the target in the " +
+    "SAME commit; old rows read NULL; time travel below the merge " +
+    "stays narrow; off by default the assignment errors loudly") {
+    val base = "/tmp/graft_txmc/evolve"
+    target(base, Seq((1, 10, "a"), (2, 20, "a")))
+    import spark.implicits._
+    val src = Seq((2, 21, "eu"), (3, 30, "us")).toDF("k", "v", "region")
+    // OFF (default): assigning the new column is a LOUD error naming
+    // it and the flag — never a silent drop
+    val e = intercept[IllegalArgumentException] {
+      TxLog.mergeClauses(spark, base, src, Seq("k"),
+        matched = Seq(MergeUpdate(None,
+          Map("v" -> sourceCol("v"), "region" -> sourceCol("region")))))
+    }
+    assert(e.getMessage.contains("region") &&
+      e.getMessage.contains("evolveSchema"), e.getMessage)
+    // an extra source column merely READ by a condition stays legal
+    // without evolution — the soft-delete-flag shape
+    TxLog.mergeClauses(spark, base, src, Seq("k"),
+      matched = Seq(MergeUpdate(Some(sourceCol("region") === "eu"),
+        Map("v" -> sourceCol("v")))))
+    assert(TxLog.read(spark, base).columns.toSet ==
+      Set("k", "v", "status"))
+    val vPre = TxLog.latestVersion(spark, base).get
+    // ON: evolution + merge are ONE commit
+    TxLog.mergeClauses(spark, base, src, Seq("k"),
+      matched = Seq(MergeUpdate(None,
+        Map("v" -> sourceCol("v"), "region" -> sourceCol("region")))),
+      notMatched = Seq(MergeInsert(None,
+        Map("k" -> sourceCol("k"), "v" -> sourceCol("v"),
+          "region" -> sourceCol("region")))),
+      evolveSchema = true)
+    val v = TxLog.latestVersion(spark, base).get
+    assert(v == vPre + 1, "evolution and merge are one atomic commit")
+    // the declared schema carries the new column, nullable
+    val decl = TxLog.declaredSchemaOf(spark, base, v).get
+    assert(decl.fieldNames.contains("region"))
+    // rows: k=1 untouched (old file → region NULL), k=2 updated,
+    // k=3 inserted
+    val snap = TxLog.readEvolved(spark, base)
+      .select("k", "v", "status", "region").collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        Option(r.getString(2)).getOrElse("∅"),
+        Option(r.getString(3)).getOrElse("∅"))).toSet
+    assert(snap == Set((1, 10, "a", "∅"), (2, 21, "a", "eu"),
+      (3, 30, "∅", "us")), snap.toString)
+    // time travel BELOW the merge stays narrow
+    assert(!TxLog.readVersion(spark, base, vPre).columns.contains("region"))
+    // the DSv2/SQL surface serves the evolved schema with NULLs on
+    // old-file rows — the shape dbt reads back after on_schema_change
+    val viaSource = spark.read.format("graft.sources.TxLogSource")
+      .load(base)
+    assert(viaSource.schema.fieldNames.contains("region"))
+    assert(viaSource.where(col("k") === 1 && col("region").isNull)
+      .count() == 1)
+    // the change feed still unions across the evolution boundary
+    val changes = TxLog.changesBetween(spark, base, vPre - 1, v)
+    assert(changes.columns.contains("region"))
+  }
+
+  test("schema evolution on a MAPPED table: the new column is born " +
+    "under a FRESH physical name (the ADD COLUMNS rule) and survives " +
+    "rename/read round-trips") {
+    val base = "/tmp/graft_txmc/evolve_mapped"
+    target(base, Seq((1, 10, "a"), (2, 20, "a")))
+    import spark.implicits._
+    // seed the mapping via a rename, then rename BACK (mapping stays)
+    TxLog.renameColumn(spark, base, "v", "val")
+    TxLog.renameColumn(spark, base, "val", "v")
+    assert(TxLog.columnMappingOf(spark, base,
+      TxLog.latestVersion(spark, base).get).isDefined)
+    TxLog.mergeClauses(spark, base,
+      Seq((2, 22, 0.9), (4, 40, 0.4)).toDF("k", "v", "score"), Seq("k"),
+      matched = Seq(MergeUpdate(None,
+        Map("v" -> sourceCol("v"), "score" -> sourceCol("score")))),
+      notMatched = Seq(MergeInsert(None,
+        Map("k" -> sourceCol("k"), "v" -> sourceCol("v"),
+          "score" -> sourceCol("score")))),
+      evolveSchema = true)
+    val v = TxLog.latestVersion(spark, base).get
+    val cm = TxLog.columnMappingOf(spark, base, v).get
+    val phys = cm.physicalOf("score").get
+    assert(phys != "score" && phys.startsWith("c"),
+      s"fresh physical name expected, got $phys")
+    val snap = TxLog.read(spark, base)
+    assert(snap.columns.toSet == Set("k", "v", "status", "score"))
+    assert(snap.where(col("k") === 2 && col("score") === 0.9).count() == 1)
+    assert(snap.where(col("k") === 1 && col("score").isNull).count() == 1)
+    assert(snap.where(col("k") === 4 && col("score") === 0.4).count() == 1)
+  }
+
+  test("schema evolution composes with a WIDENED table: the veto that " +
+    "blocks undeclared writes admits the about-to-be-declared merge " +
+    "columns (declared in the SAME commit)") {
+    val base = "/tmp/graft_txmc/evolve_widen"
+    target(base, Seq((1, 10, "a"), (2, 20, "a")))
+    import org.apache.spark.sql.types._
+    TxLog.alterWidenColumn(spark, base, "v", LongType)
+    import spark.implicits._
+    TxLog.mergeClauses(spark, base,
+      Seq((2, 21L, "eu"), (3, 30L, "us")).toDF("k", "v", "region"),
+      Seq("k"),
+      matched = Seq(MergeUpdate(None,
+        Map("v" -> sourceCol("v"), "region" -> sourceCol("region")))),
+      notMatched = Seq(MergeInsert(None,
+        Map("k" -> sourceCol("k"), "v" -> sourceCol("v"),
+          "region" -> sourceCol("region")))),
+      evolveSchema = true)
+    val snap = TxLog.read(spark, base)
+    assert(snap.schema("v").dataType == LongType)
+    assert(snap.columns.contains("region"),
+      "widened reads pin the declared schema — the evolved column is " +
+        "in it")
+    assert(snap.where(col("k") === 1 && col("region").isNull).count() == 1)
+    assert(snap.where(col("k") === 3 && col("region") === "us").count() == 1)
+  }
 }

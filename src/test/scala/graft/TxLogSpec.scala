@@ -164,12 +164,13 @@ class TxLogSpec extends AnyFunSuite {
       TxLog.append(df(Seq(999 -> "x")), base)
     }
     assert(w.getMessage.contains("writer version 6"), w.getMessage)
-    // v3 requires reader version 3: every read path must refuse
-    writeManifest(3L, s"#protocol\t3\t3" +: files)
+    // v3 requires reader version 4 (one above this engine's
+    // ReaderVersion ceiling): every read path must refuse
+    writeManifest(3L, s"#protocol\t4\t4" +: files)
     val r = intercept[IllegalStateException] {
       TxLog.read(spark, base)
     }
-    assert(r.getMessage.contains("reader version 3"), r.getMessage)
+    assert(r.getMessage.contains("reader version 4"), r.getMessage)
   }
 
   test("convertParquet adopts a flat parquet dir in place: no copies, " +

@@ -597,4 +597,107 @@ class TxLogSqlDmlSpec extends AnyFunSuite {
       assert(snap.where("k = 1 AND v = 10.0").count() == 1)
     } finally sql.sql("DROP TABLE IF EXISTS txdml_self")
   }
+
+  test("review regression r13: a CONDITIONAL MERGE INTO an EMPTY " +
+    "target (file-less create / fully-deleted) binds against the " +
+    "declared schema instead of crashing on the snapshot read — the " +
+    "empty-table incremental-bootstrap shape, over SQL") {
+    val base = "/tmp/graft_txsqldml/emptym"
+    TxLog.drop(spark, base)
+    sql.sql("DROP TABLE IF EXISTS txdml_emptym")
+    try {
+      // file-less CREATE: declared schema only, zero data files
+      import org.apache.spark.sql.types._
+      TxLog.createTable(spark, base, StructType(Seq(
+        StructField("k", IntegerType), StructField("s", StringType),
+        StructField("v", DoubleType))))
+      sql.sql("CREATE TABLE txdml_emptym " +
+        s"USING graft.sources.TxLogSource OPTIONS (path '$base')")
+      // conditional clause + explicit assignments → the general
+      // mergeClauses route (the fast star shapes have their own path)
+      sql.sql(
+        """MERGE INTO txdml_emptym t
+          |USING (SELECT id AS k, concat('n-', id) AS s, id * 2.0 AS v
+          |       FROM range(1, 6)) src
+          |ON t.k = src.k
+          |WHEN MATCHED AND src.v > 100 THEN UPDATE SET v = src.v
+          |WHEN NOT MATCHED THEN INSERT (k, s, v)
+          |  VALUES (src.k, src.s, src.v)
+          |""".stripMargin)
+      val snap = TxLog.read(spark, base)
+      assert(snap.count() == 5)
+      assert(snap.where("v = k * 2.0 AND s = concat('n-', k)").count() == 5)
+      // and again after a FULL DELETE (fully-deleted snapshot)
+      sql.sql("DELETE FROM txdml_emptym WHERE k >= 0")
+      sql.sql(
+        """MERGE INTO txdml_emptym t
+          |USING (SELECT 9 AS k, 'reborn' AS s, 1.0 AS v) src
+          |ON t.k = src.k
+          |WHEN MATCHED AND src.v > 0 THEN UPDATE SET v = src.v
+          |WHEN NOT MATCHED THEN INSERT (k, s, v)
+          |  VALUES (src.k, src.s, src.v)
+          |""".stripMargin)
+      val snap2 = TxLog.read(spark, base).collect()
+      assert(snap2.length == 1 && snap2.head.getInt(0) == 9, snap2.toSeq)
+    } finally sql.sql("DROP TABLE IF EXISTS txdml_emptym")
+  }
+
+  test("MERGE schema evolution over SQL: SET * / INSERT * with extra " +
+    "source columns fails LOUDLY by default (naming them and the " +
+    "conf); with spark.graft.schema.autoMerge.enabled the target " +
+    "evolves in the same commit and old rows read NULL") {
+    val base = "/tmp/graft_txsqldml/automerge"
+    seed(base, "txdml_am") // (k, s, v) × 100
+    try {
+      // default: loud error, never a silent drop — BOTH routes (the
+      // fast star shape and the general conditional path)
+      val fast = intercept[Exception] {
+        sql.sql("MERGE INTO txdml_am t USING (SELECT id AS k, " +
+          "concat('n-', id) AS s, id * 1.0 AS v, 'web' AS channel " +
+          "FROM range(90, 110)) src ON t.k = src.k " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      }
+      assert(fast.getMessage.contains("channel") &&
+        fast.getMessage.contains("autoMerge"), fast.getMessage)
+      val cond = intercept[Exception] {
+        sql.sql("MERGE INTO txdml_am t USING (SELECT id AS k, " +
+          "concat('n-', id) AS s, id * 1.0 AS v, 'web' AS channel " +
+          "FROM range(90, 110)) src ON t.k = src.k " +
+          "WHEN MATCHED AND src.v > 95 THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      }
+      assert(cond.getMessage.contains("channel") &&
+        cond.getMessage.contains("autoMerge"), cond.getMessage)
+      assert(TxLog.read(spark, base).columns.toSet == Set("k", "s", "v"),
+        "failed merges leave the schema untouched")
+      // conf on: the dbt on_schema_change=append_new_columns shape
+      sql.conf.set(graft.sources.TxLogSqlDml.AutoMergeConf, "true")
+      try {
+        val vPre = TxLog.latestVersion(spark, base).get
+        sql.sql("MERGE INTO txdml_am t USING (SELECT id AS k, " +
+          "concat('n-', id) AS s, id * 1.0 AS v, 'web' AS channel " +
+          "FROM range(90, 110)) src ON t.k = src.k " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        assert(TxLog.latestVersion(spark, base).get == vPre + 1,
+          "evolution + merge are one atomic commit")
+        // the evolved surface: matched 90..100 and inserted 101..109
+        // carry the channel; untouched 1..89 read NULL. (A session-
+        // catalog USING-provider registration freezes its schema at
+        // CREATE — Spark's rule for all such tables — so the live
+        // surface reads via path / re-registration; the DSv2 catalog
+        // route reloads per query.)
+        val live = sql.read.format("graft.sources.TxLogSource").load(base)
+        assert(live.where("channel = 'web'").count() == 20)
+        assert(live.where("channel IS NULL").count() == 89)
+        assert(live.count() == 109)
+        sql.sql("DROP TABLE txdml_am")
+        sql.sql("CREATE TABLE txdml_am " +
+          s"USING graft.sources.TxLogSource OPTIONS (path '$base')")
+        assert(sql.sql("SELECT count(*) AS n FROM txdml_am " +
+          "WHERE channel = 'web'").head.getLong(0) == 20)
+      } finally sql.conf.unset(graft.sources.TxLogSqlDml.AutoMergeConf)
+    } finally sql.sql("DROP TABLE IF EXISTS txdml_am")
+  }
 }

@@ -226,4 +226,61 @@ class TxLogWidenSpec extends AnyFunSuite {
     assert(snap.where(col("score") === 9.5).count() == 1)
     assert(snap.schema("k").dataType == LongType)
   }
+
+  test("review regressions r13: widening FOLDS file-evolved columns " +
+    "into the published declared schema (the reverse order of the " +
+    "write-side veto — evolve THEN widen must not hide the evolved " +
+    "column), and a widened table stamps READER version 3") {
+    import spark.implicits._
+    // (a) stale #schema: table declared (k, v), then a write evolved
+    // the FILES with an extra column (mergeSchema-on-write is the
+    // documented evolution path — #schema lags the union)
+    val base = "/tmp/graft_txwiden/fold"
+    TxLog.drop(spark, base)
+    TxLog.createTable(spark, base, StructType(Seq(
+      StructField("k", IntegerType), StructField("v", FloatType))))
+    TxLog.append(Seq((1, 1.5f)).toDF("k", "v").coalesce(1),
+      base, Some("k"))
+    TxLog.append(Seq((2, 2.5f, "x2")).toDF("k", "v", "extra").coalesce(1),
+      base, Some("k"))
+    assert(TxLog.readEvolved(spark, base).columns.contains("extra"))
+    TxLog.alterWidenColumn(spark, base, "k", LongType)
+    // the pinned read surface COVERS the file-evolved column: reads
+    // serve its values (new file) and NULL (old file) — never silence
+    val snap = TxLog.read(spark, base)
+    assert(snap.schema.fieldNames.contains("extra"),
+      snap.schema.treeString)
+    assert(snap.schema("k").dataType == LongType)
+    assert(snap.where(col("extra") === "x2").count() == 1)
+    assert(snap.where(col("extra").isNull).count() == 1)
+    // folded INTO the published #schema, not just this one read
+    val decl = TxLog.declaredSchemaOf(spark, base,
+      TxLog.latestVersion(spark, base).get).get
+    assert(decl.fieldNames.contains("extra"))
+    // widening is reader-visible (correct reads REQUIRE the declared
+    // requested schema): protocol stamps reader 3 alongside writer 5
+    val d = TxLog.describeDetail(spark, base).head()
+    assert(d.getAs[Int]("min_reader_version") == 3, d.toString)
+    assert(d.getAs[Int]("min_writer_version") == 5, d.toString)
+    // (b) no #schema at all: the synthesized declared surface is the
+    // file UNION, never one arbitrary footer
+    val base2 = "/tmp/graft_txwiden/fold2"
+    TxLog.drop(spark, base2)
+    TxLog.commit(Seq((1, 1.5f)).toDF("k", "v").coalesce(1),
+      base2, None, Some("k"))
+    TxLog.append(Seq((2, 2.5f, 7L)).toDF("k", "v", "w").coalesce(1),
+      base2, Some("k"))
+    TxLog.alterWidenColumn(spark, base2, "k", LongType)
+    val s2 = TxLog.read(spark, base2)
+    assert(s2.schema.fieldNames.toSet == Set("k", "v", "w"),
+      s2.schema.treeString)
+    assert(s2.agg(sum("w")).head.getLong(0) == 7L)
+    // an unwidened table keeps stamping reader (1): enabling the
+    // feature on one table never locks old readers out of the lake
+    val plain = "/tmp/graft_txwiden/fold_plain"
+    TxLog.drop(spark, plain)
+    TxLog.commit(Seq((1, "a")).toDF("k", "s"), plain, None, Some("k"))
+    assert(TxLog.describeDetail(spark, plain).head()
+      .getAs[Int]("min_reader_version") == 1)
+  }
 }
