@@ -1094,12 +1094,28 @@ object TxLog {
       require(idx >= 0, s"column '$column' is not in the table schema " +
         s"(${declared0.fieldNames.mkString(", ")})")
       val f = declared0.fields(idx)
+      // Delta 4.0's full type-widening matrix — every promotion here
+      // is verified against Spark's parquet readers (both vectorized
+      // and row-based take each path; long→double and date→timestamp
+      // (with TZ) are excluded exactly as Delta excludes them: the
+      // former loses precision, the latter changes semantics).
+      // Integer→decimal demands enough INTEGRAL digits for the source
+      // family's full range (byte 3, short 5, int 10, long 20).
+      def intDigits(t: DataType): Option[Int] = t match {
+        case ByteType => Some(3); case ShortType => Some(5)
+        case IntegerType => Some(10); case LongType => Some(20)
+        case _ => None
+      }
       def widens(from: DataType, to: DataType): Boolean = (from, to) match {
         case (a, b) if a == b => false
         case (ByteType, ShortType | IntegerType | LongType) => true
         case (ShortType, IntegerType | LongType) => true
         case (IntegerType, LongType) => true
         case (FloatType, DoubleType) => true
+        case (ByteType | ShortType | IntegerType, DoubleType) => true
+        case (a, b: DecimalType) if intDigits(a).isDefined =>
+          b.precision - b.scale >= intDigits(a).get
+        case (DateType, TimestampNTZType) => true
         case (a: DecimalType, b: DecimalType) =>
           b.scale >= a.scale &&
             b.precision - b.scale >= a.precision - a.scale &&
@@ -1109,9 +1125,11 @@ object TxLog {
       require(widens(f.dataType, newType),
         s"ALTER COLUMN ${f.name} TYPE ${newType.simpleString}: only safe " +
           s"widenings of ${f.dataType.simpleString} are supported " +
-          "(byte<short<int<long, float<double, decimal precision growth " +
-          "losing no integral digits) — narrowing or cross-family " +
-          "changes would lie about the bytes on disk")
+          "(byte<short<int<long, float<double, byte/short/int->double, " +
+          "integer->decimal with enough integral digits, " +
+          "date->timestamp_ntz, decimal precision growth losing no " +
+          "integral digits) — narrowing, long->double, or " +
+          "date->timestamp-with-TZ would lie about the bytes on disk")
       val phys = physicalName(spark, base, f.name)
       // partition tuple identity and generated-column validation are
       // typed at declaration; widening under them would need re-stamped
@@ -1128,7 +1146,28 @@ object TxLog {
         declared0.fields.updated(idx, f.copy(dataType = newType)))
       val widen = widenedColumnsOf(spark, base, cur)
         .filterNot(_._1.equalsIgnoreCase(phys)) :+ (phys -> newType)
-      publishEntries(spark, base, cur + 1L, entries, txns,
+      // manifest stats carried across a CROSS-FAMILY widen must stay
+      // sound against the NEW family's predicate reprs: integer→
+      // double stats RETAG (integer repr strings parse as doubles —
+      // skipping keeps its full sharpness); integer→decimal and
+      // date→timestamp_ntz stats STRIP (no stats family exists for
+      // those types, and a long-family compare against "3.50" would
+      // throw mid-prune) — stripped files conservatively always scan
+      // for that column's predicates, correctness unchanged.
+      // Within-family widens (int→long, float→double, decimal growth)
+      // share their family's repr and carry untouched — the commit
+      // stays O(1) manifest lines.
+      val entriesAdj = (f.dataType, newType) match {
+        case ((ByteType | ShortType | IntegerType), DoubleType) =>
+          entries.map(e => e.copy(stats = e.stats.map(s =>
+            if (s.column.equalsIgnoreCase(phys) && s.dtype == "long")
+              s.copy(dtype = "double") else s)))
+        case ((_, _: DecimalType) | (DateType, TimestampNTZType)) =>
+          entries.map(e => e.copy(stats =
+            e.stats.filterNot(_.column.equalsIgnoreCase(phys))))
+        case _ => entries
+      }
+      publishEntries(spark, base, cur + 1L, entriesAdj, txns,
         dataChange = false, operation = "ALTER COLUMN",
         declaredSchemaOverride = Some(declared),
         widenOverride = Some(widen))

@@ -828,6 +828,50 @@ object RegistryMaint {
         .orderBy("grp")
     }),
 
+    // The Delta 4.0 widening matrix's CROSS-FAMILY legs (r12 missing
+    // #2): int→decimal and date→timestamp_ntz as metadata-only
+    // ALTERs over live data, with a post-widen append carrying
+    // genuinely fractional decimals next to the integer-narrow files.
+    // The oracle recomputes the mixed set exactly — decimal sums are
+    // exact integers under the hood, so the comparison is portable.
+    "s72_widen_matrix" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txwidenx_orders"
+      TxLog.drop(s, base)
+      import org.apache.spark.sql.types._
+      val od = t(s, dir, "orders").select(
+        col("o_orderkey").cast("int").as("o_orderkey"),
+        (col("o_orderkey") % 97).cast("int").as("o_disc"),
+        to_date(col("o_orderdate")).as("o_day"))
+      TxLog.commit(
+        od.where(col("o_orderkey") < 1000)
+          .repartitionByRange(2, col("o_orderkey")),
+        base, None, Some("o_orderkey"))
+      TxLog.alterWidenColumn(s, base, "o_disc", DecimalType(12, 2))
+      TxLog.alterWidenColumn(s, base, "o_day", TimestampNTZType)
+      require(TxLog.manifestFiles(s, base, 3L).toSet ==
+        TxLog.manifestFiles(s, base, 1L).toSet,
+        "both ALTERs must be metadata-only")
+      // the wide append: fractional discounts, real NTZ instants
+      TxLog.append(
+        od.where(col("o_orderkey").between(1000, 2000)).select(
+          col("o_orderkey"),
+          (col("o_disc") + lit(0.25)).cast(DecimalType(12, 2))
+            .as("o_disc"),
+          col("o_day").cast(TimestampNTZType).as("o_day")),
+        base, Some("o_orderkey"))
+      val snap = TxLog.read(s, base)
+      require(snap.schema("o_disc").dataType == DecimalType(12, 2) &&
+        snap.schema("o_day").dataType == TimestampNTZType,
+        "the widened surface must serve DECIMAL and TIMESTAMP_NTZ")
+      require(TxLog.readVersion(s, base, 1L).schema("o_disc").dataType
+        == IntegerType, "time travel below the ALTER stays narrow")
+      snap.groupBy((col("o_orderkey") % 5).cast("int").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_disc")).cast("double").as("sum_disc"),
+          max(col("o_day")).as("max_day"))
+        .orderBy("grp")
+    }),
+
     // Maintenance SQL grammar (the injectParser rung): OPTIMIZE
     // bin-packs straggler appends and VACUUM trims history, both as
     // plain SQL a JDBC operator could issue — the requires pin that
@@ -2344,6 +2388,25 @@ object RegistryMaint {
          SELECT coalesce(o_channel, 'none') AS channel, count(*) AS n,
                 cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                   AS sum_price
+         FROM merged GROUP BY 1 ORDER BY 1""",
+    "s72_widen_matrix" ->
+      """WITH src AS (SELECT cast(o_orderkey AS INTEGER) AS o_orderkey,
+                             cast(o_orderkey % 97 AS INTEGER) AS o_disc,
+                             cast(o_orderdate AS DATE) AS o_day
+                      FROM orders),
+              merged AS (
+                SELECT o_orderkey,
+                       cast(o_disc AS DECIMAL(12,2)) AS o_disc,
+                       cast(o_day AS TIMESTAMP) AS o_day
+                FROM src WHERE o_orderkey < 1000
+                UNION ALL
+                SELECT o_orderkey,
+                       cast(o_disc + 0.25 AS DECIMAL(12,2)) AS o_disc,
+                       cast(o_day AS TIMESTAMP) AS o_day
+                FROM src WHERE o_orderkey BETWEEN 1000 AND 2000)
+         SELECT cast(o_orderkey % 5 AS INTEGER) AS grp, count(*) AS n,
+                cast(sum(o_disc) AS DOUBLE) AS sum_disc,
+                max(o_day) AS max_day
          FROM merged GROUP BY 1 ORDER BY 1""",
     "s70_alter_widen" ->
       """SELECT cast(o_orderkey % 7 AS INTEGER) AS grp, count(*) AS n,

@@ -1337,9 +1337,28 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
     case BinaryType => g.getBinary(i, 0).getBytes
     case DateType => g.getInteger(i, 0) // days since epoch
     case TimestampType | TimestampNTZType => timestampMicros(g, i)
+    case d: DecimalType =>
+      // decode through the FILE's declared scale (the annotation),
+      // then rescale to the requested type — a decimal-growth widen
+      // leaves old files at the narrower scale
+      val pt = g.getType.getType(i).asPrimitiveType()
+      val fileScale = pt.getLogicalTypeAnnotation match {
+        case a: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          a.getScale
+        case _ => d.scale
+      }
+      val unscaled = pt.getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.INT64 =>
+          java.math.BigInteger.valueOf(g.getLong(i, 0))
+        case PrimitiveType.PrimitiveTypeName.INT32 =>
+          java.math.BigInteger.valueOf(g.getInteger(i, 0).toLong)
+        case _ => new java.math.BigInteger(g.getBinary(i, 0).getBytes)
+      }
+      org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(unscaled, fileScale), d.precision, d.scale)
     case other => throw new IllegalArgumentException(
       s"txlog source does not support column type $other (flat " +
-        "numeric/string/bool/date/timestamp schemas only)")
+        "numeric/string/bool/date/timestamp/decimal schemas only)")
   }
 
   /** Spark writes INT96 (legacy default) or INT64 micros; accept

@@ -269,9 +269,18 @@ object TxLogWriteSupport {
         case TimestampNTZType => Types.optional(PrimitiveTypeName.INT64)
           .as(LogicalTypeAnnotation.timestampType(false,
             LogicalTypeAnnotation.TimeUnit.MICROS))
+        // decimals: unscaled INT64 up to 18 digits (Spark's own
+        // compact layout), variable BINARY above — both physical
+        // encodings Spark's readers take natively
+        case d: DecimalType if d.precision <= 18 =>
+          Types.optional(PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        case d: DecimalType =>
+          Types.optional(PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
         case other => throw new IllegalArgumentException(
           s"txlog sink does not support column type $other (flat " +
-            "numeric/string/bool/date/timestamp schemas only)")
+            "numeric/string/bool/date/timestamp/decimal schemas only)")
       }
       b.addField(prim.named(f.name))
     }
@@ -785,6 +794,12 @@ class TxLogDataWriter(base: String, txnRel: String, fileStem: String,
             org.apache.parquet.io.api.Binary.fromConstantByteArray(
               row.getBinary(i)))
           case TimestampType | TimestampNTZType => g.add(i, row.getLong(i))
+          case d: DecimalType =>
+            val dec = row.getDecimal(i, d.precision, d.scale)
+            if (d.precision <= 18) g.add(i, dec.toUnscaledLong)
+            else g.add(i,
+              org.apache.parquet.io.api.Binary.fromConstantByteArray(
+                dec.toJavaBigDecimal.unscaledValue().toByteArray))
           case other => throw new IllegalArgumentException(
             s"unsupported type $other")
         }

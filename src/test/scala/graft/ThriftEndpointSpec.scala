@@ -188,6 +188,32 @@ class ThriftEndpointSpec extends AnyFunSuite {
         assert(evolved.where("src = 'web'").count() == 3 &&
           evolved.where("src IS NULL").count() == 87,
           "evolved column: 3 merged rows carry it, 87 old rows NULL")
+        // native ALTER COLUMN TYPE widening over JDBC: routes through
+        // the DSv2 catalog's TableChange.UpdateColumnType into
+        // alterWidenColumn (a catalog-qualified table; the session-
+        // catalog OPTIONS-path registration freezes its schema)
+        st.execute("SET spark.sql.catalog.gthrift=graft.sources.TxLogCatalog")
+        st.execute(
+          "SET spark.sql.catalog.gthrift.warehouse=/tmp/graft_thrift_wh")
+        st.execute("CREATE NAMESPACE IF NOT EXISTS gthrift.lake")
+        st.execute("DROP TABLE IF EXISTS gthrift.lake.wd")
+        st.execute("CREATE TABLE gthrift.lake.wd (k INT, v INT) " +
+          "USING graft.sources.TxLogSource")
+        st.execute("INSERT INTO gthrift.lake.wd VALUES (1, 10), (2, 20)")
+        st.execute(
+          "ALTER TABLE gthrift.lake.wd ALTER COLUMN v TYPE DECIMAL(12, 2)")
+        st.execute("INSERT INTO gthrift.lake.wd VALUES (3, 30.25)")
+        val wd = st.executeQuery(
+          "SELECT sum(v) AS s, count(*) AS n FROM gthrift.lake.wd")
+        assert(wd.next() && wd.getBigDecimal(1)
+          .compareTo(new java.math.BigDecimal("60.25")) == 0 &&
+          wd.getLong(2) == 3,
+          "ALTER COLUMN TYPE over JDBC: narrow files upcast, wide " +
+            "append reads back")
+        val narrow = scala.util.Try(st.execute(
+          "ALTER TABLE gthrift.lake.wd ALTER COLUMN v TYPE INT"))
+        assert(narrow.isFailure, "narrowing over JDBC must fail loudly")
+        st.execute("DROP TABLE gthrift.lake.wd")
         // maintenance grammar over JDBC (the injected parser rung)
         val hist = st.executeQuery("DESCRIBE HISTORY txlog_jdbc_demo")
         val versions = Iterator.continually(hist)

@@ -510,4 +510,46 @@ class TxLogStreamSpec extends AnyFunSuite {
       new graft.sources.TxLogOffset(3L, 2L).json()) ==
       new graft.sources.TxLogOffset(3L, 2L))
   }
+
+  test("DECIMAL columns stream: the source's Group decoder reads " +
+    "INT64- and BINARY-encoded decimals through the file's declared " +
+    "scale, rescaling to the requested type across a decimal-growth " +
+    "widen") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val base = "/tmp/graft_txstream/dec"
+    val out = "/tmp/graft_txstream/dec_out"
+    val ckpt = "/tmp/graft_txstream/dec_ckpt"
+    Seq(base, out, ckpt).foreach(TxLog.drop(spark, _))
+    // v1: compact (INT64) decimals at scale 2; then a growth widen to
+    // scale 4; v3: a wide batch incl. a >18-digit (BINARY) decimal
+    TxLog.commit(spark.range(0, 10).select(col("id").as("k"),
+      (col("id") * 100 + lit(0.25)).cast(DecimalType(10, 2)).as("d"),
+      lit("1234567890123456789.5").cast(DecimalType(25, 4)).as("big")),
+      base, None, Some("k"))
+    TxLog.alterWidenColumn(spark, base, "d", DecimalType(14, 4))
+    TxLog.append(spark.range(10, 15).select(col("id").as("k"),
+      (col("id") + lit(0.0001)).cast(DecimalType(14, 4)).as("d"),
+      lit("-987654321098765432.1098").cast(DecimalType(25, 4)).as("big")),
+      base, Some("k"))
+    val got = drain(base, out, ckpt, Map("changeFeed" -> "true"))
+    assert(got.schema("d").dataType == DecimalType(14, 4))
+    assert(got.count() == 15)
+    // narrow-file rows rescaled exactly (0.25 -> 0.2500)
+    assert(got.where(col("k") === 3 &&
+      col("d") === lit("300.25").cast(DecimalType(14, 4))).count() == 1)
+    assert(got.where(col("k") === 12 &&
+      col("d") === lit("12.0001").cast(DecimalType(14, 4))).count() == 1)
+    // BINARY-encoded wide decimals decode bit-exactly, sign included
+    assert(got.where(col("k") === 14).select("big").head.getDecimal(0)
+      .compareTo(new java.math.BigDecimal("-987654321098765432.1098")) == 0)
+    assert(got.where(col("k") === 0).select("big").head.getDecimal(0)
+      .compareTo(new java.math.BigDecimal("1234567890123456789.5000")) == 0)
+    // the batch DSv2 read agrees with the native snapshot
+    val viaSource = spark.read.format("graft.sources.TxLogSource")
+      .load(base).agg(sum("d").cast("string")).head.getString(0)
+    val native = TxLog.read(spark, base)
+      .agg(sum("d").cast("string")).head.getString(0)
+    assert(viaSource == native)
+  }
 }

@@ -283,4 +283,74 @@ class TxLogWidenSpec extends AnyFunSuite {
     assert(TxLog.describeDetail(spark, plain).head()
       .getAs[Int]("min_reader_version") == 1)
   }
+
+  test("Delta 4.0 widening matrix: int->double, int/long->decimal, " +
+    "date->timestamp_ntz — each metadata-only with old files upcast " +
+    "per file; int->double RETAGS the column's stats (skipping keeps " +
+    "full sharpness), cross-family-to-decimal/ntz STRIPS them " +
+    "(conservative scan); long->double and date->timestamp veto") {
+    import spark.implicits._
+    val base = "/tmp/graft_txwiden/matrix"
+    TxLog.drop(spark, base)
+    TxLog.commit(Seq((1, 5L, java.sql.Date.valueOf("2024-03-05"), 7))
+      .toDF("a", "b", "dt", "p").coalesce(1), base, None, Some("a"))
+    val preFiles = TxLog.manifestFiles(spark, base, 1L).toSet
+    TxLog.alterWidenColumn(spark, base, "a", DoubleType)
+    TxLog.alterWidenColumn(spark, base, "b", DecimalType(22, 2))
+    TxLog.alterWidenColumn(spark, base, "dt", TimestampNTZType)
+    TxLog.alterWidenColumn(spark, base, "p", DecimalType(12, 0))
+    val vNow = TxLog.latestVersion(spark, base).get
+    assert(TxLog.manifestFiles(spark, base, vNow).toSet == preFiles,
+      "metadata-only: not one data byte moves")
+    val snap = TxLog.read(spark, base)
+    assert(snap.schema("a").dataType == DoubleType)
+    assert(snap.schema("b").dataType == DecimalType(22, 2))
+    assert(snap.schema("dt").dataType == TimestampNTZType)
+    assert(snap.schema("p").dataType == DecimalType(12, 0))
+    val r = snap.head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDecimal(1).compareTo(new java.math.BigDecimal("5")) == 0)
+    assert(r.getAs[java.time.LocalDateTime]("dt") ==
+      java.time.LocalDateTime.of(2024, 3, 5, 0, 0))
+    // a WIDE append (fraction, >int-digits decimal, real ntz instant)
+    // lands next to the narrow file and the mix reads as one surface
+    TxLog.append(
+      Seq((2.5d, "123456789012.34", "2025-01-02T03:04:05", "99"))
+        .toDF("a", "b0", "dt0", "p0")
+        .select(col("a"), col("b0").cast(DecimalType(22, 2)).as("b"),
+          col("dt0").cast(TimestampNTZType).as("dt"),
+          col("p0").cast(DecimalType(12, 0)).as("p")),
+      base, Some("a"))
+    val mixed = TxLog.read(spark, base)
+    assert(mixed.count() == 2)
+    assert(mixed.agg(sum("a")).head.getDouble(0) == 3.5)
+    assert(mixed.agg(sum("b")).head.getDecimal(0)
+      .compareTo(new java.math.BigDecimal("123456789017.34")) == 0)
+    // int->double stats retag: a FRACTIONAL range predicate prunes
+    // the old integer-statted file instead of crashing on a long parse
+    val (kept, all) = TxLog.pruneRanges(spark, base,
+      Seq(("a", 2.0d, 3.0d)))
+    assert(all.size == 2 && kept.size == 1,
+      s"retagged stats must keep pruning: ${kept.size}/${all.size}")
+    // time travel below the ALTERs serves the narrow originals
+    val old = TxLog.readVersion(spark, base, 1L)
+    assert(old.schema("a").dataType == IntegerType &&
+      old.schema("dt").dataType == DateType)
+    // excluded promotions veto loudly
+    val base2 = "/tmp/graft_txwiden/matrix_veto"
+    TxLog.drop(spark, base2)
+    TxLog.commit(Seq((1L, java.sql.Date.valueOf("2024-01-01")))
+      .toDF("l", "d"), base2, None, Some("l"))
+    assert(intercept[IllegalArgumentException] {
+      TxLog.alterWidenColumn(spark, base2, "l", DoubleType)
+    }.getMessage.contains("long->double"))
+    assert(intercept[IllegalArgumentException] {
+      TxLog.alterWidenColumn(spark, base2, "d", TimestampType)
+    }.getMessage.contains("timestamp"))
+    assert(intercept[IllegalArgumentException] {
+      // int range needs 10 integral digits — decimal(9,0) is too small
+      TxLog.alterWidenColumn(spark, base2, "l", DecimalType(19, 0))
+    }.getMessage.contains("widenings"),
+      "long->decimal(19,0) lacks the 20 integral digits")
+  }
 }
