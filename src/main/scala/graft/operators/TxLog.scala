@@ -143,7 +143,8 @@ object TxLog {
     * rewriting the file. */
   final case class Entry(path: String, rows: Long, stats: Seq[ColStats],
                          dv: Option[Dv] = None,
-                         blooms: Seq[BloomRef] = Nil) {
+                         blooms: Seq[BloomRef] = Nil,
+                         baseRowId: Option[Long] = None) {
     def statsFor(column: String): Option[ColStats] =
       stats.find(_.column == column)
     def bloomFor(column: String): Option[BloomRef] =
@@ -275,16 +276,22 @@ object TxLog {
     * parser uniform, and `dv` never collides with [[statsDtype]]'s
     * output so pre-DV manifests are unaffected. */
   private def serLine(e: Entry): String =
-    if (e.rows == -1L && e.stats.isEmpty && e.dv.isEmpty && e.blooms.isEmpty)
+    if (e.rows == -1L && e.stats.isEmpty && e.dv.isEmpty &&
+        e.blooms.isEmpty && e.baseRowId.isEmpty)
       e.path // v1-compatible bare path
-    else if (e.stats.isEmpty && e.dv.isEmpty && e.blooms.isEmpty)
+    else if (e.stats.isEmpty && e.dv.isEmpty && e.blooms.isEmpty &&
+        e.baseRowId.isEmpty)
       s"${e.path}\t${e.rows}"
     else {
       val groups = e.stats.map(cs =>
         s"${cs.dtype}\t${enc(cs.column)}\t${enc(cs.min)}\t${enc(cs.max)}") ++
         e.blooms.map(b =>
           s"bf\t${enc(b.dir)}\t${enc(b.column)}\t${b.m},${b.k},${b.dtype}") ++
-        e.dv.map(d => s"dv\t${enc(d.dir)}\t${d.rows}\t-")
+        e.dv.map(d => s"dv\t${enc(d.dir)}\t${d.rows}\t-") ++
+        // row tracking: this file's FRESH rows carry stable ids
+        // [base, base + rows); reader-gated (protocol 4) because an
+        // ignorant reader would parse the group as column stats
+        e.baseRowId.map(b => s"rid\t$b\t-\t-")
       s"${e.path}\t${e.rows}\t" + groups.mkString("\t")
     }
 
@@ -296,9 +303,13 @@ object TxLog {
       val groups = f.drop(2).grouped(4).toList
       val dvGroups = groups.filter(_.head == "dv")
       val bfGroups = groups.filter(_.head == "bf")
-      val statGroups = groups.filterNot(g => g.head == "dv" || g.head == "bf")
+      val ridGroups = groups.filter(_.head == "rid")
+      val statGroups = groups.filterNot(g =>
+        g.head == "dv" || g.head == "bf" || g.head == "rid")
       require(dvGroups.size <= 1,
         s"manifest line carries ${dvGroups.size} deletion vectors: $line")
+      require(ridGroups.size <= 1,
+        s"manifest line carries ${ridGroups.size} row-id bases: $line")
       Entry(f(0), f(1).toLong,
         statGroups.map(g => ColStats(dec(g(1)), g(0), dec(g(2)), dec(g(3)))),
         dvGroups.headOption.map(g => Dv(dec(g(1)), g(2).toLong)),
@@ -307,7 +318,8 @@ object TxLog {
           val parts = g(3).split(",", 3)
           BloomRef(dec(g(1)), dec(g(2)), parts(0).toLong, parts(1).toInt,
             if (parts.length > 2) parts(2) else "string")
-        })
+        },
+        ridGroups.headOption.map(g => g(1).toLong))
     } else throw new IllegalStateException(
       s"malformed manifest line: $line (${f.length} fields)")
   }
@@ -440,9 +452,19 @@ object TxLog {
     * requested schema — an ignorant reader would footer-infer a
     * narrow/mixed schema and fail with CANNOT_MERGE_SCHEMAS (or
     * silently serve one file's width), so widening is reader-visible,
-    * exactly as Delta models its type-widening table feature. */
-  private[graft] val ReaderVersion = 3
-  private[graft] val WriterVersion = 5 // 5 = ALTER COLUMN type widening
+    * exactly as Delta models its type-widening table feature. Writer
+    * version 6 (reader stays) = `#cluster` declared clustering keys
+    * (Delta liquid clustering's registration half): clustered files
+    * are ordinary files with ordinary stats — any reader prunes them —
+    * but an ignorant writer would reconstruct the meta lines without
+    * `#cluster`, silently un-clustering every future write and
+    * OPTIMIZE. Reader version 4 + writer version 7 = `#rowid` row
+    * tracking (Delta 4.0 row IDs): entry lines grow a `rid` group an
+    * ignorant reader would mis-parse as column stats (unsound
+    * pruning), and an ignorant writer would land files without
+    * assigned id spans and drop the high-water line. */
+  private[graft] val ReaderVersion = 4
+  private[graft] val WriterVersion = 7 // 7 = row tracking
 
   private[graft] def parseProtocolLines(lines: Seq[String])
       : Option[(Int, Int)] =
@@ -737,13 +759,18 @@ object TxLog {
     * that keeps a dropped column's old bytes from resurfacing). */
   private[graft] def toPhysicalDf(df: DataFrame, cm: ColMap): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val unknown = df.columns.filterNot(cm.hasLogical)
+    // the materialized row-id column is engine-internal (attached by
+    // the rewrite read half, never user-supplied — the write verbs
+    // reject it at entry): it passes through untranslated
+    val unknown = df.columns.filterNot(c =>
+      cm.hasLogical(c) || c.equalsIgnoreCase(RowIdCol))
     require(unknown.isEmpty,
       s"column(s) ${unknown.mkString(", ")} are not in this table's " +
         "column mapping — on a mapped table, declare new columns with " +
         "ALTER TABLE ... ADD COLUMNS before writing them")
     df.select(df.columns.toIndexedSeq.map(c =>
-      col(c).as(cm.physical(c))): _*)
+      if (c.equalsIgnoreCase(RowIdCol)) col(c)
+      else col(c).as(cm.physical(c))): _*)
   }
 
   /** Project a physical-named DataFrame (a raw file read) onto the
@@ -832,6 +859,179 @@ object TxLog {
   private def serPartitionLine(ps: Seq[(String, String)]): String =
     ("#partition" +: ps.map { case (c, t) => s"${enc(c)}\t$t" })
       .mkString("\t")
+
+  /** `#cluster\t<enc(physCol)>...` — declared clustering keys (Delta
+    * liquid clustering's `CLUSTER BY` registration), PHYSICAL names
+    * in declared order, so RENAME COLUMN never invalidates them. The
+    * line is carried by every commit; its presence makes (1) every
+    * API write verb tile its batch by the keys' interleave and stamp
+    * their stats, and (2) plain OPTIMIZE incremental — re-tile only
+    * weak/polluted files via the existing compactZorder sweep. */
+  private[graft] def parseClusterLines(lines: Seq[String]): Seq[String] =
+    lines.find(_.startsWith("#cluster\t"))
+      .map(_.split('\t').drop(1).map(dec).toSeq).getOrElse(Seq.empty)
+
+  private def serClusterLine(cols: Seq[String]): String =
+    ("#cluster" +: cols.map(enc)).mkString("\t")
+
+  /** `#rowid\t<highWater>` — row tracking (Delta 4.0 row IDs): the
+    * next FRESH stable row id. Presence of the line enables tracking:
+    * every commit assigns each new known-count file a contiguous id
+    * span `[base, base + rows)` (the `rid` entry group) and advances
+    * the high-water; rewrites MATERIALIZE ids into a physical
+    * [[RowIdCol]] column so a row keeps its id across compaction and
+    * COW DML for its whole life. A row's id =
+    * coalesce(materialized column, base + parquet row index). */
+  private[graft] def parseRowIdLines(lines: Seq[String]): Option[Long] =
+    lines.find(_.startsWith("#rowid\t")).map(_.split('\t')(1).toLong)
+
+  /** The materialized row-id column rewrites stamp into data files.
+    * Hidden from every user-facing read surface (dropped like the DV
+    * coordinates); surfaced explicitly by [[readWithRowIds]]. */
+  private[graft] val RowIdCol = "__row_id"
+
+  /** Row-tracking high-water of one published version (None = the
+    * feature is off). */
+  def rowIdHighWaterOf(spark: SparkSession, base: String,
+                       v: Long): Option[Long] =
+    parseRowIdLines(manifestLines(spark, base, v))
+
+  private[graft] def rowTracked(spark: SparkSession,
+                                base: String): Boolean =
+    latestVersion(spark, base)
+      .flatMap(rowIdHighWaterOf(spark, base, _)).isDefined
+
+  /** The write verbs REJECT a user batch carrying the reserved
+    * materialized row-id column — accepting one would forge/collide
+    * stable ids (only the engine's rewrite reads attach it). */
+  private def requireNoRowIdColumn(df: DataFrame): Unit =
+    require(!df.columns.exists(_.equalsIgnoreCase(RowIdCol)),
+      s"column name $RowIdCol is reserved for row tracking")
+
+  /** Hide the materialized row-id column from a user-facing frame
+    * (the same treatment the DV coordinates get). */
+  private def dropRowId(df: DataFrame): DataFrame =
+    df.columns.find(_.equalsIgnoreCase(RowIdCol))
+      .map(df.drop(_)).getOrElse(df)
+
+  /** Read `entries` with each row's STABLE id attached as
+    * [[RowIdCol]]: `coalesce(materialized column, file base + parquet
+    * row index)` — a rewrite-materialized id wins; a fresh file's
+    * rows take their assigned span. The per-file base map is O(files)
+    * driver metadata broadcast-joined on the file name (the exact
+    * shape the DV mask join uses); deletion vectors apply as usual.
+    * This is both the [[readWithRowIds]] surface and the read half of
+    * rewrite materialization. */
+  private def rowIdReadRaw(spark: SparkSession, base: String,
+                           entries: Seq[Entry],
+                           requested: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    require(entries.nonEmpty,
+      s"cannot read an empty entry list at $base (fully-deleted snapshot)")
+    // the requested surface always includes the materialized column —
+    // a widened table's declared schema (or a never-rewritten union)
+    // does not carry it, and files that lack it serve typed NULLs
+    val reqExt = requested.map(s =>
+      if (s.fieldNames.exists(_.equalsIgnoreCase(RowIdCol))) s
+      else org.apache.spark.sql.types.StructType(s.fields :+
+        org.apache.spark.sql.types.StructField(RowIdCol,
+          org.apache.spark.sql.types.LongType)))
+    val rd = reqExt match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read.option("mergeSchema", "true")
+    }
+    val raw = rd.parquet(entries.map(e => resolve(base, e.path)): _*)
+      .withColumn(DvFileCol, col("_metadata.file_name"))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+    import spark.implicits._
+    val baseDf = broadcast(entries
+      .flatMap(e => e.baseRowId.map(b => (fileName(e.path), b)))
+      .toDF(DvFileCol, "__rid_base"))
+    val mat =
+      if (raw.columns.exists(_.equalsIgnoreCase(RowIdCol))) col(RowIdCol)
+      else lit(null).cast("long")
+    val withId = raw.join(baseDf, Seq(DvFileCol), "left")
+      .withColumn(RowIdCol,
+        coalesce(mat, col("__rid_base") + col(DvPosCol)))
+      .drop("__rid_base")
+    val masked = dvFrame(spark, base, entries) match {
+      case Some(m) => withId.join(m, Seq(DvFileCol, DvPosCol), "left_anti")
+      case None => withId
+    }
+    masked.drop(DvFileCol, DvPosCol)
+  }
+
+  /** Enable row tracking (Delta 4.0 row IDs): one metadata-only
+    * commit BACKFILLS a contiguous id span onto every live file and
+    * stamps the `#rowid` high-water; from then on every commit
+    * assigns fresh spans and every rewrite MATERIALIZES ids, so a
+    * row keeps its id for the table's whole life. Requires known
+    * per-file row counts (run OPTIMIZE once on a converted v1 table
+    * first). Idempotent. */
+  def enableRowTracking(spark: SparkSession, base: String,
+                        maxAttempts: Int = 5): Long =
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      if (rowIdHighWaterOf(spark, base, cur).isDefined) cur
+      else {
+        val (entries, txns) = manifest(spark, base, cur)
+        require(entries.forall(_.rows >= 0),
+          "row tracking needs known per-file row counts — OPTIMIZE " +
+            "the table once to record them, then enable")
+        var hw = 0L
+        val backfilled = entries.map { e =>
+          val b = hw; hw += e.rows; e.copy(baseRowId = Some(b))
+        }
+        publishEntries(spark, base, cur + 1L, backfilled, txns,
+          dataChange = false, operation = "ENABLE ROW TRACKING",
+          rowIdSeed = Some(hw))
+        cur + 1L
+      }
+    }
+
+  /** Snapshot read with each row's STABLE id surfaced as `_row_id` —
+    * the lineage surface row tracking exists for: the id survives
+    * compaction, ZORDER, and COW UPDATE, so two snapshots join on it
+    * to diff a row's life. Mapped tables serve logical names as
+    * usual. */
+  def readWithRowIds(spark: SparkSession, base: String): DataFrame =
+    readVersionWithRowIds(spark, base, latestVersion(spark, base).getOrElse(
+      throw new IllegalStateException(s"no committed version at $base")))
+
+  /** [[readWithRowIds]] of one published version — lineage time
+    * travel: a row's id is stable across versions, so two snapshots
+    * join on `_row_id` to diff its life. */
+  def readVersionWithRowIds(spark: SparkSession, base: String,
+                            v: Long): DataFrame = {
+    require(rowIdHighWaterOf(spark, base, v).isDefined,
+      s"row tracking is not enabled on $base at version $v " +
+        "(enableRowTracking first)")
+    val (entries, _) = manifest(spark, base, v)
+    val requested = widenedPhysSchema(spark, base, v)
+      .orElse(Some(cachedPhysUnionSchema(spark, base, v)))
+    val df = rowIdReadRaw(spark, base, entries, requested)
+    val out = columnMappingOf(spark, base, v) match {
+      case Some(cm) => toLogicalDf(df, cm, declaredSchemaOf(spark, base, v),
+        keep = Seq(RowIdCol))
+      case None => df
+    }
+    out.withColumnRenamed(RowIdCol, "_row_id")
+  }
+
+  /** Declared clustering keys (physical names) of one published
+    * version; empty = the table is not clustered. */
+  def clusterByOf(spark: SparkSession, base: String,
+                  v: Long): Seq[String] =
+    parseClusterLines(manifestLines(spark, base, v))
+
+  /** The latest version's clustering keys (empty for an empty store
+    * or an unclustered table). */
+  private[graft] def clusterKeys(spark: SparkSession,
+                                 base: String): Seq[String] =
+    latestVersion(spark, base)
+      .map(clusterByOf(spark, base, _)).getOrElse(Seq.empty)
 
   /** Partition columns (physical name → stats dtype, declared order)
     * of one published version; empty = unpartitioned. */
@@ -1142,6 +1342,10 @@ object TxLog {
         _._1.equalsIgnoreCase(f.name)),
         s"cannot widen GENERATED column '${f.name}' — its type is fixed " +
           "by the generation expression")
+      require(!clusterKeys(spark, base).exists(_.equalsIgnoreCase(phys)),
+        s"cannot widen CLUSTER BY key '${f.name}' — the layout's " +
+          "interleave and stats family are typed at declaration; drop " +
+          "clustering first (alterClusterBy(..., Seq.empty))")
       val declared = StructType(
         declared0.fields.updated(idx, f.copy(dataType = newType)))
       val widen = widenedColumnsOf(spark, base, cur)
@@ -1624,7 +1828,7 @@ object TxLog {
           .join(mask, Seq(DvFileCol, DvPosCol), "left_anti")
           .drop(DvFileCol, DvPosCol))
       }
-    (plainDf, dvedDf) match {
+    val out = (plainDf, dvedDf) match {
       // allowMissingColumns unconditionally: the two subset reads each
       // infer from their OWN files, so on a schema-evolved table whose
       // mask boundary splits old from new files they can disagree even
@@ -1635,6 +1839,8 @@ object TxLog {
       case (None, Some(d)) => d
       case (None, None) => throw new IllegalStateException("unreachable")
     }
+    // the materialized row-id column is never part of a user surface
+    dropRowId(out)
   }
 
   /** [[readEntries]] over the CURRENT snapshot, pinned to an explicit
@@ -1652,11 +1858,18 @@ object TxLog {
     * version's [[widenedPhysSchema]] — never this. */
   private def readEntriesCurrent(spark: SparkSession, base: String,
                                  entries: Seq[Entry],
-                                 mergeSchema: Boolean = false): DataFrame = {
+                                 mergeSchema: Boolean = false,
+                                 withRowIds: Boolean = false): DataFrame = {
     val requested = widenedPhysSchemaLatest(spark, base)
       .orElse(latestVersion(spark, base)
         .map(v => cachedPhysUnionSchema(spark, base, v)))
-    readEntries(spark, base, entries, requested = requested)
+    // REWRITE verbs (withRowIds) on a tracked table read each row's
+    // stable id attached, so their landed output MATERIALIZES it —
+    // ids survive compaction/ZORDER/COW DML. Scan verbs drop the
+    // materialized column like every user surface.
+    if (withRowIds && rowTracked(spark, base))
+      rowIdReadRaw(spark, base, entries, requested)
+    else dropRowId(readEntries(spark, base, entries, requested = requested))
   }
 
   /** Land `df`'s files under a fresh txn dir. They reference no
@@ -1836,7 +2049,7 @@ object TxLog {
       // they are visible, so the veto admits them
       val declaredPhys = declared.fieldNames.map(n =>
         cmapParsed.map(_.physical(n)).getOrElse(n).toLowerCase).toSet ++
-        pendingDeclared
+        pendingDeclared + RowIdCol.toLowerCase // engine-internal
       val extra = df2.columns.filterNot(c =>
         declaredPhys.contains(c.toLowerCase))
       require(extra.isEmpty,
@@ -2284,6 +2497,10 @@ object TxLog {
       require(!partitionSpecOf(spark, base, cur).exists(
           _._1.equalsIgnoreCase(cm.physical(name))),
         s"cannot drop column '$name': it is a partition column")
+      require(!clusterByOf(spark, base, cur).exists(
+          _.equalsIgnoreCase(cm.physical(name))),
+        s"cannot drop column '$name': it is a CLUSTER BY key — drop " +
+          "clustering first (alterClusterBy(..., Seq.empty))")
       val dropped = cm.copy(cols =
         cm.cols.filterNot(_._1.equalsIgnoreCase(name)))
       val newDeclared = declaredSchemaOf(spark, base, cur).map(ds =>
@@ -2345,7 +2562,10 @@ object TxLog {
                                     clearColMap: Boolean = false,
                                     widenOverride: Option[Seq[(String, org.apache.spark.sql.types.DataType)]] =
                                       None,
-                                    cdfOp: Option[String] = None): Unit = {
+                                    cdfOp: Option[String] = None,
+                                    clusterOverride: Option[Seq[String]] =
+                                      None,
+                                    rowIdSeed: Option[Long] = None): Unit = {
     // a concurrent vacuum can delete the version this commit diffs
     // against (the committer's snapshot is stale by definition then —
     // its CAS would lose anyway): surface the FileNotFound as a
@@ -2380,6 +2600,28 @@ object TxLog {
     // on the old data files' physical columns
     val widen = if (clearColMap) Seq.empty
                 else widenOverride.getOrElse(parseWidenLines(latestLines))
+    // ... and clustering keys (same reasoning: keyed on the old
+    // definition's physical columns)
+    val cluster = if (clearColMap) Seq.empty
+                  else clusterOverride.getOrElse(parseClusterLines(latestLines))
+    // row tracking: the ONE assignment choke point — every commit to
+    // a tracked table gives each new known-count file a contiguous id
+    // span above the high-water and republishes the advanced water.
+    // Runs inside the CAS (a lost race re-reads the winner's water),
+    // so spans never collide across writers. REPLACE resets lineage.
+    val rowHw0 =
+      if (clearColMap) rowIdSeed
+      else rowIdSeed.orElse(parseRowIdLines(latestLines))
+    val (entriesR, rowHw) = rowHw0 match {
+      case None => (entries, None)
+      case Some(hw0) =>
+        var hw = hw0
+        val es = entries.map { e =>
+          if (e.baseRowId.isDefined || e.rows < 0) e
+          else { val b = hw; hw += e.rows; e.copy(baseRowId = Some(b)) }
+        }
+        (es, Some(hw))
+    }
     // writer gate + carry: a table stamped by a newer engine with a
     // higher required writer version must not be committed to by this
     // one — the meta lines below are RECONSTRUCTED from the kinds this
@@ -2423,13 +2665,17 @@ object TxLog {
       // declared widened one (Delta's type widening is reader-visible
       // for the same reason)
       Seq(s"#protocol\t${Seq(tblR, if (cmap.isDefined) 2 else 1,
-          if (widen.nonEmpty) 3 else 1).max}" +
+          if (widen.nonEmpty) 3 else 1,
+          if (rowHw.isDefined) 4 else 1).max}" +
         s"\t${Seq(tblW, if (cmap.isDefined) 2 else 1,
           if (pspec.nonEmpty) 3 else 1,
           if (gens.nonEmpty) 4 else 1,
-          if (widen.nonEmpty) 5 else 1).max}") ++
+          if (widen.nonEmpty) 5 else 1,
+          if (cluster.nonEmpty) 6 else 1,
+          if (rowHw.isDefined) 7 else 1).max}") ++
       declared.toSeq.map(s => s"#schema\t${enc(s.json)}") ++
       (if (pspec.nonEmpty) Seq(serPartitionLine(pspec)) else Seq.empty) ++
+      (if (cluster.nonEmpty) Seq(serClusterLine(cluster)) else Seq.empty) ++
       widen.map { case (c, dt) => s"#widencol\t${enc(c)}\t${enc(dt.json)}" } ++
       gens.map { case (c, ex) => s"#generatedcol\t${enc(c)}\t${enc(ex)}" } ++
       cmap.toSeq.map(serColMapLine) ++
@@ -2437,6 +2683,7 @@ object TxLog {
         s"#constraint\t${enc(n)}\t${enc(ex)}" } ++
       ident.toSeq.sortBy(_._1).map { case (c, hw) =>
         s"#identity\t${enc(c)}\t$hw" } ++
+      rowHw.toSeq.map(hw => s"#rowid\t$hw") ++
       txns.toSeq.sortBy(_._1).map { case (a, b) => s"#txn\t${enc(a)}\t$b" }
     // O(change) delta commit: only the entries that differ from the
     // v-1 snapshot are written — an append to a 10^5-file table
@@ -2448,9 +2695,10 @@ object TxLog {
     val prev = if (v <= 1L) Seq.empty
                else staleAsConflict(snapshotEntries(spark, base, v - 1))
     val prevSer = prev.map(e => e.path -> serLine(e)).toMap
-    val newPaths = entries.map(_.path).toSet
+    val newPaths = entriesR.map(_.path).toSet
     val removes = prev.map(_.path).filterNot(newPaths.contains)
-    val upserts = entries.filter(e => !prevSer.get(e.path).contains(serLine(e)))
+    val upserts = entriesR.filter(e =>
+      !prevSer.get(e.path).contains(serLine(e)))
     val lines = DeltaMarker +: (metaLines ++
       removes.map(p => s"-\t$p") ++
       upserts.map(e => s"+\t${serLine(e)}"))
@@ -2509,9 +2757,12 @@ object TxLog {
     // sidecars) — hence NonFatal, not just IOException: a bad
     // interval conf or cache hiccup must not fail a durable commit.
     try {
-      cachePut(spark, base, v, entries)
+      // entriesR, not entries: the row-id assignment above is part of
+      // what the manifest durably says — caching the unassigned list
+      // would serve NULL ids until the first cold read
+      cachePut(spark, base, v, entriesR)
       if (v % checkpointInterval(spark) == 0) {
-        writeCheckpointFile(spark, base, v, metaLines, entries)
+        writeCheckpointFile(spark, base, v, metaLines, entriesR)
         advancePointer(spark, base, v)
       }
     } catch { case scala.util.control.NonFatal(_) => () }
@@ -2568,13 +2819,16 @@ object TxLog {
   def commitMulti(df: DataFrame, base: String, expected: Option[Long],
                   statsCols: Seq[String]): Long = {
     val spark = df.sparkSession
+    requireNoRowIdColumn(df)
     val v = expected.getOrElse(0L) + 1L
     // carry the txn high-water map of the version we build on: a
     // maintenance rewrite (transact/commit) must never reset
     // appendOnce's exactly-once state
     val txns = expected.map(manifest(spark, base, _)._2).getOrElse(Map.empty)
-    val entries = landEntriesMulti(toPhysicalIfMapped(spark, base, df), base,
-      statsCols.map(physicalName(spark, base, _)))
+    val (tiled, ckeys) =
+      clusterTile(spark, base, toPhysicalIfMapped(spark, base, df))
+    val entries = landEntriesMulti(tiled, base,
+      (statsCols.map(physicalName(spark, base, _)) ++ ckeys).distinct)
     try { publishEntries(spark, base, v, entries, txns); v }
     catch {
       case e: CommitConflictException =>
@@ -2594,7 +2848,8 @@ object TxLog {
   def createTable(spark: SparkSession, base: String,
                   schema: org.apache.spark.sql.types.StructType,
                   partitionCols: Seq[String] = Seq.empty,
-                  generated: Seq[(String, String)] = Seq.empty): Long = {
+                  generated: Seq[(String, String)] = Seq.empty,
+                  clusterBy: Seq[String] = Seq.empty): Long = {
     require(latestVersion(spark, base).isEmpty,
       s"$base already has committed versions — table metadata is " +
         "declared at birth")
@@ -2606,12 +2861,87 @@ object TxLog {
     }
     val gens = generated.map { case (c, ex) => fieldOf(c).name -> ex }
     validateGeneratedExprs(spark, schema, gens)
+    val ckeys = resolveClusterKeys(schema, clusterBy, pspec.map(_._1))
     publishEntries(spark, base, 1L, Seq.empty, Map.empty,
       declaredSchemaOverride = Some(schema),
       partitionOverride = if (pspec.isEmpty) None else Some(pspec),
       generatedOverride = if (gens.isEmpty) None else Some(gens),
+      clusterOverride = if (ckeys.isEmpty) None else Some(ckeys),
       operation = "CREATE TABLE")
     1L
+  }
+
+  /** Resolve + validate CLUSTER BY key names against a declared
+    * schema (shared with the DSv2 catalog's CREATE): returns the
+    * schema-cased names. */
+  private[graft] def resolveClusterKeys(
+      schema: org.apache.spark.sql.types.StructType,
+      clusterBy: Seq[String], partitionCols: Seq[String]): Seq[String] = {
+    val fields = clusterBy.map(c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"CLUSTER BY key '$c' is not in the declared schema " +
+            s"(${schema.fieldNames.mkString(", ")})")))
+    validateClusterKeys(fields, partitionCols)
+    fields.map(_.name)
+  }
+
+  /** CLUSTER BY key validation, shared by CREATE and ALTER: the
+    * interleave normalizes numeric/timestamp keys only, and a
+    * partition column is constant per file (min==max) so clustering
+    * on it buys nothing — both fail at declaration, not mid-write. */
+  private def validateClusterKeys(
+      keys: Seq[org.apache.spark.sql.types.StructField],
+      partitionCols: Seq[String]): Unit = {
+    require(keys.map(_.name.toLowerCase).distinct.size == keys.size,
+      "duplicate CLUSTER BY keys")
+    keys.foreach { f =>
+      require(
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+          !f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] ||
+          f.dataType == org.apache.spark.sql.types.TimestampType,
+        s"CLUSTER BY key '${f.name}' has type ${f.dataType.simpleString} " +
+          "— the interleave normalizes integral/floating/timestamp " +
+          "keys; cluster strings via a derived numeric key (hash, " +
+          "dictionary id) instead")
+      require(!partitionCols.exists(_.equalsIgnoreCase(f.name)),
+        s"CLUSTER BY key '${f.name}' is a partition column — it is " +
+          "constant per file already (one tuple per file), clustering " +
+          "on it buys nothing")
+    }
+  }
+
+  /** `ALTER TABLE ... CLUSTER BY (keys...)` / `CLUSTER BY NONE`
+    * (empty keys): registers (or drops) the clustering keys as one
+    * metadata-only commit. Existing files keep their layout — the
+    * next OPTIMIZE re-tiles incrementally; new writes tile
+    * immediately. Returns the published version. */
+  def alterClusterBy(spark: SparkSession, base: String,
+                     clusterBy: Seq[String],
+                     maxAttempts: Int = 5): Long = {
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val declared = declaredSchemaOf(spark, base, cur)
+        .getOrElse(scala.util.Try(readVersion(spark, base, cur).schema)
+          .getOrElse(throw new IllegalStateException(
+            s"cannot resolve a schema for $base")))
+      val cm = columnMappingOf(spark, base, cur)
+      val fields = clusterBy.map(c =>
+        declared.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"CLUSTER BY key '$c' is not in the table schema " +
+              s"(${declared.fieldNames.mkString(", ")})")))
+      validateClusterKeys(fields, partitionSpec(spark, base).map(p =>
+        cm.map(_.logicalOf(p._1)).getOrElse(p._1)))
+      val phys = fields.map(f =>
+        cm.map(_.physical(f.name)).getOrElse(f.name))
+      publishEntries(spark, base, cur + 1L, entries, txns,
+        dataChange = false, operation = "CLUSTER BY",
+        clusterOverride = Some(phys))
+      cur + 1L
+    }
   }
 
   /** DDL-time validation of GENERATED ALWAYS AS expressions: parse
@@ -2715,12 +3045,43 @@ object TxLog {
     * data) regardless of table size, the daily-ingest shape at 100 TB.
     * A CAS loss is retried by re-reading the winner's manifest (one
     * small file); the landed data is reused, never rewritten. */
+  /** Tile a batch by the table's declared `#cluster` keys before
+    * landing: one range shuffle on the keys' interleave (the same
+    * cost shape as any sorted write), so every landed file covers a
+    * tight box of the key space and stamps sharp multi-dim stats —
+    * an append-heavy clustered table keeps its box-query skip
+    * sharpness WITHOUT waiting for OPTIMIZE. Returns the (possibly
+    * tiled) frame plus the resolved keys to auto-stat. Degenerate
+    * batches (all-NULL keys, keys not in this frame) land untiled —
+    * the incremental OPTIMIZE folds them later. */
+  private def clusterTile(spark: SparkSession, base: String,
+                          df: DataFrame): (DataFrame, Seq[String]) = {
+    val keys = clusterKeys(spark, base)
+    if (keys.isEmpty) return (df, Seq.empty)
+    val resolved = keys.flatMap(k => df.columns.find(_.equalsIgnoreCase(k)))
+    if (resolved.size != keys.size) return (df, Seq.empty)
+    val n = math.max(1, df.rdd.getNumPartitions)
+    val tiled =
+      try {
+        if (resolved.size == 1)
+          df.repartitionByRange(n,
+              org.apache.spark.sql.functions.col(resolved.head))
+            .sortWithinPartitions(resolved.head)
+        else Layout.zorderClusterK(df, resolved, n)
+      } catch { case scala.util.control.NonFatal(_) => df }
+    (tiled, resolved)
+  }
+
   def append(df: DataFrame, base: String, statsCol: Option[String] = None,
              maxAttempts: Int = 5): Long = {
     val spark = df.sparkSession
+    requireNoRowIdColumn(df)
+    val (tiled, ckeys) =
+      clusterTile(spark, base, toPhysicalIfMapped(spark, base, df))
     val (entries0, checked0) =
-      landEntriesChecked(toPhysicalIfMapped(spark, base, df), base,
-        statsCol.toSeq.map(physicalName(spark, base, _)),
+      landEntriesChecked(tiled, base,
+        (statsCol.toSeq.map(physicalName(spark, base, _)) ++ ckeys)
+          .distinct,
         guardIdentity = true)
     // keep the bloom index's coverage incremental: new files join the
     // existing groups at commit time (one O(batch) pass, no rebuild)
@@ -2756,9 +3117,13 @@ object TxLog {
     val already = latestVersion(spark, base).filter(v =>
       manifest(spark, base, v)._2.getOrElse(appId, -1L) >= batchId)
     if (already.isDefined) return already.get
+    requireNoRowIdColumn(df)
+    val (tiled, ckeys) =
+      clusterTile(spark, base, toPhysicalIfMapped(spark, base, df))
     val (entries0, checked0) =
-      landEntriesChecked(toPhysicalIfMapped(spark, base, df), base,
-        statsCol.toSeq.map(physicalName(spark, base, _)),
+      landEntriesChecked(tiled, base,
+        (statsCol.toSeq.map(physicalName(spark, base, _)) ++ ckeys)
+          .distinct,
         guardIdentity = true)
     val (entries, bloomDirs) = indexNewEntries(spark, base, entries0)
     def dropAll(): Unit = {
@@ -2887,7 +3252,8 @@ object TxLog {
       val merged =
         if (touched.isEmpty) source
         else Upsert.merge(
-          readEntriesCurrent(spark, base, touched), // masks applied: deleted
+          readEntriesCurrent(spark, base, touched,
+            withRowIds = true), // masks applied: deleted
           source, keys)                      // rows never resurrect
       val newEntries = landEntriesMulti(merged, base,
         preservedStatsCols(touched, Seq(statsCol), merged.schema),
@@ -4004,7 +4370,8 @@ object TxLog {
       val (dved, carried) = entries.partition(_.dv.isDefined)
       if (dved.isEmpty) cur
       else {
-        val cleaned = readEntriesCurrent(spark, base, dved)
+        val cleaned = readEntriesCurrent(spark, base, dved,
+          withRowIds = true)
         val newEntries = landEntriesMulti(cleaned, base,
           preservedStatsCols(dved, Seq.empty, cleaned.schema))
           .filter(_.rows != 0L)
@@ -4230,8 +4597,13 @@ object TxLog {
       s"UPDATE may not assign the clustering column $column — " +
         "rewriting the band key would break manifest-stats skipping")
     requireNoIdentityAssignment(spark, base, set.keys.toSeq)
+    // a row-tracked COW UPDATE stamps the same writer hint the MOR
+    // update does: with stable ids materialized, the change feed can
+    // pair each rewritten row's pre/post images by id
     rewriteRange(spark, base, column, lo, hi, maxAttempts,
-      "UPDATE") { touched =>
+      "UPDATE",
+      cdfOp = if (rowTracked(spark, base)) Some("update_cow") else None) {
+      touched =>
       import org.apache.spark.sql.functions.{coalesce, col, lit, when}
       val hit = coalesce(
         col(column).between(lit(lo), lit(hi)) && residual, lit(false))
@@ -4294,7 +4666,8 @@ object TxLog {
       val survivors =
         if (touched.isEmpty) Seq.empty
         else {
-          val kept = readEntriesCurrent(spark, base, touched)
+          val kept = readEntriesCurrent(spark, base, touched,
+              withRowIds = true)
             .where(!coalesce(
               col(column).between(lit(lo), lit(hi)), lit(false)))
           landEntriesMulti(kept, base,
@@ -4339,7 +4712,7 @@ object TxLog {
     * dropped). */
   private def rewriteRange(spark: SparkSession, base: String, column: String,
                            lo: Any, hi: Any, maxAttempts: Int,
-                           op: String)
+                           op: String, cdfOp: Option[String] = None)
                           (transform: DataFrame => DataFrame): Long = {
     val (l, h) = (reprOf(lo), reprOf(hi))
     // entry stats are keyed physical; the caller's transform (and its
@@ -4354,13 +4727,14 @@ object TxLog {
       else {
         val rewritten = toPhysicalIfMapped(spark, base,
           transform(logicalView(spark, base,
-            readEntriesCurrent(spark, base, touched))))
+            readEntriesCurrent(spark, base, touched,
+              withRowIds = true), keep = Seq(RowIdCol))))
         val newEntries = landEntriesMulti(rewritten, base,
           preservedStatsCols(touched, Seq(physCol), rewritten.schema))
           .filter(_.rows != 0L)
         try {
           publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns,
-            operation = op)
+            operation = op, cdfOp = cdfOp)
           cur + 1L
         } catch {
           case e: CommitConflictException => // this attempt's land is dead
@@ -4387,6 +4761,23 @@ object TxLog {
               range0: Option[(String, Any, Any)] = None): Long = {
     require(targetRows >= smallThresholdRows,
       "targetRows must be at least the small-file threshold")
+    // a CLUSTER BY table's OPTIMIZE is INCREMENTAL by construction:
+    // plain compact delegates to the zorder sweep on the registered
+    // keys, which re-tiles ONLY weak/polluted files and leaves the
+    // healthy tiled layout by reference — the liquid-clustering
+    // shape. (The sweep subsumes OPTIMIZE ... WHERE scoping: cold
+    // well-tiled history is never touched regardless.) A single
+    // registered key degenerates to band-per-file compaction on it.
+    clusterKeys(spark, base) match {
+      case ck if ck.size >= 2 =>
+        return compactZorderPhys(spark, base, ck, smallThresholdRows,
+          targetRows, maxAttempts)
+      case Seq(one) if statsCol0.isEmpty =>
+        return compact(spark, base, smallThresholdRows, targetRows,
+          Some(columnMapping(spark, base).map(_.logicalOf(one))
+            .getOrElse(one)), maxAttempts, range0)
+      case _ => ()
+    }
     // the rewrite runs on raw (physical) reads; stats/range columns
     // translate once here — passthrough when the name is already
     // physical (the DSv2 sink's auto-compaction passes those)
@@ -4425,7 +4816,8 @@ object TxLog {
         val knownRows = small.filter(_.rows >= 0).map(_.liveRows).sum
         val nOut = math.max(1L,
           (knownRows + targetRows - 1) / targetRows + unknown).toInt
-        val smallDf = readEntriesCurrent(spark, base, small)
+        val smallDf = readEntriesCurrent(spark, base, small,
+          withRowIds = true)
         // keep the cluster layout when the caller has one: range
         // repartition re-establishes band-per-file so stats skipping
         // stays sharp after compaction
@@ -4507,7 +4899,19 @@ object TxLog {
         }
       }
     }
-    val cols = cols0.map(physicalName(spark, base, _))
+    compactZorderPhys(spark, base, cols0.map(physicalName(spark, base, _)),
+      smallThresholdRows, targetRows, maxAttempts)
+  }
+
+  /** [[compactZorder]] body over PHYSICAL key names (the `#cluster`
+    * registration stores physicals, so the clustered-OPTIMIZE
+    * delegation skips the logical translation and the declare-time
+    * type veto — both already ran when the keys were registered). */
+  private[graft] def compactZorderPhys(spark: SparkSession, base: String,
+                                       cols: Seq[String],
+                                       smallThresholdRows: Long,
+                                       targetRows: Long,
+                                       maxAttempts: Int = 5): Long = {
     withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
@@ -4542,7 +4946,8 @@ object TxLog {
         // small threshold — undersized outputs would re-trigger the
         // verb forever (convergence beats tile-size precision here)
         val nOut = math.max(1L, knownRows / targetRows + unknown).toInt
-        val touchedDf = readEntriesCurrent(spark, base, touched)
+        val touchedDf = readEntriesCurrent(spark, base, touched,
+          withRowIds = true)
         val tiled =
           try Layout.zorderClusterK(touchedDf, cols, nOut)
           catch { // all-NULL keys: nothing to tile on, plain bin-pack
@@ -4587,6 +4992,42 @@ object TxLog {
     * CDF gains from DVs — plus newly-UNmasked rows (a RESTORE across
     * a MOR delete) as re-'insert's. `withDeletes=false` never reads
     * removed files or mask transitions. */
+  /** TRUE update images for a row-tracked COW UPDATE version
+    * (`#cdfop update_cow`): the removed and added file sets pair
+    * row-for-row by the stable id, so the feed emits
+    * update_preimage/update_postimage for exactly the VALUE-CHANGED
+    * rows — unchanged rows merely moved files during the rewrite and
+    * are no logical change. Change detection is an (id, row-hash)
+    * anti-join in both directions (hash over the canonical JSON of
+    * the data columns — null-safe and column-order-stable); each
+    * image carries `_row_id`, the lineage key. */
+  private def cowUpdateSlices(spark: SparkSession, base: String, v: Long,
+                              removedE: Seq[Entry], added: Seq[Entry],
+                              wide: Option[org.apache.spark.sql.types.StructType])
+      : Seq[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit, struct, to_json, xxhash64}
+    if (removedE.isEmpty || added.isEmpty) return Seq.empty
+    val r = rowIdReadRaw(spark, base, removedE, wide)
+    val a = rowIdReadRaw(spark, base, added, wide)
+    val dataCols = a.columns.toSeq
+      .filterNot(_.equalsIgnoreCase(RowIdCol))
+    def keyed(df: DataFrame) = df.select(col(RowIdCol),
+      xxhash64(to_json(struct(dataCols.map(col): _*))).as("__h"))
+    val changedIds = keyed(r)
+      .join(keyed(a), Seq(RowIdCol, "__h"), "left_anti")
+      .select(RowIdCol)
+      .unionByName(keyed(a)
+        .join(keyed(r), Seq(RowIdCol, "__h"), "left_anti")
+        .select(RowIdCol))
+      .distinct()
+    def img(df: DataFrame, kind: String) =
+      df.join(changedIds, Seq(RowIdCol), "left_semi")
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_change_type", lit(kind))
+        .withColumnRenamed(RowIdCol, "_row_id")
+    Seq(img(r, "update_preimage"), img(a, "update_postimage"))
+  }
+
   private def changeSlices(spark: SparkSession, base: String,
                            fromExclusive: Long, toInclusive: Long,
                            withDeletes: Boolean): DataFrame = {
@@ -4658,6 +5099,18 @@ object TxLog {
       // updated).
       val morUpdate = withDeletes &&
         cdfOpOf(spark, base, v).contains("update")
+      // a ROW-TRACKED COW UPDATE stamps `update_cow`: its removed and
+      // added files pair row-for-row by the STABLE id, so the feed
+      // emits TRUE update images (value-changed rows only — unchanged
+      // rows merely moved files and are no logical change at all),
+      // tagged with `_row_id` for lineage-aware consumers. Without
+      // row ids a COW update keeps the documented delete+insert.
+      val cowUpdate = withDeletes &&
+        cdfOpOf(spark, base, v).contains("update_cow") &&
+        rowIdHighWaterOf(spark, base, v).isDefined
+      if (cowUpdate)
+        cowUpdateSlices(spark, base, v, removedE, added, wide)
+      else {
       val (delKind, insKind) =
         if (morUpdate) ("update_preimage", "update_postimage")
         else ("delete", "insert")
@@ -4669,6 +5122,7 @@ object TxLog {
         (if (withDeletes) dvDelta(v, changed, "insert", dead = false).toSeq
          else Seq.empty)
       deletes ++ inserts
+      }
       }
     }
     val feed = dfs

@@ -872,6 +872,108 @@ object RegistryMaint {
         .orderBy("grp")
     }),
 
+    // CLUSTER BY — the liquid-clustering analog (VERDICT r12 missing
+    // #3): keys register at CREATE, every append tiles itself (box
+    // files + auto-stats, no maintenance needed for skip sharpness),
+    // and plain OPTIMIZE is INCREMENTAL — straggler batches fold on
+    // the registered keys while the healthy tiled history carries by
+    // reference (requires pin the carried set). Content oracle over
+    // the full mixed layout.
+    "s73_cluster_incremental" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txcluster_li"
+      TxLog.drop(s, base)
+      import org.apache.spark.sql.types._
+      TxLog.createTable(s, base, StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_partkey", LongType),
+        StructField("l_quantity", DoubleType))),
+        clusterBy = Seq("l_orderkey", "l_partkey"))
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      // the bulk append TILES ITSELF on (l_orderkey, l_partkey)
+      TxLog.append(li.where(col("l_orderkey") > 200)
+        .repartition(8), base)
+      val vBulk = TxLog.latestVersion(s, base).get
+      val tiles = TxLog.manifest(s, base, vBulk)._1
+      require(tiles.forall(e => e.statsFor("l_orderkey").isDefined &&
+        e.statsFor("l_partkey").isDefined),
+        "clustered appends must stamp stats on both keys")
+      // 2-D box prune works with ZERO maintenance runs
+      val (kept, all) = TxLog.pruneRanges(s, base,
+        Seq(("l_orderkey", 1L, 400L), ("l_partkey", 1L, 400L)))
+      require(all.size >= 6 && kept.size < all.size,
+        s"self-tiled layout must prune the box: ${kept.size}/${all.size}")
+      // stragglers CONFINED to the low-key corner band, then
+      // INCREMENTAL OPTIMIZE on the registered keys — only the tiles
+      // whose boxes the band pollutes fold in
+      (0 to 2).foreach(i => TxLog.append(
+        li.where(col("l_orderkey") <= 200 &&
+          col("l_orderkey") % 3 === i).coalesce(1), base))
+      val healthy = TxLog.manifest(s, base,
+        TxLog.latestVersion(s, base).get)._1
+        .filter(_.liveRows >= 2000).map(_.path).toSet
+      val vOpt = TxLog.compact(s, base, 2000L, 1000000L)
+      val post = TxLog.manifest(s, base, vOpt)._1.map(_.path).toSet
+      val carried = healthy.intersect(post)
+      require(carried.size >= healthy.size / 2,
+        s"incremental OPTIMIZE must carry most healthy tiles " +
+          s"(${carried.size}/${healthy.size})")
+      require(!TxLog.dataChangeOf(s, base, vOpt),
+        "the re-tile is dataChange=false")
+      TxLog.read(s, base)
+        .groupBy((col("l_orderkey") % 7).cast("int").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("grp")
+    }),
+
+    // Row tracking (VERDICT r12 next-round #4 — Delta 4.0 row IDs):
+    // stable per-row ids assigned at enable/commit, MATERIALIZED
+    // through OPTIMIZE and COW UPDATE, and the payoff surface — a
+    // tracked COW UPDATE's change feed emits TRUE update images
+    // paired by the stable id (only the value-changed rows; unchanged
+    // rows that merely moved files are no logical change). The ids
+    // themselves are engine-private (span order follows file order),
+    // so the requires pin the id laws (uniqueness, stability across
+    // rewrites) and the COMPARED output is the paired images'
+    // content, which the oracle recomputes from the raw table.
+    "s74_row_tracking" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txrid_orders"
+      TxLog.drop(s, base)
+      val od = t(s, dir, "orders").select(
+        col("o_orderkey").cast("int").as("k"),
+        (col("o_orderkey") * 3).cast("int").as("v"))
+        .where(col("k") < 1500)
+      TxLog.commit(od.repartitionByRange(4, col("k")),
+        base, None, Some("k"))
+      TxLog.enableRowTracking(s, base)
+      def ids() = TxLog.readWithRowIds(s, base)
+        .select("k", "_row_id").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val ids0 = ids()
+      require(ids0.values.toSet.size == ids0.size, "ids must be unique")
+      // OPTIMIZE folds the band files; ids must survive the rewrite
+      TxLog.compact(s, base, 1000000L, 2000000L)
+      require(ids() == ids0, "ids must survive OPTIMIZE")
+      val vPre = TxLog.latestVersion(s, base).get
+      // COW UPDATE changes only k in [400, 500]
+      TxLog.updateRange(s, base, "k", 400, 500,
+        Map("v" -> (col("v") + lit(7))))
+      require(ids() == ids0, "ids must survive the COW UPDATE")
+      val vUpd = TxLog.latestVersion(s, base).get
+      require(TxLog.cdfOpOf(s, base, vUpd).contains("update_cow"),
+        "a tracked COW update stamps its hint")
+      val feed = TxLog.changesWithDeletes(s, base, vPre, vUpd)
+      val pre = feed.where(col("_change_type") === "update_preimage")
+        .select(col("_row_id"), col("k"), col("v").as("v_pre"))
+      val post = feed.where(col("_change_type") === "update_postimage")
+        .select(col("_row_id"), col("v").as("v_post"))
+      pre.join(post, "_row_id")
+        .select(col("k"), col("v_pre"), col("v_post"))
+        .orderBy("k")
+    }),
+
     // Maintenance SQL grammar (the injectParser rung): OPTIMIZE
     // bin-packs straggler appends and VACUUM trims history, both as
     // plain SQL a JDBC operator could issue — the requires pin that
@@ -2389,6 +2491,17 @@ object RegistryMaint {
                 cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                   AS sum_price
          FROM merged GROUP BY 1 ORDER BY 1""",
+    "s74_row_tracking" ->
+      """SELECT cast(o_orderkey AS INTEGER) AS k,
+                cast(o_orderkey * 3 AS INTEGER) AS v_pre,
+                cast(o_orderkey * 3 + 7 AS INTEGER) AS v_post
+         FROM orders WHERE o_orderkey BETWEEN 400 AND 500
+         ORDER BY k""",
+    "s73_cluster_incremental" ->
+      """SELECT cast(l_orderkey % 7 AS INTEGER) AS grp, count(*) AS n,
+                cast(sum(cast(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "s72_widen_matrix" ->
       """WITH src AS (SELECT cast(o_orderkey AS INTEGER) AS o_orderkey,
                              cast(o_orderkey % 97 AS INTEGER) AS o_disc,

@@ -318,7 +318,20 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
     // a typo'd GENERATED ALWAYS AS fails the CREATE statement, not
     // every later write against a permanently-poisoned table
     TxLog.validateGeneratedExprs(spark, schema, gens)
-    val pspec = pspecOf(schema, partitions)
+    // `CREATE TABLE ... CLUSTER BY (a, b)` arrives as Spark's
+    // cluster_by transform alongside identity partition transforms —
+    // split it out and register the keys as the `#cluster` meta line
+    val (clusterT, partT) =
+      partitions.partition(_.name() == "cluster_by")
+    val ckeys = TxLog.resolveClusterKeys(schema,
+      clusterT.flatMap(_.references().toSeq).map { r =>
+        require(r.fieldNames().length == 1,
+          s"nested CLUSTER BY is not supported: ${r.fieldNames().mkString(".")}")
+        r.fieldNames()(0)
+      }.toSeq,
+      partT.flatMap(_.references().toSeq)
+        .flatMap(_.fieldNames().headOption).toSeq)
+    val pspec = pspecOf(schema, partT)
     val dir = tableDir(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(
       (catalogName +: ident.namespace().toSeq :+ ident.name()).toSeq)
@@ -348,6 +361,7 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
       generatedOverride = if (gens.isEmpty) None else Some(gens),
       identityOverride =
         if (identitySeeds.isEmpty) None else Some(identitySeeds),
+      clusterOverride = if (ckeys.isEmpty) None else Some(ckeys),
       operation = "CREATE TABLE")
     new TxLogTable(schema, dir.toString)
   }

@@ -114,26 +114,43 @@ class TxLogWrite(base: String, info: LogicalWriteInfo,
     }
   }
 
+  /** The table's `#cluster` keys under this write's LOGICAL names
+    * (empty when unclustered) — folded into the distribution/ordering
+    * requirement so DSv2 INSERTs land band-per-file on the keys (the
+    * Delta optimized-write shape; the API verbs tile by the full
+    * interleave, and the incremental OPTIMIZE sweep perfects both). */
+  private val logicalClusterCols: Seq[String] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val cm = TxLog.columnMapping(spark, base)
+    TxLog.clusterKeys(spark, base).map(p =>
+      cm.map(_.logicalOf(p)).getOrElse(p))
+      .filter(c => info.schema().fieldNames
+        .exists(_.equalsIgnoreCase(c)))
+  }
+
   /** Partitioned tables ask Spark to CLUSTER incoming rows by the
     * partition columns and SORT them within tasks — so each tuple
     * arrives contiguously in (usually) one task and the rolling
     * writer emits one file per tuple per task, Spark's own
-    * dynamic-partition write shape. Purity never depends on it: the
-    * writer rolls on ANY tuple change, so an engine that ignored the
-    * hint would produce more (still pure) files, never mixed ones. */
+    * dynamic-partition write shape. CLUSTER BY keys join the same
+    * requirement, so clustered INSERTs land key-banded files with
+    * sharp stats. Purity never depends on it: the writer rolls on ANY
+    * tuple change, so an engine that ignored the hint would produce
+    * more (still pure) files, never mixed ones. */
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution = {
     import org.apache.spark.sql.connector.distributions.Distributions
     import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
-    if (logicalPartitionCols.isEmpty) Distributions.unspecified()
-    else Distributions.clustered(logicalPartitionCols
+    val cols = (logicalPartitionCols ++ logicalClusterCols).distinct
+    if (cols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(cols
       .map(c => Expressions.identity(c): Expression).toArray)
   }
 
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
-    logicalPartitionCols.map(c =>
+    (logicalPartitionCols ++ logicalClusterCols).distinct.map(c =>
       Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING,
         NullOrdering.NULLS_FIRST)).toArray
   }
@@ -157,9 +174,13 @@ class TxLogWrite(base: String, info: LogicalWriteInfo,
     // stats are recorded under the MANIFEST's frozen physical casing
     // (pPhys), not the write schema's — Entry.statsFor is exact-match,
     // so a batch supplying 'REGION' for partition column 'region' must
-    // still land stats every reader resolves
-    val widened = pPhys ++
-      pStats.filterNot(s => pPhys.exists(_.equalsIgnoreCase(s)))
+    // still land stats every reader resolves. CLUSTER BY keys always
+    // stat too (their per-file band IS the layout's pruning index).
+    val cPhys = TxLog.clusterKeys(spark, base).filter(c =>
+      pSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    val widened = (pPhys ++ cPhys ++
+      pStats.filterNot(s => (pPhys ++ cPhys)
+        .exists(_.equalsIgnoreCase(s)))).distinct
     (idx, widened)
   }
 

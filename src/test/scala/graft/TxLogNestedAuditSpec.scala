@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TxLog
+
+/** Nested-field audit across the metadata surface (VERDICT r12
+  * next-round #6): every verb that takes a column NAME either
+  * supports a struct table's `a.b` path or vetoes LOUDLY — a silent
+  * top-level-only match on a struct table would corrupt metadata.
+  * The reference has zero structs, so the contract here is
+  * compose-or-fail-loudly, never silence. */
+class TxLogNestedAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val base = "/tmp/graft_txnest/t"
+
+  private def seed(): Unit = {
+    TxLog.drop(spark, base)
+    import spark.implicits._
+    // a genuine struct column `s` with fields (x INT, label STRING)
+    val df = Seq((1, 10, "a"), (2, 20, "b")).toDF("k", "x", "label")
+      .select(col("k"), struct(col("x"), col("label")).as("s"))
+    TxLog.commit(df, base, None, Some("k"))
+  }
+
+  test("struct tables READ fine (snapshot, evolved, time travel) — " +
+    "nesting is a data shape, not a metadata feature") {
+    seed()
+    val snap = TxLog.read(spark, base)
+    assert(snap.schema("s").dataType.isInstanceOf[StructType])
+    assert(snap.select(col("k"), col("s.x")).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet == Set((1, 10), (2, 20)))
+    assert(TxLog.readEvolved(spark, base).count() == 2)
+  }
+
+  test("every name-taking metadata verb VETOES a nested `s.x` " +
+    "reference loudly — never a silent top-level-only match") {
+    seed()
+    // RENAME / DROP: the path is not a (top-level) column → loud
+    // (the dotted TARGET is rejected even before source resolution)
+    assert(intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, base, "s.x", "s.y")
+    }.getMessage.contains("invalid column name"))
+    assert(intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, base, "s.x", "flat")
+    }.getMessage.contains("does not exist"))
+    assert(intercept[IllegalArgumentException] {
+      TxLog.dropColumn(spark, base, "s.x")
+    }.getMessage.contains("does not exist"))
+    // renaming TO a dotted name is rejected outright
+    assert(intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, base, "k", "s.k")
+    }.getMessage.contains("invalid column name"))
+    // WIDEN: not in the schema → loud
+    assert(intercept[IllegalArgumentException] {
+      TxLog.alterWidenColumn(spark, base, "s.x", LongType)
+    }.getMessage.contains("not in the table schema"))
+    // widening the struct column ITSELF is a cross-family change
+    assert(intercept[IllegalArgumentException] {
+      TxLog.alterWidenColumn(spark, base, "s", LongType)
+    }.getMessage.contains("widenings"))
+    // CLUSTER BY: dotted key not in schema → loud; the struct itself
+    // fails the interleave type rule
+    assert(intercept[IllegalArgumentException] {
+      TxLog.alterClusterBy(spark, base, Seq("s.x", "k"))
+    }.getMessage.contains("not in the table schema"))
+    assert(intercept[IllegalArgumentException] {
+      TxLog.alterClusterBy(spark, base, Seq("s", "k"))
+    }.getMessage.contains("interleave"))
+    // PARTITION: declared at birth — a dotted partition column fails
+    // the CREATE, and a struct partition column fails the type rule
+    assert(intercept[IllegalArgumentException] {
+      TxLog.createTable(spark, "/tmp/graft_txnest/p1",
+        StructType(Seq(StructField("k", IntegerType),
+          StructField("s", StructType(Seq(StructField("x", IntegerType)))))),
+        partitionCols = Seq("s.x"))
+    }.getMessage.contains("not in the declared schema"))
+    assert(intercept[IllegalArgumentException] {
+      TxLog.createTable(spark, "/tmp/graft_txnest/p2",
+        StructType(Seq(StructField("k", IntegerType),
+          StructField("s", StructType(Seq(StructField("x", IntegerType)))))),
+        partitionCols = Seq("s"))
+    }.getMessage.contains("unsupported stats column type"))
+    // IDENTITY assignment guard: a dotted name can never BE an
+    // identity column, and declaring one is impossible (identity
+    // columns are declared by top-level name); appendIdentity on a
+    // dotted target fails the schema probe
+    assert(intercept[Exception] {
+      TxLog.appendIdentity(TxLog.read(spark, base).drop("k"), base, "s.id")
+    }.getMessage.nonEmpty)
+  }
+
+  test("EXPRESSION surfaces legitimately reach INTO structs — CHECK " +
+    "constraints and generated columns resolve `s.x` as Spark SQL " +
+    "does, and enforcement stays row-accurate") {
+    seed()
+    // a CHECK constraint over a struct field: valid expression, and it
+    // actually enforces (the expression surface speaks full Spark SQL)
+    TxLog.addConstraint(spark, base, "x_pos", "s.x > 0")
+    import spark.implicits._
+    val bad = Seq((3, -5, "c")).toDF("k", "x", "label")
+      .select(col("k"), struct(col("x"), col("label")).as("s"))
+    val e = intercept[Exception] { TxLog.append(bad, base, Some("k")) }
+    assert(e.getMessage.contains("x_pos"), e.getMessage)
+    val ok = Seq((3, 5, "c")).toDF("k", "x", "label")
+      .select(col("k"), struct(col("x"), col("label")).as("s"))
+    TxLog.append(ok, base, Some("k"))
+    assert(TxLog.read(spark, base).count() == 3)
+    // a GENERATED column computed FROM a struct field validates at
+    // DDL time and computes at write time
+    val g = "/tmp/graft_txnest/gen"
+    TxLog.drop(spark, g)
+    TxLog.createTable(spark, g, StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("s", StructType(Seq(StructField("x", IntegerType)))),
+      StructField("x2", IntegerType))),
+      generated = Seq("x2" -> "s.x * 2"))
+    TxLog.append(Seq((1, 7)).toDF("k", "x")
+      .select(col("k"), struct(col("x")).as("s")), g, Some("k"))
+    assert(TxLog.read(spark, g).select("x2").head.getInt(0) == 14)
+  }
+}

@@ -155,22 +155,22 @@ class TxLogSpec extends AnyFunSuite {
       finally out.close()
     }
     // a "future engine" publishes v2: same files, but the table now
-    // requires writer version 6 (reader still 1) — one above this
+    // requires writer version 99 (reader still 1) — far above this
     // engine's WriterVersion capability ceiling
-    writeManifest(2L, s"#protocol\t1\t6" +: files)
+    writeManifest(2L, s"#protocol\t1\t99" +: files)
     assert(contents(TxLog.read(spark, base)) == v1Rows.toSet,
       "reader version 1 tables stay readable")
     val w = intercept[IllegalStateException] {
       TxLog.append(df(Seq(999 -> "x")), base)
     }
-    assert(w.getMessage.contains("writer version 6"), w.getMessage)
-    // v3 requires reader version 4 (one above this engine's
+    assert(w.getMessage.contains("writer version 99"), w.getMessage)
+    // v3 requires reader version 99 (far above this engine's
     // ReaderVersion ceiling): every read path must refuse
-    writeManifest(3L, s"#protocol\t4\t4" +: files)
+    writeManifest(3L, s"#protocol\t99\t99" +: files)
     val r = intercept[IllegalStateException] {
       TxLog.read(spark, base)
     }
-    assert(r.getMessage.contains("reader version 4"), r.getMessage)
+    assert(r.getMessage.contains("reader version 99"), r.getMessage)
   }
 
   test("convertParquet adopts a flat parquet dir in place: no copies, " +
