@@ -1860,16 +1860,21 @@ object TxLog {
                                  entries: Seq[Entry],
                                  mergeSchema: Boolean = false,
                                  withRowIds: Boolean = false): DataFrame = {
-    val requested = widenedPhysSchemaLatest(spark, base)
-      .orElse(latestVersion(spark, base)
-        .map(v => cachedPhysUnionSchema(spark, base, v)))
+    // un-widened tables read the SUBSET's union (mergeSchema over the
+    // files at hand — they are being fully read anyway, so the footer
+    // pass is proportional to the work, never O(table files) for an
+    // O(band) rewrite); a one-footer inferred read would silently
+    // DROP the columns the un-inferred footers carry and a REWRITE
+    // would land that loss permanently
+    val wide = widenedPhysSchemaLatest(spark, base)
     // REWRITE verbs (withRowIds) on a tracked table read each row's
     // stable id attached, so their landed output MATERIALIZES it —
     // ids survive compaction/ZORDER/COW DML. Scan verbs drop the
     // materialized column like every user surface.
     if (withRowIds && rowTracked(spark, base))
-      rowIdReadRaw(spark, base, entries, requested)
-    else dropRowId(readEntries(spark, base, entries, requested = requested))
+      rowIdReadRaw(spark, base, entries, wide)
+    else dropRowId(readEntries(spark, base, entries,
+      mergeSchema = wide.isEmpty, requested = wide))
   }
 
   /** Land `df`'s files under a fresh txn dir. They reference no
@@ -3401,20 +3406,16 @@ object TxLog {
     import org.apache.spark.sql.functions.col
     // widened tables: every DML verb's raw read requests the declared
     // (widened) physical schema — the mixed-width file set reads no
-    // other way (see parseWidenLines). All OTHER tables read with the
-    // version's cached union schema: the projection must see the
-    // UNION of the files' physical columns (absent columns NULL-fill
-    // per file) — one footer's inference on a schema-evolved touched
-    // subset would silently DROP the other footers' columns from the
-    // landed images. Zero footer opens after the version's first read.
+    // other way (see parseWidenLines). All OTHER tables read the
+    // touched SUBSET's union (mergeSchema over the files at hand —
+    // already being fully read, so the footer pass is proportional to
+    // the work): the projection must see the UNION of those files'
+    // physical columns (absent columns NULL-fill per file) — one
+    // footer's inference on a schema-evolved touched subset would
+    // silently DROP the other footers' columns from the landed images.
     val rd = widenedPhysSchemaLatest(spark, base) match {
       case Some(ws) => spark.read.schema(ws)
-      case None =>
-        latestVersion(spark, base) match {
-          case Some(v) =>
-            spark.read.schema(cachedPhysUnionSchema(spark, base, v))
-          case None => spark.read.option("mergeSchema", "true")
-        }
+      case None => spark.read.option("mergeSchema", "true")
     }
     rd.parquet(entries.map(e => resolve(base, e.path)): _*)
       .withColumn(DvFileCol, col("_metadata.file_name"))
@@ -5276,12 +5277,15 @@ object TxLog {
       parseIdentityLines(lines).size.toLong,
       entries.flatMap(_.blooms.map(_.column)).distinct.size.toLong,
       txns.size.toLong, ckptV, protoR, protoW,
-      parsePartitionLines(lines).map(_._1).mkString(",")
+      parsePartitionLines(lines).map(_._1).mkString(","),
+      parseClusterLines(lines).mkString(","),
+      parseRowIdLines(lines).isDefined
     )).toDF("format", "location", "version", "last_modified_ms",
       "num_files", "num_rows", "num_masked_rows", "size_bytes",
       "stats_columns", "num_constraints", "num_identity_cols",
       "num_bloom_cols", "num_txn_apps", "checkpoint_version",
-      "min_reader_version", "min_writer_version", "partition_columns")
+      "min_reader_version", "min_writer_version", "partition_columns",
+      "clustering_columns", "row_tracking")
   }
 
   /** RESTORE (Delta `RESTORE TABLE ... VERSION AS OF` analog): roll
@@ -5360,7 +5364,14 @@ object TxLog {
       generatedOverride = Some(generatedColumnsOf(spark, srcBase, v)),
       // widen lines ride too: without them a widened source's clone
       // would try to read its mixed-width files by inference and crash
-      widenOverride = Some(widenedColumnsOf(spark, srcBase, v)))
+      widenOverride = Some(widenedColumnsOf(spark, srcBase, v)),
+      // ... as do the clustering keys (an ignorant clone would
+      // silently un-cluster every future write) and the row-id
+      // high-water (cloned entries carry id spans; without the line
+      // the clone's own commits would land span-less files next to
+      // them and the lineage surface would refuse to serve)
+      clusterOverride = Some(clusterByOf(spark, srcBase, v)),
+      rowIdSeed = rowIdHighWaterOf(spark, srcBase, v))
     1L
   }
 

@@ -431,8 +431,26 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
             ut.fieldNames().mkString("."))
         TxLog.alterWidenColumn(spark, base, ut.fieldNames()(0),
           ut.newDataType())
+      // native `ALTER TABLE t CLUSTER BY (a, b)` / `CLUSTER BY NONE`
+      case cb: TableChange.ClusterBy =>
+        TxLog.alterClusterBy(spark, base,
+          cb.clusteringColumns().toSeq.map { r =>
+            require(r.fieldNames().length == 1,
+              s"nested CLUSTER BY is not supported: " +
+                r.fieldNames().mkString("."))
+            r.fieldNames()(0)
+          })
+      // `ALTER TABLE t SET TBLPROPERTIES ('graft.rowTracking'='true')`
+      // — the Delta enableRowTracking-property shape
+      case sp: TableChange.SetProperty
+          if sp.property() == "graft.rowTracking" =>
+        require(sp.value().equalsIgnoreCase("true"),
+          "row tracking cannot be disabled once enabled (ids are " +
+            "load-bearing for lineage consumers); only 'true' is valid")
+        TxLog.enableRowTracking(spark, base)
       case other => throw new UnsupportedOperationException(
-        "only ADD COLUMNS / ALTER COLUMN ... TYPE (widening) / ADD " +
+        "only ADD COLUMNS / ALTER COLUMN ... TYPE (widening) / " +
+          "CLUSTER BY / SET TBLPROPERTIES ('graft.rowTracking') / ADD " +
           "CONSTRAINT ... CHECK / DROP CONSTRAINT are supported on " +
           "txlog tables (RENAME/DROP COLUMN would need column-mapping " +
           "indirection; data-file schema otherwise evolves on WRITE " +

@@ -302,7 +302,11 @@ case class TxLogDetailCommand(table: Seq[String])
       org.apache.spark.sql.types.IntegerType, nullable = false)(),
     AttributeReference("min_writer_version",
       org.apache.spark.sql.types.IntegerType, nullable = false)(),
-    AttributeReference("partition_columns", StringType, nullable = false)())
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("clustering_columns", StringType,
+      nullable = false)(),
+    AttributeReference("row_tracking",
+      org.apache.spark.sql.types.BooleanType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val base = TxLogSqlParser.resolveBase(spark, table)
     TxLog.describeDetail(spark, base).collect().toSeq

@@ -162,6 +162,16 @@ class TxLogClusterBySpec extends AnyFunSuite {
     s.sql("OPTIMIZE gcb.lake.ev")
     assert(s.sql("SELECT count(*) FROM gcb.lake.ev").head.getLong(0)
       == 20001)
+    // native ALTER TABLE ... CLUSTER BY re-registers / drops keys
+    s.sql("ALTER TABLE gcb.lake.ev CLUSTER BY (y, x)")
+    assert(TxLog.clusterKeys(spark, base) == Seq("y", "x"))
+    s.sql("ALTER TABLE gcb.lake.ev CLUSTER BY NONE")
+    assert(TxLog.clusterKeys(spark, base).isEmpty)
+    // DESCRIBE DETAIL surfaces the registration
+    graft.sources.TxLogSqlDml.ensureInjected(s0)
+    s.sql("ALTER TABLE gcb.lake.ev CLUSTER BY (x, y)")
+    val det = s.sql("DESCRIBE DETAIL gcb.lake.ev").head()
+    assert(det.getAs[String]("clustering_columns") == "x,y", det.toString)
     s.sql("DROP TABLE gcb.lake.ev")
   }
 }

@@ -59,6 +59,36 @@ class TxLogRowTrackingSpec extends AnyFunSuite {
     TxLog.commit(Seq((1, 1)).toDF("k", "v"), plain, None, Some("k"))
     assert(TxLog.describeDetail(spark, plain).head()
       .getAs[Int]("min_reader_version") == 1)
+    assert(!TxLog.describeDetail(spark, plain).head()
+      .getAs[Boolean]("row_tracking"))
+  }
+
+  test("SQL surface: enabling rides ALTER TABLE SET TBLPROPERTIES " +
+    "('graft.rowTracking'='true') through the DSv2 catalog; DESCRIBE " +
+    "DETAIL reports it; disabling is refused") {
+    val s0 = SparkTestBase.spark
+    graft.sources.TxLogSqlDml.ensureInjected(s0)
+    val s = s0.newSession()
+    s.conf.set("spark.sql.catalog.grt", "graft.sources.TxLogCatalog")
+    s.conf.set("spark.sql.catalog.grt.warehouse", "/tmp/graft_txrid/wh")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS grt.lake")
+    s.sql("DROP TABLE IF EXISTS grt.lake.t")
+    s.sql("CREATE TABLE grt.lake.t (k INT, v INT) " +
+      "USING graft.sources.TxLogSource")
+    s.sql("INSERT INTO grt.lake.t SELECT cast(id AS INT), " +
+      "cast(id * 2 AS INT) FROM range(50)")
+    s.sql("ALTER TABLE grt.lake.t " +
+      "SET TBLPROPERTIES ('graft.rowTracking'='true')")
+    val base = "/tmp/graft_txrid/wh/lake/t"
+    assert(TxLog.rowTracked(spark, base))
+    assert(TxLog.readWithRowIds(spark, base)
+      .select("_row_id").distinct().count() == 50)
+    val det = s.sql("DESCRIBE DETAIL grt.lake.t").head()
+    assert(det.getAs[Boolean]("row_tracking"), det.toString)
+    val off = scala.util.Try(s.sql("ALTER TABLE grt.lake.t " +
+      "SET TBLPROPERTIES ('graft.rowTracking'='false')"))
+    assert(off.isFailure, "disabling row tracking must be refused")
+    s.sql("DROP TABLE grt.lake.t")
   }
 
   test("ids SURVIVE the rewrites: OPTIMIZE bin-pack, ZORDER re-tile " +
