@@ -129,6 +129,48 @@ class TxLogStreamSpec extends AnyFunSuite {
     assert(got.where(col("extra") === col("k") * 10).count() == 20)
   }
 
+  test("a MERGE-driven schema evolution mid-stream neither crashes " +
+    "nor reorders the feed: the running query keeps its start-time " +
+    "surface (new column invisible — Structured Streaming's fixed-" +
+    "schema contract), a RESTART picks the evolved column up with " +
+    "NULLs on pre-evolution rows") {
+    import graft.operators.TxLog.{MergeInsert, MergeUpdate, sourceCol}
+    import spark.implicits._
+    val base = "/tmp/graft_txstream/mevolve"
+    val out = "/tmp/graft_txstream/mevolve_out"
+    val ckpt = "/tmp/graft_txstream/mevolve_ckpt"
+    Seq(base, out, ckpt).foreach(TxLog.drop(spark, _))
+    TxLog.commit(clustered(0, 30, "seed", 1), base, None, Some("k"))
+    // run 1 consumes the narrow surface
+    assert(drain(base, out, ckpt).count() == 30)
+    // an EVOLVING merge lands while the stream is down: updates two
+    // rows, inserts two, and ADDs a column in the same commit
+    TxLog.mergeClauses(spark, base,
+      Seq((1L, "u1", "eu"), (2L, "u2", "us"), (100L, "n1", "eu"),
+        (101L, "n2", "us")).toDF("k", "s", "region"),
+      Seq("k"),
+      matched = Seq(MergeUpdate(None,
+        Map("s" -> sourceCol("s"), "region" -> sourceCol("region")))),
+      notMatched = Seq(MergeInsert(None,
+        Map("k" -> sourceCol("k"), "s" -> sourceCol("s"),
+          "region" -> sourceCol("region")))),
+      evolveSchema = true)
+    // run 2 (same checkpoint, schema re-resolved at restart): the
+    // merge's changed rows arrive, the evolved column serves with
+    // NULL on rows from pre-evolution files. (The parquet SINK dir is
+    // itself schema-heterogeneous across the two runs — read it with
+    // mergeSchema, like any evolved landing zone.)
+    drain(base, out, ckpt)
+    val got = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(got.columns.toSet == Set("k", "s", "region"))
+    // incremental: the 4 merge images arrived in run 2 (the two
+    // updated + two inserted rows land as new files)
+    val run2 = got.where(col("region").isNotNull)
+    assert(run2.count() == 4, got.collect().mkString(", "))
+    assert(run2.where(col("k") === 1 && col("s") === "u1" &&
+      col("region") === "eu").count() == 1)
+  }
+
   test("vacuumed history below the checkpoint fails with a reset " +
     "error instead of silently skipping data") {
     val base = "/tmp/graft_txstream/vac"
