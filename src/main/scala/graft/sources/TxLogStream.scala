@@ -122,6 +122,17 @@ class TxLogSource extends TableProvider {
     if (TxLogSource.changeTypes(options))
       fields :+= StructField(TxLogSource.ChangeTypeCol, StringType,
         nullable = false)
+    if (TxLogSource.rowIds(options)) {
+      require(!TxLogSource.changeFeed(options),
+        "rowIds applies to snapshot reads; the change feeds have " +
+          "their own lineage surface (a tracked COW update's batch " +
+          "feed already carries _row_id)")
+      require(TxLog.rowIdHighWaterOf(spark, base, target).isDefined,
+        s"rowIds=true needs row tracking enabled on $base " +
+          "(TxLog.enableRowTracking / ALTER TABLE ... SET " +
+          "TBLPROPERTIES ('graft.rowTracking'='true'))")
+      fields :+= StructField(TxLogSource.RowIdMetaCol, LongType)
+    }
     StructType(fields)
   }
 
@@ -136,6 +147,12 @@ class TxLogSource extends TableProvider {
 object TxLogSource {
   val CommitVersionCol = "_commit_version"
   val ChangeTypeCol = "_change_type"
+  /** Snapshot-read surface of row tracking: `option("rowIds","true")`
+    * adds a `_row_id` column — the STABLE id ([[TxLog.readWithRowIds]]
+    * semantics: materialized column wins, else file base + row
+    * ordinal). Batch reads only (a streaming lineage feed is a
+    * next-round surface); requires row tracking enabled. */
+  val RowIdMetaCol = "_row_id"
 
   /** Driver-side LRU of inferred union schemas, keyed by (base,
     * version, commit mtime) — all three immutable for a live version. */
@@ -283,6 +300,10 @@ object TxLogSource {
     * file sets — streams its deleted rows downstream precisely. */
   private[sources] def changeTypes(options: CaseInsensitiveStringMap): Boolean =
     Option(options.get("changeFeedTypes")).exists(_.toBoolean)
+
+  /** `rowIds=true`: surface the stable row id ([[RowIdMetaCol]]). */
+  private[sources] def rowIds(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("rowIds")).exists(_.toBoolean)
 
   /** Sorted-array difference a \ b (both sorted ascending). */
   private[sources] def diffSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
@@ -733,7 +754,7 @@ class TxLogScanBuilder(full: StructType, base: String,
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
-      TxLogSource.changeFeed(options) ||
+      TxLogSource.changeFeed(options) || TxLogSource.rowIds(options) ||
       Option(options.get("startingVersion")).exists(_.toLong > 0)) return false
     val spark = SparkSession.active
     val latestOpt = TxLog.latestVersion(spark, base)
@@ -856,7 +877,8 @@ class TxLogScanBuilder(full: StructType, base: String,
       s"versionAsOf must be >= 1, got $v"))
     new TxLogScan(required, base, TxLogSource.changeFeed(options),
       maxVersions, startingVersion, versionAsOf, pushed,
-      TxLogSource.changeTypes(options), physMap, maxFiles)
+      TxLogSource.changeTypes(options), physMap, maxFiles,
+      rowIds = TxLogSource.rowIds(options))
   }
 }
 
@@ -866,7 +888,8 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
                 pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
                 changeTypes: Boolean = false,
                 physMap: Map[String, String] = Map.empty,
-                maxFilesPerTrigger: Option[Long] = None)
+                maxFilesPerTrigger: Option[Long] = None,
+                rowIds: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -991,7 +1014,10 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
     def parts(es: Seq[TxLog.Entry], v: Long): Seq[InputPartition] = {
       val masks = TxLogSource.dvPositionsByFile(base, es, conf)
       es.map(e => TxLogInputPartition(TxLog.resolve(base, e.path), v,
-        masks.getOrElse(e.path, Array.emptyLongArray)): InputPartition)
+        masks.getOrElse(e.path, Array.emptyLongArray),
+        baseRowId = if (rowIds) e.baseRowId else None,
+        // per-row id synthesis needs the row decoder's ordinals
+        columnarOk = !rowIds): InputPartition)
     }
     TxLogInputPartition.uniform(
       if (changeTypes)
@@ -1011,6 +1037,11 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!rowIds,
+      "rowIds is a batch-read option; a streaming lineage feed would " +
+        "need per-epoch id coordination and is not supported (the " +
+        "batch change feed of a tracked COW update already carries " +
+        "_row_id)")
     require(versionAsOf.isEmpty,
       "versionAsOf is a batch-only option (a stream has no fixed " +
         "target version); use startingVersion to begin after a known " +
@@ -1029,7 +1060,8 @@ case class TxLogInputPartition(file: String, commitVersion: Long,
                                dvPositions: Array[Long] = Array.emptyLongArray,
                                keepOnly: Array[Long] = Array.emptyLongArray,
                                changeType: String = "insert",
-                               columnarOk: Boolean = true)
+                               columnarOk: Boolean = true,
+                               baseRowId: Option[Long] = None)
     extends InputPartition
 
 object TxLogInputPartition {
@@ -1119,7 +1151,7 @@ class TxLogReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TxLogInputPartition]
     new TxLogPartitionReader(p.file, p.commitVersion, required, conf.value,
-      p.dvPositions, p.keepOnly, p.changeType, physMap)
+      p.dvPositions, p.keepOnly, p.changeType, physMap, p.baseRowId)
   }
 
   /** The SQL-visible batch path decodes through Spark's VECTORIZED
@@ -1203,7 +1235,8 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
                            dvPositions: Array[Long] = Array.emptyLongArray,
                            keepOnly: Array[Long] = Array.emptyLongArray,
                            changeType: String = "insert",
-                           physMap: Map[String, String] = Map.empty)
+                           physMap: Map[String, String] = Map.empty,
+                           baseRowId: Option[Long] = None)
     extends PartitionReader[InternalRow] {
 
   private val reader =
@@ -1221,19 +1254,40 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
   private val present = required.fields.filter(f =>
     f.name != TxLogSource.CommitVersionCol &&
       f.name != TxLogSource.ChangeTypeCol &&
+      f.name != TxLogSource.RowIdMetaCol &&
       fileSchema.containsField(fileName(f)))
+  /** `_row_id` requested: the stable id serves per row — a rewrite-
+    * MATERIALIZED `__row_id` column in THIS file wins; else the
+    * partition's base span + the row ordinal (exactly
+    * [[TxLog.readWithRowIds]]'s coalesce). */
+  private val needRowId =
+    required.fields.exists(_.name == TxLogSource.RowIdMetaCol)
+  private val matInFile =
+    needRowId && fileSchema.containsField(TxLog.RowIdCol)
   private val changeTypeUtf8 = UTF8String.fromString(changeType)
   private val projection: MessageType = {
     import scala.jdk.CollectionConverters._
     val fields: List[org.apache.parquet.schema.Type] =
       present.map(f =>
-        fileSchema.getType(fileSchema.getFieldIndex(fileName(f)))).toList
+        fileSchema.getType(fileSchema.getFieldIndex(fileName(f)))).toList ++
+        (if (matInFile)
+          List(fileSchema.getType(fileSchema.getFieldIndex(TxLog.RowIdCol)))
+         else Nil)
     new MessageType(fileSchema.getName, fields.asJava)
   }
+  /** The materialized id column's group index (appended after the
+    * projected file columns). */
+  private val matGi = present.length
   /** count(*)-style scans prune every file column away (the required
     * schema is empty or metadata-only); then only the footer's row
     * count matters — minus masked rows — and no page is read at all. */
-  private val rowCountOnly = present.isEmpty
+  private val rowCountOnly = present.isEmpty && !needRowId
+  /** `SELECT _row_id` with no file columns AND no materialized id:
+    * ids are pure ordinal arithmetic — iterate ordinals, read no
+    * page. */
+  private val syntheticIds = present.isEmpty && needRowId && !matInFile
+  private val syntheticTotal =
+    if (syntheticIds) reader.getRecordCount else 0L
   private var footerRows: Long =
     if (!rowCountOnly) 0L
     else if (keepOnly.nonEmpty) keepOnly.length.toLong
@@ -1282,6 +1336,12 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
     if (rowCountOnly) {
       if (footerRows <= 0) false
       else { footerRows -= 1; current = convert(null); true }
+    } else if (syntheticIds) {
+      while (rowIdx + 1 < syntheticTotal) {
+        rowIdx += 1
+        if (emitAt(rowIdx)) { current = convert(null); return true }
+      }
+      false
     } else {
       // loop instead of recurse: a skipped row advances to the next
       // candidate without emitting
@@ -1306,6 +1366,15 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
       values(i) =
         if (f.name == TxLogSource.CommitVersionCol) commitVersion
         else if (f.name == TxLogSource.ChangeTypeCol) changeTypeUtf8
+        else if (f.name == TxLogSource.RowIdMetaCol) {
+          val mat: Any =
+            if (matInFile && g != null &&
+                g.getFieldRepetitionCount(matGi) > 0)
+              fieldValue(g, matGi, LongType)
+            else null
+          if (mat != null) mat
+          else baseRowId.map(b => (b + rowIdx): Any).orNull
+        }
         else if (presentIdx < present.length && present(presentIdx).name == f.name) {
           val gi = presentIdx
           presentIdx += 1
