@@ -567,7 +567,7 @@ object TxLog {
     if (es.size <= SnapCacheMaxEntries)
       commitMtimeOpt(spark, base, v).foreach(mt =>
         snapCache.synchronized(snapCache.put((cacheKey(base), v), (mt, es))))
-  private def cachePurge(base: String): Unit = {
+  private[graft] def cachePurge(base: String): Unit = {
     val key = cacheKey(base)
     snapCache.synchronized {
       val it = snapCache.keySet.iterator()
@@ -885,6 +885,27 @@ object TxLog {
   private[graft] def parseRowIdLines(lines: Seq[String]): Option[Long] =
     lines.find(_.startsWith("#rowid\t")).map(_.split('\t')(1).toLong)
 
+  /** In-commit timestamp of one manifest (Delta 4.0 ICT): the commit
+    * WROTE its own wall-clock millis as a `#ict` line, clamped
+    * strictly above the parent's — so `TIMESTAMP AS OF` resolution is
+    * a property of the LOG, not of file-system modification times
+    * (which a copy, a backup restore, or a storage migration
+    * rewrites). None = a pre-ICT commit (resolution falls back to the
+    * manifest's mtime for exactly that version). */
+  private[graft] def parseIctLines(lines: Seq[String]): Option[Long] =
+    lines.find(_.startsWith("#ict\t")).map(_.split('\t')(1).toLong)
+
+  /** In-commit timestamp of one published version (None = the
+    * version predates ICT stamping). */
+  def ictOf(spark: SparkSession, base: String, v: Long): Option[Long] =
+    parseIctLines(manifestLines(spark, base, v))
+
+  /** The timestamp `TIMESTAMP AS OF` / DESCRIBE HISTORY serve for one
+    * version: the in-commit stamp when the commit carries one, else
+    * the manifest file's mtime (pre-ICT versions only). */
+  def commitTimestamp(spark: SparkSession, base: String, v: Long): Long =
+    ictOf(spark, base, v).getOrElse(commitModTime(spark, base, v))
+
   /** The materialized row-id column rewrites stamp into data files.
     * Hidden from every user-facing read surface (dropped like the DV
     * coordinates); surfaced explicitly by [[readWithRowIds]]. */
@@ -960,6 +981,43 @@ object TxLog {
       case None => withId
     }
     masked.drop(DvFileCol, DvPosCol)
+  }
+
+  /** Attach each row's stable id as [[RowIdCol]] to a DML verb's
+    * tagged read (a frame still carrying the DV coordinates): the
+    * rewrite-materialized column wins, else entry base + row ordinal
+    * — [[rowIdReadRaw]]'s coalesce, for frames whose coordinates must
+    * SURVIVE (mask computation reads them downstream). Caller checks
+    * [[rowTracked]]. */
+  private def attachRowIds(spark: SparkSession, touched: Seq[Entry],
+                           tagged: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    import spark.implicits._
+    val baseDf = broadcast(touched
+      .flatMap(e => e.baseRowId.map(b => (fileName(e.path), b)))
+      .toDF(DvFileCol, "__rid_base"))
+    val mat =
+      if (tagged.columns.exists(_.equalsIgnoreCase(RowIdCol))) col(RowIdCol)
+      else lit(null).cast("long")
+    tagged.join(baseDf, Seq(DvFileCol), "left")
+      .withColumn(RowIdCol, coalesce(mat, col("__rid_base") + col(DvPosCol)))
+      .drop("__rid_base")
+  }
+
+  /** Row tracking across MERGE (Delta preserves ids through UPDATE):
+    * a matched source row logically UPDATES its target row, so the
+    * landed image inherits that row's stable id by ON-key lookup
+    * against the LIVE touched rows (min() elects the survivor if the
+    * target held duplicate keys — the others are masked away by the
+    * merge). Unmatched (insert) rows carry NULL and take their file's
+    * fresh span id at read. Caller checks [[rowTracked]]. */
+  private def inheritMergeIds(source: DataFrame, liveTarget: DataFrame,
+                              keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, min}
+    source.join(
+      liveTarget.groupBy(keys.map(col): _*)
+        .agg(min(col(RowIdCol)).as(RowIdCol)),
+      keys, "left")
   }
 
   /** Enable row tracking (Delta 4.0 row IDs): one metadata-only
@@ -1663,18 +1721,33 @@ object TxLog {
                          tsMillis: Long): Long = {
     val f = fs(base, spark)
     val dir = new Path(s"$base/$LogDir")
-    val stamped: Seq[(Long, Long)] =
+    val versions: Seq[Long] =
       if (!f.exists(dir)) Seq.empty
-      else f.listStatus(dir).toSeq.flatMap(st =>
-        parseVersion(st.getPath.getName).map(_ -> st.getModificationTime))
-    require(stamped.nonEmpty, s"no committed version at $base")
-    stamped.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse {
-      val first = stamped.minBy(_._1)
+      else f.listStatus(dir).toSeq
+        .flatMap(st => parseVersion(st.getPath.getName)).sorted
+    require(versions.nonEmpty, s"no committed version at $base")
+    // resolve by [[commitTimestamp]] — the in-commit stamp when the
+    // version carries one (correct across table copies/migrations
+    // that rewrite every mtime), the manifest mtime for pre-ICT
+    // versions. Stamps are non-decreasing (ICT is clamped strictly
+    // above the parent; the pre-ICT prefix's mtimes were written in
+    // commit order — Delta's identical assumption), so a binary
+    // search costs O(log versions) manifest reads instead of parsing
+    // every version's lines.
+    def stamp(i: Int): Long = commitTimestamp(spark, base, versions(i))
+    if (stamp(0) > tsMillis)
       throw new IllegalArgumentException(
         s"timestamp $tsMillis (${java.time.Instant.ofEpochMilli(tsMillis)}) " +
-          s"is before the earliest available version ${first._1} " +
-          s"(committed ${java.time.Instant.ofEpochMilli(first._2)})")
+          s"is before the earliest available version ${versions.head} " +
+          s"(committed ${java.time.Instant.ofEpochMilli(stamp(0))})")
+    // largest index with stamp <= tsMillis
+    var lo = 0
+    var hi = versions.length - 1
+    while (lo < hi) {
+      val mid = lo + (hi - lo + 1) / 2
+      if (stamp(mid) <= tsMillis) lo = mid else hi = mid - 1
     }
+    versions(lo)
   }
 
   /** Time-travel read at a wall-clock instant ([[versionAtTimestamp]]
@@ -1694,7 +1767,21 @@ object TxLog {
     * runs: RESTORE republished a prior incarnation's dead paths). */
   def setCommitTime(spark: SparkSession, base: String, v: Long,
                     tsMillis: Long): Unit = {
-    fs(base, spark).setTimes(manifestPath(base, v), tsMillis, -1)
+    val f = fs(base, spark)
+    val p = manifestPath(base, v)
+    // both clocks: the in-commit `#ict` stamp (what TIMESTAMP AS OF
+    // resolves by) and the file mtime (the pre-ICT fallback) — an
+    // administration verb that moved only the mtime would silently
+    // stop working the moment the commit carries its own stamp
+    val lines = linesOf(spark, base, p)
+    if (lines.exists(_.startsWith("#ict\t"))) {
+      val out = f.create(p, true)
+      try out.write((lines.map(l =>
+        if (l.startsWith("#ict\t")) s"#ict\t$tsMillis" else l)
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    f.setTimes(p, tsMillis, -1)
     cachePurge(base)
   }
 
@@ -2638,11 +2725,19 @@ object TxLog {
     if (tblW > WriterVersion) throw new IllegalStateException(
       s"$base requires log writer version $tblW; this engine implements " +
         s"$WriterVersion — upgrade the engine before writing")
+    // in-commit timestamp (Delta 4.0 ICT): every commit writes its own
+    // wall-clock millis, clamped STRICTLY above the parent's stamp —
+    // monotonic even across clock skew, and `TIMESTAMP AS OF` stays
+    // correct after a table copy/migration rewrites every mtime.
+    // Per-commit like #op, never carried; recomputed on CAS retry.
+    val ict = math.max(
+      parseIctLines(latestLines).getOrElse(0L) + 1L,
+      System.currentTimeMillis())
     val metaLines =
       (if (dataChange) Seq.empty else Seq("#nodatachange")) ++
       // per-commit provenance (Delta history's `operation`): NOT
       // carried forward — each version records what produced IT
-      Seq(s"#op\t${enc(operation)}") ++
+      Seq(s"#op\t${enc(operation)}", s"#ict\t$ict") ++
       // per-commit CDF hint (also not carried): a merge-on-read
       // UPDATE stamps `#cdfop update`, the EXPLICIT signal the change
       // feeds read to emit update_preimage/update_postimage. The
@@ -3231,6 +3326,7 @@ object TxLog {
     // mapped tables: the merge runs entirely in PHYSICAL namespace —
     // source renamed once here, keys/statsCol translated, target files
     // already physical (readEntries below is the raw read)
+    requireNoRowIdColumn(source0)
     val source = toPhysicalIfMapped(spark, base, source0)
     val keys = keys0.map(physicalName(spark, base, _))
     val statsCol = physicalName(spark, base, statsCol0)
@@ -3256,10 +3352,17 @@ object TxLog {
         entries.partition(touchesRange(_, statsCol, lo, hi))
       val merged =
         if (touched.isEmpty) source
-        else Upsert.merge(
-          readEntriesCurrent(spark, base, touched,
-            withRowIds = true), // masks applied: deleted
-          source, keys)                      // rows never resurrect
+        else {
+          val target = readEntriesCurrent(spark, base, touched,
+            withRowIds = true) // masks applied: deleted rows never resurrect
+          // tracked tables: matched source rows inherit their target
+          // row's stable id (Delta preserves ids through MERGE UPDATE)
+          val src =
+            if (target.columns.exists(_.equalsIgnoreCase(RowIdCol)))
+              inheritMergeIds(source, target, keys)
+            else source
+          Upsert.merge(target, src, keys)
+        }
       val newEntries = landEntriesMulti(merged, base,
         preservedStatsCols(touched, Seq(statsCol), merged.schema),
         recomputeGenerated = true)
@@ -3497,8 +3600,10 @@ object TxLog {
                      touchedFilter: Entry => Boolean = _ => true,
                      primaryStats: Seq[String] = Seq.empty,
                      maxAttempts: Int = 5): Long = {
-    import org.apache.spark.sql.functions.{coalesce, lit}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
     requireNoIdentityAssignment(spark, base, set.keys.toSeq)
+    require(!set.keys.exists(_.equalsIgnoreCase(RowIdCol)),
+      s"column name $RowIdCol is reserved for row tracking")
     withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
@@ -3512,10 +3617,18 @@ object TxLog {
         // tables so the projection sees every file's physical
         // columns); the updated images rename back to physical just
         // before landing
-        val raw = logicalView(spark, base,
+        val raw0 = logicalView(spark, base,
           taggedRead(spark, base, touched,
             mergeSchema = columnMapping(spark, base).isDefined),
-          keep = Seq(DvFileCol, DvPosCol))
+          keep = Seq(DvFileCol, DvPosCol, RowIdCol))
+        // row tracking: an UPDATE logically keeps the row, so the
+        // appended post-image MATERIALIZES each hit's stable id
+        // (materialized column wins, else file base + row ordinal) —
+        // without this the masked-old/appended-new shape would
+        // silently re-identify every updated row
+        val raw =
+          if (!rowTracked(spark, base)) dropRowId(raw0)
+          else attachRowIds(spark, touched, raw0)
         val hits0 = raw.where(coalesce(cond, lit(false)))
         // live hits only: a previously-masked (deleted) row matching
         // the predicate must not come back as an updated image
@@ -3640,6 +3753,7 @@ object TxLog {
                             primaryStats: Seq[String],
                             maxAttempts: Int): Long = {
     import org.apache.spark.sql.functions.col
+    requireNoRowIdColumn(source)
     // GENERATED BY DEFAULT on merges: advance the high-water past any
     // explicit id the source carries (one agg, computed once)
     val idMaxes = sourceIdentityMaxes(spark, base, source)
@@ -3648,8 +3762,23 @@ object TxLog {
         throw new IllegalStateException(s"no committed version at $base"))
       val (entries, txns) = manifest(spark, base, cur)
       val (touched, carried) = entries.partition(touchedFilter)
-      val newEntries = landEntriesMulti(source, base,
-        preservedStatsCols(touched, primaryStats, source.schema),
+      // tracked tables: matched source rows inherit their target
+      // row's stable id (Delta preserves ids through MERGE UPDATE);
+      // unmatched rows land NULL and take the file's fresh span
+      val sourceW =
+        if (touched.isEmpty || !rowTracked(spark, base)) source
+        else {
+          val tagged = attachRowIds(spark, touched,
+            taggedRead(spark, base, touched))
+          val live = dvFrame(spark, base, touched) match {
+            case Some(m) => tagged.join(m, Seq(DvFileCol, DvPosCol),
+              "left_anti")
+            case None => tagged
+          }
+          inheritMergeIds(source, live, keys)
+        }
+      val newEntries = landEntriesMulti(sourceW, base,
+        preservedStatsCols(touched, primaryStats, sourceW.schema),
         recomputeGenerated = true)
         .filter(_.rows != 0L)
       def publishWith(masked: Seq[Entry], dvDir: Option[String]): Long =
@@ -3787,6 +3916,7 @@ object TxLog {
       s"MERGE source lacks ON key(s) ${missingKeys.mkString(", ")}")
     require(!source.columns.exists(_.startsWith(MergeSrcPrefix)),
       s"source columns may not start with the reserved $MergeSrcPrefix")
+    requireNoRowIdColumn(source)
     // first firing clause's index (first-match-wins), NULL when none;
     // a NULL condition is false (SQL three-valued WHEN)
     def fireIdx(clauses: Seq[MergeWhen]): Column =
@@ -3917,12 +4047,20 @@ object TxLog {
       def keyEq: Column = keys.map(k =>
         col(k) === col(MergeSrcPrefix +
           source.columns.find(_.equalsIgnoreCase(k)).get)).reduce(_ && _)
+      // row tracking: every landed image class carries the stable-id
+      // column — update images INHERIT the fired target row's id
+      // (Delta preserves ids through MERGE UPDATE), insert images
+      // carry NULL and take the file's fresh span at read
+      val tracked = rowTracked(spark, base)
       val live: Option[DataFrame] =
         if (touched.isEmpty) None
         else {
-          val raw = logicalView(spark, base,
+          val raw0 = logicalView(spark, base,
             taggedRead(spark, base, touched, mergeSchema = cmapped),
-            keep = Seq(DvFileCol, DvPosCol))
+            keep = Seq(DvFileCol, DvPosCol, RowIdCol))
+          val raw =
+            if (tracked) attachRowIds(spark, touched, raw0)
+            else dropRowId(raw0)
           Some(dvFrame(spark, base, touched) match {
             case Some(m) => raw.join(m, Seq(DvFileCol, DvPosCol), "left_anti")
             case None => raw
@@ -3973,7 +4111,8 @@ object TxLog {
                         col(c)
                       else lit(null).cast(targetSchema(
                         targetSchema.fieldIndex(c)).dataType).as(c)
-                    }): _*)
+                    }) ++
+                  (if (tracked) Seq(col(RowIdCol)) else Nil): _*)
           }
         // insert images: source rows matching NO live target key, per
         // first firing insert clause; omitted columns insert as NULL
@@ -3994,7 +4133,9 @@ object TxLog {
                     .map { case (_, v) => castTo(c, v) }
                     .getOrElse(lit(null).cast(
                       targetSchema(targetSchema.fieldIndex(c)).dataType)
-                      .as(c))): _*)
+                      .as(c))) ++
+                  (if (tracked) // fresh rows: NULL → the file's span id
+                    Seq(lit(null).cast("long").as(RowIdCol)) else Nil): _*)
             }
           }
         val images: Seq[DataFrame] =
@@ -5219,7 +5360,8 @@ object TxLog {
       val nRows: Option[Long] = // LIVE rows: masked deletions excluded
         if (entries.forall(_.rows >= 0)) Some(entries.map(_.liveRows).sum)
         else None
-      val row = (v, commitModTime(spark, base, v),
+      val row = (v,
+        parseIctLines(lines).getOrElse(commitModTime(spark, base, v)),
         parseOpLines(lines).orNull,
         entries.size.toLong, nRows,
         entries.count(e => !diffBase.contains(e.path)).toLong,

@@ -974,6 +974,107 @@ object RegistryMaint {
         .orderBy("k")
     }),
 
+    // The DSv2 half of row tracking: `option("rowIds","true")` on the
+    // txlog source surfaces the SAME stable `_row_id` the API verb
+    // serves — materialized ids from rewritten files, span-ordinal
+    // ids from fresh files, DV-masked rows absent — so SQL-route
+    // consumers (JDBC, catalog tables) get lineage without the Scala
+    // API. Ids are engine-private; requires pin scan==API agreement
+    // and uniqueness, the COMPARED output is the survivor content the
+    // oracle recomputes.
+    "s75_rowid_scan" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txrid_scan"
+      TxLog.drop(s, base)
+      val od = t(s, dir, "orders").select(
+        col("o_orderkey").cast("int").as("k"),
+        (col("o_orderkey") % 100).cast("int").as("v"))
+      TxLog.commit(od.where(col("k") < 2000)
+        .repartitionByRange(4, col("k")), base, None, Some("k"))
+      TxLog.enableRowTracking(s, base)
+      // rewrite MATERIALIZES ids; the append's ids come from its span
+      TxLog.compact(s, base, 1000000L, 2000000L)
+      TxLog.append(od.where(col("k") >= 2000 && col("k") < 2400)
+        .coalesce(1), base, Some("k"))
+      // MOR delete: masked rows must vanish from the id surface too
+      TxLog.deleteRangeMor(s, base, "k", 500L, 800L)
+      val scan = s.read.format("graft.sources.TxLogSource")
+        .option("rowIds", "true").load(base)
+      val api = TxLog.readWithRowIds(s, base)
+        .select("k", "v", "_row_id")
+      require(scan.select("k", "v", "_row_id").exceptAll(api).isEmpty &&
+        api.exceptAll(scan.select("k", "v", "_row_id")).isEmpty,
+        "the scan option and the API verb must serve one id surface")
+      val n = scan.count()
+      require(scan.select("_row_id").distinct().count() == n,
+        "stable ids must be unique")
+      scan.groupBy("v")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"))
+        .orderBy("v")
+    }),
+
+    // Row-id lineage END-TO-END (the payoff of row tracking + the
+    // DSv2 rowIds STREAM): a replica keyed ONLY by the stable
+    // `_row_id` consumes the snapshot stream — the MOR update's
+    // post-image arrives in a later batch under the SAME id its
+    // target row was born with (inherited + materialized at update
+    // time), so an id-keyed latest-wins merge reconstructs the
+    // source without ever seeing a delete. The helper requires
+    // replica ≡ source bit-for-bit and unique ids; the oracle
+    // recomputes the final state from orders.
+    "stream_txlog_lineage" -> ((s, dir) =>
+      graft.streaming.StreamingOps.rowIdLineagePipeline(s, dir)
+        .groupBy("v")
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"))
+        .orderBy("v")),
+
+    // In-commit timestamps (Delta 4.0 ICT): every commit writes its
+    // own wall-clock stamp into the manifest, so TIMESTAMP AS OF is a
+    // property of the LOG — the witness COPIES the whole table
+    // directory, scrambles every manifest mtime a day into the
+    // future (what a backup restore / storage migration does), and
+    // time-travels the COPY at the original instants. Resolution by
+    // mtime would serve the wrong version; the requires pin both
+    // versions and the compared output is v1's content.
+    "s76_ict_time_travel" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txict_orders"
+      val copy = Ingest.fixtureDir(dir) + "/txict_copy"
+      TxLog.drop(s, base)
+      val od = t(s, dir, "orders").select(
+        col("o_orderkey").cast("int").as("k"),
+        col("o_totalprice").cast("double").as("price"))
+      TxLog.commit(od.where(col("k") < 1000)
+        .repartitionByRange(2, col("k")), base, None, Some("k"))
+      TxLog.append(od.where(col("k") >= 1000 && col("k") < 1400),
+        base, Some("k"))
+      val t1 = TxLog.ictOf(s, base, 1L).getOrElse(
+        sys.error("v1 must carry an in-commit stamp"))
+      val t2 = TxLog.ictOf(s, base, 2L).getOrElse(
+        sys.error("v2 must carry an in-commit stamp"))
+      require(t1 < t2, "stamps are strictly monotonic")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(copy))
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(base), new java.io.File(copy))
+      val far = t2 + 86400000L
+      java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$copy/${TxLog.LogDir}")).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(far)))
+      TxLog.cachePurge(copy)
+      require(TxLog.versionAtTimestamp(s, copy, t1) == 1L &&
+        TxLog.versionAtTimestamp(s, copy, t2) == 2L &&
+        TxLog.versionAtTimestamp(s, copy, t2 - 1) == 1L,
+        "the copy must resolve by the in-commit stamps, not the " +
+          "rewritten mtimes")
+      TxLog.readTimestampAsOf(s, copy, t1)
+        .groupBy((col("k") % 10).cast("int").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,6)")).cast("double")
+            .as("sum_price"))
+        .orderBy("grp")
+    }),
+
     // Maintenance SQL grammar (the injectParser rung): OPTIMIZE
     // bin-packs straggler appends and VACUUM trims history, both as
     // plain SQL a JDBC operator could issue — the requires pin that
@@ -2491,6 +2592,27 @@ object RegistryMaint {
                 cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                   AS sum_price
          FROM merged GROUP BY 1 ORDER BY 1""",
+    "stream_txlog_lineage" ->
+      """WITH t AS (SELECT cast(o_orderkey AS BIGINT) AS k,
+                           cast(o_orderkey % 50 AS INTEGER) +
+                             CASE WHEN o_orderkey BETWEEN 200 AND 400
+                                  THEN 1000 ELSE 0 END AS v
+                    FROM orders WHERE o_orderkey < 1800)
+         SELECT v, count(*) AS n, cast(sum(k) AS BIGINT) AS sum_k
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "s76_ict_time_travel" ->
+      """SELECT cast(o_orderkey % 10 AS INTEGER) AS grp, count(*) AS n,
+                cast(sum(cast(cast(o_totalprice AS DOUBLE)
+                  AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+         FROM orders WHERE o_orderkey < 1000
+         GROUP BY 1 ORDER BY 1""",
+    "s75_rowid_scan" ->
+      """WITH t AS (SELECT cast(o_orderkey AS INTEGER) AS k,
+                           cast(o_orderkey % 100 AS INTEGER) AS v
+                    FROM orders WHERE o_orderkey < 2400)
+         SELECT v, count(*) AS n, cast(sum(k) AS BIGINT) AS sum_k
+         FROM t WHERE k NOT BETWEEN 500 AND 800
+         GROUP BY 1 ORDER BY 1""",
     "s74_row_tracking" ->
       """SELECT cast(o_orderkey AS INTEGER) AS k,
                 cast(o_orderkey * 3 AS INTEGER) AS v_pre,

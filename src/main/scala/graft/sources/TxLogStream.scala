@@ -123,11 +123,13 @@ class TxLogSource extends TableProvider {
       fields :+= StructField(TxLogSource.ChangeTypeCol, StringType,
         nullable = false)
     if (TxLogSource.rowIds(options)) {
-      require(!TxLogSource.changeFeed(options),
-        "rowIds applies to snapshot reads; the change feeds have " +
-          "their own lineage surface (a tracked COW update's batch " +
-          "feed already carries _row_id)")
-      require(TxLog.rowIdHighWaterOf(spark, base, target).isDefined,
+      // snapshot reads need tracking at the TARGET (API parity with
+      // readVersionWithRowIds); change feeds replay pre-enablement
+      // versions too, so they only need tracking at the latest —
+      // earlier versions serve ids through the enablement backfill
+      // (files still live at enable) or honest NULL (removed before)
+      val rv = if (TxLogSource.changeFeed(options)) latest else target
+      require(TxLog.rowIdHighWaterOf(spark, base, rv).isDefined,
         s"rowIds=true needs row tracking enabled on $base " +
           "(TxLog.enableRowTracking / ALTER TABLE ... SET " +
           "TBLPROPERTIES ('graft.rowTracking'='true'))")
@@ -147,11 +149,16 @@ class TxLogSource extends TableProvider {
 object TxLogSource {
   val CommitVersionCol = "_commit_version"
   val ChangeTypeCol = "_change_type"
-  /** Snapshot-read surface of row tracking: `option("rowIds","true")`
-    * adds a `_row_id` column — the STABLE id ([[TxLog.readWithRowIds]]
+  /** Row-tracking lineage surface: `option("rowIds","true")` adds a
+    * `_row_id` column — the STABLE id ([[TxLog.readWithRowIds]]
     * semantics: materialized column wins, else file base + row
-    * ordinal). Batch reads only (a streaming lineage feed is a
-    * next-round surface); requires row tracking enabled. */
+    * ordinal). Composes with every read shape: batch snapshots,
+    * versionAsOf time travel, the batch change feeds, the snapshot
+    * stream AND the CDF stream (ids need no per-epoch coordination —
+    * they are per-FILE spans, invariant under micro-batch slicing).
+    * Pre-enablement versions in a replayed feed serve the id the file
+    * was assigned at enablement (same physical rows) or NULL if the
+    * file died before tracking began. Requires row tracking enabled. */
   val RowIdMetaCol = "_row_id"
 
   /** Driver-side LRU of inferred union schemas, keyed by (base,
@@ -197,8 +204,16 @@ object TxLogSource {
         declared.getOrElse(throw new IllegalArgumentException(
           s"version $target of $base references no data files"))
       else {
-        val inferred =
-          spark.read.option("mergeSchema", "true").parquet(files: _*).schema
+        // the materialized row-id column is engine-internal: every
+        // user-facing surface hides it (TxLog.read drops it the same
+        // way) — without this filter a tracked-and-rewritten table
+        // would leak `__row_id` as a data column, and a rowIds=true
+        // scan would project it TWICE (the parquet-mr automaton
+        // rejects the duplicate leaf)
+        val inferred = StructType(
+          spark.read.option("mergeSchema", "true").parquet(files: _*)
+            .schema.fields.filterNot(
+              _.name.equalsIgnoreCase(TxLog.RowIdCol)))
         cmap match {
           case Some(cm) =>
             // mapped table: serve the logical projection in mapping
@@ -889,8 +904,44 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
                 changeTypes: Boolean = false,
                 physMap: Map[String, String] = Map.empty,
                 maxFilesPerTrigger: Option[Long] = None,
-                rowIds: Boolean = false)
+                private[sources] val rowIds: Boolean = false)
     extends Scan with Batch {
+
+  /** Enablement-backfill map (path → base row id), resolved lazily
+    * and only when a PRE-enablement version must serve ids: enable
+    * stamps a span onto every file live at that version, so a file
+    * replayed at v < vE carries the span it was assigned at vE (the
+    * same physical rows); a file removed before vE never had ids —
+    * its rows serve NULL. vE is found by binary search (tracked
+    * versions form a suffix — tracking is never disabled), so the
+    * cost is O(log versions) manifest-line reads + ONE manifest parse
+    * per scan, not per micro-batch. */
+  private lazy val enableBaseIds: Map[String, Long] = {
+    val spark = SparkSession.active
+    TxLog.latestVersion(spark, base) match {
+      case None => Map.empty
+      case Some(latest) =>
+        def tracked(v: Long): Boolean = scala.util.Try(
+          TxLog.rowIdHighWaterOf(spark, base, v).isDefined).getOrElse(false)
+        if (!tracked(latest)) Map.empty
+        else {
+          var lo = 1L; var hi = latest
+          while (lo < hi) {
+            val mid = lo + (hi - lo) / 2
+            if (tracked(mid)) hi = mid else lo = mid + 1
+          }
+          TxLog.manifest(spark, base, lo)._1
+            .flatMap(e => e.baseRowId.map(b => e.path -> b))
+            .toMap
+        }
+    }
+  }
+
+  /** The base row id this entry's partition serves (None = rowIds off
+    * or the file never got ids). */
+  private[sources] def ridOf(e: TxLog.Entry): Option[Long] =
+    if (!rowIds) None
+    else e.baseRowId.orElse(enableBaseIds.get(e.path))
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -969,7 +1020,8 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
       val masks = TxLogSource.dvPositionsByFile(base, es, conf)
       es.map(e => TxLogInputPartition(TxLog.resolve(base, e.path), v,
         masks.getOrElse(e.path, Array.emptyLongArray),
-        changeType = kind): InputPartition)
+        changeType = kind, baseRowId = ridOf(e),
+        columnarOk = !rowIds): InputPartition)
     }
     val oldMasks = TxLogSource.dvPositionsByFile(base, changed.map(_._1), conf)
     val newMasks = TxLogSource.dvPositionsByFile(base, changed.map(_._2), conf)
@@ -980,11 +1032,13 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
       val back = TxLogSource.diffSorted(o, n)
       (if (dead.nonEmpty)
         Some(TxLogInputPartition(TxLog.resolve(base, newE.path), v,
-          keepOnly = dead, changeType = delKind): InputPartition)
+          keepOnly = dead, changeType = delKind,
+          baseRowId = ridOf(newE)): InputPartition)
       else None) ++
       (if (back.nonEmpty)
         Some(TxLogInputPartition(TxLog.resolve(base, newE.path), v,
-          keepOnly = back, changeType = "insert"): InputPartition)
+          keepOnly = back, changeType = "insert",
+          baseRowId = ridOf(newE)): InputPartition)
       else None)
     }
     masked(removed, delKind) ++ deltas ++ masked(added, insKind)
@@ -1015,7 +1069,7 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
       val masks = TxLogSource.dvPositionsByFile(base, es, conf)
       es.map(e => TxLogInputPartition(TxLog.resolve(base, e.path), v,
         masks.getOrElse(e.path, Array.emptyLongArray),
-        baseRowId = if (rowIds) e.baseRowId else None,
+        baseRowId = ridOf(e),
         // per-row id synthesis needs the row decoder's ordinals
         columnarOk = !rowIds): InputPartition)
     }
@@ -1037,11 +1091,6 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(!rowIds,
-      "rowIds is a batch-read option; a streaming lineage feed would " +
-        "need per-epoch id coordination and is not supported (the " +
-        "batch change feed of a tracked COW update already carries " +
-        "_row_id)")
     require(versionAsOf.isEmpty,
       "versionAsOf is a batch-only option (a stream has no fixed " +
         "target version); use startingVersion to begin after a known " +
@@ -1166,7 +1215,10 @@ class TxLogReaderFactory(
     partition match {
       case p: TxLogInputPartition =>
         constantsAreSuffix && p.columnarOk &&
-          p.dvPositions.isEmpty && p.keepOnly.isEmpty
+          p.dvPositions.isEmpty && p.keepOnly.isEmpty &&
+          // _row_id is synthesized per ROW (base + ordinal coalesced
+          // with the materialized column) — never batch-decodable
+          !required.fieldNames.contains(TxLogSource.RowIdMetaCol)
       case _ => false
     }
 
@@ -1624,7 +1676,9 @@ class TxLogMicroBatchStream(scan: TxLogScan, base: String,
       val es = scan.survivors(es0.slice(fromIdx, toIdx))
       val masks = TxLogSource.dvPositionsByFile(base, es, conf)
       es.map(en => TxLogInputPartition(TxLog.resolve(base, en.path), v,
-        masks.getOrElse(en.path, Array.emptyLongArray)): InputPartition)
+        masks.getOrElse(en.path, Array.emptyLongArray),
+        baseRowId = scan.ridOf(en),
+        columnarOk = !scan.rowIds): InputPartition)
     })
   }
 

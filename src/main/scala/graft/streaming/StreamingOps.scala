@@ -648,4 +648,64 @@ object StreamingOps {
     StreamTune.dropScratch("/tmp/graft_stream_ckpt/" + nonce, srcDir)
     spark.read.parquet(outDir)
   }
+
+  /** Row-id lineage end-to-end (the payoff surface of row tracking +
+    * the DSv2 `rowIds` STREAM): a replica keyed ONLY by the stable
+    * `_row_id` — no business key anywhere — consumes the snapshot
+    * stream and reconstructs the source exactly. The MOR UPDATE's
+    * post-image arrives in a later micro-batch carrying the SAME id
+    * its target row was born with (inherited at update time and
+    * MATERIALIZED into the appended file), so the id-keyed
+    * latest-wins merge replaces the old image without ever seeing a
+    * delete; the pre-enablement initial commit streams with the ids
+    * its files were assigned at enablement. Returns the replica. */
+  def rowIdLineagePipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TxLog
+    val od = graft.sources.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").cast("long").as("k"),
+        (col("o_orderkey") % 50).cast("int").as("v"))
+    val fixtures = graft.sources.Ingest.fixtureDir(sfDir)
+    val src = fixtures + "/rid_src"
+    val rep = fixtures + "/rid_replica"
+    TxLog.drop(spark, src); TxLog.drop(spark, rep)
+    val ckpt = "/tmp/graft_stream_ckpt/rid_" + java.util.UUID.randomUUID()
+    // v1: the table BEFORE tracking (two files); v2: enable (its ids
+    // backfill v1's files — the stream serves them retroactively);
+    // v3: a MOR update whose post-image INHERITS the fired rows' ids;
+    // v4: a fresh append (its own span)
+    TxLog.commit(od.where(col("k") < 1500)
+      .repartitionByRange(2, col("k")), src, None, Some("k"))
+    TxLog.enableRowTracking(spark, src)
+    TxLog.updateRangeMor(spark, src, "k", 200L, 400L,
+      Map("v" -> (col("v") + lit(1000))))
+    TxLog.append(od.where(col("k") >= 1500 && col("k") < 1800),
+      src, Some("k"))
+    val q = spark.readStream.format("graft.sources.TxLogSource")
+      .option("rowIds", "true")
+      .option("maxVersionsPerTrigger", "1") // version order = id order
+      .load(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // latest-wins by the STABLE id: an updated row's new image
+        // lands over its old one; fresh ids append — one O(batch)
+        // merge-on-read commit per micro-batch, zero files rewritten
+        val b = batch.withColumnRenamed("_row_id", "rid")
+        if (TxLog.latestVersion(spark, rep).isEmpty)
+          TxLog.commit(b, rep, None, Some("rid"))
+        else TxLog.mergeMor(spark, rep, b, Seq("rid"), "rid")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val a = TxLog.read(spark, src).select("k", "v")
+    val rd = TxLog.read(spark, rep)
+    val b = rd.select("k", "v")
+    require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "the id-keyed replica must reconstruct the source exactly")
+    require(rd.select("rid").distinct().count() == rd.count(),
+      "replica ids must stay unique across batches")
+    StreamTune.dropScratch(ckpt)
+    b
+  }
 }

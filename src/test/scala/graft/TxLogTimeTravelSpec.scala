@@ -21,12 +21,11 @@ class TxLogTimeTravelSpec extends AnyFunSuite {
 
   private val T0 = 1700000000000L // fixed epoch anchor
 
-  /** Pin version v's commit time to `ts` (mtime of the commit file). */
-  private def pin(base: String, v: Long, ts: Long): Unit = {
-    val p = new Path(f"$base/_log/v$v%020d.txt")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    f.setTimes(p, ts, -1)
-  }
+  /** Pin version v's commit time to `ts` — the in-commit `#ict` stamp
+    * (what resolution reads) plus the file mtime (the pre-ICT
+    * fallback), via the administration verb. */
+  private def pin(base: String, v: Long, ts: Long): Unit =
+    TxLog.setCommitTime(spark, base, v, ts)
 
   test("boundary rule: latest version at-or-before the instant; " +
     "error before the first commit; latest after the last") {
