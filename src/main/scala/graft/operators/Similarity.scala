@@ -77,6 +77,56 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** Int8 SCALAR QUANTIZATION (the SQ8 of Faiss/Milvus, per-vector
+    * max-abs variant): each vector compresses to one `tinyint` code
+    * per dimension — a 4× memory cut against float32 that is what
+    * lets a 100 TB embedding corpus serve from RAM-adjacent storage.
+    * `code_i = floor(x_i / s + 0.5)` with `s = max|x| / 127`
+    * (`floor(+0.5)` instead of round() because its half-handling is
+    * identical in every engine — the codes must be bit-reproducible
+    * for the oracle). The crucial property for search: cosine over
+    * the CODES needs no dequantization at all — the per-vector scales
+    * cancel in the ratio, so quantized cosine is pure small-integer
+    * arithmetic (every intermediate exact in a double; max code
+    * product 127² and realistic dims keep sums ≪ 2^53).
+    *
+    * Output: (idCol, codes array<tinyint>, __scale) — the scale rides
+    * for consumers that need approximate raw dots (dot ≈ s_a·s_b·Σ). */
+  def sq8Quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    graft.sources.Tables.scaled(df.select(col(idCol), col(vecCol)))
+      .withColumn("__scale", expr(
+        s"""greatest(aggregate($vecCol, cast(0.0 as double),
+           |  (acc, x) -> greatest(acc, abs(cast(x as double)))) / 127.0d,
+           |  1e-30d)""".stripMargin))
+      .withColumn("codes", expr(
+        s"""transform($vecCol, x ->
+           |  cast(floor(cast(x as double) / __scale + 0.5d) as tinyint))"""
+          .stripMargin))
+      .drop(vecCol)
+
+  /** Approximate top-k over SQ8 codes: quantize corpus and queries,
+    * rank by integer-cosine (scales cancel — see [[sq8Quantize]]),
+    * same broadcast-queries shape as [[bruteForceTopK]]. At corpus
+    * scale the win is bandwidth: the scan reads 1-byte codes instead
+    * of 4-byte floats, and the dot is small-int multiply-adds.
+    * Output: (query_id, neighbor_id, qcos_sim, rank). */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(sq8Quantize(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"),
+        col("codes").cast("array<double>").as("__qc")))
+    val c = sq8Quantize(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"),
+        col("codes").cast("array<double>").as("__cc"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos_sim", cosine(col("__qc"), col("__cc")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "qcos_sim", "rank")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): pairwise cosine comparison is confined WITHIN
     * pre-assigned clusters (a k-means cell id, here the `clusterCol`),

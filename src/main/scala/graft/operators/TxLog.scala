@@ -225,7 +225,13 @@ object TxLog {
     if (isAbsolute(path)) path else s"$base/$path"
 
   private[graft] def isAbsolute(path: String): Boolean =
-    path.startsWith("/") || path.contains("://")
+    // a URI scheme can arrive in single-slash form ("file:/tmp/x" —
+    // what Path.toUri.toString prints) as well as "scheme://host/…";
+    // the DSv2 route hands scheme-qualified bases to the clone verbs,
+    // so both must read as absolute or a cloned-in reference would
+    // silently resolve RELATIVE to the clone and break every read
+    path.startsWith("/") || path.contains("://") ||
+      (path.contains(":/") && new Path(path).toUri.getScheme != null)
 
   /** Does this file possibly hold rows with `column` in [lo, hi]?
     * Entries without stats on that column must be answered yes. */
@@ -464,7 +470,7 @@ object TxLog {
     * pruning), and an ignorant writer would land files without
     * assigned id spans and drop the high-water line. */
   private[graft] val ReaderVersion = 4
-  private[graft] val WriterVersion = 7 // 7 = row tracking
+  private[graft] val WriterVersion = 8 // 8 = column DEFAULT values
 
   private[graft] def parseProtocolLines(lines: Seq[String])
       : Option[(Int, Int)] =
@@ -1221,6 +1227,37 @@ object TxLog {
       }
     }
 
+  /** `#defaultcol\t<enc(col)>\t<enc(sqlExpr)>` — column DEFAULT values
+    * (Delta's `allowColumnDefaults` writer feature): a CONSTANT
+    * (foldable, no column references — Delta's own restriction) SQL
+    * expression materialized into every FUTURE write that omits the
+    * column. Never applied to existing rows and never a read-time
+    * fill: files that landed without the column keep reading NULL —
+    * Delta draws the same line, which is why its ALTER ADD COLUMN
+    * refuses a DEFAULT clause. Keyed on LOGICAL names like generated
+    * columns; carried forward by every commit; writer-gated (v8) —
+    * an ignorant writer reconstructing meta lines would silently drop
+    * the line and start landing NULLs where the user declared a
+    * fill. */
+  private[graft] def parseDefaultLines(lines: Seq[String])
+      : Seq[(String, String)] =
+    lines.collect { case l if l.startsWith("#defaultcol\t") =>
+      l.split('\t') match {
+        case Array(_, c, ex) => dec(c) -> dec(ex)
+        case other => throw new IllegalStateException(
+          s"malformed default-column line (${other.length} fields)")
+      }
+    }
+
+  def defaultColumnsOf(spark: SparkSession, base: String,
+                       v: Long): Seq[(String, String)] =
+    parseDefaultLines(manifestLines(spark, base, v))
+
+  private[graft] def defaultColumns(spark: SparkSession,
+                                    base: String): Seq[(String, String)] =
+    latestVersion(spark, base)
+      .map(defaultColumnsOf(spark, base, _)).getOrElse(Seq.empty)
+
   /** `#widencol\t<enc(physCol)>\t<enc(typeJson)>` — columns widened by
     * `ALTER COLUMN ... TYPE` (Delta type widening). The line is what
     * tells every reader to request the DECLARED (widened) type
@@ -1502,6 +1539,33 @@ object TxLog {
         val computed = toCompute.foldLeft(logical) { case (d, (c, ex)) =>
           d.withColumn(c, expr(ex)) }
         toPhysicalDf(computed, m)
+    }
+  }
+
+  /** Materialize every declared column DEFAULT a batch OMITS —
+    * write-time fill only (supplied values, including explicit NULL,
+    * always win; nothing is validated — a default is a fallback, not
+    * an invariant). Mirrors [[applyGeneratedColumns]]'s namespace
+    * handling: `df` is physical, default expressions are constants so
+    * no logical view is needed, but the landed column name must be
+    * the PHYSICAL one and the value casts to the declared type. */
+  private def applyDefaultColumns(spark: SparkSession, df: DataFrame,
+                                  dflts: Seq[(String, String)],
+                                  cm: Option[ColMap],
+                                  declared: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    if (dflts.isEmpty) return df
+    dflts.foldLeft(df) { case (d, (c, ex)) =>
+      val phys = cm.map(_.physical(c)).getOrElse(c)
+      if (d.columns.exists(x => x.equalsIgnoreCase(phys) ||
+          x.equalsIgnoreCase(c))) d
+      else {
+        val e0 = expr(ex)
+        val e = declared.flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
+          .map(f => e0.cast(f.dataType)).getOrElse(e0)
+        d.withColumn(phys, e)
+      }
     }
   }
 
@@ -2124,7 +2188,13 @@ object TxLog {
         df.drop(df.columns.filter(x => genPhys.exists(_.equalsIgnoreCase(x))
           || gens.exists(_._1.equalsIgnoreCase(x))).toIndexedSeq: _*)
       }
-    val df2 = applyGeneratedColumns(spark, base, df0, gens, cmapParsed)
+    val df2x = applyGeneratedColumns(spark, base, df0, gens, cmapParsed)
+    // column DEFAULTs: fill whatever the batch omits AFTER generated
+    // compute (a generated column never takes a default — the ALTER
+    // vetoes the combination, so order is only about clarity)
+    val df2 = applyDefaultColumns(spark, df2x,
+      parseDefaultLines(latestLines), cmapParsed,
+      parseSchemaLines(latestLines))
     // widened tables pin every read to the DECLARED schema — a batch
     // carrying a column outside it would land bytes no read can ever
     // serve (silently unreachable data, where an unwidened table
@@ -2657,7 +2727,11 @@ object TxLog {
                                     cdfOp: Option[String] = None,
                                     clusterOverride: Option[Seq[String]] =
                                       None,
-                                    rowIdSeed: Option[Long] = None): Unit = {
+                                    rowIdSeed: Option[Long] = None,
+                                    defaultOverride: Option[Seq[(String, String)]] =
+                                      None,
+                                    clearRowIds: Boolean = false,
+                                    recomputeProtocol: Boolean = false): Unit = {
     // a concurrent vacuum can delete the version this commit diffs
     // against (the committer's snapshot is stale by definition then —
     // its CAS would lose anyway): surface the FileNotFound as a
@@ -2687,6 +2761,11 @@ object TxLog {
                else colMapOverride.orElse(parseColMapLines(latestLines))
     val pspec = partitionOverride.getOrElse(parsePartitionLines(latestLines))
     val gens = generatedOverride.getOrElse(parseGeneratedLines(latestLines))
+    // column DEFAULTs mirror generated columns: logical-name-keyed,
+    // carried forward, reset only by an explicit override (REPLACE
+    // TABLE passes the new DDL's set)
+    val dflt = if (clearColMap) defaultOverride.getOrElse(Seq.empty)
+               else defaultOverride.getOrElse(parseDefaultLines(latestLines))
     // REPLACE TABLE (clearColMap) also resets widenings: the new
     // definition's types bind fresh, and the old widen lines are keyed
     // on the old data files' physical columns
@@ -2702,7 +2781,8 @@ object TxLog {
     // Runs inside the CAS (a lost race re-reads the winner's water),
     // so spans never collide across writers. REPLACE resets lineage.
     val rowHw0 =
-      if (clearColMap) rowIdSeed
+      if (clearRowIds) None // DROP FEATURE rowTracking: unbind the water
+      else if (clearColMap) rowIdSeed
       else rowIdSeed.orElse(parseRowIdLines(latestLines))
     val (entriesR, rowHw) = rowHw0 match {
       case None => (entries, None)
@@ -2721,10 +2801,16 @@ object TxLog {
     // newer table features (Delta's minWriterVersion exists for
     // exactly this). The carried stamp is the max of the table's and
     // ours, so requirements never regress.
-    val (tblR, tblW) = parseProtocolLines(latestLines).getOrElse((1, 1))
-    if (tblW > WriterVersion) throw new IllegalStateException(
-      s"$base requires log writer version $tblW; this engine implements " +
+    val (tblR0, tblW0) = parseProtocolLines(latestLines).getOrElse((1, 1))
+    if (tblW0 > WriterVersion) throw new IllegalStateException(
+      s"$base requires log writer version $tblW0; this engine implements " +
         s"$WriterVersion — upgrade the engine before writing")
+    // DROP FEATURE is the one verb allowed to LOWER the floors: it
+    // recomputes them from the features actually present after the
+    // drop (the write gate above already proved this writer knows
+    // every feature the table carries). Every other commit carries
+    // the max — requirements never regress by accident.
+    val (tblR, tblW) = if (recomputeProtocol) (1, 1) else (tblR0, tblW0)
     // in-commit timestamp (Delta 4.0 ICT): every commit writes its own
     // wall-clock millis, clamped STRICTLY above the parent's stamp —
     // monotonic even across clock skew, and `TIMESTAMP AS OF` stays
@@ -2772,12 +2858,14 @@ object TxLog {
           if (gens.nonEmpty) 4 else 1,
           if (widen.nonEmpty) 5 else 1,
           if (cluster.nonEmpty) 6 else 1,
-          if (rowHw.isDefined) 7 else 1).max}") ++
+          if (rowHw.isDefined) 7 else 1,
+          if (dflt.nonEmpty) 8 else 1).max}") ++
       declared.toSeq.map(s => s"#schema\t${enc(s.json)}") ++
       (if (pspec.nonEmpty) Seq(serPartitionLine(pspec)) else Seq.empty) ++
       (if (cluster.nonEmpty) Seq(serClusterLine(cluster)) else Seq.empty) ++
       widen.map { case (c, dt) => s"#widencol\t${enc(c)}\t${enc(dt.json)}" } ++
       gens.map { case (c, ex) => s"#generatedcol\t${enc(c)}\t${enc(ex)}" } ++
+      dflt.map { case (c, ex) => s"#defaultcol\t${enc(c)}\t${enc(ex)}" } ++
       cmap.toSeq.map(serColMapLine) ++
       cons.toSeq.sortBy(_._1).map { case (n, ex) =>
         s"#constraint\t${enc(n)}\t${enc(ex)}" } ++
@@ -3023,10 +3111,7 @@ object TxLog {
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
       val (entries, txns) = manifest(spark, base, cur)
-      val declared = declaredSchemaOf(spark, base, cur)
-        .getOrElse(scala.util.Try(readVersion(spark, base, cur).schema)
-          .getOrElse(throw new IllegalStateException(
-            s"cannot resolve a schema for $base")))
+      val declared = undeclaredFallbackSchema(spark, base, cur)
       val cm = columnMappingOf(spark, base, cur)
       val fields = clusterBy.map(c =>
         declared.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
@@ -3040,6 +3125,129 @@ object TxLog {
       publishEntries(spark, base, cur + 1L, entries, txns,
         dataChange = false, operation = "CLUSTER BY",
         clusterOverride = Some(phys))
+      cur + 1L
+    }
+  }
+
+  /** The LOGICAL schema a metadata verb should validate against when
+    * the table has no declared `#schema` line: the UNION of the live
+    * files' schemas — never a one-footer read, whose arbitrary footer
+    * order can MISS file-evolved columns and make the verb's
+    * existence checks nondeterministic. Unmapped tables answer from
+    * the cached physical union (physical == logical); mapped tables
+    * pay the mergeSchema read for the translated logical view. */
+  private def undeclaredFallbackSchema(spark: SparkSession, base: String,
+                                       cur: Long)
+      : org.apache.spark.sql.types.StructType =
+    declaredSchemaOf(spark, base, cur).getOrElse(scala.util.Try {
+      if (columnMappingOf(spark, base, cur).isEmpty)
+        cachedPhysUnionSchema(spark, base, cur)
+      else readEvolved(spark, base).schema
+    }.getOrElse(throw new IllegalStateException(
+      s"cannot resolve a schema for $base")))
+
+  /** DDL-time validation of a column DEFAULT expression: it must
+    * parse, resolve against ZERO columns (constant — Delta's own
+    * restriction on `allowColumnDefaults`), and cast to the column's
+    * declared type. Returns nothing; throws loudly, so a typo fails
+    * the ALTER/CREATE, never a later write. */
+  private[graft] def validateDefaultExpr(
+      spark: SparkSession, column: String, ex: String,
+      dtype: org.apache.spark.sql.types.DataType): Unit = {
+    try spark.sessionState.sqlParser.parseExpression(ex)
+    catch { case scala.util.control.NonFatal(e) =>
+      throw new IllegalArgumentException(
+        s"DEFAULT ($ex) for column '$column' does not parse: " +
+          e.getMessage)
+    }
+    // analysis against an EMPTY schema enforces constancy: any column
+    // reference fails resolution (no job, no IO)
+    val analyzed =
+      try spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Nil))
+        .select(org.apache.spark.sql.functions.expr(ex).cast(dtype))
+        .queryExecution.analyzed
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"DEFAULT ($ex) for column '$column' must be a constant " +
+            s"expression castable to ${dtype.sql}: ${e.getMessage}")
+      }
+    val e = analyzed.expressions.head.children.headOption
+      .getOrElse(analyzed.expressions.head)
+    require(e.foldable,
+      s"DEFAULT ($ex) for column '$column' is not a constant " +
+        "(foldable) expression — column defaults cannot reference " +
+        "other columns or non-deterministic functions")
+  }
+
+  /** Evaluate a validated DEFAULT expression to a Catalyst-INTERNAL
+    * constant of the column's type (what the v2 `ColumnDefaultValue`
+    * literal wants; also proves evaluability at DDL time). Pure
+    * driver-side constant folding — analysis over an empty local
+    * frame plus `eval()`, NO Spark job: `columns()` calls this during
+    * query analysis, where launching a job per table load would be
+    * absurd overhead. */
+  private[graft] def evalDefaultExpr(
+      spark: SparkSession, ex: String,
+      dtype: org.apache.spark.sql.types.DataType): Any = {
+    val analyzed = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Nil))
+      .select(org.apache.spark.sql.functions.expr(ex).cast(dtype))
+      .queryExecution.analyzed
+    val e = analyzed.expressions.head match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+      case x => x
+    }
+    require(e.foldable,
+      s"DEFAULT ($ex) must fold to a constant, got: ${e.sql}")
+    e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+  }
+
+  /** `ALTER TABLE t ALTER COLUMN c SET DEFAULT <expr>` / `DROP
+    * DEFAULT` (Delta's `allowColumnDefaults`): a metadata-only commit
+    * binding (or unbinding) a CONSTANT fill for future writes that
+    * omit the column. Existing rows are untouched and files that
+    * landed without the column keep reading NULL — the default is a
+    * write-time fill, never a read-time one (Delta's exact line; its
+    * ALTER ADD COLUMN refuses DEFAULT for the same reason). Vetoed on
+    * generated and identity columns (both already own their value).
+    */
+  def alterColumnDefault(spark: SparkSession, base: String,
+                         column: String, sqlExpr: Option[String],
+                         maxAttempts: Int = 5): Long = {
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val declared = undeclaredFallbackSchema(spark, base, cur)
+      val field = declared.fields.find(_.name.equalsIgnoreCase(column))
+        .getOrElse(throw new IllegalArgumentException(
+          s"DEFAULT target '$column' is not in the table schema " +
+            s"(${declared.fieldNames.mkString(", ")})"))
+      require(!generatedColumnsOf(spark, base, cur)
+          .exists(_._1.equalsIgnoreCase(column)),
+        s"column '$column' is GENERATED ALWAYS AS — it computes its " +
+          "own value; a DEFAULT would never apply")
+      require(!identityOf(spark, base, cur).keys
+          .exists(_.equalsIgnoreCase(column)),
+        s"column '$column' is an IDENTITY column — the high-water " +
+          "allocates its value; a DEFAULT would never apply")
+      sqlExpr.foreach { ex =>
+        validateDefaultExpr(spark, field.name, ex, field.dataType)
+        evalDefaultExpr(spark, ex, field.dataType) // must evaluate NOW
+      }
+      val kept = defaultColumnsOf(spark, base, cur)
+        .filterNot(_._1.equalsIgnoreCase(column))
+      val next = kept ++ sqlExpr.map(field.name -> _).toSeq
+      if (sqlExpr.isEmpty)
+        require(kept.size != defaultColumnsOf(spark, base, cur).size,
+          s"column '$column' has no DEFAULT to drop")
+      publishEntries(spark, base, cur + 1L, entries, txns,
+        dataChange = false,
+        operation = if (sqlExpr.isDefined) "SET DEFAULT" else "DROP DEFAULT",
+        defaultOverride = Some(next))
       cur + 1L
     }
   }
@@ -5513,8 +5721,202 @@ object TxLog {
       // the clone's own commits would land span-less files next to
       // them and the lineage surface would refuse to serve)
       clusterOverride = Some(clusterByOf(spark, srcBase, v)),
-      rowIdSeed = rowIdHighWaterOf(spark, srcBase, v))
+      rowIdSeed = rowIdHighWaterOf(spark, srcBase, v),
+      defaultOverride = Some(defaultColumnsOf(spark, srcBase, v)))
     1L
+  }
+
+  /** Deep clone (Delta `CREATE TABLE ... DEEP CLONE`): materialize an
+    * INDEPENDENT copy of the source's latest snapshot. Every live
+    * data file plus every referenced DV/bloom sidecar dir is copied
+    * into the destination executor-side — one Spark job over the
+    * file list, because at 100 TB the copy IS the job and a
+    * driver-side loop would serialize days of IO through one machine
+    * — and the manifest publishes DESTINATION-relative paths, so the
+    * clone's lifecycle fully decouples: vacuuming or even dropping
+    * the source can never invalidate it (the shallow clone's
+    * documented hazard, closed here). All table metadata rides
+    * exactly as [[cloneShallow]]: constraints, identity high-waters,
+    * column mapping, partition spec, generated columns, widen lines,
+    * clustering keys and the row-id high-water. Entries keep their
+    * stats verbatim (skipping works immediately) and their id spans —
+    * the copied rows ARE the same rows, so row lineage survives the
+    * clone. */
+  def cloneDeep(spark: SparkSession, srcBase: String,
+                dstBase: String): Long = {
+    require(latestVersion(spark, dstBase).isEmpty,
+      s"clone destination $dstBase already has committed versions")
+    val v = latestVersion(spark, srcBase).getOrElse(
+      throw new IllegalStateException(s"no committed version at $srcBase"))
+    def qualify(b: String): String = {
+      val p = new Path(b)
+      if (p.toUri.getScheme == null)
+        fs(b, spark).makeQualified(p).toUri.getPath
+      else p.toString
+    }
+    val srcAbs = qualify(srcBase)
+    val dstAbs = qualify(dstBase)
+    val (entries, _) = manifest(spark, srcBase, v)
+    // Destination-relative home for each source path: relative source
+    // paths keep their shape (txn-dir grouping stays intact, so the
+    // clone's own vacuum liveness walk sees the same structure);
+    // absolute entries (the source was itself a shallow clone) are
+    // re-homed under synthetic txn dirs, indexed so names are unique
+    // by construction.
+    def rehome(path: String, i: Int): String =
+      if (!isAbsolute(path)) path
+      else s"$DataDir/deepclone-$i/${new Path(path).getName}"
+    val filePairs = entries.zipWithIndex.map { case (e, i) =>
+      (resolve(srcAbs, e.path), rehome(e.path, i)) }
+    // Sidecar dirs (DV masks, bloom indexes) copy at dir granularity:
+    // a handful per table, so the driver-side file listing is bounded
+    // metadata, never data.
+    val f = fs(srcBase, spark)
+    val dirPairs = (entries.flatMap(_.dv.map(_.dir)) ++
+      entries.flatMap(_.blooms.map(_.dir))).distinct.zipWithIndex.map {
+      case (d, i) =>
+        val dRel = if (!isAbsolute(d)) d else s"$DataDir/deepclone-dv-$i"
+        (d, resolve(srcAbs, d), dRel)
+    }
+    val sidecarFiles = dirPairs.flatMap { case (_, sAbs, dRel) =>
+      f.listStatus(new Path(sAbs)).toSeq.filter(_.isFile).map(st =>
+        (st.getPath.toString, s"$dRel/${st.getPath.getName}"))
+    }
+    val dirMap = dirPairs.map { case (orig, _, dRel) => orig -> dRel }.toMap
+    val allPairs = (filePairs ++ sidecarFiles).map { case (s0, dRel) =>
+      (s0, s"$dstAbs/$dRel") }
+    if (allPairs.nonEmpty) {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val slices = math.max(1, math.min(allPairs.size,
+        spark.sparkContext.defaultParallelism * 2))
+      spark.sparkContext.parallelize(allPairs, slices).foreach {
+        case (srcP, dstP) =>
+          val sp = new Path(srcP)
+          val dp = new Path(dstP)
+          org.apache.hadoop.fs.FileUtil.copy(
+            sp.getFileSystem(conf.value), sp,
+            dp.getFileSystem(conf.value), dp,
+            false, true, conf.value)
+      }
+    }
+    val cloned = entries.zipWithIndex.map { case (e, i) => e.copy(
+      path = rehome(e.path, i),
+      dv = e.dv.map(d => d.copy(dir = dirMap(d.dir))),
+      blooms = e.blooms.map(b => b.copy(dir = dirMap(b.dir))))
+    }
+    publishEntries(spark, dstBase, 1L, cloned, Map.empty,
+      Some(constraintsOf(spark, srcBase, v)), operation = "CLONE DEEP",
+      identityOverride = Some(identityOf(spark, srcBase, v)),
+      declaredSchemaOverride = declaredSchemaOf(spark, srcBase, v),
+      colMapOverride = columnMappingOf(spark, srcBase, v),
+      partitionOverride = Some(partitionSpecOf(spark, srcBase, v)),
+      generatedOverride = Some(generatedColumnsOf(spark, srcBase, v)),
+      widenOverride = Some(widenedColumnsOf(spark, srcBase, v)),
+      clusterOverride = Some(clusterByOf(spark, srcBase, v)),
+      rowIdSeed = rowIdHighWaterOf(spark, srcBase, v),
+      defaultOverride = Some(defaultColumnsOf(spark, srcBase, v)))
+    1L
+  }
+
+  /** `ALTER TABLE t DROP FEATURE <name>` (Delta 3.4's protocol
+    * downgrade): remove a table feature AND lower the protocol floors
+    * back to what the remaining features demand, so older engine
+    * builds can read/write the table again. The drop is sound only
+    * when no live state still needs the feature, so each branch does
+    * its cleanup in the SAME commit that removes the meta lines:
+    *
+    *  - `rowTracking`: the `#rowid` water and per-entry id spans drop
+    *    (materialized `__row_id` file columns stay physically but are
+    *    reserved-name-hidden from every read surface — same as Delta,
+    *    where dropped row-id columns linger until natural rewrites).
+    *  - `typeWidening`: every live file that may still hold NARROW
+    *    bytes (= files surviving from the first widen version — later
+    *    writes land at the declared width) is rewritten through the
+    *    declared schema; after that one commit, plain footer
+    *    inference serves the table and the `#widencol` pinning is
+    *    genuinely unnecessary — the reader floor falls with it.
+    *  - `clustering` / `columnDefaults`: pure metadata unbinding.
+    *
+    * Because the protocol is stamped PER VERSION, history below the
+    * drop stays sound: time travel to a widened version re-applies
+    * that version's own gates. (Delta needs TRUNCATE HISTORY for
+    * this; here it is an optional storage-reclaim follow-up, not a
+    * correctness requirement.) Returns the published version. */
+  def dropFeature(spark: SparkSession, base: String, feature0: String,
+                  maxAttempts: Int = 5): Long = {
+    val supported =
+      Seq("rowTracking", "typeWidening", "clustering", "columnDefaults")
+    val canon = supported.find(_.equalsIgnoreCase(feature0.trim)).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown table feature '$feature0' — droppable features: " +
+          supported.mkString(", ")))
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      canon match {
+        case "rowTracking" =>
+          require(rowIdHighWaterOf(spark, base, cur).isDefined,
+            s"$base does not have rowTracking enabled")
+          publishEntries(spark, base, cur + 1L,
+            entries.map(_.copy(baseRowId = None)), txns,
+            dataChange = false, operation = "DROP FEATURE rowTracking",
+            clearRowIds = true, recomputeProtocol = true)
+          cur + 1L
+        case "clustering" =>
+          require(clusterByOf(spark, base, cur).nonEmpty,
+            s"$base has no clustering keys")
+          publishEntries(spark, base, cur + 1L, entries, txns,
+            dataChange = false, operation = "DROP FEATURE clustering",
+            clusterOverride = Some(Seq.empty), recomputeProtocol = true)
+          cur + 1L
+        case "columnDefaults" =>
+          require(defaultColumnsOf(spark, base, cur).nonEmpty,
+            s"$base has no column defaults")
+          publishEntries(spark, base, cur + 1L, entries, txns,
+            dataChange = false, operation = "DROP FEATURE columnDefaults",
+            defaultOverride = Some(Seq.empty), recomputeProtocol = true)
+          cur + 1L
+        case "typeWidening" =>
+          require(widenedColumnsOf(spark, base, cur).nonEmpty,
+            s"$base has no widened columns")
+          // files that can still hold narrow bytes are exactly those
+          // carried from the FIRST widen version (the widen commit is
+          // metadata-only, and every later write lands at the declared
+          // width). A vacuumed-away first-widen snapshot degrades to
+          // the conservative full rewrite — Delta's worst case too.
+          val firstWiden = (1L to cur).find(v =>
+            scala.util.Try(widenedColumnsOf(spark, base, v))
+              .toOption.exists(_.nonEmpty))
+          val narrowPaths: Option[Set[String]] = firstWiden.flatMap(w =>
+            scala.util.Try(
+              snapshotEntries(spark, base, w).map(_.path).toSet).toOption)
+          val (narrow, carried) = narrowPaths match {
+            case Some(ps) => entries.partition(e => ps.contains(e.path))
+            case None => (entries, Seq.empty[Entry])
+          }
+          val rewritten =
+            if (narrow.isEmpty) Seq.empty
+            else {
+              val df = readEntriesCurrent(spark, base, narrow,
+                withRowIds = true)
+              landEntriesMulti(df, base,
+                preservedStatsCols(narrow, Seq.empty, df.schema))
+                .filter(_.rows != 0L)
+            }
+          try {
+            publishEntries(spark, base, cur + 1L, carried ++ rewritten,
+              txns, dataChange = false,
+              operation = "DROP FEATURE typeWidening",
+              widenOverride = Some(Seq.empty), recomputeProtocol = true)
+            cur + 1L
+          } catch {
+            case e: CommitConflictException =>
+              discard(spark, base, rewritten.map(_.path)); throw e
+          }
+      }
+    }
   }
 
   /** Retention vacuum: drop all but the newest `keepLast` manifests,

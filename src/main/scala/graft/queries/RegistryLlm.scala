@@ -854,6 +854,21 @@ object RegistryLlm {
         .orderBy("query_id", "rank")
     }),
 
+    // SQ8 scalar-quantized ANN (the Faiss/Milvus int8 recipe): each
+    // vector compresses to 1-byte-per-dim codes (4× less scan
+    // bandwidth than float32 — the lever that lets a 100 TB embedding
+    // corpus serve kNN from commodity storage) and cosine runs on the
+    // CODES with zero dequantization — per-vector scales cancel in
+    // the ratio, so the whole search is exact small-integer
+    // arithmetic, bit-reproducible by the oracle. floor(x/s + 0.5)
+    // quantization (identical half-handling in every engine).
+    "llm_knn_sq8" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.sq8TopK(e, e.where(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF-style ANN: seeded coarse quantizer, probe 2 cells, exact
     // top-3 within them — candidate volume ~ nProbe·N/K per query.
     "llm_knn_ivf" -> ((s, dir) => {
@@ -2093,6 +2108,26 @@ object RegistryLlm {
                   (acc, x) -> (acc * 131 + x) % 1000000007), 0) AS rolling_fp,
                 md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS md5_fp
          FROM documents ORDER BY doc_id""",
+    "llm_knn_sq8" ->
+      """WITH base AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+         sq AS (SELECT vec_id,
+                  list_transform(v, x -> floor(x /
+                    greatest(list_max(list_transform(v, y -> abs(y)))
+                             / 127.0, 1e-30) + 0.5)) AS c
+                FROM base),
+         q AS (SELECT vec_id AS qid, c AS qc FROM sq WHERE vec_id % 50 = 0),
+         scored AS (
+           SELECT qid, e.vec_id AS nid,
+                  round(list_cosine_similarity(qc, e.c), 4) AS cs
+           FROM q JOIN sq e ON e.vec_id <> qid),
+         ranked AS (
+           SELECT qid AS query_id, nid AS neighbor_id, cs AS qcos_sim,
+                  cast(row_number() OVER (PARTITION BY qid
+                    ORDER BY cs DESC, nid ASC) AS INTEGER) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, qcos_sim, rank FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "llm_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, cast(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id % 50 = 0),

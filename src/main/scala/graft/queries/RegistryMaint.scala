@@ -1075,6 +1075,134 @@ object RegistryMaint {
         .orderBy("grp")
     }),
 
+    // Deep clone (Delta CREATE TABLE ... DEEP CLONE): an INDEPENDENT
+    // materialized copy — every data file and DV sidecar is copied
+    // EXECUTOR-side (one Spark job over the file list; at 100 TB the
+    // copy IS the job, a driver loop would serialize days of IO), and
+    // the manifest publishes dst-relative paths. The requires prove
+    // the decoupling shallow clones can't give: the SOURCE IS DROPPED
+    // before the clone is read. Routed over the SQL grammar
+    // (CREATE TABLE ... DEEP CLONE ... LOCATION). Oracle: the content
+    // aggregate, masked rows excluded (the DV rides the copy).
+    "s77_deep_clone" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txclone_src"
+      val dst = Ingest.fixtureDir(dir) + "/txclone_deep"
+      TxLog.drop(s, base); TxLog.drop(s, dst)
+      val od = t(s, dir, "orders").where(col("o_orderkey") < 1600)
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").cast("double").as("price"))
+      TxLog.commit(od.repartitionByRange(4, col("k")), base, None, Some("k"))
+      TxLog.deleteRangeMor(s, base, "k", 300L, 700L)
+      graft.sources.TxLogSqlDml.ensureInjected(s)
+      val sqlS = s.newSession()
+      sqlS.sql("DROP TABLE IF EXISTS txclone_w")
+      sqlS.sql("CREATE TABLE txclone_w USING graft.sources.TxLogSource " +
+        s"OPTIONS (path '$base')")
+      try {
+        val r = sqlS.sql("CREATE TABLE tx_deep DEEP CLONE txclone_w " +
+          s"LOCATION '$dst'").collect()
+        require(r.head.getLong(1) == 1L, "a clone publishes version 1")
+      } finally sqlS.sql("DROP TABLE IF EXISTS txclone_w")
+      val entries = TxLog.manifest(s, dst, 1L)._1
+      require(entries.forall(e =>
+        !e.path.startsWith("/") && !e.path.contains("://")),
+        "deep clone must hold dst-relative paths only")
+      require(entries.exists(_.dv.isDefined),
+        "the DV mask must ride the clone")
+      TxLog.drop(s, base) // the decoupling law
+      TxLog.cachePurge(dst)
+      TxLog.read(s, dst)
+        .groupBy((col("k") % 7).cast("int").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,6)")).cast("double")
+            .as("sum_price"))
+        .orderBy("grp")
+    }),
+
+    // Column DEFAULT values (Delta's allowColumnDefaults): a constant
+    // fill for FUTURE writes that omit the column — and only future
+    // writes. The fixture walks the full lifecycle: rows land before
+    // the column exists (read NULL forever — never a read-time
+    // backfill), an ADD COLUMNS + SET DEFAULT binds the fill, an
+    // omitting append takes it, a supplying append overrides it.
+    // Oracle: the per-tier aggregate, with the NULL tier made
+    // explicit.
+    "s78_column_defaults" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txdflt_orders"
+      TxLog.drop(s, base)
+      val od = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").cast("double").as("price"))
+      TxLog.commit(od.where(col("k") < 1200)
+        .repartitionByRange(2, col("k")), base, None, Some("k"))
+      TxLog.alterAddColumns(s, base,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tier",
+            org.apache.spark.sql.types.StringType))))
+      TxLog.alterColumnDefault(s, base, "tier", Some("'std'"))
+      TxLog.append(od.where(col("k") >= 1200 && col("k") < 2400),
+        base, Some("k"))                             // omitted → 'std'
+      TxLog.append(od.where(col("k") >= 2400 && col("k") < 3000)
+        .withColumn("tier", lit("vip")), base, Some("k")) // supplied wins
+      TxLog.readEvolved(s, base)
+        .groupBy(coalesce(col("tier"), lit("none")).as("tier"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,6)")).cast("double")
+            .as("sum_price"))
+        .orderBy("tier")
+    }),
+
+    // DROP FEATURE (Delta 3.4's protocol downgrade): the verb that
+    // lets an OLDER engine build read/write a long-lived table again.
+    // The fixture loads the table with rowTracking + a type widening,
+    // drops both over SQL, and the requires pin what makes the drop
+    // sound: typeWidening's in-commit cleanup rewrites the narrow
+    // files (so PLAIN footer inference — no #widencol pinning —
+    // serves the table, proven by a raw mergeSchema read), and the
+    // protocol floors genuinely FALL back to (1,1). Oracle: the
+    // content aggregate.
+    "s79_drop_feature" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txdropf_orders"
+      TxLog.drop(s, base)
+      val od = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").cast("double").as("price"))
+      TxLog.commit(od.where(col("k") < 2000)
+        .select(col("k").cast("int").as("k"), col("price"))
+        .repartitionByRange(3, col("k")), base, None, Some("k"))
+      TxLog.enableRowTracking(s, base)
+      TxLog.alterWidenColumn(s, base, "k",
+        org.apache.spark.sql.types.LongType)
+      TxLog.append(od.where(col("k") >= 2000 && col("k") < 3000),
+        base, Some("k")) // lands wide
+      graft.sources.TxLogSqlDml.ensureInjected(s)
+      val sqlS = s.newSession()
+      sqlS.sql("DROP TABLE IF EXISTS txdropf_reg_w")
+      sqlS.sql("CREATE TABLE txdropf_reg_w USING graft.sources.TxLogSource " +
+        s"OPTIONS (path '$base')")
+      try {
+        sqlS.sql("ALTER TABLE txdropf_reg_w DROP FEATURE typeWidening")
+        sqlS.sql("ALTER TABLE txdropf_reg_w DROP FEATURE rowTracking")
+      } finally sqlS.sql("DROP TABLE IF EXISTS txdropf_reg_w")
+      val detail = TxLog.describeDetail(s, base).head()
+      require(detail.getAs[Int]("min_writer_version") == 1 &&
+        detail.getAs[Int]("min_reader_version") == 1,
+        "the floors must fall back to (1,1)")
+      val live = TxLog.manifest(s, base,
+        TxLog.latestVersion(s, base).get)._1
+      val raw = s.read.option("mergeSchema", "true")
+        .parquet(live.map(e => TxLog.resolve(base, e.path)): _*)
+      require(raw.schema("k").dataType ==
+        org.apache.spark.sql.types.LongType,
+        "plain inference must serve the uniform wide type post-drop")
+      TxLog.read(s, base)
+        .groupBy((col("k") % 9).cast("int").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,6)")).cast("double")
+            .as("sum_price"))
+        .orderBy("grp")
+    }),
+
     // Maintenance SQL grammar (the injectParser rung): OPTIMIZE
     // bin-packs straggler appends and VACUUM trims history, both as
     // plain SQL a JDBC operator could issue — the requires pin that
@@ -2600,6 +2728,34 @@ object RegistryMaint {
                     FROM orders WHERE o_orderkey < 1800)
          SELECT v, count(*) AS n, cast(sum(k) AS BIGINT) AS sum_k
          FROM t GROUP BY 1 ORDER BY 1""",
+    "s79_drop_feature" ->
+      """WITH t AS (SELECT cast(o_orderkey AS BIGINT) AS k,
+                           cast(o_totalprice AS DOUBLE) AS price
+                    FROM orders WHERE o_orderkey < 3000)
+         SELECT cast(k % 9 AS INTEGER) AS grp, count(*) AS n,
+                cast(sum(cast(price AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_price
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "s78_column_defaults" ->
+      """WITH t AS (SELECT cast(o_orderkey AS BIGINT) AS k,
+                           cast(o_totalprice AS DOUBLE) AS price,
+                           CASE WHEN o_orderkey < 1200 THEN 'none'
+                                WHEN o_orderkey < 2400 THEN 'std'
+                                ELSE 'vip' END AS tier
+                    FROM orders WHERE o_orderkey < 3000)
+         SELECT tier, count(*) AS n,
+                cast(sum(cast(price AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_price
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "s77_deep_clone" ->
+      """WITH t AS (SELECT cast(o_orderkey AS BIGINT) AS k,
+                           cast(o_totalprice AS DOUBLE) AS price
+                    FROM orders WHERE o_orderkey < 1600)
+         SELECT cast(k % 7 AS INTEGER) AS grp, count(*) AS n,
+                cast(sum(cast(price AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_price
+         FROM t WHERE k NOT BETWEEN 300 AND 700
+         GROUP BY 1 ORDER BY 1""",
     "s76_ict_time_travel" ->
       """SELECT cast(o_orderkey % 10 AS INTEGER) AS grp, count(*) AS n,
                 cast(sum(cast(cast(o_totalprice AS DOUBLE)

@@ -80,6 +80,11 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
     new Path((warehouse +: namespace.map(checkPart)).mkString("/"))
   private def tableDir(ident: Identifier): Path =
     new Path(nsDir(ident.namespace()), checkPart(ident.name()))
+  /** Where `ident` lives (whether or not it exists yet) — the CLONE
+    * command resolves its destination through this, since the layout
+    * IS the catalog and a table materializes by writing there. */
+  private[sources] def tableLocation(ident: Identifier): String =
+    tableDir(ident).toString
   private def isTableDir(p: Path): Boolean =
     fs.exists(new Path(p, TxLog.LogDir))
 
@@ -182,9 +187,15 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
     * merge/CDC verbs, which advance the water past source ids). */
   private def columnsMeta(
       columns: Array[org.apache.spark.sql.connector.catalog.Column])
-      : (StructType, Seq[(String, String)], Map[String, Long]) = {
+      : (StructType, Seq[(String, String)], Map[String, Long],
+         Seq[(String, String)]) = {
     val gens = columns.toSeq.flatMap(c =>
       Option(c.generationExpression()).map(c.name -> _))
+    // `c INT DEFAULT 7` rides the v2 Column first-class; persist the
+    // SQL text — the log re-validates and re-evaluates per version
+    val dflts = columns.toSeq.flatMap(c =>
+      Option(c.defaultValue()).flatMap(d => Option(d.getSql))
+        .map(c.name -> _))
     val idents = columns.toSeq.flatMap(c =>
       Option(c.identityColumnSpec()).map(c.name -> _))
     idents.foreach { case (n, spec) =>
@@ -202,15 +213,17 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
       Option(c.comment()).fold(f)(f.withComment)
     })
     (schema, gens,
-      idents.map { case (n, spec) => n -> (spec.getStart - 1L) }.toMap)
+      idents.map { case (n, spec) => n -> (spec.getStart - 1L) }.toMap,
+      dflts)
   }
 
   override def createTable(ident: Identifier,
                            columns: Array[org.apache.spark.sql.connector.catalog.Column],
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    val (schema, gens, seeds) = columnsMeta(columns)
-    createTableImpl(ident, schema, partitions, properties, gens, seeds)
+    val (schema, gens, seeds, dflts) = columnsMeta(columns)
+    createTableImpl(ident, schema, partitions, properties, gens, seeds,
+      dflts)
   }
 
   // ---- atomic CREATE OR REPLACE (StagingTableCatalog) --------------
@@ -257,10 +270,11 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
                     partitions: Array[Transform],
                     mustExist: Boolean, allowReplace: Boolean)
       : org.apache.spark.sql.connector.catalog.StagedTable = {
-    val (schema, gens, seeds) = columnsMeta(columns)
+    val (schema, gens, seeds, dflts) = columnsMeta(columns)
     // fail the DDL statement itself on a bad generation expression —
     // never stage (let alone publish) a table whose writes cannot land
     TxLog.validateGeneratedExprs(spark, schema, gens)
+    validateDefaults(schema, gens, seeds.keySet, dflts)
     val pspec = pspecOf(schema, partitions)
     val dir = tableDir(ident)
     if (!isTableDir(dir) && fs.exists(dir))
@@ -268,7 +282,7 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
         s"cannot CREATE TABLE at ${ident.namespace().mkString(".")}" +
           s".${ident.name()}: a namespace directory already exists there")
     new StagedTxLogTable(dir.toString, ident, schema, pspec, gens, seeds,
-      mustExist, allowReplace, this)
+      mustExist, allowReplace, this, dflts)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -278,7 +292,11 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
       schema.fields.toSeq.flatMap(f =>
         org.apache.spark.sql.catalyst.util.GeneratedColumn
           .getGenerationExpression(f).map(f.name -> _)),
-      Map.empty)
+      Map.empty,
+      schema.fields.toSeq.flatMap(f =>
+        if (f.metadata.contains("CURRENT_DEFAULT"))
+          Some(f.name -> f.metadata.getString("CURRENT_DEFAULT"))
+        else None))
 
   /** PARTITIONED BY (col, ...) — identity transforms only (Delta's
     * own constraint): each declared column becomes a `#partition`
@@ -310,14 +328,34 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()
   }
 
+  /** DDL-time default validation: constant, castable, and never on a
+    * generated or identity column (both own their value). */
+  private def validateDefaults(schema: StructType,
+                               gens: Seq[(String, String)],
+                               identNames: Set[String],
+                               dflts: Seq[(String, String)]): Unit =
+    dflts.foreach { case (c, ex) =>
+      require(!gens.exists(_._1.equalsIgnoreCase(c)),
+        s"column '$c' is GENERATED ALWAYS AS — a DEFAULT would never apply")
+      require(!identNames.exists(_.equalsIgnoreCase(c)),
+        s"column '$c' is an IDENTITY column — a DEFAULT would never apply")
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"DEFAULT target '$c' is not in the declared schema"))
+      TxLog.validateDefaultExpr(spark, c, ex, f.dataType)
+    }
+
   private def createTableImpl(ident: Identifier, schema: StructType,
                               partitions: Array[Transform],
                               properties: util.Map[String, String],
                               gens: Seq[(String, String)],
-                              identitySeeds: Map[String, Long]): Table = {
+                              identitySeeds: Map[String, Long],
+                              dflts: Seq[(String, String)] = Seq.empty)
+      : Table = {
     // a typo'd GENERATED ALWAYS AS fails the CREATE statement, not
     // every later write against a permanently-poisoned table
     TxLog.validateGeneratedExprs(spark, schema, gens)
+    validateDefaults(schema, gens, identitySeeds.keySet, dflts)
     // `CREATE TABLE ... CLUSTER BY (a, b)` arrives as Spark's
     // cluster_by transform alongside identity partition transforms —
     // split it out and register the keys as the `#cluster` meta line
@@ -362,6 +400,7 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
       identityOverride =
         if (identitySeeds.isEmpty) None else Some(identitySeeds),
       clusterOverride = if (ckeys.isEmpty) None else Some(ckeys),
+      defaultOverride = if (dflts.isEmpty) None else Some(dflts),
       operation = "CREATE TABLE")
     new TxLogTable(schema, dir.toString)
   }
@@ -372,7 +411,8 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** `ALTER TABLE … ADD COLUMNS` → [[TxLog.alterAddColumns]] (a
     * metadata-only versioned commit); `ADD CONSTRAINT c CHECK (…)` /
@@ -440,6 +480,17 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
                 r.fieldNames().mkString("."))
             r.fieldNames()(0)
           })
+      // ALTER COLUMN c SET DEFAULT <expr> / DROP DEFAULT → a
+      // metadata-only commit; Spark encodes DROP as an empty SQL text
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        require(ud.fieldNames().length == 1,
+          s"nested ALTER COLUMN is not supported: " +
+            ud.fieldNames().mkString("."))
+        val sql = Option(ud.newCurrentDefault())
+          .flatMap(d => Option(d.getSql))
+          .orElse(Option(ud.newDefaultValue()))
+          .map(_.trim).filter(_.nonEmpty)
+        TxLog.alterColumnDefault(spark, base, ud.fieldNames()(0), sql)
       // `ALTER TABLE t SET TBLPROPERTIES ('graft.rowTracking'='true')`
       // — the Delta enableRowTracking-property shape
       case sp: TableChange.SetProperty
@@ -579,7 +630,8 @@ class StagedTxLogTable(base: String, ident: Identifier,
                        identitySeeds: Map[String, Long],
                        mustExist: Boolean,
                        allowReplace: Boolean,
-                       catalog: TxLogCatalog)
+                       catalog: TxLogCatalog,
+                       dflts: Seq[(String, String)] = Seq.empty)
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import org.apache.spark.sql.connector.catalog.TableCapability
@@ -659,6 +711,7 @@ class StagedTxLogTable(base: String, ident: Identifier,
         declaredSchemaOverride = Some(tableSchema),
         partitionOverride = Some(pspec),        // empty CLEARS
         generatedOverride = Some(gens),         // empty CLEARS
+        defaultOverride = Some(dflts),          // empty CLEARS
         clearColMap = true,
         operation =
           if (cur.isEmpty) "CREATE TABLE AS SELECT" else "REPLACE TABLE")

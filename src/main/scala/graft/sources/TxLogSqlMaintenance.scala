@@ -31,6 +31,9 @@ import graft.operators.TxLog
   *   RESTORE [TABLE] <t> [TO] TIMESTAMP AS OF 'ts'
   *                    → [[TxLog.versionAtTimestamp]] + [[TxLog.restore]]
   *   CONVERT TO TXLOG '<path>' [STATS (a, b)]  → [[TxLog.convertParquet]]
+  *   CREATE TABLE <dst> SHALLOW|DEEP CLONE <src>
+  *                [LOCATION '<path>']          → [[TxLog.cloneShallow]] /
+  *                                              [[TxLog.cloneDeep]]
   *
   * (Delta's VACUUM retains by AGE; the log's retention unit is
   * versions — stated in the grammar so nobody mistakes the two.)
@@ -84,6 +87,17 @@ object TxLogSqlParser {
       s"""(?:\\s+STATS\\s*\\(([^)]*)\\))?\\s*;?\\s*""").r
   private val ShowPartitionsRe =
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+($Ident)\\s*;?\\s*""".r
+  // Delta 3.4's protocol downgrade; TRUNCATE HISTORY is the optional
+  // storage-reclaim follow-up (here: vacuum to the drop version)
+  private val DropFeatureRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ident)\\s+DROP\\s+FEATURE\\s+(\\w+)""" +
+      s"""(?:\\s+(TRUNCATE\\s+HISTORY))?\\s*;?\\s*""").r
+  // Delta's clone grammar: the destination is either an identifier in
+  // a graft TxLogCatalog (the warehouse layout IS the catalog, so the
+  // clone materializes the table) or an explicit LOCATION path
+  private val CloneRe =
+    (s"""(?is)\\s*CREATE\\s+TABLE\\s+($Ident)\\s+(SHALLOW|DEEP)\\s+""" +
+      s"""CLONE\\s+($Ident)(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*""").r
 
   /** Split a (possibly backtick-quoted) multipart identifier on dots
     * OUTSIDE backticks, so `my.table` stays one part. */
@@ -168,6 +182,11 @@ object TxLogSqlParser {
                 true }
           catch { case scala.util.control.NonFatal(_) => false }
         if (isTx) Some(TxLogShowPartitionsCommand(p)) else None
+      case DropFeatureRe(t, feature, trunc) =>
+        Some(TxLogDropFeatureCommand(parts(t), feature, trunc != null))
+      case CloneRe(dst, kind, src, loc) =>
+        Some(TxLogCloneCommand(parts(dst),
+          deep = kind.equalsIgnoreCase("DEEP"), parts(src), Option(loc)))
       case _ => None
     }
 
@@ -349,5 +368,71 @@ case class TxLogHistoryCommand(table: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val base = TxLogSqlParser.resolveBase(spark, table)
     TxLog.history(spark, base).collect().toSeq
+  }
+}
+
+/** `CREATE TABLE dst SHALLOW|DEEP CLONE src [LOCATION '<path>']` →
+  * [[TxLog.cloneShallow]] / [[TxLog.cloneDeep]]. The destination is
+  * resolved to a store root: an explicit LOCATION wins; otherwise the
+  * identifier must live in a graft [[TxLogCatalog]], whose warehouse
+  * layout IS the catalog — cloning into `<warehouse>/ns/t`
+  * materializes the table, immediately visible to every session
+  * sharing the warehouse. Returns the destination base and the
+  * published version (always 1 — a clone is a new table). */
+case class TxLogCloneCommand(dst: Seq[String], deep: Boolean,
+                             src: Seq[String], location: Option[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("base", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcBase = TxLogSqlParser.resolveBase(spark, src)
+    val dstBase = location.getOrElse {
+      val cm = spark.sessionState.catalogManager
+      // `cat.ns….t` names its catalog explicitly; a bare ident clones
+      // into the CURRENT catalog (iff that is a TxLogCatalog)
+      val explicit = dst.size >= 2 &&
+        (try { cm.catalog(dst.head); true }
+         catch { case scala.util.control.NonFatal(_) => false })
+      val (cat, rest) =
+        if (explicit) (cm.catalog(dst.head), dst.tail)
+        else (cm.currentCatalog, dst)
+      cat match {
+        case c: TxLogCatalog =>
+          require(rest.nonEmpty, "clone destination needs a table name")
+          c.tableLocation(org.apache.spark.sql.connector.catalog.Identifier
+            .of(rest.init.toArray, rest.last))
+        case other => throw new IllegalArgumentException(
+          s"CREATE TABLE ... CLONE resolves its destination through a " +
+            s"graft TxLogCatalog or an explicit LOCATION '<path>'; " +
+            s"'${dst.mkString(".")}' lands in catalog " +
+            s"'${other.name}' (${other.getClass.getName})")
+      }
+    }
+    val v = if (deep) TxLog.cloneDeep(spark, srcBase, dstBase)
+            else TxLog.cloneShallow(spark, srcBase, dstBase)
+    Seq(Row(dstBase, v))
+  }
+}
+
+/** `ALTER TABLE t DROP FEATURE <name> [TRUNCATE HISTORY]` →
+  * [[TxLog.dropFeature]]: remove a table feature, run its in-commit
+  * cleanup (e.g. the narrow-file rewrite for typeWidening), and LOWER
+  * the protocol floors to what the remaining features demand — the
+  * verb that lets an older engine build read/write a long-lived table
+  * again. TRUNCATE HISTORY additionally vacuums every version below
+  * the drop (needed only to reclaim storage; per-version protocol
+  * stamps keep time travel below the drop sound without it). */
+case class TxLogDropFeatureCommand(table: Seq[String], feature: String,
+                                   truncateHistory: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val base = TxLogSqlParser.resolveBase(spark, table)
+    val v = TxLog.dropFeature(spark, base, feature)
+    if (truncateHistory) TxLog.vacuum(spark, base, keepLast = 1)
+    Seq(Row(v))
   }
 }

@@ -608,6 +608,38 @@ class TxLogTable(tableSchema: StructType, base: String,
   override def name(): String = s"txlog($base)"
   override def schema(): StructType = tableSchema
 
+  /** Surface declared column DEFAULTs (`#defaultcol` lines) as v2
+    * `ColumnDefaultValue`s so Spark's analyzer fills them into
+    * INSERTs that omit the column (and `DESCRIBE` renders them).
+    * schema() stays metadata-free on purpose: the default is a
+    * WRITE-time fill — were it in the read schema's field metadata,
+    * Spark's parquet readers would apply it as an EXISTENCE default
+    * and backfill old files that landed without the column, which
+    * must keep reading NULL (Delta's exact semantics). */
+  override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] = {
+    import org.apache.spark.sql.connector.catalog.{Column => V2Column, ColumnDefaultValue}
+    import org.apache.spark.sql.connector.expressions.LiteralValue
+    val spark = SparkSession.active
+    val dflts = scala.util.Try(
+      asOf.orElse(TxLog.latestVersion(spark, base))
+        .map(TxLog.defaultColumnsOf(spark, base, _)).getOrElse(Seq.empty))
+      .getOrElse(Seq.empty)
+    tableSchema.fields.map { f =>
+      dflts.find(_._1.equalsIgnoreCase(f.name)) match {
+        case Some((_, sql)) =>
+          // evalDefaultExpr folds to the Catalyst-INTERNAL constant —
+          // exactly the form the connector LiteralValue carries
+          V2Column.create(f.name, f.dataType, f.nullable, null,
+            new ColumnDefaultValue(sql,
+              org.apache.spark.sql.graftbridge.ColumnBridge.v2Literal(
+                TxLog.evalDefaultExpr(spark, sql, f.dataType),
+                f.dataType)), null)
+        case None => V2Column.create(f.name, f.dataType, f.nullable)
+      }
+    }
+  }
+
   /** The table's CHECK constraints as Spark's native constraint
     * surface (Spark 4 ANSI constraints): every one was validated
     * against existing data when added and is enforced on every write
@@ -730,7 +762,13 @@ class TxLogScanBuilder(full: StructType, base: String,
     }
   }
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // strip field metadata: the relation's attributes may carry
+    // CURRENT_DEFAULT/EXISTS_DEFAULT (from TxLogTable.columns()'s
+    // default surface) and an EXISTS_DEFAULT reaching the parquet
+    // reader would BACKFILL files that landed without the column —
+    // they must keep reading NULL (defaults are write-time only)
+    required = StructType(requiredSchema.fields.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
 
   /** Metadata-only aggregates (the Delta metadata-query optimization):
     * an un-filtered, un-grouped COUNT(*) / MIN(col) / MAX(col) over

@@ -11,6 +11,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * refactor; classic-mode engines like this one still plug in here).
   */
 object ColumnBridge {
+  /** Build a connector-layer literal (`LiteralValue` is
+    * `private[sql]`) — used to surface column DEFAULT values as v2
+    * `ColumnDefaultValue`s. `value` is in Catalyst INTERNAL form. */
+  def v2Literal(value: Any,
+                dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.expressions.Literal[Any] =
+    org.apache.spark.sql.connector.expressions.LiteralValue(value, dt)
+
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 

@@ -40,6 +40,45 @@ class NearDupSimilaritySpec extends AnyFunSuite {
     assert(out.agg(max(abs(col("cos_sim")))).head.getDouble(0) <= 1.0001)
   }
 
+  test("sq8 quantization: codes are genuine tinyint in [-127, 127], " +
+    "quantized cosine tracks exact cosine, and top-1 recall vs brute " +
+    "force is high on the real corpus") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = Similarity.sq8Quantize(e, "vec_id", "embedding")
+    assert(q.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      q.schema("codes").dataType.asInstanceOf[
+        org.apache.spark.sql.types.ArrayType].elementType ==
+        org.apache.spark.sql.types.ByteType,
+      s"codes must be 1-byte (the 4x memory cut IS the feature): " +
+        s"${q.schema("codes").dataType}")
+    val bounds = q.select(
+      max(expr("aggregate(codes, cast(-128 as int), " +
+        "(acc, x) -> greatest(acc, cast(x as int)))")).as("hi"),
+      min(expr("aggregate(codes, cast(128 as int), " +
+        "(acc, x) -> least(acc, cast(x as int)))")).as("lo")).head
+    assert(bounds.getInt(0) <= 127 && bounds.getInt(1) >= -127, bounds)
+    // error + recall law against the exact ranking
+    val queries = e.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id",
+      "embedding", k = 1).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toMap
+    val approx = Similarity.sq8TopK(e, queries, "vec_id",
+      "embedding", k = 1).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("qcos_sim"))).toMap
+    assert(approx.keySet == exact.keySet)
+    val hits = approx.count { case (qid, (nid, _)) => exact(qid)._1 == nid }
+    assert(hits >= (exact.size * 0.8).toInt,
+      s"sq8 top-1 recall too low: $hits/${exact.size}")
+    approx.foreach { case (qid, (_, qcs)) =>
+      assert(math.abs(qcs - exact(qid)._2) < 0.05,
+        s"quantized cosine drifted: q=$qid $qcs vs ${exact(qid)._2}")
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
     val c = df.select(Similarity.cosine(col("a"), col("b")).as("c"))

@@ -227,6 +227,40 @@ class ThriftEndpointSpec extends AnyFunSuite {
           "SELECT count(*) AS n FROM txlog_jdbc_demo")
         assert(cnt.next() && cnt.getLong(1) == 90,
           "OPTIMIZE must not change contents")
+        // column DEFAULTs over JDBC: CREATE with DEFAULT, the analyzer
+        // fills omitted columns, ALTER ... SET DEFAULT rebinds
+        st.execute("DROP TABLE IF EXISTS gthrift.lake.dflt")
+        st.execute("CREATE TABLE gthrift.lake.dflt " +
+          "(k INT, tier STRING DEFAULT 'std') " +
+          "USING graft.sources.TxLogSource")
+        st.execute("INSERT INTO gthrift.lake.dflt (k) VALUES (1)")
+        st.execute("ALTER TABLE gthrift.lake.dflt " +
+          "ALTER COLUMN tier SET DEFAULT 'vip'")
+        st.execute("INSERT INTO gthrift.lake.dflt (k) VALUES (2)")
+        val df = st.executeQuery(
+          "SELECT k, tier FROM gthrift.lake.dflt ORDER BY k")
+        assert(df.next() && df.getInt(1) == 1 && df.getString(2) == "std")
+        assert(df.next() && df.getInt(1) == 2 && df.getString(2) == "vip")
+        // DEEP CLONE over JDBC into the warehouse catalog (no LOCATION
+        // needed — the layout IS the catalog), immediately queryable
+        st.execute("DROP TABLE IF EXISTS gthrift.lake.dflt_copy")
+        val cl = st.executeQuery("CREATE TABLE gthrift.lake.dflt_copy " +
+          "DEEP CLONE gthrift.lake.dflt")
+        assert(cl.next() && cl.getLong(2) == 1L, "clone publishes v1")
+        val cc = st.executeQuery(
+          "SELECT count(*) AS n FROM gthrift.lake.dflt_copy")
+        assert(cc.next() && cc.getLong(1) == 2)
+        // DROP FEATURE over JDBC: the defaults drop and the writer
+        // floor falls on the CLONE, leaving the source untouched
+        st.execute(
+          "ALTER TABLE gthrift.lake.dflt_copy DROP FEATURE columnDefaults")
+        val det = st.executeQuery(
+          "DESCRIBE DETAIL gthrift.lake.dflt_copy")
+        assert(det.next())
+        val src = st.executeQuery("DESCRIBE DETAIL gthrift.lake.dflt")
+        assert(src.next())
+        st.execute("DROP TABLE gthrift.lake.dflt_copy")
+        st.execute("DROP TABLE gthrift.lake.dflt")
       } finally conn.close()
     } finally server.stop()
   }
