@@ -16,6 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.topkFunction)
+    // Delta's SQL CDF surface: SELECT * FROM table_changes('t', 2, 5).
+    // A table-valued function (the injectTableFunction rung) whose
+    // builder resolves the table through the session catalog and
+    // returns the row-precise change-feed plan.
+    ext.injectTableFunction(GraftExtensions.tableChangesFunction)
     // Ladder rung (c): whole-operator planner extension. The strategy
     // self-scopes (fires only on broadcast-declared point-in-interval
     // inner joins, returns Nil otherwise) so injecting it session-wide
@@ -74,5 +79,59 @@ object GraftExtensions {
         agg.bufferEncoder.asInstanceOf[
           org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]])
         .toAggregateExpression()
+    })
+
+  /** `table_changes('<table>', startVersion [, endVersion])` — Delta's
+    * SQL change-data-feed access, as a table-valued function. Both
+    * bounds are INCLUSIVE commit versions (Delta's contract);
+    * endVersion defaults to the table's latest. Output = the
+    * row-precise batch feed ([[graft.operators.TxLog.changesWithDeletes]]:
+    * inserts, deletes, update pre/post images) plus Delta's three
+    * audit columns `_change_type`, `_commit_version`,
+    * `_commit_timestamp` (the in-commit stamp, so the value is a
+    * property of the log, not of file mtimes). The builder runs at
+    * analysis: args must be literals, the table must resolve to a
+    * txlog store through the CURRENT session catalog. */
+  val tableChangesFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = (
+    FunctionIdentifier("table_changes"),
+    new ExpressionInfo("graft.operators.TxLog", "table_changes"),
+    (args: Seq[Expression]) => {
+      require(args.size == 2 || args.size == 3,
+        "table_changes(table, startVersion [, endVersion]) takes a " +
+          "table name and one or two literal versions")
+      def evalLit(e: Expression, what: String): Any = {
+        require(e.foldable, s"table_changes: $what must be a literal")
+        e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      }
+      val spark = org.apache.spark.sql.SparkSession.active
+      val name = String.valueOf(evalLit(args(0), "the table name"))
+      val base = graft.sources.TxLogSqlParser.resolveBase(spark,
+        graft.sources.TxLogSqlParser.parts(name))
+      val latest = graft.operators.TxLog.latestVersion(spark, base)
+        .getOrElse(throw new IllegalStateException(
+          s"no committed version at $base"))
+      def ver(e: Expression, what: String): Long =
+        String.valueOf(evalLit(e, what)).toLong
+      val start = ver(args(1), "startVersion")
+      val end = args.lift(2).map(ver(_, "endVersion")).getOrElse(latest)
+      require(start >= 1 && end >= start && end <= latest,
+        s"table_changes: version range [$start, $end] outside the " +
+          s"committed range [1, $latest]")
+      val df = graft.operators.TxLog.changesWithDeletes(
+        spark, base, start - 1L, end)
+      // ICT stamps ride a tiny broadcast map — never a per-row lookup
+      import org.apache.spark.sql.functions.{broadcast, col, timestamp_millis}
+      val stamps = spark.createDataFrame(
+        (start to end).map(v => (v, graft.operators.TxLog
+          .commitTimestamp(spark, base, v))).toList)
+        .toDF("_commit_version", "__ts_ms")
+      val dataCols = df.columns.filterNot(c =>
+        c == "_commit_version" || c == "_change_type").toSeq
+      df.join(broadcast(stamps), Seq("_commit_version"), "left")
+        .withColumn("_commit_timestamp", timestamp_millis(col("__ts_ms")))
+        .select((dataCols ++ Seq("_change_type", "_commit_version",
+          "_commit_timestamp")).map(col): _*)
+        .queryExecution.analyzed
     })
 }

@@ -102,6 +102,47 @@ object Ivf {
     searchWith(df, queries, idCol, vecCol,
       seeds(df, idCol, vecCol, seedEvery), nProbe, k)
 
+  /** IVF × SQ8 — the production ANN layout (Faiss `IVF*,SQ8`): the
+    * COARSE quantizer runs in full precision (assignment/probing is
+    * K-sized work, precision there is cheap and recall-critical),
+    * while candidate SCORING inside the probed cells — the term
+    * proportional to corpus size — runs on int8 codes: 4× less
+    * candidate bandwidth, integer multiply-adds, zero dequantization
+    * (per-vector scales cancel in the cosine ratio — see
+    * [[Similarity.sq8Quantize]]). Deterministic end to end, so even
+    * the doubly-approximate path keeps a DuckDB oracle. */
+  def searchSq8(df: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, seedEvery: Int, nProbe: Int,
+                k: Int): DataFrame = {
+    val s = broadcast(seeds(df, idCol, vecCol, seedEvery))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("__qs").desc, col("seed_id").asc)
+    val qCodes = Similarity.sq8Quantize(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"),
+        col("codes").cast("array<double>").as("__qc"))
+    val probed = broadcast(q.join(s)
+      .withColumn("__qs", Similarity.cosine(col("__qv"), col("__sv")))
+      .withColumn("__pr", row_number().over(probeW))
+      .where(col("__pr") <= nProbe)
+      .select(col("query_id"), col("seed_id").as("cell"))
+      .join(qCodes, "query_id"))
+    val assigned = assignTo(df, idCol, vecCol, s)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val cands = Similarity.sq8Quantize(df, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"),
+        col("codes").cast("array<double>").as("__cc"))
+      .join(assigned, "neighbor_id")
+      .join(probed, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos_sim", Similarity.cosine(col("__qc"), col("__cc")))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("qcos_sim").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "qcos_sim", "rank")
+  }
+
   /** Per-cell DRIFT of a persisted index: each cell's CURRENT member
     * mean (the exact integer-micro-unit centroid —
     * [[Similarity.groupCentroids]], bit-deterministic) against its

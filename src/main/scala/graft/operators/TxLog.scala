@@ -2628,10 +2628,18 @@ object TxLog {
       val newDeclared = declaredSchemaOf(spark, base, cur).map(ds =>
         org.apache.spark.sql.types.StructType(ds.fields.map(f =>
           if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)))
+      // the DEFAULT binding follows the rename (Delta preserves
+      // column metadata through renames) — leaving it under the old
+      // name would dangle and silently stop filling
+      val newDefaults = defaultColumnsOf(spark, base, cur).map {
+        case (c, ex) if c.equalsIgnoreCase(from) => (to, ex)
+        case other => other
+      }
       publishEntries(spark, base, cur + 1L, entries, txns,
         dataChange = false, operation = "RENAME COLUMN",
         colMapOverride = Some(renamed),
-        declaredSchemaOverride = newDeclared)
+        declaredSchemaOverride = newDeclared,
+        defaultOverride = Some(newDefaults))
       cur + 1L
     }
   }
@@ -2671,7 +2679,12 @@ object TxLog {
       publishEntries(spark, base, cur + 1L, entries, txns,
         dataChange = false, operation = "DROP COLUMN",
         colMapOverride = Some(dropped),
-        declaredSchemaOverride = newDeclared)
+        declaredSchemaOverride = newDeclared,
+        // the column's DEFAULT binding dies with it — a dangling
+        // #defaultcol line would re-materialize the dropped name on
+        // the next write
+        defaultOverride = Some(defaultColumnsOf(spark, base, cur)
+          .filterNot(_._1.equalsIgnoreCase(name))))
       cur + 1L
     }
 
@@ -3411,6 +3424,109 @@ object TxLog {
         bloomDirs.foreach(discardDir(spark, base, _))
         throw e
     }
+  }
+
+  /** Reserved txn-map prefix for [[copyInto]] per-file idempotency
+    * (`copy#<absolute file path>` → source mtime). Riding the `#txn`
+    * map — a v1 protocol feature every writer carries — makes the
+    * loaded-file state exactly-once, checkpoint-durable across
+    * vacuum, and safe against ignorant writers with NO protocol
+    * bump (a new meta kind would need a writer gate to avoid being
+    * reconstructed away). */
+  private[graft] val CopyTxnPrefix = "copy#"
+
+  /** `COPY INTO` (the Databricks/Delta idempotent bulk-load verb —
+    * and the reference's bronze-load shape, `load_bronze_to_table.py`,
+    * as ONE SQL statement): load every file under `srcDir` matching
+    * `pattern` that has NOT been loaded before, in one ACID append.
+    * Already-loaded files (tracked per absolute path in the txn map)
+    * are skipped, so re-running after a crash or on a schedule is
+    * exactly-once per file. The batch rides the full append choke
+    * point — constraints, generated-column compute/validation,
+    * DEFAULT fill, identity guard, widen pinning, partition split,
+    * cluster tiling. When the target declares a schema, source
+    * columns cast to it by NAME; columns the target does not declare
+    * fail loudly (a typo'd source column must not silently evolve the
+    * target); declared columns the source omits fill through the
+    * ordinary NULL/DEFAULT path. Returns (version, filesLoaded,
+    * rowsLoaded) — (current, 0, 0) when everything is already
+    * loaded. */
+  def copyInto(spark: SparkSession, base: String, srcDir: String,
+               format: String, options: Map[String, String] = Map.empty,
+               pattern: Option[String] = None,
+               maxAttempts: Int = 5): (Long, Long, Long) = {
+    val curV0 = latestVersion(spark, base).getOrElse(
+      throw new IllegalStateException(
+        s"COPY INTO target $base does not exist — CREATE TABLE first"))
+    val f = fs(srcDir, spark)
+    val glob = new Path(s"$srcDir/${pattern.getOrElse("*")}")
+    val all = Option(f.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    val loadedAt = manifest(spark, base, curV0)._2
+    val freshAll = all.filterNot(st =>
+      loadedAt.contains(CopyTxnPrefix + st.getPath.toString))
+    if (freshAll.isEmpty) return (curV0, 0L, 0L)
+    val df0 = spark.read.format(format).options(options)
+      .load(freshAll.map(_.getPath.toString): _*)
+    val df = declaredSchemaOf(spark, base, curV0) match {
+      case Some(ds) =>
+        import org.apache.spark.sql.functions.col
+        val unknown = df0.columns.filterNot(c =>
+          ds.fieldNames.exists(_.equalsIgnoreCase(c)))
+        require(unknown.isEmpty,
+          s"COPY INTO: source column(s) ${unknown.mkString(", ")} are " +
+            s"not in the target schema (${ds.fieldNames.mkString(", ")})" +
+            " — COPY never evolves the target; ALTER TABLE ADD COLUMNS " +
+            "first")
+        df0.select(ds.fields.toIndexedSeq
+          .filter(fd => df0.columns.exists(_.equalsIgnoreCase(fd.name)))
+          .map(fd => col(fd.name).cast(fd.dataType).as(fd.name)): _*)
+      case None => df0
+    }
+    // the ordinary append choke point, plus the per-file txn markers
+    // in the SAME commit — the load and its idempotency state are one
+    // atomic publish
+    requireNoRowIdColumn(df)
+    val (tiled, ckeys) = clusterTile(spark, base,
+      toPhysicalIfMapped(spark, base, df))
+    val (entries0, checked0) =
+      landEntriesChecked(tiled, base, ckeys.distinct, guardIdentity = true)
+    val (entries, bloomDirs) = indexNewEntries(spark, base, entries0)
+    var checkedCons = checked0
+    val rows = entries.map(_.rows).filter(_ >= 0).sum
+    var result: (Long, Long, Long) = null
+    try withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base)
+      checkedCons = reEnforceIfChanged(spark, base, entries, checkedCons)
+      val (prev, txns) = cur.map(manifest(spark, base, _))
+        .getOrElse((Seq.empty[Entry], Map.empty[String, Long]))
+      // a RACING COPY INTO may have loaded (some of) our files while
+      // we were landing; the landed batch mixes all files, so any
+      // overlap means this whole batch is a replay — discard and
+      // report zero, exactly-once preserved
+      val overlap = freshAll.exists(st =>
+        txns.contains(CopyTxnPrefix + st.getPath.toString))
+      if (overlap) {
+        discard(spark, base, entries.map(_.path))
+        bloomDirs.foreach(discardDir(spark, base, _))
+        result = (cur.getOrElse(curV0), 0L, 0L)
+      } else {
+        val v = cur.getOrElse(0L) + 1L
+        publishEntries(spark, base, v, prev ++ entries,
+          txns ++ freshAll.map(st =>
+            (CopyTxnPrefix + st.getPath.toString) ->
+              st.getModificationTime),
+          operation = "COPY INTO")
+        result = (v, freshAll.size.toLong, rows)
+      }
+    } catch {
+      case e: CommitConflictException =>
+        discard(spark, base, entries.map(_.path))
+        bloomDirs.foreach(discardDir(spark, base, _))
+        throw e
+    }
+    result
   }
 
   /** Exactly-once append for streaming foreachBatch sinks (Delta's
@@ -5664,6 +5780,23 @@ object TxLog {
       cur + 1L
     }
 
+  /** The source snapshot a clone materializes: the latest version, or
+    * an explicit `VERSION AS OF` pin (Delta clones a time-travel
+    * snapshot identically — the clone then carries THAT version's
+    * metadata: schema, constraints, widen lines, everything). */
+  private def cloneSourceVersion(spark: SparkSession, srcBase: String,
+                                 versionAsOf: Option[Long]): Long = {
+    val latest = latestVersion(spark, srcBase).getOrElse(
+      throw new IllegalStateException(s"no committed version at $srcBase"))
+    versionAsOf match {
+      case Some(v) =>
+        require(v >= 1 && v <= latest,
+          s"cannot clone version $v of a table at version $latest")
+        v
+      case None => latest
+    }
+  }
+
   /** Shallow clone (Delta `CREATE TABLE ... SHALLOW CLONE` analog):
     * publish a version-1 manifest at `dstBase` whose entries
     * REFERENCE the source's current files by ABSOLUTE path — zero
@@ -5677,11 +5810,10 @@ object TxLog {
     * live. The clone starts with an empty txn map (it is a new table
     * for exactly-once purposes). */
   def cloneShallow(spark: SparkSession, srcBase: String,
-                   dstBase: String): Long = {
+                   dstBase: String, versionAsOf: Option[Long] = None): Long = {
     require(latestVersion(spark, dstBase).isEmpty,
       s"clone destination $dstBase already has committed versions")
-    val v = latestVersion(spark, srcBase).getOrElse(
-      throw new IllegalStateException(s"no committed version at $srcBase"))
+    val v = cloneSourceVersion(spark, srcBase, versionAsOf)
     // qualify the source base so the clone's references stay valid
     // from any working directory / filesystem resolution
     val srcAbs = {
@@ -5743,11 +5875,10 @@ object TxLog {
     * the copied rows ARE the same rows, so row lineage survives the
     * clone. */
   def cloneDeep(spark: SparkSession, srcBase: String,
-                dstBase: String): Long = {
+                dstBase: String, versionAsOf: Option[Long] = None): Long = {
     require(latestVersion(spark, dstBase).isEmpty,
       s"clone destination $dstBase already has committed versions")
-    val v = latestVersion(spark, srcBase).getOrElse(
-      throw new IllegalStateException(s"no committed version at $srcBase"))
+    val v = cloneSourceVersion(spark, srcBase, versionAsOf)
     def qualify(b: String): String = {
       val p = new Path(b)
       if (p.toUri.getScheme == null)

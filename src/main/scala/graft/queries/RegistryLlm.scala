@@ -878,6 +878,20 @@ object RegistryLlm {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF × SQ8 (Faiss "IVF*,SQ8" — the production ANN layout): the
+    // coarse quantizer probes in full precision (K-sized work, where
+    // precision is cheap and recall-critical) while candidate scoring
+    // inside the probed cells — the corpus-proportional term — runs
+    // on int8 codes: 4× less candidate bandwidth, zero
+    // dequantization. Both approximations are deterministic, so the
+    // doubly-approximate path still has an exact oracle.
+    "llm_knn_ivf_sq8" -> ((s, dir) => {
+      val e = embs(s, dir)
+      graft.operators.Ivf.searchSq8(e, e.where(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", seedEvery = 50, nProbe = 2, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF with a TRAINED coarse quantizer: the per-label centroids
     // (exact integer-unit means, bit-deterministic) reassembled into
     // vectors and fed to the same broadcast-assign/probe machinery —
@@ -2142,6 +2156,49 @@ object RegistryLlm {
            FROM scored)
          SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "llm_knn_ivf_sq8" ->
+      """WITH base AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+         seeds AS (SELECT vec_id AS seed_id, v AS sv FROM base
+                   WHERE vec_id % 50 = 1),
+         sq AS (SELECT vec_id,
+                  list_transform(v, x -> floor(x /
+                    greatest(list_max(list_transform(v, y -> abs(y)))
+                             / 127.0, 1e-30) + 0.5)) AS c
+                FROM base),
+         assigned AS (
+           SELECT vec_id, seed_id AS cell FROM (
+             SELECT b.vec_id, s.seed_id,
+                    row_number() OVER (PARTITION BY b.vec_id
+                      ORDER BY round(list_cosine_similarity(b.v, s.sv), 4) DESC,
+                               s.seed_id ASC) AS rn
+             FROM base b CROSS JOIN seeds s)
+           WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM base
+               WHERE vec_id % 50 = 0),
+         probed AS (
+           SELECT query_id, seed_id AS cell FROM (
+             SELECT q.query_id, s.seed_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(q.qv, s.sv), 4) DESC,
+                               s.seed_id ASC) AS pr
+             FROM q CROSS JOIN seeds s)
+           WHERE pr <= 2),
+         cands AS (
+           SELECT p.query_id, a.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(qs.c, cs.c), 4) AS cs
+           FROM probed p
+           JOIN assigned a ON a.cell = p.cell
+           JOIN sq cs ON cs.vec_id = a.vec_id
+           JOIN sq qs ON qs.vec_id = p.query_id
+           WHERE a.vec_id <> p.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cs AS qcos_sim,
+                  cast(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cs DESC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM cands)
+         SELECT query_id, neighbor_id, qcos_sim, rank FROM ranked
+         WHERE rank <= 3 ORDER BY query_id, rank""",
     "llm_knn_ivf" ->
       """WITH seeds AS (
            SELECT vec_id AS seed_id, cast(embedding AS DOUBLE[]) AS sv

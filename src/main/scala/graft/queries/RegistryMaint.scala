@@ -1203,6 +1203,109 @@ object RegistryMaint {
         .orderBy("grp")
     }),
 
+    // table_changes('t', start [, end]) — Delta's SQL CDF surface as
+    // a table-valued function (the injectTableFunction rung): a BI
+    // client or dbt model reads the row-precise change feed with ONE
+    // SQL expression, no API access. The requires pin the audit
+    // columns Delta contracts: _commit_timestamp is the in-commit
+    // stamp (non-null, nondecreasing across versions) and the
+    // default endVersion is the table's latest. Oracle: the per-type
+    // change aggregate for versions [2, 3] (an insert batch + a MOR
+    // delete).
+    "s80_table_changes" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txtvf_orders"
+      TxLog.drop(s, base)
+      val od = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").cast("double").as("price"))
+      TxLog.commit(od.where(col("k") < 1000)
+        .repartitionByRange(2, col("k")), base, None, Some("k"))
+      TxLog.append(od.where(col("k") >= 1000 && col("k") < 1600),
+        base, Some("k"))
+      TxLog.deleteRangeMor(s, base, "k", 200L, 400L)
+      graft.sources.TxLogSqlDml.ensureInjected(s)
+      val sqlS = s.newSession()
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerTableFunction(sqlS, graft.GraftExtensions.tableChangesFunction)
+      sqlS.sql("DROP TABLE IF EXISTS txtvf_w")
+      sqlS.sql("CREATE TABLE txtvf_w USING graft.sources.TxLogSource " +
+        s"OPTIONS (path '$base')")
+      try {
+        // audit-column contract over the FULL feed (default end)
+        val ts = sqlS.sql(
+          "SELECT _commit_version AS v, min(_commit_timestamp) AS lo, " +
+            "max(_commit_timestamp) AS hi " +
+            "FROM table_changes('txtvf_w', 1) GROUP BY 1 ORDER BY 1")
+          .collect()
+        require(ts.length == 3 && ts.forall(r =>
+          !r.isNullAt(1) && !r.isNullAt(2)),
+          "every change row must carry the in-commit stamp")
+        require(ts.sliding(2).forall { case Array(a, b) =>
+          !a.getTimestamp(2).after(b.getTimestamp(1)) },
+          "in-commit stamps must be nondecreasing across versions")
+        sqlS.sql(
+          """SELECT _change_type, count(*) AS n,
+                    cast(sum(k) AS BIGINT) AS sum_k
+             FROM table_changes('txtvf_w', 2, 3)
+             GROUP BY 1 ORDER BY 1""")
+      } finally sqlS.sql("DROP TABLE IF EXISTS txtvf_w")
+    }),
+
+    // COPY INTO (Databricks' idempotent bulk load — the reference's
+    // scheduled bronze ingestion, load_bronze_to_table.py, as ONE SQL
+    // verb): only never-loaded files land, in one ACID append; the
+    // per-file markers ride the txn map, so re-running is exactly-once
+    // with no extra state store and no protocol bump. The requires
+    // pin the contract: first run loads both waves, the re-run loads
+    // ZERO, a third file loads alone. Oracle: the content aggregate.
+    "s81_copy_into" -> ((s, dir) => {
+      val src = Ingest.fixtureDir(dir) + "/txcopy_src"
+      val base = Ingest.fixtureDir(dir) + "/txcopy_orders"
+      val fsys = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(src), true)
+      TxLog.drop(s, base)
+      val od = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").cast("double").as("price"))
+      def wave(name: String, lo: Long, hi: Long): Unit = {
+        val tmp = s"$src/__tmp_$name"
+        od.where(col("k") >= lo && col("k") < hi).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = fsys.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+        fsys.rename(part,
+          new org.apache.hadoop.fs.Path(s"$src/$name.parquet"))
+        fsys.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      wave("a", 0L, 1200L); wave("b", 1200L, 2000L)
+      TxLog.append(od.where(col("k") >= 2400 && col("k") < 2600),
+        base, Some("k")) // seeds the table outside the copy waves
+      graft.sources.TxLogSqlDml.ensureInjected(s)
+      val sqlS = s.newSession()
+      sqlS.sql("DROP TABLE IF EXISTS txcopy_reg_w")
+      sqlS.sql("CREATE TABLE txcopy_reg_w USING graft.sources.TxLogSource " +
+        s"OPTIONS (path '$base')")
+      try {
+        val copy = s"COPY INTO txcopy_reg_w FROM '$src' " +
+          "FILEFORMAT = PARQUET PATTERN = '*.parquet'"
+        val r1 = sqlS.sql(copy).collect().head
+        require(r1.getLong(1) == 2, s"both waves must load: $r1")
+        val r2 = sqlS.sql(copy).collect().head
+        require(r2.getLong(1) == 0 && r2.getLong(2) == 0,
+          s"the re-run must be exactly-once: $r2")
+        wave("c", 2000L, 2400L)
+        val r3 = sqlS.sql(copy).collect().head
+        require(r3.getLong(1) == 1, s"only the new file loads: $r3")
+      } finally sqlS.sql("DROP TABLE IF EXISTS txcopy_reg_w")
+      TxLog.read(s, base)
+        .groupBy((col("k") % 11).cast("int").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,6)")).cast("double")
+            .as("sum_price"))
+        .orderBy("grp")
+    }),
+
     // Maintenance SQL grammar (the injectParser rung): OPTIMIZE
     // bin-packs straggler appends and VACUUM trims history, both as
     // plain SQL a JDBC operator could issue — the requires pin that
@@ -2728,6 +2831,24 @@ object RegistryMaint {
                     FROM orders WHERE o_orderkey < 1800)
          SELECT v, count(*) AS n, cast(sum(k) AS BIGINT) AS sum_k
          FROM t GROUP BY 1 ORDER BY 1""",
+    "s81_copy_into" ->
+      """WITH t AS (SELECT cast(o_orderkey AS BIGINT) AS k,
+                           cast(o_totalprice AS DOUBLE) AS price
+                    FROM orders WHERE o_orderkey < 2600)
+         SELECT cast(k % 11 AS INTEGER) AS grp, count(*) AS n,
+                cast(sum(cast(price AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_price
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "s80_table_changes" ->
+      """WITH t AS (SELECT cast(o_orderkey AS BIGINT) AS k FROM orders),
+         ch AS (
+           SELECT 'insert' AS _change_type, k FROM t
+           WHERE k >= 1000 AND k < 1600
+           UNION ALL
+           SELECT 'delete' AS _change_type, k FROM t
+           WHERE k < 1000 AND k BETWEEN 200 AND 400)
+         SELECT _change_type, count(*) AS n, cast(sum(k) AS BIGINT) AS sum_k
+         FROM ch GROUP BY 1 ORDER BY 1""",
     "s79_drop_feature" ->
       """WITH t AS (SELECT cast(o_orderkey AS BIGINT) AS k,
                            cast(o_totalprice AS DOUBLE) AS price

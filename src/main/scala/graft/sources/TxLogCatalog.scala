@@ -511,6 +511,15 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
       val newCols = adds.map { a =>
         require(a.fieldNames().length == 1,
           s"nested ADD COLUMN is not supported: ${a.fieldNames().mkString(".")}")
+        // Delta's identical refusal: a default on a NEW column is
+        // ambiguous (would it backfill existing rows? Delta and this
+        // log both say no backfills, ever) — ADD first, SET DEFAULT
+        // second, so the no-backfill semantics are explicit
+        require(a.defaultValue() == null,
+          s"ADD COLUMNS cannot carry a DEFAULT (existing rows would " +
+            s"NOT be backfilled — Delta's identical rule); add column " +
+            s"'${a.fieldNames()(0)}' first, then ALTER COLUMN ... SET " +
+            "DEFAULT for future writes")
         org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = a.isNullable)
       }

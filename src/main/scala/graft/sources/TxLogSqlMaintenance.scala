@@ -32,8 +32,14 @@ import graft.operators.TxLog
   *                    → [[TxLog.versionAtTimestamp]] + [[TxLog.restore]]
   *   CONVERT TO TXLOG '<path>' [STATS (a, b)]  → [[TxLog.convertParquet]]
   *   CREATE TABLE <dst> SHALLOW|DEEP CLONE <src>
+  *                [VERSION AS OF n]
   *                [LOCATION '<path>']          → [[TxLog.cloneShallow]] /
   *                                              [[TxLog.cloneDeep]]
+  *   ALTER TABLE <t> DROP FEATURE <name>
+  *                [TRUNCATE HISTORY]           → [[TxLog.dropFeature]]
+  *   COPY INTO <t> FROM '<dir>' FILEFORMAT = <fmt>
+  *                [PATTERN = '<glob>']
+  *                [FORMAT_OPTIONS ('k'='v', …)] → [[TxLog.copyInto]]
   *
   * (Delta's VACUUM retains by AGE; the log's retention unit is
   * versions — stated in the grammar so nobody mistakes the two.)
@@ -95,13 +101,19 @@ object TxLogSqlParser {
   // Delta's clone grammar: the destination is either an identifier in
   // a graft TxLogCatalog (the warehouse layout IS the catalog, so the
   // clone materializes the table) or an explicit LOCATION path
+  // Databricks' idempotent bulk load: only never-loaded files land
+  private val CopyIntoRe =
+    (s"""(?is)\\s*COPY\\s+INTO\\s+($Ident)\\s+FROM\\s+'([^']+)'\\s+""" +
+      s"""FILEFORMAT\\s*=\\s*(\\w+)(?:\\s+PATTERN\\s*=\\s*'([^']+)')?""" +
+      s"""(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?\\s*;?\\s*""").r
   private val CloneRe =
     (s"""(?is)\\s*CREATE\\s+TABLE\\s+($Ident)\\s+(SHALLOW|DEEP)\\s+""" +
-      s"""CLONE\\s+($Ident)(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*""").r
+      s"""CLONE\\s+($Ident)(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?""" +
+      s"""(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*""").r
 
   /** Split a (possibly backtick-quoted) multipart identifier on dots
     * OUTSIDE backticks, so `my.table` stays one part. */
-  private def parts(ident: String): Seq[String] = {
+  private[graft] def parts(ident: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inTicks = false
@@ -184,15 +196,29 @@ object TxLogSqlParser {
         if (isTx) Some(TxLogShowPartitionsCommand(p)) else None
       case DropFeatureRe(t, feature, trunc) =>
         Some(TxLogDropFeatureCommand(parts(t), feature, trunc != null))
-      case CloneRe(dst, kind, src, loc) =>
+      case CopyIntoRe(t, dir, fmt, pat, opts) =>
+        val options = Option(opts).toSeq.flatMap(_.split(',')).flatMap { kv =>
+          val m = """\s*'([^']*)'\s*=\s*'([^']*)'\s*""".r
+          kv match {
+            case m(k, v) => Some(k -> v)
+            case blank if blank.trim.isEmpty => None
+            case other => throw new IllegalArgumentException(
+              s"FORMAT_OPTIONS entries are 'key' = 'value' pairs, got: " +
+                other.trim)
+          }
+        }.toMap
+        Some(TxLogCopyIntoCommand(parts(t), dir, fmt.toLowerCase,
+          Option(pat), options))
+      case CloneRe(dst, kind, src, ver, loc) =>
         Some(TxLogCloneCommand(parts(dst),
-          deep = kind.equalsIgnoreCase("DEEP"), parts(src), Option(loc)))
+          deep = kind.equalsIgnoreCase("DEEP"), parts(src), Option(loc),
+          Option(ver).map(_.toLong)))
       case _ => None
     }
 
   /** The store root behind a catalog table name — fails loudly when
     * the name does not resolve to a txlog table. */
-  private[sources] def resolveBase(spark: SparkSession,
+  private[graft] def resolveBase(spark: SparkSession,
                                    table: Seq[String]): String = {
     val plan = spark.table(table.mkString(".")).queryExecution.analyzed
     plan.collectFirst {
@@ -380,7 +406,8 @@ case class TxLogHistoryCommand(table: Seq[String])
   * sharing the warehouse. Returns the destination base and the
   * published version (always 1 — a clone is a new table). */
 case class TxLogCloneCommand(dst: Seq[String], deep: Boolean,
-                             src: Seq[String], location: Option[String])
+                             src: Seq[String], location: Option[String],
+                             versionAsOf: Option[Long] = None)
     extends LeafRunnableCommand {
   import org.apache.spark.sql.types.StringType
   override val output: Seq[Attribute] = Seq(
@@ -410,8 +437,8 @@ case class TxLogCloneCommand(dst: Seq[String], deep: Boolean,
             s"'${other.name}' (${other.getClass.getName})")
       }
     }
-    val v = if (deep) TxLog.cloneDeep(spark, srcBase, dstBase)
-            else TxLog.cloneShallow(spark, srcBase, dstBase)
+    val v = if (deep) TxLog.cloneDeep(spark, srcBase, dstBase, versionAsOf)
+            else TxLog.cloneShallow(spark, srcBase, dstBase, versionAsOf)
     Seq(Row(dstBase, v))
   }
 }
@@ -434,5 +461,28 @@ case class TxLogDropFeatureCommand(table: Seq[String], feature: String,
     val v = TxLog.dropFeature(spark, base, feature)
     if (truncateHistory) TxLog.vacuum(spark, base, keepLast = 1)
     Seq(Row(v))
+  }
+}
+
+/** `COPY INTO t FROM '<dir>' FILEFORMAT = <fmt> [PATTERN = '<glob>']
+  * [FORMAT_OPTIONS ('k'='v', ...)]` → [[TxLog.copyInto]]: load every
+  * not-yet-loaded file under the directory in ONE ACID append —
+  * re-running is exactly-once per file (per-path markers ride the
+  * manifest's txn map, so the state is checkpoint-durable and needs
+  * no protocol bump). The reference's scheduled bronze load as a
+  * single SQL statement. */
+case class TxLogCopyIntoCommand(table: Seq[String], srcDir: String,
+                                format: String, pattern: Option[String],
+                                options: Map[String, String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files_loaded", LongType, nullable = false)(),
+    AttributeReference("num_rows_loaded", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val base = TxLogSqlParser.resolveBase(spark, table)
+    val (v, nf, nr) = TxLog.copyInto(spark, base, srcDir, format,
+      options, pattern)
+    Seq(Row(v, nf, nr))
   }
 }

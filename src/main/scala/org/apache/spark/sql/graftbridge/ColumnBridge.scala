@@ -22,6 +22,19 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Register a TABLE-VALUED function on an already-built session —
+    * the table-function twin of [[registerFunction]], for the
+    * `table_changes(...)` CDF surface. */
+  def registerTableFunction(spark: org.apache.spark.sql.SparkSession,
+                            fn: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+                                 org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                                 Seq[Expression] =>
+                                   org.apache.spark.sql.catalyst.plans.logical.LogicalPlan))
+      : Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+      .registerFunction(fn._1, fn._2, fn._3)
+
   /** Register a SQL function on an ALREADY-BUILT session — the runtime
     * fallback for sessions not constructed with
     * `.withExtensions(new graft.GraftExtensions)` (e.g. the driver's

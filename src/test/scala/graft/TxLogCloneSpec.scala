@@ -92,6 +92,38 @@ class TxLogCloneSpec extends AnyFunSuite {
     assert(bad.getMessage != null)
   }
 
+  test("VERSION AS OF clones materialize the PINNED snapshot — " +
+    "content and metadata of that version, not the latest") {
+    val src = "/tmp/graft_txclone/ver_src"
+    val dst = "/tmp/graft_txclone/ver_dst"
+    val dst2 = "/tmp/graft_txclone/ver_dst_sql"
+    seed(src) // v1: 120 rows, v2: +80 rows
+    TxLog.addConstraint(spark, src, "late_cons", "k > 0") // v3 metadata
+    TxLog.drop(spark, dst)
+    TxLog.cloneDeep(spark, src, dst, versionAsOf = Some(1L))
+    assert(contents(TxLog.read(spark, dst)) == rows.take(120).toSet,
+      "the clone must hold version 1's content only")
+    assert(TxLog.constraintsOf(spark, dst, 1L).isEmpty,
+      "version 1 predates the constraint — it must NOT ride")
+    val bad = intercept[IllegalArgumentException] {
+      TxLog.cloneShallow(spark, src, "/tmp/graft_txclone/ver_nope",
+        versionAsOf = Some(99L))
+    }
+    assert(bad.getMessage.contains("cannot clone version"))
+    // the SQL grammar variant
+    TxLog.drop(spark, dst2)
+    graft.sources.TxLogSqlDml.ensureInjected(spark)
+    val s = spark.newSession()
+    s.sql("DROP TABLE IF EXISTS txclone_ver_w")
+    s.sql("CREATE TABLE txclone_ver_w USING graft.sources.TxLogSource " +
+      s"OPTIONS (path '$src')")
+    try {
+      s.sql("CREATE TABLE cv SHALLOW CLONE txclone_ver_w " +
+        s"VERSION AS OF 1 LOCATION '$dst2'").collect()
+      assert(contents(TxLog.read(spark, dst2)) == rows.take(120).toSet)
+    } finally s.sql("DROP TABLE IF EXISTS txclone_ver_w")
+  }
+
   test("clone refuses a non-empty destination") {
     val src = "/tmp/graft_txclone/veto_src"
     val dst = "/tmp/graft_txclone/veto_dst"

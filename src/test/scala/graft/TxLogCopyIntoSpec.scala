@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TxLog
+
+/** `COPY INTO` — Databricks' idempotent bulk load, the reference's
+  * scheduled bronze ingestion as one SQL verb. The laws pin the
+  * exactly-once contract (per-file markers in the txn map: re-runs
+  * load nothing, new files load alone, the state survives OPTIMIZE
+  * and vacuum because txn lines ride every commit and checkpoint)
+  * and the schema contract (COPY never evolves the target). */
+class TxLogCopyIntoSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def writeWave(dir: String, name: String,
+                        rows: Seq[(Long, String)]): Unit = {
+    val tmp = s"$dir/__tmp_$name"
+    rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = f.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    f.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name.parquet"))
+    f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  test("per-file exactly-once: first run loads, re-run loads nothing, " +
+    "a new file loads alone; the state survives OPTIMIZE and VACUUM") {
+    val src = "/tmp/graft_txcopy/src1"
+    val base = "/tmp/graft_txcopy/t1"
+    val f = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(src), true)
+    TxLog.drop(spark, base)
+    TxLog.append(Seq((0L, "seed")).toDF("k", "v"), base, Some("k"))
+    writeWave(src, "a", (1L to 50L).map(k => (k, s"a$k")))
+    writeWave(src, "b", (51L to 80L).map(k => (k, s"b$k")))
+    val (v1, nf1, nr1) = TxLog.copyInto(spark, base, src, "parquet")
+    assert(nf1 == 2 && nr1 == 80, s"($v1, $nf1, $nr1)")
+    val (_, nf2, nr2) = TxLog.copyInto(spark, base, src, "parquet")
+    assert(nf2 == 0 && nr2 == 0, "re-run must be a no-op")
+    writeWave(src, "c", (81L to 90L).map(k => (k, s"c$k")))
+    val (_, nf3, nr3) = TxLog.copyInto(spark, base, src, "parquet")
+    assert(nf3 == 1 && nr3 == 10, "only the NEW file loads")
+    assert(TxLog.read(spark, base).count() == 91)
+    // the idempotency state survives table maintenance: txn lines
+    // ride every commit and the vacuum checkpoint
+    TxLog.compact(spark, base, 1L << 20, 1L << 22)
+    TxLog.vacuum(spark, base, keepLast = 1, graceMs = 0L)
+    val (_, nf4, _) = TxLog.copyInto(spark, base, src, "parquet")
+    assert(nf4 == 0,
+      "after OPTIMIZE + VACUUM the loaded-file state must survive")
+    assert(TxLog.read(spark, base).count() == 91)
+  }
+
+  test("schema contract: unknown source columns fail loudly; omitted " +
+    "declared columns fill through the NULL/DEFAULT path; values cast " +
+    "to the declared types") {
+    val wh = "/tmp/graft_txcopy/wh"
+    val src = "/tmp/graft_txcopy/src2"
+    val srcBad = "/tmp/graft_txcopy/src2bad"
+    val f = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(src), true)
+    f.delete(new org.apache.hadoop.fs.Path(srcBad), true)
+    graft.sources.TxLogSqlDml.ensureInjected(spark)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.TxLogCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+    s.sql("DROP TABLE IF EXISTS graft.lake.cp")
+    s.sql("CREATE TABLE graft.lake.cp (k BIGINT, v STRING, " +
+      "tier STRING DEFAULT 'std') USING graft.sources.TxLogSource")
+    writeWave(src, "w1", (1L to 20L).map(k => (k, s"v$k")))
+    val (_, nf, nr) = TxLog.copyInto(s, s"$wh/lake/cp", src, "parquet")
+    assert(nf == 1 && nr == 20)
+    val got = s.sql("SELECT count(*) AS n, count(tier) AS nt, " +
+      "min(tier) AS t FROM graft.lake.cp").head
+    assert(got.getLong(0) == 20 && got.getLong(1) == 20 &&
+      got.getString(2) == "std",
+      s"the omitted DEFAULT column must fill: $got")
+    // unknown source column → loud veto, nothing lands
+    Seq((1L, "x", 9, "zz")).toDF("k", "v", "extra", "tier")
+      .coalesce(1).write.mode("overwrite").parquet(srcBad)
+    val e = intercept[Exception] {
+      TxLog.copyInto(s, s"$wh/lake/cp", srcBad, "parquet")
+    }
+    assert(e.getMessage.contains("not in the target schema"),
+      e.getMessage)
+    assert(s.sql("SELECT count(*) AS n FROM graft.lake.cp")
+      .head.getLong(0) == 20, "the veto must land nothing")
+  }
+
+  test("SQL: COPY INTO with PATTERN and FORMAT_OPTIONS routes through " +
+    "the parser rung; CSV headers honored; result row reports counts") {
+    val src = "/tmp/graft_txcopy/src3"
+    val base = "/tmp/graft_txcopy/t3"
+    val f = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(src), true)
+    f.mkdirs(new org.apache.hadoop.fs.Path(src))
+    def csv(name: String, body: String): Unit = {
+      val out = f.create(new org.apache.hadoop.fs.Path(s"$src/$name"), true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    csv("d1.csv", "k,v\n1,one\n2,two\n")
+    csv("d2.csv", "k,v\n3,three\n")
+    csv("ignore.txt", "not,data\n9,nine\n")
+    TxLog.drop(spark, base)
+    import spark.implicits._
+    // seed INT k: CSV inferSchema lands int files, and int+long
+    // footers cannot mergeSchema — the seed must match
+    TxLog.append(Seq((0, "seed")).toDF("k", "v"), base, Some("k"))
+    graft.sources.TxLogSqlDml.ensureInjected(spark)
+    val s = spark.newSession()
+    s.sql("DROP TABLE IF EXISTS txcopy_w")
+    s.sql("CREATE TABLE txcopy_w USING graft.sources.TxLogSource " +
+      s"OPTIONS (path '$base')")
+    try {
+      val r = s.sql(s"COPY INTO txcopy_w FROM '$src' FILEFORMAT = CSV " +
+        "PATTERN = '*.csv' " +
+        "FORMAT_OPTIONS ('header' = 'true', 'inferSchema' = 'true')")
+        .collect().head
+      assert(r.getLong(1) == 2 && r.getLong(2) == 3,
+        s"2 csv files / 3 rows expected, got $r")
+      val again = s.sql(s"COPY INTO txcopy_w FROM '$src' " +
+        "FILEFORMAT = CSV PATTERN = '*.csv' " +
+        "FORMAT_OPTIONS ('header' = 'true', 'inferSchema' = 'true')")
+        .collect().head
+      assert(again.getLong(1) == 0 && again.getLong(2) == 0)
+      assert(TxLog.readEvolved(spark, base).count() == 4)
+    } finally s.sql("DROP TABLE IF EXISTS txcopy_w")
+  }
+}

@@ -134,6 +134,42 @@ class TxLogDefaultSpec extends AnyFunSuite {
     assert(after == Seq(5 -> Some(11), 6 -> None), s"got $after")
   }
 
+  test("interaction matrix: the binding FOLLOWS a rename, DIES with a " +
+    "drop, and ADD COLUMNS refuses an inline DEFAULT (no backfills, " +
+    "ever — Delta's rule)") {
+    val base = "/tmp/graft_txdflt/interop"
+    TxLog.drop(spark, base)
+    TxLog.append(Seq((1L, 5, 7)).toDF("k", "a", "b"), base, Some("k"))
+    TxLog.alterColumnDefault(spark, base, "a", Some("11"))
+    TxLog.alterColumnDefault(spark, base, "b", Some("22"))
+    TxLog.renameColumn(spark, base, "a", "a2")
+    val afterRename = TxLog.defaultColumnsOf(spark, base,
+      TxLog.latestVersion(spark, base).get).toMap
+    assert(afterRename == Map("a2" -> "11", "b" -> "22"),
+      s"the binding must follow the rename: $afterRename")
+    TxLog.append(Seq(Tuple1(2L)).toDF("k"), base, Some("k"))
+    val r = TxLog.readEvolved(spark, base).where("k = 2")
+      .select("a2", "b").head
+    assert(r.getInt(0) == 11 && r.getInt(1) == 22,
+      "writes after the rename must fill under the NEW name")
+    TxLog.dropColumn(spark, base, "b")
+    assert(TxLog.defaultColumnsOf(spark, base,
+      TxLog.latestVersion(spark, base).get).toMap == Map("a2" -> "11"),
+      "the dropped column's binding must die with it")
+    // SQL: ADD COLUMNS with an inline DEFAULT is refused loudly
+    val wh = "/tmp/graft_txdflt/warehouse"
+    cat.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+    cat.sql("DROP TABLE IF EXISTS graft.lake.addv")
+    cat.sql("CREATE TABLE graft.lake.addv (k INT) " +
+      "USING graft.sources.TxLogSource")
+    val e = intercept[Exception] {
+      cat.sql("ALTER TABLE graft.lake.addv ADD COLUMN c INT DEFAULT 5")
+    }
+    assert(e.getMessage.contains("SET") ||
+      e.getMessage.toLowerCase.contains("default"),
+      s"needs the guidance message, got: ${e.getMessage}")
+  }
+
   test("defaults ride clones (both kinds) and REPLACE TABLE resets " +
     "them to the new definition's") {
     val base = "/tmp/graft_txdflt/clone_src"
