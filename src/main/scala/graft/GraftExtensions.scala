@@ -98,8 +98,8 @@ object GraftExtensions {
     new ExpressionInfo("graft.operators.TxLog", "table_changes"),
     (args: Seq[Expression]) => {
       require(args.size == 2 || args.size == 3,
-        "table_changes(table, startVersion [, endVersion]) takes a " +
-          "table name and one or two literal versions")
+        "table_changes(table, start [, end]) takes a table name and " +
+          "one or two literal bounds (version numbers or timestamps)")
       def evalLit(e: Expression, what: String): Any = {
         require(e.foldable, s"table_changes: $what must be a literal")
         e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
@@ -111,8 +111,24 @@ object GraftExtensions {
       val latest = graft.operators.TxLog.latestVersion(spark, base)
         .getOrElse(throw new IllegalStateException(
           s"no committed version at $base"))
-      def ver(e: Expression, what: String): Long =
-        String.valueOf(evalLit(e, what)).toLong
+      // Delta's contract: each bound is a version number OR a
+      // timestamp literal (resolved by the in-commit stamps — the
+      // boundary rule versionAtTimestamp implements)
+      def ver(e: Expression, what: String): Long = {
+        val raw = String.valueOf(evalLit(e, what))
+        e.dataType match {
+          // Delta's disambiguation is by TYPE: an integer literal is
+          // a version, a string/timestamp literal is a timestamp —
+          // epoch millis in a string must NOT be misread as a version
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => raw.toLong
+          case _ =>
+            graft.operators.TxLog.versionAtTimestamp(spark, base,
+              graft.sources.TxLogSource.parseTsMillis(spark, raw))
+        }
+      }
       val start = ver(args(1), "startVersion")
       val end = args.lift(2).map(ver(_, "endVersion")).getOrElse(latest)
       require(start >= 1 && end >= start && end <= latest,

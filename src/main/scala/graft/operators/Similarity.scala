@@ -127,6 +127,58 @@ object Similarity {
       .select("query_id", "neighbor_id", "qcos_sim", "rank")
   }
 
+  /** Retrieval-quality evaluation — the eval harness every
+    * training-data retrieval stack needs (recall/precision@k, MRR,
+    * nDCG), computed against a RELEVANCE oracle (here: label
+    * equality — the standard proxy when no judgment set exists).
+    * `results` is any ranked retrieval output (query_id, neighbor_id,
+    * rank); `truth` maps id → label. One broadcast join per side plus
+    * one per-query aggregate — the eval costs O(results), never a
+    * corpus pass. Metrics are rounded to 4dp so engine-specific FP
+    * summation order (and libm log2 ulps) cannot leak into the
+    * oracle compare. nDCG uses binary relevance: DCG = Σ rel/log2(r+1)
+    * over the top `k`, IDCG = the perfect prefix of min(R, k). */
+  def retrievalEval(results: DataFrame, truth: DataFrame,
+                    idCol: String, labelCol: String,
+                    k: Int, mrrDepth: Int): DataFrame = {
+    val q = truth.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"))
+    val n = truth.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"))
+    val totals = truth.groupBy(col(labelCol).as("__ql"))
+      .agg(count(lit(1)).as("__cnt"))
+    val j = results
+      .join(broadcast(q), "query_id")
+      .join(broadcast(n), "neighbor_id")
+      .withColumn("rel", (col("__ql") === col("__nl")).cast("int"))
+    val per = j.groupBy("query_id", "__ql").agg(
+      sum(when(col("rank") <= k, col("rel")).otherwise(0))
+        .cast("long").as("__hits_k"),
+      min(when(col("rel") === 1 && col("rank") <= mrrDepth, col("rank")))
+        .as("__first_rel"),
+      sum(when(col("rank") <= k,
+          col("rel").cast("double") / log2(col("rank") + 1.0))
+        .otherwise(0.0)).as("__dcg"))
+    per.join(broadcast(totals), "__ql")
+      .withColumn("n_relevant", (col("__cnt") - 1).cast("long"))
+      .withColumn("__m", least(col("n_relevant"), lit(k.toLong)))
+      .withColumn("__idcg", when(col("__m") >= 1, expr(
+        "aggregate(sequence(1L, __m), cast(0.0 as double), " +
+          "(acc, i) -> acc + 1.0d / log2(cast(i as double) + 1.0d))"))
+        .otherwise(lit(0.0)))
+      .select(
+        col("query_id"), col("n_relevant"),
+        round(when(col("n_relevant") > 0,
+          col("__hits_k").cast("double") / col("n_relevant"))
+          .otherwise(0.0), 4).as(s"recall_at_$k"),
+        round(col("__hits_k").cast("double") / k, 4)
+          .as(s"precision_at_$k"),
+        round(coalesce(lit(1.0) / col("__first_rel"), lit(0.0)), 4)
+          .as(s"mrr_at_$mrrDepth"),
+        round(when(col("__idcg") > 0.0, col("__dcg") / col("__idcg"))
+          .otherwise(0.0), 4).as(s"ndcg_at_$k"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): pairwise cosine comparison is confined WITHIN
     * pre-assigned clusters (a k-means cell id, here the `clusterCol`),

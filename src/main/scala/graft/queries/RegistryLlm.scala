@@ -878,6 +878,24 @@ object RegistryLlm {
         .orderBy("query_id", "rank")
     }),
 
+    // Retrieval-quality evaluation — the eval harness every
+    // training-data retrieval stack needs: recall@5, precision@5,
+    // MRR@10, nDCG@5 against a label-equality relevance oracle, per
+    // query. O(results) work (two broadcast label joins + one
+    // aggregate), never a corpus pass; every metric rounds to 4dp so
+    // engine FP-summation order and libm log2 ulps cannot leak into
+    // the compare.
+    "llm_retrieval_eval" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val results = Similarity.bruteForceTopK(
+          e, e.where(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id", "rank")
+      Similarity.retrievalEval(results, e.select("vec_id", "label"),
+          "vec_id", "label", k = 5, mrrDepth = 10)
+        .orderBy("query_id")
+    }),
+
     // IVF × SQ8 (Faiss "IVF*,SQ8" — the production ANN layout): the
     // coarse quantizer probes in full precision (K-sized work, where
     // precision is cheap and recall-critical) while candidate scoring
@@ -2156,6 +2174,52 @@ object RegistryLlm {
            FROM scored)
          SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "llm_retrieval_eval" ->
+      """WITH q AS (SELECT vec_id AS qid, cast(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id % 50 = 0),
+         scored AS (
+           SELECT qid, e.vec_id AS nid,
+                  round(list_cosine_similarity(qv,
+                    cast(e.embedding AS DOUBLE[])), 4) AS cs
+           FROM q JOIN embeddings e ON e.vec_id <> qid),
+         ranked AS (
+           SELECT qid AS query_id, nid AS neighbor_id,
+                  cast(row_number() OVER (PARTITION BY qid
+                    ORDER BY cs DESC, nid ASC) AS INTEGER) AS rank
+           FROM scored),
+         top AS (SELECT * FROM ranked WHERE rank <= 10),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         tot AS (SELECT label, count(*) AS cnt FROM lab GROUP BY 1),
+         j AS (SELECT t.query_id, t.rank, lq.label AS ql,
+                      CASE WHEN lq.label = ln.label THEN 1 ELSE 0 END AS rel
+               FROM top t
+               JOIN lab lq ON lq.vec_id = t.query_id
+               JOIN lab ln ON ln.vec_id = t.neighbor_id),
+         per AS (SELECT query_id, ql,
+                   sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) AS hits,
+                   min(CASE WHEN rel = 1 AND rank <= 10
+                            THEN rank END) AS firstrel,
+                   sum(CASE WHEN rank <= 5
+                            THEN rel / log2(rank + 1.0)
+                            ELSE 0 END) AS dcg
+                 FROM j GROUP BY 1, 2),
+         fin AS (SELECT p.query_id,
+                        cast(t.cnt - 1 AS BIGINT) AS n_relevant,
+                        cast(p.hits AS DOUBLE) AS hits, p.firstrel,
+                        cast(p.dcg AS DOUBLE) AS dcg,
+                        cast(least(t.cnt - 1, 5) AS INTEGER) AS m
+                 FROM per p JOIN tot t ON t.label = p.ql)
+         SELECT query_id, n_relevant,
+                round(CASE WHEN n_relevant > 0
+                           THEN hits / cast(n_relevant AS DOUBLE)
+                           ELSE 0.0 END, 4) AS recall_at_5,
+                round(hits / 5.0, 4) AS precision_at_5,
+                round(coalesce(1.0 / firstrel, 0.0), 4) AS mrr_at_10,
+                round(CASE WHEN m >= 1
+                           THEN dcg / list_sum(list_transform(
+                             range(1, m + 1), i -> 1.0 / log2(i + 1.0)))
+                           ELSE 0.0 END, 4) AS ndcg_at_5
+         FROM fin ORDER BY query_id""",
     "llm_knn_ivf_sq8" ->
       """WITH base AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v
                        FROM embeddings),

@@ -1243,6 +1243,17 @@ object RegistryMaint {
         require(ts.sliding(2).forall { case Array(a, b) =>
           !a.getTimestamp(2).after(b.getTimestamp(1)) },
           "in-commit stamps must be nondecreasing across versions")
+        // timestamp bounds resolve through the in-commit stamps
+        val t2 = TxLog.ictOf(s, base, 2L).getOrElse(
+          sys.error("v2 must carry #ict"))
+        val byTs = sqlS.sql(
+          s"SELECT count(*) AS n FROM table_changes('txtvf_w', '$t2', '$t2')")
+          .head.getLong(0)
+        val byV = sqlS.sql(
+          "SELECT count(*) AS n FROM table_changes('txtvf_w', 2, 2)")
+          .head.getLong(0)
+        require(byTs == byV && byV > 0,
+          s"a timestamp bound must resolve to its commit: $byTs vs $byV")
         sqlS.sql(
           """SELECT _change_type, count(*) AS n,
                     cast(sum(k) AS BIGINT) AS sum_k

@@ -287,7 +287,7 @@ object TxLogSource {
     * the SESSION timezone (`spark.sql.session.timeZone`, like a SQL
     * timestamp literal — NOT the JVM default, which can silently
     * shift the resolved instant by hours), or an ISO-8601 instant. */
-  private[sources] def parseTsMillis(spark: SparkSession, s: String): Long =
+  private[graft] def parseTsMillis(spark: SparkSession, s: String): Long =
     s.trim.toLongOption.getOrElse {
       val naive = scala.util.Try(
         java.sql.Timestamp.valueOf(s.trim).toLocalDateTime)

@@ -79,6 +79,25 @@ class NearDupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("retrievalEval computes textbook metrics on a hand-checked " +
+    "fixture (recall, precision, MRR, binary nDCG)") {
+    val truth = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "A"), (5L, "B"))
+      .toDF("id", "label")
+    // ranked list for query 1 (label A; relevant = ids 2 and 4):
+    // rank1=3(B) rank2=2(A) rank3=5(B) rank4=4(A)
+    val results = Seq((1L, 3L, 1), (1L, 2L, 2), (1L, 5L, 3), (1L, 4L, 4))
+      .toDF("query_id", "neighbor_id", "rank")
+    val m = Similarity.retrievalEval(results, truth, "id", "label",
+      k = 3, mrrDepth = 4).head
+    assert(m.getAs[Long]("n_relevant") == 2L)
+    assert(m.getAs[Double]("recall_at_3") == 0.5)      // 1 of 2 in top-3
+    assert(m.getAs[Double]("precision_at_3") == 0.3333)
+    assert(m.getAs[Double]("mrr_at_4") == 0.5)         // first rel at 2
+    // dcg = 1/log2(3); idcg = 1/log2(2) + 1/log2(3) → 0.38685…
+    assert(math.abs(m.getAs[Double]("ndcg_at_3") - 0.3869) <= 1e-4,
+      s"ndcg: $m")
+  }
+
   test("cosine of a vector with itself is 1") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
     val c = df.select(Similarity.cosine(col("a"), col("b")).as("c"))

@@ -261,6 +261,37 @@ class ThriftEndpointSpec extends AnyFunSuite {
         assert(src.next())
         st.execute("DROP TABLE gthrift.lake.dflt_copy")
         st.execute("DROP TABLE gthrift.lake.dflt")
+        // COPY INTO over JDBC: idempotent bulk load as plain SQL
+        val copySrc = "/tmp/graft_thrift_copysrc"
+        val cf = new org.apache.hadoop.fs.Path(copySrc).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        cf.delete(new org.apache.hadoop.fs.Path(copySrc), true)
+        cf.mkdirs(new org.apache.hadoop.fs.Path(copySrc))
+        val o = cf.create(
+          new org.apache.hadoop.fs.Path(s"$copySrc/w.csv"), true)
+        // values above Int range so CSV inferSchema lands LONG files —
+        // matching the table's existing footers (no declared schema on
+        // a path-API table, so COPY cannot cast for us here)
+        try o.write("k,g\n5000000000,6000000000\n5000000001,6000000001\n"
+          .getBytes("UTF-8"))
+        finally o.close()
+        val c1 = st.executeQuery(s"COPY INTO txlog_jdbc_demo FROM " +
+          s"'$copySrc' FILEFORMAT = CSV PATTERN = '*.csv' " +
+          "FORMAT_OPTIONS ('header' = 'true', 'inferSchema' = 'true')")
+        assert(c1.next() && c1.getLong(2) == 1 && c1.getLong(3) == 2,
+          "COPY INTO over JDBC must load the file once")
+        val c2 = st.executeQuery(s"COPY INTO txlog_jdbc_demo FROM " +
+          s"'$copySrc' FILEFORMAT = CSV PATTERN = '*.csv' " +
+          "FORMAT_OPTIONS ('header' = 'true', 'inferSchema' = 'true')")
+        assert(c2.next() && c2.getLong(2) == 0,
+          "the JDBC re-run must be exactly-once")
+        // table_changes over JDBC: fresh thrift sessions build their
+        // table-function registry from the injected extensions
+        val tc = st.executeQuery("SELECT _change_type, count(*) AS n " +
+          "FROM table_changes('txlog_jdbc_demo', 1, 1) GROUP BY 1")
+        assert(tc.next() && tc.getString(1) == "insert" &&
+          tc.getLong(2) == 100,
+          "table_changes over JDBC must serve version 1's 100 inserts")
       } finally conn.close()
     } finally server.stop()
   }
