@@ -112,25 +112,40 @@ object GraftExtensions {
         .getOrElse(throw new IllegalStateException(
           s"no committed version at $base"))
       // Delta's contract: each bound is a version number OR a
-      // timestamp literal (resolved by the in-commit stamps — the
-      // boundary rule versionAtTimestamp implements)
-      def ver(e: Expression, what: String): Long = {
+      // timestamp literal, disambiguated by TYPE (an epoch-millis
+      // STRING is a timestamp). Timestamp resolution differs per
+      // side: the END bound is the floor (latest commit <= ts —
+      // versionAtTimestamp's rule), but the START bound is the
+      // CEILING (first commit >= ts): floor semantics there would
+      // leak changes committed BEFORE the requested start into the
+      // feed. A start before the first commit clamps to version 1.
+      def ver(e: Expression, what: String, isStart: Boolean): Long = {
         val raw = String.valueOf(evalLit(e, what))
         e.dataType match {
-          // Delta's disambiguation is by TYPE: an integer literal is
-          // a version, a string/timestamp literal is a timestamp —
-          // epoch millis in a string must NOT be misread as a version
           case org.apache.spark.sql.types.ByteType |
                org.apache.spark.sql.types.ShortType |
                org.apache.spark.sql.types.IntegerType |
                org.apache.spark.sql.types.LongType => raw.toLong
           case _ =>
-            graft.operators.TxLog.versionAtTimestamp(spark, base,
-              graft.sources.TxLogSource.parseTsMillis(spark, raw))
+            val ts = graft.sources.TxLogSource.parseTsMillis(spark, raw)
+            val floor =
+              try Some(graft.operators.TxLog
+                .versionAtTimestamp(spark, base, ts))
+              catch {
+                case _: IllegalArgumentException if isStart => None
+              }
+            if (!isStart) floor.get
+            else floor match {
+              case None => 1L // before the first commit: serve all
+              case Some(v) if graft.operators.TxLog
+                .commitTimestamp(spark, base, v) >= ts => v
+              case Some(v) => v + 1L // floor's stamp < ts: next commit
+            }
         }
       }
-      val start = ver(args(1), "startVersion")
-      val end = args.lift(2).map(ver(_, "endVersion")).getOrElse(latest)
+      val start = ver(args(1), "start", isStart = true)
+      val end = args.lift(2).map(ver(_, "end", isStart = false))
+        .getOrElse(latest)
       require(start >= 1 && end >= start && end <= latest,
         s"table_changes: version range [$start, $end] outside the " +
           s"committed range [1, $latest]")

@@ -64,6 +64,22 @@ object Ivf {
     searchAssigned(df, queries, idCol, vecCol, centers,
       assignTo(df, idCol, vecCol, broadcast(centers)), nProbe, k)
 
+  /** The coarse-probe step shared by every IVF variant: each query's
+    * nProbe nearest cells by full-precision cosine, deterministic
+    * tie-break on seed id. Output (query_id, __qv, cell), broadcast —
+    * queries × K work. ONE implementation so a probing fix can never
+    * silently diverge between the exact and quantized paths. */
+  private def probeCells(q: DataFrame, s: DataFrame,
+                         nProbe: Int): DataFrame = {
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("__qs").desc, col("seed_id").asc)
+    broadcast(q.join(s)
+      .withColumn("__qs", Similarity.cosine(col("__qv"), col("__sv")))
+      .withColumn("__pr", row_number().over(probeW))
+      .where(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("seed_id").as("cell")))
+  }
+
   /** IVF search over a PERSISTED index: `assigned` is a precomputed
     * (idCol, cell) frame — e.g. a TxLog table maintained
     * incrementally (train once, assign each appended batch against
@@ -76,13 +92,7 @@ object Ivf {
                      assigned: DataFrame, nProbe: Int, k: Int): DataFrame = {
     val s = broadcast(centers)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val probeW = Window.partitionBy("query_id")
-      .orderBy(col("__qs").desc, col("seed_id").asc)
-    val probed = broadcast(q.join(s)
-      .withColumn("__qs", Similarity.cosine(col("__qv"), col("__sv")))
-      .withColumn("__pr", row_number().over(probeW))
-      .where(col("__pr") <= nProbe)
-      .select(col("query_id"), col("__qv"), col("seed_id").as("cell")))
+    val probed = probeCells(q, s, nProbe)
 
     val cands = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .join(assigned.withColumnRenamed(idCol, "neighbor_id"), "neighbor_id")
@@ -116,17 +126,11 @@ object Ivf {
                 k: Int): DataFrame = {
     val s = broadcast(seeds(df, idCol, vecCol, seedEvery))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val probeW = Window.partitionBy("query_id")
-      .orderBy(col("__qs").desc, col("seed_id").asc)
     val qCodes = Similarity.sq8Quantize(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"),
         col("codes").cast("array<double>").as("__qc"))
-    val probed = broadcast(q.join(s)
-      .withColumn("__qs", Similarity.cosine(col("__qv"), col("__sv")))
-      .withColumn("__pr", row_number().over(probeW))
-      .where(col("__pr") <= nProbe)
-      .select(col("query_id"), col("seed_id").as("cell"))
-      .join(qCodes, "query_id"))
+    val probed = broadcast(probeCells(q, s, nProbe)
+      .drop("__qv").join(qCodes, "query_id"))
     val assigned = assignTo(df, idCol, vecCol, s)
       .withColumnRenamed(idCol, "neighbor_id")
     val cands = Similarity.sq8Quantize(df, idCol, vecCol)

@@ -1552,19 +1552,29 @@ object TxLog {
   private def applyDefaultColumns(spark: SparkSession, df: DataFrame,
                                   dflts: Seq[(String, String)],
                                   cm: Option[ColMap],
-                                  declared: Option[org.apache.spark.sql.types.StructType])
+                                  declared: Option[org.apache.spark.sql.types.StructType],
+                                  unionFallback: => Option[org.apache.spark.sql.types.StructType])
       : DataFrame = {
     import org.apache.spark.sql.functions.expr
     if (dflts.isEmpty) return df
+    // the fill MUST land at the column's existing type: an uncast
+    // `expr("7")` next to LONG footers would poison the table with
+    // unmergeable mixed-type files. Declared schema first; UNDECLARED
+    // tables resolve the type from the cached physical-union schema —
+    // computed lazily, only when a default column is actually missing
+    lazy val union = unionFallback
     dflts.foldLeft(df) { case (d, (c, ex)) =>
       val phys = cm.map(_.physical(c)).getOrElse(c)
       if (d.columns.exists(x => x.equalsIgnoreCase(phys) ||
           x.equalsIgnoreCase(c))) d
       else {
         val e0 = expr(ex)
-        val e = declared.flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
-          .map(f => e0.cast(f.dataType)).getOrElse(e0)
-        d.withColumn(phys, e)
+        val dt = declared.flatMap(_.fields.find(_.name.equalsIgnoreCase(c))
+            .map(_.dataType))
+          .orElse(union.flatMap(_.fields.find(f =>
+            f.name.equalsIgnoreCase(phys) || f.name.equalsIgnoreCase(c))
+            .map(_.dataType)))
+        d.withColumn(phys, dt.map(e0.cast).getOrElse(e0))
       }
     }
   }
@@ -2194,7 +2204,9 @@ object TxLog {
     // vetoes the combination, so order is only about clarity)
     val df2 = applyDefaultColumns(spark, df2x,
       parseDefaultLines(latestLines), cmapParsed,
-      parseSchemaLines(latestLines))
+      parseSchemaLines(latestLines),
+      latestVersion(spark, base).flatMap(v =>
+        scala.util.Try(cachedPhysUnionSchema(spark, base, v)).toOption))
     // widened tables pin every read to the DECLARED schema — a batch
     // carrying a column outside it would land bytes no read can ever
     // serve (silently unreachable data, where an unwidened table
@@ -3251,11 +3263,11 @@ object TxLog {
         validateDefaultExpr(spark, field.name, ex, field.dataType)
         evalDefaultExpr(spark, ex, field.dataType) // must evaluate NOW
       }
-      val kept = defaultColumnsOf(spark, base, cur)
-        .filterNot(_._1.equalsIgnoreCase(column))
+      val cur0 = defaultColumnsOf(spark, base, cur)
+      val kept = cur0.filterNot(_._1.equalsIgnoreCase(column))
       val next = kept ++ sqlExpr.map(field.name -> _).toSeq
       if (sqlExpr.isEmpty)
-        require(kept.size != defaultColumnsOf(spark, base, cur).size,
+        require(kept.size != cur0.size,
           s"column '$column' has no DEFAULT to drop")
       publishEntries(spark, base, cur + 1L, entries, txns,
         dataChange = false,
@@ -5902,7 +5914,6 @@ object TxLog {
     // Sidecar dirs (DV masks, bloom indexes) copy at dir granularity:
     // a handful per table, so the driver-side file listing is bounded
     // metadata, never data.
-    val f = fs(srcBase, spark)
     val dirPairs = (entries.flatMap(_.dv.map(_.dir)) ++
       entries.flatMap(_.blooms.map(_.dir))).distinct.zipWithIndex.map {
       case (d, i) =>
@@ -5910,8 +5921,12 @@ object TxLog {
         (d, resolve(srcAbs, d), dRel)
     }
     val sidecarFiles = dirPairs.flatMap { case (_, sAbs, dRel) =>
-      f.listStatus(new Path(sAbs)).toSeq.filter(_.isFile).map(st =>
-        (st.getPath.toString, s"$dRel/${st.getPath.getName}"))
+      // resolve the FS per DIR: an absolute (cloned-in) sidecar may
+      // live on a different filesystem than the source base
+      val sp = new Path(sAbs)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(sp).toSeq.filter(_.isFile).map(st =>
+          (st.getPath.toString, s"$dRel/${st.getPath.getName}"))
     }
     val dirMap = dirPairs.map { case (orig, _, dRel) => orig -> dRel }.toMap
     val allPairs = (filePairs ++ sidecarFiles).map { case (s0, dRel) =>

@@ -197,7 +197,21 @@ object TxLogSqlParser {
       case DropFeatureRe(t, feature, trunc) =>
         Some(TxLogDropFeatureCommand(parts(t), feature, trunc != null))
       case CopyIntoRe(t, dir, fmt, pat, opts) =>
-        val options = Option(opts).toSeq.flatMap(_.split(',')).flatMap { kv =>
+        // split on commas OUTSIDE quotes: option VALUES legitimately
+        // contain commas ('sep' = ',' is the standard CSV delimiter)
+        def splitOpts(text: String): Seq[String] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          val cur = new StringBuilder
+          var inQ = false
+          text.foreach {
+            case '\'' => inQ = !inQ; cur += '\''
+            case ',' if !inQ => out += cur.result(); cur.clear()
+            case ch => cur += ch
+          }
+          out += cur.result()
+          out.toSeq
+        }
+        val options = Option(opts).toSeq.flatMap(splitOpts).flatMap { kv =>
           val m = """\s*'([^']*)'\s*=\s*'([^']*)'\s*""".r
           kv match {
             case m(k, v) => Some(k -> v)

@@ -134,6 +134,21 @@ class TxLogDefaultSpec extends AnyFunSuite {
     assert(after == Seq(5 -> Some(11), 6 -> None), s"got $after")
   }
 
+  test("review regression: on an UNDECLARED (path-API) table the fill " +
+    "lands at the column's EXISTING type — an uncast literal would " +
+    "poison the table with unmergeable mixed-type footers") {
+    val base = "/tmp/graft_txdflt/undeclared_type"
+    TxLog.drop(spark, base)
+    TxLog.append(Seq((1L, 5L)).toDF("k", "score"), base, Some("k"))
+    TxLog.alterColumnDefault(spark, base, "score", Some("7"))
+    TxLog.append(Seq(Tuple1(2L)).toDF("k"), base, Some("k"))
+    val out = TxLog.readEvolved(spark, base) // mergeSchema must work
+    assert(out.schema("score").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"the fill must cast to the files' LONG, got ${out.schema}")
+    assert(out.where("k = 2").select("score").head.getLong(0) == 7L)
+  }
+
   test("interaction matrix: the binding FOLLOWS a rename, DIES with a " +
     "drop, and ADD COLUMNS refuses an inline DEFAULT (no backfills, " +
     "ever — Delta's rule)") {

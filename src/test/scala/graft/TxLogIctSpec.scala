@@ -115,4 +115,39 @@ class TxLogIctSpec extends AnyFunSuite {
     assert(TxLog.versionAtTimestamp(spark, base, pinned) == vs(2))
     assert(TxLog.versionAtTimestamp(spark, base, pinned - 1) == vs(1))
   }
+
+  test("table_changes timestamp bounds: the START is the CEILING " +
+    "(first commit >= ts — floor would leak earlier changes), the " +
+    "END is the floor, and a start before v1 clamps to everything") {
+    val base = "/tmp/graft_txict/tvf_bounds"
+    TxLog.drop(spark, base)
+    import spark.implicits._
+    TxLog.append(Seq((1, 10)).toDF("k", "v"), base, Some("k"))
+    TxLog.append(Seq((2, 20)).toDF("k", "v"), base, Some("k"))
+    TxLog.append(Seq((3, 30)).toDF("k", "v"), base, Some("k"))
+    TxLog.setCommitTime(spark, base, 1L, 1000L)
+    TxLog.setCommitTime(spark, base, 2L, 2000L)
+    TxLog.setCommitTime(spark, base, 3L, 3000L)
+    TxLog.cachePurge(base)
+    graft.sources.TxLogSqlDml.ensureInjected(spark)
+    val s = spark.newSession()
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerTableFunction(
+      s, graft.GraftExtensions.tableChangesFunction)
+    s.sql("DROP TABLE IF EXISTS txict_tvf_w")
+    s.sql("CREATE TABLE txict_tvf_w USING graft.sources.TxLogSource " +
+      s"OPTIONS (path '$base')")
+    try {
+      def n(q: String): Long =
+        s.sql(s"SELECT count(*) AS n FROM $q").head.getLong(0)
+      // start at 2500 (between v2@2000 and v3@3000): ceiling = v3 —
+      // floor semantics would wrongly include v2's change
+      assert(n("table_changes('txict_tvf_w', '2500')") == 1L)
+      // start exactly AT a stamp includes that commit
+      assert(n("table_changes('txict_tvf_w', '2000')") == 2L)
+      // start before the first commit serves the whole feed
+      assert(n("table_changes('txict_tvf_w', '500')") == 3L)
+      // the END bound is the floor: [v1, floor(2500)=v2]
+      assert(n("table_changes('txict_tvf_w', 1, '2500')") == 2L)
+    } finally s.sql("DROP TABLE IF EXISTS txict_tvf_w")
+  }
 }
