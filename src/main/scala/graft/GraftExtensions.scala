@@ -128,19 +128,11 @@ object GraftExtensions {
                org.apache.spark.sql.types.LongType => raw.toLong
           case _ =>
             val ts = graft.sources.TxLogSource.parseTsMillis(spark, raw)
-            val floor =
-              try Some(graft.operators.TxLog
-                .versionAtTimestamp(spark, base, ts))
-              catch {
-                case _: IllegalArgumentException if isStart => None
-              }
-            if (!isStart) floor.get
-            else floor match {
-              case None => 1L // before the first commit: serve all
-              case Some(v) if graft.operators.TxLog
-                .commitTimestamp(spark, base, v) >= ts => v
-              case Some(v) => v + 1L // floor's stamp < ts: next commit
-            }
+            if (!isStart)
+              graft.operators.TxLog.versionAtTimestamp(spark, base, ts)
+            else graft.operators.TxLog
+              .versionAtOrAfterTimestamp(spark, base, ts)
+              .getOrElse(latest + 1L) // after the last commit: empty
         }
       }
       val start = ver(args(1), "start", isStart = true)

@@ -1839,6 +1839,27 @@ object TxLog {
     * pins the SAME instants would otherwise revive the PREVIOUS
     * table's entry list (caught by the bench's repeated-invocation
     * runs: RESTORE republished a prior incarnation's dead paths). */
+  /** First version whose in-commit stamp is >= `tsMillis` — the
+    * START-bound ceiling rule (a floor there would leak changes
+    * committed BEFORE the requested start into a feed). Some(1) when
+    * the instant predates the log; None when it is after every
+    * commit. */
+  def versionAtOrAfterTimestamp(spark: SparkSession, base: String,
+                                tsMillis: Long): Option[Long] = {
+    val latest = latestVersion(spark, base).getOrElse(
+      throw new IllegalStateException(s"no committed version at $base"))
+    val floor =
+      try Some(versionAtTimestamp(spark, base, tsMillis))
+      catch { case _: IllegalArgumentException => None }
+    floor match {
+      case None => Some(1L) // before the first commit: everything
+      case Some(v) if commitTimestamp(spark, base, v) >= tsMillis =>
+        Some(v)
+      case Some(v) if v >= latest => None // after the last commit
+      case Some(v) => Some(v + 1L)
+    }
+  }
+
   def setCommitTime(spark: SparkSession, base: String, v: Long,
                     tsMillis: Long): Unit = {
     val f = fs(base, spark)
@@ -5757,13 +5778,16 @@ object TxLog {
       txns.size.toLong, ckptV, protoR, protoW,
       parsePartitionLines(lines).map(_._1).mkString(","),
       parseClusterLines(lines).mkString(","),
-      parseRowIdLines(lines).isDefined
+      parseRowIdLines(lines).isDefined,
+      parseDefaultLines(lines).map(_._1).mkString(","),
+      parseWidenLines(lines).map(_._1).mkString(",")
     )).toDF("format", "location", "version", "last_modified_ms",
       "num_files", "num_rows", "num_masked_rows", "size_bytes",
       "stats_columns", "num_constraints", "num_identity_cols",
       "num_bloom_cols", "num_txn_apps", "checkpoint_version",
       "min_reader_version", "min_writer_version", "partition_columns",
-      "clustering_columns", "row_tracking")
+      "clustering_columns", "row_tracking", "default_columns",
+      "widened_columns")
   }
 
   /** RESTORE (Delta `RESTORE TABLE ... VERSION AS OF` analog): roll

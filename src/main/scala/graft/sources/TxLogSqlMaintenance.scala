@@ -365,7 +365,9 @@ case class TxLogDetailCommand(table: Seq[String])
     AttributeReference("clustering_columns", StringType,
       nullable = false)(),
     AttributeReference("row_tracking",
-      org.apache.spark.sql.types.BooleanType, nullable = false)())
+      org.apache.spark.sql.types.BooleanType, nullable = false)(),
+    AttributeReference("default_columns", StringType, nullable = false)(),
+    AttributeReference("widened_columns", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val base = TxLogSqlParser.resolveBase(spark, table)
     TxLog.describeDetail(spark, base).collect().toSeq

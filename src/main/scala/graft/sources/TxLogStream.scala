@@ -921,8 +921,24 @@ class TxLogScanBuilder(full: StructType, base: String,
       "maxFilesPerTrigger does not apply to row-precise CDF streams " +
         "(changeTypes=true) — each version's change set ships " +
         "atomically; use maxVersionsPerTrigger")
-    val startingVersion =
-      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
+    // Delta's stream-start controls: an explicit version, or a
+    // timestamp resolved by the START-bound ceiling rule (the first
+    // commit at or after the instant is the first one CONSUMED)
+    val startingTs = Option(options.get("startingTimestamp"))
+    require(startingTs.isEmpty || options.get("startingVersion") == null,
+      "set startingVersion OR startingTimestamp, not both")
+    val startingVersion = startingTs match {
+      case Some(raw) =>
+        val sp = SparkSession.active
+        val ts = TxLogSource.parseTsMillis(sp, raw)
+        // startingVersion semantics: first consumed version is N+1
+        graft.operators.TxLog.versionAtOrAfterTimestamp(sp, base, ts)
+          .map(_ - 1L)
+          .getOrElse(graft.operators.TxLog.latestVersion(sp, base)
+            .getOrElse(0L)) // after every commit: only FUTURE versions
+      case None =>
+        Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
+    }
     require(startingVersion >= 0,
       s"startingVersion must be >= 0, got $startingVersion")
     val versionAsOf = asOf

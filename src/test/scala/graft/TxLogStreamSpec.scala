@@ -41,6 +41,42 @@ class TxLogStreamSpec extends AnyFunSuite {
     spark.read.parquet(out)
   }
 
+  test("startingTimestamp: the stream's first consumed version is the " +
+    "first commit AT OR AFTER the instant (in-commit stamps, ceiling " +
+    "rule); before-the-log serves everything; after-the-log serves " +
+    "only future commits") {
+    val base = "/tmp/graft_txstream/start_ts"
+    TxLog.drop(spark, base)
+    TxLog.commit(clustered(0, 10, "v1", 1), base, None, Some("k"))
+    TxLog.append(clustered(10, 10, "v2", 1), base, Some("k"))
+    TxLog.append(clustered(20, 10, "v3", 1), base, Some("k"))
+    TxLog.setCommitTime(spark, base, 1L, 1000L)
+    TxLog.setCommitTime(spark, base, 2L, 2000L)
+    TxLog.setCommitTime(spark, base, 3L, 3000L)
+    TxLog.cachePurge(base)
+    def drainTs(tag: String, ts: String): Set[Long] = {
+      val out = s"/tmp/graft_txstream/start_ts_out_$tag"
+      val ckpt = s"/tmp/graft_txstream/start_ts_ckpt_$tag"
+      Seq(out, ckpt).foreach(TxLog.drop(spark, _))
+      drain(base, out, ckpt, Map("startingTimestamp" -> ts))
+        .select("k").collect().map(_.getLong(0)).toSet
+    }
+    assert(drainTs("mid", "2500") == (20L until 30L).toSet,
+      "2500 sits between v2@2000 and v3@3000 — only v3 is consumed " +
+        "(floor semantics would leak v2)")
+    assert(drainTs("at", "2000") == (10L until 30L).toSet,
+      "an instant exactly AT a stamp includes that commit")
+    assert(drainTs("before", "500") == (0L until 30L).toSet)
+    assert(drainTs("after", "9999999999999") == Set.empty,
+      "after every commit: only future versions would stream")
+    val both = intercept[Exception] {
+      drainTs("both", "1")
+      drain(base, "/tmp/graft_txstream/x", "/tmp/graft_txstream/y",
+        Map("startingTimestamp" -> "1000", "startingVersion" -> "1"))
+    }
+    assert(both.getMessage != null)
+  }
+
   test("change-feed stream delivers exactly the rows each version " +
     "committed, tagged with its commit version, one version per trigger") {
     val base = "/tmp/graft_txstream/feed"
