@@ -94,6 +94,40 @@ class TxLogCopyIntoSpec extends AnyFunSuite {
       .head.getLong(0) == 20, "the veto must land nothing")
   }
 
+  test("interaction: COPY INTO a PARTITIONED table with a GENERATED " +
+    "partition column derives, splits one-file-per-tuple, and prunes — " +
+    "the full write choke point applies to bulk loads") {
+    val wh = "/tmp/graft_txcopy/wh"
+    val src = "/tmp/graft_txcopy/src4"
+    val f = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(src), true)
+    graft.sources.TxLogSqlDml.ensureInjected(spark)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.TxLogCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+    s.sql("DROP TABLE IF EXISTS graft.lake.cpart")
+    s.sql("CREATE TABLE graft.lake.cpart (k BIGINT, grp INT " +
+      "GENERATED ALWAYS AS (CAST(k % 3 AS INT))) " +
+      "USING graft.sources.TxLogSource PARTITIONED BY (grp)")
+    // the source supplies ONLY k — the engine derives grp and splits
+    Seq.tabulate(30)(i => Tuple1(i.toLong)).toDF("k")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val base = s"$wh/lake/cpart"
+    val (_, nf, nr) = TxLog.copyInto(s, base, src, "parquet",
+      pattern = Some("part-*.parquet"))
+    assert(nf == 1 && nr == 30)
+    val entries = TxLog.manifest(s, base,
+      TxLog.latestVersion(s, base).get)._1
+    assert(entries.size == 3,
+      s"one file per derived partition tuple, got ${entries.size}")
+    val got = s.sql("SELECT grp, count(*) AS n FROM graft.lake.cpart " +
+      "GROUP BY 1 ORDER BY 1").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    assert(got == Seq(0 -> 10L, 1 -> 10L, 2 -> 10L), s"got $got")
+  }
+
   test("SQL: COPY INTO with PATTERN and FORMAT_OPTIONS routes through " +
     "the parser rung; CSV headers honored; result row reports counts") {
     val src = "/tmp/graft_txcopy/src3"
