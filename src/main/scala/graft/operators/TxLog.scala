@@ -3234,9 +3234,18 @@ object TxLog {
     * frame plus `eval()`, NO Spark job: `columns()` calls this during
     * query analysis, where launching a job per table load would be
     * absurd overhead. */
+  private val defaultEvalCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Any]()
+
   private[graft] def evalDefaultExpr(
       spark: SparkSession, ex: String,
       dtype: org.apache.spark.sql.types.DataType): Any = {
+    // memoized: columns() folds the same (sql, type) on every table
+    // load during analysis — a constant's value never changes, so one
+    // parse+analyze per distinct binding, ever
+    val key = (ex, dtype.catalogString)
+    val hit = defaultEvalCache.get(key)
+    if (hit != null) return hit
     val analyzed = spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Nil))
@@ -3248,7 +3257,9 @@ object TxLog {
     }
     require(e.foldable,
       s"DEFAULT ($ex) must fold to a constant, got: ${e.sql}")
-    e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    val v = e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    if (v != null) defaultEvalCache.put(key, v)
+    v
   }
 
   /** `ALTER TABLE t ALTER COLUMN c SET DEFAULT <expr>` / `DROP
@@ -3561,6 +3572,32 @@ object TxLog {
     }
     result
   }
+
+  /** Bound the COPY INTO idempotency state: drop `copy#` markers whose
+    * recorded source mtime is older than `cutoffMs`. The markers ride
+    * every manifest (meta lines are O(apps)), so a years-long daily
+    * ingestion would otherwise grow each commit by its total file
+    * history; ingestion directories are typically rotated, making
+    * ancient markers dead weight. Tradeoff, stated loudly: a pruned
+    * file that still exists in the directory would RELOAD on the next
+    * COPY INTO — prune only past your source-retention window (the
+    * same contract as Delta's bounded COPY INTO state). Metadata-only
+    * commit; returns (version, markersDropped). */
+  def vacuumCopyState(spark: SparkSession, base: String, cutoffMs: Long,
+                      maxAttempts: Int = 5): (Long, Long) =
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val (stale, keep) = txns.partition { case (k, mtime) =>
+        k.startsWith(CopyTxnPrefix) && mtime < cutoffMs }
+      if (stale.isEmpty) (cur, 0L)
+      else {
+        publishEntries(spark, base, cur + 1L, entries, keep,
+          dataChange = false, operation = "VACUUM COPY STATE")
+        (cur + 1L, stale.size.toLong)
+      }
+    }
 
   /** Exactly-once append for streaming foreachBatch sinks (Delta's
     * `txn` action): the manifest carries an (appId → batchId)

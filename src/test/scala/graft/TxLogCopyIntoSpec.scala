@@ -94,6 +94,69 @@ class TxLogCopyIntoSpec extends AnyFunSuite {
       .head.getLong(0) == 20, "the veto must land nothing")
   }
 
+  test("vacuumCopyState bounds the marker growth: markers older than " +
+    "the cutoff drop (a metadata-only commit), newer ones keep the " +
+    "exactly-once guarantee, and a pruned file WOULD reload — the " +
+    "documented tradeoff") {
+    val src = "/tmp/graft_txcopy/prune_src"
+    val base = "/tmp/graft_txcopy/prune_t"
+    val f = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(src), true)
+    TxLog.drop(spark, base)
+    TxLog.append(Seq((0L, "seed")).toDF("k", "v"), base, Some("k"))
+    writeWave(src, "old", (1L to 5L).map(k => (k, s"o$k")))
+    writeWave(src, "new", (6L to 9L).map(k => (k, s"n$k")))
+    TxLog.copyInto(spark, base, src, "parquet")
+    // the markers recorded the files' load-time mtimes; a cutoff just
+    // above them prunes (as a retention sweep months later would)
+    val cutoff = f.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$src/old.parquet"))
+      .getModificationTime
+    val (_, dropped) = TxLog.vacuumCopyState(spark, base, cutoff + 1L)
+    assert(dropped >= 1L, "the old marker must drop")
+    val txns = TxLog.manifest(spark, base,
+      TxLog.latestVersion(spark, base).get)._2
+    assert(txns.keys.count(_.startsWith("copy#")) == 2 - dropped.toInt,
+      s"kept markers: ${txns.keys.toSeq.sorted}")
+    // the pruned file is loadable again (the documented tradeoff);
+    // its rows would duplicate — which is WHY the contract says prune
+    // only past the source-retention window
+    val (_, nf, _) = TxLog.copyInto(spark, base, src, "parquet")
+    assert(nf >= 1, "the pruned file reloads — the stated tradeoff")
+  }
+
+  test("concurrency: two racing COPY INTOs of the same directory load " +
+    "every file EXACTLY once — the loser detects the overlap inside " +
+    "the CAS and discards its whole landed batch") {
+    val src = "/tmp/graft_txcopy/race_src"
+    val base = "/tmp/graft_txcopy/race_t"
+    val f = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(src), true)
+    TxLog.drop(spark, base)
+    TxLog.append(Seq((0L, "seed")).toDF("k", "v"), base, Some("k"))
+    (1 to 6).foreach(i => writeWave(src, s"w$i",
+      ((i * 100L) until (i * 100L + 10L)).map(k => (k, s"v$k"))))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val racers = (1 to 2).map(_ => Future {
+      TxLog.copyInto(spark, base, src, "parquet")
+    })
+    val outcomes = racers.map(Await.result(_, 120.seconds))
+    val loaded = outcomes.map(_._2).sum
+    assert(loaded == 6,
+      s"exactly 6 files across both racers, got $outcomes")
+    val content = TxLog.read(spark, base)
+    assert(content.count() == 61, "60 copied rows + the seed, no dupes")
+    assert(content.groupBy("k").count().where("count > 1").count() == 0,
+      "no row may load twice")
+    // a third run after the race is a clean no-op
+    val (_, nf, _) = TxLog.copyInto(spark, base, src, "parquet")
+    assert(nf == 0)
+  }
+
   test("interaction: COPY INTO a PARTITIONED table with a GENERATED " +
     "partition column derives, splits one-file-per-tuple, and prunes — " +
     "the full write choke point applies to bulk loads") {
