@@ -6221,6 +6221,78 @@ object TxLog {
     Some(VacuumPlan(drop, keep, needCkpt, staleDirs, staleRootFiles))
   }
 
+  /** VACUUM LITE (Delta 3.3's log-driven vacuum): reclaim data files
+    * and sidecar dirs using ONLY the log — the dropped versions'
+    * snapshots minus the kept versions' liveness — with ZERO
+    * directory listing of the data tree. At 100 TB the full vacuum's
+    * dataDir listing is the slow call on object stores (one LIST per
+    * thousand keys); LITE's cost is O(versions) manifest reads plus
+    * one delete per reclaimed file, issued EXECUTOR-side (the delete
+    * fan-out is the job, exactly like the deep-clone copy). The
+    * documented tradeoff, same as Delta's: files no surviving
+    * manifest ever referenced (crashed writers' orphan txn dirs) are
+    * NOT found — run the full [[vacuum]] occasionally to sweep
+    * orphans. Returns (survivingVersions, filesReclaimed). */
+  def vacuumLite(spark: SparkSession, base: String,
+                 keepLast: Int): (Seq[Long], Long) = {
+    require(keepLast >= 1,
+      s"vacuum must retain at least one version, got keepLast=$keepLast")
+    val f = fs(base, spark)
+    val logDir = new Path(s"$base/$LogDir")
+    if (!f.exists(logDir)) return (Seq.empty, 0L)
+    val versions = f.listStatus(logDir).toSeq
+      .flatMap(st => parseVersion(st.getPath.getName)).sorted
+    val (drop, keep) = versions.splitAt(
+      math.max(0, versions.length - keepLast))
+    if (drop.isEmpty) return (keep, 0L)
+    // resolve BEFORE deleting anything: delta commits replay off
+    // manifests that are about to go
+    val keptEntries = keep.flatMap(v => manifest(spark, base, v)._1)
+    val live: Set[String] = (keptEntries.map(_.path) ++
+      keptEntries.flatMap(_.dv.map(_.dir)) ++
+      keptEntries.flatMap(_.blooms.map(_.dir))).toSet
+    val droppedRefs = drop.flatMap(v =>
+      scala.util.Try(snapshotEntries(spark, base, v)).getOrElse(Seq.empty))
+    val deadFiles = droppedRefs.map(_.path).distinct
+      .filterNot(live).filterNot(isAbsolute)
+      .map(p => resolve(base, p))
+    val deadDirs = (droppedRefs.flatMap(_.dv.map(_.dir)) ++
+      droppedRefs.flatMap(_.blooms.map(_.dir))).distinct
+      .filterNot(live).filterNot(isAbsolute)
+      .map(p => resolve(base, p))
+    // the oldest kept version must stay resolvable after its delta
+    // ancestry is deleted (same rule as the full vacuum)
+    keep.headOption.filter(v => !f.exists(ckptPath(base, v)))
+      .foreach { v =>
+        val meta = manifestLines(spark, base, v)
+          .filter(l => l.startsWith("#") && l != DeltaMarker)
+        writeCheckpointFile(spark, base, v, meta,
+          snapshotEntries(spark, base, v))
+      }
+    drop.foreach { v =>
+      f.delete(manifestPath(base, v), false)
+      f.delete(ckptPath(base, v), false)
+    }
+    cachePurge(base)
+    f.listStatus(logDir).toSeq
+      .flatMap(st => parseCkptVersion(st.getPath.getName)).maxOption
+      .foreach(advancePointer(spark, base, _))
+    // executor-side delete fan-out; dirs (bounded per table) recurse
+    if (deadFiles.nonEmpty || deadDirs.nonEmpty) {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val work = deadFiles.map((_, false)) ++ deadDirs.map((_, true))
+      val slices = math.max(1, math.min(work.size,
+        spark.sparkContext.defaultParallelism * 2))
+      spark.sparkContext.parallelize(work, slices).foreach {
+        case (path, recursive) =>
+          val p = new Path(path)
+          p.getFileSystem(conf.value).delete(p, recursive)
+      }
+    }
+    (keep, deadFiles.size.toLong)
+  }
+
   private def vacuumOnce(spark: SparkSession, base: String, keepLast: Int,
                          graceMs: Long): Seq[Long] = {
     val plan = vacuumPlan(spark, base, keepLast, graceMs)

@@ -21,10 +21,11 @@ import graft.operators.TxLog
   *   OPTIMIZE <table>
   *            [WHERE c BETWEEN lo AND hi]      → [[TxLog.compact]]
   *   OPTIMIZE <table> ZORDER BY (a, b)         → [[TxLog.compactZorder]]
-  *   VACUUM <table> RETAIN <n> VERSIONS
+  *   VACUUM <table> [LITE] RETAIN <n> VERSIONS
   *          [GRACE <m> SECONDS|MINUTES|HOURS]
   *          [DRY RUN]                          → [[TxLog.vacuum]] /
-  *                                              [[TxLog.vacuumDryRun]]
+  *                                              [[TxLog.vacuumDryRun]] /
+  *                                              [[TxLog.vacuumLite]]
   *   DESCRIBE HISTORY <table>                  → [[TxLog.history]]
   *   DESCRIBE DETAIL <table>                   → [[TxLog.describeDetail]]
   *   RESTORE [TABLE] <t> [TO] VERSION AS OF n  → [[TxLog.restore]]
@@ -75,7 +76,7 @@ object TxLogSqlParser {
       s"""(?:\\s+WHERE\\s+(\\w+)\\s+BETWEEN\\s+('[^']*'|\\S+)\\s+AND\\s+('[^']*'|\\S+))?""" +
       s"""\\s*(?:ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*""").r
   private val VacuumRe =
-    (s"""(?is)\\s*VACUUM\\s+($Ident)\\s+RETAIN\\s+(\\d+)\\s+VERSIONS""" +
+    (s"""(?is)\\s*VACUUM\\s+($Ident)\\s+(LITE\\s+)?RETAIN\\s+(\\d+)\\s+VERSIONS""" +
       s"""(?:\\s+GRACE\\s+(\\d+)\\s+(SECONDS|MINUTES|HOURS))?""" +
       s"""(?:\\s+(DRY\\s+RUN))?\\s*;?\\s*""").r
   private val HistoryRe =
@@ -151,7 +152,7 @@ object TxLogSqlParser {
               "combine it with ZORDER BY by z-ordering first, then " +
               "range-compacting follow-up appends")
         Some(TxLogOptimizeCommand(parts(t), z, where = where))
-      case VacuumRe(t, n, graceN, graceUnit, dryRun) =>
+      case VacuumRe(t, lite, n, graceN, graceUnit, dryRun) =>
         val graceMs = Option(graceN).map { g =>
           val unit = graceUnit.toUpperCase match {
             case "SECONDS" => 1000L
@@ -160,7 +161,13 @@ object TxLogSqlParser {
           }
           g.toLong * unit
         }
-        if (dryRun != null)
+        if (lite != null) {
+          require(graceMs.isEmpty && dryRun == null,
+            "VACUUM ... LITE is log-driven (no directory listing): " +
+              "GRACE and DRY RUN apply to the listing-based full vacuum")
+          Some(TxLogVacuumLiteCommand(parts(t), n.toInt))
+        }
+        else if (dryRun != null)
           Some(TxLogVacuumDryRunCommand(parts(t), n.toInt, graceMs))
         else Some(TxLogVacuumCommand(parts(t), n.toInt, graceMs))
       case HistoryRe(t) =>
@@ -500,5 +507,23 @@ case class TxLogCopyIntoCommand(table: Seq[String], srcDir: String,
     val (v, nf, nr) = TxLog.copyInto(spark, base, srcDir, format,
       options, pattern)
     Seq(Row(v, nf, nr))
+  }
+}
+
+/** `VACUUM t LITE RETAIN n VERSIONS` → [[TxLog.vacuumLite]]: the
+  * log-driven vacuum (Delta 3.3's VACUUM LITE) — reclaims exactly the
+  * files dropped versions referenced, with zero data-tree listing and
+  * executor-side delete fan-out. Returns one row per surviving
+  * version plus the reclaim count on the first row. */
+case class TxLogVacuumLiteCommand(table: Seq[String], keepLast: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_reclaimed", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val base = TxLogSqlParser.resolveBase(spark, table)
+    val (kept, n) = TxLog.vacuumLite(spark, base, keepLast)
+    kept.zipWithIndex.map { case (v, i) =>
+      Row(v, if (i == 0) n else 0L) }
   }
 }
