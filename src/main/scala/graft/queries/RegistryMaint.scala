@@ -1317,6 +1317,47 @@ object RegistryMaint {
         .orderBy("grp")
     }),
 
+    // VACUUM LITE (Delta 3.3's log-driven vacuum): the reclaim set is
+    // computed from the LOG alone — dropped versions' references
+    // minus kept liveness — with ZERO data-tree listing, and the
+    // per-file deletes fan out executor-side. At 100 TB the LIST is
+    // the slow call on object stores; LITE never issues one. The
+    // requires pin that an OPTIMIZE's superseded inputs were
+    // physically reclaimed (> 0 files), only the final version
+    // survives, and content is untouched. Oracle: the content
+    // aggregate.
+    "s82_vacuum_lite" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txvlite_orders"
+      TxLog.drop(s, base)
+      val od = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").cast("double").as("price"))
+      TxLog.commit(od.where(col("k") < 1800)
+        .repartitionByRange(4, col("k")), base, None, Some("k"))
+      Seq(0, 1).foreach(i => TxLog.append(
+        od.where(col("k") >= 1800 && col("k") < 2400 &&
+          col("k") % 2 === i).coalesce(1), base, Some("k")))
+      TxLog.compact(s, base, 1L << 20, 1L << 22) // supersede the inputs
+      graft.sources.TxLogSqlDml.ensureInjected(s)
+      val sqlS = s.newSession()
+      sqlS.sql("DROP TABLE IF EXISTS txvlite_reg_w")
+      sqlS.sql("CREATE TABLE txvlite_reg_w USING graft.sources.TxLogSource " +
+        s"OPTIONS (path '$base')")
+      try {
+        val rows = sqlS.sql("VACUUM txvlite_reg_w LITE RETAIN 1 VERSIONS")
+          .collect()
+        require(rows.length == 1 && rows.head.getLong(1) >= 1,
+          s"LITE must reclaim the superseded inputs: ${rows.toSeq}")
+      } finally sqlS.sql("DROP TABLE IF EXISTS txvlite_reg_w")
+      TxLog.cachePurge(base)
+      TxLog.read(s, base)
+        .groupBy((col("k") % 13).cast("int").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,6)")).cast("double")
+            .as("sum_price"))
+        .orderBy("grp")
+    }),
+
     // Maintenance SQL grammar (the injectParser rung): OPTIMIZE
     // bin-packs straggler appends and VACUUM trims history, both as
     // plain SQL a JDBC operator could issue — the requires pin that
@@ -2841,6 +2882,14 @@ object RegistryMaint {
                                   THEN 1000 ELSE 0 END AS v
                     FROM orders WHERE o_orderkey < 1800)
          SELECT v, count(*) AS n, cast(sum(k) AS BIGINT) AS sum_k
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "s82_vacuum_lite" ->
+      """WITH t AS (SELECT cast(o_orderkey AS BIGINT) AS k,
+                           cast(o_totalprice AS DOUBLE) AS price
+                    FROM orders WHERE o_orderkey < 2400)
+         SELECT cast(k % 13 AS INTEGER) AS grp, count(*) AS n,
+                cast(sum(cast(price AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_price
          FROM t GROUP BY 1 ORDER BY 1""",
     "s81_copy_into" ->
       """WITH t AS (SELECT cast(o_orderkey AS BIGINT) AS k,
