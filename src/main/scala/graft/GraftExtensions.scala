@@ -132,17 +132,33 @@ object GraftExtensions {
               graft.operators.TxLog.versionAtTimestamp(spark, base, ts)
             else graft.operators.TxLog
               .versionAtOrAfterTimestamp(spark, base, ts)
-              .getOrElse(latest + 1L) // after the last commit: empty
+              // a start INSTANT after the last commit asks for changes
+              // none of which have happened yet: an empty feed (the
+              // version spelling of the same overshoot stays an error
+              // — a version number names a commit that must exist)
+              .getOrElse(latest + 1L)
         }
       }
       val start = ver(args(1), "start", isStart = true)
       val end = args.lift(2).map(ver(_, "end", isStart = false))
         .getOrElse(latest)
-      require(start >= 1 && end >= start && end <= latest,
-        s"table_changes: version range [$start, $end] outside the " +
-          s"committed range [1, $latest]")
-      val df = graft.operators.TxLog.changesWithDeletes(
-        spark, base, start - 1L, end)
+      val emptyFeed = start == latest + 1L && end == latest &&
+        !Seq(org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType).contains(args(1).dataType)
+      if (!emptyFeed)
+        require(start >= 1 && end >= start && end <= latest,
+          s"table_changes: version range [$start, $end] outside the " +
+            s"committed range [1, $latest]")
+      val df =
+        if (emptyFeed)
+          // full-schema feed over the newest committed change, emptied:
+          // the caller gets zero rows under the exact CDF surface
+          graft.operators.TxLog.changesWithDeletes(
+            spark, base, latest - 1L, latest).limit(0)
+        else graft.operators.TxLog.changesWithDeletes(
+          spark, base, start - 1L, end)
       // ICT stamps ride a tiny broadcast map — never a per-row lookup
       import org.apache.spark.sql.functions.{broadcast, col, timestamp_millis}
       val stamps = spark.createDataFrame(

@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{RegistryCore, RegistryExtra, RegistryGold, RegistryIngest, RegistryLlm, RegistryMaint}
+import graft.queries.{RegistryCore, RegistryExtra, RegistryGold, RegistryIngest, RegistryLlm, RegistryMaint, RegistryTx}
 import graft.sources.Tables
 import graft.models.RealEstate
 
@@ -41,11 +41,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RegistryCore.defs ++ RegistryIngest.defs ++ RegistryGold.defs ++
-      RegistryLlm.defs ++ RegistryExtra.defs ++ RegistryMaint.defs
+      RegistryLlm.defs ++ RegistryExtra.defs ++ RegistryMaint.defs ++
+      RegistryTx.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RegistryCore.oracles ++ RegistryIngest.oracles ++ RegistryGold.oracles ++
-      RegistryLlm.oracles ++ RegistryExtra.oracles ++ RegistryMaint.oracles
+      RegistryLlm.oracles ++ RegistryExtra.oracles ++ RegistryMaint.oracles ++
+      RegistryTx.oracles
 }

@@ -235,7 +235,7 @@ object TxLog {
 
   /** Does this file possibly hold rows with `column` in [lo, hi]?
     * Entries without stats on that column must be answered yes. */
-  private def touchesRange(e: Entry, column: String,
+  private[graft] def touchesRange(e: Entry, column: String,
                            lo: String, hi: String): Boolean =
     e.statsFor(column) match {
       case Some(st) => st.overlaps(lo, hi)
@@ -281,7 +281,7 @@ object TxLog {
     * (`dv\t<encoded dir>\t<rows>\t-`) — the group slot keeps the
     * parser uniform, and `dv` never collides with [[statsDtype]]'s
     * output so pre-DV manifests are unaffected. */
-  private def serLine(e: Entry): String =
+  private[graft] def serLine(e: Entry): String =
     if (e.rows == -1L && e.stats.isEmpty && e.dv.isEmpty &&
         e.blooms.isEmpty && e.baseRowId.isEmpty)
       e.path // v1-compatible bare path
@@ -301,7 +301,7 @@ object TxLog {
       s"${e.path}\t${e.rows}\t" + groups.mkString("\t")
     }
 
-  private def parseLine(line: String): Entry = {
+  private[graft] def parseLine(line: String): Entry = {
     val f = line.split('\t')
     if (f.length == 1) Entry(f(0), -1L, Nil)
     else if (f.length == 2) Entry(f(0), f(1).toLong, Nil)
@@ -330,14 +330,14 @@ object TxLog {
       s"malformed manifest line: $line (${f.length} fields)")
   }
 
-  private def fc(base: String, spark: SparkSession): FileContext =
+  private[graft] def fc(base: String, spark: SparkSession): FileContext =
     FileContext.getFileContext(new Path(base).toUri,
       spark.sparkContext.hadoopConfiguration)
 
-  private def fs(base: String, spark: SparkSession) =
+  private[graft] def fs(base: String, spark: SparkSession) =
     new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def manifestPath(base: String, v: Long) =
+  private[graft] def manifestPath(base: String, v: Long) =
     new Path(f"$base/$LogDir/v$v%020d.txt")
 
   /** Periodic full-snapshot checkpoint of version v (the Delta
@@ -345,7 +345,7 @@ object TxLog {
     * in the legacy full-manifest format. Readers resolve a snapshot
     * from the nearest checkpoint plus the delta commits after it —
     * never by replaying the whole log. */
-  private def ckptPath(base: String, v: Long) =
+  private[graft] def ckptPath(base: String, v: Long) =
     new Path(f"$base/$LogDir/v$v%020d.ckpt.txt")
 
   /** `_last_checkpoint` pointer (Delta's identical file): one line
@@ -363,19 +363,19 @@ object TxLog {
     * Meta lines (`#constraint`/`#identity`/`#txn`/`#nodatachange`)
     * stay FULL in every commit — they are O(apps + constraints), not
     * O(files), so the latest commit alone answers every meta read. */
-  private val DeltaMarker = "#delta"
+  private[graft] val DeltaMarker = "#delta"
 
-  private def checkpointInterval(spark: SparkSession): Int =
+  private[graft] def checkpointInterval(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.txlog.checkpointInterval")
       .flatMap(_.trim.toIntOption).filter(_ >= 1).getOrElse(10)
 
-  private def parseVersion(name: String): Option[Long] =
+  private[graft] def parseVersion(name: String): Option[Long] =
     if (name.startsWith("v") && name.endsWith(".txt") &&
         !name.endsWith(".ckpt.txt"))
       name.stripPrefix("v").stripSuffix(".txt").toLongOption
     else None
 
-  private def parseCkptVersion(name: String): Option[Long] =
+  private[graft] def parseCkptVersion(name: String): Option[Long] =
     if (name.startsWith("v") && name.endsWith(".ckpt.txt"))
       name.stripPrefix("v").stripSuffix(".ckpt.txt").toLongOption
     else None
@@ -398,7 +398,7 @@ object TxLog {
   /** Point `_last_checkpoint` at `v` — monotone (never regress a
     * fresher writer's pointer) and best-effort: the pointer is a hint,
     * so an IO failure here must never fail a committed write. */
-  private def advancePointer(spark: SparkSession, base: String,
+  private[graft] def advancePointer(spark: SparkSession, base: String,
                              v: Long): Unit =
     try {
       if (readPointer(spark, base).forall(_ < v)) {
@@ -468,8 +468,13 @@ object TxLog {
     * tracking (Delta 4.0 row IDs): entry lines grow a `rid` group an
     * ignorant reader would mis-parse as column stats (unsound
     * pruning), and an ignorant writer would land files without
-    * assigned id spans and drop the high-water line. */
-  private[graft] val ReaderVersion = 4
+    * assigned id spans and drop the high-water line. Reader version 5
+    * = columnar (parquet) checkpoints: the checkpoint TEXT file holds
+    * only meta lines plus a `#parquet` marker — an ignorant reader
+    * would resolve an EMPTY snapshot from it (silent data loss), so
+    * every columnar checkpoint file stamps reader 5 and older engines
+    * fail loudly at the linesOf gate (TxLogPlan). */
+  private[graft] val ReaderVersion = 5
   private[graft] val WriterVersion = 8 // 8 = column DEFAULT values
 
   private[graft] def parseProtocolLines(lines: Seq[String])
@@ -480,7 +485,7 @@ object TxLog {
         s"malformed protocol line (${other.length} fields)")
     })
 
-  private def linesOf(spark: SparkSession, base: String,
+  private[graft] def linesOf(spark: SparkSession, base: String,
                       p: Path): Seq[String] = {
     val in = fs(base, spark).open(p)
     val lines =
@@ -498,7 +503,7 @@ object TxLog {
     lines
   }
 
-  private def manifestLines(spark: SparkSession, base: String,
+  private[graft] def manifestLines(spark: SparkSession, base: String,
                             v: Long): Seq[String] =
     linesOf(spark, base, manifestPath(base, v))
 
@@ -573,6 +578,12 @@ object TxLog {
     if (es.size <= SnapCacheMaxEntries)
       commitMtimeOpt(spark, base, v).foreach(mt =>
         snapCache.synchronized(snapCache.put((cacheKey(base), v), (mt, es))))
+  /** Peek the driver snapshot cache (planning verbs: a cached
+    * snapshot makes a local sweep cheaper than a cluster job). */
+  private[graft] def cachedSnapshot(spark: SparkSession, base: String,
+                                    v: Long): Option[Seq[Entry]] =
+    cacheGet(spark, base, v)
+
   private[graft] def cachePurge(base: String): Unit = {
     val key = cacheKey(base)
     snapCache.synchronized {
@@ -613,7 +624,7 @@ object TxLog {
     * a StackOverflowError. Every intermediate version resolved on the
     * way is cached, so sequential walks (history, CDF) are O(1)
     * amortized per version. Version 0 is the empty store. */
-  private def snapshotEntries(spark: SparkSession, base: String,
+  private[graft] def snapshotEntries(spark: SparkSession, base: String,
                               v: Long): Seq[Entry] = {
     if (v == 0L) return Seq.empty
     val f = fs(base, spark)
@@ -628,9 +639,18 @@ object TxLog {
         case Some(es) => baseEntries = es; baseFromCache = true
         case None =>
           val ck = ckptPath(base, cur)
-          if (f.exists(ck))
-            baseEntries = linesOf(spark, base, ck)
-              .filterNot(_.startsWith("#")).map(parseLine)
+          if (f.exists(ck)) {
+            val ckLines = linesOf(spark, base, ck)
+            baseEntries =
+              if (ckLines.exists(_.startsWith(TxLogPlan.PqMarkerPrefix)))
+                // columnar checkpoint: entry lines live in the sibling
+                // parquet dataset (collected here for the driver-side
+                // verbs; the planning verbs go through TxLogPlan and
+                // never materialize this list)
+                TxLogPlan.collectCheckpointLines(spark, base, cur)
+                  .map(parseLine)
+              else ckLines.filterNot(_.startsWith("#")).map(parseLine)
+          }
           else {
             val lines = manifestLines(spark, base, cur) // FNFE: vacuumed
             if (lines.contains(DeltaMarker)) {
@@ -2996,7 +3016,7 @@ object TxLog {
       // would serve NULL ids until the first cold read
       cachePut(spark, base, v, entriesR)
       if (v % checkpointInterval(spark) == 0) {
-        writeCheckpointFile(spark, base, v, metaLines, entriesR)
+        writeCheckpoint(spark, base, v, metaLines, entriesR)
         advancePointer(spark, base, v)
       }
     } catch { case scala.util.control.NonFatal(_) => () }
@@ -3007,11 +3027,29 @@ object TxLog {
     * rename only shields readers from a torn file). Content is the
     * legacy full-manifest format, so a checkpoint doubles as a
     * self-contained manifest. */
+  /** Checkpoint dispatcher: columnar (parquet) checkpoints when
+    * `spark.graft.txlog.checkpointFormat=parquet`, the legacy text
+    * format otherwise. Both are discovered through the same
+    * `v*.ckpt.txt` file, so vacuum re-pointing, `_last_checkpoint`
+    * advancement and checkpoint existence probes are format-blind. */
+  private[graft] def writeCheckpoint(spark: SparkSession, base: String,
+                                     v: Long, metaLines: Seq[String],
+                                     entries: Seq[Entry]): Unit =
+    if (TxLogPlan.parquetCheckpoints(spark))
+      TxLogPlan.writeCheckpointParquet(spark, base, v, metaLines, entries)
+    else writeCheckpointFile(spark, base, v, metaLines, entries)
+
   private def writeCheckpointFile(spark: SparkSession, base: String, v: Long,
                                   metaLines: Seq[String],
-                                  entries: Seq[Entry]): Unit = {
+                                  entries: Seq[Entry]): Unit =
+    writeCkptTextLines(spark, base, v, metaLines ++ entries.map(serLine))
+
+  /** Install the text half of a checkpoint (tmp + rename-overwrite:
+    * v's CAS winner is the unique writer, the rename only shields
+    * readers from a torn file). */
+  private[graft] def writeCkptTextLines(spark: SparkSession, base: String,
+                                        v: Long, lines: Seq[String]): Unit = {
     val f = fs(base, spark)
-    val lines = metaLines ++ entries.map(serLine)
     val tmp = new Path(s"$base/$LogDir/.ckpt-tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -3234,17 +3272,30 @@ object TxLog {
     * frame plus `eval()`, NO Spark job: `columns()` calls this during
     * query analysis, where launching a job per table load would be
     * absurd overhead. */
+  // LRU, bounded (a runaway DDL generator must not grow the driver
+  // heap forever), and keyed on the session TIMEZONE as well as the
+  // (sql, type) pair: a zone-dependent constant (current_date(),
+  // a timestamp literal without an offset) folds to DIFFERENT values
+  // under different spark.sql.session.timeZone settings — a global
+  // key would serve one session's fold verbatim to another's.
+  private val DefaultEvalCacheMax = 1024
   private val defaultEvalCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Any]()
+    new java.util.LinkedHashMap[(String, String, String), Any](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String), Any]): Boolean =
+        size() > DefaultEvalCacheMax
+    }
 
   private[graft] def evalDefaultExpr(
       spark: SparkSession, ex: String,
       dtype: org.apache.spark.sql.types.DataType): Any = {
     // memoized: columns() folds the same (sql, type) on every table
-    // load during analysis — a constant's value never changes, so one
-    // parse+analyze per distinct binding, ever
-    val key = (ex, dtype.catalogString)
-    val hit = defaultEvalCache.get(key)
+    // load during analysis — a constant's value never changes WITHIN
+    // one timezone binding, so one parse+analyze per distinct triple
+    val key = (ex, dtype.catalogString,
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val hit = defaultEvalCache.synchronized(defaultEvalCache.get(key))
     if (hit != null) return hit
     val analyzed = spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -3258,7 +3309,8 @@ object TxLog {
     require(e.foldable,
       s"DEFAULT ($ex) must fold to a constant, got: ${e.sql}")
     val v = e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-    if (v != null) defaultEvalCache.put(key, v)
+    if (v != null)
+      defaultEvalCache.synchronized(defaultEvalCache.put(key, v))
     v
   }
 
@@ -3494,11 +3546,38 @@ object TxLog {
     * target); declared columns the source omits fill through the
     * ordinary NULL/DEFAULT path. Returns (version, filesLoaded,
     * rowsLoaded) — (current, 0, 0) when everything is already
-    * loaded. */
+    * loaded.
+    *
+    * Racing loaders: when a concurrent COPY INTO marked only SOME of
+    * this batch's files while we were landing, the mixed batch is
+    * discarded and the load RETRIES with the survivors only — a
+    * partial overlap must never report (v, 0, 0) as if everything
+    * were already loaded (a one-shot caller would silently
+    * under-ingest). Total overlap is the genuine everything-loaded
+    * signal and returns (current, 0, 0). */
   def copyInto(spark: SparkSession, base: String, srcDir: String,
                format: String, options: Map[String, String] = Map.empty,
                pattern: Option[String] = None,
                maxAttempts: Int = 5): (Long, Long, Long) = {
+    var pass = 0
+    while (true) {
+      pass += 1
+      val r = copyIntoOnce(spark, base, srcDir, format, options, pattern,
+        maxAttempts)
+      if (r != null) return r
+      require(pass < maxAttempts,
+        s"COPY INTO at $base kept racing concurrent loaders over " +
+          s"$maxAttempts passes; re-run to load the remaining files")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One optimistic pass of [[copyInto]]: null signals "a racer took
+    * part of the batch — recompute the fresh set and go again". */
+  private def copyIntoOnce(spark: SparkSession, base: String, srcDir: String,
+                           format: String, options: Map[String, String],
+                           pattern: Option[String],
+                           maxAttempts: Int): (Long, Long, Long) = {
     val curV0 = latestVersion(spark, base).getOrElse(
       throw new IllegalStateException(
         s"COPY INTO target $base does not exist — CREATE TABLE first"))
@@ -3547,14 +3626,21 @@ object TxLog {
         .getOrElse((Seq.empty[Entry], Map.empty[String, Long]))
       // a RACING COPY INTO may have loaded (some of) our files while
       // we were landing; the landed batch mixes all files, so any
-      // overlap means this whole batch is a replay — discard and
-      // report zero, exactly-once preserved
+      // overlap means this batch as a whole cannot publish — discard
+      // it, exactly-once preserved. TOTAL overlap is the genuine
+      // "already loaded" outcome; PARTIAL overlap leaves survivors
+      // unloaded, so signal the outer loop to re-land just them
+      // (reporting zero here would silently under-ingest).
       val overlap = freshAll.exists(st =>
         txns.contains(CopyTxnPrefix + st.getPath.toString))
       if (overlap) {
         discard(spark, base, entries.map(_.path))
         bloomDirs.foreach(discardDir(spark, base, _))
-        result = (cur.getOrElse(curV0), 0L, 0L)
+        val survivors = freshAll.filterNot(st =>
+          txns.contains(CopyTxnPrefix + st.getPath.toString))
+        result =
+          if (survivors.isEmpty) (cur.getOrElse(curV0), 0L, 0L)
+          else RetryNarrower
       } else {
         val v = cur.getOrElse(0L) + 1L
         publishEntries(spark, base, v, prev ++ entries,
@@ -3570,8 +3656,13 @@ object TxLog {
         bloomDirs.foreach(discardDir(spark, base, _))
         throw e
     }
-    result
+    if (result eq RetryNarrower) null else result
   }
+
+  /** Sentinel: a COPY INTO pass lost part of its batch to a racer and
+    * must re-land the survivors (reference identity checked — never a
+    * real result). */
+  private val RetryNarrower: (Long, Long, Long) = (-1L, -1L, -1L)
 
   /** Bound the COPY INTO idempotency state: drop `copy#` markers whose
     * recorded source mtime is older than `cutoffMs`. The markers ride
@@ -3691,7 +3782,15 @@ object TxLog {
   def readRanges(spark: SparkSession, base: String,
                  preds: Seq[(String, Any, Any)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val (kept, _) = pruneRanges(spark, base, preds)
+    // columnar-checkpoint tables prune EXECUTOR-side and collect only
+    // the survivors (the kept working set); text tables (or a warm
+    // snapshot cache) keep the driver sweep — cheaper than a job
+    val v = latestVersion(spark, base).getOrElse(
+      throw new IllegalStateException(s"no committed version at $base"))
+    val predsPhys = preds.map { case (c, lo, hi) =>
+      (physicalName(spark, base, c), reprOf(lo), reprOf(hi)) }
+    val kept = TxLogPlan.pruneEntriesForScan(spark, base, v, predsPhys)
+      .getOrElse(pruneRanges(spark, base, preds)._1)
     val residual = preds.map { case (c, lo, hi) =>
       col(c).between(lit(lo), lit(hi))
     }.reduce(_ && _)
@@ -3737,41 +3836,103 @@ object TxLog {
     // GENERATED BY DEFAULT on merges: the high-water advances past any
     // explicit id the source carries (one agg, computed once)
     val idMaxes = sourceIdentityMaxes(spark, base, source)
-    withCasRetry(maxAttempts) { attempt =>
+    // Conflict-granular optimistic concurrency (Delta's conflict
+    // checker): a CAS loss no longer always recomputes. The landed
+    // merge output survives the loss, and if the winner's changes are
+    // DISJOINT from this merge's inputs — it removed/replaced none of
+    // the touched files, added nothing overlapping the source key
+    // range, and left the metadata surface (schema, constraints,
+    // mapping, partitioning, widening, clustering, defaults, row
+    // tracking) untouched — the merge RE-BASES: republish the same
+    // output against the winner's entries, one manifest write, zero
+    // recompute. A daily MERGE racing a disjoint-partition DELETE on
+    // a 100 TB table costs one extra commit attempt, not a second
+    // pass over the band. Anything overlapping keeps the serialize-
+    // by-recompute behavior (TxLogSpec's sequential-equivalence law).
+    var rebase: Option[(Seq[Entry], Set[String], Map[String, String],
+      String)] = None // (newEntries, touchedPaths, basePrev sig, metaSig)
+    def discardRebase(): Unit = rebase.foreach { case (es, _, _, _) =>
+      discard(spark, base, es.map(_.path)); rebase = None }
+    try withCasRetry(maxAttempts) { attempt =>
       val cur = latestVersion(spark, base)
       val (entries, txns) = cur.map(manifest(spark, base, _))
         .getOrElse((Seq.empty[Entry], Map.empty[String, Long]))
       onAttempt(attempt) // test seam: between snapshot read and publish
-      val (touched, carried) =
-        entries.partition(touchesRange(_, statsCol, lo, hi))
-      val merged =
-        if (touched.isEmpty) source
-        else {
-          val target = readEntriesCurrent(spark, base, touched,
-            withRowIds = true) // masks applied: deleted rows never resurrect
-          // tracked tables: matched source rows inherit their target
-          // row's stable id (Delta preserves ids through MERGE UPDATE)
-          val src =
-            if (target.columns.exists(_.equalsIgnoreCase(RowIdCol)))
-              inheritMergeIds(source, target, keys)
-            else source
-          Upsert.merge(target, src, keys)
+      val metaSig = cur.map(v =>
+        stableMetaSig(manifestLines(spark, base, v))).getOrElse("")
+      val rebasable = rebase.filter { case (_, touchedP, baseBy, sig) =>
+        sig == metaSig && {
+          val curBy = entries.map(e => e.path -> serLine(e)).toMap
+          val removed = baseBy.keySet -- curBy.keySet
+          val addedOrReplaced = entries.filter(e =>
+            !baseBy.get(e.path).contains(serLine(e)))
+          removed.intersect(touchedP).isEmpty &&
+            addedOrReplaced.forall(e => !touchedP.contains(e.path) &&
+              !touchesRange(e, statsCol, lo, hi))
         }
-      val newEntries = landEntriesMulti(merged, base,
-        preservedStatsCols(touched, Seq(statsCol), merged.schema),
-        recomputeGenerated = true)
-      val v = cur.getOrElse(0L) + 1L
-      try {
-        publishEntries(spark, base, v, carried ++ newEntries, txns,
-          operation = "MERGE",
-          identityOverride = cur.flatMap(
-            mergeIdentityAdvance(spark, base, _, idMaxes)))
-        v
-      } catch {
-        case e: CommitConflictException => // this attempt's land is dead
-          discard(spark, base, newEntries.map(_.path)); throw e
       }
+      rebasable match {
+        case Some((newEntries, touchedP, _, _)) =>
+          // disjoint winner: carry ITS entries (minus our touched
+          // inputs, which our output replaces) and publish — the
+          // landed files are reused verbatim
+          val carried2 = entries.filterNot(e => touchedP.contains(e.path))
+          val v = cur.getOrElse(0L) + 1L
+          publishEntries(spark, base, v, carried2 ++ newEntries, txns,
+            operation = "MERGE",
+            identityOverride = cur.flatMap(
+              mergeIdentityAdvance(spark, base, _, idMaxes)))
+          v
+        case None =>
+          discardRebase() // overlapping winner: the land is stale
+          val (touched, carried) =
+            entries.partition(touchesRange(_, statsCol, lo, hi))
+          val merged =
+            if (touched.isEmpty) source
+            else {
+              val target = readEntriesCurrent(spark, base, touched,
+                withRowIds = true) // masks applied: deletes never resurrect
+              // tracked tables: matched source rows inherit their target
+              // row's stable id (Delta preserves ids through MERGE UPDATE)
+              val src =
+                if (target.columns.exists(_.equalsIgnoreCase(RowIdCol)))
+                  inheritMergeIds(source, target, keys)
+                else source
+              Upsert.merge(target, src, keys)
+            }
+          val newEntries = landEntriesMulti(merged, base,
+            preservedStatsCols(touched, Seq(statsCol), merged.schema),
+            recomputeGenerated = true)
+          val v = cur.getOrElse(0L) + 1L
+          // record the re-base state BEFORE the CAS: on a loss the
+          // landed files are kept for the next attempt's disjointness
+          // check instead of being discarded
+          rebase = Some((newEntries, touched.map(_.path).toSet,
+            entries.map(e => e.path -> serLine(e)).toMap, metaSig))
+          publishEntries(spark, base, v, carried ++ newEntries, txns,
+            operation = "MERGE",
+            identityOverride = cur.flatMap(
+              mergeIdentityAdvance(spark, base, _, idMaxes)))
+          v
+      }
+    } catch {
+      // exhausted retries (or anything fatal): the kept-for-re-base
+      // land must not leak as an orphan txn dir
+      case e: Throwable => discardRebase(); throw e
     }
+  }
+
+  /** The metadata surface a re-based commit must see UNCHANGED: any
+    * drift here (new constraint, schema/colmap/partition/widen/
+    * cluster/default change, row tracking enabled, protocol bump)
+    * means the landed output was produced under assumptions the
+    * winner invalidated — recompute instead. Sorted so line order
+    * never fakes a difference. */
+  private def stableMetaSig(lines: Seq[String]): String = {
+    val kinds = Seq("#constraint\t", "#schema\t", "#colmap\t",
+      "#partition\t", "#generatedcol\t", "#defaultcol\t", "#widencol\t",
+      "#cluster\t", "#rowid\t", "#protocol\t")
+    lines.filter(l => kinds.exists(l.startsWith)).sorted.mkString("\n")
   }
 
   /** Copy-on-write DELETE (Delta `DELETE WHERE` analog): remove rows
@@ -6240,6 +6401,13 @@ object TxLog {
     val f = fs(base, spark)
     val logDir = new Path(s"$base/$LogDir")
     if (!f.exists(logDir)) return (Seq.empty, 0L)
+    // columnar-checkpoint tables (or sessions writing them) plan the
+    // reclaim set DISTRIBUTED — the driver never holds the dead list
+    // (TxLogPlan.vacuumLite, semantics identical)
+    if (TxLogPlan.parquetCheckpoints(spark) ||
+        f.listStatus(logDir).exists(
+          _.getPath.getName.endsWith(".ckpt.parquet")))
+      return TxLogPlan.vacuumLite(spark, base, keepLast)
     val versions = f.listStatus(logDir).toSeq
       .flatMap(st => parseVersion(st.getPath.getName)).sorted
     val (drop, keep) = versions.splitAt(
@@ -6266,22 +6434,43 @@ object TxLog {
       .foreach { v =>
         val meta = manifestLines(spark, base, v)
           .filter(l => l.startsWith("#") && l != DeltaMarker)
-        writeCheckpointFile(spark, base, v, meta,
+        writeCheckpoint(spark, base, v, meta,
           snapshotEntries(spark, base, v))
       }
     drop.foreach { v =>
       f.delete(manifestPath(base, v), false)
       f.delete(ckptPath(base, v), false)
+      f.delete(TxLogPlan.pqDirPath(base, v), true)
     }
     cachePurge(base)
     f.listStatus(logDir).toSeq
       .flatMap(st => parseCkptVersion(st.getPath.getName)).maxOption
       .foreach(advancePointer(spark, base, _))
+    // RE-REFERENCE GUARD (the full vacuum's conservatism, mirrored):
+    // the dead set was computed from a point-in-time log listing, and
+    // a concurrent RESTORE (or a clone of this table committing here)
+    // may have published a NEWER version that re-references a dropped
+    // version's files between our resolution and the delete fan-out.
+    // Re-resolve the latest snapshot immediately before deleting and
+    // subtract anything it references — one O(latest-manifest) read,
+    // closing all but a vanishing commit-after-this-stat window
+    // (which the full vacuum's grace window covers; LITE documents
+    // the same restriction: don't race RESTORE against it).
+    val reRef: Set[String] = latestVersion(spark, base)
+      .map { lv =>
+        val es = scala.util.Try(manifest(spark, base, lv)._1)
+          .getOrElse(Seq.empty)
+        (es.map(_.path) ++ es.flatMap(_.dv.map(_.dir)) ++
+          es.flatMap(_.blooms.map(_.dir)))
+          .filterNot(isAbsolute).map(p => resolve(base, p)).toSet
+      }.getOrElse(Set.empty)
+    val deadFiles2 = deadFiles.filterNot(reRef)
+    val deadDirs2 = deadDirs.filterNot(reRef)
     // executor-side delete fan-out; dirs (bounded per table) recurse
-    if (deadFiles.nonEmpty || deadDirs.nonEmpty) {
+    if (deadFiles2.nonEmpty || deadDirs2.nonEmpty) {
       val conf = new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration)
-      val work = deadFiles.map((_, false)) ++ deadDirs.map((_, true))
+      val work = deadFiles2.map((_, false)) ++ deadDirs2.map((_, true))
       val slices = math.max(1, math.min(work.size,
         spark.sparkContext.defaultParallelism * 2))
       spark.sparkContext.parallelize(work, slices).foreach {
@@ -6290,7 +6479,7 @@ object TxLog {
           p.getFileSystem(conf.value).delete(p, recursive)
       }
     }
-    (keep, deadFiles.size.toLong)
+    (keep, deadFiles2.size.toLong)
   }
 
   private def vacuumOnce(spark: SparkSession, base: String, keepLast: Int,
@@ -6305,12 +6494,13 @@ object TxLog {
     plan.needCkpt.foreach { v =>
       val meta = manifestLines(spark, base, v)
         .filter(l => l.startsWith("#") && l != DeltaMarker)
-      writeCheckpointFile(spark, base, v, meta,
+      writeCheckpoint(spark, base, v, meta,
         snapshotEntries(spark, base, v))
     }
     plan.drop.foreach { v =>
       f.delete(manifestPath(base, v), false)
       f.delete(ckptPath(base, v), false)
+      f.delete(TxLogPlan.pqDirPath(base, v), true)
     }
     // vacuumed versions must FAIL to resolve from every process,
     // including this one — purge the snapshot cache for the table

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{TxLog, TxLogPlan}
+import graft.sources.{Ingest, Tables}
+
+/** Round-14 transaction-log witnesses: columnar (parquet)
+  * checkpoints + distributed log planning — the surfaces that keep
+  * the log viable at 100-TB small-file pressure (VERDICT r13 next
+  * round #1/#2). Each entry pairs with a DuckDB oracle on the same
+  * parquet inputs; engine-internal requires pin the MECHANISM
+  * (columnar base present, re-base without recompute) while the
+  * oracle pins the CONTENT. */
+object RegistryTx {
+  private type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val defs: Map[String, Q] = Map(
+    // Columnar checkpoint lifecycle: interval checkpoints write as
+    // parquet datasets (entry lines in columns, meta + reader-5 gate
+    // in the marker file), a MOR delete's deletion vector rides the
+    // line column across the checkpoint, and the content survives a
+    // cold-cache resolution THROUGH the columnar base. The requires
+    // pin the mechanism; the oracle pins the surviving rows.
+    "s83_parquet_checkpoint" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txpq_orders"
+      TxLog.drop(s, base)
+      val od = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").cast("double").as("price"))
+      s.conf.set("spark.graft.txlog.checkpointFormat", "parquet")
+      s.conf.set("spark.graft.txlog.checkpointInterval", "3")
+      try {
+        (0 until 4).foreach(i => TxLog.append(
+          od.where(col("k") < 2000 && col("k") % 4 === i).coalesce(1),
+          base, Some("k")))
+        TxLog.deleteRangeMor(s, base, "k", 100L, 199L)
+      } finally {
+        s.conf.unset("spark.graft.txlog.checkpointFormat")
+        s.conf.unset("spark.graft.txlog.checkpointInterval")
+      }
+      val latest = TxLog.latestVersion(s, base).get
+      require(TxLogPlan.hasParquetBase(s, base, latest),
+        "the latest version must resolve via the columnar checkpoint")
+      val gate = TxLog.linesOf(s, base, TxLog.ckptPath(base, 3L))
+      require(gate.exists(_.startsWith("#parquet\t")) &&
+        gate.exists(_.startsWith("#protocol\t5\t")),
+        "marker file must carry the parquet pointer AND the reader-5 " +
+          "protocol gate")
+      TxLog.cachePurge(base)
+      TxLog.read(s, base)
+        .groupBy((col("k") % 7).cast("int").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,6)")).cast("double")
+            .as("sum_price"))
+        .orderBy("grp")
+    }),
+
+    // Conflict-granular OCC (Delta's conflict checker): a MERGE that
+    // loses its CAS to a DISJOINT-band COW DELETE re-bases — the
+    // landed merge output is republished against the winner's
+    // entries, zero recompute (pinned by a source-evaluation
+    // accumulator against an uncontested CONTROL merge) — while both
+    // effects land. Oracle: sequential semantics (control merge, then
+    // delete, then merge) over the same inputs.
+    "s84_occ_rebase" -> ((s, dir) => {
+      import s.implicits._
+      val base = Ingest.fixtureDir(dir) + "/txocc_orders"
+      TxLog.drop(s, base)
+      val od = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").cast("double").as("price"))
+        .where(col("k") < 2400)
+      TxLog.commit(od.repartitionByRange(4, col("k")), base, None, Some("k"))
+      def counted(rows: Seq[(Long, Double)],
+                  acc: org.apache.spark.util.LongAccumulator) =
+        s.createDataset(rows).map { r => acc.add(1L); r }
+          .toDF("k", "price")
+      // control: what an uncontested merge costs in source passes
+      val ctlAcc = s.sparkContext.longAccumulator("s84_ctl")
+      TxLog.mergeCow(s, base,
+        counted(Seq((5L, 55555.0), (6L, 66666.0)), ctlAcc), Seq("k"), "k")
+      // the race: attempt 1's seam fires a COW delete in a DISJOINT
+      // key band; the merge must re-base, not recompute
+      val acc = s.sparkContext.longAccumulator("s84_race")
+      var fired = false
+      TxLog.mergeCow(s, base,
+        counted(Seq((7L, 77777.0), (11L, 11111.0)), acc), Seq("k"), "k",
+        onAttempt = a => if (a == 1 && !fired) {
+          fired = true
+          TxLog.deleteRange(s, base, "k", 2000L, 2399L)
+        })
+      require(acc.value == ctlAcc.value,
+        s"disjoint CAS loss must re-base, not recompute: control " +
+          s"${ctlAcc.value} source passes, raced ${acc.value}")
+      TxLog.cachePurge(base)
+      TxLog.read(s, base)
+        .groupBy((col("k") % 7).cast("int").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,6)")).cast("double")
+            .as("sum_price"))
+        .orderBy("grp")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "s83_parquet_checkpoint" ->
+      """WITH t AS (SELECT cast(o_orderkey AS BIGINT) AS k,
+                           cast(o_totalprice AS DOUBLE) AS price
+                    FROM orders
+                    WHERE o_orderkey < 2000
+                      AND o_orderkey NOT BETWEEN 100 AND 199)
+         SELECT cast(k % 7 AS INTEGER) AS grp, count(*) AS n,
+                cast(sum(cast(price AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_price
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "s84_occ_rebase" ->
+      """WITH base AS (SELECT cast(o_orderkey AS BIGINT) AS k,
+                              cast(o_totalprice AS DOUBLE) AS price
+                       FROM orders WHERE o_orderkey < 2400),
+         ctl AS (
+           SELECT k, CASE WHEN k = 5 THEN 55555.0
+                          WHEN k = 6 THEN 66666.0
+                          ELSE price END AS price
+           FROM base
+           UNION ALL
+           SELECT 5, 55555.0 WHERE 5 NOT IN (SELECT k FROM base)
+           UNION ALL
+           SELECT 6, 66666.0 WHERE 6 NOT IN (SELECT k FROM base)),
+         afterdel AS (SELECT * FROM ctl
+                      WHERE k NOT BETWEEN 2000 AND 2399),
+         merged AS (
+           SELECT k, CASE WHEN k = 7 THEN 77777.0
+                          WHEN k = 11 THEN 11111.0
+                          ELSE price END AS price
+           FROM afterdel
+           UNION ALL
+           SELECT 7, 77777.0 WHERE 7 NOT IN (SELECT k FROM afterdel)
+           UNION ALL
+           SELECT 11, 11111.0 WHERE 11 NOT IN (SELECT k FROM afterdel))
+         SELECT cast(k % 7 AS INTEGER) AS grp, count(*) AS n,
+                cast(sum(cast(price AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_price
+         FROM merged GROUP BY 1 ORDER BY 1""")
+}

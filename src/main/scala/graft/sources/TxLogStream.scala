@@ -931,8 +931,13 @@ class TxLogScanBuilder(full: StructType, base: String,
       case Some(raw) =>
         val sp = SparkSession.active
         val ts = TxLogSource.parseTsMillis(sp, raw)
+        // empty log: same contract as startingVersion=0 on an empty
+        // table — the stream starts and consumes whatever commits in
+        // the future (versionAtOrAfterTimestamp would throw, making
+        // the two stream-start spellings inconsistent)
+        if (graft.operators.TxLog.latestVersion(sp, base).isEmpty) 0L
         // startingVersion semantics: first consumed version is N+1
-        graft.operators.TxLog.versionAtOrAfterTimestamp(sp, base, ts)
+        else graft.operators.TxLog.versionAtOrAfterTimestamp(sp, base, ts)
           .map(_ - 1L)
           .getOrElse(graft.operators.TxLog.latestVersion(sp, base)
             .getOrElse(0L)) // after every commit: only FUTURE versions

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import graft.operators.{TxLog, TxLogPlan}
+
+/** Columnar-checkpoint scale probe (the r13 "Missing #1" done-gate):
+  * a 1,000,000-entry table — fabricated at the manifest layer; the
+  * planning verbs never open data files — must support
+  *
+  *   1. snapshot resolution as a DataFrame (no driver entry list),
+  *      with cost INDEPENDENT of how many versions the log holds
+  *      (one checkpoint scan + O(changed) delta lines);
+  *   2. a skipping scan that collects ONLY the survivors of the
+  *      range prune (the kept working set, not the table);
+  *   3. VACUUM LITE planning whose reclaim set flows straight from
+  *      the anti-join into the executor delete fan-out — the driver
+  *      holds counters, never the dead list.
+  *
+  * Prints one summary line per measurement; exits nonzero on any
+  * violated bound. */
+object TxCkptProbeMain {
+  private def timed[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val base = "/tmp/graft_ckpt_probe/t"
+    TxLog.drop(spark, base)
+    val f = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new Path(s"$base/_log"))
+
+    def writeLog(name: String, lines: Seq[String]): Unit = {
+      val out = f.create(new Path(s"$base/_log/$name"), true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    val N = 1000000L
+    // v1: the checkpoint IS the snapshot (fabricated 10^6-entry
+    // history; the manifest file is the required placeholder commit)
+    writeLog("v00000000000000000001.txt",
+      Seq("#delta", "#op\tWRITE", "#protocol\t1\t1"))
+    val (_, tCkpt) = timed {
+      val lines = spark.range(N).selectExpr(
+        "concat('data/synth/p', lpad(cast(id as string), 7, '0'), " +
+          "'\\t100\\tlong\\tk\\t', cast(id * 100 as string), '\\t', " +
+          "cast(id * 100 + 99 as string)) as line")
+      TxLogPlan.writeCheckpointParquetDF(spark, base, 1L,
+        Seq("#op\tCKPT", "#protocol\t1\t1"), lines)
+    }
+    println(f"CKPT_WRITE_1M_SEC=$tCkpt%.2f")
+
+    // v2..v31: 30 delta commits — 5 adds + 2 removes each, plus 60
+    // touchable files so the reclaim fan-out has real deletes to count
+    (2 to 31).foreach { v =>
+      val j = v - 2
+      val removes = Seq(2 * j, 2 * j + 1).map(i =>
+        f"-\tdata/synth/p$i%07d")
+      Seq(2 * j, 2 * j + 1).foreach { i =>
+        f.mkdirs(new Path(s"$base/data/synth"))
+        f.create(new Path(f"$base/data/synth/p$i%07d"), true).close()
+      }
+      val adds = (0 until 5).map(s =>
+        s"+\tdata/rt/q${v}_$s\t100\tlong\tk\t${200000000L + v * 1000 + s * 100}" +
+          s"\t${200000000L + v * 1000 + s * 100 + 99}")
+      writeLog(f"v$v%020d.txt",
+        Seq("#delta", "#op\tWRITE", s"#ict\t${1000 + v}",
+          "#protocol\t1\t1") ++ removes ++ adds)
+    }
+
+    val expect = N + 30L * 5 - 30L * 2
+    // 1) resolution cost is version-independent: v5 (3 deltas) vs
+    //    v31 (30 deltas) — both one checkpoint scan + tiny local deltas
+    val (c5, t5) = timed(TxLogPlan.snapshotDF(spark, base, 5L).count())
+    val (c31, t31) = timed(TxLogPlan.snapshotDF(spark, base, 31L).count())
+    println(f"RESOLVE_V5_SEC=$t5%.2f ROWS=$c5")
+    println(f"RESOLVE_V31_SEC=$t31%.2f ROWS=$c31")
+    require(c31 == expect, s"snapshot v31: got $c31, want $expect")
+    require(c5 == N + 4 * 5 - 4 * 2, s"snapshot v5: got $c5") // deltas v2..v5
+    require(t31 < 60 && t31 < t5 * 5 + 5,
+      f"resolution must not scale with version count: $t5%.2f -> $t31%.2f")
+
+    // 2) skipping scan: k in [50_000_000, 50_000_999] hits ~10 of the
+    //    10^6 files; only the survivors reach the driver
+    val (surv, tScan) = timed(TxLogPlan.pruneEntriesForScan(spark, base,
+      31L, Seq(("k", "50000000", "50000999"))).get)
+    println(f"SKIP_SCAN_SEC=$tScan%.2f SURVIVORS=${surv.size}")
+    require(surv.nonEmpty && surv.size <= 12,
+      s"narrow range must keep ~10 files of 10^6, got ${surv.size}")
+
+    // 3) VACUUM LITE: drop v1..v26 — dead = the 52 paths removed by
+    //    deltas v2..v27 (the 8 later removals stay referenced by the
+    //    kept head v27); the fan-out counts real deletes
+    val ((kept, reclaimed), tVac) = timed(
+      TxLog.vacuumLite(spark, base, keepLast = 5))
+    println(f"VACUUM_LITE_SEC=$tVac%.2f RECLAIMED=$reclaimed KEPT=${kept.size}")
+    require(kept == Seq(27L, 28L, 29L, 30L, 31L), s"kept $kept")
+    require(reclaimed == 52, s"reclaim exactly the dropped-only 52 " +
+      s"files, got $reclaimed")
+
+    // post-vacuum: the kept head re-based on a columnar checkpoint and
+    // the table still resolves completely
+    require(f.exists(TxLogPlan.pqDirPath(base, 27L)), "columnar re-base")
+    val (cAfter, tAfter) = timed(
+      TxLogPlan.snapshotDF(spark, base, 31L).count())
+    println(f"RESOLVE_POST_VACUUM_SEC=$tAfter%.2f ROWS=$cAfter")
+    require(cAfter == expect,
+      s"post-vacuum snapshot: got $cAfter, want $expect (vacuum " +
+        "reclaims BYTES, never entries of surviving versions)")
+
+    println("CKPT_PROBE_OK")
+    spark.stop()
+  }
+}

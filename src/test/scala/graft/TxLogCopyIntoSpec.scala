@@ -157,6 +157,43 @@ class TxLogCopyIntoSpec extends AnyFunSuite {
     assert(nf == 0)
   }
 
+  test("partial overlap never under-ingests: a full-directory load " +
+    "racing a subset-pattern load still lands EVERY file exactly once " +
+    "— the loser retries with the survivors instead of reporting zero") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (1 to 3).foreach { round =>
+      val src = s"/tmp/graft_txcopy/partial_src$round"
+      val base = s"/tmp/graft_txcopy/partial_t$round"
+      val f = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(src), true)
+      TxLog.drop(spark, base)
+      TxLog.append(Seq((0L, "seed")).toDF("k", "v"), base, Some("k"))
+      writeWave(src, "aa", (100L to 109L).map(k => (k, s"v$k")))
+      writeWave(src, "bb", (200L to 209L).map(k => (k, s"v$k")))
+      writeWave(src, "cc", (300L to 309L).map(k => (k, s"v$k")))
+      // racer 1 loads ONLY aa; racer 2 loads everything — under the
+      // unlucky interleaving racer 2's batch partially overlaps
+      // racer 1's commit, and before the retry fix it would discard
+      // bb+cc and report (v, 0, 0) as if fully loaded
+      val sub = Future {
+        TxLog.copyInto(spark, base, src, "parquet", pattern = Some("aa*")) }
+      val full = Future { TxLog.copyInto(spark, base, src, "parquet") }
+      val outs = Seq(sub, full).map(Await.result(_, 120.seconds))
+      assert(outs.map(_._2).sum == 3,
+        s"round $round: 3 files across both racers, got $outs")
+      val content = TxLog.read(spark, base)
+      assert(content.count() == 31,
+        s"round $round: 30 copied rows + seed — nothing under-ingested")
+      assert(content.groupBy("k").count().where("count > 1").count() == 0)
+      // and the state is complete: a follow-up run is a no-op
+      val (_, nf, _) = TxLog.copyInto(spark, base, src, "parquet")
+      assert(nf == 0, s"round $round: post-race run must be a no-op")
+    }
+  }
+
   test("interaction: COPY INTO a PARTITIONED table with a GENERATED " +
     "partition column derives, splits one-file-per-tuple, and prunes — " +
     "the full write choke point applies to bulk loads") {

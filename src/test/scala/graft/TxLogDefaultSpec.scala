@@ -216,4 +216,24 @@ class TxLogDefaultSpec extends AnyFunSuite {
       TxLog.latestVersion(cat, b).get).isEmpty,
       "REPLACE binds the NEW definition — no defaults")
   }
+
+  test("the default-fold memo is timezone-scoped: the same zoneless " +
+    "timestamp DEFAULT folds to DIFFERENT instants under different " +
+    "session timezones — one session's fold is never served to " +
+    "another's") {
+    val ex = "CAST(TIMESTAMP'2024-01-01 00:00:00' AS BIGINT)"
+    val lt = org.apache.spark.sql.types.LongType
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val utc = TxLog.evalDefaultExpr(spark, ex, lt).asInstanceOf[Long]
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Saigon")
+      val sgn = TxLog.evalDefaultExpr(spark, ex, lt).asInstanceOf[Long]
+      assert(utc - sgn == 7L * 3600L,
+        s"UTC+7 midnight is 7h earlier in epoch seconds: $utc vs $sgn")
+      // and the memo still serves repeats within one zone
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      assert(TxLog.evalDefaultExpr(spark, ex, lt) == utc)
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
 }

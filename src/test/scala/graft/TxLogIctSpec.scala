@@ -148,6 +148,19 @@ class TxLogIctSpec extends AnyFunSuite {
       assert(n("table_changes('txict_tvf_w', '500')") == 3L)
       // the END bound is the floor: [v1, floor(2500)=v2]
       assert(n("table_changes('txict_tvf_w', 1, '2500')") == 2L)
+      // a start INSTANT after the last commit asks for changes none
+      // of which exist yet: an EMPTY feed under the full CDF schema
+      // — not a misleading 'outside the committed range' error
+      assert(n("table_changes('txict_tvf_w', '9999')") == 0L)
+      val cols = s.sql("SELECT * FROM table_changes('txict_tvf_w', " +
+        "'9999')").columns.toSet
+      assert(Set("_change_type", "_commit_version", "_commit_timestamp")
+        .subsetOf(cols), s"empty feed keeps the CDF surface, got $cols")
+      // the VERSION spelling of the same overshoot stays an error: a
+      // version number names a commit that must exist
+      val e = intercept[Exception] {
+        n("table_changes('txict_tvf_w', 99)") }
+      assert(e.getMessage.contains("outside the committed range"))
     } finally s.sql("DROP TABLE IF EXISTS txict_tvf_w")
   }
 }

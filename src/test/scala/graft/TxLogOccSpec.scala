@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TxLog
+
+/** Conflict-granular optimistic concurrency (Delta's conflict
+  * checker, r13 Missing #2). Laws:
+  *
+  *  - blind appends never recompute: two racers both land their data
+  *    exactly once; the loser re-BASES (one extra manifest write);
+  *  - a MERGE racing a DISJOINT-band DELETE re-bases without
+  *    recomputing the merge (measured by a source-evaluation
+  *    accumulator — the landed output is reused verbatim);
+  *  - an OVERLAPPING winner still serializes by recompute, and the
+  *    final state equals sequential application;
+  *  - a concurrent METADATA change (ADD CONSTRAINT) always forces
+  *    recompute, even when file sets are disjoint.
+  */
+class TxLogOccSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def band(lo: Long, n: Long, tag: String) =
+    spark.range(lo, lo + n)
+      .select(col("id").as("k"), concat(lit(tag), lit("-"), col("id")).as("s"))
+      .coalesce(1)
+
+  /** Source DF whose evaluation count is observable: every pass over
+    * the rows bumps the accumulator. */
+  private def counted(df: DataFrame, acc: org.apache.spark.util.LongAccumulator) = {
+    val enc = org.apache.spark.sql.Encoders.product[(Long, String)]
+    df.as[(Long, String)](enc).map { r => acc.add(1L); r }(enc)
+      .toDF("k", "s")
+  }
+
+  private def dataDirs(base: String): Int = {
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = new org.apache.hadoop.fs.Path(s"$base/data")
+    if (!f.exists(d)) 0 else f.listStatus(d).count(_.isDirectory)
+  }
+
+  test("two concurrent appends both land exactly once: the CAS loser " +
+    "re-publishes against the winner without re-landing its files") {
+    val base = "/tmp/graft_txocc/appends"
+    TxLog.drop(spark, base)
+    TxLog.commit(band(0, 10, "seed"), base, None, Some("k"))
+    val d0 = dataDirs(base)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val racers = Seq(
+      Future { TxLog.append(band(100, 10, "a"), base, Some("k")) },
+      Future { TxLog.append(band(200, 10, "b"), base, Some("k")) })
+    racers.foreach(Await.result(_, 120.seconds))
+    assert(TxLog.read(spark, base).count() == 30)
+    assert(dataDirs(base) == d0 + 2,
+      "each append lands ONE txn dir — a re-land (discard + new dir) " +
+        "would leave the loser's count at 2")
+    assert(TxLog.latestVersion(spark, base).contains(3L),
+      "three commits: seed + two appends")
+  }
+
+  test("MERGE racing a DISJOINT-band DELETE re-bases: zero recompute, " +
+    "the winner's delete is carried, the merge output is reused") {
+    val base = "/tmp/graft_txocc/disjoint"
+    TxLog.drop(spark, base)
+    // two bands in separate files: A = [0,100), B = [1000,1100)
+    TxLog.commit(band(0, 100, "a").union(band(1000, 100, "b"))
+      .repartitionByRange(2, col("k")), base, None, Some("k"))
+    // control: how many source evaluations does an uncontested merge
+    // cost? (the stats-bounds agg + the merge job itself)
+    val ctlAcc = spark.sparkContext.longAccumulator("occ_ctl")
+    TxLog.mergeCow(spark, base,
+      counted(Seq((5L, "CTL"), (6L, "CTL")).toDF("k", "s"), ctlAcc),
+      Seq("k"), "k")
+    val ctl = ctlAcc.value
+    assert(ctl > 0)
+    // the race: attempt 1's seam (after snapshot read, before publish)
+    // fires a COW delete of band B — our merge touches only band A
+    val acc = spark.sparkContext.longAccumulator("occ_disjoint")
+    var deleted = false
+    val v = TxLog.mergeCow(spark, base,
+      counted(Seq((7L, "UPD"), (1L, "UPD")).toDF("k", "s"), acc),
+      Seq("k"), "k",
+      onAttempt = a => if (a == 1 && !deleted) {
+        deleted = true
+        TxLog.deleteRange(spark, base, "k", 1050L, 1099L)
+      })
+    assert(acc.value == ctl,
+      s"disjoint loss must RE-BASE, not recompute: control cost $ctl " +
+        s"evaluations, got ${acc.value}")
+    // both effects present: the delete's band gone, the merge applied
+    val got = TxLog.read(spark, base).select("k", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(7L) == "UPD" && got(1L) == "UPD" && got(5L) == "CTL")
+    assert(!got.contains(1050L) && !got.contains(1099L),
+      "the winner's delete must be carried through the re-base")
+    assert(got.contains(1049L) && got.size == 200 - 50)
+    assert(v == TxLog.latestVersion(spark, base).get)
+  }
+
+  test("MERGE racing an OVERLAPPING delete recomputes — final state " +
+    "equals sequential application (delete THEN merge)") {
+    val base = "/tmp/graft_txocc/overlap"
+    TxLog.drop(spark, base)
+    TxLog.commit(band(0, 100, "a").repartitionByRange(2, col("k")),
+      base, None, Some("k"))
+    val ctlAcc = spark.sparkContext.longAccumulator("occ_ctl2")
+    TxLog.mergeCow(spark, base,
+      counted(Seq((200L, "CTL")).toDF("k", "s"), ctlAcc), Seq("k"), "k")
+    val ctl = ctlAcc.value
+    val acc = spark.sparkContext.longAccumulator("occ_overlap")
+    var deleted = false
+    TxLog.mergeCow(spark, base,
+      counted(Seq((10L, "UPD"), (20L, "NEW2")).toDF("k", "s"), acc),
+      Seq("k"), "k",
+      onAttempt = a => if (a == 1 && !deleted) {
+        deleted = true
+        TxLog.deleteRange(spark, base, "k", 10L, 15L) // overlaps the merge
+      })
+    assert(acc.value > ctl,
+      s"an overlapping winner must force recompute: control $ctl, " +
+        s"got ${acc.value}")
+    val got = TxLog.read(spark, base).select("k", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // sequential semantics: delete removed 10..15, then the merge
+    // re-inserted key 10 and updated 20
+    assert(got(10L) == "UPD" && got(20L) == "NEW2")
+    assert(!got.contains(11L) && !got.contains(15L))
+  }
+
+  test("a concurrent ADD CONSTRAINT forces recompute even with " +
+    "disjoint file sets — the landed output was never checked under " +
+    "the new constraint") {
+    val base = "/tmp/graft_txocc/meta"
+    TxLog.drop(spark, base)
+    TxLog.commit(band(0, 50, "a").union(band(1000, 50, "b"))
+      .repartitionByRange(2, col("k")), base, None, Some("k"))
+    val ctlAcc = spark.sparkContext.longAccumulator("occ_ctl3")
+    TxLog.mergeCow(spark, base,
+      counted(Seq((3L, "CTL")).toDF("k", "s"), ctlAcc), Seq("k"), "k")
+    val ctl = ctlAcc.value
+    val acc = spark.sparkContext.longAccumulator("occ_meta")
+    var altered = false
+    TxLog.mergeCow(spark, base,
+      counted(Seq((4L, "ok")).toDF("k", "s"), acc), Seq("k"), "k",
+      onAttempt = a => if (a == 1 && !altered) {
+        altered = true
+        TxLog.addConstraint(spark, base, "s_nonempty",
+          "length(s) > 0")
+      })
+    assert(acc.value > ctl,
+      "metadata drift invalidates the landed output — must recompute " +
+        s"(control $ctl, got ${acc.value})")
+    assert(TxLog.read(spark, base).where("k = 4").count() == 1)
+  }
+}

@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{TxLog, TxLogPlan}
+
+/** Columnar (parquet) checkpoints + distributed log planning — the
+  * 100-TB ceiling item: snapshot resolution, file skipping and VACUUM
+  * planning must stop materializing the full entry list on the
+  * driver. Laws: (1) the columnar path is CONTENT-identical to the
+  * text path across appends, DML, time travel and vacuum; (2) the
+  * checkpoint file carries the reader-5 protocol gate (an ignorant
+  * engine errors loudly instead of resolving an empty snapshot);
+  * (3) distributed pruning returns exactly the driver sweep's
+  * survivors; (4) the migration verb retrofits an existing text-era
+  * table. */
+class TxLogParquetCkptSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def clustered(lo: Long, n: Long, tag: String, parts: Int) =
+    spark.range(lo, lo + n)
+      .select(col("id").as("k"), concat(lit(tag), lit("-"), col("id")).as("s"))
+      .repartitionByRange(parts, col("k"))
+
+  private def contents(d: DataFrame): Set[(Long, String)] =
+    d.select("k", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def withParquetCkpts[T](body: => T): T = {
+    spark.conf.set("spark.graft.txlog.checkpointFormat", "parquet")
+    try body
+    finally spark.conf.unset("spark.graft.txlog.checkpointFormat")
+  }
+
+  private def fsOf(p: String) = new org.apache.hadoop.fs.Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("columnar checkpoint round-trip: the periodic checkpoint is a " +
+    "parquet dataset + a gated marker file; resolution across it is " +
+    "content-identical to the text path, including time travel BELOW " +
+    "the checkpoint") {
+    val base = "/tmp/graft_txpq/roundtrip"
+    TxLog.drop(spark, base)
+    withParquetCkpts {
+      spark.conf.set("spark.graft.txlog.checkpointInterval", "5")
+      try {
+        (0 until 12).foreach(i =>
+          TxLog.append(clustered(i * 10L, 10L, s"w$i", 1), base, Some("k")))
+      } finally spark.conf.unset("spark.graft.txlog.checkpointInterval")
+    }
+    val f = fsOf(base)
+    // v5 and v10 checkpointed columnar: dataset dir + marker file
+    Seq(5L, 10L).foreach { v =>
+      assert(f.exists(TxLog.ckptPath(base, v)), s"marker file at v$v")
+      assert(f.exists(TxLogPlan.pqDirPath(base, v)), s"parquet dir at v$v")
+      val lines = TxLog.linesOf(spark, base, TxLog.ckptPath(base, v))
+      assert(lines.exists(_.startsWith("#parquet\t")), "marker line")
+      assert(lines.exists(_.startsWith("#protocol\t5\t")),
+        "reader-5 gate: an ignorant engine must fail loudly, not " +
+          "resolve an empty snapshot")
+      assert(!lines.exists(l => !l.startsWith("#")),
+        "no entry lines in the marker file — they live in the parquet")
+    }
+    // resolution across the columnar base: cold cache, full content
+    TxLog.cachePurge(base)
+    assert(contents(TxLog.read(spark, base)) ==
+      (0L until 120L).map(k => (k, s"w${k / 10}-$k")).toSet)
+    // time travel: at the checkpoint, above it, and BELOW it (replay
+    // walks to the nearest resolvable base underneath)
+    assert(TxLog.readVersion(spark, base, 10L).count() == 100L)
+    assert(TxLog.readVersion(spark, base, 11L).count() == 110L)
+    assert(TxLog.readVersion(spark, base, 3L).count() == 30L)
+    // the snapshotDF replay equals the driver list, path for path
+    val viaDF = TxLogPlan.snapshotDF(spark, base, 12L)
+      .select("path").as[String].collect().toSet
+    val viaDriver = TxLog.manifest(spark, base, 12L)._1.map(_.path).toSet
+    assert(viaDF == viaDriver)
+  }
+
+  test("distributed pruning returns exactly the driver sweep's " +
+    "survivors, and readRanges over a columnar table serves identical " +
+    "rows") {
+    val base = "/tmp/graft_txpq/prune"
+    TxLog.drop(spark, base)
+    withParquetCkpts {
+      spark.conf.set("spark.graft.txlog.checkpointInterval", "3")
+      try {
+        (0 until 6).foreach(i =>
+          TxLog.append(clustered(i * 100L, 100L, s"w$i", 4), base, Some("k")))
+      } finally spark.conf.unset("spark.graft.txlog.checkpointInterval")
+    }
+    val v = TxLog.latestVersion(spark, base).get
+    // cold cache so the planner actually goes distributed
+    TxLog.cachePurge(base)
+    val dist = TxLogPlan.pruneEntriesForScan(spark, base, v,
+      Seq(("k", "130", "180")))
+    assert(dist.isDefined, "columnar base present → distributed prune")
+    val driver = TxLog.pruneRanges(spark, base, Seq(("k", 130L, 180L)))._1
+    assert(dist.get.map(_.path).toSet == driver.map(_.path).toSet,
+      "the two pruners must keep the same files")
+    assert(dist.get.size < driver.size + 1 &&
+      dist.get.size <= 8, s"a narrow range keeps a handful of the " +
+        s"table's files, got ${dist.get.size}")
+    TxLog.cachePurge(base)
+    assert(contents(TxLog.readRange(spark, base, "k", 130L, 180L)) ==
+      (130L to 180L).map(k => (k, s"w${k / 100}-$k")).toSet)
+  }
+
+  test("VACUUM LITE on a columnar table: the reclaim set is computed " +
+    "distributed, superseded OPTIMIZE inputs are deleted, live files " +
+    "and DV sidecars survive, and the kept history re-bases on a " +
+    "columnar checkpoint") {
+    val base = "/tmp/graft_txpq/vlite"
+    TxLog.drop(spark, base)
+    withParquetCkpts {
+      (0 until 4).foreach(i =>
+        TxLog.append(clustered(i * 50L, 50L, s"w$i", 2), base, Some("k")))
+      // MOR delete → a DV sidecar that must stay as live as its file
+      TxLog.deleteRangeMor(spark, base, "k", 10L, 19L)
+      val before = contents(TxLog.read(spark, base))
+      assert(before.size == 190)
+      // phase A: every dropped version's files are still referenced
+      // by the kept head (MOR rewrites nothing) — reclaim must be 0
+      // and the DV sidecar must survive its ancestry's drop
+      val (keptA, recA) = TxLog.vacuumLite(spark, base, keepLast = 1)
+      assert(keptA.size == 1 && recA == 0,
+        s"still-referenced files never reclaim, got ($keptA, $recA)")
+      TxLog.cachePurge(base)
+      assert(contents(TxLog.read(spark, base)) == before,
+        "the DV sidecar survived — deleted rows stay deleted")
+      // phase B: OPTIMIZE supersedes the small files + the DV; their
+      // bytes are dead once the pre-OPTIMIZE version drops
+      TxLog.compact(spark, base, 1L << 20, 1L << 22)
+      val (kept, reclaimed) = TxLog.vacuumLite(spark, base, keepLast = 1)
+      assert(kept.size == 1, s"one surviving version, got $kept")
+      assert(reclaimed > 0, "the superseded pre-OPTIMIZE files reclaim")
+      // the oldest kept version re-based on a COLUMNAR checkpoint
+      val f = fsOf(base)
+      assert(f.exists(TxLog.ckptPath(base, kept.head)))
+      assert(f.exists(TxLogPlan.pqDirPath(base, kept.head)),
+        "the re-base checkpoint is parquet (built from the DataFrame)")
+      TxLog.cachePurge(base)
+      assert(contents(TxLog.read(spark, base)) == before,
+        "content survives the vacuum byte-for-byte")
+      // dropped versions must fail loudly now
+      intercept[Exception] { TxLog.readVersion(spark, base, 2L).count() }
+    }
+  }
+
+  test("migration: checkpointParquet retrofits a text-era table " +
+    "without a driver entry list; mixed text + columnar checkpoints " +
+    "resolve side by side") {
+    val base = "/tmp/graft_txpq/migrate"
+    TxLog.drop(spark, base)
+    spark.conf.set("spark.graft.txlog.checkpointInterval", "4")
+    try {
+      // text era: interval-4 text checkpoints
+      (0 until 6).foreach(i =>
+        TxLog.append(clustered(i * 10L, 10L, s"w$i", 1), base, Some("k")))
+      val f = fsOf(base)
+      assert(f.exists(TxLog.ckptPath(base, 4L)) &&
+        !f.exists(TxLogPlan.pqDirPath(base, 4L)), "v4 is a text ckpt")
+      // migrate at v6
+      val v = TxLogPlan.checkpointParquet(spark, base)
+      assert(v == 6L && f.exists(TxLogPlan.pqDirPath(base, 6L)))
+      TxLog.cachePurge(base)
+      assert(TxLog.read(spark, base).count() == 60)
+      assert(TxLogPlan.hasParquetBase(spark, base, 6L))
+      // below the columnar ckpt the TEXT ckpt still serves
+      assert(TxLog.readVersion(spark, base, 5L).count() == 50)
+      assert(!TxLogPlan.hasParquetBase(spark, base, 5L))
+      // and post-migration writes keep working, columnar from here on
+      withParquetCkpts {
+        (6 until 9).foreach(i =>
+          TxLog.append(clustered(i * 10L, 10L, s"w$i", 1), base, Some("k")))
+      }
+      assert(f.exists(TxLogPlan.pqDirPath(base, 8L)), "interval ckpt at v8")
+      TxLog.cachePurge(base)
+      assert(contents(TxLog.read(spark, base)) ==
+        (0L until 90L).map(k => (k, s"w${k / 10}-$k")).toSet)
+    } finally spark.conf.unset("spark.graft.txlog.checkpointInterval")
+  }
+
+  test("interaction: MERGE, MOR delete and RESTORE work unchanged " +
+    "across a columnar base (the checkpoint loses nothing — stats, " +
+    "DVs and row groups ride the line column verbatim)") {
+    val base = "/tmp/graft_txpq/dml"
+    TxLog.drop(spark, base)
+    withParquetCkpts {
+      spark.conf.set("spark.graft.txlog.checkpointInterval", "2")
+      try {
+        (0 until 4).foreach(i =>
+          TxLog.append(clustered(i * 10L, 10L, s"w$i", 1), base, Some("k")))
+        TxLog.cachePurge(base) // resolve v4 via the v4 columnar ckpt
+        val upd = Seq((5L, "UPDATED"), (99L, "NEW")).toDF("k", "s")
+        TxLog.mergeCow(spark, base, upd, Seq("k"), "k")
+        TxLog.deleteRangeMor(spark, base, "k", 20L, 24L)
+        val got = contents(TxLog.read(spark, base))
+        val want = ((0L until 40L).filterNot(k => k >= 20L && k <= 24L)
+          .map(k => (k, if (k == 5L) "UPDATED" else s"w${k / 10}-$k")) :+
+          (99L, "NEW")).toSet
+        assert(got == want)
+        // RESTORE to the checkpointed version resolves via parquet
+        TxLog.restore(spark, base, 4L)
+        TxLog.cachePurge(base)
+        assert(contents(TxLog.read(spark, base)) ==
+          (0L until 40L).map(k => (k, s"w${k / 10}-$k")).toSet)
+      } finally spark.conf.unset("spark.graft.txlog.checkpointInterval")
+    }
+  }
+}

@@ -77,6 +77,43 @@ class TxLogStreamSpec extends AnyFunSuite {
     assert(both.getMessage != null)
   }
 
+  test("startingTimestamp on an EMPTY log matches startingVersion=0: " +
+    "the stream starts (user-supplied schema), drains nothing, and a " +
+    "restart after the first commits consumes everything ever " +
+    "committed — not an IllegalStateException") {
+    val base = "/tmp/graft_txstream/start_ts_empty"
+    val out = "/tmp/graft_txstream/start_ts_empty_out"
+    val ckpt = "/tmp/graft_txstream/start_ts_empty_ckpt"
+    Seq(base, out, ckpt).foreach(TxLog.drop(spark, _))
+    // an empty but EXISTING store: the log dir is there, no commits
+    new org.apache.hadoop.fs.Path(s"$base/_log")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(new org.apache.hadoop.fs.Path(s"$base/_log"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.StringType)))
+    def drainWithSchema(): DataFrame = {
+      val q = spark.readStream.format("graft.sources.TxLogSource")
+        .schema(schema).option("startingTimestamp", "1000")
+        .load(base)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.schema(schema).parquet(out)
+    }
+    assert(drainWithSchema().count() == 0,
+      "empty log: the stream starts and waits, like startingVersion=0")
+    TxLog.commit(clustered(0, 10, "v1", 1), base, None, Some("k"))
+    TxLog.append(clustered(10, 5, "v2", 1), base, Some("k"))
+    assert(drainWithSchema().select("k").collect().map(_.getLong(0)).toSet
+      == (0L until 15L).toSet,
+      "the restarted stream consumes everything that ever committed")
+  }
+
   test("change-feed stream delivers exactly the rows each version " +
     "committed, tagged with its commit version, one version per trigger") {
     val base = "/tmp/graft_txstream/feed"
