@@ -112,6 +112,51 @@ object Ivf {
     searchWith(df, queries, idCol, vecCol,
       seeds(df, idCol, vecCol, seedEvery), nProbe, k)
 
+  /** FILTERED ANN (Milvus/pgvector's metadata-filtered search — a
+    * training-data query is almost never unfiltered: "nearest
+    * neighbors among language=vi AND quality>q"): the predicate is
+    * pushed INTO the probed cells BEFORE scoring. The filter lands on
+    * the corpus scan (Catalyst pushes it below the cell join, so a
+    * parquet-backed corpus prunes at the reader), excluded vectors
+    * are never cosine-scored, and candidate volume can only SHRINK
+    * versus the unfiltered probe (IvfFilterSpec's law). The index
+    * itself stays unfiltered — one index serves every predicate —
+    * exactly the post-assignment/pre-scoring placement production
+    * ANN engines use. */
+  def searchAssignedFiltered(df: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String,
+                             centers: DataFrame, assigned: DataFrame,
+                             nProbe: Int, k: Int,
+                             pred: org.apache.spark.sql.Column): DataFrame =
+    searchAssigned(df.where(pred), queries, idCol, vecCol, centers,
+      assigned, nProbe, k)
+
+  /** Seeded-quantizer filtered search: index built over the FULL
+    * corpus (one index, any predicate), scoring restricted to
+    * `pred`-satisfying members of the probed cells. */
+  def searchFiltered(df: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, seedEvery: Int, nProbe: Int, k: Int,
+                     pred: org.apache.spark.sql.Column): DataFrame = {
+    val s = seeds(df, idCol, vecCol, seedEvery)
+    searchAssignedFiltered(df, queries, idCol, vecCol, s,
+      assignTo(df, idCol, vecCol, broadcast(s)), nProbe, k, pred)
+  }
+
+  /** Diagnostic: rows a probe would SCORE (the corpus-proportional
+    * cost term) under an optional candidate predicate — what the
+    * filtered search bounds. */
+  def candidateVolume(df: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, centers: DataFrame,
+                      assigned: DataFrame, nProbe: Int,
+                      pred: org.apache.spark.sql.Column = lit(true)): Long = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    df.where(pred).select(col(idCol).as("neighbor_id"))
+      .join(assigned.withColumnRenamed(idCol, "neighbor_id"), "neighbor_id")
+      .join(probeCells(q, broadcast(centers), nProbe), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .count()
+  }
+
   /** IVF × SQ8 — the production ANN layout (Faiss `IVF*,SQ8`): the
     * COARSE quantizer runs in full precision (assignment/probing is
     * K-sized work, precision there is cheap and recall-critical),

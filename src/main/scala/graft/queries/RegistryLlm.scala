@@ -896,6 +896,23 @@ object RegistryLlm {
         .orderBy("query_id")
     }),
 
+    // FILTERED ANN (r13 next-round #6 — the shape real training-data
+    // retrieval takes: "nearest among language=vi AND quality>q").
+    // The predicate pushes INTO the probed cells before scoring:
+    // excluded vectors are never cosine-scored, candidate volume can
+    // only shrink versus the unfiltered probe (IvfFilterSpec pins
+    // that law), and the index itself stays unfiltered — one index
+    // serves every predicate. Oracle: the same IVF pipeline in SQL
+    // with the label filter applied to candidates before ranking.
+    "llm_knn_filtered" -> ((s, dir) => {
+      val e = embs(s, dir)
+      graft.operators.Ivf.searchFiltered(e,
+          e.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          seedEvery = 50, nProbe = 2, k = 3,
+          pred = col("label") % 3 === 0)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF × SQ8 (Faiss "IVF*,SQ8" — the production ANN layout): the
     // coarse quantizer probes in full precision (K-sized work, where
     // precision is cheap and recall-critical) while candidate scoring
@@ -2294,6 +2311,43 @@ object RegistryLlm {
            JOIN assigned a ON a.cell = p.cell
            JOIN corpus c ON c.vec_id = a.vec_id
            WHERE c.vec_id <> p.query_id)
+         SELECT query_id, neighbor_id, cos_sim,
+                cast(rank AS INTEGER) AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM cands)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "llm_knn_filtered" ->
+      """WITH seeds AS (
+           SELECT vec_id AS seed_id, cast(embedding AS DOUBLE[]) AS sv
+           FROM embeddings WHERE vec_id % 50 = 1),
+         corpus AS (
+           SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         assigned AS (
+           SELECT vec_id, seed_id AS cell FROM (
+             SELECT c.vec_id, s.seed_id,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY round(list_cosine_similarity(c.v, s.sv), 4) DESC,
+                               s.seed_id ASC) AS rn
+             FROM corpus c CROSS JOIN seeds s)
+           WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+         probed AS (
+           SELECT query_id, qv, seed_id AS cell FROM (
+             SELECT q.query_id, q.qv, s.seed_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(q.qv, s.sv), 4) DESC,
+                               s.seed_id ASC) AS pr
+             FROM q CROSS JOIN seeds s)
+           WHERE pr <= 2),
+         cands AS (
+           SELECT p.query_id, c.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(p.qv, c.v), 4) AS cos_sim
+           FROM probed p
+           JOIN assigned a ON a.cell = p.cell
+           JOIN corpus c ON c.vec_id = a.vec_id
+           WHERE c.vec_id <> p.query_id AND c.label % 3 = 0)
          SELECT query_id, neighbor_id, cos_sim,
                 cast(rank AS INTEGER) AS rank
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
