@@ -2588,12 +2588,17 @@ object TxLog {
     cm.copy(cols = cm.cols ++ newCols, nextId = next)
   }
 
-  /** Single-part column names a CHECK-constraint expression references
-    * (lowercased) — the dependency probe RENAME/DROP COLUMN runs. */
+  /** TOP-LEVEL column names a CHECK-constraint expression references
+    * (lowercased) — the dependency probe RENAME/DROP COLUMN runs. A
+    * multi-part reference (`s.x`, a struct path) depends on its HEAD
+    * column: dropping or renaming the parent struct would silently
+    * orphan the nested reference, so `s.x` registers a dependency on
+    * `s` (the r13 nested audit's veto rule, extended to the
+    * dependency probe). */
   private def constraintRefLowers(spark: SparkSession, ex: String): Set[String] =
     spark.sessionState.sqlParser.parseExpression(ex).collect {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-        if a.nameParts.length == 1 => a.name.toLowerCase
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head.toLowerCase
     }.toSet
 
   /** RENAME/DROP guard: the column must not be referenced by a CHECK

@@ -101,6 +101,52 @@ object RegistryTx {
           sum(col("price").cast("decimal(18,6)")).cast("double")
             .as("sum_price"))
         .orderBy("grp")
+    }),
+
+    // Nested-field tier 1 (r13 next-round #4): a STRUCT column with a
+    // CHECK constraint over a child path AND a partition key GENERATED
+    // from a child path — the write computes the band from inside the
+    // struct, splits the layout on it, and a band predicate prunes to
+    // a file subset. The drop-parent veto (constraint on s.price
+    // blocks DROP COLUMN s) rides the same dependency probe
+    // (TxLogNestedAuditSpec). Oracle: the per-band aggregate from the
+    // raw table.
+    "s85_nested_tier" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txnest_orders"
+      TxLog.drop(s, base)
+      TxLog.createTable(s, base, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("status",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("price",
+              org.apache.spark.sql.types.DoubleType)))),
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.IntegerType))),
+        partitionCols = Seq("band"),
+        generated = Seq("band" -> "cast(floor(s.price / 50000) as int)"))
+      TxLog.addConstraint(s, base, "price_pos", "s.price >= 0")
+      val od = t(s, dir, "orders").where(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").cast("long").as("k"),
+          struct(col("o_orderstatus").as("status"),
+            col("o_totalprice").cast("double").as("price")).as("s"))
+      TxLog.append(od, base, Some("k"))
+      // the parent-drop veto is live while the nested constraint is
+      require(scala.util.Try(TxLog.dropColumn(s, base, "s")).isFailure,
+        "DROP of the parent struct must veto under a child constraint")
+      // band pruning: one band touches a strict file subset
+      val all = TxLog.manifest(s, base, TxLog.latestVersion(s, base).get)._1
+      val pruned = TxLog.pruneRanges(s, base, Seq(("band", 1, 1)))._1
+      require(pruned.size < all.size,
+        s"band=1 must prune to a subset: ${pruned.size} of ${all.size}")
+      TxLog.read(s, base)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("s.price").cast("decimal(18,6)")).cast("double")
+            .as("sum_price"))
+        .orderBy("band")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -141,5 +187,13 @@ object RegistryTx {
          SELECT cast(k % 7 AS INTEGER) AS grp, count(*) AS n,
                 cast(sum(cast(price AS DECIMAL(18,6))) AS DOUBLE)
                   AS sum_price
-         FROM merged GROUP BY 1 ORDER BY 1""")
+         FROM merged GROUP BY 1 ORDER BY 1""",
+    "s85_nested_tier" ->
+      """WITH t AS (SELECT cast(o_totalprice AS DOUBLE) AS price
+                    FROM orders WHERE o_orderkey < 2000)
+         SELECT cast(floor(price / 50000) AS INTEGER) AS band,
+                count(*) AS n,
+                cast(sum(cast(price AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_price
+         FROM t GROUP BY 1 ORDER BY 1""")
 }

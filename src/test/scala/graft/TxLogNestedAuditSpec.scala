@@ -122,4 +122,67 @@ class TxLogNestedAuditSpec extends AnyFunSuite {
       .select(col("k"), struct(col("x")).as("s")), g, Some("k"))
     assert(TxLog.read(spark, g).select("x2").head.getInt(0) == 14)
   }
+
+  test("interaction (r13 next-round #4): DROP/RENAME of a PARENT " +
+    "struct vetoes while a CHECK constraint or generated column " +
+    "references a child path — `s.x` registers a dependency on `s`") {
+    seed()
+    import spark.implicits._
+    TxLog.addConstraint(spark, base, "x_band", "s.x BETWEEN 0 AND 1000")
+    val eDrop = intercept[Exception] { TxLog.dropColumn(spark, base, "s") }
+    assert(eDrop.getMessage.contains("x_band"),
+      s"dropping the parent must name the dependent constraint: " +
+        eDrop.getMessage)
+    val eRen = intercept[Exception] {
+      TxLog.renameColumn(spark, base, "s", "t") }
+    assert(eRen.getMessage.contains("x_band"), eRen.getMessage)
+    TxLog.dropConstraint(spark, base, "x_band")
+    // generated-from-nested creates the same parent dependency
+    val g = "/tmp/graft_txnest/gen_dep"
+    TxLog.drop(spark, g)
+    TxLog.createTable(spark, g, StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("s", StructType(Seq(StructField("x", IntegerType)))),
+      StructField("x2", IntegerType))),
+      generated = Seq("x2" -> "s.x * 2"))
+    TxLog.append(Seq((1, 7)).toDF("k", "x")
+      .select(col("k"), struct(col("x")).as("s")), g, Some("k"))
+    val eGen = intercept[Exception] { TxLog.dropColumn(spark, g, "s") }
+    assert(eGen.getMessage.contains("x2"),
+      s"dropping the parent must name the derived column: ${eGen.getMessage}")
+    // and after the CONSTRAINT drop above, the first table's parent
+    // struct is free to go — the veto tracks live dependents only
+    TxLog.dropColumn(spark, base, "s")
+    assert(TxLog.readEvolved(spark, base).columns.map(_.toLowerCase)
+      .toSet == Set("k"))
+  }
+
+  test("nested generated PARTITION column: a partition key GENERATED " +
+    "from a struct path computes at write time, splits the layout, " +
+    "and prunes reads — the full nested tier-1 composition") {
+    import spark.implicits._
+    val g = "/tmp/graft_txnest/gen_part"
+    TxLog.drop(spark, g)
+    TxLog.createTable(spark, g, StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("s", StructType(Seq(
+        StructField("x", IntegerType), StructField("label", StringType)))),
+      StructField("band", IntegerType))),
+      partitionCols = Seq("band"),
+      generated = Seq("band" -> "cast(s.x / 100 as int)"))
+    val rows = (1 to 300).map(i => (i, i, s"l$i"))
+    TxLog.append(rows.toDF("k", "x", "label")
+      .select(col("k"), struct(col("x"), col("label")).as("s")), g, Some("k"))
+    val got = TxLog.read(spark, g)
+    assert(got.count() == 300)
+    assert(got.where("band = cast(s.x / 100 as int)").count() == 300,
+      "the generated partition value must derive from the struct path")
+    // partition pruning: a band predicate touches a strict subset of
+    // the landed files
+    val all = TxLog.manifest(spark, g,
+      TxLog.latestVersion(spark, g).get)._1.size
+    val pruned = TxLog.pruneRanges(spark, g, Seq(("band", 0, 0)))._1.size
+    assert(pruned < all && pruned >= 1,
+      s"band=0 must prune to a file subset: $pruned of $all")
+  }
 }
