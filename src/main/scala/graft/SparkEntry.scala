@@ -42,7 +42,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RegistryCore.defs ++ RegistryIngest.defs ++ RegistryGold.defs ++
       RegistryLlm.defs ++ RegistryExtra.defs ++ RegistryMaint.defs ++
-      RegistryTx.defs
+      RegistryTx.allDefs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -149,7 +149,84 @@ object RegistryTx {
         .orderBy("band")
     }))
 
+  private val variantDefs: Map[String, Q] = Map(
+    // VARIANT semi-structured bronze (r13 next-round #3 — Spark 4's
+    // VariantType, the Delta 4.0 feature the reference's crawl layer
+    // wants): the ragged crawl JSON lands ONCE as a VARIANT column —
+    // parse_json per row, NO whole-corpus two-pass schema inference
+    // (the load_bronze_to_table.py:130-133 shape this retires) — and
+    // the typed silver extraction happens at QUERY time via
+    // variant_get paths. TxLog round-trips the type (no stats on the
+    // variant column — skipping on it soundly keeps everything, and
+    // asking for variant stats vetoes loudly: TxLogVariantSpec).
+    // Oracle: the same extraction recomputed relationally from the
+    // documents table.
+    "s86_variant_bronze" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txvariant_docs"
+      TxLog.drop(s, base)
+      val d = t(s, dir, "documents")
+      // three ragged shapes, exactly what a crawl feed looks like:
+      // flat lang, nested meta.lang, and a lang-less score record
+      val raw = d.select(col("doc_id"), (col("doc_id") % 3).as("m"),
+          col("lang"), col("n_chars"))
+        .select(col("doc_id"), when(col("m") === 0,
+            to_json(struct(col("doc_id").as("id"), col("lang"),
+              col("n_chars").as("len"))))
+          .when(col("m") === 1,
+            to_json(struct(col("doc_id").as("id"),
+              struct(col("lang")).as("meta"))))
+          .otherwise(
+            to_json(struct(col("doc_id").as("id"),
+              (col("n_chars") * 1.5).as("score")))).as("js"))
+      val bronze = raw.select(col("doc_id"),
+        parse_json(col("js")).as("v"))
+      TxLog.commit(bronze, base, None, Some("doc_id"))
+      val entries = TxLog.manifest(s, base, 1L)._1
+      require(entries.forall(_.statsFor("v").isEmpty),
+        "no stats may be collected for a VARIANT column")
+      require(TxLog.pruneRanges(s, base,
+          Seq(("v", "a", "z")))._1.size == entries.size,
+        "skipping on the variant column must soundly keep every file")
+      // typed silver extraction — variant_get paths over the bronze
+      TxLog.cachePurge(base)
+      TxLog.read(s, base)
+        .select(
+          variant_get(col("v"), "$.id", "long").as("id"),
+          coalesce(
+            variant_get(col("v"), "$.lang", "string"),
+            variant_get(col("v"), "$.meta.lang", "string"),
+            lit("unknown")).as("lang2"),
+          coalesce(try_variant_get(col("v"), "$.score", "double"),
+            lit(0.0)).as("score"),
+          coalesce(try_variant_get(col("v"), "$.len", "long"), lit(0L))
+            .as("len"))
+        .groupBy("lang2")
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          sum(col("len")).as("sum_len"),
+          sum(col("score").cast("decimal(18,6)")).cast("double")
+            .as("sum_score"))
+        .orderBy("lang2")
+    }))
+
+  val allDefs: Map[String, Q] = defs ++ variantDefs
+
   val oracles: Map[String, String] = Map(
+    "s86_variant_bronze" ->
+      """WITH t AS (SELECT doc_id, doc_id % 3 AS m, lang, n_chars
+                    FROM documents),
+         x AS (SELECT doc_id AS id,
+                      CASE WHEN m IN (0, 1) THEN lang
+                           ELSE 'unknown' END AS lang2,
+                      CASE WHEN m = 2 THEN n_chars * 1.5
+                           ELSE 0.0 END AS score,
+                      CASE WHEN m = 0 THEN n_chars ELSE 0 END AS len
+               FROM t)
+         SELECT lang2, count(*) AS n,
+                cast(sum(id) AS BIGINT) AS sum_id,
+                cast(sum(len) AS BIGINT) AS sum_len,
+                cast(sum(cast(score AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_score
+         FROM x GROUP BY 1 ORDER BY 1""",
     "s83_parquet_checkpoint" ->
       """WITH t AS (SELECT cast(o_orderkey AS BIGINT) AS k,
                            cast(o_totalprice AS DOUBLE) AS price
