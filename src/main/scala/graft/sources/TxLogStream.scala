@@ -952,7 +952,9 @@ class TxLogScanBuilder(full: StructType, base: String,
     new TxLogScan(required, base, TxLogSource.changeFeed(options),
       maxVersions, startingVersion, versionAsOf, pushed,
       TxLogSource.changeTypes(options), physMap, maxFiles,
-      rowIds = TxLogSource.rowIds(options))
+      rowIds = TxLogSource.rowIds(options),
+      allowSchemaChange =
+        Option(options.get("allowSchemaChange")).exists(_.toBoolean))
   }
 }
 
@@ -963,7 +965,8 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
                 changeTypes: Boolean = false,
                 physMap: Map[String, String] = Map.empty,
                 maxFilesPerTrigger: Option[Long] = None,
-                private[sources] val rowIds: Boolean = false)
+                private[sources] val rowIds: Boolean = false,
+                private[sources] val allowSchemaChange: Boolean = false)
     extends Scan with Batch {
 
   /** Enablement-backfill map (path → base row id), resolved lazily
@@ -1714,9 +1717,46 @@ class TxLogMicroBatchStream(scan: TxLogScan, base: String,
     }
   }
 
+  /** Schema tracking, log-derived (Delta's schemaTrackingLocation
+    * equivalent — here the LOG is the tracker: `#schema`/`#colmap`/
+    * `#widencol` lines are versioned with every commit, so the schema
+    * at any offset is always reconstructible). ADDITIVE evolution
+    * (ADD COLUMNS, type widening) replays fine across a restart: old
+    * files decode under their own footer schema and null-fill /
+    * widen into the latest surface. NON-ADDITIVE evolution — a
+    * RENAME/DROP/re-ADD under column mapping between the checkpointed
+    * offset and the restart — changes what the replayed logical
+    * columns MEAN: the sink built under the old surface would
+    * silently receive re-bound or vanished columns. Delta fails this
+    * stream unless the user opts in; so do we
+    * (option("allowSchemaChange", "true")). */
+  private def guardNonAdditive(consumedV: Long): Unit = {
+    if (scan.allowSchemaChange) return
+    // a FRESH stream (nothing consumed yet) binds to the latest
+    // surface by definition — only a RESUME can straddle a change
+    if (consumedV < 1L) return
+    val latest = latestCommitted()
+    if (latest == 0L || consumedV >= latest) return
+    def mapAt(v: Long): Option[Set[(String, String)]] =
+      TxLog.columnMappingOf(spark, base, v)
+        .map(_.cols.map { case (l, p) => (l.toLowerCase, p) }.toSet)
+    val thenM = mapAt(consumedV)
+    val nowM = mapAt(latest)
+    if (thenM != nowM) throw new IllegalStateException(
+      s"the column mapping of $base changed between the stream's " +
+        s"checkpointed position (version $consumedV) and the current " +
+        s"table (version $latest) — a RENAME/DROP/re-ADD is a " +
+        "non-additive schema change: replayed columns would " +
+        "silently re-bind under the new surface. Restart the stream " +
+        "from a fresh checkpoint, or opt in with " +
+        ".option(\"allowSchemaChange\", \"true\") after updating the " +
+        "sink (additive ADD COLUMNS / type widening never trips this)")
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TxLogOffset]
     val e = end.asInstanceOf[TxLogOffset]
+    guardNonAdditive(s.version)
     // stats-pruning applies per batch too: a filtered stream never
     // ships files the pushed ranges prove dead (filters stay residual)
     if (changeTypes) // version-atomic (maxFilesPerTrigger is rejected)

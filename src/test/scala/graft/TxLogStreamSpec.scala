@@ -114,6 +114,89 @@ class TxLogStreamSpec extends AnyFunSuite {
       "the restarted stream consumes everything that ever committed")
   }
 
+  test("schema tracking, additive (r13 next-round #5): one stream " +
+    "replays pre-evolution files null-filled and post-evolution files " +
+    "with values; a checkpointed stream resumes ACROSS an ADD COLUMNS " +
+    "without re-delivery") {
+    val base = "/tmp/graft_txstream/schema_add"
+    val out = "/tmp/graft_txstream/schema_add_out"
+    val ckpt = "/tmp/graft_txstream/schema_add_ckpt"
+    Seq(base, out, ckpt).foreach(TxLog.drop(spark, _))
+    TxLog.commit(clustered(0, 10, "v1", 1), base, None, Some("k"))
+    // drain v1 under the 2-column surface
+    assert(drain(base, out, ckpt).count() == 10)
+    // additive evolution + data under the NEW surface
+    TxLog.alterAddColumns(spark, base, org.apache.spark.sql.types
+      .StructType(Seq(org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType))))
+    import spark.implicits._
+    TxLog.append((100L until 105L).map(k => (k, s"v3-$k", k * 7))
+      .toDF("k", "s", "extra"), base, Some("k"))
+    // the SAME checkpoint resumes across the evolution: only the new
+    // version ships, under the evolved sink schema
+    val got = spark.read.option("mergeSchema", "true").parquet(out)
+    val q = spark.readStream.format("graft.sources.TxLogSource")
+      .load(base)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .option("mergeSchema", "true")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val all = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(all.count() == 15, "no re-delivery, no loss across ADD COLUMNS")
+    assert(all.where("extra IS NOT NULL").count() == 5)
+    // and a FRESH stream replays the whole history under the latest
+    // surface: old files null-fill, new files carry values
+    val out2 = "/tmp/graft_txstream/schema_add_out2"
+    val ckpt2 = "/tmp/graft_txstream/schema_add_ckpt2"
+    Seq(out2, ckpt2).foreach(TxLog.drop(spark, _))
+    val fresh = drain(base, out2, ckpt2)
+    assert(fresh.count() == 15)
+    assert(fresh.where("k < 100 AND extra IS NULL").count() == 10,
+      "pre-evolution files replay null-filled")
+    assert(fresh.where("k >= 100 AND extra = k * 7").count() == 5,
+      "post-evolution files replay with values")
+  }
+
+  test("schema tracking, NON-additive: a RENAME under column mapping " +
+    "between checkpoint and restart fails LOUDLY with guidance; " +
+    "allowSchemaChange=true opts in") {
+    val base = "/tmp/graft_txstream/schema_ren"
+    val out = "/tmp/graft_txstream/schema_ren_out"
+    val ckpt = "/tmp/graft_txstream/schema_ren_ckpt"
+    Seq(base, out, ckpt).foreach(TxLog.drop(spark, _))
+    TxLog.commit(clustered(0, 10, "v1", 1), base, None, Some("k"))
+    assert(drain(base, out, ckpt).count() == 10)
+    // non-additive: rename s -> txt (colmap rebind), then new data
+    TxLog.renameColumn(spark, base, "s", "txt")
+    import spark.implicits._
+    TxLog.append((50L until 55L).map(k => (k, s"v3-$k")).toDF("k", "txt"),
+      base, Some("k"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft.sources.TxLogSource")
+        .load(base)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("non-additive") && msg.contains("allowSchemaChange"),
+      s"the failure must explain itself: $msg")
+    // explicit opt-in proceeds against the SAME sink (the caller
+    // accepts the re-bound surface; parquet sink evolves by mergeSchema)
+    val q3 = spark.readStream.format("graft.sources.TxLogSource")
+      .option("allowSchemaChange", "true").load(base)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    val all = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(all.where("txt LIKE 'v3-%'").count() == 5,
+      "the opted-in resume ships the new version under the new surface")
+    assert(all.count() == 15, "nothing re-delivered, nothing lost")
+  }
+
   test("change-feed stream delivers exactly the rows each version " +
     "committed, tagged with its commit version, one version per trigger") {
     val base = "/tmp/graft_txstream/feed"
