@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{RegistryCore, RegistryExtra, RegistryGold, RegistryIngest, RegistryLlm, RegistryMaint, RegistryTx}
+import graft.queries.{RegistryCore, RegistryExtra, RegistryGold, RegistryIngest, RegistryLlm, RegistryMaint, RegistryMaintDml, RegistryMaintSchema, RegistryMaintStream, RegistryTx}
 import graft.sources.Tables
 import graft.models.RealEstate
 
@@ -42,12 +42,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RegistryCore.defs ++ RegistryIngest.defs ++ RegistryGold.defs ++
       RegistryLlm.defs ++ RegistryExtra.defs ++ RegistryMaint.defs ++
-      RegistryTx.allDefs
+      RegistryMaintDml.defs ++ RegistryMaintSchema.defs ++
+      RegistryMaintStream.defs ++ RegistryTx.allDefs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RegistryCore.oracles ++ RegistryIngest.oracles ++ RegistryGold.oracles ++
       RegistryLlm.oracles ++ RegistryExtra.oracles ++ RegistryMaint.oracles ++
-      RegistryTx.oracles
+      RegistryMaintDml.oracles ++ RegistryMaintSchema.oracles ++
+      RegistryMaintStream.oracles ++ RegistryTx.oracles
 }

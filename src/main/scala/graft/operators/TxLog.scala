@@ -684,6 +684,13 @@ object TxLog {
     (snapshotEntries(spark, base, v), parseTxnLines(lines))
   }
 
+  /** Idempotency metadata (appId → highest applied batchId) of one
+    * version — txn lines ride every commit full, so this never
+    * resolves the entry list (the add-only commit paths depend on
+    * that: a blind append must stay O(new files) on the driver). */
+  def txnsOf(spark: SparkSession, base: String, v: Long): Map[String, Long] =
+    parseTxnLines(manifestLines(spark, base, v))
+
   private def parseTxnLines(lines: Seq[String]): Map[String, Long] =
     lines.collect { case l if l.startsWith("#txn\t") =>
       l.split('\t') match {
@@ -2802,7 +2809,8 @@ object TxLog {
                                     defaultOverride: Option[Seq[(String, String)]] =
                                       None,
                                     clearRowIds: Boolean = false,
-                                    recomputeProtocol: Boolean = false): Unit = {
+                                    recomputeProtocol: Boolean = false,
+                                    appendOnly: Boolean = false): Unit = {
     // a concurrent vacuum can delete the version this commit diffs
     // against (the committer's snapshot is stale by definition then —
     // its CAS would lose anyway): surface the FileNotFound as a
@@ -2949,15 +2957,21 @@ object TxLog {
     // writes its handful of new lines, not megabytes of carried paths,
     // and a streaming sink's per-epoch commit cost stops growing with
     // table size. Meta lines stay full (they are O(constraints+apps)).
-    // The v-1 resolution normally comes straight from the snapshot
-    // cache — every caller just read it to build `entries`.
-    val prev = if (v <= 1L) Seq.empty
-               else staleAsConflict(snapshotEntries(spark, base, v - 1))
-    val prevSer = prev.map(e => e.path -> serLine(e)).toMap
-    val newPaths = entriesR.map(_.path).toSet
-    val removes = prev.map(_.path).filterNot(newPaths.contains)
-    val upserts = entriesR.filter(e =>
-      !prevSer.get(e.path).contains(serLine(e)))
+    // ADD-ONLY commits (appendOnly=true: `entries` holds just the new
+    // files, landed under fresh txn dirs so paths can never collide)
+    // skip the v-1 resolution entirely — a blind append to a
+    // 10^6-file table never materializes the table's entry list on
+    // the driver; the diff below is what the prev snapshot was FOR.
+    val (removes, upserts) =
+      if (appendOnly) (Seq.empty[String], entriesR)
+      else {
+        val prev = if (v <= 1L) Seq.empty[Entry]
+                   else staleAsConflict(snapshotEntries(spark, base, v - 1))
+        val prevSer = prev.map(e => e.path -> serLine(e)).toMap
+        val newPaths = entriesR.map(_.path).toSet
+        (prev.map(_.path).filterNot(newPaths.contains),
+          entriesR.filter(e => !prevSer.get(e.path).contains(serLine(e))))
+      }
     val lines = DeltaMarker +: (metaLines ++
       removes.map(p => s"-\t$p") ++
       upserts.map(e => s"+\t${serLine(e)}"))
@@ -3018,10 +3032,21 @@ object TxLog {
     try {
       // entriesR, not entries: the row-id assignment above is part of
       // what the manifest durably says — caching the unassigned list
-      // would serve NULL ids until the first cold read
-      cachePut(spark, base, v, entriesR)
+      // would serve NULL ids until the first cold read. Add-only
+      // commits extend the cached v-1 snapshot when it is warm and
+      // stay out of the cache otherwise (never resolve just to cache).
+      if (appendOnly)
+        cacheGet(spark, base, v - 1)
+          .foreach(prev => cachePut(spark, base, v, prev ++ entriesR))
+      else cachePut(spark, base, v, entriesR)
       if (v % checkpointInterval(spark) == 0) {
-        writeCheckpoint(spark, base, v, metaLines, entriesR)
+        if (appendOnly && TxLogPlan.parquetCheckpoints(spark))
+          // build the checkpoint FROM the log as a DataFrame — the
+          // driver-bounded path end to end
+          TxLogPlan.writeCheckpointParquetDF(spark, base, v, metaLines,
+            TxLogPlan.snapshotDF(spark, base, v).select("line"))
+        else writeCheckpoint(spark, base, v, metaLines,
+          if (appendOnly) snapshotEntries(spark, base, v) else entriesR)
         advancePointer(spark, base, v)
       }
     } catch { case scala.util.control.NonFatal(_) => () }
@@ -3514,10 +3539,12 @@ object TxLog {
       // a CAS loss to a concurrent ADD CONSTRAINT must not republish
       // data that was only checked under the OLD constraint set
       checkedCons = reEnforceIfChanged(spark, base, entries, checkedCons)
-      val (prev, txns) = cur.map(manifest(spark, base, _))
-        .getOrElse((Seq.empty[Entry], Map.empty[String, Long]))
+      // add-only: neither the txn map nor the publish needs the
+      // table's entry list — an append stays O(new files) driver-side
+      // no matter how many files the table holds
+      val txns = cur.map(txnsOf(spark, base, _)).getOrElse(Map.empty)
       val v = cur.getOrElse(0L) + 1L
-      publishEntries(spark, base, v, prev ++ entries, txns)
+      publishEntries(spark, base, v, entries, txns, appendOnly = true)
       v
     } catch {
       case e: CommitConflictException =>
@@ -3591,7 +3618,7 @@ object TxLog {
     val all = Option(f.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty)
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
-    val loadedAt = manifest(spark, base, curV0)._2
+    val loadedAt = txnsOf(spark, base, curV0)
     val freshAll = all.filterNot(st =>
       loadedAt.contains(CopyTxnPrefix + st.getPath.toString))
     if (freshAll.isEmpty) return (curV0, 0L, 0L)
@@ -3627,8 +3654,8 @@ object TxLog {
     try withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base)
       checkedCons = reEnforceIfChanged(spark, base, entries, checkedCons)
-      val (prev, txns) = cur.map(manifest(spark, base, _))
-        .getOrElse((Seq.empty[Entry], Map.empty[String, Long]))
+      val txns = cur.map(txnsOf(spark, base, _))
+        .getOrElse(Map.empty[String, Long])
       // a RACING COPY INTO may have loaded (some of) our files while
       // we were landing; the landed batch mixes all files, so any
       // overlap means this batch as a whole cannot publish — discard
@@ -3648,11 +3675,11 @@ object TxLog {
           else RetryNarrower
       } else {
         val v = cur.getOrElse(0L) + 1L
-        publishEntries(spark, base, v, prev ++ entries,
+        publishEntries(spark, base, v, entries,
           txns ++ freshAll.map(st =>
             (CopyTxnPrefix + st.getPath.toString) ->
               st.getModificationTime),
-          operation = "COPY INTO")
+          operation = "COPY INTO", appendOnly = true)
         result = (v, freshAll.size.toLong, rows)
       }
     } catch {
@@ -3705,7 +3732,7 @@ object TxLog {
                  statsCol: Option[String] = None, maxAttempts: Int = 5): Long = {
     val spark = df.sparkSession
     val already = latestVersion(spark, base).filter(v =>
-      manifest(spark, base, v)._2.getOrElse(appId, -1L) >= batchId)
+      txnsOf(spark, base, v).getOrElse(appId, -1L) >= batchId)
     if (already.isDefined) return already.get
     requireNoRowIdColumn(df)
     val (tiled, ckeys) =
@@ -3724,16 +3751,16 @@ object TxLog {
     try withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base)
       checkedCons = reEnforceIfChanged(spark, base, entries, checkedCons)
-      val (prev, txns) = cur.map(manifest(spark, base, _))
-        .getOrElse((Seq.empty[Entry], Map.empty[String, Long]))
+      val txns = cur.map(txnsOf(spark, base, _)).getOrElse(Map.empty)
       if (txns.getOrElse(appId, -1L) >= batchId) {
         // a racing replica applied this batch between our check and now
         dropAll()
         cur.get
       } else {
         val v = cur.getOrElse(0L) + 1L
-        publishEntries(spark, base, v, prev ++ entries,
-          txns + (appId -> batchId), operation = "STREAMING UPDATE")
+        publishEntries(spark, base, v, entries,
+          txns + (appId -> batchId), operation = "STREAMING UPDATE",
+          appendOnly = true)
         v
       }
     } catch {

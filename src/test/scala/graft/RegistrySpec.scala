@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.queries.{RegistryCore, RegistryExtra, RegistryGold, RegistryIngest, RegistryLlm, RegistryMaint}
+import graft.queries.{RegistryCore, RegistryExtra, RegistryGold, RegistryIngest, RegistryLlm, RegistryMaint, RegistryMaintDml, RegistryMaintSchema, RegistryMaintStream, RegistryTx}
 
 class RegistrySpec extends AnyFunSuite {
 
@@ -11,7 +11,11 @@ class RegistrySpec extends AnyFunSuite {
     "gold" -> RegistryGold.defs.keySet,
     "llm" -> RegistryLlm.defs.keySet,
     "extra" -> RegistryExtra.defs.keySet,
-    "maint" -> RegistryMaint.defs.keySet)
+    "maint" -> RegistryMaint.defs.keySet,
+    "maint_dml" -> RegistryMaintDml.defs.keySet,
+    "maint_schema" -> RegistryMaintSchema.defs.keySet,
+    "maint_stream" -> RegistryMaintStream.defs.keySet,
+    "tx" -> RegistryTx.allDefs.keySet)
 
   test("query names are unique across registries (no Map ++ shadowing)") {
     val all = groups.flatMap(_._2.toSeq)

@@ -112,6 +112,17 @@ object TxCkptProbeMain {
       s"post-vacuum snapshot: got $cAfter, want $expect (vacuum " +
         "reclaims BYTES, never entries of surviving versions)")
 
+    // 4) add-only commit cost is O(new files), never O(table): a real
+    //    append to the 10^6-entry table publishes its delta without
+    //    resolving the previous snapshot on the driver
+    val (vApp, tApp) = timed(TxLog.append(
+      spark.range(5).selectExpr("id as k", "cast(id as string) as s"),
+      base, Some("k")))
+    println(f"APPEND_1M_SEC=$tApp%.2f V=$vApp")
+    require(tApp < 30, f"append must stay O(new) at 10^6 entries: $tApp%.2f s")
+    val (cFinal, _) = timed(TxLogPlan.snapshotDF(spark, base, vApp).count())
+    require(cFinal > expect, s"the append's files joined the snapshot: $cFinal")
+
     println("CKPT_PROBE_OK")
     spark.stop()
   }
