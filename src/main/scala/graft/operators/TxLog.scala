@@ -2810,7 +2810,8 @@ object TxLog {
                                       None,
                                     clearRowIds: Boolean = false,
                                     recomputeProtocol: Boolean = false,
-                                    appendOnly: Boolean = false): Unit = {
+                                    deltaChange: Option[Seq[String]] =
+                                      None): Unit = {
     // a concurrent vacuum can delete the version this commit diffs
     // against (the committer's snapshot is stale by definition then —
     // its CAS would lose anyway): surface the FileNotFound as a
@@ -2957,13 +2958,15 @@ object TxLog {
     // writes its handful of new lines, not megabytes of carried paths,
     // and a streaming sink's per-epoch commit cost stops growing with
     // table size. Meta lines stay full (they are O(constraints+apps)).
-    // ADD-ONLY commits (appendOnly=true: `entries` holds just the new
-    // files, landed under fresh txn dirs so paths can never collide)
-    // skip the v-1 resolution entirely — a blind append to a
-    // 10^6-file table never materializes the table's entry list on
-    // the driver; the diff below is what the prev snapshot was FOR.
+    // DECLARED-delta commits (deltaChange=Some(removedPaths):
+    // `entries` holds ONLY the added/replaced entries, landed under
+    // fresh txn dirs so paths can never collide) skip the v-1
+    // resolution entirely — a blind append (removed=Nil) or an
+    // OPTIMIZE that knows exactly which files it superseded never
+    // materializes the table's entry list on the driver; the diff
+    // below is what the prev snapshot was FOR.
     val (removes, upserts) =
-      if (appendOnly) (Seq.empty[String], entriesR)
+      if (deltaChange.isDefined) (deltaChange.get, entriesR)
       else {
         val prev = if (v <= 1L) Seq.empty[Entry]
                    else staleAsConflict(snapshotEntries(spark, base, v - 1))
@@ -3032,21 +3035,27 @@ object TxLog {
     try {
       // entriesR, not entries: the row-id assignment above is part of
       // what the manifest durably says — caching the unassigned list
-      // would serve NULL ids until the first cold read. Add-only
+      // would serve NULL ids until the first cold read. Declared-delta
       // commits extend the cached v-1 snapshot when it is warm and
       // stay out of the cache otherwise (never resolve just to cache).
-      if (appendOnly)
-        cacheGet(spark, base, v - 1)
-          .foreach(prev => cachePut(spark, base, v, prev ++ entriesR))
-      else cachePut(spark, base, v, entriesR)
+      deltaChange match {
+        case Some(removed) =>
+          cacheGet(spark, base, v - 1).foreach { prev =>
+            val gone = removed.toSet ++ entriesR.map(_.path)
+            cachePut(spark, base, v,
+              prev.filterNot(e => gone.contains(e.path)) ++ entriesR)
+          }
+        case None => cachePut(spark, base, v, entriesR)
+      }
       if (v % checkpointInterval(spark) == 0) {
-        if (appendOnly && TxLogPlan.parquetCheckpoints(spark))
+        if (deltaChange.isDefined && TxLogPlan.parquetCheckpoints(spark))
           // build the checkpoint FROM the log as a DataFrame — the
           // driver-bounded path end to end
           TxLogPlan.writeCheckpointParquetDF(spark, base, v, metaLines,
             TxLogPlan.snapshotDF(spark, base, v).select("line"))
         else writeCheckpoint(spark, base, v, metaLines,
-          if (appendOnly) snapshotEntries(spark, base, v) else entriesR)
+          if (deltaChange.isDefined) snapshotEntries(spark, base, v)
+          else entriesR)
         advancePointer(spark, base, v)
       }
     } catch { case scala.util.control.NonFatal(_) => () }
@@ -3544,7 +3553,8 @@ object TxLog {
       // no matter how many files the table holds
       val txns = cur.map(txnsOf(spark, base, _)).getOrElse(Map.empty)
       val v = cur.getOrElse(0L) + 1L
-      publishEntries(spark, base, v, entries, txns, appendOnly = true)
+      publishEntries(spark, base, v, entries, txns,
+        deltaChange = Some(Nil))
       v
     } catch {
       case e: CommitConflictException =>
@@ -3679,7 +3689,7 @@ object TxLog {
           txns ++ freshAll.map(st =>
             (CopyTxnPrefix + st.getPath.toString) ->
               st.getModificationTime),
-          operation = "COPY INTO", appendOnly = true)
+          operation = "COPY INTO", deltaChange = Some(Nil))
         result = (v, freshAll.size.toLong, rows)
       }
     } catch {
@@ -3760,7 +3770,7 @@ object TxLog {
         val v = cur.getOrElse(0L) + 1L
         publishEntries(spark, base, v, entries,
           txns + (appId -> batchId), operation = "STREAMING UPDATE",
-          appendOnly = true)
+          deltaChange = Some(Nil))
         v
       }
     } catch {
@@ -4051,39 +4061,73 @@ object TxLog {
                      touchedFilter: Entry => Boolean = _ => true,
                      maxAttempts: Int = 5): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit}
-    withCasRetry(maxAttempts) { _ =>
+    // conflict-granular OCC, the MOR-delete shape (see mergeCow): a
+    // CAS loss keeps the landed sidecar, and a DISJOINT winner — none
+    // of our touched files removed/replaced, nothing added that the
+    // touched predicate could match, metadata surface unchanged —
+    // re-bases with one manifest write instead of re-scanning the band
+    var rebase: Option[(String, Map[String, Long], Seq[Entry],
+      Map[String, String], String)] = None
+    def discardRebase(): Unit = rebase.foreach { case (dvDir, _, _, _, _) =>
+      discardDir(spark, base, dvDir); rebase = None }
+    try withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
       val (entries, txns) = manifest(spark, base, cur)
-      val (touched, carried) = entries.partition(touchedFilter)
-      if (touched.isEmpty) cur
-      else {
-        // positions are computed over the RAW files: already-masked
-        // rows re-match and the union+distinct below folds them into
-        // the merged sidecar — old deletions can never resurrect.
-        // `cond` references LOGICAL names — evaluate on the logical
-        // view with the DV coordinates carried through (mergeSchema on
-        // mapped tables: the projection must see the files' UNION of
-        // physical columns, not one footer's)
-        val cmapped = columnMapping(spark, base).isDefined
-        val raw = logicalView(spark, base,
-          taggedRead(spark, base, touched, mergeSchema = cmapped),
-          keep = Seq(DvFileCol, DvPosCol))
-        val hits0 = raw.where(coalesce(cond, lit(false)))
-        landMaskSidecar(spark, base, touched, hits0) match {
-          case None => cur // no hits, no prior masks: nothing to publish
-          case Some((dvDir, counts)) =>
-            try {
-              publishEntries(spark, base, cur + 1L,
-                carried ++ remask(touched, dvDir, counts), txns,
-                operation = "DELETE")
-              cur + 1L
-            } catch {
-              case e: CommitConflictException =>
-                discardDir(spark, base, dvDir); throw e
-            }
+      val metaSig = stableMetaSig(manifestLines(spark, base, cur))
+      val rebasable = rebase.filter { case (_, _, touched0, baseBy, sig) =>
+        sig == metaSig && {
+          val touchedP = touched0.map(_.path).toSet
+          val curBy = entries.map(e => e.path -> serLine(e)).toMap
+          val removed = baseBy.keySet -- curBy.keySet
+          val addedOrReplaced = entries.filter(e =>
+            !baseBy.get(e.path).contains(serLine(e)))
+          removed.intersect(touchedP).isEmpty &&
+            addedOrReplaced.forall(e => !touchedP.contains(e.path) &&
+              !touchedFilter(e))
         }
       }
+      rebasable match {
+        case Some((dvDir, counts, touched0, _, _)) =>
+          val touchedP = touched0.map(_.path).toSet
+          publishEntries(spark, base, cur + 1L,
+            entries.filterNot(e => touchedP.contains(e.path)) ++
+              remask(touched0, dvDir, counts), txns,
+            operation = "DELETE")
+          cur + 1L
+        case None =>
+          discardRebase()
+          val (touched, carried) = entries.partition(touchedFilter)
+          if (touched.isEmpty) cur
+          else {
+            // positions are computed over the RAW files: already-masked
+            // rows re-match and the union+distinct below folds them into
+            // the merged sidecar — old deletions can never resurrect.
+            // `cond` references LOGICAL names — evaluate on the logical
+            // view with the DV coordinates carried through (mergeSchema on
+            // mapped tables: the projection must see the files' UNION of
+            // physical columns, not one footer's)
+            val cmapped = columnMapping(spark, base).isDefined
+            val raw = logicalView(spark, base,
+              taggedRead(spark, base, touched, mergeSchema = cmapped),
+              keep = Seq(DvFileCol, DvPosCol))
+            val hits0 = raw.where(coalesce(cond, lit(false)))
+            landMaskSidecar(spark, base, touched, hits0) match {
+              case None => cur // no hits, no prior masks: nothing to publish
+              case Some((dvDir, counts)) =>
+                // keep the land across a CAS loss: the next attempt's
+                // disjointness check decides re-base vs recompute
+                rebase = Some((dvDir, counts, touched,
+                  entries.map(e => e.path -> serLine(e)).toMap, metaSig))
+                publishEntries(spark, base, cur + 1L,
+                  carried ++ remask(touched, dvDir, counts), txns,
+                  operation = "DELETE")
+                cur + 1L
+            }
+          }
+      }
+    } catch {
+      case e: Throwable => discardRebase(); throw e
     }
   }
 
@@ -5518,7 +5562,6 @@ object TxLog {
     withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
-      val (entries, txns) = manifest(spark, base, cur)
       // LIVE rows drive the small-file test: a big file hollowed out
       // by deletion vectors is exactly what compaction should fold in
       // (the rewrite applies its mask and drops the sidecar ref).
@@ -5527,14 +5570,26 @@ object TxLog {
       // the band the streaming sink is actively fragmenting, not the
       // years of cold history behind it. Stats-less files conservatively
       // stay in scope (they might overlap).
-      val inScope: Entry => Boolean = range match {
-        case Some((c, lo, hi)) =>
-          e => touchesRange(e, c, reprOf(lo), reprOf(hi))
-        case None => _ => true
-      }
-      val (small, carried) =
-        entries.partition(e =>
-          (e.rows < 0 || e.liveRows < smallThresholdRows) && inScope(e))
+      // Columnar-checkpoint tables select the candidates EXECUTOR-side
+      // and collect only them (the bin-packer's working set); the
+      // publish then declares its exact change set, so OPTIMIZE on a
+      // 10^6-file table never materializes the entry list either.
+      val rangeRepr = range.map { case (c, lo, hi) =>
+        (c, reprOf(lo), reprOf(hi)) }
+      val (small, carriedOpt, txns) =
+        TxLogPlan.smallEntriesForCompact(spark, base, cur,
+            smallThresholdRows, rangeRepr) match {
+          case Some(sm) => (sm, None, txnsOf(spark, base, cur))
+          case None =>
+            val (entries, t) = manifest(spark, base, cur)
+            val inScope: Entry => Boolean = rangeRepr match {
+              case Some((c, lo, hi)) => e => touchesRange(e, c, lo, hi)
+              case None => _ => true
+            }
+            val (sm, ca) = entries.partition(e =>
+              (e.rows < 0 || e.liveRows < smallThresholdRows) && inScope(e))
+            (sm, Some(ca), t)
+        }
       if (small.size <= 1) cur // nothing to bin-pack
       else {
         // unknown-row (v1) files are rewritten but can't be sized —
@@ -5558,9 +5613,12 @@ object TxLog {
         val newEntries = landEntriesMulti(packed, base,
           preservedStatsCols(small, statsCol.toSeq, packed.schema))
         try {
-          publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns,
+          publishEntries(spark, base, cur + 1L,
+            carriedOpt.map(_ ++ newEntries).getOrElse(newEntries), txns,
             dataChange = false, // bin-pack moves bytes, not rows: CDF skips
-            operation = "OPTIMIZE")
+            operation = "OPTIMIZE",
+            deltaChange =
+              if (carriedOpt.isEmpty) Some(small.map(_.path)) else None)
           cur + 1L
         } catch {
           case e: CommitConflictException => // this attempt's land is dead

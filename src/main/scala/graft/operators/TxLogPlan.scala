@@ -266,13 +266,49 @@ object TxLogPlan {
   def pruneEntriesForScan(spark: SparkSession, base: String, v: Long,
                           preds: Seq[(String, String, String)])
       : Option[Seq[TxLog.Entry]] = {
+    val ps = preds // stable local for the closure
+    pruneEntriesWith(spark, base, v, e =>
+      ps.forall { case (c, lo, hi) => TxLog.touchesRange(e, c, lo, hi) })
+  }
+
+  /** Generic executor-side entry prune: keep entries satisfying
+    * `pred` (a serializable closure over the parsed Entry) and
+    * collect ONLY them. None when the table has no columnar base, or
+    * the snapshot is already resolved in the driver cache — a local
+    * sweep beats a cluster job then. The DSv2 scan routes its pushed
+    * filters through this, so a filtered SQL query on a 10^6-file
+    * table holds just the surviving working set driver-side. */
+  def pruneEntriesWith(spark: SparkSession, base: String, v: Long,
+                       pred: TxLog.Entry => Boolean)
+      : Option[Seq[TxLog.Entry]] = {
     if (TxLog.cachedSnapshot(spark, base, v).isDefined) return None
     if (!hasParquetBase(spark, base, v)) return None
     import org.apache.spark.sql.functions.udf
-    val ps = preds // stable local for the closure
+    val p = pred
+    val keep = udf((line: String) => p(TxLog.parseLine(line)))
+    import spark.implicits._
+    Some(snapshotDF(spark, base, v).where(keep($"line"))
+      .select("line").as[String].collect().toSeq.map(TxLog.parseLine))
+  }
+
+  /** Distributed OPTIMIZE binning input: the entries whose LIVE rows
+    * fall under the small-file threshold (optionally scoped to a
+    * stats range), selected executor-side and collected ALONE — the
+    * bin-packer's working set, never the table. None when no
+    * columnar base (or a warm driver cache) makes the job worth
+    * launching. */
+  private[graft] def smallEntriesForCompact(spark: SparkSession,
+      base: String, v: Long, thresholdRows: Long,
+      range: Option[(String, String, String)]): Option[Seq[TxLog.Entry]] = {
+    if (TxLog.cachedSnapshot(spark, base, v).isDefined) return None
+    if (!hasParquetBase(spark, base, v)) return None
+    import org.apache.spark.sql.functions.udf
+    val th = thresholdRows
+    val rg = range
     val keep = udf((line: String) => {
       val e = TxLog.parseLine(line)
-      ps.forall { case (c, lo, hi) => TxLog.touchesRange(e, c, lo, hi) }
+      (e.rows < 0 || e.liveRows < th) &&
+        rg.forall { case (c, lo, hi) => TxLog.touchesRange(e, c, lo, hi) }
     })
     import spark.implicits._
     Some(snapshotDF(spark, base, v).where(keep($"line"))

