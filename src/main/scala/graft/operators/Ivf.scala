@@ -192,6 +192,38 @@ object Ivf {
       .select("query_id", "neighbor_id", "qcos_sim", "rank")
   }
 
+  /** Two-stage retrieval (the production serving shape — recall
+    * cheap, precision exact): stage 1 shortlists `shortlist`
+    * candidates per query with the IVF×SQ8 probe (int8 codes over
+    * the corpus-proportional term, 4× less bandwidth); stage 2
+    * reranks the SHORTLIST in full precision and returns top-k.
+    * Rerank work is O(queries × shortlist) — independent of corpus
+    * size — so the exact stage costs nothing at 100 TB: the corpus
+    * is touched once, by the cheap stage, and the expensive cosine
+    * runs on a broadcast-sized candidate set. Deterministic end to
+    * end (both stages are), so the composed pipeline keeps a DuckDB
+    * oracle. */
+  def searchSq8Rerank(df: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, seedEvery: Int, nProbe: Int,
+                      shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k,
+      s"the recall stage must shortlist at least k (got $shortlist < $k)")
+    val cands = searchSq8(df, queries, idCol, vecCol, seedEvery, nProbe,
+      shortlist).select("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val nv = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    // the shortlist broadcasts against the corpus — one scan, no
+    // shuffle of the big side
+    broadcast(cands).join(nv, "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos_sim", Similarity.cosine(col("__qv"), col("__nv")))
+      .withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   /** Per-cell DRIFT of a persisted index: each cell's CURRENT member
     * mean (the exact integer-micro-unit centroid —
     * [[Similarity.groupCentroids]], bit-deterministic) against its

@@ -5139,8 +5139,17 @@ object TxLog {
     withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
-      val (entries, txns) = manifest(spark, base, cur)
-      val (dved, carried) = entries.partition(_.dv.isDefined)
+      // columnar-checkpoint tables select the masked files EXECUTOR-
+      // side (the purge's working set is the DV'd files, never the
+      // table) and publish a declared delta
+      val (dved, carriedOpt, txns) =
+        TxLogPlan.pruneEntriesWith(spark, base, cur, _.dv.isDefined) match {
+          case Some(ds) => (ds, None, txnsOf(spark, base, cur))
+          case None =>
+            val (entries, t) = manifest(spark, base, cur)
+            val (ds, ca) = entries.partition(_.dv.isDefined)
+            (ds, Some(ca), t)
+        }
       if (dved.isEmpty) cur
       else {
         val cleaned = readEntriesCurrent(spark, base, dved,
@@ -5149,9 +5158,12 @@ object TxLog {
           preservedStatsCols(dved, Seq.empty, cleaned.schema))
           .filter(_.rows != 0L)
         try {
-          publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns,
+          publishEntries(spark, base, cur + 1L,
+            carriedOpt.map(_ ++ newEntries).getOrElse(newEntries), txns,
             dataChange = false, // mask materialization only: CDF skips
-            operation = "REORG PURGE")
+            operation = "REORG PURGE",
+            deltaChange =
+              if (carriedOpt.isEmpty) Some(dved.map(_.path)) else None)
           cur + 1L
         } catch {
           case e: CommitConflictException =>

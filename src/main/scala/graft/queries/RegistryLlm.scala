@@ -927,6 +927,22 @@ object RegistryLlm {
         .orderBy("query_id", "rank")
     }),
 
+    // Two-stage retrieval (recall-then-rerank — how production
+    // serving actually runs): the IVF×SQ8 probe shortlists 10
+    // candidates per query on int8 codes (the corpus-proportional
+    // term at 4× less bandwidth), then an EXACT full-precision
+    // rerank orders the shortlist and returns top-3. Rerank cost is
+    // O(queries × shortlist), independent of corpus size; both
+    // stages deterministic, so the composed pipeline keeps an exact
+    // oracle.
+    "llm_knn_rerank" -> ((s, dir) => {
+      val e = embs(s, dir)
+      graft.operators.Ivf.searchSq8Rerank(e,
+          e.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          seedEvery = 50, nProbe = 3, shortlist = 10, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF with a TRAINED coarse quantizer: the per-label centroids
     // (exact integer-unit means, bit-deterministic) reassembled into
     // vectors and fed to the same broadcast-assign/probe machinery —
@@ -2279,6 +2295,58 @@ object RegistryLlm {
                     ORDER BY cs DESC, neighbor_id ASC) AS INTEGER) AS rank
            FROM cands)
          SELECT query_id, neighbor_id, qcos_sim, rank FROM ranked
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "llm_knn_rerank" ->
+      """WITH base AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+         seeds AS (SELECT vec_id AS seed_id, v AS sv FROM base
+                   WHERE vec_id % 50 = 1),
+         sq AS (SELECT vec_id,
+                  list_transform(v, x -> floor(x /
+                    greatest(list_max(list_transform(v, y -> abs(y)))
+                             / 127.0, 1e-30) + 0.5)) AS c
+                FROM base),
+         assigned AS (
+           SELECT vec_id, seed_id AS cell FROM (
+             SELECT b.vec_id, s.seed_id,
+                    row_number() OVER (PARTITION BY b.vec_id
+                      ORDER BY round(list_cosine_similarity(b.v, s.sv), 4) DESC,
+                               s.seed_id ASC) AS rn
+             FROM base b CROSS JOIN seeds s)
+           WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM base
+               WHERE vec_id % 50 = 0),
+         probed AS (
+           SELECT query_id, seed_id AS cell FROM (
+             SELECT q.query_id, s.seed_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(q.qv, s.sv), 4) DESC,
+                               s.seed_id ASC) AS pr
+             FROM q CROSS JOIN seeds s)
+           WHERE pr <= 3),
+         cands AS (
+           SELECT p.query_id, a.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(qs.c, cs.c), 4) AS cs
+           FROM probed p
+           JOIN assigned a ON a.cell = p.cell
+           JOIN sq cs ON cs.vec_id = a.vec_id
+           JOIN sq qs ON qs.vec_id = p.query_id
+           WHERE a.vec_id <> p.query_id),
+         short AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cs DESC, neighbor_id ASC) AS r FROM cands)
+           WHERE r <= 10),
+         rr AS (
+           SELECT s.query_id, s.neighbor_id,
+                  round(list_cosine_similarity(qb.v, nb.v), 4) AS cos_sim
+           FROM short s
+           JOIN base qb ON qb.vec_id = s.query_id
+           JOIN base nb ON nb.vec_id = s.neighbor_id)
+         SELECT query_id, neighbor_id, cos_sim,
+                cast(rank AS INTEGER) AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM rr)
          WHERE rank <= 3 ORDER BY query_id, rank""",
     "llm_knn_ivf" ->
       """WITH seeds AS (

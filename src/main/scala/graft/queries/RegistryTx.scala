@@ -208,9 +208,73 @@ object RegistryTx {
         .orderBy("lang2")
     }))
 
-  val allDefs: Map[String, Q] = defs ++ variantDefs
+  private val streamDefs: Map[String, Q] = Map(
+    // Streaming schema tracking (r13 next-round #5): a checkpointed
+    // TxLog stream drains the 2-column era, the table evolves
+    // (ADD COLUMNS) and lands data under the new surface, and the
+    // SAME checkpoint resumes across the evolution — no re-delivery,
+    // no loss, old rows null-filled, new rows carrying values (the
+    // log itself is the schema tracker; the non-additive rename/drop
+    // case fails loudly — TxLogStreamSpec). Oracle: the evolved union
+    // recomputed relationally from events.
+    "stream_schema_tracking" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txstream_schema"
+      TxLog.drop(s, base)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      TxLog.commit(ev.where(col("event_id") < 300)
+        .repartitionByRange(2, col("event_id")), base, None,
+        Some("event_id"))
+      val outDir = Ingest.fixtureDir(dir) + "/txstream_schema_out"
+      TxLog.drop(s, outDir)
+      val nonce = "graft_schema_track_" + System.nanoTime()
+      val ckpt = "/tmp/graft_stream_ckpt/" + nonce
+      def drainOnce(): Unit = {
+        val q = s.readStream.format("graft.sources.TxLogSource")
+          .load(base)
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .option("mergeSchema", "true")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drainOnce() // the 3-column era
+      // additive evolution + data under the NEW 4-column surface
+      TxLog.alterAddColumns(s, base, org.apache.spark.sql.types
+        .StructType(Seq(org.apache.spark.sql.types.StructField("boosted",
+          org.apache.spark.sql.types.DoubleType))))
+      TxLog.append(ev.where(col("event_id").between(300, 499))
+        .withColumn("boosted", col("value") * 2), base, Some("event_id"))
+      drainOnce() // the SAME checkpoint resumes across the evolution
+      graft.streaming.StreamTune.dropScratch(ckpt)
+      s.read.option("mergeSchema", "true").parquet(outDir)
+        .groupBy((col("event_id") % 10).cast("int").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          count(col("boosted")).as("n_boosted"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"),
+          sum(col("boosted").cast("decimal(18,6)")).cast("double")
+            .as("sum_boosted"))
+        .orderBy("grp")
+    }))
+
+  val allDefs: Map[String, Q] = defs ++ variantDefs ++ streamDefs
 
   val oracles: Map[String, String] = Map(
+    "stream_schema_tracking" ->
+      """WITH t AS (SELECT event_id, cast(value AS DOUBLE) AS value,
+                           CASE WHEN event_id BETWEEN 300 AND 499
+                                THEN cast(value AS DOUBLE) * 2 END
+                             AS boosted
+                    FROM events WHERE event_id < 500)
+         SELECT cast(event_id % 10 AS INTEGER) AS grp, count(*) AS n,
+                count(boosted) AS n_boosted,
+                cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_value,
+                cast(sum(cast(boosted AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_boosted
+         FROM t GROUP BY 1 ORDER BY 1""",
     "s86_variant_bronze" ->
       """WITH t AS (SELECT doc_id, doc_id % 3 AS m, lang, n_chars
                     FROM documents),
