@@ -2094,6 +2094,20 @@ object TxLog {
     val txn = java.util.UUID.randomUUID().toString
     val dir = s"$base/$DataDir/$txn"
     val f = fs(base, df.sparkSession)
+    // VARIANT columns land UNSHREDDED: the engine's row decoder (DV
+    // masks, CDF slices, row-id synthesis) reassembles VariantVal
+    // from the two-binary group; Spark 4's default per-field
+    // shredding is a scan-speed optimization the columnar path
+    // doesn't need here and the row path cannot rebuild. Scoped to
+    // this write and restored after (shredding stays on for user
+    // writes outside the log).
+    val hasVariant = df.schema.exists(
+      _.dataType == org.apache.spark.sql.types.VariantType)
+    val shredKey = "spark.sql.variant.writeShredding.enabled"
+    val prevShred =
+      if (hasVariant) df.sparkSession.conf.getOption(shredKey) else None
+    if (hasVariant) df.sparkSession.conf.set(shredKey, "false")
+    try {
     if (pcols.isEmpty) df.write.mode("error").parquet(dir)
     else {
       // one file per partition tuple, Spark's dynamic-partition write
@@ -2125,6 +2139,10 @@ object TxLog {
       withHelpers.repartition(helpers.map(col): _*)
         .write.mode("error").partitionBy(helpers: _*).parquet(dir)
       flattenPartitionedTxn(f, new Path(dir))
+    }
+    } finally if (hasVariant) prevShred match {
+      case Some(v) => df.sparkSession.conf.set(shredKey, v)
+      case None => df.sparkSession.conf.unset(shredKey)
     }
     f.listStatus(new Path(dir)).toSeq
       .filter(st => st.isFile && isDataFileName(st.getPath.getName))

@@ -1552,9 +1552,38 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
       }
       org.apache.spark.sql.types.Decimal(
         new java.math.BigDecimal(unscaled, fileScale), d.precision, d.scale)
+    case org.apache.spark.sql.types.VariantType =>
+      // parquet stores an (unshredded) VARIANT as a group of two
+      // binaries; reassemble Catalyst's VariantVal from them. The
+      // plain columnar path delegates to Spark's vectorized reader —
+      // this branch serves the ROW-decoder shapes (DV masks, CDF
+      // slices, row-id synthesis)
+      val vg = g.getGroup(i, 0)
+      val gt = vg.getType.asGroupType()
+      require(gt.containsField("value") && gt.containsField("metadata"),
+        s"unsupported variant encoding in parquet: $gt")
+      val vi = gt.getFieldIndex("value")
+      val mi = gt.getFieldIndex("metadata")
+      if (vg.getFieldRepetitionCount(vi) == 0) {
+        // a SHREDDED file (Spark 4's default outside the log) stores
+        // the data under typed_value — serving null here would be
+        // silent data loss, so fail with the way out
+        if (gt.containsField("typed_value") &&
+            vg.getFieldRepetitionCount(gt.getFieldIndex("typed_value")) > 0)
+          throw new IllegalArgumentException(
+            "this parquet file stores its VARIANT column SHREDDED " +
+              "(per-field typed_value) — the txlog row decoder reads " +
+              "the unshredded two-binary layout the log's own writes " +
+              "use. Read this table via TxLog.read, or rewrite the " +
+              "file with spark.sql.variant.writeShredding.enabled=false")
+        null
+      }
+      else new org.apache.spark.unsafe.types.VariantVal(
+        vg.getBinary(vi, 0).getBytes, vg.getBinary(mi, 0).getBytes)
     case other => throw new IllegalArgumentException(
       s"txlog source does not support column type $other (flat " +
-        "numeric/string/bool/date/timestamp/decimal schemas only)")
+        "numeric/string/bool/date/timestamp/decimal/variant " +
+        "schemas only)")
   }
 
   /** Spark writes INT96 (legacy default) or INT64 micros; accept

@@ -62,6 +62,27 @@ class TxLogVariantSpec extends AnyFunSuite {
       .isEmpty, "sibling stats keep working")
   }
 
+  test("DSv2 surface: a variant table reads through the source on " +
+    "BOTH paths — the columnar plain scan and the row decoder that " +
+    "DV-masked partitions force (the log lands variant UNSHREDDED " +
+    "so the two-binary group reassembles VariantVal)") {
+    val base = "/tmp/graft_txvariant/dsv2law"
+    TxLog.drop(spark, base)
+    TxLog.commit(bronze("w", 0 until 10), base, None, Some("k"))
+    def ids(): Set[Long] = spark.read
+      .format("graft.sources.TxLogSource").load(base)
+      .select(variant_get(col("v"), "$.id", "long")).as[Long]
+      .collect().toSet
+    assert(ids() == (0L until 10L).toSet, "plain (columnar) path")
+    TxLog.deleteRangeMor(spark, base, "k", 3L, 5L)
+    assert(ids() == (0L until 10L).toSet -- (3L to 5L),
+      "the DV-masked row-decoder path serves the same variant bytes")
+    // and the land stayed unshredded without leaking the conf (the
+    // session default — shredding ON — is restored after the write)
+    assert(spark.conf.get(
+      "spark.sql.variant.writeShredding.enabled") == "true")
+  }
+
   test("interaction: a MOR delete masks variant rows without " +
     "rewriting them, and the mask survives OPTIMIZE") {
     val base = "/tmp/graft_txvariant/mor"
