@@ -6122,15 +6122,27 @@ object TxLog {
         throw new IllegalStateException(s"no committed version at $base"))
       require(v >= 1 && v <= cur,
         s"cannot restore version $v of a table at version $cur")
-      val (entries, _) = manifest(spark, base, v)
-      val (_, txns) = manifest(spark, base, cur)
       // restore the TARGET version's constraint set too (table state =
       // data + metadata at v, like Delta): every version's data was
       // validated against ITS OWN set, so carrying the CURRENT set
       // instead could publish data that violates an advertised
-      // constraint added after v
-      publishEntries(spark, base, cur + 1L, entries, txns,
-        Some(constraintsOf(spark, base, v)), operation = "RESTORE")
+      // constraint added after v.
+      // Columnar-checkpoint tables diff the two snapshots AS
+      // DATAFRAMES and publish the DECLARED change set — a restore on
+      // a 10^6-file table collects only the churn since v, never the
+      // entry list
+      TxLogPlan.restoreDelta(spark, base, v, cur) match {
+        case Some((upserts, removes)) =>
+          publishEntries(spark, base, cur + 1L, upserts,
+            txnsOf(spark, base, cur),
+            Some(constraintsOf(spark, base, v)), operation = "RESTORE",
+            deltaChange = Some(removes))
+        case None =>
+          val (entries, _) = manifest(spark, base, v)
+          val (_, txns) = manifest(spark, base, cur)
+          publishEntries(spark, base, cur + 1L, entries, txns,
+            Some(constraintsOf(spark, base, v)), operation = "RESTORE")
+      }
       cur + 1L
     }
 

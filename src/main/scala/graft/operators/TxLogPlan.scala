@@ -315,6 +315,35 @@ object TxLogPlan {
       .select("line").as[String].collect().toSeq.map(TxLog.parseLine))
   }
 
+  /** Distributed RESTORE planning: the declared change set that turns
+    * version `vCur` into version `vTarget` — (entries to upsert,
+    * paths to remove) — computed as a full-outer join of the two
+    * snapshot DataFrames; only the DIFFERENCE is collected (bounded
+    * by the churn since vTarget, never the table). None when neither
+    * side has a columnar base (or both are cache-warm) — the driver
+    * diff is cheaper then. */
+  private[graft] def restoreDelta(spark: SparkSession, base: String,
+                                  vTarget: Long, vCur: Long)
+      : Option[(Seq[TxLog.Entry], Seq[String])] = {
+    if (TxLog.cachedSnapshot(spark, base, vTarget).isDefined &&
+        TxLog.cachedSnapshot(spark, base, vCur).isDefined) return None
+    if (!hasParquetBase(spark, base, vTarget) &&
+        !hasParquetBase(spark, base, vCur)) return None
+    import org.apache.spark.sql.functions.col
+    val a = snapshotDF(spark, base, vTarget)
+      .select(col("path"), col("line").as("vline"))
+    val b = snapshotDF(spark, base, vCur)
+      .select(col("path"), col("line").as("cline"))
+    val diff = a.join(b, Seq("path"), "full_outer")
+      .where(col("vline").isNull || col("cline").isNull ||
+        col("vline") =!= col("cline"))
+      .select("path", "vline").collect()
+    val removes = diff.filter(_.isNullAt(1)).map(_.getString(0)).toSeq
+    val upserts = diff.filterNot(_.isNullAt(1))
+      .map(r => TxLog.parseLine(r.getString(1))).toSeq
+    Some((upserts, removes))
+  }
+
   // ---- distributed VACUUM LITE -------------------------------------
 
   /** Log-driven vacuum with the reclaim set computed AS A DATAFRAME:

@@ -132,6 +132,16 @@ object TxCkptProbeMain {
     require(smallSel.exists(_.size <= 5),
       "the bin-packer's working set is the candidates, not the table")
 
+    // 6) RESTORE at 10^6 entries: the two snapshots diff as
+    //    DataFrames; only the churn since the target version is
+    //    collected, and the published manifest declares exactly it
+    val (vRest, tRest) = timed(TxLog.restore(spark, base, 28L))
+    println(f"RESTORE_1M_SEC=$tRest%.2f V=$vRest")
+    require(tRest < 30, f"restore must collect churn, not the table: $tRest%.2f")
+    val (cRest, _) = timed(TxLogPlan.snapshotDF(spark, base, vRest).count())
+    val expect28 = N + 27L * 5 - 27L * 2 // deltas v2..v28
+    require(cRest == expect28, s"restored snapshot: $cRest vs $expect28")
+
     println("CKPT_PROBE_OK")
     spark.stop()
   }
