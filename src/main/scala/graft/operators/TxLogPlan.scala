@@ -315,6 +315,21 @@ object TxLogPlan {
       .select("line").as[String].collect().toSeq.map(TxLog.parseLine))
   }
 
+  /** Metadata COUNT(*) as ONE DataFrame aggregate over the columnar
+    * checkpoint: Σ(rows − dv_rows), no entry list, no data file.
+    * None when any entry's count is unknown (v1 manifests) — the
+    * caller falls back to the scan. */
+  private[graft] def liveRowCount(spark: SparkSession, base: String,
+                                  v: Long): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, min, sum}
+    val r = snapshotDF(spark, base, v)
+      .agg(min(col("rows")).as("mn"),
+        sum(col("rows") - col("dv_rows")).as("live")).head()
+    if (r.isNullAt(0)) Some(0L) // empty snapshot
+    else if (r.getLong(0) < 0) None
+    else Some(r.getLong(1))
+  }
+
   /** Distributed RESTORE planning: the declared change set that turns
     * version `vCur` into version `vTarget` — (entries to upsert,
     * paths to remove) — computed as a full-outer join of the two

@@ -814,6 +814,27 @@ class TxLogScanBuilder(full: StructType, base: String,
     if (latestOpt.isEmpty) return false
     val target = asOf.getOrElse(latestOpt.get)
     if (target > latestOpt.get) return false
+    // COUNT(*)-only aggregations on a columnar-checkpoint table run
+    // as ONE DataFrame aggregate (Σ live rows over the checkpoint) —
+    // a metadata count on a 10^6-file table never materializes the
+    // entry list. MIN/MAX need per-column stats inspection and keep
+    // the driver sweep.
+    val exprsAll = agg.aggregateExpressions.toSeq
+    if (exprsAll.nonEmpty && exprsAll.forall(_.isInstanceOf[CountStar]) &&
+        TxLog.cachedSnapshot(spark, base, target).isEmpty &&
+        graft.operators.TxLogPlan.hasParquetBase(spark, base, target)) {
+      graft.operators.TxLogPlan.liveRowCount(spark, base, target) match {
+        case Some(n) =>
+          val fields = exprsAll.indices.map(i =>
+            StructField(s"agg_$i", LongType, nullable = true))
+          val result = (StructType(fields),
+            exprsAll.map(_ => n: Any))
+          if (dryRun) cachedAgg = Some((agg, result))
+          else aggResult = Some(result)
+          return true
+        case None => return false // unknown-count entries: scan
+      }
+    }
     val entries = TxLog.manifest(spark, base, target)._1
     if (entries.exists(_.rows < 0)) return false // v1 entries: count unknown
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)

@@ -142,6 +142,20 @@ object TxCkptProbeMain {
     val expect28 = N + 27L * 5 - 27L * 2 // deltas v2..v28
     require(cRest == expect28, s"restored snapshot: $cRest vs $expect28")
 
+    // 7) metadata COUNT(*) at 10^6 entries: the pushed aggregate runs
+    //    as one DataFrame aggregate over the checkpoint — no entry
+    //    list, no data file opened
+    TxLog.cachePurge(base)
+    // explicit schema: inference would open footers, and the pushed
+    // count must prove it opens NONE (the synthetic files don't exist)
+    val (cnt, tCnt) = timed(spark.read
+      .format("graft.sources.TxLogSource")
+      .schema("k LONG, s STRING").load(base).count())
+    println(f"COUNT_STAR_1M_SEC=$tCnt%.2f N=$cnt")
+    require(cnt == expect28 * 100L,
+      s"metadata count: $cnt vs ${expect28 * 100L}")
+    require(tCnt < 30, f"COUNT(*) must stay metadata-only: $tCnt%.2f s")
+
     println("CKPT_PROBE_OK")
     spark.stop()
   }
