@@ -119,34 +119,43 @@ object GraftExtensions {
       // CEILING (first commit >= ts): floor semantics there would
       // leak changes committed BEFORE the requested start into the
       // feed. A start before the first commit clamps to version 1.
-      def ver(e: Expression, what: String, isStart: Boolean): Long = {
+      // decide the spelling ONCE, here: (resolved version, was it a
+      // timestamp?). Integral literals are versions; string/timestamp/
+      // date literals are timestamps; anything else (a float/decimal
+      // "version") is rejected loudly instead of silently becoming an
+      // overshooting timestamp with an empty feed.
+      def ver(e: Expression, what: String,
+              isStart: Boolean): (Long, Boolean) = {
         val raw = String.valueOf(evalLit(e, what))
         e.dataType match {
           case org.apache.spark.sql.types.ByteType |
                org.apache.spark.sql.types.ShortType |
                org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.LongType => raw.toLong
-          case _ =>
+               org.apache.spark.sql.types.LongType => (raw.toLong, false)
+          case org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType |
+               org.apache.spark.sql.types.DateType =>
             val ts = graft.sources.TxLogSource.parseTsMillis(spark, raw)
             if (!isStart)
-              graft.operators.TxLog.versionAtTimestamp(spark, base, ts)
-            else graft.operators.TxLog
+              (graft.operators.TxLog.versionAtTimestamp(spark, base, ts),
+                true)
+            else (graft.operators.TxLog
               .versionAtOrAfterTimestamp(spark, base, ts)
               // a start INSTANT after the last commit asks for changes
               // none of which have happened yet: an empty feed (the
               // version spelling of the same overshoot stays an error
               // — a version number names a commit that must exist)
-              .getOrElse(latest + 1L)
+              .getOrElse(latest + 1L), true)
+          case other => throw new IllegalArgumentException(
+            s"table_changes: $what must be an integer version or a " +
+              s"string/timestamp literal, got ${other.simpleString}")
         }
       }
-      val start = ver(args(1), "start", isStart = true)
-      val end = args.lift(2).map(ver(_, "end", isStart = false))
+      val (start, startIsTs) = ver(args(1), "start", isStart = true)
+      val end = args.lift(2).map(ver(_, "end", isStart = false)._1)
         .getOrElse(latest)
-      val emptyFeed = start == latest + 1L && end == latest &&
-        !Seq(org.apache.spark.sql.types.ByteType,
-          org.apache.spark.sql.types.ShortType,
-          org.apache.spark.sql.types.IntegerType,
-          org.apache.spark.sql.types.LongType).contains(args(1).dataType)
+      val emptyFeed = startIsTs && start == latest + 1L && end == latest
       if (!emptyFeed)
         require(start >= 1 && end >= start && end <= latest,
           s"table_changes: version range [$start, $end] outside the " +

@@ -2089,11 +2089,18 @@ object TxLog {
   /** Land `df`'s files under a fresh txn dir. They reference no
     * manifest yet, so concurrent readers cannot see them. Returns the
     * base-relative paths, for [[publish]]. */
+  /** Serializes VARIANT lands JVM-wide: the shredding toggle below is
+    * a set/restore on the SHARED session conf, and two concurrent
+    * variant lands interleaving (A sets false, B saves A's false as
+    * its "previous", A restores the original true, B writes SHREDDED)
+    * would publish a file the row decoder paths reject. The lock makes
+    * set→write→restore atomic across lands; a concurrent USER write in
+    * the same session can at worst observe false and land unshredded —
+    * a scan-speed nit, never a correctness loss. */
+  private val variantLandLock = new Object
+
   private[graft] def land(df: DataFrame, base: String,
                           pcols: Seq[String] = Seq.empty): Seq[String] = {
-    val txn = java.util.UUID.randomUUID().toString
-    val dir = s"$base/$DataDir/$txn"
-    val f = fs(base, df.sparkSession)
     // VARIANT columns land UNSHREDDED: the engine's row decoder (DV
     // masks, CDF slices, row-id synthesis) reassembles VariantVal
     // from the two-binary group; Spark 4's default per-field
@@ -2101,6 +2108,17 @@ object TxLog {
     // doesn't need here and the row path cannot rebuild. Scoped to
     // this write and restored after (shredding stays on for user
     // writes outside the log).
+    val hasVariant = df.schema.exists(
+      _.dataType == org.apache.spark.sql.types.VariantType)
+    if (hasVariant) variantLandLock.synchronized(landUnlocked(df, base, pcols))
+    else landUnlocked(df, base, pcols)
+  }
+
+  private def landUnlocked(df: DataFrame, base: String,
+                           pcols: Seq[String]): Seq[String] = {
+    val txn = java.util.UUID.randomUUID().toString
+    val dir = s"$base/$DataDir/$txn"
+    val f = fs(base, df.sparkSession)
     val hasVariant = df.schema.exists(
       _.dataType == org.apache.spark.sql.types.VariantType)
     val shredKey = "spark.sql.variant.writeShredding.enabled"

@@ -454,9 +454,12 @@ object TxLogPlan {
     work.as[(String, String)].rdd.foreachPartition { it =>
       it.foreach { case (kind, ref) =>
         val p = new Path(TxLog.resolve(baseStr, ref))
-        if (p.getFileSystem(conf.value).delete(p, kind == "d") &&
-            kind == "f")
-          reclaimed.add(1L)
+        // count PLANNED dead files, not successful deletes — the text
+        // vacuumLite reports its planned dead-file count, and the two
+        // dispatch targets of one public verb must agree (a file some
+        // other process already removed still counts as reclaimed)
+        if (kind == "f") reclaimed.add(1L)
+        p.getFileSystem(conf.value).delete(p, kind == "d")
       }
     }
     drop.foreach { v =>

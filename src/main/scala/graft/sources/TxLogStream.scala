@@ -1803,8 +1803,16 @@ class TxLogMicroBatchStream(scan: TxLogScan, base: String,
     def mapAt(v: Long): Option[Set[(String, String)]] =
       TxLog.columnMappingOf(spark, base, v)
         .map(_.cols.map { case (l, p) => (l.toLowerCase, p) }.toSet)
-    val thenM = mapAt(consumedV)
     val nowM = mapAt(latest)
+    // the checkpointed version's manifest may be GONE (vacuumed while
+    // the stream lagged): on an unmapped table the guard has nothing
+    // to compare and must not turn a resume into a raw FileNotFound —
+    // skip it; on a MAPPED table an unverifiable history is exactly
+    // the unsafe case, so raise the explanatory error instead
+    val thenM = scala.util.Try(mapAt(consumedV)).getOrElse {
+      if (nowM.isEmpty) return
+      None // unresolvable old version on a mapped table: fail below
+    }
     if (thenM != nowM) throw new IllegalStateException(
       s"the column mapping of $base changed between the stream's " +
         s"checkpointed position (version $consumedV) and the current " +
