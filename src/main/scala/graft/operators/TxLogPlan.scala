@@ -256,6 +256,42 @@ object TxLogPlan {
                                     v: Long): Boolean =
     resolveBase(spark, base, v)._1.isInstanceOf[PqBase]
 
+  /** The entries of version `v` at exactly `paths` — the streaming
+    * planner's point lookup. Resolution is DISTRIBUTED (one semi-join
+    * against the columnar snapshot); the driver holds only the
+    * matches, so a micro-batch diff on a 10^6-file table costs
+    * O(changed files) driver memory, never two snapshot resolutions.
+    * Some(cached sweep) when the snapshot is already driver-warm (a
+    * local filter beats a cluster job); None when the table has no
+    * columnar base — the caller keeps its legacy full-resolution
+    * path (text-checkpoint tables are the small-table world). */
+  private[graft] def entriesAtPaths(spark: SparkSession, base: String,
+                                    v: Long, paths: Set[String])
+      : Option[Map[String, TxLog.Entry]] = {
+    if (v == 0L || paths.isEmpty) return Some(Map.empty)
+    TxLog.cachedSnapshot(spark, base, v) match {
+      case Some(es) =>
+        Some(es.iterator.filter(e => paths.contains(e.path))
+          .map(e => e.path -> e).toMap)
+      case None =>
+        if (!hasParquetBase(spark, base, v)) None
+        else {
+          import spark.implicits._
+          import org.apache.spark.sql.functions.{broadcast, col}
+          val df = snapshotDF(spark, base, v)
+          // small sets stay a literal IN (pushes to parquet row-group
+          // stats); large ones become a broadcast semi-join
+          val hit =
+            if (paths.size <= 1000)
+              df.where(col("path").isin(paths.toSeq: _*))
+            else df.join(broadcast(paths.toSeq.toDF("path")),
+              Seq("path"), "left_semi")
+          Some(hit.select("line").as[String].collect().iterator
+            .map(TxLog.parseLine).map(e => e.path -> e).toMap)
+        }
+    }
+  }
+
   /** Distributed file skipping: the entries of version `v` whose
     * stats overlap EVERY (physical column, lo-repr, hi-repr)
     * predicate, pruned executor-side; only the SURVIVORS are

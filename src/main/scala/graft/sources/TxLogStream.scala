@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.operators.TxLog
+import graft.operators.{TxLog, TxLogPlan}
 
 /** Streaming source over the [[TxLog]] manifest-commit log — the
   * Delta streaming-source analog (the reference streams FROM its
@@ -359,36 +359,100 @@ object TxLogSource {
     c
   }
 
+  /** Wrap a vacuumed-history FileNotFound in the stream's actionable
+    * reset-the-checkpoint error. */
+  private def vacuumedFriendly[T](base: String, ver: Long)(body: => T): T =
+    try body
+    catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalStateException(
+          s"version $ver's manifest is gone from $base (vacuumed?) — " +
+            "the stream cannot replay it; reset the checkpoint or " +
+            "raise the vacuum retention above the consumer lag")
+    }
+
+  /** Memo of per-version added sets, keyed (canonical base, version,
+    * commit mtime): the admission-control walk and every micro-batch
+    * plan re-ask the same versions, and commits are immutable — the
+    * mtime key catches a cross-process drop-and-recreate reusing
+    * version numbers (the snapshot cache guards identically). */
+  private val AddedCacheVersions = 64
+  private val addedCache =
+    new java.util.LinkedHashMap[(String, Long, Long), Seq[TxLog.Entry]](
+      32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Seq[TxLog.Entry]])
+          : Boolean = size() > AddedCacheVersions
+    }
+
   /** Entries ADDED by version `v` (manifest diff against v-1).
     * Version 1 diffs against the empty set. A missing manifest —
     * vacuumed history — raises a reset-the-checkpoint error instead
-    * of a raw FileNotFound. */
-  private[sources] def addedEntries(spark: SparkSession, base: String,
-                                    v: Long): Seq[TxLog.Entry] = {
-    def entriesOf(ver: Long): Seq[TxLog.Entry] =
-      try TxLog.manifest(spark, base, ver)._1
-      catch {
-        case _: java.io.FileNotFoundException =>
-          throw new IllegalStateException(
-            s"version $ver's manifest is gone from $base (vacuumed?) — " +
-              "the stream cannot replay it; reset the checkpoint or " +
-              "raise the vacuum retention above the consumer lag")
+    * of a raw FileNotFound.
+    *
+    * DRIVER-BOUNDED on delta commits (every commit publishEntries has
+    * written since the delta protocol): the added set derives from the
+    * commit's own `+` lines — O(changed files) — with one point
+    * lookup against the PREVIOUS snapshot to drop replace-by-path
+    * re-references (DV/bloom updates on files the stream already
+    * delivered). On a columnar-checkpoint table that lookup is a
+    * distributed semi-join ([[TxLogPlan.entriesAtPaths]]); the driver
+    * never resolves a full snapshot per micro-batch. Legacy full
+    * manifests (and text-checkpoint tables, where the local snapshot
+    * cache makes resolution cheap) keep the full diff. */
+  private[graft] def addedEntries(spark: SparkSession, base: String,
+                                  v: Long): Seq[TxLog.Entry] = {
+    val key = commitMtime(spark, base, v)
+      .map(mt => (TxLog.canonicalBase(base), v, mt))
+    key.flatMap(k =>
+      addedCache.synchronized(Option(addedCache.get(k))))
+      .getOrElse {
+        val r = computeAddedEntries(spark, base, v)
+        key.foreach(k => addedCache.synchronized(addedCache.put(k, r)))
+        r
       }
+  }
+
+  private def commitMtime(spark: SparkSession, base: String,
+                          v: Long): Option[Long] =
+    try Some(TxLog.fs(base, spark)
+      .getFileStatus(TxLog.manifestPath(base, v)).getModificationTime)
+    catch { case _: java.io.IOException => None }
+
+  private def computeAddedEntries(spark: SparkSession, base: String,
+                                  v: Long): Seq[TxLog.Entry] = {
+    def entriesOf(ver: Long): Seq[TxLog.Entry] =
+      vacuumedFriendly(base, ver)(TxLog.manifest(spark, base, ver)._1)
+    val lines = vacuumedFriendly(base, v)(TxLog.manifestLines(spark, base, v))
     // a dataChange=false version (compaction, DV purge) rewrote files
     // without changing any logical row — its "adds" must not re-ship
     // rows the stream already delivered (Delta's streaming source
     // skips dataChange=false AddFiles the same way)
-    val changed =
-      try TxLog.dataChangeOf(spark, base, v)
-      catch {
-        case _: java.io.FileNotFoundException =>
-          entriesOf(v) // raises the friendly vacuumed-history error
-          true // unreachable
+    if (lines.contains("#nodatachange")) return Seq.empty
+    def fullDiff(): Seq[TxLog.Entry] = {
+      val prev: Set[String] =
+        if (v == 1L) Set.empty else entriesOf(v - 1).map(_.path).toSet
+      entriesOf(v).filterNot(e => prev.contains(e.path)).sortBy(_.path)
+    }
+    if (!lines.contains(TxLog.DeltaMarker)) return fullDiff()
+    // delta commit: last `+` per path wins (applyDelta's upsert rule)
+    val plus = new java.util.LinkedHashMap[String, TxLog.Entry]()
+    lines.foreach { l =>
+      if (l.startsWith("+\t")) {
+        val e = TxLog.parseLine(l.drop(2)); plus.put(e.path, e)
       }
-    if (!changed) return Seq.empty
-    val prev: Set[String] =
-      if (v == 1L) Set.empty else entriesOf(v - 1).map(_.path).toSet
-    entriesOf(v).filterNot(e => prev.contains(e.path)).sortBy(_.path)
+    }
+    if (plus.isEmpty) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val added = plus.values().asScala.toSeq
+    if (v == 1L) return added.sortBy(_.path)
+    vacuumedFriendly(base, v - 1)(
+      TxLogPlan.entriesAtPaths(spark, base, v - 1, plus.keySet().asScala.toSet)
+    ) match {
+      case Some(prevAt) =>
+        added.filterNot(e => prevAt.contains(e.path)).sortBy(_.path)
+      case None => fullDiff()
+    }
   }
 
   /** Sorted deleted-row positions of every masked entry, keyed by the
@@ -1076,17 +1140,71 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
               "the stream cannot replay it; reset the checkpoint or " +
               "raise the vacuum retention above the consumer lag")
       }
-    val cur = entriesOf(v) // friendly error before the dataChange probe
+    val lines =
+      try TxLog.manifestLines(spark, base, v)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"version $v's manifest is gone from $base (vacuumed?) — " +
+              "the stream cannot replay it; reset the checkpoint or " +
+              "raise the vacuum retention above the consumer lag")
+      }
     // pure physical rewrites changed no logical row: no CDF slices
-    if (!TxLog.dataChangeOf(spark, base, v)) return Seq.empty
-    val prev = entriesOf(v - 1)
-    val prevByPath = prev.map(e => e.path -> e).toMap
-    val curPaths = cur.map(_.path).toSet
-    val added = survivors(cur.filterNot(e => prevByPath.contains(e.path)))
-    val removed = survivors(prev.filterNot(e => curPaths.contains(e.path)))
-    val changed = survivors(cur.filter(e =>
-      prevByPath.get(e.path).exists(_.dv != e.dv)))
-      .map(e => (prevByPath(e.path), e))
+    if (lines.contains("#nodatachange")) return Seq.empty
+    // DRIVER-BOUNDED diff on delta commits: the transition's added/
+    // removed/changed sets derive from the commit's own +/- lines
+    // (O(changed files)), with ONE point lookup against the previous
+    // snapshot for the old entries — a distributed semi-join on
+    // columnar-checkpoint tables (TxLogPlan.entriesAtPaths). The
+    // driver never resolves two full snapshots per micro-batch.
+    val fast: Option[(Seq[TxLog.Entry], Seq[TxLog.Entry],
+        Seq[(TxLog.Entry, TxLog.Entry)])] =
+      if (!lines.contains(TxLog.DeltaMarker)) None
+      else {
+        val plus = new java.util.LinkedHashMap[String, TxLog.Entry]()
+        val minus = scala.collection.mutable.LinkedHashSet.empty[String]
+        lines.foreach { l =>
+          if (l.startsWith("+\t")) {
+            val e = TxLog.parseLine(l.drop(2)); plus.put(e.path, e)
+          } else if (l.startsWith("-\t")) minus += l.drop(2)
+        }
+        import scala.jdk.CollectionConverters._
+        val plusKeys = plus.keySet().asScala.toSet
+        val touched = plusKeys ++ minus
+        (try TxLogPlan.entriesAtPaths(spark, base, v - 1, touched)
+         catch {
+           case _: java.io.FileNotFoundException =>
+             throw new IllegalStateException(
+               s"version ${v - 1}'s manifest is gone from $base " +
+                 "(vacuumed?) — the stream cannot replay it; reset " +
+                 "the checkpoint or raise the vacuum retention above " +
+                 "the consumer lag")
+         }).map { prevAt =>
+          val plusEs = plus.values().asScala.toSeq
+          (plusEs.filterNot(e => prevAt.contains(e.path)),
+            // a path both -'d and +'d in one commit is a replace, not
+            // a removal (applyDelta's upsert rule)
+            minus.toSeq.filterNot(plusKeys).flatMap(prevAt.get),
+            plusEs.flatMap(e => prevAt.get(e.path)
+              .filter(_.dv != e.dv).map(old => (old, e))))
+        }
+      }
+    val (added0, removed0, changed0) = fast.getOrElse {
+      val cur = entriesOf(v)
+      val prev = entriesOf(v - 1)
+      val prevByPath = prev.map(e => e.path -> e).toMap
+      val curPaths = cur.map(_.path).toSet
+      (cur.filterNot(e => prevByPath.contains(e.path)),
+        prev.filterNot(e => curPaths.contains(e.path)),
+        cur.filter(e => prevByPath.get(e.path).exists(_.dv != e.dv))
+          .map(e => (prevByPath(e.path), e)))
+    }
+    val added = survivors(added0)
+    val removed = survivors(removed0)
+    val changed = {
+      val keep = survivors(changed0.map(_._2)).map(_.path).toSet
+      changed0.filter { case (_, e) => keep.contains(e.path) }
+    }
     // MOR-update gate (same as the batch feed): the writer-stamped
     // `#cdfop update` hint — never a structural inference, which
     // would mislabel fully-masked drops and, worse, make the label

@@ -156,6 +156,64 @@ object TxCkptProbeMain {
       s"metadata count: $cnt vs ${expect28 * 100L}")
     require(tCnt < 30, f"COUNT(*) must stay metadata-only: $tCnt%.2f s")
 
+    // 8) STREAMING planning at 10^6 entries: a micro-batch's added
+    //    set derives from the delta commit's own `+` lines — O(batch
+    //    files) driver-side — with one DISTRIBUTED point lookup for
+    //    replace detection. The pin: after planning, the previous
+    //    snapshot was never resolved onto the driver (the snapshot
+    //    cache stays cold), which is exactly what the legacy two-
+    //    full-resolutions diff could not avoid.
+    val (vStr, _) = timed(TxLog.append(
+      spark.range(7).coalesce(1)
+        .selectExpr("id + 1000000000 as k", "cast(id as string) as s"),
+      base, Some("k")))
+    TxLog.cachePurge(base)
+    val (addedStr, tAdd) = timed(
+      graft.sources.TxLogSource.addedEntries(spark, base, vStr))
+    println(f"STREAM_PLAN_ADD_SEC=$tAdd%.2f ADDED=${addedStr.size}")
+    require(addedStr.size == 1, s"one coalesced file, got ${addedStr.size}")
+    require(TxLog.cachedSnapshot(spark, base, vStr - 1).isEmpty,
+      "streaming planning must not resolve the previous snapshot " +
+        "driver-side (the cache would be warm if it had)")
+    require(tAdd < 15, f"per-batch planning stalled: $tAdd%.2f s")
+
+    // a MOR delete re-references the SAME path with a DV — a replace,
+    // not an add: the fast path must exclude it via the point lookup,
+    // still without a driver-side snapshot resolution
+    val (vMor, _) = timed(TxLog.deleteRangeMor(spark, base, "k",
+      1000000000L, 1000000002L))
+    TxLog.cachePurge(base)
+    val (addedMor, tMor) = timed(
+      graft.sources.TxLogSource.addedEntries(spark, base, vMor))
+    println(f"STREAM_PLAN_MOR_SEC=$tMor%.2f ADDED=${addedMor.size}")
+    require(addedMor.isEmpty,
+      s"a DV re-reference is not an added file, got ${addedMor.size}")
+    require(TxLog.cachedSnapshot(spark, base, vMor - 1).isEmpty,
+      "the replace lookup must stay distributed")
+
+    // end-to-end: a real micro-batch stream positioned just before
+    // the append delivers exactly its 7 rows (the MOR version adds no
+    // files), planning every batch through the bounded path above
+    val outDir = "/tmp/graft_ckpt_probe/stream_out"
+    val ckDir = "/tmp/graft_ckpt_probe/stream_ck"
+    f.delete(new Path(outDir), true); f.delete(new Path(ckDir), true)
+    val (_, tStream) = timed {
+      val q = spark.readStream.format("graft.sources.TxLogSource")
+        .schema("k LONG, s STRING")
+        .option("startingVersion", vStr - 1)
+        .load(base)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000L)
+      q.stop()
+    }
+    val streamed = spark.read.schema("k LONG, s STRING").parquet(outDir)
+    val got = streamed.count()
+    println(f"STREAM_E2E_SEC=$tStream%.2f ROWS=$got")
+    require(got == 7L, s"the stream must deliver the append's 7 rows, got $got")
+
     println("CKPT_PROBE_OK")
     spark.stop()
   }
