@@ -206,6 +206,66 @@ object RegistryTx {
           sum(col("score").cast("decimal(18,6)")).cast("double")
             .as("sum_score"))
         .orderBy("lang2")
+    }),
+
+    // SHREDDED variant adoption (r14 next-round #2): stock Spark 4
+    // writes VARIANT with per-field typed_value columns
+    // (writeShredding=true is its default) — the layout every
+    // directory some OTHER job wrote arrives in. CONVERT TO TXLOG
+    // adopts it in place, and the row decoder (which DV-masked files
+    // force) REBUILDS each VariantVal from typed_value + residual
+    // value via Spark's own shredding schema — byte-compatible with
+    // the writer, so variant_get extraction is identical to the
+    // unshredded twin (TxLogVariantSpec pins the equality law; this
+    // witness pins the adoption → MOR delete → typed-silver chain
+    // against the relational oracle).
+    "s87_variant_shredded" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txvariant_shred"
+      TxLog.drop(s, base)
+      val d = t(s, dir, "documents")
+      val raw = d.where(col("doc_id") < 600)
+        .select(col("doc_id"), (col("doc_id") % 3).as("m"),
+          col("lang"), col("n_chars"))
+        .select(col("doc_id"), when(col("m") === 0,
+            to_json(struct(col("doc_id").as("id"), col("lang"),
+              col("n_chars").as("len"))))
+          .when(col("m") === 1,
+            to_json(struct(col("doc_id").as("id"),
+              struct(col("lang")).as("meta"))))
+          .otherwise(
+            to_json(struct(col("doc_id").as("id"),
+              (col("n_chars") * 1.5).as("score")))).as("js"))
+      require(s.conf.get(
+        "spark.sql.variant.writeShredding.enabled") == "true",
+        "the adoption witness needs stock Spark's SHREDDED default")
+      // the directory is written by PLAIN spark.write — not the log's
+      // land path — so the variant column shreds
+      raw.select(col("doc_id"), parse_json(col("js")).as("v"))
+        .repartitionByRange(2, col("doc_id"))
+        .write.mode("overwrite").parquet(base)
+      require(TxLog.convertParquet(s, base, Seq("doc_id")) == 1L,
+        "CONVERT must adopt the shredded directory in one commit")
+      // the MOR delete masks rows without rewriting files — every
+      // masked file now reads through the ROW decoder, which must
+      // rebuild the shredded variants
+      TxLog.deleteRangeMor(s, base, "doc_id", 10L, 29L)
+      s.read.format("graft.sources.TxLogSource").load(base)
+        .select(
+          variant_get(col("v"), "$.id", "long").as("id"),
+          coalesce(
+            variant_get(col("v"), "$.lang", "string"),
+            variant_get(col("v"), "$.meta.lang", "string"),
+            lit("unknown")).as("lang2"),
+          coalesce(try_variant_get(col("v"), "$.score", "double"),
+            lit(0.0)).as("score"),
+          coalesce(try_variant_get(col("v"), "$.len", "long"), lit(0L))
+            .as("len"))
+        .groupBy("lang2")
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          sum(col("len")).as("sum_len"),
+          sum(col("score").cast("decimal(18,6)")).cast("double")
+            .as("sum_score"))
+        .orderBy("lang2")
     }))
 
   private val streamDefs: Map[String, Q] = Map(
@@ -278,6 +338,24 @@ object RegistryTx {
     "s86_variant_bronze" ->
       """WITH t AS (SELECT doc_id, doc_id % 3 AS m, lang, n_chars
                     FROM documents),
+         x AS (SELECT doc_id AS id,
+                      CASE WHEN m IN (0, 1) THEN lang
+                           ELSE 'unknown' END AS lang2,
+                      CASE WHEN m = 2 THEN n_chars * 1.5
+                           ELSE 0.0 END AS score,
+                      CASE WHEN m = 0 THEN n_chars ELSE 0 END AS len
+               FROM t)
+         SELECT lang2, count(*) AS n,
+                cast(sum(id) AS BIGINT) AS sum_id,
+                cast(sum(len) AS BIGINT) AS sum_len,
+                cast(sum(cast(score AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_score
+         FROM x GROUP BY 1 ORDER BY 1""",
+    "s87_variant_shredded" ->
+      """WITH t AS (SELECT doc_id, doc_id % 3 AS m, lang, n_chars
+                    FROM documents
+                    WHERE doc_id < 600
+                      AND doc_id NOT BETWEEN 10 AND 29),
          x AS (SELECT doc_id AS id,
                       CASE WHEN m IN (0, 1) THEN lang
                            ELSE 'unknown' END AS lang2,

@@ -359,6 +359,88 @@ object TxLogSource {
     c
   }
 
+  /** parquet-mr Group adapter for Spark's variant reassembly
+    * ([[org.apache.spark.types.variant.ShreddingUtils.rebuild]]):
+    * serves a shredding struct's fields by ordinal, straight off the
+    * Group the row decoder already materialized. Field indexes match
+    * because the VariantSchema is built from this same parquet type
+    * (SparkShreddingUtils.parquetTypeToSparkType preserves order). */
+  private[sources] final class GroupShreddedRow(g: Group)
+      extends org.apache.spark.types.variant.ShreddingUtils.ShreddedRow {
+    override def isNullAt(i: Int): Boolean = g.getFieldRepetitionCount(i) == 0
+    override def getBoolean(i: Int): Boolean = g.getBoolean(i, 0)
+    override def getByte(i: Int): Byte = g.getInteger(i, 0).toByte
+    override def getShort(i: Int): Short = g.getInteger(i, 0).toShort
+    override def getInt(i: Int): Int = g.getInteger(i, 0)
+    override def getLong(i: Int): Long =
+      g.getType.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.INT64 => g.getLong(i, 0)
+        case _ => g.getInteger(i, 0).toLong
+      }
+    override def getFloat(i: Int): Float = g.getFloat(i, 0)
+    override def getDouble(i: Int): Double = g.getDouble(i, 0)
+    override def getDecimal(i: Int, precision: Int,
+                            scale: Int): java.math.BigDecimal = {
+      val pt = g.getType.getType(i).asPrimitiveType()
+      val fileScale = pt.getLogicalTypeAnnotation match {
+        case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          a.getScale
+        case _ => scale
+      }
+      val unscaled = pt.getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.INT64 =>
+          java.math.BigInteger.valueOf(g.getLong(i, 0))
+        case PrimitiveType.PrimitiveTypeName.INT32 =>
+          java.math.BigInteger.valueOf(g.getInteger(i, 0).toLong)
+        case _ => new java.math.BigInteger(g.getBinary(i, 0).getBytes)
+      }
+      new java.math.BigDecimal(unscaled, fileScale)
+    }
+    override def getString(i: Int): String = g.getString(i, 0)
+    override def getBinary(i: Int): Array[Byte] = g.getBinary(i, 0).getBytes
+    override def getUuid(i: Int): java.util.UUID = {
+      val b = java.nio.ByteBuffer.wrap(g.getBinary(i, 0).getBytes)
+      new java.util.UUID(b.getLong, b.getLong) // 16-byte big-endian
+    }
+    override def getStruct(i: Int, numFields: Int)
+        : org.apache.spark.types.variant.ShreddingUtils.ShreddedRow =
+      new GroupShreddedRow(g.getGroup(i, 0))
+    override def getArray(i: Int)
+        : org.apache.spark.types.variant.ShreddingUtils.ShreddedRow =
+      new GroupShreddedList(g.getGroup(i, 0))
+    override def numElements(): Int =
+      throw new UnsupportedOperationException("not an array row")
+  }
+
+  /** Array counterpart: wraps the standard 3-level LIST group
+    * (`group (LIST) { repeated group list { required group element }}`)
+    * — `numElements` counts the repeated entries, `getStruct(j, _)`
+    * unwraps entry j's `element` group. */
+  private[sources] final class GroupShreddedList(listG: Group)
+      extends org.apache.spark.types.variant.ShreddingUtils.ShreddedRow {
+    override def numElements(): Int = listG.getFieldRepetitionCount(0)
+    override def getStruct(j: Int, numFields: Int)
+        : org.apache.spark.types.variant.ShreddingUtils.ShreddedRow =
+      new GroupShreddedRow(listG.getGroup(0, j).getGroup(0, 0))
+    private def nope = throw new UnsupportedOperationException(
+      "array rows serve only numElements/getStruct")
+    override def isNullAt(i: Int): Boolean = nope
+    override def getBoolean(i: Int): Boolean = nope
+    override def getByte(i: Int): Byte = nope
+    override def getShort(i: Int): Short = nope
+    override def getInt(i: Int): Int = nope
+    override def getLong(i: Int): Long = nope
+    override def getFloat(i: Int): Float = nope
+    override def getDouble(i: Int): Double = nope
+    override def getDecimal(i: Int, p: Int, s: Int): java.math.BigDecimal =
+      nope
+    override def getString(i: Int): String = nope
+    override def getBinary(i: Int): Array[Byte] = nope
+    override def getUuid(i: Int): java.util.UUID = nope
+    override def getArray(i: Int)
+        : org.apache.spark.types.variant.ShreddingUtils.ShreddedRow = nope
+  }
+
   /** Wrap a vacuumed-history FileNotFound in the stream's actionable
     * reset-the-checkpoint error. */
   private def vacuumedFriendly[T](base: String, ver: Long)(body: => T): T =
@@ -1652,6 +1734,24 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
     new GenericInternalRow(values)
   }
 
+  /** Per-file cache of shredding layouts: one VariantSchema per
+    * distinct variant GroupType seen in this file (the schema build
+    * walks the parquet type — once per column, never per row). */
+  private val variantSchemas = new java.util.HashMap[
+    org.apache.parquet.schema.GroupType,
+    org.apache.spark.types.variant.VariantSchema]()
+  private def variantSchemaFor(gt: org.apache.parquet.schema.GroupType)
+      : org.apache.spark.types.variant.VariantSchema = {
+    var s = variantSchemas.get(gt)
+    if (s == null) {
+      import org.apache.spark.sql.execution.datasources.parquet.SparkShreddingUtils
+      s = SparkShreddingUtils.buildVariantSchema(
+        SparkShreddingUtils.parquetTypeToSparkType(gt))
+      variantSchemas.put(gt, s)
+    }
+    s
+  }
+
   private def fieldValue(g: Group, i: Int, dt: DataType): Any = dt match {
     case LongType => g.getType.getType(i).asPrimitiveType()
       .getPrimitiveTypeName match {
@@ -1692,33 +1792,34 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
       org.apache.spark.sql.types.Decimal(
         new java.math.BigDecimal(unscaled, fileScale), d.precision, d.scale)
     case org.apache.spark.sql.types.VariantType =>
-      // parquet stores an (unshredded) VARIANT as a group of two
-      // binaries; reassemble Catalyst's VariantVal from them. The
-      // plain columnar path delegates to Spark's vectorized reader —
-      // this branch serves the ROW-decoder shapes (DV masks, CDF
-      // slices, row-id synthesis)
+      // parquet stores a VARIANT as a group: {metadata, value} when
+      // unshredded (the log's own writes), plus per-field typed
+      // columns when SHREDDED (Spark 4's default outside the log —
+      // the CONVERT TO TXLOG adoption surface). The plain columnar
+      // path delegates to Spark's vectorized reader; this branch
+      // serves the ROW-decoder shapes (DV masks, CDF slices, row-id
+      // synthesis): unshredded files reassemble VariantVal from the
+      // two binaries, shredded ones rebuild the variant binary from
+      // typed_value + residual value through Spark's own
+      // ShreddingUtils — byte-compatible with the writer.
       val vg = g.getGroup(i, 0)
       val gt = vg.getType.asGroupType()
-      require(gt.containsField("value") && gt.containsField("metadata"),
+      require(gt.containsField("metadata"),
         s"unsupported variant encoding in parquet: $gt")
-      val vi = gt.getFieldIndex("value")
-      val mi = gt.getFieldIndex("metadata")
-      if (vg.getFieldRepetitionCount(vi) == 0) {
-        // a SHREDDED file (Spark 4's default outside the log) stores
-        // the data under typed_value — serving null here would be
-        // silent data loss, so fail with the way out
-        if (gt.containsField("typed_value") &&
-            vg.getFieldRepetitionCount(gt.getFieldIndex("typed_value")) > 0)
-          throw new IllegalArgumentException(
-            "this parquet file stores its VARIANT column SHREDDED " +
-              "(per-field typed_value) — the txlog row decoder reads " +
-              "the unshredded two-binary layout the log's own writes " +
-              "use. Read this table via TxLog.read, or rewrite the " +
-              "file with spark.sql.variant.writeShredding.enabled=false")
-        null
+      if (gt.containsField("typed_value")) {
+        val v = org.apache.spark.types.variant.ShreddingUtils.rebuild(
+          new TxLogSource.GroupShreddedRow(vg), variantSchemaFor(gt))
+        new org.apache.spark.unsafe.types.VariantVal(
+          v.getValue, v.getMetadata)
+      } else {
+        require(gt.containsField("value"),
+          s"unsupported variant encoding in parquet: $gt")
+        val vi = gt.getFieldIndex("value")
+        val mi = gt.getFieldIndex("metadata")
+        if (vg.getFieldRepetitionCount(vi) == 0) null
+        else new org.apache.spark.unsafe.types.VariantVal(
+          vg.getBinary(vi, 0).getBytes, vg.getBinary(mi, 0).getBytes)
       }
-      else new org.apache.spark.unsafe.types.VariantVal(
-        vg.getBinary(vi, 0).getBytes, vg.getBinary(mi, 0).getBytes)
     case other => throw new IllegalArgumentException(
       s"txlog source does not support column type $other (flat " +
         "numeric/string/bool/date/timestamp/decimal/variant " +
