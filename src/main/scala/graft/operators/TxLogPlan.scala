@@ -75,15 +75,104 @@ object TxLogPlan {
     org.apache.spark.sql.types.StructField("line",
       org.apache.spark.sql.types.StringType, nullable = false)))
 
+  // ---- typed stats columns (Delta checkpoints' stats_parsed) --------
+  //
+  // The line column carries everything, but pruning through it costs a
+  // per-row parse UDF that reads 100% of checkpoint bytes and blocks
+  // codegen. Alongside it the checkpoint stores each stats key's
+  // min/max as NATIVE-typed columns (`smin_<hex(col)>`/`smax_<hex..>`,
+  // hex of the frozen physical name — unambiguous for any name),
+  // sorted by the first key so parquet row-group min/max skip whole
+  // stripes of a 10^6-entry checkpoint on a narrow band. NULL = no
+  // stats on that column (always-keep, exactly touchesRange's rule).
+  // Comparison parity with TxLog.cmp: "long"→LongType, "double"→
+  // DoubleType, everything else (date/string reprs compare as
+  // unsigned UTF-8 bytes) → StringType, whose Spark comparison IS
+  // binary. Legacy 4-column checkpoints keep the line-UDF path.
+
+  /** Bound on typed stats keys per checkpoint — past this (no real
+    * table clusters on 16+ dimensions) extra keys stay line-only. */
+  private val MaxTypedStatsKeys = 16
+
+  private def statColHex(c: String): String =
+    c.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+  private[graft] def sminName(c: String): String = "smin_" + statColHex(c)
+  private[graft] def smaxName(c: String): String = "smax_" + statColHex(c)
+
+  private def nativeStatsType(dtype: String): org.apache.spark.sql.types.DataType =
+    dtype match {
+      case "long"   => org.apache.spark.sql.types.LongType
+      case "double" => org.apache.spark.sql.types.DoubleType
+      case _        => org.apache.spark.sql.types.StringType
+    }
+
+  /** A stats repr under its key's native type — the exact parse
+    * [[TxLog.cmp]] would apply, so typed and line-path pruning can
+    * never disagree. */
+  private def typedRepr(dt: org.apache.spark.sql.types.DataType,
+                        repr: String): Any = dt match {
+    case org.apache.spark.sql.types.LongType => repr.toLong
+    case org.apache.spark.sql.types.DoubleType => repr.toDouble
+    case _ => repr
+  }
+
+  /** The typed stats keys of an entry population: distinct
+    * (physical column, dtype), dropping any column seen under TWO
+    * dtypes (ambiguous — stays line-only), sorted for determinism,
+    * capped at [[MaxTypedStatsKeys]]. */
+  private def statsKeysOf(pairs: Iterator[(String, String)])
+      : Seq[(String, String)] = {
+    val seen = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.Set[String]]
+    pairs.foreach { case (c, dt) =>
+      seen.getOrElseUpdate(c, scala.collection.mutable.Set.empty) += dt }
+    seen.iterator.collect { case (c, dts) if dts.size == 1 => (c, dts.head) }
+      .toSeq.sortBy(_._1).take(MaxTypedStatsKeys)
+  }
+
+  private def ckptSchemaFor(keys: Seq[(String, String)])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      ckptSchema.fields.toSeq ++ keys.flatMap { case (c, dt) =>
+        val t = nativeStatsType(dt)
+        Seq(org.apache.spark.sql.types.StructField(sminName(c), t),
+          org.apache.spark.sql.types.StructField(smaxName(c), t))
+      })
+
   /** Entry lines → the checkpoint dataset's typed rows. The planning
-    * columns (path, rows, dv_rows) are DERIVED from `line` at write
-    * time so the line stays the single source of truth. */
-  private def linesToCkptDF(spark: SparkSession, lines: DataFrame): DataFrame = {
+    * columns (path, rows, dv_rows, per-key min/max) are DERIVED from
+    * `line` at write time so the line stays the single source of
+    * truth. */
+  private def linesToCkptDF(spark: SparkSession, lines: DataFrame,
+                            keys: Seq[(String, String)] = Nil): DataFrame = {
     import spark.implicits._
-    lines.select("line").as[String].map { l =>
-      val e = TxLog.parseLine(l)
-      (e.path, e.rows, e.dv.map(_.rows).getOrElse(0L), l)
-    }.toDF("path", "rows", "dv_rows", "line")
+    if (keys.isEmpty)
+      lines.select("line").as[String].map { l =>
+        val e = TxLog.parseLine(l)
+        (e.path, e.rows, e.dv.map(_.rows).getOrElse(0L), l)
+      }.toDF("path", "rows", "dv_rows", "line")
+    else {
+      val schema = ckptSchemaFor(keys)
+      val ks = keys.map { case (c, dt) => (c, dt, nativeStatsType(dt)) }
+      lines.select("line").as[String].map { l =>
+        val e = TxLog.parseLine(l)
+        val vals = new Array[Any](4 + 2 * ks.size)
+        vals(0) = e.path; vals(1) = e.rows
+        vals(2) = e.dv.map(_.rows).getOrElse(0L); vals(3) = l
+        var i = 0
+        ks.foreach { case (c, dt, t) =>
+          e.statsFor(c) match {
+            case Some(st) if st.dtype == dt =>
+              vals(4 + 2 * i) = typedRepr(t, st.min)
+              vals(5 + 2 * i) = typedRepr(t, st.max)
+            case _ => () // no stats (or drifted dtype): NULL = keep
+          }
+          i += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }(org.apache.spark.sql.Encoders.row(schema))
+    }
   }
 
   /** Meta lines for the checkpoint TEXT file of a columnar
@@ -114,9 +203,14 @@ object TxLogPlan {
                                             entries: Seq[TxLog.Entry]): Unit = {
     import spark.implicits._
     val parts = math.max(1, math.min(256, entries.size / 200000 + 1))
+    val keys = statsKeysOf(entries.iterator.flatMap(
+      _.stats.iterator.map(cs => (cs.column, cs.dtype))))
+    // partitioning happens ON the built rows (range-clustered by the
+    // first key) inside the DF path — no pre-shuffle of the lines
     val lines = spark.createDataset(entries.map(TxLog.serLine))
-      .repartition(parts).toDF("line")
-    writeCheckpointParquetDF(spark, base, v, metaLines, lines)
+      .toDF("line")
+    writeCheckpointParquetDF(spark, base, v, metaLines, lines,
+      keysKnown = Some(keys), partsHint = Some(parts))
   }
 
   /** Write a columnar checkpoint from a DataFrame of entry `line`s —
@@ -126,14 +220,36 @@ object TxLogPlan {
   private[graft] def writeCheckpointParquetDF(spark: SparkSession,
                                               base: String, v: Long,
                                               metaLines: Seq[String],
-                                              lines: DataFrame): Unit = {
+                                              lines: DataFrame,
+                                              keysKnown: Option[Seq[(String, String)]] =
+                                                None,
+                                              partsHint: Option[Int] = None): Unit = {
     val f = TxLog.fs(base, spark)
     val dst = pqDirPath(base, v)
     if (!f.exists(dst)) {
       val tmp = new Path(s"$base/${TxLog.LogDir}/" +
         s".ckpt-pq-tmp-${java.util.UUID.randomUUID()}")
-      linesToCkptDF(spark, lines).write.mode("overwrite")
-        .parquet(tmp.toString)
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      // the typed stats keys: known up front on the driver-entries
+      // path, derived by one lightweight pass otherwise (checkpoint
+      // writes are rare; the read-side prune savings repay it)
+      val keys = keysKnown.getOrElse(statsKeysOf(
+        lines.select("line").as[String].flatMap(l =>
+            TxLog.parseLine(l).stats.map(cs => (cs.column, cs.dtype)))
+          .distinct().collect().iterator))
+      val df0 = linesToCkptDF(spark, lines, keys)
+      // cluster the checkpoint itself on the first key: row groups get
+      // tight min/max bands, so a narrow native prune skips stripes
+      val df = (keys.headOption, partsHint) match {
+        case (Some((c, _)), Some(p)) =>
+          df0.repartitionByRange(p, col(sminName(c)))
+            .sortWithinPartitions(sminName(c))
+        case (Some((c, _)), None) => df0.sortWithinPartitions(sminName(c))
+        case (None, Some(p)) => df0.repartition(p)
+        case _ => df0
+      }
+      df.write.mode("overwrite").parquet(tmp.toString)
       // checkpoint content for a version is deterministic (derived
       // from the immutable commit chain): a racing writer installed
       // the same rows — losing the rename is success
@@ -147,10 +263,19 @@ object TxLogPlan {
   }
 
   /** The checkpoint dataset of version `v` as a DataFrame
-    * (path, rows, dv_rows, line). */
+    * (path, rows, dv_rows, line) — the planning-verb surface, typed
+    * stats columns projected away so unions with delta adds line up. */
   private[graft] def readCheckpointDF(spark: SparkSession, base: String,
                                       v: Long): DataFrame =
-    spark.read.schema(ckptSchema).parquet(pqDirPath(base, v).toString)
+    readCheckpointDFFull(spark, base, v)
+      .select("path", "rows", "dv_rows", "line")
+
+  /** The checkpoint dataset WITH whatever typed stats columns its
+    * writer derived (self-describing parquet schema; legacy
+    * checkpoints read as the bare 4 columns). */
+  private[graft] def readCheckpointDFFull(spark: SparkSession, base: String,
+                                          v: Long): DataFrame =
+    spark.read.parquet(pqDirPath(base, v).toString)
 
   /** Driver-side collect of a columnar checkpoint's entry lines — the
     * compatibility bridge for TxLog.snapshotEntries (bounded verbs);
@@ -303,8 +428,62 @@ object TxLogPlan {
                           preds: Seq[(String, String, String)])
       : Option[Seq[TxLog.Entry]] = {
     val ps = preds // stable local for the closure
-    pruneEntriesWith(spark, base, v, e =>
-      ps.forall { case (c, lo, hi) => TxLog.touchesRange(e, c, lo, hi) })
+    pruneEntriesHybrid(spark, base, v,
+      ps.map { case (c, lo, hi) => (c, Some(lo), Some(hi)) },
+      e => ps.forall { case (c, lo, hi) => TxLog.touchesRange(e, c, lo, hi) })
+  }
+
+  /** Hybrid executor-side prune: the checkpoint's NATIVE typed stats
+    * columns filter on every `rangePreds` key they cover — Catalyst
+    * comparisons with parquet pushdown, so row-group min/max skip
+    * checkpoint I/O that the line-parse UDF must read — and `pred`
+    * (the full residual test, e.g. the DSv2 scan's entrySurvives over
+    * ALL pushed filters) re-checks the collected survivors on the
+    * driver, a bounded sweep by construction. Falls back to the
+    * line-UDF [[pruneEntriesWith]] when the checkpoint predates typed
+    * stats (or covers none of the keys); None when the table has no
+    * columnar base or the snapshot is driver-warm. */
+  private[graft] def pruneEntriesHybrid(spark: SparkSession, base: String,
+      v: Long, rangePreds: Seq[(String, Option[String], Option[String])],
+      pred: TxLog.Entry => Boolean): Option[Seq[TxLog.Entry]] = {
+    if (TxLog.cachedSnapshot(spark, base, v).isDefined) return None
+    val (b, deltas) = resolveBase(spark, base, v)
+    val cv = b match {
+      case PqBase(x) => x
+      case _ => return None
+    }
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val df = readCheckpointDFFull(spark, base, cv)
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // one overlap condition per COVERED key: NULL stats keep the
+    // entry (touchesRange's rule); an unparseable repr (cmp would
+    // throw on it too) drops the key back to the residual
+    val conds = rangePreds.flatMap { case (c, lo, hi) =>
+      byName.get(sminName(c)).flatMap { t =>
+        scala.util.Try {
+          val lc = lo.map(r => col(smaxName(c)) >= lit(typedRepr(t, r)))
+          val hc = hi.map(r => col(sminName(c)) <= lit(typedRepr(t, r)))
+          (lc.toSeq ++ hc.toSeq).reduceOption(_ && _)
+            .map(col(sminName(c)).isNull || _)
+        }.toOption.flatten
+      }
+    }
+    if (conds.isEmpty) // legacy checkpoint / uncovered keys
+      return pruneEntriesWith(spark, base, v, pred)
+    val (affected, adds) = composeDeltas(deltas)
+    var basePruned = df.where(conds.reduce(_ && _))
+    if (affected.nonEmpty)
+      basePruned =
+        if (affected.size <= 1000)
+          basePruned.where(!col("path").isin(affected.toSeq: _*))
+        else basePruned.join(
+          broadcast(affected.toSeq.toDF("path")), Seq("path"), "left_anti")
+    val p = pred
+    val baseSurv = basePruned.select("line").as[String].collect()
+      .iterator.map(TxLog.parseLine).filter(p).toSeq
+    val addSurv = adds.map(TxLog.parseLine).filter(p)
+    Some(baseSurv ++ addSurv)
   }
 
   /** Generic executor-side entry prune: keep entries satisfying

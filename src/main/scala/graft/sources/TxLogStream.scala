@@ -663,7 +663,7 @@ object TxLogSource {
     * stringifying the float directly ("1.1") would parse to a
     * DIFFERENT double and unsoundly prune the file holding the
     * matching rows. */
-  private def valueRepr(v: Any): String = v match {
+  private[sources] def valueRepr(v: Any): String = v match {
     case f: java.lang.Float => f.floatValue().toDouble.toString
     // timestamp stats are stored as epoch SECONDS (TxLog.statsDtype):
     // the floor on both sides keeps range overlap sound
@@ -1369,10 +1369,19 @@ class TxLogScan(required: StructType, base: String, changeFeed: Boolean,
         // driver sweep — cheaper than a job there
         val ps = pushed.toIndexedSeq
         val pm = physMap
+        // the range-shaped conjuncts, physical-named and repr'd, ride
+        // the checkpoint's typed stats columns (native Catalyst
+        // comparisons + parquet row-group skipping); entrySurvives
+        // re-checks ALL pushed filters on the collected survivors
+        val rangePreds = ps.flatMap(TxLogSource.rangeOf).map {
+          case (c, lo, hi) => (TxLogSource.physOf(pm, c),
+            lo.map(TxLogSource.valueRepr), hi.map(TxLogSource.valueRepr))
+        }
         val es =
           (if (ps.nonEmpty)
-            graft.operators.TxLogPlan.pruneEntriesWith(spark, base,
-              target, e => TxLogSource.entrySurvives(e, ps, pm))
+            graft.operators.TxLogPlan.pruneEntriesHybrid(spark, base,
+              target, rangePreds,
+              e => TxLogSource.entrySurvives(e, ps, pm))
           else None)
             .getOrElse(survivors(TxLog.manifest(spark, base, target)._1))
         parts(es, target)

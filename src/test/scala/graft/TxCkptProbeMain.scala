@@ -92,6 +92,32 @@ object TxCkptProbeMain {
     require(surv.nonEmpty && surv.size <= 12,
       s"narrow range must keep ~10 files of 10^6, got ${surv.size}")
 
+    // 2b) typed-stats native prune I/O: the same narrow band filtered
+    //     through the checkpoint's NATIVE min/max columns. The
+    //     comparisons push into the parquet scan, so row-group/page
+    //     stats skip checkpoint bytes — the scan node must EMIT under
+    //     10% of the 10^6 entries (the line-UDF path necessarily
+    //     deserializes all of them).
+    {
+      import org.apache.spark.sql.functions.{col, lit}
+      val mn = TxLogPlan.sminName("k"); val mx = TxLogPlan.smaxName("k")
+      val fullCkpt = TxLogPlan.readCheckpointDFFull(spark, base, 1L)
+      require(fullCkpt.columns.contains(mn),
+        s"typed stats columns missing: ${fullCkpt.columns.mkString(",")}")
+      val nativeDF = fullCkpt.where(col(mn).isNull ||
+        (col(mx) >= lit(50000000L) && col(mn) <= lit(50000999L)))
+      val qe = nativeDF.queryExecution
+      val (kept, tNat) = timed(qe.executedPlan.executeCollect().length)
+      val scanRows = qe.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+      println(f"TYPED_PRUNE_SEC=$tNat%.2f KEPT=$kept SCAN_ROWS=$scanRows")
+      require(kept >= 10 && kept <= 12,
+        s"native prune must keep the band's ~10 files, got $kept")
+      require(scanRows > 0 && scanRows < N / 10,
+        s"pushed typed filters must skip checkpoint I/O: the scan " +
+          s"emitted $scanRows of $N entries (>=10%)")
+    }
+
     // 3) VACUUM LITE: drop v1..v26 — dead = the 52 paths removed by
     //    deltas v2..v27 (the 8 later removals stay referenced by the
     //    kept head v27); the fan-out counts real deletes

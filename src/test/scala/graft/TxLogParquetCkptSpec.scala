@@ -108,6 +108,56 @@ class TxLogParquetCkptSpec extends AnyFunSuite {
       (130L to 180L).map(k => (k, s"w${k / 100}-$k")).toSet)
   }
 
+  test("typed stats columns: the columnar checkpoint carries NATIVE " +
+    "min/max per stats key (Delta's stats_parsed), the prune plans " +
+    "through Catalyst comparisons pushed to parquet — no line-parse " +
+    "UDF over the checkpoint — and keeps exactly the line-path " +
+    "survivors, NULL-stats entries included") {
+    val base = "/tmp/graft_txpq/typed"
+    TxLog.drop(spark, base)
+    withParquetCkpts {
+      spark.conf.set("spark.graft.txlog.checkpointInterval", "3")
+      try {
+        (0 until 2).foreach(i =>
+          TxLog.append(clustered(i * 100L, 100L, s"w$i", 4), base, Some("k")))
+        // a stats-LESS file INSIDE the checkpoint: its typed columns
+        // go NULL there, and the native prune must keep it
+        TxLog.append(clustered(9000L, 5L, "w9", 1), base, None)
+        (2 until 4).foreach(i =>
+          TxLog.append(clustered(i * 100L, 100L, s"w$i", 4), base, Some("k")))
+      } finally spark.conf.unset("spark.graft.txlog.checkpointInterval")
+    }
+    val v = TxLog.latestVersion(spark, base).get
+    val ckptV = (1L to v).filter(cv => new java.io.File(
+      TxLogPlan.pqDirPath(base, cv).toUri.getPath).isDirectory).max
+    val full = TxLogPlan.readCheckpointDFFull(spark, base, ckptV)
+    val mn = TxLogPlan.sminName("k"); val mx = TxLogPlan.smaxName("k")
+    assert(full.columns.contains(mn) && full.columns.contains(mx),
+      s"typed stats columns expected, got ${full.columns.mkString(",")}")
+    assert(full.schema(mn).dataType ==
+      org.apache.spark.sql.types.LongType,
+      "a long-dtype stats key must surface as a native LongType column")
+    // the native filter pushes to the parquet scan — the exact
+    // mechanism that lets row-group min/max skip checkpoint bytes on
+    // a 10^6-entry table
+    val nativeFiltered = full.where(col(mn).isNull ||
+      (col(mx) >= lit(130L) && col(mn) <= lit(180L)))
+    val plan = nativeFiltered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains(s"GreaterThanOrEqual($mx,130")
+        || plan.contains(s"LessThanOrEqual($mn,180")),
+      s"typed prune must reach the parquet scan as pushed filters:\n$plan")
+    // survivors == the driver's line-path sweep, including the
+    // stats-less file (NULL typed columns = always keep)
+    TxLog.cachePurge(base)
+    val dist = TxLogPlan.pruneEntriesForScan(spark, base, v,
+      Seq(("k", "130", "180"))).get
+    val driver = TxLog.pruneRanges(spark, base, Seq(("k", 130L, 180L)))._1
+    assert(dist.map(_.path).toSet == driver.map(_.path).toSet)
+    assert(dist.exists(_.statsFor("k").isEmpty),
+      "the stats-less file must survive through NULL typed columns")
+  }
+
   test("VACUUM LITE on a columnar table: the reclaim set is computed " +
     "distributed, superseded OPTIMIZE inputs are deleted, live files " +
     "and DV sidecars survive, and the kept history re-bases on a " +
