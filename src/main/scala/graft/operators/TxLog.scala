@@ -4028,9 +4028,10 @@ object TxLog {
                   lo: Any, hi: Any,
                   residual: org.apache.spark.sql.Column =
                     org.apache.spark.sql.functions.lit(true),
-                  maxAttempts: Int = 5): Long =
+                  maxAttempts: Int = 5,
+                  onAttempt: Int => Unit = _ => ()): Long =
     rewriteRange(spark, base, column, lo, hi, maxAttempts,
-      "DELETE") { touched =>
+      "DELETE", onAttempt = onAttempt) { touched =>
       import org.apache.spark.sql.functions.{coalesce, col, lit}
       // survivors: NOT (in-range AND residual). The negation is taken
       // over a null-safe coalesce so residual=NULL rows (SQL unknown)
@@ -5413,7 +5414,8 @@ object TxLog {
                   set: Map[String, org.apache.spark.sql.Column],
                   residual: org.apache.spark.sql.Column =
                     org.apache.spark.sql.functions.lit(true),
-                  maxAttempts: Int = 5): Long = {
+                  maxAttempts: Int = 5,
+                  onAttempt: Int => Unit = _ => ()): Long = {
     require(!set.contains(column),
       s"UPDATE may not assign the clustering column $column — " +
         "rewriting the band key would break manifest-stats skipping")
@@ -5423,7 +5425,8 @@ object TxLog {
     // pair each rewritten row's pre/post images by id
     rewriteRange(spark, base, column, lo, hi, maxAttempts,
       "UPDATE",
-      cdfOp = if (rowTracked(spark, base)) Some("update_cow") else None) {
+      cdfOp = if (rowTracked(spark, base)) Some("update_cow") else None,
+      onAttempt = onAttempt) {
       touched =>
       import org.apache.spark.sql.functions.{coalesce, col, lit, when}
       val hit = coalesce(
@@ -5533,35 +5536,76 @@ object TxLog {
     * dropped). */
   private def rewriteRange(spark: SparkSession, base: String, column: String,
                            lo: Any, hi: Any, maxAttempts: Int,
-                           op: String, cdfOp: Option[String] = None)
+                           op: String, cdfOp: Option[String] = None,
+                           onAttempt: Int => Unit = _ => ())
                           (transform: DataFrame => DataFrame): Long = {
     val (l, h) = (reprOf(lo), reprOf(hi))
     // entry stats are keyed physical; the caller's transform (and its
     // captured `column`/`residual` references) runs on the logical view
     val physCol = physicalName(spark, base, column)
-    withCasRetry(maxAttempts) { _ =>
+    // conflict-granular OCC, the COW-rewrite shape (see mergeCow): a
+    // CAS loss keeps the landed rewrite, and a DISJOINT winner — none
+    // of the touched files removed/replaced, nothing added whose
+    // stats overlap [lo, hi], metadata surface unchanged — re-bases
+    // with one manifest write instead of re-running the rewrite job.
+    // A COW DELETE of a cold band racing the streaming sink's appends
+    // on a 100 TB table costs one extra commit attempt, not a second
+    // pass over the band.
+    var rebase: Option[(Seq[Entry], Set[String], Map[String, String],
+      String)] = None // (newEntries, touchedPaths, base path→line, metaSig)
+    def discardRebase(): Unit = rebase.foreach { case (es, _, _, _) =>
+      discard(spark, base, es.map(_.path)); rebase = None }
+    try withCasRetry(maxAttempts) { attempt =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
       val (entries, txns) = manifest(spark, base, cur)
-      val (touched, carried) = entries.partition(touchesRange(_, physCol, l, h))
-      if (touched.isEmpty) cur
-      else {
-        val rewritten = toPhysicalIfMapped(spark, base,
-          transform(logicalView(spark, base,
-            readEntriesCurrent(spark, base, touched,
-              withRowIds = true), keep = Seq(RowIdCol))))
-        val newEntries = landEntriesMulti(rewritten, base,
-          preservedStatsCols(touched, Seq(physCol), rewritten.schema))
-          .filter(_.rows != 0L)
-        try {
-          publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns,
-            operation = op, cdfOp = cdfOp)
-          cur + 1L
-        } catch {
-          case e: CommitConflictException => // this attempt's land is dead
-            discard(spark, base, newEntries.map(_.path)); throw e
+      onAttempt(attempt) // test seam: between snapshot read and publish
+      val metaSig = stableMetaSig(manifestLines(spark, base, cur))
+      val rebasable = rebase.filter { case (_, touchedP, baseBy, sig) =>
+        sig == metaSig && {
+          val curBy = entries.map(e => e.path -> serLine(e)).toMap
+          val removed = baseBy.keySet -- curBy.keySet
+          val addedOrReplaced = entries.filter(e =>
+            !baseBy.get(e.path).contains(serLine(e)))
+          removed.intersect(touchedP).isEmpty &&
+            addedOrReplaced.forall(e => !touchedP.contains(e.path) &&
+              !touchesRange(e, physCol, l, h))
         }
       }
+      rebasable match {
+        case Some((newEntries, touchedP, _, _)) =>
+          // disjoint winner: carry ITS entries (minus our touched
+          // inputs, replaced by the landed rewrite) — zero recompute
+          val carried2 = entries.filterNot(e => touchedP.contains(e.path))
+          publishEntries(spark, base, cur + 1L, carried2 ++ newEntries,
+            txns, operation = op, cdfOp = cdfOp)
+          cur + 1L
+        case None =>
+          discardRebase() // overlapping winner: the land is stale
+          val (touched, carried) =
+            entries.partition(touchesRange(_, physCol, l, h))
+          if (touched.isEmpty) cur
+          else {
+            val rewritten = toPhysicalIfMapped(spark, base,
+              transform(logicalView(spark, base,
+                readEntriesCurrent(spark, base, touched,
+                  withRowIds = true), keep = Seq(RowIdCol))))
+            val newEntries = landEntriesMulti(rewritten, base,
+              preservedStatsCols(touched, Seq(physCol), rewritten.schema))
+              .filter(_.rows != 0L)
+            // keep the land across a CAS loss: the next attempt's
+            // disjointness check decides re-base vs recompute
+            rebase = Some((newEntries, touched.map(_.path).toSet,
+              entries.map(e => e.path -> serLine(e)).toMap, metaSig))
+            publishEntries(spark, base, cur + 1L, carried ++ newEntries,
+              txns, operation = op, cdfOp = cdfOp)
+            cur + 1L
+          }
+      }
+    } catch {
+      // exhausted retries (or anything fatal): the kept-for-re-base
+      // land must not leak as an orphan txn dir
+      case e: Throwable => discardRebase(); throw e
     }
   }
 
@@ -5579,7 +5623,8 @@ object TxLog {
   def compact(spark: SparkSession, base: String, smallThresholdRows: Long,
               targetRows: Long, statsCol0: Option[String] = None,
               maxAttempts: Int = 5,
-              range0: Option[(String, Any, Any)] = None): Long = {
+              range0: Option[(String, Any, Any)] = None,
+              onAttempt: Int => Unit = _ => ()): Long = {
     require(targetRows >= smallThresholdRows,
       "targetRows must be at least the small-file threshold")
     // a CLUSTER BY table's OPTIMIZE is INCREMENTAL by construction:
@@ -5592,11 +5637,11 @@ object TxLog {
     clusterKeys(spark, base) match {
       case ck if ck.size >= 2 =>
         return compactZorderPhys(spark, base, ck, smallThresholdRows,
-          targetRows, maxAttempts)
+          targetRows, maxAttempts, onAttempt)
       case Seq(one) if statsCol0.isEmpty =>
         return compact(spark, base, smallThresholdRows, targetRows,
           Some(columnMapping(spark, base).map(_.logicalOf(one))
-            .getOrElse(one)), maxAttempts, range0)
+            .getOrElse(one)), maxAttempts, range0, onAttempt)
       case _ => ()
     }
     // the rewrite runs on raw (physical) reads; stats/range columns
@@ -5607,9 +5652,39 @@ object TxLog {
     val range = range0.map { case (c, lo, hi) =>
       (columnMapping(spark, base).flatMap(_.physicalOf(c)).getOrElse(c),
         lo, hi) }
-    withCasRetry(maxAttempts) { _ =>
+    // conflict-granular OCC for maintenance (Delta's conflict checker
+    // allows OPTIMIZE to commit past a blind append): a CAS loss keeps
+    // the bin-packed output, and if every small INPUT file is still
+    // present unchanged in the winner's manifest — and the metadata
+    // surface didn't drift — the compaction RE-BASES: republish the
+    // same output as a declared delta, zero re-binning. The winner's
+    // own adds simply aren't compacted this round (the next OPTIMIZE
+    // sweeps them) — an OPTIMIZE racing a busy streaming sink on a
+    // 100 TB table costs one extra commit attempt, not a second
+    // rewrite job.
+    var rebase: Option[(Seq[Entry], Map[String, String], String)] =
+      None // (newEntries, small path→line, metaSig)
+    def discardRebase(): Unit = rebase.foreach { case (es, _, _) =>
+      discard(spark, base, es.map(_.path)); rebase = None }
+    try withCasRetry(maxAttempts) { attempt =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
+      onAttempt(attempt) // test seam: between snapshot read and publish
+      val rebasable = rebase.filter { case (_, smallBy, sig) =>
+        sig == stableMetaSig(manifestLines(spark, base, cur)) &&
+          currentLinesAt(spark, base, cur, smallBy.keySet)
+            .exists(curBy => smallBy.forall { case (p, l) =>
+              curBy.get(p).contains(l) })
+      }
+      rebasable match {
+        case Some((newEntries, smallBy, _)) =>
+          publishEntries(spark, base, cur + 1L, newEntries,
+            txnsOf(spark, base, cur), dataChange = false,
+            operation = "OPTIMIZE",
+            deltaChange = Some(smallBy.keySet.toSeq))
+          cur + 1L
+        case None =>
+          discardRebase() // an input changed: the bin-pack is stale
       // LIVE rows drive the small-file test: a big file hollowed out
       // by deletion vectors is exactly what compaction should fold in
       // (the rewrite applies its mask and drops the sidecar ref).
@@ -5624,6 +5699,7 @@ object TxLog {
       // 10^6-file table never materializes the entry list either.
       val rangeRepr = range.map { case (c, lo, hi) =>
         (c, reprOf(lo), reprOf(hi)) }
+      val metaSig = stableMetaSig(manifestLines(spark, base, cur))
       val (small, carriedOpt, txns) =
         TxLogPlan.smallEntriesForCompact(spark, base, cur,
             smallThresholdRows, rangeRepr) match {
@@ -5660,21 +5736,39 @@ object TxLog {
         }
         val newEntries = landEntriesMulti(packed, base,
           preservedStatsCols(small, statsCol.toSeq, packed.schema))
-        try {
-          publishEntries(spark, base, cur + 1L,
-            carriedOpt.map(_ ++ newEntries).getOrElse(newEntries), txns,
-            dataChange = false, // bin-pack moves bytes, not rows: CDF skips
-            operation = "OPTIMIZE",
-            deltaChange =
-              if (carriedOpt.isEmpty) Some(small.map(_.path)) else None)
-          cur + 1L
-        } catch {
-          case e: CommitConflictException => // this attempt's land is dead
-            discard(spark, base, newEntries.map(_.path)); throw e
-        }
+        // keep the land across a CAS loss: the next attempt's
+        // input-unchanged check decides re-base vs re-bin
+        rebase = Some((newEntries,
+          small.map(e => e.path -> serLine(e)).toMap, metaSig))
+        publishEntries(spark, base, cur + 1L,
+          carriedOpt.map(_ ++ newEntries).getOrElse(newEntries), txns,
+          dataChange = false, // bin-pack moves bytes, not rows: CDF skips
+          operation = "OPTIMIZE",
+          deltaChange =
+            if (carriedOpt.isEmpty) Some(small.map(_.path)) else None)
+        cur + 1L
       }
+      }
+    } catch {
+      // exhausted retries (or anything fatal): the kept-for-re-base
+      // land must not leak as an orphan txn dir
+      case e: Throwable => discardRebase(); throw e
     }
   }
+
+  /** The serialized lines of exactly `paths` at version `v` — the
+    * maintenance re-base check's point lookup. Distributed on
+    * columnar tables ([[TxLogPlan.entriesAtPaths]]); a driver
+    * manifest sweep otherwise. None never escapes: the fallback
+    * always answers. */
+  private def currentLinesAt(spark: SparkSession, base: String, v: Long,
+                             paths: Set[String])
+      : Option[Map[String, String]] = Some(
+    TxLogPlan.entriesAtPaths(spark, base, v, paths)
+      .getOrElse(manifest(spark, base, v)._1
+        .filter(e => paths.contains(e.path))
+        .map(e => e.path -> e).toMap)
+      .map { case (p, e) => p -> serLine(e) })
 
   /** Z-order maintenance (Delta `OPTIMIZE ... ZORDER BY (a, b)`
     * analog, unifying [[Layout.zorderCluster]] with the log): rewrite
@@ -5746,11 +5840,36 @@ object TxLog {
                                        cols: Seq[String],
                                        smallThresholdRows: Long,
                                        targetRows: Long,
-                                       maxAttempts: Int = 5): Long = {
-    withCasRetry(maxAttempts) { _ =>
+                                       maxAttempts: Int = 5,
+                                       onAttempt: Int => Unit = _ => ())
+      : Long = {
+    // maintenance re-base, the ZORDER shape (see compact): a CAS loss
+    // keeps the tiled output; unchanged inputs + unchanged metadata →
+    // republish as a declared delta, zero re-tiling. The winner's adds
+    // wait for the next sweep.
+    var rebase: Option[(Seq[Entry], Map[String, String], String)] = None
+    def discardRebase(): Unit = rebase.foreach { case (es, _, _) =>
+      discard(spark, base, es.map(_.path)); rebase = None }
+    try withCasRetry(maxAttempts) { attempt =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
       val (entries, txns) = manifest(spark, base, cur)
+      onAttempt(attempt) // test seam: between snapshot read and publish
+      val metaSig = stableMetaSig(manifestLines(spark, base, cur))
+      val rebasable = rebase.filter { case (_, tiledBy, sig) =>
+        sig == metaSig && {
+          val curBy = entries.map(e => e.path -> serLine(e)).toMap
+          tiledBy.forall { case (p, l) => curBy.get(p).contains(l) }
+        }
+      }
+      rebasable match {
+        case Some((newEntries, tiledBy, _)) =>
+          publishEntries(spark, base, cur + 1L, newEntries, txns,
+            dataChange = false, operation = "OPTIMIZE ZORDER",
+            deltaChange = Some(tiledBy.keySet.toSeq))
+          cur + 1L
+        case None =>
+          discardRebase()
       // rewrite candidates: WEAK files (small, unknown-row, or
       // stat-less on any key) plus every well-tiled file whose
       // stats box a weak file's box POLLUTES — those tiles would keep
@@ -5791,16 +5910,20 @@ object TxLog {
         val newEntries = landEntriesMulti(tiled, base,
           preservedStatsCols(touched, cols, tiled.schema))
           .filter(_.rows != 0L)
-        try {
-          publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns,
-            dataChange = false, // physical re-tiling only: CDF skips
-            operation = "OPTIMIZE ZORDER")
-          cur + 1L
-        } catch {
-          case e: CommitConflictException =>
-            discard(spark, base, newEntries.map(_.path)); throw e
-        }
+        // keep the land across a CAS loss: the next attempt's
+        // input-unchanged check decides re-base vs re-tile
+        rebase = Some((newEntries,
+          touched.map(e => e.path -> serLine(e)).toMap, metaSig))
+        publishEntries(spark, base, cur + 1L, carried ++ newEntries, txns,
+          dataChange = false, // physical re-tiling only: CDF skips
+          operation = "OPTIMIZE ZORDER")
+        cur + 1L
       }
+      }
+    } catch {
+      // exhausted retries (or anything fatal): the kept-for-re-base
+      // land must not leak as an orphan txn dir
+      case e: Throwable => discardRebase(); throw e
     }
   }
 

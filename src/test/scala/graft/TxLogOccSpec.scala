@@ -162,6 +162,187 @@ class TxLogOccSpec extends AnyFunSuite {
     assert(refs.flatMap(_.dv).nonEmpty, "the DV mask survived the race")
   }
 
+  // ---- r14 next-round #5: re-base for COW DML + maintenance --------
+
+  /** Base-relative dirs of the data tree — the reuse witness: a verb
+    * that re-bases publishes files landed BEFORE its retry attempt,
+    * so the published dirs are a subset of what existed at the seam. */
+  private def dataDirNames(base: String): Set[String] = {
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = new org.apache.hadoop.fs.Path(s"$base/data")
+    if (!f.exists(d)) Set.empty
+    else f.listStatus(d).filter(_.isDirectory)
+      .map(st => "data/" + st.getPath.getName).toSet
+  }
+
+  private def dirOf(p: String): String =
+    p.split('/').dropRight(1).mkString("/")
+
+  test("COW DELETE racing a disjoint append re-bases: the landed " +
+    "rewrite is republished verbatim (no second rewrite job), both " +
+    "effects land") {
+    val base = "/tmp/graft_txocc/cowdel"
+    TxLog.drop(spark, base)
+    TxLog.commit(band(0, 100, "a").union(band(1000, 100, "b"))
+      .repartitionByRange(2, col("k")), base, None, Some("k"))
+    var attempts = 0
+    var appended = false
+    var dirsAtRetry: Set[String] = Set.empty
+    val v = TxLog.deleteRange(spark, base, "k", 0L, 49L,
+      onAttempt = a => {
+        attempts = a
+        if (a == 1 && !appended) {
+          appended = true
+          TxLog.append(band(2000, 10, "c"), base, Some("k"))
+        }
+        if (a == 2) dirsAtRetry = dataDirNames(base)
+      })
+    assert(attempts == 2, s"one CAS loss, one re-base: $attempts")
+    // the delete's rewritten files were landed in attempt 1 — the
+    // re-base must publish THOSE dirs, not land fresh ones
+    val prevPaths = TxLog.manifest(spark, base, v - 1)._1.map(_.path).toSet
+    val fresh = TxLog.manifest(spark, base, v)._1.map(_.path)
+      .filterNot(prevPaths)
+    assert(fresh.nonEmpty && fresh.forall(p => dirsAtRetry(dirOf(p))),
+      s"re-base must reuse the attempt-1 land: $fresh vs $dirsAtRetry")
+    val got = TxLog.read(spark, base).select("k").as[Long].collect().toSet
+    assert(got == ((50L until 100L) ++ (1000L until 1100L) ++
+      (2000L until 2010L)).toSet,
+      "both the delete and the winner's append must be in effect")
+  }
+
+  test("COW UPDATE racing an OVERLAPPING append recomputes: the " +
+    "winner's in-range rows take the update too (sequential " +
+    "semantics), and the retry lands a fresh rewrite") {
+    val base = "/tmp/graft_txocc/cowupd"
+    TxLog.drop(spark, base)
+    TxLog.commit(band(0, 100, "a").repartitionByRange(2, col("k")),
+      base, None, Some("k"))
+    var appended = false
+    var dirsAtRetry: Set[String] = Set.empty
+    val v = TxLog.updateRange(spark, base, "k", 0L, 59L,
+      Map("s" -> lit("UPD")),
+      onAttempt = a => {
+        if (a == 1 && !appended) {
+          appended = true
+          TxLog.append(band(30, 5, "w"), base, Some("k")) // overlaps
+        }
+        if (a == 2) dirsAtRetry = dataDirNames(base)
+      })
+    val prevPaths = TxLog.manifest(spark, base, v - 1)._1.map(_.path).toSet
+    val fresh = TxLog.manifest(spark, base, v)._1.map(_.path)
+      .filterNot(prevPaths)
+    assert(!fresh.forall(p => dirsAtRetry(dirOf(p))),
+      "an overlapping winner must force a FRESH rewrite")
+    val got = TxLog.read(spark, base).select("k", "s").as[(Long, String)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // the winner's 5 duplicate keys [30,35) were appended BEFORE the
+    // update serialized behind it — every copy in range reads UPD
+    assert((0L until 60L).forall(k => got(k).forall(_ == "UPD")),
+      "in-range rows (the winner's included) must carry the update")
+    assert((30L until 35L).forall(k => got(k).size == 2))
+    assert((60L until 100L).forall(k => got(k).forall(_ != "UPD")))
+  }
+
+  test("OPTIMIZE racing a blind append re-bases in 2 attempts with " +
+    "ZERO re-binning: the bin-packed output is republished verbatim, " +
+    "the winner's file stays uncompacted for the next sweep") {
+    val base = "/tmp/graft_txocc/opt"
+    TxLog.drop(spark, base)
+    (0 until 4).foreach(i => TxLog.append(band(i * 10L, 10L, s"s$i"),
+      base, Some("k"))) // four small files
+    TxLog.append(band(5000, 500, "big"), base, Some("k"))
+    var attempts = 0
+    var appended = false
+    var dirsAtRetry: Set[String] = Set.empty
+    var winnerPath: String = null
+    val v = TxLog.compact(spark, base, smallThresholdRows = 100L,
+      targetRows = 1000L, statsCol0 = Some("k"),
+      onAttempt = a => {
+        attempts = a
+        if (a == 1 && !appended) {
+          appended = true
+          val av = TxLog.append(band(9000, 5, "w"), base, Some("k"))
+          winnerPath = TxLog.manifest(spark, base, av)._1
+            .map(_.path).filterNot(TxLog.manifest(spark, base, av - 1)
+              ._1.map(_.path).toSet).head
+        }
+        if (a == 2) dirsAtRetry = dataDirNames(base)
+      })
+    assert(attempts == 2, s"one CAS loss, one re-base: $attempts")
+    val entries = TxLog.manifest(spark, base, v)._1
+    val prevPaths = TxLog.manifest(spark, base, v - 1)._1.map(_.path).toSet
+    val fresh = entries.map(_.path).filterNot(prevPaths)
+    assert(fresh.nonEmpty && fresh.forall(p => dirsAtRetry(dirOf(p))),
+      s"re-base must republish the attempt-1 bin-pack: $fresh")
+    assert(entries.exists(_.path == winnerPath),
+      "the winner's append rides along uncompacted")
+    assert(TxLog.read(spark, base).count() == 4 * 10 + 500 + 5,
+      "compaction is content-identical through the re-base")
+  }
+
+  test("OPTIMIZE racing a MOR delete that MASKS a compaction input " +
+    "recomputes — the stale bin-pack (pre-mask rows) is discarded") {
+    val base = "/tmp/graft_txocc/optmask"
+    TxLog.drop(spark, base)
+    (0 until 3).foreach(i => TxLog.append(band(i * 10L, 10L, s"s$i"),
+      base, Some("k")))
+    var masked = false
+    var dirsAtRetry: Set[String] = Set.empty
+    val v = TxLog.compact(spark, base, smallThresholdRows = 100L,
+      targetRows = 1000L, statsCol0 = Some("k"),
+      onAttempt = a => {
+        if (a == 1 && !masked) {
+          masked = true
+          TxLog.deleteRangeMor(spark, base, "k", 0L, 4L)
+        }
+        if (a == 2) dirsAtRetry = dataDirNames(base)
+      })
+    val prevPaths = TxLog.manifest(spark, base, v - 1)._1.map(_.path).toSet
+    val fresh = TxLog.manifest(spark, base, v)._1.map(_.path)
+      .filterNot(prevPaths)
+    assert(!fresh.forall(p => dirsAtRetry(dirOf(p))),
+      "a masked input invalidates the bin-pack — fresh rewrite required")
+    assert(TxLog.read(spark, base).select("k").as[Long].collect().toSet ==
+      (5L until 30L).toSet,
+      "the winner's mask must hold through the recomputed compaction")
+  }
+
+  test("ZORDER racing a blind append re-bases: the tiled output is " +
+    "republished verbatim, zero re-tiling") {
+    val base = "/tmp/graft_txocc/zord"
+    TxLog.drop(spark, base)
+    val df = spark.range(0, 400).select(col("id").as("k"),
+      (col("id") % 20).as("j"), concat(lit("z-"), col("id")).as("s"))
+    graft.operators.TxLog.commitMulti(df.repartition(8), base, None,
+      Seq("k", "j"))
+    var attempts = 0
+    var appended = false
+    var dirsAtRetry: Set[String] = Set.empty
+    val v = TxLog.compactZorderPhys(spark, base, Seq("k", "j"),
+      smallThresholdRows = 100L, targetRows = 400L,
+      onAttempt = a => {
+        attempts = a
+        if (a == 1 && !appended) {
+          appended = true
+          TxLog.append(spark.range(9000, 9005).select(col("id").as("k"),
+            (col("id") % 20).as("j"),
+            concat(lit("w-"), col("id")).as("s")).coalesce(1),
+            base, Some("k"))
+        }
+        if (a == 2) dirsAtRetry = dataDirNames(base)
+      })
+    assert(attempts == 2, s"one CAS loss, one re-base: $attempts")
+    val prevPaths = TxLog.manifest(spark, base, v - 1)._1.map(_.path).toSet
+    val fresh = TxLog.manifest(spark, base, v)._1.map(_.path)
+      .filterNot(prevPaths)
+    assert(fresh.nonEmpty && fresh.forall(p => dirsAtRetry(dirOf(p))),
+      s"re-base must republish the attempt-1 tiling: $fresh")
+    assert(TxLog.read(spark, base).count() == 405,
+      "re-tiling is content-identical through the re-base")
+  }
+
   test("a concurrent ADD CONSTRAINT forces recompute even with " +
     "disjoint file sets — the landed output was never checked under " +
     "the new constraint") {
