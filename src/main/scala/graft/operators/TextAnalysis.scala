@@ -353,6 +353,22 @@ object TextAnalysis {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("__tf"))
     val dfMap = tf.groupBy("term").agg(count(lit(1)).as("__df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // |Q| rows
+    bm25ScoresFromTf(tf, len, nDocs, avgdl, dfMap, terms, k1, b)
+  }
+
+  /** BM25 from PRE-AGGREGATED relations — the persisted-index serving
+    * path ([[bm25Scores]] delegates here, so recompute and index
+    * produce bit-identical doubles): `tf` is (doc_id, term, __tf)
+    * already restricted to the query terms, `len` is (doc_id, __len),
+    * and nDocs/avgdl/df come from the index's stats, not a corpus
+    * pass. */
+  def bm25ScoresFromTf(tf: org.apache.spark.sql.DataFrame,
+                       len: org.apache.spark.sql.DataFrame,
+                       nDocs: Long, avgdl: Double,
+                       dfMap: Map[String, Long], terms: Seq[String],
+                       k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
     // internal columns are INDEX-named: a term is arbitrary user text
     // ("a.b", backticks) that must never reach a column reference
     val wide = tf.groupBy("doc_id").agg(

@@ -803,6 +803,93 @@ object RegistryLlm {
         .orderBy("rank")
     }),
 
+    // PERSISTED BM25 index (r14 next-round #6 — the lexical twin of
+    // llm_knn_ivf_persisted): postings (term, doc_id, tf), doc
+    // lengths and corpus stats live as TxLog tables maintained
+    // incrementally on ingest. The initial corpus commits them; a
+    // later batch APPENDS O(batch tokens) via appendOnce (exactly-
+    // once) — never a corpus re-tokenization (pinned: versions == 2
+    // AND the second commit added exactly the batch's postings). The
+    // query probes ONLY matching-term postings (term-banded files,
+    // stats pruning pinned) + |Q| driver scalars; scoring delegates
+    // to bm25ScoresFromTf — the same arithmetic as llm_bm25_search,
+    // so the oracle is the full recomputation.
+    "llm_bm25_persisted" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.TxLog
+      val fx = graft.sources.Ingest.fixtureDir(dir)
+      val postBase = fx + "/bm25_postings"
+      val lenBase = fx + "/bm25_doclen"
+      val statsBase = fx + "/bm25_stats"
+      Seq(postBase, lenBase, statsBase).foreach(TxLog.drop(s, _))
+      val d = Tables.scaled(docs(s, dir))
+      def toksOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+          explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+      def index(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+        val toks = toksOf(df)
+        val tf = toks.groupBy("term", "doc_id")
+          .agg(count(lit(1)).as("tf"))
+          .repartitionByRange(4, col("term")) // term-banded postings
+        val ln = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        val st = ln.agg(count(lit(1)).as("len_rows"),
+            sum(col("len")).as("len_sum"))
+          .select(lit(batchId).as("batch"), col("len_rows"),
+            col("len_sum"), lit(df.count()).as("docs"))
+        if (batchId == 0L) {
+          TxLog.commit(tf, postBase, None, Some("term"))
+          TxLog.commit(ln, lenBase, None, Some("doc_id"))
+          TxLog.commit(st, statsBase, None)
+        } else {
+          TxLog.appendOnce(tf, postBase, appId = "bm25-indexer",
+            batchId = batchId, statsCol = Some("term"))
+          TxLog.appendOnce(ln, lenBase, appId = "bm25-indexer",
+            batchId = batchId, statsCol = Some("doc_id"))
+          TxLog.appendOnce(st, statsBase, appId = "bm25-indexer",
+            batchId = batchId)
+        }
+      }
+      index(d.where(col("doc_id") % 4 =!= 0), 0L)
+      val v1pairs = TxLog.read(s, postBase).count()
+      index(d.where(col("doc_id") % 4 === 0), 1L)
+      require(TxLog.latestVersion(s, postBase).contains(2L) &&
+        TxLog.latestVersion(s, lenBase).contains(2L),
+        "a batch must APPEND to the index, not rebuild it")
+      val batchPairs = toksOf(d.where(col("doc_id") % 4 === 0))
+        .select("doc_id", "term").distinct().count()
+      require(TxLog.read(s, postBase).count() - v1pairs == batchPairs,
+        "index maintenance must cost O(batch tokens): the append " +
+          "added exactly the batch's postings")
+      // serving: per-term point ranges prune to the term's file band
+      val terms = Seq("spark", "vector", "stream")
+      val (kept, all) = TxLog.pruneRanges(s, postBase,
+        Seq(("term", "spark", "spark")))
+      require(kept.size < all.size,
+        s"term-banded postings must prune (kept ${kept.size} of " +
+          s"${all.size})")
+      val slice = terms.map(t => TxLog.readRange(s, postBase, "term", t, t))
+        .reduce(_ unionByName _)
+      val tf = slice.select(col("doc_id"), col("term"),
+        col("tf").as("__tf"))
+      val dfMap = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ln = TxLog.read(s, lenBase)
+        .select(col("doc_id"), col("len").as("__len"))
+      val st = TxLog.read(s, statsBase)
+        .agg(sum(col("docs")).as("nd"), sum(col("len_rows")).as("lr"),
+          sum(col("len_sum")).as("ls")).head()
+      val nDocs = st.getLong(0)
+      val avgdl = st.getLong(2).toDouble / st.getLong(1).toDouble
+      val scored = graft.operators.TextAnalysis
+        .bm25ScoresFromTf(tf, ln, nDocs, avgdl, dfMap, terms)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+      scored.withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    }),
+
     // Hybrid retrieval (the RAG-stack ranking shape): BM25 lexical
     // top-50 and embedding-cosine top-50 (to a fixed query vector)
     // fused by reciprocal-rank fusion — RRF(d) = Σ 1/(60+rank_i),
@@ -1974,6 +2061,45 @@ object RegistryLlm {
              ORDER BY tfidf DESC, term ASC) AS rank FROM scored)
          WHERE rank <= 3 ORDER BY doc_id, rank""",
     "llm_bm25_search" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+                    AS term
+           FROM documents),
+         len AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+         n AS (SELECT (SELECT count(*) FROM documents) AS nd,
+                      (SELECT avg(len) FROM len) AS avgdl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         wide AS (
+           SELECT doc_id,
+                  sum(CASE WHEN term = 'spark' THEN tf END) AS tf_spark,
+                  sum(CASE WHEN term = 'vector' THEN tf END) AS tf_vector,
+                  sum(CASE WHEN term = 'stream' THEN tf END) AS tf_stream
+           FROM tf GROUP BY 1),
+         scored AS (
+           SELECT w.doc_id, round(
+             coalesce(ln((nd - (SELECT df FROM dfq WHERE term='spark') + 0.5) /
+                         ((SELECT df FROM dfq WHERE term='spark') + 0.5) + 1) *
+                      (tf_spark * 2.2) /
+                      (tf_spark + 1.2 * (1 - 0.75 + 0.75 * len / avgdl)), 0) +
+             coalesce(ln((nd - (SELECT df FROM dfq WHERE term='vector') + 0.5) /
+                         ((SELECT df FROM dfq WHERE term='vector') + 0.5) + 1) *
+                      (tf_vector * 2.2) /
+                      (tf_vector + 1.2 * (1 - 0.75 + 0.75 * len / avgdl)), 0) +
+             coalesce(ln((nd - (SELECT df FROM dfq WHERE term='stream') + 0.5) /
+                         ((SELECT df FROM dfq WHERE term='stream') + 0.5) + 1) *
+                      (tf_stream * 2.2) /
+                      (tf_stream + 1.2 * (1 - 0.75 + 0.75 * len / avgdl)), 0), 6)
+             AS score
+           FROM wide w JOIN len ON w.doc_id = len.doc_id CROSS JOIN n)
+         SELECT cast(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+                  AS rank, doc_id, score
+         FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+    // the persisted index must reproduce the recomputation's scores
+    // bit-for-bit — same oracle as llm_bm25_search
+    "llm_bm25_persisted" ->
       """WITH toks AS (
            SELECT doc_id,
                   unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
