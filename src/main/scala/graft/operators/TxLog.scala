@@ -189,6 +189,21 @@ object TxLog {
       cols.collectFirst {
         case (l, p) if p.equalsIgnoreCase(physical) => l
       }.getOrElse(physical)
+    /** Top-level bindings (tier-2 nested entries carry a dotted
+      * logical path and live alongside their parent's binding). */
+    def topCols: Seq[(String, String)] = cols.filterNot(_._1.contains("."))
+    /** Nested bindings under top-level logical `top`, as
+      * (leafLogical, leafPhysical) in mapping order — one struct
+      * level (the tier-2 surface). Empty = the struct is unmapped
+      * inside: serve it verbatim. */
+    def nestedUnder(top: String): Seq[(String, String)] =
+      cols.collect {
+        case (l, p) if l.length > top.length + 1 &&
+            l.charAt(top.length) == '.' &&
+            l.substring(0, top.length).equalsIgnoreCase(top) =>
+          (l.substring(top.length + 1), p.substring(p.indexOf('.') + 1))
+      }
+    def hasNested: Boolean = cols.exists(_._1.contains("."))
   }
 
   private[graft] def cmp(dtype: String, a: String, b: String): Int = dtype match {
@@ -791,7 +806,7 @@ object TxLog {
     * [[alterAddColumns]] first (which assigns the fresh physical name
     * that keeps a dropped column's old bytes from resurfacing). */
   private[graft] def toPhysicalDf(df: DataFrame, cm: ColMap): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit, struct, when}
     // the materialized row-id column is engine-internal (attached by
     // the rewrite read half, never user-supplied — the write verbs
     // reject it at entry): it passes through untranslated
@@ -801,9 +816,39 @@ object TxLog {
       s"column(s) ${unknown.mkString(", ")} are not in this table's " +
         "column mapping — on a mapped table, declare new columns with " +
         "ALTER TABLE ... ADD COLUMNS before writing them")
-    df.select(df.columns.toIndexedSeq.map(c =>
+    df.select(df.columns.toIndexedSeq.map { c =>
       if (c.equalsIgnoreCase(RowIdCol)) col(c)
-      else col(c).as(cm.physical(c))): _*)
+      else {
+        val nested = cm.nestedUnder(c)
+        if (nested.isEmpty) col(c).as(cm.physical(c))
+        else {
+          // tier-2 nested mapping: rebuild the struct under PHYSICAL
+          // leaf names (frozen at field birth, like top-level). The
+          // batch may carry a subset of the logical subfields (schema
+          // flexibility mirrors top-level); an UNKNOWN subfield is the
+          // same loud error as an unknown column — its physical birth
+          // never happened. NULL structs stay NULL.
+          val st = df.schema(c).dataType match {
+            case s: org.apache.spark.sql.types.StructType => s
+            case other => throw new IllegalArgumentException(
+              s"column '$c' carries nested mappings but the batch " +
+                s"writes it as $other")
+          }
+          val unknownF = st.fieldNames.filterNot(fn =>
+            nested.exists(_._1.equalsIgnoreCase(fn)))
+          require(unknownF.isEmpty,
+            s"nested column(s) ${unknownF.map(f => s"$c.$f").mkString(", ")} " +
+              "are not in this table's column mapping — declare them " +
+              "with alterAddNestedColumns before writing them")
+          val fields = nested.flatMap { case (ll, lp) =>
+            st.fieldNames.find(_.equalsIgnoreCase(ll))
+              .map(actual => col(c).getField(actual).as(lp))
+          }
+          when(col(c).isNull, lit(null))
+            .otherwise(struct(fields: _*)).as(cm.physical(c))
+        }
+      }
+    }: _*)
   }
 
   /** Project a physical-named DataFrame (a raw file read) onto the
@@ -815,13 +860,47 @@ object TxLog {
   private[graft] def toLogicalDf(df: DataFrame, cm: ColMap,
                                  declared: Option[org.apache.spark.sql.types.StructType],
                                  keep: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, struct, when}
+    import org.apache.spark.sql.types.StructType
     val present = df.columns.map(c => c.toLowerCase -> c).toMap
-    val mapped = cm.cols.flatMap { case (l, p) =>
+    def declaredField(l: String) =
+      declared.flatMap(_.fields.find(_.name.equalsIgnoreCase(l)))
+    val mapped = cm.topCols.flatMap { case (l, p) =>
+      val nested = cm.nestedUnder(l)
       present.get(p.toLowerCase) match {
-        case Some(actual) => Some(col(actual).as(l))
-        case None => declared.flatMap(_.fields.find(
-            _.name.equalsIgnoreCase(l)))
+        case Some(actual) if nested.isEmpty => Some(col(actual).as(l))
+        case Some(actual) =>
+          // tier-2 nested mapping: rebuild the struct on the logical
+          // surface — mapped physical subfields alias to their leaf
+          // logical names in mapping order; a subfield no live file
+          // carries yet (just ALTERed) scans as a typed NULL from the
+          // declared schema; unmapped physical subfields (DROPped)
+          // vanish. NULL structs stay NULL (a rename must never
+          // invent a non-null struct of nulls).
+          val st = df.schema(actual).dataType match {
+            case s: StructType => s
+            case other => throw new IllegalStateException(
+              s"column '$l' carries nested mappings but the files " +
+                s"store it as $other")
+          }
+          val declStruct = declaredField(l).map(_.dataType).collect {
+            case s: StructType => s }
+          val fields = nested.map { case (ll, lp) =>
+            st.fieldNames.find(_.equalsIgnoreCase(lp)) match {
+              case Some(actualF) =>
+                col(actual).getField(actualF).as(ll)
+              case None =>
+                val dt = declStruct.flatMap(_.fields.find(
+                    _.name.equalsIgnoreCase(ll))).map(_.dataType)
+                  .getOrElse(throw new IllegalStateException(
+                    s"nested column '$l.$ll' has no physical bytes " +
+                      "and no declared type"))
+                lit(null).cast(dt).as(ll)
+            }
+          }
+          Some(when(col(actual).isNull, lit(null))
+            .otherwise(struct(fields: _*)).as(l))
+        case None => declaredField(l)
           .map(f => lit(null).cast(f.dataType).as(l))
       }
     }
@@ -2676,6 +2755,90 @@ object TxLog {
         s"${genDeps.mkString(", ")} derive from it")
   }
 
+  /** FULL dotted attribute paths a CHECK/generated expression
+    * references (lowercased) — the nested verbs' dependency probe:
+    * renaming `s.x` must be blocked both by a constraint on `s.x`
+    * (its reference would dangle) and by one on `s` alone (the whole-
+    * struct comparison's shape changes). */
+  private def constraintRefPaths(spark: SparkSession, ex: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(ex).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.map(_.toLowerCase).mkString(".")
+    }.toSet
+
+  /** Nested RENAME/DROP guard: veto when a CHECK constraint or
+    * generated column references the exact path OR its parent struct. */
+  private def requireNoNestedDependents(spark: SparkSession, base: String,
+                                        cur: Long, path: String,
+                                        verb: String): Unit = {
+    val lower = path.toLowerCase
+    val top = lower.takeWhile(_ != '.')
+    def hits(ex: String): Boolean = {
+      val refs = constraintRefPaths(spark, ex)
+      refs.contains(lower) || refs.contains(top)
+    }
+    val dependents = constraintsOf(spark, base, cur)
+      .filter { case (_, ex) => hits(ex) }.keys.toSeq.sorted
+    require(dependents.isEmpty,
+      s"cannot $verb nested column '$path': CHECK constraint(s) " +
+        s"${dependents.mkString(", ")} reference it (or its parent " +
+        "struct) — drop them first")
+    val genDeps = generatedColumnsOf(spark, base, cur).filter {
+      case (c, ex) => c.equalsIgnoreCase(path) || hits(ex) }.map(_._1)
+    require(genDeps.isEmpty,
+      s"cannot $verb nested column '$path': generated column(s) " +
+        s"${genDeps.mkString(", ")} depend on it")
+  }
+
+  /** Split-and-validate a tier-2 nested path: exactly one struct
+    * level (`a.b`), parent bound in the mapping. Returns the STORED
+    * spelling of the parent's logical name plus the leaf. */
+  private def nestedParts(cm: ColMap, path: String): (String, String) = {
+    val parts = path.split('.')
+    require(parts.length == 2,
+      s"nested column paths support exactly one struct level " +
+        s"(parent.field), got '$path'")
+    val top = cm.topCols.find(_._1.equalsIgnoreCase(parts(0)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '${parts(0)}' does not exist " +
+          s"(table columns: ${cm.topCols.map(_._1).mkString(", ")})"))._1
+    (top, parts(1))
+  }
+
+  /** Seed the tier-2 identity bindings for struct `top` (physical
+    * subfield names frozen as-is — the first nested verb's lazy
+    * upgrade, zero data moves): one (`top.f` → `phys.f`) entry per
+    * subfield the files or the declared schema carry. No-op when the
+    * struct already has nested bindings. */
+  private def seedNested(spark: SparkSession, base: String, cur: Long,
+                         cm: ColMap, top: String): ColMap = {
+    if (cm.nestedUnder(top).nonEmpty) return cm
+    require(widenedColumnsOf(spark, base, cur).isEmpty,
+      "nested column mapping on a type-widened table is not supported")
+    val p = cm.physical(top)
+    val entries = manifest(spark, base, cur)._1
+    val fileFields: Seq[String] =
+      if (entries.isEmpty) Seq.empty
+      else readEntriesCurrent(spark, base, entries, mergeSchema = true)
+        .schema.fields.find(_.name.equalsIgnoreCase(p))
+        .map(_.dataType).toSeq.flatMap {
+          case s: org.apache.spark.sql.types.StructType =>
+            s.fieldNames.toSeq
+          case other => throw new IllegalArgumentException(
+            s"'$top' is not a struct column (files store $other)")
+        }
+    val declOnly = declaredSchemaOf(spark, base, cur)
+      .flatMap(_.fields.find(_.name.equalsIgnoreCase(top)))
+      .map(_.dataType).toSeq.flatMap {
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fieldNames.toSeq
+        case _ => Seq.empty
+      }.filterNot(n => fileFields.exists(_.equalsIgnoreCase(n)))
+    val all = fileFields ++ declOnly
+    require(all.nonEmpty, s"'$top' is not a struct column")
+    cm.copy(cols = cm.cols ++ all.map(n => s"$top.$n" -> s"$p.$n"))
+  }
+
   /** The version's column mapping, or the identity seed derived from
     * its current schema — the lazy upgrade a first RENAME/DROP COLUMN
     * performs (existing physical names are frozen as-is; zero data
@@ -2710,6 +2873,8 @@ object TxLog {
     * version. */
   def renameColumn(spark: SparkSession, base: String, from: String,
                    to: String, maxAttempts: Int = 5): Long = {
+    if (from.contains("."))
+      return renameNestedColumn(spark, base, from, to, maxAttempts)
     require(to.trim.nonEmpty && !to.contains(".") && !to.contains("\t") &&
       !to.contains("\n"), s"invalid column name '$to'")
     withCasRetry(maxAttempts) { _ =>
@@ -2753,7 +2918,9 @@ object TxLog {
     * like [[renameColumn]]; same dependency blocks; cannot drop the
     * last column. Returns the published version. */
   def dropColumn(spark: SparkSession, base: String, name: String,
-                 maxAttempts: Int = 5): Long =
+                 maxAttempts: Int = 5): Long = {
+    if (name.contains("."))
+      return dropNestedColumn(spark, base, name, maxAttempts)
     withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
@@ -2788,6 +2955,186 @@ object TxLog {
           .filterNot(_._1.equalsIgnoreCase(name))))
       cur + 1L
     }
+  }
+
+  /** Apply `f` to `top`'s StructType inside a declared schema (no-op
+    * on non-struct or absent fields) — the nested verbs' declared-
+    * schema maintenance. */
+  private def mapDeclaredStruct(
+      declared: Option[org.apache.spark.sql.types.StructType], top: String)(
+      f: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType)
+      : Option[org.apache.spark.sql.types.StructType] =
+    declared.map(ds => org.apache.spark.sql.types.StructType(
+      ds.fields.map(fd =>
+        if (fd.name.equalsIgnoreCase(top)) fd.dataType match {
+          case s: org.apache.spark.sql.types.StructType =>
+            fd.copy(dataType = f(s))
+          case _ => fd
+        } else fd)))
+
+  /** RENAME COLUMN, tier-2 nested (`a.b` → `a.c`; Delta column-mapping
+    * name mode maps nested fields individually): rebinds the leaf's
+    * logical name to its unchanged physical subfield — metadata-only,
+    * ZERO files move. The first nested verb on a struct lazily seeds
+    * identity bindings for all its subfields (frozen as-is). Time
+    * travel below the rename serves the old nested name. Blocked while
+    * a CHECK constraint or generated column references the path or its
+    * parent struct. `to` is the new leaf name (optionally spelled
+    * `a.c` — the parent must match; nested fields cannot move between
+    * structs). */
+  private def renameNestedColumn(spark: SparkSession, base: String,
+                                 from: String, to0: String,
+                                 maxAttempts: Int): Long =
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val cm0 = colMapOrSeed(spark, base, cur)
+      val (top, fromLeaf) = nestedParts(cm0, from)
+      val to = if (to0.contains(".")) {
+        val p = to0.split('.')
+        require(p.length == 2 && p(0).equalsIgnoreCase(top),
+          s"nested RENAME must stay under the same parent: $from -> $to0")
+        p(1)
+      } else to0
+      require(to.trim.nonEmpty && !to.contains(".") && !to.contains("\t") &&
+        !to.contains("\n"), s"invalid column name '$to'")
+      val cm = seedNested(spark, base, cur, cm0, top)
+      val fromPath = s"$top.$fromLeaf"
+      require(cm.hasLogical(fromPath),
+        s"column '$fromPath' does not exist (nested columns of $top: " +
+          s"${cm.nestedUnder(top).map(_._1).mkString(", ")})")
+      val toPath = s"$top.$to"
+      require(fromPath.equalsIgnoreCase(toPath) || !cm.hasLogical(toPath),
+        s"column '$toPath' already exists (resolution is case-insensitive)")
+      requireNoNestedDependents(spark, base, cur, fromPath, "rename")
+      val renamed = cm.copy(cols = cm.cols.map { case (l, p) =>
+        if (l.equalsIgnoreCase(fromPath)) (toPath, p) else (l, p)
+      })
+      val newDeclared = mapDeclaredStruct(
+        declaredSchemaOf(spark, base, cur), top)(s =>
+        org.apache.spark.sql.types.StructType(s.fields.map(fd =>
+          if (fd.name.equalsIgnoreCase(fromLeaf)) fd.copy(name = to)
+          else fd)))
+      publishEntries(spark, base, cur + 1L, entries, txns,
+        dataChange = false, operation = "RENAME COLUMN",
+        colMapOverride = Some(renamed),
+        declaredSchemaOverride = newDeclared)
+      cur + 1L
+    }
+
+  /** DROP COLUMN, tier-2 nested: removes the leaf's logical binding —
+    * metadata-only; the physical subfield's bytes stay in existing
+    * files but can never resurface, because [[alterAddNestedColumns]]
+    * gives a re-ADDed field a FRESH physical leaf name. Cannot drop
+    * the parent's last nested field (drop the parent column instead). */
+  private def dropNestedColumn(spark: SparkSession, base: String,
+                               name: String, maxAttempts: Int): Long =
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val cm0 = colMapOrSeed(spark, base, cur)
+      val (top, leaf) = nestedParts(cm0, name)
+      val cm = seedNested(spark, base, cur, cm0, top)
+      val path = s"$top.$leaf"
+      require(cm.hasLogical(path),
+        s"column '$path' does not exist (nested columns of $top: " +
+          s"${cm.nestedUnder(top).map(_._1).mkString(", ")})")
+      require(cm.nestedUnder(top).size > 1,
+        s"cannot drop the last nested column of '$top' — drop the " +
+          "parent column instead")
+      requireNoNestedDependents(spark, base, cur, path, "drop")
+      val dropped = cm.copy(cols =
+        cm.cols.filterNot(_._1.equalsIgnoreCase(path)))
+      val newDeclared = mapDeclaredStruct(
+        declaredSchemaOf(spark, base, cur), top)(s =>
+        org.apache.spark.sql.types.StructType(
+          s.fields.filterNot(_.name.equalsIgnoreCase(leaf))))
+      publishEntries(spark, base, cur + 1L, entries, txns,
+        dataChange = false, operation = "DROP COLUMN",
+        colMapOverride = Some(dropped),
+        declaredSchemaOverride = newDeclared)
+      cur + 1L
+    }
+
+  /** ADD COLUMNS inside a struct (tier-2 nested; Delta
+    * `ADD COLUMNS (parent.field TYPE)`): each new field is born under
+    * a FRESH physical leaf name, collision-probed against both the
+    * mapping and any subfield a live file still carries — so a field
+    * DROPped and re-ADDed under the same name scans as NULL, never as
+    * the dropped bytes. Metadata-only commit; new files land the
+    * subfield, old files null-fill. */
+  def alterAddNestedColumns(spark: SparkSession, base: String,
+                            parent: String,
+                            cols: org.apache.spark.sql.types.StructType,
+                            maxAttempts: Int = 5): Long = {
+    require(cols.fields.nonEmpty, "ADD COLUMNS needs at least one column")
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val cm0 = colMapOrSeed(spark, base, cur)
+      val top = cm0.topCols.find(_._1.equalsIgnoreCase(parent))
+        .getOrElse(throw new IllegalArgumentException(
+          s"column '$parent' does not exist (table columns: " +
+            s"${cm0.topCols.map(_._1).mkString(", ")})"))._1
+      val cm = seedNested(spark, base, cur, cm0, top)
+      val p = cm.physical(top)
+      val fileSub: Set[String] =
+        if (entries.isEmpty) Set.empty
+        else readEntriesCurrent(spark, base, entries, mergeSchema = true)
+          .schema.fields.find(_.name.equalsIgnoreCase(p))
+          .map(_.dataType).toSeq.flatMap {
+            case s: org.apache.spark.sql.types.StructType =>
+              s.fieldNames.toSeq
+            case _ => Seq.empty
+          }.map(_.toLowerCase).toSet
+      val taken = scala.collection.mutable.Set[String](
+        cm.nestedUnder(top).map(_._2.toLowerCase) ++ fileSub: _*)
+      var next = cm.nextId
+      val newCols = cols.fields.toSeq.map { f =>
+        require(!f.name.contains("."),
+          s"nested column names may not contain dots: '${f.name}'")
+        require(!cm.hasLogical(s"$top.${f.name}"),
+          s"nested column '$top.${f.name}' already exists")
+        var ph = s"c${next}_${f.name}"
+        next += 1
+        while (taken.contains(ph.toLowerCase)) {
+          ph = s"c${next}_${f.name}"; next += 1
+        }
+        taken += ph.toLowerCase
+        (s"$top.${f.name}" -> s"$p.$ph", f)
+      }
+      val cmExt = cm.copy(cols = cm.cols ++ newCols.map(_._1),
+        nextId = next)
+      // the declared schema is what types a just-added field's NULL
+      // fill — derive the full logical surface when the table never
+      // declared one
+      val declared0 = declaredSchemaOf(spark, base, cur).getOrElse {
+        require(entries.nonEmpty,
+          s"cannot derive a schema for $base (no files, no declared " +
+            "schema)")
+        toLogicalDf(readEntriesCurrent(spark, base, entries,
+          mergeSchema = true), cm, None).schema
+      }
+      val newDeclared = org.apache.spark.sql.types.StructType(
+        declared0.fields.map(fd =>
+          if (fd.name.equalsIgnoreCase(top)) fd.dataType match {
+            case s: org.apache.spark.sql.types.StructType =>
+              fd.copy(dataType = org.apache.spark.sql.types.StructType(
+                s.fields.toSeq ++ newCols.map(_._2)))
+            case other => throw new IllegalArgumentException(
+              s"'$parent' is not a struct column ($other)")
+          } else fd))
+      publishEntries(spark, base, cur + 1L, entries, txns,
+        dataChange = false, operation = "ADD COLUMNS",
+        colMapOverride = Some(cmExt),
+        declaredSchemaOverride = Some(newDeclared))
+      cur + 1L
+    }
+  }
 
   /** Drop a CHECK constraint by name. Returns the published version. */
   def dropConstraint(spark: SparkSession, base: String, name: String,

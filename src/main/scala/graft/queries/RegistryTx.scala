@@ -147,6 +147,52 @@ object RegistryTx {
           sum(col("s.price").cast("decimal(18,6)")).cast("double")
             .as("sum_price"))
         .orderBy("band")
+    }),
+
+    // Nested column mapping tier 2 (r14 next-round #3 — Delta name
+    // mode maps nested fields individually): RENAME/DROP COLUMN `s.f`
+    // rebinds the leaf against its FROZEN physical subfield —
+    // metadata-only commits, zero files moved at any table size — and
+    // a dropped-then-re-ADDed field is born under a fresh physical
+    // leaf, so the dropped bytes never resurface. Appends then speak
+    // the new logical shape, and MOR deletes mask through the mapped
+    // surface. The requires pin the mechanism (zero files touched,
+    // NULL re-add); the oracle pins the content relationally.
+    "s88_nested_colmap" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val base = Ingest.fixtureDir(dir) + "/txnestcm_orders"
+      TxLog.drop(s, base)
+      val od = t(s, dir, "orders").where(col("o_orderkey") < 1600)
+        .select(col("o_orderkey").cast("long").as("k"),
+          struct(col("o_orderstatus").as("status"),
+            col("o_totalprice").cast("double").as("price")).as("s"))
+      TxLog.commit(od.where(col("k") < 1200)
+        .repartitionByRange(4, col("k")), base, None, Some("k"))
+      val files1 = TxLog.manifestFiles(s, base, 1L).toSet
+      TxLog.renameColumn(s, base, "s.price", "amount")
+      TxLog.dropColumn(s, base, "s.status")
+      require(TxLog.manifestFiles(s, base, 3L).toSet == files1,
+        "nested RENAME/DROP COLUMN must be metadata-only: zero files " +
+          "touched")
+      TxLog.alterAddNestedColumns(s, base, "s",
+        StructType(Seq(StructField("status", StringType))))
+      require(TxLog.read(s, base)
+        .where(col("s.status").isNotNull).count() == 0L,
+        "a re-ADDed nested field must scan as NULL, never the " +
+          "dropped bytes")
+      // append in the NEW logical shape: amount everywhere, status
+      // only on the fresh rows (the re-ADDed leaf fills from here on)
+      TxLog.append(od.where(col("k") >= 1200)
+        .select(col("k"), struct(col("s.price").as("amount"),
+          col("s.status").as("status")).as("s")), base, Some("k"))
+      TxLog.deleteRangeMor(s, base, "k", 100L, 199L)
+      TxLog.read(s, base)
+        .groupBy((col("k") % 5).cast("int").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          count(col("s.status")).as("n_status"),
+          sum(col("s.amount").cast("decimal(18,6)")).cast("double")
+            .as("sum_amount"))
+        .orderBy("grp")
     }))
 
   private val variantDefs: Map[String, Q] = Map(
@@ -407,6 +453,19 @@ object RegistryTx {
                 cast(sum(cast(price AS DECIMAL(18,6))) AS DOUBLE)
                   AS sum_price
          FROM merged GROUP BY 1 ORDER BY 1""",
+    "s88_nested_colmap" ->
+      """WITH t AS (SELECT cast(o_orderkey AS BIGINT) AS k,
+                           cast(o_totalprice AS DOUBLE) AS amount,
+                           CASE WHEN o_orderkey >= 1200
+                                THEN o_orderstatus END AS status
+                    FROM orders
+                    WHERE o_orderkey < 1600
+                      AND o_orderkey NOT BETWEEN 100 AND 199)
+         SELECT cast(k % 5 AS INTEGER) AS grp, count(*) AS n,
+                count(status) AS n_status,
+                cast(sum(cast(amount AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_amount
+         FROM t GROUP BY 1 ORDER BY 1""",
     "s85_nested_tier" ->
       """WITH t AS (SELECT cast(o_totalprice AS DOUBLE) AS price
                     FROM orders WHERE o_orderkey < 2000)

@@ -433,22 +433,28 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
       // rebind, the frozen physical names keep keying every data file,
       // manifest stat, bloom ref and identity line, so ZERO bytes move
       case rc: TableChange.RenameColumn =>
-        require(rc.fieldNames().length == 1,
-          s"nested RENAME COLUMN is not supported: " +
+        // 2-part paths ride the tier-2 nested mapping (one struct
+        // level); deeper nesting stays vetoed in nestedParts
+        require(rc.fieldNames().length <= 2,
+          s"RENAME COLUMN supports one struct level: " +
             rc.fieldNames().mkString("."))
-        TxLog.renameColumn(spark, base, rc.fieldNames()(0), rc.newName())
+        TxLog.renameColumn(spark, base, rc.fieldNames().mkString("."),
+          rc.newName())
       case dc: TableChange.DeleteColumn =>
-        require(dc.fieldNames().length == 1,
-          s"nested DROP COLUMN is not supported: " +
+        require(dc.fieldNames().length <= 2,
+          s"DROP COLUMN supports one struct level: " +
             dc.fieldNames().mkString("."))
-        if (TxLog.latestVersion(spark, base).exists(v =>
+        val name = dc.fieldNames().mkString(".")
+        if (dc.fieldNames().length == 2)
+          TxLog.dropColumn(spark, base, name) // existence checked inside
+        else if (TxLog.latestVersion(spark, base).exists(v =>
             TxLog.columnMappingOf(spark, base, v).exists(
-              _.hasLogical(dc.fieldNames()(0))) ||
+              _.hasLogical(name)) ||
               schemaAt(base, v).fieldNames
-                .exists(_.equalsIgnoreCase(dc.fieldNames()(0)))))
-          TxLog.dropColumn(spark, base, dc.fieldNames()(0))
+                .exists(_.equalsIgnoreCase(name))))
+          TxLog.dropColumn(spark, base, name)
         else if (!dc.ifExists()) throw new IllegalArgumentException(
-          s"column '${dc.fieldNames()(0)}' does not exist on " +
+          s"column '$name' does not exist on " +
             s"${ident.namespace().mkString(".")}.${ident.name()}")
       case ac: TableChange.AddConstraint => ac.constraint() match {
         case chk: V2Check =>

@@ -218,14 +218,37 @@ object TxLogSource {
           case Some(cm) =>
             // mapped table: serve the logical projection in mapping
             // order — file types win for on-disk columns, the declared
-            // type backs a just-ALTERed column no file carries yet
+            // type backs a just-ALTERed column no file carries yet.
+            // Tier-2 nested bindings rebuild the struct TYPE: mapped
+            // physical subfields take their leaf logical names in
+            // mapping order, unmapped (DROPped) subfields vanish,
+            // just-ADDed ones type from the declared schema.
             val byPhys = inferred.fields
               .map(f => f.name.toLowerCase -> f).toMap
             val byDecl = declared.toSeq.flatMap(_.fields)
               .map(f => f.name.toLowerCase -> f).toMap
-            StructType(cm.cols.flatMap { case (l, p) =>
-              byPhys.get(p.toLowerCase).map(_.copy(name = l))
+            StructType(cm.topCols.flatMap { case (l, p) =>
+              val nested = cm.nestedUnder(l)
+              val flat = byPhys.get(p.toLowerCase).map(_.copy(name = l))
                 .orElse(byDecl.get(l.toLowerCase).map(_.copy(name = l)))
+              if (nested.isEmpty) flat
+              else flat.map { f =>
+                val fileStruct = f.dataType match {
+                  case s: StructType => Some(s)
+                  case _ => None
+                }
+                val declStruct = byDecl.get(l.toLowerCase)
+                  .map(_.dataType).collect { case s: StructType => s }
+                f.copy(dataType = StructType(
+                  nested.flatMap { case (ll, lp) =>
+                    fileStruct.flatMap(_.fields.find(
+                        _.name.equalsIgnoreCase(lp)))
+                      .map(_.copy(name = ll))
+                      .orElse(declStruct.flatMap(_.fields.find(
+                          _.name.equalsIgnoreCase(ll)))
+                        .map(_.copy(name = ll)))
+                  }))
+              }
             })
           case None => declared match {
             case Some(ds) =>
@@ -1489,8 +1512,24 @@ class TxLogReaderFactory(
     * positional past this point, so the output rows/batches still
     * line up with `required`'s (logical) order. */
   private val physFileSchema =
-    StructType(fileSchema.fields.map(f =>
-      f.copy(name = TxLogSource.physOf(physMap, f.name))))
+    StructType(fileSchema.fields.map { f =>
+      val pn = TxLogSource.physOf(physMap, f.name)
+      f.dataType match {
+        // tier-2 nested bindings: the file's struct carries PHYSICAL
+        // leaf names — rename the requested subfields in place (the
+        // logical field ORDER holds, so positional batch consumption
+        // still lines up with readSchema); a just-ADDed subfield no
+        // file carries keeps its fresh physical name and null-fills
+        case st: StructType
+            if physMap.keys.exists(_.startsWith(f.name.toLowerCase + ".")) =>
+          val pref = f.name.toLowerCase + "."
+          f.copy(name = pn, dataType = StructType(st.fields.map(sf =>
+            sf.copy(name = physMap.get(pref + sf.name.toLowerCase)
+              .map(pp => pp.substring(pp.indexOf('.') + 1))
+              .getOrElse(sf.name)))))
+        case _ => f.copy(name = pn)
+      }
+    })
   private val constSchema =
     StructType(required.fields.filter(f => constNames.contains(f.name)))
   /** Columnar batches append constant (partition-style) vectors AFTER

@@ -333,9 +333,31 @@ object TxLogWriteSupport {
               "columns with ALTER TABLE ... ADD COLUMNS before writing " +
               "them")
         }
-        (StructType(schema.fields.map(f =>
-          f.copy(name = cm.physicalOf(f.name).getOrElse(f.name)))),
-          statsCols.map(c => cm.physicalOf(c).getOrElse(c)))
+        (StructType(schema.fields.map { f =>
+          val pn = cm.physicalOf(f.name).getOrElse(f.name)
+          val nested = cm.nestedUnder(f.name)
+          f.dataType match {
+            // tier-2 nested bindings: rows are positional past this
+            // point, so renaming the subfields IN PLACE in the write
+            // schema lands the frozen physical leaf names on disk
+            case st: org.apache.spark.sql.types.StructType
+                if nested.nonEmpty =>
+              if (strict) {
+                val unknownF = st.fieldNames.filterNot(fn =>
+                  nested.exists(_._1.equalsIgnoreCase(fn)))
+                require(unknownF.isEmpty,
+                  s"nested column(s) ${unknownF.map(x => s"${f.name}.$x")
+                    .mkString(", ")} are not in this table's column " +
+                    "mapping — declare them with alterAddNestedColumns " +
+                    "before writing them")
+              }
+              f.copy(name = pn, dataType =
+                org.apache.spark.sql.types.StructType(st.fields.map(sf =>
+                  sf.copy(name = nested.find(_._1.equalsIgnoreCase(sf.name))
+                    .map(_._2).getOrElse(sf.name)))))
+            case _ => f.copy(name = pn)
+          }
+        }), statsCols.map(c => cm.physicalOf(c).getOrElse(c)))
       case None => (schema, statsCols)
     }
 

@@ -36,21 +36,18 @@ class TxLogNestedAuditSpec extends AnyFunSuite {
     assert(TxLog.readEvolved(spark, base).count() == 2)
   }
 
-  test("every name-taking metadata verb VETOES a nested `s.x` " +
-    "reference loudly — never a silent top-level-only match") {
+  test("name-taking metadata verbs on a nested `s.x` reference: " +
+    "RENAME/DROP ride the tier-2 nested mapping (TxLogNestedColmapSpec " +
+    "holds their laws); everything else vetoes loudly — never a " +
+    "silent top-level-only match") {
     seed()
-    // RENAME / DROP: the path is not a (top-level) column → loud
-    // (the dotted TARGET is rejected even before source resolution)
-    assert(intercept[IllegalArgumentException] {
-      TxLog.renameColumn(spark, base, "s.x", "s.y")
-    }.getMessage.contains("invalid column name"))
-    assert(intercept[IllegalArgumentException] {
-      TxLog.renameColumn(spark, base, "s.x", "flat")
-    }.getMessage.contains("does not exist"))
-    assert(intercept[IllegalArgumentException] {
-      TxLog.dropColumn(spark, base, "s.x")
-    }.getMessage.contains("does not exist"))
-    // renaming TO a dotted name is rejected outright
+    // RENAME/DROP of a nested path are REAL verbs since tier 2 —
+    // metadata-only commits against the frozen physical subfield
+    TxLog.renameColumn(spark, base, "s.x", "s.x2")
+    assert(TxLog.read(spark, base).select(col("s.x2")).count() == 2)
+    TxLog.renameColumn(spark, base, "s.x2", "x")
+    // renaming a TOP-LEVEL column TO a dotted name stays rejected
+    // (a flat column cannot move into a struct)
     assert(intercept[IllegalArgumentException] {
       TxLog.renameColumn(spark, base, "k", "s.k")
     }.getMessage.contains("invalid column name"))

@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TxLog
+
+/** Tier-2 nested column mapping (Delta name mode maps nested fields
+  * individually; r14 next-round #3). Laws:
+  *
+  *  - RENAME/DROP COLUMN `a.b` is METADATA-ONLY: zero data files
+  *    move; the frozen physical subfield keeps keying the bytes.
+  *  - Time travel below a nested rename serves the OLD nested name.
+  *  - Dropped nested bytes can never resurface: a re-ADDed field of
+  *    the same name is born under a fresh physical leaf and scans
+  *    as NULL.
+  *  - Writes speak the logical nested surface (commit/append/DML
+  *    translate the struct both ways); NULL structs stay NULL.
+  *  - Tier-1 interaction laws hold: a CHECK constraint or generated
+  *    column referencing `s.x` (or `s`) vetoes nested RENAME/DROP.
+  *  - The DSv2 source serves the nested logical surface on its
+  *    columnar path, and SQL ALTER routes 2-part paths to the verbs.
+  */
+class TxLogNestedColmapSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** (k, s{x, y}, tag) rows — x = k*2, y = "y<k>"; k in [lo, lo+n). */
+  private def rows(lo: Long, n: Long, tag: String) =
+    spark.range(lo, lo + n).select(col("id").as("k"),
+      struct((col("id") * 2).as("x"),
+        concat(lit("y"), col("id")).as("y")).as("s"),
+      lit(tag).as("tag"))
+
+  test("nested RENAME is metadata-only, reads serve the new name, " +
+    "time travel below it serves the old one, and skipping by the " +
+    "top-level key is unaffected") {
+    val base = "/tmp/graft_txnested/rename"
+    TxLog.drop(spark, base)
+    TxLog.commit(rows(0, 100, "a").repartitionByRange(4, col("k")),
+      base, None, Some("k"))
+    val files1 = TxLog.manifestFiles(spark, base, 1L).toSet
+    val v = TxLog.renameColumn(spark, base, "s.x", "ex")
+    assert(v == 2L)
+    assert(TxLog.manifestFiles(spark, base, 2L).toSet == files1,
+      "nested RENAME COLUMN must be metadata-only: zero files touched")
+    // new logical surface
+    val got = TxLog.read(spark, base).select(col("k"), col("s.ex"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(7L) == 14L && got.size == 100)
+    // the old name is gone from the surface
+    intercept[Exception](
+      TxLog.read(spark, base).select(col("s.x")).collect())
+    // time travel BELOW the rename serves the old nested name
+    assert(TxLog.readVersion(spark, base, 1L).select(col("s.x"))
+      .as[Long].collect().toSet == (0L until 100L).map(_ * 2).toSet)
+    // top-level stats skipping unaffected by the nested upgrade
+    val (kept, all) = TxLog.pruneRange(spark, base, "k", 0L, 10L)
+    assert(kept.size < all.size)
+    // rename again under the SAME parent via the a.c spelling
+    TxLog.renameColumn(spark, base, "s.ex", "s.ex2")
+    assert(TxLog.read(spark, base).select(col("s.ex2")).count() == 100)
+    // a cross-parent target is a loud error
+    intercept[IllegalArgumentException](
+      TxLog.renameColumn(spark, base, "s.ex2", "t.z"))
+  }
+
+  test("nested DROP hides the field metadata-only; a re-ADDed field " +
+    "of the same name scans as NULL — the dropped bytes never " +
+    "resurface; new writes land the fresh physical leaf") {
+    val base = "/tmp/graft_txnested/drop"
+    TxLog.drop(spark, base)
+    TxLog.commit(rows(0, 60, "a").repartitionByRange(2, col("k")),
+      base, None, Some("k"))
+    val files1 = TxLog.manifestFiles(spark, base, 1L).toSet
+    TxLog.dropColumn(spark, base, "s.y")
+    assert(TxLog.manifestFiles(spark, base, 2L).toSet == files1,
+      "nested DROP COLUMN must be metadata-only")
+    val shape = TxLog.read(spark, base).schema("s").dataType
+      .asInstanceOf[StructType].fieldNames.toSeq
+    assert(shape == Seq("x"), s"dropped field must vanish, got $shape")
+    // re-ADD under the same name: fresh physical leaf, NULL scan
+    TxLog.alterAddNestedColumns(spark, base, "s",
+      StructType(Seq(StructField("y", StringType))))
+    val r = TxLog.read(spark, base)
+    assert(r.where(col("s.y").isNotNull).count() == 0L,
+      "a re-ADDed nested field must scan as NULL, not the dropped bytes")
+    // a new write fills the re-ADDed field; old rows stay NULL
+    TxLog.append(rows(100, 5, "b"), base, Some("k"))
+    val r2 = TxLog.read(spark, base)
+    assert(r2.where(col("s.y").isNotNull).count() == 5L)
+    assert(r2.where(col("k") === 101L).select(col("s.y"))
+      .as[String].head() == "y101")
+    // dropping the last nested field is vetoed toward the parent
+    TxLog.dropColumn(spark, base, "s.y")
+    val err = intercept[IllegalArgumentException](
+      TxLog.dropColumn(spark, base, "s.x"))
+    assert(err.getMessage.contains("parent"))
+  }
+
+  test("writes and row-level DML speak the nested logical surface: " +
+    "append after a rename round-trips, COW delete and MOR delete " +
+    "leave the mapped struct intact, NULL structs stay NULL") {
+    val base = "/tmp/graft_txnested/dml"
+    TxLog.drop(spark, base)
+    // seed with a NULL struct row riding along
+    val seed = rows(0, 40, "a").union(
+      spark.range(900, 901).select(col("id").as("k"),
+        lit(null).cast("struct<x: bigint, y: string>").as("s"),
+        lit("n").as("tag")))
+    TxLog.commit(seed.repartitionByRange(2, col("k")), base, None,
+      Some("k"))
+    TxLog.renameColumn(spark, base, "s.x", "ex")
+    // append in the NEW logical shape
+    TxLog.append(spark.range(40, 50).select(col("id").as("k"),
+      struct((col("id") * 2).as("ex"),
+        concat(lit("y"), col("id")).as("y")).as("s"),
+      lit("b").as("tag")), base, Some("k"))
+    val r = TxLog.read(spark, base)
+    assert(r.where(col("s.ex") === col("k") * 2).count() == 50)
+    assert(r.where(col("k") === 900L).select(col("s")).head().isNullAt(0),
+      "a NULL struct must stay NULL through the mapped rebuild")
+    // an append writing an UNKNOWN nested field fails loudly
+    val bad = spark.range(60, 61).select(col("id").as("k"),
+      struct(col("id").as("zz")).as("s"), lit("x").as("tag"))
+    val e = intercept[IllegalArgumentException](
+      TxLog.append(bad, base, Some("k")))
+    assert(e.getMessage.contains("s.zz"))
+    // row-level DML through the top-level key
+    TxLog.deleteRange(spark, base, "k", 0L, 9L)
+    TxLog.deleteRangeMor(spark, base, "k", 10L, 14L)
+    val after = TxLog.read(spark, base)
+    assert(after.count() == 51 - 15)
+    assert(after.where(col("s.ex") === col("k") * 2).count() == 35,
+      "the rewritten and masked files must keep serving the mapped " +
+        "nested surface")
+  }
+
+  test("tier-1 interaction: constraints and generated columns veto " +
+    "nested RENAME/DROP on the exact path and on the parent") {
+    val base = "/tmp/graft_txnested/deps"
+    TxLog.drop(spark, base)
+    TxLog.commit(rows(0, 20, "a"), base, None, Some("k"))
+    TxLog.addConstraint(spark, base, "x_even", "s.x % 2 = 0")
+    val e1 = intercept[IllegalArgumentException](
+      TxLog.renameColumn(spark, base, "s.x", "ex"))
+    assert(e1.getMessage.contains("x_even"))
+    val e2 = intercept[IllegalArgumentException](
+      TxLog.dropColumn(spark, base, "s.x"))
+    assert(e2.getMessage.contains("x_even"))
+    // the parent stays vetoed too (the r13/r14 head rule)
+    val e3 = intercept[IllegalArgumentException](
+      TxLog.renameColumn(spark, base, "s", "s2"))
+    assert(e3.getMessage.contains("x_even"))
+    // an untouched sibling field renames fine
+    TxLog.renameColumn(spark, base, "s.y", "why")
+    assert(TxLog.read(spark, base).select(col("s.why")).count() == 20)
+    TxLog.dropConstraint(spark, base, "x_even")
+    TxLog.renameColumn(spark, base, "s.x", "ex") // now allowed
+    assert(TxLog.read(spark, base)
+      .where(col("s.ex") === col("k") * 2).count() == 20)
+  }
+
+  test("DSv2 surface: the source serves the nested logical surface " +
+    "on its columnar path, and catalog SQL ALTER routes 2-part paths " +
+    "to the nested verbs") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.TxLogCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse",
+      "/tmp/graft_txnested/warehouse")
+    val base = "/tmp/graft_txnested/warehouse/nst/t1"
+    TxLog.drop(s, base)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.nst")
+    s.sql("DROP TABLE IF EXISTS graft.nst.t1")
+    s.sql("CREATE TABLE graft.nst.t1 (k BIGINT, " +
+      "s STRUCT<x: BIGINT, y: STRING>, tag STRING) USING " +
+      "graft.sources.TxLogSource")
+    // the parquet-mr DSv2 sink is flat-schema-only (its documented
+    // veto) — struct batches land through the API write path
+    TxLog.append(rows(0, 30, "a").repartitionByRange(2, col("k")),
+      base, Some("k"))
+    s.sql("ALTER TABLE graft.nst.t1 RENAME COLUMN s.x TO ex")
+    assert(TxLog.columnMapping(s, base).exists(_.hasNested),
+      "the catalog ALTER must publish the nested mapping to the log")
+    val got = s.sql("SELECT k, s.ex, s.y FROM graft.nst.t1 " +
+      "WHERE k BETWEEN 5 AND 7 ORDER BY k").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq == Seq((5L, 10L, "y5"), (6L, 12L, "y6"), (7L, 14L, "y7")))
+    s.sql("ALTER TABLE graft.nst.t1 DROP COLUMN s.y")
+    val shape = s.sql("SELECT s FROM graft.nst.t1").schema("s")
+      .dataType.asInstanceOf[StructType].fieldNames.toSeq
+    assert(shape == Seq("ex"), s"DSv2 must hide the dropped field: $shape")
+    // a write after the rename speaks the NEW logical shape; the SQL
+    // surface then serves it (frozen physical leaf names on disk)
+    TxLog.append(spark.range(100, 101).select(col("id").as("k"),
+      struct((col("id") * 2).as("ex")).as("s"), lit("b").as("tag")),
+      base, Some("k"))
+    s.sql("REFRESH TABLE graft.nst.t1")
+    assert(s.sql("SELECT s.ex FROM graft.nst.t1 WHERE k = 100").head()
+      .getLong(0) == 200L)
+    // a just-ADDed nested field null-fills from the declared type
+    TxLog.alterAddNestedColumns(s, base, "s",
+      StructType(Seq(StructField("w", IntegerType))))
+    s.sql("REFRESH TABLE graft.nst.t1")
+    assert(s.sql("SELECT count(*) FROM graft.nst.t1 WHERE s.w IS NULL")
+      .head().getLong(0) == 31L)
+    s.sql("DROP TABLE graft.nst.t1")
+  }
+
+  test("a table with deeper nesting vetoes loudly: tier 2 is one " +
+    "struct level") {
+    val base = "/tmp/graft_txnested/deep"
+    TxLog.drop(spark, base)
+    TxLog.commit(spark.range(0, 5).select(col("id").as("k"),
+      struct(struct(col("id").as("q")).as("inner")).as("s")),
+      base, None, Some("k"))
+    val e = intercept[IllegalArgumentException](
+      TxLog.renameColumn(spark, base, "s.inner.q", "z"))
+    assert(e.getMessage.contains("one struct level"))
+  }
+}
