@@ -6947,7 +6947,8 @@ object TxLog {
   private case class VacuumPlan(drop: Seq[Long], keep: Seq[Long],
                                 needCkpt: Option[Long],
                                 staleDirs: Seq[Path],
-                                staleRootFiles: Seq[Path])
+                                staleRootFiles: Seq[Path],
+                                staleCkpts: Seq[Long])
 
   private def vacuumPlan(spark: SparkSession, base: String, keepLast: Int,
                          graceMs: Long): Option[VacuumPlan] = {
@@ -6999,7 +7000,22 @@ object TxLog {
       .map(_.getPath)
     val needCkpt = keep.headOption.filter(v =>
       drop.nonEmpty && !f.exists(ckptPath(base, v)))
-    Some(VacuumPlan(drop, keep, needCkpt, staleDirs, staleRootFiles))
+    // checkpoint retention hygiene (r14 stretch): SUPERSEDED
+    // checkpoints of kept versions — everything strictly between the
+    // oldest kept version's base (which anchors the whole kept range's
+    // replay) and the NEWEST kept checkpoint (what `_last_checkpoint`
+    // points latest reads at) — are pure bytes: every kept version
+    // still resolves by replaying the kept manifests from a surviving
+    // base. Reclaim them past the same grace cutoff (an in-flight
+    // reader of a mid version retries off the older base).
+    val keptCkpts = keep.filter(v => f.exists(ckptPath(base, v)))
+    val staleCkpts = keptCkpts
+      .filter(v => !keep.headOption.contains(v) &&
+        !keptCkpts.lastOption.contains(v))
+      .filter(v =>
+        f.getFileStatus(ckptPath(base, v)).getModificationTime < cutoff)
+    Some(VacuumPlan(drop, keep, needCkpt, staleDirs, staleRootFiles,
+      staleCkpts))
   }
 
   /** VACUUM LITE (Delta 3.3's log-driven vacuum): reclaim data files
@@ -7133,6 +7149,19 @@ object TxLog {
       .foreach(advancePointer(spark, base, _))
     plan.staleDirs.foreach(p => f.delete(p, true))
     plan.staleRootFiles.foreach(p => f.delete(p, false))
+    // superseded mid-range checkpoints (bytes only — every kept
+    // version keeps resolving off the surviving bases); purge caches
+    // again so no reader trusts a vanished checkpoint file
+    if (plan.staleCkpts.nonEmpty) {
+      plan.staleCkpts.foreach { v =>
+        f.delete(ckptPath(base, v), false)
+        f.delete(TxLogPlan.pqDirPath(base, v), true)
+      }
+      cachePurge(base)
+      f.listStatus(logDir).toSeq
+        .flatMap(st => parseCkptVersion(st.getPath.getName)).maxOption
+        .foreach(advancePointer(spark, base, _))
+    }
     plan.keep
   }
 
@@ -7151,7 +7180,9 @@ object TxLog {
       case Some(p) =>
         (p.drop.map(v => "manifest" -> manifestPath(base, v).toString) ++
           p.staleDirs.map(d => "txn_dir" -> d.toString) ++
-          p.staleRootFiles.map(f => "root_file" -> f.toString))
+          p.staleRootFiles.map(f => "root_file" -> f.toString) ++
+          p.staleCkpts.map(v =>
+            "checkpoint" -> ckptPath(base, v).toString))
           .toDF("kind", "path")
     }
   }

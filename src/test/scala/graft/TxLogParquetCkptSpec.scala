@@ -158,6 +158,48 @@ class TxLogParquetCkptSpec extends AnyFunSuite {
       "the stats-less file must survive through NULL typed columns")
   }
 
+  test("checkpoint retention: full VACUUM reclaims SUPERSEDED " +
+    "mid-range checkpoints (bytes only) — the newest kept base and " +
+    "the oldest kept version's resolvability survive, and a later " +
+    "vacuum re-materializes a base where it needs one") {
+    val base = "/tmp/graft_txpq/ckptgc"
+    TxLog.drop(spark, base)
+    withParquetCkpts {
+      spark.conf.set("spark.graft.txlog.checkpointInterval", "2")
+      try (0 until 8).foreach(i =>
+        TxLog.append(clustered(i * 10L, 10L, s"w$i", 1), base, Some("k")))
+      finally spark.conf.unset("spark.graft.txlog.checkpointInterval")
+    }
+    val f = fsOf(base)
+    def hasCkpt(v: Long) = f.exists(TxLog.ckptPath(base, v))
+    assert(hasCkpt(2) && hasCkpt(4) && hasCkpt(6) && hasCkpt(8),
+      "fixture: interval checkpoints at v2/v4/v6/v8")
+    // the dry run previews the superseded set before anything moves
+    val preview = TxLog.vacuumDryRun(spark, base, keepLast = 8,
+        graceMs = 0L)
+      .where(col("kind") === "checkpoint").count()
+    assert(preview == 3, s"v2/v4/v6 are superseded, got $preview")
+    val kept = TxLog.vacuum(spark, base, keepLast = 8, graceMs = 0L)
+    assert(kept.size == 8)
+    assert(!hasCkpt(2) && !hasCkpt(4) && !hasCkpt(6) && hasCkpt(8),
+      "mid-range checkpoints reclaim; the newest kept base survives")
+    assert(!f.exists(TxLogPlan.pqDirPath(base, 4L)),
+      "the columnar payload dir goes with its marker")
+    // every kept version still resolves (replay off surviving bases)
+    TxLog.cachePurge(base)
+    assert(TxLog.readVersion(spark, base, 3L).count() == 30L)
+    assert(TxLog.readVersion(spark, base, 5L).count() == 50L)
+    assert(contents(TxLog.read(spark, base)).size == 80)
+    // a vacuum that DROPS history re-materializes the base it needs
+    // even though the retention pass deleted that version's checkpoint
+    val kept2 = TxLog.vacuum(spark, base, keepLast = 3, graceMs = 0L)
+    assert(kept2 == Seq(6L, 7L, 8L))
+    assert(hasCkpt(6), "the oldest kept version re-bases on a fresh " +
+      "checkpoint")
+    TxLog.cachePurge(base)
+    assert(contents(TxLog.read(spark, base)).size == 80)
+  }
+
   test("VACUUM LITE on a columnar table: the reclaim set is computed " +
     "distributed, superseded OPTIMIZE inputs are deleted, live files " +
     "and DV sidecars survive, and the kept history re-bases on a " +
