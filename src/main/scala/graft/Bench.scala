@@ -38,7 +38,13 @@ object Bench {
       .getOrElse(3).max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries — for
+    // targeted same-host A/Bs; unset (the driver's invocation) runs all
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
+      .foreach { case (name, fn) =>
       val runs = (1 to reps).flatMap { _ =>
         if (errors.contains(name)) None
         else {
