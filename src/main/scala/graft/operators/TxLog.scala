@@ -171,7 +171,22 @@ object TxLog {
     private val physByLowerLogical: Map[String, String] =
       cols.map { case (l, p) => l.toLowerCase -> p }.toMap
     def physicalOf(logical: String): Option[String] =
-      physByLowerLogical.get(logical.toLowerCase)
+      physByLowerLogical.get(logical.toLowerCase).orElse {
+        // dotted path on a struct WITHOUT tier-2 bindings: subfield
+        // names are physical as-is — translate the head, keep the
+        // leaf. A nested-MAPPED struct must resolve through its own
+        // bindings (an unbound leaf there is dropped/unknown: None).
+        val i = logical.indexOf('.')
+        if (i <= 0) None
+        else {
+          val top = logical.substring(0, i)
+          if (cols.exists(c => c._1.length > top.length &&
+              c._1.charAt(top.length) == '.' &&
+              c._1.substring(0, top.length).equalsIgnoreCase(top))) None
+          else physByLowerLogical.get(top.toLowerCase)
+            .map(p => s"$p.${logical.substring(i + 1)}")
+        }
+      }
     /** Translate a user-facing column name, failing loudly on names
       * the table does not have — a silent pass-through would read or
       * stat a nonexistent physical column. */
@@ -2425,10 +2440,13 @@ object TxLog {
       s"write to a partitioned table must supply partition column(s) " +
         s"${missingP.mkString(", ")}")
     // fail fast: a missing column or unsupported type must surface
-    // BEFORE the (possibly huge) data write, not orphan a landed dir
+    // BEFORE the (possibly huge) data write, not orphan a landed dir.
+    // Stats columns may be NESTED paths ("s.x" — Delta skips on
+    // nested-leaf stats too): the dtype resolves by path walk, and
+    // the collection aggregate's col("s.x") reaches the leaf.
     val pNames = pcols.map(_._1.toLowerCase).toSet
     val dtypes = pcols ++ statsCols.filterNot(c => pNames.contains(c.toLowerCase))
-      .map(c => c -> statsDtype(df.schema(c).dataType))
+      .map(c => c -> statsDtype(dataTypeAt(df.schema, c)))
     val rels = land(df, base, pcols.map(_._1))
     if (rels.isEmpty) Seq.empty // all-empty write: no part files
     else {
@@ -5871,7 +5889,30 @@ object TxLog {
                                  schema: org.apache.spark.sql.types.StructType)
       : Seq[String] =
     (primary ++ touched.flatMap(_.stats.map(_.column))).distinct
-      .filter(schema.fieldNames.contains)
+      .filter(c => hasPath(schema, c))
+
+  /** Does `path` (possibly dotted, case-insensitive) resolve inside
+    * `schema`? */
+  private[graft] def hasPath(schema: org.apache.spark.sql.types.StructType,
+                             path: String): Boolean =
+    scala.util.Try(dataTypeAt(schema, path)).isSuccess
+
+  /** The data type at a (possibly dotted) path — loud on a missing
+    * segment or a non-struct parent. */
+  private[graft] def dataTypeAt(schema: org.apache.spark.sql.types.StructType,
+                                path: String)
+      : org.apache.spark.sql.types.DataType =
+    path.split('.').foldLeft(
+      schema: org.apache.spark.sql.types.DataType) { (dt, part) =>
+      dt match {
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.find(_.name.equalsIgnoreCase(part)).getOrElse(
+            throw new IllegalArgumentException(
+              s"no field '$part' of path '$path' in $s")).dataType
+        case other => throw new IllegalArgumentException(
+          s"path '$path' descends into non-struct type $other")
+      }
+    }
 
   /** Shared COW rewrite loop for the row-level DML verbs: partition
     * the manifest by stats overlap with [lo, hi], run `transform` over

@@ -276,6 +276,28 @@ object TxLogSource {
   private[sources] def physOf(m: Map[String, String], name: String): String =
     m.getOrElse(name.toLowerCase, name)
 
+  /** A required (logical) field as THIS table's FILES carry it: the
+    * frozen physical top-level name, and — tier-2 nested bindings —
+    * struct subfields renamed in place to their physical leaves (the
+    * logical field ORDER holds, so positional consumption lines up
+    * with readSchema); a just-ADDed subfield no file carries keeps
+    * its fresh physical name and null-fills. Shared by the columnar
+    * reader's requested schema and the row decoder. */
+  private[sources] def toFileField(m: Map[String, String],
+                                   f: StructField): StructField = {
+    val pn = physOf(m, f.name)
+    f.dataType match {
+      case st: StructType
+          if m.keys.exists(_.startsWith(f.name.toLowerCase + ".")) =>
+        val pref = f.name.toLowerCase + "."
+        f.copy(name = pn, dataType = StructType(st.fields.map(sf =>
+          sf.copy(name = m.get(pref + sf.name.toLowerCase)
+            .map(pp => pp.substring(pp.indexOf('.') + 1))
+            .getOrElse(sf.name)))))
+      case _ => f.copy(name = pn)
+    }
+  }
+
   private[sources] def cachedSchema(base: String, v: Long, mtime: Long)
                                    (compute: => StructType): StructType = {
     // normalize the path spelling (file:/tmp/t vs /tmp/t) — the same
@@ -1512,24 +1534,8 @@ class TxLogReaderFactory(
     * positional past this point, so the output rows/batches still
     * line up with `required`'s (logical) order. */
   private val physFileSchema =
-    StructType(fileSchema.fields.map { f =>
-      val pn = TxLogSource.physOf(physMap, f.name)
-      f.dataType match {
-        // tier-2 nested bindings: the file's struct carries PHYSICAL
-        // leaf names — rename the requested subfields in place (the
-        // logical field ORDER holds, so positional batch consumption
-        // still lines up with readSchema); a just-ADDed subfield no
-        // file carries keeps its fresh physical name and null-fills
-        case st: StructType
-            if physMap.keys.exists(_.startsWith(f.name.toLowerCase + ".")) =>
-          val pref = f.name.toLowerCase + "."
-          f.copy(name = pn, dataType = StructType(st.fields.map(sf =>
-            sf.copy(name = physMap.get(pref + sf.name.toLowerCase)
-              .map(pp => pp.substring(pp.indexOf('.') + 1))
-              .getOrElse(sf.name)))))
-        case _ => f.copy(name = pn)
-      }
-    })
+    StructType(fileSchema.fields.map(
+      TxLogSource.toFileField(physMap, _)))
   private val constSchema =
     StructType(required.fields.filter(f => constNames.contains(f.name)))
   /** Columnar batches append constant (partition-style) vectors AFTER
@@ -1652,6 +1658,12 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
       f.name != TxLogSource.ChangeTypeCol &&
       f.name != TxLogSource.RowIdMetaCol &&
       fileSchema.containsField(fileName(f)))
+  /** The present fields' types as THIS table's files carry them —
+    * tier-2 nested bindings rename struct subfields to their frozen
+    * physical leaves, which is the namespace [[fieldValue]]'s struct
+    * decode resolves against. */
+  private val presentFile = present.map(f =>
+    TxLogSource.toFileField(physMap, f))
   /** `_row_id` requested: the stable id serves per row — a rewrite-
     * MATERIALIZED `__row_id` column in THIS file wins; else the
     * partition's base span + the row ordinal (exactly
@@ -1775,7 +1787,7 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
           val gi = presentIdx
           presentIdx += 1
           if (g.getFieldRepetitionCount(gi) == 0) null
-          else fieldValue(g, gi, f.dataType)
+          else fieldValue(g, gi, presentFile(gi).dataType)
         } else null // column not in this (older) file: mergeSchema NULL
       i += 1
     }
@@ -1868,10 +1880,43 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
         else new org.apache.spark.unsafe.types.VariantVal(
           vg.getBinary(vi, 0).getBytes, vg.getBinary(mi, 0).getBytes)
       }
+    case st: org.apache.spark.sql.types.StructType =>
+      structValue(g.getGroup(i, 0), st)
     case other => throw new IllegalArgumentException(
-      s"txlog source does not support column type $other (flat " +
-        "numeric/string/bool/date/timestamp/decimal/variant " +
+      s"txlog source does not support column type $other (" +
+        "numeric/string/bool/date/timestamp/decimal/variant/struct " +
         "schemas only)")
+  }
+
+  /** One-level-or-deeper STRUCT decode: resolve each requested
+    * subfield by its FILE name (the frozen physical leaf under tier-2
+    * nested mapping — `dt` arrives pre-translated via
+    * [[TxLogSource.toFileField]]), case-insensitively; a subfield this
+    * file predates null-fills (mergeSchema semantics), and recursion
+    * serves struct-of-struct and variant-in-struct for free. */
+  private def structValue(
+      sg: Group, st: org.apache.spark.sql.types.StructType): Any = {
+    val gt = sg.getType
+    val vals = new Array[Any](st.fields.length)
+    var j = 0
+    while (j < st.fields.length) {
+      val f = st.fields(j)
+      val fi =
+        if (gt.containsField(f.name)) gt.getFieldIndex(f.name)
+        else {
+          var k = 0; var found = -1
+          while (k < gt.getFieldCount && found < 0) {
+            if (gt.getFieldName(k).equalsIgnoreCase(f.name)) found = k
+            k += 1
+          }
+          found
+        }
+      vals(j) =
+        if (fi < 0 || sg.getFieldRepetitionCount(fi) == 0) null
+        else fieldValue(sg, fi, f.dataType)
+      j += 1
+    }
+    new GenericInternalRow(vals)
   }
 
   /** Spark writes INT96 (legacy default) or INT64 micros; accept

@@ -208,6 +208,66 @@ class TxLogNestedColmapSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft.nst.t1")
   }
 
+  test("nested-leaf STATS (Delta skips on nested leaves): a commit " +
+    "clustered on 's.x' collects per-file min/max on the leaf, range " +
+    "pruning by the nested path skips files, the skip keeps working " +
+    "through a nested RENAME (stats stay keyed on the frozen physical " +
+    "path), and a MOR delete by the nested range masks row-precisely") {
+    val base = "/tmp/graft_txnested/stats"
+    TxLog.drop(spark, base)
+    TxLog.commit(rows(0, 100, "a").repartitionByRange(4, col("s.x")),
+      base, None, Some("s.x"))
+    val all = TxLog.manifest(spark, base, 1L)._1
+    assert(all.forall(_.statsFor("s.x").isDefined),
+      "every file must carry min/max on the nested leaf")
+    val (kept, allP) = TxLog.pruneRange(spark, base, "s.x", 0L, 20L)
+    assert(kept.size < allP.size,
+      s"a narrow leaf band must prune: kept ${kept.size} of ${allP.size}")
+    assert(TxLog.readRange(spark, base, "s.x", 10L, 20L)
+      .where(col("s.x").between(10, 20))
+      .select(col("k")).as[Long].collect().toSet == (5L to 10L).toSet)
+    // nested RENAME: the LOGICAL path changes, stats stay keyed on
+    // the frozen physical path — pruning by the new name still skips
+    TxLog.renameColumn(spark, base, "s.x", "ex")
+    val (kept2, _) = TxLog.pruneRange(spark, base, "s.ex", 0L, 20L)
+    assert(kept2.size == kept.size,
+      "pruning by the renamed leaf must reach the frozen stats")
+    // MOR delete by the nested range: stats pre-prune + row-precise
+    TxLog.deleteRangeMor(spark, base, "s.ex", 0L, 20L)
+    assert(TxLog.read(spark, base).select(col("k")).as[Long]
+      .collect().toSet == (11L until 100L).toSet,
+      "the leaf-range mask must remove exactly s.ex in [0, 20]")
+  }
+
+  test("DV-masked struct files read through the ROW decoder: the " +
+    "DSv2 source serves struct rows with nested-mapped leaves " +
+    "resolved by their frozen physical names, struct-of-struct " +
+    "recurses, and the mask stays row-precise") {
+    val base = "/tmp/graft_txnested/rowdec"
+    TxLog.drop(spark, base)
+    TxLog.commit(rows(0, 40, "a").coalesce(1), base, None, Some("k"))
+    TxLog.renameColumn(spark, base, "s.x", "ex") // nested-mapped now
+    TxLog.deleteRangeMor(spark, base, "k", 5L, 9L) // masks THE file
+    val df = spark.read.format("graft.sources.TxLogSource").load(base)
+    assert(df.select("k").as[Long].collect().toSet ==
+      (0L until 40L).toSet -- (5L to 9L))
+    assert(df.where(col("s.ex") === col("k") * 2 &&
+      col("s.y") === concat(lit("y"), col("k"))).count() == 35,
+      "the row decoder must serve the mapped struct's leaves")
+    // struct-of-struct: recursion through the same decoder
+    val base2 = "/tmp/graft_txnested/rowdec2"
+    TxLog.drop(spark, base2)
+    TxLog.commit(spark.range(0, 20).select(col("id").as("k"),
+      struct(struct((col("id") * 3).as("q")).as("inner"),
+        col("id").cast("string").as("t")).as("s")).coalesce(1),
+      base2, None, Some("k"))
+    TxLog.deleteRangeMor(spark, base2, "k", 0L, 2L)
+    val d2 = spark.read.format("graft.sources.TxLogSource").load(base2)
+    assert(d2.where(col("s.inner.q") === col("k") * 3).count() == 17)
+    assert(d2.select(col("s.t")).as[String].collect().toSet ==
+      (3L until 20L).map(_.toString).toSet)
+  }
+
   test("a table with deeper nesting vetoes loudly: tier 2 is one " +
     "struct level") {
     val base = "/tmp/graft_txnested/deep"
