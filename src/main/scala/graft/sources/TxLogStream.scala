@@ -1882,10 +1882,43 @@ class TxLogPartitionReader(file: String, commitVersion: Long,
       }
     case st: org.apache.spark.sql.types.StructType =>
       structValue(g.getGroup(i, 0), st)
+    case at: org.apache.spark.sql.types.ArrayType =>
+      // standard 3-level LIST (what this engine and stock Spark
+      // write): group (LIST) { repeated group list { element }}
+      val listG = g.getGroup(i, 0)
+      val n = listG.getFieldRepetitionCount(0)
+      val out = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        val entry = listG.getGroup(0, j)
+        out(j) =
+          if (entry.getFieldRepetitionCount(0) == 0) null
+          else fieldValue(entry, 0, at.elementType)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    case mt: org.apache.spark.sql.types.MapType =>
+      // group (MAP) { repeated group key_value { key, value }}
+      val kvG = g.getGroup(i, 0)
+      val n = kvG.getFieldRepetitionCount(0)
+      val ks = new Array[Any](n)
+      val vs = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        val entry = kvG.getGroup(0, j)
+        ks(j) = fieldValue(entry, 0, mt.keyType)
+        vs(j) =
+          if (entry.getFieldRepetitionCount(1) == 0) null
+          else fieldValue(entry, 1, mt.valueType)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
     case other => throw new IllegalArgumentException(
       s"txlog source does not support column type $other (" +
-        "numeric/string/bool/date/timestamp/decimal/variant/struct " +
-        "schemas only)")
+        "numeric/string/bool/date/timestamp/decimal/variant/struct/" +
+        "array/map schemas only)")
   }
 
   /** One-level-or-deeper STRUCT decode: resolve each requested

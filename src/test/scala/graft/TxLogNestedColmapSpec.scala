@@ -268,6 +268,29 @@ class TxLogNestedColmapSpec extends AnyFunSuite {
       (3L until 20L).map(_.toString).toSet)
   }
 
+  test("ARRAY and MAP columns read through the DV row decoder too — " +
+    "the embedding-store shape: a MOR delete on a table carrying " +
+    "Array[Float] embeddings serves the survivors' vectors intact") {
+    val base = "/tmp/graft_txnested/arr"
+    TxLog.drop(spark, base)
+    TxLog.commit(spark.range(0, 20).select(col("id").as("k"),
+      array((col("id") * 2).cast("float"),
+        (col("id") * 2 + 1).cast("float")).as("emb"),
+      map(lit("a"), col("id"), lit("b"), col("id") * 10).as("m"),
+      array(struct(col("id").as("q"),
+        col("id").cast("string").as("t"))).as("asx")).coalesce(1),
+      base, None, Some("k"))
+    TxLog.deleteRangeMor(spark, base, "k", 0L, 4L)
+    val d = spark.read.format("graft.sources.TxLogSource").load(base)
+    assert(d.select("k").as[Long].collect().toSet == (5L until 20L).toSet)
+    assert(d.where(element_at(col("emb"), 1) === col("k") * 2 &&
+      element_at(col("emb"), 2) === col("k") * 2 + 1).count() == 15)
+    assert(d.where(element_at(col("m"), "b") === col("k") * 10)
+      .count() == 15)
+    assert(d.where(element_at(col("asx"), 1).getField("q") === col("k"))
+      .count() == 15, "array-of-struct recurses through the decoder")
+  }
+
   test("a table with deeper nesting vetoes loudly: tier 2 is one " +
     "struct level") {
     val base = "/tmp/graft_txnested/deep"
