@@ -264,48 +264,136 @@ case class TxLogWriterMessage(files: Seq[TxLogFileResult])
     extends WriterCommitMessage
 
 object TxLogWriteSupport {
-  /** parquet schema for the supported flat types (same set the read
-    * side decodes). */
+  /** parquet schema for the supported types (same set the read side
+    * decodes) — nested struct/array/map build recursively in the
+    * STANDARD layouts (3-level LIST, MAP key_value) that both Spark's
+    * vectorized reader and the txlog row decoder consume. */
   def messageType(schema: StructType): MessageType = {
     val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      val prim = f.dataType match {
-        case LongType => Types.optional(PrimitiveTypeName.INT64)
-        case IntegerType => Types.optional(PrimitiveTypeName.INT32)
-        case ShortType => Types.optional(PrimitiveTypeName.INT32)
-          .as(LogicalTypeAnnotation.intType(16, true))
-        case ByteType => Types.optional(PrimitiveTypeName.INT32)
-          .as(LogicalTypeAnnotation.intType(8, true))
-        case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE)
-        case FloatType => Types.optional(PrimitiveTypeName.FLOAT)
-        case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
-        case StringType => Types.optional(PrimitiveTypeName.BINARY)
-          .as(LogicalTypeAnnotation.stringType())
-        case BinaryType => Types.optional(PrimitiveTypeName.BINARY)
-        case DateType => Types.optional(PrimitiveTypeName.INT32)
-          .as(LogicalTypeAnnotation.dateType())
-        case TimestampType => Types.optional(PrimitiveTypeName.INT64)
-          .as(LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
-        case TimestampNTZType => Types.optional(PrimitiveTypeName.INT64)
-          .as(LogicalTypeAnnotation.timestampType(false,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
-        // decimals: unscaled INT64 up to 18 digits (Spark's own
-        // compact layout), variable BINARY above — both physical
-        // encodings Spark's readers take natively
-        case d: DecimalType if d.precision <= 18 =>
-          Types.optional(PrimitiveTypeName.INT64)
-            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-        case d: DecimalType =>
-          Types.optional(PrimitiveTypeName.BINARY)
-            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-        case other => throw new IllegalArgumentException(
-          s"txlog sink does not support column type $other (flat " +
-            "numeric/string/bool/date/timestamp/decimal schemas only)")
-      }
-      b.addField(prim.named(f.name))
-    }
+    schema.fields.foreach(f => b.addField(parquetType(f.dataType, f.name)))
     b.named("graft_txlog_row")
+  }
+
+  private def parquetType(dt: org.apache.spark.sql.types.DataType,
+                          name: String,
+                          required: Boolean = false)
+      : org.apache.parquet.schema.Type = {
+    def prim(t: PrimitiveTypeName) =
+      if (required) Types.required(t) else Types.optional(t)
+    dt match {
+      case LongType => prim(PrimitiveTypeName.INT64).named(name)
+      case IntegerType => prim(PrimitiveTypeName.INT32).named(name)
+      case ShortType => prim(PrimitiveTypeName.INT32)
+        .as(LogicalTypeAnnotation.intType(16, true)).named(name)
+      case ByteType => prim(PrimitiveTypeName.INT32)
+        .as(LogicalTypeAnnotation.intType(8, true)).named(name)
+      case DoubleType => prim(PrimitiveTypeName.DOUBLE).named(name)
+      case FloatType => prim(PrimitiveTypeName.FLOAT).named(name)
+      case BooleanType => prim(PrimitiveTypeName.BOOLEAN).named(name)
+      case StringType => prim(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named(name)
+      case BinaryType => prim(PrimitiveTypeName.BINARY).named(name)
+      case DateType => prim(PrimitiveTypeName.INT32)
+        .as(LogicalTypeAnnotation.dateType()).named(name)
+      case TimestampType => prim(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+      case TimestampNTZType => prim(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+      // decimals: unscaled INT64 up to 18 digits (Spark's own
+      // compact layout), variable BINARY above — both physical
+      // encodings Spark's readers take natively
+      case d: DecimalType if d.precision <= 18 =>
+        prim(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+          .named(name)
+      case d: DecimalType =>
+        prim(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+          .named(name)
+      case st: org.apache.spark.sql.types.StructType =>
+        val gb = Types.optionalGroup()
+        st.fields.foreach(f => gb.addField(parquetType(f.dataType, f.name)))
+        gb.named(name)
+      case at: org.apache.spark.sql.types.ArrayType =>
+        Types.optionalGroup().as(LogicalTypeAnnotation.listType())
+          .addField(Types.repeatedGroup()
+            .addField(parquetType(at.elementType, "element"))
+            .named("list"))
+          .named(name)
+      case mt: org.apache.spark.sql.types.MapType =>
+        Types.optionalGroup().as(LogicalTypeAnnotation.mapType())
+          .addField(Types.repeatedGroup()
+            .addField(parquetType(mt.keyType, "key", required = true))
+            .addField(parquetType(mt.valueType, "value"))
+            .named("key_value"))
+          .named(name)
+      case other => throw new IllegalArgumentException(
+        s"txlog sink does not support column type $other " +
+          "(numeric/string/bool/date/timestamp/decimal/struct/array/" +
+          "map schemas only)")
+    }
+  }
+
+  /** Fill group field `i` of `g` from `src` at `ord` — one writer for
+    * rows, array elements and map entries (InternalRow/ArrayData both
+    * speak SpecializedGetters), recursing through nested shapes in
+    * exactly the layouts [[parquetType]] declared. Callers null-check
+    * before calling (a parquet optional field is expressed by absence). */
+  private[sources] def addTo(
+      g: org.apache.parquet.example.data.Group, i: Int,
+      dt: org.apache.spark.sql.types.DataType,
+      src: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      ord: Int): Unit = dt match {
+    case LongType => g.add(i, src.getLong(ord))
+    case IntegerType | DateType => g.add(i, src.getInt(ord))
+    case ShortType => g.add(i, src.getShort(ord).toInt)
+    case ByteType => g.add(i, src.getByte(ord).toInt)
+    case DoubleType => g.add(i, src.getDouble(ord))
+    case FloatType => g.add(i, src.getFloat(ord))
+    case BooleanType => g.add(i, src.getBoolean(ord))
+    case StringType => g.add(i, src.getUTF8String(ord).toString)
+    case BinaryType => g.add(i,
+      org.apache.parquet.io.api.Binary.fromConstantByteArray(
+        src.getBinary(ord)))
+    case TimestampType | TimestampNTZType => g.add(i, src.getLong(ord))
+    case d: DecimalType =>
+      val dec = src.getDecimal(ord, d.precision, d.scale)
+      if (d.precision <= 18) g.add(i, dec.toUnscaledLong)
+      else g.add(i,
+        org.apache.parquet.io.api.Binary.fromConstantByteArray(
+          dec.toJavaBigDecimal.unscaledValue().toByteArray))
+    case st: org.apache.spark.sql.types.StructType =>
+      val child = g.addGroup(i)
+      val row = src.getStruct(ord, st.length)
+      var j = 0
+      while (j < st.length) {
+        if (!row.isNullAt(j)) addTo(child, j, st.fields(j).dataType, row, j)
+        j += 1
+      }
+    case at: org.apache.spark.sql.types.ArrayType =>
+      val listG = g.addGroup(i)
+      val arr = src.getArray(ord)
+      var j = 0
+      while (j < arr.numElements()) {
+        val entry = listG.addGroup(0)
+        if (!arr.isNullAt(j)) addTo(entry, 0, at.elementType, arr, j)
+        j += 1
+      }
+    case mt: org.apache.spark.sql.types.MapType =>
+      val mapG = g.addGroup(i)
+      val m = src.getMap(ord)
+      val ks = m.keyArray(); val vs = m.valueArray()
+      var j = 0
+      while (j < m.numElements()) {
+        val entry = mapG.addGroup(0)
+        addTo(entry, 0, mt.keyType, ks, j)
+        if (!vs.isNullAt(j)) addTo(entry, 1, mt.valueType, vs, j)
+        j += 1
+      }
+    case other => throw new IllegalArgumentException(
+      s"unsupported type $other")
   }
 
   /** TxLog's stats dtype of a Spark type (one comparator for both
@@ -823,30 +911,8 @@ class TxLogDataWriter(base: String, txnRel: String, fileStem: String,
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
-      if (!row.isNullAt(i)) {
-        schema.fields(i).dataType match {
-          case LongType => g.add(i, row.getLong(i))
-          case IntegerType | DateType => g.add(i, row.getInt(i))
-          case ShortType => g.add(i, row.getShort(i).toInt)
-          case ByteType => g.add(i, row.getByte(i).toInt)
-          case DoubleType => g.add(i, row.getDouble(i))
-          case FloatType => g.add(i, row.getFloat(i))
-          case BooleanType => g.add(i, row.getBoolean(i))
-          case StringType => g.add(i, row.getUTF8String(i).toString)
-          case BinaryType => g.add(i,
-            org.apache.parquet.io.api.Binary.fromConstantByteArray(
-              row.getBinary(i)))
-          case TimestampType | TimestampNTZType => g.add(i, row.getLong(i))
-          case d: DecimalType =>
-            val dec = row.getDecimal(i, d.precision, d.scale)
-            if (d.precision <= 18) g.add(i, dec.toUnscaledLong)
-            else g.add(i,
-              org.apache.parquet.io.api.Binary.fromConstantByteArray(
-                dec.toJavaBigDecimal.unscaledValue().toByteArray))
-          case other => throw new IllegalArgumentException(
-            s"unsupported type $other")
-        }
-      }
+      if (!row.isNullAt(i))
+        TxLogWriteSupport.addTo(g, i, schema.fields(i).dataType, row, i)
       i += 1
     }
     writer.write(g)

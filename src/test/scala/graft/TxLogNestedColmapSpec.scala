@@ -176,10 +176,11 @@ class TxLogNestedColmapSpec extends AnyFunSuite {
     s.sql("CREATE TABLE graft.nst.t1 (k BIGINT, " +
       "s STRUCT<x: BIGINT, y: STRING>, tag STRING) USING " +
       "graft.sources.TxLogSource")
-    // the parquet-mr DSv2 sink is flat-schema-only (its documented
-    // veto) — struct batches land through the API write path
-    TxLog.append(rows(0, 30, "a").repartitionByRange(2, col("k")),
-      base, Some("k"))
+    // the parquet-mr DSv2 sink writes nested shapes too (standard
+    // 3-level layouts): the seed lands through SQL INSERT
+    s.sql("INSERT INTO graft.nst.t1 SELECT id AS k, " +
+      "named_struct('x', id * 2, 'y', concat('y', id)) AS s, " +
+      "'a' AS tag FROM range(0, 30)")
     s.sql("ALTER TABLE graft.nst.t1 RENAME COLUMN s.x TO ex")
     assert(TxLog.columnMapping(s, base).exists(_.hasNested),
       "the catalog ALTER must publish the nested mapping to the log")
@@ -191,12 +192,10 @@ class TxLogNestedColmapSpec extends AnyFunSuite {
     val shape = s.sql("SELECT s FROM graft.nst.t1").schema("s")
       .dataType.asInstanceOf[StructType].fieldNames.toSeq
     assert(shape == Seq("ex"), s"DSv2 must hide the dropped field: $shape")
-    // a write after the rename speaks the NEW logical shape; the SQL
-    // surface then serves it (frozen physical leaf names on disk)
-    TxLog.append(spark.range(100, 101).select(col("id").as("k"),
-      struct((col("id") * 2).as("ex")).as("s"), lit("b").as("tag")),
-      base, Some("k"))
-    s.sql("REFRESH TABLE graft.nst.t1")
+    // an INSERT after the rename speaks the NEW logical shape; the
+    // sink lands the frozen physical leaf names on disk
+    s.sql("INSERT INTO graft.nst.t1 SELECT 100L AS k, " +
+      "named_struct('ex', 200L) AS s, 'b' AS tag")
     assert(s.sql("SELECT s.ex FROM graft.nst.t1 WHERE k = 100").head()
       .getLong(0) == 200L)
     // a just-ADDed nested field null-fills from the declared type
@@ -266,6 +265,38 @@ class TxLogNestedColmapSpec extends AnyFunSuite {
     assert(d2.where(col("s.inner.q") === col("k") * 3).count() == 17)
     assert(d2.select(col("s.t")).as[String].collect().toSet ==
       (3L until 20L).map(_.toString).toSet)
+  }
+
+  test("the DSv2 sink round-trips ARRAY/MAP/array-of-struct through " +
+    "SQL INSERT — layouts match what the vectorized reader and the " +
+    "row decoder consume") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.TxLogCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse",
+      "/tmp/graft_txnested/warehouse")
+    val base = "/tmp/graft_txnested/warehouse/nst/t2"
+    TxLog.drop(s, base)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.nst")
+    s.sql("DROP TABLE IF EXISTS graft.nst.t2")
+    s.sql("CREATE TABLE graft.nst.t2 (k BIGINT, emb ARRAY<FLOAT>, " +
+      "m MAP<STRING, BIGINT>, asx ARRAY<STRUCT<q: BIGINT, t: STRING>>) " +
+      "USING graft.sources.TxLogSource")
+    s.sql("INSERT INTO graft.nst.t2 SELECT id AS k, " +
+      "array(cast(id * 2 AS FLOAT), cast(id * 2 + 1 AS FLOAT)) AS emb, " +
+      "map('a', id, 'b', id * 10) AS m, " +
+      "array(struct(id AS q, cast(id AS STRING) AS t)) AS asx " +
+      "FROM range(0, 25)")
+    val got = s.sql("SELECT count(*) FROM graft.nst.t2 WHERE " +
+      "element_at(emb, 1) = cast(k * 2 AS FLOAT) AND " +
+      "element_at(m, 'b') = k * 10 AND element_at(asx, 1).q = k")
+      .head().getLong(0)
+    assert(got == 25L, s"nested round-trip through the sink: $got")
+    // ... and the DV row decoder serves the sink's own files masked
+    TxLog.deleteRangeMor(s, base, "k", 0L, 4L)
+    assert(s.sql("SELECT count(*) FROM graft.nst.t2 WHERE " +
+      "element_at(emb, 2) = cast(k * 2 + 1 AS FLOAT)").head()
+      .getLong(0) == 20L)
+    s.sql("DROP TABLE graft.nst.t2")
   }
 
   test("ARRAY and MAP columns read through the DV row decoder too — " +
