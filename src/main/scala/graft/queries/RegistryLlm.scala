@@ -827,7 +827,10 @@ object RegistryLlm {
         df.select(col("doc_id"),
           explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
       def index(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
-        val toks = toksOf(df)
+        // one tokenization per batch: tf and len share the cached
+        // relation (the index build's only corpus-sized pass)
+        val toks = toksOf(df).persist()
+        try {
         val tf = toks.groupBy("term", "doc_id")
           .agg(count(lit(1)).as("tf"))
           .repartitionByRange(4, col("term")) // term-banded postings
@@ -848,6 +851,7 @@ object RegistryLlm {
           TxLog.appendOnce(st, statsBase, appId = "bm25-indexer",
             batchId = batchId)
         }
+        } finally toks.unpersist()
       }
       index(d.where(col("doc_id") % 4 =!= 0), 0L)
       val v1pairs = TxLog.read(s, postBase).count()
