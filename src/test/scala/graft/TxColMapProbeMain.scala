@@ -85,6 +85,35 @@ object TxColMapProbeMain {
     println(f"    write-volume ratio (b)/(a): " +
       f"${rewriteBytes.toDouble / math.max(1L, renameBytes)}%.0f x")
 
+    // ---- (c) tier-2 NESTED rename + nested-leaf stats at 20M --------
+    val nested = "/tmp/graft_cmprobe/nested"
+    TxLog.drop(spark, nested)
+    def nestedTable = spark.range(0, nRows)
+      .select(col("id").as("k"),
+        struct((col("id") % 97).cast("double").as("v"),
+          md5(col("id").cast("string")).as("payload")).as("s"))
+      .repartitionByRange(32, col("k"))
+    timed("seed 20M-row STRUCT table, stats on s.v + k") {
+      TxLog.commitMulti(nestedTable, nested, None, Seq("k", "s.v"))
+    }
+    val nBytesBefore = dirBytes(nested)
+    timed("(c) RENAME COLUMN s.v -> amount (nested mapping)") {
+      TxLog.renameColumn(spark, nested, "s.v", "amount")
+    }
+    println(f"    bytes written by (c): ${dirBytes(nested) - nBytesBefore}%,d " +
+      "(one manifest; zero struct bytes rewritten)")
+    val nRead = timed("snapshot read+agg via s.amount (logical struct)") {
+      TxLog.read(spark, nested).agg(sum("s.amount")).head.getDouble(0)
+    }
+    require(nRead == readBefore, "nested rename must not change data")
+    // nested-leaf pruning by the NEW logical path hits the frozen
+    // physical stats — k and s.v were both banded at write
+    val (kept, all) = timed("pruneRanges on the renamed nested leaf") {
+      TxLog.pruneRanges(spark, nested, Seq(("k", 0L, nRows / 32 / 2)))
+    }
+    println(s"    kept ${kept.size} of ${all.size} files on a half-file band")
+    require(kept.size < all.size)
+
     spark.stop()
   }
 }
