@@ -446,7 +446,12 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces
             dc.fieldNames().mkString("."))
         val name = dc.fieldNames().mkString(".")
         if (dc.fieldNames().length == 2)
-          TxLog.dropColumn(spark, base, name) // existence checked inside
+          try TxLog.dropColumn(spark, base, name) // existence checked inside
+          catch {
+            case e: IllegalArgumentException
+                if dc.ifExists() && e.getMessage.contains("does not exist") =>
+              () // DROP COLUMN IF EXISTS on a missing nested field: no-op
+          }
         else if (TxLog.latestVersion(spark, base).exists(v =>
             TxLog.columnMappingOf(spark, base, v).exists(
               _.hasLogical(name)) ||
