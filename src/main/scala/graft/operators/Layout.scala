@@ -91,9 +91,10 @@ object Layout {
     // same long (epoch-second) representation its min/max bounds use,
     // or Subtract(timestamp, bigint) fails analysis mid-rewrite
     def keyCol(c: String): Column =
-      df.schema.fields.find(_.name.equalsIgnoreCase(c)) match {
-        case Some(f)
-          if f.dataType == org.apache.spark.sql.types.TimestampType =>
+      // resolve through a projection so NESTED leaves ("s.ts") get
+      // the same timestamp treatment as flat keys
+      scala.util.Try(df.select(col(c)).schema.head.dataType).toOption match {
+        case Some(org.apache.spark.sql.types.TimestampType) =>
           col(c).cast("long")
         case _ => col(c)
       }

@@ -3064,6 +3064,12 @@ object TxLog {
         s"cannot drop the last nested column of '$top' — drop the " +
           "parent column instead")
       requireNoNestedDependents(spark, base, cur, path, "drop")
+      // structural guard, mirroring top-level DROP: a clustered leaf
+      // keys every write's tiling and the manifest's pruning index
+      require(!clusterByOf(spark, base, cur).exists(
+          _.equalsIgnoreCase(cm.physical(path))),
+        s"cannot drop column '$path': it is a CLUSTER BY key — drop " +
+          "clustering first (alterClusterBy(..., Seq.empty))")
       val dropped = cm.copy(cols =
         cm.cols.filterNot(_._1.equalsIgnoreCase(path)))
       val newDeclared = mapDeclaredStruct(
@@ -3637,11 +3643,20 @@ object TxLog {
       val (entries, txns) = manifest(spark, base, cur)
       val declared = undeclaredFallbackSchema(spark, base, cur)
       val cm = columnMappingOf(spark, base, cur)
-      val fields = clusterBy.map(c =>
-        declared.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+      // keys may be NESTED leaves ("s.ts" — the event-time-inside-a-
+      // struct fact shape): resolve by path walk, cluster on the leaf
+      val fields = clusterBy.map { c =>
+        if (c.contains("."))
+          scala.util.Try(dataTypeAt(declared, c)).toOption
+            .map(dt => org.apache.spark.sql.types.StructField(c, dt))
+            .getOrElse(throw new IllegalArgumentException(
+              s"CLUSTER BY key '$c' is not in the table schema " +
+                s"(${declared.fieldNames.mkString(", ")})"))
+        else declared.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
           throw new IllegalArgumentException(
             s"CLUSTER BY key '$c' is not in the table schema " +
-              s"(${declared.fieldNames.mkString(", ")})")))
+              s"(${declared.fieldNames.mkString(", ")})"))
+      }
       validateClusterKeys(fields, partitionSpec(spark, base).map(p =>
         cm.map(_.logicalOf(p._1)).getOrElse(p._1)))
       val phys = fields.map(f =>
@@ -3915,7 +3930,13 @@ object TxLog {
                           df: DataFrame): (DataFrame, Seq[String]) = {
     val keys = clusterKeys(spark, base)
     if (keys.isEmpty) return (df, Seq.empty)
-    val resolved = keys.flatMap(k => df.columns.find(_.equalsIgnoreCase(k)))
+    // keys are PHYSICAL; the df is in physical namespace here. A
+    // dotted key resolves by path walk (nested leaf clustering)
+    val resolved = keys.flatMap { k =>
+      if (k.contains(".")) {
+        if (hasPath(df.schema, k)) Some(k) else None
+      } else df.columns.find(_.equalsIgnoreCase(k))
+    }
     if (resolved.size != keys.size) return (df, Seq.empty)
     val n = math.max(1, df.rdd.getNumPartitions)
     val tiled =

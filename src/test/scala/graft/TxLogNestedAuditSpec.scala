@@ -59,10 +59,11 @@ class TxLogNestedAuditSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       TxLog.alterWidenColumn(spark, base, "s", LongType)
     }.getMessage.contains("widenings"))
-    // CLUSTER BY: dotted key not in schema → loud; the struct itself
-    // fails the interleave type rule
+    // CLUSTER BY a nested LEAF is a real verb since r15
+    // (TxLogNestedColmapSpec holds its laws); a MISSING dotted key and
+    // the struct ITSELF (interleave type rule) stay loud
     assert(intercept[IllegalArgumentException] {
-      TxLog.alterClusterBy(spark, base, Seq("s.x", "k"))
+      TxLog.alterClusterBy(spark, base, Seq("s.nope", "k"))
     }.getMessage.contains("not in the table schema"))
     assert(intercept[IllegalArgumentException] {
       TxLog.alterClusterBy(spark, base, Seq("s", "k"))

@@ -322,6 +322,44 @@ class TxLogNestedColmapSpec extends AnyFunSuite {
       .count() == 15, "array-of-struct recurses through the decoder")
   }
 
+  test("CLUSTER BY a nested leaf (event-time-inside-a-struct): " +
+    "appends tile on the (s.x, k) interleave with stats on BOTH keys, " +
+    "a 2-D box prunes, the OPTIMIZE sweep re-tiles stat-less history, " +
+    "and dropping the clustered leaf is vetoed") {
+    val base = "/tmp/graft_txnested/cluster"
+    TxLog.drop(spark, base)
+    // pre-clustering history: unordered, no s.x stats (weak files)
+    TxLog.commit(rows(0, 200, "a").repartition(4), base, None, Some("k"))
+    TxLog.alterClusterBy(spark, base, Seq("s.x", "k"))
+    val vBefore = TxLog.latestVersion(spark, base).get
+    TxLog.append(rows(200, 200, "b").repartition(4), base, Some("k"))
+    val vApp = TxLog.latestVersion(spark, base).get
+    val prevPaths = TxLog.manifest(spark, base, vBefore)._1.map(_.path).toSet
+    val appended = TxLog.manifest(spark, base, vApp)._1
+      .filterNot(e => prevPaths.contains(e.path))
+    assert(appended.nonEmpty && appended.forall(e =>
+      e.statsFor("s.x").isDefined && e.statsFor("k").isDefined),
+      "clustered appends must land stats on the nested leaf AND k")
+    // the OPTIMIZE sweep (2 keys → zorder) re-tiles the stat-less
+    // pre-clustering history into interleave-banded files
+    val vOpt = TxLog.compact(spark, base, smallThresholdRows = 60L,
+      targetRows = 80L)
+    assert(vOpt > vApp, "stat-less history must be swept")
+    val after = TxLog.manifest(spark, base, vOpt)._1
+    assert(after.forall(e => e.statsFor("s.x").isDefined))
+    val (kept, all) = TxLog.pruneRanges(spark, base,
+      Seq(("s.x", 0L, 99L), ("k", 0L, 49L)))
+    assert(kept.size < all.size,
+      s"a 2-D box on (s.x, k) must prune: kept ${kept.size} of ${all.size}")
+    assert(TxLog.read(spark, base).count() == 400)
+    assert(TxLog.read(spark, base)
+      .where(col("s.x") === col("k") * 2).count() == 400,
+      "re-tiling is content-identical")
+    val e = intercept[IllegalArgumentException](
+      TxLog.dropColumn(spark, base, "s.x"))
+    assert(e.getMessage.contains("CLUSTER BY"))
+  }
+
   test("a table with deeper nesting vetoes loudly: tier 2 is one " +
     "struct level") {
     val base = "/tmp/graft_txnested/deep"
