@@ -3595,11 +3595,20 @@ object TxLog {
   private[graft] def resolveClusterKeys(
       schema: org.apache.spark.sql.types.StructType,
       clusterBy: Seq[String], partitionCols: Seq[String]): Seq[String] = {
-    val fields = clusterBy.map(c =>
-      schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+    // nested LEAVES ("s.ts") cluster too — resolved by path walk,
+    // declared under the path as typed (same as alterClusterBy)
+    val fields = clusterBy.map { c =>
+      if (c.contains("."))
+        scala.util.Try(dataTypeAt(schema, c)).toOption
+          .map(dt => org.apache.spark.sql.types.StructField(c, dt))
+          .getOrElse(throw new IllegalArgumentException(
+            s"CLUSTER BY key '$c' is not in the declared schema " +
+              s"(${schema.fieldNames.mkString(", ")})"))
+      else schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
           s"CLUSTER BY key '$c' is not in the declared schema " +
-            s"(${schema.fieldNames.mkString(", ")})")))
+            s"(${schema.fieldNames.mkString(", ")})"))
+    }
     validateClusterKeys(fields, partitionCols)
     fields.map(_.name)
   }

@@ -358,6 +358,25 @@ class TxLogNestedColmapSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       TxLog.dropColumn(spark, base, "s.x"))
     assert(e.getMessage.contains("CLUSTER BY"))
+    // declaration at BIRTH takes the nested key too
+    val base2 = "/tmp/graft_txnested/cluster2"
+    TxLog.drop(spark, base2)
+    TxLog.createTable(spark, base2,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("x",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("y",
+              org.apache.spark.sql.types.StringType)))))),
+      clusterBy = Seq("s.x", "k"))
+    TxLog.append(rows(0, 100, "a").repartition(2), base2, Some("k"))
+    assert(TxLog.manifest(spark, base2,
+        TxLog.latestVersion(spark, base2).get)._1
+      .forall(_.statsFor("s.x").isDefined),
+      "a birth-declared nested cluster key stats every append")
   }
 
   test("a table with deeper nesting vetoes loudly: tier 2 is one " +
