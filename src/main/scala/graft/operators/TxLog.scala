@@ -5706,6 +5706,103 @@ object TxLog {
     * skipped — those entries stay conservatively scanned, sound.
     * Returns ref-carrying entries plus the landed sidecar dirs, which
     * the CALLER must discard on terminal commit failure. */
+  /** Collect per-file min/max stats on a VARIANT extraction path —
+    * Delta collects stats on shredded variant leaves for skipping;
+    * here the collection is an explicit maintenance verb (the
+    * [[buildBloomIndex]] pattern) that works on SHREDDED and
+    * unshredded files alike, because the stats compute through
+    * `try_variant_get` — the exact expression queries skip with. The
+    * stats key is `<physCol><path>` (e.g. "v$.id"): a TYPED scalar
+    * key distinct from the variant column itself, whose stats stay
+    * vetoed (a ragged variant has no total order; a typed path does).
+    * Sound by construction: files landing AFTER the collection carry
+    * no path stats and never skip until a re-collection, and physical
+    * rewrites (OPTIMIZE / COW DML) drop the key the same conservative
+    * way. One metadata commit republishes the entries with the merged
+    * stats — zero data files move. */
+  def collectVariantStats(spark: SparkSession, base: String,
+                          column0: String, path: String,
+                          targetType: String,
+                          maxAttempts: Int = 5): Long = {
+    require(path.startsWith("$"),
+      s"variant path must start with '$$' (got '$path')")
+    val (dtype, sparkT) = targetType.toLowerCase match {
+      case "long" | "bigint" | "int" | "integer" => ("long", "bigint")
+      case "double" | "float" => ("double", "double")
+      case "string" => ("string", "string")
+      case "date" => ("date", "date")
+      case other => throw new IllegalArgumentException(
+        s"unsupported variant stats type '$other' " +
+          "(long/double/string/date)")
+    }
+    import org.apache.spark.sql.functions._
+    val phys = physicalName(spark, base, column0)
+    val key = s"$phys$path"
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val (entries, txns) = manifest(spark, base, cur)
+      val statable = entries.filter(_.rows != 0L)
+      if (statable.isEmpty) cur
+      else {
+        val raw = spark.read
+          .parquet(statable.map(e => resolve(base, e.path)): _*)
+        val ext = try_variant_get(col(phys), path, sparkT)
+        val castT = castType(dtype)
+        // one aggregate scan, one tiny row per file on the driver.
+        // Keyed by the path's last components (txn-dir/filename —
+        // part names carry job UUIDs), an O(1) lookup per entry
+        def sfx(p: String, n: Int) =
+          p.split('/').takeRight(n).mkString("/")
+        val byFile = raw
+          .groupBy(col("_metadata.file_path").as("__fp"))
+          .agg(min(ext.cast(castT)).cast("string").as("__min"),
+            max(ext.cast(castT)).cast("string").as("__max"))
+          .collect()
+          .flatMap { r =>
+            val v2 = (Option(r.getString(1)), Option(r.getString(2)))
+            Seq(sfx(r.getString(0), 2) -> v2, sfx(r.getString(0), 1) -> v2)
+          }.toMap
+        val updated = entries.map { e =>
+          byFile.get(sfx(e.path, if (e.path.contains('/')) 2 else 1)) match {
+            case Some((Some(mn), Some(mx))) =>
+              e.copy(stats = e.stats.filterNot(_.column == key) :+
+                ColStats(key, dtype, mn, mx))
+            case _ => e // all-NULL path (or no rows): no stats = keep
+          }
+        }
+        publishEntries(spark, base, cur + 1L, updated, txns,
+          dataChange = false, operation = "COLLECT STATS")
+        cur + 1L
+      }
+    }
+  }
+
+  /** Range read over a VARIANT extraction path: prune files whose
+    * collected path stats ([[collectVariantStats]]) cannot overlap
+    * [lo, hi] — unstatted files conservatively survive — then scan
+    * only the survivors with the row-level `variant_get` residual.
+    * At 100 TB this turns a typed query over semi-structured bronze
+    * ("$.price between …") into a band scan, exactly what Delta's
+    * shredded-leaf stats buy. */
+  def readVariantRange(spark: SparkSession, base: String, column0: String,
+                       path: String, targetType: String,
+                       lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val v = latestVersion(spark, base).getOrElse(
+      throw new IllegalStateException(s"no committed version at $base"))
+    val key = s"${physicalName(spark, base, column0)}$path"
+    val (l, h) = (reprOf(lo), reprOf(hi))
+    val kept = TxLogPlan.pruneEntriesForScan(spark, base, v,
+        Seq((key, l, h)))
+      .getOrElse(manifest(spark, base, v)._1
+        .filter(touchesRange(_, key, l, h)))
+    if (kept.isEmpty) read(spark, base).where(lit(false))
+    else logicalView(spark, base, readEntriesCurrent(spark, base, kept))
+      .where(try_variant_get(col(column0), path, targetType)
+        .between(lit(lo), lit(hi)))
+  }
+
   private[graft] def indexNewEntries(spark: SparkSession, base: String,
                               entries: Seq[Entry])
       : (Seq[Entry], Seq[String]) = {

@@ -151,6 +151,73 @@ class TxLogVariantSpec extends AnyFunSuite {
       .count() == 7)
   }
 
+  test("variant-path stats (Delta's shredded-leaf skipping): " +
+    "collectVariantStats lands typed per-file min/max on '$.id' as a " +
+    "metadata-only commit — works on SHREDDED adopted files too — " +
+    "readVariantRange prunes to the band, new appends conservatively " +
+    "never skip until re-collection, and the variant COLUMN's own " +
+    "stats stay vetoed") {
+    val base = "/tmp/graft_txvariant/pathstats"
+    TxLog.drop(spark, base)
+    TxLog.commit(bronze("a", 0 until 80)
+      .repartitionByRange(4, col("k")), base, None, Some("k"))
+    val files1 = TxLog.manifestFiles(spark, base, 1L).toSet
+    val v = TxLog.collectVariantStats(spark, base, "v", "$.id", "long")
+    assert(v == 2L &&
+      TxLog.manifestFiles(spark, base, v).toSet == files1,
+      "stats collection must be metadata-only: zero files moved")
+    val entries = TxLog.manifest(spark, base, v)._1
+    assert(entries.forall(_.statsFor("v$.id").isDefined),
+      "every banded file carries min/max on the extraction path")
+    assert(entries.forall(_.statsFor("v").isEmpty),
+      "the variant column ITSELF stays stats-free")
+    // skipping: a narrow band keeps a strict subset of files
+    val kept = entries.filter(e =>
+      TxLog.touchesRange(e, "v$.id", "10", "19"))
+    assert(kept.size < entries.size,
+      s"the path band must prune: kept ${kept.size} of ${entries.size}")
+    assert(TxLog.readVariantRange(spark, base, "v", "$.id", "long",
+        10L, 19L)
+      .select(variant_get(col("v"), "$.id", "long")).as[Long]
+      .collect().toSet == (10L to 19L).toSet)
+    // an append WITHOUT a re-collection: its file has no path stats,
+    // so it conservatively survives every band (sound), and the range
+    // read stays exact through the residual
+    TxLog.append(bronze("b", 1000 until 1010).coalesce(1), base,
+      Some("k"))
+    val v3 = TxLog.latestVersion(spark, base).get
+    val fresh = TxLog.manifest(spark, base, v3)._1
+      .filterNot(e => files1.contains(e.path))
+    assert(fresh.nonEmpty && fresh.forall(_.statsFor("v$.id").isEmpty))
+    assert(fresh.forall(e => TxLog.touchesRange(e, "v$.id", "10", "19")),
+      "an unstatted file must conservatively survive the band")
+    assert(TxLog.readVariantRange(spark, base, "v", "$.id", "long",
+        10L, 19L).count() == 10L)
+    // re-collection picks the new file up; the band prunes it again
+    TxLog.collectVariantStats(spark, base, "v", "$.id", "long")
+    val after = TxLog.manifest(spark, base,
+      TxLog.latestVersion(spark, base).get)._1
+    assert(after.forall(_.statsFor("v$.id").isDefined))
+    assert(!after.filter(e => e.statsFor("v$.id")
+        .exists(st => st.min == "1000")).exists(e =>
+      TxLog.touchesRange(e, "v$.id", "10", "19")))
+    // SHREDDED adoption surface: stats collect through try_variant_get
+    // on a directory stock Spark wrote shredded
+    val shred = "/tmp/graft_txvariant/pathstats_shred"
+    TxLog.drop(spark, shred)
+    bronze("s", 0 until 40).repartitionByRange(2, col("k"))
+      .write.mode("overwrite").parquet(shred)
+    TxLog.convertParquet(spark, shred, Seq("k"))
+    TxLog.collectVariantStats(spark, shred, "v", "$.id", "long")
+    val se = TxLog.manifest(spark, shred,
+      TxLog.latestVersion(spark, shred).get)._1
+    assert(se.forall(_.statsFor("v$.id").isDefined))
+    assert(se.count(e => TxLog.touchesRange(e, "v$.id", "0", "9")) <
+      se.size, "shredded-leaf stats must prune the adopted files")
+    assert(TxLog.readVariantRange(spark, shred, "v", "$.id", "long",
+        0L, 9L).count() == 10L)
+  }
+
   test("interaction: a MOR delete masks variant rows without " +
     "rewriting them, and the mask survives OPTIMIZE") {
     val base = "/tmp/graft_txvariant/mor"
