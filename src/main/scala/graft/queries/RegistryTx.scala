@@ -312,6 +312,62 @@ object RegistryTx {
           sum(col("score").cast("decimal(18,6)")).cast("double")
             .as("sum_score"))
         .orderBy("lang2")
+    }),
+
+    // Variant-path stats (Delta's shredded-leaf skipping, the r14
+    // verdict's missing #2 tail): the variant COLUMN itself has no
+    // total order so its stats stay vetoed, but a TYPED extraction
+    // path does — collectVariantStats lands per-file min/max on
+    // `v$.len` as one metadata commit (zero data files move, works on
+    // shredded and unshredded layouts alike because it computes
+    // through try_variant_get), and readVariantRange turns a typed
+    // band over semi-structured bronze into a pruned band scan. The
+    // chain pins the maintenance loop: land → collect → later ingest
+    // (conservatively scanned, no stats yet) → re-collect → band
+    // read. Oracle: the band recomputed relationally from documents.
+    "s89_variant_path_stats" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txvariant_pathstats"
+      TxLog.drop(s, base)
+      val d = t(s, dir, "documents")
+      // ragged crawl shapes: one in four records has no `len` at all
+      def toBronze(df: DataFrame) = df
+        .select(col("doc_id"), (col("doc_id") % 4).as("m"),
+          col("lang"), col("n_chars"))
+        .select(col("doc_id"), parse_json(
+            when(col("m") === 3,
+              to_json(struct(col("doc_id").as("id"), col("lang"))))
+            .otherwise(to_json(struct(col("doc_id").as("id"),
+              col("lang"), col("n_chars").as("len"))))).as("v"))
+      // land range-banded on the length so the path band can prune
+      TxLog.commit(toBronze(d.where(col("doc_id") % 10 < 8)
+          .repartitionByRange(4, col("n_chars"))),
+        base, None, Some("doc_id"))
+      val files1 = TxLog.manifestFiles(s, base, 1L).toSet
+      val v2 = TxLog.collectVariantStats(s, base, "v", "$.len", "long")
+      require(v2 == 2L && TxLog.manifestFiles(s, base, v2).toSet == files1,
+        "variant-path stats collection must be metadata-only")
+      val entries = TxLog.manifest(s, base, v2)._1
+      require(entries.forall(_.statsFor("v$.len").isDefined),
+        "every banded file must carry min/max on the extraction path")
+      require(entries.forall(_.statsFor("v").isEmpty),
+        "the variant column's own stats stay vetoed")
+      require(entries.count(e =>
+          TxLog.touchesRange(e, "v$.len", "150", "299")) < entries.size,
+        "the typed path band must prune the banded files")
+      // a later ingest batch: no path stats until the next sweep —
+      // conservatively scanned, never wrongly skipped
+      TxLog.append(toBronze(d.where(col("doc_id") % 10 >= 8))
+        .coalesce(1), base, Some("doc_id"))
+      TxLog.collectVariantStats(s, base, "v", "$.len", "long")
+      TxLog.cachePurge(base)
+      TxLog.readVariantRange(s, base, "v", "$.len", "long", 150L, 299L)
+        .select(variant_get(col("v"), "$.id", "long").as("id"),
+          variant_get(col("v"), "$.lang", "string").as("lang2"),
+          variant_get(col("v"), "$.len", "long").as("len"))
+        .groupBy("lang2")
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          sum(col("len")).as("sum_len"))
+        .orderBy("lang2")
     }))
 
   private val streamDefs: Map[String, Q] = Map(
@@ -415,6 +471,14 @@ object RegistryTx {
                 cast(sum(cast(score AS DECIMAL(18,6))) AS DOUBLE)
                   AS sum_score
          FROM x GROUP BY 1 ORDER BY 1""",
+    "s89_variant_path_stats" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars FROM documents
+                    WHERE doc_id % 4 <> 3
+                      AND n_chars BETWEEN 150 AND 299)
+         SELECT lang AS lang2, count(*) AS n,
+                cast(sum(doc_id) AS BIGINT) AS sum_id,
+                cast(sum(n_chars) AS BIGINT) AS sum_len
+         FROM t GROUP BY 1 ORDER BY 1""",
     "s83_parquet_checkpoint" ->
       """WITH t AS (SELECT cast(o_orderkey AS BIGINT) AS k,
                            cast(o_totalprice AS DOUBLE) AS price
