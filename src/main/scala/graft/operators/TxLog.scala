@@ -1374,6 +1374,32 @@ object TxLog {
                        v: Long): Seq[(String, String)] =
     parseDefaultLines(manifestLines(spark, base, v))
 
+  /** `#varstats\t<enc(physCol)>\t<enc(path)>\t<dtype>` — DECLARED
+    * variant extraction paths ([[declareVariantStats]]): every
+    * subsequent API-verb write collects per-file min/max on
+    * `try_variant_get(col, path)` in the same scan as its ordinary
+    * stats columns, so typed skipping over semi-structured bronze
+    * stays FRESH without maintenance sweeps (Delta's shredded-leaf
+    * stats collected at write). Keyed on the frozen PHYSICAL column
+    * name like `#widencol`, carried forward by every commit, reset by
+    * REPLACE TABLE. NOT writer-gated and NOT in the re-base meta
+    * signature: a writer that drops the line (or lands entries
+    * without the key) only loses skipping freshness — files without
+    * path stats are conservatively scanned, never wrongly pruned. */
+  private[graft] def parseVarStatsLines(lines: Seq[String])
+      : Seq[(String, String, String)] =
+    lines.collect { case l if l.startsWith("#varstats\t") =>
+      l.split('\t') match {
+        case Array(_, c, p, t) => (dec(c), dec(p), t)
+        case other => throw new IllegalStateException(
+          s"malformed varstats line (${other.length} fields)")
+      }
+    }
+
+  def variantStatsOf(spark: SparkSession, base: String,
+                     v: Long): Seq[(String, String, String)] =
+    parseVarStatsLines(manifestLines(spark, base, v))
+
   private[graft] def defaultColumns(spark: SparkSession,
                                     base: String): Seq[(String, String)] =
     latestVersion(spark, base)
@@ -2413,7 +2439,8 @@ object TxLog {
     }
     val cons = parseConstraintLines(latestLines)
     val entries =
-      landEntriesRaw(df2, base, statsCols, parsePartitionLines(latestLines))
+      landEntriesRaw(df2, base, statsCols, parsePartitionLines(latestLines),
+        parseVarStatsLines(latestLines))
     // the one choke point every data write passes through — CHECK
     // constraints veto the batch here, before any manifest publishes
     val genChecks = gens.map { case (c, ex) =>
@@ -2428,7 +2455,9 @@ object TxLog {
     * mimic that path. API verbs go through [[landEntriesChecked]]. */
   private[graft] def landEntriesRaw(df: DataFrame, base: String,
                                     statsCols: Seq[String],
-                                    pcols: Seq[(String, String)] = Seq.empty)
+                                    pcols: Seq[(String, String)] = Seq.empty,
+                                    varStats: Seq[(String, String, String)] =
+                                      Seq.empty)
       : Seq[Entry] = {
     // a partitioned table's batches MUST carry every partition column
     // (Delta rejects the same), and partition columns are always
@@ -2447,6 +2476,25 @@ object TxLog {
     val pNames = pcols.map(_._1.toLowerCase).toSet
     val dtypes = pcols ++ statsCols.filterNot(c => pNames.contains(c.toLowerCase))
       .map(c => c -> statsDtype(dataTypeAt(df.schema, c)))
+    // declared variant-path stats ride the same collection scan: a
+    // declared path whose column this batch doesn't carry (schema
+    // evolution) is skipped — its entries stay conservatively scanned,
+    // sound, until the column lands again or a maintenance re-collect
+    import org.apache.spark.sql.functions.try_variant_get
+    val have2 = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.VariantType] =>
+        f.name.toLowerCase -> f.name
+    }.toMap
+    val varSpecs = varStats.flatMap { case (c, p, t) =>
+      // the KEY keeps the declared physical casing (Entry.statsFor is
+      // exact-match); only column RESOLUTION follows the batch's
+      have2.get(c.toLowerCase).map { actual =>
+        val (dtype, sparkT) = variantStatsTarget(t)
+        (s"$c$p",
+          try_variant_get(org.apache.spark.sql.functions.col(actual),
+            p, sparkT), dtype)
+      }
+    }
     val rels = land(df, base, pcols.map(_._1))
     if (rels.isEmpty) Seq.empty // all-empty write: no part files
     else {
@@ -2457,23 +2505,31 @@ object TxLog {
       // purge must not silently demote the table to rows=-1
       val spark = df.sparkSession
       val txnDir = s"$base/${rels.head.split('/').dropRight(1).mkString("/")}"
-      val byFile = statsByFile(spark.read.parquet(txnDir), dtypes)
-      rels.map(rel => entryFromStats(rel, byFile, dtypes))
+      val specs = dtypes.map { case (c, t) =>
+        (c, org.apache.spark.sql.functions.col(c), t) } ++ varSpecs
+      val byFile = statsByFile(spark.read.parquet(txnDir), specs)
+      val keys = specs.map { case (k, _, t) => (k, t) }
+      rels.map(rel => entryFromStats(rel, byFile, keys))
     }
   }
 
   /** Per-file row counts and min/max stats for `raw` (any parquet
     * read), keyed by file NAME: one aggregate scan with map-side
     * combine, one tiny row per file back on the driver. Shared by the
-    * land path and [[convertParquet]]. */
-  private def statsByFile(raw: DataFrame, dtypes: Seq[(String, String)])
+    * land path and [[convertParquet]]. Each spec is (stats key,
+    * source EXPRESSION, dtype) — plain columns pass `col(c)`; the
+    * declared variant-path stats ([[declareVariantStats]]) pass the
+    * `try_variant_get` extraction, so a semi-structured batch collects
+    * typed skipping stats in the SAME single scan as its siblings. */
+  private def statsByFile(raw: DataFrame,
+                          specs: Seq[(String, org.apache.spark.sql.Column, String)])
       : Map[String, org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions._
     val aggs = count(lit(1)).as("__rows") +:
-      dtypes.zipWithIndex.flatMap { case ((c, t), i) =>
+      specs.zipWithIndex.flatMap { case ((_, ex, t), i) =>
         val castT = castType(t)
-        Seq(min(col(c).cast(castT)).cast("string").as(s"__min$i"),
-          max(col(c).cast(castT)).cast("string").as(s"__max$i"))
+        Seq(min(ex.cast(castT)).cast("string").as(s"__min$i"),
+          max(ex.cast(castT)).cast("string").as(s"__max$i"))
       }
     raw.groupBy(element_at(split(col("_metadata.file_path"), "/"), -1)
         .as("__file"))
@@ -2485,10 +2541,10 @@ object TxLog {
 
   private def entryFromStats(rel: String,
                              byFile: Map[String, org.apache.spark.sql.Row],
-                             dtypes: Seq[(String, String)]): Entry =
+                             keys: Seq[(String, String)]): Entry =
     byFile.get(rel.split('/').last) match {
       case Some(r) =>
-        val cols = dtypes.zipWithIndex.flatMap { case ((c, t), i) =>
+        val cols = keys.zipWithIndex.flatMap { case ((c, t), i) =>
           (Option(r.getString(2 + 2 * i)), Option(r.getString(3 + 2 * i))) match {
             case (Some(mn), Some(mx)) => Some(ColStats(c, t, mn, mx))
             case _ => None // all-NULL column in this file
@@ -2528,7 +2584,9 @@ object TxLog {
     val paths = rootFiles.map(n => s"$base/$n")
     val schema = spark.read.parquet(paths: _*).schema
     val dtypes = statsCols.map(c => c -> statsDtype(schema(c).dataType))
-    val byFile = statsByFile(spark.read.parquet(paths: _*), dtypes)
+    val byFile = statsByFile(spark.read.parquet(paths: _*),
+      dtypes.map { case (c, t) =>
+        (c, org.apache.spark.sql.functions.col(c), t) })
     val entries = rootFiles.map(entryFromStats(_, byFile, dtypes))
     publishEntries(spark, base, 1L, entries, Map.empty,
       operation = "CONVERT")
@@ -3218,6 +3276,8 @@ object TxLog {
                                     clearRowIds: Boolean = false,
                                     recomputeProtocol: Boolean = false,
                                     deltaChange: Option[Seq[String]] =
+                                      None,
+                                    varStatsOverride: Option[Seq[(String, String, String)]] =
                                       None): Unit = {
     // a concurrent vacuum can delete the version this commit diffs
     // against (the committer's snapshot is stale by definition then —
@@ -3262,6 +3322,10 @@ object TxLog {
     // definition's physical columns)
     val cluster = if (clearColMap) Seq.empty
                   else clusterOverride.getOrElse(parseClusterLines(latestLines))
+    // ... and declared variant-stats paths (keyed on the old
+    // definition's physical variant columns)
+    val vstats = if (clearColMap) varStatsOverride.getOrElse(Seq.empty)
+                 else varStatsOverride.getOrElse(parseVarStatsLines(latestLines))
     // row tracking: the ONE assignment choke point — every commit to
     // a tracked table gives each new known-count file a contiguous id
     // span above the high-water and republishes the advanced water.
@@ -3353,6 +3417,7 @@ object TxLog {
       widen.map { case (c, dt) => s"#widencol\t${enc(c)}\t${enc(dt.json)}" } ++
       gens.map { case (c, ex) => s"#generatedcol\t${enc(c)}\t${enc(ex)}" } ++
       dflt.map { case (c, ex) => s"#defaultcol\t${enc(c)}\t${enc(ex)}" } ++
+      vstats.map { case (c, p, t) => s"#varstats\t${enc(c)}\t${enc(p)}\t$t" } ++
       cmap.toSeq.map(serColMapLine) ++
       cons.toSeq.sortBy(_._1).map { case (n, ex) =>
         s"#constraint\t${enc(n)}\t${enc(ex)}" } ++
@@ -5720,13 +5785,8 @@ object TxLog {
     * rewrites (OPTIMIZE / COW DML) drop the key the same conservative
     * way. One metadata commit republishes the entries with the merged
     * stats — zero data files move. */
-  def collectVariantStats(spark: SparkSession, base: String,
-                          column0: String, path: String,
-                          targetType: String,
-                          maxAttempts: Int = 5): Long = {
-    require(path.startsWith("$"),
-      s"variant path must start with '$$' (got '$path')")
-    val (dtype, sparkT) = targetType.toLowerCase match {
+  private[graft] def variantStatsTarget(targetType: String): (String, String) =
+    targetType.toLowerCase match {
       case "long" | "bigint" | "int" | "integer" => ("long", "bigint")
       case "double" | "float" => ("double", "double")
       case "string" => ("string", "string")
@@ -5735,46 +5795,129 @@ object TxLog {
         s"unsupported variant stats type '$other' " +
           "(long/double/string/date)")
     }
+
+  /** One aggregate scan over `entries`' files computing min/max of
+    * `try_variant_get(phys, path)` per file, merged back into each
+    * entry under the stats key `<phys><path>`. All-NULL (or no-row)
+    * files keep no stats — conservatively scanned, sound. */
+  private def mergeVariantPathStats(spark: SparkSession, base: String,
+                                    entries: Seq[Entry], phys: String,
+                                    path: String, dtype: String,
+                                    sparkT: String): Seq[Entry] = {
     import org.apache.spark.sql.functions._
-    val phys = physicalName(spark, base, column0)
     val key = s"$phys$path"
+    val statable = entries.filter(_.rows != 0L)
+    if (statable.isEmpty) entries
+    else {
+      val raw = spark.read
+        .parquet(statable.map(e => resolve(base, e.path)): _*)
+      val ext = try_variant_get(col(phys), path, sparkT)
+      val castT = castType(dtype)
+      // one aggregate scan, one tiny row per file on the driver.
+      // Keyed by the path's last components (txn-dir/filename —
+      // part names carry job UUIDs), an O(1) lookup per entry
+      def sfx(p: String, n: Int) =
+        p.split('/').takeRight(n).mkString("/")
+      val byFile = raw
+        .groupBy(col("_metadata.file_path").as("__fp"))
+        .agg(min(ext.cast(castT)).cast("string").as("__min"),
+          max(ext.cast(castT)).cast("string").as("__max"))
+        .collect()
+        .flatMap { r =>
+          val v2 = (Option(r.getString(1)), Option(r.getString(2)))
+          Seq(sfx(r.getString(0), 2) -> v2, sfx(r.getString(0), 1) -> v2)
+        }.toMap
+      entries.map { e =>
+        byFile.get(sfx(e.path, if (e.path.contains('/')) 2 else 1)) match {
+          case Some((Some(mn), Some(mx))) =>
+            e.copy(stats = e.stats.filterNot(_.column == key) :+
+              ColStats(key, dtype, mn, mx))
+          case _ => e // all-NULL path (or no rows): no stats = keep
+        }
+      }
+    }
+  }
+
+  def collectVariantStats(spark: SparkSession, base: String,
+                          column0: String, path: String,
+                          targetType: String,
+                          maxAttempts: Int = 5): Long = {
+    require(path.startsWith("$"),
+      s"variant path must start with '$$' (got '$path')")
+    val (dtype, sparkT) = variantStatsTarget(targetType)
+    val phys = physicalName(spark, base, column0)
     withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base).getOrElse(
         throw new IllegalStateException(s"no committed version at $base"))
       val (entries, txns) = manifest(spark, base, cur)
-      val statable = entries.filter(_.rows != 0L)
-      if (statable.isEmpty) cur
+      if (entries.forall(_.rows == 0L)) cur
       else {
-        val raw = spark.read
-          .parquet(statable.map(e => resolve(base, e.path)): _*)
-        val ext = try_variant_get(col(phys), path, sparkT)
-        val castT = castType(dtype)
-        // one aggregate scan, one tiny row per file on the driver.
-        // Keyed by the path's last components (txn-dir/filename —
-        // part names carry job UUIDs), an O(1) lookup per entry
-        def sfx(p: String, n: Int) =
-          p.split('/').takeRight(n).mkString("/")
-        val byFile = raw
-          .groupBy(col("_metadata.file_path").as("__fp"))
-          .agg(min(ext.cast(castT)).cast("string").as("__min"),
-            max(ext.cast(castT)).cast("string").as("__max"))
-          .collect()
-          .flatMap { r =>
-            val v2 = (Option(r.getString(1)), Option(r.getString(2)))
-            Seq(sfx(r.getString(0), 2) -> v2, sfx(r.getString(0), 1) -> v2)
-          }.toMap
-        val updated = entries.map { e =>
-          byFile.get(sfx(e.path, if (e.path.contains('/')) 2 else 1)) match {
-            case Some((Some(mn), Some(mx))) =>
-              e.copy(stats = e.stats.filterNot(_.column == key) :+
-                ColStats(key, dtype, mn, mx))
-            case _ => e // all-NULL path (or no rows): no stats = keep
-          }
-        }
+        val updated = mergeVariantPathStats(spark, base, entries, phys,
+          path, dtype, sparkT)
         publishEntries(spark, base, cur + 1L, updated, txns,
           dataChange = false, operation = "COLLECT STATS")
         cur + 1L
       }
+    }
+  }
+
+  /** DECLARE a variant extraction path for write-time stats (the
+    * standing twin of the one-shot [[collectVariantStats]] sweep —
+    * Delta's shredded-leaf stats collected AT WRITE): one commit
+    * back-fills min/max on every existing file AND lands the
+    * `#varstats` meta line, after which every API-verb write collects
+    * the path's stats on its new files in the same scan as its
+    * ordinary stats columns — [[readVariantRange]] prunes fresh
+    * ingest immediately, no maintenance sweep needed. The DSv2 sink
+    * path (executor-side stats) does not collect declared paths; its
+    * files stay conservatively scanned until the next sweep — sound.
+    * Declared on the frozen PHYSICAL name, so a later logical rename
+    * of the column keeps collection and old stats keys aligned. */
+  def declareVariantStats(spark: SparkSession, base: String,
+                          column0: String, path: String,
+                          targetType: String,
+                          maxAttempts: Int = 5): Long = {
+    require(path.startsWith("$"),
+      s"variant path must start with '$$' (got '$path')")
+    val (dtype, sparkT) = variantStatsTarget(targetType)
+    val phys = physicalName(spark, base, column0)
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val declared = variantStatsOf(spark, base, cur)
+      require(!declared.exists(d => d._1 == phys && d._2 == path),
+        s"variant stats already declared for $phys$path")
+      val (entries, txns) = manifest(spark, base, cur)
+      val updated = mergeVariantPathStats(spark, base, entries, phys,
+        path, dtype, sparkT)
+      publishEntries(spark, base, cur + 1L, updated, txns,
+        dataChange = false, operation = "DECLARE VARIANT STATS",
+        varStatsOverride = Some(declared :+ ((phys, path, dtype))))
+      cur + 1L
+    }
+  }
+
+  /** Undeclare a variant stats path: one metadata commit drops the
+    * `#varstats` line so future writes stop collecting. Existing
+    * per-file stats stay — they remain TRUE of their (immutable)
+    * files, so leaving them costs nothing and keeps the drop O(1)
+    * instead of republishing every entry of a large table. */
+  def dropVariantStats(spark: SparkSession, base: String,
+                       column0: String, path: String,
+                       maxAttempts: Int = 5): Long = {
+    val phys = physicalName(spark, base, column0)
+    withCasRetry(maxAttempts) { _ =>
+      val cur = latestVersion(spark, base).getOrElse(
+        throw new IllegalStateException(s"no committed version at $base"))
+      val declared = variantStatsOf(spark, base, cur)
+      require(declared.exists(d => d._1 == phys && d._2 == path),
+        s"no declared variant stats for $phys$path")
+      val (entries, txns) = manifest(spark, base, cur)
+      publishEntries(spark, base, cur + 1L, entries, txns,
+        dataChange = false, operation = "DROP VARIANT STATS",
+        varStatsOverride = Some(declared.filterNot(d =>
+          d._1 == phys && d._2 == path)))
+      cur + 1L
     }
   }
 

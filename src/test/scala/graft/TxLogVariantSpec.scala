@@ -218,6 +218,68 @@ class TxLogVariantSpec extends AnyFunSuite {
         0L, 9L).count() == 10L)
   }
 
+  test("DECLARED variant-path stats (write-time collection): declare " +
+    "back-fills existing files in one metadata commit, every " +
+    "subsequent write — append AND the OPTIMIZE rewrite — collects " +
+    "the path's stats inline so fresh ingest prunes immediately, a " +
+    "duplicate declare vetoes, and drop stops collection while reads " +
+    "stay exact") {
+    val base = "/tmp/graft_txvariant/declared"
+    TxLog.drop(spark, base)
+    TxLog.commit(bronze("a", 0 until 80)
+      .repartitionByRange(4, col("k")), base, None, Some("k"))
+    val files1 = TxLog.manifestFiles(spark, base, 1L).toSet
+    val v = TxLog.declareVariantStats(spark, base, "v", "$.id", "long")
+    assert(v == 2L &&
+      TxLog.manifestFiles(spark, base, v).toSet == files1,
+      "declare must back-fill as a metadata-only commit")
+    assert(TxLog.manifest(spark, base, v)._1
+      .forall(_.statsFor("v$.id").isDefined))
+    assert(TxLog.variantStatsOf(spark, base, v) ==
+      Seq(("v", "$.id", "long")))
+    // an append now carries path stats IMMEDIATELY — no sweep commit
+    TxLog.append(bronze("b", 1000 until 1010).coalesce(1), base,
+      Some("k"))
+    val v3 = TxLog.latestVersion(spark, base).get
+    val fresh = TxLog.manifest(spark, base, v3)._1
+      .filterNot(e => files1.contains(e.path))
+    assert(fresh.nonEmpty &&
+      fresh.forall(_.statsFor("v$.id").isDefined),
+      "a post-declare append must collect path stats at write time")
+    assert(!fresh.exists(e =>
+        TxLog.touchesRange(e, "v$.id", "10", "19")),
+      "fresh ingest must prune out of a disjoint band immediately")
+    assert(TxLog.readVariantRange(spark, base, "v", "$.id", "long",
+        10L, 19L)
+      .select(variant_get(col("v"), "$.id", "long")).as[Long]
+      .collect().toSet == (10L to 19L).toSet)
+    // a duplicate declaration vetoes loudly
+    val dup = intercept[IllegalArgumentException] {
+      TxLog.declareVariantStats(spark, base, "v", "$.id", "long") }
+    assert(dup.getMessage.contains("already declared"))
+    // the OPTIMIZE rewrite passes the same write chokepoint: the
+    // packed replacement file re-collects the path's stats inline
+    // (stronger than the undeclared one-shot sweep, whose rewrites
+    // conservatively DROP the key until a re-collection)
+    TxLog.compact(spark, base, 1000000L, 1000000L, Some("k"))
+    val packed = TxLog.manifest(spark, base,
+      TxLog.latestVersion(spark, base).get)._1
+    assert(packed.forall(_.statsFor("v$.id").isDefined),
+      "an OPTIMIZE under a declaration must re-collect inline")
+    // drop: collection stops, reads stay exact via the residual
+    TxLog.dropVariantStats(spark, base, "v", "$.id")
+    TxLog.append(bronze("c", 2000 until 2005).coalesce(1), base,
+      Some("k"))
+    val afterDrop = TxLog.manifest(spark, base,
+      TxLog.latestVersion(spark, base).get)._1
+      .filterNot(e => packed.map(_.path).toSet.contains(e.path))
+    assert(afterDrop.nonEmpty &&
+      afterDrop.forall(_.statsFor("v$.id").isEmpty),
+      "post-drop writes must stop collecting the path")
+    assert(TxLog.readVariantRange(spark, base, "v", "$.id", "long",
+        10L, 19L).count() == 10L)
+  }
+
   test("interaction: a MOR delete masks variant rows without " +
     "rewriting them, and the mask survives OPTIMIZE") {
     val base = "/tmp/graft_txvariant/mor"
