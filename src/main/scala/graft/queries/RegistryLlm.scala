@@ -932,6 +932,100 @@ object RegistryLlm {
         .orderBy("rank")
     }),
 
+    // PERSISTED hybrid retrieval (the full serving stack): BOTH legs
+    // probe standing indexes — BM25 from the postings/doclen/stats
+    // TxLog tables (per-term band reads, |Q| driver scalars, never a
+    // corpus re-tokenization) and the embedding leg from the frozen
+    // IVF centers + persisted assignment (zero assignment compute,
+    // probed cells only) — then RRF-fuses two 50-row lists. This is
+    // the query path a 100 TB RAG serving tier actually runs: the
+    // corpus-sized work (tokenize, train, assign) happened at ingest;
+    // a query touches term bands + probed cells + two tiny joins.
+    // Incremental index MAINTENANCE is pinned by llm_bm25_persisted /
+    // llm_knn_ivf_persisted; this witness pins the fused SERVING.
+    "llm_hybrid_persisted" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.TxLog
+      val fx = graft.sources.Ingest.fixtureDir(dir)
+      val postBase = fx + "/hybp_postings"
+      val lenBase = fx + "/hybp_doclen"
+      val statsBase = fx + "/hybp_stats"
+      val centersBase = fx + "/hybp_centers"
+      val assignBase = fx + "/hybp_assign"
+      Seq(postBase, lenBase, statsBase, centersBase, assignBase)
+        .foreach(TxLog.drop(s, _))
+      // ingest-time build (one batch each; incrementality pinned by
+      // the two parent witnesses). One tokenization feeds all three
+      // lexical tables.
+      val d = Tables.scaled(docs(s, dir))
+      val toks = d.select(col("doc_id"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+        .persist()
+      try {
+        TxLog.commit(toks.groupBy("term", "doc_id")
+            .agg(count(lit(1)).as("tf"))
+            .repartitionByRange(4, col("term")),
+          postBase, None, Some("term"))
+        val ln0 = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        TxLog.commit(ln0, lenBase, None, Some("doc_id"))
+        TxLog.commit(ln0.agg(count(lit(1)).as("len_rows"),
+            sum(col("len")).as("len_sum"))
+          .select(lit(0L).as("batch"), col("len_rows"), col("len_sum"),
+            lit(d.count()).as("docs")), statsBase, None)
+      } finally toks.unpersist()
+      val e = embs(s, dir)
+      val centers0 = Similarity.groupCentroids(e, "label", "embedding")
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), x -> x.centroid)")
+          .as("sv"))
+        .select(col("label").cast("long").as("seed_id"), col("sv"))
+      TxLog.commit(centers0, centersBase, None)
+      val frozen = TxLog.read(s, centersBase)
+        .select(col("seed_id"), col("sv").as("__sv"))
+      TxLog.commit(
+        graft.operators.Ivf.assignTo(e, "vec_id", "embedding", frozen),
+        assignBase, None, Some("vec_id"))
+      // ---- serving ----
+      val terms = Seq("spark", "vector", "stream")
+      val (kept, all) = TxLog.pruneRanges(s, postBase,
+        Seq(("term", "spark", "spark")))
+      require(kept.size < all.size,
+        "the BM25 leg must serve from pruned term bands")
+      val slice = terms.map(t => TxLog.readRange(s, postBase, "term", t, t))
+        .reduce(_ unionByName _)
+      val tf = slice.select(col("doc_id"), col("term"),
+        col("tf").as("__tf"))
+      val dfMap = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ln = TxLog.read(s, lenBase)
+        .select(col("doc_id"), col("len").as("__len"))
+      val st = TxLog.read(s, statsBase)
+        .agg(sum(col("docs")).as("nd"), sum(col("len_rows")).as("lr"),
+          sum(col("len_sum")).as("ls")).head()
+      val bmRanked = TextAnalysis
+        .bm25ScoresFromTf(tf, ln, st.getLong(0),
+          st.getLong(2).toDouble / st.getLong(1).toDouble, dfMap, terms)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+        .withColumn("rank_bm", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select("doc_id", "rank_bm")
+      val cosRanked = graft.operators.Ivf.searchAssigned(e,
+          e.where(col("vec_id") === 0), "vec_id", "embedding",
+          frozen, TxLog.read(s, assignBase), nProbe = 2, k = 50)
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").as("rank_cos"))
+      bmRanked.join(cosRanked, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("rank_bm")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_cos")), lit(0.0)), 6))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(15)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("int"))
+        .select("rank", "doc_id", "rrf")
+        .orderBy("rank")
+    }),
+
     // Rolling-hash + md5 document fingerprints.
     "llm_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
@@ -2189,6 +2283,97 @@ object RegistryLlm {
            SELECT doc_id, cast(row_number() OVER
                     (ORDER BY cs DESC, doc_id) AS INTEGER) AS rank_cos
            FROM cosd ORDER BY cs DESC, doc_id LIMIT 50),
+         fused AS (
+           SELECT coalesce(bm.doc_id, cosr.doc_id) AS doc_id,
+                  round(coalesce(cast(1.0 AS DOUBLE) / (60 + rank_bm), 0) +
+                        coalesce(cast(1.0 AS DOUBLE) / (60 + rank_cos), 0), 6)
+                    AS rrf
+           FROM bm FULL OUTER JOIN cosr ON bm.doc_id = cosr.doc_id)
+         SELECT cast(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                  AS INTEGER) AS rank, doc_id, rrf
+         FROM fused ORDER BY rrf DESC, doc_id LIMIT 15""",
+    "llm_hybrid_persisted" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+                    AS term
+           FROM documents),
+         len AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+         n AS (SELECT (SELECT count(*) FROM documents) AS nd,
+                      (SELECT avg(len) FROM len) AS avgdl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         wide AS (
+           SELECT doc_id,
+                  sum(CASE WHEN term = 'spark' THEN tf END) AS tf_spark,
+                  sum(CASE WHEN term = 'vector' THEN tf END) AS tf_vector,
+                  sum(CASE WHEN term = 'stream' THEN tf END) AS tf_stream
+           FROM tf GROUP BY 1),
+         scored AS (
+           SELECT w.doc_id, round(
+             coalesce(ln((nd - (SELECT df FROM dfq WHERE term='spark') + 0.5) /
+                         ((SELECT df FROM dfq WHERE term='spark') + 0.5) + 1) *
+                      (tf_spark * 2.2) /
+                      (tf_spark + 1.2 * (1 - 0.75 + 0.75 * len / avgdl)), 0) +
+             coalesce(ln((nd - (SELECT df FROM dfq WHERE term='vector') + 0.5) /
+                         ((SELECT df FROM dfq WHERE term='vector') + 0.5) + 1) *
+                      (tf_vector * 2.2) /
+                      (tf_vector + 1.2 * (1 - 0.75 + 0.75 * len / avgdl)), 0) +
+             coalesce(ln((nd - (SELECT df FROM dfq WHERE term='stream') + 0.5) /
+                         ((SELECT df FROM dfq WHERE term='stream') + 0.5) + 1) *
+                      (tf_stream * 2.2) /
+                      (tf_stream + 1.2 * (1 - 0.75 + 0.75 * len / avgdl)), 0), 6)
+             AS score
+           FROM wide w JOIN len ON w.doc_id = len.doc_id CROSS JOIN n),
+         bm AS (
+           SELECT doc_id, cast(row_number() OVER
+                    (ORDER BY score DESC, doc_id) AS INTEGER) AS rank_bm
+           FROM scored ORDER BY score DESC, doc_id LIMIT 50),
+         x AS (SELECT label, embedding AS e,
+                      unnest(range(0, len(embedding))) AS dim
+               FROM embeddings),
+         cu AS (SELECT label, dim,
+                       cast(round(cast(e[dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS uu
+                FROM x),
+         ca AS (SELECT label, dim, sum(uu) AS su, count(*) AS n_vecs
+                FROM cu GROUP BY 1, 2),
+         seeds AS (SELECT label AS seed_id,
+                          list(cast((2 * su + sign(su) * n_vecs) // (2 * n_vecs) AS DOUBLE) / 1000000.0
+                               ORDER BY dim) AS sv
+                   FROM ca GROUP BY label),
+         corpus AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         assigned AS (
+           SELECT vec_id, seed_id AS cell FROM (
+             SELECT c.vec_id, s.seed_id,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY round(list_cosine_similarity(c.v, s.sv), 4) DESC,
+                               s.seed_id ASC) AS rn
+             FROM corpus c CROSS JOIN seeds s)
+           WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+         probed AS (
+           SELECT query_id, qv, seed_id AS cell FROM (
+             SELECT q.query_id, q.qv, s.seed_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(q.qv, s.sv), 4) DESC,
+                               s.seed_id ASC) AS pr
+             FROM q CROSS JOIN seeds s)
+           WHERE pr <= 2),
+         cands AS (
+           SELECT p.query_id, c.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(p.qv, c.v), 4) AS cos_sim
+           FROM probed p
+           JOIN assigned a ON a.cell = p.cell
+           JOIN corpus c ON c.vec_id = a.vec_id
+           WHERE c.vec_id <> p.query_id),
+         cosr AS (
+           SELECT neighbor_id AS doc_id, cast(row_number() OVER
+                    (ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER)
+                    AS rank_cos
+           FROM cands ORDER BY cos_sim DESC, neighbor_id LIMIT 50),
          fused AS (
            SELECT coalesce(bm.doc_id, cosr.doc_id) AS doc_id,
                   round(coalesce(cast(1.0 AS DOUBLE) / (60 + rank_bm), 0) +
