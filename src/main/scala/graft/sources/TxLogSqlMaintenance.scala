@@ -41,6 +41,12 @@ import graft.operators.TxLog
   *   COPY INTO <t> FROM '<dir>' FILEFORMAT = <fmt>
   *                [PATTERN = '<glob>']
   *                [FORMAT_OPTIONS ('k'='v', …)] → [[TxLog.copyInto]]
+  *   COLLECT VARIANT STATS <t> (col, '$.path', type)
+  *                                    → [[TxLog.collectVariantStats]]
+  *   ALTER TABLE <t> DECLARE VARIANT STATS (col, '$.path', type)
+  *                                    → [[TxLog.declareVariantStats]]
+  *   ALTER TABLE <t> DROP VARIANT STATS (col, '$.path')
+  *                                    → [[TxLog.dropVariantStats]]
   *
   * (Delta's VACUUM retains by AGE; the log's retention unit is
   * versions — stated in the grammar so nobody mistakes the two.)
@@ -111,6 +117,17 @@ object TxLogSqlParser {
     (s"""(?is)\\s*CREATE\\s+TABLE\\s+($Ident)\\s+(SHALLOW|DEEP)\\s+""" +
       s"""CLONE\\s+($Ident)(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?""" +
       s"""(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*""").r
+  // variant-path stats: one-shot sweep, standing declaration, drop
+  private val CollectVarStatsRe =
+    (s"""(?is)\\s*COLLECT\\s+VARIANT\\s+STATS\\s+($Ident)\\s*""" +
+      s"""\\(\\s*(\\w+)\\s*,\\s*'([^']+)'\\s*,\\s*(\\w+)\\s*\\)\\s*;?\\s*""").r
+  private val DeclareVarStatsRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ident)\\s+DECLARE\\s+VARIANT\\s+""" +
+      s"""STATS\\s*\\(\\s*(\\w+)\\s*,\\s*'([^']+)'\\s*,\\s*(\\w+)\\s*\\)""" +
+      s"""\\s*;?\\s*""").r
+  private val DropVarStatsRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ident)\\s+DROP\\s+VARIANT\\s+""" +
+      s"""STATS\\s*\\(\\s*(\\w+)\\s*,\\s*'([^']+)'\\s*\\)\\s*;?\\s*""").r
 
   /** Split a (possibly backtick-quoted) multipart identifier on dots
     * OUTSIDE backticks, so `my.table` stays one part. */
@@ -234,6 +251,12 @@ object TxLogSqlParser {
         Some(TxLogCloneCommand(parts(dst),
           deep = kind.equalsIgnoreCase("DEEP"), parts(src), Option(loc),
           Option(ver).map(_.toLong)))
+      case CollectVarStatsRe(t, c, p, ty) =>
+        Some(TxLogVariantStatsCommand(parts(t), c, p, Some(ty), "collect"))
+      case DeclareVarStatsRe(t, c, p, ty) =>
+        Some(TxLogVariantStatsCommand(parts(t), c, p, Some(ty), "declare"))
+      case DropVarStatsRe(t, c, p) =>
+        Some(TxLogVariantStatsCommand(parts(t), c, p, None, "drop"))
       case _ => None
     }
 
@@ -312,6 +335,35 @@ case class TxLogVacuumCommand(table: Seq[String], keepLast: Int,
       case Some(g) => TxLog.vacuum(spark, base, keepLast, g).map(Row(_))
       case None => TxLog.vacuum(spark, base, keepLast).map(Row(_))
     }
+  }
+}
+
+/** Variant-path stats over SQL — the three spellings of
+  * [[TxLog.collectVariantStats]]/[[TxLog.declareVariantStats]]/
+  * [[TxLog.dropVariantStats]]:
+  * {{{
+  *   COLLECT VARIANT STATS t (v, '$.price', long)        -- one sweep
+  *   ALTER TABLE t DECLARE VARIANT STATS (v, '$.price', long)
+  *   ALTER TABLE t DROP VARIANT STATS (v, '$.price')
+  * }}}
+  * Returns the published version. */
+case class TxLogVariantStatsCommand(table: Seq[String], col: String,
+                                    path: String,
+                                    targetType: Option[String],
+                                    mode: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val base = TxLogSqlParser.resolveBase(spark, table)
+    val v = mode match {
+      case "collect" =>
+        TxLog.collectVariantStats(spark, base, col, path, targetType.get)
+      case "declare" =>
+        TxLog.declareVariantStats(spark, base, col, path, targetType.get)
+      case _ => TxLog.dropVariantStats(spark, base, col, path)
+    }
+    Seq(Row(v))
   }
 }
 

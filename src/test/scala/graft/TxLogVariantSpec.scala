@@ -280,6 +280,42 @@ class TxLogVariantSpec extends AnyFunSuite {
         10L, 19L).count() == 10L)
   }
 
+  test("SQL surface: COLLECT VARIANT STATS / ALTER TABLE DECLARE " +
+    "VARIANT STATS / DROP VARIANT STATS run through the parser " +
+    "extension and publish the same commits as the API verbs") {
+    val base = "/tmp/graft_txvariant/sqlverbs"
+    TxLog.drop(spark, base)
+    TxLog.commit(bronze("a", 0 until 40)
+      .repartitionByRange(2, col("k")), base, None, Some("k"))
+    graft.sources.TxLogSqlDml.ensureInjected(spark)
+    val sql = spark.newSession()
+    sql.sql("DROP TABLE IF EXISTS txvar_sql")
+    sql.sql("CREATE TABLE txvar_sql USING graft.sources.TxLogSource " +
+      s"OPTIONS (path '$base')")
+    try {
+      assert(sql.sql("COLLECT VARIANT STATS txvar_sql (v, '$.id', long)")
+        .head().getLong(0) == 2L)
+      assert(TxLog.manifest(spark, base, 2L)._1
+        .forall(_.statsFor("v$.id").isDefined))
+      assert(sql.sql("ALTER TABLE txvar_sql DECLARE VARIANT STATS " +
+          "(v, '$.nested.d', long)").head().getLong(0) == 3L)
+      assert(TxLog.variantStatsOf(spark, base, 3L) ==
+        Seq(("v", "$.nested.d", "long")))
+      // a declared path collects at write time through the SQL-armed
+      // lineage too
+      TxLog.append(bronze("b", 100 until 110).coalesce(1), base,
+        Some("k"))
+      val fresh = TxLog.manifest(spark, base, 4L)._1
+        .filter(_.path.nonEmpty)
+        .filterNot(e => TxLog.manifestFiles(spark, base, 3L).contains(e.path))
+      assert(fresh.nonEmpty &&
+        fresh.forall(_.statsFor("v$.nested.d").isDefined))
+      assert(sql.sql("ALTER TABLE txvar_sql DROP VARIANT STATS " +
+          "(v, '$.nested.d')").head().getLong(0) == 5L)
+      assert(TxLog.variantStatsOf(spark, base, 5L).isEmpty)
+    } finally sql.sql("DROP TABLE IF EXISTS txvar_sql")
+  }
+
   test("interaction: a MOR delete masks variant rows without " +
     "rewriting them, and the mask survives OPTIMIZE") {
     val base = "/tmp/graft_txvariant/mor"
