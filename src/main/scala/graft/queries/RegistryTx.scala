@@ -368,6 +368,55 @@ object RegistryTx {
         .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
           sum(col("len")).as("sum_len"))
         .orderBy("lang2")
+    }),
+
+    // DECLARED write-time variant stats (the standing twin of s89's
+    // sweep): after ALTER TABLE ... DECLARE VARIANT STATS, every
+    // write collects the path's min/max in the same scan as its
+    // ordinary stats columns — so the band read prunes FRESH ingest
+    // with zero maintenance commits in between. The requires pin the
+    // mechanism (declare back-fills metadata-only; the append's own
+    // files carry the key; the disjoint band excludes them); the
+    // oracle pins the band content relationally.
+    "s90_variant_declared_stats" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txvariant_declared"
+      TxLog.drop(s, base)
+      val d = t(s, dir, "documents")
+      def toBronze(df: DataFrame) = df
+        .select(col("doc_id"), (col("doc_id") % 4).as("m"),
+          col("lang"), col("n_chars"))
+        .select(col("doc_id"), parse_json(
+            when(col("m") === 3,
+              to_json(struct(col("doc_id").as("id"), col("lang"))))
+            .otherwise(to_json(struct(col("doc_id").as("id"),
+              col("lang"), col("n_chars").as("len"))))).as("v"))
+      TxLog.commit(toBronze(d.where(col("doc_id") % 10 < 8)
+          .repartitionByRange(4, col("n_chars"))),
+        base, None, Some("doc_id"))
+      val files1 = TxLog.manifestFiles(s, base, 1L).toSet
+      val v2 = TxLog.declareVariantStats(s, base, "v", "$.len", "long")
+      require(v2 == 2L &&
+        TxLog.manifestFiles(s, base, v2).toSet == files1,
+        "declare must back-fill as a metadata-only commit")
+      // fresh ingest: the write itself collects the declared path's
+      // stats — no sweep, and the disjoint band prunes it at once
+      TxLog.append(toBronze(d.where(col("doc_id") % 10 >= 8))
+        .coalesce(1), base, Some("doc_id"))
+      val v3 = TxLog.latestVersion(s, base).get
+      val fresh = TxLog.manifest(s, base, v3)._1
+        .filterNot(e => files1.contains(e.path))
+      require(fresh.nonEmpty &&
+        fresh.forall(_.statsFor("v$.len").isDefined),
+        "a post-declare write must collect path stats at write time")
+      TxLog.cachePurge(base)
+      TxLog.readVariantRange(s, base, "v", "$.len", "long", 150L, 299L)
+        .select(variant_get(col("v"), "$.id", "long").as("id"),
+          variant_get(col("v"), "$.lang", "string").as("lang2"),
+          variant_get(col("v"), "$.len", "long").as("len"))
+        .groupBy("lang2")
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          sum(col("len")).as("sum_len"))
+        .orderBy("lang2")
     }))
 
   private val streamDefs: Map[String, Q] = Map(
@@ -472,6 +521,14 @@ object RegistryTx {
                   AS sum_score
          FROM x GROUP BY 1 ORDER BY 1""",
     "s89_variant_path_stats" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars FROM documents
+                    WHERE doc_id % 4 <> 3
+                      AND n_chars BETWEEN 150 AND 299)
+         SELECT lang AS lang2, count(*) AS n,
+                cast(sum(doc_id) AS BIGINT) AS sum_id,
+                cast(sum(n_chars) AS BIGINT) AS sum_len
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "s90_variant_declared_stats" ->
       """WITH t AS (SELECT doc_id, lang, n_chars FROM documents
                     WHERE doc_id % 4 <> 3
                       AND n_chars BETWEEN 150 AND 299)
