@@ -83,14 +83,19 @@ object Layout {
     * Z-value, local sort — identical cost shape to the 2-D form at
     * any k. */
   def zorderClusterK(df: DataFrame, cols: Seq[String],
-                     nFiles: Int): DataFrame = {
+                     nFiles: Int,
+                     exprOf: String => Option[Column] = _ => None)
+      : DataFrame = {
     require(cols.size >= 2,
       s"zorderCluster needs at least two columns (got ${cols.size})")
     // the normalize step's `c - lit(lo: Long)` only resolves on
     // NUMERIC keys under ANSI — a timestamp key must go through the
     // same long (epoch-second) representation its min/max bounds use,
-    // or Subtract(timestamp, bigint) fails analysis mid-rewrite
-    def keyCol(c: String): Column =
+    // or Subtract(timestamp, bigint) fails analysis mid-rewrite.
+    // `exprOf` lets the caller supply a computed key (a variant
+    // extraction path — TxLog's CLUSTER BY on `v$.price`); computed
+    // keys arrive numeric by their declaration, so no re-typing here
+    def keyCol(c: String): Column = exprOf(c).getOrElse {
       // resolve through a projection so NESTED leaves ("s.ts") get
       // the same timestamp treatment as flat keys
       scala.util.Try(df.select(col(c)).schema.head.dataType).toOption match {
@@ -98,6 +103,7 @@ object Layout {
           col(c).cast("long")
         case _ => col(c)
       }
+    }
     val aggs = cols.flatMap(c =>
       Seq(min(keyCol(c)).cast("long"), max(keyCol(c)).cast("long")))
     val s = df.agg(aggs.head, aggs.tail: _*).head()

@@ -3662,6 +3662,11 @@ object TxLog {
       clusterBy: Seq[String], partitionCols: Seq[String]): Seq[String] = {
     // nested LEAVES ("s.ts") cluster too — resolved by path walk,
     // declared under the path as typed (same as alterClusterBy)
+    clusterBy.foreach(c => require(variantKeySplit(c).isEmpty,
+      s"CLUSTER BY variant key '$c' needs its stats declaration " +
+        "first, and declarations attach to a committed table — " +
+        "create the table, declareVariantStats on the path, then " +
+        "ALTER TABLE ... CLUSTER BY"))
     val fields = clusterBy.map { c =>
       if (c.contains("."))
         scala.util.Try(dataTypeAt(schema, c)).toOption
@@ -3717,9 +3722,36 @@ object TxLog {
       val (entries, txns) = manifest(spark, base, cur)
       val declared = undeclaredFallbackSchema(spark, base, cur)
       val cm = columnMappingOf(spark, base, cur)
+      val varDecls = parseVarStatsLines(manifestLines(spark, base, cur))
       // keys may be NESTED leaves ("s.ts" — the event-time-inside-a-
-      // struct fact shape): resolve by path walk, cluster on the leaf
-      val fields = clusterBy.map { c =>
+      // struct fact shape): resolve by path walk, cluster on the
+      // leaf. A VARIANT extraction key ("v$.price") must already be
+      // DECLARED for write-time stats with a numeric target: the
+      // declaration is what types the interleave AND what guarantees
+      // every tiled file lands with the skipping stats the layout
+      // exists to serve.
+      require(clusterBy.map(_.toLowerCase).distinct.size == clusterBy.size,
+        "duplicate CLUSTER BY keys")
+      val (variantKeys, plainKeys0) =
+        clusterBy.partition(k => variantKeySplit(k).isDefined)
+      val variantPhys = variantKeys.map { k =>
+        val (c, p) = variantKeySplit(k).get
+        val physC = cm.flatMap(_.physicalOf(c)).getOrElse(c)
+        val d = varDecls.find(d =>
+          d._1.equalsIgnoreCase(physC) && d._2 == p).getOrElse(
+          throw new IllegalArgumentException(
+            s"CLUSTER BY variant key '$k' has no declared stats — " +
+              "run declareVariantStats (ALTER TABLE ... DECLARE " +
+              "VARIANT STATS) on the path first; the declaration " +
+              "types the interleave and keeps every write's stats " +
+              "fresh"))
+        require(d._3 == "long" || d._3 == "double",
+          s"CLUSTER BY variant key '$k' is declared ${d._3} — the " +
+            "interleave normalizes numeric keys; declare the path as " +
+            "long or double")
+        k -> s"${d._1}${d._2}"
+      }.toMap
+      val fields = plainKeys0.map { c =>
         if (c.contains("."))
           scala.util.Try(dataTypeAt(declared, c)).toOption
             .map(dt => org.apache.spark.sql.types.StructField(c, dt))
@@ -3733,8 +3765,11 @@ object TxLog {
       }
       validateClusterKeys(fields, partitionSpec(spark, base).map(p =>
         cm.map(_.logicalOf(p._1)).getOrElse(p._1)))
-      val phys = fields.map(f =>
-        cm.map(_.physical(f.name)).getOrElse(f.name))
+      val physByPlain = plainKeys0.zip(fields.map(f =>
+        cm.map(_.physical(f.name)).getOrElse(f.name))).toMap
+      // keep the caller's key order — interleave order is meaningful
+      val phys = clusterBy.map(k =>
+        variantPhys.getOrElse(k, physByPlain(k)))
       publishEntries(spark, base, cur + 1L, entries, txns,
         dataChange = false, operation = "CLUSTER BY",
         clusterOverride = Some(phys))
@@ -4000,28 +4035,75 @@ object TxLog {
     * tiled) frame plus the resolved keys to auto-stat. Degenerate
     * batches (all-NULL keys, keys not in this frame) land untiled —
     * the incremental OPTIMIZE folds them later. */
+  /** Split a key of the form `<physCol>$<path>` — the spelling a
+    * VARIANT extraction path takes everywhere stats/cluster keys
+    * live (`v$.price`). None for ordinary (flat or dotted-struct)
+    * keys. */
+  private[graft] def variantKeySplit(key: String): Option[(String, String)] = {
+    val i = key.indexOf('$')
+    if (i <= 0) None else Some((key.substring(0, i), key.substring(i)))
+  }
+
+  /** The extraction Column for a DECLARED variant key: resolves the
+    * `#varstats` declaration (which fixes the typed target) and
+    * builds the same `try_variant_get` the stats collection and the
+    * range reads use — tiling, collection, and skipping all compute
+    * the ONE expression. None when the key is not variant-shaped or
+    * not declared. */
+  private def variantKeyExpr(key: String,
+                             varDecls: Seq[(String, String, String)])
+      : Option[org.apache.spark.sql.Column] =
+    variantKeySplit(key).flatMap { case (c, p) =>
+      varDecls.find(d => d._1.equalsIgnoreCase(c) && d._2 == p).map { d =>
+        val (_, sparkT) = variantStatsTarget(d._3)
+        org.apache.spark.sql.functions.try_variant_get(
+          org.apache.spark.sql.functions.col(c), p, sparkT)
+      }
+    }
+
   private def clusterTile(spark: SparkSession, base: String,
                           df: DataFrame): (DataFrame, Seq[String]) = {
     val keys = clusterKeys(spark, base)
     if (keys.isEmpty) return (df, Seq.empty)
+    val varDecls =
+      if (keys.exists(variantKeySplit(_).isDefined))
+        latestVersion(spark, base)
+          .map(v => parseVarStatsLines(manifestLines(spark, base, v)))
+          .getOrElse(Seq.empty)
+      else Seq.empty
     // keys are PHYSICAL; the df is in physical namespace here. A
-    // dotted key resolves by path walk (nested leaf clustering)
-    val resolved = keys.flatMap { k =>
-      if (k.contains(".")) {
-        if (hasPath(df.schema, k)) Some(k) else None
-      } else df.columns.find(_.equalsIgnoreCase(k))
-    }
+    // dotted key resolves by path walk (nested leaf clustering); a
+    // `col$path` key resolves through its varstats declaration to
+    // the typed extraction expression (variant-leaf clustering)
+    val resolved: Seq[(String, org.apache.spark.sql.Column)] =
+      keys.flatMap { k =>
+        variantKeySplit(k) match {
+          case Some((c, _)) =>
+            if (df.columns.exists(_.equalsIgnoreCase(c)))
+              variantKeyExpr(k, varDecls).map(k -> _)
+            else None
+          case None if k.contains(".") =>
+            if (hasPath(df.schema, k))
+              Some(k -> org.apache.spark.sql.functions.col(k))
+            else None
+          case None => df.columns.find(_.equalsIgnoreCase(k))
+            .map(n => n -> org.apache.spark.sql.functions.col(n))
+        }
+      }
     if (resolved.size != keys.size) return (df, Seq.empty)
+    val exprMap = resolved.toMap
     val n = math.max(1, df.rdd.getNumPartitions)
     val tiled =
       try {
         if (resolved.size == 1)
-          df.repartitionByRange(n,
-              org.apache.spark.sql.functions.col(resolved.head))
-            .sortWithinPartitions(resolved.head)
-        else Layout.zorderClusterK(df, resolved, n)
+          df.repartitionByRange(n, resolved.head._2)
+            .sortWithinPartitions(resolved.head._2)
+        else Layout.zorderClusterK(df, resolved.map(_._1), n,
+          k => if (variantKeySplit(k).isDefined) exprMap.get(k) else None)
       } catch { case scala.util.control.NonFatal(_) => df }
-    (tiled, resolved)
+    // variant keys do NOT join the ordinary statsCols (their stats
+    // ride the declared write-time collection under the same key)
+    (tiled, resolved.map(_._1).filter(variantKeySplit(_).isEmpty))
   }
 
   def append(df: DataFrame, base: String, statsCol: Option[String] = None,
@@ -5912,6 +5994,14 @@ object TxLog {
       val declared = variantStatsOf(spark, base, cur)
       require(declared.exists(d => d._1 == phys && d._2 == path),
         s"no declared variant stats for $phys$path")
+      // the layout depends on the declaration (it types the tiling
+      // interleave and keeps every tile's skipping stats fresh):
+      // un-cluster first, then drop
+      require(!clusterByOf(spark, base, cur)
+          .exists(_.equalsIgnoreCase(s"$phys$path")),
+        s"$phys$path is a registered CLUSTER BY key — " +
+          "ALTER TABLE ... CLUSTER BY NONE (or re-cluster without " +
+          "it) before dropping its stats declaration")
       val (entries, txns) = manifest(spark, base, cur)
       publishEntries(spark, base, cur + 1L, entries, txns,
         dataChange = false, operation = "DROP VARIANT STATS",
@@ -6296,6 +6386,13 @@ object TxLog {
       case ck if ck.size >= 2 =>
         return compactZorderPhys(spark, base, ck, smallThresholdRows,
           targetRows, maxAttempts, onAttempt)
+      case Seq(one) if statsCol0.isEmpty &&
+          variantKeySplit(one).isDefined =>
+        // a single VARIANT cluster key cannot band through the plain
+        // statsCol path (the key is an expression, not a column) —
+        // the sweep re-tiles on its declared extraction instead
+        return compactZorderPhys(spark, base, Seq(one),
+          smallThresholdRows, targetRows, maxAttempts, onAttempt)
       case Seq(one) if statsCol0.isEmpty =>
         return compact(spark, base, smallThresholdRows, targetRows,
           Some(columnMapping(spark, base).map(_.logicalOf(one))
@@ -6474,7 +6571,7 @@ object TxLog {
     // masquerade as a veto), but a resolved non-numeric key always
     // errors.
     scala.util.Try(read(spark, base).schema).toOption.foreach { sch =>
-      cols0.foreach { c0 =>
+      cols0.filter(variantKeySplit(_).isEmpty).foreach { c0 =>
         sch.fields.find(_.name.equalsIgnoreCase(c0)).foreach { f =>
           require(
             f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
@@ -6486,7 +6583,14 @@ object TxLog {
         }
       }
     }
-    compactZorderPhys(spark, base, cols0.map(physicalName(spark, base, _)),
+    // a variant key keeps its path; only the column half translates
+    val phys = cols0.map { c =>
+      variantKeySplit(c) match {
+        case Some((vc, p)) => s"${physicalName(spark, base, vc)}$p"
+        case None => physicalName(spark, base, c)
+      }
+    }
+    compactZorderPhys(spark, base, phys,
       smallThresholdRows, targetRows, maxAttempts)
   }
 
@@ -6560,9 +6664,24 @@ object TxLog {
         val nOut = math.max(1L, knownRows / targetRows + unknown).toInt
         val touchedDf = readEntriesCurrent(spark, base, touched,
           withRowIds = true)
+        // variant keys re-tile on their declared extraction — the
+        // same expression the write path collects stats through
+        val varDecls =
+          if (cols.exists(variantKeySplit(_).isDefined))
+            parseVarStatsLines(manifestLines(spark, base, cur))
+          else Seq.empty
+        def exprOf(k: String) =
+          if (variantKeySplit(k).isDefined) variantKeyExpr(k, varDecls)
+          else None
         val tiled =
-          try Layout.zorderClusterK(touchedDf, cols, nOut)
-          catch { // all-NULL keys: nothing to tile on, plain bin-pack
+          try {
+            if (cols.size == 1) { // single-variant-key cluster sweep
+              val ex = exprOf(cols.head).getOrElse(
+                org.apache.spark.sql.functions.col(cols.head))
+              touchedDf.repartitionByRange(nOut, ex)
+                .sortWithinPartitions(ex)
+            } else Layout.zorderClusterK(touchedDf, cols, nOut, exprOf)
+          } catch { // all-NULL keys: nothing to tile on, plain bin-pack
             case _: IllegalArgumentException => touchedDf.repartition(nOut)
           }
         val newEntries = landEntriesMulti(tiled, base,

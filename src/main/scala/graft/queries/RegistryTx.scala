@@ -417,6 +417,66 @@ object RegistryTx {
         .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
           sum(col("len")).as("sum_len"))
         .orderBy("lang2")
+    }),
+
+    // CLUSTER BY a VARIANT extraction path (liquid clustering on
+    // semi-structured bronze — a layout even Delta doesn't offer on
+    // shredded leaves yet): the declared `$.len` path types the
+    // interleave, every append RANGE-TILES itself on the extraction
+    // with per-file stats landing in the same write, and the band
+    // read scans only the touched tiles. The requires pin disjoint
+    // tiling + pruning; the oracle pins the band content.
+    "s91_variant_cluster_by" -> ((s, dir) => {
+      val base = Ingest.fixtureDir(dir) + "/txvariant_cluster"
+      TxLog.drop(s, base)
+      val d = t(s, dir, "documents")
+      def toBronze(df: DataFrame) = df
+        .select(col("doc_id"), (col("doc_id") % 4).as("m"),
+          col("lang"), col("n_chars"))
+        .select(col("doc_id"), parse_json(
+            when(col("m") === 3,
+              to_json(struct(col("doc_id").as("id"), col("lang"))))
+            .otherwise(to_json(struct(col("doc_id").as("id"),
+              col("lang"), col("n_chars").as("len"))))).as("v"))
+      TxLog.commit(toBronze(d.where(col("doc_id") % 10 < 8))
+        .coalesce(1), base, None, Some("doc_id"))
+      TxLog.declareVariantStats(s, base, "v", "$.len", "long")
+      TxLog.alterClusterBy(s, base, Seq("v$.len"))
+      // the ingest batch arrives UNSORTED; the table tiles it itself
+      val pre = TxLog.manifestFiles(s, base,
+        TxLog.latestVersion(s, base).get).toSet
+      TxLog.append(toBronze(d.where(col("doc_id") % 10 >= 8))
+        .repartition(4), base, Some("doc_id"))
+      val fresh = TxLog.manifest(s, base,
+          TxLog.latestVersion(s, base).get)._1
+        .filterNot(e => pre.contains(e.path))
+      // the ragged quarter (records without `$.len`) range-partitions
+      // into its own NULL tile, which correctly carries no path stats
+      // (all-NULL ⇒ conservative) — every other tile must band
+      require(fresh.size >= 3 &&
+        fresh.count(_.statsFor("v$.len").isDefined) >= 2,
+        "a clustered append must tile with path stats on the " +
+          s"non-null tiles; got ${fresh.map(e => (e.path, e.rows,
+            e.stats.map(st => st.column)))}")
+      val bands = fresh.flatMap(_.statsFor("v$.len"))
+        .map(st => (st.min.toLong, st.max.toLong)).sortBy(_._1)
+      require(bands.sliding(2).forall {
+          case Seq((_, hi), (lo2, _)) => lo2 > hi
+          case _ => true },
+        s"clustered tiles must band disjointly, got $bands")
+      val (kept, all) = TxLog.pruneRanges(s, base,
+        Seq(("v$.len", 150L, 299L)))
+      require(kept.size < all.size,
+        s"the path band must prune: kept ${kept.size} of ${all.size}")
+      TxLog.cachePurge(base)
+      TxLog.readVariantRange(s, base, "v", "$.len", "long", 150L, 299L)
+        .select(variant_get(col("v"), "$.id", "long").as("id"),
+          variant_get(col("v"), "$.lang", "string").as("lang2"),
+          variant_get(col("v"), "$.len", "long").as("len"))
+        .groupBy("lang2")
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          sum(col("len")).as("sum_len"))
+        .orderBy("lang2")
     }))
 
   private val streamDefs: Map[String, Q] = Map(
@@ -529,6 +589,14 @@ object RegistryTx {
                 cast(sum(n_chars) AS BIGINT) AS sum_len
          FROM t GROUP BY 1 ORDER BY 1""",
     "s90_variant_declared_stats" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars FROM documents
+                    WHERE doc_id % 4 <> 3
+                      AND n_chars BETWEEN 150 AND 299)
+         SELECT lang AS lang2, count(*) AS n,
+                cast(sum(doc_id) AS BIGINT) AS sum_id,
+                cast(sum(n_chars) AS BIGINT) AS sum_len
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "s91_variant_cluster_by" ->
       """WITH t AS (SELECT doc_id, lang, n_chars FROM documents
                     WHERE doc_id % 4 <> 3
                       AND n_chars BETWEEN 150 AND 299)

@@ -174,4 +174,114 @@ class TxLogClusterBySpec extends AnyFunSuite {
     assert(det.getAs[String]("clustering_columns") == "x,y", det.toString)
     s.sql("DROP TABLE gcb.lake.ev")
   }
+
+  private def priced(ids: Range, mul: Long = 3L) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong,
+        s"""{"id": $i, "price": ${i * mul % 12000}}"""))
+      .toDF("k", "js")
+      .select(col("k"), parse_json(col("js")).as("v"))
+  }
+
+  test("CLUSTER BY a VARIANT extraction path: registration demands a " +
+    "numeric stats declaration, writes tile into DISJOINT bands on " +
+    "the declared try_variant_get key, OPTIMIZE folds stragglers on " +
+    "it incrementally, the band prunes, and the declaration cannot " +
+    "drop out from under the layout") {
+    val base = "/tmp/graft_txcb/variant"
+    TxLog.drop(spark, base)
+    TxLog.commit(priced(0 until 4000).repartition(8), base, None,
+      Some("k"))
+    // veto: a cluster key whose path has no declaration
+    assert(intercept[IllegalArgumentException] {
+      TxLog.alterClusterBy(spark, base, Seq("v$.price"))
+    }.getMessage.contains("declared"))
+    TxLog.declareVariantStats(spark, base, "v", "$.price", "long")
+    // veto: a declaration the interleave cannot normalize
+    TxLog.declareVariantStats(spark, base, "v", "$.tag", "string")
+    assert(intercept[IllegalArgumentException] {
+      TxLog.alterClusterBy(spark, base, Seq("v$.tag"))
+    }.getMessage.contains("long or double"))
+    val vReg = TxLog.alterClusterBy(spark, base, Seq("v$.price"))
+    assert(TxLog.clusterByOf(spark, base, vReg) == Seq("v$.price"))
+    // an unsorted 8-partition append lands RANGE-banded on the path
+    val pre = TxLog.manifestFiles(spark, base, vReg).toSet
+    TxLog.append(priced(4000 until 8000).repartition(8), base)
+    val fresh = TxLog.manifest(spark, base,
+        TxLog.latestVersion(spark, base).get)._1
+      .filterNot(e => pre.contains(e.path))
+    assert(fresh.size >= 4)
+    assert(fresh.forall(_.statsFor("v$.price").isDefined))
+    val bands = fresh.flatMap(_.statsFor("v$.price"))
+      .map(s => (s.min.toLong, s.max.toLong)).sortBy(_._1)
+    assert(bands.sliding(2).forall {
+        case Seq((_, hi), (lo2, _)) => lo2 > hi
+        case _ => true },
+      s"a clustered write must tile disjoint bands, got $bands")
+    // the band prunes: the seed batch is untiled (pre-registration)
+    // but the fresh tiles answer a narrow probe with a strict subset
+    val (kept, all) = TxLog.pruneRanges(spark, base,
+      Seq(("v$.price", 100L, 400L)))
+    assert(kept.size < all.size,
+      s"the path band must prune: kept ${kept.size} of ${all.size}")
+    // stragglers pollute the low tiles; PLAIN compact folds on the
+    // registered variant key and reaches a fixpoint
+    (1 to 3).foreach(i => TxLog.append(
+      priced(i * 10 until i * 10 + 20).coalesce(1), base))
+    val cnt0 = TxLog.read(spark, base).count()
+    val v = TxLog.compact(spark, base, 1000L, 10000L)
+    val post = TxLog.manifest(spark, base, v)._1
+    assert(post.forall(_.statsFor("v$.price").isDefined),
+      "the sweep's rewrites must re-collect the path's stats inline")
+    assert(TxLog.compact(spark, base, 1000L, 10000L) == v,
+      "a tiled variant-clustered layout is a fixpoint")
+    assert(TxLog.read(spark, base).count() == cnt0)
+    // exact band content through readVariantRange after the sweep
+    val got = TxLog.readVariantRange(spark, base, "v", "$.price",
+        "long", 300L, 320L)
+      .select(variant_get(col("v"), "$.id", "long")).as[Long](
+        org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val want = (0 until 8000).map(_.toLong)
+      .filter(i => { val p = i * 3 % 12000; p >= 300 && p <= 320 })
+      .toSet
+    assert(got == want)
+    // the layout pins its declaration
+    assert(intercept[IllegalArgumentException] {
+      TxLog.dropVariantStats(spark, base, "v", "$.price")
+    }.getMessage.contains("CLUSTER BY"))
+    TxLog.alterClusterBy(spark, base, Seq.empty)
+    TxLog.dropVariantStats(spark, base, "v", "$.price")
+    assert(TxLog.variantStatsOf(spark, base,
+      TxLog.latestVersion(spark, base).get).size == 1) // $.tag stays
+  }
+
+  test("mixed ZORDER: a plain column and a variant path interleave " +
+    "in one clustered layout — a 2-D box probe prunes more than " +
+    "either dimension alone") {
+    import spark.implicits._
+    val base = "/tmp/graft_txcb/variant2d"
+    TxLog.drop(spark, base)
+    val df = spark.range(40000).select(
+      (col("id") * 7 % 200).cast("int").as("x"),
+      col("id").as("k"),
+      parse_json(concat(lit("{\"price\": "),
+        (col("id") * 7919 % 200).cast("string"), lit("}"))).as("v"))
+    TxLog.commit(df.limit(1).select("x", "k", "v"), base, None, Some("x"))
+    TxLog.declareVariantStats(spark, base, "v", "$.price", "long")
+    TxLog.alterClusterBy(spark, base, Seq("x", "v$.price"))
+    TxLog.append(df.repartition(16), base)
+    val entries = TxLog.manifest(spark, base,
+      TxLog.latestVersion(spark, base).get)._1
+    assert(entries.forall(e => e.statsFor("x").isDefined &&
+      e.statsFor("v$.price").isDefined),
+      "every tiled file stamps stats on BOTH dimensions")
+    val (keptX, all) = TxLog.pruneRanges(spark, base, Seq(("x", 0, 19)))
+    val (keptBox, _) = TxLog.pruneRanges(spark, base,
+      Seq(("x", 0, 19), ("v$.price", 0L, 19L)))
+    assert(all.size >= 8, s"expected >=8 tiles, got ${all.size}")
+    assert(keptBox.size < all.size / 2,
+      s"the 2-D box must prune: kept ${keptBox.size} of ${all.size}")
+    assert(keptBox.size <= keptX.size)
+  }
 }
