@@ -477,6 +477,49 @@ object RegistryTx {
         .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
           sum(col("len")).as("sum_len"))
         .orderBy("lang2")
+    }),
+
+    // A GENERATED partition column derived from a VARIANT path — the
+    // crawl-bronze layout at rest: raw ragged records land with NO
+    // partition value, the engine computes lang =
+    // variant_get(v, '$.lang', 'string') at write, splits the layout
+    // on it, and a language predicate reads exactly one partition.
+    // (Delta can generate from typed columns; generating from a
+    // semi-structured PATH removes the silver hop entirely.)
+    "s92_variant_generated_partition" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val base = Ingest.fixtureDir(dir) + "/txvariant_genpart"
+      TxLog.drop(s, base)
+      TxLog.createTable(s, base, StructType(Seq(
+          StructField("doc_id", LongType), StructField("v", VariantType),
+          StructField("lang", StringType))),
+        partitionCols = Seq("lang"),
+        generated = Seq("lang" -> "variant_get(v, '$.lang', 'string')"))
+      val d = t(s, dir, "documents")
+      val raw = d
+        .select(col("doc_id"), (col("doc_id") % 4).as("m"),
+          col("lang"), col("n_chars"))
+        .select(col("doc_id").cast("long").as("doc_id"), parse_json(
+            when(col("m") === 3,
+              to_json(struct(col("doc_id").as("id"), col("lang"))))
+            .otherwise(to_json(struct(col("doc_id").as("id"),
+              col("lang"), col("n_chars").as("len"))))).as("v"))
+      TxLog.append(raw, base) // no `lang` supplied — derived at write
+      val entries = TxLog.manifest(s, base,
+        TxLog.latestVersion(s, base).get)._1
+      require(entries.forall(_.statsFor("lang").exists(st =>
+          st.min == st.max)),
+        "every partition file must pin its exact lang tuple")
+      val (kept, all) = TxLog.pruneRanges(s, base,
+        Seq(("lang", "es", "es")))
+      require(kept.size < all.size,
+        s"the lang predicate must prune: kept ${kept.size} of ${all.size}")
+      TxLog.readRange(s, base, "lang", "es", "es")
+        .select(variant_get(col("v"), "$.id", "long").as("id"),
+          coalesce(try_variant_get(col("v"), "$.len", "long"), lit(0L))
+            .as("len"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          sum(col("len")).as("sum_len"))
     }))
 
   private val streamDefs: Map[String, Q] = Map(
@@ -604,6 +647,12 @@ object RegistryTx {
                 cast(sum(doc_id) AS BIGINT) AS sum_id,
                 cast(sum(n_chars) AS BIGINT) AS sum_len
          FROM t GROUP BY 1 ORDER BY 1""",
+    "s92_variant_generated_partition" ->
+      """SELECT count(*) AS n,
+                cast(sum(doc_id) AS BIGINT) AS sum_id,
+                cast(sum(CASE WHEN doc_id % 4 <> 3 THEN n_chars
+                              ELSE 0 END) AS BIGINT) AS sum_len
+         FROM documents WHERE lang = 'es'""",
     "s83_parquet_checkpoint" ->
       """WITH t AS (SELECT cast(o_orderkey AS BIGINT) AS k,
                            cast(o_totalprice AS DOUBLE) AS price

@@ -316,6 +316,51 @@ class TxLogVariantSpec extends AnyFunSuite {
     } finally sql.sql("DROP TABLE IF EXISTS txvar_sql")
   }
 
+  test("a GENERATED partition column can derive from a variant path: " +
+    "raw ragged bronze lands without the column, the engine computes " +
+    "day = variant_get(v, '$.d', 'date'), splits the layout on it, " +
+    "and a day predicate prunes to the partition") {
+    import org.apache.spark.sql.types._
+    val base = "/tmp/graft_txvariant/genpart"
+    TxLog.drop(spark, base)
+    TxLog.createTable(spark, base, StructType(Seq(
+        StructField("k", LongType), StructField("v", VariantType),
+        StructField("day", DateType))),
+      partitionCols = Seq("day"),
+      generated = Seq("day" -> "variant_get(v, '$.d', 'date')"))
+    val raw = (0 until 100).map(i => (i.toLong,
+        f"""{"id": $i, "d": "2024-01-${i % 5 + 1}%02d"}"""))
+      .toDF("k", "js")
+      .select(col("k"), parse_json(col("js")).as("v"))
+    TxLog.append(raw, base) // no `day` supplied — the engine derives
+    val entries = TxLog.manifest(spark, base,
+      TxLog.latestVersion(spark, base).get)._1
+    assert(entries.size >= 5, s"expected a file per day, got $entries")
+    assert(entries.forall(_.statsFor("day").exists(st =>
+        st.min == st.max)),
+      "every partition file must pin its exact day tuple")
+    val (kept, all) = TxLog.pruneRanges(spark, base,
+      Seq(("day", "2024-01-03", "2024-01-03")))
+    assert(kept.size * 5 <= all.size,
+      s"the day predicate must prune: kept ${kept.size} of ${all.size}")
+    val got = TxLog.readRange(spark, base, "day",
+        java.sql.Date.valueOf("2024-01-03"),
+        java.sql.Date.valueOf("2024-01-03"))
+      .select(variant_get(col("v"), "$.id", "long")).as[Long]
+      .collect().toSet
+    assert(got == (0 until 100).filter(_ % 5 == 2).map(_.toLong).toSet)
+    // a batch SUPPLYING a wrong derived value is vetoed by the
+    // generated-column validation scan
+    val bad = (100 until 102).map(i => (i.toLong,
+        s"""{"id": $i, "d": "2024-01-01"}""", "2024-02-09"))
+      .toDF("k", "js", "day")
+      .select(col("k"), parse_json(col("js")).as("v"),
+        col("day").cast("date").as("day"))
+    val e = intercept[Exception] { TxLog.append(bad, base) }
+    assert(e.getMessage.toLowerCase.contains("constraint") ||
+      e.getMessage.toLowerCase.contains("generated"), e.getMessage)
+  }
+
   test("interaction: a MOR delete masks variant rows without " +
     "rewriting them, and the mask survives OPTIMIZE") {
     val base = "/tmp/graft_txvariant/mor"
