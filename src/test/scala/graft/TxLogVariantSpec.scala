@@ -361,6 +361,35 @@ class TxLogVariantSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("generated"), e.getMessage)
   }
 
+  test("composition: CHECK constraints and DML residuals reach " +
+    "variant paths — a bronze quality gate vetoes bad records at " +
+    "land time, and a targeted delete erases by extraction") {
+    val base = "/tmp/graft_txvariant/guard"
+    TxLog.drop(spark, base)
+    TxLog.commit(bronze("a", 0 until 40), base, None, Some("k"))
+    TxLog.addConstraint(spark, base, "id_pos",
+      "try_variant_get(v, '$.id', 'long') >= 0")
+    TxLog.append(bronze("b", 40 until 50), base, Some("k"))
+    assert(TxLog.read(spark, base).count() == 50)
+    // a crawl record violating the path gate aborts the whole batch
+    val bad = Seq((1000L, """{"id": -7, "t": "bad"}"""))
+      .toDF("k", "js")
+      .select(col("k"), parse_json(col("js")).as("v"))
+    val e = intercept[Exception] { TxLog.append(bad, base, Some("k")) }
+    assert(e.getMessage.contains("id_pos"), e.getMessage)
+    assert(TxLog.read(spark, base).count() == 50,
+      "a vetoed batch must land nothing")
+    // row-level DML with a variant-extraction residual: erase the
+    // EVEN ids inside the k band, odd survivors untouched
+    TxLog.deleteRangeMor(spark, base, "k", 0L, 9L,
+      residual = expr("variant_get(v, '$.id', 'long') % 2 = 0"))
+    val left = TxLog.read(spark, base)
+      .select(variant_get(col("v"), "$.id", "long")).as[Long]
+      .collect().toSet
+    assert(left == (0L until 50L).filterNot(i => i < 10 && i % 2 == 0)
+      .toSet)
+  }
+
   test("interaction: a MOR delete masks variant rows without " +
     "rewriting them, and the mask survives OPTIMIZE") {
     val base = "/tmp/graft_txvariant/mor"
