@@ -523,6 +523,23 @@ object RegistryTx {
     }))
 
   private val streamDefs: Map[String, Q] = Map(
+    // Streaming VARIANT bronze (the crawl-ingestion shape): ragged
+    // payloads land as one variant column through the exactly-once
+    // foreachBatch→appendOnce sink, the DECLARED `$.eid` path
+    // collects per-file stats inside each micro-batch commit, the
+    // replayed final batch no-ops, and the witness reads a TYPED
+    // band of the bronze. Oracle: the band recomputed from events.
+    "stream_variant_bronze" -> ((s, dir) =>
+      graft.streaming.StreamingOps.variantBronzeIngest(s, dir)
+        .select(variant_get(col("v"), "$.t", "string").as("t"),
+          coalesce(try_variant_get(col("v"), "$.val", "double"),
+            lit(0.0)).as("val"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("n"),
+          sum(col("val").cast("decimal(18,6)")).cast("double")
+            .as("sum_val"))
+        .orderBy("t")),
+
     // Streaming schema tracking (r13 next-round #5): a checkpointed
     // TxLog stream drains the 2-column era, the table evolves
     // (ADD COLUMNS) and lands data under the new surface, and the
@@ -576,6 +593,15 @@ object RegistryTx {
   val allDefs: Map[String, Q] = defs ++ variantDefs ++ streamDefs
 
   val oracles: Map[String, String] = Map(
+    "stream_variant_bronze" ->
+      """WITH t AS (SELECT event_type AS t,
+                           CASE WHEN event_id % 3 <> 0 THEN value
+                                ELSE 0.0 END AS val
+                    FROM events WHERE event_id BETWEEN 100 AND 499)
+         SELECT t, count(*) AS n,
+                cast(sum(cast(val AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_val
+         FROM t GROUP BY 1 ORDER BY 1""",
     "stream_schema_tracking" ->
       """WITH t AS (SELECT event_id, cast(value AS DOUBLE) AS value,
                            CASE WHEN event_id BETWEEN 300 AND 499

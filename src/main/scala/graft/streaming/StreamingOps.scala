@@ -156,6 +156,61 @@ object StreamingOps {
     TxLog.read(spark, base)
   }
 
+  /** Streaming VARIANT bronze — the crawl-ingestion shape end-to-end:
+    * the event stream's ragged payload lands as ONE variant column
+    * through foreachBatch → appendOnce (exactly-once), with `$.eid`
+    * DECLARED up front so every micro-batch's files carry typed
+    * skipping stats the moment they commit (write-time collection —
+    * no maintenance sweep between batches). Restart-shaped replay of
+    * the final batch id pins the no-op. Returns a typed BAND read of
+    * the bronze ([[graft.operators.TxLog.readVariantRange]]). */
+  def variantBronzeIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TxLog
+    import org.apache.spark.sql.types._
+    val (tsFixed, nonce) = rawEvents(spark, sfDir, "variant_bronze")
+    val base = "/tmp/graft_stream_txlog/" + nonce
+    TxLog.createTable(spark, base, StructType(Seq(
+      StructField("event_id", LongType), StructField("v", VariantType))))
+    TxLog.declareVariantStats(spark, base, "v", "$.eid", "long")
+    val appId = "graft_variant_bronze"
+    @volatile var lastBatch = -1L
+    val q = tsFixed
+      .select(col("event_id").cast("long").as("event_id"),
+        (col("event_id") % 3).as("m"), col("event_type"), col("value"))
+      .select(col("event_id"), parse_json(
+          when(col("m") === 0,
+            to_json(struct(col("event_id").as("eid"),
+              col("event_type").as("t"))))
+          .otherwise(to_json(struct(col("event_id").as("eid"),
+            col("event_type").as("t"), col("value").as("val")))))
+        .as("v"))
+      .writeStream
+      .option("checkpointLocation", "/tmp/graft_stream_ckpt/" + nonce)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        TxLog.appendOnce(batch, base, appId, bid,
+          statsCol = Some("event_id"))
+        lastBatch = math.max(lastBatch, bid)
+      }
+      .start()
+    q.awaitTermination()
+    // write-time declared collection through the streaming lineage:
+    // every data file the stream committed carries the path's stats
+    val entries = TxLog.manifest(spark, base,
+      TxLog.latestVersion(spark, base).get)._1
+    require(entries.exists(_.rows != 0L) && entries
+        .filter(_.rows != 0L).forall(_.statsFor("v$.eid").isDefined),
+      "streamed bronze files must carry declared path stats at commit")
+    val vBefore = TxLog.latestVersion(spark, base).get
+    val replayed = TxLog.appendOnce(
+      TxLog.read(spark, base).limit(5), base, appId, lastBatch)
+    require(replayed == vBefore,
+      s"replayed batch $lastBatch must be a no-op")
+    StreamTune.dropScratch("/tmp/graft_stream_ckpt/" + nonce)
+    TxLog.readVariantRange(spark, base, "v", "$.eid", "long",
+      100L, 499L)
+  }
+
   /** The medallion hop as a LOG-TO-LOG stream — both ends on the
     * manifest-commit log: a bronze [[graft.operators.TxLog]] store is
     * consumed version-per-micro-batch through the DSv2 TxLogSource,
