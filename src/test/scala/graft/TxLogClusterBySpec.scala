@@ -173,6 +173,15 @@ class TxLogClusterBySpec extends AnyFunSuite {
     val det = s.sql("DESCRIBE DETAIL gcb.lake.ev").head()
     assert(det.getAs[String]("clustering_columns") == "x,y", det.toString)
     s.sql("DROP TABLE gcb.lake.ev")
+    // a VARIANT extraction key spells as ONE backticked identifier
+    s.sql("DROP TABLE IF EXISTS gcb.lake.vb")
+    s.sql("CREATE TABLE gcb.lake.vb (k BIGINT, v VARIANT) " +
+      "USING graft.sources.TxLogSource")
+    val vbase = "/tmp/graft_txcb/wh/lake/vb"
+    TxLog.declareVariantStats(spark, vbase, "v", "$.price", "long")
+    s.sql("ALTER TABLE gcb.lake.vb CLUSTER BY (`v$.price`)")
+    assert(TxLog.clusterKeys(spark, vbase) == Seq("v$.price"))
+    s.sql("DROP TABLE gcb.lake.vb")
   }
 
   private def priced(ids: Range, mul: Long = 3L) = {
