@@ -6583,10 +6583,31 @@ object TxLog {
         }
       }
     }
-    // a variant key keeps its path; only the column half translates
+    // a variant key keeps its path; only the column half translates.
+    // Loud entry veto when the path is UNDECLARED: the re-tile needs
+    // the declaration to type its extraction (and to keep the new
+    // tiles' stats fresh) — a one-shot collectVariantStats sweep is
+    // not enough, its keys die with the first rewrite
+    val varDecls =
+      if (cols0.exists(variantKeySplit(_).isDefined))
+        latestVersion(spark, base)
+          .map(v => parseVarStatsLines(manifestLines(spark, base, v)))
+          .getOrElse(Seq.empty)
+      else Seq.empty
     val phys = cols0.map { c =>
       variantKeySplit(c) match {
-        case Some((vc, p)) => s"${physicalName(spark, base, vc)}$p"
+        case Some((vc, p)) =>
+          val physC = physicalName(spark, base, vc)
+          val d = varDecls.find(d =>
+            d._1.equalsIgnoreCase(physC) && d._2 == p).getOrElse(
+            throw new IllegalArgumentException(
+              s"ZORDER BY variant key '$c' has no declared stats — " +
+                "declareVariantStats (ALTER TABLE ... DECLARE VARIANT " +
+                "STATS) on the path first"))
+          require(d._3 == "long" || d._3 == "double",
+            s"ZORDER BY variant key '$c' is declared ${d._3} — the " +
+              "bit-interleave normalizes numeric keys")
+          s"$physC$p"
         case None => physicalName(spark, base, c)
       }
     }
@@ -7016,14 +7037,16 @@ object TxLog {
       parseClusterLines(lines).mkString(","),
       parseRowIdLines(lines).isDefined,
       parseDefaultLines(lines).map(_._1).mkString(","),
-      parseWidenLines(lines).map(_._1).mkString(",")
+      parseWidenLines(lines).map(_._1).mkString(","),
+      parseVarStatsLines(lines)
+        .map { case (c, p, t) => s"$c$p:$t" }.mkString(",")
     )).toDF("format", "location", "version", "last_modified_ms",
       "num_files", "num_rows", "num_masked_rows", "size_bytes",
       "stats_columns", "num_constraints", "num_identity_cols",
       "num_bloom_cols", "num_txn_apps", "checkpoint_version",
       "min_reader_version", "min_writer_version", "partition_columns",
       "clustering_columns", "row_tracking", "default_columns",
-      "widened_columns")
+      "widened_columns", "variant_stats")
   }
 
   /** RESTORE (Delta `RESTORE TABLE ... VERSION AS OF` analog): roll

@@ -151,7 +151,11 @@ object TxLogSqlParser {
         // the stock parser would reject "OPTIMIZE" as unknown syntax
         // with no hint about the supported shape
         val z = Option(zcols).map { cs =>
-          val cols = cs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          // backticks only QUOTE here (a variant key `v$.price` is
+          // one identifier) — strip them before the verb sees names
+          val cols = cs.split(',')
+            .map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).toSeq
           if (cols.size < 2) throw new IllegalArgumentException(
             s"OPTIMIZE ... ZORDER BY takes at least two columns " +
               s"(a single key is a plain sort — use OPTIMIZE without " +
@@ -426,7 +430,8 @@ case class TxLogDetailCommand(table: Seq[String])
     AttributeReference("row_tracking",
       org.apache.spark.sql.types.BooleanType, nullable = false)(),
     AttributeReference("default_columns", StringType, nullable = false)(),
-    AttributeReference("widened_columns", StringType, nullable = false)())
+    AttributeReference("widened_columns", StringType, nullable = false)(),
+    AttributeReference("variant_stats", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val base = TxLogSqlParser.resolveBase(spark, table)
     TxLog.describeDetail(spark, base).collect().toSeq

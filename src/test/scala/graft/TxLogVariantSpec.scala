@@ -310,9 +310,24 @@ class TxLogVariantSpec extends AnyFunSuite {
         .filterNot(e => TxLog.manifestFiles(spark, base, 3L).contains(e.path))
       assert(fresh.nonEmpty &&
         fresh.forall(_.statsFor("v$.nested.d").isDefined))
-      assert(sql.sql("ALTER TABLE txvar_sql DROP VARIANT STATS " +
-          "(v, '$.nested.d')").head().getLong(0) == 5L)
-      assert(TxLog.variantStatsOf(spark, base, 5L).isEmpty)
+      // DESCRIBE DETAIL surfaces the standing declaration
+      val det = sql.sql("DESCRIBE DETAIL txvar_sql").head()
+      assert(det.getAs[String]("variant_stats") == "v$.nested.d:long",
+        det.toString)
+      // SQL ZORDER over a (plain, variant) key pair re-tiles through
+      // the same parser verb; an UNDECLARED path vetoes loudly
+      sql.sql("OPTIMIZE txvar_sql ZORDER BY (k, `v$.nested.d`)")
+      val zt = TxLog.manifest(spark, base,
+        TxLog.latestVersion(spark, base).get)._1
+      assert(zt.forall(e => e.statsFor("k").isDefined &&
+        e.statsFor("v$.nested.d").isDefined),
+        "the SQL ZORDER rewrite must stamp stats on both dimensions")
+      val ez = intercept[Exception] {
+        sql.sql("OPTIMIZE txvar_sql ZORDER BY (k, `v$.missing`)") }
+      assert(ez.getMessage.contains("no declared stats"), ez.getMessage)
+      val vDrop = sql.sql("ALTER TABLE txvar_sql DROP VARIANT STATS " +
+        "(v, '$.nested.d')").head().getLong(0)
+      assert(TxLog.variantStatsOf(spark, base, vDrop).isEmpty)
     } finally sql.sql("DROP TABLE IF EXISTS txvar_sql")
   }
 
