@@ -4037,11 +4037,16 @@ object TxLog {
     * the incremental OPTIMIZE folds them later. */
   /** Split a key of the form `<physCol>$<path>` — the spelling a
     * VARIANT extraction path takes everywhere stats/cluster keys
-    * live (`v$.price`). None for ordinary (flat or dotted-struct)
-    * keys. */
+    * live (`v$.price`, `v$[0]`). None for ordinary (flat or
+    * dotted-struct) keys — including columns that merely CONTAIN a
+    * `$` (`x$1`): only a `$.`/`$[` suffix reads as a path, the same
+    * prefix shapes `variant_get` itself accepts. */
   private[graft] def variantKeySplit(key: String): Option[(String, String)] = {
-    val i = key.indexOf('$')
-    if (i <= 0) None else Some((key.substring(0, i), key.substring(i)))
+    val i = math.min(
+      key.indexOf("$.") match { case -1 => Int.MaxValue case n => n },
+      key.indexOf("$[") match { case -1 => Int.MaxValue case n => n })
+    if (i <= 0 || i == Int.MaxValue) None
+    else Some((key.substring(0, i), key.substring(i)))
   }
 
   /** The extraction Column for a DECLARED variant key: resolves the
@@ -5853,20 +5858,6 @@ object TxLog {
     * skipped — those entries stay conservatively scanned, sound.
     * Returns ref-carrying entries plus the landed sidecar dirs, which
     * the CALLER must discard on terminal commit failure. */
-  /** Collect per-file min/max stats on a VARIANT extraction path —
-    * Delta collects stats on shredded variant leaves for skipping;
-    * here the collection is an explicit maintenance verb (the
-    * [[buildBloomIndex]] pattern) that works on SHREDDED and
-    * unshredded files alike, because the stats compute through
-    * `try_variant_get` — the exact expression queries skip with. The
-    * stats key is `<physCol><path>` (e.g. "v$.id"): a TYPED scalar
-    * key distinct from the variant column itself, whose stats stay
-    * vetoed (a ragged variant has no total order; a typed path does).
-    * Sound by construction: files landing AFTER the collection carry
-    * no path stats and never skip until a re-collection, and physical
-    * rewrites (OPTIMIZE / COW DML) drop the key the same conservative
-    * way. One metadata commit republishes the entries with the merged
-    * stats — zero data files move. */
   private[graft] def variantStatsTarget(targetType: String): (String, String) =
     targetType.toLowerCase match {
       case "long" | "bigint" | "int" | "integer" => ("long", "bigint")
@@ -5920,6 +5911,28 @@ object TxLog {
     }
   }
 
+  /** One-shot sweep collecting per-file min/max stats on a VARIANT
+    * extraction path — Delta collects stats on shredded variant
+    * leaves for skipping; here the collection is an explicit
+    * maintenance verb (the [[buildBloomIndex]] pattern) that works on
+    * SHREDDED and unshredded files alike, because the stats compute
+    * through `try_variant_get` — the exact expression queries skip
+    * with. The stats key is `<physCol><path>` (e.g. "v$.id"): a TYPED
+    * scalar key distinct from the variant column itself, whose stats
+    * stay vetoed (a ragged variant has no total order; a typed path
+    * does). Sound by construction: files landing AFTER the collection
+    * carry no path stats and never skip until a re-collection, and
+    * physical rewrites (OPTIMIZE / COW DML) drop the key the same
+    * conservative way. One metadata commit republishes the entries
+    * with the merged stats — zero data files move.
+    *
+    * Scale posture: the sweep is a FULL-TABLE maintenance verb — it
+    * must scan every live file and republish every statable entry, so
+    * its cost is a table scan plus an O(entries) commit. At the
+    * 10^6-file scale prefer [[declareVariantStats]] (write-time
+    * collection, O(batch) forever after one backfill) and reserve
+    * this verb for adoption backfills of directories written before
+    * the declaration existed. */
   def collectVariantStats(spark: SparkSession, base: String,
                           column0: String, path: String,
                           targetType: String,
