@@ -21,6 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // builder resolves the table through the session catalog and
     // returns the row-precise change-feed plan.
     ext.injectTableFunction(GraftExtensions.tableChangesFunction)
+    // typed band reads over semi-structured bronze: SQL has no way to
+    // push an expression predicate into the DSv2 scan's entry
+    // pruning, so `WHERE variant_get(v, '$.p') BETWEEN ...` reads
+    // every file — this TVF routes through readVariantRange's
+    // stats-pruned plan instead.
+    ext.injectTableFunction(GraftExtensions.variantRangeFunction)
     // Ladder rung (c): whole-operator planner extension. The strategy
     // self-scopes (fires only on broadcast-declared point-in-interval
     // inner joins, returns Nil otherwise) so injecting it session-wide
@@ -180,6 +186,65 @@ object GraftExtensions {
         .withColumn("_commit_timestamp", timestamp_millis(col("__ts_ms")))
         .select((dataCols ++ Seq("_change_type", "_commit_version",
           "_commit_timestamp")).map(col): _*)
+        .queryExecution.analyzed
+    })
+
+  /** `variant_range('<table>', '<col>', '<path>', lo, hi)` — the
+    * typed band read over a VARIANT extraction path as a
+    * table-valued function. SQL expression predicates
+    * (`WHERE variant_get(v, '$.p') BETWEEN lo AND hi`) cannot reach
+    * the DSv2 scan's entry pruning (pushed filters are column
+    * filters), so they scan every file; this TVF plans through
+    * [[graft.operators.TxLog.readVariantRange]] — files whose
+    * collected/declared path stats cannot overlap the band are never
+    * opened, and the row-level residual keeps the read exact. The
+    * band's TYPE derives from the bound literals (integral → long,
+    * fractional → double, string → string), matching the declared
+    * stats family. */
+  val variantRangeFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = (
+    FunctionIdentifier("variant_range"),
+    new ExpressionInfo("graft.operators.TxLog", "variant_range"),
+    (args: Seq[Expression]) => {
+      require(args.size == 5,
+        "variant_range(table, column, path, lo, hi) takes a table " +
+          "name, a variant column, an extraction path, and two " +
+          "literal bounds")
+      def evalLit(e: Expression, what: String): Any = {
+        require(e.foldable, s"variant_range: $what must be a literal")
+        e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      }
+      val spark = org.apache.spark.sql.SparkSession.active
+      val name = String.valueOf(evalLit(args(0), "the table name"))
+      val colName = String.valueOf(evalLit(args(1), "the column"))
+      val path = String.valueOf(evalLit(args(2), "the path"))
+      val base = graft.sources.TxLogSqlParser.resolveBase(spark,
+        graft.sources.TxLogSqlParser.parts(name))
+      def bound(e: Expression, what: String): (Any, String) = {
+        val raw = evalLit(e, what)
+        e.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType =>
+            (raw.asInstanceOf[Number].longValue(), "long")
+          case org.apache.spark.sql.types.FloatType |
+               org.apache.spark.sql.types.DoubleType =>
+            (raw.asInstanceOf[Number].doubleValue(), "double")
+          case org.apache.spark.sql.types.StringType =>
+            (String.valueOf(raw), "string")
+          case other => throw new IllegalArgumentException(
+            s"variant_range: $what must be an integral, fractional " +
+              s"or string literal, got ${other.simpleString}")
+        }
+      }
+      val (lo, tLo) = bound(args(3), "lo")
+      val (hi, tHi) = bound(args(4), "hi")
+      require(tLo == tHi,
+        s"variant_range: bounds must share a type family (got $tLo " +
+          s"and $tHi)")
+      graft.operators.TxLog
+        .readVariantRange(spark, base, colName, path, tLo, lo, hi)
         .queryExecution.analyzed
     })
 }

@@ -297,6 +297,14 @@ class TxLogVariantSpec extends AnyFunSuite {
         .head().getLong(0) == 2L)
       assert(TxLog.manifest(spark, base, 2L)._1
         .forall(_.statsFor("v$.id").isDefined))
+      // the variant_range TVF serves the STATS-PRUNED band read that
+      // a SQL expression predicate cannot reach
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerTableFunction(sql,
+          graft.GraftExtensions.variantRangeFunction)
+      assert(sql.sql("SELECT count(*) AS n FROM " +
+          "variant_range('txvar_sql', 'v', '$.id', 10, 19)")
+        .head().getLong(0) == 10L)
       assert(sql.sql("ALTER TABLE txvar_sql DECLARE VARIANT STATS " +
           "(v, '$.nested.d', long)").head().getLong(0) == 3L)
       assert(TxLog.variantStatsOf(spark, base, 3L) ==
