@@ -384,6 +384,35 @@ class TxLogVariantSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("generated"), e.getMessage)
   }
 
+  test("scale integration: on a COLUMNAR-checkpoint table the path " +
+    "band prunes EXECUTOR-side — the checkpoint's typed smin/smax " +
+    "columns cover the variant stats key, so a cold 10^6-entry " +
+    "resolution never line-parses the non-overlapping entries") {
+    val base = "/tmp/graft_txvariant/ckpt"
+    TxLog.drop(spark, base)
+    spark.conf.set("spark.graft.txlog.checkpointFormat", "parquet")
+    spark.conf.set("spark.graft.txlog.checkpointInterval", "1")
+    try {
+      TxLog.commit(bronze("a", 0 until 80)
+        .repartitionByRange(4, col("k")), base, None, Some("k"))
+      TxLog.declareVariantStats(spark, base, "v", "$.id", "long")
+      val v = TxLog.latestVersion(spark, base).get
+      TxLog.cachePurge(base) // cold driver: the hybrid path engages
+      val pruned = graft.operators.TxLogPlan.pruneEntriesForScan(
+        spark, base, v, Seq(("v$.id", "10", "19")))
+      assert(pruned.isDefined,
+        "the columnar base must serve the prune (not the text path)")
+      val all = TxLog.manifest(spark, base, v)._1
+      assert(pruned.get.size < all.size,
+        s"typed-column prune must skip: ${pruned.get.size} of ${all.size}")
+      assert(TxLog.readVariantRange(spark, base, "v", "$.id", "long",
+        10L, 19L).count() == 10L)
+    } finally {
+      spark.conf.unset("spark.graft.txlog.checkpointFormat")
+      spark.conf.unset("spark.graft.txlog.checkpointInterval")
+    }
+  }
+
   test("composition: CHECK constraints and DML residuals reach " +
     "variant paths — a bronze quality gate vetoes bad records at " +
     "land time, and a targeted delete erases by extraction") {
