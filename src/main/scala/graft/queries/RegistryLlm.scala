@@ -1098,6 +1098,39 @@ object RegistryLlm {
         .orderBy("query_id", "rank")
     }),
 
+    // Filtered ANN over the PERSISTED index — the production serving
+    // shape in full: the quantizer trained once and the assignment
+    // committed at ingest (zero per-query assignment work), and the
+    // metadata predicate pushes INTO the probed cells of that
+    // standing index — excluded vectors never scored, candidate
+    // volume only shrinks, ONE unfiltered index serves every
+    // predicate. Composes llm_knn_ivf_persisted (standing index) with
+    // llm_knn_filtered (predicate placement).
+    "llm_knn_filtered_persisted" -> ((s, dir) => {
+      import graft.operators.TxLog
+      val e = embs(s, dir)
+      val fx = graft.sources.Ingest.fixtureDir(dir)
+      val centersBase = fx + "/ivff_centers"
+      val assignBase = fx + "/ivff_assign"
+      Seq(centersBase, assignBase).foreach(TxLog.drop(s, _))
+      val centers0 = Similarity.groupCentroids(e, "label", "embedding")
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), x -> x.centroid)")
+          .as("sv"))
+        .select(col("label").cast("long").as("seed_id"), col("sv"))
+      TxLog.commit(centers0, centersBase, None)
+      val frozen = TxLog.read(s, centersBase)
+        .select(col("seed_id"), col("sv").as("__sv"))
+      TxLog.commit(
+        graft.operators.Ivf.assignTo(e, "vec_id", "embedding", frozen),
+        assignBase, None, Some("vec_id"))
+      graft.operators.Ivf.searchAssignedFiltered(e,
+          e.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          frozen, TxLog.read(s, assignBase), nProbe = 2, k = 3,
+          pred = col("label") % 3 === 0)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF × SQ8 (Faiss "IVF*,SQ8" — the production ANN layout): the
     // coarse quantizer probes in full precision (K-sized work, where
     // precision is cheap and recall-critical) while candidate scoring
@@ -2706,6 +2739,51 @@ object RegistryLlm {
          corpus AS (
            SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v
            FROM embeddings),
+         assigned AS (
+           SELECT vec_id, seed_id AS cell FROM (
+             SELECT c.vec_id, s.seed_id,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY round(list_cosine_similarity(c.v, s.sv), 4) DESC,
+                               s.seed_id ASC) AS rn
+             FROM corpus c CROSS JOIN seeds s)
+           WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, cast(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+         probed AS (
+           SELECT query_id, qv, seed_id AS cell FROM (
+             SELECT q.query_id, q.qv, s.seed_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(q.qv, s.sv), 4) DESC,
+                               s.seed_id ASC) AS pr
+             FROM q CROSS JOIN seeds s)
+           WHERE pr <= 2),
+         cands AS (
+           SELECT p.query_id, c.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(p.qv, c.v), 4) AS cos_sim
+           FROM probed p
+           JOIN assigned a ON a.cell = p.cell
+           JOIN corpus c ON c.vec_id = a.vec_id
+           WHERE c.vec_id <> p.query_id AND c.label % 3 = 0)
+         SELECT query_id, neighbor_id, cos_sim,
+                cast(rank AS INTEGER) AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM cands)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "llm_knn_filtered_persisted" ->
+      """WITH x AS (SELECT label, embedding AS e,
+                  unnest(range(0, len(embedding))) AS dim
+           FROM embeddings),
+         cu AS (SELECT label, dim,
+                       cast(round(cast(e[dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS uu
+                FROM x),
+         ca AS (SELECT label, dim, sum(uu) AS su, count(*) AS n_vecs
+                FROM cu GROUP BY 1, 2),
+         seeds AS (SELECT label AS seed_id,
+                          list(cast((2 * su + sign(su) * n_vecs) // (2 * n_vecs) AS DOUBLE) / 1000000.0
+                               ORDER BY dim) AS sv
+                   FROM ca GROUP BY label),
+         corpus AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
          assigned AS (
            SELECT vec_id, seed_id AS cell FROM (
              SELECT c.vec_id, s.seed_id,
