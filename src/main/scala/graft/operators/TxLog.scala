@@ -2504,12 +2504,23 @@ object TxLog {
       // and full-mask entry drops all run on, so a stat-less commit or
       // purge must not silently demote the table to rows=-1
       val spark = df.sparkSession
-      val txnDir = s"$base/${rels.head.split('/').dropRight(1).mkString("/")}"
-      val specs = dtypes.map { case (c, t) =>
-        (c, org.apache.spark.sql.functions.col(c), t) } ++ varSpecs
-      val byFile = statsByFile(spark.read.parquet(txnDir), specs)
-      val keys = specs.map { case (k, _, t) => (k, t) }
-      rels.map(rel => entryFromStats(rel, byFile, keys))
+      // metadata-only fast path: everything a plain-column spec needs
+      // is already in the landed files' footers (row counts + typed
+      // min/max) — no second scan of the batch. Declared variant-path
+      // stats need expression evaluation, so their presence keeps the
+      // scan; so does any footer shape the fast path cannot render
+      // byte-identically (INT96 ts, NaN/±0.0 doubles, dropped stats).
+      val fast = if (varSpecs.nonEmpty) None
+        else footerEntries(spark, base, rels,
+          dtypes.map { case (c, t) => (c, t) })
+      fast.getOrElse {
+        val txnDir = s"$base/${rels.head.split('/').dropRight(1).mkString("/")}"
+        val specs = dtypes.map { case (c, t) =>
+          (c, org.apache.spark.sql.functions.col(c), t) } ++ varSpecs
+        val byFile = statsByFile(spark.read.parquet(txnDir), specs)
+        val keys = specs.map { case (k, _, t) => (k, t) }
+        rels.map(rel => entryFromStats(rel, byFile, keys))
+      }
     }
   }
 
@@ -2537,6 +2548,156 @@ object TxLog {
       .collect() // one row per file — bounded driver metadata
       .map(r => r.getString(0) -> r)
       .toMap
+  }
+
+  /** FOOTER-harvested per-file stats — the metadata-only fast path of
+    * the land-time collection: row counts and min/max come from the
+    * parquet footers of the just-landed files instead of a SECOND full
+    * scan of the batch (guide §6 — at 100 TB the land write should be
+    * the only pass over the batch's bytes; re-reading 100% of what was
+    * just written to derive a few numbers per file is pure I/O tax,
+    * and on the bench it is one whole Spark job per commit).
+    *
+    * Exactness contract: the manifest stats string must be BYTE-EQUAL
+    * to what the scan path (`min(cast(col AS castType)).cast(string)`)
+    * would produce — readers compare strings, and witnesses expose
+    * them. The conversions below are exact for the whole stats matrix
+    * ([[statsDtype]]): integral types and MICROS/MILLIS timestamps
+    * (floorDiv to seconds = `cast(ts AS long)`), float widened through
+    * double (same widening the scan casts through), DATE days rendered
+    * by the same Catalyst Cast the scan executes, strings compared in
+    * unsigned byte order (parquet's STRING order == UTF8String order).
+    * Anything the footer cannot reproduce exactly returns None and the
+    * caller runs the scan: INT96 timestamps (deprecated stats), NaN or
+    * signed-zero double extremes (aggregate ordering vs footer
+    * omission/compare differ), missing or dropped statistics
+    * (oversized values), unknown type shapes. All-NULL columns carry
+    * no stats in either path. TxFooterStatsSpec pins scan/footer
+    * equality per type, including the fallback triggers. */
+  private def footerEntries(spark: SparkSession, base: String,
+                            rels: Seq[String],
+                            keys: Seq[(String, String)]): Option[Seq[Entry]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.{DateType, DoubleType, StringType}
+    val conf = spark.sessionState.newHadoopConf()
+    def renderDouble(d: Double): String =
+      Cast(Literal(d, DoubleType), StringType).eval().toString
+    def renderDate(days: Int): String =
+      Cast(Literal(days, DateType), StringType).eval().toString
+    // local control flow: any shape the footer cannot reproduce
+    // exactly punts the WHOLE batch to the scan path
+    case class Punt() extends Exception
+    // one file's (rows, per-key Option[min,max] strings); None = punt
+    def fileStats(rel: String): Option[(Long, Seq[Option[(String, String)]])] = {
+      val in = HadoopInputFile.fromPath(new Path(resolve(base, rel)), conf)
+      val r = ParquetFileReader.open(in)
+      try {
+        val footer = r.getFooter
+        import scala.jdk.CollectionConverters._
+        val blocks = footer.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val perKey: Seq[Option[(String, String)]] = keys.map {
+          case (key, dtype) =>
+            val want = key.toLowerCase
+            // (blockRows, chunk) per block; a landed file that lacks
+            // the column cannot have come from this write — punt
+            val chunks = blocks.map { b =>
+              (b.getRowCount, b.getColumns.asScala.find(
+                _.getPath.toDotString.toLowerCase == want))
+            }
+            if (rows == 0L) None // empty file: no stats in either path
+            else if (chunks.exists(_._2.isEmpty)) throw Punt()
+            else {
+              val sts = chunks.map { case (n, c) =>
+                (n, c.get.getStatistics, c.get.getPrimitiveType)
+              }
+              // absent/unset stats (dropped oversized values, foreign
+              // writer) are indistinguishable from data — punt; a block
+              // that is provably all-NULL just contributes no values
+              if (sts.exists { case (n, st, _) =>
+                  st == null || (!st.hasNonNullValue &&
+                    !(st.isNumNullsSet && st.getNumNulls == n)) })
+                throw Punt()
+              val valued = sts.filter(_._2.hasNonNullValue)
+              if (valued.isEmpty) None // all-NULL column: no stats
+              else {
+                val pt = valued.head._3
+                val ann = pt.getLogicalTypeAnnotation
+                def longOf(v: Any): Long = v match {
+                  case i: java.lang.Integer => i.longValue
+                  case l: java.lang.Long => l.longValue
+                  case _ => throw Punt()
+                }
+                def dblOf(v: Any): Double = v match {
+                  case f: java.lang.Float => f.doubleValue
+                  case d: java.lang.Double => d.doubleValue
+                  case _ => throw Punt()
+                }
+                def binOf(v: Any): org.apache.spark.unsafe.types.UTF8String =
+                  v match {
+                    case b: org.apache.parquet.io.api.Binary =>
+                      org.apache.spark.unsafe.types.UTF8String
+                        .fromBytes(b.getBytes)
+                    case _ => throw Punt()
+                  }
+                (dtype, pt.getPrimitiveTypeName, ann) match {
+                  case ("long", INT32 | INT64, a)
+                      if a == null || a.isInstanceOf[
+                        LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+                    Some((
+                      valued.map(s => longOf(s._2.genericGetMin)).min.toString,
+                      valued.map(s => longOf(s._2.genericGetMax)).max.toString))
+                  case ("long", INT64,
+                      ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+                    val div = ts.getUnit match {
+                      case LogicalTypeAnnotation.TimeUnit.MICROS => 1000000L
+                      case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+                      case LogicalTypeAnnotation.TimeUnit.NANOS => 1000000000L
+                    }
+                    Some((
+                      Math.floorDiv(valued.map(s =>
+                        longOf(s._2.genericGetMin)).min, div).toString,
+                      Math.floorDiv(valued.map(s =>
+                        longOf(s._2.genericGetMax)).max, div).toString))
+                  case ("double", FLOAT | DOUBLE, _) =>
+                    val mn = valued.map(s => dblOf(s._2.genericGetMin)).min
+                    val mx = valued.map(s => dblOf(s._2.genericGetMax)).max
+                    // NaN poisons footer stats; ±0.0 ordering differs
+                    // between footer compare and aggregate ordering
+                    if (mn.isNaN || mx.isNaN || mn == 0.0d || mx == 0.0d)
+                      throw Punt()
+                    Some((renderDouble(mn), renderDouble(mx)))
+                  case ("date", INT32,
+                      _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+                    Some((
+                      renderDate(valued.map(s =>
+                        longOf(s._2.genericGetMin).toInt).min),
+                      renderDate(valued.map(s =>
+                        longOf(s._2.genericGetMax).toInt).max)))
+                  case ("string", BINARY,
+                      _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+                    Some((
+                      valued.map(s => binOf(s._2.genericGetMin)).min.toString,
+                      valued.map(s => binOf(s._2.genericGetMax)).max.toString))
+                  case _ => throw Punt() // INT96 timestamp, decimal, ...
+                }
+              }
+            }
+        }
+        Some((rows, perKey))
+      } finally r.close()
+    }
+    try Some(rels.map { rel =>
+      val (rows, perKey) = fileStats(rel).get
+      Entry(rel, rows, keys.zip(perKey).collect {
+        case ((c, t), Some((mn, mx))) => ColStats(c, t, mn, mx)
+      })
+    })
+    catch { case Punt() => None }
   }
 
   private def entryFromStats(rel: String,

@@ -712,11 +712,13 @@ object RegistryMaintSchema {
         .option("rowIds", "true").load(base)
       val api = TxLog.readWithRowIds(s, base)
         .select("k", "v", "_row_id")
-      require(scan.select("k", "v", "_row_id").exceptAll(api).isEmpty &&
-        api.exceptAll(scan.select("k", "v", "_row_id")).isEmpty,
+      graft.operators.Checks.requireMultisetEqual(
+        scan.select("k", "v", "_row_id"), api,
         "the scan option and the API verb must serve one id surface")
-      val n = scan.count()
-      require(scan.select("_row_id").distinct().count() == n,
+      // count + distinct in ONE aggregate job (was two count actions)
+      val cnts = scan.agg(count(lit(1)), countDistinct(col("_row_id")))
+        .collect()(0)
+      require(cnts.getLong(0) == cnts.getLong(1),
         "stable ids must be unique")
       scan.groupBy("v")
         .agg(count(lit(1)).as("n"),

@@ -346,10 +346,10 @@ object StreamingOps {
     require(v5Types == Set("update_preimage", "update_postimage"),
       s"a MOR UPDATE version must emit update images, got $v5Types")
     run() // resume: ONLY v3 + v4 + v5 flow
-    // replica ≡ source, row for row
-    val a = TxLog.read(spark, src)
-    val b = TxLog.read(spark, rep)
-    require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+    // replica ≡ source, row for row — one ±1-weighted aggregate job,
+    // not two exceptAll actions (each a second pass over both tables)
+    graft.operators.Checks.requireMultisetEqual(
+      TxLog.read(spark, src), TxLog.read(spark, rep),
       "the CDC replica must equal the source snapshot exactly")
     // exactly-once evidence: 5 source versions → 5 replica versions,
     // high-water at the last batch id
@@ -756,10 +756,13 @@ object StreamingOps {
     val a = TxLog.read(spark, src).select("k", "v")
     val rd = TxLog.read(spark, rep)
     val b = rd.select("k", "v")
-    require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+    graft.operators.Checks.requireMultisetEqual(a, b,
       "the id-keyed replica must reconstruct the source exactly")
-    require(rd.select("rid").distinct().count() == rd.count(),
-      "replica ids must stay unique across batches")
+    // one aggregate proves uniqueness (count + distinct in one job,
+    // not a count action per side)
+    val (nRid, nDis) = rd.agg(count(lit(1)), countDistinct(col("rid")))
+      .collect()(0) match { case r => (r.getLong(0), r.getLong(1)) }
+    require(nDis == nRid, "replica ids must stay unique across batches")
     StreamTune.dropScratch(ckpt)
     b
   }
