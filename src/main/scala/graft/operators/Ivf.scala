@@ -295,7 +295,12 @@ object Ivf {
         .select(col("seed_id"), col("sv").as("__sv"))
       TxLog.mergeMorAuto(spark, assignBase,
         assignTo(memberVecs, idCol, vecCol, updated), Seq(idCol))
-      (driftedCells.length.toLong, memberVecs.count())
+      // reassigned = Σ members of drifted cells, read off the ALREADY
+      // PERSISTED drift frame (its `n` is the per-cell member count) —
+      // a memberVecs.count() here would re-run the corpus⋈assignment
+      // join a second time just to produce the same number
+      val reassigned = drifts.agg(sum(col("n"))).collect()(0).getLong(0)
+      (driftedCells.length.toLong, reassigned)
     } finally drifts.unpersist()
   }
 }

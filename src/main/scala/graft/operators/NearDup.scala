@@ -146,8 +146,13 @@ object NearDup {
     require(maxLenDiff <= bucketW / 2,
       s"maxLenDiff=$maxLenDiff must be <= bucketW/2 so ±1 buckets suffice")
     val norm = substring(TextFns.normWs(lower(col(textCol))), 1, prefixLen)
-    val side = df.select(col(idCol).as("__id"), col(strataCol).as("__st"),
-      col(lenCol).as("__len"), norm.as("__t"))
+    // widen scan parallelism FIRST (Tables.scaled): the corpus parquet
+    // is one split locally, and without the spread every blocked pair's
+    // banded-DP verification lands in ONE task — measured 621k pairs
+    // on one core at sf0.1 (guide §2.5 input skew / §6 split sizing)
+    val side = graft.sources.Tables.scaled(
+      df.select(col(idCol).as("__id"), col(strataCol).as("__st"),
+        col(lenCol).as("__len"), norm.as("__t")))
     val bk = floor(col("__len") / bucketW).cast("long")
     val probes = side.withColumn("__bk",
       explode(array(bk - 1, bk, bk + 1)))
