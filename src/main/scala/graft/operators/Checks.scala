@@ -19,6 +19,15 @@ object Checks {
     * two frames are multiset-equal. One shuffle, one action when the
     * caller runs `.isEmpty`. */
   def multisetMismatch(a: DataFrame, b: DataFrame): DataFrame = {
+    // selecting b by a's names must not silently pass a b with EXTRA
+    // columns (the old exceptAll spelling raised an arity error), and
+    // an input already carrying the helper names would have its data
+    // overwritten before the compare — both weaken the proof
+    require(a.columns.toSet == b.columns.toSet,
+      s"multiset compare needs identical column sets, got " +
+        s"${a.columns.toSeq.sorted} vs ${b.columns.toSeq.sorted}")
+    require(!a.columns.contains("__w") && !a.columns.contains("__d"),
+      "multiset compare inputs must not carry the __w/__d helper names")
     val cols = a.columns.toSeq.map(col)
     a.select(cols: _*).withColumn("__w", lit(1L))
       .unionByName(b.select(cols: _*).withColumn("__w", lit(-1L)))

@@ -298,7 +298,10 @@ object Ivf {
       // reassigned = Σ members of drifted cells, read off the ALREADY
       // PERSISTED drift frame (its `n` is the per-cell member count) —
       // a memberVecs.count() here would re-run the corpus⋈assignment
-      // join a second time just to produce the same number
+      // join a second time just to produce the same number. Contract:
+      // `n` comes from posexplode-based groupCentroids, so this counts
+      // members with NON-EMPTY vectors; degenerate rows (NULL/empty
+      // vector) are reassign no-ops and are not counted.
       val reassigned = drifts.agg(sum(col("n"))).collect()(0).getLong(0)
       (driftedCells.length.toLong, reassigned)
     } finally drifts.unpersist()

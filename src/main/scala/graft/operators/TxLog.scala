@@ -2645,9 +2645,15 @@ object TxLog {
                     case _ => throw Punt()
                   }
                 (dtype, pt.getPrimitiveTypeName, ann) match {
+                  // null annotation = plain signed int; an UNSIGNED
+                  // annotation (foreign writer) would decode its
+                  // footer min/max as wrong signed longs — punt
                   case ("long", INT32 | INT64, a)
-                      if a == null || a.isInstanceOf[
-                        LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+                      if a == null || (a match {
+                        case i: LogicalTypeAnnotation
+                            .IntLogicalTypeAnnotation => i.isSigned
+                        case _ => false
+                      }) =>
                     Some((
                       valued.map(s => longOf(s._2.genericGetMin)).min.toString,
                       valued.map(s => longOf(s._2.genericGetMax)).max.toString))
@@ -2673,11 +2679,16 @@ object TxLog {
                     Some((renderDouble(mn), renderDouble(mx)))
                   case ("date", INT32,
                       _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
-                    Some((
-                      renderDate(valued.map(s =>
-                        longOf(s._2.genericGetMin).toInt).min),
-                      renderDate(valued.map(s =>
-                        longOf(s._2.genericGetMax).toInt).max)))
+                    val mnD = valued.map(s =>
+                      longOf(s._2.genericGetMin).toInt).min
+                    val mxD = valued.map(s =>
+                      longOf(s._2.genericGetMax).toInt).max
+                    // outside 0001-01-01..9999-12-31 the rendered form
+                    // gains a sign/extra digit, so chronological order
+                    // (footer) and rendered-string order (the scan:
+                    // castType("date") == "string") diverge — punt
+                    if (mnD < -719162 || mxD > 2932896) throw Punt()
+                    Some((renderDate(mnD), renderDate(mxD)))
                   case ("string", BINARY,
                       _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
                     Some((
@@ -2691,13 +2702,35 @@ object TxLog {
         Some((rows, perKey))
       } finally r.close()
     }
-    try Some(rels.map { rel =>
-      val (rows, perKey) = fileStats(rel).get
-      Entry(rel, rows, keys.zip(perKey).collect {
-        case ((c, t), Some((mn, mx))) => ColStats(c, t, mn, mx)
-      })
-    })
-    catch { case Punt() => None }
+    // the per-file footer reads are independent: harvest them on a
+    // bounded pool instead of a serial driver loop, so a commit
+    // landing 10⁴ files pays O(files/threads) open round-trips, not
+    // O(files). The punt contract stays all-or-nothing — any Punt
+    // (surfacing here as an ExecutionException cause) fails the whole
+    // batch over to the scan path, exactly like the serial loop did.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(rels.size,
+        Runtime.getRuntime.availableProcessors)))
+    try {
+      val futs = rels.map { rel =>
+        pool.submit(new java.util.concurrent.Callable[Entry] {
+          override def call(): Entry = {
+            val (rows, perKey) = fileStats(rel).get
+            Entry(rel, rows, keys.zip(perKey).collect {
+              case ((c, t), Some((mn, mx))) => ColStats(c, t, mn, mx)
+            })
+          }
+        })
+      }
+      try Some(futs.map(_.get()))
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          e.getCause match {
+            case Punt() => None
+            case other => throw other
+          }
+      }
+    } finally pool.shutdown()
   }
 
   private def entryFromStats(rel: String,
@@ -4912,21 +4945,26 @@ object TxLog {
       : Option[(String, Map[String, Long])] = {
     import org.apache.spark.sql.functions.col
     val newHits = hits0.select(DvFileCol, DvPosCol)
-    val allDv = dvFrame(spark, base, touched) match {
+    val allDv = (dvFrame(spark, base, touched) match {
       case Some(old) => newHits.unionByName(old).distinct()
       case None => newHits // raw positions are unique by construction
-    }
-    val dvDir = landDvDir(allDv.repartition(col(DvFileCol)), base)
-    val dvRoot = new Path(s"$base/$dvDir")
-    val hasParts = fs(base, spark).listStatus(dvRoot).exists(st =>
-      st.isFile && isDataFileName(st.getPath.getName))
-    val counts: Map[String, Long] =
-      if (!hasParts) Map.empty
-      else spark.read.parquet(s"$base/$dvDir")
-        .groupBy(DvFileCol).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (counts.isEmpty) { discardDir(spark, base, dvDir); None }
-    else Some((dvDir, counts))
+    }).persist()
+    try {
+      // per-file counts come from the SAME cached frame the write
+      // lands (identical rows by construction), and the two actions
+      // overlap on driver threads (guide §2.6) — the old spelling
+      // wrote the sidecar, then re-LISTED and re-READ the just-written
+      // files back for the counts: one extra read of written bytes
+      // plus a full sequential job latency, every masked commit
+      var dvDir: String = null
+      var counts: Map[String, Long] = Map.empty
+      Par.all(
+        () => dvDir = landDvDir(allDv.repartition(col(DvFileCol)), base),
+        () => counts = allDv.groupBy(DvFileCol).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      if (counts.isEmpty) { discardDir(spark, base, dvDir); None }
+      else Some((dvDir, counts))
+    } finally allDv.unpersist(false)
   }
 
   /** Touched entries re-pointed at the merged sidecar: fully-masked
@@ -5029,12 +5067,19 @@ object TxLog {
             appended.map(k => set(k).as(k)): _*)
         }
         val updatedP = toPhysicalIfMapped(spark, base, updated)
-        val newEntries = landEntriesMulti(updatedP, base,
-          preservedStatsCols(touched,
-            primaryStats.map(physicalName(spark, base, _)), updatedP.schema),
-          recomputeGenerated = true)
-          .filter(_.rows != 0L)
-        landMaskSidecar(spark, base, touched, hits0) match {
+        // the post-image land and the mask-sidecar build are
+        // independent actions — overlap them (guide §2.6)
+        var newEntries: Seq[Entry] = null
+        var maskRes: Option[(String, Map[String, Long])] = None
+        Par.all(
+          () => newEntries = landEntriesMulti(updatedP, base,
+            preservedStatsCols(touched,
+              primaryStats.map(physicalName(spark, base, _)),
+              updatedP.schema),
+            recomputeGenerated = true)
+            .filter(_.rows != 0L),
+          () => maskRes = landMaskSidecar(spark, base, touched, hits0))
+        maskRes match {
           case None => // no hits anywhere: drop the (empty) append too
             discard(spark, base, newEntries.map(_.path)); cur
           case Some((dvDir, counts)) =>
@@ -5153,7 +5198,8 @@ object TxLog {
           }
           inheritMergeIds(source, live, keys)
         }
-      val newEntries = landEntriesMulti(sourceW, base,
+      var newEntries: Seq[Entry] = null
+      val doLand = () => newEntries = landEntriesMulti(sourceW, base,
         preservedStatsCols(touched, primaryStats, sourceW.schema),
         recomputeGenerated = true)
         .filter(_.rows != 0L)
@@ -5169,13 +5215,18 @@ object TxLog {
             discard(spark, base, newEntries.map(_.path))
             throw e
         }
-      if (touched.isEmpty) publishWith(Seq.empty, None)
+      if (touched.isEmpty) { doLand(); publishWith(Seq.empty, None) }
       else {
-        // matched = target rows whose key tuple appears in the source
+        // matched = target rows whose key tuple appears in the source.
+        // The source land and the mask-sidecar build are independent
+        // actions — overlap them on driver threads (guide §2.6)
         val hits0 = taggedRead(spark, base, touched)
           .join(source.select(keys.map(col): _*).distinct(),
             keys, "left_semi")
-        landMaskSidecar(spark, base, touched, hits0) match {
+        var maskRes: Option[(String, Map[String, Long])] = None
+        Par.all(doLand,
+          () => maskRes = landMaskSidecar(spark, base, touched, hits0))
+        maskRes match {
           case None => publishWith(touched, None) // insert-only batch
           case Some((dvDir, counts)) =>
             publishWith(remask(touched, dvDir, counts), Some(dvDir))
@@ -5774,9 +5825,32 @@ object TxLog {
       (Seq(statsCol) ++ existing.flatMap(_.stats.map(_.column))).distinct
         .filter(inserts.schema.fieldNames.contains)
     }
-    val (newEntries0, checked0) =
-      landEntriesChecked(inserts, base, statsCols,
-        guardIdentity = guardIdentity)
+    val castT = castType(statsDtype(deleteKeys.schema(statsCol).dataType))
+    // the inserts land and the delete/sync key-bound aggregates are
+    // independent actions on different inputs: overlap them on driver
+    // threads (guide §2.6) instead of paying land + bounds latencies
+    // back to back on every CDC batch
+    var landed: (Seq[Entry], Map[String, String]) = null
+    var bounds: org.apache.spark.sql.Row = null
+    var syncRange: Option[Option[(String, String)]] = None
+    Par.all(
+      () => landed = landEntriesChecked(inserts, base, statsCols,
+        guardIdentity = guardIdentity),
+      () => {
+        bounds = deleteKeys
+          .agg(min(col(statsCol).cast(castT)).cast("string"),
+            max(col(statsCol).cast(castT)).cast("string")).head()
+        // sync-delete span: a target file whose stats range is
+        // DISJOINT from it cannot hold any source key — every row
+        // vanished, the file drops metadata-only. Outer None = no sync
+        // clause; inner None = an EMPTY sync source (all vanishes).
+        syncRange = syncKeys.map { sk =>
+          val b = sk.agg(min(col(statsCol).cast(castT)).cast("string"),
+            max(col(statsCol).cast(castT)).cast("string")).head()
+          if (b.isNullAt(0)) None else Some((b.getString(0), b.getString(1)))
+        }
+      })
+    val (newEntries0, checked0) = landed
     val newEntries = newEntries0.filter(_.rows != 0L)
     var checkedCons = checked0
     // the unguarded (SQL MERGE) path runs GENERATED BY DEFAULT like
@@ -5785,22 +5859,9 @@ object TxLog {
     val idMaxes =
       if (guardIdentity) Map.empty[String, Long]
       else sourceIdentityMaxes(spark, base, inserts)
-    val castT = castType(statsDtype(deleteKeys.schema(statsCol).dataType))
-    val bounds = deleteKeys
-      .agg(min(col(statsCol).cast(castT)).cast("string"),
-        max(col(statsCol).cast(castT)).cast("string")).head()
     val keyRange: Option[(String, String)] =
       if (bounds.isNullAt(0)) None // no deletes in this batch
       else Some((bounds.getString(0), bounds.getString(1)))
-    // sync-delete span: a target file whose stats range is DISJOINT
-    // from it cannot hold any source key — every row vanished, the
-    // file drops metadata-only. Outer None = no sync clause; inner
-    // None = an EMPTY sync source (everything vanishes).
-    val syncRange: Option[Option[(String, String)]] = syncKeys.map { sk =>
-      val b = sk.agg(min(col(statsCol).cast(castT)).cast("string"),
-        max(col(statsCol).cast(castT)).cast("string")).head()
-      if (b.isNullAt(0)) None else Some((b.getString(0), b.getString(1)))
-    }
     try withCasRetry(maxAttempts) { _ =>
       val cur = latestVersion(spark, base)
       checkedCons = reEnforceIfChanged(spark, base, newEntries, checkedCons)
@@ -5933,11 +5994,28 @@ object TxLog {
       pmod(xxhash64(lit(i), c.cast(dtype).cast("string")), lit(m)))
   }
 
+  /** Evaluate deterministic column expressions DRIVER-SIDE: project
+    * them over a one-row LOCAL relation, which the optimizer's
+    * ConvertToLocalRelation rule folds at plan time, so `head()` takes
+    * from a LocalTableScan without launching a Spark job. The
+    * `spark.range(1).select(...).head()` spelling this replaces paid
+    * one single-task job per evaluation — pure scheduler tax on probe
+    * paths that may run per lookup. Semantics are identical: the SAME
+    * Column expressions go through the same analysis and cast rules. */
+  private[graft] def evalLocal(spark: SparkSession,
+      cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Row = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(0)),
+      StructType(Seq(StructField("__one", IntegerType))))
+      .select(cols: _*).head()
+  }
+
   private def probePositions(spark: SparkSession, value: Any,
                              ref: BloomRef): Seq[Long] = {
     import org.apache.spark.sql.functions.lit
-    val row = spark.range(1)
-      .select(bloomPosCols(lit(value), ref.m, ref.k, ref.dtype): _*).head()
+    val row = evalLocal(spark,
+      bloomPosCols(lit(value), ref.m, ref.k, ref.dtype))
     (0 until ref.k).map(row.getLong)
   }
 

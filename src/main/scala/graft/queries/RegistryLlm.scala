@@ -839,18 +839,20 @@ object RegistryLlm {
             sum(col("len")).as("len_sum"))
           .select(lit(batchId).as("batch"), col("len_rows"),
             col("len_sum"), lit(df.count()).as("docs"))
-        if (batchId == 0L) {
-          TxLog.commit(tf, postBase, None, Some("term"))
-          TxLog.commit(ln, lenBase, None, Some("doc_id"))
-          TxLog.commit(st, statsBase, None)
-        } else {
-          TxLog.appendOnce(tf, postBase, appId = "bm25-indexer",
-            batchId = batchId, statsCol = Some("term"))
-          TxLog.appendOnce(ln, lenBase, appId = "bm25-indexer",
-            batchId = batchId, statsCol = Some("doc_id"))
-          TxLog.appendOnce(st, statsBase, appId = "bm25-indexer",
-            batchId = batchId)
-        }
+        // the three index tables are mutually independent: overlap
+        // their tiny commits from driver threads (guide §2.6) instead
+        // of paying three full plan+land+publish latencies in series
+        if (batchId == 0L) graft.operators.Par.all(
+          () => TxLog.commit(tf, postBase, None, Some("term")),
+          () => TxLog.commit(ln, lenBase, None, Some("doc_id")),
+          () => TxLog.commit(st, statsBase, None))
+        else graft.operators.Par.all(
+          () => TxLog.appendOnce(tf, postBase, appId = "bm25-indexer",
+            batchId = batchId, statsCol = Some("term")),
+          () => TxLog.appendOnce(ln, lenBase, appId = "bm25-indexer",
+            batchId = batchId, statsCol = Some("doc_id")),
+          () => TxLog.appendOnce(st, statsBase, appId = "bm25-indexer",
+            batchId = batchId))
         } finally toks.unpersist()
       }
       index(d.where(col("doc_id") % 4 =!= 0), 0L)
@@ -961,25 +963,30 @@ object RegistryLlm {
       val toks = d.select(col("doc_id"),
         explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
         .persist()
-      try {
-        TxLog.commit(toks.groupBy("term", "doc_id")
-            .agg(count(lit(1)).as("tf"))
-            .repartitionByRange(4, col("term")),
-          postBase, None, Some("term"))
-        val ln0 = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
-        TxLog.commit(ln0, lenBase, None, Some("doc_id"))
-        TxLog.commit(ln0.agg(count(lit(1)).as("len_rows"),
-            sum(col("len")).as("len_sum"))
-          .select(lit(0L).as("batch"), col("len_rows"), col("len_sum"),
-            lit(d.count()).as("docs")), statsBase, None)
-      } finally toks.unpersist()
       val e = embs(s, dir)
       val centers0 = Similarity.groupCentroids(e, "label", "embedding")
         .groupBy("label")
         .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), x -> x.centroid)")
           .as("sv"))
         .select(col("label").cast("long").as("seed_id"), col("sv"))
-      TxLog.commit(centers0, centersBase, None)
+      // four independent tables (3 lexical + the quantizer): overlap
+      // their commits from driver threads (guide §2.6); only the
+      // assignment commit below depends on one of them (centers)
+      try {
+        val ln0 = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        val st0 = ln0.agg(count(lit(1)).as("len_rows"),
+            sum(col("len")).as("len_sum"))
+          .select(lit(0L).as("batch"), col("len_rows"), col("len_sum"),
+            lit(d.count()).as("docs"))
+        graft.operators.Par.all(
+          () => TxLog.commit(toks.groupBy("term", "doc_id")
+              .agg(count(lit(1)).as("tf"))
+              .repartitionByRange(4, col("term")),
+            postBase, None, Some("term")),
+          () => TxLog.commit(ln0, lenBase, None, Some("doc_id")),
+          () => TxLog.commit(st0, statsBase, None),
+          () => TxLog.commit(centers0, centersBase, None))
+      } finally toks.unpersist()
       val frozen = TxLog.read(s, centersBase)
         .select(col("seed_id"), col("sv").as("__sv"))
       TxLog.commit(

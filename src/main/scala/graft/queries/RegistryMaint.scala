@@ -353,8 +353,10 @@ object RegistryMaint {
       TxLog.buildBloomIndex(s, base, "sk", bitsPerRow = 24, k = 5)
       val ids = Seq(42L, 123L, 321L)
       ids.map { id =>
-          val sk = ev.sparkSession.range(1)
-            .select(md5(lit(id.toString).cast("binary"))).head().getString(0)
+          // driver-side fold over a local relation — no Spark job per
+          // probe literal (was one spark.range(1) job per id)
+          val sk = TxLog.evalLocal(ev.sparkSession,
+            Seq(md5(lit(id.toString).cast("binary")))).getString(0)
           val (kept, all) = TxLog.prunePoint(s, base, "sk", sk)
           require(kept.size < all.size,
             s"bloom must skip files for id $id: kept ${kept.size} of ${all.size}")

@@ -316,15 +316,23 @@ object StreamingOps {
           // an UPDATE surfaces as update_preimage/update_postimage
           // (Delta readChangeFeed's contract); replica maintenance
           // applies a preimage as a delete-key and a postimage as an
-          // insert — replay stays bit-identical either way
-          TxLog.applyChanges(spark, rep,
-            deleteKeys = batch.where(col("_change_type")
-              .isin("delete", "update_preimage")).select("event_id"),
-            inserts = batch.where(col("_change_type")
-              .isin("insert", "update_postimage"))
-              .drop("_commit_version", "_change_type"),
-            keys = Seq("event_id"), statsCol = "event_id",
-            appId = "cdc-replica", batchId = bid)
+          // insert — replay stays bit-identical either way.
+          // The batch is persisted for the duration of the apply:
+          // three downstream actions (delete-key bounds, the mask
+          // semi-join, the inserts land) would otherwise each re-run
+          // the change-feed reconstruction (a DV position diff) of
+          // the same micro-batch
+          val b = batch.persist()
+          try {
+            TxLog.applyChanges(spark, rep,
+              deleteKeys = b.where(col("_change_type")
+                .isin("delete", "update_preimage")).select("event_id"),
+              inserts = b.where(col("_change_type")
+                .isin("insert", "update_postimage"))
+                .drop("_commit_version", "_change_type"),
+              keys = Seq("event_id"), statsCol = "event_id",
+              appId = "cdc-replica", batchId = bid)
+          } finally b.unpersist(false)
           ()
         }
         .start()
@@ -744,11 +752,16 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // latest-wins by the STABLE id: an updated row's new image
         // lands over its old one; fresh ids append — one O(batch)
-        // merge-on-read commit per micro-batch, zero files rewritten
-        val b = batch.withColumnRenamed("_row_id", "rid")
-        if (TxLog.latestVersion(spark, rep).isEmpty)
-          TxLog.commit(b, rep, None, Some("rid"))
-        else TxLog.mergeMor(spark, rep, b, Seq("rid"), "rid")
+        // merge-on-read commit per micro-batch, zero files rewritten.
+        // Persisted for the merge's duration: the MOR merge runs
+        // three actions over the batch (bounds, mask semi-join, land)
+        // that would otherwise each re-run the row-id snapshot read
+        val b = batch.withColumnRenamed("_row_id", "rid").persist()
+        try {
+          if (TxLog.latestVersion(spark, rep).isEmpty)
+            TxLog.commit(b, rep, None, Some("rid"))
+          else TxLog.mergeMor(spark, rep, b, Seq("rid"), "rid")
+        } finally b.unpersist(false)
         ()
       }
       .start()
