@@ -55,8 +55,19 @@ object TextFns {
   /** Polynomial rolling-hash fingerprint of the character stream:
     * fold(a[0], (acc, ch) => (acc*131 + ascii(ch)) mod 1e9+7).
     * Deterministic, order-sensitive (unlike a token-set hash), and
-    * portable (DuckDB: list_reduce over ascii codes). */
-  def rollingFingerprint(c: Column): Column = {
+    * portable (DuckDB: list_reduce over ascii codes). Served by the
+    * codegen'd [[RollingFp]] expression — one primitive loop per row
+    * instead of the split/transform/aggregate HOF chain (a one-char
+    * UTF8String allocation per character plus three interpreted
+    * lambdas per element); RollingFpSpec pins bit-equality of the two
+    * spellings, [[rollingFingerprintHof]] keeps the reference. */
+  def rollingFingerprint(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      RollingFp(org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  /** The original higher-order-function spelling — the semantics
+    * reference [[RollingFp]] must match bit-for-bit (spec-pinned). */
+  private[graft] def rollingFingerprintHof(c: Column): Column = {
     val codes = transform(split(c, ""), ch => ascii(ch).cast("long"))
     when(size(codes) === 0, lit(0L)).otherwise(
       aggregate(slice(codes, lit(2), greatest(size(codes) - 1, lit(0))),

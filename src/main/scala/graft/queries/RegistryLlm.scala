@@ -861,9 +861,15 @@ object RegistryLlm {
       require(TxLog.latestVersion(s, postBase).contains(2L) &&
         TxLog.latestVersion(s, lenBase).contains(2L),
         "a batch must APPEND to the index, not rebuild it")
-      val batchPairs = toksOf(d.where(col("doc_id") % 4 === 0))
-        .select("doc_id", "term").distinct().count()
-      require(TxLog.read(s, postBase).count() - v1pairs == batchPairs,
+      // ONE ±1-weighted aggregate proves the O(batch) append: Σ(+1
+      // per post-append posting row, −1 per distinct batch pair) must
+      // equal the pre-append count — the old spelling ran the postings
+      // count and the batch distinct-count as two separate actions
+      val delta = TxLog.read(s, postBase).select(lit(1L).as("__w"))
+        .unionByName(toksOf(d.where(col("doc_id") % 4 === 0))
+          .select("doc_id", "term").distinct().select(lit(-1L).as("__w")))
+        .agg(sum(col("__w"))).head().getLong(0)
+      require(delta == v1pairs,
         "index maintenance must cost O(batch tokens): the append " +
           "added exactly the batch's postings")
       // serving: per-term point ranges prune to the term's file band
