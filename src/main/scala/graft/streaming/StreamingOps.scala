@@ -347,13 +347,19 @@ object StreamingOps {
     TxLog.updateRangeMor(spark, src, "event_id", 650L, 800L,
       Map("value" -> (col("value") * 2)),
       residual = col("event_type") === "purchase")
-    // the update version's feed really is typed as update images
-    val v5Types = TxLog.changesWithDeletes(spark, src, 4L, 5L)
-      .select("_change_type").distinct().collect()
-      .map(_.getString(0)).toSet
-    require(v5Types == Set("update_preimage", "update_postimage"),
-      s"a MOR UPDATE version must emit update images, got $v5Types")
-    run() // resume: ONLY v3 + v4 + v5 flow
+    // the typed-images witness only READS source v4→v5, which is fully
+    // committed before the resumed stream starts — overlap it with
+    // run 2 (guide §2.6) instead of serializing its feed plan first
+    graft.operators.Par.all(
+      () => {
+        // the update version's feed really is typed as update images
+        val v5Types = TxLog.changesWithDeletes(spark, src, 4L, 5L)
+          .select("_change_type").distinct().collect()
+          .map(_.getString(0)).toSet
+        require(v5Types == Set("update_preimage", "update_postimage"),
+          s"a MOR UPDATE version must emit update images, got $v5Types")
+      },
+      () => run()) // resume: ONLY v3 + v4 + v5 flow
     // replica ≡ source, row for row — one ±1-weighted aggregate job,
     // not two exceptAll actions (each a second pass over both tables)
     graft.operators.Checks.requireMultisetEqual(
