@@ -74,13 +74,14 @@ object Cluster {
     require(changed == 0,
       s"connectedComponents did not converge within $maxIter rounds " +
         s"($changed labels still changing); raise maxIter")
-    // Materialize the final labels (cached via the last round's
-    // `stepped`), then release the loop-only inputs: fwd (the
-    // detector's pair output) and edges are no longer needed unless
-    // the final cache is evicted, in which case recompute is slower
+    // The final labels are already materialized: the last round's
+    // changed-count action scanned every partition of the cached
+    // `stepped`, and `labels` is a pure projection of it — a separate
+    // count here would be one redundant job per clustering call.
+    // Releasing the loop-only inputs (fwd, edges) is safe for the same
+    // reason; if the final cache is ever evicted, recompute is slower
     // but still correct.
     val out = labels.withColumnRenamed("label", "cluster_id")
-    out.count()
     fwd.unpersist()
     edges.unpersist()
     out

@@ -944,12 +944,15 @@ object RegistryMaintSchema {
         // timestamp bounds resolve through the in-commit stamps
         val t2 = TxLog.ictOf(s, base, 2L).getOrElse(
           sys.error("v2 must carry #ict"))
-        val byTs = sqlS.sql(
-          s"SELECT count(*) AS n FROM table_changes('txtvf_w', '$t2', '$t2')")
-          .head.getLong(0)
-        val byV = sqlS.sql(
-          "SELECT count(*) AS n FROM table_changes('txtvf_w', 2, 2)")
-          .head.getLong(0)
+        // one action for both counts (scalar subqueries share the
+        // plan) instead of two sequential collects
+        val cnt = sqlS.sql(
+          s"""SELECT
+                (SELECT count(*) FROM table_changes('txtvf_w', '$t2', '$t2'))
+                  AS by_ts,
+                (SELECT count(*) FROM table_changes('txtvf_w', 2, 2))
+                  AS by_v""").head
+        val (byTs, byV) = (cnt.getLong(0), cnt.getLong(1))
         require(byTs == byV && byV > 0,
           s"a timestamp bound must resolve to its commit: $byTs vs $byV")
         sqlS.sql(
