@@ -835,7 +835,10 @@ object RegistryLlm {
           .agg(count(lit(1)).as("tf"))
           .repartitionByRange(4, col("term")) // term-banded postings
         val ln = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
-        val st = ln.agg(count(lit(1)).as("len_rows"),
+        // `def`, not `val`: the embedded df.count() scalar is an
+        // eager action — evaluated inside the stats-commit thunk it
+        // overlaps the sibling commits instead of serializing first
+        def st = ln.agg(count(lit(1)).as("len_rows"),
             sum(col("len")).as("len_sum"))
           .select(lit(batchId).as("batch"), col("len_rows"),
             col("len_sum"), lit(df.count()).as("docs"))
@@ -980,7 +983,9 @@ object RegistryLlm {
       // assignment commit below depends on one of them (centers)
       try {
         val ln0 = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
-        val st0 = ln0.agg(count(lit(1)).as("len_rows"),
+        // `def`: the embedded d.count() action runs inside the
+        // stats-commit thunk, overlapped with the sibling commits
+        def st0 = ln0.agg(count(lit(1)).as("len_rows"),
             sum(col("len")).as("len_sum"))
           .select(lit(0L).as("batch"), col("len_rows"), col("len_sum"),
             lit(d.count()).as("docs"))
